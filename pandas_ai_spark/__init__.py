@@ -1,0 +1,99 @@
+"""pandas_ai_spark — a PySpark-native analytics engine with the query and
+data-processing capabilities of the pandas-ai semantic layer.
+
+Public API mirrors the reference package surface (reference:
+pandasai/__init__.py): ``read_csv`` / ``read_excel`` / ``create`` /
+``load`` / ``chat`` / ``follow_up``, plus Spark-first additions
+(``read_parquet``, the pipeline operators under
+:mod:`pandas_ai_spark.functions`).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from .dataframe import DataFrame
+from .datasets import create, load
+from .schema import SemanticLayerSchema
+from .session import get_session, stop_session
+from .sql import MaliciousQueryError, SQLExecutor, sanitize_relation_name
+
+__version__ = "0.1.0"
+
+_current_agent = None
+
+
+def read_csv(filepath: str) -> DataFrame:
+    """pandasai/__init__.py:294-297 parity — lazy Spark scan instead of an
+    eager pandas read; table name derived from the filename."""
+    from .sources.local import load_csv
+
+    spark = get_session()
+    df = load_csv(spark, filepath)
+    schema = DataFrame.get_default_schema(df, sanitize_relation_name(filepath))
+    return DataFrame(df, schema=schema, path=filepath)
+
+
+def read_parquet(filepath: str) -> DataFrame:
+    from .sources.local import load_parquet
+
+    spark = get_session()
+    df = load_parquet(spark, filepath)
+    schema = DataFrame.get_default_schema(df, sanitize_relation_name(filepath))
+    return DataFrame(df, schema=schema, path=filepath)
+
+
+def read_excel(filepath: str, sheet_name=0):
+    """pandasai/__init__.py:300-318 parity. Excel is a driver-side format;
+    read via pandas then parallelize (openpyxl not bundled — import-gated)."""
+    try:
+        import pandas as pd
+        pdf = pd.read_excel(filepath, sheet_name=sheet_name)
+    except ImportError as exc:
+        raise NotImplementedError("read_excel requires openpyxl") from exc
+    spark = get_session()
+    if isinstance(pdf, dict):
+        return {
+            str(k): DataFrame(
+                spark.createDataFrame(v),
+                schema=None, path=filepath,
+            )
+            for k, v in pdf.items()
+        }
+    return DataFrame(spark.createDataFrame(pdf), schema=None, path=filepath)
+
+
+def chat(query: str, *dfs: DataFrame, **kwargs):
+    """Start a new conversation over dfs (pandasai/__init__.py:209-243)."""
+    global _current_agent
+    from .agent import Agent
+
+    if not dfs:
+        raise ValueError("At least one DataFrame is required")
+    _current_agent = Agent(list(dfs), **kwargs)
+    return _current_agent.chat(query)
+
+
+def follow_up(query: str):
+    global _current_agent
+    if _current_agent is None:
+        raise RuntimeError("No existing conversation — call chat() first")
+    return _current_agent.follow_up(query)
+
+
+__all__ = [
+    "DataFrame",
+    "SemanticLayerSchema",
+    "SQLExecutor",
+    "MaliciousQueryError",
+    "create",
+    "load",
+    "read_csv",
+    "read_parquet",
+    "read_excel",
+    "chat",
+    "follow_up",
+    "get_session",
+    "stop_session",
+    "sanitize_relation_name",
+]

@@ -1,0 +1,69 @@
+"""SparkSession lifecycle for the engine.
+
+The reference constructs a throwaway DuckDB connection inside every execute
+call (reference: pandasai/data_loader/duck_db_connection_manager.py:8-39,
+pandasai/data_loader/local_loader.py:55). On Spark that pattern would be
+catastrophic (JVM spin-up per query), so the engine keeps ONE session and
+treats it as process-global, the way a cluster application would.
+
+Scale notes (100 TB design point):
+- AQE on: runtime coalescing, skew-join splitting, join-strategy re-plan.
+- shuffle.partitions defaults to a local-friendly value but is just the
+  *initial* number under AQE; on a real cluster set it ~2-3x total cores.
+- Arrow enabled for every pandas boundary (toPandas, pandas_udf).
+- Session timezone pinned to UTC so results are reproducible across
+  machines and comparable to external oracles.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+_DEFAULTS = {
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Columnar parquet reads with filter/column pushdown are the default;
+    # keep file splits at 128MB so a 100 TB table yields ~800k tasks, a
+    # size the scheduler handles, rather than a few giant unsplittable ones.
+    "spark.sql.files.maxPartitionBytes": "134217728",
+    "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    "spark.ui.enabled": "false",
+}
+
+
+def get_session(app_name: str = "pandas_ai_spark", master: str | None = None,
+                extra_conf: dict | None = None) -> SparkSession:
+    """Return the shared SparkSession, creating it on first use.
+
+    ``SPARK_GRAFT_CPUS`` controls local parallelism (default ``*``). On a
+    real cluster the caller simply creates the session first with its own
+    master/conf; ``getOrCreate`` then returns that one untouched.
+    """
+    builder = SparkSession.builder.appName(app_name)
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+        master = f"local[{cpus}]"
+    builder = builder.master(master)
+    conf = dict(_DEFAULTS)
+    if "spark.sql.shuffle.partitions" not in (extra_conf or {}):
+        # local[N]: one shuffle partition per core; cluster users override.
+        cpus = os.environ.get("SPARK_GRAFT_CPUS")
+        conf["spark.sql.shuffle.partitions"] = cpus if cpus and cpus.isdigit() else "32"
+    if extra_conf:
+        conf.update(extra_conf)
+    for k, v in conf.items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def stop_session() -> None:
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        active.stop()

@@ -1,0 +1,78 @@
+"""JDBC sources: mysql, postgres, cockroachdb, sqlserver, oracle.
+
+Reference parity: extensions/connectors/sql/pandasai_sql/__init__.py:9-81
+(pymysql/psycopg2/pymssql cursor → pandas). Spark's JDBC source instead
+streams the table through the executors and supports:
+- query pushdown (``.option("query", sql)`` runs server-side),
+- partitioned parallel reads (``partitionColumn/lowerBound/upperBound/
+  numPartitions``) so a big table arrives as N concurrent range scans
+  instead of one driver-side cursor.
+
+JDBC driver jars are not bundled in this environment; the URL/plan
+construction is real and unit-tested, the actual fetch needs the driver on
+the classpath (standard spark-submit ``--jars``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..schema import Source
+
+
+def _mysql(c: dict) -> str:
+    return f"jdbc:mysql://{c.get('host', 'localhost')}:{c.get('port', 3306)}/{c.get('database', '')}"
+
+
+def _postgres(c: dict) -> str:
+    return f"jdbc:postgresql://{c.get('host', 'localhost')}:{c.get('port', 5432)}/{c.get('database', '')}"
+
+
+def _cockroachdb(c: dict) -> str:
+    # Cockroach speaks the postgres wire protocol (reference uses psycopg2
+    # for it too, pandasai_sql/__init__.py:47-63).
+    return f"jdbc:postgresql://{c.get('host', 'localhost')}:{c.get('port', 26257)}/{c.get('database', '')}"
+
+
+def _sqlserver(c: dict) -> str:
+    return (
+        f"jdbc:sqlserver://{c.get('host', 'localhost')}:{c.get('port', 1433)};"
+        f"databaseName={c.get('database', '')}"
+    )
+
+
+def _oracle(c: dict) -> str:
+    return f"jdbc:oracle:thin:@{c.get('host', 'localhost')}:{c.get('port', 1521)}/{c.get('database', '')}"
+
+
+JDBC_URL_BUILDERS = {
+    "mysql": _mysql,
+    "postgres": _postgres,
+    "cockroachdb": _cockroachdb,
+    "sqlserver": _sqlserver,
+    "oracle": _oracle,
+    "data": _postgres,
+}
+
+
+def build_jdbc_reader(spark: SparkSession, source: Source):
+    conn = source.connection or {}
+    url = JDBC_URL_BUILDERS[source.type](conn)
+    reader = (
+        spark.read.format("jdbc")
+        .option("url", url)
+        .option("user", conn.get("user", ""))
+        .option("password", conn.get("password", ""))
+    )
+    if source.table:
+        reader = reader.option("dbtable", source.table)
+    # partitioned parallel read when the caller tells us how to split
+    for opt in ("partitionColumn", "lowerBound", "upperBound", "numPartitions",
+                "fetchsize", "query"):
+        if opt in conn:
+            reader = reader.option(opt, str(conn[opt]))
+    return reader
+
+
+def load_jdbc(spark: SparkSession, source: Source) -> DataFrame:
+    return build_jdbc_reader(spark, source).load()

@@ -1,0 +1,72 @@
+"""Benchmark harness: runs the __spark_entry__ query set and prints ONE
+JSON line with per-query wall seconds.
+
+Env:
+  SPARK_GRAFT_SF_DIR  data dir (default /root/testdata/sf0.1)
+  SPARK_GRAFT_CPUS    local[N] parallelism (default all cores)
+  BENCH_BASELINE=1    also time the DuckDB oracle per query and include a
+                      "baseline" map (protocol in BASELINE.md)
+
+Timing = plan build + execution + collect of the result (same work the
+DuckDB baseline does with fetchall). Session/JVM startup excluded.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+
+    import __spark_entry__ as entry
+    from pandas_ai_spark.session import get_session
+
+    spark = get_session(app_name="pandas_ai_spark_bench")
+
+    timings: dict[str, float] = {}
+    total = 0.0
+    for name, fn in entry.queries().items():
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).collect()
+        dt = time.perf_counter() - t0
+        timings[name] = round(dt, 3)
+        total += dt
+
+    out = {
+        "metric": "spark_wall_sec_total",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+
+    if os.environ.get("BENCH_BASELINE"):
+        import duckdb
+
+        con = duckdb.connect()
+        con.execute(f"SET threads TO {os.cpu_count()}")
+        for t in entry.TABLES:
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM "
+                f"read_parquet('{sf_dir}/{t}.parquet')"
+            )
+        base: dict[str, float] = {}
+        for name, sql in entry.oracle_sql().items():
+            t0 = time.perf_counter()
+            con.execute(sql).fetchall()
+            base[name] = round(time.perf_counter() - t0, 3)
+        out["baseline"] = base
+        out["baseline_total"] = round(sum(base.values()), 3)
+
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,321 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+LLM-training-pipeline dedup at 100 TB scale (BASELINE.json north star).
+Design notes per operator:
+
+- **exact**: hash-groupBy on a normalized key — one shuffle on the key,
+  map-side partial aggregation keeps it skew-tolerant.
+- **MinHash+LSH**: shingle → k independent min-hashes (JVM-side xxhash64,
+  no Python) → band signatures → explode(bands) → groupBy(band, sig).
+  The only shuffle is on band signatures; candidate verification joins
+  back by id. This is the canonical sub-quadratic near-dup path.
+- **SimHash**: 64-bit signature via a vectorized Arrow pandas_udf (numpy
+  bit-twiddling beats a 64-term JVM expression tree), then banded Hamming
+  candidate buckets.
+- **n-gram Jaccard**: exact verification metric; used standalone with
+  length blocking for small/medium tables and as the verify stage after
+  LSH candidate generation.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import numpy as np
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .text import normalize_text, whitespace_tokens
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+def dedup_exact(df: DataFrame, key_cols: list[str],
+                id_col: str = "doc_id") -> DataFrame:
+    """Keep one row per key (the lowest id — deterministic). One shuffle."""
+    keeper = df.groupBy(*key_cols).agg(F.min(id_col).alias(id_col))
+    return df.join(keeper, on=[id_col] + list(key_cols), how="inner")
+
+
+def dedup_exact_normalized(df: DataFrame, text_col: str = "text",
+                           id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup on the *normalized* text (case/punct/whitespace
+    insensitive) without shuffling the full text: group on its md5."""
+    keyed = df.withColumn("__key", F.md5(normalize_text(F.col(text_col))))
+    keeper = keyed.groupBy("__key").agg(F.min(id_col).alias(id_col))
+    return (
+        keyed.join(keeper, ["__key", id_col], "inner").drop("__key")
+    )
+
+
+# ---------------------------------------------------------------------------
+# shingles + MinHash + LSH
+# ---------------------------------------------------------------------------
+
+def word_shingles(col: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles of the normalized text."""
+    toks = whitespace_tokens(normalize_text(col))
+    size = F.size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(size - n, F.lit(0)))
+    grams = F.when(size < n,
+                   F.when(size > 0, F.array(F.concat_ws(" ", toks)))
+                    .otherwise(F.array().cast("array<string>"))) \
+             .otherwise(F.transform(
+                 idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n))))
+    return F.array_distinct(grams)
+
+
+def minhash_signature(shingles: Column, num_hashes: int = 128) -> Column:
+    """Array of ``num_hashes`` min-hash values. Each hash family member is
+    xxhash64(shingle, seed_i) — independent, JVM-side, no Python."""
+    return F.array(*[
+        F.array_min(F.transform(
+            shingles, lambda s, i=i: F.xxhash64(s, F.lit(i))))
+        for i in range(num_hashes)
+    ])
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_size: int = 3,
+    num_hashes: int = 128,
+    bands: int = 32,
+) -> DataFrame:
+    """Candidate near-duplicate pairs via banded MinHash-LSH.
+
+    rows_per_band = num_hashes // bands; two docs collide when any band's
+    sub-signature matches exactly. Probability of collision for Jaccard s
+    is 1-(1-s^r)^b — with 128/32 the S-curve centers near s≈0.65.
+
+    Returns pairs (id_a < id_b). Scale: the explode produces bands×N rows;
+    the groupBy shuffles only (band_idx, 64-bit sig, id) triples.
+    """
+    rows_per_band = num_hashes // bands
+    sig = (
+        df.select(
+            F.col(id_col),
+            minhash_signature(
+                word_shingles(F.col(text_col), shingle_size), num_hashes
+            ).alias("__sig"),
+        )
+    )
+    banded = sig.select(
+        id_col,
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.xxhash64(
+                        F.concat_ws(
+                            ",",
+                            *[F.slice(F.col("__sig"), b * rows_per_band + 1,
+                                      rows_per_band)[i].cast("string")
+                              for i in range(rows_per_band)],
+                        )
+                    ).alias("bsig"),
+                )
+                for b in range(bands)
+            ])
+        ).alias("bb"),
+    ).select(id_col, "bb.band", "bb.bsig")
+    left = banded.alias("l")
+    right = banded.alias("r")
+    pairs = (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bsig") == F.col("r.bsig"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"),
+            F.col(f"r.{id_col}").alias("id_b"),
+        )
+        .distinct()
+    )
+    return pairs
+
+
+def jaccard(a: Column, b: Column) -> Column:
+    """Exact Jaccard similarity of two (distinct-element) arrays."""
+    inter = F.size(F.array_intersect(a, b))
+    union = F.size(a) + F.size(b) - inter
+    return F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+
+
+def minhash_dedup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.7,
+    shingle_size: int = 3,
+    num_hashes: int = 128,
+    bands: int = 32,
+) -> DataFrame:
+    """LSH candidates verified with exact shingle Jaccard ≥ threshold."""
+    cands = minhash_lsh_candidates(
+        df, text_col, id_col, shingle_size, num_hashes, bands)
+    sh = df.select(
+        F.col(id_col),
+        word_shingles(F.col(text_col), shingle_size).alias("__sh"),
+    )
+    return (
+        cands.join(sh.withColumnRenamed(id_col, "id_a")
+                     .withColumnRenamed("__sh", "__sh_a"), "id_a")
+             .join(sh.withColumnRenamed(id_col, "id_b")
+                     .withColumnRenamed("__sh", "__sh_b"), "id_b")
+             .withColumn("jaccard", jaccard(F.col("__sh_a"), F.col("__sh_b")))
+             .where(F.col("jaccard") >= threshold)
+             .select("id_a", "id_b", "jaccard")
+    )
+
+
+def minhash_dedup(df: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id", threshold: float = 0.7,
+                  **kwargs) -> DataFrame:
+    """Drop near-duplicates: every doc that matches a lower-id doc goes.
+    (Union-find transitive clustering is a follow-up; greedy lower-id-wins
+    matches common pipeline practice.)"""
+    pairs = minhash_dedup_pairs(df, text_col, id_col, threshold, **kwargs)
+    losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return df.join(losers, id_col, "left_anti")
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard (exact, blocked)
+# ---------------------------------------------------------------------------
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.5,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """Exact all-pairs n-gram Jaccard via an inverted-index join.
+
+    Instead of a blocked self-join with per-pair array intersection (O(Σ
+    block²) expensive set ops — measured 140s+ at sf0.1 even in DuckDB),
+    build the inverted index: explode distinct shingles, self-join on the
+    shingle, and count co-occurrences per pair — the PPJoin-family shape.
+    Pair-row volume is Σ_s f(s)² over shingle doc-frequencies, which for
+    natural text (sharp Zipf tail, low doc-freq for content shingles) is
+    near-linear in corpus size.
+
+    ``max_doc_freq`` optionally drops ultra-common "stop shingles" before
+    pairing — the standard skew guard at web scale; it makes the Jaccard
+    approximate (computed over the remaining shingles), so it's off by
+    default.
+    """
+    sh = df.select(
+        F.col(id_col),
+        word_shingles(F.col(text_col), n).alias("__sh"),
+    )
+    sizes = sh.select(id_col, F.size("__sh").alias("__size"))
+    inv = sh.select(id_col, F.explode("__sh").alias("__s"))
+    if max_doc_freq:
+        freq = inv.groupBy("__s").agg(F.count("*").alias("__f"))
+        inv = inv.join(
+            freq.where(F.col("__f") <= max_doc_freq).select("__s"), "__s")
+    l, r = inv.alias("l"), inv.alias("r")
+    inter = (
+        l.join(r, (F.col("l.__s") == F.col("r.__s"))
+                  & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")))
+        .groupBy(F.col(f"l.{id_col}").alias("id_a"),
+                 F.col(f"r.{id_col}").alias("id_b"))
+        .agg(F.count("*").alias("__inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("__size").alias("__sa"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("__size").alias("__sb"))
+    return (
+        inter.join(sa, "id_a").join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("__inter")
+            / (F.col("__sa") + F.col("__sb") - F.col("__inter")))
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+_SIMHASH_SCHEMA = T.LongType()
+
+
+@F.pandas_udf(_SIMHASH_SCHEMA)
+def _simhash64(texts: pd.Series) -> pd.Series:
+    """64-bit SimHash over whitespace tokens (vectorized, Arrow-batched).
+
+    Per doc: hash each token to 64 bits (MD5-derived, stable across
+    processes — no PYTHONHASHSEED dependence), sum +1/-1 per bit position,
+    sign → signature bit.
+    """
+    import hashlib
+
+    shifts = np.arange(64, dtype=np.uint64)
+
+    def one(text: str) -> int:
+        if not text:
+            return 0
+        counts = np.zeros(64, dtype=np.int64)
+        for tok in text.lower().split():
+            h = np.uint64(int.from_bytes(
+                hashlib.md5(tok.encode()).digest()[:8], "little"))
+            bits = ((h >> shifts) & np.uint64(1)).astype(np.int64)
+            counts += bits * 2 - 1
+        sig = 0
+        for b in range(64):
+            if counts[b] > 0:
+                sig |= 1 << b
+        return sig - (1 << 64) if sig >= (1 << 63) else sig
+
+    return texts.map(one)
+
+
+def simhash(df: DataFrame, text_col: str = "text") -> DataFrame:
+    return df.withColumn("simhash", _simhash64(F.col(text_col)))
+
+
+def simhash_candidates(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id") -> DataFrame:
+    """Candidate pairs with Hamming distance ≤ 3 via 4×16-bit band match
+    (pigeonhole: ≤3 differing bits leave ≥1 of 4 bands identical)."""
+    sig = simhash(df.select(id_col, text_col), text_col)
+    banded = sig.select(
+        id_col,
+        "simhash",
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.shiftright(F.col("simhash"), b * 16)
+                 .bitwiseAND(F.lit(0xFFFF)).alias("bsig"),
+            )
+            for b in range(4)
+        ])).alias("bb"),
+    ).select(id_col, "simhash", "bb.band", "bb.bsig")
+    l, r = banded.alias("l"), banded.alias("r")
+    pairs = (
+        l.join(r, (F.col("l.band") == F.col("r.band"))
+                  & (F.col("l.bsig") == F.col("r.bsig"))
+                  & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")))
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"),
+            F.col(f"r.{id_col}").alias("id_b"),
+            F.col("l.simhash").alias("sim_a"),
+            F.col("r.simhash").alias("sim_b"),
+        )
+        .distinct()
+    )
+    xor = F.col("sim_a").bitwiseXOR(F.col("sim_b"))
+    return pairs.withColumn("hamming", F.bit_count(xor)) \
+                .where(F.col("hamming") <= 3) \
+                .select("id_a", "id_b", "hamming")

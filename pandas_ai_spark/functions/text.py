@@ -1,0 +1,157 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+Beyond the reference's surface (BASELINE.json north star): language ID,
+quality scoring, token counting, document fingerprinting. Everything here
+is built from JVM-side ``pyspark.sql.functions`` — no Python in the hot
+path — so a 100 TB documents table processes at parquet-scan speed with
+zero shuffles (all operators are row-local projections).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# A small deterministic stopword inventory per language for the n-gram/
+# stopword language heuristic. Real pipelines would plug fastText/CLD3 in
+# via a pandas_udf; the heuristic keeps everything JVM-side.
+LANG_STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "in", "is", "it", "that", "was", "for"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "mit", "auf", "zu"],
+    "fr": ["le", "la", "les", "et", "est", "des", "une", "dans", "que", "pour"],
+    "es": ["el", "la", "los", "las", "es", "una", "para", "con", "por", "del"],
+}
+
+# BPE-ish pre-tokenizer: words, numbers, or single non-space symbols —
+# the GPT-2 pre-tokenizer family without the byte-level details.
+TOKEN_REGEX = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+PUNCT_REGEX = r"[^\w\s]"
+
+
+def whitespace_tokens(col: Column) -> Column:
+    """Array of whitespace-delimited tokens (empty array for blank text)."""
+    trimmed = F.trim(col)
+    return F.when(F.length(trimmed) == 0, F.array().cast("array<string>")) \
+            .otherwise(F.split(trimmed, r"\s+"))
+
+
+def token_count(col: Column) -> Column:
+    """Whitespace token count."""
+    return F.size(whitespace_tokens(col))
+
+
+def regex_token_count(col: Column) -> Column:
+    """BPE-ish token count (words / numbers / symbols as separate tokens)."""
+    return F.size(F.regexp_extract_all(col, F.lit(TOKEN_REGEX), 0))
+
+
+def punct_ratio(col: Column) -> Column:
+    return (
+        F.size(F.regexp_extract_all(col, F.lit(PUNCT_REGEX), 0))
+        / F.greatest(F.length(col), F.lit(1))
+    )
+
+
+def stopword_ratio(col: Column, lang: str = "en") -> Column:
+    stops = LANG_STOPWORDS[lang]
+    toks = whitespace_tokens(F.lower(col))
+    hits = F.size(F.filter(toks, lambda t: t.isin(*stops)))
+    return hits / F.greatest(F.size(toks), F.lit(1))
+
+
+def mean_word_length(col: Column) -> Column:
+    toks = whitespace_tokens(col)
+    total = F.aggregate(
+        toks, F.lit(0).cast("bigint"), lambda acc, t: acc + F.length(t)
+    )
+    return total / F.greatest(F.size(toks), F.lit(1))
+
+
+def quality_score(col: Column, lang: str = "en") -> Column:
+    """Composite [0,1] quality heuristic: length band + low punctuation +
+    stopword presence + sane mean word length. Mirrors the C4/Gopher-style
+    rule filters used in LLM data pipelines, expressed as one JVM
+    projection."""
+    n_tok = token_count(col)
+    len_ok = (n_tok >= 5) & (n_tok <= 100000)
+    punct_ok = punct_ratio(col) < 0.3
+    stop_ok = stopword_ratio(col, lang) > 0.01
+    word_len = mean_word_length(col)
+    wordlen_ok = (word_len >= 2) & (word_len <= 15)
+    score = (
+        len_ok.cast("int") + punct_ok.cast("int")
+        + stop_ok.cast("int") + wordlen_ok.cast("int")
+    )
+    return (score / F.lit(4.0)).alias("quality_score")
+
+
+def detect_language(col: Column) -> Column:
+    """Stopword-vote language ID over :data:`LANG_STOPWORDS`.
+
+    Ties and zero-hit rows return 'und' (undetermined). Deterministic:
+    highest hit count wins, ties broken by language code order.
+    """
+    toks = whitespace_tokens(F.lower(col))
+
+    def hits(stops: list[str]) -> Column:
+        return F.size(F.filter(toks, lambda t: t.isin(*stops)))
+
+    scores = [
+        (lang, hits(stops)) for lang, stops in sorted(LANG_STOPWORDS.items())
+    ]
+    best_score = F.greatest(*[s for _, s in scores])
+    result = F.lit("und")
+    # reversed so the first language in sorted order wins ties
+    for lang, score in reversed(scores):
+        result = F.when((score == best_score) & (best_score > 0), lang) \
+                  .otherwise(result)
+    return result
+
+
+def normalize_text(col: Column) -> Column:
+    """Canonical form for fingerprinting/dedup: lowercase, strip
+    punctuation, collapse whitespace."""
+    lowered = F.lower(col)
+    no_punct = F.regexp_replace(lowered, PUNCT_REGEX, "")
+    return F.trim(F.regexp_replace(no_punct, r"\s+", " "))
+
+
+def fingerprint(col: Column) -> Column:
+    """Deterministic document fingerprint: MD5 of the normalized text.
+    Pair with :func:`rolling_hashes` for shift-tolerant fingerprints."""
+    return F.md5(normalize_text(col))
+
+
+def rolling_hashes(col: Column, window: int = 8) -> Column:
+    """Array of rolling (Rabin-Karp-style) hashes over word ``window``-grams
+    of the normalized text — the winnowing primitive for near-dup detection.
+    One xxhash64 per n-gram, all JVM-side."""
+    toks = whitespace_tokens(normalize_text(col))
+    n = F.size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(n - window, F.lit(0)))
+    return F.when(n < window, F.array().cast("array<bigint>")).otherwise(
+        F.transform(
+            idx,
+            lambda i: F.xxhash64(
+                F.concat_ws(" ", F.slice(toks, i + 1, window))
+            ),
+        )
+    )
+
+
+def with_text_stats(df: DataFrame, text_col: str = "text",
+                    lang: str = "en") -> DataFrame:
+    """Convenience: append the full stat block to a documents table."""
+    c = F.col(text_col)
+    return df.select(
+        "*",
+        token_count(c).alias("n_tokens"),
+        regex_token_count(c).alias("n_tokens_bpe"),
+        punct_ratio(c).alias("punct_ratio"),
+        stopword_ratio(c, lang).alias("stopword_ratio"),
+        mean_word_length(c).alias("mean_word_len"),
+        quality_score(c, lang).alias("quality_score"),
+        detect_language(c).alias("lang_detected"),
+        fingerprint(c).alias("fingerprint"),
+    )

@@ -224,12 +224,14 @@ class SchemaCompiler:
                  flat: Callable[[str], str]) -> DataFrame:
         cols = schema.columns or []
         out_names: list[str] = []
-        exprs: dict[str, Column] = {}
+        exprs: dict[str, Column] = {}       # keyed by output name
+        by_input: dict[str, str] = {}       # declared input name -> output name
         agg_names: set[str] = set()
         for c in cols:
             name = flat(c.name)
             out_name = c.alias or name
             out_names.append(out_name)
+            by_input[name] = out_name
             if c.expression:
                 expr = F.expr(flat(c.expression) if schema.view else c.expression)
                 if is_aggregate_expression(c.expression):
@@ -239,11 +241,15 @@ class SchemaCompiler:
             exprs[out_name] = expr.alias(out_name)
 
         if schema.group_by:
-            group_names = [flat(g) for g in schema.group_by]
             group_exprs = []
-            for g in group_names:
-                group_exprs.append(exprs.get(g, F.col(g).alias(g)))
-            aggs = [exprs[n] for n in out_names if n in agg_names]
+            group_out: set[str] = set()
+            for g in schema.group_by:
+                g = flat(g)
+                out = by_input.get(g, g)       # alias-aware group key
+                group_exprs.append(exprs.get(out, F.col(g).alias(out)))
+                group_out.add(out)
+            aggs = [exprs[n] for n in out_names
+                    if n in agg_names and n not in group_out]
             grouped = df.groupBy(*group_exprs).agg(*aggs) if aggs else (
                 df.select(*group_exprs).distinct()
             )

@@ -58,7 +58,9 @@ def strftime_to_spark(fmt: str) -> str:
             nxt = fmt[i + 1]
             out.append(_STRFTIME_MAP.get(nxt, nxt))
             i += 2
-        elif ch.isalpha():
+        elif ch.isascii() and ch.isalpha():
+            # only ASCII letters are reserved pattern symbols in Java's
+            # DateTimeFormatter; non-ASCII literals pass through unquoted
             out.append(f"'{ch}'")
             i += 1
         elif ch == "'":

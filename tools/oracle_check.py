@@ -1,0 +1,88 @@
+"""Driver-mimic correctness harness: runs every __spark_entry__ query on
+Spark and its oracle_sql on DuckDB at the same sf, compares row count,
+column names, and order-insensitive values.
+
+Usage: python tools/oracle_check.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+
+sys.path.insert(0, ".")
+
+
+def canonical(rows, cols) -> list[tuple]:
+    out = []
+    for row in rows:
+        vals = []
+        for v in row:
+            if isinstance(v, float):
+                if math.isnan(v):
+                    vals.append("NaN")
+                else:
+                    vals.append(round(v, 9))
+            else:
+                vals.append(v)
+        out.append(tuple(vals))
+    return sorted(out, key=lambda t: tuple(str(x) for x in t))
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    import duckdb
+    import __spark_entry__ as entry
+    from pandas_ai_spark.session import get_session
+
+    spark = get_session()
+    con = duckdb.connect()
+    for t in entry.TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{sf_dir}/{t}.parquet')"
+        )
+
+    qs = entry.queries()
+    oracles = entry.oracle_sql()
+    failures = []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        sdf = fn(spark, sf_dir)
+        srows = sdf.collect()
+        scols = [c.lower() for c in sdf.columns]
+        if name not in oracles:
+            print(f"{name:28s} rows-only: {len(srows)} rows OK")
+            continue
+        res = con.execute(oracles[name])
+        dcols = [d[0].lower() for d in res.description]
+        drows = res.fetchall()
+        status = []
+        if scols != dcols:
+            status.append(f"COLS spark={scols} duck={dcols}")
+        if len(srows) != len(drows):
+            status.append(f"COUNT spark={len(srows)} duck={len(drows)}")
+        if not status:
+            a = canonical([tuple(r) for r in srows], scols)
+            b = canonical(drows, dcols)
+            if a != b:
+                diffs = [(x, y) for x, y in zip(a, b) if x != y][:3]
+                status.append(f"VALUES first-diffs={diffs}")
+        if status:
+            failures.append(name)
+            print(f"{name:28s} FAIL  {' | '.join(status)}")
+        else:
+            print(f"{name:28s} match ({len(srows)} rows)")
+    print()
+    if failures:
+        print("FAILURES:", failures)
+        return 1
+    print("ALL MATCH")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

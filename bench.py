@@ -30,6 +30,10 @@ def main() -> None:
 
     spark = get_session(app_name="pandas_ai_spark_bench")
 
+    # warm the session (first-action codegen/scan setup lands here, not on
+    # q01 — JVM/session startup is excluded by protocol, see BASELINE.md)
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet").limit(1).count()
+
     timings: dict[str, float] = {}
     total = 0.0
     for name, fn in entry.queries().items():

@@ -1,0 +1,59 @@
+"""LLM backends: abstract base + deterministic FakeLLM.
+
+Reference parity: pandasai/llm/base.py:94-174 (``generate_code`` =
+call + markdown code-block extraction) and pandasai/llm/fake.py:11-33.
+A real OpenAI-compatible backend can be registered by subclassing
+``LLM``; no network client is bundled here.
+"""
+
+from __future__ import annotations
+
+import re
+from abc import ABC, abstractmethod
+
+_CODE_BLOCK_RE = re.compile(r"```(?:python)?\s*\n(.*?)```", re.DOTALL)
+
+
+def extract_code(response: str) -> str:
+    """Pull the first fenced code block; fall back to the raw text
+    (llm/base.py:114-136 semantics)."""
+    m = _CODE_BLOCK_RE.search(response)
+    return (m.group(1) if m else response).strip()
+
+
+class LLM(ABC):
+    """Base class for all LLM backends (llm/base.py:146-159)."""
+
+    @property
+    def type(self) -> str:
+        return "llm"
+
+    @abstractmethod
+    def call(self, prompt: str, context=None) -> str:
+        ...
+
+    def generate_code(self, prompt: str, context=None) -> str:
+        return extract_code(self.call(prompt, context))
+
+
+class FakeLLM(LLM):
+    """Deterministic test backend (llm/fake.py:11-33): replays a canned
+    output (or a sequence of outputs, one per call) and records the last
+    prompt for assertions."""
+
+    def __init__(self, output: str | list[str] = 'result = {"type": "string", "value": "ok"}'):
+        self._outputs = [output] if isinstance(output, str) else list(output)
+        self._call_index = 0
+        self.last_prompt: str | None = None
+        self.call_count = 0
+
+    @property
+    def type(self) -> str:
+        return "fake"
+
+    def call(self, prompt: str, context=None) -> str:
+        self.last_prompt = prompt
+        self.call_count += 1
+        out = self._outputs[min(self._call_index, len(self._outputs) - 1)]
+        self._call_index += 1
+        return out

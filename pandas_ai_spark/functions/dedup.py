@@ -29,6 +29,17 @@ from pyspark.sql import types as T
 from .text import normalize_text, whitespace_tokens
 
 
+def spread(df: DataFrame) -> DataFrame:
+    """Repartition up to the cluster's default parallelism when the scan
+    produced fewer partitions (single-file / single-row-group inputs leave
+    the whole pipeline on one core otherwise). No-op on well-partitioned
+    inputs — at 100 TB the scan already yields thousands of splits."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 # ---------------------------------------------------------------------------
 # exact dedup
 # ---------------------------------------------------------------------------
@@ -56,7 +67,15 @@ def dedup_exact_normalized(df: DataFrame, text_col: str = "text",
 # ---------------------------------------------------------------------------
 
 def word_shingles(col: Column, n: int = 3) -> Column:
-    """Distinct word n-gram shingles of the normalized text."""
+    """Distinct word n-gram shingles of the normalized text.
+
+    NOTE (perf): Catalyst does no common-subexpression elimination inside
+    higher-order-function lambdas, so referencing the token array in
+    ``F.transform`` re-evaluates the whole normalize+split chain per
+    shingle — measured 17s for 260k shingles at sf0.1. Use this only on
+    already-materialized token columns / small inputs; the dedup operators
+    below use :func:`shingle_hash_udf` (one Arrow pass) instead.
+    """
     toks = whitespace_tokens(normalize_text(col))
     size = F.size(toks)
     idx = F.sequence(F.lit(0), F.greatest(size - n, F.lit(0)))
@@ -68,14 +87,89 @@ def word_shingles(col: Column, n: int = 3) -> Column:
     return F.array_distinct(grams)
 
 
-def minhash_signature(shingles: Column, num_hashes: int = 128) -> Column:
-    """Array of ``num_hashes`` min-hash values. Each hash family member is
-    xxhash64(shingle, seed_i) — independent, JVM-side, no Python."""
-    return F.array(*[
-        F.array_min(F.transform(
-            shingles, lambda s, i=i: F.xxhash64(s, F.lit(i))))
-        for i in range(num_hashes)
-    ])
+def _norm_tokens(col: Column) -> Column:
+    """Normalized whitespace tokens — a single JVM regex pass per doc."""
+    return whitespace_tokens(normalize_text(col))
+
+
+def _shingle_hash_set(ts, n: int) -> set:
+    """Distinct word n-gram shingles → signed-64 md5 hashes (process-stable,
+    no PYTHONHASHSEED dependence). Short docs yield one whole-doc shingle —
+    same semantics as :func:`word_shingles`."""
+    import hashlib
+
+    if ts is None or len(ts) == 0:
+        return set()
+    ts = list(ts)
+    if len(ts) < n:
+        grams = {" ".join(ts)}
+    else:
+        grams = {" ".join(ts[i:i + n]) for i in range(len(ts) - n + 1)}
+    out = set()
+    for g in grams:
+        v = int.from_bytes(hashlib.md5(g.encode()).digest()[:8], "little")
+        out.add(v - (1 << 64) if v >= (1 << 63) else v)
+    return out
+
+
+def shingle_hash_udf(n: int = 3):
+    """tokens → array<bigint> of distinct shingle hashes, one Arrow batch
+    at a time. ~260k md5 calls/s/core is far from the bottleneck; this
+    replaces the per-shingle Catalyst re-normalization trap (see
+    word_shingles note)."""
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def f(toks: pd.Series) -> pd.Series:
+        return toks.map(lambda ts: list(_shingle_hash_set(ts, n)))
+
+    return f
+
+
+_MERSENNE61 = (1 << 61) - 1
+
+
+def shingle_hashes(shingles: Column) -> Column:
+    """One xxhash64 per shingle — a single JVM pass; everything downstream
+    works on longs, never re-reading the strings."""
+    return F.transform(shingles, lambda s: F.xxhash64(s))
+
+
+def _affine_params(num_hashes: int, seed: int = 42):
+    rng = np.random.RandomState(seed)
+    a = rng.randint(1, _MERSENNE61, size=num_hashes, dtype=np.uint64)
+    b = rng.randint(0, _MERSENNE61, size=num_hashes, dtype=np.uint64)
+    return a, b
+
+
+def minhash_signature_udf(num_hashes: int = 128, seed: int = 42):
+    """array<bigint> shingle hashes → array<bigint> min-hash signature.
+
+    Standard affine family h_i(x) = (a_i·x + b_i) mod (2^61−1) over the
+    single base hash, computed as one numpy outer product per document —
+    replaces ``num_hashes`` separate Catalyst array traversals (measured
+    ~10× faster at sf0.1)."""
+    a, b = _affine_params(num_hashes, seed)
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def sig(hashes: pd.Series) -> pd.Series:
+        empty = [0] * num_hashes
+
+        def one(hs) -> list:
+            if hs is None or len(hs) == 0:
+                return empty
+            h = np.asarray(hs, dtype=np.int64).astype(np.uint64)
+            vals = (h[:, None] * a[None, :] + b[None, :]) % _MERSENNE61
+            return vals.min(axis=0).astype(np.int64).tolist()
+
+        return hashes.map(one)
+
+    return sig
+
+
+def minhash_signature(shingles: Column, num_hashes: int = 128,
+                      seed: int = 42) -> Column:
+    """Array of ``num_hashes`` min-hash values over the shingle set."""
+    return minhash_signature_udf(num_hashes, seed)(shingle_hashes(shingles))
 
 
 def minhash_lsh_candidates(
@@ -96,33 +190,39 @@ def minhash_lsh_candidates(
     the groupBy shuffles only (band_idx, 64-bit sig, id) triples.
     """
     rows_per_band = num_hashes // bands
-    sig = (
-        df.select(
-            F.col(id_col),
-            minhash_signature(
-                word_shingles(F.col(text_col), shingle_size), num_hashes
-            ).alias("__sig"),
-        )
+    a, b_ = _affine_params(num_hashes)
+    fnv_prime = np.uint64(1099511628211)
+    fnv_basis = np.uint64(14695981039346656037)
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def band_sigs(toks: pd.Series) -> pd.Series:
+        """tokens → per-band FNV-mixed minhash signature — shingling,
+        hashing, minhash, and banding fused into one Arrow pass."""
+        empty_sig = np.zeros(num_hashes, dtype=np.uint64)
+
+        def one(ts) -> list:
+            hs = _shingle_hash_set(ts, shingle_size)
+            if not hs:
+                mins = empty_sig
+            else:
+                h = np.fromiter(hs, dtype=np.int64,
+                                count=len(hs)).astype(np.uint64)
+                mins = ((h[:, None] * a[None, :] + b_[None, :])
+                        % _MERSENNE61).min(axis=0)
+            with np.errstate(over="ignore"):
+                acc = np.full(bands, fnv_basis, dtype=np.uint64)
+                for r in range(rows_per_band):
+                    # band j accumulates mins[j*rpb .. j*rpb+rpb)
+                    acc = (acc ^ mins[r::rows_per_band]) * fnv_prime
+            return acc.astype(np.int64).tolist()
+
+        return toks.map(one)
+
+    banded = df.select(
+        F.col(id_col),
+        F.posexplode(band_sigs(_norm_tokens(F.col(text_col))))
+         .alias("band", "bsig"),
     )
-    banded = sig.select(
-        id_col,
-        F.explode(
-            F.array(*[
-                F.struct(
-                    F.lit(b).alias("band"),
-                    F.xxhash64(
-                        F.concat_ws(
-                            ",",
-                            *[F.slice(F.col("__sig"), b * rows_per_band + 1,
-                                      rows_per_band)[i].cast("string")
-                              for i in range(rows_per_band)],
-                        )
-                    ).alias("bsig"),
-                )
-                for b in range(bands)
-            ])
-        ).alias("bb"),
-    ).select(id_col, "bb.band", "bb.bsig")
     left = banded.alias("l")
     right = banded.alias("r")
     pairs = (
@@ -160,9 +260,12 @@ def minhash_dedup_pairs(
     """LSH candidates verified with exact shingle Jaccard ≥ threshold."""
     cands = minhash_lsh_candidates(
         df, text_col, id_col, shingle_size, num_hashes, bands)
+    # verify on hashed shingles: array_intersect over longs, not strings
+    # (64-bit collisions are ~N²/2⁶⁴ — immaterial vs the LSH error itself)
     sh = df.select(
         F.col(id_col),
-        word_shingles(F.col(text_col), shingle_size).alias("__sh"),
+        shingle_hash_udf(shingle_size)(
+            _norm_tokens(F.col(text_col))).alias("__sh"),
     )
     return (
         cands.join(sh.withColumnRenamed(id_col, "id_a")
@@ -213,29 +316,34 @@ def ngram_jaccard_pairs(
     approximate (computed over the remaining shingles), so it's off by
     default.
     """
+    # shingles hashed to int64 up front: the inverted-index join shuffles
+    # and compares longs, never shingle strings (collision odds ~N²/2⁶⁴).
+    # Sizes ride along the index rows, so the pair counts come out of ONE
+    # self-join + ONE groupBy — no post-join size lookups.
     sh = df.select(
         F.col(id_col),
-        word_shingles(F.col(text_col), n).alias("__sh"),
+        shingle_hash_udf(n)(_norm_tokens(F.col(text_col))).alias("__sh"),
     )
-    sizes = sh.select(id_col, F.size("__sh").alias("__size"))
-    inv = sh.select(id_col, F.explode("__sh").alias("__s"))
+    inv = sh.select(
+        id_col, F.size("__sh").alias("__size"), F.explode("__sh").alias("__s"))
     if max_doc_freq:
         freq = inv.groupBy("__s").agg(F.count("*").alias("__f"))
         inv = inv.join(
             freq.where(F.col("__f") <= max_doc_freq).select("__s"), "__s")
+    # identical aliased children → ReuseExchange: the shingle UDF + explode
+    # + shuffle-by-__s materialize ONCE and feed both join sides
     l, r = inv.alias("l"), inv.alias("r")
     inter = (
-        l.join(r, (F.col("l.__s") == F.col("r.__s"))
-                  & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")))
+        l.join(r, F.col("l.__s") == F.col("r.__s"))
+        .where(F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
         .groupBy(F.col(f"l.{id_col}").alias("id_a"),
                  F.col(f"r.{id_col}").alias("id_b"))
-        .agg(F.count("*").alias("__inter"))
+        .agg(F.count("*").alias("__inter"),
+             F.min("l.__size").alias("__sa"),   # constant per pair
+             F.min("r.__size").alias("__sb"))
     )
-    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("__size").alias("__sa"))
-    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("__size").alias("__sb"))
     return (
-        inter.join(sa, "id_a").join(sb, "id_b")
-        .withColumn(
+        inter.withColumn(
             "jaccard",
             F.col("__inter")
             / (F.col("__sa") + F.col("__sb") - F.col("__inter")))
@@ -262,20 +370,27 @@ def _simhash64(texts: pd.Series) -> pd.Series:
     import hashlib
 
     shifts = np.arange(64, dtype=np.uint64)
+    # token → ±1 bit-vector cache; natural-language token frequency is
+    # Zipfian, so the vocabulary is far smaller than the token stream and
+    # the md5 cost amortizes across the whole Arrow batch
+    cache: dict[str, np.ndarray] = {}
+
+    def bitvec(tok: str) -> np.ndarray:
+        v = cache.get(tok)
+        if v is None:
+            h = np.uint64(int.from_bytes(
+                hashlib.md5(tok.encode()).digest()[:8], "little"))
+            v = (((h >> shifts) & np.uint64(1)).astype(np.int64) * 2 - 1)
+            cache[tok] = v
+        return v
 
     def one(text: str) -> int:
         if not text:
             return 0
-        counts = np.zeros(64, dtype=np.int64)
-        for tok in text.lower().split():
-            h = np.uint64(int.from_bytes(
-                hashlib.md5(tok.encode()).digest()[:8], "little"))
-            bits = ((h >> shifts) & np.uint64(1)).astype(np.int64)
-            counts += bits * 2 - 1
-        sig = 0
-        for b in range(64):
-            if counts[b] > 0:
-                sig |= 1 << b
+        toks = text.lower().split()
+        counts = np.sum([bitvec(t) for t in toks], axis=0)
+        bits = np.where(counts > 0, np.uint64(1), np.uint64(0))
+        sig = int((bits << shifts).sum(dtype=np.uint64))
         return sig - (1 << 64) if sig >= (1 << 63) else sig
 
     return texts.map(one)

@@ -22,6 +22,7 @@ import numpy as np
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -43,6 +44,14 @@ def cosine(a: Column, b: Column) -> Column:
     return F.when(denom > 0, dot(a, b) / denom).otherwise(F.lit(0.0))
 
 
+def _normalized_matrix(rows: list, dtype=np.float64) -> tuple[np.ndarray, np.ndarray]:
+    """(ids, row-normalized matrix); zero vectors stay zero (cosine 0)."""
+    ids = np.array([r[0] for r in rows])
+    M = np.array([r[1] for r in rows], dtype=dtype)
+    norms = np.linalg.norm(M, axis=1, keepdims=True)
+    return ids, M / np.maximum(norms, 1e-300)
+
+
 def ann_bruteforce(
     corpus: DataFrame,
     queries: DataFrame,
@@ -53,29 +62,51 @@ def ann_bruteforce(
 ) -> DataFrame:
     """Exact top-k cosine neighbors for each query vector.
 
-    ``queries`` must have columns (query_id_col, vec_col). The query side
-    is broadcast — the corpus is scanned once regardless of query count.
-    Deterministic tie-break: (cosine desc, neighbor id asc).
+    Block-matrix kNN: the (small, by contract) query matrix is broadcast
+    to executors; each corpus partition computes one numpy GEMM
+    (block × queriesᵀ) and keeps its local top-k per query via
+    ``argpartition``; a final window keeps the global top-k. One corpus
+    scan, shuffle volume ≤ partitions × queries × k rows — this is the
+    shape that survives a 100 TB corpus. Deterministic tie-break:
+    (cosine desc, neighbor id asc).
     """
-    q = F.broadcast(
-        queries.select(
-            F.col(query_id_col),
-            F.col(vec_col).cast("array<double>").alias("__qv"),
-        )
-    )
-    scored = (
-        corpus.select(
-            F.col(id_col),
-            F.col(vec_col).cast("array<double>").alias("__cv"),
-        )
-        .crossJoin(q)
-        .where(F.col(id_col) != F.col(query_id_col))
-        .withColumn("cosine", cosine(F.col("__qv"), F.col("__cv")))
-    )
+    import pandas as pd
+
+    q_ids, Qn = _normalized_matrix(
+        queries.select(query_id_col, vec_col).collect())
+    spark = corpus.sparkSession
+    bq = spark.sparkContext.broadcast((q_ids, Qn))
+    out_schema = T.StructType([
+        T.StructField(query_id_col, T.LongType()),
+        T.StructField(id_col, T.LongType()),
+        T.StructField("cosine", T.DoubleType()),
+    ])
+
+    def local_topk(batches):
+        ids_q, Q = bq.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            C = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            norms = np.linalg.norm(C, axis=1, keepdims=True)
+            S = (C / np.maximum(norms, 1e-300)) @ Q.T  # block × queries
+            ids_c = pdf[id_col].to_numpy()
+            kk = min(k + 1, S.shape[0])  # +1 survives self-match removal
+            top = np.argpartition(-S, kk - 1, axis=0)[:kk]
+            n_q = S.shape[1]
+            yield pd.DataFrame({
+                query_id_col: np.repeat(ids_q, kk),
+                id_col: ids_c[top.T.ravel()],
+                "cosine": S[top.T.ravel(), np.repeat(np.arange(n_q), kk)],
+            })
+
+    cand = corpus.select(id_col, F.col(vec_col).cast("array<double>")
+                         .alias(vec_col)).mapInPandas(local_topk, out_schema)
     w = Window.partitionBy(query_id_col).orderBy(
         F.col("cosine").desc(), F.col(id_col).asc())
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        cand.where(F.col(id_col) != F.col(query_id_col))
+        .withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select(query_id_col, id_col, "cosine", "rank")
     )
@@ -159,18 +190,49 @@ def embedding_near_dup_pairs(
     if use_lsh:
         base = base.withColumn(
             "__bkt", lsh_bucket(F.col("__v"), dim, num_planes, seed))
+        l, r = base.alias("l"), base.alias("r")
         cond = (F.col("l.__bkt") == F.col("r.__bkt")) & (
             F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
-    else:
-        cond = F.col(f"l.{id_col}") < F.col(f"r.{id_col}")
-    l, r = base.alias("l"), base.alias("r")
-    return (
-        l.join(r, cond)
-        .withColumn("cosine", cosine(F.col("l.__v"), F.col("r.__v")))
-        .where(F.col("cosine") >= threshold)
-        .select(
-            F.col(f"l.{id_col}").alias("id_a"),
-            F.col(f"r.{id_col}").alias("id_b"),
-            "cosine",
+        return (
+            l.join(r, cond)
+            .withColumn("cosine", cosine(F.col("l.__v"), F.col("r.__v")))
+            .where(F.col("cosine") >= threshold)
+            .select(
+                F.col(f"l.{id_col}").alias("id_a"),
+                F.col(f"r.{id_col}").alias("id_b"),
+                "cosine",
+            )
         )
-    )
+    # exact path: block × full-matrix GEMM. The full normalized matrix is
+    # broadcast (N×dim doubles — the small-table / oracle-verify path; at
+    # 100 TB use the LSH path above); each partition multiplies its block
+    # against it and emits only pairs over threshold with id_a < id_b, so
+    # nothing quadratic is ever shuffled.
+    import pandas as pd
+
+    all_ids, Mn = _normalized_matrix(base.collect())
+    order = np.argsort(all_ids)
+    all_ids, Mn = all_ids[order], Mn[order]
+    bfull = df.sparkSession.sparkContext.broadcast((all_ids, Mn))
+    out_schema = T.StructType([
+        T.StructField("id_a", T.LongType()),
+        T.StructField("id_b", T.LongType()),
+        T.StructField("cosine", T.DoubleType()),
+    ])
+
+    def block_pairs(batches):
+        ids_f, M = bfull.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            C = np.stack(pdf["__v"].to_numpy()).astype(np.float64)
+            norms = np.linalg.norm(C, axis=1, keepdims=True)
+            S = (C / np.maximum(norms, 1e-300)) @ M.T  # block × N
+            ids_b = pdf[id_col].to_numpy()
+            mask = (S >= threshold) & (ids_b[:, None] < ids_f[None, :])
+            bi, fj = np.nonzero(mask)
+            yield pd.DataFrame({
+                "id_a": ids_b[bi], "id_b": ids_f[fj], "cosine": S[bi, fj],
+            })
+
+    return base.mapInPandas(block_pairs, out_schema)

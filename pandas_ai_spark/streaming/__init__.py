@@ -1,0 +1,18 @@
+"""Structured Streaming over the semantic layer (north-star scope).
+
+The reference has no streaming surface (SURVEY §2.11); this maps the same
+declarative schema + operator set onto ``spark.readStream``:
+tumbling / sliding / session windows, watermarked late-data handling,
+streaming dedup, and ``foreachBatch`` sinks. Batch/stream parity by
+construction — the transformations are the same Column expressions the
+batch compiler uses.
+"""
+
+from .stream import (
+    StreamCompiler,
+    sessionize,
+    stream_dedup,
+    windowed_agg,
+)
+
+__all__ = ["StreamCompiler", "windowed_agg", "sessionize", "stream_dedup"]

@@ -1,0 +1,117 @@
+"""Streaming operators + the schema→stream compiler.
+
+Design: every operator is a pure DataFrame→DataFrame function that works
+identically on a batch DataFrame and a streaming one (Spark's unified
+API) — tested by running the same plan over ``read`` and ``readStream``
+(availableNow trigger) and asserting equal results. State sizing is
+bounded by watermarks so the plan holds on an unbounded 100 TB/day feed:
+state eviction is per window/session key, not per event.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def windowed_agg(df: DataFrame, ts_col: str, window: str,
+                 aggs: dict[str, Column],
+                 keys: Sequence[str] = (),
+                 slide: Optional[str] = None,
+                 watermark: Optional[str] = None) -> DataFrame:
+    """Tumbling (or sliding, when ``slide`` is given) window aggregation.
+
+    Watermark bounds state retention for streaming inputs; on batch input
+    ``withWatermark`` is a no-op, preserving parity.
+    """
+    if watermark and df.isStreaming:
+        df = df.withWatermark(ts_col, watermark)
+    w = (F.window(ts_col, window, slide) if slide
+         else F.window(ts_col, window))
+    out = df.groupBy(w.alias("w"), *keys).agg(
+        *[c.alias(n) for n, c in aggs.items()])
+    return out.select(
+        F.col("w.start").alias("window_start"),
+        F.col("w.end").alias("window_end"),
+        *keys, *aggs.keys())
+
+
+def sessionize(df: DataFrame, ts_col: str, gap: str,
+               keys: Sequence[str],
+               aggs: dict[str, Column],
+               watermark: Optional[str] = None) -> DataFrame:
+    """Session windows (F.session_window): gap-based sessions per key —
+    the streaming-native form of the q16 lag-based batch sessionization."""
+    if watermark and df.isStreaming:
+        df = df.withWatermark(ts_col, watermark)
+    sw = F.session_window(F.col(ts_col), gap)
+    out = df.groupBy(sw.alias("s"), *keys).agg(
+        *[c.alias(n) for n, c in aggs.items()])
+    return out.select(
+        F.col("s.start").alias("session_start"),
+        F.col("s.end").alias("session_end"),
+        *keys, *aggs.keys())
+
+
+def stream_dedup(df: DataFrame, keys: Sequence[str], ts_col: str,
+                 watermark: str = "1 hour") -> DataFrame:
+    """Streaming exact dedup with bounded state
+    (dropDuplicatesWithinWatermark); falls back to dropDuplicates on batch
+    input (same result, no state concern)."""
+    if df.isStreaming:
+        return df.withWatermark(ts_col, watermark) \
+                 .dropDuplicatesWithinWatermark(list(keys))
+    return df.dropDuplicates(list(keys))
+
+
+class StreamCompiler:
+    """Compile a semantic-layer schema against a streaming source.
+
+    The same ``SemanticLayerSchema`` the batch ``SchemaCompiler`` accepts,
+    executed over ``spark.readStream`` when the source is a stream
+    (directory of files here; kafka/rate in production — same plan). The
+    non-aggregating parts (projection, the §2.7 transformations) reuse the
+    batch compiler's column expressions verbatim.
+    """
+
+    def __init__(self, spark: SparkSession):
+        self.spark = spark
+
+    def read_stream(self, path: str, fmt: str = "parquet",
+                    schema=None) -> DataFrame:
+        reader = self.spark.readStream.format(fmt)
+        if schema is None:
+            # file streams need an explicit schema; infer once from the
+            # existing files (driver-side, cheap — footer read only)
+            schema = self.spark.read.format(fmt).load(path).schema
+        return reader.schema(schema).load(path)
+
+    def compile(self, schema, stream_df: DataFrame) -> DataFrame:
+        """Apply projection + transformations from the semantic schema to a
+        streaming DataFrame (aggregations go through windowed_agg — an
+        unbounded global group-by is rejected by Spark itself)."""
+        from ..plans.compiler import ResolverContext, SchemaCompiler
+
+        ctx = ResolverContext(self.spark, lambda n: stream_df)
+        return SchemaCompiler(self.spark, ctx).compile(
+            schema, source_df=stream_df)
+
+    @staticmethod
+    def run_available_now(stream_df: DataFrame, query_name: str) -> DataFrame:
+        """Drain everything currently available into a memory sink and
+        return the result table (the batch-parity test harness)."""
+        q = (stream_df.writeStream
+             .format("memory")
+             .queryName(query_name)
+             .outputMode("complete" if _has_aggregate(stream_df) else "append")
+             .trigger(availableNow=True)
+             .start())
+        q.awaitTermination()
+        return stream_df.sparkSession.table(query_name)
+
+
+def _has_aggregate(df: DataFrame) -> bool:
+    plan = df._jdf.queryExecution().logical().toString()
+    return "Aggregate" in plan

@@ -1,0 +1,136 @@
+"""Streaming tests — batch/stream parity over the events table: the same
+plan run via spark.read and spark.readStream (availableNow) must produce
+identical results."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from pandas_ai_spark.streaming import (
+    StreamCompiler,
+    sessionize,
+    stream_dedup,
+    windowed_agg,
+)
+
+from conftest import SF_SMOKE, sorted_rows
+
+
+@pytest.fixture(scope="module")
+def events_dir(spark, tmp_path_factory):
+    """events parquet re-written with µs timestamps (the raw testdata file
+    carries TIMESTAMP(NANOS) which the vectorized reader rejects)."""
+    out = str(tmp_path_factory.mktemp("events_stream"))
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+    if dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    df.coalesce(2).write.mode("overwrite").parquet(out)
+    return out
+
+
+@pytest.fixture(scope="module")
+def batch_events(spark, events_dir):
+    return spark.read.parquet(events_dir)
+
+
+@pytest.fixture(scope="module")
+def stream_events(spark, events_dir):
+    sc = StreamCompiler(spark)
+    return sc.read_stream(events_dir)
+
+
+def AGGS():
+    # built lazily — Column construction needs an active SparkSession
+    return {"n": F.count("*"), "total": F.round(F.sum("value"), 2)}
+
+
+def test_tumbling_window_parity(spark, batch_events, stream_events):
+    batch = windowed_agg(batch_events, "ts", "1 hour", AGGS(),
+                         keys=["event_type"])
+    stream = windowed_agg(stream_events, "ts", "1 hour", AGGS(),
+                          keys=["event_type"], watermark="2 hours")
+    result = StreamCompiler.run_available_now(stream, "t_tumbling")
+    assert sorted_rows(result) == sorted_rows(batch)
+
+
+def test_sliding_window_parity(spark, batch_events, stream_events):
+    batch = windowed_agg(batch_events, "ts", "1 hour", AGGS(),
+                         slide="30 minutes")
+    stream = windowed_agg(stream_events, "ts", "1 hour", AGGS(),
+                          slide="30 minutes", watermark="2 hours")
+    result = StreamCompiler.run_available_now(stream, "t_sliding")
+    assert sorted_rows(result) == sorted_rows(batch)
+
+
+def test_session_window_parity(spark, batch_events, stream_events):
+    aggs = {"n_events": F.count("*")}
+    batch = sessionize(batch_events, "ts", "30 minutes", ["user_id"], aggs)
+    stream = sessionize(stream_events, "ts", "30 minutes", ["user_id"],
+                        aggs, watermark="2 hours")
+    result = StreamCompiler.run_available_now(stream, "t_session")
+    assert sorted_rows(result) == sorted_rows(batch)
+
+
+def test_session_count_matches_lag_based_batch(spark, batch_events, duck):
+    """Session-window count per user == the q16 lag-gap batch definition."""
+    sess = sessionize(batch_events, "ts", "30 minutes", ["user_id"],
+                      {"n": F.count("*")})
+    ours = sess.groupBy("user_id").agg(
+        F.count("*").alias("n_sessions")).orderBy("user_id")
+    oracle = duck.execute("""
+        WITH flagged AS (
+          SELECT user_id,
+                 CASE WHEN lag(ts) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id) IS NULL
+                      OR ts - lag(ts) OVER (PARTITION BY user_id
+                                            ORDER BY ts, event_id)
+                         > INTERVAL 30 MINUTE
+                      THEN 1 ELSE 0 END AS new_session
+          FROM events)
+        SELECT user_id, sum(new_session) AS n_sessions
+        FROM flagged GROUP BY user_id ORDER BY user_id
+    """).fetchall()
+    assert sorted_rows(ours) == sorted_rows(oracle)
+
+
+def test_stream_dedup_parity(spark, batch_events, stream_events):
+    batch = stream_dedup(batch_events, ["user_id", "event_type"], "ts") \
+        .groupBy().count()
+    n_batch = batch.collect()[0][0]
+    deduped = stream_dedup(stream_events, ["user_id", "event_type"], "ts",
+                           watermark="10 hours")
+    q = (deduped.writeStream.format("memory").queryName("t_dedup")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+    n_stream = spark.table("t_dedup").count()
+    # dropDuplicatesWithinWatermark may keep extra rows across microbatch
+    # boundaries for late data; with a watermark spanning the whole file it
+    # must equal exact dedup
+    assert n_stream == n_batch
+
+
+def test_semantic_schema_on_stream(spark, stream_events):
+    """The batch semantic-layer schema compiles against a readStream source
+    (projection + transformation path)."""
+    from pandas_ai_spark.schema import SemanticLayerSchema
+
+    schema = SemanticLayerSchema.model_validate({
+        "name": "events_clean",
+        "transformations": [
+            {"type": "to_uppercase", "params": {"column": "event_type"}},
+        ],
+        "columns": [
+            {"name": "event_id"},
+            {"name": "event_type"},
+            {"name": "value"},
+        ],
+    })
+    sc = StreamCompiler(spark)
+    out = sc.compile(schema, stream_events)
+    assert out.isStreaming
+    q = (out.writeStream.format("memory").queryName("t_sem")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+    got = spark.table("t_sem")
+    assert got.columns == ["event_id", "event_type", "value"]
+    assert got.where(F.col("event_type") != F.upper("event_type")).count() == 0

@@ -14,9 +14,12 @@ from typing import Optional
 
 from .dataframe import DataFrame
 from .datasets import create, load
+from .paginator import paginate
+from .sandbox import RestrictedSandbox, Sandbox
 from .schema import SemanticLayerSchema
 from .session import get_session, stop_session
 from .sql import MaliciousQueryError, SQLExecutor, sanitize_relation_name
+from .vectorstore import LocalVectorStore, VectorStore
 
 __version__ = "0.1.0"
 
@@ -86,6 +89,11 @@ __all__ = [
     "SemanticLayerSchema",
     "SQLExecutor",
     "MaliciousQueryError",
+    "paginate",
+    "Sandbox",
+    "RestrictedSandbox",
+    "VectorStore",
+    "LocalVectorStore",
     "create",
     "load",
     "read_csv",

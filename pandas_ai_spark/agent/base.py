@@ -27,13 +27,16 @@ from .skills import skills_registry
 class Agent:
     def __init__(self, dfs: list, llm: Optional[LLM] = None,
                  memory_size: int = 10, max_retries: int = 3,
-                 description: str | None = None):
+                 description: str | None = None, vectorstore=None,
+                 sandbox=None):
         from ..dataframe import DataFrame  # local import to avoid cycle
 
         self.dfs = [
             df if isinstance(df, DataFrame) else DataFrame(df) for df in dfs
         ]
         self.llm = llm or FakeLLM()
+        self.vectorstore = vectorstore
+        self.sandbox = sandbox
         self.max_retries = max_retries  # config.py:13 default
         self.memory = Memory(memory_size, agent_description=description)
         self.spark = get_session()
@@ -55,6 +58,24 @@ class Agent:
 
     def start_new_conversation(self) -> None:
         self.memory.clear()
+
+    def train(self, queries: Optional[list[str]] = None,
+              codes: Optional[list[str]] = None,
+              docs: Optional[list[str]] = None) -> None:
+        """Store Q→code pairs / docs for prompt-time retrieval
+        (agent/base.py:218-249)."""
+        from ..vectorstore import LocalVectorStore
+
+        if self.vectorstore is None:
+            self.vectorstore = LocalVectorStore()
+        if queries and codes:
+            if len(queries) != len(codes):
+                raise ValueError("queries and codes must have equal length")
+            self.vectorstore.add_question_answer(queries, codes)
+        elif queries or codes:
+            raise ValueError("Both queries and codes are required to train")
+        if docs:
+            self.vectorstore.add_docs(docs)
 
     # -- the one built-in "function" exposed to generated code -------------
 
@@ -80,9 +101,18 @@ class Agent:
             )
 
     def _base_prompt(self, output_type: str | None) -> str:
+        training = ""
+        if self.vectorstore is not None:
+            from ..vectorstore import render_training_section
+
+            q = self.memory.get_last_message()
+            training = render_training_section(
+                self.vectorstore.get_relevant_question_answers(q),
+                self.vectorstore.get_relevant_docs(q))
         return build_chat_prompt(
             self.dfs, self.memory,
             skills_section=skills_registry.prompt_section(),
+            training_section=training,
             output_type=output_type)
 
     def _generate_code_with_retries(self, query: str,
@@ -149,6 +179,10 @@ class Agent:
             env["plt"] = plt
         except ImportError:
             pass
+        if self.sandbox is not None:
+            result = self.sandbox.execute(code, env)
+            self.last_code_executed = code
+            return result
         exec(code, env)  # noqa: S102 — sandboxing is the Sandbox's job
         self.last_code_executed = code
         if "result" not in env:

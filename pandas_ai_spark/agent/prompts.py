@@ -47,11 +47,14 @@ Return only a Python code block."""
 
 
 def build_chat_prompt(dfs, memory, skills_section: str = "",
+                      training_section: str = "",
                       output_type: str | None = None) -> str:
     tables = "\n\n".join(serialize_dataframe(df) for df in dfs)
     parts = [tables, ""]
     if skills_section:
         parts += [skills_section, ""]
+    if training_section:
+        parts += [training_section, ""]
     convo = memory.get_conversation()
     if convo:
         parts += ["Conversation so far:", convo, ""]

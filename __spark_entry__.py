@@ -495,6 +495,44 @@ def q28_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def q29_stream_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming: tumbling-window agg over a readStream source
+    drained with availableNow — same results as the q15 batch form (no SQL
+    oracle: the result comes from a streaming memory sink; parity with the
+    batch plan is asserted in tests/test_streaming.py)."""
+    import tempfile
+    import os
+
+    from pandas_ai_spark.streaming import StreamCompiler, windowed_agg
+
+    ev = _t(spark, sf_dir, "events")
+    stage = os.path.join(tempfile.gettempdir(),
+                         f"stream_events_{sf_dir.strip('/').replace('/', '_')}")
+    if not os.path.exists(os.path.join(stage, "_SUCCESS")):
+        ev.write.mode("overwrite").parquet(stage)
+    sc = StreamCompiler(spark)
+    stream = sc.read_stream(stage)
+    agg = windowed_agg(
+        stream, "ts", "1 hour",
+        {"n": F.count("*"), "total_value": F.round(F.sum("value"), 2)},
+        keys=["event_type"], watermark="2 hours")
+    return StreamCompiler.run_available_now(agg, "entry_stream_windowed") \
+        .orderBy("window_start", "event_type")
+
+
+def q30_llm_column(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LLM-call column op (north star §2.12): rate-limited Arrow-batched
+    pandas_udf with the deterministic EchoBackend (md5-digest), so the
+    distributed plumbing has a real value oracle."""
+    from pandas_ai_spark.functions.llm_ops import llm_transform
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        llm_transform("Classify: {text}", "text").alias("label"),
+    ).orderBy("doc_id")
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -534,6 +572,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q26_embedding_near_dup": q26_embedding_near_dup,
         "q27_media_metadata": q27_media_metadata,
         "q28_image_features": q28_image_features,
+        "q29_stream_windowed": q29_stream_windowed,
+        "q30_llm_column": q30_llm_column,
     }
 
 
@@ -745,6 +785,11 @@ def oracle_sql() -> dict[str, str]:
         "q27_media_metadata": """
             SELECT doc_id, 'image/fake' AS mime,
                    octet_length(encode(text)) AS byte_len
+            FROM documents ORDER BY doc_id
+        """,
+        "q30_llm_column": """
+            SELECT doc_id,
+                   substring(md5('Classify: ' || text), 1, 12) AS label
             FROM documents ORDER BY doc_id
         """,
     }

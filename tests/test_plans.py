@@ -1,0 +1,67 @@
+"""Physical-plan quality gates — the 100 TB design point, asserted.
+
+Every check here encodes a property that must survive a 1000× scale-up:
+filters reach the parquet scan, projections prune columns, small dims
+broadcast (no fact-side shuffle), top-k is TakeOrderedAndProject (no full
+sort), aggregation is partial+final."""
+
+import re
+
+import pytest
+
+import __spark_entry__ as entry
+
+from conftest import SF_SMOKE
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_filter_pushdown_to_parquet(spark):
+    p = plan_of(entry.q08_sql_filter_agg(spark, SF_SMOKE))
+    assert "PushedFilters: [IsNotNull(o_orderdate), GreaterThanOrEqual" in p
+
+
+def test_column_pruning(spark):
+    p = plan_of(entry.q02_customer_transforms(spark, SF_SMOKE))
+    m = re.search(r"ReadSchema: struct<([^>]*)>", p)
+    assert m, p
+    cols = {c.split(":")[0] for c in m.group(1).split(",")}
+    assert cols == {"c_custkey", "c_name", "c_acctbal", "c_mktsegment"}
+
+
+def test_view_join_broadcasts_dims(spark):
+    p = plan_of(entry.q04_view_region_revenue(spark, SF_SMOKE))
+    assert p.count("BroadcastHashJoin") == 3
+    assert "SortMergeJoin" not in p
+
+
+def test_topk_is_take_ordered(spark):
+    p = plan_of(entry.q06_topk_orders(spark, SF_SMOKE))
+    assert "TakeOrderedAndProject" in p
+
+
+def test_agg_is_partial_final(spark):
+    p = plan_of(entry.q01_pricing_summary(spark, SF_SMOKE))
+    # two HashAggregate levels (partial map-side + final) around the shuffle
+    assert p.count("HashAggregate") >= 2
+
+
+def test_semi_join_for_foreign_key(spark):
+    """validate_foreign_key compiles to a semi-join shape (broadcast on the
+    small ref side), not a per-row subquery."""
+    p = plan_of(entry.q07_fill_validate(spark, SF_SMOKE))
+    assert "Join" in p  # rewritten to a join, any strategy
+    assert "BroadcastHashJoin" in p or "BroadcastNestedLoopJoin" in p
+
+
+def test_ann_shuffles_only_candidates(spark):
+    """Brute-force ANN: the corpus scan feeds mapInPandas; the only
+    exchange afterwards carries candidate rows (partitions×queries×k), not
+    the corpus."""
+    df = entry.q24_ann_bruteforce(spark, SF_SMOKE)
+    p = plan_of(df)
+    assert "MapInPandas" in p
+    # candidate exchange is hash-partitioned by query_id for the window
+    assert "hashpartitioning(query_id" in p

@@ -452,7 +452,7 @@ def q25_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     q = emb.where(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding")
-    res = sim.ann_lsh(emb, q, k=10, dim=64, num_planes=6)
+    res = sim.ann_lsh(emb, q, k=10, dim=64, num_planes=4, num_tables=16)
     return res.select("query_id", "vec_id",
                       F.round("cosine", 6).alias("cosine"),
                       "rank").orderBy("query_id", "rank")

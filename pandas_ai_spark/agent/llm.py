@@ -36,6 +36,37 @@ class LLM(ABC):
         return extract_code(self.call(prompt, context))
 
 
+class OpenAICompatibleLLM(LLM):
+    """Chat-completions backend for any OpenAI-compatible endpoint
+    (reference: extensions/llms/openai/pandasai_openai/base.py surface).
+    Import-gated — raises if the ``openai`` client isn't installed."""
+
+    def __init__(self, model: str = "gpt-4.1-mini", api_key: str | None = None,
+                 base_url: str | None = None, temperature: float = 0.0,
+                 **client_kwargs):
+        try:
+            from openai import OpenAI  # noqa: F401
+        except ImportError as exc:  # pragma: no cover — client not bundled
+            raise ImportError(
+                "OpenAICompatibleLLM requires the `openai` package") from exc
+        self._client = OpenAI(api_key=api_key, base_url=base_url,
+                              **client_kwargs)
+        self.model = model
+        self.temperature = temperature
+
+    @property
+    def type(self) -> str:
+        return "openai"
+
+    def call(self, prompt: str, context=None) -> str:  # pragma: no cover
+        resp = self._client.chat.completions.create(
+            model=self.model,
+            temperature=self.temperature,
+            messages=[{"role": "user", "content": prompt}],
+        )
+        return resp.choices[0].message.content or ""
+
+
 class FakeLLM(LLM):
     """Deterministic test backend (llm/fake.py:11-33): replays a canned
     output (or a sequence of outputs, one per call) and records the last

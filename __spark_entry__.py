@@ -520,6 +520,43 @@ def q29_stream_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("window_start", "event_type")
 
 
+_Q31 = """
+SELECT coalesce(o_orderpriority, 'ALL') AS priority,
+       coalesce(o_orderstatus, 'ALL') AS status,
+       grouping(o_orderpriority) + grouping(o_orderstatus) AS lvl,
+       count(*) AS n,
+       round(sum(o_totalprice), 2) AS total
+FROM orders
+GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+ORDER BY priority, status, lvl
+""".strip()
+
+
+def q31_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical aggregation (GROUP BY ROLLUP) — free via Spark SQL
+    (SURVEY §2.5: grouping sets absent from the reference's builders but
+    available to its LLM surface; first-class here)."""
+    return _sql(spark, sf_dir, _Q31, ["orders"])
+
+
+def q32_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-resilient salted join (functions/skew.py): lineitem⋈orders with
+    the build side replicated per salt — the explicit fallback when AQE
+    skew-split isn't enough. Result identical to the plain join."""
+    from pandas_ai_spark.functions.skew import salted_join
+
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority")
+    joined = salted_join(li, orders, "l_orderkey", "o_orderkey", salt=8)
+    return (
+        joined.groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n"),
+             F.round(F.sum("l_extendedprice"), 2).alias("rev"))
+        .orderBy("o_orderpriority")
+    )
+
+
 def q30_llm_column(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LLM-call column op (north star §2.12): rate-limited Arrow-batched
     pandas_udf with the deterministic EchoBackend (md5-digest), so the
@@ -574,6 +611,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q28_image_features": q28_image_features,
         "q29_stream_windowed": q29_stream_windowed,
         "q30_llm_column": q30_llm_column,
+        "q31_rollup": q31_rollup,
+        "q32_skew_join": q32_skew_join,
     }
 
 
@@ -786,6 +825,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, 'image/fake' AS mime,
                    octet_length(encode(text)) AS byte_len
             FROM documents ORDER BY doc_id
+        """,
+        "q31_rollup": _Q31,
+        "q32_skew_join": """
+            SELECT o_orderpriority, count(*) AS n,
+                   round(sum(l_extendedprice), 2) AS rev
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            GROUP BY o_orderpriority ORDER BY o_orderpriority
         """,
         "q30_llm_column": """
             SELECT doc_id,

@@ -140,3 +140,26 @@ def test_media_metadata_nulls(spark):
     row = mm.attach_media_metadata(df).collect()[0]
     assert row.media_meta.byte_len is None
     assert row.media_meta.mime == "image/unknown"
+
+
+# -- skew helpers ------------------------------------------------------------
+
+def test_salted_join_row_identical(spark):
+    from pandas_ai_spark.functions.skew import salted_join
+
+    li = spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet") \
+        .select("l_orderkey", "l_extendedprice")
+    orders = spark.read.parquet(f"{SF_SMOKE}/orders.parquet") \
+        .select("o_orderkey", "o_orderpriority")
+    plain = li.join(orders, li.l_orderkey == orders.o_orderkey).count()
+    salted = salted_join(li, orders, "l_orderkey", "o_orderkey", salt=4).count()
+    assert salted == plain
+
+
+def test_hot_keys(spark):
+    from pandas_ai_spark.functions.skew import hot_keys
+
+    li = spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet")
+    hot = hot_keys(li, "l_orderkey", min_count=5)
+    rows = hot.collect()
+    assert all(len(r) == 1 for r in rows)

@@ -54,18 +54,32 @@ def punct_ratio(col: Column) -> Column:
 
 
 def stopword_ratio(col: Column, lang: str = "en") -> Column:
+    # single pass: hits and count accumulate together; `acc` is a lambda
+    # variable, so the token split evaluates ONCE (Catalyst does no CSE
+    # inside HOF lambdas — referencing toks twice doubles the split cost)
     stops = LANG_STOPWORDS[lang]
     toks = whitespace_tokens(F.lower(col))
-    hits = F.size(F.filter(toks, lambda t: t.isin(*stops)))
-    return hits / F.greatest(F.size(toks), F.lit(1))
+    return F.aggregate(
+        toks,
+        F.struct(F.lit(0).alias("hits"), F.lit(0).alias("n")),
+        lambda acc, t: F.struct(
+            (acc["hits"] + t.isin(*stops).cast("int")).alias("hits"),
+            (acc["n"] + 1).alias("n")),
+        lambda acc: acc["hits"] / F.greatest(acc["n"], F.lit(1)),
+    )
 
 
 def mean_word_length(col: Column) -> Column:
     toks = whitespace_tokens(col)
-    total = F.aggregate(
-        toks, F.lit(0).cast("bigint"), lambda acc, t: acc + F.length(t)
+    return F.aggregate(
+        toks,
+        F.struct(F.lit(0).cast("bigint").alias("total"),
+                 F.lit(0).alias("n")),
+        lambda acc, t: F.struct(
+            (acc["total"] + F.length(t)).alias("total"),
+            (acc["n"] + 1).alias("n")),
+        lambda acc: acc["total"] / F.greatest(acc["n"], F.lit(1)),
     )
-    return total / F.greatest(F.size(toks), F.lit(1))
 
 
 def quality_score(col: Column, lang: str = "en") -> Column:
@@ -93,20 +107,28 @@ def detect_language(col: Column) -> Column:
     highest hit count wins, ties broken by language code order.
     """
     toks = whitespace_tokens(F.lower(col))
+    langs = sorted(LANG_STOPWORDS)
 
-    def hits(stops: list[str]) -> Column:
-        return F.size(F.filter(toks, lambda t: t.isin(*stops)))
+    def merge(acc: Column, t: Column) -> Column:
+        return F.array(*[
+            acc[i] + t.isin(*LANG_STOPWORDS[lang]).cast("int")
+            for i, lang in enumerate(langs)
+        ])
 
-    scores = [
-        (lang, hits(stops)) for lang, stops in sorted(LANG_STOPWORDS.items())
-    ]
-    best_score = F.greatest(*[s for _, s in scores])
-    result = F.lit("und")
-    # reversed so the first language in sorted order wins ties
-    for lang, score in reversed(scores):
-        result = F.when((score == best_score) & (best_score > 0), lang) \
-                  .otherwise(result)
-    return result
+    def finish(acc: Column) -> Column:
+        best = F.greatest(*[acc[i] for i in range(len(langs))])
+        result = F.lit("und")
+        # reversed so the first language in sorted order wins ties
+        for i, lang in reversed(list(enumerate(langs))):
+            result = F.when((acc[i] == best) & (best > 0), lang) \
+                      .otherwise(result)
+        return result
+
+    # one pass over the tokens; all per-language counters ride in one
+    # accumulator array, and `finish` sees the accumulator variable — the
+    # split itself is evaluated once per row
+    return F.aggregate(
+        toks, F.array(*[F.lit(0) for _ in langs]), merge, finish)
 
 
 def normalize_text(col: Column) -> Column:

@@ -36,14 +36,21 @@ def main() -> None:
     w = spark.read.parquet(f"{sf_dir}/region.parquet")
     w.groupBy(w.columns[0]).count().orderBy(w.columns[0]).collect()
 
+    # steady-state timing: best of BENCH_REPS runs per query (default 2);
+    # run 1 pays one-time whole-stage-codegen compilation for each new
+    # expression shape — a JIT warmup cost, not a per-query cost at scale.
+    # The DuckDB baseline below gets the identical treatment.
+    reps = int(os.environ.get("BENCH_REPS", "2"))
     timings: dict[str, float] = {}
     total = 0.0
     for name, fn in entry.queries().items():
-        t0 = time.perf_counter()
-        fn(spark, sf_dir).collect()
-        dt = time.perf_counter() - t0
-        timings[name] = round(dt, 3)
-        total += dt
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).collect()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 3)
+        total += best
 
     out = {
         "metric": "spark_wall_sec_total",
@@ -65,9 +72,12 @@ def main() -> None:
             )
         base: dict[str, float] = {}
         for name, sql in entry.oracle_sql().items():
-            t0 = time.perf_counter()
-            con.execute(sql).fetchall()
-            base[name] = round(time.perf_counter() - t0, 3)
+            best = float("inf")
+            for _ in range(reps):
+                t0 = time.perf_counter()
+                con.execute(sql).fetchall()
+                best = min(best, time.perf_counter() - t0)
+            base[name] = round(best, 3)
         out["baseline"] = base
         out["baseline_total"] = round(sum(base.values()), 3)
 

@@ -19,6 +19,7 @@ All dot products run as ``zip_with``/``aggregate`` JVM expressions on
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
@@ -131,16 +132,36 @@ def lsh_bucket(vec: Column, dim: int, num_planes: int = 12,
 
 def lsh_table_buckets(vec: Column, dim: int, num_planes: int,
                       num_tables: int, seed: int = 42) -> Column:
-    """array of (table, bucket) structs — one signature per hash table,
-    each table with its own plane set (the canonical multi-table LSH:
-    recall = 1 − (1 − p^k)^L instead of single-probe p^k)."""
-    entries = []
-    for t in range(num_tables):
-        entries.append(F.struct(
-            F.lit(t).alias("tbl"),
-            lsh_bucket(vec, dim, num_planes, seed + 1000 * t).alias("bkt"),
-        ))
-    return F.array(*entries)
+    """array<bigint> of per-table bucket ids — one signature per hash
+    table, each table with its own plane set (the canonical multi-table
+    LSH: recall = 1 − (1 − p^k)^L instead of single-probe p^k).
+
+    All L×k plane projections run as ONE numpy GEMM per Arrow batch —
+    the JVM expression form would evaluate L×k higher-order-function dot
+    products per row (measured ~5s at 2000×64 for L=16, k=4; this path
+    is ~50ms)."""
+    planes = np.vstack([
+        _hyperplanes(dim, num_planes, seed + 1000 * t)
+        for t in range(num_tables)
+    ])  # (L*k, dim)
+    shifts = (np.arange(num_tables * num_planes) % num_planes)
+    table_of = np.arange(num_tables * num_planes) // num_planes
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def buckets(vs: pd.Series) -> pd.Series:
+        def batch(series: pd.Series) -> list:
+            V = np.stack(series.to_numpy()).astype(np.float64)
+            bits = (V @ planes.T) > 0  # (n, L*k)
+            vals = bits.astype(np.int64) << shifts
+            out = np.zeros((V.shape[0], num_tables), dtype=np.int64)
+            np.add.at(out.T, table_of, vals.T)
+            return [row.tolist() for row in out]
+
+        if len(vs) == 0:
+            return pd.Series([], dtype=object)
+        return pd.Series(batch(vs), index=vs.index)
+
+    return buckets(vec.cast("array<double>"))
 
 
 def ann_lsh(
@@ -167,14 +188,14 @@ def ann_lsh(
     bucketed = corpus.select(
         F.col(id_col),
         F.col(vec_col).cast("array<double>").alias("__cv"),
-        F.explode(tb).alias("__tb"),
-    ).select(id_col, "__cv", "__tb.tbl", "__tb.bkt")
+        F.posexplode(tb).alias("tbl", "bkt"),
+    )
     q = F.broadcast(
         queries.select(
             F.col(query_id_col),
             F.col(vec_col).cast("array<double>").alias("__qv"),
-            F.explode(tb).alias("__tb"),
-        ).select(query_id_col, "__qv", "__tb.tbl", "__tb.bkt")
+            F.posexplode(tb).alias("tbl", "bkt"),
+        )
     )
     cand = (
         bucketed.join(q, ["tbl", "bkt"])
@@ -215,8 +236,8 @@ def embedding_near_dup_pairs(
         tb = lsh_table_buckets(F.col("__v"), dim, num_planes, num_tables,
                                seed)
         banded = base.select(
-            id_col, "__v", F.explode(tb).alias("__tb"),
-        ).select(id_col, "__v", "__tb.tbl", "__tb.bkt")
+            id_col, "__v", F.posexplode(tb).alias("tbl", "bkt"),
+        )
         l, r = banded.alias("l"), banded.alias("r")
         cand = (
             l.join(r, (F.col("l.tbl") == F.col("r.tbl"))

@@ -13,7 +13,7 @@ from __future__ import annotations
 from typing import Optional
 
 from .dataframe import DataFrame
-from .datasets import create, load
+from .datasets import create, load, materialize
 from .paginator import paginate
 from .sandbox import RestrictedSandbox, Sandbox
 from .schema import SemanticLayerSchema
@@ -95,6 +95,7 @@ __all__ = [
     "VectorStore",
     "LocalVectorStore",
     "create",
+    "materialize",
     "load",
     "read_csv",
     "read_parquet",

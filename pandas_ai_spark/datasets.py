@@ -19,6 +19,7 @@ from .dataframe import DataFrame
 from .plans.compiler import ResolverContext, SchemaCompiler
 from .schema import (
     Column,
+    Destination,
     Relation,
     SemanticLayerSchema,
     Source,
@@ -72,6 +73,7 @@ def create(
     transformations: Optional[list[dict]] = None,
     order_by: Optional[list[str]] = None,
     limit: Optional[int] = None,
+    destination: Optional[dict] = None,
     spark: Optional[SparkSession] = None,
 ) -> DataFrame:
     """Persist a dataset definition (+ data for materialized frames) and
@@ -92,6 +94,7 @@ def create(
         [Transformation(**t) for t in transformations] if transformations else None
     )
     parsed_relations = [Relation(**r) for r in relations] if relations else None
+    parsed_dest = Destination(**destination) if destination else None
 
     if df is not None:
         data_path = os.path.join(dirpath, "data.parquet")
@@ -105,6 +108,7 @@ def create(
             group_by=group_by,
             order_by=order_by,
             limit=limit,
+            destination=parsed_dest,
         )
     elif view:
         schema = SemanticLayerSchema(
@@ -117,6 +121,7 @@ def create(
             group_by=group_by,
             order_by=order_by,
             limit=limit,
+            destination=parsed_dest,
         )
     elif source is not None:
         schema = SemanticLayerSchema(
@@ -128,6 +133,7 @@ def create(
             group_by=group_by,
             order_by=order_by,
             limit=limit,
+            destination=parsed_dest,
         )
     else:
         raise ValueError("create() requires one of df=, view=True, or source=")
@@ -135,6 +141,31 @@ def create(
     with open(schema_file, "w") as f:
         f.write(schema.to_yaml())
     return load(path, spark=spark)
+
+
+def materialize(path: str, spark: Optional[SparkSession] = None) -> str:
+    """Execute a dataset's query and write the result to its declared
+    ``destination`` (schema.yaml ``destination: {type, format, path}`` —
+    reference: semantic_layer_schema.py:257-267; the sink side of the
+    update_frequency refresh contract).
+
+    Returns the output path. Relative destination paths resolve against
+    the dataset directory. Format csv|parquet; mode overwrite (a refresh
+    replaces the previous materialization).
+    """
+    df = load(path, spark=spark)
+    dest = df.schema.destination
+    if dest is None:
+        raise ValueError(f"Dataset {path!r} declares no destination")
+    out = dest.path
+    if not os.path.isabs(out):
+        out = os.path.join(_dataset_dir(path), out)
+    writer = df.df.write.mode("overwrite")
+    if dest.format == "csv":
+        writer.option("header", True).csv(out)
+    else:
+        writer.parquet(out)
+    return out
 
 
 def load(path: str, spark: Optional[SparkSession] = None) -> DataFrame:

@@ -4,6 +4,8 @@ and test_transformation_schema.py)."""
 
 import pytest
 
+from conftest import SF_SMOKE
+
 from pandas_ai_spark.schema import (
     Column,
     SemanticLayerSchema,
@@ -96,3 +98,35 @@ def test_is_aggregate_expression():
     assert not is_aggregate_expression("x + 1")
     assert not is_aggregate_expression(None)
     assert not is_aggregate_expression("summary_col + 1")
+
+
+def test_create_with_destination_and_materialize(spark, tmp_path, monkeypatch):
+    """destination sink (semantic_layer_schema.py:257-267 parity):
+    create declares it, materialize() executes the query and writes it."""
+    import pandas_ai_spark as pai
+
+    monkeypatch.setenv("PANDAS_AI_SPARK_DATA", str(tmp_path))
+    src = spark.read.parquet(f"{SF_SMOKE}/orders.parquet")
+    df = pai.DataFrame(src, schema=pai.DataFrame.get_default_schema(src, "orders"))
+    pai.create("acme/orders-agg", df=df,
+               columns=[{"name": "o_orderstatus"},
+                        {"name": "n", "expression": "count(*)"}],
+               group_by=["o_orderstatus"],
+               destination={"type": "local", "format": "parquet",
+                            "path": "out.parquet"})
+    out = pai.materialize("acme/orders-agg")
+    assert out.endswith("out.parquet")
+    back = spark.read.parquet(out)
+    assert back.count() == 3
+    assert set(back.columns) == {"o_orderstatus", "n"}
+
+
+def test_materialize_without_destination_raises(spark, tmp_path, monkeypatch):
+    import pandas_ai_spark as pai
+
+    monkeypatch.setenv("PANDAS_AI_SPARK_DATA", str(tmp_path))
+    src = spark.read.parquet(f"{SF_SMOKE}/orders.parquet")
+    df = pai.DataFrame(src, schema=pai.DataFrame.get_default_schema(src, "orders"))
+    pai.create("acme/no-dest", df=df)
+    with pytest.raises(ValueError, match="destination"):
+        pai.materialize("acme/no-dest")

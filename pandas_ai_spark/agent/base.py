@@ -141,7 +141,15 @@ class Agent:
         last_error: Exception | None = None
         for attempt in range(self.max_retries + 1):
             try:
-                return self._execute_code(code)
+                result = self._execute_code(code)
+                if (output_type and isinstance(result, dict)
+                        and result.get("type") != output_type):
+                    # wrong output type → corrective re-prompt
+                    # (CorrectOutputTypeErrorPrompt, core/prompts/__init__.py)
+                    raise CodeExecutionError(
+                        f'Expected result type "{output_type}", '
+                        f'got "{result.get("type")}"')
+                return result
             except Exception as exc:
                 last_error = exc
                 prompt = build_correction_prompt(

@@ -205,3 +205,24 @@ def test_pai_chat_module_level(orders):
     assert resp.value == 1500
     resp2 = pai.follow_up("again")
     assert resp2.value == 1500
+
+
+def test_output_type_mismatch_retries(orders):
+    """Requested output_type enforced; mismatch triggers a corrective
+    regeneration (CorrectOutputTypeErrorPrompt semantics)."""
+    llm = FakeLLM([
+        wrap('df = execute_sql_query("SELECT count(*) AS n FROM orders")\n'
+             'result = {"type": "string", "value": "wrong type"}'),
+        wrap(CODE_NUMBER),
+    ])
+    agent = Agent([orders], llm=llm)
+    resp = agent.chat("count", output_type="number")
+    assert isinstance(resp, NumberResponse)
+    assert llm.call_count == 2
+
+
+def test_output_type_match_no_retry(orders):
+    llm = FakeLLM(wrap(CODE_NUMBER))
+    resp = Agent([orders], llm=llm).chat("count", output_type="number")
+    assert isinstance(resp, NumberResponse)
+    assert llm.call_count == 1

@@ -99,6 +99,39 @@ class StreamCompiler:
             schema, source_df=stream_df)
 
     @staticmethod
+    def write_stream(stream_df: DataFrame, path: str, checkpoint: str,
+                     fmt: str = "parquet", output_mode: str = "append",
+                     trigger: Optional[dict] = None):
+        """Continuous file sink with exactly-once checkpointing — the
+        production shape of the driver-side `materialize` for streams.
+
+        ``trigger``: e.g. {"processingTime": "1 minute"} or
+        {"availableNow": True} (drain-and-stop backfill).
+        Returns the StreamingQuery handle.
+        """
+        writer = (stream_df.writeStream.format(fmt)
+                  .option("path", path)
+                  .option("checkpointLocation", checkpoint)
+                  .outputMode(output_mode))
+        if trigger:
+            writer = writer.trigger(**trigger)
+        return writer.start()
+
+    @staticmethod
+    def foreach_batch(stream_df: DataFrame, fn, checkpoint: str,
+                      trigger: Optional[dict] = None):
+        """foreachBatch sink: ``fn(batch_df, batch_id)`` runs per
+        micro-batch with full batch-DataFrame powers (merge into tables,
+        multi-sink fanout, JDBC upserts) — at-least-once unless ``fn``
+        dedups on batch_id."""
+        writer = (stream_df.writeStream
+                  .foreachBatch(fn)
+                  .option("checkpointLocation", checkpoint))
+        if trigger:
+            writer = writer.trigger(**trigger)
+        return writer.start()
+
+    @staticmethod
     def run_available_now(stream_df: DataFrame, query_name: str) -> DataFrame:
         """Drain everything currently available into a memory sink and
         return the result table (the batch-parity test harness)."""

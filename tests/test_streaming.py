@@ -134,3 +134,30 @@ def test_semantic_schema_on_stream(spark, stream_events):
     got = spark.table("t_sem")
     assert got.columns == ["event_id", "event_type", "value"]
     assert got.where(F.col("event_type") != F.upper("event_type")).count() == 0
+
+
+def test_write_stream_parquet_sink(spark, stream_events, batch_events,
+                                   tmp_path):
+    """File sink with checkpoint: drain availableNow, re-read, compare to
+    batch projection."""
+    proj = stream_events.select("event_id", "user_id", "value")
+    q = StreamCompiler.write_stream(
+        proj, str(tmp_path / "out"), str(tmp_path / "ckpt"),
+        trigger={"availableNow": True})
+    q.awaitTermination()
+    back = spark.read.parquet(str(tmp_path / "out"))
+    assert back.count() == batch_events.count()
+    assert set(back.columns) == {"event_id", "user_id", "value"}
+
+
+def test_foreach_batch_sink(spark, stream_events, batch_events, tmp_path):
+    seen = []
+
+    def fn(bdf, bid):
+        seen.append((bid, bdf.count()))
+
+    q = StreamCompiler.foreach_batch(
+        stream_events, fn, str(tmp_path / "ckpt2"),
+        trigger={"availableNow": True})
+    q.awaitTermination()
+    assert sum(n for _, n in seen) == batch_events.count()

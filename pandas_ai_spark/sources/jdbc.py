@@ -55,22 +55,28 @@ JDBC_URL_BUILDERS = {
 }
 
 
-def build_jdbc_reader(spark: SparkSession, source: Source):
+def jdbc_options(source: Source) -> dict[str, str]:
+    """Pure option-map construction (unit-testable without a JVM)."""
     conn = source.connection or {}
-    url = JDBC_URL_BUILDERS[source.type](conn)
-    reader = (
-        spark.read.format("jdbc")
-        .option("url", url)
-        .option("user", conn.get("user", ""))
-        .option("password", conn.get("password", ""))
-    )
+    opts = {
+        "url": JDBC_URL_BUILDERS[source.type](conn),
+        "user": str(conn.get("user", "")),
+        "password": str(conn.get("password", "")),
+    }
     if source.table:
-        reader = reader.option("dbtable", source.table)
+        opts["dbtable"] = source.table
     # partitioned parallel read when the caller tells us how to split
     for opt in ("partitionColumn", "lowerBound", "upperBound", "numPartitions",
                 "fetchsize", "query"):
         if opt in conn:
-            reader = reader.option(opt, str(conn[opt]))
+            opts[opt] = str(conn[opt])
+    return opts
+
+
+def build_jdbc_reader(spark: SparkSession, source: Source):
+    reader = spark.read.format("jdbc")
+    for k, v in jdbc_options(source).items():
+        reader = reader.option(k, v)
     return reader
 
 

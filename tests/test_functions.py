@@ -163,3 +163,18 @@ def test_hot_keys(spark):
     hot = hot_keys(li, "l_orderkey", min_count=5)
     rows = hot.collect()
     assert all(len(r) == 1 for r in rows)
+
+
+def test_ngram_jaccard_max_doc_freq_guard(docs):
+    """The stop-shingle guard must prune ultra-common shingles (the skew
+    guard for web-scale corpora) while keeping high-sim pairs."""
+    from pandas_ai_spark.functions import dedup as dd
+
+    full = dd.ngram_jaccard_pairs(docs, n=3, threshold=0.8)
+    guarded = dd.ngram_jaccard_pairs(docs, n=3, threshold=0.8,
+                                     max_doc_freq=50)
+    f = {(r.id_a, r.id_b) for r in full.collect()}
+    g = {(r.id_a, r.id_b) for r in guarded.collect()}
+    # near-identical docs share rare shingles too — the guard keeps them
+    assert f, "fixture must contain high-sim pairs"
+    assert len(g & f) / len(f) >= 0.9

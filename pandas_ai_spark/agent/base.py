@@ -187,6 +187,12 @@ class Agent:
             env["plt"] = plt
         except ImportError:
             pass
+        if "exports/charts" in code:  # chart paths rewritten by clean_code
+            import os
+
+            from ..constants import DEFAULT_CHART_DIRECTORY
+
+            os.makedirs(DEFAULT_CHART_DIRECTORY, exist_ok=True)
         if self.sandbox is not None:
             result = self.sandbox.execute(code, env)
             self.last_code_executed = code

@@ -434,3 +434,55 @@ def simhash_candidates(df: DataFrame, text_col: str = "text",
     return pairs.withColumn("hamming", F.bit_count(xor)) \
                 .where(F.col("hamming") <= 3) \
                 .select("id_a", "id_b", "hamming")
+
+
+def ngram_jaccard_pairs_prefix(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact n-gram Jaccard pairs via PPJoin-style prefix filtering — the
+    high-threshold scale path.
+
+    Standard result: two sets with Jaccard ≥ t must share at least one
+    element among the first ⌊(1−t)·|A|⌋+1 elements of each set under ANY
+    global total order (we use the hash value order). Candidates are
+    therefore generated from a prefix-only inverted index — index volume
+    shrinks by factor ≈ t — and verified with an exact array_intersect
+    over the full sets, so there are NO false negatives and NO false
+    positives. At t=0.8 the index is 5× smaller and pair-row volume drops
+    quadratically; at low thresholds prefix ≈ full set, so prefer
+    :func:`ngram_jaccard_pairs` below t≈0.5.
+    """
+    sh = df.select(
+        F.col(id_col),
+        F.array_sort(shingle_hash_udf(n)(
+            _norm_tokens(F.col(text_col)))).alias("__sh"),
+    )
+    # prefix length ⌊(1−t)·|A|⌋+1 of the hash-sorted set
+    pref = sh.select(
+        id_col, "__sh",
+        F.slice(
+            "__sh", 1,
+            (F.floor(F.size("__sh") * F.lit(1.0 - threshold)) + 1)
+            .cast("int")).alias("__pref"),
+    )
+    inv = pref.select(id_col, F.explode("__pref").alias("__s"))
+    l, r = inv.alias("l"), inv.alias("r")
+    cands = (
+        l.join(r, F.col("l.__s") == F.col("r.__s"))
+        .where(F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
+        .select(F.col(f"l.{id_col}").alias("id_a"),
+                F.col(f"r.{id_col}").alias("id_b"))
+        .distinct()
+    )
+    sa = pref.select(F.col(id_col).alias("id_a"), F.col("__sh").alias("__sha"))
+    sb = pref.select(F.col(id_col).alias("id_b"), F.col("__sh").alias("__shb"))
+    return (
+        cands.join(sa, "id_a").join(sb, "id_b")
+        .withColumn("jaccard", jaccard(F.col("__sha"), F.col("__shb")))
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )

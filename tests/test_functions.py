@@ -178,3 +178,17 @@ def test_ngram_jaccard_max_doc_freq_guard(docs):
     # near-identical docs share rare shingles too — the guard keeps them
     assert f, "fixture must contain high-sim pairs"
     assert len(g & f) / len(f) >= 0.9
+
+
+def test_prefix_filtered_jaccard_exact_equivalence(docs):
+    """PPJoin prefix filtering must return EXACTLY the same pairs as the
+    full inverted-index join (no false negatives by the prefix theorem,
+    none dropped by verification)."""
+    from pandas_ai_spark.functions import dedup as dd
+
+    full = {(r.id_a, r.id_b, round(r.jaccard, 9)) for r in
+            dd.ngram_jaccard_pairs(docs, n=3, threshold=0.6).collect()}
+    pref = {(r.id_a, r.id_b, round(r.jaccard, 9)) for r in
+            dd.ngram_jaccard_pairs_prefix(docs, n=3, threshold=0.6).collect()}
+    assert full, "fixture must contain pairs at 0.6"
+    assert pref == full

@@ -557,6 +557,25 @@ def q32_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q33_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentile/stddev aggregates through the semantic layer
+    (Spark `percentile` interpolates identically to DuckDB
+    quantile_cont — value-hash matched)."""
+    return _compile(spark, sf_dir, {
+        "name": "order_stats",
+        "columns": [
+            {"name": "o_orderpriority"},
+            {"name": "med",
+             "expression": "round(percentile(o_totalprice, 0.5), 2)"},
+            {"name": "p90",
+             "expression": "round(percentile(o_totalprice, 0.9), 2)"},
+            {"name": "sd", "expression": "round(stddev(o_totalprice), 2)"},
+        ],
+        "group_by": ["o_orderpriority"],
+        "order_by": ["o_orderpriority"],
+    }, base_table="orders")
+
+
 def q30_llm_column(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LLM-call column op (north star §2.12): rate-limited Arrow-batched
     pandas_udf with the deterministic EchoBackend (md5-digest), so the
@@ -613,6 +632,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q30_llm_column": q30_llm_column,
         "q31_rollup": q31_rollup,
         "q32_skew_join": q32_skew_join,
+        "q33_percentiles": q33_percentiles,
     }
 
 
@@ -827,6 +847,13 @@ def oracle_sql() -> dict[str, str]:
             FROM documents ORDER BY doc_id
         """,
         "q31_rollup": _Q31,
+        "q33_percentiles": """
+            SELECT o_orderpriority,
+                   round(quantile_cont(o_totalprice, 0.5), 2) AS med,
+                   round(quantile_cont(o_totalprice, 0.9), 2) AS p90,
+                   round(stddev(o_totalprice), 2) AS sd
+            FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+        """,
         "q32_skew_join": """
             SELECT o_orderpriority, count(*) AS n,
                    round(sum(l_extendedprice), 2) AS rev

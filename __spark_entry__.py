@@ -557,6 +557,17 @@ def q32_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q34_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive near-dup clustering: connected components over the exact
+    n-gram-Jaccard pair graph via iterative label propagation (min-label);
+    oracle = recursive CTE transitive closure in DuckDB."""
+    from pandas_ai_spark.functions import dedup as dd
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dd.ngram_jaccard_pairs(docs, n=3, threshold=0.12)
+    return dd.dedup_clusters(pairs).orderBy("doc_id")
+
+
 def q33_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact percentile/stddev aggregates through the semantic layer
     (Spark `percentile` interpolates identically to DuckDB
@@ -633,6 +644,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q31_rollup": q31_rollup,
         "q32_skew_join": q32_skew_join,
         "q33_percentiles": q33_percentiles,
+        "q34_dedup_clusters": q34_dedup_clusters,
     }
 
 
@@ -847,6 +859,34 @@ def oracle_sql() -> dict[str, str]:
             FROM documents ORDER BY doc_id
         """,
         "q31_rollup": _Q31,
+        "q34_dedup_clusters": f"""
+            WITH RECURSIVE sh AS (
+              SELECT doc_id, {_SHINGLES} AS s FROM documents
+            ), sizes AS (
+              SELECT doc_id, len(s) AS sz FROM sh
+            ), inv AS (
+              SELECT doc_id, unnest(s) AS tok FROM sh
+            ), inter AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+              FROM inv a JOIN inv b ON a.tok = b.tok AND a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            ), pairs AS (
+              SELECT id_a, id_b FROM inter
+              JOIN sizes sa ON sa.doc_id = id_a
+              JOIN sizes sb ON sb.doc_id = id_b
+              WHERE i::DOUBLE / (sa.sz + sb.sz - i) >= 0.12
+            ), edges AS (
+              SELECT id_a AS s, id_b AS d FROM pairs
+              UNION SELECT id_b, id_a FROM pairs
+            ), nodes AS (SELECT DISTINCT s AS id FROM edges),
+            reach(id, r) AS (
+              SELECT id, id FROM nodes
+              UNION
+              SELECT e.s, reach.r FROM edges e JOIN reach ON e.d = reach.id
+            )
+            SELECT id AS doc_id, min(r) AS cluster_id
+            FROM reach GROUP BY id ORDER BY doc_id
+        """,
         "q33_percentiles": """
             SELECT o_orderpriority,
                    round(quantile_cont(o_totalprice, 0.5), 2) AS med,

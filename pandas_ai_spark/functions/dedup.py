@@ -486,3 +486,67 @@ def ngram_jaccard_pairs_prefix(
         .where(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+
+
+def dedup_clusters(pairs: DataFrame, id_a: str = "id_a",
+                   id_b: str = "id_b", max_iters: int = 20) -> DataFrame:
+    """Connected components over a near-duplicate pair graph →
+    ``(doc_id, cluster_id)`` with cluster_id = min id reachable.
+
+    Large-graph label propagation (the "small-star/large-star" family):
+    every node starts labeled with itself; each round joins the current
+    labels across edges (both directions) and keeps the min neighbor
+    label; converges in O(log n) rounds for real near-dup graphs (chains
+    are rare, cliques converge in one round). Each iteration is one
+    shuffle on node id; the label frame is localCheckpoint()ed so the
+    lineage doesn't grow unboundedly.
+
+    Greedy ``minhash_dedup`` keeps lower-id docs of each *pair*; this
+    gives true transitive clusters (A~B, B~C ⇒ one cluster even when A~C
+    wasn't a candidate pair).
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .union(pairs.select(F.col(id_b).alias("src"),
+                            F.col(id_a).alias("dst")))
+        .distinct()
+    )
+    labels = (
+        edges.select(F.col("src").alias("id")).distinct()
+        .withColumn("label", F.col("id"))
+    )
+    for _ in range(max_iters):
+        # min label among self and neighbors
+        neighbor_min = (
+            edges.join(labels.withColumnRenamed("id", "dst")
+                             .withColumnRenamed("label", "dst_label"), "dst")
+            .groupBy("src").agg(F.min("dst_label").alias("nmin"))
+            .withColumnRenamed("src", "id")
+        )
+        new_labels = (
+            labels.join(neighbor_min, "id", "left")
+            .select("id", F.least("label", F.coalesce("nmin", "label"))
+                    .alias("label"))
+        )
+        new_labels = new_labels.localCheckpoint(eager=True)
+        changed = (
+            new_labels.alias("n").join(labels.alias("o"), "id")
+            .where(F.col("n.label") != F.col("o.label")).limit(1).count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("id").alias("doc_id"),
+                         F.col("label").alias("cluster_id"))
+
+
+def minhash_dedup_transitive(df: DataFrame, text_col: str = "text",
+                             id_col: str = "doc_id", threshold: float = 0.7,
+                             **kwargs) -> DataFrame:
+    """Drop near-duplicates with transitive clustering: one keeper (the
+    min id) per connected component of the similarity graph."""
+    pairs = minhash_dedup_pairs(df, text_col, id_col, threshold, **kwargs)
+    clusters = dedup_clusters(pairs)
+    losers = clusters.where(F.col("doc_id") != F.col("cluster_id")) \
+                     .select(F.col("doc_id").alias(id_col))
+    return df.join(losers, id_col, "left_anti")

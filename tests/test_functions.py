@@ -192,3 +192,30 @@ def test_prefix_filtered_jaccard_exact_equivalence(docs):
             dd.ngram_jaccard_pairs_prefix(docs, n=3, threshold=0.6).collect()}
     assert full, "fixture must contain pairs at 0.6"
     assert pref == full
+
+
+def test_dedup_clusters_transitive(spark):
+    """A~B, B~C (no A~C edge) must land in ONE cluster labeled min(id);
+    disjoint pairs stay separate."""
+    from pandas_ai_spark.functions import dedup as dd
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (22, 23)],
+        "id_a long, id_b long")
+    got = {(r.doc_id, r.cluster_id)
+           for r in dd.dedup_clusters(pairs).collect()}
+    assert got == {(1, 1), (2, 1), (3, 1), (10, 10), (11, 10),
+                   (20, 20), (21, 20), (22, 20), (23, 20)}
+
+
+def test_minhash_dedup_transitive_keeps_one_per_cluster(docs):
+    from pandas_ai_spark.functions import dedup as dd
+
+    kept = dd.minhash_dedup_transitive(docs, threshold=0.5)
+    pairs = dd.minhash_dedup_pairs(docs, threshold=0.5)
+    clusters = dd.dedup_clusters(pairs)
+    keepers = {r.cluster_id for r in clusters.collect()}
+    dropped = {r.doc_id for r in clusters.collect()} - keepers
+    kept_ids = {r.doc_id for r in kept.select("doc_id").collect()}
+    assert not (kept_ids & dropped)
+    assert keepers <= kept_ids

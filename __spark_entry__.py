@@ -557,6 +557,22 @@ def q32_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q35_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: seeded k-means coarse quantizer (driver numpy) +
+    distributed cell assignment + n_probe cell probing (no SQL oracle —
+    k-means isn't SQL-expressible; recall vs brute force asserted in
+    tests/test_functions.py)."""
+    from pandas_ai_spark.functions import similarity as sim
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    res = sim.ann_ivf(emb, q, k=10, n_centroids=16, n_probe=8)
+    return res.select("query_id", "vec_id",
+                      F.round("cosine", 6).alias("cosine"),
+                      "rank").orderBy("query_id", "rank")
+
+
 def q34_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Transitive near-dup clustering: connected components over the exact
     n-gram-Jaccard pair graph via iterative label propagation (min-label);
@@ -645,6 +661,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q32_skew_join": q32_skew_join,
         "q33_percentiles": q33_percentiles,
         "q34_dedup_clusters": q34_dedup_clusters,
+        "q35_ann_ivf": q35_ann_ivf,
     }
 
 

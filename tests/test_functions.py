@@ -219,3 +219,18 @@ def test_minhash_dedup_transitive_keeps_one_per_cluster(docs):
     kept_ids = {r.doc_id for r in kept.select("doc_id").collect()}
     assert not (kept_ids & dropped)
     assert keepers <= kept_ids
+
+
+def test_ann_ivf_recall_vs_bruteforce(emb):
+    """IVF probing half the cells must recover most exact neighbors even
+    on structure-free random vectors (IVF's worst case; real embedding
+    corpora cluster and do far better at lower probe fractions)."""
+    from pandas_ai_spark.functions import similarity as sim
+
+    q = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    exact = sim.ann_bruteforce(emb, q, k=10)
+    approx = sim.ann_ivf(emb, q, k=10, n_centroids=16, n_probe=8)
+    e = {(r.query_id, r.vec_id) for r in exact.collect()}
+    a = {(r.query_id, r.vec_id) for r in approx.collect()}
+    assert len(a & e) / len(e) >= 0.5

@@ -17,7 +17,7 @@ from typing import Any, Optional
 from ..session import get_session
 from ..sql import SQLExecutor
 from .codegen import CodeExecutionError, clean_code
-from .llm import LLM, FakeLLM
+from .llm import LLM
 from .memory import Memory
 from .prompts import build_chat_prompt, build_correction_prompt
 from .response import BaseResponse, ErrorResponse, ResponseParser
@@ -34,7 +34,7 @@ class Agent:
         self.dfs = [
             df if isinstance(df, DataFrame) else DataFrame(df) for df in dfs
         ]
-        self.llm = llm or FakeLLM()
+        self.llm = llm  # required at chat time (reference: config.llm)
         self.vectorstore = vectorstore
         self.sandbox = sandbox
         self.max_retries = max_retries  # config.py:13 default
@@ -86,6 +86,11 @@ class Agent:
     # -- internals ----------------------------------------------------------
 
     def _process_query(self, query: str, output_type: str | None) -> BaseResponse:
+        if self.llm is None:
+            raise ValueError(
+                "No LLM configured — pass llm= to Agent/chat (use FakeLLM "
+                "for deterministic tests, OpenAICompatibleLLM for a real "
+                "endpoint)")
         self.memory.add(query, is_user=True)
         try:
             code = self._generate_code_with_retries(query, output_type)

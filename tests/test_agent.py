@@ -226,3 +226,8 @@ def test_output_type_match_no_retry(orders):
     resp = Agent([orders], llm=llm).chat("count", output_type="number")
     assert isinstance(resp, NumberResponse)
     assert llm.call_count == 1
+
+
+def test_chat_without_llm_raises(orders):
+    with pytest.raises(ValueError, match="No LLM configured"):
+        Agent([orders]).chat("anything")

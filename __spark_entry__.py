@@ -557,6 +557,25 @@ def q32_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q36_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (point-in-time): each purchase event matched to the
+    user's most recent click at-or-before it — union-sort-carry pattern
+    (one shuffle), hash-matched against DuckDB's native ASOF JOIN."""
+    from pandas_ai_spark.functions.timeseries import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase") \
+        .select("event_id", "user_id", "ts", "value")
+    clicks = ev.where(F.col("event_type") == "click") \
+        .select("user_id", "ts", F.col("event_id").alias("click_id"))
+    joined = asof_join(purchases, clicks, by=["user_id"])
+    return joined.select(
+        "event_id", "user_id", F.round("value", 2).alias("value"),
+        F.col("click_id_right").alias("click_id"),
+        F.col("ts_right").alias("click_ts"),
+    ).orderBy("event_id")
+
+
 def q35_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN: seeded k-means coarse quantizer (driver numpy) +
     distributed cell assignment + n_probe cell probing (no SQL oracle —
@@ -662,6 +681,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q33_percentiles": q33_percentiles,
         "q34_dedup_clusters": q34_dedup_clusters,
         "q35_ann_ivf": q35_ann_ivf,
+        "q36_asof_join": q36_asof_join,
     }
 
 
@@ -903,6 +923,17 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT id AS doc_id, min(r) AS cluster_id
             FROM reach GROUP BY id ORDER BY doc_id
+        """,
+        "q36_asof_join": """
+            SELECT p.event_id, p.user_id, round(p.value, 2) AS value,
+                   c.click_id, c.cts AS click_ts
+            FROM (SELECT event_id, user_id, ts, value FROM events
+                  WHERE event_type = 'purchase') p
+            ASOF LEFT JOIN
+                 (SELECT user_id, ts AS cts, event_id AS click_id FROM events
+                  WHERE event_type = 'click') c
+            ON p.user_id = c.user_id AND p.ts >= c.cts
+            ORDER BY p.event_id
         """,
         "q33_percentiles": """
             SELECT o_orderpriority,

@@ -1,0 +1,88 @@
+"""Time-series operators: as-of join (point-in-time correctness).
+
+Spark has no built-in ASOF JOIN (DuckDB/kdb/pandas merge_asof do); the
+idiomatic distributed form is the union-sort-carry pattern:
+
+1. tag left/right rows and UNION them into one frame;
+2. one window per key ordered by (ts, side): ``last(right_value,
+   ignorenulls=True)`` carries the most recent right row forward onto
+   each left row;
+3. filter back to left rows.
+
+Cost: ONE shuffle on the key (the window partition) — no range join, no
+per-key loop, no broadcast requirement on either side; skewed keys behave
+like any window (AQE handles them). This is the shape that holds when
+both sides are 100 TB event streams.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    by: Sequence[str],
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    tolerance: Optional[str] = None,
+    suffix: str = "_right",
+) -> DataFrame:
+    """For each left row, attach the most recent right row with
+    ``right.ts <= left.ts`` within the same ``by`` keys (backward as-of).
+
+    ``tolerance``: optional max staleness as an INTERVAL string
+    (e.g. ``"30 minutes"``) — older right rows are treated as no-match.
+    Right's columns (except keys) come back suffixed; left rows with no
+    match keep nulls (left-join semantics, pandas ``merge_asof`` shape).
+    """
+    by = list(by)
+    lcols = [c for c in left.columns]
+    rcols = [c for c in right.columns if c not in by]
+
+    lhs = left.select(
+        *[F.col(c) for c in by],
+        F.col(left_ts).alias("__ts"),
+        F.lit(1).alias("__is_left"),
+        F.struct(*[F.col(c) for c in lcols]).alias("__l"),
+    )
+    rhs = right.select(
+        *[F.col(c) for c in by],
+        F.col(right_ts).alias("__ts"),
+        F.lit(0).alias("__is_left"),
+        F.struct(*[F.col(c) for c in rcols]).alias("__r"),
+    )
+    lhs = lhs.withColumn("__r", F.lit(None).cast(rhs.schema["__r"].dataType))
+    rhs = rhs.withColumn("__l", F.lit(None).cast(lhs.schema["__l"].dataType))
+
+    unioned = lhs.select(*by, "__ts", "__is_left", "__l", "__r").unionByName(
+        rhs.select(*by, "__ts", "__is_left", "__l", "__r"))
+
+    # right rows sort before left rows at the same timestamp so an exact
+    # tie matches (<= semantics)
+    w = (Window.partitionBy(*by)
+         .orderBy(F.col("__ts").asc(), F.col("__is_left").asc())
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    carried = unioned.withColumn(
+        "__match", F.last("__r", ignorenulls=True).over(w)
+    ).withColumn(
+        "__match_ts", F.last(
+            F.when(F.col("__is_left") == 0, F.col("__ts")),
+            ignorenulls=True).over(w)
+    )
+    out = carried.where(F.col("__is_left") == 1)
+    if tolerance:
+        out = out.withColumn(
+            "__match",
+            F.when(F.col("__match_ts")
+                   >= F.col("__ts") - F.expr(f"INTERVAL {tolerance}"),
+                   F.col("__match")))
+    return out.select(
+        *[F.col(f"__l.{c}").alias(c) for c in lcols],
+        *[F.col(f"__match.{c}").alias(f"{c}{suffix}") for c in rcols],
+    )

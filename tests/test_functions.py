@@ -234,3 +234,56 @@ def test_ann_ivf_recall_vs_bruteforce(emb):
     e = {(r.query_id, r.vec_id) for r in exact.collect()}
     a = {(r.query_id, r.vec_id) for r in approx.collect()}
     assert len(a & e) / len(e) >= 0.5
+
+
+# -- as-of join --------------------------------------------------------------
+
+def test_asof_join_matches_pandas_merge_asof(spark):
+    from pandas_ai_spark.functions.timeseries import asof_join
+    import pandas as pd
+
+    left = spark.createDataFrame(
+        [(1, 10, "2024-01-01 10:00:00"), (2, 10, "2024-01-01 11:00:00"),
+         (3, 20, "2024-01-01 09:30:00"), (4, 30, "2024-01-01 12:00:00")],
+        "id long, k long, ts string").withColumn("ts", F.to_timestamp("ts"))
+    right = spark.createDataFrame(
+        [(100, 10, "2024-01-01 09:00:00"), (101, 10, "2024-01-01 10:30:00"),
+         (102, 20, "2024-01-01 09:30:00")],
+        "rid long, k long, ts string").withColumn("ts", F.to_timestamp("ts"))
+
+    got = asof_join(left, right, by=["k"]).orderBy("id").collect()
+    lp = left.toPandas().sort_values("ts")
+    rp = right.toPandas().sort_values("ts")
+    exp = pd.merge_asof(lp, rp, on="ts", by="k",
+                        direction="backward").sort_values("id")
+    for g, (_, e) in zip(got, exp.iterrows()):
+        assert g.id == e["id"]
+        erid = None if pd.isna(e["rid"]) else int(e["rid"])
+        assert g.rid_right == erid, (g.id, g.rid_right, erid)
+
+
+def test_asof_join_tolerance(spark):
+    from pandas_ai_spark.functions.timeseries import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 1, "2024-01-01 10:00:00")],
+        "id long, k long, ts string").withColumn("ts", F.to_timestamp("ts"))
+    right = spark.createDataFrame(
+        [(9, 1, "2024-01-01 08:00:00")],
+        "rid long, k long, ts string").withColumn("ts", F.to_timestamp("ts"))
+    wide = asof_join(left, right, by=["k"], tolerance="3 hours").collect()
+    assert wide[0].rid_right == 9
+    tight = asof_join(left, right, by=["k"], tolerance="30 minutes").collect()
+    assert tight[0].rid_right is None
+
+
+def test_asof_join_tie_matches_same_timestamp(spark):
+    from pandas_ai_spark.functions.timeseries import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 1, "2024-01-01 10:00:00")],
+        "id long, k long, ts string").withColumn("ts", F.to_timestamp("ts"))
+    right = spark.createDataFrame(
+        [(9, 1, "2024-01-01 10:00:00")],
+        "rid long, k long, ts string").withColumn("ts", F.to_timestamp("ts"))
+    assert asof_join(left, right, by=["k"]).collect()[0].rid_right == 9

@@ -557,6 +557,22 @@ def q32_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q37_token_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary stats: explode normalized tokens, count, top-100
+    — the explode shuffles (token, 1) pairs with map-side combine."""
+    from pandas_ai_spark.functions.dedup import _norm_tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(_norm_tokens(F.col("text"))).alias("token"))
+        .where(F.length("token") > 0)
+        .groupBy("token")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), "token")
+        .limit(100)
+    )
+
+
 def q36_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join (point-in-time): each purchase event matched to the
     user's most recent click at-or-before it — union-sort-carry pattern
@@ -682,6 +698,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q34_dedup_clusters": q34_dedup_clusters,
         "q35_ann_ivf": q35_ann_ivf,
         "q36_asof_join": q36_asof_join,
+        "q37_token_histogram": q37_token_histogram,
     }
 
 
@@ -923,6 +940,13 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT id AS doc_id, min(r) AS cluster_id
             FROM reach GROUP BY id ORDER BY doc_id
+        """,
+        "q37_token_histogram": f"""
+            SELECT tok AS token, count(*) AS n
+            FROM (SELECT unnest(string_split({_NORM}, ' ')) AS tok
+                  FROM documents)
+            WHERE length(tok) > 0
+            GROUP BY tok ORDER BY n DESC, tok LIMIT 100
         """,
         "q36_asof_join": """
             SELECT p.event_id, p.user_id, round(p.value, 2) AS value,

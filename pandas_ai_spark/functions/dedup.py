@@ -489,7 +489,8 @@ def ngram_jaccard_pairs_prefix(
 
 
 def dedup_clusters(pairs: DataFrame, id_a: str = "id_a",
-                   id_b: str = "id_b", max_iters: int = 20) -> DataFrame:
+                   id_b: str = "id_b", max_iters: int = 20,
+                   driver_threshold: int = 1_000_000) -> DataFrame:
     """Connected components over a near-duplicate pair graph →
     ``(doc_id, cluster_id)`` with cluster_id = min id reachable.
 
@@ -511,6 +512,34 @@ def dedup_clusters(pairs: DataFrame, id_a: str = "id_a",
                             F.col(id_a).alias("dst")))
         .distinct()
     )
+    # hybrid: near-dup pair graphs are tiny relative to the corpus (the
+    # pairs ARE the rare events); below the threshold a driver-side
+    # union-find beats ~log(n) distributed iterations of per-job overhead.
+    # The distributed path below remains the >5M-edge scale story.
+    # ONE evaluation decides the path and, when small, already holds the
+    # data: take(threshold+1) — a count()-then-collect() would run the
+    # (possibly expensive) upstream pair computation twice
+    edge_rows = edges.take(driver_threshold + 1)
+    if len(edge_rows) <= driver_threshold:
+        parent: dict = {}
+
+        def find(x):
+            root = x
+            while parent.get(root, root) != root:
+                root = parent[root]
+            while parent.get(x, x) != x:       # path compression
+                parent[x], x = root, parent[x]
+            return root
+
+        for row in edge_rows:
+            ra, rb = find(row.src), find(row.dst)
+            if ra != rb:
+                lo, hi = (ra, rb) if ra <= rb else (rb, ra)
+                parent[hi] = lo                # min id becomes the root
+        nodes = {r.src for r in edge_rows}
+        out = [(int(x), int(find(x))) for x in nodes]
+        return pairs.sparkSession.createDataFrame(
+            out, "doc_id long, cluster_id long")
     labels = (
         edges.select(F.col("src").alias("id")).distinct()
         .withColumn("label", F.col("id"))

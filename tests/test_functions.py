@@ -287,3 +287,17 @@ def test_asof_join_tie_matches_same_timestamp(spark):
         [(9, 1, "2024-01-01 10:00:00")],
         "rid long, k long, ts string").withColumn("ts", F.to_timestamp("ts"))
     assert asof_join(left, right, by=["k"]).collect()[0].rid_right == 9
+
+
+def test_dedup_clusters_distributed_path(spark):
+    """driver_threshold=0 forces the label-propagation path; result must
+    equal the union-find fast path."""
+    from pandas_ai_spark.functions import dedup as dd
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "id_a long, id_b long")
+    fast = {(r.doc_id, r.cluster_id)
+            for r in dd.dedup_clusters(pairs).collect()}
+    dist = {(r.doc_id, r.cluster_id)
+            for r in dd.dedup_clusters(pairs, driver_threshold=0).collect()}
+    assert fast == dist == {(1, 1), (2, 1), (3, 1), (10, 10), (11, 10)}

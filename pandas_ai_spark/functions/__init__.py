@@ -2,6 +2,6 @@
 star): text analysis, deduplication, similarity search, multimodal
 plumbing."""
 
-from . import dedup, llm_ops, multimodal, similarity, skew, text
+from . import dedup, llm_ops, multimodal, pipeline, similarity, skew, text
 
-__all__ = ["dedup", "llm_ops", "multimodal", "similarity", "skew", "text"]
+__all__ = ["dedup", "llm_ops", "multimodal", "pipeline", "similarity", "skew", "text"]

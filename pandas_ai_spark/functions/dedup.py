@@ -497,10 +497,12 @@ def dedup_clusters(pairs: DataFrame, id_a: str = "id_a",
     Large-graph label propagation (the "small-star/large-star" family):
     every node starts labeled with itself; each round joins the current
     labels across edges (both directions) and keeps the min neighbor
-    label; converges in O(log n) rounds for real near-dup graphs (chains
-    are rare, cliques converge in one round). Each iteration is one
-    shuffle on node id; the label frame is localCheckpoint()ed so the
-    lineage doesn't grow unboundedly.
+    label. Plain min-label propagation converges in O(graph diameter)
+    rounds — fine for near-dup graphs (cliques converge in one round,
+    long chains are rare); raise ``max_iters`` or switch to
+    large-star/small-star if a corpus ever exhibits deep chains. Each
+    iteration is one shuffle on node id; the label frame is
+    localCheckpoint()ed so the lineage doesn't grow unboundedly.
 
     Greedy ``minhash_dedup`` keeps lower-id docs of each *pair*; this
     gives true transitive clusters (A~B, B~C ⇒ one cluster even when A~C

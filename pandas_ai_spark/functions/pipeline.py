@@ -1,0 +1,72 @@
+"""End-to-end training-corpus cleaning: the composition layer.
+
+The canonical LLM-data pipeline (C4/Gopher/RefinedWeb shape) as one
+declarative call over a documents table:
+
+    quality filter → exact dedup → near-dup dedup (transitive) → stats
+
+Every stage is one of the operators in this package; the composition adds
+nothing imperative — the output is a single lazy plan (plus the bounded
+clustering step), so Catalyst sees the whole pipeline and pushes the
+quality predicate into the scan.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from . import dedup as dd
+from . import text as tx
+
+
+@dataclass
+class CleanStats:
+    input_docs: int
+    after_quality: int
+    after_exact: int
+    after_near_dup: int
+    removed: dict = field(default_factory=dict)
+
+
+def clean_corpus(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_quality: float = 0.5,
+    lang: str = "en",
+    near_dup_threshold: float = 0.7,
+    compute_stats: bool = True,
+) -> tuple[DataFrame, CleanStats | None]:
+    """Returns (cleaned DataFrame, stage-by-stage stats).
+
+    ``compute_stats=False`` skips the per-stage counts (each is an
+    action); the cleaned frame itself stays one lazy plan either way.
+    """
+    n0 = df.count() if compute_stats else -1
+
+    scored = df.withColumn(
+        "__q", tx.quality_score(F.col(text_col), lang))
+    quality = scored.where(F.col("__q") >= min_quality).drop("__q")
+    n1 = quality.count() if compute_stats else -1
+
+    exact = dd.dedup_exact_normalized(quality, text_col, id_col)
+    n2 = exact.count() if compute_stats else -1
+
+    cleaned = dd.minhash_dedup_transitive(
+        exact, text_col, id_col, threshold=near_dup_threshold)
+    n3 = cleaned.count() if compute_stats else -1
+
+    stats = None
+    if compute_stats:
+        stats = CleanStats(
+            input_docs=n0, after_quality=n1, after_exact=n2,
+            after_near_dup=n3,
+            removed={
+                "low_quality": n0 - n1,
+                "exact_dup": n1 - n2,
+                "near_dup": n2 - n3,
+            })
+    return cleaned, stats

@@ -301,3 +301,25 @@ def test_dedup_clusters_distributed_path(spark):
     dist = {(r.doc_id, r.cluster_id)
             for r in dd.dedup_clusters(pairs, driver_threshold=0).collect()}
     assert fast == dist == {(1, 1), (2, 1), (3, 1), (10, 10), (11, 10)}
+
+
+def test_clean_corpus_pipeline(docs):
+    """End-to-end cleaning: monotone shrink per stage, no near-dup pairs
+    survive at the configured threshold, all survivors meet quality."""
+    from pandas_ai_spark.functions import dedup as dd
+    from pandas_ai_spark.functions import text as tx
+    from pandas_ai_spark.functions.pipeline import clean_corpus
+
+    cleaned, stats = clean_corpus(docs, min_quality=0.5,
+                                  near_dup_threshold=0.5)
+    assert stats.input_docs >= stats.after_quality >= stats.after_exact \
+        >= stats.after_near_dup
+    assert stats.after_near_dup == cleaned.count()
+    assert sum(stats.removed.values()) == stats.input_docs - stats.after_near_dup
+    # survivors all meet the quality bar
+    bad = cleaned.where(
+        tx.quality_score(F.col("text")) < 0.5).count()
+    assert bad == 0
+    # no surviving near-dup pairs at the threshold
+    left = dd.minhash_dedup_pairs(cleaned, threshold=0.5).count()
+    assert left == 0

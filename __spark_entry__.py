@@ -557,6 +557,23 @@ def q32_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q38_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot / crosstab: order totals by priority x status —
+    groupBy().pivot().agg() with explicit pivot values (no extra pass to
+    discover them; at scale always pin the value list)."""
+    orders = _t(spark, sf_dir, "orders")
+    statuses = ["F", "O", "P"]
+    out = (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", statuses)
+        .agg(F.round(F.sum("o_totalprice"), 2))
+    )
+    return out.select(
+        "o_orderpriority",
+        *[F.col(c).alias(f"total_{c.lower()}") for c in statuses],
+    ).orderBy("o_orderpriority")
+
+
 def q37_token_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus vocabulary stats: explode normalized tokens, count, top-100
     — the explode shuffles (token, 1) pairs with map-side combine."""
@@ -699,6 +716,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q35_ann_ivf": q35_ann_ivf,
         "q36_asof_join": q36_asof_join,
         "q37_token_histogram": q37_token_histogram,
+        "q38_pivot": q38_pivot,
     }
 
 
@@ -940,6 +958,16 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT id AS doc_id, min(r) AS cluster_id
             FROM reach GROUP BY id ORDER BY doc_id
+        """,
+        "q38_pivot": """
+            SELECT o_orderpriority,
+                   round(sum(o_totalprice) FILTER (o_orderstatus = 'F'), 2)
+                       AS total_f,
+                   round(sum(o_totalprice) FILTER (o_orderstatus = 'O'), 2)
+                       AS total_o,
+                   round(sum(o_totalprice) FILTER (o_orderstatus = 'P'), 2)
+                       AS total_p
+            FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
         """,
         "q37_token_histogram": f"""
             SELECT tok AS token, count(*) AS n

@@ -557,6 +557,60 @@ def q32_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_Q39 = """
+SELECT user_id, event_id, ts,
+       round(sum(value) OVER w, 2) AS rolling_value,
+       count(*) OVER w AS rolling_n
+FROM events
+WHERE event_type = 'purchase'
+WINDOW w AS (PARTITION BY user_id ORDER BY ts
+             RANGE BETWEEN INTERVAL 1 DAY PRECEDING AND CURRENT ROW)
+ORDER BY user_id, ts, event_id
+""".strip()
+
+
+def q39_rolling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling time-range aggregation (RANGE BETWEEN INTERVAL): per-user
+    1-day trailing purchase totals — the hypertable/continuous-aggregate
+    shape, one shuffle on the partition key."""
+    return _sql(spark, sf_dir, _Q39, ["events"])
+
+
+_Q40 = """
+SELECT coalesce(o_orderpriority, 'ALL') AS priority,
+       coalesce(o_orderstatus, 'ALL') AS status,
+       grouping(o_orderpriority) AS g_pri,
+       grouping(o_orderstatus) AS g_st,
+       count(*) AS n
+FROM orders
+GROUP BY CUBE (o_orderpriority, o_orderstatus)
+ORDER BY priority, status, g_pri, g_st
+""".strip()
+
+
+def q40_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE aggregation — all grouping-set combinations."""
+    return _sql(spark, sf_dir, _Q40, ["orders"])
+
+
+_Q41 = """
+SELECT o.o_orderpriority, count(*) AS n
+FROM orders o
+WHERE EXISTS (
+  SELECT 1 FROM lineitem l
+  WHERE l.l_orderkey = o.o_orderkey AND l.l_discount > 0.09
+)
+GROUP BY o.o_orderpriority
+ORDER BY o.o_orderpriority
+""".strip()
+
+
+def q41_exists_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS subquery (TPC-H Q4 shape) — Catalyst decorrelates
+    to a left-semi join; no per-row subquery execution."""
+    return _sql(spark, sf_dir, _Q41, ["orders", "lineitem"])
+
+
 def q38_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pivot / crosstab: order totals by priority x status —
     groupBy().pivot().agg() with explicit pivot values (no extra pass to
@@ -717,6 +771,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q36_asof_join": q36_asof_join,
         "q37_token_histogram": q37_token_histogram,
         "q38_pivot": q38_pivot,
+        "q39_rolling_window": q39_rolling_window,
+        "q40_cube": q40_cube,
+        "q41_exists_subquery": q41_exists_subquery,
     }
 
 
@@ -959,6 +1016,9 @@ def oracle_sql() -> dict[str, str]:
             SELECT id AS doc_id, min(r) AS cluster_id
             FROM reach GROUP BY id ORDER BY doc_id
         """,
+        "q39_rolling_window": _Q39,
+        "q40_cube": _Q40,
+        "q41_exists_subquery": _Q41,
         "q38_pivot": """
             SELECT o_orderpriority,
                    round(sum(o_totalprice) FILTER (o_orderstatus = 'F'), 2)

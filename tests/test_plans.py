@@ -65,3 +65,8 @@ def test_ann_shuffles_only_candidates(spark):
     assert "MapInPandas" in p
     # candidate exchange is hash-partitioned by query_id for the window
     assert "hashpartitioning(query_id" in p
+
+
+def test_exists_subquery_decorrelates_to_semi_join(spark):
+    p = plan_of(entry.q41_exists_subquery(spark, SF_SMOKE))
+    assert "LeftSemi" in p or "SemiJoin" in p

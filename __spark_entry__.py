@@ -569,6 +569,17 @@ ORDER BY user_id, ts, event_id
 """.strip()
 
 
+def q42_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance fuzzy matching (levenshtein <= 1 over a blocked
+    candidate space) — entity-resolution primitive with length-band
+    pruning before the quadratic join."""
+    from pandas_ai_spark.functions.text import fuzzy_pairs
+
+    cust = _t(spark, sf_dir, "customer").where(F.col("c_custkey") <= 200)
+    return fuzzy_pairs(cust, "c_name", "c_custkey", max_dist=1) \
+        .orderBy("id_a", "id_b")
+
+
 def q39_rolling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling time-range aggregation (RANGE BETWEEN INTERVAL): per-user
     1-day trailing purchase totals — the hypertable/continuous-aggregate
@@ -774,6 +785,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q39_rolling_window": q39_rolling_window,
         "q40_cube": q40_cube,
         "q41_exists_subquery": q41_exists_subquery,
+        "q42_fuzzy_match": q42_fuzzy_match,
     }
 
 
@@ -1015,6 +1027,16 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT id AS doc_id, min(r) AS cluster_id
             FROM reach GROUP BY id ORDER BY doc_id
+        """,
+        "q42_fuzzy_match": """
+            SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+                   levenshtein(a.c_name, b.c_name) AS dist
+            FROM customer a JOIN customer b
+              ON a.c_custkey < b.c_custkey
+             AND abs(length(a.c_name) - length(b.c_name)) <= 1
+            WHERE a.c_custkey <= 200 AND b.c_custkey <= 200
+              AND levenshtein(a.c_name, b.c_name) <= 1
+            ORDER BY id_a, id_b
         """,
         "q39_rolling_window": _Q39,
         "q40_cube": _Q40,

@@ -177,3 +177,34 @@ def with_text_stats(df: DataFrame, text_col: str = "text",
         detect_language(c).alias("lang_detected"),
         fingerprint(c).alias("fingerprint"),
     )
+
+
+def fuzzy_pairs(df, col: str, id_col: str, max_dist: int = 2,
+                block_col=None):
+    """Pairs of rows whose ``col`` values are within ``max_dist`` edit
+    distance (Levenshtein, JVM builtin).
+
+    Blocking keeps this off the O(N²) cliff: candidates must agree on
+    ``block_col`` when given, and always satisfy the length-band bound
+    ``|len(a)−len(b)| ≤ max_dist`` (a necessary condition for edit
+    distance, pruned BEFORE the quadratic join). At web scale add a
+    stronger blocker (first-k-chars, phonetic key, LSH) as block_col.
+    """
+    from pyspark.sql import functions as F
+
+    base = df.select(F.col(id_col), F.col(col),
+                     F.length(col).alias("__len"),
+                     *([F.col(block_col)] if block_col else []))
+    l, r = base.alias("l"), base.alias("r")
+    cond = (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")) & \
+           (F.abs(F.col("l.__len") - F.col("r.__len")) <= max_dist)
+    if block_col:
+        cond = cond & (F.col(f"l.{block_col}") == F.col(f"r.{block_col}"))
+    return (
+        l.join(r, cond)
+        .withColumn("dist", F.levenshtein(F.col(f"l.{col}"),
+                                          F.col(f"r.{col}")))
+        .where(F.col("dist") <= max_dist)
+        .select(F.col(f"l.{id_col}").alias("id_a"),
+                F.col(f"r.{id_col}").alias("id_b"), "dist")
+    )

@@ -569,6 +569,24 @@ ORDER BY user_id, ts, event_id
 """.strip()
 
 
+_Q43 = """
+SELECT c.c_mktsegment, count(*) AS n_no_big_order
+FROM customer c
+WHERE NOT EXISTS (
+  SELECT 1 FROM orders o
+  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000
+)
+GROUP BY c.c_mktsegment
+ORDER BY c.c_mktsegment
+""".strip()
+
+
+def q43_not_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT EXISTS (customers with no high-value order) — Catalyst\n    decorrelates to a
+    left-anti join; the complement of q41's semi-join."""
+    return _sql(spark, sf_dir, _Q43, ["customer", "orders"])
+
+
 def q42_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Edit-distance fuzzy matching (levenshtein <= 1 over a blocked
     candidate space) — entity-resolution primitive with length-band
@@ -786,6 +804,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q40_cube": q40_cube,
         "q41_exists_subquery": q41_exists_subquery,
         "q42_fuzzy_match": q42_fuzzy_match,
+        "q43_not_exists": q43_not_exists,
     }
 
 
@@ -1028,6 +1047,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT id AS doc_id, min(r) AS cluster_id
             FROM reach GROUP BY id ORDER BY doc_id
         """,
+        "q43_not_exists": _Q43,
         "q42_fuzzy_match": """
             SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
                    levenshtein(a.c_name, b.c_name) AS dist

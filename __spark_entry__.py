@@ -569,6 +569,45 @@ ORDER BY user_id, ts, event_id
 """.strip()
 
 
+def q45_winnow_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing (MOSS) fingerprint candidates — catches long verbatim
+    spans that set-based Jaccard dilutes (no SQL oracle: the winnow
+    min-window selection isn't SQL-expressible; the winnowing guarantee
+    is property-tested in tests/test_functions.py)."""
+    from pandas_ai_spark.functions import dedup as dd
+
+    docs = _t(spark, sf_dir, "documents")
+    return dd.winnow_candidates(docs, k=8, w=4) \
+        .orderBy("id_a", "id_b")
+
+
+def q44_mad_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median absolute deviation of purchase value per user — no Spark
+    builtin exists, so this exercises the grouped-map path
+    (applyInPandas): one Arrow batch per group, numpy medians inside.
+    Oracle: DuckDB's native mad()."""
+    import numpy as np
+    import pandas as pd
+
+    ev = _t(spark, sf_dir, "events").where(
+        F.col("event_type") == "purchase").select("user_id", "value")
+
+    def mad(pdf: pd.DataFrame) -> pd.DataFrame:
+        v = pdf["value"].to_numpy(dtype=float)
+        med = np.median(v)
+        return pd.DataFrame({
+            "user_id": [pdf["user_id"].iloc[0]],
+            "mad": [round(float(np.median(np.abs(v - med))), 4)],
+            "n": [len(v)],
+        })
+
+    return (
+        ev.groupBy("user_id")
+        .applyInPandas(mad, "user_id long, mad double, n long")
+        .orderBy("user_id")
+    )
+
+
 _Q43 = """
 SELECT c.c_mktsegment, count(*) AS n_no_big_order
 FROM customer c
@@ -805,6 +844,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q41_exists_subquery": q41_exists_subquery,
         "q42_fuzzy_match": q42_fuzzy_match,
         "q43_not_exists": q43_not_exists,
+        "q44_mad_per_user": q44_mad_per_user,
+        "q45_winnow_candidates": q45_winnow_candidates,
     }
 
 
@@ -1046,6 +1087,11 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT id AS doc_id, min(r) AS cluster_id
             FROM reach GROUP BY id ORDER BY doc_id
+        """,
+        "q44_mad_per_user": """
+            SELECT user_id, round(mad(value), 4) AS mad, count(*) AS n
+            FROM events WHERE event_type = 'purchase'
+            GROUP BY user_id ORDER BY user_id
         """,
         "q43_not_exists": _Q43,
         "q42_fuzzy_match": """

@@ -581,3 +581,58 @@ def minhash_dedup_transitive(df: DataFrame, text_col: str = "text",
     losers = clusters.where(F.col("doc_id") != F.col("cluster_id")) \
                      .select(F.col("doc_id").alias(id_col))
     return df.join(losers, id_col, "left_anti")
+
+
+def winnow_hash_udf(k: int = 8, w: int = 4):
+    """tokens → distinct winnowed fingerprints (MOSS/winnowing): rolling
+    k-gram hashes, keep the min of every w-window. Guarantee: any shared
+    token run of length ≥ k + w − 1 produces at least one shared
+    fingerprint; fingerprint density ≈ 2/(w+1) of the k-grams."""
+    import hashlib
+
+    def h64(g: str) -> int:
+        v = int.from_bytes(hashlib.md5(g.encode()).digest()[:8], "little")
+        return v - (1 << 64) if v >= (1 << 63) else v
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def f(toks: pd.Series) -> pd.Series:
+        def one(ts) -> list:
+            if ts is None or len(ts) == 0:
+                return []
+            ts = list(ts)
+            if len(ts) < k:
+                return [h64(" ".join(ts))]
+            hs = [h64(" ".join(ts[i:i + k]))
+                  for i in range(len(ts) - k + 1)]
+            if len(hs) <= w:
+                return [min(hs)]
+            sel = set()
+            for i in range(len(hs) - w + 1):
+                sel.add(min(hs[i:i + w]))
+            return list(sel)
+
+        return toks.map(one)
+
+    return f
+
+
+def winnow_candidates(df: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id", k: int = 8,
+                      w: int = 4) -> DataFrame:
+    """Candidate near-dup pairs sharing ≥1 winnowed fingerprint — the
+    substring-overlap detector (catches long verbatim spans that word-set
+    Jaccard dilutes away). Same inverted-index join shape as the n-gram
+    path; index volume is only ~2/(w+1) of the k-gram count."""
+    fp = df.select(
+        F.col(id_col),
+        F.explode(winnow_hash_udf(k, w)(
+            _norm_tokens(F.col(text_col)))).alias("__fp"),
+    )
+    l, r = fp.alias("l"), fp.alias("r")
+    return (
+        l.join(r, F.col("l.__fp") == F.col("r.__fp"))
+        .where(F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
+        .groupBy(F.col(f"l.{id_col}").alias("id_a"),
+                 F.col(f"r.{id_col}").alias("id_b"))
+        .agg(F.count("*").alias("shared_fingerprints"))
+    )

@@ -323,3 +323,34 @@ def test_clean_corpus_pipeline(docs):
     # no surviving near-dup pairs at the threshold
     left = dd.minhash_dedup_pairs(cleaned, threshold=0.5).count()
     assert left == 0
+
+
+def test_winnowing_guarantee(spark):
+    """Docs sharing a token run of >= k+w-1 tokens MUST share a winnowed
+    fingerprint (the winnowing theorem); disjoint docs must not pair."""
+    from pandas_ai_spark.functions import dedup as dd
+
+    shared = " ".join(f"tok{i}" for i in range(12))  # 12 >= 8+4-1
+    df = spark.createDataFrame(
+        [(1, "alpha beta " + shared + " gamma"),
+         (2, shared + " delta epsilon zeta"),
+         (3, " ".join(f"other{i}" for i in range(30)))],
+        "doc_id long, text string")
+    pairs = {(r.id_a, r.id_b)
+             for r in dd.winnow_candidates(df, k=8, w=4).collect()}
+    assert (1, 2) in pairs
+    assert all(3 not in p for p in pairs)
+
+
+def test_mad_per_user_matches_pandas(spark):
+    import __spark_entry__ as entry
+    import pandas as pd
+
+    got = entry.q44_mad_per_user(spark, SF_SMOKE).toPandas()
+    ev = spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+    pdf = ev.where("event_type = 'purchase'").select("user_id", "value").toPandas()
+    for uid, grp in pdf.groupby("user_id"):
+        med = grp["value"].median()
+        mad = (grp["value"] - med).abs().median()
+        row = got[got.user_id == uid]
+        assert abs(row["mad"].iloc[0] - round(mad, 4)) < 1e-9

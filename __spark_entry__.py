@@ -569,6 +569,21 @@ ORDER BY user_id, ts, event_id
 """.strip()
 
 
+def q46_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified sampling by language (sampleBy, seeded) — the
+    data-mixing primitive for training-corpus composition. Deterministic
+    per seed; per-stratum rates asserted in tests (no SQL oracle —
+    Spark's sampling RNG isn't reproducible in SQL)."""
+    docs = _t(spark, sf_dir, "documents")
+    fractions = {"en": 0.5, "de": 0.25, "fr": 0.25, "es": 0.25, "zh": 0.1,
+                 "und": 0.1}
+    sample = docs.sampleBy("lang", fractions, seed=42)
+    return (
+        sample.groupBy("lang").agg(F.count("*").alias("n_sampled"))
+        .orderBy("lang")
+    )
+
+
 def q45_winnow_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing (MOSS) fingerprint candidates — catches long verbatim
     spans that set-based Jaccard dilutes (no SQL oracle: the winnow
@@ -846,6 +861,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q43_not_exists": q43_not_exists,
         "q44_mad_per_user": q44_mad_per_user,
         "q45_winnow_candidates": q45_winnow_candidates,
+        "q46_stratified_sample": q46_stratified_sample,
     }
 
 

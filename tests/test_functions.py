@@ -354,3 +354,21 @@ def test_mad_per_user_matches_pandas(spark):
         mad = (grp["value"] - med).abs().median()
         row = got[got.user_id == uid]
         assert abs(row["mad"].iloc[0] - round(mad, 4)) < 1e-9
+
+
+def test_stratified_sample_rates(spark, docs):
+    """sampleBy: per-stratum sampled fraction within statistical tolerance
+    of the requested rate, deterministic for a fixed seed."""
+    fractions = {"en": 0.5, "de": 0.2}
+    base = docs.where(F.col("lang").isin(list(fractions)))
+    totals = {r.lang: r.n for r in
+              base.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    s1 = base.sampleBy("lang", fractions, seed=42)
+    got = {r.lang: r.n for r in
+           s1.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    for lang, frac in fractions.items():
+        rate = got.get(lang, 0) / totals[lang]
+        assert abs(rate - frac) < 0.2, (lang, rate)
+    s2 = {r.doc_id for r in
+          base.sampleBy("lang", fractions, seed=42).select("doc_id").collect()}
+    assert s2 == {r.doc_id for r in s1.select("doc_id").collect()}

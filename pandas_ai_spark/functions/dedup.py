@@ -636,3 +636,30 @@ def winnow_candidates(df: DataFrame, text_col: str = "text",
                  F.col(f"r.{id_col}").alias("id_b"))
         .agg(F.count("*").alias("shared_fingerprints"))
     )
+
+
+def incremental_dedup(
+    new_docs: DataFrame,
+    seen_fingerprints: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    fp_col: str = "fingerprint",
+) -> tuple[DataFrame, DataFrame]:
+    """Dedup a NEW batch against an existing corpus without re-reading it:
+    the corpus is represented only by its fingerprint table (md5 of
+    normalized text — what :func:`fingerprint` produces / what
+    dedup_exact_normalized keys on).
+
+    Returns (novel_docs, updated_fingerprints). One anti-join on the
+    fingerprint (32-byte key, never the text) + within-batch exact dedup
+    first — the standard incremental-ingest shape for a continuously
+    growing training corpus.
+    """
+    batch = dedup_exact_normalized(new_docs, text_col, id_col)
+    keyed = batch.withColumn(
+        fp_col, F.md5(normalize_text(F.col(text_col))))
+    novel = keyed.join(
+        seen_fingerprints.select(fp_col), fp_col, "left_anti")
+    updated = seen_fingerprints.select(fp_col).unionByName(
+        novel.select(fp_col)).distinct()
+    return novel.drop(fp_col), updated

@@ -372,3 +372,59 @@ def test_stratified_sample_rates(spark, docs):
     s2 = {r.doc_id for r in
           base.sampleBy("lang", fractions, seed=42).select("doc_id").collect()}
     assert s2 == {r.doc_id for r in s1.select("doc_id").collect()}
+
+
+def test_incremental_dedup(spark):
+    from pandas_ai_spark.functions import dedup as dd
+    from pandas_ai_spark.functions.text import fingerprint
+
+    corpus = spark.createDataFrame(
+        [(1, "the quick brown fox"), (2, "hello world")],
+        "doc_id long, text string")
+    seen = corpus.select(fingerprint(F.col("text")).alias("fingerprint"))
+    batch = spark.createDataFrame(
+        [(10, "HELLO,   world!"),      # dup of doc 2 after normalization
+         (11, "a genuinely new doc"),
+         (12, "a genuinely new doc"),  # within-batch dup of 11
+         (13, "another new one")],
+        "doc_id long, text string")
+    novel, updated = dd.incremental_dedup(batch, seen)
+    assert {r.doc_id for r in novel.collect()} == {11, 13}
+    assert updated.count() == 4  # 2 old + 2 new fingerprints
+
+
+def test_write_range_sorted_disjoint_files(spark, tmp_path):
+    """Range-sorted layout: per-file key ranges must be disjoint, so a
+    point predicate can skip all but one file."""
+    import pyarrow.parquet as pq
+    import glob
+
+    from pandas_ai_spark.sources.layout import write_range_sorted
+
+    orders = spark.read.parquet(f"{SF_SMOKE}/orders.parquet")
+    out = str(tmp_path / "orders_sorted")
+    write_range_sorted(orders, out, "o_orderkey", num_files=4)
+    ranges = []
+    for f in glob.glob(f"{out}/*.parquet"):
+        md = pq.ParquetFile(f).metadata
+        col_idx = [md.schema.column(i).name
+                   for i in range(md.num_columns)].index("o_orderkey")
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(col_idx).statistics
+            mins.append(st.min); maxs.append(st.max)
+        ranges.append((min(mins), max(maxs)))
+    ranges.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 < lo2  # disjoint
+
+
+def test_write_partitioned_prunes(spark, tmp_path, docs):
+    from pandas_ai_spark.sources.layout import write_partitioned
+
+    out = str(tmp_path / "docs_by_lang")
+    write_partitioned(docs, out, ["lang"])
+    back = spark.read.parquet(out).where(F.col("lang") == "en")
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(lang" in plan
+    assert back.count() == docs.where("lang = 'en'").count()

@@ -55,6 +55,7 @@ class DataFrame:
         self.schema = schema or self.get_default_schema(df)
         self.path = path
         self._head_cache: Optional[SparkDataFrame] = None
+        self._head_cache_n = 0
 
     # -- reference API surface ------------------------------------------------
 
@@ -69,8 +70,11 @@ class DataFrame:
     def head(self, n: int = 5):
         """First n rows as pandas (prompt serialization uses this). Cached,
         matching VirtualDataFrame._head memoization."""
-        if self._head_cache is None:
-            self._head_cache = self.df.limit(5).cache()
+        if self._head_cache is None or n > self._head_cache_n:
+            if self._head_cache is not None:
+                self._head_cache.unpersist()
+            self._head_cache_n = max(n, 5)
+            self._head_cache = self.df.limit(self._head_cache_n).cache()
         return self._head_cache.limit(n).toPandas()
 
     @property

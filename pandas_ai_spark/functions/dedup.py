@@ -141,13 +141,46 @@ def _affine_params(num_hashes: int, seed: int = 42):
     return a, b
 
 
+_M61 = np.uint64(_MERSENNE61)
+_U61, _U32, _U29, _U3 = (np.uint64(61), np.uint64(32), np.uint64(29),
+                         np.uint64(3))
+_MASK32 = np.uint64(0xFFFFFFFF)
+_MASK29 = np.uint64((1 << 29) - 1)
+
+
+def _mod_m61(x):
+    """x mod 2^61−1 for uint64 arrays (x < 2^64)."""
+    x = (x & _M61) + (x >> _U61)
+    return x - np.asarray(x >= _M61, dtype=np.uint64) * _M61
+
+
+def _mulmod_m61(a, x):
+    """(a·x) mod 2^61−1 with a, x < 2^61, in pure uint64 arithmetic.
+
+    The 122-bit product is split 32/32: with a = a_hi·2^32 + a_lo and
+    x = x_hi·2^32 + x_lo, a·x = a_hi·x_hi·2^64 + (a_hi·x_lo +
+    a_lo·x_hi)·2^32 + a_lo·x_lo, and mod M61 the power-of-two factors
+    become 61-bit rotations (2^61 ≡ 1). No intermediate exceeds 2^63.
+    """
+    a_hi, a_lo = a >> _U32, a & _MASK32
+    x_hi, x_lo = x >> _U32, x & _MASK32
+    t1 = (a_hi * x_hi) << _U3                      # ·2^64 ≡ ·8; < 2^61
+    t2 = _mod_m61(a_hi * x_lo + a_lo * x_hi)       # < 2^61
+    r2 = ((t2 & _MASK29) << _U32) | (t2 >> _U29)   # ·2^32 as 61-bit rot
+    r3 = _mod_m61(a_lo * x_lo)
+    return _mod_m61(t1 + r2 + r3)
+
+
 def minhash_signature_udf(num_hashes: int = 128, seed: int = 42):
     """array<bigint> shingle hashes → array<bigint> min-hash signature.
 
-    Standard affine family h_i(x) = (a_i·x + b_i) mod (2^61−1) over the
-    single base hash, computed as one numpy outer product per document —
-    replaces ``num_hashes`` separate Catalyst array traversals (measured
-    ~10× faster at sf0.1)."""
+    Exact affine family h_i(x) = (a_i·x + b_i) mod (2^61−1): the base
+    hash is first reduced mod M61, then multiplied via
+    :func:`_mulmod_m61` (122-bit split multiply — a plain uint64 product
+    would wrap mod 2^64 first and leave the stated hash family, biasing
+    min-wise independence). One numpy pass per document replaces
+    ``num_hashes`` separate Catalyst array traversals (measured ~10×
+    faster at sf0.1)."""
     a, b = _affine_params(num_hashes, seed)
 
     @F.pandas_udf(T.ArrayType(T.LongType()))
@@ -157,8 +190,8 @@ def minhash_signature_udf(num_hashes: int = 128, seed: int = 42):
         def one(hs) -> list:
             if hs is None or len(hs) == 0:
                 return empty
-            h = np.asarray(hs, dtype=np.int64).astype(np.uint64)
-            vals = (h[:, None] * a[None, :] + b[None, :]) % _MERSENNE61
+            h = _mod_m61(np.asarray(hs, dtype=np.int64).astype(np.uint64))
+            vals = _mod_m61(_mulmod_m61(h[:, None], a[None, :]) + b[None, :])
             return vals.min(axis=0).astype(np.int64).tolist()
 
         return hashes.map(one)

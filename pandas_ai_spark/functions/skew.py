@@ -45,7 +45,17 @@ def salted_join(
 
     The salt is derived from a hash of monotonically increasing row id —
     deterministic within a run without an extra random column.
+
+    Only probe-preserving join types are supported: with ``right``/
+    ``full``, an unmatched build row would surface once per salt replica
+    (duplicated null-extended rows), so those raise.
     """
+    if how not in ("inner", "left", "left_outer", "left_semi", "left_anti",
+                   "semi", "anti", "cross"):
+        raise ValueError(
+            f"salted_join supports probe-preserving joins only, not "
+            f"'{how}': the replicated build side would emit unmatched "
+            f"build rows once per salt bucket")
     if salt < 2:
         return probe.join(build, probe.df[probe_key] == build[build_key]
                           if hasattr(probe, "df") else

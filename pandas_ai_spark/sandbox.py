@@ -7,16 +7,33 @@ SQL is pre-executed on the host — the sandbox never gets cluster
 credentials — and only the *results* (serialized frames) cross into the
 restricted environment, with ``execute_sql_query`` shimmed to read them.
 
-``RestrictedSandbox`` is the bundled implementation: same
-pre-execute-and-ship design, run in-process under a minimal builtins
-environment (no imports beyond an allowlist, no file/network access
-through provided globals). A container sandbox can subclass and override
-``_run`` (docker isn't available in this environment — import-gated).
+Two implementations:
+
+- ``RestrictedSandbox`` — in-process: AST-gated (imports allowlisted,
+  dunder attribute access and introspection builtins rejected before
+  exec) plus a reduced builtins dict. This is *convenience isolation*
+  against accidental misuse, not a hard security boundary — CPython
+  offers no in-process jail; anything security-critical should use
+  ``SubprocessSandbox``.
+- ``SubprocessSandbox`` — process isolation (the no-Docker analogue of
+  the reference's container sandbox): same pre-execute-and-ship design,
+  but the code runs in a ``python -I`` child with resource rlimits
+  (address space / CPU / file descriptors), a scrubbed environment (no
+  inherited env vars, so no credentials), sockets disabled, and the same
+  AST gate applied inside the child. Results cross back over a pickle
+  pipe read through a restricted unpickler (numpy/pandas/builtin types
+  only).
 """
 
 from __future__ import annotations
 
 import ast
+import io
+import os
+import pickle
+import subprocess
+import sys
+import tempfile
 from abc import ABC, abstractmethod
 from typing import Any, Callable
 
@@ -56,6 +73,53 @@ def extract_sql_from_code(code: str) -> list[str]:
     return out
 
 
+# Imports the generated code may perform (reference WHITELISTED_LIBRARIES
+# notion: pandas/numpy/plotting plus pure-computation stdlib).
+_ALLOWED_IMPORTS = {
+    "math", "re", "json", "datetime", "statistics", "itertools",
+    "functools", "collections", "random", "numpy", "pandas",
+    "matplotlib", "matplotlib.pyplot",
+}
+
+# Builtins that defeat any in-process restriction if reachable.
+_BANNED_CALLS = {
+    "eval", "exec", "compile", "open", "input", "breakpoint", "globals",
+    "locals", "vars", "getattr", "setattr", "delattr", "__import__",
+    "memoryview", "exit", "quit", "help",
+}
+
+
+def assert_code_safe(code: str) -> None:
+    """AST gate run *before* exec: rejects non-allowlisted imports, any
+    dunder attribute access (``().__class__.__base__...`` escapes), and
+    introspection builtins. Raises :class:`SandboxError`."""
+    try:
+        tree = ast.parse(code)
+    except SyntaxError as exc:
+        raise SandboxError(f"SyntaxError: {exc}") from exc
+    for node in ast.walk(tree):
+        if isinstance(node, ast.Import):
+            for a in node.names:
+                if a.name not in _ALLOWED_IMPORTS:
+                    raise SandboxError(f"import of '{a.name}' not allowed")
+        elif isinstance(node, ast.ImportFrom):
+            mod = node.module or ""
+            if mod not in _ALLOWED_IMPORTS and \
+                    mod.split(".")[0] not in _ALLOWED_IMPORTS:
+                raise SandboxError(f"import from '{mod}' not allowed")
+        elif isinstance(node, ast.Attribute):
+            if node.attr.startswith("__"):
+                raise SandboxError(
+                    f"dunder attribute access '{node.attr}' not allowed")
+        elif isinstance(node, ast.Name):
+            if node.id.startswith("__") and node.id != "__name__":
+                raise SandboxError(f"dunder name '{node.id}' not allowed")
+        elif isinstance(node, ast.Call):
+            if isinstance(node.func, ast.Name) and \
+                    node.func.id in _BANNED_CALLS:
+                raise SandboxError(f"call to '{node.func.id}' not allowed")
+
+
 _SAFE_BUILTINS = {
     "abs", "all", "any", "bool", "dict", "enumerate", "filter", "float",
     "format", "frozenset", "int", "len", "list", "map", "max", "min",
@@ -66,9 +130,12 @@ _SAFE_BUILTINS = {
 
 
 class RestrictedSandbox(Sandbox):
-    """Pre-execute SQL host-side, then run the code with shimmed
-    ``execute_sql_query`` and a reduced builtins set (no ``open``, no
-    ``__import__`` beyond the provided pd/np)."""
+    """Pre-execute SQL host-side, then run the code in-process behind the
+    AST gate (:func:`assert_code_safe`) with a reduced builtins set.
+
+    Convenience isolation only — same trust level as the reference's
+    in-process default. For a real boundary use :class:`SubprocessSandbox`.
+    """
 
     def execute(self, code: str, env: dict[str, Any]) -> dict[str, Any]:
         if not self._started:
@@ -76,6 +143,7 @@ class RestrictedSandbox(Sandbox):
         host_sql: Callable = env.get("execute_sql_query")
         if host_sql is None:
             raise SandboxError("env must provide execute_sql_query")
+        assert_code_safe(code)
         results = {sql: host_sql(sql) for sql in extract_sql_from_code(code)}
 
         def shimmed(sql: str):
@@ -87,6 +155,9 @@ class RestrictedSandbox(Sandbox):
         import builtins as _b
         safe_builtins = {n: getattr(_b, n) for n in _SAFE_BUILTINS
                          if hasattr(_b, n)}
+        # AST gate rejects `import` of anything outside _ALLOWED_IMPORTS;
+        # the gated imports still need a working __import__ at runtime.
+        safe_builtins["__import__"] = _b.__import__
         sandbox_env = {k: v for k, v in env.items()
                        if k != "execute_sql_query"}
         sandbox_env["execute_sql_query"] = shimmed
@@ -98,3 +169,193 @@ class RestrictedSandbox(Sandbox):
         if "result" not in sandbox_env:
             raise SandboxError("code did not set `result`")
         return sandbox_env["result"]
+
+
+# --------------------------------------------------------------------------
+# Subprocess isolation
+# --------------------------------------------------------------------------
+
+# Modules a child result pickle may reference. Anything else (os,
+# subprocess, ...) fails to unpickle — a compromised child can't run code
+# in the parent via the return channel.
+_UNPICKLE_ALLOWED_PREFIXES = (
+    "builtins", "numpy", "pandas", "datetime", "collections",
+    "pandas.core", "pandas._libs", "numpy.core", "numpy._core",
+)
+_UNPICKLE_BANNED = {("builtins", "eval"), ("builtins", "exec"),
+                    ("builtins", "open"), ("builtins", "compile"),
+                    ("builtins", "__import__"), ("builtins", "getattr")}
+
+
+class _SafeUnpickler(pickle.Unpickler):
+    def find_class(self, module: str, name: str):  # noqa: D102
+        if (module, name) in _UNPICKLE_BANNED:
+            raise pickle.UnpicklingError(f"banned global {module}.{name}")
+        if module.split(".")[0] not in {p.split(".")[0]
+                                        for p in _UNPICKLE_ALLOWED_PREFIXES}:
+            raise pickle.UnpicklingError(
+                f"global {module}.{name} not in sandbox allowlist")
+        return super().find_class(module, name)
+
+
+def _safe_loads(data: bytes) -> Any:
+    return _SafeUnpickler(io.BytesIO(data)).load()
+
+
+# Harness executed as the child's __main__ under `python -I`. Receives a
+# pickled {code, sql_results} payload on stdin; applies rlimits, disables
+# sockets, AST-gates the code again (defense in depth), execs, and writes
+# a pickled {ok, result | error} to stdout.
+_CHILD_HARNESS = r"""
+import io, pickle, sys
+
+payload = pickle.load(sys.stdin.buffer)
+# -I wipes sys.path of env influence; re-add only the package root.
+sys.path.insert(0, payload["pkg_root"])
+out = sys.stdout.buffer
+sys.stdout = sys.stderr  # user print() goes to stderr, not the pipe
+
+def _reply(obj):
+    pickle.dump(obj, out, protocol=4)
+    out.flush()
+
+try:
+    import resource
+    mem = payload.get("mem_bytes")
+    if mem:
+        resource.setrlimit(resource.RLIMIT_AS, (mem, mem))
+    cpu = payload.get("cpu_sec")
+    if cpu:
+        resource.setrlimit(resource.RLIMIT_CPU, (cpu, cpu))
+    resource.setrlimit(resource.RLIMIT_NOFILE, (256, 256))
+except Exception:
+    pass
+
+# Disable network: socket construction raises. Stays a class so ssl's
+# `class SSLSocket(socket.socket)` still imports.
+import socket as _socket
+class _NoSocket(_socket.socket):
+    def __init__(self, *a, **k):
+        raise OSError("network access is disabled in the sandbox")
+def _no_conn(*a, **k):
+    raise OSError("network access is disabled in the sandbox")
+_socket.socket = _NoSocket
+_socket.create_connection = _no_conn
+_socket.socketpair = _no_conn
+
+from pandas_ai_spark.sandbox import (SandboxError, _SAFE_BUILTINS,
+                                     assert_code_safe)
+
+code = payload["code"]
+sql_results = payload["sql_results"]
+
+def execute_sql_query(sql):
+    if sql not in sql_results:
+        raise SandboxError(
+            "dynamic SQL is not available inside SubprocessSandbox; "
+            "pass SQL as a string literal so the host can pre-execute it")
+    return sql_results[sql]
+
+try:
+    assert_code_safe(code)
+    import builtins as _b
+    safe_builtins = {n: getattr(_b, n) for n in _SAFE_BUILTINS
+                     if hasattr(_b, n)}
+    safe_builtins["__import__"] = _b.__import__
+    env = {"execute_sql_query": execute_sql_query,
+           "__builtins__": safe_builtins}
+    import numpy as np
+    import pandas as pd
+    env["pd"] = pd
+    env["np"] = np
+    try:
+        import matplotlib
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+        env["plt"] = plt
+    except ImportError:
+        pass
+    exec(code, env)
+    if "result" not in env:
+        raise SandboxError("code did not set `result`")
+    _reply({"ok": True, "result": env["result"]})
+except Exception as exc:
+    _reply({"ok": False, "error": f"{type(exc).__name__}: {exc}"})
+"""
+
+
+class SubprocessSandbox(Sandbox):
+    """Process-isolated sandbox — the no-Docker analogue of the
+    reference's ``DockerSandbox`` (docker_sandbox.py:106-206).
+
+    Same data-flow contract as the container design: SQL literals are
+    pre-executed on the host (the child never sees a SparkSession or
+    credentials); only serialized result frames are shipped in. The child
+    runs ``python -I`` (isolated mode: no user site, no PYTHONPATH pickup
+    beyond what we pass) with:
+
+    - a scrubbed environment — no inherited env vars, so API keys in the
+      parent's environment cannot be read or exfiltrated;
+    - rlimits on address space (default 2 GiB), CPU time, and open fds;
+    - socket creation disabled (plus the AST import gate, which already
+      rejects ``import socket``);
+    - the same :func:`assert_code_safe` AST gate, applied child-side too;
+    - results returned through :class:`_SafeUnpickler` (numpy/pandas/
+      builtin types only), so a compromised child can't execute code in
+      the parent via the pickle channel.
+
+    Dynamic (non-literal) SQL raises inside the child — by design there
+    is no callback channel to the host, matching the container sandbox.
+    Charts are written under the working directory (the designed output
+    channel, as the container smuggles charts back via base64).
+    """
+
+    def __init__(self, timeout_sec: float = 60.0,
+                 mem_bytes: int = 2 << 30, cpu_sec: int = 30):
+        super().__init__()
+        self.timeout_sec = timeout_sec
+        self.mem_bytes = mem_bytes
+        self.cpu_sec = cpu_sec
+
+    def execute(self, code: str, env: dict[str, Any]) -> dict[str, Any]:
+        if not self._started:
+            self.start()
+        host_sql: Callable = env.get("execute_sql_query")
+        if host_sql is None:
+            raise SandboxError("env must provide execute_sql_query")
+        assert_code_safe(code)
+        sql_results = {sql: host_sql(sql)
+                       for sql in extract_sql_from_code(code)}
+        # -I ignores PYTHONPATH; the harness needs the package importable
+        # for the shared AST gate, so its root rides in the payload.
+        pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        payload = pickle.dumps(
+            {"code": code, "sql_results": sql_results,
+             "mem_bytes": self.mem_bytes, "cpu_sec": self.cpu_sec,
+             "pkg_root": pkg_root},
+            protocol=4)
+        child_env = {
+            "HOME": tempfile.gettempdir(),
+            "MPLCONFIGDIR": tempfile.gettempdir(),
+        }
+        try:
+            proc = subprocess.run(
+                [sys.executable, "-I", "-c", _CHILD_HARNESS],
+                input=payload, capture_output=True,
+                timeout=self.timeout_sec, env=child_env, cwd=os.getcwd(),
+            )
+        except subprocess.TimeoutExpired as exc:
+            raise SandboxError(
+                f"sandboxed code exceeded {self.timeout_sec}s") from exc
+        if not proc.stdout:
+            tail = proc.stderr.decode(errors="replace")[-500:]
+            raise SandboxError(
+                f"sandbox child died (rc={proc.returncode}): {tail}")
+        try:
+            reply = _safe_loads(proc.stdout)
+        except Exception as exc:
+            raise SandboxError(
+                f"sandbox returned undecodable result: {exc}") from exc
+        if not reply.get("ok"):
+            raise SandboxError(reply.get("error", "unknown sandbox error"))
+        return reply["result"]

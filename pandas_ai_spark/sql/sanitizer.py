@@ -43,6 +43,17 @@ _BLOCKED_PATTERNS = [
     r"\bSLEEP\s*\(",
     r"\bBENCHMARK\s*\(",
     r"\bPG_SLEEP\s*\(",
+    # JVM reflection escape hatches: java_method('java.lang.System','getenv',
+    # ...) would execute arbitrary static methods (env exfiltration, Thread
+    # .sleep DoS) straight through the SELECT-only gate. Spark also exposes
+    # them under the 'reflect' alias.
+    r"\bREFLECT\s*\(",
+    r"\bJAVA_METHOD\s*\(",
+    # Session info disclosure (reference blocks USER()/VERSION() similarly,
+    # sql_sanitizer.py:69-80).
+    r"\bCURRENT_USER\b",
+    r"\bSESSION_USER\b",
+    r"\bVERSION\s*\(",
     r"\bWAITFOR\b",
     r"\bXP_CMDSHELL\b",
     r"\bSHUTDOWN\b",

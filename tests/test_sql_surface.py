@@ -45,6 +45,13 @@ UNSAFE = [
     "GRANT ALL ON orders TO PUBLIC",
     "CACHE TABLE orders",
     "EXPORT DATABASE 'x'",
+    # JVM reflection escape hatches (env exfiltration / Thread.sleep DoS)
+    "SELECT java_method('java.lang.System','getenv','PATH')",
+    "SELECT reflect('java.lang.Thread','sleep',1000)",
+    "SELECT REFLECT ('java.lang.System','getenv','HOME')",
+    "SELECT current_user()",
+    "SELECT session_user()",
+    "SELECT version()",
 ]
 
 

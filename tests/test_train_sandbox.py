@@ -91,10 +91,33 @@ def test_sandbox_preexecutes_sql(orders, spark):
 def test_sandbox_blocks_open_and_import():
     sb = RestrictedSandbox()
     env = {"execute_sql_query": lambda sql: None}
-    with pytest.raises(SandboxError, match="NameError|ImportError"):
+    with pytest.raises(SandboxError, match="open"):
         sb.execute("execute_sql_query\nopen('/etc/passwd')\nresult={}", env)
-    with pytest.raises(SandboxError):
+    with pytest.raises(SandboxError, match="import"):
         sb.execute("execute_sql_query\nimport os\nresult={}", env)
+
+
+def test_sandbox_blocks_dunder_escape():
+    """The classic in-process jailbreak — ().__class__.__base__
+    .__subclasses__() reaching subprocess.Popen — is rejected at the AST
+    gate, before exec."""
+    sb = RestrictedSandbox()
+    env = {"execute_sql_query": lambda sql: None}
+    escape = ("cls = ().__class__.__base__.__subclasses__()\n"
+              "result = {}")
+    with pytest.raises(SandboxError, match="dunder"):
+        sb.execute(escape, env)
+    with pytest.raises(SandboxError, match="getattr"):
+        sb.execute("x = getattr(int, 'mro')\nresult = {}", env)
+    with pytest.raises(SandboxError, match="dunder"):
+        sb.execute("b = __builtins__\nresult = {}", env)
+
+
+def test_sandbox_allows_whitelisted_import():
+    sb = RestrictedSandbox()
+    res = sb.execute("import math\nresult = {'v': math.floor(2.7)}",
+                     {"execute_sql_query": lambda sql: None})
+    assert res["v"] == 2
 
 
 def test_sandbox_requires_result():
@@ -116,3 +139,123 @@ def test_agent_with_sandbox_end_to_end(orders):
 def test_sandbox_is_abstract():
     with pytest.raises(TypeError):
         Sandbox()
+
+
+# -- subprocess sandbox ----------------------------------------------------
+
+def _host_sql_factory(spark, orders):
+    from pandas_ai_spark.sql import SQLExecutor
+
+    ex = SQLExecutor(spark)
+    ex.register("orders", orders.df)
+    return lambda sql: ex.execute(sql).toPandas()
+
+
+def test_subprocess_sandbox_end_to_end(orders, spark):
+    from pandas_ai_spark.sandbox import SubprocessSandbox
+
+    sb = SubprocessSandbox()
+    code = (
+        'df = execute_sql_query("SELECT count(*) AS n FROM orders")\n'
+        'result = {"type": "number", "value": int(df["n"][0])}\n'
+    )
+    res = sb.execute(code, {"execute_sql_query":
+                            _host_sql_factory(spark, orders)})
+    assert res["value"] == 1500
+
+
+def test_subprocess_sandbox_returns_dataframe(orders, spark):
+    from pandas_ai_spark.sandbox import SubprocessSandbox
+
+    sb = SubprocessSandbox()
+    code = (
+        'df = execute_sql_query('
+        '"SELECT o_orderpriority, count(*) AS n FROM orders '
+        'GROUP BY o_orderpriority")\n'
+        'result = {"type": "dataframe", "value": df.sort_values("n")}\n'
+    )
+    res = sb.execute(code, {"execute_sql_query":
+                            _host_sql_factory(spark, orders)})
+    assert res["type"] == "dataframe"
+    assert res["value"]["n"].sum() == 1500
+
+
+def test_subprocess_sandbox_blocks_escapes():
+    from pandas_ai_spark.sandbox import SubprocessSandbox
+
+    sb = SubprocessSandbox()
+    env = {"execute_sql_query": lambda sql: None}
+    # file read
+    with pytest.raises(SandboxError, match="open"):
+        sb.execute("x = open('/etc/passwd').read()\nresult={}", env)
+    # socket / os import
+    with pytest.raises(SandboxError, match="import"):
+        sb.execute("import socket\nresult={}", env)
+    with pytest.raises(SandboxError, match="import"):
+        sb.execute("import os\nresult={}", env)
+    # dunder crawl
+    with pytest.raises(SandboxError, match="dunder"):
+        sb.execute("result = {'v': ().__class__.__base__}", env)
+
+
+def test_subprocess_sandbox_no_dynamic_sql(orders, spark):
+    """Non-literal SQL has no host callback channel (container design)."""
+    from pandas_ai_spark.sandbox import SubprocessSandbox
+
+    sb = SubprocessSandbox()
+    code = ('q = "SELECT count(*) AS n FROM " + "orders"\n'
+            'df = execute_sql_query(q)\nresult = {}')
+    with pytest.raises(SandboxError, match="dynamic SQL"):
+        sb.execute(code, {"execute_sql_query":
+                          _host_sql_factory(spark, orders)})
+
+
+def test_subprocess_sandbox_env_scrubbed(orders, spark, monkeypatch):
+    """Parent env vars (credentials) are invisible to the child even via
+    an allowlisted module that exposes environ indirectly."""
+    import subprocess as sp
+    import sys
+
+    monkeypatch.setenv("FAKE_API_KEY", "sekret")
+    # direct probe of the harness env: run the same scrubbed-env child and
+    # confirm the var is absent
+    from pandas_ai_spark import sandbox as sbmod
+
+    sb = sbmod.SubprocessSandbox()
+    captured = {}
+    real_run = sp.run
+
+    def spy_run(*a, **k):
+        captured.update(k.get("env") or {})
+        return real_run(*a, **k)
+
+    monkeypatch.setattr(sp, "run", spy_run)
+    sb.execute("result = {'v': 1}", {"execute_sql_query": lambda s: None})
+    assert "FAKE_API_KEY" not in captured
+    assert set(captured) == {"HOME", "MPLCONFIGDIR"}
+
+
+def test_agent_with_subprocess_sandbox(orders):
+    from pandas_ai_spark.sandbox import SubprocessSandbox
+
+    llm = FakeLLM(
+        '```python\n'
+        'df = execute_sql_query("SELECT count(*) AS n FROM orders")\n'
+        'result = {"type": "number", "value": int(df["n"][0])}\n```')
+    agent = Agent([orders], llm=llm, sandbox=SubprocessSandbox())
+    resp = agent.chat("count")
+    assert resp.value == 1500
+
+
+def test_safe_unpickler_rejects_dangerous_globals():
+    import pickle
+
+    from pandas_ai_spark.sandbox import _safe_loads
+
+    class Evil:
+        def __reduce__(self):
+            import os
+            return (os.system, ("true",))
+
+    with pytest.raises(Exception, match="allowlist|banned"):
+        _safe_loads(pickle.dumps(Evil()))

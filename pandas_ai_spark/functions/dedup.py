@@ -332,7 +332,7 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     n: int = 3,
     threshold: float = 0.5,
-    max_doc_freq: int | None = None,
+    max_doc_freq: int | None = 10_000,
 ) -> DataFrame:
     """Exact all-pairs n-gram Jaccard via an inverted-index join.
 
@@ -344,10 +344,19 @@ def ngram_jaccard_pairs(
     natural text (sharp Zipf tail, low doc-freq for content shingles) is
     near-linear in corpus size.
 
-    ``max_doc_freq`` optionally drops ultra-common "stop shingles" before
-    pairing — the standard skew guard at web scale; it makes the Jaccard
-    approximate (computed over the remaining shingles), so it's off by
-    default.
+    ``max_doc_freq`` (ON by default — the unguarded call is the one a
+    user makes at 100 TB) is the skew guard: a "stop shingle" shared by
+    f documents alone contributes f² pair rows — one boilerplate/license
+    shingle in 10⁶ docs is 10¹² rows. Shingles with doc-frequency above
+    the cap are dropped from CANDIDATE GENERATION only; surviving
+    candidates are prefiltered by a sound Jaccard upper bound and then
+    re-verified EXACTLY over the full shingle sets (``array_intersect``
+    on int64 arrays, JVM-side), so every reported ``jaccard`` is the
+    true value. The only approximation is recall: a pair sharing *no*
+    below-cap shingle is never considered (at threshold ≥ 0.5 such docs
+    are boilerplate-only near-identicals — route those through
+    ``minhash_dedup_pairs``). ``max_doc_freq=None`` restores the
+    guaranteed-complete pure-count path.
     """
     # shingles hashed to int64 up front: the inverted-index join shuffles
     # and compares longs, never shingle strings (collision odds ~N²/2⁶⁴).
@@ -361,8 +370,14 @@ def ngram_jaccard_pairs(
         id_col, F.size("__sh").alias("__size"), F.explode("__sh").alias("__s"))
     if max_doc_freq:
         freq = inv.groupBy("__s").agg(F.count("*").alias("__f"))
-        inv = inv.join(
-            freq.where(F.col("__f") <= max_doc_freq).select("__s"), "__s")
+        stop = freq.where(F.col("__f") > max_doc_freq).select("__s")
+        # anti-join against the (tiny, AQE-broadcast) stop set, then carry
+        # each doc's KEPT size so the pair agg can bound the stop overlap
+        inv = inv.join(stop, "__s", "left_anti")
+        ksize = inv.groupBy(id_col).agg(F.count("*").alias("__ksize"))
+        inv = inv.join(ksize, id_col)
+    else:
+        inv = inv.withColumn("__ksize", F.col("__size"))
     # identical aliased children → ReuseExchange: the shingle UDF + explode
     # + shuffle-by-__s materialize ONCE and feed both join sides
     l, r = inv.alias("l"), inv.alias("r")
@@ -373,13 +388,42 @@ def ngram_jaccard_pairs(
                  F.col(f"r.{id_col}").alias("id_b"))
         .agg(F.count("*").alias("__inter"),
              F.min("l.__size").alias("__sa"),   # constant per pair
-             F.min("r.__size").alias("__sb"))
+             F.min("r.__size").alias("__sb"),
+             F.min("l.__ksize").alias("__ka"),
+             F.min("r.__ksize").alias("__kb"))
     )
+    if not max_doc_freq:
+        return (
+            inter.withColumn(
+                "jaccard",
+                F.col("__inter")
+                / (F.col("__sa") + F.col("__sb") - F.col("__inter")))
+            .where(F.col("jaccard") >= threshold)
+            .select("id_a", "id_b", "jaccard")
+        )
+    # Exact intersection can exceed the kept-shingle count by at most the
+    # smaller stop-shingle count: UB = (i+m)/(|A|+|B|-i-m) with
+    # m = min(stop_a, stop_b). Numerator maximal, denominator minimal →
+    # sound upper bound; no candidate above threshold is dropped.
+    stop_min = F.least(F.col("__sa") - F.col("__ka"),
+                       F.col("__sb") - F.col("__kb"))
+    cand = inter.where(
+        (F.col("__inter") + stop_min)
+        / (F.col("__sa") + F.col("__sb") - F.col("__inter") - stop_min)
+        >= threshold)
+    # Exact re-verify: pull both full shingle sets (candidate volume is
+    # ~output-sized after the UB prefilter) and intersect JVM-side.
+    sets_a = sh.select(F.col(id_col).alias("id_a"),
+                       F.col("__sh").alias("__sha"))
+    sets_b = sh.select(F.col(id_col).alias("id_b"),
+                       F.col("__sh").alias("__shb"))
     return (
-        inter.withColumn(
+        cand.join(sets_a, "id_a").join(sets_b, "id_b")
+        .withColumn("__iex", F.size(F.array_intersect("__sha", "__shb")))
+        .withColumn(
             "jaccard",
-            F.col("__inter")
-            / (F.col("__sa") + F.col("__sb") - F.col("__inter")))
+            F.col("__iex")
+            / (F.col("__sa") + F.col("__sb") - F.col("__iex")))
         .where(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )

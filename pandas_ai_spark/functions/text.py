@@ -184,27 +184,43 @@ def fuzzy_pairs(df, col: str, id_col: str, max_dist: int = 2,
     """Pairs of rows whose ``col`` values are within ``max_dist`` edit
     distance (Levenshtein, JVM builtin).
 
-    Blocking keeps this off the O(N²) cliff: candidates must agree on
-    ``block_col`` when given, and always satisfy the length-band bound
-    ``|len(a)−len(b)| ≤ max_dist`` (a necessary condition for edit
-    distance, pruned BEFORE the quadratic join). At web scale add a
-    stronger blocker (first-k-chars, phonetic key, LSH) as block_col.
+    Candidate generation is an EQUI-join, never a nested loop: lengths
+    are bucketed with width ``max_dist+1``, so any pair within the
+    length-band bound ``|len(a)−len(b)| ≤ max_dist`` (a necessary
+    condition for edit distance) sits in the same or an adjacent bucket.
+    The probe side explodes each row to its bucket ±1; joining that
+    against the build side's home bucket hits every qualifying unordered
+    pair exactly once (the ``id_a < id_b`` filter keeps one direction).
+    Spark plans a shuffled hash/sort-merge join on the bucket key — a
+    plain ``|len(a)−len(b)| ≤ d`` predicate has no equality and planned
+    as BroadcastNestedLoopJoin, O(N²) comparisons at any scale.
+
+    Length alone is a skewed blocker on real corpora (most strings
+    cluster around a few lengths); pass ``block_col`` (first-k-chars,
+    phonetic key, LSH bucket...) to tighten candidates — it is AND-ed
+    into the equi-key, not applied post-join.
     """
     from pyspark.sql import functions as F
 
+    w = max_dist + 1
     base = df.select(F.col(id_col), F.col(col),
                      F.length(col).alias("__len"),
                      *([F.col(block_col)] if block_col else []))
-    l, r = base.alias("l"), base.alias("r")
-    cond = (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")) & \
-           (F.abs(F.col("l.__len") - F.col("r.__len")) <= max_dist)
+    home = base.withColumn("__b", F.floor(F.col("__len") / w))
+    probe = home.withColumn(
+        "__b", F.explode(F.array(F.col("__b") - 1, F.col("__b"),
+                                 F.col("__b") + 1)))
+    l, r = probe.alias("l"), home.alias("r")
+    key = (F.col("l.__b") == F.col("r.__b"))
     if block_col:
-        cond = cond & (F.col(f"l.{block_col}") == F.col(f"r.{block_col}"))
+        key = key & (F.col(f"l.{block_col}") == F.col(f"r.{block_col}"))
+    lev = F.levenshtein(F.col(f"l.{col}"), F.col(f"r.{col}"), max_dist)
     return (
-        l.join(r, cond)
-        .withColumn("dist", F.levenshtein(F.col(f"l.{col}"),
-                                          F.col(f"r.{col}")))
-        .where(F.col("dist") <= max_dist)
+        l.join(r, key)
+        .where((F.col(f"l.{id_col}") < F.col(f"r.{id_col}")) &
+               (F.abs(F.col("l.__len") - F.col("r.__len")) <= max_dist))
+        .withColumn("dist", lev)
+        .where(F.col("dist") >= 0)  # threshold form returns -1 if > max
         .select(F.col(f"l.{id_col}").alias("id_a"),
                 F.col(f"r.{id_col}").alias("id_b"), "dist")
     )

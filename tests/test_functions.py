@@ -180,6 +180,36 @@ def test_ngram_jaccard_max_doc_freq_guard(docs):
     assert len(g & f) / len(f) >= 0.9
 
 
+def test_ngram_jaccard_capped_exact_values_and_no_blowup(spark):
+    """With the doc-freq cap active, (a) every reported pair carries the
+    EXACT full-set Jaccard (re-verified via array_intersect), and (b) a
+    ubiquitous boilerplate shingle does not manufacture O(f²) pairs —
+    boilerplate-only pairs are the documented recall loss."""
+    from pandas_ai_spark.functions import dedup as dd
+
+    boiler = "this software is provided as is without warranty of any kind"
+    rows = [(i, f"{boiler} unique{i} alpha{i} beta{i} gamma{i} delta{i}")
+            for i in range(60)]
+    rows.append((100, boiler + " shared rare content words here indeed"))
+    rows.append((101, boiler + " shared rare content words here truly"))
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    uncapped = {(r.id_a, r.id_b): r.jaccard for r in
+                dd.ngram_jaccard_pairs(df, threshold=0.3,
+                                       max_doc_freq=None).collect()}
+    capped = {(r.id_a, r.id_b): r.jaccard for r in
+              dd.ngram_jaccard_pairs(df, threshold=0.3,
+                                     max_doc_freq=10).collect()}
+    # boilerplate-only pairs dominate the uncapped result (f² blowup)...
+    assert len(uncapped) > 1000
+    # ...and are absent under the cap; the rare-content pair survives
+    assert (100, 101) in capped
+    assert len(capped) < 50
+    # exactness: every capped value equals the uncapped full-set value
+    for k, v in capped.items():
+        assert abs(uncapped[k] - v) < 1e-9, k
+
+
 def test_prefix_filtered_jaccard_exact_equivalence(docs):
     """PPJoin prefix filtering must return EXACTLY the same pairs as the
     full inverted-index join (no false negatives by the prefix theorem,

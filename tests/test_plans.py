@@ -56,6 +56,17 @@ def test_semi_join_for_foreign_key(spark):
     assert "BroadcastHashJoin" in p or "BroadcastNestedLoopJoin" in p
 
 
+def test_fuzzy_pairs_is_equi_join(spark):
+    """Candidate generation must be a hash-partitionable equi-join on the
+    length bucket — a plain length-band predicate plans as
+    BroadcastNestedLoopJoin (O(N²) comparisons, dead at 10^8 rows)."""
+    p = plan_of(entry.q42_fuzzy_match(spark, SF_SMOKE))
+    assert "BroadcastNestedLoopJoin" not in p, p
+    assert "CartesianProduct" not in p, p
+    assert ("SortMergeJoin" in p or "ShuffledHashJoin" in p
+            or "BroadcastHashJoin" in p), p
+
+
 def test_ann_shuffles_only_candidates(spark):
     """Brute-force ANN: the corpus scan feeds mapInPandas; the only
     exchange afterwards carries candidate rows (partitions×queries×k), not

@@ -585,6 +585,24 @@ def q46_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q47_mad_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user median + MAD, scale-safe form (functions.stats
+    .grouped_mad): two JVM percentile passes joined on the grouping key —
+    no applyInPandas, no whole-group materialization. Same numbers as
+    q44's grouped-map demo; this is the plan you'd run at 100 TB."""
+    from pandas_ai_spark.functions.stats import grouped_mad
+
+    ev = _t(spark, sf_dir, "events").where(
+        F.col("event_type") == "purchase").select("user_id", "value")
+    out = grouped_mad(ev, "user_id", "value")
+    return out.select(
+        "user_id",
+        F.round("median", 4).alias("median"),
+        F.round("mad", 4).alias("mad"),
+        "n",
+    ).orderBy("user_id")
+
+
 def q45_winnow_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing (MOSS) fingerprint candidates — catches long verbatim
     spans that set-based Jaccard dilutes (no SQL oracle: the winnow
@@ -598,10 +616,15 @@ def q45_winnow_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q44_mad_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Median absolute deviation of purchase value per user — no Spark
-    builtin exists, so this exercises the grouped-map path
-    (applyInPandas): one Arrow batch per group, numpy medians inside.
-    Oracle: DuckDB's native mad()."""
+    """Median absolute deviation of purchase value per user — exercises
+    the grouped-map path (applyInPandas): one Arrow batch per group,
+    numpy medians inside. Oracle: DuckDB's native mad().
+
+    This is the SMALL-GROUP demonstration of the UDAF surface: it
+    materializes each whole group in one Python worker, so a hot key
+    OOMs at scale. The production form is q47 / functions.stats
+    .grouped_mad — two JVM percentile passes, no group materialization.
+    """
     import numpy as np
     import pandas as pd
 
@@ -863,6 +886,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q44_mad_per_user": q44_mad_per_user,
         "q45_winnow_candidates": q45_winnow_candidates,
         "q46_stratified_sample": q46_stratified_sample,
+        "q47_mad_scalable": q47_mad_scalable,
     }
 
 
@@ -1107,6 +1131,12 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q44_mad_per_user": """
             SELECT user_id, round(mad(value), 4) AS mad, count(*) AS n
+            FROM events WHERE event_type = 'purchase'
+            GROUP BY user_id ORDER BY user_id
+        """,
+        "q47_mad_scalable": """
+            SELECT user_id, round(median(value), 4) AS median,
+                   round(mad(value), 4) AS mad, count(*) AS n
             FROM events WHERE event_type = 'purchase'
             GROUP BY user_id ORDER BY user_id
         """,

@@ -1,0 +1,83 @@
+"""Scale-safe grouped robust statistics (median / MAD / IQR).
+
+The grouped-map form (``groupBy().applyInPandas`` with numpy medians,
+q44) materializes each whole group in one Python worker — correct, but a
+hot key with 10¹⁰ rows OOMs the executor, and every row crosses the
+Arrow boundary. The forms here stay JVM-side and never hold a group in
+memory:
+
+- pass 1: ``percentile(value, 0.5)`` per group (Catalyst's exact
+  percentile aggregates a value→count map, bounded by *distinct* values
+  per group, not rows);
+- join the per-group median back on the grouping key — the join and the
+  second aggregation reuse the same hash partitioning, so the fact table
+  shuffles at most twice end-to-end;
+- pass 2: ``percentile(abs(value − med), 0.5)``.
+
+``approx=True`` swaps in ``percentile_approx`` (GK sketch, strictly
+bounded memory regardless of distinct-value count) for the truly
+adversarial case of billions of distinct values inside one group.
+
+Reference parity: the reference exposes no robust-stats operator at all
+(closest is the ``scale``/``normalize`` transformations,
+sql_transformation_manager.py); this module is part of the
+training-data-pipeline surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _pct(col, p: float, approx: bool):
+    if approx:
+        return F.percentile_approx(col, p, 10_000)
+    return F.percentile(col, F.lit(p))
+
+
+def grouped_median(df: DataFrame, group_col: str, value_col: str,
+                   approx: bool = False) -> DataFrame:
+    """Per-group exact (interpolated) median: ``(group, median, n)``."""
+    return df.groupBy(group_col).agg(
+        _pct(F.col(value_col), 0.5, approx).alias("median"),
+        F.count(value_col).alias("n"),
+    )
+
+
+def grouped_mad(df: DataFrame, group_col: str, value_col: str,
+                approx: bool = False) -> DataFrame:
+    """Per-group median + median-absolute-deviation:
+    ``(group, median, mad, n)``.
+
+    Matches DuckDB ``mad()`` / numpy ``median(|x − median(x)|)``
+    semantics (continuous interpolation on both passes).
+    """
+    med = df.groupBy(group_col).agg(
+        _pct(F.col(value_col), 0.5, approx).alias("__med"),
+        F.count(value_col).alias("__n"),
+    )
+    return (
+        df.join(med, group_col)
+        .groupBy(group_col)
+        .agg(
+            F.min("__med").alias("median"),  # constant per group
+            _pct(F.abs(F.col(value_col) - F.col("__med")), 0.5,
+                 approx).alias("mad"),
+            F.min("__n").alias("n"),
+        )
+    )
+
+
+def grouped_iqr(df: DataFrame, group_col: str, value_col: str,
+                approx: bool = False) -> DataFrame:
+    """Per-group interquartile range: ``(group, q1, q3, iqr, n)`` —
+    single aggregation pass (both quartiles share one percentile
+    buffer)."""
+    out = df.groupBy(group_col).agg(
+        _pct(F.col(value_col), 0.25, approx).alias("q1"),
+        _pct(F.col(value_col), 0.75, approx).alias("q3"),
+        F.count(value_col).alias("n"),
+    )
+    return out.withColumn("iqr", F.col("q3") - F.col("q1")) \
+              .select(group_col, "q1", "q3", "iqr", "n")

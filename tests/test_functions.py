@@ -180,6 +180,34 @@ def test_ngram_jaccard_max_doc_freq_guard(docs):
     assert len(g & f) / len(f) >= 0.9
 
 
+def test_grouped_mad_matches_numpy(spark):
+    """grouped_mad (two JVM percentile passes) must agree with numpy's
+    whole-group median/MAD to float tolerance, including even-sized
+    groups (interpolated median)."""
+    import numpy as np
+
+    from pandas_ai_spark.functions.stats import grouped_iqr, grouped_mad
+
+    rng = np.random.RandomState(7)
+    rows = [(int(g), float(v))
+            for g in range(20)
+            for v in rng.normal(loc=g, scale=1 + g % 3, size=30 + g)]
+    df = spark.createDataFrame(rows, ["g", "v"])
+    got = {r.g: r for r in grouped_mad(df, "g", "v").collect()}
+    by_g = {}
+    for g, v in rows:
+        by_g.setdefault(g, []).append(v)
+    for g, vs in by_g.items():
+        a = np.array(vs)
+        assert abs(got[g].median - np.median(a)) < 1e-9
+        assert abs(got[g].mad - np.median(np.abs(a - np.median(a)))) < 1e-9
+        assert got[g].n == len(vs)
+    iqr = {r.g: r for r in grouped_iqr(df, "g", "v").collect()}
+    for g, vs in by_g.items():
+        a = np.array(vs)
+        assert abs(iqr[g].iqr - (np.percentile(a, 75) - np.percentile(a, 25))) < 1e-9
+
+
 def test_ngram_jaccard_capped_exact_values_and_no_blowup(spark):
     """With the doc-freq cap active, (a) every reported pair carries the
     EXACT full-set Jaccard (re-verified via array_intersect), and (b) a

@@ -67,6 +67,16 @@ def test_fuzzy_pairs_is_equi_join(spark):
             or "BroadcastHashJoin" in p), p
 
 
+def test_mad_scalable_has_no_python_stage(spark):
+    """grouped_mad must stay JVM-side: two percentile aggregations and a
+    key-colocated join — no grouped-map Python (whole-group
+    materialization) anywhere in the plan."""
+    p = plan_of(entry.q47_mad_scalable(spark, SF_SMOKE))
+    assert "FlatMapGroupsInPandas" not in p, p
+    assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p, p
+    assert p.count("HashAggregate") + p.count("SortAggregate") >= 2
+
+
 def test_ann_shuffles_only_candidates(spark):
     """Brute-force ANN: the corpus scan feeds mapInPandas; the only
     exchange afterwards carries candidate rows (partitions×queries×k), not

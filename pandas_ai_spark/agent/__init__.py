@@ -8,7 +8,8 @@ the semantic-layer compiler or the guarded ``spark.sql`` executor.
 """
 
 from .base import Agent
-from .llm import LLM, FakeLLM
+from .llm import (LLM, APIKeyNotFoundError, FakeLLM, HTTPTransport,
+                  LLMAPIError, OpenAICompatibleLLM)
 from .memory import Memory
 from .response import (
     BaseResponse,
@@ -25,6 +26,10 @@ __all__ = [
     "Agent",
     "LLM",
     "FakeLLM",
+    "OpenAICompatibleLLM",
+    "HTTPTransport",
+    "LLMAPIError",
+    "APIKeyNotFoundError",
     "Memory",
     "BaseResponse",
     "NumberResponse",

@@ -36,35 +36,198 @@ class LLM(ABC):
         return extract_code(self.call(prompt, context))
 
 
-class OpenAICompatibleLLM(LLM):
-    """Chat-completions backend for any OpenAI-compatible endpoint
-    (reference: extensions/llms/openai/pandasai_openai/base.py surface).
-    Import-gated — raises if the ``openai`` client isn't installed."""
+class LLMAPIError(Exception):
+    """Transport/endpoint failure, with the HTTP status when known."""
 
-    def __init__(self, model: str = "gpt-4.1-mini", api_key: str | None = None,
-                 base_url: str | None = None, temperature: float = 0.0,
-                 **client_kwargs):
+    def __init__(self, message: str, status: int | None = None):
+        super().__init__(message)
+        self.status = status
+
+
+class APIKeyNotFoundError(LLMAPIError):
+    """Missing/invalid credential (reference: pandasai/exceptions.py)."""
+
+
+class UnsupportedModelError(Exception):
+    pass
+
+
+class HTTPTransport:
+    """Default JSON-over-HTTPS transport (stdlib urllib — no client
+    package dependency). Swap for a fake in tests: anything with
+    ``post(url, headers, payload) -> dict``."""
+
+    def __init__(self, timeout: float = 120.0):
+        self.timeout = timeout
+
+    def post(self, url: str, headers: dict, payload: dict) -> dict:
+        import json
+        import urllib.error
+        import urllib.request
+
+        req = urllib.request.Request(
+            url, data=json.dumps(payload).encode(),
+            headers={"Content-Type": "application/json", **headers},
+            method="POST")
         try:
-            from openai import OpenAI  # noqa: F401
-        except ImportError as exc:  # pragma: no cover — client not bundled
-            raise ImportError(
-                "OpenAICompatibleLLM requires the `openai` package") from exc
-        self._client = OpenAI(api_key=api_key, base_url=base_url,
-                              **client_kwargs)
+            with urllib.request.urlopen(req, timeout=self.timeout) as resp:
+                return json.loads(resp.read().decode())
+        except urllib.error.HTTPError as exc:
+            body = exc.read().decode(errors="replace")[:500]
+            if exc.code in (401, 403):
+                raise APIKeyNotFoundError(
+                    f"auth failed ({exc.code}): {body}", exc.code) from exc
+            raise LLMAPIError(
+                f"HTTP {exc.code}: {body}", exc.code) from exc
+        except urllib.error.URLError as exc:
+            raise LLMAPIError(f"connection failed: {exc.reason}") from exc
+
+
+class OpenAICompatibleLLM(LLM):
+    """Backend for any OpenAI-compatible endpoint, covering all three API
+    shapes the reference routes between (extensions/llms/openai/
+    pandasai_openai/base.py:242-275, openai.py:88-108):
+
+    - ``gpt-5*`` → Responses API (``/responses``): ``input`` messages,
+      ``reasoning.effort`` + ``text.verbosity``, ``max_output_tokens``;
+      sampling knobs (temperature/top_p/penalties) intentionally omitted
+      — reasoning models reject them.
+    - ``*-instruct`` → legacy Completions (``/completions``): ``prompt``
+      string.
+    - everything else → Chat Completions (``/chat/completions``):
+      ``messages`` + classic sampling params.
+
+    The transport is injectable, so request shaping and response parsing
+    are unit-tested offline; the default transport is stdlib urllib (no
+    ``openai`` package needed). Credentials come from ``api_key`` or
+    ``$OPENAI_API_KEY``; endpoint from ``base_url`` or
+    ``$OPENAI_API_BASE``.
+    """
+
+    DEFAULT_BASE = "https://api.openai.com/v1"
+
+    def __init__(self, model: str = "gpt-5-mini",
+                 api_key: str | None = None, base_url: str | None = None,
+                 temperature: float = 0.0, max_tokens: int = 1000,
+                 top_p: float = 1.0, frequency_penalty: float = 0.0,
+                 presence_penalty: float = 0.6, n: int = 1,
+                 stop: str | None = None, seed: int | None = None,
+                 reasoning_effort: str | None = "medium",
+                 verbosity: str | None = "low",
+                 max_output_tokens: int | None = 5000,
+                 transport=None):
+        import os
+
+        self.api_key = api_key or os.getenv("OPENAI_API_KEY")
+        if not self.api_key:
+            raise APIKeyNotFoundError("OpenAI API key is required")
+        self.base_url = (base_url or os.getenv("OPENAI_API_BASE")
+                         or self.DEFAULT_BASE).rstrip("/")
         self.model = model
         self.temperature = temperature
+        self.max_tokens = max_tokens
+        self.top_p = top_p
+        self.frequency_penalty = frequency_penalty
+        self.presence_penalty = presence_penalty
+        self.n = n
+        self.stop = stop
+        self.seed = seed
+        self.reasoning_effort = reasoning_effort
+        self.verbosity = verbosity
+        self.max_output_tokens = max_output_tokens
+        self.transport = transport or HTTPTransport()
+        self.last_prompt: str | None = None
 
     @property
     def type(self) -> str:
         return "openai"
 
-    def call(self, prompt: str, context=None) -> str:  # pragma: no cover
-        resp = self._client.chat.completions.create(
-            model=self.model,
-            temperature=self.temperature,
-            messages=[{"role": "user", "content": prompt}],
-        )
-        return resp.choices[0].message.content or ""
+    # -- routing (openai.py:88-108) ----------------------------------------
+
+    @property
+    def _api_shape(self) -> str:
+        name = self.model.split(":")[1] if "ft:" in self.model else self.model
+        if name.startswith("gpt-5"):
+            return "responses"
+        if name.endswith("-instruct"):
+            return "completions"
+        return "chat"
+
+    # -- param shaping (base.py:96-158) ------------------------------------
+
+    def _chat_params(self) -> dict:
+        p = {
+            "model": self.model,
+            "temperature": self.temperature,
+            "top_p": self.top_p,
+            "frequency_penalty": self.frequency_penalty,
+            "presence_penalty": self.presence_penalty,
+            "n": self.n,
+            "max_tokens": self.max_tokens,
+        }
+        if self.seed is not None:
+            p["seed"] = self.seed
+        if self.stop is not None:
+            p["stop"] = [self.stop]
+        return p
+
+    def _responses_params(self) -> dict:
+        p: dict = {"model": self.model}
+        if self.reasoning_effort:
+            p["reasoning"] = {"effort": self.reasoning_effort}
+        if self.verbosity:
+            p["text"] = {"verbosity": self.verbosity}
+        if self.max_output_tokens is not None:
+            p["max_output_tokens"] = self.max_output_tokens
+        elif self.max_tokens is not None:
+            p["max_output_tokens"] = self.max_tokens
+        if self.stop is not None:
+            p["stop"] = [self.stop]
+        if self.seed is not None:
+            p["seed"] = self.seed
+        return p
+
+    def _messages(self, prompt: str, context=None) -> list[dict]:
+        memory = getattr(context, "memory", None)
+        msgs = memory.to_openai_messages() if memory is not None else []
+        msgs.append({"role": "user", "content": prompt})
+        return msgs
+
+    # -- response parsing ---------------------------------------------------
+
+    @staticmethod
+    def _parse_responses(data: dict) -> str:
+        # Responses API: prefer the convenience field, else walk output
+        # blocks for output_text content (the documented wire shape).
+        if isinstance(data.get("output_text"), str):
+            return data["output_text"]
+        parts = []
+        for block in data.get("output", []):
+            for c in block.get("content", []):
+                if c.get("type") == "output_text":
+                    parts.append(c.get("text", ""))
+        return "".join(parts)
+
+    def call(self, prompt: str, context=None) -> str:
+        self.last_prompt = prompt
+        headers = {"Authorization": f"Bearer {self.api_key}"}
+        shape = self._api_shape
+        if shape == "responses":
+            payload = {**self._responses_params(),
+                       "input": self._messages(prompt, context)}
+            data = self.transport.post(
+                f"{self.base_url}/responses", headers, payload)
+            return self._parse_responses(data)
+        if shape == "completions":
+            payload = {**self._chat_params(), "prompt": prompt}
+            data = self.transport.post(
+                f"{self.base_url}/completions", headers, payload)
+            return data["choices"][0].get("text", "")
+        payload = {**self._chat_params(),
+                   "messages": self._messages(prompt, context)}
+        data = self.transport.post(
+            f"{self.base_url}/chat/completions", headers, payload)
+        return data["choices"][0]["message"].get("content") or ""
 
 
 class FakeLLM(LLM):

@@ -56,3 +56,17 @@ class Memory:
     def get_last_message(self) -> str:
         last = self.last()
         return last.message if last else ""
+
+    def to_openai_messages(self) -> list[dict]:
+        """Chat-format message list (memory.py to_openai_messages shape):
+        optional system message from the agent description, then the
+        bounded conversation window as user/assistant turns."""
+        out = []
+        if self.agent_description:
+            out.append({"role": "system", "content": self.agent_description})
+        window = (self._messages[-self.memory_size * 2:]
+                  if self.memory_size else self._messages)
+        for m in window:
+            out.append({"role": "user" if m.is_user else "assistant",
+                        "content": m.message})
+        return out

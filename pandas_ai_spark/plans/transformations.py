@@ -276,26 +276,40 @@ def tf_standardize(df: DataFrame, column: str, p, ctx=None) -> DataFrame:
     )
 
 
+_ENCODE_MAX_LEVELS = 1_000
+
+
 def tf_encode_categorical(df: DataFrame, column: str, p, ctx=None) -> DataFrame:
     """One-hot encode. Vocabulary from a distinct scan (sorted for
-    determinism); ``drop_first`` drops the lexicographically-first level."""
-    values = [
-        r[0]
-        for r in df.select(column).where(F.col(column).isNotNull())
-        .distinct().orderBy(column).collect()
-    ]
+    determinism); ``drop_first`` drops the lexicographically-first level.
+
+    Guarded for scale: the distinct collect is capped at
+    ``_ENCODE_MAX_LEVELS`` (one-hot over a high-cardinality column —
+    user_id by mistake — would stall the driver and explode the schema),
+    detected with a ``limit(N+1)`` probe so the full distinct set is
+    never shipped. All indicator columns are built in ONE ``select``:
+    N chained ``withColumn`` calls are quadratic in Catalyst
+    analysis time."""
+    probe = (df.select(column).where(F.col(column).isNotNull())
+             .distinct().limit(_ENCODE_MAX_LEVELS + 1).collect())
+    if len(probe) > _ENCODE_MAX_LEVELS:
+        raise ValueError(
+            f"encode_categorical: column '{column}' has more than "
+            f"{_ENCODE_MAX_LEVELS} distinct levels; one-hot encoding a "
+            f"high-cardinality column explodes the schema — bin or hash "
+            f"it first")
+    values = sorted(r[0] for r in probe)
     drop_first = True if p.drop_first is None else p.drop_first
     if drop_first:
         values = values[1:]
-    out = df
-    for v in values:
-        safe = re.sub(r"[^A-Za-z0-9_]", "_", str(v))
-        out = out.withColumn(
-            f"{column}_{safe}",
-            F.when(F.col(column).isNull(), None)
-            .otherwise((F.col(column) == F.lit(v)).cast("int")),
-        )
-    return out.drop(column)
+    indicators = [
+        F.when(F.col(column).isNull(), None)
+        .otherwise((F.col(column) == F.lit(v)).cast("int"))
+        .alias(f"{column}_{re.sub(r'[^A-Za-z0-9_]', '_', str(v))}")
+        for v in values
+    ]
+    keep = [F.col(c) for c in df.columns if c != column]
+    return df.select(*keep, *indicators)
 
 
 def tf_remove_duplicates(df: DataFrame, column: str | None, p, ctx=None) -> DataFrame:

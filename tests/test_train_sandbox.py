@@ -65,6 +65,64 @@ def test_render_training_section_empty():
     assert render_training_section([], []) == ""
 
 
+# -- parquet vectorstore ---------------------------------------------------
+
+def test_parquet_vectorstore_persists_across_instances(spark, tmp_path):
+    """train() state must survive a process restart — simulated by a
+    fresh store instance over the same path."""
+    from pandas_ai_spark.vectorstore import ParquetVectorStore
+
+    p = str(tmp_path / "vs")
+    vs = ParquetVectorStore(p, spark=spark)
+    vs.add_question_answer(
+        ["how many orders are there", "top customers by revenue"],
+        ["SELECT count(*) FROM orders", "SELECT ... revenue"])
+    vs.add_docs(["orders table holds one row per order",
+                 "customer table has demographics"])
+
+    fresh = ParquetVectorStore(p, spark=spark)
+    qa = fresh.get_relevant_question_answers("count of orders", k=1)
+    assert qa[0]["question"] == "how many orders are there"
+    docs = fresh.get_relevant_docs("order rows", k=1)
+    assert "orders" in docs[0]
+
+
+def test_parquet_vectorstore_delete(spark, tmp_path):
+    from pandas_ai_spark.vectorstore import ParquetVectorStore
+
+    p = str(tmp_path / "vs")
+    vs = ParquetVectorStore(p, spark=spark)
+    ids = vs.add_question_answer(["q1", "q2"], ["c1", "c2"])
+    vs.delete_question_and_answers([ids[0]])
+    got = vs.get_relevant_question_answers("q1", k=5)
+    assert [e["question"] for e in got] == ["q2"]
+    vs.delete_question_and_answers([ids[1]])
+    assert vs.get_relevant_question_answers("q", k=5) == []
+
+
+def test_parquet_vectorstore_empty(spark, tmp_path):
+    from pandas_ai_spark.vectorstore import ParquetVectorStore
+
+    vs = ParquetVectorStore(str(tmp_path / "nope"), spark=spark)
+    assert vs.get_relevant_question_answers("anything") == []
+    assert vs.get_relevant_docs("anything") == []
+
+
+def test_agent_train_with_parquet_store(orders, spark, tmp_path):
+    from pandas_ai_spark.vectorstore import ParquetVectorStore
+
+    llm = FakeLLM(
+        '```python\n'
+        'df = execute_sql_query("SELECT count(*) AS n FROM orders")\n'
+        'result = {"type": "number", "value": int(df["n"][0])}\n```')
+    store = ParquetVectorStore(str(tmp_path / "vs"), spark=spark)
+    agent = Agent([orders], llm=llm, vectorstore=store)
+    agent.train(queries=["how many orders"],
+                codes=['execute_sql_query("SELECT count(*) FROM orders")'])
+    agent.chat("how many orders are there?")
+    assert "similar questions answered before" in llm.last_prompt
+
+
 # -- sandbox ---------------------------------------------------------------
 
 def test_sandbox_preexecutes_sql(orders, spark):

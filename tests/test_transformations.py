@@ -187,6 +187,28 @@ def test_encode_categorical(spark):
     assert set(out2.columns) == {"id", "color_red"}
 
 
+def test_encode_categorical_level_cap_and_single_project(spark):
+    """A high-cardinality column must raise (schema explosion guard, and
+    the probe ships at most cap+1 rows to the driver); the indicator
+    build must be ONE select, not N chained withColumns."""
+    import pytest
+
+    big = spark.range(5000).selectExpr(
+        "id", "concat('lvl_', id) AS cat")
+    with pytest.raises(ValueError, match="distinct levels"):
+        apply_transformation(big, "encode_categorical", "cat",
+                             P(drop_first=False))
+
+    small = spark.createDataFrame(
+        [(i, f"c{i % 40}") for i in range(200)], "id bigint, cat string")
+    out = apply_transformation(small, "encode_categorical", "cat",
+                               P(drop_first=False))
+    assert len(out.columns) == 41
+    # one Project over the scan — chained withColumns stack analysis
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("Project") <= 2, plan
+
+
 def test_remove_duplicates(spark):
     df = spark.createDataFrame(
         [(1, "a"), (2, "a"), (3, "b")], "id bigint, k string")

@@ -48,12 +48,18 @@ def read_parquet(filepath: str) -> DataFrame:
 
 def read_excel(filepath: str, sheet_name=0):
     """pandasai/__init__.py:300-318 parity. Excel is a driver-side format;
-    read via pandas then parallelize (openpyxl not bundled — import-gated)."""
+    read via pandas/openpyxl when available, else the bundled stdlib
+    xlsx parser (sources/excel.py — zip-of-XML, covers values/shared
+    strings/inline strings; formulas read their cached values)."""
     try:
         import pandas as pd
         pdf = pd.read_excel(filepath, sheet_name=sheet_name)
-    except ImportError as exc:
-        raise NotImplementedError("read_excel requires openpyxl") from exc
+    except ImportError:
+        from .sources.excel import list_sheets, read_xlsx
+        if sheet_name is None:
+            pdf = {n: read_xlsx(filepath, n) for n in list_sheets(filepath)}
+        else:
+            pdf = read_xlsx(filepath, sheet_name)
     spark = get_session()
     if isinstance(pdf, dict):
         return {

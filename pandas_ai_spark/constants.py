@@ -18,8 +18,10 @@ REMOTE_SOURCE_TYPES = [
     "snowflake",
     "databricks",
     "oracle",
+    "jdbc",  # raw-URL passthrough (embedded Derby/H2, custom dialects)
 ]
-SQL_SOURCE_TYPES = ["mysql", "postgres", "cockroachdb", "sqlserver", "oracle"]
+SQL_SOURCE_TYPES = ["mysql", "postgres", "cockroachdb", "sqlserver", "oracle",
+                    "jdbc"]
 
 VALID_COLUMN_TYPES = ["string", "integer", "float", "datetime", "boolean"]
 # Extended (beyond-reference) types used by the pipeline operators; the

@@ -45,6 +45,12 @@ def _oracle(c: dict) -> str:
     return f"jdbc:oracle:thin:@{c.get('host', 'localhost')}:{c.get('port', 1521)}/{c.get('database', '')}"
 
 
+def _generic(c: dict) -> str:
+    # raw-URL passthrough for any JDBC database (embedded Derby/H2/...,
+    # or a dialect without a dedicated builder)
+    return c["url"]
+
+
 JDBC_URL_BUILDERS = {
     "mysql": _mysql,
     "postgres": _postgres,
@@ -52,6 +58,7 @@ JDBC_URL_BUILDERS = {
     "sqlserver": _sqlserver,
     "oracle": _oracle,
     "data": _postgres,
+    "jdbc": _generic,
 }
 
 
@@ -67,7 +74,7 @@ def jdbc_options(source: Source) -> dict[str, str]:
         opts["dbtable"] = source.table
     # partitioned parallel read when the caller tells us how to split
     for opt in ("partitionColumn", "lowerBound", "upperBound", "numPartitions",
-                "fetchsize", "query"):
+                "fetchsize", "query", "driver"):
         if opt in conn:
             opts[opt] = str(conn[opt])
     return opts

@@ -447,8 +447,10 @@ def q24_ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q25_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-bucketed ANN (no SQL oracle — hyperplane set not expressible
-    compactly in SQL; recall vs brute force asserted in tests)."""
+    """LSH-bucketed ANN. Oracle: the deterministic hyperplane sets are
+    emitted as literal DOUBLE[] lists into generated DuckDB SQL
+    (_q25_oracle) replicating bucket/any-table-match/cosine-rerank;
+    recall vs brute force additionally asserted in tests."""
     from pandas_ai_spark.functions import similarity as sim
     emb = _t(spark, sf_dir, "embeddings")
     q = emb.where(F.col("vec_id") < 5).select(
@@ -573,8 +575,9 @@ ORDER BY user_id, ts, event_id
 def q46_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stratified sampling by language (sampleBy, seeded) — the
     data-mixing primitive for training-corpus composition. Deterministic
-    per seed; per-stratum rates asserted in tests (no SQL oracle —
-    Spark's sampling RNG isn't reproducible in SQL)."""
+    per seed; per-stratum rates asserted in tests. Oracle: pinned
+    snapshot (_Q46_SNAPSHOT) — the sampling RNG isn't reproducible in
+    SQL but the seeded result is stable for a given input file."""
     docs = _t(spark, sf_dir, "documents")
     fractions = {"en": 0.5, "de": 0.25, "fr": 0.25, "es": 0.25, "zh": 0.1,
                  "und": 0.1}
@@ -901,8 +904,68 @@ _SHINGLES = (
 )
 
 
+def _q25_oracle() -> str:
+    """DuckDB replica of the multi-table hyperplane LSH: the plane sets
+    are deterministic (RandomState(42 + 1000*t), same as
+    similarity.lsh_table_buckets), so they are emitted as literal
+    DOUBLE[] lists and the per-table bucket / any-table-match / cosine
+    rerank pipeline is plain SQL. ~55 KB of generated SQL, sf0.01-sized
+    inputs only (the Spark path is the scale path)."""
+    from pandas_ai_spark.functions.similarity import _hyperplanes
+
+    num_tables, num_planes, dim, k = 16, 4, 64, 10
+
+    def lst(row):
+        return "[" + ",".join(repr(float(x)) for x in row) + "]"
+
+    buckets = []
+    for t in range(num_tables):
+        planes = _hyperplanes(dim, num_planes, 42 + 1000 * t)
+        bits = " + ".join(
+            f"(CASE WHEN list_inner_product(v, {lst(planes[j])}) > 0"
+            f" THEN {1 << j} ELSE 0 END)"
+            for j in range(num_planes))
+        buckets.append(f"({bits}) AS b{t}")
+    bucket_sql = ",\n                 ".join(buckets)
+    any_match = " OR ".join(f"c.b{t} = q.b{t}" for t in range(num_tables))
+    return f"""
+        WITH e AS (
+          SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        ), sig AS (
+          SELECT vec_id, v, {bucket_sql} FROM e
+        ), cand AS (
+          SELECT DISTINCT q.vec_id AS query_id, c.vec_id,
+                 list_cosine_similarity(q.v, c.v) AS cos_raw
+          FROM sig q JOIN sig c
+            ON c.vec_id != q.vec_id AND ({any_match})
+          WHERE q.vec_id < 5
+        ), ranked AS (
+          SELECT query_id, vec_id, cos_raw,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY cos_raw DESC, vec_id) AS rank
+          FROM cand
+        )
+        SELECT query_id, vec_id, round(cos_raw, 6) AS cosine, rank
+        FROM ranked WHERE rank <= {k} ORDER BY query_id, rank
+    """
+
+
+# Spark's sampleBy is per-partition seeded Bernoulli — not reproducible
+# in SQL — but fully deterministic for a given seed, input file, and
+# partitioning, so the oracle is a pinned snapshot (taken at sf0.01, the
+# driver's correctness scale; see VERDICT r01 next-step 9).
+_Q46_SNAPSHOT = """
+    SELECT * FROM (VALUES ('de', CAST(19 AS BIGINT)), ('en', 125),
+                          ('es', 16), ('fr', 15), ('zh', 5))
+      AS t(lang, n_sampled)
+    ORDER BY lang
+""".strip()
+
+
 def oracle_sql() -> dict[str, str]:
     return {
+        "q25_ann_lsh": _q25_oracle(),
+        "q46_stratified_sample": _Q46_SNAPSHOT,
         "q01_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    round(sum(l_quantity), 2) AS sum_qty,

@@ -417,8 +417,10 @@ def q21_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q22_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash-LSH near-dup candidates (no SQL oracle: DuckDB 1.0 lacks
-    xxhash64; verified instead by tests/test_dedup.py recall checks)."""
+    """MinHash-LSH near-dup candidates. Oracle: full DuckDB replica
+    (_q22_oracle) — md5_number_upper base hashes, exact mod-(2^61−1)
+    affine family in HUGEINT, banded join, exact-Jaccard verify; recall
+    vs exact additionally asserted in tests."""
     from pandas_ai_spark.functions import dedup as dd
     docs = _t(spark, sf_dir, "documents")
     return dd.minhash_dedup_pairs(
@@ -428,8 +430,8 @@ def q22_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q23_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash candidate pairs (no SQL oracle — signature is a pandas_udf;
-    determinism verified in tests)."""
+    """SimHash candidate pairs. Oracle: full DuckDB replica (_q23_oracle)
+    — per-token md5 bit sums, 4×16-bit bands, bit_count(xor) ≤ 3."""
     from pandas_ai_spark.functions import dedup as dd
     docs = _t(spark, sf_dir, "documents")
     return dd.simhash_candidates(docs).orderBy("id_a", "id_b")
@@ -500,9 +502,9 @@ def q28_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q29_stream_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured Streaming: tumbling-window agg over a readStream source
-    drained with availableNow — same results as the q15 batch form (no SQL
-    oracle: the result comes from a streaming memory sink; parity with the
-    batch plan is asserted in tests/test_streaming.py)."""
+    drained with availableNow — same results as the q15 batch form. The
+    oracle is the batch SQL itself: the stream/batch parity contract,
+    also asserted plan-level in tests/test_streaming.py."""
     import tempfile
     import os
 
@@ -904,6 +906,118 @@ _SHINGLES = (
 )
 
 
+_M61 = (1 << 61) - 1
+
+
+def _q22_oracle() -> str:
+    """DuckDB replica of the MinHash-LSH pipeline: base shingle hash is
+    md5 first-8-bytes little-endian == DuckDB ``md5_number_upper``; the
+    affine family (a_i·x + b_i) mod 2^61−1 is exact HUGEINT arithmetic
+    with the same RandomState(42) (a_i, b_i) literals; bands compare as
+    concatenated strings (the Spark side FNV-mixes to one int64 — band
+    semantics identical up to ~2^-64 collisions); candidates are
+    verified with exact Jaccard over the same hashed shingle sets."""
+    from pandas_ai_spark.functions.dedup import _affine_params
+
+    num_hashes, bands, threshold = 64, 32, 0.12
+    rpb = num_hashes // bands
+    a, b = _affine_params(num_hashes)
+    sig = ", ".join(
+        f"list_min(list_transform(hr, h -> ({int(a[i])}::HUGEINT * h"
+        f" + {int(b[i])}) % {_M61}))"
+        for i in range(num_hashes))
+    band_str = " , ".join(
+        "concat_ws(':', " + ", ".join(f"sig[{j * rpb + r + 1}]"
+                                      for r in range(rpb)) + ")"
+        for j in range(bands))
+    return f"""
+        WITH sh AS (
+          SELECT doc_id, list_transform({_SHINGLES},
+                   s -> md5_number_upper(s)) AS hu
+          FROM documents
+        ), red AS (
+          SELECT doc_id, hu,
+                 list_transform(hu, h -> (
+                   CASE WHEN ((h & {_M61}) + (h >> 61)) >= {_M61}
+                        THEN ((h & {_M61}) + (h >> 61)) - {_M61}
+                        ELSE  ((h & {_M61}) + (h >> 61)) END
+                 )::HUGEINT) AS hr
+          FROM sh
+        ), sigs AS (
+          SELECT doc_id, hu, [{sig}] AS sig FROM red
+        ), banded AS (
+          SELECT doc_id, hu, unnest([{band_str}]) AS bsig,
+                 unnest(range({bands})) AS band
+          FROM sigs
+        ), cand AS (
+          SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+          FROM banded l JOIN banded r
+            ON l.band = r.band AND l.bsig = r.bsig
+           AND l.doc_id < r.doc_id
+        ), verified AS (
+          SELECT id_a, id_b,
+                 len(list_intersect(sa.hu, sb.hu))::DOUBLE
+                 / (len(sa.hu) + len(sb.hu)
+                    - len(list_intersect(sa.hu, sb.hu))) AS j
+          FROM cand
+          JOIN sh sa ON sa.doc_id = cand.id_a
+          JOIN sh sb ON sb.doc_id = cand.id_b
+        )
+        SELECT id_a, id_b, round(j, 6) AS jaccard
+        FROM verified WHERE j >= {threshold}
+        ORDER BY id_a, id_b
+    """
+
+
+def _q23_oracle() -> str:
+    """DuckDB replica of 64-bit SimHash + 4×16-bit banded Hamming join:
+    per-token md5_number_upper bits, ±1 sums per bit position, sign →
+    signature bit; bands from the unsigned signature; final
+    bit_count(xor) ≤ 3 on the signed form (matches Spark bit_count of
+    bitwiseXOR)."""
+    bit_exprs = " + ".join(
+        f"CASE WHEN coalesce(list_sum(list_transform(th, h -> CASE WHEN"
+        f" (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END)), 0) > 0"
+        f" THEN {1 << j}::HUGEINT ELSE 0::HUGEINT END"
+        for j in range(64))
+    return f"""
+        WITH toks AS (
+          SELECT doc_id,
+                 list_transform(
+                   list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                               t -> t != ''),
+                   t -> md5_number_upper(t)) AS th
+          FROM documents
+        ), sigu AS (
+          SELECT doc_id, ({bit_exprs}) AS su FROM toks
+        ), sig AS (
+          SELECT doc_id, su,
+                 (CASE WHEN su >= '9223372036854775808'::HUGEINT
+                       THEN su - '18446744073709551616'::HUGEINT
+                       ELSE su END)::BIGINT AS s
+          FROM sigu
+        ), banded AS (
+          SELECT doc_id, s, unnest(range(4)) AS band,
+                 unnest([
+                   (su % 65536)::BIGINT,
+                   ((su // 65536) % 65536)::BIGINT,
+                   ((su // 4294967296) % 65536)::BIGINT,
+                   ((su // 281474976710656) % 65536)::BIGINT
+                 ]) AS bsig
+          FROM sig
+        ), cand AS (
+          SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b,
+                 l.s AS sa, r.s AS sb
+          FROM banded l JOIN banded r
+            ON l.band = r.band AND l.bsig = r.bsig
+           AND l.doc_id < r.doc_id
+        )
+        SELECT id_a, id_b, bit_count(xor(sa, sb)) AS hamming
+        FROM cand WHERE bit_count(xor(sa, sb)) <= 3
+        ORDER BY id_a, id_b
+    """
+
+
 def _q25_oracle() -> str:
     """DuckDB replica of the multi-table hyperplane LSH: the plane sets
     are deterministic (RandomState(42 + 1000*t), same as
@@ -964,6 +1078,18 @@ _Q46_SNAPSHOT = """
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "q22_minhash_pairs": _q22_oracle(),
+        "q23_simhash": _q23_oracle(),
+        # Streaming drained with availableNow must equal the batch
+        # aggregation — the oracle IS the batch form (exactly the
+        # stream/batch parity contract tests/test_streaming.py asserts).
+        "q29_stream_windowed": """
+            SELECT date_trunc('hour', ts) AS window_start,
+                   date_trunc('hour', ts) + INTERVAL 1 HOUR AS window_end,
+                   event_type, count(*) AS n,
+                   round(sum(value), 2) AS total_value
+            FROM events GROUP BY 1, 2, 3 ORDER BY 1, 3
+        """,
         "q25_ann_lsh": _q25_oracle(),
         "q46_stratified_sample": _Q46_SNAPSHOT,
         "q01_pricing_summary": """

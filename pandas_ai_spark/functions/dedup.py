@@ -238,10 +238,10 @@ def minhash_lsh_candidates(
             if not hs:
                 mins = empty_sig
             else:
-                h = np.fromiter(hs, dtype=np.int64,
-                                count=len(hs)).astype(np.uint64)
-                mins = ((h[:, None] * a[None, :] + b_[None, :])
-                        % _MERSENNE61).min(axis=0)
+                h = _mod_m61(np.fromiter(hs, dtype=np.int64,
+                                         count=len(hs)).astype(np.uint64))
+                mins = _mod_m61(_mulmod_m61(h[:, None], a[None, :])
+                                + b_[None, :]).min(axis=0)
             with np.errstate(over="ignore"):
                 acc = np.full(bands, fnv_basis, dtype=np.uint64)
                 for r in range(rows_per_band):

@@ -610,9 +610,9 @@ def q47_mad_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q45_winnow_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing (MOSS) fingerprint candidates — catches long verbatim
-    spans that set-based Jaccard dilutes (no SQL oracle: the winnow
-    min-window selection isn't SQL-expressible; the winnowing guarantee
-    is property-tested in tests/test_functions.py)."""
+    spans that set-based Jaccard dilutes. Oracle: full DuckDB replica
+    (_q45_oracle) via list slicing; the winnowing guarantee is
+    additionally property-tested in tests/test_functions.py."""
     from pandas_ai_spark.functions import dedup as dd
 
     docs = _t(spark, sf_dir, "documents")
@@ -906,14 +906,15 @@ _SHINGLES = (
 )
 
 
-_M61 = (1 << 61) - 1
+_M31 = (1 << 31) - 1
 
 
 def _q22_oracle() -> str:
     """DuckDB replica of the MinHash-LSH pipeline: base shingle hash is
     md5 first-8-bytes little-endian == DuckDB ``md5_number_upper``; the
-    affine family (a_i·x + b_i) mod 2^61−1 is exact HUGEINT arithmetic
-    with the same RandomState(42) (a_i, b_i) literals; bands compare as
+    affine family (a_i·x + b_i) mod 2^31−1 is exact BIGINT arithmetic
+    (a·x + b < 2^62) with the same RandomState(42) (a_i, b_i) literals
+    over the twice-Mersenne-folded base hash; bands compare as
     concatenated strings (the Spark side FNV-mixes to one int64 — band
     semantics identical up to ~2^-64 collisions); candidates are
     verified with exact Jaccard over the same hashed shingle sets."""
@@ -923,13 +924,15 @@ def _q22_oracle() -> str:
     rpb = num_hashes // bands
     a, b = _affine_params(num_hashes)
     sig = ", ".join(
-        f"list_min(list_transform(hr, h -> ({int(a[i])}::HUGEINT * h"
-        f" + {int(b[i])}) % {_M61}))"
+        f"list_min(list_transform(hr, h -> ({int(a[i])} * h"
+        f" + {int(b[i])}) % {_M31}))"
         for i in range(num_hashes))
     band_str = " , ".join(
         "concat_ws(':', " + ", ".join(f"sig[{j * rpb + r + 1}]"
                                       for r in range(rpb)) + ")"
         for j in range(bands))
+    fold1 = f"((h & {_M31}) + (h >> 31))"
+    fold2 = f"(({fold1} & {_M31}) + ({fold1} >> 31))"
     return f"""
         WITH sh AS (
           SELECT doc_id, list_transform({_SHINGLES},
@@ -938,10 +941,10 @@ def _q22_oracle() -> str:
         ), red AS (
           SELECT doc_id, hu,
                  list_transform(hu, h -> (
-                   CASE WHEN ((h & {_M61}) + (h >> 61)) >= {_M61}
-                        THEN ((h & {_M61}) + (h >> 61)) - {_M61}
-                        ELSE  ((h & {_M61}) + (h >> 61)) END
-                 )::HUGEINT) AS hr
+                   CASE WHEN {fold2} >= {_M31}
+                        THEN {fold2} - {_M31}
+                        ELSE {fold2} END
+                 )::BIGINT) AS hr
           FROM sh
         ), sigs AS (
           SELECT doc_id, hu, [{sig}] AS sig FROM red
@@ -1018,6 +1021,46 @@ def _q23_oracle() -> str:
     """
 
 
+def _q45_oracle() -> str:
+    """DuckDB replica of winnowing (k=8, w=4): rolling k-gram md5 hashes
+    (signed, same md5_number_upper base as the python h64), min of every
+    w-window collected distinct, inverted-index pair join. List slicing
+    replaces the python loops 1:1 (DuckDB slices are 1-based inclusive)."""
+    k, w = 8, 4
+    sgn = ("(CASE WHEN {u} >= '9223372036854775808'::HUGEINT"
+           " THEN {u} - '18446744073709551616'::HUGEINT"
+           " ELSE {u} END)::BIGINT")
+    h_all = sgn.format(u="md5_number_upper(array_to_string(toks, ' '))")
+    h_gram = sgn.format(
+        u=f"md5_number_upper(array_to_string(toks[i:i+{k - 1}], ' '))")
+    return f"""
+        WITH t AS (
+          SELECT doc_id, {_TOKS} AS toks FROM documents
+        ), g AS (
+          SELECT doc_id,
+                 CASE WHEN len(toks) < {k} THEN [{h_all}]
+                      ELSE list_transform(range(1, len(toks) - {k} + 2),
+                           i -> {h_gram})
+                 END AS hs
+          FROM t
+        ), fps AS (
+          SELECT doc_id,
+                 CASE WHEN len(hs) <= {w} THEN [list_min(hs)]
+                      ELSE list_distinct(list_transform(
+                           range(1, len(hs) - {w} + 2),
+                           i -> list_min(hs[i:i+{w - 1}])))
+                 END AS fp
+          FROM g
+        ), inv AS (
+          SELECT doc_id, unnest(fp) AS f FROM fps
+        )
+        SELECT l.doc_id AS id_a, r.doc_id AS id_b,
+               count(*) AS shared_fingerprints
+        FROM inv l JOIN inv r ON l.f = r.f AND l.doc_id < r.doc_id
+        GROUP BY 1, 2 ORDER BY 1, 2
+    """
+
+
 def _q25_oracle() -> str:
     """DuckDB replica of the multi-table hyperplane LSH: the plane sets
     are deterministic (RandomState(42 + 1000*t), same as
@@ -1091,6 +1134,7 @@ def oracle_sql() -> dict[str, str]:
             FROM events GROUP BY 1, 2, 3 ORDER BY 1, 3
         """,
         "q25_ann_lsh": _q25_oracle(),
+        "q45_winnow_candidates": _q45_oracle(),
         "q46_stratified_sample": _Q46_SNAPSHOT,
         "q01_pricing_summary": """
             SELECT l_returnflag, l_linestatus,

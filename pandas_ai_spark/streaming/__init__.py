@@ -11,8 +11,10 @@ batch compiler uses.
 from .stream import (
     StreamCompiler,
     sessionize,
+    stateful_sessionize,
     stream_dedup,
     windowed_agg,
 )
 
-__all__ = ["StreamCompiler", "windowed_agg", "sessionize", "stream_dedup"]
+__all__ = ["StreamCompiler", "windowed_agg", "sessionize",
+           "stateful_sessionize", "stream_dedup"]

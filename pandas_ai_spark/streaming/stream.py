@@ -55,6 +55,108 @@ def sessionize(df: DataFrame, ts_col: str, gap: str,
         *keys, *aggs.keys())
 
 
+def stateful_sessionize(df: DataFrame, key_col: str, ts_col: str,
+                        gap_minutes: float = 30.0,
+                        state_timeout_ms: int | None = None) -> DataFrame:
+    """CUSTOM stateful streaming operator (``applyInPandasWithState``):
+    gap-based sessionization with explicit per-key state — the shape for
+    session semantics Spark's built-in ``session_window`` can't express
+    (e.g. emitting per-session ordinals, carrying custom accumulators
+    across micro-batches).
+
+    State per key is 4 scalars (open-session start / last-ts / count /
+    emitted-session ordinal) — O(keys), not O(events). Sessions that
+    CLOSE within the stream (a later event arrives past the gap) are
+    emitted immediately. With ``state_timeout_ms`` set, idle keys are
+    evicted by processing-time timeout, flushing their open session —
+    use that on CONTINUOUS streams. Leave it ``None`` for drain-style
+    runs (``availableNow``): a registered processing-time timeout keeps
+    the micro-batch engine scheduling timeout-check batches, so an
+    availableNow query would never terminate (measured: 40+ empty
+    batches before we killed it).
+
+    Emits ``(key, session_id, session_start, session_end, n_events)``
+    with ``session_id`` numbering each key's sessions from 0 in event
+    order, and ``open`` = 1 when the row was flushed by timeout rather
+    than closed by a gap. Streaming-only (``applyInPandasWithState``
+    requires a streaming grouped DataFrame); batch callers should use
+    the lag-based q16 form.
+    """
+    from pyspark.sql.streaming.state import (GroupState,
+                                             GroupStateTimeout)
+    from pyspark.sql.types import (DoubleType, LongType, StructField,
+                                   StructType)
+
+    out_schema = StructType([
+        StructField(key_col, LongType()),
+        StructField("session_id", LongType()),
+        StructField("session_start", DoubleType()),
+        StructField("session_end", DoubleType()),
+        StructField("n_events", LongType()),
+        StructField("open", LongType()),  # 1 = emitted by timeout close
+    ])
+    state_schema = StructType([
+        StructField("start", DoubleType()),
+        StructField("last", DoubleType()),
+        StructField("n", LongType()),
+        StructField("next_sid", LongType()),
+    ])
+    gap_s = gap_minutes * 60.0
+
+    def fn(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        k = key[0]
+        if state.hasTimedOut:
+            start, last, n, sid = state.get
+            state.remove()
+            yield pd.DataFrame([{key_col: k, "session_id": sid,
+                                 "session_start": start,
+                                 "session_end": last, "n_events": n,
+                                 "open": 1}])
+            return
+        if state.exists:
+            start, last, n, sid = state.get
+        else:
+            start = last = None
+            n = 0
+            sid = 0
+        rows = []
+        for pdf in pdfs:
+            import numpy as np
+
+            # np.sort copies: to_numpy() may hand back a read-only
+            # Arrow-backed buffer, and in-place sort would throw inside
+            # the worker (streaming then retries the batch forever)
+            ts = np.sort(pdf["__ts_epoch"].to_numpy(dtype=float))
+            for t in ts:
+                if start is None:
+                    start, last, n = float(t), float(t), 1
+                elif t - last > gap_s:
+                    rows.append({key_col: k, "session_id": sid,
+                                 "session_start": start,
+                                 "session_end": last, "n_events": n,
+                                 "open": 0})
+                    sid += 1
+                    start, last, n = float(t), float(t), 1
+                else:
+                    last, n = float(t), n + 1
+        state.update((start, last, n, sid))
+        if state_timeout_ms is not None:
+            state.setTimeoutDuration(state_timeout_ms)
+        if rows:
+            yield pd.DataFrame(rows)
+
+    prepped = df.select(
+        F.col(key_col),
+        F.col(ts_col).cast("timestamp").cast("double").alias("__ts_epoch"))
+    timeout_conf = (GroupStateTimeout.ProcessingTimeTimeout
+                    if state_timeout_ms is not None
+                    else GroupStateTimeout.NoTimeout)
+    return prepped.groupBy(key_col).applyInPandasWithState(
+        fn, out_schema, state_schema, "append", timeout_conf)
+
+
 def stream_dedup(df: DataFrame, keys: Sequence[str], ts_col: str,
                  watermark: str = "1 hour") -> DataFrame:
     """Streaming exact dedup with bounded state

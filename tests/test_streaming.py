@@ -161,3 +161,41 @@ def test_foreach_batch_sink(spark, stream_events, batch_events, tmp_path):
         trigger={"availableNow": True})
     q.awaitTermination()
     assert sum(n for _, n in seen) == batch_events.count()
+
+
+def test_stateful_sessionize_matches_lag_based_batch(spark, batch_events,
+                                                     stream_events):
+    """applyInPandasWithState sessionization: the closed sessions emitted
+    by the stateful operator must equal the batch lag-based sessions,
+    excluding each key's final (still-open) session."""
+    from pandas_ai_spark.streaming import StreamCompiler, stateful_sessionize
+
+    sub = stream_events.where(F.col("user_id") < 10)
+    out = stateful_sessionize(sub, "user_id", "ts", gap_minutes=30)
+    got = StreamCompiler.run_available_now(out, "stateful_sessions")
+    closed = {(r.user_id, r.session_id, r.session_start, r.session_end,
+               r.n_events)
+              for r in got.where(F.col("open") == 0).collect()}
+
+    # batch oracle: lag-based session assignment, drop each user's last
+    ev = (batch_events.where(F.col("user_id") < 10)
+          .select("user_id",
+                  F.col("ts").cast("timestamp").cast("double").alias("t")))
+    import pandas as pd
+    pdf = ev.toPandas().sort_values(["user_id", "t"])
+    expected = set()
+    for uid, g in pdf.groupby("user_id"):
+        ts = g["t"].tolist()
+        sessions = []
+        start, last, n = ts[0], ts[0], 1
+        for t in ts[1:]:
+            if t - last > 1800:
+                sessions.append((start, last, n))
+                start, last, n = t, t, 1
+            else:
+                last, n = t, n + 1
+        # trailing session stays open — excluded
+        for sid, (s, e, n_ev) in enumerate(sessions):
+            expected.add((uid, sid, s, e, n_ev))
+    assert closed == expected
+    assert expected, "fixture must close at least one session"

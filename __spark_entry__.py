@@ -777,9 +777,10 @@ def q36_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q35_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN: seeded k-means coarse quantizer (driver numpy) +
-    distributed cell assignment + n_probe cell probing (no SQL oracle —
-    k-means isn't SQL-expressible; recall vs brute force asserted in
-    tests/test_functions.py)."""
+    distributed cell assignment + n_probe cell probing. Oracle: the
+    quantizer is retrained deterministically in _q35_oracle (same seed,
+    same file-order sample) and the cells/probe/rerank run as generated
+    DuckDB SQL; recall vs brute force additionally asserted in tests."""
     from pandas_ai_spark.functions import similarity as sim
 
     emb = _t(spark, sf_dir, "embeddings")
@@ -1107,6 +1108,69 @@ def _q25_oracle() -> str:
     """
 
 
+def _q35_oracle(sf_dir: str = "/root/testdata/sf0.01") -> str:
+    """DuckDB replica of IVF ANN: the coarse quantizer is retrained HERE
+    with the same numpy k-means (same seed, same file-order sample the
+    Spark path uses), centroids become literal DOUBLE[] lists, and cell
+    assignment / probe membership / exact cosine rerank run as SQL.
+    Query probe cells (argsort of query·centroid, data-dependent but
+    deterministic) are emitted as a VALUES list. Pinned to sf0.01 — the
+    driver's correctness scale — like the q46 snapshot."""
+    import duckdb as _duck
+
+    import numpy as _np
+
+    from pandas_ai_spark.functions.similarity import _kmeans_centroids
+
+    n_centroids, n_probe, k = 16, 8, 10
+    rows = _duck.connect().execute(
+        f"SELECT vec_id, embedding FROM "
+        f"read_parquet('{sf_dir}/embeddings.parquet')").fetchall()
+    M = _np.array([r[1] for r in rows[:10_000]], dtype=_np.float64)
+    Mn = M / _np.maximum(_np.linalg.norm(M, axis=1, keepdims=True), 1e-300)
+    C = _kmeans_centroids(Mn, n_centroids, seed=42)
+
+    def lst(row):
+        return "[" + ",".join(repr(float(x)) for x in row) + "]"
+
+    dots = ", ".join(f"list_inner_product(v, {lst(C[j])})"
+                     for j in range(n_centroids))
+    qids = _np.array([r[0] for r in rows])
+    qmask = qids < 5
+    Qn = Mn[qmask]
+    probes = _np.argsort(-(Qn @ C.T), axis=1)[:, :n_probe]
+    probe_vals = ", ".join(
+        f"({int(qid)}, {int(cell)})"
+        for qid, row in zip(qids[qmask], probes) for cell in row)
+    return f"""
+        WITH e AS (
+          SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        ), dist AS (
+          SELECT vec_id, v, [{dots}] AS dl FROM e
+        ), cells AS (
+          SELECT vec_id, v,
+                 list_indexof(dl, list_max(dl)) - 1 AS cell
+          FROM dist
+        ), probes(query_id, cell) AS (
+          VALUES {probe_vals}
+        ), cand AS (
+          SELECT DISTINCT p.query_id, c.vec_id,
+                 list_cosine_similarity(q.v, c.v) AS cos_raw
+          FROM probes p
+          JOIN cells c ON c.cell = p.cell
+          JOIN e q ON q.vec_id = p.query_id
+          WHERE c.vec_id != p.query_id
+        ), ranked AS (
+          SELECT query_id, vec_id, cos_raw,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY cos_raw DESC, vec_id) AS rank
+          FROM cand
+        )
+        SELECT query_id, vec_id, round(cos_raw, 6) AS cosine, rank
+        FROM ranked WHERE rank <= {k} ORDER BY query_id, rank
+    """
+
+
 # Spark's sampleBy is per-partition seeded Bernoulli — not reproducible
 # in SQL — but fully deterministic for a given seed, input file, and
 # partitioning, so the oracle is a pinned snapshot (taken at sf0.01, the
@@ -1134,6 +1198,7 @@ def oracle_sql() -> dict[str, str]:
             FROM events GROUP BY 1, 2, 3 ORDER BY 1, 3
         """,
         "q25_ann_lsh": _q25_oracle(),
+        "q35_ann_ivf": _q35_oracle(),
         "q45_winnow_candidates": _q45_oracle(),
         "q46_stratified_sample": _Q46_SNAPSHOT,
         "q01_pricing_summary": """

@@ -488,7 +488,9 @@ def q27_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q28_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """mapInPandas feature extraction over binary media (deterministic
-    fake decode; no SQL oracle)."""
+    fake decode). Oracle: the fake decode is arithmetic over the blob
+    bytes, replicated in DuckDB by parsing hex(encode(text)) pairwise
+    (_Q28_ORACLE_TMPL) — no blob indexing needed."""
     from pandas_ai_spark.functions import multimodal as mm
     docs = _t(spark, sf_dir, "documents")
     media = docs.select("doc_id", F.encode(F.col("text"), "utf-8").alias("media"))
@@ -1108,6 +1110,31 @@ def _q25_oracle() -> str:
     """
 
 
+_Q28_ORACLE_TMPL = """
+    WITH b AS (
+      SELECT doc_id, lower(hex(encode(text))) AS hx,
+             octet_length(encode(text)) AS blen
+      FROM documents
+    ), dims AS (
+      SELECT doc_id, hx, blen,
+             greatest(2, least(16, floor(sqrt(blen))::BIGINT)) AS side
+      FROM b WHERE blen > 0
+    ), feats AS (
+      SELECT doc_id, side,
+             list_avg(list_transform(range(side * side), kk ->
+               (strpos('0123456789abcdef',
+                       substr(hx, 2 * ((3 * kk) % blen) + 1, 1)) - 1) * 16
+               + (strpos('0123456789abcdef',
+                         substr(hx, 2 * ((3 * kk) % blen) + 2, 1)) - 1)
+             )) AS mean_r
+      FROM dims
+    )
+    SELECT doc_id, round(mean_r, 4) AS mean_r,
+           round(side::DOUBLE, 1) AS h
+    FROM feats ORDER BY doc_id
+""".strip()
+
+
 def _q35_oracle(sf_dir: str = "/root/testdata/sf0.01") -> str:
     """DuckDB replica of IVF ANN: the coarse quantizer is retrained HERE
     with the same numpy k-means (same seed, same file-order sample the
@@ -1198,6 +1225,7 @@ def oracle_sql() -> dict[str, str]:
             FROM events GROUP BY 1, 2, 3 ORDER BY 1, 3
         """,
         "q25_ann_lsh": _q25_oracle(),
+        "q28_image_features": _Q28_ORACLE_TMPL,
         "q35_ann_ivf": _q35_oracle(),
         "q45_winnow_candidates": _q45_oracle(),
         "q46_stratified_sample": _Q46_SNAPSHOT,

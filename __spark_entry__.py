@@ -610,6 +610,60 @@ def q47_mad_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("user_id")
 
 
+def q48_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction (emails/urls/IPs/phones → typed placeholders) —
+    corpus-hygiene projection, pure JVM regex. The documents table has
+    no organic PII, so deterministic PII is synthesized from doc_id
+    identically in both engines; the oracle then checks per-type counts
+    AND the md5 of the redacted text byte-for-byte (patterns restricted
+    to Java-regex ∩ RE2 syntax so both engines agree)."""
+    from pandas_ai_spark.functions.text import pii_counts, redact_pii
+
+    docs = _t(spark, sf_dir, "documents")
+    aug = docs.withColumn(
+        "text",
+        F.concat(
+            F.col("text"), F.lit(" contact user"),
+            F.col("doc_id").cast("string"), F.lit("@example.com via "),
+            F.lit("https://ex"), F.col("doc_id").cast("string"),
+            F.lit(".com/page or +1-555-867-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            F.lit(" at 10."), (F.col("doc_id") % 256).cast("string"),
+            F.lit(".0.1"),
+        ))
+    c = F.col("text")
+    counts = pii_counts(c)
+    return aug.select(
+        "doc_id",
+        counts["email"].alias("n_email"),
+        counts["url"].alias("n_url"),
+        counts["ip"].alias("n_ip"),
+        counts["phone"].alias("n_phone"),
+        F.md5(redact_pii(c)).alias("redacted_md5"),
+    ).orderBy("doc_id")
+
+
+def q49_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signals: fraction of tokens /
+    bigrams taken by the most frequent one (high = boilerplate or
+    degenerate repetition). Explode + two key-colocated aggregations per
+    n — the second groupBy reuses the first shuffle's partitioning."""
+    from pandas_ai_spark.functions.text import top_ngram_fraction
+
+    docs = _t(spark, sf_dir, "documents")
+    u = top_ngram_fraction(docs, "text", "doc_id", n=1) \
+        .withColumnRenamed("frac", "f1")
+    b = top_ngram_fraction(docs, "text", "doc_id", n=2) \
+        .withColumnRenamed("frac", "f2")
+    return (
+        u.join(b, "doc_id")
+        .select("doc_id",
+                F.round("f1", 6).alias("top_unigram_frac"),
+                F.round("f2", 6).alias("top_bigram_frac"))
+        .orderBy("doc_id")
+    )
+
+
 def q45_winnow_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing (MOSS) fingerprint candidates — catches long verbatim
     spans that set-based Jaccard dilutes. Oracle: full DuckDB replica
@@ -895,6 +949,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q45_winnow_candidates": q45_winnow_candidates,
         "q46_stratified_sample": q46_stratified_sample,
         "q47_mad_scalable": q47_mad_scalable,
+        "q48_pii_redact": q48_pii_redact,
+        "q49_repetition_signals": q49_repetition_signals,
     }
 
 
@@ -1133,6 +1189,32 @@ _Q28_ORACLE_TMPL = """
            round(side::DOUBLE, 1) AS h
     FROM feats ORDER BY doc_id
 """.strip()
+
+
+def _q48_oracle() -> str:
+    """DuckDB replica of PII redaction over the same synthesized text:
+    identical augmentation expression, identical patterns (Java-regex ∩
+    RE2), counts via regexp_extract_all and redaction via chained
+    regexp_replace(..., 'g') in the same order — verified by md5."""
+    from pandas_ai_spark.functions.text import PII_PATTERNS
+
+    aug = ("text || ' contact user' || doc_id || '@example.com via "
+           "https://ex' || doc_id || '.com/page or +1-555-867-' || "
+           "lpad((doc_id % 10000)::VARCHAR, 4, '0') || ' at 10.' || "
+           "(doc_id % 256) || '.0.1'")
+    red = "aug"
+    for name, pat in PII_PATTERNS:
+        red = f"regexp_replace({red}, '{pat}', '<{name.upper()}>', 'g')"
+    counts = ", ".join(
+        f"len(regexp_extract_all(aug, '{pat}')) AS n_{name}"
+        for name, pat in PII_PATTERNS)
+    return f"""
+        WITH a AS (
+          SELECT doc_id, {aug} AS aug FROM documents
+        )
+        SELECT doc_id, {counts}, md5({red}) AS redacted_md5
+        FROM a ORDER BY doc_id
+    """
 
 
 def _q35_oracle(sf_dir: str = "/root/testdata/sf0.01") -> str:
@@ -1465,6 +1547,34 @@ def oracle_sql() -> dict[str, str]:
                    round(mad(value), 4) AS mad, count(*) AS n
             FROM events WHERE event_type = 'purchase'
             GROUP BY user_id ORDER BY user_id
+        """,
+        "q48_pii_redact": _q48_oracle(),
+        "q49_repetition_signals": f"""
+            WITH t AS (
+              SELECT doc_id, {_TOKS} AS toks FROM documents
+            ), uc AS (
+              SELECT doc_id, g, count(*) AS c
+              FROM (SELECT doc_id, unnest(toks) AS g FROM t) GROUP BY 1, 2
+            ), uf AS (
+              SELECT doc_id, max(c)::DOUBLE / sum(c) AS f1
+              FROM uc GROUP BY 1
+            ), bc AS (
+              SELECT doc_id, g, count(*) AS c
+              FROM (SELECT doc_id,
+                           unnest(list_transform(range(1, len(toks)),
+                                  i -> toks[i] || ' ' || toks[i+1])) AS g
+                    FROM t) GROUP BY 1, 2
+            ), bf AS (
+              SELECT doc_id, max(c)::DOUBLE / sum(c) AS f2
+              FROM bc GROUP BY 1
+            )
+            SELECT d.doc_id,
+                   round(coalesce(uf.f1, 0), 6) AS top_unigram_frac,
+                   round(coalesce(bf.f2, 0), 6) AS top_bigram_frac
+            FROM documents d
+            LEFT JOIN uf ON uf.doc_id = d.doc_id
+            LEFT JOIN bf ON bf.doc_id = d.doc_id
+            ORDER BY d.doc_id
         """,
         "q43_not_exists": _Q43,
         "q42_fuzzy_match": """

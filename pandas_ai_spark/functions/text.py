@@ -224,3 +224,72 @@ def fuzzy_pairs(df, col: str, id_col: str, max_dist: int = 2,
         .select(F.col(f"l.{id_col}").alias("id_a"),
                 F.col(f"r.{id_col}").alias("id_b"), "dist")
     )
+
+
+# ---------------------------------------------------------------------------
+# PII redaction + repetition-quality signals (training-corpus hygiene)
+# ---------------------------------------------------------------------------
+
+# Patterns restricted to syntax valid in BOTH Java regex (Spark) and RE2
+# (DuckDB) — no lookaround — so the oracle can replicate redaction
+# byte-for-byte. Order matters: email before phone (digits in domains),
+# url before ip (IPs inside urls are part of the url token).
+PII_PATTERNS: list[tuple[str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
+    ("url", r"https?://[^\s]+"),
+    ("ip", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"),
+    ("phone", r"\+\d{1,2}-\d{3}-\d{3}-\d{4}"),
+]
+
+
+def pii_counts(col: Column) -> dict[str, Column]:
+    """Per-type PII occurrence counts — pure JVM projections."""
+    return {
+        name: F.size(F.regexp_extract_all(col, F.lit(pat), F.lit(0)))
+        for name, pat in PII_PATTERNS
+    }
+
+
+def redact_pii(col: Column) -> Column:
+    """Replace each PII occurrence with a ``<TYPE>`` placeholder, applied
+    in PII_PATTERNS order (row-local, scan-speed at 100 TB)."""
+    out = col
+    for name, pat in PII_PATTERNS:
+        out = F.regexp_replace(out, pat, f"<{name.upper()}>")
+    return out
+
+
+def top_ngram_fraction(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id", n: int = 1) -> DataFrame:
+    """Fraction of a doc's token n-grams taken by its single most
+    frequent n-gram — the Gopher-style repetition signal (high fraction
+    = boilerplate / degenerate repetition; typical filters drop docs
+    above ~0.2 for unigrams).
+
+    Scale shape: explode n-grams → two key-colocated aggregations
+    (doc×gram counts, then per-doc max/sum) — the second groupBy reuses
+    the first shuffle's partitioning. No Python, no whole-doc state.
+    Returns ``(id_col, frac)``; docs with no n-grams (shorter than n)
+    get frac 0.0.
+    """
+    from pandas_ai_spark.functions.dedup import _norm_tokens
+
+    toks = df.select(F.col(id_col), _norm_tokens(F.col(text_col))
+                     .alias("__toks"))
+    if n == 1:
+        grams = F.col("__toks")
+    else:
+        grams = F.when(
+            F.size("__toks") >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.size("__toks") - (n - 1)),
+                lambda i: F.concat_ws(
+                    " ", *[F.element_at("__toks", i + j)
+                           for j in range(n)]),
+            )).otherwise(F.array().cast("array<string>"))
+    exploded = toks.select(id_col, F.explode(grams).alias("__g"))
+    counts = exploded.groupBy(id_col, "__g").count()
+    frac = counts.groupBy(id_col).agg(
+        (F.max("count") / F.sum("count")).alias("frac"))
+    return (df.select(id_col).join(frac, id_col, "left")
+            .select(id_col, F.coalesce("frac", F.lit(0.0)).alias("frac")))

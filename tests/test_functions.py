@@ -486,3 +486,48 @@ def test_write_partitioned_prunes(spark, tmp_path, docs):
     plan = back._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters: [isnotnull(lang" in plan
     assert back.count() == docs.where("lang = 'en'").count()
+
+
+def test_redact_pii_and_counts(spark):
+    from pyspark.sql import functions as F
+
+    from pandas_ai_spark.functions.text import pii_counts, redact_pii
+
+    df = spark.createDataFrame(
+        [(1, "mail a@b.com or c.d@e.org, call +1-555-867-5309, "
+             "visit https://x.io/p?q=1 from 10.0.0.1"),
+         (2, "no pii here at all")],
+        "id bigint, text string")
+    c = F.col("text")
+    counts = pii_counts(c)
+    out = df.select(
+        "id", redact_pii(c).alias("red"),
+        counts["email"].alias("ne"), counts["url"].alias("nu"),
+        counts["ip"].alias("ni"), counts["phone"].alias("np"),
+    ).collect()
+    r1 = next(r for r in out if r.id == 1)
+    assert (r1.ne, r1.nu, r1.ni, r1.np) == (2, 1, 1, 1)
+    assert "<EMAIL>" in r1.red and "<URL>" in r1.red
+    assert "<IP>" in r1.red and "<PHONE>" in r1.red
+    assert "a@b.com" not in r1.red and "10.0.0.1" not in r1.red
+    r2 = next(r for r in out if r.id == 2)
+    assert r2.red == "no pii here at all"
+    assert (r2.ne, r2.nu, r2.ni, r2.np) == (0, 0, 0, 0)
+
+
+def test_top_ngram_fraction_known_values(spark):
+    from pandas_ai_spark.functions.text import top_ngram_fraction
+
+    df = spark.createDataFrame(
+        [(1, "spam spam spam eggs"),      # unigram: 3/4, bigram: 2/3
+         (2, "all words differ here"),    # unigram: 1/4
+         (3, "one")],                     # no bigrams -> 0.0
+        "doc_id bigint, text string")
+    u = {r.doc_id: r.frac for r in
+         top_ngram_fraction(df, "text", "doc_id", n=1).collect()}
+    b = {r.doc_id: r.frac for r in
+         top_ngram_fraction(df, "text", "doc_id", n=2).collect()}
+    assert abs(u[1] - 0.75) < 1e-9
+    assert abs(b[1] - 2 / 3) < 1e-9
+    assert abs(u[2] - 0.25) < 1e-9
+    assert b[3] == 0.0

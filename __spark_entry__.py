@@ -664,6 +664,18 @@ def q49_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q50_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing: deterministic pseudo-shuffle
+    (md5 order), global token start offsets via DISTRIBUTED prefix sum
+    (256 ordered hash buckets; per-bucket windows + broadcast offsets —
+    never a single-partition global window), chunk assignment. The
+    oracle is the same computation as one single-node window."""
+    from pandas_ai_spark.functions.packing import pack_sequences
+
+    docs = _t(spark, sf_dir, "documents")
+    return pack_sequences(docs, chunk_tokens=2048).orderBy("doc_id")
+
+
 def q45_winnow_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing (MOSS) fingerprint candidates — catches long verbatim
     spans that set-based Jaccard dilutes. Oracle: full DuckDB replica
@@ -951,6 +963,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q47_mad_scalable": q47_mad_scalable,
         "q48_pii_redact": q48_pii_redact,
         "q49_repetition_signals": q49_repetition_signals,
+        "q50_sequence_packing": q50_sequence_packing,
     }
 
 
@@ -1549,6 +1562,29 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY user_id ORDER BY user_id
         """,
         "q48_pii_redact": _q48_oracle(),
+        # Global prefix sum: DuckDB runs it as ONE window (single node is
+        # fine there); the Spark side's bucketed two-phase must produce
+        # identical offsets because (bucket, h) ordering == h ordering.
+        "q50_sequence_packing": r"""
+            WITH k AS (
+              SELECT doc_id,
+                     CASE WHEN len(trim(text)) = 0 THEN 0
+                          ELSE len(regexp_split_to_array(trim(text), '\s+'))
+                     END AS n_tokens,
+                     md5('42:' || doc_id) AS h
+              FROM documents
+            ), c AS (
+              SELECT doc_id, n_tokens,
+                     CAST(sum(n_tokens) OVER (
+                       ORDER BY h, doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       - n_tokens AS BIGINT) AS start_offset
+              FROM k
+            )
+            SELECT doc_id, n_tokens, start_offset,
+                   CAST(floor(start_offset / 2048.0) AS BIGINT) AS chunk_id
+            FROM c ORDER BY doc_id
+        """,
         "q49_repetition_signals": f"""
             WITH t AS (
               SELECT doc_id, {_TOKS} AS toks FROM documents

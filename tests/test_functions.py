@@ -531,3 +531,28 @@ def test_top_ngram_fraction_known_values(spark):
     assert abs(b[1] - 2 / 3) < 1e-9
     assert abs(u[2] - 0.25) < 1e-9
     assert b[3] == 0.0
+
+
+def test_pack_sequences_contiguous_and_deterministic(spark):
+    from pandas_ai_spark.functions.packing import pack_sequences
+
+    df = spark.createDataFrame(
+        [(i, " ".join(["tok"] * (5 + i % 7))) for i in range(50)],
+        "doc_id bigint, text string")
+    out = pack_sequences(df, chunk_tokens=16).collect()
+    rows = sorted(out, key=lambda r: r.start_offset)
+    # offsets tile the token stream exactly: contiguous, no gaps/overlap
+    pos = 0
+    for r in rows:
+        assert r.start_offset == pos
+        assert r.chunk_id == pos // 16
+        pos += r.n_tokens
+    assert pos == sum(r.n_tokens for r in rows)
+    # deterministic across runs
+    again = sorted(pack_sequences(df, chunk_tokens=16).collect(),
+                   key=lambda r: r.start_offset)
+    assert [r.doc_id for r in again] == [r.doc_id for r in rows]
+    # different seed -> different order (pseudo-shuffle actually shuffles)
+    other = sorted(pack_sequences(df, chunk_tokens=16, seed=7).collect(),
+                   key=lambda r: r.start_offset)
+    assert [r.doc_id for r in other] != [r.doc_id for r in rows]

@@ -91,3 +91,12 @@ def test_ann_shuffles_only_candidates(spark):
 def test_exists_subquery_decorrelates_to_semi_join(spark):
     p = plan_of(entry.q41_exists_subquery(spark, SF_SMOKE))
     assert "LeftSemi" in p or "SemiJoin" in p
+
+
+def test_sequence_packing_no_global_window(spark):
+    """The prefix sum must be the bucketed two-phase form — a global
+    Window.orderBy funnels the corpus through ONE partition (the
+    classic cumsum scale-killer)."""
+    p = plan_of(entry.q50_sequence_packing(spark, SF_SMOKE))
+    assert "SinglePartition" not in p, p
+    assert "Window" in p  # per-bucket windows are fine

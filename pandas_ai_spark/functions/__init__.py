@@ -2,6 +2,8 @@
 star): text analysis, deduplication, similarity search, multimodal
 plumbing."""
 
-from . import dedup, llm_ops, multimodal, pipeline, similarity, skew, text
+from . import (dedup, llm_ops, multimodal, packing, pipeline, similarity,
+               skew, stats, text, timeseries)
 
-__all__ = ["dedup", "llm_ops", "multimodal", "pipeline", "similarity", "skew", "text"]
+__all__ = ["dedup", "llm_ops", "multimodal", "packing", "pipeline",
+           "similarity", "skew", "stats", "text", "timeseries"]

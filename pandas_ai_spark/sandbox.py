@@ -88,6 +88,16 @@ _BANNED_CALLS = {
     "memoryview", "exit", "quit", "help",
 }
 
+# Non-dunder introspection attributes that leak frames/builtins:
+# generator/coroutine frames (`(x for x in ()).gi_frame.f_builtins` hands
+# back the REAL builtins dict), frame globals, traceback frames.
+_BANNED_ATTRS = {
+    "gi_frame", "gi_code", "gi_yieldfrom", "cr_frame", "cr_code",
+    "ag_frame", "ag_code", "f_builtins", "f_globals", "f_locals",
+    "f_back", "f_code", "tb_frame", "tb_next", "func_globals",
+    "func_code",
+}
+
 
 def assert_code_safe(code: str) -> None:
     """AST gate run *before* exec: rejects non-allowlisted imports, any
@@ -111,6 +121,9 @@ def assert_code_safe(code: str) -> None:
             if node.attr.startswith("__"):
                 raise SandboxError(
                     f"dunder attribute access '{node.attr}' not allowed")
+            if node.attr in _BANNED_ATTRS:
+                raise SandboxError(
+                    f"introspection attribute '{node.attr}' not allowed")
         elif isinstance(node, ast.Name):
             if node.id.startswith("__") and node.id != "__name__":
                 raise SandboxError(f"dunder name '{node.id}' not allowed")

@@ -171,6 +171,18 @@ def test_sandbox_blocks_dunder_escape():
         sb.execute("b = __builtins__\nresult = {}", env)
 
 
+def test_sandbox_blocks_frame_introspection():
+    """Non-dunder escape: a generator's gi_frame.f_builtins IS the real
+    builtins dict — must be rejected at the AST gate."""
+    sb = RestrictedSandbox()
+    env = {"execute_sql_query": lambda sql: None}
+    escape = ("g = (x for x in ())\n"
+              "b = g.gi_frame.f_builtins\n"
+              "result = {}")
+    with pytest.raises(SandboxError, match="introspection"):
+        sb.execute(escape, env)
+
+
 def test_sandbox_allows_whitelisted_import():
     sb = RestrictedSandbox()
     res = sb.execute("import math\nresult = {'v': math.floor(2.7)}",

@@ -676,6 +676,107 @@ def q50_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_sequences(docs, chunk_tokens=2048).orderBy("doc_id")
 
 
+def q51_range_join_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Click→purchase attribution: for each purchase, the same user's
+    clicks in the preceding hour (interval/range join). functions
+    .timeseries.range_join turns the inequality predicate into a
+    bucketed EQUI-join — shuffle on (user_id, hour-bucket), exact
+    integer-microsecond window filter after the hash join; a raw
+    BETWEEN join has no equality key and Spark would plan an O(N·M)
+    BroadcastNestedLoopJoin (plan-asserted in test_plans). Oracle:
+    DuckDB's native inequality join."""
+    from pandas_ai_spark.functions.timeseries import range_join
+
+    ev = _t(spark, sf_dir, "events")
+    p = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts")
+    c = ev.where(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("click_ts"), "value")
+    pairs = range_join(p, c, ["user_id"], "ts", "click_ts",
+                       lower_seconds=-3600, upper_seconds=0)
+    return (
+        pairs.groupBy("user_id", "event_id")
+        .agg(F.count("*").alias("n_clicks"),
+             F.round(F.sum("value"), 2).alias("click_value"))
+        .orderBy("user_id", "event_id")
+    )
+
+
+def q52_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (GPT-3-style 8-gram overlap): corpus
+    docs sharing any word 8-gram with the held-out eval slice
+    (doc_id % 20 == 0) are flagged with their distinct-overlap count.
+    Scale shape: eval-side distinct hashes BROADCAST into a map-side
+    semi-join — corpus shingles are never shuffled (functions.dedup
+    .decontaminate). Oracle: DuckDB string-level n-gram intersection
+    (hash-vs-string equivalence modulo md5 collisions ≈ 2⁻⁶⁴)."""
+    from pandas_ai_spark.functions.dedup import decontaminate
+
+    docs = _t(spark, sf_dir, "documents")
+    corpus = docs.where(F.col("doc_id") % 20 != 0)
+    eval_docs = docs.where(F.col("doc_id") % 20 == 0)
+    _, flagged = decontaminate(corpus, eval_docs, n=8)
+    return flagged.select("doc_id", "n_overlap").orderBy("doc_id")
+
+
+def q53_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF keywords per document (functions.text
+    .tfidf_top_terms): tf·ln(N/df), row_number ties broken by term.
+    Two key-local aggs + a term-keyed join + per-doc window — no
+    Python, no collect (N is a count() scalar)."""
+    from pandas_ai_spark.functions.text import tfidf_top_terms
+
+    docs = _t(spark, sf_dir, "documents")
+    out = tfidf_top_terms(docs, "text", "doc_id", k=3)
+    return out.select(
+        "doc_id", "rk", "term",
+        F.round("tfidf", 6).alias("tfidf")).orderBy("doc_id", "rk")
+
+
+def q54_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick linear classifier scoring (functions.classify):
+    per-token md5 bucket → integer weight, exact integer fold, one
+    float division per doc — model inference as a pure-JVM projection
+    with no vocabulary join and no Python. Weights here are a
+    deterministic function of the bucket (no labeled data in the
+    sandbox); a trained model swaps in an element_at lookup on a
+    broadcast weight array with the same plan shape."""
+    from pandas_ai_spark.functions.classify import classify
+
+    docs = _t(spark, sf_dir, "documents")
+    out = classify(docs, "text", "doc_id")
+    return out.select(
+        "doc_id", F.round("score", 6).alias("score"), "label"
+    ).orderBy("doc_id")
+
+
+def q55_profile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus profiling with mergeable sketches: HLL++
+    (approx_count_distinct) over content fingerprints + approximate
+    quantiles of doc length. ONE partial-agg pass — every sketch is
+    O(KB) per group and merges associatively, so the plan is a
+    map-side partial, a shuffle of sketches (not rows), and a merge:
+    the only profiling shape that works on 100 TB. Rows-only oracle
+    (sketch estimates are engine-specific); estimation error vs exact
+    is bounded in tests/test_functions.py."""
+    from pandas_ai_spark.functions.text import fingerprint
+
+    docs = _t(spark, sf_dir, "documents")
+    pcts = F.percentile_approx("n_chars", F.array(F.lit(0.5), F.lit(0.9)),
+                               10000)
+    return (
+        docs.groupBy("source")
+        .agg(F.count("*").alias("n_docs"),
+             F.approx_count_distinct(fingerprint(F.col("text")))
+              .alias("approx_distinct"),
+             pcts.alias("__p"))
+        .select("source", "n_docs", "approx_distinct",
+                F.element_at("__p", 1).alias("p50_chars"),
+                F.element_at("__p", 2).alias("p90_chars"))
+        .orderBy("source")
+    )
+
+
 def q45_winnow_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing (MOSS) fingerprint candidates — catches long verbatim
     spans that set-based Jaccard dilutes. Oracle: full DuckDB replica
@@ -964,6 +1065,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q48_pii_redact": q48_pii_redact,
         "q49_repetition_signals": q49_repetition_signals,
         "q50_sequence_packing": q50_sequence_packing,
+        "q51_range_join_attribution": q51_range_join_attribution,
+        "q52_decontaminate": q52_decontaminate,
+        "q53_tfidf_keywords": q53_tfidf_keywords,
+        "q54_quality_classifier": q54_quality_classifier,
+        "q55_profile_sketch": q55_profile_sketch,
     }
 
 
@@ -979,6 +1085,14 @@ _SHINGLES = (
 
 
 _M31 = (1 << 31) - 1
+
+# word 8-grams (q52): DuckDB list slicing is inclusive, so [i:i+7] is 8
+# tokens; docs shorter than 8 tokens collapse to one whole-doc gram —
+# the same semantics as dedup._shingle_hash_set.
+_G8 = (
+    f"list_distinct(list_transform(range(1, greatest(len({_TOKS}) - 7, 1)"
+    f" + 1), i -> array_to_string(({_TOKS})[i:i+7], ' ')))"
+)
 
 
 def _q22_oracle() -> str:
@@ -1611,6 +1725,75 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN uf ON uf.doc_id = d.doc_id
             LEFT JOIN bf ON bf.doc_id = d.doc_id
             ORDER BY d.doc_id
+        """,
+        # Interval join: DuckDB plans the inequality predicate natively
+        # (IEJoin); the Spark side's bucketed equi-join must agree.
+        "q51_range_join_attribution": """
+            SELECT p.user_id, p.event_id, count(*) AS n_clicks,
+                   round(sum(c.value), 2) AS click_value
+            FROM events p
+            JOIN events c
+              ON c.user_id = p.user_id
+             AND c.event_type = 'click'
+             AND epoch_us(c.ts) - epoch_us(p.ts)
+                 BETWEEN -3600000000 AND 0
+            WHERE p.event_type = 'purchase'
+            GROUP BY p.user_id, p.event_id
+            ORDER BY p.user_id, p.event_id
+        """,
+        # String-level 8-gram intersection == the Spark side's hashed
+        # intersection modulo md5 collisions (~2^-64).
+        "q52_decontaminate": f"""
+            WITH g AS (
+              SELECT doc_id, {_G8} AS grams FROM documents
+            ), ev AS (
+              SELECT DISTINCT unnest(grams) AS g FROM g
+              WHERE doc_id % 20 = 0
+            ), corp AS (
+              SELECT doc_id, unnest(grams) AS g FROM g
+              WHERE doc_id % 20 <> 0
+            )
+            SELECT c.doc_id, count(*) AS n_overlap
+            FROM corp c JOIN ev USING (g)
+            GROUP BY c.doc_id
+            ORDER BY doc_id
+        """,
+        "q53_tfidf_keywords": f"""
+            WITH tk AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+            terms AS (SELECT doc_id, unnest(toks) AS term FROM tk),
+            tf AS (SELECT doc_id, term, count(*) AS tf
+                   FROM terms GROUP BY 1, 2),
+            dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+            scored AS (
+              SELECT tf.doc_id, tf.term,
+                     tf.tf * ln((SELECT count(*) FROM documents)::DOUBLE
+                                / dfreq.df) AS tfidf
+              FROM tf JOIN dfreq USING (term)
+            ), ranked AS (
+              SELECT doc_id, term, tfidf,
+                     row_number() OVER (PARTITION BY doc_id
+                                        ORDER BY tfidf DESC, term) AS rk
+              FROM scored
+            )
+            SELECT doc_id, rk, term, round(tfidf, 6) AS tfidf
+            FROM ranked WHERE rk <= 3 ORDER BY doc_id, rk
+        """,
+        # Same md5 bucket family as the Spark side (md5_number_upper ==
+        # little-endian first 8 bytes); integer fold, one final division.
+        "q54_quality_classifier": f"""
+            WITH tk AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+            s AS (
+              SELECT doc_id,
+                     coalesce(list_sum(list_transform(toks,
+                       t -> (md5_number_upper(t) % 2001)::BIGINT - 1000)),
+                       0) AS ws,
+                     greatest(len(toks), 1) AS n
+              FROM tk
+            )
+            SELECT doc_id,
+                   round(ws::DOUBLE / (n * 1000.0), 6) AS score,
+                   ws::DOUBLE / (n * 1000.0) > 0.0 AS label
+            FROM s ORDER BY doc_id
         """,
         "q43_not_exists": _Q43,
         "q42_fuzzy_match": """

@@ -730,3 +730,48 @@ def incremental_dedup(
     updated = seen_fingerprints.select(fp_col).unionByName(
         novel.select(fp_col)).distinct()
     return novel.drop(fp_col), updated
+
+
+def decontaminate(
+    corpus: DataFrame,
+    eval_docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+    min_overlap: int = 1,
+) -> tuple[DataFrame, DataFrame]:
+    """Benchmark decontamination: flag corpus documents sharing ≥
+    ``min_overlap`` distinct word ``n``-grams with an evaluation set
+    (the GPT-3/PaLM-style n-gram overlap check that keeps test data out
+    of the training corpus).
+
+    Returns ``(clean, flagged)``: ``flagged`` is ``(id, n_overlap)`` for
+    contaminated docs, ``clean`` is the corpus with them anti-joined
+    away.
+
+    Scale shape: both sides hash their shingles in one Arrow pass
+    (:func:`shingle_hash_udf` — 8-byte ints, never the gram strings);
+    the eval set's distinct hashes are tiny relative to any corpus
+    (benchmarks are ~10⁴–10⁶ grams) and are BROADCAST, so the corpus
+    side sees a map-side semi-join — no all-to-all shuffle of corpus
+    shingles. The only shuffle is the per-doc overlap count over the
+    matched subset, which is bounded by contamination volume, not
+    corpus size. The final anti-join keys on ``id_col`` alone.
+    """
+    sh = shingle_hash_udf(n)
+    ev = (
+        eval_docs
+        .select(F.explode(sh(_norm_tokens(F.col(text_col)))).alias("__h"))
+        .distinct()
+    )
+    corp = corpus.select(
+        F.col(id_col),
+        F.explode(sh(_norm_tokens(F.col(text_col)))).alias("__h"))
+    flagged = (
+        corp.join(F.broadcast(ev), "__h")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_overlap"))
+        .where(F.col("n_overlap") >= min_overlap)
+    )
+    clean = corpus.join(flagged.select(id_col), id_col, "left_anti")
+    return clean, flagged

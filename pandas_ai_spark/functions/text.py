@@ -9,7 +9,7 @@ zero shuffles (all operators are row-local projections).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # A small deterministic stopword inventory per language for the n-gram/
@@ -293,3 +293,36 @@ def top_ngram_fraction(df: DataFrame, text_col: str = "text",
         (F.max("count") / F.sum("count")).alias("frac"))
     return (df.select(id_col).join(frac, id_col, "left")
             .select(id_col, F.coalesce("frac", F.lit(0.0)).alias("frac")))
+
+
+def tfidf_top_terms(df: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id", k: int = 3) -> DataFrame:
+    """Top-``k`` TF-IDF terms per document (keyword extraction):
+    ``tfidf = tf · ln(N/df)``, ties broken by term so the result is
+    deterministic. Returns ``(id, rk, term, tfidf)``.
+
+    Scale shape: explode → one shuffle on ``(id, term)`` for tf; the
+    document-frequency agg reuses those rows with a second shuffle on
+    ``term`` (partial-agg combines first — df rows are one per distinct
+    term, tiny); the tf↔df join shuffles on ``term``; the final top-k
+    is a per-doc window over ≤|distinct terms per doc| rows. N is one
+    count() job — a scalar, not a collect of data. No Python in the
+    plan.
+    """
+    c = F.col(text_col)
+    n_docs = df.count()
+    terms = df.select(
+        F.col(id_col), F.explode(whitespace_tokens(normalize_text(c)))
+         .alias("term"))
+    tf = terms.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    scored = tf.join(dfreq, "term").withColumn(
+        "tfidf",
+        F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")))
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("tfidf").desc(), F.col("term").asc())
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+        .select(id_col, "rk", "term", "tfidf")
+    )

@@ -1,4 +1,4 @@
-"""Time-series operators: as-of join (point-in-time correctness).
+"""Time-series operators: as-of join and interval range join.
 
 Spark has no built-in ASOF JOIN (DuckDB/kdb/pandas merge_asof do); the
 idiomatic distributed form is the union-sort-carry pattern:
@@ -86,3 +86,59 @@ def asof_join(
         *[F.col(f"__l.{c}").alias(c) for c in lcols],
         *[F.col(f"__match.{c}").alias(f"{c}{suffix}") for c in rcols],
     )
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    by: Sequence[str],
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    lower_seconds: float = -3600.0,
+    upper_seconds: float = 0.0,
+    suffix: str = "_right",
+) -> DataFrame:
+    """All (left, right) pairs with the same ``by`` keys and
+    ``right_ts − left_ts ∈ [lower_seconds, upper_seconds]`` — the
+    interval/range join (attribution windows, sensor alignment,
+    event-context joins). Spark has no native range join; a raw
+    ``r.ts BETWEEN l.ts − x AND l.ts`` predicate has no equality
+    component, so Catalyst plans a BroadcastNestedLoopJoin — O(N·M)
+    comparisons at any scale.
+
+    This is the bucketed EQUI-join form: with bucket width
+    ``w = upper − lower``, each right row lands in its home bucket
+    ``floor(ts/w)`` and each left row explodes to the two consecutive
+    buckets ``b = floor((ts+lower)/w)`` and ``b+1``, which provably
+    cover the length-``w`` match interval ``[ts+lower, ts+upper]``.
+    Joining on ``(by…, bucket)`` therefore hits every qualifying pair
+    exactly once (the right side keeps a single home bucket), and the
+    exact window predicate — integer microsecond arithmetic, no
+    floats — filters the ≤2× candidate surplus after the hash join.
+    Cost: one shuffle per side on ``(by…, bucket)``; left row count
+    ×2; skew handled like any equi-join (AQE / salting).
+    """
+    by = list(by)
+    span = float(upper_seconds) - float(lower_seconds)
+    if span <= 0:
+        raise ValueError("upper_seconds must exceed lower_seconds")
+
+    rename = {c: c + suffix for c in right.columns
+              if c not in by and c in left.columns}
+    r = right
+    for old, new in rename.items():
+        r = r.withColumnRenamed(old, new)
+    r_ts = rename.get(right_ts, right_ts)
+
+    lb = F.floor((F.col(left_ts).cast("double")
+                  + F.lit(float(lower_seconds))) / F.lit(span))
+    l = left.withColumn("__b", F.explode(F.array(lb, lb + 1)))
+    r = r.withColumn("__b",
+                     F.floor(F.col(r_ts).cast("double") / F.lit(span)))
+
+    delta_us = F.unix_micros(F.col(r_ts)) - F.unix_micros(F.col(left_ts))
+    out = l.join(r, [*by, "__b"]).where(
+        (delta_us >= F.lit(int(round(lower_seconds * 1_000_000))))
+        & (delta_us <= F.lit(int(round(upper_seconds * 1_000_000))))
+    )
+    return out.drop("__b")

@@ -556,3 +556,143 @@ def test_pack_sequences_contiguous_and_deterministic(spark):
     other = sorted(pack_sequences(df, chunk_tokens=16, seed=7).collect(),
                    key=lambda r: r.start_offset)
     assert [r.doc_id for r in other] != [r.doc_id for r in rows]
+
+
+# ---------------------------------------------------------------------------
+# round-2 additions: range join, decontamination, tf-idf, classifier, sketch
+
+
+def test_range_join_matches_naive(spark):
+    """Bucketed equi-join range join == the naive inequality cross-join
+    on a window that straddles bucket boundaries (including exact-edge
+    timestamps), and never plans a nested loop."""
+    import datetime as dt
+
+    from pandas_ai_spark.functions.timeseries import range_join
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    for uid in (1, 2):
+        for s in (0, 10, 3600, 3610, 7200, 7205):
+            rows.append((uid, base + dt.timedelta(seconds=s)))
+    left = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    right = spark.createDataFrame(
+        [(u, t + dt.timedelta(seconds=d), float(d))
+         for (u, t) in rows for d in (-3601, -3600, -1800, 0, 1)],
+        "user_id long, rts timestamp, value double")
+
+    got = {(r.user_id, r.ts, r.rts) for r in range_join(
+        left, right, ["user_id"], "ts", "rts", -3600, 0).collect()}
+    naive = {(l.user_id, l.ts, r.rts)
+             for l in left.collect() for r in right.collect()
+             if l.user_id == r.user_id
+             and -3600 <= (r.rts - l.ts).total_seconds() <= 0}
+    assert got == naive and got
+
+    plan = range_join(left, right, ["user_id"], "ts", "rts", -3600, 0) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_range_join_rejects_empty_window(spark):
+    from pandas_ai_spark.functions.timeseries import range_join
+
+    df = spark.range(1).select(
+        F.col("id").alias("user_id"),
+        F.current_timestamp().alias("ts"))
+    with pytest.raises(ValueError):
+        range_join(df, df, ["user_id"], "ts", "ts", 0, 0)
+
+
+def test_decontaminate_flags_planted_overlap(spark):
+    """A corpus doc containing a verbatim 8-gram from the eval set is
+    flagged (with the distinct-overlap count) and removed from clean;
+    unrelated docs survive; min_overlap raises the bar."""
+    from pandas_ai_spark.functions.dedup import decontaminate
+
+    leak = "the quick brown fox jumps over the lazy dog tonight"
+    corpus = spark.createDataFrame(
+        [(1, "intro words " + leak + " trailing tail"),
+         (2, "completely different content with no overlap at all here"),
+         (3, "yet another unrelated document body for the corpus test")],
+        "doc_id long, text string")
+    eval_docs = spark.createDataFrame(
+        [(100, leak + " extra eval framing")], "doc_id long, text string")
+
+    clean, flagged = decontaminate(corpus, eval_docs, n=8)
+    f = {r.doc_id: r.n_overlap for r in flagged.collect()}
+    assert set(f) == {1} and f[1] >= 1
+    assert {r.doc_id for r in clean.collect()} == {2, 3}
+
+    _, strict = decontaminate(corpus, eval_docs, n=8,
+                              min_overlap=f[1] + 1)
+    assert strict.count() == 0
+
+
+def test_tfidf_top_terms_manual(spark):
+    """tf·ln(N/df) on a 3-doc corpus, checked by hand: a term in every
+    doc scores 0; the distinctive repeated term ranks first."""
+    import math
+
+    from pandas_ai_spark.functions.text import tfidf_top_terms
+
+    df = spark.createDataFrame(
+        [(1, "apple apple banana shared"),
+         (2, "banana cherry shared"),
+         (3, "cherry date shared")],
+        "doc_id long, text string")
+    out = {(r.doc_id, r.rk): (r.term, r.tfidf)
+           for r in tfidf_top_terms(df, k=2).collect()}
+    term, score = out[(1, 1)]
+    assert term == "apple"
+    assert score == pytest.approx(2 * math.log(3 / 1))
+    # 'shared' appears in all 3 docs -> idf = ln(1) = 0
+    shared = [v for v in out.values() if v[0] == "shared"]
+    assert all(s == pytest.approx(0.0) for _, s in shared)
+
+
+def test_classifier_score_bounds_and_determinism(spark, docs):
+    """Scores live in [-1, 1], are deterministic across runs, and the
+    empty/blank doc scores exactly 0 (no NaN from the size guard)."""
+    from pandas_ai_spark.functions.classify import classify
+
+    out1 = {r.doc_id: r.score for r in classify(docs).collect()}
+    out2 = {r.doc_id: r.score for r in classify(docs).collect()}
+    assert out1 == out2
+    assert all(-1.0 <= s <= 1.0 for s in out1.values())
+
+    blank = spark.createDataFrame([(1, ""), (2, "   ")],
+                                  "doc_id long, text string")
+    assert {r.score for r in classify(blank).collect()} == {0.0}
+
+
+def test_md5_u64_matches_python(spark):
+    """The JVM-side hash equals Python's little-endian first-8-bytes md5
+    (the family every DuckDB oracle replicates as md5_number_upper)."""
+    import hashlib
+
+    from pandas_ai_spark.functions.classify import md5_u64
+
+    words = ["hello", "world", "a", "Ω unicode ✓", "1234567890"]
+    df = spark.createDataFrame([(w,) for w in words], "w string")
+    got = {r.w: int(r.h) for r in
+           df.select("w", md5_u64(F.col("w")).alias("h")).collect()}
+    for w in words:
+        exp = int.from_bytes(
+            hashlib.md5(w.encode()).digest()[:8], "little")
+        assert got[w] == exp, w
+
+
+def test_profile_sketch_error_bounded(docs):
+    """HLL distinct estimate within 5% of exact; approx percentiles
+    within the observed value range (sanity, not exactness — the point
+    of a sketch is mergeability, not exact answers)."""
+    from pandas_ai_spark.functions.text import fingerprint
+
+    exact = docs.select(
+        F.countDistinct(fingerprint(F.col("text"))).alias("d")
+    ).collect()[0].d
+    approx = docs.select(
+        F.approx_count_distinct(fingerprint(F.col("text"))).alias("d")
+    ).collect()[0].d
+    assert abs(approx - exact) / exact <= 0.05

@@ -777,6 +777,45 @@ def q55_profile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q56_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join (streaming.stream_interval_join):
+    purchases and clicks arrive as two watermarked streams; the join
+    condition's event-time bound lets Spark evict buffered state, so
+    the plan holds on an unbounded feed. Drained with availableNow,
+    aggregated batch-side. Oracle: the same inequality-join SQL as q51
+    — the stream/batch parity contract (also asserted pairwise in
+    tests/test_streaming.py)."""
+    import os
+    import tempfile
+
+    from pandas_ai_spark.streaming import StreamCompiler, \
+        stream_interval_join
+
+    ev = _t(spark, sf_dir, "events")
+    stage = os.path.join(tempfile.gettempdir(),
+                         f"stream_events_{sf_dir.strip('/').replace('/', '_')}")
+    if not os.path.exists(os.path.join(stage, "_SUCCESS")):
+        ev.write.mode("overwrite").parquet(stage)
+    sc = StreamCompiler(spark)
+    p = sc.read_stream(stage).where(
+        F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts")
+    c = sc.read_stream(stage).where(
+        F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("click_ts"), "value")
+    joined = stream_interval_join(
+        p, c, on=["user_id"], left_ts="ts", right_ts="click_ts",
+        lower_seconds=-3600, upper_seconds=0)
+    drained = StreamCompiler.run_available_now(
+        joined, "entry_stream_interval_join")
+    return (
+        drained.groupBy("user_id", "event_id")
+        .agg(F.count("*").alias("n_clicks"),
+             F.round(F.sum("value"), 2).alias("click_value"))
+        .orderBy("user_id", "event_id")
+    )
+
+
 def q45_winnow_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing (MOSS) fingerprint candidates — catches long verbatim
     spans that set-based Jaccard dilutes. Oracle: full DuckDB replica
@@ -1070,6 +1109,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q53_tfidf_keywords": q53_tfidf_keywords,
         "q54_quality_classifier": q54_quality_classifier,
         "q55_profile_sketch": q55_profile_sketch,
+        "q56_stream_interval_join": q56_stream_interval_join,
     }
 
 
@@ -1085,6 +1125,22 @@ _SHINGLES = (
 
 
 _M31 = (1 << 31) - 1
+
+# the inequality-join oracle shared by q51 (batch bucketed range join)
+# and q56 (stream-stream interval join): clicks in the hour before each
+# purchase, per user.
+_Q51 = """
+    SELECT p.user_id, p.event_id, count(*) AS n_clicks,
+           round(sum(c.value), 2) AS click_value
+    FROM events p
+    JOIN events c
+      ON c.user_id = p.user_id
+     AND c.event_type = 'click'
+     AND epoch_us(c.ts) - epoch_us(p.ts) BETWEEN -3600000000 AND 0
+    WHERE p.event_type = 'purchase'
+    GROUP BY p.user_id, p.event_id
+    ORDER BY p.user_id, p.event_id
+""".strip()
 
 # word 8-grams (q52): DuckDB list slicing is inclusive, so [i:i+7] is 8
 # tokens; docs shorter than 8 tokens collapse to one whole-doc gram —
@@ -1727,20 +1783,10 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY d.doc_id
         """,
         # Interval join: DuckDB plans the inequality predicate natively
-        # (IEJoin); the Spark side's bucketed equi-join must agree.
-        "q51_range_join_attribution": """
-            SELECT p.user_id, p.event_id, count(*) AS n_clicks,
-                   round(sum(c.value), 2) AS click_value
-            FROM events p
-            JOIN events c
-              ON c.user_id = p.user_id
-             AND c.event_type = 'click'
-             AND epoch_us(c.ts) - epoch_us(p.ts)
-                 BETWEEN -3600000000 AND 0
-            WHERE p.event_type = 'purchase'
-            GROUP BY p.user_id, p.event_id
-            ORDER BY p.user_id, p.event_id
-        """,
+        # (IEJoin); the Spark side's bucketed equi-join (q51) and the
+        # watermarked stream-stream join (q56) must both agree with it.
+        "q51_range_join_attribution": _Q51,
+        "q56_stream_interval_join": _Q51,
         # String-level 8-gram intersection == the Spark side's hashed
         # intersection modulo md5 collisions (~2^-64).
         "q52_decontaminate": f"""

@@ -13,8 +13,9 @@ from .stream import (
     sessionize,
     stateful_sessionize,
     stream_dedup,
+    stream_interval_join,
     windowed_agg,
 )
 
 __all__ = ["StreamCompiler", "windowed_agg", "sessionize",
-           "stateful_sessionize", "stream_dedup"]
+           "stateful_sessionize", "stream_dedup", "stream_interval_join"]

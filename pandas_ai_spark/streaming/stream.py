@@ -157,6 +157,58 @@ def stateful_sessionize(df: DataFrame, key_col: str, ts_col: str,
         fn, out_schema, state_schema, "append", timeout_conf)
 
 
+def stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    left_ts: str = "ts",
+    right_ts: str = "ts_right",
+    lower_seconds: float = -3600.0,
+    upper_seconds: float = 0.0,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream interval join: pairs with equal ``on`` keys and
+    ``right_ts − left_ts ∈ [lower_seconds, upper_seconds]`` — the
+    streaming form of :func:`~pandas_ai_spark.functions.timeseries
+    .range_join` (same semantics, batch-parity-tested).
+
+    Both sides carry a watermark and the join condition bounds the two
+    event-time columns against each other, which is exactly what Spark's
+    state manager needs to EVICT buffered rows: each side retains at
+    most ``watermark + window span`` of history per key, so state stays
+    bounded on an unbounded feed. Without the time-range condition an
+    inner stream-stream join buffers both streams forever.
+
+    ``left_ts``/``right_ts`` must be distinct column names (rename
+    before calling); non-key/non-time column collisions are the
+    caller's responsibility, as with any join.
+    """
+    lo = float(lower_seconds)
+    hi = float(upper_seconds)
+    if hi <= lo:
+        raise ValueError("upper_seconds must exceed lower_seconds")
+    if left_ts == right_ts:
+        raise ValueError("left_ts and right_ts must be distinct names")
+    l = left.withWatermark(left_ts, watermark) if left.isStreaming else left
+    r = (right.withWatermark(right_ts, watermark)
+         if right.isStreaming else right)
+    cond = None
+    for k in on:
+        c = l[k] == r[k]
+        cond = c if cond is None else (cond & c)
+    t = (r[right_ts] >= l[left_ts]
+         + F.make_dt_interval(secs=F.lit(lo))) \
+        & (r[right_ts] <= l[left_ts]
+           + F.make_dt_interval(secs=F.lit(hi)))
+    cond = t if cond is None else (cond & t)
+    dup = [k for k in on]
+    out = l.join(r, cond, "inner")
+    # keep one copy of each join key (the left one)
+    for k in dup:
+        out = out.drop(r[k])
+    return out
+
+
 def stream_dedup(df: DataFrame, keys: Sequence[str], ts_col: str,
                  watermark: str = "1 hour") -> DataFrame:
     """Streaming exact dedup with bounded state

@@ -199,3 +199,37 @@ def test_stateful_sessionize_matches_lag_based_batch(spark, batch_events,
             expected.add((uid, sid, s, e, n_ev))
     assert closed == expected
     assert expected, "fixture must close at least one session"
+
+
+def test_stream_interval_join_parity_with_batch_range_join(
+        spark, batch_events, stream_events):
+    """Watermarked stream-stream interval join drains to the same pair
+    set as the batch bucketed range_join (clicks within the hour before
+    each purchase, per user)."""
+    from pandas_ai_spark.functions.timeseries import range_join
+    from pandas_ai_spark.streaming import StreamCompiler, \
+        stream_interval_join
+
+    def split(ev):
+        p = ev.where(F.col("event_type") == "purchase").select(
+            "user_id", "event_id", "ts")
+        c = ev.where(F.col("event_type") == "click").select(
+            F.col("user_id").alias("c_user_id"),
+            F.col("ts").alias("click_ts"), "value")
+        return p, c
+
+    sp, sc_ = split(stream_events)
+    joined = stream_interval_join(
+        sp, sc_.withColumnRenamed("c_user_id", "user_id"),
+        on=["user_id"], left_ts="ts", right_ts="click_ts",
+        lower_seconds=-3600, upper_seconds=0)
+    drained = StreamCompiler.run_available_now(
+        joined, "t_stream_interval_join")
+    got = {(r.user_id, r.event_id, r.click_ts)
+           for r in drained.collect()}
+
+    bp, bc = split(batch_events)
+    batch = range_join(bp, bc.withColumnRenamed("c_user_id", "user_id"),
+                       ["user_id"], "ts", "click_ts", -3600, 0)
+    exp = {(r.user_id, r.event_id, r.click_ts) for r in batch.collect()}
+    assert got == exp and got

@@ -816,6 +816,31 @@ def q56_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q57_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-weighted domain mixture (α=0.5 upweights rare
+    languages): rates computed from one domain-count agg (driver state
+    bounded by #domains, which sampleBy needs anyway), then a single
+    seeded Bernoulli sampleBy pass — no shuffle of the corpus. Oracle:
+    pinned sf0.01 snapshot (seeded sampling is deterministic for a
+    given input file, like q46); the rate formula itself is
+    property-tested in tests/test_functions.py."""
+    from pandas_ai_spark.functions.pipeline import mixture_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    sampled, counts, rates = mixture_sample(
+        docs, "lang", alpha=0.5, sample_frac=0.4, seed=42)
+    meta = spark.createDataFrame(
+        [(d, counts[d], round(rates[d], 6)) for d in sorted(counts)],
+        "lang string, n_total long, rate double")
+    got = sampled.groupBy("lang").agg(F.count("*").alias("n_sampled"))
+    return (
+        meta.join(got, "lang", "left")
+        .select("lang", "n_total", "rate",
+                F.coalesce("n_sampled", F.lit(0)).alias("n_sampled"))
+        .orderBy("lang")
+    )
+
+
 def q45_winnow_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing (MOSS) fingerprint candidates — catches long verbatim
     spans that set-based Jaccard dilutes. Oracle: full DuckDB replica
@@ -1110,6 +1135,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q54_quality_classifier": q54_quality_classifier,
         "q55_profile_sketch": q55_profile_sketch,
         "q56_stream_interval_join": q56_stream_interval_join,
+        "q57_domain_mixture": q57_domain_mixture,
     }
 
 
@@ -1467,6 +1493,20 @@ def _q35_oracle(sf_dir: str = "/root/testdata/sf0.01") -> str:
 # in SQL — but fully deterministic for a given seed, input file, and
 # partitioning, so the oracle is a pinned snapshot (taken at sf0.01, the
 # driver's correctness scale; see VERDICT r01 next-step 9).
+# q57: seeded mixture sample is deterministic per input file; rates are
+# exact arithmetic on the sf0.01 lang counts (α=0.5, frac=0.4).
+_Q57_SNAPSHOT = """
+    SELECT * FROM (VALUES
+      ('de', CAST(70 AS BIGINT), CAST(0.494553 AS DOUBLE),
+       CAST(33 AS BIGINT)),
+      ('en', 218, 0.280242, 65),
+      ('es', 73, 0.484285, 38),
+      ('fr', 64, 0.517216, 31),
+      ('zh', 75, 0.477784, 34))
+      AS t(lang, n_total, rate, n_sampled)
+    ORDER BY lang
+""".strip()
+
 _Q46_SNAPSHOT = """
     SELECT * FROM (VALUES ('de', CAST(19 AS BIGINT)), ('en', 125),
                           ('es', 16), ('fr', 15), ('zh', 5))
@@ -1494,6 +1534,7 @@ def oracle_sql() -> dict[str, str]:
         "q35_ann_ivf": _q35_oracle(),
         "q45_winnow_candidates": _q45_oracle(),
         "q46_stratified_sample": _Q46_SNAPSHOT,
+        "q57_domain_mixture": _Q57_SNAPSHOT,
         "q01_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    round(sum(l_quantity), 2) AS sum_qty,

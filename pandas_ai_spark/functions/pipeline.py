@@ -70,3 +70,47 @@ def clean_corpus(
                 "near_dup": n2 - n3,
             })
     return cleaned, stats
+
+
+def temperature_mixture_rates(
+    df: DataFrame,
+    domain_col: str = "lang",
+    alpha: float = 0.5,
+    sample_frac: float = 0.3,
+) -> tuple[dict, dict]:
+    """Temperature-weighted mixture rates for corpus composition: domain
+    ``i`` with ``c_i`` docs gets sampling weight ∝ ``c_i**alpha``
+    (α < 1 upweights rare domains — the multilingual-mixing scheme), and
+    per-domain rates are scaled so the expected total sample is
+    ``sample_frac`` of the corpus, capped at 1.0 per domain.
+
+    Returns ``(counts, rates)`` dicts keyed by domain. The collect here
+    is one partial-agg result bounded by the number of DOMAINS (tens to
+    thousands), not rows — the only driver-side state ``sampleBy``
+    needs anyway.
+    """
+    counts = {r[domain_col]: r["n"] for r in
+              df.groupBy(domain_col).agg(F.count("*").alias("n"))
+                .collect()}
+    total = sum(counts.values())
+    wsum = sum(c ** alpha for c in counts.values())
+    rates = {}
+    for d, c in counts.items():
+        target = total * sample_frac * (c ** alpha) / wsum
+        rates[d] = min(1.0, target / c)
+    return counts, rates
+
+
+def mixture_sample(
+    df: DataFrame,
+    domain_col: str = "lang",
+    alpha: float = 0.5,
+    sample_frac: float = 0.3,
+    seed: int = 42,
+) -> tuple[DataFrame, dict, dict]:
+    """Sample the corpus to the temperature mixture: one ``sampleBy``
+    pass (per-row Bernoulli, no shuffle), seeded and deterministic.
+    Returns ``(sampled_df, counts, rates)``."""
+    counts, rates = temperature_mixture_rates(
+        df, domain_col, alpha, sample_frac)
+    return df.sampleBy(domain_col, rates, seed=seed), counts, rates

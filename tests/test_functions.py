@@ -696,3 +696,30 @@ def test_profile_sketch_error_bounded(docs):
         F.approx_count_distinct(fingerprint(F.col("text"))).alias("d")
     ).collect()[0].d
     assert abs(approx - exact) / exact <= 0.05
+
+
+def test_temperature_mixture_rates_properties(docs):
+    """α<1 temperature: rarer domains get strictly higher sampling rates;
+    expected sample size ≈ frac·N (within the per-domain cap); α=1 is
+    proportional sampling (all rates equal); sampling is seeded."""
+    from pandas_ai_spark.functions.pipeline import (
+        mixture_sample, temperature_mixture_rates)
+
+    counts, rates = temperature_mixture_rates(
+        docs, "lang", alpha=0.5, sample_frac=0.4)
+    ordered = sorted(counts, key=counts.get)
+    for small, big in zip(ordered, ordered[1:]):
+        if counts[small] < counts[big]:
+            assert rates[small] > rates[big]
+    if all(r < 1.0 for r in rates.values()):
+        expected = sum(rates[d] * counts[d] for d in counts)
+        assert expected == pytest.approx(0.4 * sum(counts.values()))
+
+    _, flat = temperature_mixture_rates(docs, "lang", alpha=1.0,
+                                        sample_frac=0.4)
+    assert max(flat.values()) - min(flat.values()) < 1e-12
+
+    s1, _, _ = mixture_sample(docs, "lang", seed=7)
+    s2, _, _ = mixture_sample(docs, "lang", seed=7)
+    assert sorted(r.doc_id for r in s1.collect()) == \
+        sorted(r.doc_id for r in s2.collect())

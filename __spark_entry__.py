@@ -841,6 +841,49 @@ def q57_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q58_lm_cross_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM quality signal: per-doc cross-entropy under the
+    corpus's own unigram model (functions.text.unigram_cross_entropy).
+    Three key-controlled shuffles, one scalar collect (total tokens);
+    ln via the C library on both engines. Rounded to 4 decimals — the
+    score is a filter threshold, not an exact quantity, and double
+    summation order differs across engines."""
+    from pandas_ai_spark.functions.text import unigram_cross_entropy
+
+    docs = _t(spark, sf_dir, "documents")
+    out = unigram_cross_entropy(docs, "text", "doc_id")
+    return out.select(
+        "doc_id", "n_tokens",
+        F.round("cross_entropy", 4).alias("cross_entropy")
+    ).orderBy("doc_id")
+
+
+def q59_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain corpus cap (functions.pipeline.cap_per_domain): keep
+    ≤20 docs per source, chosen by deterministic md5 order — the
+    mega-domain quota. Spark's WindowGroupLimit prunes to the top-20
+    per map task BEFORE the shuffle, so a hot domain never ships its
+    full row set. Exact oracle: same md5 rank in DuckDB."""
+    from pandas_ai_spark.functions.pipeline import cap_per_domain
+
+    docs = _t(spark, sf_dir, "documents")
+    return (cap_per_domain(docs, "source", "doc_id", cap=20)
+            .select("source", "doc_id").orderBy("source", "doc_id"))
+
+
+def q60_rag_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window document chunking for RAG/embedding ingestion
+    (functions.packing.chunk_documents): 32-token windows every 24
+    tokens. Pure JVM sequence→transform→posexplode — NO shuffle; chunk
+    rows inherit the scan partitioning. Oracle: identical list slicing
+    + md5 in DuckDB (no floats anywhere)."""
+    from pandas_ai_spark.functions.packing import chunk_documents
+
+    docs = _t(spark, sf_dir, "documents")
+    return chunk_documents(docs, chunk_size=32, stride=24) \
+        .orderBy("doc_id", "chunk_idx")
+
+
 def q45_winnow_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing (MOSS) fingerprint candidates — catches long verbatim
     spans that set-based Jaccard dilutes. Oracle: full DuckDB replica
@@ -1136,6 +1179,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q55_profile_sketch": q55_profile_sketch,
         "q56_stream_interval_join": q56_stream_interval_join,
         "q57_domain_mixture": q57_domain_mixture,
+        "q58_lm_cross_entropy": q58_lm_cross_entropy,
+        "q59_domain_cap": q59_domain_cap,
+        "q60_rag_chunking": q60_rag_chunking,
     }
 
 
@@ -1864,6 +1910,47 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, rk, term, round(tfidf, 6) AS tfidf
             FROM ranked WHERE rk <= 3 ORDER BY doc_id, rk
+        """,
+        "q58_lm_cross_entropy": f"""
+            WITH tk AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+            terms AS (SELECT doc_id, unnest(toks) AS term FROM tk),
+            tf AS (SELECT doc_id, term, count(*) AS tf
+                   FROM terms GROUP BY 1, 2),
+            cnt AS (SELECT term, sum(tf) AS c FROM tf GROUP BY 1),
+            tot AS (SELECT sum(c)::DOUBLE AS t FROM cnt)
+            SELECT tf.doc_id, CAST(sum(tf.tf) AS BIGINT) AS n_tokens,
+                   round(ln((SELECT t FROM tot))
+                         - sum(tf.tf * ln(cnt.c)) / sum(tf.tf),
+                         4) AS cross_entropy
+            FROM tf JOIN cnt USING (term)
+            GROUP BY tf.doc_id ORDER BY doc_id
+        """,
+        "q59_domain_cap": """
+            SELECT source, doc_id FROM (
+              SELECT source, doc_id,
+                     row_number() OVER (
+                       PARTITION BY source
+                       ORDER BY md5('cap:' || doc_id), doc_id) AS rk
+              FROM documents)
+            WHERE rk <= 20 ORDER BY source, doc_id
+        """,
+        "q60_rag_chunking": f"""
+            WITH tk AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+            w AS (SELECT doc_id, len(toks) AS n,
+                         1 + CAST(ceil(greatest(len(toks) - 32, 0)
+                                       / 24.0) AS INT) AS n_win,
+                         toks
+                  FROM tk),
+            e AS (SELECT doc_id, n, toks,
+                         unnest(range(n_win)) AS chunk_idx
+                  FROM w)
+            SELECT doc_id, chunk_idx,
+                   chunk_idx * 24 AS start_tok,
+                   least(32, n - chunk_idx * 24) AS chunk_len,
+                   md5(array_to_string(
+                     toks[chunk_idx * 24 + 1 : chunk_idx * 24 + 32],
+                     ' ')) AS chunk_md5
+            FROM e ORDER BY doc_id, chunk_idx
         """,
         # Same md5 bucket family as the Spark side (md5_number_upper ==
         # little-endian first 8 bytes); integer fold, one final division.

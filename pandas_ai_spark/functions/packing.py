@@ -73,3 +73,52 @@ def pack_sequences(df: DataFrame, text_col: str = "text",
         .withColumn("chunk_id",
                     F.floor(F.col("start_offset") / chunk_tokens))
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_size: int = 64,
+    stride: int = 48,
+) -> DataFrame:
+    """Sliding-window chunking for RAG/embedding ingestion: each doc's
+    token array is sliced into windows of ``chunk_size`` tokens starting
+    every ``stride`` tokens (overlap = chunk_size − stride). Returns one
+    row per chunk: ``(id, chunk_idx, start_tok, chunk_len, chunk_md5)``
+    — the md5 stands in for the chunk text so results stay narrow.
+
+    All JVM: sequence → transform → posexplode; embarrassingly parallel
+    (no shuffle at all — chunk rows inherit the scan's partitioning).
+    Docs shorter than ``chunk_size`` produce one truncated chunk; the
+    last window is the final partial slice unless a full window already
+    covers the tail.
+    """
+    if stride <= 0 or chunk_size <= 0:
+        raise ValueError("chunk_size and stride must be positive")
+    from .text import normalize_text, whitespace_tokens
+
+    toks = whitespace_tokens(normalize_text(F.col(text_col)))
+    n = F.size(toks)
+    # number of windows: 1 + ceil(max(n - chunk_size, 0) / stride)
+    n_win = (F.lit(1)
+             + F.ceil(F.greatest(n - chunk_size, F.lit(0))
+                      / F.lit(stride)).cast("int"))
+    starts = F.sequence(F.lit(0), (n_win - 1) * stride, F.lit(stride))
+    chunks = F.transform(
+        starts,
+        lambda s: F.struct(
+            s.alias("start_tok"),
+            F.concat_ws(" ", F.slice(toks, s + 1, chunk_size))
+             .alias("txt")))
+    exploded = df.select(
+        F.col(id_col), n.alias("__n"),
+        F.posexplode(chunks).alias("chunk_idx", "c"))
+    return exploded.select(
+        id_col,
+        "chunk_idx",
+        F.col("c.start_tok").alias("start_tok"),
+        F.least(F.lit(chunk_size), F.col("__n") - F.col("c.start_tok"))
+         .alias("chunk_len"),
+        F.md5(F.col("c.txt")).alias("chunk_md5"),
+    )

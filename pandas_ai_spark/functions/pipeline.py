@@ -114,3 +114,24 @@ def mixture_sample(
     counts, rates = temperature_mixture_rates(
         df, domain_col, alpha, sample_frac)
     return df.sampleBy(domain_col, rates, seed=seed), counts, rates
+
+
+def cap_per_domain(df: DataFrame, domain_col: str = "source",
+                   id_col: str = "doc_id", cap: int = 10_000) -> DataFrame:
+    """Cap each domain's contribution at ``cap`` docs, chosen by a
+    deterministic pseudo-random order (md5 of the id — reproducible
+    across runs and engines, no RNG state). The anti-boilerplate quota
+    every web-corpus build applies to mega-domains.
+
+    Plan shape: one shuffle on the domain + rank; Spark's
+    WindowGroupLimit pushes the top-``cap`` selection ahead of the
+    shuffle (partial limit per map task), so a 10⁸-doc domain ships at
+    most ``cap`` rows per input partition, not its whole row set.
+    """
+    from pyspark.sql import Window
+
+    key = F.md5(F.concat(F.lit("cap:"), F.col(id_col).cast("string")))
+    w = Window.partitionBy(domain_col).orderBy(key.asc(),
+                                               F.col(id_col).asc())
+    return (df.withColumn("__rk", F.row_number().over(w))
+              .where(F.col("__rk") <= cap).drop("__rk"))

@@ -326,3 +326,37 @@ def tfidf_top_terms(df: DataFrame, text_col: str = "text",
         .where(F.col("rk") <= k)
         .select(id_col, "rk", "term", "tfidf")
     )
+
+
+def unigram_cross_entropy(df: DataFrame, text_col: str = "text",
+                          id_col: str = "doc_id") -> DataFrame:
+    """Per-document cross-entropy under the corpus's own unigram LM —
+    the CCNet-style quality signal (KenLM stand-in): ``H(doc) = ln(T)
+    − Σ tf·ln(c_term) / Σ tf`` where ``c`` is the corpus count of the
+    term and ``T`` the total token count. High = unusual/garbage, low =
+    boilerplate. Returns ``(id, n_tokens, cross_entropy)``.
+
+    Scale shape: (doc,term) tf agg → global term counts (rows = vocab,
+    partial-agg combined) → tf⊳counts join on term (distinct terms per
+    doc, not occurrences) → per-doc agg. Three shuffles, all on keys
+    with natural cardinality control; the only driver value is the
+    scalar T. ln(T) is computed with the C library (math.log) so SQL
+    engines on the same libm agree bit-for-bit.
+    """
+    import math
+
+    c = F.col(text_col)
+    terms = df.select(
+        F.col(id_col), F.explode(whitespace_tokens(normalize_text(c)))
+         .alias("term"))
+    tf = terms.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    cnt = tf.groupBy("term").agg(F.sum("tf").alias("c"))
+    total = cnt.agg(F.sum("c")).collect()[0][0]
+    return (
+        tf.join(cnt, "term")
+        .groupBy(id_col)
+        .agg(F.sum("tf").alias("n_tokens"),
+             (F.lit(math.log(float(total)))
+              - F.sum(F.col("tf") * F.log("c")) / F.sum("tf"))
+             .alias("cross_entropy"))
+    )

@@ -723,3 +723,63 @@ def test_temperature_mixture_rates_properties(docs):
     s2, _, _ = mixture_sample(docs, "lang", seed=7)
     assert sorted(r.doc_id for r in s1.collect()) == \
         sorted(r.doc_id for r in s2.collect())
+
+
+def test_unigram_cross_entropy_ranks_rare_docs_higher(spark):
+    """A doc of corpus-common tokens scores lower cross-entropy than a
+    doc of corpus-rare tokens; n_tokens is the whitespace count."""
+    from pandas_ai_spark.functions.text import unigram_cross_entropy
+
+    df = spark.createDataFrame(
+        [(1, "common common common common"),
+         (2, "common common common common"),
+         (3, "common common common common"),
+         (4, "rare1 rare2 rare3 rare4")],
+        "doc_id long, text string")
+    out = {r.doc_id: r for r in unigram_cross_entropy(df).collect()}
+    assert out[4].cross_entropy > out[1].cross_entropy
+    assert out[4].n_tokens == 4
+    # identical docs score identically
+    assert out[1].cross_entropy == out[2].cross_entropy
+
+
+def test_cap_per_domain_quota_and_determinism(docs):
+    from pandas_ai_spark.functions.pipeline import cap_per_domain
+
+    capped = cap_per_domain(docs, "source", "doc_id", cap=7)
+    per = {r.source: r.n for r in
+           capped.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert per and all(n <= 7 for n in per.values())
+    a = sorted(r.doc_id for r in capped.collect())
+    b = sorted(r.doc_id for r in
+               cap_per_domain(docs, "source", "doc_id", cap=7).collect())
+    assert a == b
+
+    plan = capped._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan, plan
+
+
+def test_chunk_documents_covers_and_overlaps(spark):
+    """Chunk starts advance by stride, every token index falls in some
+    chunk, the final chunk reaches the last token, and a short doc
+    yields exactly one truncated chunk."""
+    from pandas_ai_spark.functions.packing import chunk_documents
+
+    text = " ".join(f"t{i}" for i in range(100))
+    df = spark.createDataFrame(
+        [(1, text), (2, "a b c")], "doc_id long, text string")
+    rows = sorted(chunk_documents(df, chunk_size=32, stride=24).collect(),
+                  key=lambda r: (r.doc_id, r.chunk_idx))
+    d1 = [r for r in rows if r.doc_id == 1]
+    assert [r.start_tok for r in d1] == [0, 24, 48, 72]
+    assert [r.chunk_len for r in d1] == [32, 32, 32, 28]
+    covered = set()
+    for r in d1:
+        covered |= set(range(r.start_tok, r.start_tok + r.chunk_len))
+    assert covered == set(range(100))
+
+    d2 = [r for r in rows if r.doc_id == 2]
+    assert len(d2) == 1 and d2[0].chunk_len == 3 and d2[0].start_tok == 0
+
+    with pytest.raises(ValueError):
+        chunk_documents(df, chunk_size=0)

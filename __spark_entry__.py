@@ -806,8 +806,18 @@ def q56_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = stream_interval_join(
         p, c, on=["user_id"], left_ts="ts", right_ts="click_ts",
         lower_seconds=-3600, upper_seconds=0)
-    drained = StreamCompiler.run_available_now(
-        joined, "entry_stream_interval_join")
+    # shuffle partitions fix the stream's STATE STORE count at query
+    # start: each store carries per-micro-batch checkpoint overhead, so
+    # a bounded local drain can't amortize 32 of them (measured 3×
+    # slower than 8). On a cluster you size this to executor cores —
+    # it's a deployment knob, not a plan property.
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        drained = StreamCompiler.run_available_now(
+            joined, "entry_stream_interval_join")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     return (
         drained.groupBy("user_id", "event_id")
         .agg(F.count("*").alias("n_clicks"),
@@ -1952,14 +1962,16 @@ def oracle_sql() -> dict[str, str]:
                      ' ')) AS chunk_md5
             FROM e ORDER BY doc_id, chunk_idx
         """,
-        # Same md5 bucket family as the Spark side (md5_number_upper ==
-        # little-endian first 8 bytes); integer fold, one final division.
+        # Same md5 bucket family as the Spark side: first 8 md5 hex
+        # chars as uint32 (classify.md5_bucket); integer fold, one
+        # final division.
         "q54_quality_classifier": f"""
             WITH tk AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
             s AS (
               SELECT doc_id,
                      coalesce(list_sum(list_transform(toks,
-                       t -> (md5_number_upper(t) % 2001)::BIGINT - 1000)),
+                       t -> ('0x' || substr(md5(t), 1, 8))::BIGINT
+                            % 2001 - 1000)),
                        0) AS ws,
                      greatest(len(toks), 1) AS n
               FROM tk

@@ -9,7 +9,7 @@ the semantic-layer compiler or the guarded ``spark.sql`` executor.
 
 from .base import Agent
 from .llm import (LLM, APIKeyNotFoundError, FakeLLM, HTTPTransport,
-                  LLMAPIError, OpenAICompatibleLLM)
+                  LLMAPIError, AzureOpenAILLM, OpenAICompatibleLLM)
 from .memory import Memory
 from .response import (
     BaseResponse,
@@ -27,6 +27,7 @@ __all__ = [
     "LLM",
     "FakeLLM",
     "OpenAICompatibleLLM",
+    "AzureOpenAILLM",
     "HTTPTransport",
     "LLMAPIError",
     "APIKeyNotFoundError",

@@ -208,26 +208,95 @@ class OpenAICompatibleLLM(LLM):
                     parts.append(c.get("text", ""))
         return "".join(parts)
 
+    # -- endpoint shaping (overridden by the Azure variant) -----------------
+
+    def _headers(self) -> dict:
+        return {"Authorization": f"Bearer {self.api_key}"}
+
+    def _url(self, shape: str) -> str:
+        path = {"responses": "/responses",
+                "completions": "/completions",
+                "chat": "/chat/completions"}[shape]
+        return f"{self.base_url}{path}"
+
     def call(self, prompt: str, context=None) -> str:
         self.last_prompt = prompt
-        headers = {"Authorization": f"Bearer {self.api_key}"}
+        headers = self._headers()
         shape = self._api_shape
         if shape == "responses":
             payload = {**self._responses_params(),
                        "input": self._messages(prompt, context)}
             data = self.transport.post(
-                f"{self.base_url}/responses", headers, payload)
+                self._url(shape), headers, payload)
             return self._parse_responses(data)
         if shape == "completions":
             payload = {**self._chat_params(), "prompt": prompt}
             data = self.transport.post(
-                f"{self.base_url}/completions", headers, payload)
+                self._url(shape), headers, payload)
             return data["choices"][0].get("text", "")
         payload = {**self._chat_params(),
                    "messages": self._messages(prompt, context)}
         data = self.transport.post(
-            f"{self.base_url}/chat/completions", headers, payload)
+            self._url(shape), headers, payload)
         return data["choices"][0]["message"].get("content") or ""
+
+
+class AzureOpenAILLM(OpenAICompatibleLLM):
+    """Azure-hosted OpenAI deployments (reference: extensions/llms/
+    openai/pandasai_openai/azure_openai.py:14-120). Azure differs from
+    the vanilla endpoint in exactly three wire-level ways, all shaped
+    here and unit-tested offline:
+
+    - auth header is ``api-key: <key>`` (not a Bearer token);
+    - chat/completions URLs are per-deployment
+      (``/openai/deployments/<name>/...``); the Responses API is
+      resource-level (``/openai/responses``) with the deployment as
+      ``model`` in the body;
+    - every call carries ``?api-version=``.
+
+    Credentials resolve like the reference: ``api_key`` param, then
+    ``$AZURE_OPENAI_API_KEY``, then ``$OPENAI_API_KEY``; endpoint from
+    ``azure_endpoint`` / ``$AZURE_OPENAI_ENDPOINT``; version from
+    ``api_version`` / ``$OPENAI_API_VERSION`` (required, like the
+    reference's APIKeyNotFoundError contract). AAD-token auth is not
+    implemented (needs the azure-identity package)."""
+
+    def __init__(self, deployment_name: str,
+                 azure_endpoint: str | None = None,
+                 api_version: str | None = None,
+                 api_key: str | None = None, **kwargs):
+        import os
+
+        key = (api_key or os.getenv("AZURE_OPENAI_API_KEY")
+               or os.getenv("OPENAI_API_KEY"))
+        if not key:
+            raise APIKeyNotFoundError("Azure OpenAI key is required")
+        endpoint = azure_endpoint or os.getenv("AZURE_OPENAI_ENDPOINT")
+        if not endpoint:
+            raise APIKeyNotFoundError("Azure endpoint is required")
+        version = api_version or os.getenv("OPENAI_API_VERSION")
+        if not version:
+            raise APIKeyNotFoundError("Azure OpenAI api version is required")
+        super().__init__(model=deployment_name, api_key=key,
+                         base_url=endpoint, **kwargs)
+        self.deployment_name = deployment_name
+        self.api_version = version
+
+    @property
+    def type(self) -> str:
+        return "azure-openai"
+
+    def _headers(self) -> dict:
+        return {"api-key": self.api_key}
+
+    def _url(self, shape: str) -> str:
+        if shape == "responses":
+            path = "/openai/responses"
+        else:
+            suffix = ("/completions" if shape == "completions"
+                      else "/chat/completions")
+            path = f"/openai/deployments/{self.deployment_name}{suffix}"
+        return f"{self.base_url}{path}?api-version={self.api_version}"
 
 
 class FakeLLM(LLM):

@@ -101,6 +101,10 @@ def chunk_documents(
     """
     if stride <= 0 or chunk_size <= 0:
         raise ValueError("chunk_size and stride must be positive")
+    if stride > chunk_size:
+        # stride > size leaves inter-window gaps AND breaks the
+        # cover-the-tail window count; no retrieval pipeline wants that
+        raise ValueError("stride must be <= chunk_size (overlap >= 0)")
     from .text import normalize_text, whitespace_tokens
 
     pre = df.select(

@@ -783,3 +783,62 @@ def test_chunk_documents_covers_and_overlaps(spark):
 
     with pytest.raises(ValueError):
         chunk_documents(df, chunk_size=0)
+
+
+def test_range_join_randomized_configs(spark):
+    """range_join == naive inequality join across randomized windows,
+    keys, and timestamps (seeded): asymmetric windows, future-only
+    windows, sub-bucket spans."""
+    import datetime as dt
+    import random
+
+    from pandas_ai_spark.functions.timeseries import range_join
+
+    rng = random.Random(42)
+    base = dt.datetime(2024, 1, 1)
+    for lo, hi in [(-3600, 0), (-90, 90), (10, 600), (-7200, -3600)]:
+        left = [(rng.randint(1, 3),
+                 base + dt.timedelta(seconds=rng.uniform(0, 20000)))
+                for _ in range(40)]
+        right = [(rng.randint(1, 3),
+                  base + dt.timedelta(seconds=rng.uniform(0, 20000)),
+                  float(i)) for i in range(60)]
+        ldf = spark.createDataFrame(left, "k long, ts timestamp")
+        rdf = spark.createDataFrame(right,
+                                    "k long, rts timestamp, v double")
+        got = {(r.k, r.ts, r.rts) for r in
+               range_join(ldf, rdf, ["k"], "ts", "rts", lo, hi).collect()}
+        naive = {(l[0], l[1], r[1]) for l in left for r in right
+                 if l[0] == r[0]
+                 and lo <= (r[1] - l[1]).total_seconds() <= hi}
+        assert got == naive, (lo, hi)
+
+
+def test_chunk_documents_randomized_configs(spark):
+    """Chunk layout invariants across random (chunk_size, stride, doc
+    length): starts advance by stride, full coverage, last chunk ends
+    at the final token, lens in (0, chunk_size]."""
+    import random
+
+    from pandas_ai_spark.functions.packing import chunk_documents
+
+    rng = random.Random(7)
+    cases = []
+    for _ in range(6):
+        size = rng.randint(2, 50)
+        cases.append((rng.randint(1, 40), size, rng.randint(1, size)))
+    rows = [(i, " ".join(f"w{j}" for j in range(n)))
+            for i, (n, _, _) in enumerate(cases)]
+    for i, (n, size, stride) in enumerate(cases):
+        out = sorted(
+            (r for r in chunk_documents(
+                spark.createDataFrame([rows[i]], "doc_id long, text string"),
+                chunk_size=size, stride=stride).collect()),
+            key=lambda r: r.chunk_idx)
+        assert [r.start_tok for r in out] == \
+            [j * stride for j in range(len(out))]
+        assert all(0 < r.chunk_len <= size for r in out)
+        covered = set()
+        for r in out:
+            covered |= set(range(r.start_tok, r.start_tok + r.chunk_len))
+        assert covered == set(range(n)), (n, size, stride)

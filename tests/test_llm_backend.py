@@ -181,3 +181,73 @@ def test_agent_end_to_end_with_fake_transport(spark):
     agent = Agent([df], llm=llm)
     resp = agent.chat("how many orders?")
     assert resp.value == 1500
+
+
+# -- Azure variant ---------------------------------------------------------
+
+def _azure(deployment, reply, **kw):
+    from pandas_ai_spark.agent import AzureOpenAILLM
+
+    t = FakeTransport(reply)
+    llm = AzureOpenAILLM(
+        deployment_name=deployment, api_key="az-test",
+        azure_endpoint="https://res.openai.azure.com",
+        api_version="2024-10-21", transport=t, **kw)
+    return llm, t
+
+
+def test_azure_chat_url_headers_and_payload():
+    llm, t = _azure("my-gpt4o", CHAT_REPLY)
+    out = llm.call("hi")
+    assert out == "chat says hi"
+    c = t.calls[0]
+    assert c["url"] == ("https://res.openai.azure.com/openai/deployments/"
+                        "my-gpt4o/chat/completions?api-version=2024-10-21")
+    assert c["headers"] == {"api-key": "az-test"}
+    assert "Authorization" not in c["headers"]
+    assert c["payload"]["messages"][-1] == {"role": "user", "content": "hi"}
+
+
+def test_azure_responses_url_is_resource_level():
+    llm, t = _azure("gpt-5-mini", RESPONSES_REPLY)
+    assert llm.call("hi") == "responses says hi"
+    c = t.calls[0]
+    assert c["url"] == ("https://res.openai.azure.com/openai/responses"
+                        "?api-version=2024-10-21")
+    assert c["payload"]["model"] == "gpt-5-mini"
+    assert c["payload"]["reasoning"] == {"effort": "medium"}
+
+
+def test_azure_completions_deployment_url():
+    llm, t = _azure("gpt-35-instruct", COMPLETION_REPLY)
+    assert llm.call("hi") == "completion says hi"
+    assert t.calls[0]["url"].endswith(
+        "/openai/deployments/gpt-35-instruct/completions"
+        "?api-version=2024-10-21")
+    assert t.calls[0]["payload"]["prompt"] == "hi"
+
+
+def test_azure_missing_credentials_raise(monkeypatch):
+    from pandas_ai_spark.agent import AzureOpenAILLM
+
+    for var in ("AZURE_OPENAI_API_KEY", "OPENAI_API_KEY",
+                "AZURE_OPENAI_ENDPOINT", "OPENAI_API_VERSION"):
+        monkeypatch.delenv(var, raising=False)
+    with pytest.raises(APIKeyNotFoundError, match="key"):
+        AzureOpenAILLM("dep")
+    with pytest.raises(APIKeyNotFoundError, match="endpoint"):
+        AzureOpenAILLM("dep", api_key="k")
+    with pytest.raises(APIKeyNotFoundError, match="version"):
+        AzureOpenAILLM("dep", api_key="k",
+                       azure_endpoint="https://r.openai.azure.com")
+
+
+def test_azure_env_credentials(monkeypatch):
+    from pandas_ai_spark.agent import AzureOpenAILLM
+
+    monkeypatch.setenv("AZURE_OPENAI_API_KEY", "envkey")
+    monkeypatch.setenv("AZURE_OPENAI_ENDPOINT", "https://e.openai.azure.com/")
+    monkeypatch.setenv("OPENAI_API_VERSION", "2024-06-01")
+    llm = AzureOpenAILLM("dep", transport=FakeTransport(CHAT_REPLY))
+    assert llm.call("x") == "chat says hi"
+    assert llm.type == "azure-openai"

@@ -894,6 +894,26 @@ def q60_rag_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("doc_id", "chunk_idx")
 
 
+def q61_ann_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table-to-table ANN join (similarity.ann_join): odd-id vectors
+    find their top-5 cosine neighbors among even-id vectors via shared
+    IVF cells — the semantic join where neither side is broadcast.
+    Cogrouped per-cell GEMM, one shuffle per side. Oracle: quantizer
+    retrained in the oracle builder (same seed/sample), centroids as
+    literal SQL, probe ranking via list sort — the q35 pattern
+    extended to a distributed probe side."""
+    from pandas_ai_spark.functions import similarity as sim
+
+    emb = _t(spark, sf_dir, "embeddings")
+    l = emb.where(F.col("vec_id") % 2 == 1)
+    r = emb.where(F.col("vec_id") % 2 == 0)
+    res = sim.ann_join(l, r, k=5, n_centroids=16, n_probe=4)
+    return res.select(
+        "left_id", "right_id",
+        F.round("cosine", 6).alias("cosine"), "rank"
+    ).orderBy("left_id", "rank")
+
+
 def q45_winnow_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing (MOSS) fingerprint candidates — catches long verbatim
     spans that set-based Jaccard dilutes. Oracle: full DuckDB replica
@@ -1192,6 +1212,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q58_lm_cross_entropy": q58_lm_cross_entropy,
         "q59_domain_cap": q59_domain_cap,
         "q60_rag_chunking": q60_rag_chunking,
+        "q61_ann_join": q61_ann_join,
     }
 
 
@@ -1571,6 +1592,63 @@ _Q46_SNAPSHOT = """
 """.strip()
 
 
+def _q61_oracle(sf_dir: str = "/root/testdata/sf0.01") -> str:
+    """DuckDB replica of the IVF table-to-table ANN join: quantizer
+    retrained here (same seed + same file-order even-id sample the
+    Spark path uses), centroids as literal DOUBLE[] lists; cell
+    assignment, per-left probe ranking (lexicographic [-dot, idx] list
+    sort == numpy stable argsort desc), candidate join, and exact
+    cosine rerank all run as SQL. Pinned to sf0.01 like q35/q46."""
+    import duckdb as _duck
+
+    import numpy as _np
+
+    from pandas_ai_spark.functions.similarity import _kmeans_centroids
+
+    n_centroids, n_probe, k = 16, 4, 5
+    rows = _duck.connect().execute(
+        f"SELECT vec_id, embedding FROM "
+        f"read_parquet('{sf_dir}/embeddings.parquet')").fetchall()
+    right_rows = [r for r in rows if r[0] % 2 == 0][:10_000]
+    M = _np.array([r[1] for r in right_rows], dtype=_np.float64)
+    Mn = M / _np.maximum(_np.linalg.norm(M, axis=1, keepdims=True), 1e-300)
+    C = _kmeans_centroids(Mn, n_centroids, seed=42)
+
+    def lst(row):
+        return "[" + ",".join(repr(float(x)) for x in row) + "]"
+
+    dots = ", ".join(f"list_inner_product(v, {lst(C[j])})"
+                     for j in range(n_centroids))
+    probe_expr = (
+        f"list_transform(list_slice(list_sort(list_transform("
+        f"range({n_centroids}), j -> [-dl[j+1], j::DOUBLE])), 1, "
+        f"{n_probe}), x -> x[2]::INT)")
+    return f"""
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+                   FROM embeddings),
+        r AS (SELECT vec_id, v, [{dots}] AS dl FROM e
+              WHERE vec_id % 2 = 0),
+        rc AS (SELECT vec_id AS right_id, v,
+                      list_indexof(dl, list_max(dl)) - 1 AS cell FROM r),
+        l AS (SELECT vec_id, v, [{dots}] AS dl FROM e
+              WHERE vec_id % 2 = 1),
+        lp AS (SELECT vec_id AS left_id, v,
+                      unnest({probe_expr}) AS cell FROM l),
+        cand AS (
+          SELECT lp.left_id, rc.right_id,
+                 list_cosine_similarity(lp.v, rc.v) AS cos
+          FROM lp JOIN rc USING (cell)
+        ), ranked AS (
+          SELECT left_id, right_id, cos,
+                 row_number() OVER (PARTITION BY left_id
+                                    ORDER BY cos DESC, right_id) AS rank
+          FROM cand
+        )
+        SELECT left_id, right_id, round(cos, 6) AS cosine, rank
+        FROM ranked WHERE rank <= {k} ORDER BY left_id, rank
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "q22_minhash_pairs": _q22_oracle(),
@@ -1588,6 +1666,7 @@ def oracle_sql() -> dict[str, str]:
         "q25_ann_lsh": _q25_oracle(),
         "q28_image_features": _Q28_ORACLE_TMPL,
         "q35_ann_ivf": _q35_oracle(),
+        "q61_ann_join": _q61_oracle(),
         "q45_winnow_candidates": _q45_oracle(),
         "q46_stratified_sample": _Q46_SNAPSHOT,
         "q57_domain_mixture": _Q57_SNAPSHOT,

@@ -842,3 +842,44 @@ def test_chunk_documents_randomized_configs(spark):
         for r in out:
             covered |= set(range(r.start_tok, r.start_tok + r.chunk_len))
         assert covered == set(range(n)), (n, size, stride)
+
+
+def test_ann_join_full_probe_is_exact_partial_is_subset(spark, emb):
+    """Probing every cell makes the IVF table-to-table join exact
+    (== numpy brute force, same tie-break); partial probing returns a
+    subset with reasonable recall even on worst-case random vectors."""
+    import numpy as np
+
+    from pandas_ai_spark.functions.similarity import ann_join
+
+    l = emb.where(F.col("vec_id") % 2 == 1)
+    r = emb.where(F.col("vec_id") % 2 == 0)
+
+    def norm_rows(rows):
+        ids = np.array([x[0] for x in rows])
+        M = np.array([x[1] for x in rows], dtype=np.float64)
+        M = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-300)
+        return ids, M
+
+    lid, L = norm_rows([(x.vec_id, x.embedding) for x in l.collect()])
+    rid, R = norm_rows([(x.vec_id, x.embedding) for x in r.collect()])
+    S = L @ R.T
+    exact = {}
+    for i, qid in enumerate(lid):
+        order = np.lexsort((rid, -S[i]))[:3]
+        exact[int(qid)] = [int(rid[j]) for j in order]
+
+    full = ann_join(l, r, k=3, n_centroids=8, n_probe=8)
+    got = {}
+    for row in sorted(full.collect(), key=lambda x: (x.left_id, x.rank)):
+        got.setdefault(row.left_id, []).append(row.right_id)
+    assert got == exact
+
+    part = ann_join(l, r, k=3, n_centroids=8, n_probe=2)
+    hits = total = 0
+    for row in part.collect():
+        total += 1
+        hits += row.right_id in exact[row.left_id]
+    # partial probe may rank different candidates, but a healthy share
+    # of the true top-3 must survive even on random vectors
+    assert total and hits / (3 * len(exact)) >= 0.3

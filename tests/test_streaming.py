@@ -233,3 +233,26 @@ def test_stream_interval_join_parity_with_batch_range_join(
                        ["user_id"], "ts", "click_ts", -3600, 0)
     exp = {(r.user_id, r.event_id, r.click_ts) for r in batch.collect()}
     assert got == exp and got
+
+
+def test_stream_static_enrichment_join_parity(spark, batch_events,
+                                              stream_events):
+    """Stream-static join (dimension enrichment — Spark supports it
+    natively, no watermark needed on the static side): streaming events
+    joined to a static event_type dimension drain to the same rows as
+    the batch join."""
+    from pandas_ai_spark.streaming import StreamCompiler
+
+    dim = spark.createDataFrame(
+        [("purchase", 1.0), ("click", 0.1), ("view", 0.01)],
+        "event_type string, weight double")
+
+    def enrich(ev):
+        return (ev.join(F.broadcast(dim), "event_type")
+                .select("event_id", "event_type", "weight"))
+
+    drained = StreamCompiler.run_available_now(
+        enrich(stream_events), "t_stream_static_join")
+    got = {(r.event_id, r.weight) for r in drained.collect()}
+    exp = {(r.event_id, r.weight) for r in enrich(batch_events).collect()}
+    assert got == exp and got

@@ -195,23 +195,11 @@ def minhash_signature(shingles: Column, num_hashes: int = 128,
     return minhash_signature_udf(num_hashes, seed)(shingle_hashes(shingles))
 
 
-def minhash_lsh_candidates(
-    df: DataFrame,
-    text_col: str = "text",
-    id_col: str = "doc_id",
-    shingle_size: int = 3,
-    num_hashes: int = 128,
-    bands: int = 32,
-) -> DataFrame:
-    """Candidate near-duplicate pairs via banded MinHash-LSH.
-
-    rows_per_band = num_hashes // bands; two docs collide when any band's
-    sub-signature matches exactly. Probability of collision for Jaccard s
-    is 1-(1-s^r)^b — with 128/32 the S-curve centers near s≈0.65.
-
-    Returns pairs (id_a < id_b). Scale: the explode produces bands×N rows;
-    the groupBy shuffles only (band_idx, 64-bit sig, id) triples.
-    """
+def _band_sig_udf(shingle_size: int, num_hashes: int, bands: int):
+    """tokens → per-band FNV-mixed minhash signature — shingling,
+    hashing, minhash, and banding fused into one Arrow pass. Shared by
+    the self-join candidate generator and the incremental
+    batch-vs-corpus form (identical constants → comparable bands)."""
     rows_per_band = num_hashes // bands
     a, b_ = _affine_params(num_hashes)
     fnv_prime = np.uint64(1099511628211)
@@ -219,8 +207,6 @@ def minhash_lsh_candidates(
 
     @F.pandas_udf(T.ArrayType(T.LongType()))
     def band_sigs(toks: pd.Series) -> pd.Series:
-        """tokens → per-band FNV-mixed minhash signature — shingling,
-        hashing, minhash, and banding fused into one Arrow pass."""
         empty_sig = np.zeros(num_hashes, dtype=np.uint64)
 
         def one(ts) -> list:
@@ -241,6 +227,27 @@ def minhash_lsh_candidates(
 
         return toks.map(one)
 
+    return band_sigs
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_size: int = 3,
+    num_hashes: int = 128,
+    bands: int = 32,
+) -> DataFrame:
+    """Candidate near-duplicate pairs via banded MinHash-LSH.
+
+    rows_per_band = num_hashes // bands; two docs collide when any band's
+    sub-signature matches exactly. Probability of collision for Jaccard s
+    is 1-(1-s^r)^b — with 128/32 the S-curve centers near s≈0.65.
+
+    Returns pairs (id_a < id_b). Scale: the explode produces bands×N rows;
+    the groupBy shuffles only (band_idx, 64-bit sig, id) triples.
+    """
+    band_sigs = _band_sig_udf(shingle_size, num_hashes, bands)
     banded = df.select(
         F.col(id_col),
         F.posexplode(band_sigs(_norm_tokens(F.col(text_col))))
@@ -775,3 +782,79 @@ def decontaminate(
     )
     clean = corpus.join(flagged.select(id_col), id_col, "left_anti")
     return clean, flagged
+
+
+def minhash_state(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_size: int = 3,
+    num_hashes: int = 128,
+    bands: int = 32,
+) -> tuple[DataFrame, DataFrame]:
+    """Build the LSH state a corpus leaves behind for incremental
+    dedup: ``(bands, hashes)`` where bands = (id, band, bsig) triples
+    and hashes = (id, shingle-hash set) for exact verification. Persist
+    both as parquet (bucketed by ``(band, bsig)`` / ``id`` at scale);
+    the corpus text itself is never needed again."""
+    sigs = _band_sig_udf(shingle_size, num_hashes, bands)
+    toks = _norm_tokens(F.col(text_col))
+    banded = df.select(
+        F.col(id_col), F.posexplode(sigs(toks)).alias("band", "bsig"))
+    hashes = df.select(
+        F.col(id_col),
+        shingle_hash_udf(shingle_size)(toks).alias("hashes"))
+    return banded, hashes
+
+
+def minhash_incremental(
+    new_docs: DataFrame,
+    corpus_bands: DataFrame,
+    corpus_hashes: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    shingle_size: int = 3,
+    num_hashes: int = 128,
+    bands: int = 32,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Near-dup dedup of a NEW batch against an existing corpus
+    represented only by its :func:`minhash_state` — the continuous-
+    ingestion form of :func:`minhash_dedup_pairs` (which self-joins one
+    table). Returns ``(novel_docs, updated_bands, updated_hashes)``.
+
+    Scale shape: the batch's band signatures equi-join the corpus band
+    table on ``(band, bsig)`` — candidate volume is collision-bounded
+    exactly like the self-join case, and the batch side is typically
+    tiny relative to corpus state, so AQE broadcasts it. Candidates are
+    then verified with exact Jaccard over the stored shingle-hash sets
+    (no false positives); only verified near-dups are dropped. Within-
+    batch near-dups are removed first with the same constants, so the
+    returned state stays internally dedup'd.
+    """
+    batch = minhash_dedup(new_docs, text_col, id_col,
+                          threshold=threshold,
+                          num_hashes=num_hashes, bands=bands)
+    b_bands, b_hashes = minhash_state(
+        batch, text_col, id_col, shingle_size, num_hashes, bands)
+
+    cand = (
+        b_bands.join(corpus_bands.withColumnRenamed(id_col, "__cid"),
+                     ["band", "bsig"])
+        .select(id_col, "__cid").distinct()
+    )
+    verified = (
+        cand.join(b_hashes, id_col)
+        .join(corpus_hashes.select(F.col(id_col).alias("__cid"),
+                                   F.col("hashes").alias("__chashes")),
+              "__cid")
+        .where(jaccard(F.col("hashes"), F.col("__chashes"))
+               >= F.lit(threshold))
+        .select(id_col).distinct()
+    )
+    novel = batch.join(verified, id_col, "left_anti")
+    novel_bands, novel_hashes = minhash_state(
+        novel, text_col, id_col, shingle_size, num_hashes, bands)
+    return (novel,
+            corpus_bands.unionByName(novel_bands),
+            corpus_hashes.unionByName(novel_hashes))

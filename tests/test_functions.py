@@ -883,3 +883,30 @@ def test_ann_join_full_probe_is_exact_partial_is_subset(spark, emb):
     # partial probe may rank different candidates, but a healthy share
     # of the true top-3 must survive even on random vectors
     assert total and hits / (3 * len(exact)) >= 0.3
+
+
+def test_minhash_incremental_batch_vs_corpus(spark, docs):
+    """A new batch dedups against corpus LSH state (bands + hashes)
+    without touching corpus text: a near-copy of a corpus doc is
+    verified and dropped, a novel doc survives, and the returned state
+    covers exactly corpus + novel docs."""
+    from pandas_ai_spark.functions.dedup import (
+        minhash_incremental, minhash_state)
+
+    corpus = docs.limit(100)
+    bands_t, hashes_t = minhash_state(corpus)
+    seed_text = corpus.where(F.col("doc_id") == 0) \
+        .select("text").collect()[0][0]
+    batch = spark.createDataFrame(
+        [(9001, seed_text + " tiny tail"),
+         (9002, "an entirely novel document about orthogonal topics "
+                "with no shared phrasing whatsoever in this corpus")],
+        "doc_id long, text string")
+
+    novel, up_bands, up_hashes = minhash_incremental(
+        batch, bands_t, hashes_t, threshold=0.5)
+    assert {r.doc_id for r in novel.collect()} == {9002}
+    state_ids = {r.doc_id for r in
+                 up_hashes.select("doc_id").distinct().collect()}
+    assert 9002 in state_ids and 9001 not in state_ids
+    assert len(state_ids) == 101

@@ -910,3 +910,81 @@ def test_minhash_incremental_batch_vs_corpus(spark, docs):
                  up_hashes.select("doc_id").distinct().collect()}
     assert 9002 in state_ids and 9001 not in state_ids
     assert len(state_ids) == 101
+
+
+def test_bucketed_join_has_no_exchange(spark, tmp_path):
+    """Tables bucketed on the join key at write time join WITHOUT a
+    shuffle: the sort-merge join plan contains no Exchange on either
+    side — the pay-once repeated-join layout."""
+    from pandas_ai_spark.sources.layout import write_bucketed
+
+    orders = spark.read.parquet(f"{SF_SMOKE}/orders.parquet") \
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    cust = spark.read.parquet(f"{SF_SMOKE}/customer.parquet") \
+        .select("c_custkey", "c_name")
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        write_bucketed(orders, "t_orders_b", "o_custkey", num_buckets=8,
+                       path=str(tmp_path / "ob"))
+        write_bucketed(cust, "t_cust_b", "c_custkey", num_buckets=8,
+                       path=str(tmp_path / "cb"))
+        j = spark.table("t_orders_b").join(
+            spark.table("t_cust_b"),
+            F.col("o_custkey") == F.col("c_custkey"))
+        n = j.count()
+        assert n == orders.join(
+            cust, orders.o_custkey == cust.c_custkey).count() and n
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan, plan
+        assert "Exchange" not in plan, plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS t_orders_b")
+        spark.sql("DROP TABLE IF EXISTS t_cust_b")
+
+
+def test_zorder_value_matches_python():
+    from pandas_ai_spark.sources.layout import zorder_value  # noqa: F401
+    # interleave checked via the full writer test below; here just the
+    # bit math on known values: a=0b11, b=0b01 -> z=0b0111
+    from pandas_ai_spark.session import get_session
+    from pyspark.sql import functions as F
+
+    spark = get_session()
+    row = spark.range(1).select(
+        zorder_value(F.lit(3).cast("long"), F.lit(1).cast("long"),
+                     bits=4).alias("z")).collect()[0]
+    assert row.z == 0b0111
+
+
+def test_zorder_write_keeps_both_dims_tight(spark, tmp_path):
+    """Z-ordered files cover compact regions of the (a, b) plane: the
+    mean per-file span of BOTH columns stays well under the global
+    span, while a plain range sort by `a` leaves `b` unclustered."""
+    import itertools
+    import random
+
+    from pandas_ai_spark.sources.layout import (
+        write_range_sorted, write_zordered)
+
+    pts = list(itertools.product(range(64), range(64)))
+    random.Random(3).shuffle(pts)
+    df = spark.createDataFrame(pts, "a long, b long")
+
+    def mean_spans(path):
+        got = spark.read.parquet(path).select(
+            "a", "b", F.input_file_name().alias("f"))
+        rows = got.groupBy("f").agg(
+            (F.max("a") - F.min("a")).alias("sa"),
+            (F.max("b") - F.min("b")).alias("sb")).collect()
+        return (sum(r.sa for r in rows) / len(rows) / 63.0,
+                sum(r.sb for r in rows) / len(rows) / 63.0)
+
+    write_zordered(df, str(tmp_path / "z"), "a", "b", num_files=16)
+    sa, sb = mean_spans(str(tmp_path / "z"))
+    assert sa < 0.6 and sb < 0.6, (sa, sb)
+
+    write_range_sorted(df, str(tmp_path / "r"), "a", num_files=16)
+    ra, rb = mean_spans(str(tmp_path / "r"))
+    assert ra < 0.3 and rb > 0.9, (ra, rb)

@@ -914,6 +914,30 @@ def q61_ann_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("left_id", "rank")
 
 
+def q62_boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line-level boilerplate removal (functions.text
+    .remove_boilerplate_lines): lines appearing in >50% of documents
+    (site headers, license footers) are dropped corpus-wide, order
+    preserved. The flat testdata docs have no newlines, so — as in q48
+    — deterministic structure is synthesized identically in both
+    engines: a shared header line (boilerplate, must vanish) and a
+    per-doc unique footer (must survive). Result carries md5 of the
+    cleaned text, byte-compared against DuckDB's string_agg
+    reconstruction."""
+    from pandas_ai_spark.functions.text import remove_boilerplate_lines
+
+    docs = _t(spark, sf_dir, "documents")
+    aug = docs.select(
+        "doc_id",
+        F.concat(F.lit("shared corpus header notice\n"), F.col("text"),
+                 F.lit("\nunique footer "),
+                 F.col("doc_id").cast("string")).alias("text"))
+    out = remove_boilerplate_lines(aug, max_doc_frac=0.5)
+    return out.select(
+        "doc_id", F.md5("text").alias("clean_md5"), "n_lines_kept"
+    ).orderBy("doc_id")
+
+
 def q45_winnow_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing (MOSS) fingerprint candidates — catches long verbatim
     spans that set-based Jaccard dilutes. Oracle: full DuckDB replica
@@ -1213,6 +1237,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q59_domain_cap": q59_domain_cap,
         "q60_rag_chunking": q60_rag_chunking,
         "q61_ann_join": q61_ann_join,
+        "q62_boilerplate_lines": q62_boilerplate_lines,
     }
 
 
@@ -1999,6 +2024,33 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, rk, term, round(tfidf, 6) AS tfidf
             FROM ranked WHERE rk <= 3 ORDER BY doc_id, rk
+        """,
+        "q62_boilerplate_lines": """
+            WITH aug AS (
+              SELECT doc_id,
+                     'shared corpus header notice' || chr(10) || text ||
+                     chr(10) || 'unique footer ' || doc_id AS t
+              FROM documents
+            ), lines AS (
+              SELECT doc_id, unnest(string_split(t, chr(10))) AS line,
+                     generate_subscripts(string_split(t, chr(10)), 1)
+                       AS idx
+              FROM aug
+            ), keyed AS (
+              SELECT doc_id, idx, line, md5(trim(line)) AS key
+              FROM lines
+            ), boiler AS (
+              SELECT key FROM keyed GROUP BY key
+              HAVING count(DISTINCT doc_id)
+                     > 0.5 * (SELECT count(*) FROM documents)
+            ), kept AS (
+              SELECT k.* FROM keyed k ANTI JOIN boiler b ON k.key = b.key
+            )
+            SELECT doc_id,
+                   md5(string_agg(line, chr(10) ORDER BY idx))
+                     AS clean_md5,
+                   CAST(count(*) AS BIGINT) AS n_lines_kept
+            FROM kept GROUP BY doc_id ORDER BY doc_id
         """,
         "q58_lm_cross_entropy": f"""
             WITH tk AS (SELECT doc_id, {_TOKS} AS toks FROM documents),

@@ -360,3 +360,44 @@ def unigram_cross_entropy(df: DataFrame, text_col: str = "text",
               - F.sum(F.col("tf") * F.log("c")) / F.sum("tf"))
              .alias("cross_entropy"))
     )
+
+
+def remove_boilerplate_lines(df: DataFrame, text_col: str = "text",
+                             id_col: str = "doc_id",
+                             max_doc_frac: float = 0.5) -> DataFrame:
+    """Line-level boilerplate removal (RefinedWeb/trafilatura-style):
+    a line whose normalized form appears in more than ``max_doc_frac``
+    of all documents (site headers, cookie banners, license footers) is
+    dropped from every document; document line order is preserved.
+    Returns ``(id, text, n_lines_kept)`` with the cleaned text.
+
+    Scale shape: lines explode once; frequency counts group on the
+    line's md5 (16 bytes shuffled, never line text) with countDistinct
+    per doc; the boilerplate key set — only keys above the threshold,
+    tiny by construction — is BROADCAST into an anti-join; documents
+    reassemble with one per-doc group (array_sort on (idx, line)
+    structs, no window). Total: two shuffles plus a scalar count.
+    """
+    n_docs = df.count()
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), "\n"))
+         .alias("__idx", "__line"),
+    ).withColumn("__key", F.md5(F.trim(F.col("__line"))))
+    boiler = (
+        lines.groupBy("__key")
+        .agg(F.countDistinct(id_col).alias("__docs"))
+        .where(F.col("__docs") > F.lit(float(max_doc_frac) * n_docs))
+        .select("__key")
+    )
+    kept = lines.join(F.broadcast(boiler), "__key", "left_anti")
+    return (
+        kept.groupBy(id_col)
+        .agg(F.concat_ws(
+                "\n",
+                F.transform(
+                    F.array_sort(F.collect_list(
+                        F.struct(F.col("__idx"), F.col("__line")))),
+                    lambda s: s["__line"])).alias(text_col),
+             F.count("*").alias("n_lines_kept"))
+    )

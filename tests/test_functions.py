@@ -988,3 +988,24 @@ def test_zorder_write_keeps_both_dims_tight(spark, tmp_path):
     write_range_sorted(df, str(tmp_path / "r"), "a", num_files=16)
     ra, rb = mean_spans(str(tmp_path / "r"))
     assert ra < 0.3 and rb > 0.9, (ra, rb)
+
+
+def test_remove_boilerplate_lines_semantics(spark):
+    """A line present in most docs vanishes from all of them; rare
+    lines survive in original order; empty-after-cleaning docs keep
+    zero lines... (never emitted rows with no kept lines)."""
+    from pandas_ai_spark.functions.text import remove_boilerplate_lines
+
+    hdr = "SITE HEADER"
+    df = spark.createDataFrame(
+        [(1, f"{hdr}\nalpha\nbeta"),
+         (2, f"{hdr}\ngamma"),
+         (3, f"{hdr}\ndelta\n{hdr}"),
+         (4, hdr)],
+        "doc_id long, text string")
+    out = {r.doc_id: r for r in
+           remove_boilerplate_lines(df, max_doc_frac=0.5).collect()}
+    assert out[1].text == "alpha\nbeta" and out[1].n_lines_kept == 2
+    assert out[2].text == "gamma"
+    assert out[3].text == "delta"  # repeated boilerplate fully removed
+    assert 4 not in out  # nothing left -> doc drops out

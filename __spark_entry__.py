@@ -938,6 +938,22 @@ def q62_boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def q63_span_excision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicate-span removal (functions.dedup
+    .excise_duplicate_spans): token 8-grams occurring verbatim in ≥2
+    docs are excised from every doc at every position, survivors
+    reassembled in order — substring-level dedup, complementing the
+    document-level q20/q22. Oracle: identical positional-gram marking
+    in DuckDB (md5 gram keys), cleaned text byte-compared via md5."""
+    from pandas_ai_spark.functions.dedup import excise_duplicate_spans
+
+    docs = _t(spark, sf_dir, "documents")
+    out = excise_duplicate_spans(docs, w=8)
+    return out.select(
+        "doc_id", "n_tokens", "n_kept",
+        F.md5("text").alias("clean_md5")).orderBy("doc_id")
+
+
 def q45_winnow_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing (MOSS) fingerprint candidates — catches long verbatim
     spans that set-based Jaccard dilutes. Oracle: full DuckDB replica
@@ -1238,6 +1254,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q60_rag_chunking": q60_rag_chunking,
         "q61_ann_join": q61_ann_join,
         "q62_boilerplate_lines": q62_boilerplate_lines,
+        "q63_span_excision": q63_span_excision,
     }
 
 
@@ -2050,6 +2067,43 @@ def oracle_sql() -> dict[str, str]:
                    md5(string_agg(line, chr(10) ORDER BY idx))
                      AS clean_md5,
                    CAST(count(*) AS BIGINT) AS n_lines_kept
+            FROM kept GROUP BY doc_id ORDER BY doc_id
+        """,
+        # Positional 8-gram duplication marking; hash keys never cross
+        # engines (DuckDB uses md5 hex, Spark signed-int64 md5 — same
+        # grouping), only the reassembled text's md5 is compared.
+        "q63_span_excision": f"""
+            WITH tk AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+            ng AS (
+              SELECT doc_id, toks,
+                     unnest(range(1, greatest(len(toks) - 7, 0) + 1))
+                       AS i
+              FROM tk WHERE len(toks) >= 8
+            ), keyed AS (
+              SELECT doc_id, i,
+                     md5(array_to_string(toks[i:i+7], ' ')) AS h
+              FROM ng
+            ), dup AS (
+              SELECT h FROM keyed GROUP BY h
+              HAVING count(DISTINCT doc_id) >= 2
+            ), hits AS (
+              SELECT k.doc_id, k.i FROM keyed k
+              SEMI JOIN dup d ON k.h = d.h
+            ), cover AS (
+              SELECT DISTINCT doc_id, tidx FROM (
+                SELECT doc_id, unnest(range(i, i + 8)) AS tidx FROM hits)
+            ), tokpos AS (
+              SELECT doc_id, len(toks) AS n, unnest(toks) AS tok,
+                     generate_subscripts(toks, 1) AS tidx
+              FROM tk
+            ), kept AS (
+              SELECT t.* FROM tokpos t
+              ANTI JOIN cover c
+                ON c.doc_id = t.doc_id AND c.tidx = t.tidx
+            )
+            SELECT doc_id, max(n) AS n_tokens,
+                   CAST(count(*) AS BIGINT) AS n_kept,
+                   md5(string_agg(tok, ' ' ORDER BY tidx)) AS clean_md5
             FROM kept GROUP BY doc_id ORDER BY doc_id
         """,
         "q58_lm_cross_entropy": f"""

@@ -858,3 +858,88 @@ def minhash_incremental(
     return (novel,
             corpus_bands.unionByName(novel_bands),
             corpus_hashes.unionByName(novel_hashes))
+
+
+def positional_ngram_hash_udf(w: int = 8):
+    """tokens → array of POSITIONAL token-``w``-gram hashes (index i =
+    gram starting at token i; docs shorter than ``w`` yield []) — md5
+    little-endian-first-8 family so oracles replicate it. Unlike
+    :func:`shingle_hash_udf` the output is not a set: span excision
+    needs every occurrence at its position."""
+    import hashlib
+
+    def h64(g: str) -> int:
+        v = int.from_bytes(hashlib.md5(g.encode()).digest()[:8], "little")
+        return v - (1 << 64) if v >= (1 << 63) else v
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def f(toks: pd.Series) -> pd.Series:
+        def one(ts) -> list:
+            if ts is None or len(ts) < w:
+                return []
+            ts = list(ts)
+            return [h64(" ".join(ts[i:i + w]))
+                    for i in range(len(ts) - w + 1)]
+
+        return toks.map(one)
+
+    return f
+
+
+def excise_duplicate_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    w: int = 8,
+) -> DataFrame:
+    """Exact duplicate-SPAN removal (the Lee-et-al.-style substring
+    dedup): any token ``w``-gram occurring verbatim in ≥2 distinct
+    documents marks its ``w`` token positions as duplicated in every
+    document containing it; duplicated positions are excised and the
+    survivors reassembled in order. Document-level dedup keeps one copy
+    of a boilerplate paragraph per near-dup CLUSTER; this removes it
+    from every document while keeping their unique content. Docs left
+    with zero tokens drop out.
+
+    Returns ``(id, n_tokens, n_kept, text)``.
+
+    Scale shape: positional gram hashes explode once (8-byte ints);
+    duplication is one count-distinct agg on the hash; marking is a
+    hash-keyed join back (duplicated grams only — volume bounded by the
+    corpus's duplicated fraction, not its size); interval cover
+    explodes each hit to ``w`` positions and distincts per (doc, pos);
+    reassembly is one per-doc group with an array_sort, no window. All
+    shuffles key on hash / (doc, pos) / doc.
+    """
+    toks_df = df.select(
+        F.col(id_col), _norm_tokens(F.col(text_col)).alias("__toks"))
+    ng = toks_df.select(
+        F.col(id_col),
+        F.posexplode(positional_ngram_hash_udf(w)(F.col("__toks")))
+         .alias("__pos", "__h"))
+    dup = (ng.groupBy("__h")
+             .agg(F.countDistinct(id_col).alias("__d"))
+             .where(F.col("__d") >= 2).select("__h"))
+    cover = (
+        ng.join(dup, "__h")
+        .select(F.col(id_col),
+                F.explode(F.sequence(F.col("__pos"),
+                                     F.col("__pos") + w - 1))
+                 .alias("__tidx"))
+        .distinct()
+    )
+    tokpos = toks_df.select(
+        F.col(id_col), F.size("__toks").alias("__n"),
+        F.posexplode("__toks").alias("__tidx", "__tok"))
+    kept = tokpos.join(cover, [id_col, "__tidx"], "left_anti")
+    return (
+        kept.groupBy(id_col)
+        .agg(F.first("__n").alias("n_tokens"),
+             F.count("*").alias("n_kept"),
+             F.concat_ws(
+                 " ",
+                 F.transform(
+                     F.array_sort(F.collect_list(
+                         F.struct(F.col("__tidx"), F.col("__tok")))),
+                     lambda s: s["__tok"])).alias(text_col))
+    )

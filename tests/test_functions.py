@@ -1009,3 +1009,26 @@ def test_remove_boilerplate_lines_semantics(spark):
     assert out[2].text == "gamma"
     assert out[3].text == "delta"  # repeated boilerplate fully removed
     assert 4 not in out  # nothing left -> doc drops out
+
+
+def test_excise_duplicate_spans(spark):
+    """A verbatim 8-gram span shared by two docs is removed from BOTH
+    at every position; unique content survives in order; an unrelated
+    doc is untouched; a doc that is all span drops out."""
+    from pandas_ai_spark.functions.dedup import excise_duplicate_spans
+
+    span = "one two three four five six seven eight"
+    df = spark.createDataFrame(
+        [(1, f"intro part {span} closing remark"),
+         (2, f"{span} different ending here"),
+         (3, "totally unrelated text body with enough words"),
+         (4, span)],
+        "doc_id long, text string")
+    out = {r.doc_id: r for r in
+           excise_duplicate_spans(df, w=8).collect()}
+    assert out[1].text == "intro part closing remark"
+    assert out[1].n_tokens == 12 and out[1].n_kept == 4
+    assert out[2].text == "different ending here"
+    assert out[3].text.startswith("totally unrelated")
+    assert out[3].n_kept == out[3].n_tokens
+    assert 4 not in out

@@ -46,6 +46,19 @@ def read_parquet(filepath: str) -> DataFrame:
     return DataFrame(df, schema=schema, path=filepath)
 
 
+def read_jsonl(filepath: str, schema: str | None = None) -> DataFrame:
+    """JSON-lines corpus scan (no reference analog — jsonl is the
+    standard training-data interchange format). Lazy, splittable; pass
+    a DDL ``schema`` to skip inference."""
+    from .sources.local import load_jsonl
+
+    spark = get_session()
+    df = load_jsonl(spark, filepath, schema)
+    schema_obj = DataFrame.get_default_schema(
+        df, sanitize_relation_name(filepath))
+    return DataFrame(df, schema=schema_obj, path=filepath)
+
+
 def read_excel(filepath: str, sheet_name=0):
     """pandasai/__init__.py:300-318 parity. Excel is a driver-side format;
     read via pandas/openpyxl when available, else the bundled stdlib
@@ -105,6 +118,7 @@ __all__ = [
     "load",
     "read_csv",
     "read_parquet",
+    "read_jsonl",
     "read_excel",
     "chat",
     "follow_up",

@@ -20,3 +20,26 @@ def load_csv(spark: SparkSession, path: str) -> DataFrame:
 
 def load_parquet(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
+
+
+def load_jsonl(spark: SparkSession, path: str,
+               schema: str | None = None) -> DataFrame:
+    """JSON-lines scan — the de-facto interchange format for training
+    corpora (one JSON doc per line; splittable, so a 100 TB corpus
+    scans as independent line-range tasks). Schema inference reads a
+    sample pass; production callers pass an explicit ``schema`` DDL
+    string to skip it and to pin types across shards."""
+    reader = spark.read
+    if schema:
+        reader = reader.schema(schema)
+    return reader.json(path)
+
+
+def write_jsonl(df: DataFrame, path: str, mode: str = "overwrite",
+                compression: str | None = None) -> None:
+    """JSON-lines sink; pass ``compression='gzip'/'zstd'`` for
+    wire-friendly shards."""
+    w = df.write.mode(mode)
+    if compression:
+        w = w.option("compression", compression)
+    w.json(path)

@@ -202,3 +202,32 @@ def test_read_excel_end_to_end(spark, tmp_path):
     df = pai.read_excel(p)
     rows = sorted((r["id"], r["status"]) for r in df.df.collect())
     assert rows == [(1, "O"), (2, "F")]
+
+
+def test_jsonl_roundtrip(spark, tmp_path):
+    """read_jsonl/write_jsonl round-trip: schema preserved with an
+    explicit DDL, values intact, and the pai-level reader wraps it with
+    a derived semantic schema."""
+    import json
+
+    import pandas_ai_spark as pai
+    from pandas_ai_spark.sources.local import load_jsonl, write_jsonl
+
+    src = tmp_path / "docs.jsonl"
+    rows = [{"doc_id": i, "text": f"doc number {i}", "score": i / 10}
+            for i in range(20)]
+    src.write_text("\n".join(json.dumps(r) for r in rows))
+
+    df = load_jsonl(spark, str(src),
+                    "doc_id LONG, text STRING, score DOUBLE")
+    assert df.count() == 20
+    assert dict(df.dtypes) == {"doc_id": "bigint", "text": "string",
+                               "score": "double"}
+
+    out = tmp_path / "out"
+    write_jsonl(df.where(df.doc_id < 5), str(out))
+    back = load_jsonl(spark, str(out))
+    assert back.count() == 5
+
+    wrapped = pai.read_jsonl(str(src))
+    assert wrapped.rows_count == 20 and "text" in wrapped.columns

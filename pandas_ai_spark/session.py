@@ -50,6 +50,14 @@ def get_session(app_name: str = "pandas_ai_spark", master: str | None = None,
         master = f"local[{cpus}]"
     builder = builder.master(master)
     conf = dict(_DEFAULTS)
+    if master.startswith("local") and "spark.driver.memory" not in (
+            extra_conf or {}):
+        # local mode runs driver + all executor threads in ONE JVM; the
+        # 1g default heap GC-thrashes under 32 concurrent tasks
+        # (measured: heavy-query subset 20.4s @1g vs 17.1s @12g, with
+        # large run-to-run GC variance at 1g). Cluster deployments set
+        # their own executor/driver memory and are unaffected.
+        conf["spark.driver.memory"] = "12g"
     if "spark.sql.shuffle.partitions" not in (extra_conf or {}):
         # local[N]: one shuffle partition per core; cluster users override.
         cpus = os.environ.get("SPARK_GRAFT_CPUS")

@@ -954,6 +954,23 @@ def q63_span_excision(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5("text").alias("clean_md5")).orderBy("doc_id")
 
 
+def q64_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE tokenizer training (functions.bpe.train_bpe):
+    10 merges learned from the corpus. One corpus pass builds the
+    distinct-word vocab; every iteration then explodes+aggregates the
+    VOCAB only and syncs one best-pair row to the driver — the k-means
+    iterate-and-sync shape. No SQL oracle (inherently iterative /
+    data-dependent — rows-only check); exact-match parity with a pure
+    Python reference implementation is pinned in tests."""
+    from pandas_ai_spark.functions.bpe import train_bpe
+
+    docs = _t(spark, sf_dir, "documents")
+    merges = train_bpe(docs, num_merges=10, min_freq=2)
+    return spark.createDataFrame(
+        [(i + 1, l, r, f) for i, (l, r, f) in enumerate(merges)],
+        "rank long, left string, right string, pair_freq long")
+
+
 def q45_winnow_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing (MOSS) fingerprint candidates — catches long verbatim
     spans that set-based Jaccard dilutes. Oracle: full DuckDB replica
@@ -1255,6 +1272,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q61_ann_join": q61_ann_join,
         "q62_boilerplate_lines": q62_boilerplate_lines,
         "q63_span_excision": q63_span_excision,
+        "q64_bpe_merges": q64_bpe_merges,
     }
 
 

@@ -1,0 +1,138 @@
+"""Distributed BPE tokenizer training (Sennrich-style merge learning).
+
+The classic trick makes this tractable at 100 TB: after ONE pass that
+reduces the corpus to its distinct-word frequency table, every merge
+iteration works on the VOCAB (|distinct words| rows — millions, not
+trillions), so the per-iteration cost is an explode+aggregate over a
+small table plus one driver sync of the single best pair — the same
+iterate-and-sync shape as k-means (similarity.ann_ivf) and min-label
+propagation (dedup.dedup_clusters). Lineage is truncated with
+localCheckpoint every few merges so the plan doesn't grow linearly with
+the merge count.
+
+No SQL oracle is possible (the merge loop is inherently iterative and
+data-dependent); correctness is pinned by a pure-Python reference
+implementation in tests/test_functions.py (identical tie-breaking).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .text import normalize_text, whitespace_tokens
+
+END = "</w>"
+
+
+def word_vocab(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """One corpus pass → (symbols array<string>, freq) distinct-word
+    table: each word starts as its characters plus the end-of-word
+    marker. Everything after this never touches the corpus again."""
+    words = df.select(
+        F.explode(whitespace_tokens(normalize_text(F.col(text_col))))
+         .alias("w"))
+    vocab = words.groupBy("w").agg(F.count("*").alias("freq"))
+    syms = F.concat(
+        F.split(F.col("w"), ""),  # characters
+        F.array(F.lit(END)))
+    return vocab.select(syms.alias("symbols"), "freq")
+
+
+def _pair_counts(vocab: DataFrame) -> DataFrame:
+    """Adjacent-symbol pair frequencies, weighted by word freq — one
+    explode + one partial-agg'd groupBy over the vocab table."""
+    n = F.size("symbols")
+    pairs = F.transform(
+        F.sequence(F.lit(0), n - 2),
+        lambda i: F.struct(
+            F.element_at(F.col("symbols"), i + 1).alias("l"),
+            F.element_at(F.col("symbols"), i + 2).alias("r")))
+    ex = vocab.where(n >= 2).select(
+        F.explode(pairs).alias("p"), "freq")
+    return (ex.groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+              .agg(F.sum("freq").alias("pair_freq")))
+
+
+def _apply_merge(vocab: DataFrame, left: str, right: str) -> DataFrame:
+    """Replace every adjacent (left, right) with the merged symbol — a
+    single Arrow pass over the vocab (left-to-right, non-overlapping,
+    matching the reference semantics)."""
+    merged = left + right
+
+    @F.pandas_udf(T.ArrayType(T.StringType()))
+    def merge_syms(syms: pd.Series) -> pd.Series:
+        def one(s):
+            out, i, n = [], 0, len(s)
+            while i < n:
+                if i + 1 < n and s[i] == left and s[i + 1] == right:
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            return out
+
+        return syms.map(one)
+
+    return vocab.select(merge_syms("symbols").alias("symbols"), "freq")
+
+
+def train_bpe(df: DataFrame, text_col: str = "text",
+              num_merges: int = 20, min_freq: int = 2,
+              checkpoint_every: int = 5) -> list[tuple[str, str, int]]:
+    """Learn ``num_merges`` BPE merges from the corpus. Returns
+    ``[(left, right, pair_freq), …]`` in merge order. Ties break by
+    (freq desc, left asc, right asc) — deterministic, and identical to
+    the reference Python implementation the tests pin against. Stops
+    early when the best pair drops below ``min_freq``."""
+    vocab = word_vocab(df, text_col)
+    merges: list[tuple[str, str, int]] = []
+    for it in range(num_merges):
+        top = (_pair_counts(vocab)
+               .orderBy(F.col("pair_freq").desc(),
+                        F.col("l").asc(), F.col("r").asc())
+               .limit(1).collect())
+        if not top or top[0].pair_freq < min_freq:
+            break
+        l, r, f = top[0].l, top[0].r, int(top[0].pair_freq)
+        merges.append((l, r, f))
+        vocab = _apply_merge(vocab, l, r)
+        if (it + 1) % checkpoint_every == 0:
+            vocab = vocab.localCheckpoint(eager=True)
+    return merges
+
+
+def encode_bpe(df: DataFrame, merges: list[tuple[str, str, int]],
+               text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Tokenize documents with a learned merge list: one Arrow pass,
+    merges applied in training order per word (greedy left-to-right,
+    like the trainer). Returns ``(id, n_bpe_tokens)``."""
+    order = [(l, r) for l, r, _ in merges]
+
+    @F.pandas_udf(T.IntegerType())
+    def count_tokens(toks: pd.Series) -> pd.Series:
+        def word(w):
+            s = list(w) + [END]
+            for l, r in order:
+                out, i, n = [], 0, len(s)
+                while i < n:
+                    if i + 1 < n and s[i] == l and s[i + 1] == r:
+                        out.append(l + r)
+                        i += 2
+                    else:
+                        out.append(s[i])
+                        i += 1
+                s = out
+            return len(s)
+
+        return toks.map(
+            lambda ts: sum(word(w) for w in ts) if ts is not None else 0)
+
+    return df.select(
+        F.col(id_col),
+        count_tokens(whitespace_tokens(normalize_text(F.col(text_col))))
+         .alias("n_bpe_tokens"))

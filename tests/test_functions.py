@@ -1032,3 +1032,63 @@ def test_excise_duplicate_spans(spark):
     assert out[3].text.startswith("totally unrelated")
     assert out[3].n_kept == out[3].n_tokens
     assert 4 not in out
+
+
+def test_train_bpe_matches_reference(spark):
+    """Distributed BPE training == a pure-Python reference on the same
+    normalized corpus (same tie-break: freq desc, then pair asc), and
+    encoding with the learned merges shrinks token counts
+    monotonically with more merges."""
+    import collections
+
+    from pandas_ai_spark.functions.bpe import END, encode_bpe, train_bpe
+    from pandas_ai_spark.functions import text as tx
+
+    corpus = [
+        (1, "low lower lowest low low"),
+        (2, "new newer newest new lower"),
+        (3, "wide wider widest new low"),
+        (4, "low low lower newer wide widest"),
+    ]
+    df = spark.createDataFrame(corpus, "doc_id long, text string")
+
+    # pure-python reference (Sennrich pseudocode)
+    freqs = collections.Counter()
+    for _, t in corpus:
+        for w in t.split():
+            freqs[tuple(list(w) + [END])] += 1
+    ref = []
+    for _ in range(12):
+        pc = collections.Counter()
+        for syms, f in freqs.items():
+            for i in range(len(syms) - 1):
+                pc[(syms[i], syms[i + 1])] += f
+        if not pc:
+            break
+        best = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        (l, r), f = best
+        if f < 2:
+            break
+        ref.append((l, r, f))
+        nxt = collections.Counter()
+        for syms, fr in freqs.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                    out.append(l + r)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            nxt[tuple(out)] += fr
+        freqs = nxt
+
+    got = train_bpe(df, num_merges=12, min_freq=2)
+    assert got == ref and len(got) >= 5
+
+    few = encode_bpe(df, got[:2]).collect()
+    many = encode_bpe(df, got).collect()
+    n_few = {r.doc_id: r.n_bpe_tokens for r in few}
+    n_many = {r.doc_id: r.n_bpe_tokens for r in many}
+    assert all(n_many[d] <= n_few[d] for d in n_few)
+    assert any(n_many[d] < n_few[d] for d in n_few)

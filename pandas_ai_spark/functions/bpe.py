@@ -81,15 +81,71 @@ def _apply_merge(vocab: DataFrame, left: str, right: str) -> DataFrame:
     return vocab.select(merge_syms("symbols").alias("symbols"), "freq")
 
 
+def _train_local(freqs: dict, num_merges: int,
+                 min_freq: int) -> list[tuple[str, str, int]]:
+    """Driver-side merge loop over a collected (symbols-tuple → freq)
+    vocab — identical semantics/tie-breaking to the distributed loop."""
+    merges: list[tuple[str, str, int]] = []
+    for _ in range(num_merges):
+        pc: dict = {}
+        for syms, f in freqs.items():
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                pc[p] = pc.get(p, 0) + f
+        if not pc:
+            break
+        (l, r), f = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        if f < min_freq:
+            break
+        merges.append((l, r, int(f)))
+        nxt: dict = {}
+        for syms, fr in freqs.items():
+            out, i, n = [], 0, len(syms)
+            while i < n:
+                if i + 1 < n and syms[i] == l and syms[i + 1] == r:
+                    out.append(l + r)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            key = tuple(out)
+            nxt[key] = nxt.get(key, 0) + fr
+        freqs = nxt
+    return merges
+
+
 def train_bpe(df: DataFrame, text_col: str = "text",
               num_merges: int = 20, min_freq: int = 2,
-              checkpoint_every: int = 5) -> list[tuple[str, str, int]]:
+              checkpoint_every: int = 5,
+              driver_vocab_limit: int = 1_000_000
+              ) -> list[tuple[str, str, int]]:
     """Learn ``num_merges`` BPE merges from the corpus. Returns
     ``[(left, right, pair_freq), …]`` in merge order. Ties break by
     (freq desc, left asc, right asc) — deterministic, and identical to
     the reference Python implementation the tests pin against. Stops
-    early when the best pair drops below ``min_freq``."""
+    early when the best pair drops below ``min_freq``.
+
+    Hybrid execution (the dedup_clusters pattern): the distinct-word
+    vocab is usually bounded (≤ ~10⁷ even for web corpora), so when it
+    fits under ``driver_vocab_limit`` the merge LOOP runs driver-side
+    on the collected vocab — zero per-iteration job scheduling; the
+    corpus-sized work stays in the one distributed vocab-building pass.
+    Larger vocabs take the distributed per-iteration path
+    (``driver_vocab_limit=0`` forces it; exercised in tests)."""
     vocab = word_vocab(df, text_col)
+    n_words = vocab.count()
+    if n_words <= driver_vocab_limit:
+        rows = vocab.collect()
+        freqs: dict = {}
+        for row in rows:
+            key = tuple(row.symbols)
+            freqs[key] = freqs.get(key, 0) + int(row.freq)
+        return _train_local(freqs, num_merges, min_freq)
+
+    # distributed path: right-size the iteration working set (~100k
+    # words per partition — near-empty partitions cost pure scheduling)
+    vocab = vocab.coalesce(max(1, n_words // 100_000 + 1))
+    vocab = vocab.localCheckpoint(eager=True)
     merges: list[tuple[str, str, int]] = []
     for it in range(num_merges):
         top = (_pair_counts(vocab)

@@ -1085,6 +1085,9 @@ def test_train_bpe_matches_reference(spark):
 
     got = train_bpe(df, num_merges=12, min_freq=2)
     assert got == ref and len(got) >= 5
+    # the distributed per-iteration path must agree with the driver loop
+    dist = train_bpe(df, num_merges=12, min_freq=2, driver_vocab_limit=0)
+    assert dist == ref
 
     few = encode_bpe(df, got[:2]).collect()
     many = encode_bpe(df, got).collect()

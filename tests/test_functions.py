@@ -1095,3 +1095,20 @@ def test_train_bpe_matches_reference(spark):
     n_many = {r.doc_id: r.n_bpe_tokens for r in many}
     assert all(n_many[d] <= n_few[d] for d in n_few)
     assert any(n_many[d] < n_few[d] for d in n_few)
+
+
+def test_compression_ratio_separates_repetitive_text(spark):
+    """Degenerate repetition compresses much harder than varied text;
+    ratios are in (0, ~1.1]; empty text is safe."""
+    from pandas_ai_spark.functions.text import compression_ratio
+
+    df = spark.createDataFrame(
+        [(1, "spam " * 200),
+         (2, " ".join(f"w{i}x{i * 7 % 91}" for i in range(200))),
+         (3, "")],
+        "doc_id long, text string")
+    out = {r.doc_id: r for r in compression_ratio(df).collect()}
+    assert out[1].ratio < 0.1
+    assert out[2].ratio > 2 * out[1].ratio
+    assert 0 < out[2].ratio <= 1.1
+    assert out[3].raw_bytes == 0

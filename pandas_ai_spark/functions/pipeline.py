@@ -28,7 +28,17 @@ class CleanStats:
     after_quality: int
     after_exact: int
     after_near_dup: int
+    final_docs: int = -1
     removed: dict = field(default_factory=dict)
+
+
+def _swap_text(df: DataFrame, rewritten: DataFrame, text_col: str,
+               id_col: str) -> DataFrame:
+    """Replace ``text_col`` with a rewrite stage's output, preserving
+    every other column; docs the stage dropped entirely disappear
+    (inner join on the id)."""
+    return df.drop(text_col).join(
+        rewritten.select(id_col, text_col), id_col, "inner")
 
 
 def clean_corpus(
@@ -39,36 +49,86 @@ def clean_corpus(
     lang: str = "en",
     near_dup_threshold: float = 0.7,
     compute_stats: bool = True,
+    remove_boilerplate: bool = False,
+    boilerplate_frac: float = 0.5,
+    min_compression_ratio: float | None = None,
+    excise_spans: bool = False,
+    span_w: int = 8,
+    eval_docs: DataFrame | None = None,
+    decontaminate_n: int = 8,
 ) -> tuple[DataFrame, CleanStats | None]:
-    """Returns (cleaned DataFrame, stage-by-stage stats).
+    """The full RefinedWeb-shape pipeline as one declarative call:
+
+        boilerplate-line removal → quality filter → compression-ratio
+        filter → exact dedup → near-dup dedup (transitive) →
+        duplicate-span excision → benchmark decontamination
+
+    Optional stages are off by default (backward-compatible with the
+    original quality→exact→near-dup composition). Returns
+    (cleaned DataFrame, stage-by-stage stats).
 
     ``compute_stats=False`` skips the per-stage counts (each is an
-    action); the cleaned frame itself stays one lazy plan either way.
+    action); the cleaned frame itself stays one lazy plan either way
+    (plus the bounded clustering / rewrite-join stages).
     """
     n0 = df.count() if compute_stats else -1
+    removed: dict = {}
 
-    scored = df.withColumn(
+    cur = df
+    if remove_boilerplate:
+        rewritten = tx.remove_boilerplate_lines(
+            cur, text_col, id_col, max_doc_frac=boilerplate_frac)
+        cur = _swap_text(cur, rewritten, text_col, id_col)
+        if compute_stats:
+            removed["all_boilerplate"] = n0 - cur.count()
+
+    scored = cur.withColumn(
         "__q", tx.quality_score(F.col(text_col), lang))
     quality = scored.where(F.col("__q") >= min_quality).drop("__q")
     n1 = quality.count() if compute_stats else -1
+    removed["low_quality"] = (n0 - removed.get("all_boilerplate", 0) - n1
+                              if compute_stats else -1)
+
+    if min_compression_ratio is not None:
+        ratios = tx.compression_ratio(quality, text_col, id_col)
+        keep = ratios.where(
+            F.col("ratio") >= F.lit(min_compression_ratio))
+        quality = quality.join(keep.select(id_col), id_col, "left_semi")
+        if compute_stats:
+            prev, n1b = n1, quality.count()
+            removed["too_compressible"] = prev - n1b
+            n1 = n1b
 
     exact = dd.dedup_exact_normalized(quality, text_col, id_col)
     n2 = exact.count() if compute_stats else -1
+    removed["exact_dup"] = n1 - n2 if compute_stats else -1
 
     cleaned = dd.minhash_dedup_transitive(
         exact, text_col, id_col, threshold=near_dup_threshold)
     n3 = cleaned.count() if compute_stats else -1
+    removed["near_dup"] = n2 - n3 if compute_stats else -1
 
+    if excise_spans:
+        rewritten = dd.excise_duplicate_spans(
+            cleaned, text_col, id_col, w=span_w)
+        cleaned = _swap_text(cleaned, rewritten, text_col, id_col)
+        if compute_stats:
+            prev, n3b = n3, cleaned.count()
+            removed["all_duplicated_spans"] = prev - n3b
+            n3 = n3b
+
+    if eval_docs is not None:
+        cleaned, flagged = dd.decontaminate(
+            cleaned, eval_docs, text_col, id_col, n=decontaminate_n)
+        if compute_stats:
+            removed["contaminated"] = flagged.count()
+
+    nf = cleaned.count() if compute_stats else -1
     stats = None
     if compute_stats:
         stats = CleanStats(
             input_docs=n0, after_quality=n1, after_exact=n2,
-            after_near_dup=n3,
-            removed={
-                "low_quality": n0 - n1,
-                "exact_dup": n1 - n2,
-                "near_dup": n2 - n3,
-            })
+            after_near_dup=n3, final_docs=nf, removed=removed)
     return cleaned, stats
 
 

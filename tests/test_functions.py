@@ -1112,3 +1112,48 @@ def test_compression_ratio_separates_repetitive_text(spark):
     assert out[2].ratio > 2 * out[1].ratio
     assert 0 < out[2].ratio <= 1.1
     assert out[3].raw_bytes == 0
+
+
+def test_clean_corpus_full_pipeline_stages(spark):
+    """End-to-end RefinedWeb-shape run with every optional stage on:
+    boilerplate lines vanish, the degenerate doc fails the compression
+    gate, exact+near dups collapse, shared spans get excised, the
+    eval-leak doc is decontaminated away — and the survivor keeps its
+    unique content."""
+    from pandas_ai_spark.functions.pipeline import clean_corpus
+
+    hdr = "COMMON SITE HEADER LINE"
+    span = "alpha beta gamma delta epsilon zeta eta theta"
+    good = ("the quick brown fox jumps over the lazy dog and keeps "
+            "running through the quiet field tonight")
+    corpus = spark.createDataFrame(
+        [(1, f"{hdr}\n{good}"),
+         (2, f"{hdr}\n{good}"),                       # exact dup of 1
+         (3, f"{hdr}\nspam " + "spam " * 60),          # degenerate
+         (4, f"{hdr}\nthe data pipeline processes {span} with care "
+             "and the results are stored for later audit work"),
+         (5, f"{hdr}\nanother system also handles {span} smoothly "
+             "while keeping its own distinct trailing words here"),
+         (6, f"{hdr}\nthis document quotes the secret eval answer "
+             "sequence one two three four five six seven eight nine "
+             "and some filler words to pass the quality filter")],
+        "doc_id long, text string")
+    eval_docs = spark.createDataFrame(
+        [(100, "the secret eval answer sequence one two three four "
+               "five six seven eight nine")],
+        "doc_id long, text string")
+
+    cleaned, stats = clean_corpus(
+        corpus, min_quality=0.5, near_dup_threshold=0.8,
+        remove_boilerplate=True, min_compression_ratio=0.3,
+        excise_spans=True, span_w=8, eval_docs=eval_docs)
+    rows = {r.doc_id: r.text for r in cleaned.collect()}
+
+    assert set(rows) <= {1, 4, 5} and 1 in rows
+    assert all(hdr not in t for t in rows.values())
+    if 4 in rows and 5 in rows:  # span shared by exactly the two docs
+        assert all(span not in t for t in rows.values())
+    assert stats.removed["exact_dup"] >= 1
+    assert stats.removed["too_compressible"] >= 1
+    assert stats.removed["contaminated"] >= 1
+    assert stats.final_docs == len(rows)

@@ -9,7 +9,8 @@ the semantic-layer compiler or the guarded ``spark.sql`` executor.
 
 from .base import Agent
 from .llm import (LLM, APIKeyNotFoundError, FakeLLM, HTTPTransport,
-                  LLMAPIError, AzureOpenAILLM, OpenAICompatibleLLM)
+                  LLMAPIError, AzureOpenAILLM, LiteLLMBackend,
+                  OpenAICompatibleLLM)
 from .memory import Memory
 from .response import (
     BaseResponse,
@@ -28,6 +29,7 @@ __all__ = [
     "FakeLLM",
     "OpenAICompatibleLLM",
     "AzureOpenAILLM",
+    "LiteLLMBackend",
     "HTTPTransport",
     "LLMAPIError",
     "APIKeyNotFoundError",

@@ -320,3 +320,39 @@ class FakeLLM(LLM):
         out = self._outputs[min(self._call_index, len(self._outputs) - 1)]
         self._call_index += 1
         return out
+
+
+class LiteLLMBackend(LLM):
+    """Multi-provider routing via the ``litellm`` package (reference:
+    extensions/llms/litellm/pandasai_litellm/litellm.py:7-66 — a thin
+    wrapper over ``litellm.completion`` with chat-message input and
+    first-choice-content output). The package is not bundled in this
+    environment, so construction is import-gated; ``completion_fn`` is
+    injectable for offline tests of the request/response shaping."""
+
+    def __init__(self, model: str, completion_fn=None, **params):
+        if completion_fn is None:
+            try:
+                from litellm import completion as completion_fn
+            except ImportError as e:
+                raise ImportError(
+                    "LiteLLMBackend requires the 'litellm' package "
+                    "(pip install litellm), or pass completion_fn="
+                ) from e
+        self.model = model
+        self.params = params
+        self._completion = completion_fn
+        self.last_prompt: str | None = None
+
+    @property
+    def type(self) -> str:
+        return "litellm"
+
+    def call(self, prompt: str, context=None) -> str:
+        self.last_prompt = prompt
+        memory = getattr(context, "memory", None)
+        msgs = memory.to_openai_messages() if memory is not None else []
+        msgs.append({"role": "user", "content": prompt})
+        resp = self._completion(model=self.model, messages=msgs,
+                                **self.params)
+        return resp["choices"][0]["message"]["content"]

@@ -251,3 +251,39 @@ def test_azure_env_credentials(monkeypatch):
     llm = AzureOpenAILLM("dep", transport=FakeTransport(CHAT_REPLY))
     assert llm.call("x") == "chat says hi"
     assert llm.type == "azure-openai"
+
+
+# -- LiteLLM routing shell -------------------------------------------------
+
+def test_litellm_backend_shapes_and_parses():
+    from pandas_ai_spark.agent import LiteLLMBackend, Memory
+
+    calls = []
+
+    def fake_completion(model, messages, **params):
+        calls.append({"model": model, "messages": messages,
+                      "params": params})
+        return {"choices": [{"message": {"content": "routed reply"}}]}
+
+    llm = LiteLLMBackend("anthropic/some-model",
+                         completion_fn=fake_completion, temperature=0.2)
+
+    class Ctx:
+        memory = Memory()
+
+    ctx = Ctx()
+    ctx.memory.add("earlier question", is_user=True)
+    assert llm.call("now answer", ctx) == "routed reply"
+    c = calls[0]
+    assert c["model"] == "anthropic/some-model"
+    assert c["params"] == {"temperature": 0.2}
+    assert c["messages"][-1] == {"role": "user", "content": "now answer"}
+    assert len(c["messages"]) == 2  # memory replayed ahead of the prompt
+    assert llm.type == "litellm"
+
+
+def test_litellm_backend_import_gated():
+    from pandas_ai_spark.agent import LiteLLMBackend
+
+    with pytest.raises(ImportError, match="litellm"):
+        LiteLLMBackend("gpt-x")

@@ -1,0 +1,80 @@
+"""Physical-plan audit: sweep every entry query's executed plan for
+scale red flags — the automated form of ".explain every operator".
+
+Flags (each one is a 100 TB failure mode):
+- BroadcastNestedLoopJoin / CartesianProduct: O(N·M) comparison joins;
+- BatchEvalPython: row-at-a-time Python UDF (Arrow batching exists —
+  ArrowEvalPython / MapInPandas / FlatMapGroupsInPandas are fine);
+- single-partition Window (no PARTITION BY): funnels the whole input
+  through one task.
+
+Plans are built, not executed (queryExecution().executedPlan() before
+collect — AQE leaves isFinalPlan=false but join/python/window choices
+are already visible), so the sweep is fast.
+
+Exit code 1 if any query outside the allowlist raises a flag.
+
+Usage: python tools/plan_audit.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import re
+import sys
+
+sys.path.insert(0, ".")
+
+# deliberate exceptions, each justified in the query's docstring
+ALLOW: dict[str, set[str]] = {
+    # drains a memory-sink table built by a streaming query; the audit
+    # would otherwise trigger the stream (slow) — plan checked in
+    # tests/test_streaming.py instead
+    "q29_stream_windowed": {"skip"},
+    "q56_stream_interval_join": {"skip"},
+    # runs train_bpe / builds result via createDataFrame at call time
+    "q64_bpe_merges": {"skip"},
+    # mixture rates need a count() action at plan-build time; cheap
+    "q57_domain_mixture": {"skip"},
+    # tfidf / cross-entropy / decontamination / span excision compute a
+    # scalar count() (documented) — plan still audited below
+}
+
+FLAGS = {
+    "nested_loop": re.compile(r"BroadcastNestedLoopJoin"),
+    "cartesian": re.compile(r"CartesianProduct"),
+    "rowwise_python": re.compile(r"BatchEvalPython"),
+    # Window [...], [], [...] — empty partition spec
+    "global_window": re.compile(r"Window \[[^\n]*\], \[\], \["),
+}
+
+
+def main() -> int:
+    import __spark_entry__ as entry
+    from pandas_ai_spark.session import get_session
+
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    spark = get_session(app_name="plan_audit")
+
+    failures: list[tuple[str, str]] = []
+    for name, fn in entry.queries().items():
+        if "skip" in ALLOW.get(name, set()):
+            print(f"{name:32s} SKIP (see ALLOW)")
+            continue
+        df = fn(spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        hits = [f for f, rx in FLAGS.items()
+                if rx.search(plan) and f not in ALLOW.get(name, set())]
+        status = "OK" if not hits else "FLAGGED: " + ",".join(hits)
+        print(f"{name:32s} {status}")
+        for h in hits:
+            failures.append((name, h))
+
+    if failures:
+        print(f"\n{len(failures)} plan flag(s): {failures}")
+        return 1
+    print("\nAll plans clean.")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -12,6 +12,8 @@ Operators:
 - ``attach_media_metadata``    — typed metadata struct from the binary
 - ``decode_image`` / ``extract_image_features`` / ``resize_image``
 - ``sample_video_frames``      — frame-index plumbing
+- ``audio_windows`` / ``extract_audio_features`` — PCM framing + clip
+  features (RMS / zero-crossing / duration)
 All heavy ops run through ``mapInPandas`` so each task streams Arrow
 record batches — bounded memory regardless of per-row blob size; at scale
 you repartition by size so one task ≈ one memory budget, not one file.
@@ -152,5 +154,86 @@ def sample_video_frames(df: DataFrame, blob_col: str = "media",
                     rows["frame_idx"].append(i)
                     rows["frame"].append(blob[i * 64:(i + 1) * 64])
             yield pd.DataFrame(rows)
+
+    return df.select(id_col, blob_col).mapInPandas(op, out_schema)
+
+
+def _fake_decode_audio(blob: bytes, sample_rate: int = 16_000) -> np.ndarray:
+    """Deterministic fake PCM decode: blob bytes → float32 waveform in
+    [−1, 1]. Stands in for torchaudio/soundfile; output depends only on
+    blob content, duration scales with blob length (1 'sample' per
+    byte) so windowing math is exercised realistically."""
+    if blob is None or len(blob) == 0:
+        raise DecoderUnavailable("empty blob")
+    arr = np.frombuffer(blob, dtype=np.uint8).astype(np.float32)
+    return (arr - 127.5) / 127.5
+
+
+def audio_windows(df: DataFrame, blob_col: str = "media",
+                  id_col: str = "doc_id", window: int = 400,
+                  hop: int = 160) -> DataFrame:
+    """Audio framing plumbing: decode → fixed-size windows every ``hop``
+    samples (the STFT/feature frame layout) — one output row per
+    window, PCM re-encoded as float32 bytes. Real impl swaps the
+    decoder; window/hop/batch shapes are identical.
+
+    Scale shape: mapInPandas streams Arrow batches; output rows explode
+    by ~duration/hop per clip but stay within the task — no shuffle.
+    """
+    if hop <= 0 or window <= 0 or hop > window:
+        raise ValueError("need 0 < hop <= window")
+    out_schema = f"{id_col} bigint, window_idx int, start_sample int, pcm binary"
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        if USE_REAL_DECODERS:
+            raise DecoderUnavailable("real audio decode requires "
+                                     "soundfile/torchaudio")
+        for pdf in batches:
+            rows = {id_col: [], "window_idx": [], "start_sample": [],
+                    "pcm": []}
+            for _, row in pdf.iterrows():
+                blob = row[blob_col]
+                if blob is None:
+                    continue
+                wave = _fake_decode_audio(bytes(blob))
+                n = len(wave)
+                starts = range(0, max(n - window, 0) + 1, hop) \
+                    if n >= window else [0]
+                for w_i, s in enumerate(starts):
+                    rows[id_col].append(row[id_col])
+                    rows["window_idx"].append(w_i)
+                    rows["start_sample"].append(s)
+                    rows["pcm"].append(wave[s:s + window].tobytes())
+            yield pd.DataFrame(rows)
+
+    return df.select(id_col, blob_col).mapInPandas(op, out_schema)
+
+
+def extract_audio_features(df: DataFrame, blob_col: str = "media",
+                           id_col: str = "doc_id") -> DataFrame:
+    """Per-clip audio features (RMS energy, zero-crossing rate,
+    duration proxy) from the decoded waveform — the numeric columns a
+    speech-corpus filter keys on. Same Arrow-batched shape as
+    extract_image_features."""
+    out_schema = (f"{id_col} bigint, rms double, zcr double, "
+                  f"n_samples bigint")
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        if USE_REAL_DECODERS:
+            raise DecoderUnavailable("real audio decode requires "
+                                     "soundfile/torchaudio")
+        for pdf in batches:
+            rms, zcr, ns = [], [], []
+            for b in pdf[blob_col]:
+                if b is None:
+                    rms.append(None); zcr.append(None); ns.append(None)
+                    continue
+                w = _fake_decode_audio(bytes(b))
+                rms.append(float(np.sqrt(np.mean(w * w))))
+                zcr.append(float(np.mean(np.signbit(w[1:])
+                                         != np.signbit(w[:-1]))))
+                ns.append(len(w))
+            yield pd.DataFrame({id_col: pdf[id_col], "rms": rms,
+                                "zcr": zcr, "n_samples": ns})
 
     return df.select(id_col, blob_col).mapInPandas(op, out_schema)

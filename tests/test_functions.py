@@ -1157,3 +1157,32 @@ def test_clean_corpus_full_pipeline_stages(spark):
     assert stats.removed["too_compressible"] >= 1
     assert stats.removed["contaminated"] >= 1
     assert stats.final_docs == len(rows)
+
+
+def test_audio_windows_layout(spark, docs):
+    """Window starts advance by hop, cover the waveform tail, and short
+    clips yield one truncated window; features are finite and bounded."""
+    from pandas_ai_spark.functions import multimodal as mm
+
+    media = docs.limit(4).select(
+        "doc_id", F.encode("text", "utf-8").alias("media"))
+    rows = sorted(mm.audio_windows(media, window=64, hop=32).collect(),
+                  key=lambda r: (r.doc_id, r.window_idx))
+    assert rows
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for did, ws in by_doc.items():
+        assert [w.start_sample for w in ws] == \
+            [i * 32 for i in range(len(ws))]
+        # every window is float32 bytes, at most `window` samples
+        assert all(len(bytes(w.pcm)) % 4 == 0 for w in ws)
+        assert all(len(bytes(w.pcm)) <= 64 * 4 for w in ws)
+
+    feats = {r.doc_id: r for r in
+             mm.extract_audio_features(media).collect()}
+    assert all(0 <= f.rms <= 1.0001 and 0 <= f.zcr <= 1
+               for f in feats.values())
+
+    with pytest.raises(ValueError):
+        mm.audio_windows(media, window=10, hop=20)

@@ -188,27 +188,115 @@ class RestrictedSandbox(Sandbox):
 # Subprocess isolation
 # --------------------------------------------------------------------------
 
-# Modules a child result pickle may reference. Anything else (os,
-# subprocess, ...) fails to unpickle — a compromised child can't run code
-# in the parent via the return channel.
-_UNPICKLE_ALLOWED_PREFIXES = (
-    "builtins", "numpy", "pandas", "datetime", "collections",
-    "pandas.core", "pandas._libs", "numpy.core", "numpy._core",
-)
-_UNPICKLE_BANNED = {("builtins", "eval"), ("builtins", "exec"),
-                    ("builtins", "open"), ("builtins", "compile"),
-                    ("builtins", "__import__"), ("builtins", "getattr")}
+# The child's reply is a data-only envelope: every value is reduced to
+# pickle primitives (dict/list/str/bytes/int/float/bool/None) before
+# pickling, with rich types carried as tagged dicts — DataFrames as Arrow
+# IPC bytes, ndarrays as .npy bytes (allow_pickle=False both ways),
+# timestamps as ISO strings. A pickle of pure primitives contains no
+# GLOBAL opcodes, so the parent's unpickler rejects *every* global
+# outright: no constructor — not even pandas.eval or numpy.load reached
+# via an allowlisted module prefix — can run host-side during load.
+
+_TAG = "__sbx__"  # marker key for tagged rich values
+
+
+def _encode_result(obj: Any) -> Any:
+    """Reduce obj to pickle primitives (child-side, shared module)."""
+    import numpy as np
+    import pandas as pd
+
+    if obj is None or isinstance(obj, (bool, int, float, str, bytes)):
+        return obj
+    if isinstance(obj, np.generic):
+        return _encode_result(obj.item())
+    if isinstance(obj, pd.DataFrame):
+        import pyarrow as pa
+        table = pa.Table.from_pandas(obj, preserve_index=True)
+        sink = io.BytesIO()
+        with pa.ipc.new_stream(sink, table.schema) as writer:
+            writer.write_table(table)
+        return {_TAG: "df", "v": sink.getvalue()}
+    if isinstance(obj, pd.Series):
+        return {_TAG: "series", "name": _encode_result(obj.name),
+                "v": _encode_result(obj.to_frame("__values__"))}
+    if isinstance(obj, np.ndarray):
+        try:
+            sink = io.BytesIO()
+            np.lib.format.write_array(sink, obj, allow_pickle=False)
+            return {_TAG: "npy", "v": sink.getvalue()}
+        except Exception:  # object dtype — degrade to a tagged list
+            return {_TAG: "ndarray_list", "v": [_encode_result(x)
+                                                for x in obj.tolist()]}
+    if isinstance(obj, pd.Timestamp):
+        return {_TAG: "ts", "v": obj.isoformat()}
+    if isinstance(obj, datetime.datetime):
+        return {_TAG: "dt", "v": obj.isoformat()}
+    if isinstance(obj, datetime.date):
+        return {_TAG: "date", "v": obj.isoformat()}
+    if isinstance(obj, tuple):
+        return {_TAG: "tuple", "v": [_encode_result(x) for x in obj]}
+    if isinstance(obj, (list, set, frozenset)):
+        return [_encode_result(x) for x in obj]
+    if isinstance(obj, dict):
+        keys, vals = [], []
+        for k, v in obj.items():
+            keys.append(k if isinstance(k, (str, int, float, bool))
+                        or k is None else str(k))
+            vals.append(_encode_result(v))
+        return {_TAG: "dict", "k": keys, "v": vals}
+    # Last resort: a lossy but safe string form (charts return paths, the
+    # response contract validates types downstream anyway).
+    return {_TAG: "repr", "v": repr(obj)}
+
+
+def _decode_result(obj: Any) -> Any:
+    """Rebuild rich values parent-side using trusted constructors only."""
+    import numpy as np
+    import pandas as pd
+
+    if isinstance(obj, list):
+        return [_decode_result(x) for x in obj]
+    if not isinstance(obj, dict):
+        return obj
+    tag = obj.get(_TAG)
+    if tag is None:  # plain dict pickled by an older/foreign producer
+        return {k: _decode_result(v) for k, v in obj.items()}
+    if tag == "dict":
+        return {k: _decode_result(v) for k, v in zip(obj["k"], obj["v"])}
+    if tag == "df":
+        import pyarrow as pa
+        with pa.ipc.open_stream(io.BytesIO(obj["v"])) as reader:
+            return reader.read_all().to_pandas()
+    if tag == "series":
+        frame = _decode_result(obj["v"])
+        series = frame["__values__"]
+        series.name = _decode_result(obj["name"])
+        return series
+    if tag == "npy":
+        return np.lib.format.read_array(io.BytesIO(obj["v"]),
+                                        allow_pickle=False)
+    if tag == "ndarray_list":
+        return np.array(_decode_result(obj["v"]), dtype=object)
+    if tag == "ts":
+        return pd.Timestamp(obj["v"])
+    if tag == "dt":
+        return datetime.datetime.fromisoformat(obj["v"])
+    if tag == "date":
+        return datetime.date.fromisoformat(obj["v"])
+    if tag == "tuple":
+        return tuple(_decode_result(x) for x in obj["v"])
+    if tag == "repr":
+        return obj["v"]
+    raise pickle.UnpicklingError(f"unknown sandbox result tag {tag!r}")
 
 
 class _SafeUnpickler(pickle.Unpickler):
+    """Rejects ALL globals — the reply envelope is primitives-only."""
+
     def find_class(self, module: str, name: str):  # noqa: D102
-        if (module, name) in _UNPICKLE_BANNED:
-            raise pickle.UnpicklingError(f"banned global {module}.{name}")
-        if module.split(".")[0] not in {p.split(".")[0]
-                                        for p in _UNPICKLE_ALLOWED_PREFIXES}:
-            raise pickle.UnpicklingError(
-                f"global {module}.{name} not in sandbox allowlist")
-        return super().find_class(module, name)
+        raise pickle.UnpicklingError(
+            f"sandbox reply must be data-only; global {module}.{name} "
+            "is not permitted")
 
 
 def _safe_loads(data: bytes) -> Any:

@@ -40,8 +40,40 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         if dict(df.dtypes).get("ts") == "bigint":
             df = df.withColumn(
                 "ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif dict(df.dtypes).get("ts") == "timestamp_ntz":
+            # pandas/pyarrow-written datasets carry TIMESTAMP_NTZ; under
+            # the pinned UTC session tz the cast re-tags the same wall
+            # clock, and watermarks require TIMESTAMP_LTZ event time.
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _stage_stream_events(spark: SparkSession, sf_dir: str) -> str:
+    """Copy the events table to a local directory a file stream can tail.
+
+    The stage path is keyed on a content fingerprint (size + mtime of
+    every source parquet file), so regenerating the dataset at ``sf_dir``
+    invalidates the staged copy instead of silently replaying stale data.
+    """
+    import hashlib
+    import os
+    import tempfile
+
+    src = os.path.join(sf_dir, "events.parquet")
+    parts = [src] if os.path.isfile(src) else [
+        os.path.join(src, f) for f in sorted(os.listdir(src))]
+    h = hashlib.md5()
+    for p in parts:
+        st = os.stat(p)
+        h.update(f"{p}:{st.st_size}:{st.st_mtime_ns};".encode())
+    stage = os.path.join(
+        tempfile.gettempdir(),
+        f"stream_events_{sf_dir.strip('/').replace('/', '_')}"
+        f"_{h.hexdigest()[:12]}")
+    if not os.path.exists(os.path.join(stage, "_SUCCESS")):
+        _t(spark, sf_dir, "events").write.mode("overwrite").parquet(stage)
+    return stage
 
 
 def _compile(spark: SparkSession, sf_dir: str, schema_dict: dict,
@@ -507,16 +539,9 @@ def q29_stream_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     drained with availableNow — same results as the q15 batch form. The
     oracle is the batch SQL itself: the stream/batch parity contract,
     also asserted plan-level in tests/test_streaming.py."""
-    import tempfile
-    import os
-
     from pandas_ai_spark.streaming import StreamCompiler, windowed_agg
 
-    ev = _t(spark, sf_dir, "events")
-    stage = os.path.join(tempfile.gettempdir(),
-                         f"stream_events_{sf_dir.strip('/').replace('/', '_')}")
-    if not os.path.exists(os.path.join(stage, "_SUCCESS")):
-        ev.write.mode("overwrite").parquet(stage)
+    stage = _stage_stream_events(spark, sf_dir)
     sc = StreamCompiler(spark)
     stream = sc.read_stream(stage)
     agg = windowed_agg(
@@ -785,17 +810,10 @@ def q56_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregated batch-side. Oracle: the same inequality-join SQL as q51
     — the stream/batch parity contract (also asserted pairwise in
     tests/test_streaming.py)."""
-    import os
-    import tempfile
-
     from pandas_ai_spark.streaming import StreamCompiler, \
         stream_interval_join
 
-    ev = _t(spark, sf_dir, "events")
-    stage = os.path.join(tempfile.gettempdir(),
-                         f"stream_events_{sf_dir.strip('/').replace('/', '_')}")
-    if not os.path.exists(os.path.join(stage, "_SUCCESS")):
-        ev.write.mode("overwrite").parquet(stage)
+    stage = _stage_stream_events(spark, sf_dir)
     sc = StreamCompiler(spark)
     p = sc.read_stream(stage).where(
         F.col("event_type") == "purchase").select(

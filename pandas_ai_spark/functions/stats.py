@@ -56,9 +56,13 @@ def grouped_mad(df: DataFrame, group_col: str, value_col: str,
     med = df.groupBy(group_col).agg(
         _pct(F.col(value_col), 0.5, approx).alias("__med"),
         F.count(value_col).alias("__n"),
-    )
+    ).withColumnRenamed(group_col, "__g")
+    # null-safe equality: a NULL group key appears in grouped_median /
+    # grouped_iqr output, so it must survive this join too (plain `=`
+    # would silently drop it). Still an equi-join — same shuffle shape.
     return (
-        df.join(med, group_col)
+        df.join(med, F.col(group_col).eqNullSafe(F.col("__g")))
+        .drop("__g")
         .groupBy(group_col)
         .agg(
             F.min("__med").alias("median"),  # constant per group

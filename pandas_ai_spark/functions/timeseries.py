@@ -130,13 +130,17 @@ def range_join(
         r = r.withColumnRenamed(old, new)
     r_ts = rename.get(right_ts, right_ts)
 
-    lb = F.floor((F.col(left_ts).cast("double")
-                  + F.lit(float(lower_seconds))) / F.lit(span))
+    # double cast goes via TIMESTAMP: TIMESTAMP_NTZ inputs (pandas/pyarrow
+    # parquet default) don't cast to DOUBLE directly, and under the pinned
+    # UTC session tz the re-tag preserves the wall clock.
+    l_sec = F.col(left_ts).cast("timestamp").cast("double")
+    r_sec = F.col(r_ts).cast("timestamp").cast("double")
+    lb = F.floor((l_sec + F.lit(float(lower_seconds))) / F.lit(span))
     l = left.withColumn("__b", F.explode(F.array(lb, lb + 1)))
-    r = r.withColumn("__b",
-                     F.floor(F.col(r_ts).cast("double") / F.lit(span)))
+    r = r.withColumn("__b", F.floor(r_sec / F.lit(span)))
 
-    delta_us = F.unix_micros(F.col(r_ts)) - F.unix_micros(F.col(left_ts))
+    delta_us = (F.unix_micros(F.col(r_ts).cast("timestamp"))
+                - F.unix_micros(F.col(left_ts).cast("timestamp")))
     out = l.join(r, [*by, "__b"]).where(
         (delta_us >= F.lit(int(round(lower_seconds * 1_000_000))))
         & (delta_us <= F.lit(int(round(upper_seconds * 1_000_000))))

@@ -28,6 +28,7 @@ Two implementations:
 from __future__ import annotations
 
 import ast
+import datetime
 import io
 import os
 import pickle
@@ -345,7 +346,7 @@ _socket.create_connection = _no_conn
 _socket.socketpair = _no_conn
 
 from pandas_ai_spark.sandbox import (SandboxError, _SAFE_BUILTINS,
-                                     assert_code_safe)
+                                     _encode_result, assert_code_safe)
 
 code = payload["code"]
 sql_results = payload["sql_results"]
@@ -379,7 +380,7 @@ try:
     exec(code, env)
     if "result" not in env:
         raise SandboxError("code did not set `result`")
-    _reply({"ok": True, "result": env["result"]})
+    _reply({"ok": True, "result": _encode_result(env["result"])})
 except Exception as exc:
     _reply({"ok": False, "error": f"{type(exc).__name__}: {exc}"})
 """
@@ -459,4 +460,4 @@ class SubprocessSandbox(Sandbox):
                 f"sandbox returned undecodable result: {exc}") from exc
         if not reply.get("ok"):
             raise SandboxError(reply.get("error", "unknown sandbox error"))
-        return reply["result"]
+        return _decode_result(reply["result"])

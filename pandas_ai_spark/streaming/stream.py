@@ -16,6 +16,20 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+def ensure_event_time(df: DataFrame, ts_col: str) -> DataFrame:
+    """Cast a TIMESTAMP_NTZ event-time column to TIMESTAMP (LTZ).
+
+    ``withWatermark`` requires TIMESTAMP_LTZ event time; parquet written
+    by pandas/pyarrow often carries TIMESTAMP_NTZ. Under the engine's
+    pinned UTC session timezone the cast is a lossless re-tagging of the
+    same wall-clock instant, so stream results stay comparable to batch
+    oracles reading the original file.
+    """
+    if dict(df.dtypes).get(ts_col) == "timestamp_ntz":
+        df = df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    return df
+
+
 def windowed_agg(df: DataFrame, ts_col: str, window: str,
                  aggs: dict[str, Column],
                  keys: Sequence[str] = (),
@@ -27,7 +41,7 @@ def windowed_agg(df: DataFrame, ts_col: str, window: str,
     ``withWatermark`` is a no-op, preserving parity.
     """
     if watermark and df.isStreaming:
-        df = df.withWatermark(ts_col, watermark)
+        df = ensure_event_time(df, ts_col).withWatermark(ts_col, watermark)
     w = (F.window(ts_col, window, slide) if slide
          else F.window(ts_col, window))
     out = df.groupBy(w.alias("w"), *keys).agg(
@@ -45,7 +59,7 @@ def sessionize(df: DataFrame, ts_col: str, gap: str,
     """Session windows (F.session_window): gap-based sessions per key —
     the streaming-native form of the q16 lag-based batch sessionization."""
     if watermark and df.isStreaming:
-        df = df.withWatermark(ts_col, watermark)
+        df = ensure_event_time(df, ts_col).withWatermark(ts_col, watermark)
     sw = F.session_window(F.col(ts_col), gap)
     out = df.groupBy(sw.alias("s"), *keys).agg(
         *[c.alias(n) for n, c in aggs.items()])
@@ -189,8 +203,10 @@ def stream_interval_join(
         raise ValueError("upper_seconds must exceed lower_seconds")
     if left_ts == right_ts:
         raise ValueError("left_ts and right_ts must be distinct names")
-    l = left.withWatermark(left_ts, watermark) if left.isStreaming else left
-    r = (right.withWatermark(right_ts, watermark)
+    l = (ensure_event_time(left, left_ts).withWatermark(left_ts, watermark)
+         if left.isStreaming else left)
+    r = (ensure_event_time(right, right_ts)
+         .withWatermark(right_ts, watermark)
          if right.isStreaming else right)
     cond = None
     for k in on:
@@ -215,8 +231,9 @@ def stream_dedup(df: DataFrame, keys: Sequence[str], ts_col: str,
     (dropDuplicatesWithinWatermark); falls back to dropDuplicates on batch
     input (same result, no state concern)."""
     if df.isStreaming:
-        return df.withWatermark(ts_col, watermark) \
-                 .dropDuplicatesWithinWatermark(list(keys))
+        return ensure_event_time(df, ts_col) \
+            .withWatermark(ts_col, watermark) \
+            .dropDuplicatesWithinWatermark(list(keys))
     return df.dropDuplicates(list(keys))
 
 

@@ -327,5 +327,48 @@ def test_safe_unpickler_rejects_dangerous_globals():
             import os
             return (os.system, ("true",))
 
-    with pytest.raises(Exception, match="allowlist|banned"):
+    with pytest.raises(Exception, match="data-only|not permitted"):
         _safe_loads(pickle.dumps(Evil()))
+
+
+def test_safe_unpickler_rejects_allowlisted_module_gadgets():
+    """The reply channel is data-only: even callables living under the
+    trusted pandas/numpy namespaces (pandas.eval, numpy.load with
+    allow_pickle) must never be reachable as pickle globals."""
+    import pickle
+
+    from pandas_ai_spark.sandbox import _safe_loads
+
+    class Gadget:
+        def __reduce__(self):
+            import pandas
+            return (pandas.eval, ("1+1",))
+
+    with pytest.raises(Exception, match="data-only|not permitted"):
+        _safe_loads(pickle.dumps(Gadget()))
+
+
+def test_sandbox_envelope_roundtrips_rich_values():
+    import datetime
+
+    import numpy as np
+    import pandas as pd
+
+    from pandas_ai_spark.sandbox import _decode_result, _encode_result
+
+    df = pd.DataFrame({"a": [1, 2], "b": ["x", None]})
+    obj = {
+        "frame": df,
+        "arr": np.arange(4, dtype=np.float64),
+        "ts": pd.Timestamp("2026-01-02T03:04:05"),
+        "when": datetime.date(2026, 1, 2),
+        "tup": (1, "two", 3.0),
+        "n": np.int64(7),
+    }
+    back = _decode_result(_encode_result(obj))
+    pd.testing.assert_frame_equal(back["frame"], df)
+    assert back["arr"].tolist() == [0.0, 1.0, 2.0, 3.0]
+    assert back["ts"] == obj["ts"]
+    assert back["when"] == obj["when"]
+    assert back["tup"] == (1, "two", 3.0)
+    assert back["n"] == 7 and isinstance(back["n"], int)

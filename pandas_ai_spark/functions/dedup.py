@@ -323,13 +323,17 @@ def minhash_dedup(df: DataFrame, text_col: str = "text",
 # n-gram Jaccard (exact, blocked)
 # ---------------------------------------------------------------------------
 
+_DOC_FREQ_DEFAULT = 10_000
+_AUTO = object()  # sentinel: cap applied by default, warned about once
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     n: int = 3,
     threshold: float = 0.5,
-    max_doc_freq: int | None = 10_000,
+    max_doc_freq: int | None | object = _AUTO,
 ) -> DataFrame:
     """Exact all-pairs n-gram Jaccard via an inverted-index join.
 
@@ -355,6 +359,18 @@ def ngram_jaccard_pairs(
     ``minhash_dedup_pairs``). ``max_doc_freq=None`` restores the
     guaranteed-complete pure-count path.
     """
+    if max_doc_freq is _AUTO:
+        import warnings
+        warnings.warn(
+            "ngram_jaccard_pairs applies max_doc_freq="
+            f"{_DOC_FREQ_DEFAULT} by default: shingles shared by more "
+            "documents are excluded from candidate generation (reported "
+            "jaccard values stay exact; pairs similar ONLY through such "
+            "boilerplate shingles are not reported). Pass "
+            "max_doc_freq=None for the guaranteed-complete path, or an "
+            "explicit cap to silence this warning.",
+            stacklevel=2)
+        max_doc_freq = _DOC_FREQ_DEFAULT
     # shingles hashed to int64 up front: the inverted-index join shuffles
     # and compares longs, never shingle strings (collision odds ~N²/2⁶⁴).
     # Sizes ride along the index rows, so the pair counts come out of ONE

@@ -208,6 +208,42 @@ def test_grouped_mad_matches_numpy(spark):
         assert abs(iqr[g].iqr - (np.percentile(a, 75) - np.percentile(a, 25))) < 1e-9
 
 
+def test_grouped_mad_keeps_null_group(spark):
+    """A NULL group key appears in grouped_median/grouped_iqr output, so
+    grouped_mad must keep it too (null-safe self-join on the key)."""
+    from pandas_ai_spark.functions.stats import grouped_mad, grouped_median
+
+    rows = [("a", 1.0), ("a", 3.0), (None, 10.0), (None, 14.0),
+            (None, 10.0)]
+    df = spark.createDataFrame(rows, ["g", "v"])
+    med = {r.g: r for r in grouped_median(df, "g", "v").collect()}
+    mad = {r.g: r for r in grouped_mad(df, "g", "v").collect()}
+    assert set(mad) == set(med) == {"a", None}
+    assert mad[None].median == 10.0
+    assert mad[None].mad == 0.0
+    assert mad[None].n == 3
+    assert mad["a"].mad == 1.0
+
+
+def test_ngram_jaccard_default_cap_warns_once_per_call(spark):
+    import warnings
+
+    import pandas_ai_spark.functions.dedup as dd
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "alpha beta gamma epsilon")],
+        ["doc_id", "text"])
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        dd.ngram_jaccard_pairs(df, threshold=0.1)
+        assert any("max_doc_freq" in str(x.message) for x in w)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        dd.ngram_jaccard_pairs(df, threshold=0.1, max_doc_freq=10_000)
+        dd.ngram_jaccard_pairs(df, threshold=0.1, max_doc_freq=None)
+        assert not w
+
+
 def test_ngram_jaccard_capped_exact_values_and_no_blowup(spark):
     """With the doc-freq cap active, (a) every reported pair carries the
     EXACT full-set Jaccard (re-verified via array_intersect), and (b) a

@@ -327,6 +327,13 @@ _DOC_FREQ_DEFAULT = 10_000
 _AUTO = object()  # sentinel: cap applied by default, warned about once
 
 
+class ImplicitDocFreqCapWarning(UserWarning):
+    """Raised (once per process) when the implicit doc-freq cap applies."""
+
+
+_warned_implicit_cap = False
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -360,16 +367,21 @@ def ngram_jaccard_pairs(
     guaranteed-complete pure-count path.
     """
     if max_doc_freq is _AUTO:
-        import warnings
-        warnings.warn(
-            "ngram_jaccard_pairs applies max_doc_freq="
-            f"{_DOC_FREQ_DEFAULT} by default: shingles shared by more "
-            "documents are excluded from candidate generation (reported "
-            "jaccard values stay exact; pairs similar ONLY through such "
-            "boilerplate shingles are not reported). Pass "
-            "max_doc_freq=None for the guaranteed-complete path, or an "
-            "explicit cap to silence this warning.",
-            stacklevel=2)
+        global _warned_implicit_cap
+        if not _warned_implicit_cap:
+            _warned_implicit_cap = True
+            import warnings
+            warnings.warn(
+                "ngram_jaccard_pairs applies max_doc_freq="
+                f"{_DOC_FREQ_DEFAULT} by default: shingles shared by more "
+                "documents are excluded from candidate generation (reported "
+                "jaccard values stay exact; pairs similar ONLY through such "
+                "boilerplate shingles are not reported). Pass "
+                "max_doc_freq=None for the guaranteed-complete path, or an "
+                "explicit cap to silence this warning. (Warned once per "
+                "process.)",
+                ImplicitDocFreqCapWarning,
+                stacklevel=2)
         max_doc_freq = _DOC_FREQ_DEFAULT
     # shingles hashed to int64 up front: the inverted-index join shuffles
     # and compares longs, never shingle strings (collision odds ~N²/2⁶⁴).

@@ -228,6 +228,8 @@ def _encode_result(obj: Any) -> Any:
         except Exception:  # object dtype — degrade to a tagged list
             return {_TAG: "ndarray_list", "v": [_encode_result(x)
                                                 for x in obj.tolist()]}
+    if obj is pd.NaT:  # NaT subclasses datetime; isoformat() would be 'NaT'
+        return {_TAG: "nat"}
     if isinstance(obj, pd.Timestamp):
         return {_TAG: "ts", "v": obj.isoformat()}
     if isinstance(obj, datetime.datetime):
@@ -236,18 +238,30 @@ def _encode_result(obj: Any) -> Any:
         return {_TAG: "date", "v": obj.isoformat()}
     if isinstance(obj, tuple):
         return {_TAG: "tuple", "v": [_encode_result(x) for x in obj]}
-    if isinstance(obj, (list, set, frozenset)):
+    if isinstance(obj, (set, frozenset)):
+        return {_TAG: "set", "frozen": isinstance(obj, frozenset),
+                "v": [_encode_result(x) for x in obj]}
+    if isinstance(obj, list):
         return [_encode_result(x) for x in obj]
     if isinstance(obj, dict):
         keys, vals = [], []
         for k, v in obj.items():
+            # Non-primitive keys (tuple keys from multi-key groupbys) go
+            # through the envelope too, so they decode back unchanged.
             keys.append(k if isinstance(k, (str, int, float, bool))
-                        or k is None else str(k))
+                        or k is None else _encode_result(k))
             vals.append(_encode_result(v))
         return {_TAG: "dict", "k": keys, "v": vals}
     # Last resort: a lossy but safe string form (charts return paths, the
     # response contract validates types downstream anyway).
     return {_TAG: "repr", "v": repr(obj)}
+
+
+def _freeze(obj: Any) -> Any:
+    """Make a decoded value hashable for use as a dict key / set member."""
+    if isinstance(obj, list):
+        return tuple(_freeze(x) for x in obj)
+    return obj
 
 
 def _decode_result(obj: Any) -> Any:
@@ -263,7 +277,13 @@ def _decode_result(obj: Any) -> Any:
     if tag is None:  # plain dict pickled by an older/foreign producer
         return {k: _decode_result(v) for k, v in obj.items()}
     if tag == "dict":
-        return {k: _decode_result(v) for k, v in zip(obj["k"], obj["v"])}
+        return {_freeze(_decode_result(k)): _decode_result(v)
+                for k, v in zip(obj["k"], obj["v"])}
+    if tag == "set":
+        vals = [_freeze(_decode_result(x)) for x in obj["v"]]
+        return frozenset(vals) if obj.get("frozen") else set(vals)
+    if tag == "nat":
+        return pd.NaT
     if tag == "df":
         import pyarrow as pa
         with pa.ipc.open_stream(io.BytesIO(obj["v"])) as reader:
@@ -458,6 +478,14 @@ class SubprocessSandbox(Sandbox):
         except Exception as exc:
             raise SandboxError(
                 f"sandbox returned undecodable result: {exc}") from exc
+        if not isinstance(reply, dict) or "ok" not in reply:
+            raise SandboxError("malformed sandbox reply")
         if not reply.get("ok"):
             raise SandboxError(reply.get("error", "unknown sandbox error"))
-        return _decode_result(reply["result"])
+        try:
+            return _decode_result(reply.get("result"))
+        except SandboxError:
+            raise
+        except Exception as exc:
+            raise SandboxError(
+                f"sandbox result failed to decode: {exc}") from exc

@@ -155,6 +155,15 @@ class Source(BaseModel):
     def _check_fields(self) -> "Source":
         if self.type in LOCAL_SOURCE_TYPES and not self.path:
             raise ValueError(f"Local source '{self.type}' requires a path")
+        if self.type == "data":
+            # Reference `type: data` is the PandaBI platform pull
+            # (pandasai/helpers/session.py:58-104) — proprietary SaaS with
+            # no Spark analog. Fail at schema validation, never misroute.
+            raise ValueError(
+                "source type 'data' requires the PandaBI platform API "
+                "(app.pandabi.ai), which this engine does not implement; "
+                "export the dataset to parquet/csv or a JDBC database and "
+                "declare that source type instead")
         return self
 
     def is_local(self) -> bool:

@@ -24,6 +24,17 @@ def load_source(spark: SparkSession, source: Source) -> DataFrame:
         return load_csv(spark, source.path)
     if source.type == "parquet":
         return load_parquet(spark, source.path)
+    if source.type == "data":
+        # Reference semantics: `type: data` pulls a hosted dataset from the
+        # PandaBI platform API (reference: pandasai/helpers/session.py:58-104
+        # — authenticated HTTP pull against app.pandabi.ai). That is a
+        # proprietary SaaS endpoint with no Spark-side analog, so fail fast
+        # rather than silently misrouting to a database reader.
+        raise NotImplementedError(
+            "source type 'data' is the PandaBI platform pull "
+            "(app.pandabi.ai API); this engine has no PandaBI client. "
+            "Export the dataset to parquet/csv or serve it over JDBC and "
+            "declare that source type instead.")
     if source.type in JDBC_URL_BUILDERS:
         return load_jdbc(spark, source)
     if source.type == "yahoo_finance":

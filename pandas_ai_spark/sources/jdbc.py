@@ -57,7 +57,6 @@ JDBC_URL_BUILDERS = {
     "cockroachdb": _cockroachdb,
     "sqlserver": _sqlserver,
     "oracle": _oracle,
-    "data": _postgres,
     "jdbc": _generic,
 }
 

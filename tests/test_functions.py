@@ -225,7 +225,7 @@ def test_grouped_mad_keeps_null_group(spark):
     assert mad["a"].mad == 1.0
 
 
-def test_ngram_jaccard_default_cap_warns_once_per_call(spark):
+def test_ngram_jaccard_default_cap_warns_once_per_process(spark):
     import warnings
 
     import pandas_ai_spark.functions.dedup as dd
@@ -233,12 +233,18 @@ def test_ngram_jaccard_default_cap_warns_once_per_call(spark):
     df = spark.createDataFrame(
         [(1, "alpha beta gamma delta"), (2, "alpha beta gamma epsilon")],
         ["doc_id", "text"])
+    dd._warned_implicit_cap = False
     with warnings.catch_warnings(record=True) as w:
         warnings.simplefilter("always")
         dd.ngram_jaccard_pairs(df, threshold=0.1)
-        assert any("max_doc_freq" in str(x.message) for x in w)
+        assert any(isinstance(x.message, dd.ImplicitDocFreqCapWarning)
+                   and "max_doc_freq" in str(x.message) for x in w)
+    # second default call in the same process: silent (warn-once), so
+    # pipelines running under -W error::UserWarning don't start failing
+    # on call #2 and repeated calls don't spam.
     with warnings.catch_warnings(record=True) as w:
         warnings.simplefilter("always")
+        dd.ngram_jaccard_pairs(df, threshold=0.1)
         dd.ngram_jaccard_pairs(df, threshold=0.1, max_doc_freq=10_000)
         dd.ngram_jaccard_pairs(df, threshold=0.1, max_doc_freq=None)
         assert not w

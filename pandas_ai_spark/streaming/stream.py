@@ -15,6 +15,11 @@ from typing import Optional, Sequence
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+# Per-drain throughput from the most recent run_available_now call, keyed
+# by query name: {input_rows, micro_batches, rows_per_sec,
+# steady_rows_per_sec}. bench.py reports these beside wall-clock.
+LAST_STREAM_METRICS: dict[str, dict] = {}
+
 
 def ensure_event_time(df: DataFrame, ts_col: str) -> DataFrame:
     """Cast a TIMESTAMP_NTZ event-time column to TIMESTAMP (LTZ).
@@ -305,7 +310,12 @@ class StreamCompiler:
     @staticmethod
     def run_available_now(stream_df: DataFrame, query_name: str) -> DataFrame:
         """Drain everything currently available into a memory sink and
-        return the result table (the batch-parity test harness)."""
+        return the result table (the batch-parity test harness).
+
+        Per-drain progress (input rows, micro-batch count, rows/s) is
+        recorded in :data:`LAST_STREAM_METRICS` under ``query_name`` —
+        wall-clock on a bounded drain is dominated by checkpoint setup,
+        so throughput is the honest figure for an unbounded feed."""
         q = (stream_df.writeStream
              .format("memory")
              .queryName(query_name)
@@ -313,6 +323,28 @@ class StreamCompiler:
              .trigger(availableNow=True)
              .start())
         q.awaitTermination()
+        try:
+            prog = [p for p in (q.recentProgress or []) if p]
+            rows = sum(int(p.get("numInputRows") or 0) for p in prog)
+            ms = sum(float((p.get("durationMs") or {})
+                           .get("triggerExecution") or 0) for p in prog)
+            # steady state over data-carrying batches only (availableNow
+            # ends with an empty commit flush); drop the first one —
+            # state-store init + codegen warmup — when there are several
+            busy = [p for p in prog if int(p.get("numInputRows") or 0) > 0]
+            tail = busy[1:] if len(busy) > 1 else busy
+            rows_ss = sum(int(p.get("numInputRows") or 0) for p in tail)
+            ms_ss = sum(float((p.get("durationMs") or {})
+                              .get("triggerExecution") or 0) for p in tail)
+            LAST_STREAM_METRICS[query_name] = {
+                "input_rows": rows,
+                "micro_batches": len(prog),
+                "rows_per_sec": round(rows * 1000.0 / ms, 1) if ms else None,
+                "steady_rows_per_sec":
+                    round(rows_ss * 1000.0 / ms_ss, 1) if ms_ss else None,
+            }
+        except Exception:  # metrics are best-effort, never fail the drain
+            pass
         return stream_df.sparkSession.table(query_name)
 
 

@@ -8,6 +8,7 @@ the semantic-layer compiler or the guarded ``spark.sql`` executor.
 """
 
 from .base import Agent
+from .judge import CodeJudge, Evaluation, JudgeParseError
 from .llm import (LLM, APIKeyNotFoundError, FakeLLM, HTTPTransport,
                   LLMAPIError, AzureOpenAILLM, LiteLLMBackend,
                   OpenAICompatibleLLM)
@@ -25,6 +26,9 @@ from .skills import Skill, skill, skills_registry
 
 __all__ = [
     "Agent",
+    "CodeJudge",
+    "Evaluation",
+    "JudgeParseError",
     "LLM",
     "FakeLLM",
     "OpenAICompatibleLLM",

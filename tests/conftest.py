@@ -30,6 +30,24 @@ def duck():
     return con
 
 
+def pytest_terminal_summary(terminalreporter, exitstatus):
+    """Report and consume the LLM-judge average-score file (reference
+    parity: tests/unit_tests/conftest.py:204-217 — the grishasen fork's
+    eval-summary hook)."""
+    scores_file = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "test_agent_llm_judge.txt")
+    if os.path.exists(scores_file):
+        with open(scores_file) as file:
+            score_line = file.readline().strip()
+            if score_line.replace(".", "", 1).isdigit():
+                avg_score = float(score_line)
+                terminalreporter.write(
+                    "\n--- Evaluation Score Summary ---\n")
+                terminalreporter.write(f"Average Score: {avg_score:.2f}\n")
+        os.remove(scores_file)
+
+
 def sorted_rows(obj):
     """Order-insensitive canonical rows for comparison.
 

@@ -1,0 +1,269 @@
+"""LLM-judge eval harness — parity with the grishasen fork's defining
+addition (reference tests/unit_tests/agent/test_agent_llm_judge.py:22-210):
+three NL question sets over heart / loans_payments CSVs, an LLM judge
+scoring each generated snippet 1-10, per-question >5 asserts, and a
+run-average >=5 written to test_agent_llm_judge.txt for the terminal
+summary hook (reference tests/unit_tests/conftest.py:204-217 → our
+tests/conftest.py pytest_terminal_summary).
+
+Real judged runs are gated on JUDGE_OPENAI_API_KEY (and hit the
+OpenAI-compatible endpoint for BOTH agent codegen and judging, like the
+reference). The offline tests below the gate exercise the entire
+harness — agent chat → code capture → judge prompt → structured parse →
+score ledger → summary file — through FakeLLM so CI covers the
+machinery without a key.
+
+The CSVs are synthesized deterministically with the reference datasets'
+column schemas (examples/data/{heart,loans_payments}.csv headers); the
+reference data itself is not copied.
+"""
+
+import os
+from pathlib import Path
+
+import pytest
+
+import pandas_ai_spark as pai
+from pandas_ai_spark.agent import CodeJudge, Evaluation, FakeLLM, \
+    JudgeParseError
+from pandas_ai_spark.agent.prompts import serialize_dataframe
+
+JUDGE_OPENAI_API_KEY = os.getenv("JUDGE_OPENAI_API_KEY", None)
+JUDGE_MODEL = os.getenv("JUDGE_MODEL", "gpt-4.1-mini")
+
+REPO_ROOT = Path(__file__).resolve().parent.parent
+SUMMARY_FILE = REPO_ROOT / "test_agent_llm_judge.txt"
+
+# Question sets verbatim from the reference (test_agent_llm_judge.py:
+# 31-70): 13 loans + 14 heart + 5 combined.
+LOANS_QUESTIONS = [
+    "What is the total number of payments?",
+    "What is the average payment amount?",
+    "How many unique loan IDs are there?",
+    "What is the most common payment amount?",
+    "What is the total amount of payments?",
+    "What is the median payment amount?",
+    "How many payments are above $1000?",
+    "What is the minimum and maximum payment?",
+    "Show me a monthly trend of payments",
+    "Show me the distribution of payment amounts",
+    "Show me the top 10 payment amounts",
+    "Give me a summary of payment statistics",
+    "Show me payments above $1000",
+]
+
+HEART_STROKES_QUESTIONS = [
+    "What is the total number of patients in the dataset?",
+    "How many people had a stroke?",
+    "What is the average age of patients?",
+    "What percentage of patients have hypertension?",
+    "What is the average BMI?",
+    "How many smokers are in the dataset?",
+    "What is the gender distribution?",
+    "Is there a correlation between age and stroke occurrence?",
+    "Show me the age distribution of patients.",
+    "What is the most common work type?",
+    "Give me a breakdown of stroke occurrences.",
+    "Show me hypertension statistics.",
+    "Give me smoking statistics summary.",
+    "Show me the distribution of work types.",
+]
+
+COMBINED_QUESTIONS = [
+    "Compare payment patterns between age groups.",
+    "Show relationship between payments and health conditions.",
+    "Analyze payment differences between hypertension groups.",
+    "Calculate average payments by health condition.",
+    "Show payment distribution across age groups.",
+]
+
+
+def _write_eval_csvs(dirpath: Path) -> tuple[Path, Path]:
+    """Deterministic stand-ins with the reference datasets' schemas."""
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.RandomState(7)
+    n = 120
+    heart = pd.DataFrame({
+        "Age": rng.randint(29, 78, n),
+        "Sex": rng.choice(["M", "F"], n),
+        "ChestPainType": rng.choice(["ATA", "NAP", "ASY", "TA"], n),
+        "RestingBP": rng.randint(90, 180, n),
+        "Cholesterol": rng.randint(120, 400, n),
+        "FastingBS": rng.randint(0, 2, n),
+        "RestingECG": rng.choice(["Normal", "ST", "LVH"], n),
+        "MaxHR": rng.randint(70, 200, n),
+        "ExerciseAngina": rng.choice(["Y", "N"], n),
+        "Oldpeak": np.round(rng.uniform(0, 4, n), 1),
+        "ST_Slope": rng.choice(["Up", "Flat", "Down"], n),
+        "HeartDisease": rng.randint(0, 2, n),
+    })
+    loans = pd.DataFrame({
+        "Loan_ID": [f"xqd{20166000 + i}" for i in range(n)],
+        "loan_status": rng.choice(
+            ["PAIDOFF", "COLLECTION", "COLLECTION_PAIDOFF"], n),
+        "Principal": rng.choice([300, 500, 800, 1000, 1200], n),
+        "terms": rng.choice([7, 15, 30], n),
+        "effective_date": "9/8/2016",
+        "due_date": "10/7/2016",
+        "paid_off_time": "9/14/2016 19:31",
+        "past_due_days": rng.randint(0, 60, n),
+        "age": rng.randint(18, 51, n),
+        "education": rng.choice(
+            ["High School or Below", "Bechalor", "college",
+             "Master or Above"], n),
+        "Gender": rng.choice(["male", "female"], n),
+    })
+    heart_path = dirpath / "heart.csv"
+    loans_path = dirpath / "loans_payments.csv"
+    heart.to_csv(heart_path, index=False)
+    loans.to_csv(loans_path, index=False)
+    return heart_path, loans_path
+
+
+@pytest.fixture(scope="module")
+def eval_csvs(tmp_path_factory):
+    return _write_eval_csvs(tmp_path_factory.mktemp("judge_data"))
+
+
+# ---------------------------------------------------------------------------
+# Key-gated real runs (reference parity: skipif on JUDGE_OPENAI_API_KEY)
+# ---------------------------------------------------------------------------
+
+@pytest.mark.skipif(
+    JUDGE_OPENAI_API_KEY is None,
+    reason="JUDGE_OPENAI_API_KEY key not set, skipping tests",
+)
+class TestAgentLLMJudge:
+    evaluation_scores: list[int] = []
+
+    @pytest.fixture(autouse=True)
+    def setup(self, eval_csvs):
+        from pandas_ai_spark.agent import OpenAICompatibleLLM
+
+        self.heart_path, self.loans_path = eval_csvs
+        self.agent_llm = OpenAICompatibleLLM(
+            model=JUDGE_MODEL, api_key=JUDGE_OPENAI_API_KEY, temperature=0)
+        self.judge = CodeJudge(OpenAICompatibleLLM(
+            model=JUDGE_MODEL, api_key=JUDGE_OPENAI_API_KEY, temperature=0))
+
+    def _judge_one(self, dfs, question) -> None:
+        context = "\n".join(serialize_dataframe(df) for df in dfs)
+        if len(dfs) == 1:
+            response = dfs[0].chat(question, llm=self.agent_llm)
+        else:
+            response = pai.chat(question, *dfs, llm=self.agent_llm)
+        ev = self.judge.evaluate(
+            question, response.last_code_executed, context)
+        type(self).evaluation_scores.append(ev.score)
+        assert ev.score > 5, ev.justification
+
+    def test_judge_setup(self):
+        self._judge_one([pai.read_csv(str(self.loans_path))],
+                        "How many unique loan IDs are there?")
+
+    @pytest.mark.parametrize("question", LOANS_QUESTIONS)
+    def test_loans_questions(self, question):
+        self._judge_one([pai.read_csv(str(self.loans_path))], question)
+
+    @pytest.mark.parametrize("question", HEART_STROKES_QUESTIONS)
+    def test_heart_strokes_questions(self, question):
+        self._judge_one([pai.read_csv(str(self.heart_path))], question)
+
+    @pytest.mark.parametrize("question", COMBINED_QUESTIONS)
+    def test_combined_questions_with_type(self, question):
+        self._judge_one([pai.read_csv(str(self.heart_path)),
+                         pai.read_csv(str(self.loans_path))], question)
+
+    def test_average_score(self):
+        if self.evaluation_scores:
+            average = sum(self.evaluation_scores) / len(
+                self.evaluation_scores)
+            SUMMARY_FILE.write_text(f"{average}")
+            assert average >= 5, (
+                f"Average score should be at least 5, got {average}")
+
+
+# ---------------------------------------------------------------------------
+# Offline harness coverage (no key): FakeLLM drives both roles
+# ---------------------------------------------------------------------------
+
+def test_judge_harness_offline_smoke(eval_csvs, tmp_path):
+    """End-to-end through the full machinery: FakeLLM agent generates
+    SQL-backed code, FakeLLM judge returns a structured verdict, scores
+    accumulate, the summary file carries the average."""
+    heart_path, loans_path = eval_csvs
+    agent_llm = FakeLLM(
+        '```python\n'
+        'df = execute_sql_query("SELECT count(*) AS n FROM heart")\n'
+        'result = {"type": "number", "value": int(df["n"][0])}\n```')
+    judge = CodeJudge(FakeLLM(
+        '{"score": 8, "justification": "Correct single-aggregate SQL."}'))
+
+    df = pai.read_csv(str(heart_path))
+    response = df.chat("What is the total number of patients in the "
+                       "dataset?", llm=agent_llm)
+    assert response.value == 120
+
+    ev = judge.evaluate(
+        "What is the total number of patients in the dataset?",
+        response.last_code_executed, serialize_dataframe(df))
+    assert isinstance(ev, Evaluation)
+    assert ev.score == 8 and ev.score > 5
+    assert judge.scores == [8]
+
+    # judge prompt carries question + code + context (rubric contract)
+    sent = judge.llm.last_prompt
+    assert "total number of patients" in sent
+    assert "execute_sql_query" in sent
+    assert "Correctness" in sent and "Best Practices" in sent
+
+    summary = tmp_path / "test_agent_llm_judge.txt"
+    avg = judge.write_summary(summary)
+    assert avg == 8.0 and summary.read_text() == "8.0"
+
+
+def test_judge_parses_fenced_and_noisy_replies():
+    q, code, ctx = "q", "result = {'type': 'number', 'value': 1}", "ctx"
+    fenced = CodeJudge(FakeLLM(
+        'Sure!\n```json\n{"score": 7, "justification": "ok"}\n```'))
+    assert fenced.evaluate(q, code, ctx).score == 7
+
+    prefixed = CodeJudge(FakeLLM(
+        'Here is my verdict: {"score": 6, "justification": "fine"}'))
+    assert prefixed.evaluate(q, code, ctx).score == 6
+
+    broken = CodeJudge(FakeLLM("I refuse to answer in JSON."))
+    with pytest.raises(JudgeParseError):
+        broken.evaluate(q, code, ctx)
+    assert broken.scores == []  # failed parses never pollute the ledger
+
+    out_of_range = CodeJudge(FakeLLM(
+        '{"score": 42, "justification": "overenthusiastic"}'))
+    with pytest.raises(Exception, match="score"):
+        out_of_range.evaluate(q, code, ctx)
+
+
+def test_judge_average_and_multi_question_ledger(eval_csvs):
+    """Several questions through one judge: ledger order, average, and
+    the per-question >5 / run-average >=5 assertions of the reference."""
+    heart_path, _ = eval_csvs
+    df = pai.read_csv(str(heart_path))
+    agent_llm = FakeLLM(
+        '```python\n'
+        'df = execute_sql_query("SELECT avg(Age) AS a FROM heart")\n'
+        'result = {"type": "number", "value": float(df["a"][0])}\n```')
+    judge = CodeJudge(FakeLLM([
+        '{"score": 9, "justification": "good"}',
+        '{"score": 6, "justification": "adequate"}',
+        '{"score": 7, "justification": "solid"}',
+    ]))
+    for question in HEART_STROKES_QUESTIONS[:3]:
+        response = df.chat(question, llm=agent_llm)
+        ev = judge.evaluate(question, response.last_code_executed,
+                            serialize_dataframe(df))
+        assert ev.score > 5, ev.justification
+    assert judge.scores == [9, 6, 7]
+    assert judge.average_score == pytest.approx(22 / 3)
+    assert judge.average_score >= 5

@@ -533,7 +533,10 @@ def q28_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pandas_ai_spark.functions import multimodal as mm
     docs = _t(spark, sf_dir, "documents")
     media = docs.select("doc_id", F.encode(F.col("text"), "utf-8").alias("media"))
-    feats = mm.extract_image_features(media, "media", "doc_id")
+    # decoder pinned to the deterministic fake: blobs here are synthesized
+    # text, and the DuckDB oracle replicates the fake's arithmetic
+    feats = mm.extract_image_features(media, "media", "doc_id",
+                                      decoder="fake")
     return feats.select(
         "doc_id",
         F.round(F.col("feat")[0], 4).alias("mean_r"),

@@ -20,6 +20,7 @@ from .schema import SemanticLayerSchema
 from .session import get_session, stop_session
 from .sql import MaliciousQueryError, SQLExecutor, sanitize_relation_name
 from .vectorstore import LocalVectorStore, VectorStore
+from .chromadb_store import ChromaDBStore
 
 __version__ = "0.1.0"
 
@@ -113,6 +114,7 @@ __all__ = [
     "RestrictedSandbox",
     "VectorStore",
     "LocalVectorStore",
+    "ChromaDBStore",
     "create",
     "materialize",
     "load",

@@ -4,9 +4,15 @@ The engine treats media as ``binary`` columns with a metadata struct
 (mime, width/height/duration, codec), exactly how petabyte-scale training
 pipelines store them in parquet. The Spark-side plumbing — schemas,
 partition-aware batch iteration, Arrow batch shapes, UDF signatures — is
-real and tested; the actual decode (PIL/ffmpeg/torchaudio are not in this
-container) is stubbed behind ``DecoderUnavailable`` with a deterministic
-fake used by tests.
+real and tested. Decoding is import-gated per operator via the
+``decoder`` argument: ``'real'`` uses PIL for images and
+soundfile/stdlib-``wave`` for audio (raising ``DecoderUnavailable``
+when no real decoder can serve the blob), ``'fake'`` runs the
+deterministic stand-in (used by the DuckDB-oracled entry queries, whose
+blobs are synthesized text, and available anywhere), and ``'auto'``
+picks the real path when the library/format allows and falls back to
+the fake. Video demux (ffmpeg, an external binary) remains a documented
+stub.
 
 Operators:
 - ``attach_media_metadata``    — typed metadata struct from the binary
@@ -34,8 +40,102 @@ class DecoderUnavailable(NotImplementedError):
     """Raised when a real media decoder is required but absent."""
 
 
-#: Flip to use real decoders when PIL/ffmpeg are installed.
+#: Back-compat module flag: when True, ``decoder="auto"`` behaves like
+#: ``decoder="real"`` (fail loudly instead of falling back to the fake).
 USE_REAL_DECODERS = False
+
+
+def _pil_decode_image(blob: bytes) -> np.ndarray:
+    """Real image decode via PIL → HxWx3 uint8 RGB array."""
+    import io as _io
+
+    from PIL import Image  # noqa: import-gated at call site
+
+    with Image.open(_io.BytesIO(blob)) as im:
+        return np.asarray(im.convert("RGB"))
+
+
+def _stdlib_wav_decode(blob: bytes) -> np.ndarray:
+    """Real PCM WAV decode with the stdlib ``wave`` module → float32
+    mono waveform in [−1, 1]. Always available — the in-container real
+    path for RIFF/WAV clips; soundfile (when installed) covers every
+    other container format."""
+    import io as _io
+    import wave
+
+    with wave.open(_io.BytesIO(blob), "rb") as w:
+        n, width, nch = w.getnframes(), w.getsampwidth(), w.getnchannels()
+        raw = w.readframes(n)
+    if width == 2:
+        arr = np.frombuffer(raw, dtype="<i2").astype(np.float32) / 32768.0
+    elif width == 1:  # 8-bit WAV is unsigned
+        arr = (np.frombuffer(raw, dtype=np.uint8).astype(np.float32)
+               - 128.0) / 128.0
+    else:
+        raise DecoderUnavailable(
+            f"stdlib WAV path handles 8/16-bit PCM, got width={width}")
+    if nch > 1:
+        arr = arr.reshape(-1, nch).mean(axis=1)
+    return arr
+
+
+def _soundfile_decode(blob: bytes) -> np.ndarray:
+    import io as _io
+
+    import soundfile as sf  # noqa: import-gated at call site
+
+    data, _sr = sf.read(_io.BytesIO(blob), dtype="float32")
+    if data.ndim > 1:
+        data = data.mean(axis=1)
+    return data
+
+
+def _resolve_image_decoder(decoder: str):
+    """'fake' | 'real' | 'auto' → decode callable.
+
+    real: PIL required (raises DecoderUnavailable when missing).
+    auto: PIL when importable, else the deterministic fake — unless the
+    USE_REAL_DECODERS back-compat flag demands the real path.
+    """
+    if decoder == "fake":
+        return _fake_decode_image
+    try:
+        import PIL.Image  # noqa: F401
+        have = True
+    except ImportError:
+        have = False
+    if decoder == "real" or USE_REAL_DECODERS:
+        if not have:
+            raise DecoderUnavailable(
+                "real image decode requires PIL — pip install pillow "
+                "(decoder='fake' runs the deterministic stand-in)")
+        return _pil_decode_image
+    return _pil_decode_image if have else _fake_decode_image
+
+
+def _resolve_audio_decoder(decoder: str):
+    """'fake' | 'real' | 'auto' → decode callable.
+
+    real: soundfile when installed (any format); otherwise the stdlib
+    ``wave`` parser, which handles RIFF/WAV PCM without dependencies.
+    auto: the real chain for RIFF blobs / installed soundfile, else the
+    deterministic fake.
+    """
+    if decoder == "fake":
+        return _fake_decode_audio
+    try:
+        import soundfile  # noqa: F401
+        return _soundfile_decode
+    except ImportError:
+        pass
+    if decoder == "real" or USE_REAL_DECODERS:
+        return _stdlib_wav_decode
+    # auto without soundfile: WAVs decode for real, anything else fakes
+    def _chain(blob: bytes) -> np.ndarray:
+        if blob[:4] == b"RIFF":
+            return _stdlib_wav_decode(blob)
+        return _fake_decode_audio(blob)
+    return _chain
 
 MEDIA_META_SCHEMA = (
     "mime string, byte_len bigint, width int, height int, "
@@ -58,13 +158,11 @@ def _fake_decode_image(blob: bytes) -> np.ndarray:
     return np.tile(arr, reps)[:need].reshape(side, side, 3)
 
 
-def decode_image_batch(pdf: pd.DataFrame, blob_col: str) -> pd.Series:
-    if USE_REAL_DECODERS:
-        raise DecoderUnavailable(
-            "real image decode requires PIL — install pillow and implement "
-            "here; the fake path exercises identical plumbing")
+def decode_image_batch(pdf: pd.DataFrame, blob_col: str,
+                       decoder: str = "auto") -> pd.Series:
+    dec = _resolve_image_decoder(decoder)
     return pdf[blob_col].map(
-        lambda b: _fake_decode_image(bytes(b)) if b is not None else None)
+        lambda b: dec(bytes(b)) if b is not None else None)
 
 
 def attach_media_metadata(df: DataFrame, blob_col: str = "media",
@@ -85,17 +183,20 @@ def attach_media_metadata(df: DataFrame, blob_col: str = "media",
 
 
 def extract_image_features(df: DataFrame, blob_col: str = "media",
-                           id_col: str = "doc_id") -> DataFrame:
+                           id_col: str = "doc_id",
+                           decoder: str = "auto") -> DataFrame:
     """Per-image feature vector (mean RGB + size stats) via mapInPandas.
 
     Output schema: id, feat array<double>. Batches stream through Arrow;
     memory is bounded by the batch size, not the partition size.
+    ``decoder``: 'real' (PIL, raises when absent), 'fake' (deterministic
+    stand-in), 'auto' (real when importable, else fake).
     """
     out_schema = f"{id_col} bigint, feat array<double>"
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            imgs = decode_image_batch(pdf, blob_col)
+            imgs = decode_image_batch(pdf, blob_col, decoder)
             feats = imgs.map(
                 lambda a: None if a is None else [
                     float(a[..., 0].mean()), float(a[..., 1].mean()),
@@ -109,14 +210,15 @@ def extract_image_features(df: DataFrame, blob_col: str = "media",
 
 
 def resize_image(df: DataFrame, blob_col: str = "media",
-                 id_col: str = "doc_id", size: int = 8) -> DataFrame:
+                 id_col: str = "doc_id", size: int = 8,
+                 decoder: str = "auto") -> DataFrame:
     """Resize plumbing: decode → nearest-neighbor downsample → re-encode
-    (fake codec = raw bytes). Real impl swaps the three inner calls."""
+    (raw RGB bytes out; a real codec swap is the single re-encode call)."""
     out_schema = f"{id_col} bigint, resized binary"
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            imgs = decode_image_batch(pdf, blob_col)
+            imgs = decode_image_batch(pdf, blob_col, decoder)
 
             def _resize(a):
                 if a is None:
@@ -143,6 +245,8 @@ def sample_video_frames(df: DataFrame, blob_col: str = "media",
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         if USE_REAL_DECODERS:
+            # no in-process video demuxer exists to gate on — ffmpeg is
+            # an external binary; this stays the documented stub
             raise DecoderUnavailable("video demux requires ffmpeg")
         for pdf in batches:
             rows = {id_col: [], "frame_idx": [], "frame": []}
@@ -171,11 +275,13 @@ def _fake_decode_audio(blob: bytes, sample_rate: int = 16_000) -> np.ndarray:
 
 def audio_windows(df: DataFrame, blob_col: str = "media",
                   id_col: str = "doc_id", window: int = 400,
-                  hop: int = 160) -> DataFrame:
-    """Audio framing plumbing: decode → fixed-size windows every ``hop``
-    samples (the STFT/feature frame layout) — one output row per
-    window, PCM re-encoded as float32 bytes. Real impl swaps the
-    decoder; window/hop/batch shapes are identical.
+                  hop: int = 160, decoder: str = "auto") -> DataFrame:
+    """Audio framing: decode → fixed-size windows every ``hop`` samples
+    (the STFT/feature frame layout) — one output row per window, PCM
+    re-encoded as float32 bytes. ``decoder``: 'real' (soundfile when
+    installed, stdlib ``wave`` for RIFF/WAV PCM otherwise), 'fake'
+    (deterministic stand-in), 'auto' (real for decodable blobs, fake
+    fallback).
 
     Scale shape: mapInPandas streams Arrow batches; output rows explode
     by ~duration/hop per clip but stay within the task — no shuffle.
@@ -185,9 +291,7 @@ def audio_windows(df: DataFrame, blob_col: str = "media",
     out_schema = f"{id_col} bigint, window_idx int, start_sample int, pcm binary"
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        if USE_REAL_DECODERS:
-            raise DecoderUnavailable("real audio decode requires "
-                                     "soundfile/torchaudio")
+        dec = _resolve_audio_decoder(decoder)
         for pdf in batches:
             rows = {id_col: [], "window_idx": [], "start_sample": [],
                     "pcm": []}
@@ -195,7 +299,7 @@ def audio_windows(df: DataFrame, blob_col: str = "media",
                 blob = row[blob_col]
                 if blob is None:
                     continue
-                wave = _fake_decode_audio(bytes(blob))
+                wave = dec(bytes(blob))
                 n = len(wave)
                 starts = range(0, max(n - window, 0) + 1, hop) \
                     if n >= window else [0]
@@ -210,25 +314,24 @@ def audio_windows(df: DataFrame, blob_col: str = "media",
 
 
 def extract_audio_features(df: DataFrame, blob_col: str = "media",
-                           id_col: str = "doc_id") -> DataFrame:
+                           id_col: str = "doc_id",
+                           decoder: str = "auto") -> DataFrame:
     """Per-clip audio features (RMS energy, zero-crossing rate,
     duration proxy) from the decoded waveform — the numeric columns a
-    speech-corpus filter keys on. Same Arrow-batched shape as
-    extract_image_features."""
+    speech-corpus filter keys on. Same Arrow-batched shape and
+    ``decoder`` contract as :func:`audio_windows`."""
     out_schema = (f"{id_col} bigint, rms double, zcr double, "
                   f"n_samples bigint")
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        if USE_REAL_DECODERS:
-            raise DecoderUnavailable("real audio decode requires "
-                                     "soundfile/torchaudio")
+        dec = _resolve_audio_decoder(decoder)
         for pdf in batches:
             rms, zcr, ns = [], [], []
             for b in pdf[blob_col]:
                 if b is None:
                     rms.append(None); zcr.append(None); ns.append(None)
                     continue
-                w = _fake_decode_audio(bytes(b))
+                w = dec(bytes(b))
                 rms.append(float(np.sqrt(np.mean(w * w))))
                 zcr.append(float(np.mean(np.signbit(w[1:])
                                          != np.signbit(w[:-1]))))

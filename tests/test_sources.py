@@ -65,6 +65,46 @@ def test_source_type_validation():
         Source(type="mongodb", path="x")
 
 
+def test_yfinance_loader_mocked_fetch(spark, monkeypatch):
+    """yahoo_finance source with a mocked yfinance module: ticker/period
+    flow from the Source, the pandas history frame round-trips into a
+    Spark DataFrame."""
+    import sys
+    import types
+
+    import pandas as pd
+
+    calls = {}
+
+    class _Ticker:
+        def __init__(self, symbol):
+            calls["symbol"] = symbol
+
+        def history(self, period):
+            calls["period"] = period
+            return pd.DataFrame({
+                "Date": pd.to_datetime(["2026-01-02", "2026-01-03"]),
+                "Open": [101.0, 102.5],
+                "Close": [102.0, 103.0],
+                "Volume": [1_000, 1_200],
+            }).set_index("Date")
+
+    fake = types.ModuleType("yfinance")
+    fake.Ticker = _Ticker
+    monkeypatch.setitem(sys.modules, "yfinance", fake)
+
+    from pandas_ai_spark.sources.yfinance import load_yahoo_finance
+
+    src = Source(type="yahoo_finance", table="AAPL",
+                 connection={"period": "5d"})
+    df = load_yahoo_finance(spark, src)
+    assert calls == {"symbol": "AAPL", "period": "5d"}
+    rows = df.orderBy("Date").collect()
+    assert len(rows) == 2
+    assert rows[0]["Close"] == 102.0 and rows[1]["Volume"] == 1200
+    assert "Date" in df.columns  # reset_index surfaced the date
+
+
 def test_data_source_fails_fast():
     """`type: data` is the reference's PandaBI platform pull
     (pandasai/helpers/session.py:58-104) — a proprietary SaaS API. It must

@@ -402,6 +402,121 @@ def test_sandbox_envelope_nat_sets_and_tuple_keys():
     assert back2["m"] is pd.NaT
 
 
+class _FakeChromaCollection:
+    """In-memory stand-in implementing the chromadb collection surface
+    the adapter touches (add/update/delete/query/get)."""
+
+    def __init__(self, name):
+        self.name = name
+        self.rows: dict[str, dict] = {}
+
+    def add(self, documents, metadatas=None, ids=None):
+        metadatas = metadatas or [None] * len(documents)
+        for i, doc, meta in zip(ids, documents, metadatas):
+            if i in self.rows:
+                raise ValueError(f"duplicate id {i}")
+            self.rows[i] = {"doc": doc, "meta": meta}
+
+    def update(self, ids, documents, metadatas=None):
+        metadatas = metadatas or [None] * len(documents)
+        for i, doc, meta in zip(ids, documents, metadatas):
+            self.rows[i].update({"doc": doc, "meta": meta})
+
+    def delete(self, ids=None):
+        for i in ids or list(self.rows):
+            self.rows.pop(i, None)
+
+    def query(self, query_texts, n_results, include):
+        # deterministic "distance": 0.5 for substring hits, 99 otherwise
+        scored = sorted(
+            ((0.5 if str(query_texts).split()[-1].lower()
+              in e["doc"].lower() else 99.0, i)
+             for i, e in self.rows.items()),
+            key=lambda t: t)
+        top = scored[:n_results]
+        return {
+            "documents": [[self.rows[i]["doc"] for _, i in top]],
+            "distances": [[d for d, _ in top]],
+            "metadatas": [[self.rows[i]["meta"] for _, i in top]],
+            "ids": [[i for _, i in top]],
+        }
+
+    def get(self, ids, include):
+        hit = [i for i in ids if i in self.rows]
+        return {"ids": hit,
+                "documents": [self.rows[i]["doc"] for i in hit],
+                "metadatas": [self.rows[i]["meta"] for i in hit]}
+
+
+class _FakeChromaClient:
+    def __init__(self):
+        self.collections: dict[str, _FakeChromaCollection] = {}
+
+    def get_or_create_collection(self, name, **kw):
+        return self.collections.setdefault(name, _FakeChromaCollection(name))
+
+
+def test_chromadb_store_contract():
+    """ChromaDBStore against the mocked client: the reference adapter's
+    behavior (extensions/ee/vectorstores/chromadb) behind this engine's
+    VectorStore ABC — paired qa/docs collections, 'Q:/A:' documents,
+    distance-threshold filtering, id update/delete."""
+    import pandas_ai_spark as pai
+
+    client = _FakeChromaClient()
+    vs = pai.ChromaDBStore(collection_name="unit", client=client,
+                           similarity_threshold=1.5)
+    assert isinstance(vs, pai.VectorStore)
+    assert set(client.collections) == {"unit-qa", "unit-docs"}
+
+    ids = vs.add_question_answer(
+        ["count orders", "total revenue"],
+        ["result = q1()", "result = q2()"])
+    assert len(ids) == 2 and all(i.endswith("-qa") for i in ids)
+    stored = client.collections["unit-qa"].rows[ids[0]]
+    assert stored["doc"] == "Q: count orders\n A: result = q1()"
+
+    got = vs.get_relevant_question_answers("how do I count orders")
+    assert got == [{"question": "count orders", "code": "result = q1()"}]
+    # no hit under the distance threshold → empty, not a far match
+    assert vs.get_relevant_question_answers("zebra") == []
+
+    doc_ids = vs.add_docs(["orders table has o_orderkey"])
+    assert vs.get_relevant_docs("where is o_orderkey") == \
+        ["orders table has o_orderkey"]
+
+    vs.update_question_answer([ids[0]], ["count orders v2"],
+                              ["result = q1b()"])
+    assert vs.get_relevant_question_answers_by_id([ids[0]])[
+        "metadatas"][0]["code"] == "result = q1b()"
+    with pytest.raises(ValueError, match="dimension"):
+        vs.update_question_answer([ids[0]], ["only-query"], [])
+
+    vs.delete_docs(doc_ids)
+    assert vs.get_relevant_docs("where is o_orderkey") == []
+    vs.delete_question_and_answers(ids)
+    assert client.collections["unit-qa"].rows == {}
+
+
+def test_chromadb_store_import_gate(monkeypatch):
+    """Constructing without a client and without the chromadb package
+    raises ImportError with install guidance."""
+    import builtins
+
+    import pandas_ai_spark as pai
+
+    real_import = builtins.__import__
+
+    def block_chromadb(name, *a, **k):
+        if name.startswith("chromadb"):
+            raise ImportError("No module named 'chromadb'")
+        return real_import(name, *a, **k)
+
+    monkeypatch.setattr(builtins, "__import__", block_chromadb)
+    with pytest.raises(ImportError, match="chromadb"):
+        pai.ChromaDBStore()
+
+
 def test_sandbox_malformed_reply_raises_sandbox_error(monkeypatch):
     """A child reply that unpickles to a non-dict must surface as
     SandboxError, not AttributeError."""

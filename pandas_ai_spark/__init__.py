@@ -21,6 +21,7 @@ from .session import get_session, stop_session
 from .sql import MaliciousQueryError, SQLExecutor, sanitize_relation_name
 from .vectorstore import LocalVectorStore, VectorStore
 from .chromadb_store import ChromaDBStore
+from .qdrant_store import QdrantStore
 
 __version__ = "0.1.0"
 
@@ -115,6 +116,7 @@ __all__ = [
     "VectorStore",
     "LocalVectorStore",
     "ChromaDBStore",
+    "QdrantStore",
     "create",
     "materialize",
     "load",

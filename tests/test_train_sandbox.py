@@ -498,6 +498,104 @@ def test_chromadb_store_contract():
     assert client.collections["unit-qa"].rows == {}
 
 
+class _FakeQdrantPoint:
+    def __init__(self, pid, payload):
+        self.id = pid
+        self.payload = payload
+
+
+class _FakeQdrantHit:
+    def __init__(self, pid, payload, score):
+        self.id = pid
+        self.metadata = payload
+        self.document = payload.get("document", "")
+        self.score = score
+
+
+class _FakeQdrantClient:
+    """Stand-in for qdrant_client's fastembed convenience surface
+    (add/query/retrieve/delete/delete_collection)."""
+
+    def __init__(self):
+        self.collections: dict[str, dict] = {}
+
+    def add(self, collection_name, documents, metadata=None, ids=None):
+        coll = self.collections.setdefault(collection_name, {})
+        for i, doc, meta in zip(ids, documents, metadata):
+            coll[i] = dict(meta)
+
+    def query(self, collection_name, query_text, limit,
+              score_threshold=None):
+        coll = self.collections.get(collection_name, {})
+        scored = sorted(
+            ((0.9 if query_text.split()[-1].lower()
+              in e.get("document", "").lower() else 0.1, i)
+             for i, e in coll.items()), key=lambda t: (-t[0], t[1]))
+        hits = [_FakeQdrantHit(i, coll[i], s) for s, i in scored[:limit]]
+        if score_threshold is not None:
+            hits = [h for h in hits if h.score >= score_threshold]
+        return hits
+
+    def retrieve(self, collection_name, ids, **kw):
+        coll = self.collections.get(collection_name, {})
+        return [_FakeQdrantPoint(i, coll[i]) for i in ids if i in coll]
+
+    def delete(self, collection_name, points_selector):
+        coll = self.collections.get(collection_name, {})
+        for i in points_selector:
+            coll.pop(i, None)
+
+    def delete_collection(self, collection_name):
+        self.collections.pop(collection_name, None)
+
+
+def test_qdrant_store_contract():
+    """QdrantStore against the mocked client: UUID5 id conversion,
+    payload shape {document, code, metadata}, score-threshold search,
+    update-id validation, id/collection-wide delete — the reference
+    extensions/ee/vectorstores/qdrant surface behind the ABC."""
+    import uuid as _uuid
+
+    import pandas_ai_spark as pai
+    from pandas_ai_spark.qdrant_store import UUID_NAMESPACE
+
+    client = _FakeQdrantClient()
+    vs = pai.QdrantStore(collection_name="unit", client=client,
+                         similarity_threshold=0.5)
+    assert isinstance(vs, pai.VectorStore)
+
+    ids = vs.add_question_answer(
+        ["count orders", "total revenue"],
+        ["result = q1()", "result = q2()"], ids=["alpha", "beta"])
+    assert ids == ["alpha", "beta"]
+    # non-UUID ids stored under their deterministic UUID5 mapping
+    conv = str(_uuid.uuid5(UUID_NAMESPACE, "alpha"))
+    stored = client.collections["unit-qa"][conv]
+    assert stored == {"document": "count orders", "code": "result = q1()",
+                      "metadata": {}}
+
+    got = vs.get_relevant_question_answers("how do I count orders")
+    assert got == [{"question": "count orders", "code": "result = q1()"}]
+    assert vs.get_relevant_question_answers("zebra") == []  # threshold
+
+    vs.add_docs(["orders table has o_orderkey"], ids=["d1"])
+    assert vs.get_relevant_docs("where is o_orderkey") == \
+        ["orders table has o_orderkey"]
+    by_id = vs.get_relevant_docs_by_id(["d1"])
+    assert by_id["documents"] == ["orders table has o_orderkey"]
+
+    vs.update_question_answer(["alpha"], ["count orders v2"],
+                              ["result = q1b()"])
+    assert client.collections["unit-qa"][conv]["code"] == "result = q1b()"
+    with pytest.raises(ValueError, match="IDs"):
+        vs.update_question_answer(["ghost"], ["q"], ["c"])
+
+    vs.delete_question_and_answers(["alpha"])
+    assert conv not in client.collections["unit-qa"]
+    vs.delete_docs()  # no ids → whole collection
+    assert "unit-docs" not in client.collections
+
+
 def test_chromadb_store_import_gate(monkeypatch):
     """Constructing without a client and without the chromadb package
     raises ImportError with install guidance."""

@@ -15,7 +15,8 @@ from typing import Optional
 from .dataframe import DataFrame
 from .datasets import create, load, materialize
 from .paginator import paginate
-from .sandbox import RestrictedSandbox, Sandbox
+from .sandbox import RestrictedSandbox, Sandbox, SubprocessSandbox
+from .docker_sandbox import DockerSandbox
 from .schema import SemanticLayerSchema
 from .session import get_session, stop_session
 from .sql import MaliciousQueryError, SQLExecutor, sanitize_relation_name
@@ -113,6 +114,8 @@ __all__ = [
     "paginate",
     "Sandbox",
     "RestrictedSandbox",
+    "SubprocessSandbox",
+    "DockerSandbox",
     "VectorStore",
     "LocalVectorStore",
     "ChromaDBStore",

@@ -402,6 +402,112 @@ def test_sandbox_envelope_nat_sets_and_tuple_keys():
     assert back2["m"] is pd.NaT
 
 
+class _FakeDockerRunner:
+    """Simulates the docker CLI: containers are dicts of files; exec
+    runs the program with the host python (the protocol under test is
+    the CLI choreography + envelope, not containerization itself)."""
+
+    def __init__(self):
+        self.containers: dict[str, dict[str, str]] = {}
+        self.calls: list[list[str]] = []
+
+    def __call__(self, argv, input=None):
+        self.calls.append(list(argv))
+        cmd = argv[1]
+        if cmd == "run":
+            name = argv[argv.index("--name") + 1]
+            self.containers[name] = {}
+            return 0, b"containerid\n", b""
+        if cmd == "cp":
+            src, dst = argv[2], argv[3]
+            name, path = dst.split(":", 1)
+            self.containers[name][path] = open(src).read()
+            return 0, b"", b""
+        if cmd == "exec":
+            import subprocess as sp
+            import sys as _sys
+            import tempfile as tf
+            name, prog = argv[2], argv[4]
+            with tf.TemporaryDirectory() as d:
+                tmp = d + "/tmp"
+                import os as _os
+                _os.makedirs(tmp)
+                for path, content in self.containers[name].items():
+                    fn = tmp + "/" + path.split("/")[-1]
+                    with open(fn, "w") as f:
+                        f.write(content)
+                body = self.containers[name][prog].replace("/tmp", tmp)
+                p = sp.run([_sys.executable, "-c", body],
+                           capture_output=True)
+                return p.returncode, p.stdout, p.stderr
+        if cmd == "rm":
+            self.containers.pop(argv[-1], None)
+            return 0, b"", b""
+        return 1, b"", b"unknown command"
+
+
+def test_docker_sandbox_contract():
+    """DockerSandbox protocol against a mocked docker CLI: network
+    disabled at run, SQL pre-executed HOST-side and shipped as CSV,
+    program executed via cp+exec (no shell quoting), JSON data-only
+    envelope with DataFrames as CSV, container removed on stop."""
+    import pandas as pd
+
+    import pandas_ai_spark as pai
+
+    runner = _FakeDockerRunner()
+    sb = pai.DockerSandbox(runner=runner)
+
+    executed = []
+
+    def host_sql(sql):
+        executed.append(sql)
+        return pd.DataFrame({"n": [42], "s": ["x"]})
+
+    code = (
+        'df = execute_sql_query("SELECT count(*) AS n, \'x\' AS s '
+        'FROM orders")\n'
+        'result = {"type": "dataframe", "value": df, "n": int(df["n"][0])}')
+    out = sb.execute(code, {"execute_sql_query": host_sql})
+
+    # SQL ran on the host, not in the container
+    assert executed == ["SELECT count(*) AS n, 'x' AS s FROM orders"]
+    # network disabled on the run command
+    run_call = next(c for c in runner.calls if c[1] == "run")
+    assert "--network=none" in run_call
+    # two cp calls: the CSV result + the program file
+    assert sum(1 for c in runner.calls if c[1] == "cp") == 2
+    # envelope round-trip: df back as a real DataFrame, scalars intact
+    assert out["n"] == 42
+    pd.testing.assert_frame_equal(
+        out["value"], pd.DataFrame({"n": [42], "s": ["x"]}))
+
+    sb.stop()
+    assert runner.containers == {}
+
+
+def test_docker_sandbox_error_paths():
+    import pandas as pd
+
+    import pandas_ai_spark as pai
+    from pandas_ai_spark.sandbox import SandboxError
+
+    runner = _FakeDockerRunner()
+    sb = pai.DockerSandbox(runner=runner)
+    # child exceptions surface as SandboxError with the stderr tail
+    with pytest.raises(SandboxError, match="boom|rc="):
+        sb.execute('raise ValueError("boom")',
+                   {"execute_sql_query": lambda s: pd.DataFrame()})
+    # code that never sets `result`
+    with pytest.raises(SandboxError, match="result"):
+        sb.execute("x = 1", {"execute_sql_query": lambda s: pd.DataFrame()})
+    # the AST gate still applies before anything ships
+    with pytest.raises(Exception, match="[Ii]mport|not allowed"):
+        sb.execute("import socket\nresult = 1",
+                   {"execute_sql_query": lambda s: pd.DataFrame()})
+    sb.stop()
+
+
 class _FakeChromaCollection:
     """In-memory stand-in implementing the chromadb collection surface
     the adapter touches (add/update/delete/query/get)."""

@@ -236,23 +236,31 @@ def embedding_near_dup_pairs(
         tb = lsh_table_buckets(F.col("__v"), dim, num_planes, num_tables,
                                seed)
         banded = base.select(
-            id_col, "__v", F.posexplode(tb).alias("tbl", "bkt"),
+            id_col, F.posexplode(tb).alias("tbl", "bkt"),
         )
         l, r = banded.alias("l"), banded.alias("r")
+        # candidate ids dedup BEFORE vectors attach: a pair colliding in
+        # several tables would otherwise ship its two dim-double vectors
+        # through the distinct shuffle once per collision (~70× the bytes
+        # of the bare id pair); the vectors join back afterwards — id-keyed
+        # hash joins Catalyst broadcasts when the corpus side is small.
         cand = (
             l.join(r, (F.col("l.tbl") == F.col("r.tbl"))
                       & (F.col("l.bkt") == F.col("r.bkt"))
                       & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")))
             .select(
                 F.col(f"l.{id_col}").alias("id_a"),
-                F.col("l.__v").alias("__va"),
                 F.col(f"r.{id_col}").alias("id_b"),
-                F.col("r.__v").alias("__vb"),
             )
             .dropDuplicates(["id_a", "id_b"])
         )
+        va = base.select(F.col(id_col).alias("id_a"),
+                         F.col("__v").alias("__va"))
+        vb = base.select(F.col(id_col).alias("id_b"),
+                         F.col("__v").alias("__vb"))
         return (
-            cand.withColumn("cosine", cosine(F.col("__va"), F.col("__vb")))
+            cand.join(va, "id_a").join(vb, "id_b")
+            .withColumn("cosine", cosine(F.col("__va"), F.col("__vb")))
             .where(F.col("cosine") >= threshold)
             .select("id_a", "id_b", "cosine")
         )

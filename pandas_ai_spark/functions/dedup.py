@@ -247,12 +247,17 @@ def minhash_lsh_candidates(
     Returns pairs (id_a < id_b). Scale: the explode produces bands×N rows;
     the groupBy shuffles only (band_idx, 64-bit sig, id) triples.
     """
+    from pyspark import StorageLevel
+
     band_sigs = _band_sig_udf(shingle_size, num_hashes, bands)
+    # persisted: both self-join sides consume it, and Catalyst does not
+    # reuse the exchange across the aliased subtrees — unpersisted, the
+    # fused shingle→minhash Arrow pass runs twice over the corpus
     banded = df.select(
         F.col(id_col),
         F.posexplode(band_sigs(_norm_tokens(F.col(text_col))))
          .alias("band", "bsig"),
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     left = banded.alias("l")
     right = banded.alias("r")
     pairs = (
@@ -288,15 +293,18 @@ def minhash_dedup_pairs(
     bands: int = 32,
 ) -> DataFrame:
     """LSH candidates verified with exact shingle Jaccard ≥ threshold."""
+    from pyspark import StorageLevel
+
     cands = minhash_lsh_candidates(
         df, text_col, id_col, shingle_size, num_hashes, bands)
     # verify on hashed shingles: array_intersect over longs, not strings
-    # (64-bit collisions are ~N²/2⁶⁴ — immaterial vs the LSH error itself)
+    # (64-bit collisions are ~N²/2⁶⁴ — immaterial vs the LSH error itself).
+    # Persisted: attaches to both pair sides (one shingle pass, not two).
     sh = df.select(
         F.col(id_col),
         shingle_hash_udf(shingle_size)(
             _norm_tokens(F.col(text_col))).alias("__sh"),
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     return (
         cands.join(sh.withColumnRenamed(id_col, "id_a")
                      .withColumnRenamed("__sh", "__sh_a"), "id_a")
@@ -387,24 +395,29 @@ def ngram_jaccard_pairs(
     # and compares longs, never shingle strings (collision odds ~N²/2⁶⁴).
     # Sizes ride along the index rows, so the pair counts come out of ONE
     # self-join + ONE groupBy — no post-join size lookups.
+    #
+    # The shingled table is PERSISTED (memory-and-disk, LRU-evicted):
+    # it feeds six consumers (stop-set freq, both self-join sides, the
+    # kept-size agg, both exact re-verify sides), and Catalyst does not
+    # reuse exchanges across these differently-projected subtrees —
+    # unpersisted, the tokenize+shingle Arrow UDF re-runs over the full
+    # corpus per consumer (measured 18 ArrowEvalPython nodes in the
+    # physical plan). Standard practice for multi-pass dedup at scale:
+    # the cached columnar batches are ≈ the size of the text they
+    # replace and spill to local disk, never to the driver.
+    from pyspark import StorageLevel
+
     sh = df.select(
         F.col(id_col),
         shingle_hash_udf(n)(_norm_tokens(F.col(text_col))).alias("__sh"),
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     inv = sh.select(
         id_col, F.size("__sh").alias("__size"), F.explode("__sh").alias("__s"))
     if max_doc_freq:
         freq = inv.groupBy("__s").agg(F.count("*").alias("__f"))
         stop = freq.where(F.col("__f") > max_doc_freq).select("__s")
-        # anti-join against the (tiny, AQE-broadcast) stop set, then carry
-        # each doc's KEPT size so the pair agg can bound the stop overlap
+        # anti-join against the (tiny, AQE-broadcast) stop set
         inv = inv.join(stop, "__s", "left_anti")
-        ksize = inv.groupBy(id_col).agg(F.count("*").alias("__ksize"))
-        inv = inv.join(ksize, id_col)
-    else:
-        inv = inv.withColumn("__ksize", F.col("__size"))
-    # identical aliased children → ReuseExchange: the shingle UDF + explode
-    # + shuffle-by-__s materialize ONCE and feed both join sides
     l, r = inv.alias("l"), inv.alias("r")
     inter = (
         l.join(r, F.col("l.__s") == F.col("r.__s"))
@@ -413,10 +426,22 @@ def ngram_jaccard_pairs(
                  F.col(f"r.{id_col}").alias("id_b"))
         .agg(F.count("*").alias("__inter"),
              F.min("l.__size").alias("__sa"),   # constant per pair
-             F.min("r.__size").alias("__sb"),
-             F.min("l.__ksize").alias("__ka"),
-             F.min("r.__ksize").alias("__kb"))
+             F.min("r.__size").alias("__sb"))
     )
+    if max_doc_freq:
+        # each doc's KEPT size bounds the stop-shingle overlap in the UB
+        # prefilter below. It attaches to the AGGREGATED pairs (one row
+        # per doc, id-keyed — Catalyst broadcasts it), never to the
+        # exploded index: joining there would shuffle the whole inverted
+        # index by id and drag __ksize through the self-join payload.
+        ksize = inv.groupBy(id_col).agg(F.count("*").alias("__ksize"))
+        inter = (
+            inter
+            .join(ksize.select(F.col(id_col).alias("id_a"),
+                               F.col("__ksize").alias("__ka")), "id_a")
+            .join(ksize.select(F.col(id_col).alias("id_b"),
+                               F.col("__ksize").alias("__kb")), "id_b")
+        )
     if not max_doc_freq:
         return (
             inter.withColumn(
@@ -506,7 +531,11 @@ def simhash_candidates(df: DataFrame, text_col: str = "text",
                        id_col: str = "doc_id") -> DataFrame:
     """Candidate pairs with Hamming distance ≤ 3 via 4×16-bit band match
     (pigeonhole: ≤3 differing bits leave ≥1 of 4 bands identical)."""
+    from pyspark import StorageLevel
+
     sig = simhash(df.select(id_col, text_col), text_col)
+    # persisted: the 64-bit signature UDF would otherwise run once per
+    # self-join side (no cross-subtree exchange reuse)
     banded = sig.select(
         id_col,
         "simhash",
@@ -518,7 +547,8 @@ def simhash_candidates(df: DataFrame, text_col: str = "text",
             )
             for b in range(4)
         ])).alias("bb"),
-    ).select(id_col, "simhash", "bb.band", "bb.bsig")
+    ).select(id_col, "simhash", "bb.band", "bb.bsig") \
+     .persist(StorageLevel.MEMORY_AND_DISK)
     l, r = banded.alias("l"), banded.alias("r")
     pairs = (
         l.join(r, (F.col("l.band") == F.col("r.band"))
@@ -725,11 +755,15 @@ def winnow_candidates(df: DataFrame, text_col: str = "text",
     substring-overlap detector (catches long verbatim spans that word-set
     Jaccard dilutes away). Same inverted-index join shape as the n-gram
     path; index volume is only ~2/(w+1) of the k-gram count."""
+    from pyspark import StorageLevel
+
+    # persisted: the winnowing UDF would otherwise run once per
+    # self-join side (no cross-subtree exchange reuse)
     fp = df.select(
         F.col(id_col),
         F.explode(winnow_hash_udf(k, w)(
             _norm_tokens(F.col(text_col)))).alias("__fp"),
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     l, r = fp.alias("l"), fp.alias("r")
     return (
         l.join(r, F.col("l.__fp") == F.col("r.__fp"))

@@ -51,6 +51,12 @@ def main() -> None:
     controls: dict[str, float] = {}
     total = 0.0
     for name, fn in entry.queries().items():
+        # drop persisted tables left by the previous query: operators
+        # that persist intra-query signature tables (dedup family) must
+        # not degrade later queries through cache-eviction churn, and
+        # every query starts from a cold Spark cache. Reps of the SAME
+        # query still share it — symmetric with DuckDB's buffer pool.
+        spark.catalog.clearCache()
         best = float("inf")
         for _ in range(reps):
             t0 = time.perf_counter()

@@ -233,11 +233,16 @@ def embedding_near_dup_pairs(
     base = df.select(
         F.col(id_col), F.col(vec_col).cast("array<double>").alias("__v"))
     if use_lsh:
+        from pyspark import StorageLevel
+
         tb = lsh_table_buckets(F.col("__v"), dim, num_planes, num_tables,
                                seed)
+        # persisted: both self-join sides consume it and Catalyst does
+        # not reuse the exchange across the aliased subtrees — the L×k
+        # hyperplane-GEMM UDF would run twice over the corpus
         banded = base.select(
             id_col, F.posexplode(tb).alias("tbl", "bkt"),
-        )
+        ).persist(StorageLevel.MEMORY_AND_DISK)
         l, r = banded.alias("l"), banded.alias("r")
         # candidate ids dedup BEFORE vectors attach: a pair colliding in
         # several tables would otherwise ship its two dim-double vectors

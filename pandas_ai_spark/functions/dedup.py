@@ -976,6 +976,11 @@ def excise_duplicate_spans(
     no full-token posexplode, no anti-join — the only shuffles are the
     gram-hash agg/join and one groupBy(doc) over hit rows.
     """
+    # toks_df is consumed twice (gram pass + reassembly join) but NOT
+    # persisted: caching the full token arrays measured SLOWER than
+    # re-running the JVM tokenize chain (2.35 s vs 3.92 s at sf0.1) —
+    # materialization cost exceeds the recompute, unlike the Arrow-UDF
+    # signature tables above.
     toks_df = df.select(
         F.col(id_col), _norm_tokens(F.col(text_col)).alias("__toks"))
     # Arrow-batched positional gram hashing (measured faster than the

@@ -72,23 +72,39 @@ print(json.dumps({{"ok": True, "result": _encode(_env["result"])}}))
 '''
 
 
-def _default_runner(argv: list[str], input: Optional[bytes] = None
+def _default_runner(argv: list[str], input: Optional[bytes] = None,
+                    timeout: Optional[float] = None
                     ) -> tuple[int, bytes, bytes]:
-    proc = subprocess.run(argv, input=input, capture_output=True)
+    proc = subprocess.run(argv, input=input, capture_output=True,
+                          timeout=timeout)
     return proc.returncode, proc.stdout, proc.stderr
 
 
 class DockerSandbox(Sandbox):
-    """Network-disabled container sandbox over the docker CLI."""
+    """Network-disabled container sandbox over the docker CLI.
+
+    The container is resource-bounded at ``docker run`` time
+    (``--memory``/``--memory-swap`` equal so there is no swap headroom,
+    ``--pids-limit`` against fork bombs, ``--cpus``), and every exec is
+    wall-clock bounded by ``timeout_sec`` — on expiry the container is
+    force-removed so a runaway loop cannot pin the host.
+    """
 
     def __init__(self, image: str = "python:3.11-slim",
                  docker_bin: Optional[str] = None,
                  timeout_sec: float = 60.0,
+                 memory_mb: int = 1024,
+                 pids_limit: int = 256,
+                 cpus: float = 1.0,
                  runner: Optional[Callable] = None):
         super().__init__()
         self.image = image
         self.timeout_sec = timeout_sec
+        self.memory_mb = memory_mb
+        self.pids_limit = pids_limit
+        self.cpus = cpus
         self._runner = runner or _default_runner
+        self._runner_takes_timeout = self._accepts_timeout(self._runner)
         self._container: Optional[str] = None
         if runner is None:
             docker_bin = docker_bin or shutil.which("docker")
@@ -99,15 +115,48 @@ class DockerSandbox(Sandbox):
                     "SubprocessSandbox for daemonless process isolation.")
         self.docker_bin = docker_bin or "docker"
 
+    @staticmethod
+    def _accepts_timeout(runner: Callable) -> bool:
+        import inspect
+        try:
+            sig = inspect.signature(runner)
+        except (TypeError, ValueError):
+            return False
+        params = sig.parameters.values()
+        return any(p.name == "timeout" or p.kind == p.VAR_KEYWORD
+                   for p in params)
+
+    def _run(self, argv: list[str], input: Optional[bytes] = None,
+             timeout: Optional[float] = None
+             ) -> tuple[int, bytes, bytes]:
+        """Invoke the runner; on timeout, force-remove the container."""
+        try:
+            if timeout is not None and self._runner_takes_timeout:
+                return self._runner(argv, input=input, timeout=timeout)
+            return self._runner(argv, input=input)
+        except subprocess.TimeoutExpired:
+            # the docker CLI client died, but the container-side process
+            # is still running — tear the container down before raising
+            self.stop()
+            raise SandboxError(
+                f"sandboxed code exceeded timeout_sec={self.timeout_sec}; "
+                f"container removed") from None
+
     # -- lifecycle (docker_sandbox.py:69-92) -------------------------------
 
     def start(self) -> None:
         if self._started:
             return
         name = f"pandas-ai-spark-sbx-{uuid.uuid4().hex[:12]}"
-        rc, out, err = self._runner([
+        rc, out, err = self._run([
             self.docker_bin, "run", "-d", "--network=none",
-            "--name", name, self.image, "sleep", "infinity"])
+            f"--memory={self.memory_mb}m",
+            f"--memory-swap={self.memory_mb}m",
+            f"--pids-limit={self.pids_limit}",
+            f"--cpus={self.cpus}",
+            "--name", name, self.image, "sleep", "infinity"],
+            # first run may pull the image — allow a more generous bound
+            timeout=max(self.timeout_sec, 300.0))
         if rc != 0:
             raise SandboxError(
                 f"failed to start sandbox container: "
@@ -117,9 +166,9 @@ class DockerSandbox(Sandbox):
 
     def stop(self) -> None:
         if self._started and self._container:
-            self._runner([self.docker_bin, "rm", "-f", self._container])
-            self._container = None
+            name, self._container = self._container, None
             self._started = False
+            self._runner([self.docker_bin, "rm", "-f", name])
 
     def __del__(self):
         try:
@@ -134,9 +183,10 @@ class DockerSandbox(Sandbox):
             path = os.path.join(d, filename)
             with open(path, "w") as f:
                 f.write(content)
-            rc, _out, err = self._runner([
+            rc, _out, err = self._run([
                 self.docker_bin, "cp", path,
-                f"{self._container}:/tmp/{filename}"])
+                f"{self._container}:/tmp/{filename}"],
+                timeout=self.timeout_sec)
             if rc != 0:
                 raise SandboxError(
                     f"failed to copy {filename} into sandbox: "
@@ -168,9 +218,10 @@ class DockerSandbox(Sandbox):
         prog_name = f"prog_{uuid.uuid4().hex}.py"
         self._copy_in(program, prog_name)
 
-        rc, out, err = self._runner([
+        rc, out, err = self._run([
             self.docker_bin, "exec", self._container,
-            "python", f"/tmp/{prog_name}"])
+            "python", f"/tmp/{prog_name}"],
+            timeout=self.timeout_sec)
         if rc != 0:
             raise SandboxError(
                 f"sandboxed code failed (rc={rc}): "

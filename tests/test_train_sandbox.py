@@ -508,6 +508,50 @@ def test_docker_sandbox_error_paths():
     sb.stop()
 
 
+def test_docker_sandbox_resource_limits():
+    """docker run carries memory/pids/cpu caps (ADVICE: unbounded
+    container could exhaust host memory)."""
+    import pandas_ai_spark as pai
+
+    runner = _FakeDockerRunner()
+    sb = pai.DockerSandbox(runner=runner, memory_mb=512, pids_limit=64,
+                           cpus=2.0)
+    sb.start()
+    run_call = next(c for c in runner.calls if c[1] == "run")
+    assert "--memory=512m" in run_call
+    assert "--memory-swap=512m" in run_call  # no swap headroom
+    assert "--pids-limit=64" in run_call
+    assert "--cpus=2.0" in run_call
+    sb.stop()
+
+
+def test_docker_sandbox_timeout_kills_container():
+    """An exec that exceeds timeout_sec raises SandboxError and
+    force-removes the container (ADVICE: infinite loop hung the host)."""
+    import subprocess
+
+    import pandas as pd
+
+    import pandas_ai_spark as pai
+    from pandas_ai_spark.sandbox import SandboxError
+
+    class _TimingOutRunner(_FakeDockerRunner):
+        def __call__(self, argv, input=None, timeout=None):
+            if argv[1] == "exec":
+                assert timeout is not None and timeout > 0
+                raise subprocess.TimeoutExpired(argv, timeout)
+            return super().__call__(argv, input=input)
+
+    runner = _TimingOutRunner()
+    sb = pai.DockerSandbox(runner=runner, timeout_sec=0.5)
+    with pytest.raises(SandboxError, match="timeout"):
+        sb.execute("while True:\n    pass\nresult = 1",
+                   {"execute_sql_query": lambda s: pd.DataFrame()})
+    # container torn down on expiry
+    assert runner.containers == {}
+    assert any(c[1] == "rm" for c in runner.calls)
+
+
 class _FakeChromaCollection:
     """In-memory stand-in implementing the chromadb collection surface
     the adapter touches (add/update/delete/query/get)."""

@@ -1236,27 +1236,14 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # Insertion order is deliberate: the driver's correctness sweep caps
-    # at 50 entries, and q01–q50 already have two green driver rounds
-    # banked (CORRECTNESS_r02/r03). Listing q51–q64 FIRST puts the 14
-    # queries that so far only have session-oracle verification inside
-    # the driver's window; q37–q50 rotate out this round on their banked
-    # record. bench.py iterates the full dict either way.
+    # Registry is in NUMERIC order — it is the production surface, and
+    # consumers (bench.py output ordering, docs) should not be coupled
+    # to any evaluation-harness cap. With a 50-entry driver sweep this
+    # order also happens to re-verify q37–q50 (the set rotated out in
+    # round 4, whose driver record is now the stalest); q51–q64 were
+    # driver-green in CORRECTNESS_r04 and keep their session-oracle
+    # verification via tools/oracle_check.py.
     return {
-        "q51_range_join_attribution": q51_range_join_attribution,
-        "q52_decontaminate": q52_decontaminate,
-        "q53_tfidf_keywords": q53_tfidf_keywords,
-        "q54_quality_classifier": q54_quality_classifier,
-        "q55_profile_sketch": q55_profile_sketch,
-        "q56_stream_interval_join": q56_stream_interval_join,
-        "q57_domain_mixture": q57_domain_mixture,
-        "q58_lm_cross_entropy": q58_lm_cross_entropy,
-        "q59_domain_cap": q59_domain_cap,
-        "q60_rag_chunking": q60_rag_chunking,
-        "q61_ann_join": q61_ann_join,
-        "q62_boilerplate_lines": q62_boilerplate_lines,
-        "q63_span_excision": q63_span_excision,
-        "q64_bpe_merges": q64_bpe_merges,
         "q01_pricing_summary": q01_pricing_summary,
         "q02_customer_transforms": q02_customer_transforms,
         "q03_orders_monthly": q03_orders_monthly,
@@ -1307,6 +1294,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q48_pii_redact": q48_pii_redact,
         "q49_repetition_signals": q49_repetition_signals,
         "q50_sequence_packing": q50_sequence_packing,
+        "q51_range_join_attribution": q51_range_join_attribution,
+        "q52_decontaminate": q52_decontaminate,
+        "q53_tfidf_keywords": q53_tfidf_keywords,
+        "q54_quality_classifier": q54_quality_classifier,
+        "q55_profile_sketch": q55_profile_sketch,
+        "q56_stream_interval_join": q56_stream_interval_join,
+        "q57_domain_mixture": q57_domain_mixture,
+        "q58_lm_cross_entropy": q58_lm_cross_entropy,
+        "q59_domain_cap": q59_domain_cap,
+        "q60_rag_chunking": q60_rag_chunking,
+        "q61_ann_join": q61_ann_join,
+        "q62_boilerplate_lines": q62_boilerplate_lines,
+        "q63_span_excision": q63_span_excision,
+        "q64_bpe_merges": q64_bpe_merges,
     }
 
 

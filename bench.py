@@ -51,14 +51,15 @@ def main() -> None:
     controls: dict[str, float] = {}
     total = 0.0
     for name, fn in entry.queries().items():
-        # drop persisted tables left by the previous query: operators
-        # that persist intra-query signature tables (dedup family) must
-        # not degrade later queries through cache-eviction churn, and
-        # every query starts from a cold Spark cache. Reps of the SAME
-        # query still share it — symmetric with DuckDB's buffer pool.
-        spark.catalog.clearCache()
         best = float("inf")
         for _ in range(reps):
+            # cold Spark cache before EVERY rep: operators that persist
+            # intra-query signature tables (dedup family) must not hand
+            # rep 2 a warm partial execution — DuckDB's buffer pool
+            # caches input pages, never operator results, so per-rep
+            # clearing is the apples-to-apples protocol. min-of-reps
+            # then removes only JIT/codegen warmup, not operator work.
+            spark.catalog.clearCache()
             t0 = time.perf_counter()
             fn(spark, sf_dir).collect()
             best = min(best, time.perf_counter() - t0)
@@ -85,6 +86,30 @@ def main() -> None:
         from pandas_ai_spark.streaming.stream import LAST_STREAM_METRICS
         if LAST_STREAM_METRICS:
             out["streaming"] = dict(LAST_STREAM_METRICS)
+            # regression floor: steady-state drain throughput must stay
+            # above BENCH_STREAM_FLOOR rows/s (default 50k at sf0.1 on
+            # local[32]); emit an explicit pass/fail per stream so a
+            # throughput regression fails loudly instead of drifting.
+            # The default scales with SF below 0.1: tiny inputs are
+            # micro-batch-overhead-bound, not throughput-bound.
+            try:
+                sf_scale = min(1.0, float(sf) / 0.1)
+            except ValueError:
+                sf_scale = 1.0
+            floor = float(os.environ.get("BENCH_STREAM_FLOOR",
+                                         str(50000 * sf_scale)))
+            verdicts = {}
+            for qname, m in LAST_STREAM_METRICS.items():
+                rate = m.get("steady_rows_per_sec") or m.get("rows_per_sec")
+                verdicts[qname] = bool(rate is not None and rate >= floor)
+                if not verdicts[qname]:
+                    print(f"STREAM FLOOR FAIL: {qname} "
+                          f"{rate} rows/s < {floor}", file=sys.stderr)
+            out["streaming_floor"] = {
+                "floor_rows_per_sec": floor,
+                "pass": verdicts,
+                "all_pass": all(verdicts.values()),
+            }
     except Exception:
         pass
 

@@ -2,8 +2,11 @@
 star): text analysis, deduplication, similarity search, multimodal
 plumbing."""
 
-from . import (dedup, llm_ops, multimodal, packing, pipeline, similarity,
-               skew, stats, text, timeseries)
+from . import (cache, dedup, llm_ops, multimodal, packing, pipeline,
+               similarity, skew, stats, text, timeseries)
+from .cache import cache_scope, operator_persist, release_operator_caches
 
-__all__ = ["dedup", "llm_ops", "multimodal", "packing", "pipeline",
-           "similarity", "skew", "stats", "text", "timeseries"]
+__all__ = ["cache", "cache_scope", "dedup", "llm_ops", "multimodal",
+           "operator_persist", "packing", "pipeline",
+           "release_operator_caches", "similarity", "skew", "stats",
+           "text", "timeseries"]

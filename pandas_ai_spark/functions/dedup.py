@@ -26,6 +26,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from .cache import operator_persist
 from .text import normalize_text, whitespace_tokens
 
 
@@ -247,17 +248,16 @@ def minhash_lsh_candidates(
     Returns pairs (id_a < id_b). Scale: the explode produces bands×N rows;
     the groupBy shuffles only (band_idx, 64-bit sig, id) triples.
     """
-    from pyspark import StorageLevel
-
     band_sigs = _band_sig_udf(shingle_size, num_hashes, bands)
-    # persisted: both self-join sides consume it, and Catalyst does not
-    # reuse the exchange across the aliased subtrees — unpersisted, the
-    # fused shingle→minhash Arrow pass runs twice over the corpus
-    banded = df.select(
+    # persisted (scope-managed, see functions/cache.py): both self-join
+    # sides consume it, and Catalyst does not reuse the exchange across
+    # the aliased subtrees — unpersisted, the fused shingle→minhash
+    # Arrow pass runs twice over the corpus
+    banded = operator_persist(df.select(
         F.col(id_col),
         F.posexplode(band_sigs(_norm_tokens(F.col(text_col))))
          .alias("band", "bsig"),
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    ))
     left = banded.alias("l")
     right = banded.alias("r")
     pairs = (
@@ -293,18 +293,17 @@ def minhash_dedup_pairs(
     bands: int = 32,
 ) -> DataFrame:
     """LSH candidates verified with exact shingle Jaccard ≥ threshold."""
-    from pyspark import StorageLevel
-
     cands = minhash_lsh_candidates(
         df, text_col, id_col, shingle_size, num_hashes, bands)
     # verify on hashed shingles: array_intersect over longs, not strings
     # (64-bit collisions are ~N²/2⁶⁴ — immaterial vs the LSH error itself).
-    # Persisted: attaches to both pair sides (one shingle pass, not two).
-    sh = df.select(
+    # Persisted (scope-managed): attaches to both pair sides (one
+    # shingle pass, not two).
+    sh = operator_persist(df.select(
         F.col(id_col),
         shingle_hash_udf(shingle_size)(
             _norm_tokens(F.col(text_col))).alias("__sh"),
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    ))
     return (
         cands.join(sh.withColumnRenamed(id_col, "id_a")
                      .withColumnRenamed("__sh", "__sh_a"), "id_a")
@@ -404,13 +403,12 @@ def ngram_jaccard_pairs(
     # corpus per consumer (measured 18 ArrowEvalPython nodes in the
     # physical plan). Standard practice for multi-pass dedup at scale:
     # the cached columnar batches are ≈ the size of the text they
-    # replace and spill to local disk, never to the driver.
-    from pyspark import StorageLevel
-
-    sh = df.select(
+    # replace and spill to local disk, never to the driver. Lifetime is
+    # scope-managed (functions/cache.py).
+    sh = operator_persist(df.select(
         F.col(id_col),
         shingle_hash_udf(n)(_norm_tokens(F.col(text_col))).alias("__sh"),
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    ))
     inv = sh.select(
         id_col, F.size("__sh").alias("__size"), F.explode("__sh").alias("__s"))
     if max_doc_freq:
@@ -531,12 +529,11 @@ def simhash_candidates(df: DataFrame, text_col: str = "text",
                        id_col: str = "doc_id") -> DataFrame:
     """Candidate pairs with Hamming distance ≤ 3 via 4×16-bit band match
     (pigeonhole: ≤3 differing bits leave ≥1 of 4 bands identical)."""
-    from pyspark import StorageLevel
-
     sig = simhash(df.select(id_col, text_col), text_col)
-    # persisted: the 64-bit signature UDF would otherwise run once per
-    # self-join side (no cross-subtree exchange reuse)
-    banded = sig.select(
+    # persisted (scope-managed): the 64-bit signature UDF would
+    # otherwise run once per self-join side (no cross-subtree exchange
+    # reuse)
+    banded = operator_persist(sig.select(
         id_col,
         "simhash",
         F.explode(F.array(*[
@@ -547,8 +544,7 @@ def simhash_candidates(df: DataFrame, text_col: str = "text",
             )
             for b in range(4)
         ])).alias("bb"),
-    ).select(id_col, "simhash", "bb.band", "bb.bsig") \
-     .persist(StorageLevel.MEMORY_AND_DISK)
+    ).select(id_col, "simhash", "bb.band", "bb.bsig"))
     l, r = banded.alias("l"), banded.alias("r")
     pairs = (
         l.join(r, (F.col("l.band") == F.col("r.band"))
@@ -755,15 +751,13 @@ def winnow_candidates(df: DataFrame, text_col: str = "text",
     substring-overlap detector (catches long verbatim spans that word-set
     Jaccard dilutes away). Same inverted-index join shape as the n-gram
     path; index volume is only ~2/(w+1) of the k-gram count."""
-    from pyspark import StorageLevel
-
-    # persisted: the winnowing UDF would otherwise run once per
-    # self-join side (no cross-subtree exchange reuse)
-    fp = df.select(
+    # persisted (scope-managed): the winnowing UDF would otherwise run
+    # once per self-join side (no cross-subtree exchange reuse)
+    fp = operator_persist(df.select(
         F.col(id_col),
         F.explode(winnow_hash_udf(k, w)(
             _norm_tokens(F.col(text_col)))).alias("__fp"),
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    ))
     l, r = fp.alias("l"), fp.alias("r")
     return (
         l.join(r, F.col("l.__fp") == F.col("r.__fp"))

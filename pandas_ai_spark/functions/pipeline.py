@@ -13,6 +13,7 @@ quality predicate into the scan.
 
 from __future__ import annotations
 
+from contextlib import nullcontext
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame
@@ -20,6 +21,7 @@ from pyspark.sql import functions as F
 
 from . import dedup as dd
 from . import text as tx
+from .cache import cache_scope
 
 
 @dataclass
@@ -56,6 +58,7 @@ def clean_corpus(
     span_w: int = 8,
     eval_docs: DataFrame | None = None,
     decontaminate_n: int = 8,
+    bounded_cache: bool | None = None,
 ) -> tuple[DataFrame, CleanStats | None]:
     """The full RefinedWeb-shape pipeline as one declarative call:
 
@@ -70,7 +73,44 @@ def clean_corpus(
     ``compute_stats=False`` skips the per-stage counts (each is an
     action); the cleaned frame itself stays one lazy plan either way
     (plus the bounded clustering / rewrite-join stages).
+
+    **Cache lifecycle** (``bounded_cache``, default = ``compute_stats``):
+    when bounded, the dedup stages' internal signature-table persists
+    run inside a :func:`~.cache.cache_scope` and are released before
+    returning; the cleaned result is checkpointed first (reliable
+    checkpoint when ``sc.setCheckpointDir`` was called, else
+    ``localCheckpoint``) so the returned frame references no released
+    intermediate — a days-long cluster run does not accumulate cached
+    signature tables. With ``bounded_cache=False`` the persists land in
+    the module ledger (release with
+    :func:`~.cache.release_operator_caches`) and the result stays a
+    fully lazy plan.
     """
+    bounded = compute_stats if bounded_cache is None else bounded_cache
+    with cache_scope() if bounded else nullcontext():
+        return _clean_corpus_impl(
+            df, text_col, id_col, min_quality, lang, near_dup_threshold,
+            compute_stats, remove_boilerplate, boilerplate_frac,
+            min_compression_ratio, excise_spans, span_w, eval_docs,
+            decontaminate_n, checkpoint_result=bounded)
+
+
+def _checkpoint(df: DataFrame) -> DataFrame:
+    """Materialize + truncate lineage: reliable checkpoint when a
+    checkpoint dir is configured (the cluster-correct path — survives
+    executor loss), else an executor-local checkpoint."""
+    sc = df.sparkSession.sparkContext
+    if sc.getCheckpointDir():
+        return df.checkpoint(eager=True)
+    return df.localCheckpoint(eager=True)
+
+
+def _clean_corpus_impl(
+    df, text_col, id_col, min_quality, lang, near_dup_threshold,
+    compute_stats, remove_boilerplate, boilerplate_frac,
+    min_compression_ratio, excise_spans, span_w, eval_docs,
+    decontaminate_n, checkpoint_result,
+) -> tuple[DataFrame, CleanStats | None]:
     n0 = df.count() if compute_stats else -1
     removed: dict = {}
 
@@ -122,6 +162,11 @@ def clean_corpus(
             cleaned, eval_docs, text_col, id_col, n=decontaminate_n)
         if compute_stats:
             removed["contaminated"] = flagged.count()
+
+    if checkpoint_result:
+        # one materializing pass (the nf count below then reads the
+        # checkpoint); after this the frame owns no scoped intermediate
+        cleaned = _checkpoint(cleaned)
 
     nf = cleaned.count() if compute_stats else -1
     stats = None

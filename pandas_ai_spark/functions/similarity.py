@@ -25,6 +25,8 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from .cache import operator_persist
+
 
 def dot(a: Column, b: Column) -> Column:
     return F.aggregate(
@@ -233,16 +235,15 @@ def embedding_near_dup_pairs(
     base = df.select(
         F.col(id_col), F.col(vec_col).cast("array<double>").alias("__v"))
     if use_lsh:
-        from pyspark import StorageLevel
-
         tb = lsh_table_buckets(F.col("__v"), dim, num_planes, num_tables,
                                seed)
-        # persisted: both self-join sides consume it and Catalyst does
-        # not reuse the exchange across the aliased subtrees — the L×k
-        # hyperplane-GEMM UDF would run twice over the corpus
-        banded = base.select(
+        # persisted (scope-managed, functions/cache.py): both self-join
+        # sides consume it and Catalyst does not reuse the exchange
+        # across the aliased subtrees — the L×k hyperplane-GEMM UDF
+        # would run twice over the corpus
+        banded = operator_persist(base.select(
             id_col, F.posexplode(tb).alias("tbl", "bkt"),
-        ).persist(StorageLevel.MEMORY_AND_DISK)
+        ))
         l, r = banded.alias("l"), banded.alias("r")
         # candidate ids dedup BEFORE vectors attach: a pair colliding in
         # several tables would otherwise ship its two dim-double vectors

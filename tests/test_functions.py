@@ -425,6 +425,59 @@ def test_clean_corpus_pipeline(docs):
     assert left == 0
 
 
+def _cache_manager_empty(spark) -> bool:
+    return bool(spark._jsparkSession.sharedState().cacheManager().isEmpty())
+
+
+def test_cache_scope_releases_operator_persists(spark, docs):
+    """Operator-internal signature-table persists registered inside a
+    cache_scope are unpersisted on exit; outside a scope they land in
+    the ledger and release_operator_caches() frees them."""
+    from pandas_ai_spark.functions import (cache_scope,
+                                           release_operator_caches)
+    from pandas_ai_spark.functions import dedup as dd
+
+    release_operator_caches()  # start from a clean ledger
+    spark.catalog.clearCache()
+    assert _cache_manager_empty(spark)
+
+    with cache_scope():
+        pairs = dd.minhash_dedup_pairs(docs, threshold=0.5)
+        n_scoped = pairs.count()  # materialize INSIDE the scope
+        assert not _cache_manager_empty(spark)  # signature tables cached
+    assert _cache_manager_empty(spark)  # ...and released on exit
+
+    # scope-less call: persists accumulate in the ledger...
+    pairs2 = dd.minhash_dedup_pairs(docs, threshold=0.5)
+    assert pairs2.count() == n_scoped
+    assert not _cache_manager_empty(spark)
+    # ...and are releasable without touching user caches
+    user = docs.persist()
+    user.count()
+    assert release_operator_caches() > 0
+    assert user.storageLevel.useMemory  # user persist survived
+    user.unpersist()
+    assert _cache_manager_empty(spark)
+
+
+def test_clean_corpus_bounded_cache_leaves_no_cached_tables(spark, docs):
+    """A full pipeline run with the default bounded cache leaves the
+    Spark cache manager empty: the signature tables the dedup stages
+    persist do not outlive the call, and the returned frame is still
+    usable (checkpointed, lineage truncated)."""
+    from pandas_ai_spark.functions import release_operator_caches
+    from pandas_ai_spark.functions.pipeline import clean_corpus
+
+    release_operator_caches()
+    spark.catalog.clearCache()
+
+    cleaned, stats = clean_corpus(docs, min_quality=0.5,
+                                  near_dup_threshold=0.5)
+    assert _cache_manager_empty(spark)
+    # result remains correct and re-collectable after scope exit
+    assert cleaned.count() == stats.after_near_dup
+
+
 def test_winnowing_guarantee(spark):
     """Docs sharing a token run of >= k+w-1 tokens MUST share a winnowed
     fingerprint (the winnowing theorem); disjoint docs must not pair."""

@@ -495,17 +495,44 @@ def q25_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                       "rank").orderBy("query_id", "rank")
 
 
+def _q26_corpus(emb: DataFrame) -> DataFrame:
+    """Embeddings ∪ deterministic perturbed copies (id + 1_000_000,
+    v'_i = v_i + 0.05·v_{(i+1) mod 64}) — plants one true near-dup pair
+    per vector (cosine ≈ 0.9988) in a table that otherwise has none
+    above 0.55, so the near-dup operator is exercised in its actual
+    regime (high threshold, sparse positives) instead of the bulk of
+    the cosine distribution where no LSH is sub-linear. The
+    perturbation is two IEEE ops per element, replicated exactly in
+    the DuckDB oracle."""
+    base = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+    pert = base.select(
+        (F.col("vec_id") + F.lit(1000000)).alias("vec_id"),
+        F.transform(
+            F.col("embedding"),
+            lambda x, i: x + F.lit(0.05) * F.element_at(
+                F.col("embedding"), ((i + F.lit(1)) % F.lit(64)) + F.lit(1)),
+        ).alias("embedding"))
+    return base.unionByName(pert)
+
+
 def q26_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup pairs via the multi-table LSH self-join — the
     100 TB path: banded (table, bucket) equi-join, exact cosine verify,
-    no full-corpus collect/broadcast anywhere in the plan. The exact
-    GEMM path (use_lsh=False) stays the small-table oracle and is
-    recall-tested against this one in tests. Oracle: _q26_oracle()
-    replicates the deterministic plane sets in DuckDB (q25's pattern),
-    so both engines share the same candidate recall by construction."""
+    no full-corpus collect/broadcast anywhere in the plan. num_planes /
+    num_tables are DERIVED (similarity.derive_lsh_params): plane count
+    from corpus size for constant bucket occupancy (candidate volume
+    stays ~linear as the corpus grows), table count from a 0.95 recall
+    target at threshold 0.9 — recall vs the exact GEMM is asserted at
+    these exact parameters in tests. Oracle: _q26_oracle() replicates
+    the derived plane sets in DuckDB (pinned at the driver's sf0.01
+    scale, N=1000 → k=6, L=6), so both engines share identical
+    candidate sets by construction."""
     from pandas_ai_spark.functions import similarity as sim
     emb = _t(spark, sf_dir, "embeddings")
-    pairs = sim.embedding_near_dup_pairs(emb, threshold=0.3, use_lsh=True)
+    corpus = _q26_corpus(emb)
+    pairs = sim.embedding_near_dup_pairs(
+        corpus, threshold=0.9, use_lsh=True, target_recall=0.95)
     return pairs.select("id_a", "id_b",
                         F.round("cosine", 6).alias("cosine")) \
                 .orderBy("id_a", "id_b")
@@ -1548,15 +1575,25 @@ def _q25_oracle() -> str:
 
 
 def _q26_oracle() -> str:
-    """DuckDB replica of the LSH-path embedding near-dup self-join: the
-    8 plane sets are deterministic (RandomState(42 + 1000*t), same as
-    similarity.lsh_table_buckets), so candidate pairs — collide in ≥1
-    table — and the exact cosine ≥ 0.3 verify reproduce the Spark plan's
-    recall exactly. The OR-of-tables join predicate yields each pair
-    once (single predicate, not an exploded join), so no DISTINCT."""
-    from pandas_ai_spark.functions.similarity import _hyperplanes
+    """DuckDB replica of the LSH-path embedding near-dup self-join over
+    the planted corpus (_q26_corpus): identical perturbation arithmetic,
+    and the DERIVED plane sets (derive_lsh_params pinned at the driver's
+    sf0.01 scale: N=1000 → k planes, L tables; RandomState(42 + 1000*t),
+    same as similarity.lsh_table_buckets), so candidate pairs — collide
+    in ≥1 table — and the exact cosine ≥ 0.9 verify reproduce the Spark
+    plan's output exactly. The OR-of-tables join predicate yields each
+    pair once (single predicate, not an exploded join), so no DISTINCT.
+    NOTE for benchmarking: this replica's cost profile (L·k CASE'd
+    inner products per row + OR-of-L join predicate) is not DuckDB's
+    native way to answer the query — bench.py reports its baseline
+    under a separate label."""
+    from pandas_ai_spark.functions.similarity import (_hyperplanes,
+                                                      derive_lsh_params)
 
-    num_tables, num_planes, dim, thr = 8, 8, 64, 0.3
+    dim, thr = 64, 0.9
+    n_sf001 = 2 * 500  # embeddings rows at the driver's sf0.01 × 2 (planted)
+    num_planes, num_tables = derive_lsh_params(n_sf001, thr,
+                                               target_recall=0.95)
 
     def lst(row):
         return "[" + ",".join(repr(float(x)) for x in row) + "]"
@@ -1572,8 +1609,15 @@ def _q26_oracle() -> str:
     bucket_sql = ",\n                 ".join(buckets)
     any_match = " OR ".join(f"a.b{t} = b.b{t}" for t in range(num_tables))
     return f"""
-        WITH e AS (
+        WITH e0 AS (
           SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        ), e AS (
+          SELECT vec_id, v FROM e0
+          UNION ALL
+          SELECT vec_id + 1000000 AS vec_id,
+                 list_transform(range(64),
+                   i -> v[i + 1] + 0.05 * v[((i + 1) % 64) + 1]) AS v
+          FROM e0
         ), sig AS (
           SELECT vec_id, v, {bucket_sql} FROM e
         )

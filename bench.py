@@ -26,6 +26,13 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 # two-pass percentile form (see BASELINE.md).
 CONTROL_QUERIES = {"q44_mad_per_user"}
 
+# Queries whose DuckDB oracle is an LSH REPLICA (generated plane-set CASE
+# expressions + OR-of-tables join) rather than DuckDB's native way to
+# answer the question: correct for the value comparison, but its cost
+# profile says nothing about engine speed, so its baseline time is
+# reported under a separate label and excluded from baseline_total.
+LSH_REPLICA_QUERIES = {"q26_embedding_near_dup"}
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -125,18 +132,23 @@ def main() -> None:
             )
         base: dict[str, float] = {}
         base_controls: dict[str, float] = {}
+        base_lsh: dict[str, float] = {}
         for name, sql in entry.oracle_sql().items():
             best = float("inf")
             for _ in range(reps):
                 t0 = time.perf_counter()
                 con.execute(sql).fetchall()
                 best = min(best, time.perf_counter() - t0)
-            (base_controls if name in CONTROL_QUERIES else base)[name] = \
-                round(best, 3)
+            bucket = (base_controls if name in CONTROL_QUERIES
+                      else base_lsh if name in LSH_REPLICA_QUERIES
+                      else base)
+            bucket[name] = round(best, 3)
         out["baseline"] = base
         out["baseline_total"] = round(sum(base.values()), 3)
         if base_controls:
             out["baseline_controls"] = base_controls
+        if base_lsh:
+            out["baseline_lsh_replica"] = base_lsh
 
     print(json.dumps(out))
 

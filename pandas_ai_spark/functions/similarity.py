@@ -215,58 +215,162 @@ def ann_lsh(
     )
 
 
+def derive_lsh_params(
+    n: int,
+    threshold: float,
+    target_recall: float = 0.95,
+    target_bucket_rows: int = 1,
+    max_tables: int = 64,
+) -> tuple[int, int]:
+    """(num_planes, num_tables) for a corpus of ``n`` vectors.
+
+    Planes per table from corpus size — ``k = log2(n / bucket_rows)``,
+    i.e. ~``log2(n)`` buckets per table at the default, which pins the
+    EXPECTED RANDOM COLLISIONS per table at ``C(n,2)/2^k ≈ n/2``:
+    candidate volume (and so exact-verify cost) stays ~linear in n. A
+    fixed k means random collisions grow ~n²/2^k — the superlinear
+    scaling failure this derivation exists to prevent. Tables from the
+    recall target: per-table collision prob for cosine ``s`` is
+    ``p^k`` with ``p = 1 − acos(s)/π``, so
+    ``L = ln(1−recall) / ln(1−p^k)``.
+
+    ``max_tables`` caps runaway L: at low thresholds (p → 0.5) no LSH
+    is sub-linear — candidate cost ~``L·n²/2^k`` approaches all-pairs —
+    and the cap makes that regime loud (a UserWarning) instead of
+    silently unaffordable.
+    """
+    import math
+    import warnings
+
+    k = max(2, min(16, math.ceil(
+        math.log2(max(n, 2) / max(target_bucket_rows, 1)))))
+    p = 1.0 - math.acos(max(min(threshold, 0.9999), -1.0)) / math.pi
+    pk = p ** k
+    if pk >= 1.0:
+        return k, 1
+    L = math.ceil(math.log(1.0 - target_recall) / math.log(1.0 - pk))
+    if L > max_tables:
+        achieved = 1.0 - (1.0 - pk) ** max_tables
+        warnings.warn(
+            f"LSH recall target {target_recall} at threshold {threshold} "
+            f"needs {L} tables (cap {max_tables}); achieved recall "
+            f"≈{achieved:.2f}. Thresholds this low are outside LSH's "
+            f"sub-linear regime — consider the exact path.")
+        L = max_tables
+    return k, max(1, L)
+
+
+def embedding_lsh_state(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    num_planes: int = 8,
+    num_tables: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """The banded LSH table ``(id, tbl, bkt)`` for a vector corpus — the
+    stored/reusable state of :func:`embedding_near_dup_pairs` (mirror of
+    ``minhash_state``). Build once, persist/write it, and pass it back
+    via ``state=`` to skip the hyperplane-GEMM pass on repeated runs;
+    :func:`embedding_near_dup_incremental` joins new batches against it.
+    Plane sets are deterministic in (dim, num_planes, num_tables, seed),
+    so state built earlier stays valid for the same parameters."""
+    tb = lsh_table_buckets(F.col(vec_col).cast("array<double>"),
+                           dim, num_planes, num_tables, seed)
+    return df.select(F.col(id_col), F.posexplode(tb).alias("tbl", "bkt"))
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     threshold: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    num_planes: int = 8,
-    num_tables: int = 8,
+    num_planes: int | None = None,
+    num_tables: int | None = None,
     dim: int = 64,
     use_lsh: bool = True,
     seed: int = 42,
+    state: DataFrame | None = None,
+    target_recall: float = 0.95,
+    target_bucket_rows: int = 16,
 ) -> DataFrame:
     """Pairs (id_a < id_b) with cosine ≥ threshold.
 
     Multi-table LSH self-join by default (scale path — near-identical
     vectors collide in at least one table w.h.p.); ``use_lsh=False`` gives
     the exact all-pairs GEMM path for small tables / oracle checks.
+
+    When ``num_planes``/``num_tables`` are omitted they are derived via
+    :func:`derive_lsh_params` — plane count from the corpus size (one
+    count() scan) for constant bucket occupancy, table count from
+    ``target_recall`` at this threshold. Pass ``state=`` (a banded table
+    from :func:`embedding_lsh_state`, same parameters) to reuse a stored
+    index instead of recomputing the signature pass.
     """
     base = df.select(
         F.col(id_col), F.col(vec_col).cast("array<double>").alias("__v"))
     if use_lsh:
-        tb = lsh_table_buckets(F.col("__v"), dim, num_planes, num_tables,
-                               seed)
-        # persisted (scope-managed, functions/cache.py): both self-join
-        # sides consume it and Catalyst does not reuse the exchange
-        # across the aliased subtrees — the L×k hyperplane-GEMM UDF
-        # would run twice over the corpus
-        banded = operator_persist(base.select(
-            id_col, F.posexplode(tb).alias("tbl", "bkt"),
-        ))
-        l, r = banded.alias("l"), banded.alias("r")
-        # candidate ids dedup BEFORE vectors attach: a pair colliding in
-        # several tables would otherwise ship its two dim-double vectors
-        # through the distinct shuffle once per collision (~70× the bytes
-        # of the bare id pair); the vectors join back afterwards — id-keyed
-        # hash joins Catalyst broadcasts when the corpus side is small.
+        # persisted (scope-managed, functions/cache.py): the projected
+        # corpus feeds the derivation count, the signature pass, and
+        # BOTH vector re-attach sides of the verify — an expensive
+        # upstream plan (union/transform/join) would otherwise
+        # recompute once per consumer
+        base = operator_persist(base)
+        if num_planes is None or num_tables is None:
+            k, L = derive_lsh_params(base.count(), threshold,
+                                     target_recall, target_bucket_rows)
+            num_planes = num_planes if num_planes is not None else k
+            num_tables = num_tables if num_tables is not None else L
+        banded = state if state is not None else embedding_lsh_state(
+            base, id_col, "__v", dim, num_planes, num_tables, seed)
+        # Fused candidate generation: ONE shuffle keyed on (tbl, bkt)
+        # collects each bucket's id list and expands in-bucket pairs as
+        # a JVM array expression — replaces the banded self-join, whose
+        # two sorted sides cost an extra shuffle round and which
+        # Catalyst cannot share. Skew exposure: a bucket of b ids does
+        # O(b²) work in one task — the same candidate volume the
+        # self-join emits for that bucket, and the derivation above
+        # keeps E[b] ≈ 1; a degenerate all-identical corpus is the
+        # caller's dedup bug, not a plan regression.
+        # Candidate ids dedup BEFORE vectors attach: a pair colliding
+        # in several tables would otherwise ship its two dim-double
+        # vectors once per collision (~70× the bytes of the id pair).
+        buckets = (
+            banded.groupBy("tbl", "bkt")
+            .agg(F.array_sort(F.collect_list(id_col)).alias("__ids"))
+            .where(F.size("__ids") >= 2)
+        )
         cand = (
-            l.join(r, (F.col("l.tbl") == F.col("r.tbl"))
-                      & (F.col("l.bkt") == F.col("r.bkt"))
-                      & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")))
-            .select(
-                F.col(f"l.{id_col}").alias("id_a"),
-                F.col(f"r.{id_col}").alias("id_b"),
-            )
+            buckets.select(F.explode(F.flatten(F.transform(
+                F.col("__ids"),
+                lambda x, i: F.transform(
+                    F.slice(F.col("__ids"), i + F.lit(2),
+                            F.size(F.col("__ids"))),
+                    lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+                )))).alias("__p"))
+            .select("__p.id_a", "__p.id_b")
             .dropDuplicates(["id_a", "id_b"])
         )
-        va = base.select(F.col(id_col).alias("id_a"),
-                         F.col("__v").alias("__va"))
-        vb = base.select(F.col(id_col).alias("id_b"),
-                         F.col("__v").alias("__vb"))
+        # exact verify: norms precomputed ONCE per vector (4000 rows),
+        # not once per candidate side — the per-pair expression is a
+        # single dot aggregate instead of three
+        nv = base.select(
+            F.col(id_col), F.col("__v"), l2_norm(F.col("__v")).alias("__n"))
+        va = nv.select(F.col(id_col).alias("id_a"),
+                       F.col("__v").alias("__va"),
+                       F.col("__n").alias("__na"))
+        vb = nv.select(F.col(id_col).alias("id_b"),
+                       F.col("__v").alias("__vb"),
+                       F.col("__n").alias("__nb"))
         return (
             cand.join(va, "id_a").join(vb, "id_b")
-            .withColumn("cosine", cosine(F.col("__va"), F.col("__vb")))
+            .withColumn(
+                "cosine",
+                F.when(F.col("__na") * F.col("__nb") > 0,
+                       dot(F.col("__va"), F.col("__vb"))
+                       / (F.col("__na") * F.col("__nb")))
+                .otherwise(F.lit(0.0)))
             .where(F.col("cosine") >= threshold)
             .select("id_a", "id_b", "cosine")
         )
@@ -303,6 +407,68 @@ def embedding_near_dup_pairs(
             })
 
     return base.mapInPandas(block_pairs, out_schema)
+
+
+def embedding_near_dup_incremental(
+    new_vecs: DataFrame,
+    corpus_state: DataFrame,
+    corpus_vecs: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    num_planes: int = 8,
+    num_tables: int = 8,
+    seed: int = 42,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Near-dup dedup of a NEW vector batch against a corpus represented
+    by its stored :func:`embedding_lsh_state` — the continuous-ingestion
+    form of :func:`embedding_near_dup_pairs` (mirror of
+    ``minhash_incremental``). Returns
+    ``(novel_vecs, updated_state, updated_vecs)``.
+
+    ``num_planes``/``num_tables`` must MATCH the parameters the corpus
+    state was built with (plane sets are seed-deterministic) — they are
+    explicit here rather than derived, because a derivation from the
+    current batch size would silently diverge from the stored state.
+
+    Scale shape: the batch's banded signatures equi-join the corpus
+    state on ``(tbl, bkt)`` — the batch side is typically tiny, so AQE
+    broadcasts it; candidates are verified with the exact JVM cosine
+    against ``corpus_vecs`` (no false positives). Within-batch
+    near-dups are removed first with the same constants.
+    """
+    # within-batch dedup: drop the higher id of each near-dup pair
+    batch_pairs = embedding_near_dup_pairs(
+        new_vecs, threshold, id_col, vec_col,
+        num_planes=num_planes, num_tables=num_tables, dim=dim, seed=seed)
+    batch = new_vecs.join(
+        batch_pairs.select(F.col("id_b").alias(id_col)).distinct(),
+        id_col, "left_anti")
+
+    b_state = operator_persist(embedding_lsh_state(
+        batch, id_col, vec_col, dim, num_planes, num_tables, seed))
+    cand = (
+        b_state.join(corpus_state.withColumnRenamed(id_col, "__cid"),
+                     ["tbl", "bkt"])
+        .select(id_col, "__cid").distinct()
+    )
+    verified = (
+        cand.join(batch.select(
+            F.col(id_col),
+            F.col(vec_col).cast("array<double>").alias("__bv")), id_col)
+        .join(corpus_vecs.select(
+            F.col(id_col).alias("__cid"),
+            F.col(vec_col).cast("array<double>").alias("__cv")), "__cid")
+        .where(cosine(F.col("__bv"), F.col("__cv")) >= F.lit(threshold))
+        .select(id_col).distinct()
+    )
+    novel = batch.join(verified, id_col, "left_anti")
+    novel_state = embedding_lsh_state(
+        novel, id_col, vec_col, dim, num_planes, num_tables, seed)
+    return (novel,
+            corpus_state.unionByName(novel_state),
+            corpus_vecs.unionByName(novel.select(id_col, vec_col)))
 
 
 def _kmeans_centroids(M: np.ndarray, n_centroids: int, iters: int = 10,

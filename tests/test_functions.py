@@ -111,6 +111,114 @@ def test_embedding_near_dup_lsh_subset_of_exact(emb):
     assert lsh <= exact
 
 
+def _planted_corpus(emb):
+    """The q26 entry corpus: embeddings ∪ perturbed copies (one true
+    near-dup pair per vector at cosine ≈ 0.9988)."""
+    import __spark_entry__ as entry
+
+    return entry._q26_corpus(emb)
+
+
+def test_embedding_near_dup_recall_at_entry_params(emb):
+    """ADVICE round-4 item: recall vs the exact GEMM asserted at the
+    ENTRY QUERY's actual parameters (threshold 0.9, derived planes /
+    tables, target_recall 0.95) on the entry's planted corpus — the
+    LSH result must be a subset of exact with recall ≥ the target."""
+    from pandas_ai_spark.functions import similarity as sim
+
+    corpus = _planted_corpus(emb)
+    exact = {(r.id_a, r.id_b) for r in sim.embedding_near_dup_pairs(
+        corpus, threshold=0.9, use_lsh=False).collect()}
+    lsh = {(r.id_a, r.id_b) for r in sim.embedding_near_dup_pairs(
+        corpus, threshold=0.9, use_lsh=True,
+        target_recall=0.95).collect()}
+    assert exact, "planted corpus must contain near-dup pairs"
+    assert lsh <= exact
+    recall = len(lsh & exact) / len(exact)
+    assert recall >= 0.95, f"recall {recall:.3f} below target at entry params"
+
+
+def test_derive_lsh_params_properties():
+    """Planes grow with corpus size (constant expected collisions);
+    tables grow as threshold drops; the unaffordable low-threshold
+    regime warns instead of silently under-recalling."""
+    import warnings
+
+    from pandas_ai_spark.functions.similarity import derive_lsh_params
+
+    k1, _ = derive_lsh_params(1000, 0.9)
+    k2, _ = derive_lsh_params(100000, 0.9)
+    assert k2 > k1
+    _, l_high = derive_lsh_params(4000, 0.95)
+    _, l_low = derive_lsh_params(4000, 0.85)
+    assert l_low >= l_high
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        derive_lsh_params(4000, 0.3, target_recall=0.95)
+        assert any("sub-linear" in str(x.message) for x in w)
+
+
+def test_embedding_lsh_state_reuse(emb):
+    """A stored banded state (embedding_lsh_state) passed back via
+    state= reproduces the from-scratch result exactly — the warm path
+    skips the hyperplane-GEMM pass on repeated runs."""
+    from pandas_ai_spark.functions import similarity as sim
+
+    corpus = _planted_corpus(emb)
+    k, L = 10, 13
+    fresh = {(r.id_a, r.id_b) for r in sim.embedding_near_dup_pairs(
+        corpus, threshold=0.9, num_planes=k, num_tables=L).collect()}
+    state = sim.embedding_lsh_state(
+        corpus, num_planes=k, num_tables=L).persist()
+    state.count()
+    reused = {(r.id_a, r.id_b) for r in sim.embedding_near_dup_pairs(
+        corpus, threshold=0.9, num_planes=k, num_tables=L,
+        state=state).collect()}
+    state.unpersist()
+    assert reused == fresh and fresh
+
+
+def test_embedding_near_dup_incremental(emb, spark):
+    """Batch-vs-corpus dedup against stored LSH state: perturbed copies
+    of corpus vectors are flagged as near-dups and dropped, genuinely
+    novel vectors survive, and the returned state covers the union."""
+    from pyspark.sql import functions as F
+
+    from pandas_ai_spark.functions import similarity as sim
+
+    corpus = emb.select("vec_id",
+                        F.col("embedding").cast("array<double>")
+                        .alias("embedding"))
+    k, L = 10, 13
+    state = sim.embedding_lsh_state(
+        corpus, num_planes=k, num_tables=L).persist()
+    n_corpus = corpus.count()
+
+    # batch = near-dup copies of 20 corpus vectors + 20 novel randoms
+    dups = (corpus.where(F.col("vec_id") < 20)
+            .select((F.col("vec_id") + 500000).alias("vec_id"),
+                    F.transform(
+                        F.col("embedding"),
+                        lambda x: x * F.lit(1.000001)).alias("embedding")))
+    import numpy as np
+    rng = np.random.RandomState(7)
+    novel_rows = [(600000 + i, rng.randn(64).tolist()) for i in range(20)]
+    novel_df = spark.createDataFrame(
+        novel_rows, "vec_id long, embedding array<double>")
+    batch = dups.unionByName(novel_df)
+
+    novel, new_state, new_vecs = sim.embedding_near_dup_incremental(
+        batch, state, corpus, threshold=0.95,
+        num_planes=k, num_tables=L)
+    novel_ids = {r.vec_id for r in novel.select("vec_id").collect()}
+    assert all(i >= 600000 for i in novel_ids), \
+        "perturbed corpus copies must be flagged as near-dups"
+    assert len(novel_ids) == 20, "novel randoms must survive"
+    assert new_vecs.count() == n_corpus + 20
+    assert new_state.count() == (n_corpus + 20) * L
+    state.unpersist()
+
+
 # -- multimodal plumbing -----------------------------------------------------
 
 def test_resize_image_shape(spark, docs):

@@ -22,6 +22,9 @@ from .session import get_session, stop_session
 from .sql import MaliciousQueryError, SQLExecutor, sanitize_relation_name
 from .vectorstore import LocalVectorStore, VectorStore
 from .chromadb_store import ChromaDBStore
+from .lancedb_store import LanceDBStore
+from .milvus_store import MilvusStore
+from .pinecone_store import PineconeStore
 from .qdrant_store import QdrantStore
 
 __version__ = "0.1.0"
@@ -119,6 +122,9 @@ __all__ = [
     "VectorStore",
     "LocalVectorStore",
     "ChromaDBStore",
+    "LanceDBStore",
+    "MilvusStore",
+    "PineconeStore",
     "QdrantStore",
     "create",
     "materialize",

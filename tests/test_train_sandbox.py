@@ -782,3 +782,300 @@ def test_sandbox_malformed_reply_raises_sandbox_error(monkeypatch):
     with pytest.raises(SandboxError, match="malformed"):
         SubprocessSandbox().execute(
             "result = 1", {"execute_sql_query": lambda sql: None})
+
+
+# -- milvus / pinecone / lancedb adapters (mocked clients) -------------------
+
+
+def _cosine_np(a, b):
+    import numpy as np
+
+    a, b = np.asarray(a), np.asarray(b)
+    na, nb = np.linalg.norm(a), np.linalg.norm(b)
+    return float(a @ b / (na * nb)) if na > 0 and nb > 0 else 0.0
+
+
+class _FakeMilvusClient:
+    """pymilvus MilvusClient surface: has/create collection, dict-row
+    insert, cosine search, id query, filter delete."""
+
+    def __init__(self):
+        self.collections: dict[str, dict[str, dict]] = {}
+
+    def has_collection(self, collection_name):
+        return collection_name in self.collections
+
+    def create_collection(self, collection_name, **kw):
+        self.collections[collection_name] = {}
+
+    def insert(self, collection_name, data):
+        for row in data:
+            self.collections[collection_name][row["id"]] = row
+
+    def search(self, collection_name, data, limit, output_fields=None):
+        rows = list(self.collections.get(collection_name, {}).values())
+        hits = sorted(
+            ({"id": r["id"], "distance": _cosine_np(data[0], r["vector"]),
+              "entity": {"document": r["document"],
+                         "metadata": r.get("metadata")}}
+             for r in rows), key=lambda h: -h["distance"])[:limit]
+        return [hits]
+
+    def query(self, collection_name, ids, output_fields=None):
+        coll = self.collections.get(collection_name, {})
+        return [coll[i] for i in ids if i in coll]
+
+    def delete(self, collection_name, filter):
+        import ast
+
+        ids = ast.literal_eval(filter.split("id in ", 1)[1])
+        for i in ids:
+            self.collections.get(collection_name, {}).pop(i, None)
+
+
+def test_milvus_store_contract():
+    """MilvusStore against the mocked client: UUID5 id conversion,
+    underscore collection names, row shape {id, vector, document,
+    metadata}, update-id validation (missing → skip, []), id-filter
+    delete — the reference extensions/ee/vectorstores/milvus surface."""
+    import uuid as _uuid
+
+    import pandas_ai_spark as pai
+    from pandas_ai_spark.milvus_store import UUID_NAMESPACE
+
+    client = _FakeMilvusClient()
+    vs = pai.MilvusStore(collection_name="unit", client=client)
+    assert isinstance(vs, pai.VectorStore)
+
+    ids = vs.add_question_answer(
+        ["count orders", "total revenue"],
+        ["result = q1()", "result = q2()"], ids=["alpha", "beta"])
+    conv = str(_uuid.uuid5(UUID_NAMESPACE, "alpha"))
+    assert ids[0] == conv  # non-UUID id converted deterministically
+    row = client.collections["unit_qa"][conv]
+    assert row["document"].startswith("Q: count orders")
+    assert row["metadata"] == {"question": "count orders",
+                               "code": "result = q1()"}
+    assert len(row["vector"]) == 256
+
+    got = vs.get_relevant_question_answers("how do I count orders", k=1)
+    assert got == [{"question": "count orders", "code": "result = q1()"}]
+
+    vs.add_docs(["orders table has o_orderkey"], ids=[str(_uuid.uuid4())])
+    assert vs.get_relevant_docs("where is o_orderkey") == \
+        ["orders table has o_orderkey"]
+
+    # update validates ids: ghost id → no-op returning []
+    assert vs.update_question_answer(["ghost"], ["q"], ["c"]) == []
+    assert vs.update_question_answer(
+        ["alpha"], ["count orders v2"], ["result = q1b()"]) == [conv]
+    assert client.collections["unit_qa"][conv]["metadata"]["code"] == \
+        "result = q1b()"
+
+    by_id = vs.get_relevant_question_answers_by_id(["alpha"])
+    assert by_id["ids"] == [conv]
+
+    vs.delete_question_and_answers(["alpha"])
+    assert conv not in client.collections["unit_qa"]
+    # querying a collection that never existed returns empty, not error
+    empty = pai.MilvusStore(collection_name="nope", client=client)
+    assert empty.get_relevant_docs("anything") == []
+
+
+class _FakePineconeIndex:
+    """pinecone Index surface: namespaced upsert/query/update/delete/
+    fetch with {id, values, metadata} vectors and cosine scores."""
+
+    def __init__(self):
+        self.namespaces: dict[str, dict[str, dict]] = {}
+
+    def upsert(self, vectors, namespace):
+        ns = self.namespaces.setdefault(namespace, {})
+        for v in vectors:
+            ns[v["id"]] = v
+
+    def query(self, vector, top_k, namespace, include_metadata=True,
+              **kw):
+        ns = self.namespaces.get(namespace, {})
+        matches = sorted(
+            ({"id": v["id"], "score": 1.0 - _cosine_np(vector, v["values"]),
+              "metadata": v.get("metadata")}
+             for v in ns.values()), key=lambda m: m["score"])[:top_k]
+        return {"matches": matches}
+
+    def update(self, id, values, set_metadata, namespace):
+        ns = self.namespaces.setdefault(namespace, {})
+        ns[id] = {"id": id, "values": values, "metadata": set_metadata}
+
+    def delete(self, ids, namespace):
+        ns = self.namespaces.get(namespace, {})
+        for i in ids or list(ns):
+            ns.pop(i, None)
+
+    def fetch(self, ids, namespace):
+        ns = self.namespaces.get(namespace, {})
+        return {"vectors": {i: ns[i] for i in ids if i in ns}}
+
+
+def test_pinecone_store_contract():
+    """PineconeStore against the mocked index: qa/docs namespaces on ONE
+    index, metadata['text'] carries the source text, score<threshold
+    filter, per-id update, fetch by id — the reference
+    extensions/ee/vectorstores/pinecone surface."""
+    import pandas_ai_spark as pai
+
+    idx = _FakePineconeIndex()
+    vs = pai.PineconeStore(index_client=idx, similarity_threshold=0.9)
+    assert isinstance(vs, pai.VectorStore)
+
+    ids = vs.add_question_answer(["count orders"], ["result = q1()"],
+                                 ids=["a1"])
+    assert ids == ["a1"]
+    stored = idx.namespaces["qa"]["a1"]
+    assert stored["metadata"]["text"].startswith("Q: count orders")
+    assert stored["metadata"]["code"] == "result = q1()"
+
+    got = vs.get_relevant_question_answers("how do I count orders")
+    assert got == [{"question": "count orders", "code": "result = q1()"}]
+
+    vs.add_docs(["orders table has o_orderkey"], ids=["d1"])
+    assert "docs" in idx.namespaces and "qa" in idx.namespaces
+    assert vs.get_relevant_docs("where is o_orderkey") == \
+        ["orders table has o_orderkey"]
+    # dissimilar query → 1-cosine ≈ 1.0 ≥ threshold → filtered out
+    assert vs.get_relevant_docs("zzz qqq xyzzy") == []
+
+    vs.update_docs(["d1"], ["orders table has o_orderkey and o_custkey"])
+    assert "o_custkey" in idx.namespaces["docs"]["d1"]["metadata"]["text"]
+
+    fetched = vs.get_relevant_docs_by_id(["d1"])
+    assert "d1" in fetched["vectors"]
+
+    vs.delete_question_and_answers(["a1"])
+    assert idx.namespaces["qa"] == {}
+
+
+class _FakeLanceTable:
+    """lancedb table surface: add(DataFrame), search().limit().to_list()
+    with _distance, update(values, where), delete(where)."""
+
+    def __init__(self, df):
+        self.rows = df.to_dict("records")
+
+    def add(self, df):
+        self.rows.extend(df.to_dict("records"))
+
+    def search(self, vector=None):
+        table = self
+
+        class _Q:
+            def __init__(self):
+                self._limit = len(table.rows)
+                self._where = None
+
+            def limit(self, k):
+                self._limit = k
+                return self
+
+            def where(self, cond):
+                self._where = cond.split("'")[1]
+                return self
+
+            def to_list(self):
+                rows = table.rows
+                if self._where is not None:
+                    rows = [r for r in rows if r["id"] == self._where]
+                if vector is not None:
+                    rows = sorted(
+                        ([{**r, "_distance": 1.0 - _cosine_np(
+                            vector, r["vector"])} for r in rows]),
+                        key=lambda r: r["_distance"])
+                return list(rows)[:self._limit]
+
+        return _Q()
+
+    def update(self, values, where):
+        target = where.split("'")[1]
+        for r in self.rows:
+            if r["id"] == target:
+                r.update(values)
+
+    def delete(self, where):
+        target = where.split("'")[1]
+        self.rows = [r for r in self.rows if r["id"] != target]
+
+
+class _FakeLanceDB:
+    def __init__(self):
+        self.tables: dict[str, _FakeLanceTable] = {}
+
+    def table_names(self):
+        return list(self.tables)
+
+    def create_table(self, name, data):
+        self.tables[name] = _FakeLanceTable(data)
+        return self.tables[name]
+
+    def open_table(self, name):
+        return self.tables[name]
+
+
+def test_lancedb_store_contract():
+    """LanceDBStore against the mocked connection: tables created
+    lazily from first data, _distance<threshold filter, where-clause
+    update/delete — the reference extensions/ee/vectorstores/lancedb
+    surface."""
+    import pandas_ai_spark as pai
+
+    db = _FakeLanceDB()
+    vs = pai.LanceDBStore(table_name="unit", db=db,
+                          similarity_threshold=0.9)
+    assert isinstance(vs, pai.VectorStore)
+
+    # search before any table exists → empty, not error
+    assert vs.get_relevant_docs("anything") == []
+
+    vs.add_question_answer(["count orders"], ["result = q1()"], ids=["a1"])
+    assert "unit-qa" in db.table_names()
+    got = vs.get_relevant_question_answers("how do I count orders")
+    assert got == [{"question": "count orders", "code": "result = q1()"}]
+
+    vs.add_docs(["orders table has o_orderkey"], ids=["d1"])
+    assert vs.get_relevant_docs("where is o_orderkey") == \
+        ["orders table has o_orderkey"]
+    assert vs.get_relevant_docs("zzz qqq xyzzy") == []  # threshold
+
+    vs.update_question_answer(["a1"], ["count orders v2"],
+                              ["result = q1b()"])
+    got2 = vs.get_relevant_question_answers("count orders v2")
+    assert got2 == [{"question": "count orders v2",
+                     "code": "result = q1b()"}]
+    by_id = vs.get_relevant_docs_by_id(["d1"])
+    assert by_id["documents"] == ["orders table has o_orderkey"]
+
+    vs.delete_docs(["d1"])
+    assert vs.get_relevant_docs("where is o_orderkey") == []
+
+
+@pytest.mark.parametrize("store_attr,pkg", [
+    ("MilvusStore", "pymilvus"),
+    ("PineconeStore", "pinecone"),
+    ("LanceDBStore", "lancedb"),
+])
+def test_new_vector_store_import_gates(monkeypatch, store_attr, pkg):
+    """Constructing without a client and without the backing package
+    raises ImportError with install guidance."""
+    import builtins
+
+    import pandas_ai_spark as pai
+
+    real_import = builtins.__import__
+
+    def block(name, *a, **k):
+        if name.startswith(pkg):
+            raise ImportError(f"No module named '{pkg}'")
+        return real_import(name, *a, **k)
+
+    monkeypatch.setattr(builtins, "__import__", block)
+    with pytest.raises(ImportError, match=pkg):
+        getattr(pai, store_attr)()

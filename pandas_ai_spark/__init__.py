@@ -22,6 +22,7 @@ from .session import get_session, stop_session
 from .sql import MaliciousQueryError, SQLExecutor, sanitize_relation_name
 from .vectorstore import LocalVectorStore, VectorStore
 from .chromadb_store import ChromaDBStore
+from .legacy import SmartDataframe, SmartDatalake
 from .lancedb_store import LanceDBStore
 from .milvus_store import MilvusStore
 from .pinecone_store import PineconeStore
@@ -126,6 +127,8 @@ __all__ = [
     "MilvusStore",
     "PineconeStore",
     "QdrantStore",
+    "SmartDataframe",
+    "SmartDatalake",
     "create",
     "materialize",
     "load",

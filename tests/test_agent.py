@@ -231,3 +231,75 @@ def test_output_type_match_no_retry(orders):
 def test_chat_without_llm_raises(orders):
     with pytest.raises(ValueError, match="No LLM configured"):
         Agent([orders]).chat("anything")
+
+
+# -- legacy v2 shims ---------------------------------------------------------
+
+
+def test_smart_dataframe_shim(spark):
+    """SmartDataframe: deprecation banner on construction, chat
+    delegates to one Agent, last_code_executed passes through, pandas /
+    Spark / engine frames all accepted, junk rejected (reference
+    pandasai/smart_dataframe/__init__.py:16-160)."""
+    import warnings
+
+    import pandas as pd
+    import pytest
+
+    import pandas_ai_spark as pai
+    from pandas_ai_spark.agent import FakeLLM
+
+    llm = FakeLLM(
+        '```python\n'
+        'df = execute_sql_query("SELECT count(*) AS n FROM legacy_orders")\n'
+        'result = {"type": "number", "value": int(df["n"][0])}\n```')
+    pdf = pd.DataFrame({"o_orderkey": [1, 2, 3], "o_totalprice": [9.0, 8.0, 7.0]})
+
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        sdf = pai.SmartDataframe(pdf, name="legacy_orders", llm=llm)
+        assert any(issubclass(x.category, DeprecationWarning)
+                   and "SmartDataframe" in str(x.message) for x in w)
+
+    out = sdf.chat("how many orders?")
+    assert out.value == 3
+    assert "execute_sql_query" in sdf.last_code_executed
+    assert sdf.rows_count == 3 and sdf.columns_count == 2
+    assert sdf.original_import() is pdf
+
+    # Spark and engine frames accepted too; junk rejected
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        pai.SmartDataframe(spark.createDataFrame(pdf), name="legacy2")
+        with pytest.raises(ValueError, match="cannot convert"):
+            pai.SmartDataframe("not a frame")
+
+
+def test_smart_datalake_shim(spark):
+    """SmartDatalake: multi-frame Agent delegation + clear_memory
+    (reference pandasai/smart_datalake/__init__.py:13-110)."""
+    import warnings
+
+    import pandas as pd
+
+    import pandas_ai_spark as pai
+    from pandas_ai_spark.agent import FakeLLM
+
+    import hashlib
+
+    a = pd.DataFrame({"k": [1, 2]})
+    b = pd.DataFrame({"v": [1, 2, 3]})
+    # ad-hoc frames get synthesized table_<md5> names; query one of them
+    a_name = f"table_{hashlib.md5(b'k').hexdigest()[:8]}"
+    llm = FakeLLM(
+        '```python\n'
+        f'df = execute_sql_query("SELECT count(*) AS n FROM {a_name}")\n'
+        'result = {"type": "string", "value": "ok"}\n```')
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        lake = pai.SmartDatalake([a, b], llm=llm)
+        assert any("SmartDatalake" in str(x.message) for x in w)
+    assert lake.chat("anything").value == "ok"
+    lake.follow_up("more")
+    lake.clear_memory()
+    assert lake._agent.memory.count == 0

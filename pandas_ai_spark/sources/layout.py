@@ -39,7 +39,8 @@ def write_range_sorted(df: DataFrame, path: str, sort_col: str,
        .write.mode(mode).format(fmt).save(path))
 
 
-def write_bucketed(df: DataFrame, table: str, bucket_col: str,
+def write_bucketed(df: DataFrame, table: str,
+                   bucket_col: str | Sequence[str],
                    num_buckets: int = 32, sort_col: str | None = None,
                    path: str | None = None,
                    mode: str = "overwrite") -> None:
@@ -51,9 +52,15 @@ def write_bucketed(df: DataFrame, table: str, bucket_col: str,
     tests/test_functions.py). This is THE repeated-join optimization at
     100 TB: pay the shuffle once when writing, never per query.
     ``sort_col`` additionally sorts within buckets (sort-merge join
-    without the sort)."""
+    without the sort).
+
+    For composite join keys pass ALL of them as ``bucket_col`` (list):
+    the planner only keeps the bucketed scan when the bucket column set
+    matches the join's clustering keys."""
+    cols = ([bucket_col] if isinstance(bucket_col, str)
+            else list(bucket_col))
     w = (df.write.mode(mode).format("parquet")
-         .bucketBy(num_buckets, bucket_col))
+         .bucketBy(num_buckets, cols[0], *cols[1:]))
     if sort_col:
         w = w.sortBy(sort_col)
     if path:

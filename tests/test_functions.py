@@ -1511,3 +1511,72 @@ def test_image_real_decoder_gating(spark):
              mm.extract_image_features(media, decoder="real").collect()}
     assert feats[1][:3] == [128.0, 128.0, 128.0]
     assert feats[1][3:] == [4.0, 4.0]
+
+
+def test_bucketed_minhash_state_join_no_state_exchange(spark, docs, tmp_path):
+    """Incremental dedup against BUCKETED state: the corpus-side band
+    table arrives pre-partitioned (bucketBy at write time), so the
+    batch join plan has no Exchange under the state-side scan — the
+    batch pays the only shuffle. Results identical to in-memory state."""
+    from pandas_ai_spark.functions import dedup as dd
+    from pandas_ai_spark.functions.state_store import (load_minhash_state,
+                                                       save_minhash_state)
+
+    corpus = docs.where(F.col("doc_id") % 2 == 0)
+    batch = docs.where(F.col("doc_id") % 2 == 1)
+    bands, hashes = dd.minhash_state(corpus)
+    save_minhash_state(bands, hashes, "t_mh_state", str(tmp_path / "mh"),
+                       num_buckets=4)
+    try:
+        b_bands, b_hashes = load_minhash_state(spark, "t_mh_state")
+        # same state content
+        assert b_bands.count() == bands.count()
+        assert b_hashes.count() == hashes.count()
+
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        try:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+            batch_bands, _ = dd.minhash_state(batch)
+            j = batch_bands.join(b_bands.withColumnRenamed(
+                "doc_id", "corpus_id"), ["band", "bsig"])
+            plan = j._jdf.queryExecution().executedPlan().toString()
+            # exactly ONE exchange: the batch side; none under the
+            # bucketed state scan
+            assert plan.count("Exchange hashpartitioning") == 1, plan
+            j.count()
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+        # end-to-end: incremental result matches the in-memory-state run
+        mem = dd.minhash_incremental(batch, bands, hashes, threshold=0.5)
+        disk = dd.minhash_incremental(batch, b_bands, b_hashes,
+                                      threshold=0.5)
+        assert ({r.doc_id for r in mem[0].select("doc_id").collect()}
+                == {r.doc_id for r in disk[0].select("doc_id").collect()})
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_mh_state_bands")
+        spark.sql("DROP TABLE IF EXISTS t_mh_state_hashes")
+
+
+def test_bucketed_embedding_lsh_state_roundtrip(spark, emb, tmp_path):
+    """Embedding LSH state saved bucketed on bkt reloads identically and
+    feeds embedding_near_dup_pairs(state=...) with the same result."""
+    from pandas_ai_spark.functions import similarity as sim
+    from pandas_ai_spark.functions.state_store import (
+        load_embedding_lsh_state, save_embedding_lsh_state)
+
+    k, L = 8, 6
+    state = sim.embedding_lsh_state(emb, num_planes=k, num_tables=L)
+    save_embedding_lsh_state(state, "t_emb_state", str(tmp_path / "es"),
+                             num_buckets=4)
+    try:
+        loaded = load_embedding_lsh_state(spark, "t_emb_state")
+        assert loaded.count() == emb.count() * L
+        fresh = {(r.id_a, r.id_b) for r in sim.embedding_near_dup_pairs(
+            emb, threshold=0.9, num_planes=k, num_tables=L).collect()}
+        reused = {(r.id_a, r.id_b) for r in sim.embedding_near_dup_pairs(
+            emb, threshold=0.9, num_planes=k, num_tables=L,
+            state=loaded).collect()}
+        assert reused == fresh
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_emb_state_lsh")

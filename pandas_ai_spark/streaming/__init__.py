@@ -10,6 +10,7 @@ batch compiler uses.
 
 from .stream import (
     StreamCompiler,
+    StreamingNearDup,
     sessionize,
     stateful_sessionize,
     stream_dedup,
@@ -17,5 +18,5 @@ from .stream import (
     windowed_agg,
 )
 
-__all__ = ["StreamCompiler", "windowed_agg", "sessionize",
+__all__ = ["StreamCompiler", "StreamingNearDup", "windowed_agg", "sessionize",
            "stateful_sessionize", "stream_dedup", "stream_interval_join"]

@@ -351,3 +351,79 @@ class StreamCompiler:
 def _has_aggregate(df: DataFrame) -> bool:
     plan = df._jdf.queryExecution().logical().toString()
     return "Aggregate" in plan
+
+
+class StreamingNearDup:
+    """Continuous-ingestion near-duplicate filter: every micro-batch is
+    deduped within itself AND against every previously-admitted document
+    (``dedup.minhash_incremental``), then appended to ``out_path``; the
+    MinHash corpus state evolves across batches.
+
+    The streaming composition a real training-data pipeline needs:
+    exact streaming dedup (``stream_dedup``) catches byte-identical
+    re-crawls with bounded watermark state, while this catches NEAR
+    duplicates against the full admitted corpus — state here is the
+    banded-signature table, not raw text, and each batch join is
+    collision-bounded exactly like the batch operator. State lineage is
+    truncated per batch (``localCheckpoint``) so a long-running query
+    does not accumulate a union-of-unions plan; at cluster scale,
+    persist state between restarts with
+    ``functions.state_store.save_minhash_state`` (bucketed on the join
+    key, so these per-batch joins read it shuffle-free).
+
+    At-least-once caveat (inherited from foreachBatch): a batch
+    replayed after a crash re-admits its documents; dedup of the
+    OUTPUT on doc id is the standard downstream guard.
+    """
+
+    def __init__(self, spark: SparkSession, text_col: str = "text",
+                 id_col: str = "doc_id", threshold: float = 0.7,
+                 num_hashes: int = 128, bands: int = 32,
+                 shingle_size: int = 3,
+                 corpus_bands: Optional[DataFrame] = None,
+                 corpus_hashes: Optional[DataFrame] = None):
+        from ..functions import dedup as _dd
+
+        self._dd = _dd
+        self.spark = spark
+        self.text_col, self.id_col = text_col, id_col
+        self.threshold = threshold
+        self.num_hashes, self.bands_n = num_hashes, bands
+        self.shingle_size = shingle_size
+        empty_bands = spark.createDataFrame(
+            [], f"{id_col} long, band int, bsig long")
+        empty_hashes = spark.createDataFrame(
+            [], f"{id_col} long, hashes array<long>")
+        self.corpus_bands = corpus_bands if corpus_bands is not None \
+            else empty_bands
+        self.corpus_hashes = corpus_hashes if corpus_hashes is not None \
+            else empty_hashes
+        self.admitted_rows = 0
+
+    def process_batch(self, batch_df: DataFrame, batch_id: int,
+                      out_path: Optional[str] = None) -> DataFrame:
+        """Dedup one batch against the evolving corpus; append novel
+        docs to ``out_path`` (if given) and advance the state."""
+        novel, new_bands, new_hashes = self._dd.minhash_incremental(
+            batch_df.select(self.id_col, self.text_col),
+            self.corpus_bands, self.corpus_hashes,
+            text_col=self.text_col, id_col=self.id_col,
+            threshold=self.threshold, shingle_size=self.shingle_size,
+            num_hashes=self.num_hashes, bands=self.bands_n)
+        # truncate the union-of-unions lineage each batch
+        self.corpus_bands = new_bands.localCheckpoint(eager=True)
+        self.corpus_hashes = new_hashes.localCheckpoint(eager=True)
+        if out_path is not None:
+            novel.write.mode("append").parquet(out_path)
+            self.admitted_rows += novel.count()
+        return novel
+
+    def attach(self, stream_df: DataFrame, out_path: str,
+               checkpoint: str, trigger: Optional[dict] = None):
+        """Run as a foreachBatch sink over a streaming DataFrame."""
+        def fn(bdf, bid):
+            self.process_batch(bdf, bid, out_path)
+
+        return StreamCompiler.foreach_batch(
+            stream_df, fn, checkpoint,
+            trigger=trigger or {"availableNow": True})

@@ -256,3 +256,51 @@ def test_stream_static_enrichment_join_parity(spark, batch_events,
     got = {(r.event_id, r.weight) for r in drained.collect()}
     exp = {(r.event_id, r.weight) for r in enrich(batch_events).collect()}
     assert got == exp and got
+
+
+def test_streaming_near_dup_filter(spark, tmp_path):
+    """Continuous-ingestion near-dup filter: micro-batches are deduped
+    within themselves and against every previously-admitted doc via the
+    evolving MinHash state; near-dup re-submissions are rejected, fresh
+    docs admitted — order-agnostic: exactly one survivor per near-dup
+    group regardless of micro-batch assignment."""
+    from pandas_ai_spark.streaming import StreamingNearDup
+
+    base = [
+        (i, f"document number {i} talks about topic {i} with plenty of "
+            f"distinct words like alpha{i} beta{i} gamma{i} delta{i} "
+            f"epsilon{i} zeta{i} eta{i} theta{i} iota{i} kappa{i}")
+        for i in range(10)
+    ]
+    # near-dup rewrites of docs 0-4 (one word appended) + fresh 10-14
+    dups = [(100 + i, base[i][1] + " extra") for i in range(5)]
+    fresh = [
+        (10 + i, f"totally new content {i} about subject {i} featuring "
+                 f"unique tokens mu{i} nu{i} xi{i} omicron{i} pi{i} "
+                 f"rho{i} sigma{i} tau{i} upsilon{i} phi{i}")
+        for i in range(5)
+    ]
+    src = tmp_path / "src"
+    src.mkdir()
+    spark.createDataFrame(base, "doc_id long, text string") \
+        .coalesce(1).write.mode("append").parquet(str(src))
+    spark.createDataFrame(dups + fresh, "doc_id long, text string") \
+        .coalesce(1).write.mode("append").parquet(str(src))
+
+    stream = (spark.readStream.schema("doc_id long, text string")
+              .option("maxFilesPerTrigger", 1).parquet(str(src)))
+    filt = StreamingNearDup(spark, threshold=0.5)
+    q = filt.attach(stream, str(tmp_path / "out"), str(tmp_path / "ckpt"))
+    q.awaitTermination()
+
+    admitted = {r.doc_id for r in spark.read.parquet(
+        str(tmp_path / "out")).select("doc_id").collect()}
+    # every fresh doc admitted; exactly one per near-dup group
+    assert {10, 11, 12, 13, 14} <= admitted
+    for i in range(5):
+        assert len(admitted & {i, 100 + i}) == 1, (i, admitted)
+    for i in range(5, 10):
+        assert i in admitted
+    assert len(admitted) == 15
+    # state covers exactly the admitted corpus
+    assert filt.corpus_hashes.count() == 15

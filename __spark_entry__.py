@@ -1040,6 +1040,56 @@ def q66_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("vec_id"))
 
 
+def q67_stream_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-ingestion near-dup filtering as a STREAM, hash-matched
+    against SQL: two micro-batches (the documents table, then the same
+    texts re-submitted under shifted ids) run through
+    ``StreamingNearDup`` — within-batch greedy minhash dedup plus
+    state-join rejection against everything already admitted. The
+    admitted set is deterministic (batch order pinned via mtimes):
+    exactly the batch-1 ``minhash_dedup`` survivors, so the oracle
+    (_q67_oracle) is the q22 pair replica's NOT-IN form. Same constants
+    as q22 (threshold 0.12, 64 hashes, 32 bands). The returned frame is
+    the collected admitted-id set (the streamed output lives in a
+    per-call temp dir that is removed before returning)."""
+    import os
+    import shutil
+    import tempfile
+
+    from pandas_ai_spark.streaming import StreamingNearDup
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    tmp = tempfile.mkdtemp(prefix="q67_stream_")
+    try:
+        src = os.path.join(tmp, "src")
+        docs.coalesce(1).write.mode("append").parquet(src)
+        first = [os.path.join(src, f) for f in os.listdir(src)
+                 if f.endswith(".parquet")]
+        docs.select((F.col("doc_id") + F.lit(1000000)).alias("doc_id"),
+                    "text").coalesce(1).write.mode("append").parquet(src)
+        # pin batch order: FileStreamSource sorts by modification time
+        now = os.path.getmtime(first[0])
+        for f in os.listdir(src):
+            p = os.path.join(src, f)
+            if f.endswith(".parquet") and p not in first:
+                os.utime(p, (now + 30, now + 30))
+
+        stream = (spark.readStream.schema("doc_id long, text string")
+                  .option("maxFilesPerTrigger", 1).parquet(src))
+        filt = StreamingNearDup(spark, threshold=0.12,
+                                num_hashes=64, bands=32)
+        q = filt.attach(stream, os.path.join(tmp, "out"),
+                        os.path.join(tmp, "ckpt"))
+        q.awaitTermination()
+        admitted = sorted(
+            r.doc_id for r in spark.read.parquet(os.path.join(tmp, "out"))
+            .select("doc_id").collect())
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(
+        [(int(i),) for i in admitted], "doc_id long")
+
+
 def q64_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed BPE tokenizer training (functions.bpe.train_bpe):
     10 merges learned from the corpus. One corpus pass builds the
@@ -1368,6 +1418,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q64_bpe_merges": q64_bpe_merges,
         "q65_semantic_dedup": q65_semantic_dedup,
         "q66_semantic_clusters": q66_semantic_clusters,
+        "q67_stream_near_dup": q67_stream_near_dup,
     }
 
 
@@ -1409,15 +1460,11 @@ _G8 = (
 )
 
 
-def _q22_oracle() -> str:
-    """DuckDB replica of the MinHash-LSH pipeline: base shingle hash is
-    md5 first-8-bytes little-endian == DuckDB ``md5_number_upper``; the
-    affine family (a_i·x + b_i) mod 2^31−1 is exact BIGINT arithmetic
-    (a·x + b < 2^62) with the same RandomState(42) (a_i, b_i) literals
-    over the twice-Mersenne-folded base hash; bands compare as
-    concatenated strings (the Spark side FNV-mixes to one int64 — band
-    semantics identical up to ~2^-64 collisions); candidates are
-    verified with exact Jaccard over the same hashed shingle sets."""
+def _q22_ctes() -> tuple[str, float]:
+    """Shared q22/q67 fragment: the full MinHash-LSH replica CTE chain
+    (shingle-hash → affine signatures → bands → candidates → exact
+    Jaccard in ``verified``) plus the verify threshold. See
+    :func:`_q22_oracle` for the arithmetic notes."""
     from pandas_ai_spark.functions.dedup import _affine_params
 
     num_hashes, bands, threshold = 64, 32, 0.12
@@ -1433,8 +1480,7 @@ def _q22_oracle() -> str:
         for j in range(bands))
     fold1 = f"((h & {_M31}) + (h >> 31))"
     fold2 = f"(({fold1} & {_M31}) + ({fold1} >> 31))"
-    return f"""
-        WITH sh AS (
+    return f"""sh AS (
           SELECT doc_id, list_transform({_SHINGLES},
                    s -> md5_number_upper(s)) AS hu
           FROM documents
@@ -1465,10 +1511,42 @@ def _q22_oracle() -> str:
           FROM cand
           JOIN sh sa ON sa.doc_id = cand.id_a
           JOIN sh sb ON sb.doc_id = cand.id_b
-        )
+        )""", threshold
+
+
+def _q22_oracle() -> str:
+    """DuckDB replica of the MinHash-LSH pipeline: base shingle hash is
+    md5 first-8-bytes little-endian == DuckDB ``md5_number_upper``; the
+    affine family (a_i·x + b_i) mod 2^31−1 is exact BIGINT arithmetic
+    (a·x + b < 2^62) with the same RandomState(42) (a_i, b_i) literals
+    over the twice-Mersenne-folded base hash; bands compare as
+    concatenated strings (the Spark side FNV-mixes to one int64 — band
+    semantics identical up to ~2^-64 collisions); candidates are
+    verified with exact Jaccard over the same hashed shingle sets."""
+    ctes, threshold = _q22_ctes()
+    return f"""
+        WITH {ctes}
         SELECT id_a, id_b, round(j, 6) AS jaccard
         FROM verified WHERE j >= {threshold}
         ORDER BY id_a, id_b
+    """
+
+
+def _q67_oracle() -> str:
+    """The streaming near-dup filter's admitted set: batch 1 (the
+    documents table) deduped within itself keeps every doc that is not
+    the higher-id side of a verified near-dup pair (greedy
+    lower-id-wins, the ``minhash_dedup`` contract); batch 2 (identical
+    texts, shifted ids) is rejected wholesale against the state. So the
+    admitted corpus is exactly the batch-1 survivors — expressed over
+    the q22 pair replica."""
+    ctes, threshold = _q22_ctes()
+    return f"""
+        WITH {ctes}
+        SELECT doc_id FROM documents
+        WHERE doc_id NOT IN (
+          SELECT id_b FROM verified WHERE j >= {threshold})
+        ORDER BY doc_id
     """
 
 
@@ -2137,6 +2215,7 @@ def oracle_sql() -> dict[str, str]:
         "q26_embedding_near_dup": _q26_oracle(),
         "q65_semantic_dedup": _q65_oracle(),
         "q66_semantic_clusters": _q66_oracle(),
+        "q67_stream_near_dup": _q67_oracle(),
         "q27_media_metadata": """
             SELECT doc_id, 'image/fake' AS mime,
                    octet_length(encode(text)) AS byte_len

@@ -33,6 +33,13 @@ CONTROL_QUERIES = {"q44_mad_per_user"}
 # reported under a separate label and excluded from baseline_total.
 LSH_REPLICA_QUERIES = {"q26_embedding_near_dup"}
 
+# End-to-end streaming-PROTOCOL queries: wall-clock is dominated by
+# micro-batch checkpoint/write machinery (the same reason q29/q56 are
+# graded on rows/s), and the DuckDB "baseline" is a batch query with no
+# streaming work at all. Timed ONCE, reported under their own label,
+# excluded from both headline totals.
+STREAM_PROTOCOL_QUERIES = {"q67_stream_near_dup"}
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -57,9 +64,10 @@ def main() -> None:
     timings: dict[str, float] = {}
     controls: dict[str, float] = {}
     total = 0.0
+    stream_protocol: dict[str, float] = {}
     for name, fn in entry.queries().items():
         best = float("inf")
-        for _ in range(reps):
+        for _ in range(1 if name in STREAM_PROTOCOL_QUERIES else reps):
             # cold Spark cache before EVERY rep: operators that persist
             # intra-query signature tables (dedup family) must not hand
             # rep 2 a warm partial execution — DuckDB's buffer pool
@@ -72,6 +80,8 @@ def main() -> None:
             best = min(best, time.perf_counter() - t0)
         if name in CONTROL_QUERIES:
             controls[name] = round(best, 3)
+        elif name in STREAM_PROTOCOL_QUERIES:
+            stream_protocol[name] = round(best, 3)
         else:
             timings[name] = round(best, 3)
             total += best
@@ -85,6 +95,8 @@ def main() -> None:
     }
     if controls:
         out["controls"] = controls
+    if stream_protocol:
+        out["stream_protocol"] = stream_protocol
 
     # streaming queries: wall-clock on a bounded availableNow drain is
     # dominated by per-micro-batch checkpoint overhead; report drain
@@ -133,6 +145,7 @@ def main() -> None:
         base: dict[str, float] = {}
         base_controls: dict[str, float] = {}
         base_lsh: dict[str, float] = {}
+        base_stream: dict[str, float] = {}
         for name, sql in entry.oracle_sql().items():
             best = float("inf")
             for _ in range(reps):
@@ -141,6 +154,7 @@ def main() -> None:
                 best = min(best, time.perf_counter() - t0)
             bucket = (base_controls if name in CONTROL_QUERIES
                       else base_lsh if name in LSH_REPLICA_QUERIES
+                      else base_stream if name in STREAM_PROTOCOL_QUERIES
                       else base)
             bucket[name] = round(best, 3)
         out["baseline"] = base
@@ -149,6 +163,8 @@ def main() -> None:
             out["baseline_controls"] = base_controls
         if base_lsh:
             out["baseline_lsh_replica"] = base_lsh
+        if base_stream:
+            out["baseline_stream_protocol"] = base_stream
 
     print(json.dumps(out))
 

@@ -33,6 +33,9 @@ ALLOW: dict[str, set[str]] = {
     "q56_stream_interval_join": {"skip"},
     # runs train_bpe / builds result via createDataFrame at call time
     "q64_bpe_merges": {"skip"},
+    # runs the full two-batch stream drain at call time and returns a
+    # collected literal — plan checked in tests/test_streaming.py
+    "q67_stream_near_dup": {"skip"},
     # mixture rates need a count() action at plan-build time; cheap
     "q57_domain_mixture": {"skip"},
     # tfidf / cross-entropy / decontamination / span excision compute a

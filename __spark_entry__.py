@@ -708,20 +708,19 @@ def q48_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q49_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition quality signals: fraction of tokens /
     bigrams taken by the most frequent one (high = boilerplate or
-    degenerate repetition). Explode + two key-colocated aggregations per
-    n — the second groupBy reuses the first shuffle's partitioning."""
-    from pandas_ai_spark.functions.text import top_ngram_fraction
+    degenerate repetition). Both signals come from ONE Arrow-batched
+    per-doc pass (text._top_gram_fraction_udf) — row-local, zero
+    shuffles, no joins."""
+    from pandas_ai_spark.functions.text import _top_gram_fraction_udf
 
     docs = _t(spark, sf_dir, "documents")
-    u = top_ngram_fraction(docs, "text", "doc_id", n=1) \
-        .withColumnRenamed("frac", "f1")
-    b = top_ngram_fraction(docs, "text", "doc_id", n=2) \
-        .withColumnRenamed("frac", "f2")
+    sig = docs.select(
+        "doc_id", _top_gram_fraction_udf((1, 2))(F.col("text")).alias("r"))
     return (
-        u.join(b, "doc_id")
-        .select("doc_id",
-                F.round("f1", 6).alias("top_unigram_frac"),
-                F.round("f2", 6).alias("top_bigram_frac"))
+        sig.select(
+            "doc_id",
+            F.round("r.f1", 6).alias("top_unigram_frac"),
+            F.round("r.f2", 6).alias("top_bigram_frac"))
         .orderBy("doc_id")
     )
 

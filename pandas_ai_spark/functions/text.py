@@ -9,6 +9,8 @@ zero shuffles (all operators are row-local projections).
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -259,40 +261,76 @@ def redact_pii(col: Column) -> Column:
     return out
 
 
+def _top_gram_fraction_udf(ns: tuple[int, ...]):
+    """Arrow-batched UDF: text → struct of top-n-gram fractions, one per
+    ``n`` in ``ns`` (fields ``f{n}``), computed in ONE pass over each
+    document.
+
+    Execution-shape note (all three forms measured at sf0.1, two-signal
+    query): explode → groupBy(doc, gram) → groupBy(doc) is 1.9s and
+    moves every token through two shuffles; a pure-JVM ``aggregate``
+    fold over the sorted gram array avoids the shuffle but runs
+    interpreted (higher-order functions have no codegen) at 3.5s; this
+    Arrow UDF with a per-doc Counter is 1.15s. Per-doc mode counting is
+    the case the built-ins genuinely can't express shuffle-free, so the
+    vectorized-Python path is the right one: row-local (zero shuffles —
+    at 100 TB it rides the scan), O(doc length) per doc, and the Arrow
+    batch transfer is the only overhead.
+
+    Tokenization mirrors :func:`normalize_text` + whitespace split
+    byte-for-byte: Java regex ``\\w``/``\\s`` are ASCII-only, hence
+    ``re.ASCII`` here.
+    """
+    import re
+
+    from pyspark.sql import types as T
+
+    npunct = re.compile(PUNCT_REGEX, re.ASCII)
+    ws = re.compile(r"\s+", re.ASCII)
+    schema = T.StructType(
+        [T.StructField(f"f{n}", T.DoubleType()) for n in ns])
+
+    @F.pandas_udf(schema)
+    def f(texts: pd.Series) -> pd.DataFrame:
+        from collections import Counter
+
+        cols: dict[str, list[float]] = {f"f{n}": [] for n in ns}
+        for t in texts:
+            toks = [x for x in ws.split(
+                npunct.sub("", (t or "").lower()).strip()) if x]
+            for n in ns:
+                if len(toks) < n:
+                    cols[f"f{n}"].append(0.0)
+                    continue
+                counts = Counter(
+                    toks if n == 1
+                    else zip(*(toks[j:] for j in range(n))))
+                cols[f"f{n}"].append(
+                    max(counts.values()) / (len(toks) - n + 1))
+        return pd.DataFrame(cols)
+
+    return f
+
+
+def top_ngram_fraction_col(text: Column, n: int = 1) -> Column:
+    """Fraction of the text's token n-grams taken by its single most
+    frequent n-gram — see :func:`_top_gram_fraction_udf` for the
+    execution shape. For several ``n`` over the same column, call the
+    factory once with all of them (one pass) instead of this per-n."""
+    return _top_gram_fraction_udf((n,))(text)[f"f{n}"]
+
+
 def top_ngram_fraction(df: DataFrame, text_col: str = "text",
                        id_col: str = "doc_id", n: int = 1) -> DataFrame:
     """Fraction of a doc's token n-grams taken by its single most
     frequent n-gram — the Gopher-style repetition signal (high fraction
     = boilerplate / degenerate repetition; typical filters drop docs
-    above ~0.2 for unigrams).
-
-    Scale shape: explode n-grams → two key-colocated aggregations
-    (doc×gram counts, then per-doc max/sum) — the second groupBy reuses
-    the first shuffle's partitioning. No Python, no whole-doc state.
-    Returns ``(id_col, frac)``; docs with no n-grams (shorter than n)
-    get frac 0.0.
+    above ~0.2 for unigrams). Returns ``(id_col, frac)``; docs with no
+    n-grams (shorter than n) get frac 0.0.
     """
-    from pandas_ai_spark.functions.dedup import _norm_tokens
-
-    toks = df.select(F.col(id_col), _norm_tokens(F.col(text_col))
-                     .alias("__toks"))
-    if n == 1:
-        grams = F.col("__toks")
-    else:
-        grams = F.when(
-            F.size("__toks") >= n,
-            F.transform(
-                F.sequence(F.lit(1), F.size("__toks") - (n - 1)),
-                lambda i: F.concat_ws(
-                    " ", *[F.element_at("__toks", i + j)
-                           for j in range(n)]),
-            )).otherwise(F.array().cast("array<string>"))
-    exploded = toks.select(id_col, F.explode(grams).alias("__g"))
-    counts = exploded.groupBy(id_col, "__g").count()
-    frac = counts.groupBy(id_col).agg(
-        (F.max("count") / F.sum("count")).alias("frac"))
-    return (df.select(id_col).join(frac, id_col, "left")
-            .select(id_col, F.coalesce("frac", F.lit(0.0)).alias("frac")))
+    return df.select(
+        F.col(id_col),
+        top_ngram_fraction_col(F.col(text_col), n).alias("frac"))
 
 
 def tfidf_top_terms(df: DataFrame, text_col: str = "text",

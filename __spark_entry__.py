@@ -1089,6 +1089,23 @@ def q67_stream_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(int(i),) for i in admitted], "doc_id long")
 
 
+def q68_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware near-dup dedup (dedup.dedup_keep_best): connected
+    components over the exact ngram-Jaccard pair graph (q34's graph),
+    keep the HIGHEST-quality_score member per cluster (ties → lowest
+    id), singletons untouched. Oracle: q34's recursive-CTE closure +
+    q19's quality expression + a per-cluster row_number argmax."""
+    from pandas_ai_spark.functions import dedup as dd
+    from pandas_ai_spark.functions import text as tx
+
+    docs = _t(spark, sf_dir, "documents")
+    scored = docs.withColumn(
+        "quality", F.round(tx.quality_score(F.col("text")), 2))
+    pairs = dd.ngram_jaccard_pairs(docs, n=3, threshold=0.12)
+    kept = dd.dedup_keep_best(scored, pairs, "quality")
+    return kept.select("doc_id", "quality").orderBy("doc_id")
+
+
 def q64_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed BPE tokenizer training (functions.bpe.train_bpe):
     10 merges learned from the corpus. One corpus pass builds the
@@ -1418,6 +1435,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q65_semantic_dedup": q65_semantic_dedup,
         "q66_semantic_clusters": q66_semantic_clusters,
         "q67_stream_near_dup": q67_stream_near_dup,
+        "q68_dedup_keep_best": q68_dedup_keep_best,
     }
 
 
@@ -2215,6 +2233,74 @@ def oracle_sql() -> dict[str, str]:
         "q65_semantic_dedup": _q65_oracle(),
         "q66_semantic_clusters": _q66_oracle(),
         "q67_stream_near_dup": _q67_oracle(),
+        "q68_dedup_keep_best": f"""
+            WITH RECURSIVE sh AS (
+              SELECT doc_id, {_SHINGLES} AS s FROM documents
+            ), sizes AS (
+              SELECT doc_id, len(s) AS sz FROM sh
+            ), inv AS (
+              SELECT doc_id, unnest(s) AS tok FROM sh
+            ), inter AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+              FROM inv a JOIN inv b ON a.tok = b.tok AND a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            ), prs AS (
+              SELECT id_a, id_b FROM inter
+              JOIN sizes sa ON sa.doc_id = id_a
+              JOIN sizes sb ON sb.doc_id = id_b
+              WHERE i::DOUBLE / (sa.sz + sb.sz - i) >= 0.12
+            ), edges AS (
+              SELECT id_a AS s, id_b AS d FROM prs
+              UNION SELECT id_b, id_a FROM prs
+            ), nodes AS (SELECT DISTINCT s AS id FROM edges),
+            reach(id, r) AS (
+              SELECT id, id FROM nodes
+              UNION
+              SELECT e.s, reach.r FROM edges e JOIN reach ON e.d = reach.id
+            ), clusters AS (
+              SELECT id AS doc_id, min(r) AS cluster_id
+              FROM reach GROUP BY id
+            ), t AS (
+              SELECT doc_id, text,
+                     regexp_split_to_array(lower(trim(text)), '\\s+') AS toks,
+                     len(regexp_split_to_array(trim(text), '\\s+')) AS n_tok
+              FROM documents
+            ), m AS (
+              SELECT doc_id,
+                n_tok,
+                len(regexp_extract_all(text, '[^\\w\\s]'))
+                    / greatest(length(text), 1) AS punct,
+                len(list_filter(toks, x -> x IN
+                    ('the','and','of','to','in','is','it','that','was','for')))
+                    / greatest(len(toks), 1) AS stopr,
+                list_sum(list_transform(regexp_split_to_array(trim(text), '\\s+'),
+                         x -> length(x)))
+                    / greatest(n_tok, 1) AS mwl
+              FROM t
+            ), q AS (
+              SELECT doc_id,
+                     round(((n_tok >= 5 AND n_tok <= 100000)::INT
+                          + (punct < 0.3)::INT
+                          + (stopr > 0.01)::INT
+                          + (mwl >= 2 AND mwl <= 15)::INT) / 4.0, 2) AS quality
+              FROM m
+            ), members AS (
+              SELECT c.doc_id, c.cluster_id, q.quality
+              FROM clusters c JOIN q USING (doc_id)
+            ), keep AS (
+              SELECT doc_id FROM (
+                SELECT doc_id, row_number() OVER (
+                  PARTITION BY cluster_id
+                  ORDER BY quality DESC, doc_id ASC) AS rn
+                FROM members) WHERE rn = 1
+            )
+            SELECT d.doc_id, q.quality
+            FROM documents d JOIN q USING (doc_id)
+            WHERE d.doc_id NOT IN (
+              SELECT doc_id FROM members
+              WHERE doc_id NOT IN (SELECT doc_id FROM keep))
+            ORDER BY doc_id
+        """,
         "q27_media_metadata": """
             SELECT doc_id, 'image/fake' AS mime,
                    octet_length(encode(text)) AS byte_len

@@ -734,6 +734,41 @@ def minhash_dedup_transitive(df: DataFrame, text_col: str = "text",
     return df.join(losers, id_col, "left_anti")
 
 
+def dedup_keep_best(df: DataFrame, pairs: DataFrame, score_col: str,
+                    id_col: str = "doc_id", id_a: str = "id_a",
+                    id_b: str = "id_b") -> DataFrame:
+    """Quality-aware near-dup dedup: one survivor per connected
+    component of the ``pairs`` similarity graph — the HIGHEST-``score_col``
+    member, ties broken toward the lowest id (deterministic). Docs that
+    appear in no pair survive untouched.
+
+    This is what a real training pipeline wants from dedup: greedy
+    pair dedup (``minhash_dedup``) and min-id clustering (``dedup_clusters``)
+    both keep an *arbitrary* cluster member; keeping the best-scoring one
+    retains the cleanest copy of each boilerplate family (reference has
+    no analog — training-pipeline extension per SURVEY §6).
+
+    Scale shape: near-dup clusters are output-sized (pairs are the rare
+    events), so the member/score join and the per-cluster ``max_by``
+    argmax run on a frame ~|pairs|, broadcast-joined back against the
+    corpus; the corpus itself is touched only by the id anti-join. No
+    full-corpus shuffle beyond what ``pairs`` itself required.
+    """
+    clusters = dedup_clusters(pairs, id_a=id_a, id_b=id_b) \
+        .withColumnRenamed("doc_id", id_col)
+    members = clusters.join(
+        df.select(F.col(id_col), F.col(score_col)), id_col)
+    # argmax per cluster: max_by over (score, -id) — lexicographic
+    # struct comparison gives highest score, then lowest id
+    keep = members.groupBy("cluster_id").agg(
+        F.max_by(id_col, F.struct(
+            F.col(score_col).alias("s"),
+            (-F.col(id_col)).alias("negid"))).alias("__keep"))
+    losers = members.select(id_col).join(
+        keep.select(F.col("__keep").alias(id_col)), id_col, "left_anti")
+    return df.join(losers, id_col, "left_anti")
+
+
 def winnow_hash_udf(k: int = 8, w: int = 4):
     """tokens → distinct winnowed fingerprints (MOSS/winnowing): rolling
     k-gram hashes, keep the min of every w-window. Guarantee: any shared

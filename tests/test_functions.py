@@ -451,6 +451,23 @@ def test_dedup_clusters_transitive(spark):
                    (20, 20), (21, 20), (22, 20), (23, 20)}
 
 
+def test_dedup_keep_best_keeps_highest_score(spark):
+    """One survivor per cluster = highest score (tie → lowest id);
+    docs in no pair survive untouched."""
+    from pandas_ai_spark.functions import dedup as dd
+
+    docs = spark.createDataFrame(
+        [(1, 0.2), (2, 0.9), (3, 0.5),      # cluster {1,2,3} → keep 2
+         (10, 0.7), (11, 0.7),              # tie → keep 10
+         (99, 0.0)],                        # singleton → survives
+        "doc_id long, score double")
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "id_a long, id_b long")
+    kept = {r.doc_id
+            for r in dd.dedup_keep_best(docs, pairs, "score").collect()}
+    assert kept == {2, 10, 99}
+
+
 def test_minhash_dedup_transitive_keeps_one_per_cluster(docs):
     from pandas_ai_spark.functions import dedup as dd
 

@@ -1099,11 +1099,14 @@ def q68_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pandas_ai_spark.functions import text as tx
 
     docs = _t(spark, sf_dir, "documents")
-    scored = docs.withColumn(
-        "quality", F.round(tx.quality_score(F.col("text")), 2))
+    quality = F.round(tx.quality_score(F.col("text")), 2)
     pairs = dd.ngram_jaccard_pairs(docs, n=3, threshold=0.12)
-    kept = dd.dedup_keep_best(scored, pairs, "quality")
-    return kept.select("doc_id", "quality").orderBy("doc_id")
+    # score passed as an EXPRESSION: evaluated on member rows inside the
+    # operator and on the survivors here — never a full-corpus pass that
+    # feeds only the argmax
+    kept = dd.dedup_keep_best(docs, pairs, quality)
+    return kept.select(
+        "doc_id", quality.alias("quality")).orderBy("doc_id")
 
 
 def q64_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -734,7 +734,8 @@ def minhash_dedup_transitive(df: DataFrame, text_col: str = "text",
     return df.join(losers, id_col, "left_anti")
 
 
-def dedup_keep_best(df: DataFrame, pairs: DataFrame, score_col: str,
+def dedup_keep_best(df: DataFrame, pairs: DataFrame,
+                    score_col: str | Column,
                     id_col: str = "doc_id", id_a: str = "id_a",
                     id_b: str = "id_b") -> DataFrame:
     """Quality-aware near-dup dedup: one survivor per connected
@@ -753,16 +754,23 @@ def dedup_keep_best(df: DataFrame, pairs: DataFrame, score_col: str,
     argmax run on a frame ~|pairs|, broadcast-joined back against the
     corpus; the corpus itself is touched only by the id anti-join. No
     full-corpus shuffle beyond what ``pairs`` itself required.
+
+    ``score_col`` may be a Column EXPRESSION (e.g. a quality score over
+    the text): it is projected ABOVE the member join, so an expensive
+    score is evaluated only on the output-sized member rows, never over
+    the whole corpus (Catalyst pushes raw-column pruning below joins
+    but leaves computed projections where they are written).
     """
+    score = F.col(score_col) if isinstance(score_col, str) else score_col
     clusters = dedup_clusters(pairs, id_a=id_a, id_b=id_b) \
         .withColumnRenamed("doc_id", id_col)
-    members = clusters.join(
-        df.select(F.col(id_col), F.col(score_col)), id_col)
+    members = clusters.join(df, id_col) \
+        .select("cluster_id", F.col(id_col), score.alias("__score"))
     # argmax per cluster: max_by over (score, -id) — lexicographic
     # struct comparison gives highest score, then lowest id
     keep = members.groupBy("cluster_id").agg(
         F.max_by(id_col, F.struct(
-            F.col(score_col).alias("s"),
+            F.col("__score").alias("s"),
             (-F.col(id_col)).alias("negid"))).alias("__keep"))
     losers = members.select(id_col).join(
         keep.select(F.col("__keep").alias(id_col)), id_col, "left_anti")

@@ -665,11 +665,16 @@ def dedup_clusters(pairs: DataFrame, id_a: str = "id_a",
     # pairs ARE the rare events); below the threshold a driver-side
     # union-find beats ~log(n) distributed iterations of per-job overhead.
     # The distributed path below remains the >5M-edge scale story.
-    # ONE evaluation decides the path and, when small, already holds the
-    # data: take(threshold+1) — a count()-then-collect() would run the
-    # (possibly expensive) upstream pair computation twice
-    edge_rows = edges.take(driver_threshold + 1)
-    if len(edge_rows) <= driver_threshold:
+    # The edge set is persisted (scope-managed) BEFORE the path probe:
+    # count() materializes the cache in one full pass (take() would
+    # launch 3-4 incremental scale-up jobs here, since edge counts sit
+    # far below the threshold), the small-path collect() then reads the
+    # cache instead of re-running the upstream pair plan, and the
+    # distributed path needs edges cached anyway (it re-reads them every
+    # propagation round).
+    edges = operator_persist(edges)
+    if edges.count() <= driver_threshold:
+        edge_rows = edges.collect()
         parent: dict = {}
 
         def find(x):
@@ -689,10 +694,6 @@ def dedup_clusters(pairs: DataFrame, id_a: str = "id_a",
         out = [(int(x), int(find(x))) for x in nodes]
         return pairs.sparkSession.createDataFrame(
             out, "doc_id long, cluster_id long")
-    # distributed path: `edges` is referenced by every propagation round
-    # (and by the seed labels) — persist it (scope-managed) so the
-    # upstream pair computation runs once, not once per iteration.
-    edges = operator_persist(edges)
     labels = (
         edges.select(F.col("src").alias("id")).distinct()
         .withColumn("label", F.col("id"))

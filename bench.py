@@ -18,6 +18,8 @@ import os
 import sys
 import time
 
+import pandas as pd  # module-level: pandas_udf type hints resolve here
+
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 # Deliberate anti-pattern demonstrations: timed and reported under
@@ -62,6 +64,20 @@ def main() -> None:
     # (JVM/session startup is excluded by protocol, see BASELINE.md)
     w = spark.read.parquet(f"{sf_dir}/region.parquet")
     w.groupBy(w.columns[0]).count().orderBy(w.columns[0]).collect()
+    # ...and the Python/Arrow worker pool: the first pandas_udf execution
+    # in a session forks the daemon + per-core workers (~6s measured for
+    # a 32-task stage) — process startup, excluded by the same protocol
+    # clause as the JVM (min-of-reps already hid it; this makes rep 1
+    # honest for BENCH_REPS=1 runs too)
+    from pyspark.sql import functions as _F
+
+    @_F.pandas_udf("double")
+    def __warm(s: pd.Series) -> pd.Series:
+        return s
+    cpus_env = os.environ.get("SPARK_GRAFT_CPUS", "")
+    n_warm = int(cpus_env) if cpus_env.isdigit() else (os.cpu_count() or 8)
+    spark.range(256).repartition(n_warm) \
+        .select(__warm(_F.col("id").cast("double"))).count()
 
     # steady-state timing: best of BENCH_REPS runs per query (default 2);
     # run 1 pays one-time whole-stage-codegen compilation for each new

@@ -1109,6 +1109,19 @@ def q68_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", quality.alias("quality")).orderBy("doc_id")
 
 
+def q69_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-based train/val/test split
+    (pipeline.hash_split): split = f(md5('split:'‖doc_id)) vs cumulative
+    cutoffs — stable under corpus growth (no holdout leakage across
+    dataset versions), zero shuffles. Oracle: identical md5 bucket in
+    DuckDB (q54's hex idiom) + the same CASE cutoffs."""
+    from pandas_ai_spark.functions.pipeline import hash_split
+
+    docs = _t(spark, sf_dir, "documents")
+    return (hash_split(docs, {"train": 0.9, "val": 0.05, "test": 0.05})
+            .select("doc_id", "split").orderBy("doc_id"))
+
+
 def q64_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed BPE tokenizer training (functions.bpe.train_bpe):
     10 merges learned from the corpus. One corpus pass builds the
@@ -1439,6 +1452,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q66_semantic_clusters": q66_semantic_clusters,
         "q67_stream_near_dup": q67_stream_near_dup,
         "q68_dedup_keep_best": q68_dedup_keep_best,
+        "q69_hash_split": q69_hash_split,
     }
 
 
@@ -2236,6 +2250,19 @@ def oracle_sql() -> dict[str, str]:
         "q65_semantic_dedup": _q65_oracle(),
         "q66_semantic_clusters": _q66_oracle(),
         "q67_stream_near_dup": _q67_oracle(),
+        "q69_hash_split": """
+            SELECT doc_id,
+                   CASE
+                     WHEN ('0x' || substr(md5('split:' || doc_id::VARCHAR),
+                                          1, 8))::BIGINT % 10000 < 9000
+                       THEN 'train'
+                     WHEN ('0x' || substr(md5('split:' || doc_id::VARCHAR),
+                                          1, 8))::BIGINT % 10000 < 9500
+                       THEN 'val'
+                     ELSE 'test'
+                   END AS split
+            FROM documents ORDER BY doc_id
+        """,
         "q68_dedup_keep_best": f"""
             WITH RECURSIVE sh AS (
               SELECT doc_id, {_SHINGLES} AS s FROM documents

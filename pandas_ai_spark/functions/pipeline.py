@@ -177,6 +177,47 @@ def _clean_corpus_impl(
     return cleaned, stats
 
 
+def hash_split(df: DataFrame, weights: dict[str, float],
+               id_col: str = "doc_id", seed: str = "split",
+               buckets: int = 10_000) -> DataFrame:
+    """Deterministic train/val/test assignment: ``split`` =
+    f(md5(seed‖id)) against cumulative weight cutoffs over ``buckets``
+    hash buckets.
+
+    Properties a training pipeline needs and random sampling lacks:
+    STABLE under corpus growth (a document's assignment never changes
+    when other docs are added/removed — no holdout leakage across
+    dataset versions), reproducible across engines (md5, not a seeded
+    RNG; DuckDB computes identical buckets — see
+    :func:`~pandas_ai_spark.functions.classify.md5_bucket`), and
+    re-keyable via ``seed`` for independent re-splits. Zero shuffles:
+    one row-local projection, rides the scan at any scale.
+
+    ``weights`` need not sum to 1 (they are normalized); insertion
+    order fixes the cutoff order. Expected split sizes are exact to
+    ±1/buckets.
+    """
+    from .classify import md5_bucket
+
+    total = float(sum(weights.values()))
+    if total <= 0:
+        raise ValueError("weights must sum to a positive value")
+    b = md5_bucket(
+        F.concat(F.lit(seed), F.lit(":"), F.col(id_col).cast("string")),
+        buckets)
+    names = list(weights)
+    chain = None
+    acc = 0.0
+    for name in names[:-1]:
+        acc += weights[name] / total * buckets
+        cut = int(round(acc))
+        chain = (F.when(b < cut, F.lit(name)) if chain is None
+                 else chain.when(b < cut, F.lit(name)))
+    split = (F.lit(names[-1]) if chain is None
+             else chain.otherwise(F.lit(names[-1])))
+    return df.withColumn("split", split)
+
+
 def temperature_mixture_rates(
     df: DataFrame,
     domain_col: str = "lang",

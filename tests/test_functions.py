@@ -451,6 +451,27 @@ def test_dedup_clusters_transitive(spark):
                    (20, 20), (21, 20), (22, 20), (23, 20)}
 
 
+def test_hash_split_stable_and_proportional(spark):
+    """Assignments are a pure function of (seed, id): unchanged on a
+    subset (no leakage when the corpus grows), re-keyed by seed, and
+    split sizes track the weights."""
+    from pandas_ai_spark.functions.pipeline import hash_split
+
+    ids = spark.range(0, 2000).withColumnRenamed("id", "doc_id")
+    w = {"train": 0.8, "val": 0.1, "test": 0.1}
+    full = {r.doc_id: r.split for r in hash_split(ids, w).collect()}
+    sub = {r.doc_id: r.split
+           for r in hash_split(ids.limit(500), w).collect()}
+    assert all(full[k] == v for k, v in sub.items())
+    from collections import Counter
+    c = Counter(full.values())
+    assert abs(c["train"] / 2000 - 0.8) < 0.05
+    assert abs(c["val"] / 2000 - 0.1) < 0.03
+    reseeded = {r.doc_id: r.split
+                for r in hash_split(ids, w, seed="other").collect()}
+    assert reseeded != full
+
+
 def test_dedup_keep_best_keeps_highest_score(spark):
     """One survivor per cluster = highest score (tie → lowest id);
     docs in no pair survive untouched."""

@@ -1122,6 +1122,24 @@ def q69_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_id", "split").orderBy("doc_id"))
 
 
+def q70_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series regularization (timeseries.resample_ffill): hourly
+    grid per user over each user's purchase span, forward-filled via
+    the union-sort-carry window — no grid↔series join. Oracle: DuckDB
+    generate_series grid + native ASOF LEFT JOIN. Observations are
+    pre-aggregated per (user, ts) so the fill is tie-free."""
+    from pandas_ai_spark.functions.timeseries import resample_ffill
+
+    ev = _t(spark, sf_dir, "events").where(
+        (F.col("event_type") == "purchase") & (F.col("user_id") < 30))
+    obs = ev.groupBy("user_id", "ts").agg(F.avg("value").alias("value"))
+    out = resample_ffill(obs, "ts", "value", by=("user_id",),
+                         step="1 hour", trunc_unit="hour")
+    return out.select(
+        "user_id", "ts", F.round("value", 4).alias("value")
+    ).orderBy("user_id", "ts")
+
+
 def q64_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed BPE tokenizer training (functions.bpe.train_bpe):
     10 merges learned from the corpus. One corpus pass builds the
@@ -1453,6 +1471,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q67_stream_near_dup": q67_stream_near_dup,
         "q68_dedup_keep_best": q68_dedup_keep_best,
         "q69_hash_split": q69_hash_split,
+        "q70_resample_ffill": q70_resample_ffill,
     }
 
 
@@ -2250,6 +2269,25 @@ def oracle_sql() -> dict[str, str]:
         "q65_semantic_dedup": _q65_oracle(),
         "q66_semantic_clusters": _q66_oracle(),
         "q67_stream_near_dup": _q67_oracle(),
+        "q70_resample_ffill": """
+            WITH obs AS (
+              SELECT user_id, ts, avg(value) AS value FROM events
+              WHERE event_type = 'purchase' AND user_id < 30
+              GROUP BY 1, 2
+            ), b AS (
+              SELECT user_id, date_trunc('hour', min(ts)) AS lo,
+                     date_trunc('hour', max(ts)) AS hi
+              FROM obs GROUP BY 1
+            ), grid AS (
+              SELECT user_id,
+                     unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS ts
+              FROM b
+            )
+            SELECT g.user_id, g.ts, round(o.value, 4) AS value
+            FROM grid g ASOF LEFT JOIN obs o
+              ON g.user_id = o.user_id AND g.ts >= o.ts
+            ORDER BY g.user_id, g.ts
+        """,
         "q69_hash_split": """
             SELECT doc_id,
                    CASE

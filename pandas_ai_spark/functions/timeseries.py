@@ -146,3 +146,55 @@ def range_join(
         & (delta_us <= F.lit(int(round(upper_seconds * 1_000_000))))
     )
     return out.drop("__b")
+
+
+def resample_ffill(
+    df: DataFrame,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    by: Sequence[str] = ("user_id",),
+    step: str = "1 hour",
+    trunc_unit: str = "hour",
+) -> DataFrame:
+    """Regularize an irregular time series: per ``by`` key, emit one row
+    per ``step`` on the truncated [min(ts), max(ts)] span, carrying the
+    most recent observed ``value_col`` forward (grid points before the
+    first observation stay NULL).
+
+    Same union-sort-carry shape as :func:`asof_join` — no grid↔series
+    join at all: the per-key grid (``sequence`` + ``explode``, pure JVM)
+    unions with the observations, ONE window per key ordered by
+    ``(ts, side)`` forward-fills via ``last(ignorenulls)``, and the
+    filter keeps grid rows. Observations sort BEFORE their grid point
+    at equal timestamps, so an on-grid observation lands on its own
+    grid row. Cost: one bounds agg + one window, both shuffling only on
+    the key — the shape that holds when the series is 100 TB of sensor
+    data (grid volume is span/step per key, independent of observation
+    count).
+
+    Callers with several observations per (key, ts) should pre-aggregate
+    first (the fill is otherwise order-ambiguous between equal
+    timestamps).
+    """
+    by = list(by)
+    vtype = df.schema[value_col].dataType
+    bounds = df.groupBy(*by).agg(
+        F.date_trunc(trunc_unit, F.min(ts_col)).alias("__lo"),
+        F.date_trunc(trunc_unit, F.max(ts_col)).alias("__hi"))
+    grid = (
+        bounds.select(
+            *by,
+            F.explode(F.sequence(
+                "__lo", "__hi", F.expr(f"interval {step}"))).alias(ts_col))
+        .withColumn(value_col, F.lit(None).cast(vtype))
+        .withColumn("__side", F.lit(1)))
+    obs = df.select(*by, ts_col, value_col).withColumn("__side", F.lit(0))
+    w = (Window.partitionBy(*by)
+         .orderBy(F.col(ts_col).asc(), F.col("__side").asc())
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (
+        obs.unionByName(grid)
+        .withColumn("__fv", F.last(value_col, ignorenulls=True).over(w))
+        .where(F.col("__side") == 1)
+        .select(*by, ts_col, F.col("__fv").alias(value_col))
+    )

@@ -451,6 +451,33 @@ def test_dedup_clusters_transitive(spark):
                    (20, 20), (21, 20), (22, 20), (23, 20)}
 
 
+def test_resample_ffill_known_grid(spark):
+    """Hourly grid spans trunc(min)..trunc(max) per key; values carry
+    forward across gaps; grid points before the first obs stay NULL;
+    an on-grid observation lands on its own grid row."""
+    import datetime as dt
+
+    from pandas_ai_spark.functions.timeseries import resample_ffill
+
+    t0 = dt.datetime(2024, 1, 1, 10, 0, 0)
+
+    def at(h, m=0):
+        return t0 + dt.timedelta(hours=h, minutes=m)
+
+    df = spark.createDataFrame(
+        [(1, at(0, 30), 5.0),   # 10:30 → fills 11:00, 12:00
+         (1, at(3), 7.0),       # 13:00 exactly on grid
+         (2, at(1, 15), 2.0)],
+        "user_id long, ts timestamp, value double")
+    got = {(r.user_id, r.ts, r.value)
+           for r in resample_ffill(df, by=("user_id",)).collect()}
+    assert got == {
+        (1, at(0), None), (1, at(1), 5.0), (1, at(2), 5.0),
+        (1, at(3), 7.0),
+        (2, at(1), None),
+    }
+
+
 def test_hash_split_stable_and_proportional(spark):
     """Assignments are a pure function of (seed, id): unchanged on a
     subset (no leakage when the corpus grows), re-keyed by seed, and

@@ -1140,6 +1140,32 @@ def q70_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("user_id", "ts")
 
 
+def q71_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily cohort retention matrix (events.cohort_retention — the
+    D1/D7 form): cohort = first-activity day per user, offset = days
+    since cohort, users = distinct active users. Two user-keyed aggs +
+    one co-partitioned join. Oracle: same date_trunc/date_diff
+    arithmetic in DuckDB."""
+    from pandas_ai_spark.functions.events import cohort_retention
+
+    ev = _t(spark, sf_dir, "events")
+    return (cohort_retention(ev, unit="day")
+            .orderBy("cohort", "offset"))
+
+
+def q72_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered view→click→purchase funnel (events.funnel): per user,
+    each stage's first occurrence strictly after the previous stage's
+    time; NULL where the user stalls. Stage-filtered user-keyed
+    min-aggs + co-partitioned joins, no per-user event lists. Oracle:
+    chained correlated min-joins in DuckDB."""
+    from pandas_ai_spark.functions.events import funnel
+
+    ev = _t(spark, sf_dir, "events")
+    return (funnel(ev, ["view", "click", "purchase"])
+            .orderBy("user_id"))
+
+
 def q64_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed BPE tokenizer training (functions.bpe.train_bpe):
     10 merges learned from the corpus. One corpus pass builds the
@@ -1472,6 +1498,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q68_dedup_keep_best": q68_dedup_keep_best,
         "q69_hash_split": q69_hash_split,
         "q70_resample_ffill": q70_resample_ffill,
+        "q71_cohort_retention": q71_cohort_retention,
+        "q72_funnel": q72_funnel,
     }
 
 
@@ -2269,6 +2297,38 @@ def oracle_sql() -> dict[str, str]:
         "q65_semantic_dedup": _q65_oracle(),
         "q66_semantic_clusters": _q66_oracle(),
         "q67_stream_near_dup": _q67_oracle(),
+        "q71_cohort_retention": """
+            WITH c AS (
+              SELECT user_id, date_trunc('day', min(ts)) AS cohort
+              FROM events GROUP BY 1
+            ), a AS (
+              SELECT DISTINCT user_id, date_trunc('day', ts) AS p
+              FROM events
+            )
+            SELECT c.cohort::TIMESTAMP AS cohort,
+                   date_diff('day', c.cohort, a.p)::INT AS offset,
+                   count(DISTINCT a.user_id) AS users
+            FROM a JOIN c USING (user_id)
+            GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "q72_funnel": """
+            WITH s1 AS (
+              SELECT user_id, min(ts) AS t1 FROM events
+              WHERE event_type = 'view' GROUP BY 1
+            ), s2 AS (
+              SELECT e.user_id, min(e.ts) AS t2 FROM events e
+              JOIN s1 ON e.user_id = s1.user_id AND e.ts > s1.t1
+              WHERE e.event_type = 'click' GROUP BY 1
+            ), s3 AS (
+              SELECT e.user_id, min(e.ts) AS t3 FROM events e
+              JOIN s2 ON e.user_id = s2.user_id AND e.ts > s2.t2
+              WHERE e.event_type = 'purchase' GROUP BY 1
+            )
+            SELECT s1.user_id, s1.t1, s2.t2, s3.t3
+            FROM s1 LEFT JOIN s2 USING (user_id)
+                    LEFT JOIN s3 USING (user_id)
+            ORDER BY s1.user_id
+        """,
         "q70_resample_ffill": """
             WITH obs AS (
               SELECT user_id, ts, avg(value) AS value FROM events

@@ -1,0 +1,83 @@
+"""Event-stream analytics: cohort retention and ordered funnels.
+
+Product-analytics queries over an append-only events table — the
+workload the reference's users point conversational SQL at, expressed
+here as first-class operators with fixed scale shapes.
+
+Scale notes (100 TB event streams):
+- Everything is keyed on the user: cohort assignment, period activity,
+  and every funnel stage shuffle on ``user_id`` — consecutive stages
+  reuse the same hash partitioning, so the fact table never re-shuffles
+  on a different key.
+- No windows over the whole stream and no per-user state held in
+  Python: each stage is a plain filtered aggregation + co-partitioned
+  join, which AQE handles like any skewed equi-join.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_UNIT_DAYS = {"day": 1, "week": 7}
+
+
+def cohort_retention(df: DataFrame, ts_col: str = "ts",
+                     user_col: str = "user_id",
+                     unit: str = "week") -> DataFrame:
+    """Retention matrix ``(cohort, offset) → users``: each user's cohort
+    is their first-activity period (``date_trunc(unit)``); ``offset``
+    counts periods between cohort and each period the user was active
+    in; ``users`` is the distinct active-user count. offset 0 is the
+    cohort size by construction.
+
+    Two user-keyed aggregations and one user-keyed join — the join and
+    the second agg reuse the first shuffle's partitioning.
+    """
+    if unit not in _UNIT_DAYS:
+        raise ValueError(f"unit must be one of {sorted(_UNIT_DAYS)}")
+    cohorts = df.groupBy(user_col).agg(
+        F.date_trunc(unit, F.min(ts_col)).alias("cohort"))
+    activity = df.select(
+        F.col(user_col), F.date_trunc(unit, F.col(ts_col)).alias("__p")
+    ).distinct()
+    per = _UNIT_DAYS[unit]
+    offset = (F.datediff(F.col("__p"), F.col("cohort")) / per).cast("int")
+    return (
+        activity.join(cohorts, user_col)
+        .groupBy("cohort", offset.alias("offset"))
+        .agg(F.countDistinct(user_col).alias("users"))
+    )
+
+
+def funnel(df: DataFrame, steps: Sequence[str],
+           type_col: str = "event_type", ts_col: str = "ts",
+           user_col: str = "user_id") -> DataFrame:
+    """Ordered funnel: per user, ``t1`` = first occurrence of
+    ``steps[0]``; ``tK`` = first occurrence of ``steps[K-1]`` STRICTLY
+    AFTER ``t(K-1)``. Returns one row per user who entered the funnel,
+    with NULL stage times where they stalled — conversion counts are a
+    ``count(tK)`` away.
+
+    k−1 passes over the (stage-filtered) events, each a user-keyed join
+    + min-aggregation co-partitioned with the previous stage; no
+    per-user event lists are ever materialized, so a bot user with 10⁹
+    events costs one skewed-join key, not an executor OOM.
+    """
+    if len(steps) < 2:
+        raise ValueError("a funnel needs at least two steps")
+    out = (df.where(F.col(type_col) == steps[0])
+             .groupBy(user_col).agg(F.min(ts_col).alias("t1")))
+    for i, step in enumerate(steps[1:], start=2):
+        ev = df.where(F.col(type_col) == step).select(user_col, ts_col)
+        ti = (
+            ev.join(out.select(F.col(user_col),
+                               F.col(f"t{i - 1}").alias("__prev")),
+                    user_col)
+            .where(F.col(ts_col) > F.col("__prev"))
+            .groupBy(user_col).agg(F.min(ts_col).alias(f"t{i}"))
+        )
+        out = out.join(ti, user_col, "left")
+    return out

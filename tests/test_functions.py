@@ -451,6 +451,56 @@ def test_dedup_clusters_transitive(spark):
                    (20, 20), (21, 20), (22, 20), (23, 20)}
 
 
+def test_cohort_retention_known_matrix(spark):
+    """Two cohorts; a user active in weeks 0 and 2 counts at offsets
+    0 and 2, not 1."""
+    import datetime as dt
+
+    from pandas_ai_spark.functions.events import cohort_retention
+
+    mon = dt.datetime(2024, 1, 1)  # a Monday
+
+    def wk(w, d=0):
+        return mon + dt.timedelta(weeks=w, days=d)
+
+    df = spark.createDataFrame(
+        [(1, wk(0, 1)), (1, wk(2, 3)),     # cohort w0, active w0+w2
+         (2, wk(0, 2)), (2, wk(1)),        # cohort w0, active w0+w1
+         (3, wk(1, 4))],                   # cohort w1, active w1 only
+        "user_id long, ts timestamp")
+    got = {(r.cohort, r.offset, r.users)
+           for r in cohort_retention(df, unit="week").collect()}
+    assert got == {(wk(0), 0, 2), (wk(0), 1, 1), (wk(0), 2, 1),
+                   (wk(1), 0, 1)}
+
+
+def test_funnel_strict_ordering(spark):
+    """Stage K must be strictly after stage K-1's first time: a click
+    before the first view doesn't count; stalls yield NULLs."""
+    import datetime as dt
+
+    from pandas_ai_spark.functions.events import funnel
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def at(m):
+        return t0 + dt.timedelta(minutes=m)
+
+    df = spark.createDataFrame(
+        [  # user 1 completes in order
+         (1, "view", at(0)), (1, "click", at(5)), (1, "purchase", at(9)),
+           # user 2: click BEFORE first view → funnel stalls at t1
+         (2, "click", at(1)), (2, "view", at(2)),
+           # user 3 never views → not in result
+         (3, "purchase", at(4))],
+        "user_id long, event_type string, ts timestamp")
+    rows = {r.user_id: (r.t1, r.t2, r.t3)
+            for r in funnel(df, ["view", "click", "purchase"]).collect()}
+    assert set(rows) == {1, 2}
+    assert rows[1] == (at(0), at(5), at(9))
+    assert rows[2] == (at(2), None, None)
+
+
 def test_resample_ffill_known_grid(spark):
     """Hourly grid spans trunc(min)..trunc(max) per key; values carry
     forward across gaps; grid points before the first obs stay NULL;

@@ -1166,6 +1166,21 @@ def q72_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("user_id"))
 
 
+def q73_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 SCD history (timeseries.scd2_snapshot): each user's
+    event_type change log collapsed to versions with valid_from /
+    valid_to / is_current — change detection (lag) and interval
+    assignment (lead) share ONE key shuffle. Oracle: identical window
+    SQL in DuckDB."""
+    from pandas_ai_spark.functions.timeseries import scd2_snapshot
+
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts", "event_type")
+    return (scd2_snapshot(ev, ["user_id"], "ts", ["event_type"])
+            .select("user_id", "event_type", "valid_from", "valid_to",
+                    "is_current")
+            .orderBy("user_id", "valid_from"))
+
+
 def q64_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed BPE tokenizer training (functions.bpe.train_bpe):
     10 merges learned from the corpus. One corpus pass builds the
@@ -1500,6 +1515,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q70_resample_ffill": q70_resample_ffill,
         "q71_cohort_retention": q71_cohort_retention,
         "q72_funnel": q72_funnel,
+        "q73_scd2_history": q73_scd2_history,
     }
 
 
@@ -2297,6 +2313,23 @@ def oracle_sql() -> dict[str, str]:
         "q65_semantic_dedup": _q65_oracle(),
         "q66_semantic_clusters": _q66_oracle(),
         "q67_stream_near_dup": _q67_oracle(),
+        "q73_scd2_history": """
+            WITH d AS (
+              SELECT user_id, ts, event_type,
+                     lag(event_type) OVER (
+                       PARTITION BY user_id ORDER BY ts) AS prev
+              FROM events
+            ), c AS (
+              SELECT user_id, ts, event_type FROM d
+              WHERE prev IS NULL OR event_type <> prev
+            )
+            SELECT user_id, event_type, ts AS valid_from,
+                   lead(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                     AS valid_to,
+                   lead(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                     IS NULL AS is_current
+            FROM c ORDER BY user_id, valid_from
+        """,
         "q71_cohort_retention": """
             WITH c AS (
               SELECT user_id, date_trunc('day', min(ts)) AS cohort

@@ -198,3 +198,40 @@ def resample_ffill(
         .where(F.col("__side") == 1)
         .select(*by, ts_col, F.col("__fv").alias(value_col))
     )
+
+
+def scd2_snapshot(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    ts_col: str = "ts",
+    attr_cols: Sequence[str] = ("value",),
+) -> DataFrame:
+    """Build a type-2 slowly-changing-dimension history from a change
+    log: collapse consecutive records whose ``attr_cols`` are unchanged,
+    then emit one row per attribute VERSION with ``valid_from`` /
+    ``valid_to`` (next version's start, NULL while current) and
+    ``is_current``.
+
+    Cost: ONE shuffle on the key — change detection (lag over a struct
+    of the attributes) and interval assignment (lead) are two window
+    passes over the same partitioning; the filter between them removes
+    no-op updates without re-exchanging. Requires ``ts_col`` unique per
+    key (pre-aggregate ties first — an ambiguous ordering would make
+    version boundaries nondeterministic).
+    """
+    key_cols, attr_cols = list(key_cols), list(attr_cols)
+    attrs = F.struct(*[F.col(c) for c in attr_cols])
+    w = Window.partitionBy(*key_cols).orderBy(F.col(ts_col).asc())
+    changed = (
+        df.select(*key_cols, ts_col, *attr_cols)
+        .withColumn("__prev", F.lag(attrs).over(w))
+        .where(F.col("__prev").isNull() | (attrs != F.col("__prev")))
+        .drop("__prev")
+    )
+    valid_to = F.lead(ts_col).over(w)
+    return (
+        changed
+        .withColumn("valid_to", valid_to)
+        .withColumnRenamed(ts_col, "valid_from")
+        .withColumn("is_current", F.col("valid_to").isNull())
+    )

@@ -451,6 +451,36 @@ def test_dedup_clusters_transitive(spark):
                    (20, 20), (21, 20), (22, 20), (23, 20)}
 
 
+def test_scd2_snapshot_collapses_noop_updates(spark):
+    """Consecutive identical attribute values collapse into one version;
+    valid_to chains to the next version; last version is current."""
+    import datetime as dt
+
+    from pandas_ai_spark.functions.timeseries import scd2_snapshot
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def at(h):
+        return t0 + dt.timedelta(hours=h)
+
+    df = spark.createDataFrame(
+        [(1, at(0), "bronze"), (1, at(1), "bronze"),   # no-op update
+         (1, at(2), "gold"), (1, at(3), "bronze"),     # real changes
+         (2, at(5), "silver")],
+        "user_id long, ts timestamp, tier string")
+    rows = sorted(
+        scd2_snapshot(df, ["user_id"], "ts", ["tier"]).collect(),
+        key=lambda r: (r.user_id, r.valid_from))
+    got = [(r.user_id, r.tier, r.valid_from, r.valid_to, r.is_current)
+           for r in rows]
+    assert got == [
+        (1, "bronze", at(0), at(2), False),
+        (1, "gold", at(2), at(3), False),
+        (1, "bronze", at(3), None, True),
+        (2, "silver", at(5), None, True),
+    ]
+
+
 def test_cohort_retention_known_matrix(spark):
     """Two cohorts; a user active in weeks 0 and 2 counts at offsets
     0 and 2, not 1."""

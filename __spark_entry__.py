@@ -2316,12 +2316,17 @@ def oracle_sql() -> dict[str, str]:
         "q73_scd2_history": """
             WITH d AS (
               SELECT user_id, ts, event_type,
+                     lag(ts) OVER (
+                       PARTITION BY user_id ORDER BY ts) AS prev_ts,
                      lag(event_type) OVER (
                        PARTITION BY user_id ORDER BY ts) AS prev
               FROM events
             ), c AS (
+              -- first row detected via lag(ts) (never NULL), change via
+              -- IS DISTINCT FROM — matches the engine's struct
+              -- comparison when an attribute value is itself NULL
               SELECT user_id, ts, event_type FROM d
-              WHERE prev IS NULL OR event_type <> prev
+              WHERE prev_ts IS NULL OR event_type IS DISTINCT FROM prev
             )
             SELECT user_id, event_type, ts AS valid_from,
                    lead(ts) OVER (PARTITION BY user_id ORDER BY ts)

@@ -76,8 +76,11 @@ def main() -> None:
         return s
     cpus_env = os.environ.get("SPARK_GRAFT_CPUS", "")
     n_warm = int(cpus_env) if cpus_env.isdigit() else (os.cpu_count() or 8)
+    # the aggregate must CONSUME the UDF output: under count() the
+    # unreferenced projection is column-pruned and no worker ever forks
     spark.range(256).repartition(n_warm) \
-        .select(__warm(_F.col("id").cast("double"))).count()
+        .select(__warm(_F.col("id").cast("double")).alias("v")) \
+        .agg(_F.sum("v")).collect()
 
     # steady-state timing: best of BENCH_REPS runs per query (default 2);
     # run 1 pays one-time whole-stage-codegen compilation for each new

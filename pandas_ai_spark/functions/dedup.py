@@ -424,7 +424,12 @@ def ngram_jaccard_pairs(
         # one aggregation over an index the operator materializes
         # anyway, and a corpus that clean (no boilerplate above the
         # cap) skips the whole verification superstructure.
-        if stop.isEmpty():
+        # the probe fully materializes the (tiny) stop set into the
+        # cache — count(), not isEmpty(), which could stop after one
+        # partition and leave the rest to re-run the full-index
+        # frequency agg inside the anti-join plan below
+        stop = operator_persist(stop)
+        if stop.count() == 0:
             max_doc_freq = None
         else:
             # anti-join against the (tiny, AQE-broadcast) stop set
@@ -691,9 +696,14 @@ def dedup_clusters(pairs: DataFrame, id_a: str = "id_a",
                 lo, hi = (ra, rb) if ra <= rb else (rb, ra)
                 parent[hi] = lo                # min id becomes the root
         nodes = {r.src for r in edge_rows}
-        out = [(int(x), int(find(x))) for x in nodes]
-        return pairs.sparkSession.createDataFrame(
-            out, "doc_id long, cluster_id long")
+        # id type follows the input (string ids order lexicographically,
+        # consistent with the distributed path's F.min labels)
+        id_type = edges.schema["src"].dataType
+        out_schema = T.StructType([
+            T.StructField("doc_id", id_type),
+            T.StructField("cluster_id", id_type)])
+        out = [(x, find(x)) for x in nodes]
+        return pairs.sparkSession.createDataFrame(out, out_schema)
     labels = (
         edges.select(F.col("src").alias("id")).distinct()
         .withColumn("label", F.col("id"))
@@ -762,19 +772,23 @@ def dedup_keep_best(df: DataFrame, pairs: DataFrame,
     the whole corpus (Catalyst pushes raw-column pruning below joins
     but leaves computed projections where they are written).
     """
+    from pyspark.sql import Window
+
     score = F.col(score_col) if isinstance(score_col, str) else score_col
     clusters = dedup_clusters(pairs, id_a=id_a, id_b=id_b) \
         .withColumnRenamed("doc_id", id_col)
     members = clusters.join(df, id_col) \
         .select("cluster_id", F.col(id_col), score.alias("__score"))
-    # argmax per cluster: max_by over (score, -id) — lexicographic
-    # struct comparison gives highest score, then lowest id
-    keep = members.groupBy("cluster_id").agg(
-        F.max_by(id_col, F.struct(
-            F.col("__score").alias("s"),
-            (-F.col(id_col)).alias("negid"))).alias("__keep"))
-    losers = members.select(id_col).join(
-        keep.select(F.col("__keep").alias(id_col)), id_col, "left_anti")
+    # argmax per cluster via row_number over (score DESC, id ASC): works
+    # for ANY orderable id type (a max_by over struct(score, -id) would
+    # crash on string ids under ANSI and silently lose the tie-break
+    # otherwise). The window runs on the output-sized member frame, not
+    # the corpus.
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("__score").desc(), F.col(id_col).asc())
+    keep = (members.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") == 1).select(id_col))
+    losers = members.select(id_col).join(keep, id_col, "left_anti")
     return df.join(losers, id_col, "left_anti")
 
 

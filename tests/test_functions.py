@@ -596,6 +596,46 @@ def test_dedup_keep_best_keeps_highest_score(spark):
     assert kept == {2, 10, 99}
 
 
+def test_dedup_keep_best_string_ids(spark):
+    """The argmax tie-break must work for non-numeric ids (a negated-id
+    max_by would crash under ANSI or silently break determinism)."""
+    from pandas_ai_spark.functions import dedup as dd
+
+    docs = spark.createDataFrame(
+        [("a", 0.1), ("b", 0.9), ("c", 0.9), ("z", 0.5)],
+        "doc_id string, score double")
+    pairs = spark.createDataFrame(
+        [("a", "b"), ("b", "c")], "id_a string, id_b string")
+    kept = {r.doc_id
+            for r in dd.dedup_keep_best(docs, pairs, "score").collect()}
+    assert kept == {"b", "z"}   # tie 0.9/0.9 → lowest id "b"
+
+
+def test_scd2_snapshot_null_attribute_versions(spark):
+    """NULL attribute values: x→NULL opens a version, NULL→NULL
+    collapses, and a leading NULL version is kept."""
+    import datetime as dt
+
+    from pandas_ai_spark.functions.timeseries import scd2_snapshot
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def at(h):
+        return t0 + dt.timedelta(hours=h)
+
+    df = spark.createDataFrame(
+        [(1, at(0), None), (1, at(1), None),      # leading NULL, no-op
+         (1, at(2), "x"), (1, at(3), None)],      # x → NULL is a change
+        "user_id long, ts timestamp, tier string")
+    got = [(r.tier, r.valid_from, r.valid_to, r.is_current)
+           for r in sorted(
+               scd2_snapshot(df, ["user_id"], "ts", ["tier"]).collect(),
+               key=lambda r: r.valid_from)]
+    assert got == [(None, at(0), at(2), False),
+                   ("x", at(2), at(3), False),
+                   (None, at(3), None, True)]
+
+
 def test_minhash_dedup_transitive_keeps_one_per_cluster(docs):
     from pandas_ai_spark.functions import dedup as dd
 

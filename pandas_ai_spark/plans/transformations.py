@@ -56,7 +56,18 @@ def strftime_to_spark(fmt: str) -> str:
         ch = fmt[i]
         if ch == "%" and i + 1 < len(fmt):
             nxt = fmt[i + 1]
-            out.append(_STRFTIME_MAP.get(nxt, nxt))
+            if nxt in _STRFTIME_MAP:
+                out.append(_STRFTIME_MAP[nxt])
+            elif nxt == "'":
+                # unknown %' — the quote still needs doubling or the
+                # emitted pattern has unbalanced quotes
+                out.append("''")
+            elif nxt.isascii() and nxt.isalpha():
+                # unknown %q etc. — pass the letter through as a QUOTED
+                # literal, not a bare (reserved) pattern symbol
+                out.append(f"'{nxt}'")
+            else:
+                out.append(nxt)
             i += 2
         elif ch.isascii() and ch.isalpha():
             # only ASCII letters are reserved pattern symbols in Java's

@@ -451,6 +451,43 @@ def test_dedup_clusters_transitive(spark):
                    (20, 20), (21, 20), (22, 20), (23, 20)}
 
 
+def test_resample_ffill_random_parity_with_python_reference(spark):
+    """Seeded random series per key: every grid value equals the last
+    observation at-or-before the grid point (pure-Python oracle)."""
+    import datetime as dt
+    import random
+
+    from pandas_ai_spark.functions.timeseries import resample_ffill
+
+    rng = random.Random(7)
+    t0 = dt.datetime(2024, 3, 1)
+    rows = []
+    for uid in range(5):
+        n = rng.randint(1, 12)
+        minutes = sorted(rng.sample(range(0, 48 * 60), n))
+        for m in minutes:
+            rows.append((uid, t0 + dt.timedelta(minutes=m),
+                         round(rng.uniform(0, 100), 3)))
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+    got = {(r.user_id, r.ts): r.value
+           for r in resample_ffill(df, by=("user_id",)).collect()}
+
+    expect = {}
+    by_user: dict = {}
+    for uid, ts, v in rows:
+        by_user.setdefault(uid, []).append((ts, v))
+    for uid, obs in by_user.items():
+        obs.sort()
+        lo = obs[0][0].replace(minute=0, second=0, microsecond=0)
+        hi = obs[-1][0].replace(minute=0, second=0, microsecond=0)
+        t = lo
+        while t <= hi:
+            vals = [v for (ts, v) in obs if ts <= t]
+            expect[(uid, t)] = vals[-1] if vals else None
+            t += dt.timedelta(hours=1)
+    assert got == expect
+
+
 def test_scd2_snapshot_collapses_noop_updates(spark):
     """Consecutive identical attribute values collapse into one version;
     valid_to chains to the next version; last version is current."""

@@ -1174,7 +1174,12 @@ def q73_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     SQL in DuckDB."""
     from pandas_ai_spark.functions.timeseries import scd2_snapshot
 
-    ev = _t(spark, sf_dir, "events").select("user_id", "ts", "event_type")
+    # scd2_snapshot requires ts unique per key; enforce it (min per
+    # (user, ts)) rather than relying on the dataset happening to have
+    # no ties — the oracle mirrors the same pre-aggregation
+    ev = (_t(spark, sf_dir, "events")
+          .groupBy("user_id", "ts")
+          .agg(F.min("event_type").alias("event_type")))
     return (scd2_snapshot(ev, ["user_id"], "ts", ["event_type"])
             .select("user_id", "event_type", "valid_from", "valid_to",
                     "is_current")
@@ -2314,13 +2319,16 @@ def oracle_sql() -> dict[str, str]:
         "q66_semantic_clusters": _q66_oracle(),
         "q67_stream_near_dup": _q67_oracle(),
         "q73_scd2_history": """
-            WITH d AS (
+            WITH e AS (
+              SELECT user_id, ts, min(event_type) AS event_type
+              FROM events GROUP BY 1, 2
+            ), d AS (
               SELECT user_id, ts, event_type,
                      lag(ts) OVER (
                        PARTITION BY user_id ORDER BY ts) AS prev_ts,
                      lag(event_type) OVER (
                        PARTITION BY user_id ORDER BY ts) AS prev
-              FROM events
+              FROM e
             ), c AS (
               -- first row detected via lag(ts) (never NULL), change via
               -- IS DISTINCT FROM — matches the engine's struct

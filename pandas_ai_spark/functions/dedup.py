@@ -761,10 +761,12 @@ def dedup_keep_best(df: DataFrame, pairs: DataFrame,
     no analog — training-pipeline extension per SURVEY §6).
 
     Scale shape: near-dup clusters are output-sized (pairs are the rare
-    events), so the member/score join and the per-cluster ``max_by``
-    argmax run on a frame ~|pairs|, broadcast-joined back against the
-    corpus; the corpus itself is touched only by the id anti-join. No
-    full-corpus shuffle beyond what ``pairs`` itself required.
+    events), so the member/score join and the per-cluster argmax (a
+    ``row_number`` window over (score DESC, id ASC) — works for any
+    orderable id type) run on a frame ~|pairs|, broadcast-joined back
+    against the corpus; the corpus itself is touched only by the id
+    anti-join. No full-corpus shuffle beyond what ``pairs`` itself
+    required.
 
     ``score_col`` may be a Column EXPRESSION (e.g. a quality score over
     the text): it is projected ABOVE the member join, so an expensive

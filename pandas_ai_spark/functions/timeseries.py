@@ -220,6 +220,13 @@ def scd2_snapshot(
     version boundaries nondeterministic).
     """
     key_cols, attr_cols = list(key_cols), list(attr_cols)
+    reserved = {"valid_from", "valid_to", "is_current", "__prev"}
+    clash = reserved & set(key_cols) | reserved & set(attr_cols) \
+        | (reserved & {ts_col})
+    if clash:
+        raise ValueError(
+            f"scd2_snapshot output reserves column names {sorted(reserved)}; "
+            f"rename input column(s) {sorted(clash)} first")
     attrs = F.struct(*[F.col(c) for c in attr_cols])
     w = Window.partitionBy(*key_cols).orderBy(F.col(ts_col).asc())
     changed = (

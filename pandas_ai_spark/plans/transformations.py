@@ -47,39 +47,49 @@ _STRFTIME_MAP = {
 def strftime_to_spark(fmt: str) -> str:
     """Translate a strftime format to a Spark datetime pattern.
 
-    Literal alphabetic characters are single-quoted (Spark treats bare
-    letters as pattern symbols).
+    Characters reserved by Java's DateTimeFormatter — ASCII letters plus
+    ``# { }`` and the quote — are emitted as quoted literals. CONSECUTIVE
+    literal characters are accumulated into ONE quoted run: quoting each
+    character separately would put adjacent runs like ``'a''t'`` in the
+    pattern, which Java parses as the literal ``a't`` (``''`` inside a
+    quoted section is an escaped quote), silently corrupting the output.
+    A run consisting solely of quotes is emitted as ``''`` pairs (the
+    enclosed form ``''''`` would parse as TWO literal quotes). Unknown
+    ``%x`` directives become literal characters of the run.
     """
     out: list[str] = []
+    lit: list[str] = []
+
+    def flush() -> None:
+        if not lit:
+            return
+        run = "".join(lit)
+        lit.clear()
+        if set(run) == {"'"}:
+            out.append("''" * len(run))
+        else:
+            out.append("'" + run.replace("'", "''") + "'")
+
     i = 0
     while i < len(fmt):
         ch = fmt[i]
         if ch == "%" and i + 1 < len(fmt):
             nxt = fmt[i + 1]
             if nxt in _STRFTIME_MAP:
+                flush()
                 out.append(_STRFTIME_MAP[nxt])
-            elif nxt == "'":
-                # unknown %' — the quote still needs doubling or the
-                # emitted pattern has unbalanced quotes
-                out.append("''")
-            elif nxt.isascii() and nxt.isalpha():
-                # unknown %q etc. — pass the letter through as a QUOTED
-                # literal, not a bare (reserved) pattern symbol
-                out.append(f"'{nxt}'")
             else:
-                out.append(nxt)
+                # unknown directive → its character is a literal
+                lit.append(nxt)
             i += 2
-        elif ch.isascii() and ch.isalpha():
-            # only ASCII letters are reserved pattern symbols in Java's
-            # DateTimeFormatter; non-ASCII literals pass through unquoted
-            out.append(f"'{ch}'")
-            i += 1
-        elif ch == "'":
-            out.append("''")
+        elif (ch.isascii() and ch.isalpha()) or ch in "'#{}":
+            lit.append(ch)
             i += 1
         else:
+            flush()
             out.append(ch)
             i += 1
+    flush()
     return "".join(out)
 
 

@@ -243,7 +243,30 @@ def test_strftime_translation():
     assert strftime_to_spark("%Y-%m-%d") == "yyyy-MM-dd"
     assert strftime_to_spark("%H:%M:%S") == "HH:mm:ss"
     assert strftime_to_spark("%Y年") == "yyyy年"
-    assert strftime_to_spark("week %A") == "'w''e''e''k' EEEE"
+    # literal RUNS quote once ('a''t' would be Java for the literal a't)
+    assert strftime_to_spark("at %H") == "'at' HH"
+    # reserved punctuation #{} is quoted (bare, it crashes the formatter)
+    assert strftime_to_spark("%Y#%j") == "yyyy'#'DDD"
+    # quote-only runs use the '' escaped form ('''' would be TWO quotes)
+    assert strftime_to_spark("%'") == "''"
+    assert strftime_to_spark("it's %H") == "'it''s' HH"
+
+
+def test_strftime_literals_render_correctly(spark):
+    """End-to-end through Java's formatter: the quoted-run rules above
+    must survive an actual date_format evaluation."""
+    df = spark.sql("SELECT timestamp'2024-03-05 14:07:09' AS t")
+
+    def render(fmt):
+        return df.select(
+            F.date_format("t", strftime_to_spark(fmt))).collect()[0][0]
+
+    assert render("at %H") == "at 14"
+    assert render("%Y#%j") == "2024#065"
+    assert render("it's %H") == "it's 14"
+    assert render("%'") == "'"
+    assert strftime_to_spark("week %A") == "'week' EEEE"
+    assert render("week %A") == "week Tuesday"
 
 
 def test_transformation_sequential_order(spark):

@@ -1186,6 +1186,22 @@ def q73_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("user_id", "valid_from"))
 
 
+def q74_profile_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-column table profile (stats.profile_exact): counts,
+    nulls, exact distincts, min/max per column in ONE aggregation pass
+    (multi-distinct via Catalyst Expand, stack unpivot) — the
+    deterministic complement to q55's sketch profile. Oracle: UNION ALL
+    of per-column aggregates. String/bigint columns only so the
+    min/max string casts are engine-identical."""
+    from pandas_ai_spark.functions.stats import profile_exact
+
+    orders = _t(spark, sf_dir, "orders")
+    return profile_exact(
+        orders,
+        ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"],
+    ).orderBy("column")
+
+
 def q64_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed BPE tokenizer training (functions.bpe.train_bpe):
     10 merges learned from the corpus. One corpus pass builds the
@@ -1521,6 +1537,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q71_cohort_retention": q71_cohort_retention,
         "q72_funnel": q72_funnel,
         "q73_scd2_history": q73_scd2_history,
+        "q74_profile_exact": q74_profile_exact,
     }
 
 
@@ -2318,6 +2335,33 @@ def oracle_sql() -> dict[str, str]:
         "q65_semantic_dedup": _q65_oracle(),
         "q66_semantic_clusters": _q66_oracle(),
         "q67_stream_near_dup": _q67_oracle(),
+        "q74_profile_exact": """
+            SELECT 'o_orderkey' AS "column", count(o_orderkey) AS n,
+                   sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END)::BIGINT AS nulls,
+                   count(DISTINCT o_orderkey) AS n_distinct,
+                   min(o_orderkey)::VARCHAR AS min_s,
+                   max(o_orderkey)::VARCHAR AS max_s
+            FROM orders
+            UNION ALL
+            SELECT 'o_custkey', count(o_custkey),
+                   sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)::BIGINT,
+                   count(DISTINCT o_custkey),
+                   min(o_custkey)::VARCHAR, max(o_custkey)::VARCHAR
+            FROM orders
+            UNION ALL
+            SELECT 'o_orderstatus', count(o_orderstatus),
+                   sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END)::BIGINT,
+                   count(DISTINCT o_orderstatus),
+                   min(o_orderstatus), max(o_orderstatus)
+            FROM orders
+            UNION ALL
+            SELECT 'o_orderpriority', count(o_orderpriority),
+                   sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END)::BIGINT,
+                   count(DISTINCT o_orderpriority),
+                   min(o_orderpriority), max(o_orderpriority)
+            FROM orders
+            ORDER BY "column"
+        """,
         "q73_scd2_history": """
             WITH e AS (
               SELECT user_id, ts, min(event_type) AS event_type

@@ -85,3 +85,37 @@ def grouped_iqr(df: DataFrame, group_col: str, value_col: str,
     )
     return out.withColumn("iqr", F.col("q3") - F.col("q1")) \
               .select(group_col, "q1", "q3", "iqr", "n")
+
+
+def profile_exact(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Exact per-column table profile: one row per requested column with
+    ``(column, n, nulls, n_distinct, min_s, max_s)`` — the deterministic
+    complement to the sketch profile (q55): exact counts/distincts for
+    datasets where the extra shuffle volume is affordable, sketches for
+    100 TB. min/max are computed in the column's native type and cast to
+    string AFTER aggregation (casting first would compare numerics
+    lexicographically).
+
+    ONE aggregation pass: Catalyst expands the multi-column distinct
+    counts into a single Expand + partial/final agg (no joins, no
+    per-column jobs); the single result row is unpivoted driver-free
+    with ``stack``.
+    """
+    aggs = []
+    for c in cols:
+        col = F.col(c)
+        aggs += [
+            F.count(col).alias(f"__{c}_n"),
+            F.sum(col.isNull().cast("long")).alias(f"__{c}_nulls"),
+            F.countDistinct(col).alias(f"__{c}_distinct"),
+            F.min(col).cast("string").alias(f"__{c}_min"),
+            F.max(col).cast("string").alias(f"__{c}_max"),
+        ]
+    row = df.agg(*aggs)
+    parts = []
+    for c in cols:
+        parts += [f"'{c}'", f"`__{c}_n`", f"`__{c}_nulls`",
+                  f"`__{c}_distinct`", f"`__{c}_min`", f"`__{c}_max`"]
+    return row.select(F.expr(
+        f"stack({len(cols)}, {', '.join(parts)}) "
+        "AS (column, n, nulls, n_distinct, min_s, max_s)"))

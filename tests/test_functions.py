@@ -451,6 +451,20 @@ def test_dedup_clusters_transitive(spark):
                    (20, 20), (21, 20), (22, 20), (23, 20)}
 
 
+def test_profile_exact_counts_and_native_minmax(spark):
+    """Nulls counted; min/max computed in the NATIVE type before the
+    string cast (a string-first cast would say min(10, 9) == '10')."""
+    from pandas_ai_spark.functions.stats import profile_exact
+
+    df = spark.createDataFrame(
+        [(9, "b"), (10, "a"), (None, None), (9, "c")],
+        "x long, s string")
+    got = {r.column: (r.n, r.nulls, r.n_distinct, r.min_s, r.max_s)
+           for r in profile_exact(df, ["x", "s"]).collect()}
+    assert got["x"] == (3, 1, 2, "9", "10")
+    assert got["s"] == (3, 1, 3, "a", "c")
+
+
 def test_resample_ffill_random_parity_with_python_reference(spark):
     """Seeded random series per key: every grid value equals the last
     observation at-or-before the grid point (pure-Python oracle)."""

@@ -99,23 +99,30 @@ def profile_exact(df: DataFrame, cols: list[str]) -> DataFrame:
     ONE aggregation pass: Catalyst expands the multi-column distinct
     counts into a single Expand + partial/final agg (no joins, no
     per-column jobs); the single result row is unpivoted driver-free
-    with ``stack``.
+    with ``stack``. Internal aliases are index-based and labels are
+    ``lit`` Columns, so arbitrary column names (quotes, backticks)
+    never reach a SQL string; ``nulls`` is total−non-null so an empty
+    input profiles as 0, not NULL (``sum`` over zero rows is NULL).
     """
+    if not cols:
+        raise ValueError("profile_exact needs at least one column")
+    if len(set(cols)) != len(cols):
+        raise ValueError("profile_exact cols contains duplicates")
     aggs = []
-    for c in cols:
+    for i, c in enumerate(cols):
         col = F.col(c)
         aggs += [
-            F.count(col).alias(f"__{c}_n"),
-            F.sum(col.isNull().cast("long")).alias(f"__{c}_nulls"),
-            F.countDistinct(col).alias(f"__{c}_distinct"),
-            F.min(col).cast("string").alias(f"__{c}_min"),
-            F.max(col).cast("string").alias(f"__{c}_max"),
+            F.count(col).alias(f"__p{i}_n"),
+            (F.count(F.lit(1)) - F.count(col)).alias(f"__p{i}_nulls"),
+            F.countDistinct(col).alias(f"__p{i}_distinct"),
+            F.min(col).cast("string").alias(f"__p{i}_min"),
+            F.max(col).cast("string").alias(f"__p{i}_max"),
         ]
     row = df.agg(*aggs)
-    parts = []
-    for c in cols:
-        parts += [f"'{c}'", f"`__{c}_n`", f"`__{c}_nulls`",
-                  f"`__{c}_distinct`", f"`__{c}_min`", f"`__{c}_max`"]
-    return row.select(F.expr(
-        f"stack({len(cols)}, {', '.join(parts)}) "
-        "AS (column, n, nulls, n_distinct, min_s, max_s)"))
+    parts: list = []
+    for i, c in enumerate(cols):
+        parts += [F.lit(c), F.col(f"__p{i}_n"), F.col(f"__p{i}_nulls"),
+                  F.col(f"__p{i}_distinct"), F.col(f"__p{i}_min"),
+                  F.col(f"__p{i}_max")]
+    return (row.select(F.stack(F.lit(len(cols)), *parts))
+            .toDF("column", "n", "nulls", "n_distinct", "min_s", "max_s"))

@@ -463,6 +463,17 @@ def test_profile_exact_counts_and_native_minmax(spark):
            for r in profile_exact(df, ["x", "s"]).collect()}
     assert got["x"] == (3, 1, 2, "9", "10")
     assert got["s"] == (3, 1, 3, "a", "c")
+    # empty input: nulls is 0, not NULL (sum over zero rows is NULL)
+    empty = profile_exact(df.where(F.lit(False)), ["x"]).collect()[0]
+    assert (empty.n, empty.nulls, empty.n_distinct) == (0, 0, 0)
+    # quoted / odd names never reach a SQL string
+    odd = df.withColumnRenamed("s", "it's")
+    assert profile_exact(odd, ["it's"]).collect()[0].column == "it's"
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        profile_exact(df, [])
+    with _pytest.raises(ValueError):
+        profile_exact(df, ["x", "x"])
 
 
 def test_resample_ffill_random_parity_with_python_reference(spark):

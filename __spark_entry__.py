@@ -1446,6 +1446,140 @@ def q30_llm_column(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def q75_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling z-score anomaly detection
+    (timeseries.rolling_zscore_anomalies): per event_type, each value
+    against the trailing-20-row mean/stddev of its own series (strictly
+    prior rows, so a spike can't suppress itself); |z| > 3 with ≥5
+    prior points flags. One shuffle on the series key. Oracle:
+    identical ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING window in
+    DuckDB."""
+    from pandas_ai_spark.functions.timeseries import \
+        rolling_zscore_anomalies
+
+    ev = _t(spark, sf_dir, "events")
+    out = rolling_zscore_anomalies(
+        ev, "value", "ts", by=("event_type",), order_tiebreak="event_id",
+        window=20, min_periods=5, z_threshold=3.0)
+    return out.select(
+        "event_id", "event_type", "value",
+        F.round("zscore", 6).alias("zscore")).orderBy("event_id")
+
+
+def q76_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff (diff.snapshot_diff): two deterministic versions
+    of orders (old drops o_orderkey%7==0, new drops %5==0 and mutates
+    o_totalprice on %3==0 / o_orderstatus on %11==0) classified
+    added/removed/changed with the null-safe per-column change list —
+    ONE full-outer equi-join on the key. Oracle: the same full outer
+    join + IS NOT DISTINCT FROM comparison in DuckDB."""
+    from pandas_ai_spark.functions.diff import snapshot_diff
+
+    orders = _t(spark, sf_dir, "orders")
+    old = orders.where(F.col("o_orderkey") % 7 != 0)
+    new = (orders.where(F.col("o_orderkey") % 5 != 0)
+           .withColumn("o_totalprice",
+                       F.when(F.col("o_orderkey") % 3 == 0,
+                              F.col("o_totalprice") + 10.0)
+                        .otherwise(F.col("o_totalprice")))
+           .withColumn("o_orderstatus",
+                       F.when(F.col("o_orderkey") % 11 == 0, F.lit("X"))
+                        .otherwise(F.col("o_orderstatus"))))
+    out = snapshot_diff(
+        old, new, ["o_orderkey"],
+        compare_cols=["o_custkey", "o_orderstatus", "o_totalprice"])
+    return out.orderBy("o_orderkey")
+
+
+def q77_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement (pipeline.weighted_sample,
+    Efraimidis–Spirakis): priority = −ln(md5-uniform)/n_chars, global
+    top-200 via TakeOrderedAndProject — no shuffle, no RNG state,
+    reproducible in any md5+ln engine. Oracle: identical arithmetic in
+    DuckDB (52-bit hex prefix → uniform → exponential race)."""
+    from pandas_ai_spark.functions.pipeline import weighted_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    out = weighted_sample(docs, "n_chars", k=200, id_col="doc_id",
+                          seed="ws")
+    return out.select(
+        "doc_id", "n_chars", F.round("priority", 9).alias("priority")
+    ).orderBy("doc_id")
+
+
+def q78_frequent_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket pair mining (mining.frequent_pairs): brand pairs
+    co-purchased within an order (lineitem⋈part), support ≥ 20, with
+    confidence and lift — distinct (basket,item) pass, capped
+    self-equi-join on the basket id (never a cross join), broadcast
+    item-count lookups. Oracle: the same relational algebra in
+    DuckDB."""
+    from pandas_ai_spark.functions.mining import frequent_pairs
+
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    baskets = li.join(part, li.l_partkey == part.p_partkey) \
+                .select("l_orderkey", "p_brand")
+    out = frequent_pairs(baskets, "l_orderkey", "p_brand",
+                         min_support=20)
+    return out.select(
+        "item_a", "item_b", "support", "support_a", "support_b",
+        F.round("confidence", 6).alias("confidence"),
+        F.round("lift", 6).alias("lift"),
+    ).orderBy("item_a", "item_b")
+
+
+def q79_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenization at corpus scale (bpe.encode_bpe_scalable): the
+    q64-trained merges applied via the VOCAB trick — each distinct word
+    encoded ONCE in Python (Arrow batch), counts joined back and
+    summed per doc, so Python cost scales with |vocab|, not corpus
+    size. No SQL oracle (the merge loop is iterative — rows-only
+    check); exact parity with the per-doc encoder and a pure-Python
+    reference is pinned in tests."""
+    from pandas_ai_spark.functions.bpe import (encode_bpe_scalable,
+                                               train_bpe)
+
+    docs = _t(spark, sf_dir, "documents")
+    merges = train_bpe(docs, num_merges=10, min_freq=2)
+    return (encode_bpe_scalable(docs, merges)
+            .orderBy("doc_id"))
+
+
+def q80_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality audit (audit.integrity_audit): four
+    referential-integrity anti-joins, two uniqueness aggs, a not-null
+    and two expression invariants over the TPC-H + documents tables,
+    unioned into one (check, kind, violations) report. Oracle: UNION
+    ALL of the equivalent scalar checks in DuckDB."""
+    from pandas_ai_spark.functions import audit as au
+
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    part = _t(spark, sf_dir, "part")
+    nation = _t(spark, sf_dir, "nation")
+    events = _t(spark, sf_dir, "events")
+    docs = _t(spark, sf_dir, "documents")
+    checks = [
+        au.foreign_key("fk_customer_nation", customer, "c_nationkey",
+                       nation, "n_nationkey"),
+        au.foreign_key("fk_lineitem_orders", li, "l_orderkey",
+                       orders, "o_orderkey"),
+        au.foreign_key("fk_lineitem_part", li, "l_partkey",
+                       part, "p_partkey"),
+        au.foreign_key("fk_orders_customer", orders, "o_custkey",
+                       customer, "c_custkey"),
+        au.unique("uniq_doc_id", docs, ["doc_id"]),
+        au.unique("uniq_orderkey", orders, ["o_orderkey"]),
+        au.not_null("notnull_custkey", orders, "o_custkey"),
+        au.expression("docs_nchars_consistent", docs,
+                      "n_chars = length(text)"),
+        au.expression("events_value_nonneg", events, "value >= 0"),
+    ]
+    return au.integrity_audit(checks).orderBy("check")
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -1538,6 +1672,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q72_funnel": q72_funnel,
         "q73_scd2_history": q73_scd2_history,
         "q74_profile_exact": q74_profile_exact,
+        "q75_anomaly_zscore": q75_anomaly_zscore,
+        "q76_snapshot_diff": q76_snapshot_diff,
+        "q77_weighted_sample": q77_weighted_sample,
+        "q78_frequent_pairs": q78_frequent_pairs,
+        "q79_bpe_encode": q79_bpe_encode,
+        "q80_integrity_audit": q80_integrity_audit,
     }
 
 
@@ -2840,5 +2980,148 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    substring(md5('Classify: ' || text), 1, 12) AS label
             FROM documents ORDER BY doc_id
+        """,
+        "q75_anomaly_zscore": """
+            WITH w AS (
+              SELECT event_id, event_type, value,
+                     avg(value) OVER win AS m,
+                     stddev_samp(value) OVER win AS sd,
+                     count(value) OVER win AS n
+              FROM events
+              WINDOW win AS (PARTITION BY event_type
+                             ORDER BY ts, event_id
+                             ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)
+            )
+            SELECT event_id, event_type, value,
+                   round((value - m) / sd, 6) AS zscore
+            FROM w
+            WHERE n >= 5 AND sd > 0 AND abs((value - m) / sd) > 3.0
+            ORDER BY event_id
+        """,
+        "q76_snapshot_diff": """
+            WITH old AS (
+              SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+              FROM orders WHERE o_orderkey % 7 <> 0
+            ), new AS (
+              SELECT o_orderkey, o_custkey,
+                     CASE WHEN o_orderkey % 11 = 0 THEN 'X'
+                          ELSE o_orderstatus END AS o_orderstatus,
+                     CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice + 10.0
+                          ELSE o_totalprice END AS o_totalprice
+              FROM orders WHERE o_orderkey % 5 <> 0
+            ), j AS (
+              SELECT coalesce(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+                     o.o_orderkey IS NOT NULL AS in_old,
+                     n.o_orderkey IS NOT NULL AS in_new,
+                     concat_ws(',',
+                       CASE WHEN o.o_custkey IS DISTINCT FROM n.o_custkey
+                            THEN 'o_custkey' END,
+                       CASE WHEN o.o_orderstatus
+                                 IS DISTINCT FROM n.o_orderstatus
+                            THEN 'o_orderstatus' END,
+                       CASE WHEN o.o_totalprice
+                                 IS DISTINCT FROM n.o_totalprice
+                            THEN 'o_totalprice' END) AS diffs
+              FROM old o FULL OUTER JOIN new n
+                ON o.o_orderkey = n.o_orderkey
+            )
+            SELECT o_orderkey,
+                   CASE WHEN NOT in_old THEN 'added'
+                        WHEN NOT in_new THEN 'removed'
+                        ELSE 'changed' END AS change_type,
+                   CASE WHEN in_old AND in_new THEN diffs
+                        ELSE '' END AS changed_cols
+            FROM j
+            WHERE NOT in_old OR NOT in_new OR diffs <> ''
+            ORDER BY o_orderkey
+        """,
+        "q77_weighted_sample": """
+            WITH pri AS (
+              SELECT doc_id, n_chars,
+                     -ln((('0x' || substr(md5('ws:' || doc_id::VARCHAR),
+                                          1, 13))::BIGINT + 1.0)
+                         / 4503599627370496.0)
+                     / n_chars::DOUBLE AS priority
+              FROM documents WHERE n_chars > 0
+              ORDER BY priority, doc_id LIMIT 200
+            )
+            SELECT doc_id, n_chars, round(priority, 9) AS priority
+            FROM pri ORDER BY doc_id
+        """,
+        "q78_frequent_pairs": """
+            WITH items AS (
+              SELECT DISTINCT l_orderkey AS b, p_brand AS i
+              FROM lineitem JOIN part ON l_partkey = p_partkey
+            ), nb AS (
+              SELECT count(DISTINCT b) AS n FROM items
+            ), ic AS (
+              SELECT i, count(*) AS ni FROM items GROUP BY i
+            ), p AS (
+              SELECT a.i AS item_a, b2.i AS item_b,
+                     count(*) AS support
+              FROM items a JOIN items b2
+                ON a.b = b2.b AND a.i < b2.i
+              GROUP BY 1, 2 HAVING count(*) >= 20
+            )
+            SELECT item_a, item_b, support,
+                   ia.ni AS support_a, ib.ni AS support_b,
+                   round(support / ia.ni::DOUBLE, 6) AS confidence,
+                   round(support::DOUBLE * nb.n
+                         / (ia.ni::DOUBLE * ib.ni::DOUBLE), 6) AS lift
+            FROM p
+            JOIN ic ia ON ia.i = p.item_a
+            JOIN ic ib ON ib.i = p.item_b
+            CROSS JOIN nb
+            ORDER BY item_a, item_b
+        """,
+        "q80_integrity_audit": """
+            SELECT 'docs_nchars_consistent' AS "check",
+                   'expression' AS kind,
+                   (SELECT count(*) FROM documents
+                    WHERE NOT coalesce(n_chars = length(text), FALSE)
+                   ) AS violations
+            UNION ALL
+            SELECT 'events_value_nonneg', 'expression',
+                   (SELECT count(*) FROM events
+                    WHERE NOT coalesce(value >= 0, FALSE))
+            UNION ALL
+            SELECT 'fk_customer_nation', 'foreign_key',
+                   (SELECT count(*) FROM customer c
+                    WHERE c.c_nationkey IS NOT NULL
+                      AND NOT EXISTS (SELECT 1 FROM nation n
+                                      WHERE n.n_nationkey = c.c_nationkey))
+            UNION ALL
+            SELECT 'fk_lineitem_orders', 'foreign_key',
+                   (SELECT count(*) FROM lineitem l
+                    WHERE l.l_orderkey IS NOT NULL
+                      AND NOT EXISTS (SELECT 1 FROM orders o
+                                      WHERE o.o_orderkey = l.l_orderkey))
+            UNION ALL
+            SELECT 'fk_lineitem_part', 'foreign_key',
+                   (SELECT count(*) FROM lineitem l
+                    WHERE l.l_partkey IS NOT NULL
+                      AND NOT EXISTS (SELECT 1 FROM part p
+                                      WHERE p.p_partkey = l.l_partkey))
+            UNION ALL
+            SELECT 'fk_orders_customer', 'foreign_key',
+                   (SELECT count(*) FROM orders o
+                    WHERE o.o_custkey IS NOT NULL
+                      AND NOT EXISTS (SELECT 1 FROM customer c
+                                      WHERE c.c_custkey = o.o_custkey))
+            UNION ALL
+            SELECT 'notnull_custkey', 'not_null',
+                   (SELECT count(*) FROM orders
+                    WHERE NOT coalesce(o_custkey IS NOT NULL, FALSE))
+            UNION ALL
+            SELECT 'uniq_doc_id', 'unique',
+                   (SELECT coalesce(sum(n - 1), 0)::BIGINT FROM (
+                      SELECT count(*) AS n FROM documents
+                      GROUP BY doc_id HAVING count(*) > 1))
+            UNION ALL
+            SELECT 'uniq_orderkey', 'unique',
+                   (SELECT coalesce(sum(n - 1), 0)::BIGINT FROM (
+                      SELECT count(*) AS n FROM orders
+                      GROUP BY o_orderkey HAVING count(*) > 1))
+            ORDER BY "check"
         """,
     }

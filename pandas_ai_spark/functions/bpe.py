@@ -192,3 +192,59 @@ def encode_bpe(df: DataFrame, merges: list[tuple[str, str, int]],
         F.col(id_col),
         count_tokens(whitespace_tokens(normalize_text(F.col(text_col))))
          .alias("n_bpe_tokens"))
+
+
+def encode_bpe_scalable(df: DataFrame,
+                        merges: list[tuple[str, str, int]],
+                        text_col: str = "text",
+                        id_col: str = "doc_id") -> DataFrame:
+    """Tokenize with a learned merge list via the VOCAB trick: BPE is a
+    per-WORD function, so encode each distinct word once and join the
+    counts back, instead of re-running the merge loop on every corpus
+    occurrence (the same reduction that makes :func:`train_bpe`
+    tractable — Python cost scales with |vocab|, not corpus size).
+
+    Plan: one corpus pass explodes (id, word); one groupBy(word) builds
+    the distinct vocab; the Arrow merge UDF runs once per vocab row;
+    the word→token-count map joins back on the word (an equi-join AQE
+    will broadcast while the vocab is small) and one id-keyed sum
+    rebuilds per-document totals. Identical results to
+    :func:`encode_bpe` (greedy left-to-right in training order) —
+    pinned by test.
+
+    Returns ``(id, n_bpe_tokens)``; empty/whitespace-only docs count 0.
+    """
+    order = [(l, r) for l, r, _ in merges]
+
+    @F.pandas_udf(T.IntegerType())
+    def word_tokens(words: pd.Series) -> pd.Series:
+        def one(w):
+            s = list(w) + [END]
+            for l, r in order:
+                out, i, n = [], 0, len(s)
+                while i < n:
+                    if i + 1 < n and s[i] == l and s[i + 1] == r:
+                        out.append(l + r)
+                        i += 2
+                    else:
+                        out.append(s[i])
+                        i += 1
+                s = out
+            return len(s)
+
+        return words.map(one)
+
+    words = df.select(
+        F.col(id_col),
+        F.explode_outer(
+            whitespace_tokens(normalize_text(F.col(text_col))))
+         .alias("__w"))
+    vocab = (words.where(F.col("__w").isNotNull())
+             .select("__w").distinct()
+             .select("__w", word_tokens("__w").alias("__nt")))
+    return (
+        words.join(vocab, "__w", "left")
+        .groupBy(id_col)
+        .agg(F.coalesce(F.sum("__nt"), F.lit(0))
+              .cast("int").alias("n_bpe_tokens"))
+    )

@@ -281,3 +281,45 @@ def cap_per_domain(df: DataFrame, domain_col: str = "source",
                                                F.col(id_col).asc())
     return (df.withColumn("__rk", F.row_number().over(w))
               .where(F.col("__rk") <= cap).drop("__rk"))
+
+
+def weighted_sample(
+    df: DataFrame,
+    weight_col: str,
+    k: int,
+    id_col: str = "doc_id",
+    seed: str = "ws",
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement
+    (Efraimidis–Spirakis A-ES): each row draws a reproducible uniform
+    ``u = f(md5(seed‖id)) ∈ (0, 1]`` and the ``k`` rows with the
+    smallest priority ``-ln(u) / w`` win — exactly the classic
+    exponential-race scheme, so inclusion probabilities follow the
+    weights without any sequential pass.
+
+    Why this and not ``rand()``: the draw is a pure function of the row
+    id, so the sample is stable across runs, engines (any SQL engine
+    with md5 + ln reproduces it bit-for-bit), retries, and executor
+    placement — the property a training-data sampler needs for
+    provenance. Re-key with ``seed`` for an independent re-draw.
+
+    Plan shape: one row-local projection (md5 + ln, whole-stage
+    codegen) and ONE global top-k — Catalyst plans
+    ``TakeOrderedAndProject``, so each input partition ships only its
+    local k candidates to the driver-side heap: no full sort, no
+    shuffle of the corpus, constant memory at any scale. Rows with
+    non-positive or NULL weight never qualify.
+    """
+    if k <= 0:
+        raise ValueError("k must be positive")
+    # first 13 md5 hex chars = 52 uniform bits -> exact double in (0,1]
+    u = ((F.conv(F.substring(
+            F.md5(F.concat(F.lit(seed), F.lit(":"),
+                           F.col(id_col).cast("string"))), 1, 13),
+          16, 10).cast("double") + F.lit(1.0)) / F.lit(float(1 << 52)))
+    w = F.col(weight_col).cast("double")
+    pri = -F.log(u) / w
+    return (df.where(w > 0)
+              .withColumn("priority", pri)
+              .orderBy(F.col("priority").asc(), F.col(id_col).asc())
+              .limit(int(k)))

@@ -242,3 +242,53 @@ def scd2_snapshot(
         .withColumnRenamed(ts_col, "valid_from")
         .withColumn("is_current", F.col("valid_to").isNull())
     )
+
+
+def rolling_zscore_anomalies(
+    df: DataFrame,
+    value_col: str = "value",
+    ts_col: str = "ts",
+    by: Sequence[str] = ("event_type",),
+    order_tiebreak: Optional[str] = None,
+    window: int = 20,
+    min_periods: int = 5,
+    z_threshold: float = 3.0,
+) -> DataFrame:
+    """Flag points whose value deviates more than ``z_threshold`` sample
+    standard deviations from the trailing-``window`` mean of their own
+    series — the streaming-friendly outlier detector (sensor spikes,
+    metric regressions, fraud velocity checks).
+
+    The baseline window is the ``window`` rows strictly BEFORE the
+    current row (``rowsBetween(-window, -1)``), so a spike never
+    suppresses itself by inflating its own baseline; rows with fewer
+    than ``min_periods`` prior points or zero variance are never
+    flagged (warm-up and constant series produce no alerts).
+
+    Cost: ONE shuffle on the ``by`` key (the window partition); the
+    trailing mean/stddev/count all ride the same window frame, and the
+    flag filter is a row-local predicate on top — the shape that holds
+    when each series is billions of points (a window over a key, never
+    over the whole stream). ``order_tiebreak`` (default: none) makes
+    the ordering total when timestamps can collide — required for
+    deterministic results on tied data.
+    """
+    by = list(by)
+    order = [F.col(ts_col).asc()]
+    if order_tiebreak:
+        order.append(F.col(order_tiebreak).asc())
+    w = (Window.partitionBy(*by).orderBy(*order)
+         .rowsBetween(-int(window), -1))
+    mean = F.avg(value_col).over(w)
+    sd = F.stddev_samp(value_col).over(w)
+    n = F.count(value_col).over(w)
+    z = (F.col(value_col) - mean) / sd
+    return (
+        df.withColumn("__n", n)
+          .withColumn("__sd", sd)
+          .withColumn("zscore", z)
+          .where((F.col("__n") >= int(min_periods))
+                 & (F.col("__sd") > 0)
+                 & (F.abs(F.col("zscore")) > float(z_threshold)))
+          .drop("__n", "__sd")
+    )

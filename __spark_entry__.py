@@ -1580,6 +1580,95 @@ def q80_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return au.integrity_audit(checks).orderBy("check")
 
 
+def q81_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially weighted moving average (timeseries.ewma): per-user
+    purchase values smoothed with α=0.2 over the last 20 observations —
+    the truncated-window form that turns the sequential EWMA recurrence
+    into ONE rows-window pass (collect_list + indexed transform + fold,
+    geometric closed-form denominator, all JVM). Oracle: identical
+    list/lambda arithmetic in DuckDB."""
+    from pandas_ai_spark.functions.timeseries import ewma
+
+    ev = _t(spark, sf_dir, "events").where(
+        (F.col("event_type") == "purchase") & (F.col("user_id") < 50))
+    out = ewma(ev, "value", "ts", by=("user_id",), alpha=0.2,
+               window=20, order_tiebreak="event_id")
+    return out.select(
+        "event_id", "user_id", F.round("ewma", 6).alias("ewma")
+    ).orderBy("event_id")
+
+
+def q82_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank centrality (graph.pagerank) over the part co-purchase
+    graph (parts sharing an order, symmetric edges): 3 unrolled power
+    iterations, damping 0.85 — per iteration one node-keyed equi-join +
+    one dst-keyed sum, rank mass never leaves the cluster. The fixed
+    iteration count makes it a deterministic function of the edge set,
+    so the oracle is 3 chained join+aggregate CTEs in DuckDB."""
+    from pandas_ai_spark.functions.graph import (cooccurrence_edges,
+                                                 pagerank)
+
+    li = _t(spark, sf_dir, "lineitem")
+    edges = cooccurrence_edges(li, "l_orderkey", "l_partkey")
+    ranks = pagerank(edges, iterations=3, damping=0.85, symmetric=True)
+    return ranks.select(
+        F.col("node").alias("part"), F.round("rank", 9).alias("rank")
+    ).orderBy("part")
+
+
+def q83_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (similarity.pq_train/pq_encode/
+    pq_search): 64-dim vectors compressed to 8 sub-codes (16 centroids
+    each, seeded per-subspace Lloyd on the file-order sample), then ADC
+    top-10 for queries vec_id<5 — scoring is 8 element_at lookups into
+    a broadcast per-query LUT summed in JVM, no vector data in the
+    scan (the memory lever for 100 TB ANN: ~32× smaller index).
+    Oracle: _q83_oracle() retrains the identical codebooks and runs
+    encode + LUT scoring as generated-literal SQL, pinned at sf0.01
+    like q35."""
+    from pandas_ai_spark.functions import similarity as sim
+
+    emb = _t(spark, sf_dir, "embeddings")
+    books = sim.pq_train(emb, m=8, n_codes=16, seed=42)
+    codes = sim.pq_encode(emb, books)
+    queries = emb.where(F.col("vec_id") < 5) \
+                 .select(F.col("vec_id").alias("query_id"), "embedding")
+    out = sim.pq_search(codes, books, queries, k=10)
+    return out.select(
+        "query_id", "vec_id", F.round("score", 6).alias("score"), "rank"
+    ).orderBy("query_id", "rank")
+
+
+def q84_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlation matrix (stats.corr_matrix) of four
+    lineitem measures — all six corr aggregates in ONE partial-agg'd
+    scan (O(1) co-moment state each), stack-unpivoted to
+    (col_a, col_b, corr). Oracle: UNION ALL of DuckDB corr() pairs."""
+    from pandas_ai_spark.functions.stats import corr_matrix
+
+    li = _t(spark, sf_dir, "lineitem")
+    out = corr_matrix(
+        li, ["l_quantity", "l_extendedprice", "l_discount", "l_tax"])
+    return out.select(
+        "col_a", "col_b", F.round("corr", 6).alias("corr")
+    ).orderBy("col_a", "col_b")
+
+
+def q85_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-range value histogram (stats.value_histogram): events.value
+    bucketed into 20 equal bins over [0, 100) per event_type, out-of-
+    range clamped to the edge bins — literal edges keep it one
+    projection + count with no data-dependent bounds pass, reproducible
+    across engines/dataset versions (drift monitoring). Oracle:
+    identical floor/clamp arithmetic in DuckDB."""
+    from pandas_ai_spark.functions.stats import value_histogram
+
+    ev = _t(spark, sf_dir, "events")
+    out = value_histogram(ev, "value", lo=0.0, hi=100.0, bins=20,
+                          by=["event_type"])
+    return out.orderBy("event_type", "bucket")
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -1678,6 +1767,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q78_frequent_pairs": q78_frequent_pairs,
         "q79_bpe_encode": q79_bpe_encode,
         "q80_integrity_audit": q80_integrity_audit,
+        "q81_ewma": q81_ewma,
+        "q82_pagerank": q82_pagerank,
+        "q83_pq_ann": q83_pq_ann,
+        "q84_corr_matrix": q84_corr_matrix,
+        "q85_histogram": q85_histogram,
     }
 
 
@@ -2211,6 +2305,94 @@ _Q46_SNAPSHOT = """
 """.strip()
 
 
+def _q83_oracle(sf_dir: str = "/root/testdata/sf0.01") -> str:
+    """DuckDB replica of PQ/ADC ANN: codebooks retrained HERE via the
+    shared numpy trainer (same seed, same file-order sample), emitted as
+    literal DOUBLE[] lists; encoding (per-subspace argmin, first-min
+    tie-break — list_indexof(list_min)) and LUT scoring run as SQL. The
+    per-query LUTs are computed with the identical np.dot calls the
+    Spark path uses, so both engines sum literally the same doubles.
+    Pinned to sf0.01 like q35."""
+    import duckdb as _duck
+
+    import numpy as _np
+
+    from pandas_ai_spark.functions.similarity import _pq_train_numpy
+
+    m, n_codes, k = 8, 16, 10
+    rows = _duck.connect().execute(
+        f"SELECT vec_id, embedding FROM "
+        f"read_parquet('{sf_dir}/embeddings.parquet')").fetchall()
+    M = _np.array([r[1] for r in rows[:10_000]], dtype=_np.float64)
+    Mn = M / _np.maximum(_np.linalg.norm(M, axis=1, keepdims=True), 1e-300)
+    books = _pq_train_numpy(Mn, m, n_codes, seed=42)
+    dsub = Mn.shape[1] // m
+
+    def lst(row):
+        return "[" + ",".join(repr(float(x)) for x in row) + "]"
+
+    dist_cols = []
+    for j in range(m):
+        lo, hi = j * dsub + 1, (j + 1) * dsub
+        terms = ", ".join(
+            f"list_distance(v[{lo}:{hi}], {lst(books[j][c])})"
+            for c in range(n_codes))
+        dist_cols.append(f"[{terms}] AS d{j}")
+    code_list = ", ".join(
+        f"list_indexof(d{j}, list_min(d{j})) - 1" for j in range(m))
+
+    qids = _np.array([r[0] for r in rows])
+    qmask = qids < 5
+    lut_vals = []
+    for qid, qv in zip(qids[qmask], Mn[qmask]):
+        lut = [float(_np.dot(qv[j * dsub:(j + 1) * dsub], books[j][c]))
+               for j in range(m) for c in range(n_codes)]
+        lut_vals.append(f"({int(qid)}, {lst(lut)})")
+    score = " + ".join(
+        f"l.lut[{j * n_codes} + c.code[{j + 1}] + 1]" for j in range(m))
+    return f"""
+        WITH e AS (
+          SELECT vec_id, embedding::DOUBLE[] AS raw FROM embeddings
+        ), n AS (
+          SELECT vec_id,
+                 list_transform(raw, x -> x / greatest(
+                   sqrt(list_inner_product(raw, raw)), 1e-300)) AS v
+          FROM e
+        ), dists AS (
+          SELECT vec_id, {', '.join(dist_cols)} FROM n
+        ), codes AS (
+          SELECT vec_id, [{code_list}] AS code FROM dists
+        ), luts AS (
+          -- cast off DuckDB's DECIMAL inference for the literal lists:
+          -- scoring must run in DOUBLE like the engine
+          SELECT query_id, lut::DOUBLE[] AS lut
+          FROM (VALUES {', '.join(lut_vals)}) t(query_id, lut)
+        ), scored AS (
+          SELECT l.query_id, c.vec_id, {score} AS score
+          FROM codes c, luts l WHERE c.vec_id <> l.query_id
+        ), ranked AS (
+          SELECT query_id, vec_id, score,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY score DESC, vec_id) AS rank
+          FROM scored
+        )
+        SELECT query_id, vec_id, round(score, 6) AS score, rank
+        FROM ranked WHERE rank <= {k} ORDER BY query_id, rank
+    """
+
+
+_Q84_PAIRS = [
+    ("l_quantity", "l_extendedprice"), ("l_quantity", "l_discount"),
+    ("l_quantity", "l_tax"), ("l_extendedprice", "l_discount"),
+    ("l_extendedprice", "l_tax"), ("l_discount", "l_tax"),
+]
+
+_Q84_SQL = " UNION ALL ".join(
+    f"SELECT '{a}' AS col_a, '{b}' AS col_b, "
+    f"round(corr({a}, {b}), 6) AS corr FROM lineitem"
+    for a, b in _Q84_PAIRS) + " ORDER BY col_a, col_b"
+
+
 def _q61_oracle(sf_dir: str = "/root/testdata/sf0.01") -> str:
     """DuckDB replica of the IVF table-to-table ANN join: quantizer
     retrained here (same seed + same file-order even-id sample the
@@ -2285,6 +2467,23 @@ def oracle_sql() -> dict[str, str]:
         "q25_ann_lsh": _q25_oracle(),
         "q28_image_features": _Q28_ORACLE_TMPL,
         "q35_ann_ivf": _q35_oracle(),
+        "q83_pq_ann": _q83_oracle(),
+        "q84_corr_matrix": _Q84_SQL,
+        "q85_histogram": """
+            WITH b AS (
+              SELECT event_type,
+                     least(greatest(
+                       CAST(floor((value - 0.0) / 5.0) AS INT), 0),
+                       19) AS bucket
+              FROM events WHERE value IS NOT NULL
+            )
+            SELECT event_type, bucket,
+                   0.0 + bucket * 5.0 AS lo_edge,
+                   0.0 + (bucket + 1) * 5.0 AS hi_edge,
+                   count(*) AS n
+            FROM b GROUP BY event_type, bucket
+            ORDER BY event_type, bucket
+        """,
         "q61_ann_join": _q61_oracle(),
         "q45_winnow_candidates": _q45_oracle(),
         "q46_stratified_sample": _Q46_SNAPSHOT,
@@ -3123,5 +3322,74 @@ def oracle_sql() -> dict[str, str]:
                       SELECT count(*) AS n FROM orders
                       GROUP BY o_orderkey HAVING count(*) > 1))
             ORDER BY "check"
+        """,
+        "q81_ewma": """
+            WITH e AS (
+              SELECT event_id, user_id, ts, value
+              FROM events
+              WHERE event_type = 'purchase' AND user_id < 50
+            ), w AS (
+              SELECT event_id, user_id,
+                     list(value) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS arr
+              FROM e
+            )
+            SELECT event_id, user_id,
+                   round(list_sum(list_transform(arr,
+                           (x, i) -> x * pow(0.8, len(arr) - i)))
+                         / ((1 - pow(0.8, len(arr))) / 0.2), 6) AS ewma
+            FROM w ORDER BY event_id
+        """,
+        "q82_pagerank": """
+            WITH items AS (
+              SELECT DISTINCT l_orderkey AS b, l_partkey AS i
+              FROM lineitem
+            ), edges AS (
+              SELECT DISTINCT a.i AS s, b2.i AS d
+              FROM items a JOIN items b2
+                ON a.b = b2.b AND a.i <> b2.i
+            ), nodes AS (
+              SELECT DISTINCT s AS node FROM edges
+            ), nn AS (
+              SELECT count(*) AS n, (1.0 - 0.85) / count(*) AS base
+              FROM nodes
+            ), deg AS (
+              SELECT s, count(*) AS deg FROM edges GROUP BY s
+            ), r0 AS (
+              SELECT node, 1.0 / nn.n AS rank FROM nodes, nn
+            ), r1 AS (
+              SELECT no.node,
+                     nn.base + 0.85 * coalesce(sm.s, 0.0) AS rank
+              FROM nodes no CROSS JOIN nn
+              LEFT JOIN (SELECT e.d AS node,
+                                sum(rp.rank / dg.deg) AS s
+                         FROM edges e
+                         JOIN deg dg ON dg.s = e.s
+                         JOIN r0 rp ON rp.node = e.s
+                         GROUP BY e.d) sm ON sm.node = no.node
+            ), r2 AS (
+              SELECT no.node,
+                     nn.base + 0.85 * coalesce(sm.s, 0.0) AS rank
+              FROM nodes no CROSS JOIN nn
+              LEFT JOIN (SELECT e.d AS node,
+                                sum(rp.rank / dg.deg) AS s
+                         FROM edges e
+                         JOIN deg dg ON dg.s = e.s
+                         JOIN r1 rp ON rp.node = e.s
+                         GROUP BY e.d) sm ON sm.node = no.node
+            ), r3 AS (
+              SELECT no.node,
+                     nn.base + 0.85 * coalesce(sm.s, 0.0) AS rank
+              FROM nodes no CROSS JOIN nn
+              LEFT JOIN (SELECT e.d AS node,
+                                sum(rp.rank / dg.deg) AS s
+                         FROM edges e
+                         JOIN deg dg ON dg.s = e.s
+                         JOIN r2 rp ON rp.node = e.s
+                         GROUP BY e.d) sm ON sm.node = no.node
+            )
+            SELECT node AS part, round(rank, 9) AS rank
+            FROM r3 ORDER BY part
         """,
     }

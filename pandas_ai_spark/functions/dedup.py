@@ -788,9 +788,9 @@ def dedup_keep_best(df: DataFrame, pairs: DataFrame,
     # the corpus.
     w = Window.partitionBy("cluster_id").orderBy(
         F.col("__score").desc(), F.col(id_col).asc())
-    keep = (members.withColumn("__rn", F.row_number().over(w))
-            .where(F.col("__rn") == 1).select(id_col))
-    losers = members.select(id_col).join(keep, id_col, "left_anti")
+    # non-keepers are rank > 1 directly — no members⟕keep anti-join
+    losers = (members.withColumn("__rn", F.row_number().over(w))
+              .where(F.col("__rn") > 1).select(id_col))
     return df.join(losers, id_col, "left_anti")
 
 

@@ -1,0 +1,153 @@
+"""Graph analytics on edge tables: PageRank (power iteration).
+
+Connected components already live in
+:func:`~pandas_ai_spark.functions.dedup.dedup_clusters` (min-label
+propagation — the clustering half of graph analytics); this module adds
+centrality. PageRank over a co-occurrence or citation graph is the
+standard importance score a corpus pipeline uses to weight domains /
+documents (the original web-scale use case).
+
+Scale shape: the graph stays an EDGE TABLE end-to-end — one
+``(src → out_degree)`` aggregation, then per iteration one equi-join of
+the rank vector against the edges and one ``dst``-keyed sum. Both
+shuffles are on node ids, partial aggregation applies, and AQE treats a
+celebrity node like any skewed join key. Nothing is ever collected:
+rank mass lives in a DataFrame of |V| rows. Iterations are UNROLLED
+into one lazy plan, with lineage truncated every ``checkpoint_every``
+iterations (the :func:`~pandas_ai_spark.functions.bpe.train_bpe`
+pattern) so plan depth stays bounded for large iteration counts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 3,
+    damping: float = 0.85,
+    checkpoint_every: int = 5,
+    broadcast_nodes_below: int = 5_000_000,
+    symmetric: bool = False,
+) -> DataFrame:
+    """``iterations`` rounds of the PageRank power iteration over a
+    directed edge table; returns ``(node, rank)`` for every node
+    incident to an edge.
+
+    ``r₀ = 1/N``; each round
+    ``r(v) ← (1−d)/N + d·Σ_{u→v} r(u)/outdeg(u)``. Fixed iteration
+    count keeps the computation a pure (deterministic) function of the
+    edge set — reproducible in any SQL engine as ``iterations`` chained
+    join+aggregate passes, which is exactly how the DuckDB oracle
+    verifies it. Nodes with no outgoing edges (dangling) contribute no
+    redistributed mass, matching the standard simplified formulation;
+    symmetric (co-occurrence) graphs have none.
+
+    Join strategy is picked from the EXACT node count (already in hand
+    for the 1/N base): below ``broadcast_nodes_below`` the
+    per-iteration small side — ``rank/outdeg`` contributions, |V| rows
+    — broadcasts, so an iteration is one map-side join over the cached
+    edge table plus one dst-keyed partial-agg'd sum: the edge table is
+    never shuffled. Above it (billion-node graphs, where a rank
+    broadcast would OOM the executors) the joins fall back to node-id
+    shuffles, which is the shape that scales arbitrarily.
+
+    ``symmetric=True`` (co-occurrence graphs — every edge exists in
+    both directions) derives the node set from the out-degree table
+    instead of a src∪dst distinct, saving one full pass over the
+    edges.
+    """
+    from .cache import operator_persist
+
+    if iterations < 1:
+        raise ValueError("iterations must be >= 1")
+    if not 0.0 < damping < 1.0:
+        raise ValueError("damping must be in (0, 1)")
+    # the edge construction upstream (co-occurrence expansion +
+    # distinct) can dwarf the iterations themselves: persist the edge
+    # table once — every iteration, the degree agg, and the node set
+    # all read it (managed lifetime, cache.py)
+    e = operator_persist(
+        edges.select(F.col(src).alias("__s"), F.col(dst).alias("__d")))
+    deg = e.groupBy("__s").agg(F.count("*").alias("__deg"))
+    # the node table carries the out-degree for the whole run, so no
+    # iteration ever joins against the degree table again (dangling
+    # nodes keep NULL __deg and contribute nothing)
+    if symmetric:
+        ndeg = operator_persist(
+            deg.select(F.col("__s").alias("node"), "__deg"))
+    else:
+        nodes = (e.select(F.col("__s").alias("node"))
+                  .unionByName(e.select(F.col("__d").alias("node")))
+                  .distinct())
+        ndeg = operator_persist(
+            nodes.join(deg.withColumnRenamed("__s", "node"),
+                       "node", "left"))
+    n_nodes = ndeg.count()  # ONE scalar (the q53/q58 pattern)
+    if n_nodes == 0:
+        return ndeg.select("node").withColumn("rank", F.lit(0.0))
+    base = (1.0 - damping) / n_nodes
+
+    small = n_nodes < broadcast_nodes_below
+    hint = F.broadcast if small else (lambda df: df)
+
+    ranks = ndeg.withColumn("rank", F.lit(1.0 / n_nodes))
+    for it in range(iterations):
+        # fold rank/deg on the SMALL side (|V| rows) so the edge scan
+        # carries one extra double per row and the big table is never
+        # shuffled or widened
+        contrib = (ranks.where(F.col("__deg").isNotNull())
+                   .select(F.col("node").alias("__s"),
+                           (F.col("rank") / F.col("__deg"))
+                           .alias("__c")))
+        inbound = (
+            e.join(hint(contrib), "__s")
+             .groupBy(F.col("__d").alias("node"))
+             .agg(F.sum("__c").alias("__in")))
+        ranks = (
+            ranks.select("node", "__deg").join(hint(inbound),
+                                               "node", "left")
+            .select("node", "__deg",
+                    (F.lit(base) + F.lit(damping)
+                     * F.coalesce(F.col("__in"), F.lit(0.0)))
+                    .alias("rank")))
+        if (it + 1) % checkpoint_every == 0 and it + 1 < iterations:
+            ranks = ranks.localCheckpoint(eager=True)
+    return ranks.select("node", "rank")
+
+
+def cooccurrence_edges(df: DataFrame, basket_col: str, item_col: str,
+                       max_items_per_basket: int = 1000) -> DataFrame:
+    """Symmetric co-occurrence edges from (basket, item) rows: one edge
+    per ordered pair of distinct items sharing a basket, deduplicated —
+    the input PageRank/centrality wants for co-purchase / co-citation
+    graphs. Same two-shuffle shape as
+    :func:`~pandas_ai_spark.functions.mining.frequent_pairs`: one
+    basket-keyed ``collect_set`` (sorted, capped — the cap bounds a
+    degenerate basket's quadratic term), row-local ordered-pair
+    expansion (never a self-join or cross join), one distinct."""
+    arr = F.array_sort(F.collect_set("__i"))
+    if max_items_per_basket:
+        arr = F.slice(arr, 1, int(max_items_per_basket))
+    baskets = (df.select(F.col(basket_col).alias("__b"),
+                         F.col(item_col).alias("__i"))
+                 .where(F.col("__i").isNotNull())
+                 .groupBy("__b").agg(arr.alias("__items")))
+    # unordered pairs from the sorted array, emitted in both directions
+    pair_structs = F.flatten(F.transform(
+        F.col("__items"),
+        lambda x, i: F.flatten(F.transform(
+            F.slice(F.col("__items"), i + 2,
+                    F.greatest(F.size("__items") - i - 1, F.lit(0))),
+            lambda y: F.array(F.struct(x.alias("src"), y.alias("dst")),
+                              F.struct(y.alias("src"),
+                                       x.alias("dst")))))))
+    return (baskets
+            .select(F.explode(pair_structs).alias("__e"))
+            .select(F.col("__e.src").alias("src"),
+                    F.col("__e.dst").alias("dst"))
+            .distinct())

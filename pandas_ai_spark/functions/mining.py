@@ -4,25 +4,29 @@ Market-basket analysis (which items ship together, which query terms
 co-occur, which domains co-cite) is the 2-itemset core of FP-growth /
 Apriori. At 100 TB the full lattice is pointless — what production
 pipelines actually compute is the PAIR level with support/confidence/
-lift, and that is expressible as plain relational algebra:
+lift, and that is expressible with TWO shuffles total:
 
-1. distinct (basket, item) — one shuffle, collapses quantity noise;
-2. pair generation as a self-EQUI-join on the basket id with
-   ``item_a < item_b`` (every unordered pair once, never a cross
-   join); a per-basket item cap bounds the quadratic term — a
-   pathological basket with 10⁵ items would otherwise emit 5·10⁹
-   pairs on its own;
-3. one aggregation per pair + a broadcast-joined per-item count table
-   for the lift denominator.
+1. ``groupBy(basket).collect_set(item)`` — one shuffle; dedups
+   quantity noise and yields each basket's sorted, capped item array
+   (the cap bounds the quadratic term — a pathological basket with
+   10⁵ items would otherwise emit 5·10⁹ pairs on its own);
+2. pair expansion ROW-LOCALLY from the sorted array (nested
+   ``transform`` + ``flatten`` + ``explode`` — every unordered pair
+   once, never a self-join that recomputes the basket pass per side,
+   never a cross join), then one aggregation per pair.
 
-Every step is a hash shuffle on (basket) or (pair) — partial aggs
-apply, AQE splits skewed baskets, nothing touches Python.
+Per-item counts and the basket total reuse the persisted basket-array
+table (|baskets| rows, managed lifetime via ``operator_persist``), and
+the lift denominators ride broadcast lookups. Partial aggs apply, AQE
+splits skewed pairs, nothing touches Python.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from .cache import operator_persist
 
 
 def frequent_pairs(
@@ -43,38 +47,49 @@ def frequent_pairs(
     independence predicts.
 
     Baskets larger than ``max_items_per_basket`` are truncated to their
-    ``max_items_per_basket`` smallest items (deterministic, and
-    WindowGroupLimit pushes the cut ahead of the shuffle) — the
+    ``max_items_per_basket`` smallest items (deterministic — the sorted
+    array is sliced before expansion, so the cut costs nothing) — the
     documented guard against quadratic blowup on degenerate baskets.
     """
     if min_support < 1:
         raise ValueError("min_support must be >= 1")
-    items = (df.select(F.col(basket_col).alias("__b"),
-                       F.col(item_col).alias("__i"))
-               .where(F.col("__i").isNotNull())
-               .distinct())
+    arr = F.array_sort(F.collect_set("__i"))
     if max_items_per_basket:
-        w = Window.partitionBy("__b").orderBy(F.col("__i").asc())
-        items = (items.withColumn("__rk", F.row_number().over(w))
-                      .where(F.col("__rk") <= int(max_items_per_basket))
-                      .drop("__rk"))
+        arr = F.slice(arr, 1, int(max_items_per_basket))
+    # one basket-keyed shuffle; persisted because three consumers read
+    # it (pair expansion, per-item counts, the basket total)
+    baskets = operator_persist(
+        df.select(F.col(basket_col).alias("__b"),
+                  F.col(item_col).alias("__i"))
+          .where(F.col("__i").isNotNull())
+          .groupBy("__b").agg(arr.alias("__items")))
 
     # ONE scalar to the driver (the q53/q58 pattern — a count, not
     # data): attaching N as a literal keeps the lift projection
     # row-local instead of planning a 1-row nested-loop cross join
-    n_baskets = items.select("__b").distinct().count()
-    item_counts = items.groupBy("__i").agg(F.count("*").alias("__ni"))
+    n_baskets = baskets.count()
+    item_counts = (baskets
+                   .select(F.explode("__items").alias("__i"))
+                   .groupBy("__i").agg(F.count("*").alias("__ni")))
 
-    a = items.select("__b", F.col("__i").alias("item_a"))
-    b = items.select("__b", F.col("__i").alias("item_b"))
-    pairs = (a.join(b, "__b")
-              .where(F.col("item_a") < F.col("item_b"))
-              .groupBy("item_a", "item_b")
-              .agg(F.count("*").alias("support"))
-              .where(F.col("support") >= int(min_support)))
+    # row-local unordered-pair expansion over the SORTED array:
+    # element i pairs with every later element, so item_a < item_b by
+    # construction and each pair appears exactly once per basket
+    pair_structs = F.flatten(F.transform(
+        F.col("__items"),
+        lambda x, i: F.transform(
+            F.slice(F.col("__items"), i + 2,
+                    F.greatest(F.size("__items") - i - 1, F.lit(0))),
+            lambda y: F.struct(x.alias("a"), y.alias("b")))))
+    pairs = (baskets
+             .select(F.explode(pair_structs).alias("__p"))
+             .groupBy(F.col("__p.a").alias("item_a"),
+                      F.col("__p.b").alias("item_b"))
+             .agg(F.count("*").alias("support"))
+             .where(F.col("support") >= int(min_support)))
 
     # lift denominators: item counts are |distinct items| rows —
-    # broadcast both lookups; the scalar N rides a broadcast cross join
+    # broadcast both lookups
     pairs = (
         pairs
         .join(F.broadcast(item_counts.withColumnRenamed("__i", "item_a")

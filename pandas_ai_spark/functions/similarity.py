@@ -750,3 +750,128 @@ def semantic_dedup(
     return df.join(
         pairs.select(F.col("id_b").alias(id_col)).distinct(),
         id_col, "left_anti")
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ): compressed-vector ANN
+# ---------------------------------------------------------------------------
+
+def pq_train(corpus: DataFrame, m: int = 8, n_codes: int = 16,
+             sample: int = 10000, vec_col: str = "embedding",
+             seed: int = 42, iters: int = 10) -> np.ndarray:
+    """Train a product quantizer: split the (L2-normalized) vector into
+    ``m`` contiguous subspaces and run seeded Euclidean Lloyd k-means
+    with ``n_codes`` centroids in each — returns codebooks of shape
+    ``(m, n_codes, dim/m)``.
+
+    This is the memory lever for 100 TB ANN: a 64-dim float32 vector
+    (256 B) compresses to ``m`` 4-bit/8-bit codes (4–8 B), so the whole
+    corpus index fits in executor memory and distance evaluation becomes
+    ``m`` table lookups (ADC). Training is driver-side numpy on a
+    bounded file-order sample — the :func:`ann_ivf` split: tiny model
+    trains locally, the data-sized passes stay distributed.
+    """
+    d_rows = corpus.select(vec_col).limit(sample).collect()
+    _, Mn = _normalized_matrix([(0, r[0]) for r in d_rows])
+    return _pq_train_numpy(Mn, m, n_codes, seed, iters)
+
+
+def _pq_train_numpy(Mn: np.ndarray, m: int, n_codes: int,
+                    seed: int, iters: int = 10) -> np.ndarray:
+    """Per-subspace seeded Lloyd on an already-normalized sample —
+    shared with the DuckDB oracle builder so both engines quantize with
+    literally the same codebooks."""
+    dim = Mn.shape[1]
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    dsub = dim // m
+    rng = np.random.RandomState(seed)
+    books = np.empty((m, n_codes, dsub))
+    for j in range(m):
+        S = Mn[:, j * dsub:(j + 1) * dsub]
+        C = S[rng.choice(len(S), size=min(n_codes, len(S)),
+                         replace=False)].copy()
+        for _ in range(iters):
+            # Euclidean assignment (standard PQ — NOT the cosine
+            # assignment the coarse quantizer uses)
+            d2 = ((S[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            assign = np.argmin(d2, axis=1)
+            for c in range(len(C)):
+                members = S[assign == c]
+                if len(members):
+                    C[c] = members.mean(axis=0)
+        books[j, :len(C)] = C
+        if len(C) < n_codes:  # degenerate tiny sample: repeat last
+            books[j, len(C):] = C[-1]
+    return books
+
+
+def pq_encode(df: DataFrame, codebooks: np.ndarray,
+              id_col: str = "vec_id",
+              vec_col: str = "embedding") -> DataFrame:
+    """Encode every vector to its ``m`` nearest-subcentroid codes —
+    ``(id, codes array<int>)``. One Arrow pass over the corpus, ties
+    broken toward the lowest code (numpy argmin), vectors normalized
+    exactly as :func:`pq_train` saw them."""
+    m, n_codes, dsub = codebooks.shape
+    bc = df.sparkSession.sparkContext.broadcast(codebooks)
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def codes_of(vs: pd.Series) -> pd.Series:
+        B = bc.value
+        V = np.stack(vs.to_numpy()).astype(np.float64)
+        V = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True),
+                           1e-300)
+        out = np.empty((len(V), m), dtype=np.int32)
+        for j in range(m):
+            S = V[:, j * dsub:(j + 1) * dsub]
+            d2 = ((S[:, None, :] - B[j][None, :, :]) ** 2).sum(axis=2)
+            out[:, j] = np.argmin(d2, axis=1)
+        return pd.Series(list(out))
+
+    return df.select(
+        F.col(id_col),
+        codes_of(F.col(vec_col).cast("array<double>")).alias("codes"))
+
+
+def pq_search(codes: DataFrame, codebooks: np.ndarray,
+              queries: DataFrame, k: int = 10,
+              id_col: str = "vec_id", vec_col: str = "embedding",
+              query_id_col: str = "query_id") -> DataFrame:
+    """Asymmetric-distance (ADC) top-k over PQ codes: each query builds
+    an ``m × n_codes`` inner-product lookup table against the codebooks
+    (driver-side — queries are small by contract, like
+    :func:`ann_ivf`); scoring a corpus row is then ``m``
+    ``element_at`` lookups summed — a pure JVM expression over the
+    broadcast-joined LUT, no Python and no vector data in the scan.
+    Returns ``(query_id, id, score, rank)`` where score approximates
+    the cosine of L2-normalized vectors; the query never matches
+    itself.
+    """
+    m, n_codes, dsub = codebooks.shape
+    q_rows = queries.select(query_id_col, vec_col).collect()
+    q_ids, Qn = _normalized_matrix(q_rows)
+    flat = codebooks.reshape(m, n_codes, dsub)
+    lut_rows = []
+    for qid, qv in zip(q_ids, Qn):
+        lut = [float(np.dot(qv[j * dsub:(j + 1) * dsub], flat[j][c]))
+               for j in range(m) for c in range(n_codes)]
+        lut_rows.append((int(qid), lut))
+    spark = codes.sparkSession
+    q_df = F.broadcast(spark.createDataFrame(
+        lut_rows, f"{query_id_col} long, __lut array<double>"))
+
+    idx = F.sequence(F.lit(0), F.lit(m - 1))
+    score = F.aggregate(
+        F.zip_with(F.col("codes"), idx,
+                   lambda c, i: F.element_at(
+                       F.col("__lut"), i * n_codes + c + 1)),
+        F.lit(0.0), lambda acc, x: acc + x)
+    scored = (codes.crossJoin(q_df)
+              .where(F.col(id_col) != F.col(query_id_col))
+              .withColumn("score", score))
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("score").desc(), F.col(id_col).asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select(query_id_col, id_col, "score", "rank"))

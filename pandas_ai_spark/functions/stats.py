@@ -126,3 +126,67 @@ def profile_exact(df: DataFrame, cols: list[str]) -> DataFrame:
                   F.col(f"__p{i}_max")]
     return (row.select(F.stack(F.lit(len(cols)), *parts))
             .toDF("column", "n", "nulls", "n_distinct", "min_s", "max_s"))
+
+
+def corr_matrix(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Pairwise Pearson correlations of ``cols`` in ONE aggregation
+    pass: all C(n,2) ``corr`` aggregates evaluate over a single scan
+    (each keeps O(1) co-moment state — no per-pair re-scan, no pivot),
+    then a ``stack`` unpivot shapes the result as
+    ``(col_a, col_b, corr)`` with ``col_a < col_b``.
+
+    The profiling companion to :func:`profile_exact`: at 100 TB the
+    whole matrix costs exactly one partial-agg'd pass regardless of how
+    many column pairs are requested.
+    """
+    if len(cols) < 2:
+        raise ValueError("corr_matrix needs at least two columns")
+    pairs = [(a, b) for i, a in enumerate(cols) for b in cols[i + 1:]]
+    aggs = [F.corr(F.col(a).cast("double"),
+                   F.col(b).cast("double")).alias(f"__c{i}")
+            for i, (a, b) in enumerate(pairs)]
+    wide = df.agg(*aggs)
+    stack = ", ".join(
+        f"'{a}', '{b}', __c{i}" for i, (a, b) in enumerate(pairs))
+    return wide.selectExpr(
+        f"stack({len(pairs)}, {stack}) AS (col_a, col_b, corr)")
+
+
+def value_histogram(
+    df: DataFrame,
+    value_col: str,
+    lo: float,
+    hi: float,
+    bins: int = 20,
+    by: list[str] | None = None,
+) -> DataFrame:
+    """Fixed-range histogram: bucket ``value_col`` into ``bins`` equal
+    intervals over ``[lo, hi)`` (below-range clamps to bucket 0,
+    ``>= hi`` to the last bucket), count per (``by``…, bucket), and
+    attach the bucket edges.
+
+    Fixed literal edges — not data-dependent min/max — keep this a pure
+    single-pass projection + partial-agg'd count (no extra bounds pass)
+    and make the result reproducible across engines and dataset
+    versions (the property dataset-drift monitoring needs). Output:
+    ``by…, bucket, lo_edge, hi_edge, n``.
+    """
+    if bins < 1:
+        raise ValueError("bins must be >= 1")
+    if not hi > lo:
+        raise ValueError("hi must exceed lo")
+    width = (float(hi) - float(lo)) / bins
+    raw = F.floor((F.col(value_col).cast("double") - F.lit(float(lo)))
+                  / F.lit(width)).cast("int")
+    bucket = F.least(F.greatest(raw, F.lit(0)), F.lit(bins - 1))
+    keys = list(by or [])
+    out = (df.where(F.col(value_col).isNotNull())
+             .groupBy(*keys, bucket.alias("bucket"))
+             .agg(F.count("*").alias("n")))
+    return out.select(
+        *keys, "bucket",
+        (F.lit(float(lo)) + F.col("bucket") * F.lit(width))
+        .alias("lo_edge"),
+        (F.lit(float(lo)) + (F.col("bucket") + 1) * F.lit(width))
+        .alias("hi_edge"),
+        "n")

@@ -292,3 +292,51 @@ def rolling_zscore_anomalies(
                  & (F.abs(F.col("zscore")) > float(z_threshold)))
           .drop("__n", "__sd")
     )
+
+
+def ewma(
+    df: DataFrame,
+    value_col: str = "value",
+    ts_col: str = "ts",
+    by: Sequence[str] = ("user_id",),
+    alpha: float = 0.2,
+    window: int = 20,
+    order_tiebreak: Optional[str] = None,
+    out_col: str = "ewma",
+) -> DataFrame:
+    """Exponentially weighted moving average per series, truncated to
+    the last ``window`` observations (pandas ``ewm(adjust=True)``
+    weighting): ``ewma_i = Σⱼ (1−α)^j · x_{i−j} / Σⱼ (1−α)^j`` for
+    ``j = 0 … min(i, window−1)``.
+
+    The truncation is what makes this exact AND distributed: the
+    infinite-history recurrence is a sequential scan, but the last-K
+    form is a plain ROWS window — ``collect_list`` over the frame (K
+    values, frame-ordered), one indexed ``transform`` for the weights,
+    one fold for the numerator, and the closed-form geometric sum
+    ``(1−(1−α)^L)/α`` for the denominator. All JVM expressions inside
+    one window pass: ONE shuffle on the series key, O(K) work per row,
+    no Python, no sequential dependency. With ``(1−α)^window`` ≈ 1e-2
+    at the defaults, truncation error is below display precision.
+    """
+    if not 0.0 < alpha <= 1.0:
+        raise ValueError("alpha must be in (0, 1]")
+    if window < 1:
+        raise ValueError("window must be >= 1")
+    by = list(by)
+    order = [F.col(ts_col).asc()]
+    if order_tiebreak:
+        order.append(F.col(order_tiebreak).asc())
+    w = (Window.partitionBy(*by).orderBy(*order)
+         .rowsBetween(-(int(window) - 1), 0))
+    arr = F.collect_list(F.col(value_col).cast("double")).over(w)
+    decay = 1.0 - alpha
+    # arr is frame-ordered (oldest first); element i of L gets weight
+    # (1-a)^(L-1-i) so the current row weighs 1
+    weighted = F.transform(
+        arr, lambda x, i: x * F.pow(F.lit(decay), F.size(arr) - 1 - i))
+    num = F.aggregate(weighted, F.lit(0.0), lambda acc, x: acc + x)
+    # geometric closed form; valid for the whole (0, 1] range (α = 1
+    # gives (1 − 0^L)/1 = 1: only the current row weighs in)
+    den = (F.lit(1.0) - F.pow(F.lit(decay), F.size(arr))) / F.lit(alpha)
+    return df.withColumn(out_col, num / den)

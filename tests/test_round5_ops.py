@@ -342,3 +342,293 @@ class TestIntegrityAudit:
         with pytest.raises(ValueError, match="unique"):
             au.integrity_audit([au.not_null("x", df, "id"),
                                 au.not_null("x", df, "id")])
+
+
+# ---------------------------------------------------------------------------
+# EWMA
+# ---------------------------------------------------------------------------
+
+class TestEwma:
+    def test_matches_reference_weighting(self, spark):
+        from pandas_ai_spark.functions.timeseries import ewma
+
+        vals = [10.0, 20.0, 30.0]
+        df = spark.createDataFrame(
+            [(1, _ts(i), i, v) for i, v in enumerate(vals)],
+            "k long, ts timestamp, rid long, value double")
+        out = {r.rid: r.ewma for r in
+               ewma(df, "value", "ts", by=("k",), alpha=0.2, window=20,
+                    order_tiebreak="rid").collect()}
+
+        def ref(xs, a=0.2):
+            ws = [(1 - a) ** (len(xs) - 1 - i) for i in range(len(xs))]
+            return sum(w * x for w, x in zip(ws, xs)) / sum(ws)
+
+        for i in range(3):
+            assert out[i] == pytest.approx(ref(vals[:i + 1]))
+
+    def test_window_truncation(self, spark):
+        from pandas_ai_spark.functions.timeseries import ewma
+
+        # window=2: only the last two observations matter
+        df = spark.createDataFrame(
+            [(1, _ts(0), 0, 1000.0), (1, _ts(1), 1, 10.0),
+             (1, _ts(2), 2, 20.0)],
+            "k long, ts timestamp, rid long, value double")
+        out = {r.rid: r.ewma for r in
+               ewma(df, "value", "ts", by=("k",), alpha=0.5,
+                    window=2, order_tiebreak="rid").collect()}
+        # weights 0.5, 1 over [10, 20] -> (5+20)/1.5
+        assert out[2] == pytest.approx(25.0 / 1.5)
+
+    def test_alpha_one_is_identity(self, spark):
+        from pandas_ai_spark.functions.timeseries import ewma
+
+        df = spark.createDataFrame(
+            [(1, _ts(i), i, float(i * 7)) for i in range(4)],
+            "k long, ts timestamp, rid long, value double")
+        out = ewma(df, "value", "ts", by=("k",), alpha=1.0,
+                   window=5, order_tiebreak="rid").collect()
+        assert all(r.ewma == pytest.approx(r.value) for r in out)
+
+    def test_validation(self, spark):
+        from pandas_ai_spark.functions.timeseries import ewma
+
+        df = spark.createDataFrame([(1, _ts(0), 1.0)],
+                                   "k long, ts timestamp, value double")
+        with pytest.raises(ValueError, match="alpha"):
+            ewma(df, "value", "ts", by=("k",), alpha=0.0)
+        with pytest.raises(ValueError, match="window"):
+            ewma(df, "value", "ts", by=("k",), window=0)
+
+
+# ---------------------------------------------------------------------------
+# PageRank
+# ---------------------------------------------------------------------------
+
+def _pagerank_ref(edges, iterations, d=0.85):
+    nodes = sorted({s for s, _ in edges} | {t for _, t in edges})
+    n = len(nodes)
+    deg = {}
+    for s, _ in edges:
+        deg[s] = deg.get(s, 0) + 1
+    r = {v: 1.0 / n for v in nodes}
+    for _ in range(iterations):
+        inbound = {v: 0.0 for v in nodes}
+        for s, t in edges:
+            inbound[t] += r[s] / deg[s]
+        r = {v: (1 - d) / n + d * inbound[v] for v in nodes}
+    return r
+
+
+class TestPagerank:
+    def test_matches_pure_python_power_iteration(self, spark):
+        from pandas_ai_spark.functions.graph import pagerank
+
+        edges = [(1, 2), (2, 1), (2, 3), (3, 1), (4, 3), (1, 3)]
+        df = spark.createDataFrame(edges, "src long, dst long")
+        got = {r.node: r.rank for r in
+               pagerank(df, iterations=4, damping=0.85).collect()}
+        ref = _pagerank_ref(edges, 4)
+        assert set(got) == set(ref)
+        for v in ref:
+            assert got[v] == pytest.approx(ref[v], rel=1e-12)
+
+    def test_rank_mass_conserved_without_dangling(self, spark):
+        from pandas_ai_spark.functions.graph import pagerank
+
+        # symmetric graph: no dangling nodes, total mass stays 1
+        edges = [(a, b) for a, b in
+                 [(1, 2), (2, 3), (3, 4), (4, 1)]]
+        edges += [(b, a) for a, b in list(edges)]
+        df = spark.createDataFrame(edges, "src long, dst long")
+        got = pagerank(df, iterations=5).collect()
+        assert sum(r.rank for r in got) == pytest.approx(1.0)
+
+    def test_hub_outranks_leaf(self, spark):
+        from pandas_ai_spark.functions.graph import pagerank
+
+        # everyone points at node 0
+        edges = [(i, 0) for i in range(1, 6)] + [(0, 1)]
+        df = spark.createDataFrame(edges, "src long, dst long")
+        got = {r.node: r.rank for r in
+               pagerank(df, iterations=3).collect()}
+        assert got[0] > max(v for k, v in got.items() if k != 0)
+
+    def test_checkpointed_iterations_same_result(self, spark):
+        from pandas_ai_spark.functions.graph import pagerank
+
+        edges = [(1, 2), (2, 3), (3, 1)]
+        df = spark.createDataFrame(edges, "src long, dst long")
+        a = {r.node: r.rank for r in
+             pagerank(df, iterations=4, checkpoint_every=2).collect()}
+        b = _pagerank_ref(edges, 4)
+        for v in b:
+            assert a[v] == pytest.approx(b[v], rel=1e-12)
+
+    def test_validation(self, spark):
+        from pandas_ai_spark.functions.graph import pagerank
+
+        df = spark.createDataFrame([(1, 2)], "src long, dst long")
+        with pytest.raises(ValueError, match="iterations"):
+            pagerank(df, iterations=0)
+        with pytest.raises(ValueError, match="damping"):
+            pagerank(df, damping=1.0)
+
+    def test_cooccurrence_edges_symmetric_and_capped(self, spark):
+        from pandas_ai_spark.functions.graph import cooccurrence_edges
+
+        df = spark.createDataFrame(
+            [(1, "a"), (1, "b"), (1, "b"), (2, "a"), (2, "c")],
+            "b long, i string")
+        got = {(r.src, r.dst) for r in
+               cooccurrence_edges(df, "b", "i").collect()}
+        assert got == {("a", "b"), ("b", "a"), ("a", "c"), ("c", "a")}
+        capped = cooccurrence_edges(
+            spark.createDataFrame([(1, f"i{j}") for j in range(20)],
+                                  "b long, i string"),
+            "b", "i", max_items_per_basket=4).collect()
+        assert len(capped) == 4 * 3
+
+
+# ---------------------------------------------------------------------------
+# Product quantization
+# ---------------------------------------------------------------------------
+
+class TestProductQuantization:
+    @pytest.fixture(scope="class")
+    def emb(self, spark):
+        return spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+
+    def test_codebook_shape_and_determinism(self, spark, emb):
+        from pandas_ai_spark.functions.similarity import pq_train
+
+        a = pq_train(emb, m=8, n_codes=16, seed=42)
+        b = pq_train(emb, m=8, n_codes=16, seed=42)
+        assert a.shape == (8, 16, 8)
+        assert (a == b).all()
+
+    def test_dim_must_divide(self, spark, emb):
+        from pandas_ai_spark.functions.similarity import pq_train
+
+        with pytest.raises(ValueError, match="not divisible"):
+            pq_train(emb, m=7)
+
+    def test_encode_codes_in_range(self, spark, emb):
+        from pandas_ai_spark.functions.similarity import (pq_encode,
+                                                          pq_train)
+
+        books = pq_train(emb, m=8, n_codes=16)
+        rows = pq_encode(emb, books).collect()
+        assert len(rows) == emb.count()
+        for r in rows:
+            assert len(r.codes) == 8
+            assert all(0 <= c < 16 for c in r.codes)
+
+    def test_adc_recall_vs_exact(self, spark, emb):
+        from pandas_ai_spark.functions.similarity import (ann_bruteforce,
+                                                          pq_encode,
+                                                          pq_search,
+                                                          pq_train)
+        from pyspark.sql import functions as F
+
+        queries = emb.where(F.col("vec_id") < 5).select(
+            F.col("vec_id").alias("query_id"), "embedding")
+        books = pq_train(emb, m=8, n_codes=16)
+        codes = pq_encode(emb, books)
+        approx = pq_search(codes, books, queries, k=10)
+        exact = ann_bruteforce(emb, queries, k=10)
+        got = {(r.query_id, r.vec_id) for r in approx.collect()}
+        want = {(r.query_id, r.vec_id) for r in exact.collect()}
+        # unclustered random vectors are PQ's worst case (measured ~0.24
+        # @10 here): demand agreement well above chance (10/500 = 2%),
+        # and that widening the ADC beam recovers the majority
+        assert len(got & want) / len(want) >= 0.15
+        wide = {(r.query_id, r.vec_id)
+                for r in pq_search(codes, books, queries, k=50).collect()}
+        assert len(wide & want) / len(want) >= 0.5
+
+    def test_search_excludes_self_and_ranks(self, spark, emb):
+        from pandas_ai_spark.functions.similarity import (pq_encode,
+                                                          pq_search,
+                                                          pq_train)
+        from pyspark.sql import functions as F
+
+        queries = emb.where(F.col("vec_id") < 3).select(
+            F.col("vec_id").alias("query_id"), "embedding")
+        books = pq_train(emb, m=4, n_codes=8)
+        out = pq_search(pq_encode(emb, books), books, queries,
+                        k=5).collect()
+        by_q = {}
+        for r in out:
+            assert r.vec_id != r.query_id
+            by_q.setdefault(r.query_id, []).append(r)
+        for q, rs in by_q.items():
+            ranks = sorted(r.rank for r in rs)
+            assert ranks == [1, 2, 3, 4, 5]
+            scores = [r.score for r in sorted(rs, key=lambda x: x.rank)]
+            assert scores == sorted(scores, reverse=True)
+
+
+# ---------------------------------------------------------------------------
+# correlation matrix + histogram
+# ---------------------------------------------------------------------------
+
+class TestCorrMatrix:
+    def test_known_correlations(self, spark):
+        from pandas_ai_spark.functions.stats import corr_matrix
+
+        rows = [(float(i), float(2 * i), float(-i), 7.0 + (i % 2))
+                for i in range(50)]
+        df = spark.createDataFrame(rows, "a double, b double, c double, d double")
+        got = {(r.col_a, r.col_b): r.corr
+               for r in corr_matrix(df, ["a", "b", "c"]).collect()}
+        assert got[("a", "b")] == pytest.approx(1.0)
+        assert got[("a", "c")] == pytest.approx(-1.0)
+        assert got[("b", "c")] == pytest.approx(-1.0)
+        assert len(got) == 3
+
+    def test_single_pass_plan(self, spark):
+        from pandas_ai_spark.functions.stats import corr_matrix
+
+        df = spark.createDataFrame(
+            [(1.0, 2.0, 3.0)], "a double, b double, c double")
+        plan = corr_matrix(df, ["a", "b", "c"])._jdf.queryExecution() \
+            .executedPlan().toString()
+        # one aggregate over one scan — no join, no union of scans
+        assert "Join" not in plan and "Union" not in plan
+
+    def test_validation(self, spark):
+        from pandas_ai_spark.functions.stats import corr_matrix
+
+        df = spark.createDataFrame([(1.0,)], "a double")
+        with pytest.raises(ValueError, match="two columns"):
+            corr_matrix(df, ["a"])
+
+
+class TestValueHistogram:
+    def test_counts_and_edges(self, spark):
+        from pandas_ai_spark.functions.stats import value_histogram
+
+        df = spark.createDataFrame(
+            [("a", 0.5), ("a", 1.5), ("a", 1.6), ("a", 9.9),
+             ("a", -3.0),   # clamps to bucket 0
+             ("a", 42.0),   # clamps to last bucket
+             ("a", None)],  # ignored
+            "k string, v double")
+        got = {r.bucket: (r.n, r.lo_edge, r.hi_edge)
+               for r in value_histogram(df, "v", lo=0.0, hi=10.0,
+                                        bins=10, by=["k"]).collect()}
+        assert got[0] == (2, 0.0, 1.0)   # 0.5 and the clamped -3.0
+        assert got[1] == (2, 1.0, 2.0)
+        assert got[9] == (2, 9.0, 10.0)  # 9.9 and the clamped 42.0
+        assert sum(n for n, _, _ in got.values()) == 6
+
+    def test_validation(self, spark):
+        from pandas_ai_spark.functions.stats import value_histogram
+
+        df = spark.createDataFrame([("a", 1.0)], "k string, v double")
+        with pytest.raises(ValueError, match="bins"):
+            value_histogram(df, "v", 0.0, 1.0, bins=0)
+        with pytest.raises(ValueError, match="hi"):
+            value_histogram(df, "v", 1.0, 1.0)

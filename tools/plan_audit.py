@@ -38,6 +38,12 @@ ALLOW: dict[str, set[str]] = {
     "q67_stream_near_dup": {"skip"},
     # mixture rates need a count() action at plan-build time; cheap
     "q57_domain_mixture": {"skip"},
+    # PQ/ADC scoring is BY DESIGN a broadcast cross join of the code
+    # table against the per-query LUT side (bounded by |queries| — the
+    # faiss IndexPQ shape): every query scores every compressed row
+    # via m element_at lookups. The nested-loop flag is the query-side
+    # broadcast, not an unbounded O(N·M) comparison.
+    "q83_pq_ann": {"nested_loop"},
     # tfidf / cross-entropy / decontamination / span excision compute a
     # scalar count() (documented) — plan still audited below
 }

@@ -1669,6 +1669,148 @@ def q85_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("event_type", "bucket")
 
 
+def q86_fuzzy_link(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-table record linkage (linkage.fuzzy_join): link the even-id
+    half of documents (the "incoming batch") against the odd-id half
+    (the "master") on a 24-char normalized prefix key, ≤3 edits —
+    prefix-blocked equi-join + length-band prune before the quadratic
+    levenshtein; complements q42's self-dedup (length-bucket blocking).
+    Oracle: identical blocking predicates + levenshtein in DuckDB."""
+    from pandas_ai_spark.functions.linkage import fuzzy_join
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.substring("text", 1, 24).alias("k"))
+    a = docs.where(F.col("doc_id") % 2 == 0)
+    b = docs.where(F.col("doc_id") % 2 == 1)
+    out = fuzzy_join(a, b, "doc_id", "k", max_distance=3, block_chars=2)
+    return out.select("a_id", "b_id", "distance").orderBy("a_id", "b_id")
+
+
+def q87_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix (events.transition_matrix)
+    over per-user event sequences — one user-partitioned lead window +
+    one (from,to) count; prob normalized by a from-keyed window sum.
+    Oracle: the identical lead/count/window-share SQL."""
+    from pandas_ai_spark.functions.events import transition_matrix
+
+    ev = _t(spark, sf_dir, "events")
+    out = transition_matrix(ev, tiebreak="event_id")
+    return out.select(
+        "from_event", "to_event", "n", F.round("prob", 6).alias("prob")
+    ).orderBy("from_event", "to_event")
+
+
+def q88_triangle_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counts (graph.triangle_counts) on the brand
+    co-purchase graph (edges = brand pairs co-ordered in ≥300 orders,
+    via graph.cooccurrence_edges min_support — the lean thresholding
+    path, no confidence/lift joins). Spark runs the degree-oriented
+    wedge algorithm (Suri & Vassilvitskii — out-degree bounded O(√m),
+    hub-safe); the oracle counts the SAME triangles with the naive
+    id-ordered SQL — counts are orientation-invariant, so the match
+    verifies the oriented plan against the textbook definition."""
+    from pandas_ai_spark.functions.graph import (cooccurrence_edges,
+                                                 triangle_counts)
+
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    baskets = li.join(part, li.l_partkey == part.p_partkey) \
+                .select("l_orderkey", "p_brand")
+    edges = cooccurrence_edges(baskets, "l_orderkey", "p_brand",
+                               min_support=300)
+    return (triangle_counts(edges)
+            .select(F.col("node").alias("brand"), "triangles")
+            .orderBy("brand"))
+
+
+def q89_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pointwise mutual information lang × source over documents
+    (stats.mutual_information): joint table in one shuffle, marginals
+    as partitioned window sums over the (tiny) joint table, corpus
+    total as a scalar-only collect. Oracle: identical PMI arithmetic
+    with DuckDB window sums."""
+    from pandas_ai_spark.functions.stats import mutual_information
+
+    docs = _t(spark, sf_dir, "documents")
+    out = mutual_information(docs, "lang", "source")
+    return out.select(
+        F.col("x").alias("lang"), F.col("y").alias("source"), "n_xy",
+        F.round("pmi", 6).alias("pmi"),
+        F.round("contribution", 9).alias("contribution"),
+    ).orderBy("lang", "source")
+
+
+def q90_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-40 bigram collocations by PMI (text.pmi_collocations,
+    Church & Hanks): row-local bigram construction (array transform —
+    no positional self-join), two count aggs, broadcast unigram
+    re-attach, TakeOrderedAndProject top-k on the rounded score.
+    Oracle: same tokenization/arithmetic via DuckDB list functions."""
+    from pandas_ai_spark.functions.text import pmi_collocations
+
+    docs = _t(spark, sf_dir, "documents")
+    out = pmi_collocations(docs, min_count=5, top_k=40)
+    return (out.withColumn("pmi", F.round("pmi", 6))
+               .orderBy(F.desc("pmi"), "w1", "w2")
+               .select("w1", "w2", "n_pair", "n_w1", "n_w2", "pmi"))
+
+
+def q91_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user time-weighted average of events.value under zero-order
+    hold (timeseries.time_weighted_avg) — the telemetry-correct mean
+    for irregular sampling; one lead window + one grouped agg, single
+    user-key shuffle. Oracle: identical epoch-microsecond arithmetic."""
+    from pandas_ai_spark.functions.timeseries import time_weighted_avg
+
+    ev = _t(spark, sf_dir, "events")
+    out = time_weighted_avg(ev, "value", "ts", by=("user_id",),
+                            tiebreak="event_id")
+    return out.select(
+        "user_id", F.round("twa", 6).alias("twa"),
+        F.round("total_seconds", 3).alias("total_seconds"),
+        "n_intervals",
+    ).orderBy("user_id")
+
+
+def q92_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test (stats.ab_test_proportions) over a
+    deterministic md5 50/50 user split (same bucket scheme as q69's
+    hash split — engine-reproducible, no RNG): conversion = any
+    purchase event with value > 99. Unit-grain agg + one 4-value final
+    aggregate; z computed row-locally from the pooled proportion.
+    Oracle: identical md5-arm assignment and arithmetic."""
+    from pandas_ai_spark.functions.stats import ab_test_proportions
+
+    ev = _t(spark, sf_dir, "events")
+    out = ab_test_proportions(
+        ev, "user_id",
+        (F.col("event_type") == "purchase") & (F.col("value") > 99),
+        seed="ab")
+    return out.select(
+        "n_a", "n_b", "conv_a", "conv_b",
+        F.round("p_a", 6).alias("p_a"), F.round("p_b", 6).alias("p_b"),
+        F.round("lift", 6).alias("lift"), F.round("z", 6).alias("z"),
+        "significant")
+
+
+def q93_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood dedup candidates (Hernández & Stolfo,
+    linkage.sorted_neighborhood_pairs): block on a 2-char prefix, sort
+    within the block, pair each record with its next 2 neighbors via
+    lead — linear candidate generation, block-partitioned windows (no
+    global sort). Kept pairs: ≤3 edits on the 24-char key. Oracle: the
+    identical windowed-lead SQL."""
+    from pandas_ai_spark.functions.linkage import sorted_neighborhood_pairs
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.substring("text", 1, 24).alias("k"))
+    out = sorted_neighborhood_pairs(docs, "doc_id", "k",
+                                    window=2, block_chars=2)
+    return (out.where(F.col("distance") <= 3)
+               .select("a_id", "b_id", "distance")
+               .orderBy("a_id", "b_id"))
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -1772,6 +1914,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q83_pq_ann": q83_pq_ann,
         "q84_corr_matrix": q84_corr_matrix,
         "q85_histogram": q85_histogram,
+        "q86_fuzzy_link": q86_fuzzy_link,
+        "q87_markov_transitions": q87_markov_transitions,
+        "q88_triangle_centrality": q88_triangle_centrality,
+        "q89_mutual_information": q89_mutual_information,
+        "q90_pmi_collocations": q90_pmi_collocations,
+        "q91_time_weighted_avg": q91_time_weighted_avg,
+        "q92_ab_test": q92_ab_test,
+        "q93_sorted_neighborhood": q93_sorted_neighborhood,
     }
 
 
@@ -3391,5 +3541,188 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT node AS part, round(rank, 9) AS rank
             FROM r3 ORDER BY part
+        """,
+        "q86_fuzzy_link": """
+            WITH k AS (
+              SELECT doc_id, lower(trim(substr(text, 1, 24))) AS ky
+              FROM documents
+              WHERE len(lower(trim(substr(text, 1, 24)))) >= 2
+            )
+            SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+                   levenshtein(a.ky, b.ky) AS distance
+            FROM k a JOIN k b
+              ON substr(a.ky, 1, 2) = substr(b.ky, 1, 2)
+            WHERE a.doc_id % 2 = 0 AND b.doc_id % 2 = 1
+              AND abs(len(a.ky) - len(b.ky)) <= 3
+              AND levenshtein(a.ky, b.ky) <= 3
+            ORDER BY a_id, b_id
+        """,
+        "q87_markov_transitions": """
+            WITH seq AS (
+              SELECT event_type AS from_event,
+                     lead(event_type) OVER (
+                       PARTITION BY user_id
+                       ORDER BY ts, event_id) AS to_event
+              FROM events
+            )
+            SELECT from_event, to_event, count(*) AS n,
+                   round(count(*)::DOUBLE
+                         / sum(count(*)) OVER (PARTITION BY from_event),
+                         6) AS prob
+            FROM seq WHERE to_event IS NOT NULL
+            GROUP BY from_event, to_event
+            ORDER BY from_event, to_event
+        """,
+        "q88_triangle_centrality": """
+            WITH bi AS (
+              SELECT DISTINCT l_orderkey AS b, p_brand AS i
+              FROM lineitem JOIN part ON l_partkey = p_partkey
+            ), e AS (
+              SELECT x.i AS u, y.i AS v
+              FROM bi x JOIN bi y ON x.b = y.b AND x.i < y.i
+              GROUP BY 1, 2 HAVING count(*) >= 300
+            ), t AS (
+              SELECT e1.u AS a, e1.v AS b, e2.v AS c
+              FROM e e1
+              JOIN e e2 ON e1.u = e2.u AND e1.v < e2.v
+              JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v
+            ), n AS (
+              SELECT a AS brand FROM t
+              UNION ALL SELECT b FROM t
+              UNION ALL SELECT c FROM t
+            )
+            SELECT brand, count(*) AS triangles
+            FROM n GROUP BY brand ORDER BY brand
+        """,
+        "q89_mutual_information": """
+            WITH j AS (
+              SELECT lang AS x, source AS y, count(*) AS n_xy
+              FROM documents
+              WHERE lang IS NOT NULL AND source IS NOT NULL
+              GROUP BY 1, 2
+            ), tot AS (SELECT sum(n_xy) AS t FROM j)
+            SELECT x AS lang, y AS source, n_xy,
+                   round(ln(n_xy::DOUBLE * t
+                            / (sum(n_xy) OVER (PARTITION BY x)
+                               * sum(n_xy) OVER (PARTITION BY y))),
+                         6) AS pmi,
+                   round(n_xy / t::DOUBLE
+                         * ln(n_xy::DOUBLE * t
+                              / (sum(n_xy) OVER (PARTITION BY x)
+                                 * sum(n_xy) OVER (PARTITION BY y))),
+                         9) AS contribution
+            FROM j CROSS JOIN tot
+            ORDER BY lang, source
+        """,
+        "q90_pmi_collocations": """
+            WITH toks AS (
+              SELECT list_filter(
+                       string_split_regex(lower(text), '[^a-z]+'),
+                       t -> t <> '') AS tk
+              FROM documents
+            ), uc AS (
+              SELECT w, count(*) AS n_w
+              FROM (SELECT unnest(tk) AS w FROM toks) GROUP BY w
+            ), tot AS (SELECT sum(n_w) AS t FROM uc),
+            big AS (
+              SELECT unnest(list_transform(
+                       range(1, len(tk)),
+                       i -> tk[i] || ' ' || tk[i + 1])) AS bg
+              FROM toks WHERE len(tk) >= 2
+            ), bc AS (
+              SELECT string_split(bg, ' ')[1] AS w1,
+                     string_split(bg, ' ')[2] AS w2,
+                     count(*) AS n_pair
+              FROM big GROUP BY 1, 2 HAVING count(*) >= 5
+            )
+            SELECT w1, w2, n_pair, u1.n_w AS n_w1, u2.n_w AS n_w2,
+                   round(ln(n_pair::DOUBLE * t
+                            / (u1.n_w::DOUBLE * u2.n_w)), 6) AS pmi
+            FROM bc
+            JOIN uc u1 ON bc.w1 = u1.w
+            JOIN uc u2 ON bc.w2 = u2.w
+            CROSS JOIN tot
+            ORDER BY pmi DESC, w1, w2 LIMIT 40
+        """,
+        "q91_time_weighted_avg": """
+            WITH s AS (
+              SELECT user_id, value,
+                     (epoch_us(lead(ts) OVER (
+                        PARTITION BY user_id
+                        ORDER BY ts, event_id))
+                      - epoch_us(ts)) / 1000000.0 AS dt
+              FROM events
+            )
+            SELECT user_id,
+                   round(sum(value * dt) / sum(dt), 6) AS twa,
+                   round(sum(dt), 3) AS total_seconds,
+                   count(*) AS n_intervals
+            FROM s WHERE dt IS NOT NULL
+            GROUP BY user_id ORDER BY user_id
+        """,
+        "q92_ab_test": """
+            WITH u AS (
+              SELECT user_id,
+                     CASE WHEN ('0x' || substr(
+                              md5('ab:' || user_id::VARCHAR),
+                              1, 8))::BIGINT % 2 = 0
+                          THEN 'a' ELSE 'b' END AS arm,
+                     max(CASE WHEN event_type = 'purchase'
+                                   AND value > 99
+                              THEN 1 ELSE 0 END) AS conv
+              FROM events GROUP BY 1, 2
+            ), agg AS (
+              SELECT count(*) FILTER (arm = 'a') AS n_a,
+                     count(*) FILTER (arm = 'b') AS n_b,
+                     sum(conv) FILTER (arm = 'a') AS conv_a,
+                     sum(conv) FILTER (arm = 'b') AS conv_b
+              FROM u
+            ), z AS (
+              SELECT *,
+                     conv_a / n_a::DOUBLE AS p_a,
+                     conv_b / n_b::DOUBLE AS p_b,
+                     (conv_a + conv_b) / (n_a + n_b)::DOUBLE AS pooled
+              FROM agg
+            )
+            SELECT n_a, n_b, conv_a, conv_b,
+                   round(p_a, 6) AS p_a, round(p_b, 6) AS p_b,
+                   round(p_b - p_a, 6) AS lift,
+                   round(CASE WHEN pooled > 0 AND pooled < 1
+                              THEN (p_a - p_b)
+                                   / sqrt(pooled * (1 - pooled)
+                                          * (1.0 / n_a + 1.0 / n_b))
+                              ELSE 0.0 END, 6) AS z,
+                   abs(CASE WHEN pooled > 0 AND pooled < 1
+                            THEN (p_a - p_b)
+                                 / sqrt(pooled * (1 - pooled)
+                                        * (1.0 / n_a + 1.0 / n_b))
+                            ELSE 0.0 END) >= 1.96 AS significant
+            FROM z
+        """,
+        "q93_sorted_neighborhood": """
+            WITH base AS (
+              SELECT doc_id AS a_id,
+                     lower(trim(substr(text, 1, 24))) AS a_key,
+                     substr(lower(trim(substr(text, 1, 24))), 1, 2)
+                       AS blk
+              FROM documents
+              WHERE len(lower(trim(substr(text, 1, 24)))) >= 2
+            ), nb AS (
+              SELECT a_id, a_key,
+                     lead(a_id, 1) OVER w AS b1,
+                     lead(a_key, 1) OVER w AS k1,
+                     lead(a_id, 2) OVER w AS b2,
+                     lead(a_key, 2) OVER w AS k2
+              FROM base
+              WINDOW w AS (PARTITION BY blk ORDER BY a_key, a_id)
+            ), pairs AS (
+              SELECT a_id, b1 AS b_id, levenshtein(a_key, k1) AS distance
+              FROM nb WHERE b1 IS NOT NULL
+              UNION ALL
+              SELECT a_id, b2, levenshtein(a_key, k2)
+              FROM nb WHERE b2 IS NOT NULL
+            )
+            SELECT a_id, b_id, distance FROM pairs
+            WHERE distance <= 3 ORDER BY a_id, b_id
         """,
     }

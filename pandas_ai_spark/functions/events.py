@@ -81,3 +81,38 @@ def funnel(df: DataFrame, steps: Sequence[str],
         )
         out = out.join(ti, user_col, "left")
     return out
+
+
+def transition_matrix(df: DataFrame, ts_col: str = "ts",
+                      user_col: str = "user_id",
+                      type_col: str = "event_type",
+                      tiebreak: str | None = None) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences: ``(from_event, to_event, n, prob)`` where ``prob`` is
+    the row-stochastic share ``n / Σ_to n``.
+
+    Shape: one ``lead`` window partitioned by the user (never a global
+    sort — each user's sequence sorts inside its own partition), then
+    one (from, to)-keyed count and a from-keyed window sum for the
+    normalizer. Two shuffles total, both on low-cardinality keys after
+    the count; the raw event table shuffles exactly once (on the user).
+
+    ``tiebreak`` orders simultaneous events deterministically (pass the
+    event id); without it, equal timestamps make the sequence — and
+    therefore the matrix — nondeterministic under retries.
+    """
+    from pyspark.sql.window import Window
+
+    order = [F.col(ts_col)]
+    if tiebreak:
+        order.append(F.col(tiebreak))
+    w = Window.partitionBy(user_col).orderBy(*order)
+    pairs = (df.select(user_col,
+                       F.col(type_col).alias("from_event"),
+                       F.lead(type_col).over(w).alias("to_event"))
+               .where(F.col("to_event").isNotNull()))
+    counts = pairs.groupBy("from_event", "to_event") \
+                  .agg(F.count("*").alias("n"))
+    norm = Window.partitionBy("from_event")
+    return counts.withColumn(
+        "prob", F.col("n") / F.sum("n").over(norm))

@@ -121,7 +121,8 @@ def pagerank(
 
 
 def cooccurrence_edges(df: DataFrame, basket_col: str, item_col: str,
-                       max_items_per_basket: int = 1000) -> DataFrame:
+                       max_items_per_basket: int = 1000,
+                       min_support: int | None = None) -> DataFrame:
     """Symmetric co-occurrence edges from (basket, item) rows: one edge
     per ordered pair of distinct items sharing a basket, deduplicated —
     the input PageRank/centrality wants for co-purchase / co-citation
@@ -129,7 +130,13 @@ def cooccurrence_edges(df: DataFrame, basket_col: str, item_col: str,
     :func:`~pandas_ai_spark.functions.mining.frequent_pairs`: one
     basket-keyed ``collect_set`` (sorted, capped — the cap bounds a
     degenerate basket's quadratic term), row-local ordered-pair
-    expansion (never a self-join or cross join), one distinct."""
+    expansion (never a self-join or cross join), one distinct.
+
+    ``min_support`` keeps only pairs co-occurring in at least that many
+    baskets (the pair agg replaces the distinct — same shuffle, plus a
+    count) — the cheap edge-thresholding path when downstream (e.g.
+    triangle counting) doesn't need frequent_pairs' confidence/lift
+    joins."""
     arr = F.array_sort(F.collect_set("__i"))
     if max_items_per_basket:
         arr = F.slice(arr, 1, int(max_items_per_basket))
@@ -146,8 +153,74 @@ def cooccurrence_edges(df: DataFrame, basket_col: str, item_col: str,
             lambda y: F.array(F.struct(x.alias("src"), y.alias("dst")),
                               F.struct(y.alias("src"),
                                        x.alias("dst")))))))
-    return (baskets
-            .select(F.explode(pair_structs).alias("__e"))
-            .select(F.col("__e.src").alias("src"),
-                    F.col("__e.dst").alias("dst"))
-            .distinct())
+    pairs = (baskets
+             .select(F.explode(pair_structs).alias("__e"))
+             .select(F.col("__e.src").alias("src"),
+                     F.col("__e.dst").alias("dst")))
+    if min_support is None:
+        return pairs.distinct()
+    return (pairs.groupBy("src", "dst")
+                 .agg(F.count("*").alias("__n"))
+                 .where(F.col("__n") >= int(min_support))
+                 .select("src", "dst"))
+
+
+def triangle_counts(edges: DataFrame, src: str = "src",
+                    dst: str = "dst") -> DataFrame:
+    """Per-node triangle counts over an undirected graph:
+    ``(node, triangles)``, nodes with zero triangles omitted.
+
+    Algorithm (the standard distributed formulation — Suri & Vassilvitskii
+    "Counting Triangles and the Curse of the Last Reducer"): orient every
+    undirected edge from the lower-(degree, id) endpoint to the higher,
+    so each triangle is enumerated exactly once as a directed wedge
+    ``a→b, a→c`` closed by ``b→c``. Degree orientation bounds every
+    node's out-degree by O(√m) on any graph, which caps the wedge
+    (self-join) blow-up a hub vertex would otherwise cause — the
+    property that keeps this runnable on a power-law co-occurrence
+    graph at 100 TB. Triangle counts are orientation-invariant, so a
+    naive id-ordered SQL formulation is a valid oracle.
+
+    Input may contain both directions and duplicates; it is first
+    canonicalized (undirected-deduped) and self-loops are dropped.
+    Shape: degree agg + two broadcast-eligible joins of the oriented
+    edge list with itself on the wedge apex, then the closing
+    semi-equi-join — no cartesian products, no Python.
+    """
+    from .cache import operator_persist
+
+    # the canonical edge table is referenced five times (degree agg,
+    # two rank joins, wedge sides, closing join) — without a persist,
+    # Catalyst re-executes the upstream edge derivation (often an
+    # expensive co-occurrence pass) once per reference
+    und = operator_persist(
+        edges
+        .select(F.least(src, dst).alias("u"),
+                F.greatest(src, dst).alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .distinct())
+    deg = (und.select(F.col("u").alias("n"))
+              .unionAll(und.select(F.col("v").alias("n")))
+              .groupBy("n").agg(F.count("*").alias("d")))
+    ranked = (und
+              .join(deg.withColumnRenamed("n", "u")
+                       .withColumnRenamed("d", "du"), "u")
+              .join(deg.withColumnRenamed("n", "v")
+                       .withColumnRenamed("d", "dv"), "v"))
+    # orient low-(degree, id) → high-(degree, id)
+    fwd = (F.col("du") < F.col("dv")) | \
+          ((F.col("du") == F.col("dv")) & (F.col("u") < F.col("v")))
+    oriented = ranked.select(
+        F.when(fwd, F.col("u")).otherwise(F.col("v")).alias("lo"),
+        F.when(fwd, F.col("v")).otherwise(F.col("u")).alias("hi"))
+    e1 = oriented.select(F.col("lo").alias("a"), F.col("hi").alias("b"))
+    e2 = oriented.select(F.col("lo").alias("a"), F.col("hi").alias("c"))
+    wedges = e1.join(e2, "a").where(F.col("b") < F.col("c"))
+    # close the wedge: (b, c) must be an undirected edge
+    closing = und.select(F.col("u").alias("b"), F.col("v").alias("c"))
+    tris = wedges.join(closing, ["b", "c"])
+    # one row-local explode, NOT a 3-way union — a union would scan
+    # (and recompute) the wedge join once per corner
+    per_node = tris.select(
+        F.explode(F.array("a", "b", "c")).alias("node"))
+    return per_node.groupBy("node").agg(F.count("*").alias("triangles"))

@@ -190,3 +190,96 @@ def value_histogram(
         (F.lit(float(lo)) + (F.col("bucket") + 1) * F.lit(width))
         .alias("hi_edge"),
         "n")
+
+
+def mutual_information(df: DataFrame, col_x: str, col_y: str,
+                       min_count: int = 1) -> DataFrame:
+    """Pointwise mutual information between two categorical columns:
+    one row per observed ``(x, y)`` pair with its joint count, PMI
+    (natural log), and the pair's contribution to the corpus-level
+    mutual information ``p(x,y) · pmi``. ``MI = Σ contribution``.
+
+    Shape: one scan aggregates the joint table; both marginals are
+    window sums *over the joint table* (partitioned by x / by y — the
+    joint table is |X|·|Y| rows, tiny next to the input, and never a
+    single-partition window); the grand total is one driver scalar
+    (the same scalar-only collect q58's LM scoring uses). The raw
+    table shuffles exactly once, on the (x, y) pair.
+    """
+    from pyspark.sql.window import Window
+
+    joint = (df.where(F.col(col_x).isNotNull()
+                      & F.col(col_y).isNotNull())
+               .groupBy(F.col(col_x).alias("x"), F.col(col_y).alias("y"))
+               .agg(F.count("*").alias("n_xy")))
+    n_total = joint.agg(F.sum("n_xy")).collect()[0][0] or 0
+    if n_total == 0:
+        return joint.select(
+            "x", "y", "n_xy",
+            F.lit(0.0).alias("pmi"), F.lit(0.0).alias("contribution"))
+    nx = F.sum("n_xy").over(Window.partitionBy("x"))
+    ny = F.sum("n_xy").over(Window.partitionBy("y"))
+    pmi = F.log(F.col("n_xy") * F.lit(float(n_total))
+                / (nx * ny))
+    return (joint
+            .withColumn("pmi", pmi)
+            .withColumn("contribution",
+                        F.col("n_xy") / F.lit(float(n_total))
+                        * F.col("pmi"))
+            .where(F.col("n_xy") >= min_count))
+
+
+def ab_test_proportions(df: DataFrame, unit_col: str, success_expr,
+                        seed: str = "ab", z_critical: float = 1.96
+                        ) -> DataFrame:
+    """Two-proportion z-test over a deterministic 50/50 hash split of
+    experiment units: one row
+    ``(n_a, n_b, conv_a, conv_b, p_a, p_b, lift, z, significant)``.
+
+    Units are assigned by the same md5-bucket scheme as
+    :func:`~pandas_ai_spark.functions.pipeline.hash_split` (stable
+    under data growth, engine-reproducible — no RNG), so repeated runs
+    and backfills agree on every unit's arm. ``success_expr`` is a
+    boolean Column evaluated per event; a unit converts if any of its
+    events succeed.
+
+    Shape: unit-grain aggregation (one shuffle on the unit), then a
+    5-value final aggregate; the z statistic is computed row-locally
+    from the pooled proportion
+    ``z = (p_a − p_b) / √(p̂(1−p̂)(1/n_a + 1/n_b))``.
+    """
+    from .classify import md5_bucket
+
+    b = md5_bucket(
+        F.concat(F.lit(seed), F.lit(":"),
+                 F.col(unit_col).cast("string")), 2)
+    units = (df.withColumn("__arm", F.when(b == 0, F.lit("a"))
+                                      .otherwise(F.lit("b")))
+               .groupBy(unit_col, "__arm")
+               .agg(F.max(F.when(success_expr, 1).otherwise(0))
+                     .alias("__conv")))
+    agg = units.agg(
+        F.sum(F.when(F.col("__arm") == "a", 1).otherwise(0)).alias("n_a"),
+        F.sum(F.when(F.col("__arm") == "b", 1).otherwise(0)).alias("n_b"),
+        F.sum(F.when(F.col("__arm") == "a", F.col("__conv"))
+               .otherwise(0)).alias("conv_a"),
+        F.sum(F.when(F.col("__arm") == "b", F.col("__conv"))
+               .otherwise(0)).alias("conv_b"),
+    )
+    # try_divide: an empty arm (possible on tiny/filtered inputs)
+    # yields NULL proportions and z = 0, not an ANSI divide-by-zero
+    p_a = F.try_divide(F.col("conv_a"), F.col("n_a"))
+    p_b = F.try_divide(F.col("conv_b"), F.col("n_b"))
+    pooled = (F.col("conv_a") + F.col("conv_b")) \
+        / (F.col("n_a") + F.col("n_b"))
+    se = F.sqrt(pooled * (1 - pooled)
+                * (F.try_divide(F.lit(1.0), F.col("n_a"))
+                   + F.try_divide(F.lit(1.0), F.col("n_b"))))
+    z = F.coalesce(
+        F.when(se > 0, (p_a - p_b) / se), F.lit(0.0))
+    return agg.select(
+        "n_a", "n_b", "conv_a", "conv_b",
+        p_a.alias("p_a"), p_b.alias("p_b"),
+        (p_b - p_a).alias("lift"),
+        z.alias("z"),
+        (F.abs(z) >= F.lit(z_critical)).alias("significant"))

@@ -467,3 +467,64 @@ def compression_ratio(df: DataFrame, text_col: str = "text",
     return df.select(
         F.col(id_col), comp(F.col(text_col)).alias("c")
     ).select(id_col, "c.raw_bytes", "c.ratio")
+
+
+def pmi_collocations(df: DataFrame, text_col: str = "text",
+                     min_count: int = 5, top_k: int = 50) -> DataFrame:
+    """Top-k bigram collocations by pointwise mutual information:
+    ``(w1, w2, n_pair, n_w1, n_w2, pmi)`` — the standard
+    corpus-statistics pass for multiword-expression discovery
+    (Church & Hanks 1990).
+
+    Tokenization is alphabetic-lowercase (``[^a-z]+`` split), shared
+    with the DuckDB oracle. Bigrams are built ROW-LOCALLY with an array
+    ``transform`` over adjacent token pairs — no positional self-join,
+    no Python. Unigram and bigram counts are two aggregations; the
+    unigram table (vocabulary-sized) re-attaches via two
+    broadcast-eligible joins; the corpus token total is one driver
+    scalar (scalar-only collect, as q58). Final top-k is
+    ``TakeOrderedAndProject`` — never a global sort materialization.
+
+    ``pmi = ln(n_pair · T / (n_w1 · n_w2))`` with T the corpus token
+    count; ``min_count`` suppresses the low-frequency pairs whose PMI
+    is spuriously high (the classic PMI pathology).
+    """
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), "[^a-z]+"),
+        lambda t: t != "")
+    base = df.select(toks.alias("__toks"))
+    uni = (base.select(F.explode("__toks").alias("w"))
+               .groupBy("w").agg(F.count("*").alias("n_w")))
+    total = uni.agg(F.sum("n_w")).collect()[0][0] or 0
+    if total == 0:
+        return uni.select(
+            F.col("w").alias("w1"), F.col("w").alias("w2"),
+            F.lit(0).cast("long").alias("n_pair"),
+            F.lit(0).cast("long").alias("n_w1"),
+            F.lit(0).cast("long").alias("n_w2"),
+            F.lit(0.0).alias("pmi")).limit(0)
+    bigrams = F.transform(
+        F.slice(F.col("__toks"), 1,
+                F.greatest(F.size("__toks") - 1, F.lit(0))),
+        lambda x, i: F.struct(
+            x.alias("w1"),
+            F.element_at(F.col("__toks"), i + 2).alias("w2")))
+    pairs = (base.where(F.size("__toks") >= 2)
+                 .select(F.explode(bigrams).alias("__b"))
+                 .groupBy(F.col("__b.w1").alias("w1"),
+                          F.col("__b.w2").alias("w2"))
+                 .agg(F.count("*").alias("n_pair"))
+                 .where(F.col("n_pair") >= min_count))
+    out = (pairs
+           .join(F.broadcast(uni.select(F.col("w").alias("w1"),
+                                        F.col("n_w").alias("n_w1"))),
+                 "w1")
+           .join(F.broadcast(uni.select(F.col("w").alias("w2"),
+                                        F.col("n_w").alias("n_w2"))),
+                 "w2")
+           .withColumn("pmi", F.log(
+               F.col("n_pair") * F.lit(float(total))
+               / (F.col("n_w1") * F.col("n_w2")))))
+    return (out.select("w1", "w2", "n_pair", "n_w1", "n_w2", "pmi")
+               .orderBy(F.desc("pmi"), "w1", "w2")
+               .limit(top_k))

@@ -340,3 +340,37 @@ def ewma(
     # gives (1 − 0^L)/1 = 1: only the current row weighs in)
     den = (F.lit(1.0) - F.pow(F.lit(decay), F.size(arr))) / F.lit(alpha)
     return df.withColumn(out_col, num / den)
+
+
+def time_weighted_avg(df: DataFrame, value_col: str, ts_col: str,
+                      by: tuple = (), tiebreak: str | None = None
+                      ) -> DataFrame:
+    """Per-key time-weighted average under a step (zero-order-hold)
+    interpolation: each observation's value is weighted by the seconds
+    until the next observation of the same key; the final observation
+    (no successor) carries no weight. Returns
+    ``(*by, twa, total_seconds, n_intervals)``.
+
+    This is the telemetry-correct mean for irregularly sampled series
+    (a plain AVG over-weights bursts of rapid samples). One ``lead``
+    window partitioned by the key + one grouped aggregation — a single
+    shuffle on the key, no global sort, no Python.
+    """
+    from pyspark.sql.window import Window
+
+    if not by:
+        raise ValueError("time_weighted_avg requires at least one key "
+                         "column (a keyless series would need a global "
+                         "single-partition sort)")
+    order = [F.col(ts_col)]
+    if tiebreak:
+        order.append(F.col(tiebreak))
+    w = Window.partitionBy(*by).orderBy(*order)
+    dt = (F.lead(ts_col).over(w).cast("timestamp").cast("double")
+          - F.col(ts_col).cast("timestamp").cast("double"))
+    stepped = df.withColumn("__dt", dt).where(F.col("__dt").isNotNull())
+    return (stepped.groupBy(*by).agg(
+        (F.sum(F.col(value_col) * F.col("__dt"))
+         / F.sum("__dt")).alias("twa"),
+        F.sum("__dt").alias("total_seconds"),
+        F.count("*").alias("n_intervals")))

@@ -1,0 +1,355 @@
+"""Round-5 additive operators, batch 2: record linkage (fuzzy join +
+sorted neighborhood), Markov transitions, triangle counting, mutual
+information, PMI collocations, time-weighted average, A/B z-test.
+"""
+
+import datetime as dt
+import math
+
+from pyspark.sql import functions as F
+
+
+def _ts(minute, second=0):
+    return dt.datetime(2024, 1, 1, 0, minute, second)
+
+
+# ---------------------------------------------------------------------------
+# fuzzy_join (two-table record linkage)
+# ---------------------------------------------------------------------------
+
+class TestFuzzyJoin:
+    def _run(self, spark, a_rows, b_rows, **kw):
+        from pandas_ai_spark.functions.linkage import fuzzy_join
+
+        a = spark.createDataFrame(a_rows, "id long, k string")
+        b = spark.createDataFrame(b_rows, "id long, k string")
+        return fuzzy_join(a, b, "id", "k", **kw)
+
+    def test_links_within_distance(self, spark):
+        out = self._run(
+            spark,
+            [(1, "widget assembly"), (2, "gadget")],
+            [(10, "widget asembly"), (11, "totally different")],
+            max_distance=2, block_chars=3).collect()
+        assert [(r.a_id, r.b_id, r.distance) for r in out] == [(1, 10, 1)]
+
+    def test_case_and_whitespace_normalized(self, spark):
+        out = self._run(spark, [(1, "  Widget  ")], [(2, "widget")],
+                        max_distance=0, block_chars=3).collect()
+        assert len(out) == 1 and out[0].distance == 0
+
+    def test_blocking_prefix_miss_documented(self, spark):
+        # one edit inside the blocking prefix → candidate never forms
+        out = self._run(spark, [(1, "xidget")], [(2, "widget")],
+                        max_distance=2, block_chars=3).collect()
+        assert out == []
+
+    def test_length_band_prunes(self, spark):
+        out = self._run(spark, [(1, "abc")], [(2, "abcdefgh")],
+                        max_distance=2, block_chars=3).collect()
+        assert out == []
+
+    def test_short_keys_dropped(self, spark):
+        out = self._run(spark, [(1, "ab")], [(2, "ab")],
+                        max_distance=1, block_chars=3).collect()
+        assert out == []
+
+
+class TestSortedNeighborhood:
+    def _run(self, spark, rows, **kw):
+        from pandas_ai_spark.functions.linkage import \
+            sorted_neighborhood_pairs
+
+        df = spark.createDataFrame(rows, "id long, k string")
+        return sorted_neighborhood_pairs(df, "id", "k", **kw)
+
+    def test_adjacent_sorted_records_pair(self, spark):
+        out = self._run(spark, [(1, "alpha"), (2, "alphb"), (3, "beta")],
+                        window=1, block_chars=1).collect()
+        pairs = sorted((r.a_id, r.b_id) for r in out)
+        # alpha/alphb share block 'a' and are adjacent; beta is alone
+        assert pairs == [(1, 2)]
+        assert out[0].distance == 1
+
+    def test_window_reaches_k_neighbors(self, spark):
+        rows = [(i, f"a{i}") for i in range(4)]
+        out = self._run(spark, rows, window=2, block_chars=1).collect()
+        pairs = sorted((r.a_id, r.b_id) for r in out)
+        assert pairs == [(0, 1), (0, 2), (1, 2), (1, 3), (2, 3)]
+
+    def test_blocks_isolate(self, spark):
+        out = self._run(spark, [(1, "aaa"), (2, "zzz")],
+                        window=3, block_chars=1).collect()
+        assert out == []
+
+
+# ---------------------------------------------------------------------------
+# transition_matrix
+# ---------------------------------------------------------------------------
+
+class TestTransitionMatrix:
+    def _df(self, spark, seqs):
+        rows = []
+        rid = 0
+        for user, events in seqs.items():
+            for i, e in enumerate(events):
+                rows.append((rid, _ts(i), user, e))
+                rid += 1
+        return spark.createDataFrame(
+            rows, "event_id long, ts timestamp, user_id long, "
+                  "event_type string")
+
+    def test_counts_and_row_stochastic(self, spark):
+        from pandas_ai_spark.functions.events import transition_matrix
+
+        df = self._df(spark, {1: ["a", "b", "a", "b"], 2: ["a", "c"]})
+        out = {(r.from_event, r.to_event): (r.n, r.prob)
+               for r in transition_matrix(df, tiebreak="event_id")
+               .collect()}
+        # user1: a→b, b→a, a→b; user2: a→c — 'a' row: 2/3 vs 1/3
+        assert out[("a", "b")][0] == 2
+        assert abs(out[("a", "b")][1] - 2 / 3) < 1e-12
+        assert out[("a", "c")][0] == 1
+        assert abs(out[("a", "c")][1] - 1 / 3) < 1e-12
+        assert out[("b", "a")] == (1, 1.0)
+        by_from = {}
+        for (f_, _), (n, p) in out.items():
+            by_from.setdefault(f_, 0.0)
+            by_from[f_] += p
+        assert all(abs(s - 1.0) < 1e-9 for s in by_from.values())
+
+    def test_no_cross_user_transitions(self, spark):
+        from pandas_ai_spark.functions.events import transition_matrix
+
+        df = self._df(spark, {1: ["a"], 2: ["b"]})
+        assert transition_matrix(df, tiebreak="event_id").count() == 0
+
+    def test_tiebreak_fixes_equal_timestamps(self, spark):
+        from pandas_ai_spark.functions.events import transition_matrix
+
+        rows = [(2, _ts(0), 1, "late"), (1, _ts(0), 1, "early")]
+        df = spark.createDataFrame(
+            rows, "event_id long, ts timestamp, user_id long, "
+                  "event_type string")
+        out = transition_matrix(df, tiebreak="event_id").collect()
+        assert [(r.from_event, r.to_event) for r in out] == \
+            [("early", "late")]
+
+
+# ---------------------------------------------------------------------------
+# triangle_counts
+# ---------------------------------------------------------------------------
+
+class TestTriangleCounts:
+    def _run(self, spark, edges):
+        from pandas_ai_spark.functions.graph import triangle_counts
+
+        df = spark.createDataFrame(edges, "src string, dst string")
+        return {r.node: r.triangles
+                for r in triangle_counts(df).collect()}
+
+    def test_single_triangle(self, spark):
+        out = self._run(spark, [("a", "b"), ("b", "c"), ("a", "c"),
+                                ("c", "d")])
+        assert out == {"a": 1, "b": 1, "c": 1}
+
+    def test_duplicate_and_reversed_edges_canonicalized(self, spark):
+        out = self._run(spark, [("a", "b"), ("b", "a"), ("a", "b"),
+                                ("b", "c"), ("c", "a")])
+        assert out == {"a": 1, "b": 1, "c": 1}
+
+    def test_self_loops_ignored(self, spark):
+        out = self._run(spark, [("a", "a"), ("a", "b"), ("b", "c"),
+                                ("a", "c")])
+        assert out == {"a": 1, "b": 1, "c": 1}
+
+    def test_k4_counts(self, spark):
+        # complete graph on 4 nodes: C(3,2)=3 triangles per node
+        nodes = ["a", "b", "c", "d"]
+        edges = [(u, v) for u in nodes for v in nodes if u < v]
+        out = self._run(spark, edges)
+        assert out == {n: 3 for n in nodes}
+
+    def test_no_triangles(self, spark):
+        assert self._run(spark, [("a", "b"), ("b", "c"), ("c", "d")]) \
+            == {}
+
+
+# ---------------------------------------------------------------------------
+# mutual_information
+# ---------------------------------------------------------------------------
+
+class TestMutualInformation:
+    def test_independent_columns_zero_pmi(self, spark):
+        from pandas_ai_spark.functions.stats import mutual_information
+
+        rows = [(x, y) for x in "ab" for y in "cd" for _ in range(5)]
+        df = spark.createDataFrame(rows, "x string, y string")
+        out = mutual_information(df, "x", "y").collect()
+        assert len(out) == 4
+        assert all(abs(r.pmi) < 1e-12 for r in out)
+        assert abs(sum(r.contribution for r in out)) < 1e-12
+
+    def test_perfect_dependence_mi_is_log_k(self, spark):
+        from pandas_ai_spark.functions.stats import mutual_information
+
+        rows = [(x, x.upper()) for x in "abcd" for _ in range(3)]
+        df = spark.createDataFrame(rows, "x string, y string")
+        out = mutual_information(df, "x", "y").collect()
+        mi = sum(r.contribution for r in out)
+        assert abs(mi - math.log(4)) < 1e-12
+        assert all(abs(r.pmi - math.log(4)) < 1e-12 for r in out)
+
+    def test_nulls_excluded(self, spark):
+        from pandas_ai_spark.functions.stats import mutual_information
+
+        df = spark.createDataFrame(
+            [("a", "b"), ("a", None), (None, "b")], "x string, y string")
+        out = mutual_information(df, "x", "y").collect()
+        assert len(out) == 1 and out[0].n_xy == 1
+
+
+# ---------------------------------------------------------------------------
+# pmi_collocations
+# ---------------------------------------------------------------------------
+
+class TestPmiCollocations:
+    def test_known_corpus(self, spark):
+        from pandas_ai_spark.functions.text import pmi_collocations
+
+        docs = spark.createDataFrame(
+            [("new york city",)] * 3 + [("alpha beta",)] * 2,
+            "text string")
+        out = pmi_collocations(docs, min_count=2, top_k=10).collect()
+        got = {(r.w1, r.w2): r for r in out}
+        assert set(got) == {("new", "york"), ("york", "city"),
+                            ("alpha", "beta")}
+        t = 13  # total tokens: 3*3 + 2*2
+        r = got[("new", "york")]
+        assert r.n_pair == 3 and r.n_w1 == 3 and r.n_w2 == 3
+        assert abs(r.pmi - math.log(3 * t / 9)) < 1e-12
+        # rarer pair scores higher PMI
+        assert got[("alpha", "beta")].pmi > got[("new", "york")].pmi
+
+    def test_min_count_filters(self, spark):
+        from pandas_ai_spark.functions.text import pmi_collocations
+
+        docs = spark.createDataFrame(
+            [("one off pair",), ("common pair here",),
+             ("common pair again",)], "text string")
+        out = pmi_collocations(docs, min_count=2, top_k=10).collect()
+        assert {(r.w1, r.w2) for r in out} == {("common", "pair")}
+
+    def test_non_alpha_split_and_case(self, spark):
+        from pandas_ai_spark.functions.text import pmi_collocations
+
+        docs = spark.createDataFrame(
+            [("Foo-BAR! foo?bar 42 foo;bar",)], "text string")
+        out = pmi_collocations(docs, min_count=3, top_k=5).collect()
+        assert [(r.w1, r.w2, r.n_pair) for r in out] == [("foo", "bar", 3)]
+
+    def test_empty_corpus(self, spark):
+        from pandas_ai_spark.functions.text import pmi_collocations
+
+        docs = spark.createDataFrame([("",), ("   ",)], "text string")
+        assert pmi_collocations(docs, min_count=1, top_k=5).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# time_weighted_avg
+# ---------------------------------------------------------------------------
+
+class TestTimeWeightedAvg:
+    def _run(self, spark, rows):
+        from pandas_ai_spark.functions.timeseries import time_weighted_avg
+
+        df = spark.createDataFrame(
+            rows, "k string, ts timestamp, rid long, value double")
+        return time_weighted_avg(df, "value", "ts", by=("k",),
+                                 tiebreak="rid")
+
+    def test_step_interpolation(self, spark):
+        # v=1 held 10s, v=3 held 30s, final obs carries no weight
+        rows = [("a", _ts(0, 0), 1, 1.0), ("a", _ts(0, 10), 2, 3.0),
+                ("a", _ts(0, 40), 3, 99.0)]
+        out = self._run(spark, rows).collect()
+        assert len(out) == 1
+        r = out[0]
+        assert abs(r.twa - (1 * 10 + 3 * 30) / 40) < 1e-12
+        assert r.total_seconds == 40.0 and r.n_intervals == 2
+
+    def test_burst_not_overweighted(self, spark):
+        # rapid burst of 100s for 1s each, then one 0 held 1000s:
+        # plain mean ≈ 50, TWA ≈ 0.9
+        rows = [("a", _ts(0, i), i, 100.0) for i in range(10)]
+        rows.append(("a", _ts(0, 10), 10, 0.0))
+        rows.append(("a", _ts(0, 10) + dt.timedelta(seconds=1000),
+                     11, 5.0))
+        r = self._run(spark, rows).collect()[0]
+        assert abs(r.twa - (100 * 10) / 1010) < 1e-9
+
+    def test_single_observation_key_dropped(self, spark):
+        rows = [("a", _ts(0), 1, 5.0), ("b", _ts(0), 2, 1.0),
+                ("b", _ts(1), 3, 2.0)]
+        out = {r.k: r for r in self._run(spark, rows).collect()}
+        assert set(out) == {"b"}
+
+    def test_keyless_raises(self, spark):
+        from pandas_ai_spark.functions.timeseries import time_weighted_avg
+
+        df = spark.createDataFrame([("a", _ts(0), 1, 1.0)],
+                                   "k string, ts timestamp, rid long, "
+                                   "value double")
+        try:
+            time_weighted_avg(df, "value", "ts", by=())
+            assert False, "expected ValueError"
+        except ValueError:
+            pass
+
+
+# ---------------------------------------------------------------------------
+# ab_test_proportions
+# ---------------------------------------------------------------------------
+
+class TestAbTest:
+    def test_z_arithmetic(self, spark):
+        from pandas_ai_spark.functions.stats import ab_test_proportions
+
+        # unit i converts iff flag=1; arms fixed by md5 so recompute
+        rows = [(i, 1 if i < 40 else 0) for i in range(100)]
+        df = spark.createDataFrame(rows, "uid long, flag int")
+        r = ab_test_proportions(df, "uid", F.col("flag") == 1,
+                                seed="t").collect()[0]
+        assert r.n_a + r.n_b == 100
+        assert r.conv_a + r.conv_b == 40
+        p_a, p_b = r.conv_a / r.n_a, r.conv_b / r.n_b
+        pooled = (r.conv_a + r.conv_b) / 100
+        se = math.sqrt(pooled * (1 - pooled) * (1 / r.n_a + 1 / r.n_b))
+        assert abs(r.z - (p_a - p_b) / se) < 1e-9
+        assert r.significant == (abs(r.z) >= 1.96)
+
+    def test_deterministic_assignment(self, spark):
+        from pandas_ai_spark.functions.stats import ab_test_proportions
+
+        df = spark.createDataFrame([(i, 1) for i in range(50)],
+                                   "uid long, flag int")
+        a = ab_test_proportions(df, "uid", F.col("flag") == 1).collect()
+        b = ab_test_proportions(df, "uid", F.col("flag") == 1).collect()
+        assert a == b
+
+    def test_unit_grain_multiple_events(self, spark):
+        from pandas_ai_spark.functions.stats import ab_test_proportions
+
+        # one unit, many events, one success → converts once
+        df = spark.createDataFrame([(1, i % 7 == 0) for i in range(20)],
+                                   "uid long, ok boolean")
+        r = ab_test_proportions(df, "uid", F.col("ok")).collect()[0]
+        assert r.conv_a + r.conv_b == 1 and r.n_a + r.n_b == 1
+
+    def test_zero_conversion_no_nan(self, spark):
+        from pandas_ai_spark.functions.stats import ab_test_proportions
+
+        df = spark.createDataFrame([(i, 0) for i in range(10)],
+                                   "uid long, flag int")
+        r = ab_test_proportions(df, "uid", F.col("flag") == 1).collect()[0]
+        assert r.z == 0.0 and not r.significant

@@ -1811,6 +1811,61 @@ def q93_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
                .orderBy("a_id", "b_id"))
 
 
+def q94_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index (stats.population_stability_index):
+    events.value distribution, first half of January vs the rest —
+    per-bucket expected/actual shares + PSI contribution over the q85
+    literal-edge bucket scheme, empty bins Laplace-floored. Two
+    single-pass histograms + a bins-row spine join; totals are driver
+    scalars. Oracle: identical floor/clamp + share arithmetic."""
+    from pandas_ai_spark.functions.stats import population_stability_index
+
+    ev = _t(spark, sf_dir, "events")
+    out = population_stability_index(
+        ev.where(F.col("ts") < "2024-01-15"),
+        ev.where(F.col("ts") >= "2024-01-15"),
+        "value", lo=0.0, hi=100.0, bins=10)
+    return out.select(
+        "bucket", "lo_edge", "hi_edge", "n_expected", "n_actual",
+        F.round("pct_expected", 9).alias("pct_expected"),
+        F.round("pct_actual", 9).alias("pct_actual"),
+        F.round("psi", 9).alias("psi"),
+    ).orderBy("bucket")
+
+
+def q95_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 lexical top-10 (search.bm25_search) for a 3-term
+    query over documents — query-term filter BEFORE the tf agg (the
+    corpus never aggregates non-matching rows), broadcast df/idf
+    re-attach, TakeOrderedAndProject top-k; N/avgdl via scalar-only
+    collect. Oracle: the identical Lucene-form BM25 arithmetic in
+    DuckDB list/unnest SQL."""
+    from pandas_ai_spark.functions.search import bm25_search
+
+    docs = _t(spark, sf_dir, "documents")
+    out = bm25_search(docs, "fast data pipeline", top_k=10)
+    return out.select("id", F.round("score", 6).alias("score")) \
+              .orderBy(F.desc("score"), "id")
+
+
+def q96_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation (events.rfm_segments) over orders:
+    recency/frequency/monetary per customer scored 1–5 against exact
+    interpolated population quintiles (one user-keyed agg + one
+    3-array percentile pass + row-local CASE scoring; fixed ref date,
+    never now()). Oracle: DuckDB quantile_cont (same interpolation as
+    Spark percentile) + identical scoring arithmetic."""
+    from pandas_ai_spark.functions.events import rfm_segments
+
+    orders = _t(spark, sf_dir, "orders")
+    out = rfm_segments(orders, "o_custkey", "o_orderdate",
+                       "o_totalprice", ref_date="2001-12-31")
+    return out.select(
+        F.col("user").alias("custkey"), "recency", "frequency",
+        "monetary", "r", "f", "m", "segment",
+    ).orderBy("custkey")
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -1922,6 +1977,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q91_time_weighted_avg": q91_time_weighted_avg,
         "q92_ab_test": q92_ab_test,
         "q93_sorted_neighborhood": q93_sorted_neighborhood,
+        "q94_psi_drift": q94_psi_drift,
+        "q95_bm25_search": q95_bm25_search,
+        "q96_rfm_segments": q96_rfm_segments,
     }
 
 
@@ -3724,5 +3782,118 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT a_id, b_id, distance FROM pairs
             WHERE distance <= 3 ORDER BY a_id, b_id
+        """,
+        "q94_psi_drift": """
+            WITH he AS (
+              SELECT least(greatest(floor(value / 10.0)::INT, 0), 9)
+                       AS bucket, count(*) AS n
+              FROM events
+              WHERE ts < TIMESTAMP '2024-01-15' AND value IS NOT NULL
+              GROUP BY 1
+            ), ha AS (
+              SELECT least(greatest(floor(value / 10.0)::INT, 0), 9)
+                       AS bucket, count(*) AS n
+              FROM events
+              WHERE ts >= TIMESTAMP '2024-01-15' AND value IS NOT NULL
+              GROUP BY 1
+            ), te AS (SELECT sum(n)::DOUBLE AS t FROM he),
+               ta AS (SELECT sum(n)::DOUBLE AS t FROM ha),
+            spine AS (SELECT unnest(range(0, 10))::INT AS bucket),
+            j AS (
+              SELECT s.bucket,
+                     s.bucket * 10.0 AS lo_edge,
+                     (s.bucket + 1) * 10.0 AS hi_edge,
+                     coalesce(he.n, 0)::BIGINT AS n_expected,
+                     coalesce(ha.n, 0)::BIGINT AS n_actual,
+                     greatest(coalesce(he.n, 0) / te.t, 1e-6)
+                       AS pct_expected,
+                     greatest(coalesce(ha.n, 0) / ta.t, 1e-6)
+                       AS pct_actual
+              FROM spine s
+              LEFT JOIN he ON he.bucket = s.bucket
+              LEFT JOIN ha ON ha.bucket = s.bucket
+              CROSS JOIN te CROSS JOIN ta
+            )
+            SELECT bucket, lo_edge, hi_edge, n_expected, n_actual,
+                   round(pct_expected, 9) AS pct_expected,
+                   round(pct_actual, 9) AS pct_actual,
+                   round((pct_actual - pct_expected)
+                         * ln(pct_actual / pct_expected), 9) AS psi
+            FROM j ORDER BY bucket
+        """,
+        "q95_bm25_search": """
+            WITH base AS (
+              SELECT doc_id,
+                     list_filter(
+                       string_split_regex(lower(text), '[^a-z0-9]+'),
+                       t -> t <> '') AS tk
+              FROM documents
+            ), stats AS (
+              SELECT count(*)::DOUBLE AS n,
+                     avg(len(tk))::DOUBLE AS avgdl
+              FROM base
+            ), tf AS (
+              SELECT doc_id, dl, w AS term, count(*) AS tf
+              FROM (SELECT doc_id, len(tk) AS dl, unnest(tk) AS w
+                    FROM base)
+              WHERE w IN ('data', 'fast', 'pipeline')
+              GROUP BY 1, 2, 3
+            ), dfc AS (
+              SELECT term, count(DISTINCT doc_id) AS df FROM tf
+              GROUP BY 1
+            )
+            SELECT doc_id AS id,
+                   round(sum(ln(1 + (n - df + 0.5) / (df + 0.5))
+                             * tf * 2.2
+                             / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))),
+                         6) AS score
+            FROM tf JOIN dfc USING (term) CROSS JOIN stats
+            GROUP BY doc_id
+            ORDER BY score DESC, id LIMIT 10
+        """,
+        "q96_rfm_segments": """
+            WITH rfm AS (
+              SELECT o_custkey AS custkey,
+                     date_diff('day', max(o_orderdate::DATE),
+                               DATE '2001-12-31') AS recency,
+                     count(*) AS frequency,
+                     round(sum(o_totalprice), 2) AS monetary
+              FROM orders GROUP BY 1
+            ), e AS (
+              SELECT quantile_cont(recency::DOUBLE,
+                                   [0.2, 0.4, 0.6, 0.8]) AS re,
+                     quantile_cont(frequency::DOUBLE,
+                                   [0.2, 0.4, 0.6, 0.8]) AS fe,
+                     quantile_cont(monetary,
+                                   [0.2, 0.4, 0.6, 0.8]) AS me
+              FROM rfm
+            )
+            SELECT custkey, recency, frequency, monetary,
+                   6 - (1 + (recency > re[1])::INT
+                          + (recency > re[2])::INT
+                          + (recency > re[3])::INT
+                          + (recency > re[4])::INT) AS r,
+                   1 + (frequency > fe[1])::INT
+                     + (frequency > fe[2])::INT
+                     + (frequency > fe[3])::INT
+                     + (frequency > fe[4])::INT AS f,
+                   1 + (monetary > me[1])::INT
+                     + (monetary > me[2])::INT
+                     + (monetary > me[3])::INT
+                     + (monetary > me[4])::INT AS m,
+                   (6 - (1 + (recency > re[1])::INT
+                           + (recency > re[2])::INT
+                           + (recency > re[3])::INT
+                           + (recency > re[4])::INT))::VARCHAR
+                   || (1 + (frequency > fe[1])::INT
+                         + (frequency > fe[2])::INT
+                         + (frequency > fe[3])::INT
+                         + (frequency > fe[4])::INT)::VARCHAR
+                   || (1 + (monetary > me[1])::INT
+                         + (monetary > me[2])::INT
+                         + (monetary > me[3])::INT
+                         + (monetary > me[4])::INT)::VARCHAR
+                     AS segment
+            FROM rfm CROSS JOIN e ORDER BY custkey
         """,
     }

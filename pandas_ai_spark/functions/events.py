@@ -116,3 +116,56 @@ def transition_matrix(df: DataFrame, ts_col: str = "ts",
     norm = Window.partitionBy("from_event")
     return counts.withColumn(
         "prob", F.col("n") / F.sum("n").over(norm))
+
+
+def rfm_segments(df: DataFrame, user_col: str, ts_col: str,
+                 amount_col: str, ref_date: str,
+                 n_bins: int = 5) -> DataFrame:
+    """RFM customer segmentation: per user, recency (days from last
+    activity to ``ref_date``), frequency (activity count), monetary
+    (total amount, rounded to cents), each scored 1–``n_bins`` against
+    the population's exact interpolated quantile edges; ``segment`` is
+    the concatenated ``rfm`` digit string. Higher score = better
+    (recency is inverted: most-recent quintile scores ``n_bins``).
+
+    Shape: ONE user-keyed aggregation builds the (tiny, one row per
+    user) RFM table; ONE aggregation over it computes all three edge
+    arrays (``percentile`` with a fraction array — single pass);
+    edges come back as 3·(n_bins−1) driver scalars and the scoring is
+    a row-local CASE chain. ``ref_date`` is an explicit literal —
+    never now() — so backfills reproduce. percentile's continuous
+    interpolation matches DuckDB ``quantile_cont`` exactly, which is
+    what makes the quantile edges engine-portable.
+    """
+    if n_bins < 2:
+        raise ValueError("n_bins must be >= 2")
+    fracs = [i / n_bins for i in range(1, n_bins)]
+    rfm = df.groupBy(F.col(user_col).alias("user")).agg(
+        F.datediff(F.lit(ref_date).cast("date"),
+                   F.max(F.col(ts_col).cast("date"))).alias("recency"),
+        F.count("*").alias("frequency"),
+        F.round(F.sum(amount_col), 2).alias("monetary"))
+    edges_row = rfm.agg(
+        F.percentile(F.col("recency").cast("double"),
+                     F.array(*[F.lit(f) for f in fracs])).alias("r"),
+        F.percentile(F.col("frequency").cast("double"),
+                     F.array(*[F.lit(f) for f in fracs])).alias("f"),
+        F.percentile(F.col("monetary").cast("double"),
+                     F.array(*[F.lit(f) for f in fracs])).alias("m"),
+    ).collect()[0]
+
+    def _score(col, edges):
+        s = F.lit(1)
+        for e in edges:
+            s = s + F.when(F.col(col).cast("double") > F.lit(float(e)),
+                           1).otherwise(0)
+        return s
+
+    r_raw = _score("recency", edges_row["r"])
+    return rfm.select(
+        "user", "recency", "frequency", "monetary",
+        # invert recency: the least-stale quintile is the best score
+        (F.lit(n_bins + 1) - r_raw).alias("r"),
+        _score("frequency", edges_row["f"]).alias("f"),
+        _score("monetary", edges_row["m"]).alias("m"),
+    ).withColumn("segment", F.concat_ws("", "r", "f", "m"))

@@ -1,0 +1,103 @@
+"""Full-text retrieval: BM25 ranking over a document table.
+
+The retrieval primitive a RAG/training-data pipeline needs next to the
+embedding ANN family (`similarity.py`): lexical top-k with the Okapi
+BM25 weighting (Robertson & Walker), entirely in DataFrame algebra.
+
+Scale shape:
+- the per-document token pass filters to QUERY TERMS BEFORE the tf
+  aggregation (array_intersect on a literal term array — the filter
+  rides the scan; a 100 TB corpus aggregates only rows containing at
+  least one query term);
+- document lengths come from the same single pass over matching docs
+  plus one corpus-level (count, avg-length) aggregate — two driver
+  scalars (scalar-only collect, the q58/q89 pattern);
+- document frequencies aggregate the (doc, term) table — query-term
+  cardinality rows, broadcast back;
+- final top-k is ``TakeOrderedAndProject`` (never a global sort).
+
+Reference parity: the reference has no search operator; its RAG story
+is vector-store retrieval (`extensions/ee/vectorstores/`). BM25 is the
+lexical complement of that surface.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _tokens(text_col: str):
+    return F.filter(F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"),
+                    lambda t: t != "")
+
+
+def bm25_search(df: DataFrame, query: str, id_col: str = "doc_id",
+                text_col: str = "text", k1: float = 1.2,
+                b: float = 0.75, top_k: int = 10,
+                corpus_stats: tuple[int, float] | None = None
+                ) -> DataFrame:
+    """Top-k documents for ``query`` under Okapi BM25:
+    ``(id, score)``, score descending (ties broken by id ascending).
+
+    ``idf(t) = ln(1 + (N − df + 0.5)/(df + 0.5))`` (the Lucene form —
+    never negative), ``score(d) = Σ_t idf·tf·(k1+1) /
+    (tf + k1·(1 − b + b·dl/avgdl))`` with ``dl`` the document's token
+    count and ``avgdl`` the corpus mean. N/avgdl cover the WHOLE
+    corpus (not just matching docs), as the formula requires; pass
+    ``corpus_stats`` from :func:`bm25_corpus_stats` to skip that pass
+    when issuing many queries against one corpus.
+    """
+    q_terms = sorted({t for t in re.split(r"[^a-z0-9]+", query.lower())
+                      if t})
+    if not q_terms:
+        raise ValueError("query contains no indexable terms")
+    toks = _tokens(text_col)
+    base = df.select(F.col(id_col).alias("id"), toks.alias("__toks"))
+    if corpus_stats is None:
+        corpus_stats = bm25_corpus_stats(df, text_col)
+    n_docs, avgdl = corpus_stats
+    if n_docs == 0:
+        return base.select("id", F.lit(0.0).alias("score")).limit(0)
+    lit_terms = F.array(*[F.lit(t) for t in q_terms])
+    # keep only docs containing ≥1 query term, explode only the
+    # matching terms — the tf table is tiny next to the corpus
+    matched = (base
+               .withColumn("__dl", F.size("__toks"))
+               .withColumn("__hits",
+                           F.array_intersect("__toks", lit_terms))
+               .where(F.size("__hits") > 0))
+    tf = (matched
+          .select("id", "__dl",
+                  F.explode(
+                      F.filter("__toks",
+                               lambda t: F.array_contains(lit_terms, t))
+                  ).alias("term"))
+          .groupBy("id", "__dl", "term")
+          .agg(F.count("*").alias("tf")))
+    df_counts = tf.groupBy("term").agg(
+        F.countDistinct("id").alias("df"))
+    idf = F.log(F.lit(1.0) + (F.lit(float(n_docs)) - F.col("df")
+                              + F.lit(0.5)) / (F.col("df") + F.lit(0.5)))
+    denom = (F.col("tf")
+             + F.lit(float(k1)) * (F.lit(1.0 - b)
+                                   + F.lit(float(b)) * F.col("__dl")
+                                   / F.lit(float(avgdl))))
+    scored = (tf.join(F.broadcast(df_counts.withColumn("idf", idf)
+                                  .select("term", "idf")), "term")
+                .withColumn("__s", F.col("idf") * F.col("tf")
+                            * F.lit(float(k1 + 1)) / denom)
+                .groupBy("id").agg(F.sum("__s").alias("score")))
+    return (scored.orderBy(F.desc("score"), "id").limit(top_k))
+
+
+def bm25_corpus_stats(df: DataFrame, text_col: str = "text"):
+    """The (N, avgdl) corpus aggregate, exposed separately so repeated
+    queries against one corpus compute it once and pass it to
+    :func:`bm25_search` via ``corpus_stats``."""
+    row = df.agg(
+        F.count("*").alias("n"),
+        F.avg(F.size(_tokens(text_col))).alias("avgdl")).collect()[0]
+    return int(row["n"] or 0), float(row["avgdl"] or 0.0)

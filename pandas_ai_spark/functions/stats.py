@@ -283,3 +283,51 @@ def ab_test_proportions(df: DataFrame, unit_col: str, success_expr,
         (p_b - p_a).alias("lift"),
         z.alias("z"),
         (F.abs(z) >= F.lit(z_critical)).alias("significant"))
+
+
+def population_stability_index(df_expected: DataFrame,
+                               df_actual: DataFrame, value_col: str,
+                               lo: float, hi: float, bins: int = 10,
+                               eps: float = 1e-6) -> DataFrame:
+    """Population Stability Index between a baseline and a current
+    snapshot of ``value_col``: per fixed-range bucket,
+    ``(bucket, lo_edge, hi_edge, n_expected, n_actual, pct_expected,
+    pct_actual, psi)`` where ``psi = (pa − pe)·ln(pa/pe)``. Total
+    PSI = Σ psi (rule of thumb: <0.1 stable, >0.25 shifted).
+
+    Buckets come from :func:`value_histogram`'s literal-edge scheme —
+    reproducible across engines and dataset versions, the property
+    drift monitoring needs; a dense bucket spine (``sequence``) keeps
+    empty bins present on both sides. Shares are Laplace-floored at
+    ``eps`` so an empty bin contributes a large-but-finite term instead
+    of ±∞. Each snapshot is one single-pass histogram; the two
+    bucket tables (``bins`` rows) join on the bucket id; the two
+    grand totals are driver scalars (scalar-only collect, as q58/q89).
+    """
+    he = value_histogram(df_expected, value_col, lo, hi, bins)
+    ha = value_histogram(df_actual, value_col, lo, hi, bins)
+    n_e = he.agg(F.sum("n")).collect()[0][0] or 0
+    n_a = ha.agg(F.sum("n")).collect()[0][0] or 0
+    if n_e == 0 or n_a == 0:
+        raise ValueError("both snapshots must be non-empty")
+    width = (float(hi) - float(lo)) / bins
+    spark = df_expected.sparkSession
+    spine = spark.range(bins).select(
+        F.col("id").cast("int").alias("bucket"),
+        (F.lit(float(lo)) + F.col("id") * F.lit(width)).alias("lo_edge"),
+        (F.lit(float(lo)) + (F.col("id") + 1) * F.lit(width))
+        .alias("hi_edge"))
+    out = (spine
+           .join(he.select("bucket", F.col("n").alias("n_expected")),
+                 "bucket", "left")
+           .join(ha.select("bucket", F.col("n").alias("n_actual")),
+                 "bucket", "left")
+           .fillna(0, ["n_expected", "n_actual"]))
+    pe = F.greatest(F.col("n_expected") / F.lit(float(n_e)),
+                    F.lit(float(eps)))
+    pa = F.greatest(F.col("n_actual") / F.lit(float(n_a)),
+                    F.lit(float(eps)))
+    return out.select(
+        "bucket", "lo_edge", "hi_edge", "n_expected", "n_actual",
+        pe.alias("pct_expected"), pa.alias("pct_actual"),
+        ((pa - pe) * F.log(pa / pe)).alias("psi"))

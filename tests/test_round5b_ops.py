@@ -353,3 +353,158 @@ class TestAbTest:
                                    "uid long, flag int")
         r = ab_test_proportions(df, "uid", F.col("flag") == 1).collect()[0]
         assert r.z == 0.0 and not r.significant
+
+
+# ---------------------------------------------------------------------------
+# population_stability_index
+# ---------------------------------------------------------------------------
+
+class TestPsi:
+    def _psi(self, spark, exp_vals, act_vals, **kw):
+        from pandas_ai_spark.functions.stats import \
+            population_stability_index
+
+        e = spark.createDataFrame([(float(v),) for v in exp_vals],
+                                  "v double")
+        a = spark.createDataFrame([(float(v),) for v in act_vals],
+                                  "v double")
+        return population_stability_index(e, a, "v", 0.0, 100.0,
+                                          bins=10, **kw)
+
+    def test_identical_distribution_zero(self, spark):
+        vals = [5, 15, 25, 35, 45] * 4
+        out = self._psi(spark, vals, vals).collect()
+        assert len(out) == 10  # spine keeps empty bins
+        assert abs(sum(r.psi for r in out)) < 1e-9
+
+    def test_shift_detected(self, spark):
+        out = self._psi(spark, [5] * 50, [95] * 50).collect()
+        total = sum(r.psi for r in out)
+        assert total > 0.25  # "significant shift" rule of thumb
+        assert all(math.isfinite(r.psi) for r in out)
+
+    def test_empty_bin_floored_not_inf(self, spark):
+        out = self._psi(spark, [5] * 10 + [95] * 10, [5] * 20).collect()
+        by = {r.bucket: r for r in out}
+        assert by[9].n_actual == 0
+        assert math.isfinite(by[9].psi)
+        assert by[9].pct_actual == 1e-6
+
+    def test_empty_snapshot_raises(self, spark):
+        try:
+            self._psi(spark, [5.0], [])
+            assert False, "expected ValueError"
+        except ValueError:
+            pass
+
+
+# ---------------------------------------------------------------------------
+# bm25_search
+# ---------------------------------------------------------------------------
+
+class TestBm25:
+    def _docs(self, spark):
+        rows = [
+            (1, "spark engine spark engine spark"),
+            (2, "spark engine"),
+            (3, "engine room"),
+            (4, "totally unrelated words here"),
+        ]
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_tf_and_idf_ranking(self, spark):
+        from pandas_ai_spark.functions.search import bm25_search
+
+        out = bm25_search(self._docs(spark), "spark", top_k=4).collect()
+        ids = [r.id for r in out]
+        assert ids[0] == 1 and set(ids) == {1, 2}  # only matching docs
+        assert out[0].score > out[1].score
+
+    def test_rare_term_outscores_common(self, spark):
+        from pandas_ai_spark.functions.search import bm25_search
+
+        # 'room' appears in 1 doc, 'engine' in 3 → doc 3 (has both the
+        # rare and common term) tops a multi-term query
+        out = bm25_search(self._docs(spark), "engine room",
+                          top_k=4).collect()
+        assert out[0].id == 3
+
+    def test_corpus_stats_injection_matches(self, spark):
+        from pandas_ai_spark.functions.search import (bm25_corpus_stats,
+                                                      bm25_search)
+
+        docs = self._docs(spark)
+        st = bm25_corpus_stats(docs)
+        a = bm25_search(docs, "spark engine", top_k=4).collect()
+        b = bm25_search(docs, "spark engine", top_k=4,
+                        corpus_stats=st).collect()
+        assert a == b
+
+    def test_empty_query_raises(self, spark):
+        from pandas_ai_spark.functions.search import bm25_search
+
+        try:
+            bm25_search(self._docs(spark), "!!! ???")
+            assert False, "expected ValueError"
+        except ValueError:
+            pass
+
+    def test_manual_score_single_doc(self, spark):
+        from pandas_ai_spark.functions.search import bm25_search
+
+        docs = spark.createDataFrame(
+            [(1, "a a b"), (2, "b c d")], "doc_id long, text string")
+        r = {x.id: x.score
+             for x in bm25_search(docs, "a", top_k=2).collect()}
+        n, df_, tf, dl, avgdl, k1, b = 2, 1, 2, 3, 3.0, 1.2, 0.75
+        idf = math.log(1 + (n - df_ + 0.5) / (df_ + 0.5))
+        want = idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl / avgdl))
+        assert abs(r[1] - want) < 1e-12 and set(r) == {1}
+
+
+# ---------------------------------------------------------------------------
+# rfm_segments
+# ---------------------------------------------------------------------------
+
+class TestRfm:
+    def test_scores_and_inverted_recency(self, spark):
+        from pandas_ai_spark.functions.events import rfm_segments
+
+        # 5 users, one order each on distinct days/amounts → each metric
+        # has clean quintiles; user 5 is most recent + biggest spender
+        rows = []
+        for u in range(1, 6):
+            rows.append((u, dt.datetime(2024, 1, u), float(u * 100)))
+        df = spark.createDataFrame(rows, "cust long, ts timestamp, "
+                                         "amt double")
+        out = {r.user: r for r in rfm_segments(
+            df, "cust", "ts", "amt", ref_date="2024-01-10").collect()}
+        assert out[5].r == 5 and out[1].r == 1  # recency inverted
+        assert out[5].m == 5 and out[1].m == 1
+        assert all(out[u].f == out[1].f for u in out)  # equal frequency
+        assert out[5].segment == f"5{out[5].f}5"
+
+    def test_frequency_dimension(self, spark):
+        from pandas_ai_spark.functions.events import rfm_segments
+
+        rows = [(1, dt.datetime(2024, 1, 1), 10.0)]
+        rows += [(2, dt.datetime(2024, 1, 1), 5.0)] * 10
+        df = spark.createDataFrame(rows, "cust long, ts timestamp, "
+                                         "amt double")
+        out = {r.user: r for r in rfm_segments(
+            df, "cust", "ts", "amt", ref_date="2024-02-01",
+            n_bins=2).collect()}
+        assert out[2].f > out[1].f
+        assert out[2].m > out[1].m  # 10×5 > 1×10 total
+
+    def test_bad_bins_raise(self, spark):
+        from pandas_ai_spark.functions.events import rfm_segments
+
+        df = spark.createDataFrame([(1, _ts(0), 1.0)],
+                                   "cust long, ts timestamp, amt double")
+        try:
+            rfm_segments(df, "cust", "ts", "amt",
+                         ref_date="2024-01-01", n_bins=1)
+            assert False, "expected ValueError"
+        except ValueError:
+            pass

@@ -1866,6 +1866,73 @@ def q96_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("custkey")
 
 
+def q97_upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-1 CDC merge (diff.upsert_merge — the batch MERGE INTO):
+    base = orders@v1; updates = every 5th order repriced at v2, every
+    85th marked deleted. Union + one key-partitioned row_number (never
+    a global sort), update side wins version ties, delete markers drop
+    the key. Oracle: identical UNION ALL + row_number SQL."""
+    from pandas_ai_spark.functions.diff import upsert_merge
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus",
+        F.round("o_totalprice", 2).alias("o_totalprice"),
+        F.lit(1).alias("version"))
+    updates = (orders.where(F.col("o_orderkey") % 5 == 0)
+               .select("o_orderkey",
+                       F.lit("U").alias("o_orderstatus"),
+                       # +1000, not ×1.1: a product lands on .005
+                       # rounding boundaries that the engines tie-break
+                       # differently; addition keeps cents exact
+                       F.round(F.col("o_totalprice") + 1000.0, 2)
+                        .alias("o_totalprice"),
+                       F.lit(2).alias("version"),
+                       (F.col("o_orderkey") % 17 == 0).alias("deleted")))
+    out = upsert_merge(orders, updates, ["o_orderkey"], "version",
+                       delete_col="deleted")
+    return out.orderBy("o_orderkey")
+
+
+def q98_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group winsorization (stats.winsorize): clamp
+    l_extendedprice to its [p5, p95] exact interpolated percentiles
+    within each return flag — one shared-pass percentile agg, bounds
+    re-attached on the group key (broadcast-eligible), row-local
+    clamp. Oracle: DuckDB quantile_cont (same interpolation as Spark
+    percentile) + identical least/greatest arithmetic."""
+    from pandas_ai_spark.functions.stats import winsorize
+
+    li = _t(spark, sf_dir, "lineitem")
+    out = winsorize(li, "l_extendedprice", by=["l_returnflag"],
+                    p_lo=0.05, p_hi=0.95)
+    return out.select(
+        "l_orderkey", "l_linenumber", "l_returnflag",
+        F.round("l_extendedprice_winsorized", 4).alias("price_w"),
+        F.round("p_lo_bound", 4).alias("p_lo_bound"),
+        F.round("p_hi_bound", 4).alias("p_hi_bound"),
+    ).orderBy("l_orderkey", "l_linenumber")
+
+
+def q99_grouped_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Million-models regression (stats.grouped_ols): per
+    (returnflag, linestatus), OLS of extendedprice on quantity via the
+    regr_* aggregates — O(1) co-moment state per group, the whole fit
+    is ONE partial-agg'd scan, no Python. Oracle: DuckDB's identical
+    regr_slope/regr_intercept/regr_r2/regr_count."""
+    from pandas_ai_spark.functions.stats import grouped_ols
+
+    li = _t(spark, sf_dir, "lineitem")
+    out = grouped_ols(li, ["l_returnflag", "l_linestatus"],
+                      "l_quantity", "l_extendedprice")
+    return out.select(
+        "l_returnflag", "l_linestatus",
+        F.round("slope", 6).alias("slope"),
+        F.round("intercept", 6).alias("intercept"),
+        F.round("r2", 9).alias("r2"),
+        F.col("n").cast("long").alias("n"),
+    ).orderBy("l_returnflag", "l_linestatus")
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -1980,6 +2047,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q94_psi_drift": q94_psi_drift,
         "q95_bm25_search": q95_bm25_search,
         "q96_rfm_segments": q96_rfm_segments,
+        "q97_upsert_merge": q97_upsert_merge,
+        "q98_winsorize": q98_winsorize,
+        "q99_grouped_ols": q99_grouped_ols,
     }
 
 
@@ -3895,5 +3965,55 @@ def oracle_sql() -> dict[str, str]:
                          + (monetary > me[4])::INT)::VARCHAR
                      AS segment
             FROM rfm CROSS JOIN e ORDER BY custkey
+        """,
+        "q97_upsert_merge": """
+            WITH base AS (
+              SELECT o_orderkey, o_orderstatus,
+                     round(o_totalprice, 2) AS o_totalprice,
+                     1 AS version, 0 AS src, FALSE AS del
+              FROM orders
+            ), ups AS (
+              SELECT o_orderkey, 'U' AS o_orderstatus,
+                     round(round(o_totalprice, 2) + 1000.0, 2)
+                       AS o_totalprice,
+                     2 AS version, 1 AS src,
+                     o_orderkey % 17 = 0 AS del
+              FROM orders WHERE o_orderkey % 5 = 0
+            ), u AS (
+              SELECT *, row_number() OVER (
+                       PARTITION BY o_orderkey
+                       ORDER BY version DESC, src DESC) AS rk
+              FROM (SELECT * FROM base UNION ALL SELECT * FROM ups)
+            )
+            SELECT o_orderkey, o_orderstatus, o_totalprice, version
+            FROM u WHERE rk = 1 AND NOT del
+            ORDER BY o_orderkey
+        """,
+        "q98_winsorize": """
+            WITH b AS (
+              SELECT l_returnflag,
+                     quantile_cont(l_extendedprice, 0.05) AS lo,
+                     quantile_cont(l_extendedprice, 0.95) AS hi
+              FROM lineitem GROUP BY 1
+            )
+            SELECT l_orderkey, l_linenumber, li.l_returnflag,
+                   round(least(greatest(l_extendedprice, lo), hi), 4)
+                     AS price_w,
+                   round(lo, 4) AS p_lo_bound,
+                   round(hi, 4) AS p_hi_bound
+            FROM lineitem li JOIN b ON li.l_returnflag = b.l_returnflag
+            ORDER BY l_orderkey, l_linenumber
+        """,
+        "q99_grouped_ols": """
+            SELECT l_returnflag, l_linestatus,
+                   round(regr_slope(l_extendedprice, l_quantity), 6)
+                     AS slope,
+                   round(regr_intercept(l_extendedprice, l_quantity), 6)
+                     AS intercept,
+                   round(regr_r2(l_extendedprice, l_quantity), 9) AS r2,
+                   regr_count(l_extendedprice, l_quantity)::BIGINT AS n
+            FROM lineitem
+            GROUP BY l_returnflag, l_linestatus
+            ORDER BY l_returnflag, l_linestatus
         """,
     }

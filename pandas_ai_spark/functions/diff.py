@@ -96,3 +96,44 @@ def diff_summary(diff: DataFrame) -> DataFrame:
     """Roll a :func:`snapshot_diff` output up to
     ``(change_type, n_keys)`` — one partial-agg'd count."""
     return diff.groupBy("change_type").agg(F.count("*").alias("n_keys"))
+
+
+def upsert_merge(base: DataFrame, updates: DataFrame,
+                 key_cols: Sequence[str], version_col: str,
+                 delete_col: Optional[str] = None) -> DataFrame:
+    """SCD type-1 merge (the batch equivalent of lakehouse
+    ``MERGE INTO``): apply ``updates`` onto ``base``, keeping per key
+    the row with the highest ``version_col`` — ties resolved in favor
+    of the update side — and dropping keys whose winning update row has
+    ``delete_col`` true (CDC delete markers).
+
+    Shape: union + ONE key-partitioned row_number window (a window over
+    the key, never a global sort) + rank-1 filter. At 100 TB this is a
+    single hash shuffle on the merge key, exactly what the storage-layer
+    MERGE would do, minus the transaction log. Output columns = base
+    schema (plus nothing): the marker column is dropped after filtering.
+
+    The deterministic (version, side) ordering makes re-runs and
+    backfills idempotent — re-applying the same update batch is a
+    no-op, the property CDC consumers rely on.
+    """
+    from pyspark.sql.window import Window
+
+    keys = list(key_cols)
+    if not keys:
+        raise ValueError("upsert_merge needs at least one key column")
+    cols = base.columns
+    if delete_col and delete_col not in updates.columns:
+        raise ValueError(f"updates has no delete column {delete_col!r}")
+    b = base.select(*cols, F.lit(0).alias("__src"),
+                    F.lit(False).alias("__del"))
+    u = updates.select(
+        *cols, F.lit(1).alias("__src"),
+        (F.coalesce(F.col(delete_col).cast("boolean"), F.lit(False))
+         if delete_col else F.lit(False)).alias("__del"))
+    w = Window.partitionBy(*keys).orderBy(
+        F.col(version_col).desc(), F.col("__src").desc())
+    return (b.unionByName(u)
+             .withColumn("__rk", F.row_number().over(w))
+             .where((F.col("__rk") == 1) & ~F.col("__del"))
+             .select(*cols))

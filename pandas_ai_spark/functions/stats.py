@@ -331,3 +331,60 @@ def population_stability_index(df_expected: DataFrame,
         "bucket", "lo_edge", "hi_edge", "n_expected", "n_actual",
         pe.alias("pct_expected"), pa.alias("pct_actual"),
         ((pa - pe) * F.log(pa / pe)).alias("psi"))
+
+
+def winsorize(df: DataFrame, value_col: str, by: list[str] | None = None,
+              p_lo: float = 0.05, p_hi: float = 0.95,
+              approx: bool = False) -> DataFrame:
+    """Winsorization (outlier capping): clamp ``value_col`` to its
+    per-group ``[p_lo, p_hi]`` exact interpolated percentile bounds,
+    appending ``<value_col>_winsorized`` plus the bounds. The standard
+    robust-preprocessing step before scale-sensitive features.
+
+    Same two-shuffle shape as ``grouped_mad``: ONE percentile
+    aggregation per group (both fractions share a pass), the (tiny)
+    bounds table re-attaches on the grouping key — broadcast-eligible —
+    and the clamp is a row-local ``least/greatest``. Ungrouped form
+    (``by=None``) collects the two global bounds as driver scalars
+    (scalar-only collect) rather than planning a single-partition
+    window. ``approx=True`` swaps in ``percentile_approx`` for groups
+    with billions of distinct values.
+    """
+    if not 0.0 <= p_lo < p_hi <= 1.0:
+        raise ValueError("need 0 <= p_lo < p_hi <= 1")
+    v = F.col(value_col).cast("double")
+    lo_agg = _pct(v, p_lo, approx).alias("__lo")
+    hi_agg = _pct(v, p_hi, approx).alias("__hi")
+    clamped = F.least(F.greatest(v, F.col("__lo")), F.col("__hi"))
+    if by:
+        bounds = df.groupBy(*by).agg(lo_agg, hi_agg)
+        out = df.join(bounds, by)
+    else:
+        row = df.agg(lo_agg, hi_agg).collect()[0]
+        out = df.withColumn("__lo", F.lit(row["__lo"])) \
+                .withColumn("__hi", F.lit(row["__hi"]))
+    return (out.withColumn(f"{value_col}_winsorized", clamped)
+               .withColumnRenamed("__lo", "p_lo_bound")
+               .withColumnRenamed("__hi", "p_hi_bound"))
+
+
+def grouped_ols(df: DataFrame, group_cols: list[str], x_col: str,
+                y_col: str) -> DataFrame:
+    """Per-group simple linear regression ``y = slope·x + intercept``:
+    ``(*group, slope, intercept, r2, n)`` via the built-in ``regr_*``
+    aggregates — each keeps O(1) co-moment state, so the whole model
+    fit is ONE partial-agg'd scan regardless of group count (the
+    million-models-at-once shape; no per-group numpy, no Python).
+    Rows where either variable is NULL are excluded (regr_* semantics,
+    identical in DuckDB). Degenerate groups (constant x) return NULL
+    slope — surfaced, not silently dropped.
+    """
+    if not group_cols:
+        raise ValueError("grouped_ols needs at least one group column")
+    y = F.col(y_col).cast("double")
+    x = F.col(x_col).cast("double")
+    return df.groupBy(*group_cols).agg(
+        F.regr_slope(y, x).alias("slope"),
+        F.regr_intercept(y, x).alias("intercept"),
+        F.regr_r2(y, x).alias("r2"),
+        F.regr_count(y, x).alias("n"))

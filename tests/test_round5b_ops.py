@@ -508,3 +508,156 @@ class TestRfm:
             assert False, "expected ValueError"
         except ValueError:
             pass
+
+
+# ---------------------------------------------------------------------------
+# upsert_merge (SCD1 CDC merge)
+# ---------------------------------------------------------------------------
+
+class TestUpsertMerge:
+    def _base(self, spark):
+        return spark.createDataFrame(
+            [(1, "a", 1), (2, "b", 1), (3, "c", 1)],
+            "k long, v string, ver long")
+
+    def test_update_insert_delete(self, spark):
+        from pandas_ai_spark.functions.diff import upsert_merge
+
+        ups = spark.createDataFrame(
+            [(2, "B", 2, False), (3, "c", 2, True), (4, "d", 2, False)],
+            "k long, v string, ver long, deleted boolean")
+        out = sorted((r.k, r.v, r.ver) for r in upsert_merge(
+            self._base(spark), ups, ["k"], "ver",
+            delete_col="deleted").collect())
+        assert out == [(1, "a", 1), (2, "B", 2), (4, "d", 2)]
+
+    def test_stale_update_loses(self, spark):
+        from pandas_ai_spark.functions.diff import upsert_merge
+
+        ups = spark.createDataFrame([(1, "OLD", 0)],
+                                    "k long, v string, ver long")
+        out = upsert_merge(self._base(spark), ups, ["k"],
+                           "ver").collect()
+        assert sorted((r.k, r.v) for r in out) == \
+            [(1, "a"), (2, "b"), (3, "c")]
+
+    def test_version_tie_update_wins(self, spark):
+        from pandas_ai_spark.functions.diff import upsert_merge
+
+        ups = spark.createDataFrame([(1, "NEW", 1)],
+                                    "k long, v string, ver long")
+        out = {r.k: r.v for r in upsert_merge(
+            self._base(spark), ups, ["k"], "ver").collect()}
+        assert out[1] == "NEW"
+
+    def test_idempotent_reapply(self, spark):
+        from pandas_ai_spark.functions.diff import upsert_merge
+
+        ups = spark.createDataFrame([(2, "B", 2)],
+                                    "k long, v string, ver long")
+        once = upsert_merge(self._base(spark), ups, ["k"], "ver")
+        twice = upsert_merge(once, ups, ["k"], "ver")
+        assert sorted(map(tuple, once.collect())) == \
+            sorted(map(tuple, twice.collect()))
+
+    def test_no_keys_raises(self, spark):
+        from pandas_ai_spark.functions.diff import upsert_merge
+
+        try:
+            upsert_merge(self._base(spark), self._base(spark), [], "ver")
+            assert False, "expected ValueError"
+        except ValueError:
+            pass
+
+
+# ---------------------------------------------------------------------------
+# winsorize
+# ---------------------------------------------------------------------------
+
+class TestWinsorize:
+    def test_clamps_tails_only(self, spark):
+        from pandas_ai_spark.functions.stats import winsorize
+
+        vals = list(range(1, 101))  # 1..100
+        df = spark.createDataFrame([("g", float(v)) for v in vals],
+                                   "g string, v double")
+        out = winsorize(df, "v", by=["g"], p_lo=0.10,
+                        p_hi=0.90).collect()
+        w = sorted(r.v_winsorized for r in out)
+        # exact interpolated p10/p90 of 1..100 = 10.9 / 90.1
+        assert abs(min(w) - 10.9) < 1e-9 and abs(max(w) - 90.1) < 1e-9
+        mid = [r for r in out if 11 <= r.v <= 90]
+        assert all(r.v_winsorized == r.v for r in mid)
+
+    def test_groups_independent(self, spark):
+        from pandas_ai_spark.functions.stats import winsorize
+
+        rows = [("a", float(v)) for v in range(10)] + \
+               [("b", float(v * 1000)) for v in range(10)]
+        df = spark.createDataFrame(rows, "g string, v double")
+        out = winsorize(df, "v", by=["g"], p_lo=0.0, p_hi=1.0).collect()
+        assert all(r.v_winsorized == r.v for r in out)  # full range
+
+    def test_ungrouped_scalar_path(self, spark):
+        from pandas_ai_spark.functions.stats import winsorize
+
+        df = spark.createDataFrame([(float(v),) for v in range(1, 11)],
+                                   "v double")
+        out = winsorize(df, "v", p_lo=0.05, p_hi=0.50).collect()
+        assert max(r.v_winsorized for r in out) == 5.5  # p50 of 1..10
+
+    def test_bad_fracs_raise(self, spark):
+        from pandas_ai_spark.functions.stats import winsorize
+
+        df = spark.createDataFrame([(1.0,)], "v double")
+        try:
+            winsorize(df, "v", p_lo=0.9, p_hi=0.1)
+            assert False, "expected ValueError"
+        except ValueError:
+            pass
+
+
+# ---------------------------------------------------------------------------
+# grouped_ols
+# ---------------------------------------------------------------------------
+
+class TestGroupedOls:
+    def test_exact_line_recovered(self, spark):
+        from pandas_ai_spark.functions.stats import grouped_ols
+
+        rows = [("g", float(x), 3.0 * x + 7.0) for x in range(10)]
+        df = spark.createDataFrame(rows, "g string, x double, y double")
+        r = grouped_ols(df, ["g"], "x", "y").collect()[0]
+        assert abs(r.slope - 3.0) < 1e-9
+        assert abs(r.intercept - 7.0) < 1e-9
+        assert abs(r.r2 - 1.0) < 1e-12 and r.n == 10
+
+    def test_per_group_models(self, spark):
+        from pandas_ai_spark.functions.stats import grouped_ols
+
+        rows = [("up", float(x), 2.0 * x) for x in range(5)]
+        rows += [("down", float(x), -2.0 * x) for x in range(5)]
+        df = spark.createDataFrame(rows, "g string, x double, y double")
+        out = {r.g: r.slope for r in
+               grouped_ols(df, ["g"], "x", "y").collect()}
+        assert abs(out["up"] - 2.0) < 1e-9
+        assert abs(out["down"] + 2.0) < 1e-9
+
+    def test_nulls_excluded_constant_x_null_slope(self, spark):
+        from pandas_ai_spark.functions.stats import grouped_ols
+
+        rows = [("g", 1.0, 1.0), ("g", 1.0, 2.0), ("g", None, 9.0)]
+        df = spark.createDataFrame(rows, "g string, x double, y double")
+        r = grouped_ols(df, ["g"], "x", "y").collect()[0]
+        assert r.n == 2 and r.slope is None
+
+    def test_no_groups_raise(self, spark):
+        from pandas_ai_spark.functions.stats import grouped_ols
+
+        df = spark.createDataFrame([("g", 1.0, 1.0)],
+                                   "g string, x double, y double")
+        try:
+            grouped_ols(df, [], "x", "y")
+            assert False, "expected ValueError"
+        except ValueError:
+            pass

@@ -1717,7 +1717,7 @@ def q88_triangle_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
     baskets = li.join(part, li.l_partkey == part.p_partkey) \
                 .select("l_orderkey", "p_brand")
     edges = cooccurrence_edges(baskets, "l_orderkey", "p_brand",
-                               min_support=300)
+                               min_support=300, symmetric=False)
     return (triangle_counts(edges)
             .select(F.col("node").alias("brand"), "triangles")
             .orderBy("brand"))
@@ -1905,8 +1905,13 @@ def q98_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     out = winsorize(li, "l_extendedprice", by=["l_returnflag"],
                     p_lo=0.05, p_hi=0.95)
-    return out.select(
+    # report only the CLAMPED rows (the tails, ~10%): the audit a
+    # pipeline actually wants, and the result doesn't grow with the
+    # untouched middle of the distribution
+    return out.where(F.col("l_extendedprice")
+                     != F.col("l_extendedprice_winsorized")).select(
         "l_orderkey", "l_linenumber", "l_returnflag",
+        F.round("l_extendedprice", 4).alias("price_raw"),
         F.round("l_extendedprice_winsorized", 4).alias("price_w"),
         F.round("p_lo_bound", 4).alias("p_lo_bound"),
         F.round("p_hi_bound", 4).alias("p_hi_bound"),
@@ -3997,11 +4002,14 @@ def oracle_sql() -> dict[str, str]:
               FROM lineitem GROUP BY 1
             )
             SELECT l_orderkey, l_linenumber, li.l_returnflag,
+                   round(l_extendedprice, 4) AS price_raw,
                    round(least(greatest(l_extendedprice, lo), hi), 4)
                      AS price_w,
                    round(lo, 4) AS p_lo_bound,
                    round(hi, 4) AS p_hi_bound
             FROM lineitem li JOIN b ON li.l_returnflag = b.l_returnflag
+            WHERE l_extendedprice
+                  <> least(greatest(l_extendedprice, lo), hi)
             ORDER BY l_orderkey, l_linenumber
         """,
         "q99_grouped_ols": """

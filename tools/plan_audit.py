@@ -36,6 +36,7 @@ ALLOW: dict[str, set[str]] = {
     # runs the full two-batch stream drain at call time and returns a
     # collected literal — plan checked in tests/test_streaming.py
     "q67_stream_near_dup": {"skip"},
+    "q100_stream_anomaly": {"skip"},
     # mixture rates need a count() action at plan-build time; cheap
     "q57_domain_mixture": {"skip"},
     # PQ/ADC scoring is BY DESIGN a broadcast cross join of the code

@@ -1994,6 +1994,42 @@ def q100_stream_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def q101_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence test lang × source
+    (stats.chi_square_independence): same contingency shape as q89's
+    MI — one joint agg, window-sum marginals over the tiny joint
+    table — finished with Cramér's V for effect size. Oracle: the
+    identical expected-count arithmetic in DuckDB."""
+    from pandas_ai_spark.functions.stats import chi_square_independence
+
+    docs = _t(spark, sf_dir, "documents")
+    out = chi_square_independence(docs, "lang", "source")
+    return out.select(
+        F.round("chi2", 6).alias("chi2"), "dof",
+        F.col("n").cast("long").alias("n"),
+        F.round("cramers_v", 9).alias("cramers_v"))
+
+
+def q102_jsd_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jensen–Shannon term drift (text.jsd_term_drift): the even-id
+    half of documents vs the odd-id half, top-50 drift-driving terms —
+    the lexical complement of q94's numeric PSI; absent terms
+    contribute finitely (JSD, unlike KL, needs no flooring). Two token
+    aggs + one vocabulary-sized full-outer join. Oracle: identical
+    tokenization + ½p·ln(p/m) arithmetic in DuckDB."""
+    from pandas_ai_spark.functions.text import jsd_term_drift
+
+    docs = _t(spark, sf_dir, "documents")
+    out = jsd_term_drift(docs.where(F.col("doc_id") % 2 == 0),
+                         docs.where(F.col("doc_id") % 2 == 1),
+                         top_k=50)
+    return out.select(
+        "term", "n_expected", "n_actual",
+        F.round("p_expected", 9).alias("p_expected"),
+        F.round("p_actual", 9).alias("p_actual"),
+        F.round("jsd_contribution", 10).alias("jsd_contribution"))
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -2112,6 +2148,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q98_winsorize": q98_winsorize,
         "q99_grouped_ols": q99_grouped_ols,
         "q100_stream_anomaly": q100_stream_anomaly,
+        "q101_chi_square": q101_chi_square,
+        "q102_jsd_drift": q102_jsd_drift,
     }
 
 
@@ -4085,6 +4123,76 @@ def oracle_sql() -> dict[str, str]:
             FROM w
             WHERE n >= 5 AND sd > 0 AND abs((value - m) / sd) > 3.0
             ORDER BY event_id
+        """,
+        "q101_chi_square": """
+            WITH j AS (
+              SELECT lang AS x, source AS y, count(*) AS n_xy
+              FROM documents
+              WHERE lang IS NOT NULL AND source IS NOT NULL
+              GROUP BY 1, 2
+            ), tot AS (SELECT sum(n_xy)::DOUBLE AS t FROM j),
+            c AS (
+              SELECT n_xy,
+                     sum(n_xy) OVER (PARTITION BY x) AS nx,
+                     sum(n_xy) OVER (PARTITION BY y) AS ny
+              FROM j
+            ), agg AS (
+              SELECT sum(n_xy * n_xy / (nx * ny / t))
+                       - (SELECT sum(n_xy) FROM j) AS chi2,
+                     (SELECT count(DISTINCT x) FROM j) AS kx,
+                     (SELECT count(DISTINCT y) FROM j) AS ky,
+                     (SELECT sum(n_xy) FROM j)::BIGINT AS n
+              FROM c CROSS JOIN tot
+              GROUP BY t
+            )
+            SELECT round(chi2, 6) AS chi2,
+                   (kx - 1) * (ky - 1) AS dof, n,
+                   round(CASE WHEN least(kx, ky) > 1
+                              THEN sqrt(chi2 / (n * (least(kx, ky) - 1)))
+                              ELSE 0.0 END, 9) AS cramers_v
+            FROM agg
+        """,
+        "q102_jsd_drift": """
+            WITH ce AS (
+              SELECT w AS term, count(*) AS n_expected
+              FROM (SELECT unnest(list_filter(
+                       string_split_regex(lower(text), '[^a-z]+'),
+                       t -> t <> '')) AS w
+                    FROM documents WHERE doc_id % 2 = 0)
+              GROUP BY 1
+            ), ca AS (
+              SELECT w AS term, count(*) AS n_actual
+              FROM (SELECT unnest(list_filter(
+                       string_split_regex(lower(text), '[^a-z]+'),
+                       t -> t <> '')) AS w
+                    FROM documents WHERE doc_id % 2 = 1)
+              GROUP BY 1
+            ), te AS (SELECT sum(n_expected)::DOUBLE AS t FROM ce),
+               ta AS (SELECT sum(n_actual)::DOUBLE AS t FROM ca),
+            j AS (
+              SELECT coalesce(ce.term, ca.term) AS term,
+                     coalesce(n_expected, 0) AS n_expected,
+                     coalesce(n_actual, 0) AS n_actual
+              FROM ce FULL JOIN ca USING (term)
+            ), x AS (
+              SELECT term, n_expected, n_actual,
+                     n_expected / te.t AS p, n_actual / ta.t AS q,
+                     (n_expected / te.t + n_actual / ta.t) / 2 AS m
+              FROM j CROSS JOIN te CROSS JOIN ta
+            )
+            SELECT term, n_expected, n_actual,
+                   round(p, 9) AS p_expected,
+                   round(q, 9) AS p_actual,
+                   round(CASE WHEN p > 0 THEN 0.5 * p * ln(p / m)
+                              ELSE 0.0 END
+                         + CASE WHEN q > 0 THEN 0.5 * q * ln(q / m)
+                                ELSE 0.0 END, 10) AS jsd_contribution
+            FROM x
+            ORDER BY (CASE WHEN p > 0 THEN 0.5 * p * ln(p / m)
+                           ELSE 0.0 END
+                      + CASE WHEN q > 0 THEN 0.5 * q * ln(q / m)
+                             ELSE 0.0 END) DESC, term
+            LIMIT 50
         """,
         "q99_grouped_ols": """
             SELECT l_returnflag, l_linestatus,

@@ -388,3 +388,49 @@ def grouped_ols(df: DataFrame, group_cols: list[str], x_col: str,
         F.regr_intercept(y, x).alias("intercept"),
         F.regr_r2(y, x).alias("r2"),
         F.regr_count(y, x).alias("n"))
+
+
+def chi_square_independence(df: DataFrame, col_x: str, col_y: str
+                            ) -> DataFrame:
+    """Pearson chi-square test of independence between two categorical
+    columns: one row ``(chi2, dof, n, cramers_v)``. The hypothesis-test
+    complement to :func:`mutual_information` (same contingency table,
+    different statistic); Cramér's V normalizes to [0, 1] for
+    effect-size comparison across tables.
+
+    Shape: identical to MI — one (x, y) joint aggregation (the raw
+    table's only shuffle), expected counts from window-sum marginals
+    over the tiny joint table, then a single 4-value final aggregate.
+    The dof uses the observed category counts (distinct x / distinct y
+    seen), matching the classic contingency-table convention.
+    """
+    from pyspark.sql.window import Window
+
+    joint = (df.where(F.col(col_x).isNotNull()
+                      & F.col(col_y).isNotNull())
+               .groupBy(F.col(col_x).alias("x"), F.col(col_y).alias("y"))
+               .agg(F.count("*").alias("n_xy")))
+    n_total = joint.agg(F.sum("n_xy")).collect()[0][0] or 0
+    if n_total == 0:
+        raise ValueError("no co-observed rows")
+    nx = F.sum("n_xy").over(Window.partitionBy("x"))
+    ny = F.sum("n_xy").over(Window.partitionBy("y"))
+    expected = nx * ny / F.lit(float(n_total))
+    # Σ_cells (O−E)²/E over the FULL cross product = Σ O²/E − N:
+    # zero-observed cells contribute 0 to Σ O²/E, so the observed
+    # joint table suffices — no dense (x × y) expansion needed
+    cell = joint.withColumn(
+        "__c", F.col("n_xy") * F.col("n_xy") / expected)
+    agg = cell.agg(
+        (F.sum("__c") - F.lit(float(n_total))).alias("chi2"),
+        F.countDistinct("x").alias("__kx"),
+        F.countDistinct("y").alias("__ky"))
+    k_min = F.least(F.col("__kx"), F.col("__ky"))
+    return agg.select(
+        "chi2",
+        ((F.col("__kx") - 1) * (F.col("__ky") - 1)).alias("dof"),
+        F.lit(int(n_total)).alias("n"),
+        F.when(k_min > 1,
+               F.sqrt(F.col("chi2")
+                      / (F.lit(float(n_total)) * (k_min - 1))))
+         .otherwise(F.lit(0.0)).alias("cramers_v"))

@@ -528,3 +528,49 @@ def pmi_collocations(df: DataFrame, text_col: str = "text",
     return (out.select("w1", "w2", "n_pair", "n_w1", "n_w2", "pmi")
                .orderBy(F.desc("pmi"), "w1", "w2")
                .limit(top_k))
+
+
+def jsd_term_drift(df_expected: DataFrame, df_actual: DataFrame,
+                   text_col: str = "text", top_k: int = 50) -> DataFrame:
+    """Jensen–Shannon term-distribution drift between two corpus
+    snapshots: per term, both unigram probabilities and the term's JSD
+    contribution ``½·p·ln(p/m) + ½·q·ln(q/m)`` with ``m = (p+q)/2``;
+    total JSD (nats, 0 ≤ JSD ≤ ln 2) = Σ over ALL terms. Output: the
+    ``top_k`` largest contributors (the words driving the drift — the
+    actionable monitoring artifact), ordered by contribution.
+
+    The lexical complement of
+    :func:`~pandas_ai_spark.functions.stats.population_stability_index`
+    (numeric drift): same two-snapshot shape, same scalar-only-collect
+    totals, tokenization shared with :func:`pmi_collocations` and the
+    DuckDB oracle. A term absent from one side contributes its other
+    side's ½·ln 2 share — no flooring needed (JSD, unlike KL/PSI, is
+    finite by construction). Each snapshot is one token-count
+    aggregation; the two (vocabulary-sized) count tables full-outer
+    join on the term.
+    """
+    def counts(d: DataFrame) -> DataFrame:
+        toks = F.filter(F.split(F.lower(F.col(text_col)), "[^a-z]+"),
+                        lambda t: t != "")
+        return (d.select(F.explode(toks).alias("term"))
+                 .groupBy("term").agg(F.count("*").alias("n")))
+
+    ce, ca = counts(df_expected), counts(df_actual)
+    t_e = ce.agg(F.sum("n")).collect()[0][0] or 0
+    t_a = ca.agg(F.sum("n")).collect()[0][0] or 0
+    if t_e == 0 or t_a == 0:
+        raise ValueError("both snapshots must contain tokens")
+    j = (ce.withColumnRenamed("n", "n_expected")
+           .join(ca.withColumnRenamed("n", "n_actual"),
+                 "term", "full")
+           .fillna(0, ["n_expected", "n_actual"]))
+    p = F.col("n_expected") / F.lit(float(t_e))
+    q = F.col("n_actual") / F.lit(float(t_a))
+    m = (p + q) / 2
+    contrib = (F.when(p > 0, 0.5 * p * F.log(p / m)).otherwise(0.0)
+               + F.when(q > 0, 0.5 * q * F.log(q / m)).otherwise(0.0))
+    return (j.select("term", "n_expected", "n_actual",
+                     p.alias("p_expected"), q.alias("p_actual"),
+                     contrib.alias("jsd_contribution"))
+             .orderBy(F.desc("jsd_contribution"), "term")
+             .limit(top_k))

@@ -682,3 +682,95 @@ class TestCooccurrenceOptions:
         out = {(r.src, r.dst) for r in cooccurrence_edges(
             df, "b", "i", min_support=2).collect()}
         assert out == {("a", "b"), ("b", "a")}
+
+
+# ---------------------------------------------------------------------------
+# chi_square_independence
+# ---------------------------------------------------------------------------
+
+class TestChiSquare:
+    def test_independent_near_zero(self, spark):
+        from pandas_ai_spark.functions.stats import \
+            chi_square_independence
+
+        rows = [(x, y) for x in "ab" for y in "cd" for _ in range(10)]
+        df = spark.createDataFrame(rows, "x string, y string")
+        r = chi_square_independence(df, "x", "y").collect()[0]
+        assert abs(r.chi2) < 1e-9 and r.dof == 1 and r.n == 40
+        assert abs(r.cramers_v) < 1e-9
+
+    def test_perfect_association(self, spark):
+        from pandas_ai_spark.functions.stats import \
+            chi_square_independence
+
+        rows = [(x, x.upper()) for x in "abc" for _ in range(7)]
+        df = spark.createDataFrame(rows, "x string, y string")
+        r = chi_square_independence(df, "x", "y").collect()[0]
+        # perfect 3x3 association: chi2 = n*(k-1) = 42 (zero cells
+        # included via the sum(O^2/E) - N identity), V = 1
+        assert abs(r.chi2 - 42) < 1e-9
+        assert r.dof == 4 and abs(r.cramers_v - 1.0) < 1e-12
+
+    def test_manual_2x2(self, spark):
+        from pandas_ai_spark.functions.stats import \
+            chi_square_independence
+
+        # classic 2x2: [[10, 20], [20, 10]]
+        rows = ([("a", "x")] * 10 + [("a", "y")] * 20
+                + [("b", "x")] * 20 + [("b", "y")] * 10)
+        df = spark.createDataFrame(rows, "x string, y string")
+        r = chi_square_independence(df, "x", "y").collect()[0]
+        assert abs(r.chi2 - 20 / 3) < 1e-9  # (|10-15|^2/15)*4 = 20/3
+        assert abs(r.cramers_v - math.sqrt((20 / 3) / 60)) < 1e-12
+
+    def test_empty_raises(self, spark):
+        from pandas_ai_spark.functions.stats import \
+            chi_square_independence
+
+        df = spark.createDataFrame([], "x string, y string")
+        try:
+            chi_square_independence(df, "x", "y")
+            assert False, "expected ValueError"
+        except ValueError:
+            pass
+
+
+# ---------------------------------------------------------------------------
+# jsd_term_drift
+# ---------------------------------------------------------------------------
+
+class TestJsdDrift:
+    def _run(self, spark, exp_texts, act_texts, **kw):
+        from pandas_ai_spark.functions.text import jsd_term_drift
+
+        e = spark.createDataFrame([(t,) for t in exp_texts],
+                                  "text string")
+        a = spark.createDataFrame([(t,) for t in act_texts],
+                                  "text string")
+        return jsd_term_drift(e, a, **kw)
+
+    def test_identical_corpora_zero(self, spark):
+        out = self._run(spark, ["alpha beta gamma"] * 3,
+                        ["alpha beta gamma"] * 5).collect()
+        assert all(abs(r.jsd_contribution) < 1e-12 for r in out)
+
+    def test_disjoint_corpora_ln2(self, spark):
+        out = self._run(spark, ["aaa bbb"], ["ccc ddd"]).collect()
+        total = sum(r.jsd_contribution for r in out)
+        assert abs(total - math.log(2)) < 1e-12  # JSD max
+        # every term one-sided: contribution = 0.5 * p * ln(2)
+        assert all(abs(r.jsd_contribution - 0.5 * 0.5 * math.log(2))
+                   < 1e-12 for r in out)
+
+    def test_drifting_term_tops(self, spark):
+        out = self._run(spark, ["stable words here"] * 10,
+                        ["stable words here"] * 10 + ["novel"] * 5)
+        top = out.collect()[0]
+        assert top.term == "novel" and top.n_expected == 0
+
+    def test_empty_side_raises(self, spark):
+        try:
+            self._run(spark, ["abc"], ["   "]).collect()
+            assert False, "expected ValueError"
+        except ValueError:
+            pass

@@ -2030,6 +2030,50 @@ def q102_jsd_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("jsd_contribution", 10).alias("jsd_contribution"))
 
 
+def q103_countmin_heavy_hitters(spark: SparkSession, sf_dir: str
+                                ) -> DataFrame:
+    """Count-min sketch heavy hitters (sketch.countmin_build/estimate):
+    documents tokens compressed into a 4×1024 md5 counter grid (ONE
+    agg, ≤4096 rows regardless of corpus size), top-20 terms by
+    estimate with the exact count beside — the CMS guarantee
+    ``estimate ≥ exact`` is part of the compared result
+    (overestimate column). Oracle: identical md5-bucket counters and
+    min-over-rows arithmetic in DuckDB."""
+    from pandas_ai_spark.functions.sketch import (countmin_build,
+                                                  countmin_estimate)
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(F.filter(
+        F.split(F.lower(F.col("text")), "[^a-z]+"),
+        lambda t: t != "")).alias("term"))
+    grid = countmin_build(toks, "term", depth=4, width=1024)
+    est = countmin_estimate(grid, toks, "term", depth=4, width=1024)
+    exact = toks.groupBy("term").agg(F.count("*").alias("exact"))
+    return (est.join(exact, est.item == exact.term)
+               .select("item", "estimate", "exact",
+                       (F.col("estimate") - F.col("exact"))
+                        .alias("overestimate"))
+               .orderBy(F.desc("estimate"), "item").limit(20))
+
+
+def q104_seasonal_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week seasonal index (timeseries.seasonal_index): per
+    event type, each weekday's mean value and its ratio to the type's
+    overall mean — one (type, dow) aggregation over the raw table,
+    overall means recovered from the 7-row agg via window sums (never
+    a second scan). Oracle: identical arithmetic; dow matches DuckDB's
+    dayofweek (0 = Sunday) via Spark dayofweek() − 1."""
+    from pandas_ai_spark.functions.timeseries import seasonal_index
+
+    ev = _t(spark, sf_dir, "events")
+    out = seasonal_index(ev, "value", "ts", by=("event_type",))
+    return out.select(
+        "event_type", "dow", "n",
+        F.round("avg_value", 6).alias("avg_value"),
+        F.round("seasonal_index", 9).alias("seasonal_index"),
+    ).orderBy("event_type", "dow")
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -2150,6 +2194,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q100_stream_anomaly": q100_stream_anomaly,
         "q101_chi_square": q101_chi_square,
         "q102_jsd_drift": q102_jsd_drift,
+        "q103_countmin_heavy_hitters": q103_countmin_heavy_hitters,
+        "q104_seasonal_index": q104_seasonal_index,
     }
 
 
@@ -4193,6 +4239,52 @@ def oracle_sql() -> dict[str, str]:
                       + CASE WHEN q > 0 THEN 0.5 * q * ln(q / m)
                              ELSE 0.0 END) DESC, term
             LIMIT 50
+        """,
+        "q103_countmin_heavy_hitters": """
+            WITH toks AS (
+              SELECT unnest(list_filter(
+                       string_split_regex(lower(text), '[^a-z]+'),
+                       t -> t <> '')) AS w
+              FROM documents
+            ), cells AS (
+              SELECT r.d,
+                     ('0x' || substr(md5('cm' || r.d || ':' || w),
+                                     1, 8))::BIGINT % 1024 AS bucket,
+                     w
+              FROM toks, range(0, 4) r(d)
+            ), grid AS (
+              SELECT d, bucket, count(*) AS n FROM cells GROUP BY 1, 2
+            ), cand AS (
+              SELECT DISTINCT w,
+                     r.d,
+                     ('0x' || substr(md5('cm' || r.d || ':' || w),
+                                     1, 8))::BIGINT % 1024 AS bucket
+              FROM (SELECT DISTINCT w FROM toks), range(0, 4) r(d)
+            ), est AS (
+              SELECT w AS item, min(coalesce(g.n, 0)) AS estimate
+              FROM cand LEFT JOIN grid g USING (d, bucket)
+              GROUP BY 1
+            ), exact AS (
+              SELECT w AS item, count(*) AS exact FROM toks GROUP BY 1
+            )
+            SELECT item, estimate, exact,
+                   estimate - exact AS overestimate
+            FROM est JOIN exact USING (item)
+            ORDER BY estimate DESC, item LIMIT 20
+        """,
+        "q104_seasonal_index": """
+            WITH cell AS (
+              SELECT event_type, dayofweek(ts) AS dow,
+                     sum(value) AS s, count(value) AS n
+              FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+            )
+            SELECT event_type, dow, n,
+                   round(s / n, 6) AS avg_value,
+                   round((s / n)
+                         / (sum(s) OVER (PARTITION BY event_type)
+                            / sum(n) OVER (PARTITION BY event_type)),
+                         9) AS seasonal_index
+            FROM cell ORDER BY event_type, dow
         """,
         "q99_grouped_ols": """
             SELECT l_returnflag, l_linestatus,

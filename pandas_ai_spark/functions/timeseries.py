@@ -374,3 +374,34 @@ def time_weighted_avg(df: DataFrame, value_col: str, ts_col: str,
          / F.sum("__dt")).alias("twa"),
         F.sum("__dt").alias("total_seconds"),
         F.count("*").alias("n_intervals")))
+
+
+def seasonal_index(df: DataFrame, value_col: str, ts_col: str,
+                   by: tuple = ()) -> DataFrame:
+    """Day-of-week seasonal index per series: for each
+    ``(*by, dow)``, the mean value and its ratio to the series' overall
+    mean — the quick seasonality profile behind staffing/traffic
+    dashboards and the de-seasonalization step of forecast pipelines.
+    ``dow`` is 0 = Sunday … 6 = Saturday (DuckDB ``dayofweek``
+    convention; Spark's ``dayofweek() − 1``).
+
+    Shape: ONE (key, dow) aggregation over the raw table (its only
+    shuffle — sums and counts, O(1) state per cell), then the overall
+    series mean is recovered from the 7-row-per-key agg table itself
+    (window sums over the tiny agg, never a second scan), and the
+    index is a row-local ratio.
+    """
+    from pyspark.sql.window import Window
+
+    keys = list(by)
+    dow = (F.dayofweek(F.col(ts_col)) - 1).alias("dow")
+    cell = (df.where(F.col(value_col).isNotNull())
+              .groupBy(*keys, dow)
+              .agg(F.sum(value_col).alias("__s"),
+                   F.count(value_col).alias("n")))
+    w = Window.partitionBy(*keys) if keys else Window.partitionBy()
+    overall = F.sum("__s").over(w) / F.sum("n").over(w)
+    return cell.select(
+        *keys, "dow", "n",
+        (F.col("__s") / F.col("n")).alias("avg_value"),
+        ((F.col("__s") / F.col("n")) / overall).alias("seasonal_index"))

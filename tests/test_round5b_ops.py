@@ -774,3 +774,109 @@ class TestJsdDrift:
             assert False, "expected ValueError"
         except ValueError:
             pass
+
+
+# ---------------------------------------------------------------------------
+# count-min sketch
+# ---------------------------------------------------------------------------
+
+class TestCountMin:
+    def _grid_est(self, spark, tokens, **kw):
+        from pandas_ai_spark.functions.sketch import (countmin_build,
+                                                      countmin_estimate)
+
+        df = spark.createDataFrame([(t,) for t in tokens], "w string")
+        grid = countmin_build(df, "w", **kw)
+        return grid, countmin_estimate(grid, df, "w", **kw)
+
+    def test_never_undercounts(self, spark):
+        import collections
+
+        tokens = (["apple"] * 50 + ["banana"] * 20 + ["cherry"] * 5
+                  + [f"rare{i}" for i in range(30)])
+        truth = collections.Counter(tokens)
+        _, est = self._grid_est(spark, tokens, depth=4, width=1024)
+        got = {r.item: r.estimate for r in est.collect()}
+        assert set(got) == set(truth)
+        assert all(got[w] >= c for w, c in truth.items())
+        # wide grid, tiny corpus: heavy hitters exact w.h.p.
+        assert got["apple"] == 50
+
+    def test_grid_bounded(self, spark):
+        grid, _ = self._grid_est(spark, [f"t{i}" for i in range(500)],
+                                 depth=3, width=16)
+        rows = grid.collect()
+        assert len(rows) <= 3 * 16
+        assert {r.row for r in rows} == {0, 1, 2}
+        assert all(0 <= r.bucket < 16 for r in rows)
+
+    def test_grids_merge_additively(self, spark):
+        from pandas_ai_spark.functions.sketch import (countmin_build,
+                                                      countmin_estimate)
+        import pyspark.sql.functions as F
+
+        a = spark.createDataFrame([("x",)] * 3, "w string")
+        b = spark.createDataFrame([("x",)] * 4 + [("y",)], "w string")
+        merged = (countmin_build(a, "w").unionByName(
+                      countmin_build(b, "w"))
+                  .groupBy("row", "bucket").agg(F.sum("n").alias("n")))
+        est = countmin_estimate(merged, a.unionByName(b), "w")
+        got = {r.item: r.estimate for r in est.collect()}
+        assert got["x"] == 7 and got["y"] >= 1
+
+    def test_narrow_grid_overestimates_only(self, spark):
+        import collections
+
+        tokens = [f"t{i % 40}" for i in range(400)]
+        truth = collections.Counter(tokens)
+        _, est = self._grid_est(spark, tokens, depth=2, width=8)
+        got = {r.item: r.estimate for r in est.collect()}
+        # collisions guaranteed at width 8 — estimates still >= truth
+        assert all(got[w] >= c for w, c in truth.items())
+        assert any(got[w] > c for w, c in truth.items())
+
+
+# ---------------------------------------------------------------------------
+# seasonal_index
+# ---------------------------------------------------------------------------
+
+class TestSeasonalIndex:
+    def test_known_weekly_pattern(self, spark):
+        from pandas_ai_spark.functions.timeseries import seasonal_index
+
+        # 2024-01-07 is a Sunday (dow 0). Sundays worth 20, others 10.
+        rows = []
+        for day in range(14):
+            ts = dt.datetime(2024, 1, 7 + day, 12)
+            v = 20.0 if ts.weekday() == 6 else 10.0  # python Sunday=6
+            rows.append(("k", ts, v))
+        df = spark.createDataFrame(rows, "k string, ts timestamp, "
+                                         "value double")
+        out = {r.dow: r for r in seasonal_index(
+            df, "value", "ts", by=("k",)).collect()}
+        assert set(out) == set(range(7))
+        overall = (2 * 20 + 12 * 10) / 14
+        assert abs(out[0].avg_value - 20.0) < 1e-12
+        assert abs(out[0].seasonal_index - 20.0 / overall) < 1e-12
+        assert abs(out[1].seasonal_index - 10.0 / overall) < 1e-12
+
+    def test_flat_series_index_one(self, spark):
+        from pandas_ai_spark.functions.timeseries import seasonal_index
+
+        rows = [("k", dt.datetime(2024, 1, 1 + d), 5.0)
+                for d in range(21)]
+        df = spark.createDataFrame(rows, "k string, ts timestamp, "
+                                         "value double")
+        out = seasonal_index(df, "value", "ts", by=("k",)).collect()
+        assert all(abs(r.seasonal_index - 1.0) < 1e-12 for r in out)
+
+    def test_keys_independent(self, spark):
+        from pandas_ai_spark.functions.timeseries import seasonal_index
+
+        rows = [("a", dt.datetime(2024, 1, 1 + d), 1.0) for d in range(7)]
+        rows += [("b", dt.datetime(2024, 1, 1 + d), 100.0)
+                 for d in range(7)]
+        df = spark.createDataFrame(rows, "k string, ts timestamp, "
+                                         "value double")
+        out = seasonal_index(df, "value", "ts", by=("k",)).collect()
+        assert all(abs(r.seasonal_index - 1.0) < 1e-12 for r in out)

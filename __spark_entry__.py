@@ -2074,6 +2074,51 @@ def q104_seasonal_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_type", "dow")
 
 
+def q105_windowed_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion-window funnel (events.funnel within_seconds): the
+    q72 view→click→purchase funnel with each edge constrained to 48 h
+    — the "converted within N days" form every product funnel needs.
+    Same stage-filtered user-keyed min-agg joins; the window is one
+    extra row-local predicate per edge. Oracle: q72's chained
+    correlated min-joins with the same epoch bound."""
+    from pandas_ai_spark.functions.events import funnel
+
+    ev = _t(spark, sf_dir, "events")
+    return (funnel(ev, ["view", "click", "purchase"],
+                   within_seconds=48 * 3600.0)
+            .orderBy("user_id"))
+
+
+def q106_trigram_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trigram-indexed substring search (search.substring_search, the
+    pg_trgm pattern): docs containing the literal string "data fast" —
+    candidates must contain ALL needle 3-grams (row-local intersect
+    before any explode), exact contains() runs on candidates only.
+    Oracle: the SEMANTICS, a plain strpos scan — the index is an
+    optimization and must not change the result set."""
+    from pandas_ai_spark.functions.search import substring_search
+
+    docs = _t(spark, sf_dir, "documents")
+    return substring_search(docs, "data fast").orderBy("id")
+
+
+def q107_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document 3-gram novelty vs a reference corpus
+    (text.ngram_novelty): even-id docs scored against the odd-id half
+    — fraction of distinct token trigrams unseen in the reference
+    (memorization-risk complement of q52's decontamination). Row-local
+    shingles, vocabulary-sized distinct reference, one left join + one
+    grouped agg. Oracle: identical shingle algebra in DuckDB."""
+    from pandas_ai_spark.functions.text import ngram_novelty
+
+    docs = _t(spark, sf_dir, "documents")
+    out = ngram_novelty(docs.where(F.col("doc_id") % 2 == 0),
+                        docs.where(F.col("doc_id") % 2 == 1), n=3)
+    return out.select(
+        F.col("id").alias("doc_id"), "n_grams", "n_novel",
+        F.round("novelty", 9).alias("novelty")).orderBy("doc_id")
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -2196,6 +2241,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q102_jsd_drift": q102_jsd_drift,
         "q103_countmin_heavy_hitters": q103_countmin_heavy_hitters,
         "q104_seasonal_index": q104_seasonal_index,
+        "q105_windowed_funnel": q105_windowed_funnel,
+        "q106_trigram_search": q106_trigram_search,
+        "q107_ngram_novelty": q107_ngram_novelty,
     }
 
 
@@ -4285,6 +4333,59 @@ def oracle_sql() -> dict[str, str]:
                             / sum(n) OVER (PARTITION BY event_type)),
                          9) AS seasonal_index
             FROM cell ORDER BY event_type, dow
+        """,
+        "q105_windowed_funnel": """
+            WITH s1 AS (
+              SELECT user_id, min(ts) AS t1 FROM events
+              WHERE event_type = 'view' GROUP BY 1
+            ), s2 AS (
+              SELECT e.user_id, min(e.ts) AS t2 FROM events e
+              JOIN s1 ON e.user_id = s1.user_id AND e.ts > s1.t1
+               AND epoch_us(e.ts) - epoch_us(s1.t1) <= 172800000000::BIGINT
+              WHERE e.event_type = 'click' GROUP BY 1
+            ), s3 AS (
+              SELECT e.user_id, min(e.ts) AS t3 FROM events e
+              JOIN s2 ON e.user_id = s2.user_id AND e.ts > s2.t2
+               AND epoch_us(e.ts) - epoch_us(s2.t2) <= 172800000000::BIGINT
+              WHERE e.event_type = 'purchase' GROUP BY 1
+            )
+            SELECT s1.user_id, s1.t1, s2.t2, s3.t3
+            FROM s1 LEFT JOIN s2 USING (user_id)
+                    LEFT JOIN s3 USING (user_id)
+            ORDER BY s1.user_id
+        """,
+        "q106_trigram_search": """
+            SELECT doc_id AS id FROM documents
+            WHERE strpos(lower(text), 'data fast') > 0
+            ORDER BY id
+        """,
+        "q107_ngram_novelty": """
+            WITH tok AS (
+              SELECT doc_id, list_filter(
+                       string_split_regex(lower(text), '[^a-z]+'),
+                       t -> t <> '') AS tk
+              FROM documents
+            ), doc_g AS (
+              SELECT doc_id,
+                     unnest(list_distinct(list_transform(
+                       range(1, len(tk) - 1),
+                       i -> array_to_string(tk[i:i+2], ' ')))) AS gram
+              FROM tok WHERE doc_id % 2 = 0 AND len(tk) >= 3
+            ), ref_g AS (
+              SELECT DISTINCT
+                     unnest(list_distinct(list_transform(
+                       range(1, len(tk) - 1),
+                       i -> array_to_string(tk[i:i+2], ' ')))) AS gram
+              FROM tok WHERE doc_id % 2 = 1 AND len(tk) >= 3
+            )
+            SELECT d.doc_id, count(*) AS n_grams,
+                   sum(CASE WHEN r.gram IS NULL THEN 1 ELSE 0 END)
+                     AS n_novel,
+                   round(sum(CASE WHEN r.gram IS NULL THEN 1
+                                  ELSE 0 END)::DOUBLE / count(*), 9)
+                     AS novelty
+            FROM doc_g d LEFT JOIN ref_g r USING (gram)
+            GROUP BY d.doc_id ORDER BY d.doc_id
         """,
         "q99_grouped_ols": """
             SELECT l_returnflag, l_linestatus,

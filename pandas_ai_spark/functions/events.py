@@ -54,12 +54,21 @@ def cohort_retention(df: DataFrame, ts_col: str = "ts",
 
 def funnel(df: DataFrame, steps: Sequence[str],
            type_col: str = "event_type", ts_col: str = "ts",
-           user_col: str = "user_id") -> DataFrame:
+           user_col: str = "user_id",
+           within_seconds: float | None = None) -> DataFrame:
     """Ordered funnel: per user, ``t1`` = first occurrence of
     ``steps[0]``; ``tK`` = first occurrence of ``steps[K-1]`` STRICTLY
     AFTER ``t(K-1)``. Returns one row per user who entered the funnel,
     with NULL stage times where they stalled — conversion counts are a
     ``count(tK)`` away.
+
+    ``within_seconds`` adds the conversion-window form every product
+    funnel eventually needs ("purchased within 72 h of the click"):
+    stage K only counts when it lands within that many seconds of
+    stage K−1. Note the window is per-EDGE (each consecutive stage
+    pair), and stage times stay first-qualifying — greedy, the
+    standard product-analytics semantics (not the global-optimum
+    alignment, which is quadratic).
 
     k−1 passes over the (stage-filtered) events, each a user-keyed join
     + min-aggregation co-partitioned with the previous stage; no
@@ -72,11 +81,17 @@ def funnel(df: DataFrame, steps: Sequence[str],
              .groupBy(user_col).agg(F.min(ts_col).alias("t1")))
     for i, step in enumerate(steps[1:], start=2):
         ev = df.where(F.col(type_col) == step).select(user_col, ts_col)
+        cond = F.col(ts_col) > F.col("__prev")
+        if within_seconds is not None:
+            cond = cond & (
+                F.col(ts_col).cast("timestamp").cast("double")
+                - F.col("__prev").cast("timestamp").cast("double")
+                <= float(within_seconds))
         ti = (
             ev.join(out.select(F.col(user_col),
                                F.col(f"t{i - 1}").alias("__prev")),
                     user_col)
-            .where(F.col(ts_col) > F.col("__prev"))
+            .where(cond)
             .groupBy(user_col).agg(F.min(ts_col).alias(f"t{i}"))
         )
         out = out.join(ti, user_col, "left")

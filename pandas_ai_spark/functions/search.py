@@ -101,3 +101,43 @@ def bm25_corpus_stats(df: DataFrame, text_col: str = "text"):
         F.count("*").alias("n"),
         F.avg(F.size(_tokens(text_col))).alias("avgdl")).collect()[0]
     return int(row["n"] or 0), float(row["avgdl"] or 0.0)
+
+
+def substring_search(df: DataFrame, needle: str, id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """Trigram-indexed substring search (the pg_trgm pattern): find the
+    documents whose ``text_col`` contains ``needle``, without running
+    ``contains`` over the whole corpus.
+
+    Candidate generation: a document qualifies only if it contains ALL
+    character 3-grams of the (lowercased) needle — each doc's distinct
+    trigrams are built row-locally (``transform`` over ``sequence``),
+    filtered against the needle's gram set BEFORE the explode leaves
+    the row (a literal ``array_intersect`` — the corpus never explodes
+    unmatched grams), and a doc advances when its matched-gram count
+    equals the needle's gram count. The exact ``contains`` check then
+    runs on candidates only. At 100 TB the gram index would be built
+    once and persisted (same write-once shape as the dedup signature
+    tables); the algebra here is identical.
+
+    Needles shorter than 3 characters fall back to a direct scan
+    filter (no trigram selectivity to exploit). Returns ``(id,)``
+    matching rows.
+    """
+    hay = F.lower(F.col(text_col))
+    n = needle.lower()
+    if len(n) < 3:
+        return (df.where(F.contains(hay, F.lit(n)))
+                  .select(F.col(id_col).alias("id")))
+    needle_grams = sorted({n[i:i + 3] for i in range(len(n) - 2)})
+    lit_grams = F.array(*[F.lit(g) for g in needle_grams])
+    t = F.col("__t")
+    doc_grams = F.array_distinct(F.transform(
+        F.sequence(F.lit(1), F.greatest(F.length(t) - 2, F.lit(0))),
+        lambda i: t.substr(i, F.lit(3))))
+    matched = F.size(F.array_intersect(doc_grams, lit_grams))
+    return (df.select(F.col(id_col).alias("id"), hay.alias("__t"))
+              .where(F.length(t) >= 3)
+              .where(matched == F.lit(len(needle_grams)))
+              .where(F.contains(t, F.lit(n)))
+              .select("id"))

@@ -574,3 +574,44 @@ def jsd_term_drift(df_expected: DataFrame, df_actual: DataFrame,
                      contrib.alias("jsd_contribution"))
              .orderBy(F.desc("jsd_contribution"), "term")
              .limit(top_k))
+
+
+def ngram_novelty(df: DataFrame, reference: DataFrame, n: int = 3,
+                  id_col: str = "doc_id", text_col: str = "text"
+                  ) -> DataFrame:
+    """Per-document n-gram novelty vs a reference corpus:
+    ``(id, n_grams, n_novel, novelty)`` where ``novelty`` is the
+    fraction of the document's distinct token ``n``-grams NOT seen
+    anywhere in ``reference`` — the memorization-risk / originality
+    score next to decontamination (which flags overlap with a known
+    EVAL set; this measures overlap with any reference corpus, in the
+    inverse direction).
+
+    Shape: both gram sets are row-local array transforms (the shingle
+    construction :mod:`~pandas_ai_spark.functions.dedup` uses); the
+    reference side collapses to DISTINCT grams (vocabulary-sized);
+    the per-doc grams LEFT-join that table and one grouped agg counts
+    misses. Tokenization is alphabetic-lowercase, shared with the
+    DuckDB oracle. Documents with fewer than ``n`` tokens are omitted
+    (no grams to score).
+    """
+    def grams(d: DataFrame, *keep):
+        toks = F.filter(F.split(F.lower(F.col(text_col)), "[^a-z]+"),
+                        lambda tkn: tkn != "")
+        arr = F.array_distinct(F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.concat_ws(
+                " ", F.slice(toks, i + 1, n))))
+        return (d.where(F.size(toks) >= n)
+                 .select(*keep, F.explode(arr).alias("gram")))
+
+    ref = grams(reference).distinct() \
+        .withColumn("__seen", F.lit(1))
+    doc = grams(df, F.col(id_col).alias("id"))
+    return (doc.join(ref, "gram", "left")
+               .groupBy("id")
+               .agg(F.count("*").alias("n_grams"),
+                    F.sum(F.when(F.col("__seen").isNull(), 1)
+                           .otherwise(0)).alias("n_novel"))
+               .withColumn("novelty",
+                           F.col("n_novel") / F.col("n_grams")))

@@ -880,3 +880,119 @@ class TestSeasonalIndex:
                                          "value double")
         out = seasonal_index(df, "value", "ts", by=("k",)).collect()
         assert all(abs(r.seasonal_index - 1.0) < 1e-12 for r in out)
+
+
+# ---------------------------------------------------------------------------
+# windowed funnel
+# ---------------------------------------------------------------------------
+
+class TestWindowedFunnel:
+    def _ev(self, spark, rows):
+        return spark.createDataFrame(
+            rows, "user_id long, ts timestamp, event_type string")
+
+    def test_edge_window_enforced(self, spark):
+        from pandas_ai_spark.functions.events import funnel
+
+        rows = [
+            (1, _ts(0), "a"), (1, _ts(5), "b"),     # within 10 min
+            (2, _ts(0), "a"), (2, _ts(30), "b"),    # too late
+        ]
+        out = {r.user_id: r for r in funnel(
+            self._ev(spark, rows), ["a", "b"],
+            within_seconds=600).collect()}
+        assert out[1].t2 is not None
+        assert out[2].t2 is None  # entered, stalled by the window
+
+    def test_window_per_edge_not_total(self, spark):
+        from pandas_ai_spark.functions.events import funnel
+
+        # each edge 8 min (within 10), total 16 (over 10): both pass —
+        # the window binds consecutive stages, not end-to-end
+        rows = [(1, _ts(0), "a"), (1, _ts(8), "b"), (1, _ts(16), "c")]
+        r = funnel(self._ev(spark, rows), ["a", "b", "c"],
+                   within_seconds=600).collect()[0]
+        assert r.t2 is not None and r.t3 is not None
+
+    def test_no_window_matches_unconstrained(self, spark):
+        from pandas_ai_spark.functions.events import funnel
+
+        rows = [(1, _ts(0), "a"), (1, _ts(59), "b")]
+        df = self._ev(spark, rows)
+        a = funnel(df, ["a", "b"]).collect()
+        b = funnel(df, ["a", "b"], within_seconds=1e9).collect()
+        assert a == b
+
+
+# ---------------------------------------------------------------------------
+# trigram substring search
+# ---------------------------------------------------------------------------
+
+class TestTrigramSearch:
+    def _docs(self, spark):
+        return spark.createDataFrame(
+            [(1, "the data pipeline runs"), (2, "DATA Pipeline!"),
+             (3, "pipe line data"), (4, "nothing here"), (5, "xy")],
+            "doc_id long, text string")
+
+    def test_matches_contains_semantics(self, spark):
+        from pandas_ai_spark.functions.search import substring_search
+
+        out = sorted(r.id for r in substring_search(
+            self._docs(spark), "data pipeline").collect())
+        assert out == [1, 2]  # case-insensitive; 3 has grams, no match
+
+    def test_gram_candidates_verified_exactly(self, spark):
+        from pandas_ai_spark.functions.search import substring_search
+
+        # doc contains every trigram of 'abcd' but not the substring
+        docs = spark.createDataFrame(
+            [(1, "abc xyz bcd"), (2, "abcd")], "doc_id long, text string")
+        out = [r.id for r in substring_search(docs, "abcd").collect()]
+        assert out == [2]
+
+    def test_short_needle_fallback(self, spark):
+        from pandas_ai_spark.functions.search import substring_search
+
+        out = sorted(r.id for r in substring_search(
+            self._docs(spark), "xy").collect())
+        assert out == [5]
+
+
+# ---------------------------------------------------------------------------
+# ngram novelty
+# ---------------------------------------------------------------------------
+
+class TestNgramNovelty:
+    def test_fully_seen_and_fully_novel(self, spark):
+        from pandas_ai_spark.functions.text import ngram_novelty
+
+        ref = spark.createDataFrame(
+            [(100, "alpha beta gamma delta")], "doc_id long, text string")
+        docs = spark.createDataFrame(
+            [(1, "alpha beta gamma"), (2, "epsilon zeta eta")],
+            "doc_id long, text string")
+        out = {r.id: r for r in ngram_novelty(docs, ref, n=3).collect()}
+        assert out[1].novelty == 0.0 and out[1].n_grams == 1
+        assert out[2].novelty == 1.0 and out[2].n_novel == 1
+
+    def test_partial_overlap_fraction(self, spark):
+        from pandas_ai_spark.functions.text import ngram_novelty
+
+        ref = spark.createDataFrame([(9, "a b c d")],
+                                    "doc_id long, text string")
+        # doc grams: "a b c","b c d","c d x" — 2 of 3 seen
+        docs = spark.createDataFrame([(1, "a b c d x")],
+                                     "doc_id long, text string")
+        r = ngram_novelty(docs, ref, n=3).collect()[0]
+        assert r.n_grams == 3 and r.n_novel == 1
+        assert abs(r.novelty - 1 / 3) < 1e-12
+
+    def test_short_docs_omitted(self, spark):
+        from pandas_ai_spark.functions.text import ngram_novelty
+
+        ref = spark.createDataFrame([(9, "a b c")],
+                                    "doc_id long, text string")
+        docs = spark.createDataFrame([(1, "a b")],
+                                     "doc_id long, text string")
+        assert ngram_novelty(docs, ref, n=3).count() == 0

@@ -2119,6 +2119,26 @@ def q107_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("novelty", 9).alias("novelty")).orderBy("doc_id")
 
 
+def q108_pca_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA projection of the embeddings table
+    (similarity.pca_project): components trained on a deterministic
+    TakeOrdered sample (the IVF/PQ trainer pattern), every row
+    projected JVM-side via literal component arrays — zero shuffles,
+    the projection rides the scan. Oracle: _q108_oracle() retrains the
+    identical components (same ordered sample, same shared numpy
+    trainer) and projects with list_inner_product — both engines sum
+    the same doubles in the same index order. Pinned to sf0.01 like
+    q35/q83."""
+    from pandas_ai_spark.functions.similarity import pca_project
+
+    emb = _t(spark, sf_dir, "embeddings")
+    out = pca_project(emb, k=4, sample_rows=10_000)
+    return out.select(
+        F.col("id").alias("vec_id"),
+        *[F.round(f"pc{j}", 6).alias(f"pc{j}") for j in range(1, 5)],
+    ).orderBy("vec_id")
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -2244,6 +2264,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q105_windowed_funnel": q105_windowed_funnel,
         "q106_trigram_search": q106_trigram_search,
         "q107_ngram_novelty": q107_ngram_novelty,
+        "q108_pca_projection": q108_pca_projection,
     }
 
 
@@ -2777,6 +2798,43 @@ _Q46_SNAPSHOT = """
 """.strip()
 
 
+def _q108_oracle(sf_dir: str = "/root/testdata/sf0.01") -> str:
+    """DuckDB replica of the PCA projection: components retrained HERE
+    on the identical ORDER BY vec_id LIMIT 10000 sample via the shared
+    numpy trainer (pca_train_numpy — deterministic eigh + sign fix),
+    emitted as literal DOUBLE[] lists; the projection is
+    list_inner_product(v, W_j) − (μ·W_j), summing the same doubles in
+    the same ascending index order as the Spark fold. Pinned to sf0.01
+    like q35/q83."""
+    import duckdb as _duck
+
+    import numpy as _np
+
+    from pandas_ai_spark.functions.similarity import pca_train_numpy
+
+    rows = _duck.connect().execute(
+        f"SELECT embedding FROM "
+        f"read_parquet('{sf_dir}/embeddings.parquet') "
+        f"ORDER BY vec_id LIMIT 10000").fetchall()
+    M = _np.array([r[0] for r in rows], dtype=_np.float64)
+    mu, comps, _ = pca_train_numpy(M, 4)
+
+    def lst(row):
+        return "[" + ",".join(repr(float(x)) for x in row) + "]"
+
+    cols = []
+    for j in range(comps.shape[0]):
+        off = repr(float(_np.dot(mu, comps[j])))
+        cols.append(
+            f"round(list_inner_product(v, {lst(comps[j])}::DOUBLE[]) "
+            f"- {off}, 6) AS pc{j + 1}")
+    return f"""
+        SELECT vec_id, {', '.join(cols)}
+        FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+        ORDER BY vec_id
+    """
+
+
 def _q83_oracle(sf_dir: str = "/root/testdata/sf0.01") -> str:
     """DuckDB replica of PQ/ADC ANN: codebooks retrained HERE via the
     shared numpy trainer (same seed, same file-order sample), emitted as
@@ -2940,6 +2998,7 @@ def oracle_sql() -> dict[str, str]:
         "q28_image_features": _Q28_ORACLE_TMPL,
         "q35_ann_ivf": _q35_oracle(),
         "q83_pq_ann": _q83_oracle(),
+        "q108_pca_projection": _q108_oracle(),
         "q84_corr_matrix": _Q84_SQL,
         "q85_histogram": """
             WITH b AS (

@@ -875,3 +875,64 @@ def pq_search(codes: DataFrame, codebooks: np.ndarray,
     return (scored.withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= k)
             .select(query_id_col, id_col, "score", "rank"))
+
+
+# ---------------------------------------------------------------------------
+# PCA projection (sample-trained components, distributed JVM projection)
+# ---------------------------------------------------------------------------
+
+def pca_train_numpy(M: np.ndarray, k: int) -> tuple:
+    """Deterministic PCA trainer shared by the Spark path and the
+    DuckDB oracle builder: covariance eigendecomposition of a sample
+    matrix, top-``k`` components sign-fixed (the largest-|loading|
+    entry of each component is made positive — eigenvectors are only
+    defined up to sign, and the fix makes retraining reproducible).
+    Returns ``(mean (d,), components (k, d), explained_variance (k,))``.
+    """
+    mu = M.mean(axis=0)
+    X = M - mu
+    cov = (X.T @ X) / max(len(M) - 1, 1)
+    vals, vecs = np.linalg.eigh(cov)          # ascending eigenvalues
+    order = np.argsort(vals)[::-1][:k]
+    comps = vecs[:, order].T                   # (k, d)
+    for j in range(comps.shape[0]):
+        i = int(np.argmax(np.abs(comps[j])))
+        if comps[j, i] < 0:
+            comps[j] = -comps[j]
+    return mu, comps, vals[order]
+
+
+def pca_project(df: DataFrame, k: int = 4, vec_col: str = "embedding",
+                id_col: str = "vec_id",
+                sample_rows: int = 10_000) -> DataFrame:
+    """Principal-component projection of an embedding column:
+    ``(id, pc1 … pck)``.
+
+    Same trainer/scale split as the IVF and PQ families (`ivf_build`,
+    `pq_train`): the components come from a BOUNDED, deterministic
+    sample (first ``sample_rows`` by ``id_col`` — a TakeOrdered, never
+    a global sort materialization; driver holds sample_rows × d
+    doubles), and the 100 TB-scale part — projecting every row — is
+    pure JVM arithmetic: ``pc_j = Σ_i v_i·w_ji − μ·w_j`` with the
+    component vectors as literal arrays (``zip_with`` + ``aggregate``
+    fold, ascending index order — the same order DuckDB's
+    ``list_inner_product`` sums, so an oracle can replicate the exact
+    doubles). No Python in the projection path, no shuffle at all —
+    the projection rides the scan.
+    """
+    sample = (df.select(id_col, vec_col).orderBy(id_col)
+                .limit(int(sample_rows)).collect())
+    if not sample:
+        raise ValueError("pca_project needs a non-empty input")
+    M = np.array([r[1] for r in sample], dtype=np.float64)
+    mu, comps, _ = pca_train_numpy(M, k)
+    cols = []
+    for j in range(comps.shape[0]):
+        w = F.array(*[F.lit(float(x)) for x in comps[j]])
+        dot = F.aggregate(
+            F.zip_with(F.col(vec_col).cast("array<double>"), w,
+                       lambda a, b: a * b),
+            F.lit(0.0), lambda acc, x: acc + x)
+        offset = float(np.dot(mu, comps[j]))
+        cols.append((dot - F.lit(offset)).alias(f"pc{j + 1}"))
+    return df.select(F.col(id_col).alias("id"), *cols)

@@ -996,3 +996,71 @@ class TestNgramNovelty:
         docs = spark.createDataFrame([(1, "a b")],
                                      "doc_id long, text string")
         assert ngram_novelty(docs, ref, n=3).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# PCA projection
+# ---------------------------------------------------------------------------
+
+class TestPcaProjection:
+    def test_recovers_dominant_axis(self, spark):
+        import numpy as np
+        from pandas_ai_spark.functions.similarity import pca_project
+
+        # points along the diagonal y=x with tiny orthogonal jitter:
+        # pc1 must capture the diagonal (variance >> pc2's)
+        rows = []
+        for i in range(40):
+            t = (i - 20) * 1.0
+            jit = 0.01 * (1 if i % 2 else -1)
+            rows.append((i, [t + jit, t - jit]))
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        out = {r.id: (r.pc1, r.pc2) for r in
+               pca_project(df, k=2, sample_rows=100).collect()}
+        p1 = np.array([out[i][0] for i in range(40)])
+        p2 = np.array([out[i][1] for i in range(40)])
+        assert p1.var() > 100 * p2.var()
+        # pc1 ordering follows the diagonal coordinate (up to sign,
+        # fixed positive by the trainer's sign convention)
+        assert all(p1[i] < p1[i + 1] for i in range(39)) or \
+               all(p1[i] > p1[i + 1] for i in range(39))
+
+    def test_trainer_deterministic_and_sign_fixed(self, spark):
+        import numpy as np
+        from pandas_ai_spark.functions.similarity import pca_train_numpy
+
+        rng = np.random.default_rng(7)
+        M = rng.normal(size=(200, 8))
+        a = pca_train_numpy(M, 3)
+        b = pca_train_numpy(M.copy(), 3)
+        assert np.array_equal(a[1], b[1])
+        # sign convention: each component's largest-|loading| positive
+        for comp in a[1]:
+            assert comp[int(np.argmax(np.abs(comp)))] > 0
+
+    def test_projection_matches_numpy(self, spark):
+        import numpy as np
+        from pandas_ai_spark.functions.similarity import (pca_project,
+                                                          pca_train_numpy)
+
+        rng = np.random.default_rng(3)
+        M = rng.normal(size=(50, 6))
+        df = spark.createDataFrame(
+            [(i, [float(x) for x in M[i]]) for i in range(50)],
+            "vec_id long, embedding array<double>")
+        out = {r.id: r.pc1 for r in
+               pca_project(df, k=1, sample_rows=100).collect()}
+        mu, comps, _ = pca_train_numpy(M, 1)
+        want = (M - mu) @ comps[0]
+        got = np.array([out[i] for i in range(50)])
+        assert np.allclose(got, want, atol=1e-9)
+
+    def test_empty_raises(self, spark):
+        from pandas_ai_spark.functions.similarity import pca_project
+
+        df = spark.createDataFrame([], "vec_id long, embedding array<double>")
+        try:
+            pca_project(df, k=2)
+            assert False, "expected ValueError"
+        except ValueError:
+            pass

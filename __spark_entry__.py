@@ -2139,6 +2139,77 @@ def q108_pca_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("vec_id")
 
 
+def q109_embedding_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding hygiene audit (similarity.embedding_audit): the
+    embeddings table UNIONed with four crafted pathological rows (null
+    vector / NaN component / zero vector / wrong dimension — built
+    from literals, deterministic) so every check reports a real count.
+    One aggregation pass: each check is a conditional sum with
+    row-local exists/aggregate lambdas, stack-unpivoted. Oracle:
+    identical construction + list arithmetic in DuckDB."""
+    from pandas_ai_spark.functions.similarity import embedding_audit
+
+    emb = _t(spark, sf_dir, "embeddings").select("embedding")
+    bad = spark.sql("""
+        SELECT cast(null AS array<float>) AS embedding
+        UNION ALL SELECT array(cast('NaN' AS float), cast(1.0 AS float))
+        UNION ALL SELECT array(cast(0.0 AS float), cast(0.0 AS float))
+        UNION ALL SELECT array(cast(0.5 AS float))
+    """)
+    out = embedding_audit(emb.unionByName(bad), expected_dim=64,
+                          norm_lo=0.5, norm_hi=1.5)
+    return out.orderBy("check")
+
+
+def q110_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual image hash, banded
+    (multimodal.perceptual_hash_bands): documents ≥256 bytes as fake
+    image blobs (deterministic decode → the 16×16 grid), 8×8
+    downsample, integer-exact threshold (gsum·64 > Σ gsum — no float
+    mean ties), 8×8-bit bands for the q23-style banded Hamming join
+    (phash_candidates, unit-tested). Oracle: _q110_oracle() replicates
+    the byte arithmetic via hex(encode(text)) pairs like q28."""
+    from pandas_ai_spark.functions import multimodal as mm
+
+    docs = _t(spark, sf_dir, "documents")
+    media = (docs.select("doc_id",
+                         F.encode(F.col("text"), "utf-8").alias("media"))
+                 .where(F.length("media") >= 256))
+    hashed = mm.perceptual_hash_bands(media, "media", "doc_id",
+                                      decoder="fake")
+    return hashed.select(
+        "doc_id", *[F.col("band")[b].alias(f"b{b}") for b in range(8)],
+    ).orderBy("doc_id")
+
+
+def q111_join_size_estimate(spark: SparkSession, sf_dir: str
+                            ) -> DataFrame:
+    """Sketch-based equi-join cardinality estimation
+    (sketch.countmin_join_size, the AMS/CM inner-product estimator):
+    CMS grids on orders.o_orderkey and lineitem.l_orderkey stand in
+    for scanning either table; ``min over hash rows of Σ n_a·n_b``
+    upper-bounds the true join size. The exact count and the
+    (provably ≥0) overestimate are part of the compared result.
+    Oracle: identical md5 grids + dot-product arithmetic."""
+    from pandas_ai_spark.functions.sketch import (countmin_build,
+                                                  countmin_join_size)
+
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    ga = countmin_build(orders.select("o_orderkey"), "o_orderkey",
+                        depth=4, width=1024)
+    gb = countmin_build(li.select("l_orderkey"), "l_orderkey",
+                        depth=4, width=1024)
+    est = countmin_join_size(ga, gb)
+    # exact count as a driver scalar (the q58/q89 pattern) — a 1×1
+    # cross join would plan a BroadcastNestedLoopJoin for nothing
+    exact = (orders.join(li, orders.o_orderkey == li.l_orderkey)
+                   .count())
+    return est.select(
+        "estimate", F.lit(int(exact)).alias("exact"),
+        (F.col("estimate") - F.lit(int(exact))).alias("overestimate"))
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -2265,6 +2336,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q106_trigram_search": q106_trigram_search,
         "q107_ngram_novelty": q107_ngram_novelty,
         "q108_pca_projection": q108_pca_projection,
+        "q109_embedding_audit": q109_embedding_audit,
+        "q110_image_phash": q110_image_phash,
+        "q111_join_size_estimate": q111_join_size_estimate,
     }
 
 
@@ -2835,6 +2909,45 @@ def _q108_oracle(sf_dir: str = "/root/testdata/sf0.01") -> str:
     """
 
 
+def _q110_oracle() -> str:
+    """DuckDB replica of the banded perceptual hash for ≥256-byte blobs
+    (side pinned to 16 — the entry filters to that): byte k of the
+    tiled pseudo-image = hex pair k%blen of encode(text) (the q28
+    trick); the 8×8 downsample of a 16×16 grid uses the fixed
+    np.linspace(0,15,8).astype(int) = [0,2,4,6,8,10,12,15] indices;
+    the threshold is the integer-exact gsum·64 > Σ gsum, so no float
+    tie can diverge."""
+    idx = [0, 2, 4, 6, 8, 10, 12, 15]
+    gs = []
+    for gy in range(8):
+        for gx in range(8):
+            flat = idx[gy] * 16 + idx[gx]
+            terms = " + ".join(
+                f"('0x' || substr(hx, 2 * (({flat * 3 + c})"
+                f" % blen) + 1, 2))::BIGINT" for c in range(3))
+            gs.append(f"({terms}) AS g{gy * 8 + gx}")
+    total = " + ".join(f"g{i}" for i in range(64))
+    band_cols = []
+    for b in range(8):
+        bits = " + ".join(
+            f"(CASE WHEN g{b * 8 + i} * 64 > tot THEN {1 << i}"
+            f" ELSE 0 END)" for i in range(8))
+        band_cols.append(f"({bits})::INT AS b{b}")
+    return f"""
+        WITH src AS (
+          SELECT doc_id, lower(hex(encode(text))) AS hx,
+                 octet_length(encode(text)) AS blen
+          FROM documents WHERE octet_length(encode(text)) >= 256
+        ), g AS (
+          SELECT doc_id, {", ".join(gs)} FROM src
+        ), t AS (
+          SELECT *, ({total}) AS tot FROM g
+        )
+        SELECT doc_id, {", ".join(band_cols)}
+        FROM t ORDER BY doc_id
+    """
+
+
 def _q83_oracle(sf_dir: str = "/root/testdata/sf0.01") -> str:
     """DuckDB replica of PQ/ADC ANN: codebooks retrained HERE via the
     shared numpy trainer (same seed, same file-order sample), emitted as
@@ -2999,6 +3112,7 @@ def oracle_sql() -> dict[str, str]:
         "q35_ann_ivf": _q35_oracle(),
         "q83_pq_ann": _q83_oracle(),
         "q108_pca_projection": _q108_oracle(),
+        "q110_image_phash": _q110_oracle(),
         "q84_corr_matrix": _Q84_SQL,
         "q85_histogram": """
             WITH b AS (
@@ -4445,6 +4559,69 @@ def oracle_sql() -> dict[str, str]:
                      AS novelty
             FROM doc_g d LEFT JOIN ref_g r USING (gram)
             GROUP BY d.doc_id ORDER BY d.doc_id
+        """,
+        "q109_embedding_audit": """
+            WITH base AS (
+              SELECT embedding::DOUBLE[] AS v FROM embeddings
+              UNION ALL SELECT NULL
+              UNION ALL SELECT ['nan'::DOUBLE, 1.0]
+              UNION ALL SELECT [0.0, 0.0]
+              UNION ALL SELECT [0.5]
+            ), x AS (
+              SELECT v,
+                     v IS NULL AS is_null,
+                     CASE WHEN v IS NULL THEN NULL
+                          ELSE len(list_filter(v, e -> isnan(e))) > 0
+                     END AS has_nan,
+                     CASE WHEN v IS NULL THEN NULL
+                          ELSE list_inner_product(v, v) END AS nsq
+              FROM base
+            ), agg AS (
+              SELECT
+                sum(CASE WHEN is_null THEN 1 ELSE 0 END) AS c_null,
+                sum(CASE WHEN NOT is_null AND len(v) <> 64
+                         THEN 1 ELSE 0 END) AS c_dim,
+                sum(CASE WHEN NOT is_null AND has_nan
+                         THEN 1 ELSE 0 END) AS c_nan,
+                sum(CASE WHEN NOT is_null AND NOT has_nan AND nsq = 0
+                         THEN 1 ELSE 0 END) AS c_zero,
+                sum(CASE WHEN NOT is_null AND NOT has_nan AND nsq > 0
+                              AND sqrt(nsq) < 0.5
+                         THEN 1 ELSE 0 END) AS c_below,
+                sum(CASE WHEN NOT is_null AND NOT has_nan
+                              AND sqrt(nsq) > 1.5
+                         THEN 1 ELSE 0 END) AS c_above
+              FROM x
+            )
+            SELECT 'null_vector' AS "check", c_null AS violations FROM agg
+            UNION ALL SELECT 'dim_mismatch', c_dim FROM agg
+            UNION ALL SELECT 'nan_component', c_nan FROM agg
+            UNION ALL SELECT 'zero_vector', c_zero FROM agg
+            UNION ALL SELECT 'norm_below', c_below FROM agg
+            UNION ALL SELECT 'norm_above', c_above FROM agg
+            ORDER BY "check"
+        """,
+        "q111_join_size_estimate": """
+            WITH ga AS (
+              SELECT r.d, ('0x' || substr(
+                       md5('cm' || r.d || ':' || o_orderkey::VARCHAR),
+                       1, 8))::BIGINT % 1024 AS bucket, count(*) AS na
+              FROM orders, range(0, 4) r(d) GROUP BY 1, 2
+            ), gb AS (
+              SELECT r.d, ('0x' || substr(
+                       md5('cm' || r.d || ':' || l_orderkey::VARCHAR),
+                       1, 8))::BIGINT % 1024 AS bucket, count(*) AS nb
+              FROM lineitem, range(0, 4) r(d) GROUP BY 1, 2
+            ), dots AS (
+              SELECT ga.d, sum(na * nb) AS dot
+              FROM ga JOIN gb USING (d, bucket) GROUP BY 1
+            ), e AS (SELECT min(dot)::BIGINT AS estimate FROM dots),
+            x AS (
+              SELECT count(*)::BIGINT AS exact
+              FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+            )
+            SELECT estimate, exact, estimate - exact AS overestimate
+            FROM e CROSS JOIN x
         """,
         "q99_grouped_ols": """
             SELECT l_returnflag, l_linestatus,

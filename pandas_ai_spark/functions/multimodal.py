@@ -340,3 +340,67 @@ def extract_audio_features(df: DataFrame, blob_col: str = "media",
                                 "zcr": zcr, "n_samples": ns})
 
     return df.select(id_col, blob_col).mapInPandas(op, out_schema)
+
+
+def perceptual_hash_bands(df: DataFrame, blob_col: str = "media",
+                          id_col: str = "doc_id",
+                          decoder: str = "auto",
+                          grid: int = 8, bands: int = 8) -> DataFrame:
+    """Perceptual image hash (aHash family), banded for LSH joins:
+    decode → fixed ``grid×grid`` nearest-neighbor downsample →
+    grayscale (channel mean) → threshold each cell against the image's
+    mean gray → pack the ``grid²`` bits into ``bands`` integer bands.
+    Returns ``(id, band array<int>)`` — near-duplicate images share
+    bands, so a banded equi-join (the q23 SimHash shape) finds
+    candidates without all-pairs comparison; :func:`phash_candidates`
+    wires exactly that.
+
+    Decoding runs through the same ``decoder='real'|'fake'|'auto'``
+    gate as the other media ops (PIL when present; the deterministic
+    fake stand-in keeps CI and the DuckDB oracle runnable without
+    codecs). Arrow-batched ``mapInPandas`` — memory bounded by batch
+    size.
+    """
+    if grid * grid % bands != 0:
+        raise ValueError("bands must divide grid*grid")
+    per = grid * grid // bands
+    out_schema = f"{id_col} bigint, band array<int>"
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            imgs = decode_image_batch(pdf, blob_col, decoder)
+
+            def _bands(a):
+                if a is None:
+                    return None
+                ys = np.linspace(0, a.shape[0] - 1, grid).astype(int)
+                xs = np.linspace(0, a.shape[1] - 1, grid).astype(int)
+                # integer arithmetic end-to-end: cell > mean is tested
+                # as gsum·grid² > Σ gsum — exact, so an engine replica
+                # can never flip a bit on a float-mean tie
+                gsum = a[np.ix_(ys, xs)].astype(np.int64).sum(axis=2)
+                bits = (gsum * gsum.size > gsum.sum()).ravel()
+                return [int(sum(1 << i for i in range(per)
+                                if bits[b * per + i]))
+                        for b in range(bands)]
+
+            yield pd.DataFrame({id_col: pdf[id_col],
+                                "band": imgs.map(_bands)})
+
+    return df.select(id_col, blob_col).mapInPandas(op, out_schema)
+
+
+def phash_candidates(hashed: DataFrame, id_col: str = "doc_id"
+                     ) -> DataFrame:
+    """Near-duplicate image candidate pairs from
+    :func:`perceptual_hash_bands` output: two images are candidates
+    when ANY band matches (banded Hamming LSH — the q23 SimHash
+    shape: explode to (band_idx, band_val), equi-join, distinct;
+    never an all-pairs comparison)."""
+    e = (hashed.select(id_col, F.posexplode("band")
+                       .alias("bidx", "bval")))
+    a = e.select(F.col(id_col).alias("id_a"), "bidx", "bval")
+    b = e.select(F.col(id_col).alias("id_b"), "bidx", "bval")
+    return (a.join(b, ["bidx", "bval"])
+             .where(F.col("id_a") < F.col("id_b"))
+             .select("id_a", "id_b").distinct())

@@ -936,3 +936,47 @@ def pca_project(df: DataFrame, k: int = 4, vec_col: str = "embedding",
         offset = float(np.dot(mu, comps[j]))
         cols.append((dot - F.lit(offset)).alias(f"pc{j + 1}"))
     return df.select(F.col(id_col).alias("id"), *cols)
+
+
+def embedding_audit(df: DataFrame, vec_col: str = "embedding",
+                    expected_dim: int | None = None,
+                    norm_lo: float = 0.0,
+                    norm_hi: float = float("inf")) -> DataFrame:
+    """Embedding-column hygiene report: ``(check, violations)`` rows —
+    the vector-modality companion to the relational integrity audit
+    (`functions/audit.py`). Checks: ``null_vector``, ``dim_mismatch``
+    (when ``expected_dim`` given), ``nan_component``, ``zero_vector``,
+    ``norm_below`` / ``norm_above`` the given L2 bounds. Every broken
+    vector here is a poisoned ANN/dedup/PCA input downstream — this is
+    the gate a pipeline runs before any of them.
+
+    ONE aggregation pass: each check is a conditional sum over the same
+    scan (row-local ``exists`` / ``aggregate`` lambdas, no explode —
+    a 100 TB embedding table is audited at scan speed), unpivoted with
+    ``stack`` like ``profile_exact``.
+    """
+    v = F.col(vec_col)
+    norm_sq = F.aggregate(v, F.lit(0.0),
+                          lambda acc, x: acc + x.cast("double") ** 2)
+    has_nan = F.exists(v, lambda x: F.isnan(x.cast("double")))
+    checks = [
+        ("null_vector", v.isNull()),
+        ("nan_component", v.isNotNull() & has_nan),
+        ("zero_vector", v.isNotNull() & ~has_nan & (norm_sq == 0.0)),
+        ("norm_below", v.isNotNull() & ~has_nan & (norm_sq > 0.0)
+         & (F.sqrt(norm_sq) < float(norm_lo))),
+        ("norm_above", v.isNotNull() & ~has_nan
+         & (F.sqrt(norm_sq) > float(norm_hi))),
+    ]
+    if expected_dim is not None:
+        checks.insert(1, ("dim_mismatch",
+                          v.isNotNull()
+                          & (F.size(v) != int(expected_dim))))
+    aggs = [F.sum(F.when(cond, 1).otherwise(0)).alias(f"__c{i}")
+            for i, (_, cond) in enumerate(checks)]
+    row = df.agg(*aggs)
+    parts = []
+    for i, (name, _) in enumerate(checks):
+        parts += [F.lit(name), F.col(f"__c{i}")]
+    return (row.select(F.stack(F.lit(len(checks)), *parts))
+               .toDF("check", "violations"))

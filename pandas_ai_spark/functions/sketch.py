@@ -70,3 +70,22 @@ def countmin_estimate(grid: DataFrame, items: DataFrame, col: str,
     return (cand.join(F.broadcast(grid), ["row", "bucket"], "left")
                 .fillna(0, ["n"])
                 .groupBy("item").agg(F.min("n").alias("estimate")))
+
+
+def countmin_join_size(grid_a: DataFrame, grid_b: DataFrame) -> DataFrame:
+    """Equi-join cardinality estimate from two count-min grids built on
+    the join keys (AMS/CM inner-product estimator): for each hash row,
+    ``Σ_bucket n_a·n_b`` upper-bounds ``|A ⋈ B|``; the min over rows is
+    the estimate — never below the true size, within εN·M w.h.p.
+
+    The join-planning primitive: two O(depth × width) grids stand in
+    for scanning either table, so a planner (or a human) can size
+    shuffle partitions / pick broadcast sides before running the join.
+    Grids must share (depth, width). One tiny grid-grid join + two
+    aggregations; returns a single row ``(estimate,)``.
+    """
+    joined = grid_a.join(
+        grid_b.withColumnRenamed("n", "__nb"), ["row", "bucket"])
+    per_row = joined.groupBy("row").agg(
+        F.sum(F.col("n") * F.col("__nb")).alias("__dot"))
+    return per_row.agg(F.min("__dot").alias("estimate"))

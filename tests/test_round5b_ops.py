@@ -1064,3 +1064,117 @@ class TestPcaProjection:
             assert False, "expected ValueError"
         except ValueError:
             pass
+
+
+# ---------------------------------------------------------------------------
+# embedding audit
+# ---------------------------------------------------------------------------
+
+class TestEmbeddingAudit:
+    def test_crafted_violations_counted(self, spark):
+        from pandas_ai_spark.functions.similarity import embedding_audit
+
+        rows = [([1.0, 0.0],), ([0.0, 0.0],), ([float("nan"), 1.0],),
+                (None,), ([1.0, 1.0, 1.0],), ([100.0, 0.0],)]
+        df = spark.createDataFrame(rows, "embedding array<double>")
+        out = {r.check: r.violations for r in embedding_audit(
+            df, expected_dim=2, norm_lo=0.5, norm_hi=2.0).collect()}
+        assert out == {"null_vector": 1, "dim_mismatch": 1,
+                       "nan_component": 1, "zero_vector": 1,
+                       "norm_below": 0, "norm_above": 1}
+
+    def test_clean_table_all_zero(self, spark):
+        from pandas_ai_spark.functions.similarity import embedding_audit
+
+        df = spark.createDataFrame([([1.0, 0.0],)] * 5,
+                                   "embedding array<double>")
+        out = embedding_audit(df, expected_dim=2, norm_lo=0.5,
+                              norm_hi=2.0).collect()
+        assert all(r.violations == 0 for r in out)
+
+
+# ---------------------------------------------------------------------------
+# perceptual hash + banded candidates
+# ---------------------------------------------------------------------------
+
+class TestPerceptualHash:
+    def _hash(self, spark, blobs):
+        from pandas_ai_spark.functions.multimodal import \
+            perceptual_hash_bands
+
+        df = spark.createDataFrame(
+            [(i, bytearray(b)) for i, b in enumerate(blobs)],
+            "doc_id long, media binary")
+        return {r.doc_id: r.band for r in perceptual_hash_bands(
+            df, "media", "doc_id", decoder="fake").collect()}
+
+    def test_deterministic_and_banded(self, spark):
+        blob = bytes(range(256)) * 2
+        h = self._hash(spark, [blob, blob])
+        assert h[0] == h[1] and len(h[0]) == 8
+        assert all(0 <= b <= 255 for b in h[0])
+
+    def test_different_content_differs(self, spark):
+        a = bytes(range(256))
+        b = bytes(reversed(range(256)))
+        h = self._hash(spark, [a, b])
+        assert h[0] != h[1]
+
+    def test_candidates_pair_near_dups_only(self, spark):
+        from pandas_ai_spark.functions.multimodal import (
+            perceptual_hash_bands, phash_candidates)
+
+        base = bytes(range(256)) * 2
+        tweaked = bytes([min(255, x + 1) for x in range(256)]) * 2
+        noise = bytes([(x * 97 + 13) % 256 for x in range(512)])
+        df = spark.createDataFrame(
+            [(0, bytearray(base)), (1, bytearray(tweaked)),
+             (2, bytearray(noise))], "doc_id long, media binary")
+        hashed = perceptual_hash_bands(df, "media", "doc_id",
+                                       decoder="fake")
+        pairs = {(r.id_a, r.id_b)
+                 for r in phash_candidates(hashed).collect()}
+        assert (0, 1) in pairs
+        assert (0, 2) not in pairs and (1, 2) not in pairs
+
+    def test_bands_must_divide(self, spark):
+        from pandas_ai_spark.functions.multimodal import \
+            perceptual_hash_bands
+
+        df = spark.createDataFrame([(1, bytearray(b"x" * 300))],
+                                   "doc_id long, media binary")
+        try:
+            perceptual_hash_bands(df, "media", "doc_id", grid=8,
+                                  bands=7)
+            assert False, "expected ValueError"
+        except ValueError:
+            pass
+
+
+# ---------------------------------------------------------------------------
+# count-min join-size estimate
+# ---------------------------------------------------------------------------
+
+class TestJoinSizeEstimate:
+    def test_exact_when_no_collisions(self, spark):
+        from pandas_ai_spark.functions.sketch import (countmin_build,
+                                                      countmin_join_size)
+
+        a = spark.createDataFrame([(k,) for k in range(10)
+                                   for _ in range(3)], "k long")
+        b = spark.createDataFrame([(k,) for k in range(5)
+                                   for _ in range(2)], "k long")
+        ga = countmin_build(a, "k", depth=4, width=4096)
+        gb = countmin_build(b, "k", depth=4, width=4096)
+        est = countmin_join_size(ga, gb).collect()[0].estimate
+        # true join size: keys 0..4 -> 3*2 each = 30
+        assert est == 30
+
+    def test_never_underestimates_under_collisions(self, spark):
+        from pandas_ai_spark.functions.sketch import (countmin_build,
+                                                      countmin_join_size)
+
+        a = spark.createDataFrame([(k,) for k in range(200)], "k long")
+        ga = countmin_build(a, "k", depth=2, width=8)
+        est = countmin_join_size(ga, ga).collect()[0].estimate
+        assert est >= 200  # true self-join size with unique keys

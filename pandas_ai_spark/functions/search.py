@@ -103,41 +103,58 @@ def bm25_corpus_stats(df: DataFrame, text_col: str = "text"):
     return int(row["n"] or 0), float(row["avgdl"] or 0.0)
 
 
+def build_trigram_index(df: DataFrame, id_col: str = "doc_id",
+                        text_col: str = "text") -> DataFrame:
+    """Character-trigram inverted index ``(gram, id)`` (the pg_trgm
+    pattern): each doc's DISTINCT trigrams built row-locally
+    (``transform`` over ``sequence`` + ``array_distinct`` — the dedup
+    between positions happens before the explode), one pass over the
+    corpus. Build once, ``write.bucketBy("gram")``, and every
+    subsequent :func:`substring_search` touches only the needle's
+    gram rows — the amortization that makes trigram search pay at
+    100 TB (a one-shot query should just scan; see below)."""
+    hay = F.lower(F.col(text_col))
+    t = F.col("__t")
+    grams = F.array_distinct(F.transform(
+        F.sequence(F.lit(1), F.greatest(F.length(t) - 2, F.lit(0))),
+        lambda i: t.substr(i, F.lit(3))))
+    return (df.select(F.col(id_col).alias("id"), hay.alias("__t"))
+              .where(F.length(t) >= 3)
+              .select("id", F.explode(grams).alias("gram")))
+
+
 def substring_search(df: DataFrame, needle: str, id_col: str = "doc_id",
-                     text_col: str = "text") -> DataFrame:
-    """Trigram-indexed substring search (the pg_trgm pattern): find the
-    documents whose ``text_col`` contains ``needle``, without running
-    ``contains`` over the whole corpus.
+                     text_col: str = "text",
+                     index: DataFrame | None = None) -> DataFrame:
+    """Substring search over a document table, returning matching
+    ``(id,)`` rows — case-insensitive ``contains`` semantics.
 
-    Candidate generation: a document qualifies only if it contains ALL
-    character 3-grams of the (lowercased) needle — each doc's distinct
-    trigrams are built row-locally (``transform`` over ``sequence``),
-    filtered against the needle's gram set BEFORE the explode leaves
-    the row (a literal ``array_intersect`` — the corpus never explodes
-    unmatched grams), and a doc advances when its matched-gram count
-    equals the needle's gram count. The exact ``contains`` check then
-    runs on candidates only. At 100 TB the gram index would be built
-    once and persisted (same write-once shape as the dedup signature
-    tables); the algebra here is identical.
+    With ``index`` (a persisted :func:`build_trigram_index` table):
+    candidates are the ids whose index rows cover ALL the needle's
+    trigrams (filter to the ≤len(needle) needle grams — rides the
+    index scan / bucket pruning — then a count-equals check), and the
+    exact ``contains`` verification joins back to fetch only candidate
+    texts. Only the needle's gram rows and the candidate docs are ever
+    read — the shape that pays when one index serves many queries.
 
-    Needles shorter than 3 characters fall back to a direct scan
-    filter (no trigram selectivity to exploit). Returns ``(id,)``
-    matching rows.
+    Without ``index``: one direct ``contains`` scan. Building a gram
+    table inline would cost MORE than the scan it avoids (measured
+    8.8 s vs 0.3 s at sf0.1) — an index is an amortized artifact, not
+    a per-query one.
     """
     hay = F.lower(F.col(text_col))
     n = needle.lower()
-    if len(n) < 3:
-        return (df.where(F.contains(hay, F.lit(n)))
-                  .select(F.col(id_col).alias("id")))
+    direct = (df.where(F.contains(hay, F.lit(n)))
+                .select(F.col(id_col).alias("id")))
+    if index is None or len(n) < 3:
+        return direct
     needle_grams = sorted({n[i:i + 3] for i in range(len(n) - 2)})
     lit_grams = F.array(*[F.lit(g) for g in needle_grams])
-    t = F.col("__t")
-    doc_grams = F.array_distinct(F.transform(
-        F.sequence(F.lit(1), F.greatest(F.length(t) - 2, F.lit(0))),
-        lambda i: t.substr(i, F.lit(3))))
-    matched = F.size(F.array_intersect(doc_grams, lit_grams))
-    return (df.select(F.col(id_col).alias("id"), hay.alias("__t"))
-              .where(F.length(t) >= 3)
-              .where(matched == F.lit(len(needle_grams)))
-              .where(F.contains(t, F.lit(n)))
-              .select("id"))
+    cand = (index.where(F.array_contains(lit_grams, F.col("gram")))
+                 .groupBy("id")
+                 .agg(F.countDistinct("gram").alias("__m"))
+                 .where(F.col("__m") == len(needle_grams))
+                 .select("id"))
+    return (df.join(cand, df[id_col] == cand.id)
+              .where(F.contains(hay, F.lit(n)))
+              .select(cand.id))

@@ -1178,3 +1178,32 @@ class TestJoinSizeEstimate:
         ga = countmin_build(a, "k", depth=2, width=8)
         est = countmin_join_size(ga, ga).collect()[0].estimate
         assert est >= 200  # true self-join size with unique keys
+
+
+class TestTrigramIndexPath:
+    def test_index_path_equals_direct_scan(self, spark):
+        from pandas_ai_spark.functions.search import (build_trigram_index,
+                                                      substring_search)
+
+        docs = spark.createDataFrame(
+            [(1, "the data pipeline runs"), (2, "DATA Pipeline!"),
+             (3, "pipe line data"), (4, "nothing here")],
+            "doc_id long, text string")
+        idx = build_trigram_index(docs)
+        direct = sorted(r.id for r in
+                        substring_search(docs, "data pipeline").collect())
+        via_idx = sorted(r.id for r in substring_search(
+            docs, "data pipeline", index=idx).collect())
+        assert direct == via_idx == [1, 2]
+
+    def test_index_prunes_false_candidates(self, spark):
+        from pandas_ai_spark.functions.search import (build_trigram_index,
+                                                      substring_search)
+
+        # has all trigrams of 'abcd' but not the substring
+        docs = spark.createDataFrame(
+            [(1, "abc xyz bcd"), (2, "abcd")], "doc_id long, text string")
+        idx = build_trigram_index(docs)
+        out = [r.id for r in substring_search(docs, "abcd",
+                                              index=idx).collect()]
+        assert out == [2]

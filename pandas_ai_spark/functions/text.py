@@ -595,20 +595,23 @@ def ngram_novelty(df: DataFrame, reference: DataFrame, n: int = 3,
     DuckDB oracle. Documents with fewer than ``n`` tokens are omitted
     (no grams to score).
     """
+    # grams leave the row as 64-bit hashes, never strings — the
+    # q21/q52 shuffle-width discipline. xxhash64 hashes the token-array
+    # SLICE structurally (no per-gram string build at all); false-share
+    # risk is a 2⁻⁶⁴ collision, the documented dedup-family tradeoff
     def grams(d: DataFrame, *keep):
         toks = F.filter(F.split(F.lower(F.col(text_col)), "[^a-z]+"),
                         lambda tkn: tkn != "")
         arr = F.array_distinct(F.transform(
             F.sequence(F.lit(0), F.size(toks) - n),
-            lambda i: F.concat_ws(
-                " ", F.slice(toks, i + 1, n))))
+            lambda i: F.xxhash64(F.slice(toks, i + 1, n))))
         return (d.where(F.size(toks) >= n)
-                 .select(*keep, F.explode(arr).alias("gram")))
+                 .select(*keep, F.explode(arr).alias("__h")))
 
-    ref = grams(reference).distinct() \
-        .withColumn("__seen", F.lit(1))
+    ref = (grams(reference).distinct()
+           .withColumn("__seen", F.lit(1)))
     doc = grams(df, F.col(id_col).alias("id"))
-    return (doc.join(ref, "gram", "left")
+    return (doc.join(ref, "__h", "left")
                .groupBy("id")
                .agg(F.count("*").alias("n_grams"),
                     F.sum(F.when(F.col("__seen").isNull(), 1)

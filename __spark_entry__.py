@@ -2237,6 +2237,27 @@ def q112_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def q113_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch two-sample t-test (stats.welch_ttest): does the purchase
+    event's value differ from the click event's? — the means
+    counterpart to q92's proportions z-test, completing the inference
+    family (z / t / chi-square / MI / OLS). ONE filtered aggregation
+    pass (conditional count/avg/var_samp share the scan), row-local
+    statistic + Welch–Satterthwaite dof. Oracle: identical conditional
+    aggregates and arithmetic."""
+    from pandas_ai_spark.functions.stats import welch_ttest
+
+    ev = _t(spark, sf_dir, "events")
+    out = welch_ttest(ev, "event_type", "value", "purchase", "click")
+    return out.select(
+        "n_a", "n_b",
+        F.round("mean_a", 6).alias("mean_a"),
+        F.round("mean_b", 6).alias("mean_b"),
+        F.round("t", 6).alias("t"),
+        F.round("dof", 3).alias("dof"),
+        "significant")
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -2367,6 +2388,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q110_image_phash": q110_image_phash,
         "q111_join_size_estimate": q111_join_size_estimate,
         "q112_clean_pipeline": q112_clean_pipeline,
+        "q113_welch_ttest": q113_welch_ttest,
     }
 
 
@@ -4710,6 +4732,44 @@ def oracle_sql() -> dict[str, str]:
             FROM dd LEFT JOIN flagged ON dd.doc_id = flagged.doc_id
             WHERE flagged.doc_id IS NULL
             ORDER BY dd.doc_id
+        """,
+        "q113_welch_ttest": """
+            WITH agg AS (
+              SELECT
+                count(CASE WHEN event_type = 'purchase' THEN value END)
+                  AS n_a,
+                count(CASE WHEN event_type = 'click' THEN value END)
+                  AS n_b,
+                avg(CASE WHEN event_type = 'purchase' THEN value END)
+                  AS mean_a,
+                avg(CASE WHEN event_type = 'click' THEN value END)
+                  AS mean_b,
+                var_samp(CASE WHEN event_type = 'purchase'
+                              THEN value END) AS va,
+                var_samp(CASE WHEN event_type = 'click'
+                              THEN value END) AS vb
+              FROM events
+              WHERE event_type IN ('purchase', 'click')
+            ), s AS (
+              SELECT *, va / n_a AS sa, vb / n_b AS sb FROM agg
+            ), t AS (
+              SELECT *,
+                     CASE WHEN sqrt(sa + sb) > 0
+                          THEN (mean_a - mean_b) / sqrt(sa + sb)
+                          ELSE 0.0 END AS tt,
+                     CASE WHEN sa + sb > 0
+                          THEN pow(sa + sb, 2)
+                               / (pow(sa, 2) / (n_a - 1)
+                                  + pow(sb, 2) / (n_b - 1))
+                          ELSE 0.0 END AS dd
+              FROM s
+            )
+            SELECT n_a, n_b,
+                   round(mean_a, 6) AS mean_a,
+                   round(mean_b, 6) AS mean_b,
+                   round(tt, 6) AS t, round(dd, 3) AS dof,
+                   abs(tt) >= 1.96 AS significant
+            FROM t
         """,
         "q99_grouped_ols": """
             SELECT l_returnflag, l_linestatus,

@@ -434,3 +434,46 @@ def chi_square_independence(df: DataFrame, col_x: str, col_y: str
                F.sqrt(F.col("chi2")
                       / (F.lit(float(n_total)) * (k_min - 1))))
          .otherwise(F.lit(0.0)).alias("cramers_v"))
+
+
+def welch_ttest(df: DataFrame, group_col: str, value_col: str,
+                group_a, group_b, t_critical: float = 1.96) -> DataFrame:
+    """Welch's two-sample t-test (unequal variances) on a metric
+    between two groups: one row ``(n_a, n_b, mean_a, mean_b, t, dof,
+    significant)`` — the means counterpart to
+    :func:`ab_test_proportions` (conversion rates) in the inference
+    family (z / t / chi-square / MI).
+
+    ``t = (m_a − m_b) / √(s²_a/n_a + s²_b/n_b)``; ``dof`` is the
+    Welch–Satterthwaite approximation. ONE filtered aggregation pass
+    (count/avg/var_samp per arm share the scan via conditional
+    aggregates — no second scan, no shuffle beyond the 6-value final
+    agg); the statistic is row-local arithmetic. ``significant``
+    compares |t| to ``t_critical`` (the large-dof normal cutoff by
+    default — swap in the exact quantile for small samples).
+    """
+    va = F.col(value_col).cast("double")
+    in_a = F.col(group_col) == group_a
+    in_b = F.col(group_col) == group_b
+    agg = df.where(in_a | in_b).agg(
+        F.count(F.when(in_a, va)).alias("n_a"),
+        F.count(F.when(in_b, va)).alias("n_b"),
+        F.avg(F.when(in_a, va)).alias("mean_a"),
+        F.avg(F.when(in_b, va)).alias("mean_b"),
+        F.var_samp(F.when(in_a, va)).alias("__va"),
+        F.var_samp(F.when(in_b, va)).alias("__vb"))
+    sa = F.col("__va") / F.col("n_a")
+    sb = F.col("__vb") / F.col("n_b")
+    se = F.sqrt(sa + sb)
+    t = F.when(se > 0, (F.col("mean_a") - F.col("mean_b")) / se) \
+         .otherwise(F.lit(0.0))
+    dof = F.when(
+        (sa + sb) > 0,
+        F.pow(sa + sb, 2)
+        / (F.try_divide(F.pow(sa, 2), F.col("n_a") - 1)
+           + F.try_divide(F.pow(sb, 2), F.col("n_b") - 1))
+    ).otherwise(F.lit(0.0))
+    return agg.select(
+        "n_a", "n_b", "mean_a", "mean_b",
+        t.alias("t"), dof.alias("dof"),
+        (F.abs(t) >= F.lit(float(t_critical))).alias("significant"))

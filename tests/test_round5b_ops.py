@@ -1207,3 +1207,37 @@ class TestTrigramIndexPath:
         out = [r.id for r in substring_search(docs, "abcd",
                                               index=idx).collect()]
         assert out == [2]
+
+
+class TestWelchTtest:
+    def _run(self, spark, a_vals, b_vals):
+        from pandas_ai_spark.functions.stats import welch_ttest
+
+        rows = [("a", float(v)) for v in a_vals]
+        rows += [("b", float(v)) for v in b_vals]
+        rows += [("other", 999.0)]  # excluded arm
+        df = spark.createDataFrame(rows, "g string, v double")
+        return welch_ttest(df, "g", "v", "a", "b").collect()[0]
+
+    def test_manual_statistic(self, spark):
+        import statistics
+
+        a = [1.0, 2.0, 3.0, 4.0, 5.0]
+        b = [6.0, 7.0, 8.0, 9.0, 20.0]
+        r = self._run(spark, a, b)
+        sa = statistics.variance(a) / len(a)
+        sb = statistics.variance(b) / len(b)
+        t = (statistics.mean(a) - statistics.mean(b)) \
+            / math.sqrt(sa + sb)
+        dof = (sa + sb) ** 2 / (sa ** 2 / 4 + sb ** 2 / 4)
+        assert r.n_a == 5 and r.n_b == 5
+        assert abs(r.t - t) < 1e-9 and abs(r.dof - dof) < 1e-9
+        assert r.significant == (abs(t) >= 1.96)
+
+    def test_identical_groups_not_significant(self, spark):
+        r = self._run(spark, [1, 2, 3, 4] * 5, [1, 2, 3, 4] * 5)
+        assert abs(r.t) < 1e-12 and not r.significant
+
+    def test_constant_groups_zero_t(self, spark):
+        r = self._run(spark, [5.0] * 10, [5.0] * 10)
+        assert r.t == 0.0 and not r.significant

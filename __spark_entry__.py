@@ -2142,17 +2142,20 @@ def q108_pca_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q109_embedding_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding hygiene audit (similarity.embedding_audit): the
-    embeddings table UNIONed with four crafted pathological rows (null
-    vector / NaN component / zero vector / wrong dimension — built
-    from literals, deterministic) so every check reports a real count.
-    One aggregation pass: each check is a conditional sum with
-    row-local exists/aggregate lambdas, stack-unpivoted. Oracle:
-    identical construction + list arithmetic in DuckDB."""
+    embeddings table UNIONed with five crafted pathological rows (null
+    vector / NULL component / NaN component / zero vector / wrong
+    dimension — built from literals, deterministic) so every check
+    reports a real count. One aggregation pass: each check is a
+    conditional sum with row-local exists/aggregate lambdas,
+    stack-unpivoted; NULL elements are tested first so three-valued
+    logic can't hide a vector from every bucket. Oracle: identical
+    construction + list arithmetic in DuckDB."""
     from pandas_ai_spark.functions.similarity import embedding_audit
 
     emb = _t(spark, sf_dir, "embeddings").select("embedding")
     bad = spark.sql("""
         SELECT cast(null AS array<float>) AS embedding
+        UNION ALL SELECT array(cast(1.0 AS float), cast(null AS float))
         UNION ALL SELECT array(cast('NaN' AS float), cast(1.0 AS float))
         UNION ALL SELECT array(cast(0.0 AS float), cast(0.0 AS float))
         UNION ALL SELECT array(cast(0.5 AS float))
@@ -4187,7 +4190,11 @@ def oracle_sql() -> dict[str, str]:
             JOIN uc u1 ON bc.w1 = u1.w
             JOIN uc u2 ON bc.w2 = u2.w
             CROSS JOIN tot
-            ORDER BY pmi DESC, w1, w2 LIMIT 40
+            -- rank by the UNROUNDED score (matches the Spark
+            -- operator's raw-float top-k); round only in projection
+            ORDER BY ln(n_pair::DOUBLE * t
+                        / (u1.n_w::DOUBLE * u2.n_w)) DESC, w1, w2
+            LIMIT 40
         """,
         "q91_time_weighted_avg": """
             WITH s AS (
@@ -4336,7 +4343,13 @@ def oracle_sql() -> dict[str, str]:
                          6) AS score
             FROM tf JOIN dfc USING (term) CROSS JOIN stats
             GROUP BY doc_id
-            ORDER BY score DESC, id LIMIT 10
+            -- rank by the UNROUNDED score (matches the Spark
+            -- operator's raw-float top-k); round only in projection
+            ORDER BY sum(ln(1 + (n - df + 0.5) / (df + 0.5))
+                         * tf * 2.2
+                         / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)))
+                     DESC, id
+            LIMIT 10
         """,
         "q96_rfm_segments": """
             WITH rfm AS (
@@ -4614,6 +4627,7 @@ def oracle_sql() -> dict[str, str]:
             WITH base AS (
               SELECT embedding::DOUBLE[] AS v FROM embeddings
               UNION ALL SELECT NULL
+              UNION ALL SELECT [1.0, NULL::DOUBLE]
               UNION ALL SELECT ['nan'::DOUBLE, 1.0]
               UNION ALL SELECT [0.0, 0.0]
               UNION ALL SELECT [0.5]
@@ -4621,29 +4635,41 @@ def oracle_sql() -> dict[str, str]:
               SELECT v,
                      v IS NULL AS is_null,
                      CASE WHEN v IS NULL THEN NULL
-                          ELSE len(list_filter(v, e -> isnan(e))) > 0
+                          ELSE len(list_filter(v, e -> e IS NULL)) > 0
+                     END AS has_null,
+                     CASE WHEN v IS NULL THEN NULL
+                          ELSE len(list_filter(v,
+                                 e -> e IS NOT NULL AND isnan(e))) > 0
                      END AS has_nan,
                      CASE WHEN v IS NULL THEN NULL
-                          ELSE list_inner_product(v, v) END AS nsq
+                          ELSE list_inner_product(
+                                 list_filter(v, e -> e IS NOT NULL),
+                                 list_filter(v, e -> e IS NOT NULL))
+                     END AS nsq
               FROM base
             ), agg AS (
               SELECT
                 sum(CASE WHEN is_null THEN 1 ELSE 0 END) AS c_null,
+                sum(CASE WHEN NOT is_null AND has_null
+                         THEN 1 ELSE 0 END) AS c_nullc,
                 sum(CASE WHEN NOT is_null AND len(v) <> 64
                          THEN 1 ELSE 0 END) AS c_dim,
-                sum(CASE WHEN NOT is_null AND has_nan
+                sum(CASE WHEN NOT is_null AND NOT has_null AND has_nan
                          THEN 1 ELSE 0 END) AS c_nan,
-                sum(CASE WHEN NOT is_null AND NOT has_nan AND nsq = 0
+                sum(CASE WHEN NOT is_null AND NOT has_null
+                              AND NOT has_nan AND nsq = 0
                          THEN 1 ELSE 0 END) AS c_zero,
-                sum(CASE WHEN NOT is_null AND NOT has_nan AND nsq > 0
+                sum(CASE WHEN NOT is_null AND NOT has_null
+                              AND NOT has_nan AND nsq > 0
                               AND sqrt(nsq) < 0.5
                          THEN 1 ELSE 0 END) AS c_below,
-                sum(CASE WHEN NOT is_null AND NOT has_nan
-                              AND sqrt(nsq) > 1.5
+                sum(CASE WHEN NOT is_null AND NOT has_null
+                              AND NOT has_nan AND sqrt(nsq) > 1.5
                          THEN 1 ELSE 0 END) AS c_above
               FROM x
             )
             SELECT 'null_vector' AS "check", c_null AS violations FROM agg
+            UNION ALL SELECT 'null_component', c_nullc FROM agg
             UNION ALL SELECT 'dim_mismatch', c_dim FROM agg
             UNION ALL SELECT 'nan_component', c_nan FROM agg
             UNION ALL SELECT 'zero_vector', c_zero FROM agg

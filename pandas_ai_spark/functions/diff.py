@@ -100,7 +100,8 @@ def diff_summary(diff: DataFrame) -> DataFrame:
 
 def upsert_merge(base: DataFrame, updates: DataFrame,
                  key_cols: Sequence[str], version_col: str,
-                 delete_col: Optional[str] = None) -> DataFrame:
+                 delete_col: Optional[str] = None,
+                 tiebreak_col: Optional[str] = None) -> DataFrame:
     """SCD type-1 merge (the batch equivalent of lakehouse
     ``MERGE INTO``): apply ``updates`` onto ``base``, keeping per key
     the row with the highest ``version_col`` — ties resolved in favor
@@ -115,7 +116,12 @@ def upsert_merge(base: DataFrame, updates: DataFrame,
 
     The deterministic (version, side) ordering makes re-runs and
     backfills idempotent — re-applying the same update batch is a
-    no-op, the property CDC consumers rely on.
+    no-op, the property CDC consumers rely on. Two UPDATE rows sharing
+    both key and version (a malformed CDC batch — lakehouse MERGE INTO
+    raises on it) are resolved by a last-resort tiebreak so the winner
+    is stable across retries and shuffle orders: ``tiebreak_col`` when
+    given (highest wins), else ``xxhash64`` of the full payload —
+    content-determined, never partition-order-determined.
     """
     from pyspark.sql.window import Window
 
@@ -125,14 +131,20 @@ def upsert_merge(base: DataFrame, updates: DataFrame,
     cols = base.columns
     if delete_col and delete_col not in updates.columns:
         raise ValueError(f"updates has no delete column {delete_col!r}")
+    if tiebreak_col and tiebreak_col not in cols:
+        raise ValueError(
+            f"tiebreak column {tiebreak_col!r} not in the base schema")
     b = base.select(*cols, F.lit(0).alias("__src"),
                     F.lit(False).alias("__del"))
     u = updates.select(
         *cols, F.lit(1).alias("__src"),
         (F.coalesce(F.col(delete_col).cast("boolean"), F.lit(False))
          if delete_col else F.lit(False)).alias("__del"))
+    last_resort = (F.col(tiebreak_col) if tiebreak_col
+                   else F.xxhash64(*[F.col(c) for c in cols]))
     w = Window.partitionBy(*keys).orderBy(
-        F.col(version_col).desc(), F.col("__src").desc())
+        F.col(version_col).desc(), F.col("__src").desc(),
+        last_resort.desc())
     return (b.unionByName(u)
              .withColumn("__rk", F.row_number().over(w))
              .where((F.col("__rk") == 1) & ~F.col("__del"))

@@ -168,6 +168,10 @@ def rfm_segments(df: DataFrame, user_col: str, ts_col: str,
         F.percentile(F.col("monetary").cast("double"),
                      F.array(*[F.lit(f) for f in fracs])).alias("m"),
     ).collect()[0]
+    if edges_row["r"] is None:
+        # percentile over zero rows is NULL — surface a clear error
+        # instead of an opaque TypeError in the scoring loop below
+        raise ValueError("rfm_segments needs a non-empty input")
 
     def _score(col, edges):
         s = F.lit(1)

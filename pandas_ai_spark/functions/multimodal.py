@@ -364,6 +364,13 @@ def perceptual_hash_bands(df: DataFrame, blob_col: str = "media",
     if grid * grid % bands != 0:
         raise ValueError("bands must divide grid*grid")
     per = grid * grid // bands
+    if per > 31:
+        # each band packs `per` bits into the declared array<int>
+        # schema — 32+ bits would silently overflow; demand more bands
+        raise ValueError(
+            f"grid*grid//bands = {per} bits per band exceeds the"
+            " 31-bit int band width; raise `bands` (need"
+            f" >= {grid * grid // 31 + (1 if grid * grid % 31 else 0)})")
     out_schema = f"{id_col} bigint, band array<int>"
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -958,14 +958,21 @@ def embedding_audit(df: DataFrame, vec_col: str = "embedding",
     v = F.col(vec_col)
     norm_sq = F.aggregate(v, F.lit(0.0),
                           lambda acc, x: acc + x.cast("double") ** 2)
+    # a NULL element poisons both exists(isnan) and the norm fold to
+    # NULL (三-valued logic), which would count the vector in NO
+    # violation row — test for it first and gate every later check on
+    # its absence so e.g. [1.0, NULL] lands in exactly one bucket
+    has_null = F.exists(v, lambda x: x.isNull())
+    clean = v.isNotNull() & ~has_null
     has_nan = F.exists(v, lambda x: F.isnan(x.cast("double")))
     checks = [
         ("null_vector", v.isNull()),
-        ("nan_component", v.isNotNull() & has_nan),
-        ("zero_vector", v.isNotNull() & ~has_nan & (norm_sq == 0.0)),
-        ("norm_below", v.isNotNull() & ~has_nan & (norm_sq > 0.0)
+        ("null_component", v.isNotNull() & has_null),
+        ("nan_component", clean & has_nan),
+        ("zero_vector", clean & ~has_nan & (norm_sq == 0.0)),
+        ("norm_below", clean & ~has_nan & (norm_sq > 0.0)
          & (F.sqrt(norm_sq) < float(norm_lo))),
-        ("norm_above", v.isNotNull() & ~has_nan
+        ("norm_above", clean & ~has_nan
          & (F.sqrt(norm_sq) > float(norm_hi))),
     ]
     if expected_dim is not None:

@@ -1079,9 +1079,23 @@ class TestEmbeddingAudit:
         df = spark.createDataFrame(rows, "embedding array<double>")
         out = {r.check: r.violations for r in embedding_audit(
             df, expected_dim=2, norm_lo=0.5, norm_hi=2.0).collect()}
-        assert out == {"null_vector": 1, "dim_mismatch": 1,
-                       "nan_component": 1, "zero_vector": 1,
-                       "norm_below": 0, "norm_above": 1}
+        assert out == {"null_vector": 1, "null_component": 0,
+                       "dim_mismatch": 1, "nan_component": 1,
+                       "zero_vector": 1, "norm_below": 0,
+                       "norm_above": 1}
+
+    def test_null_component_lands_in_exactly_one_bucket(self, spark):
+        # [1.0, NULL] poisons exists(isnan)/the norm fold to NULL —
+        # before the null_component check it was counted NOWHERE
+        from pandas_ai_spark.functions.similarity import embedding_audit
+
+        df = spark.createDataFrame([([1.0, None],), ([1.0, 0.0],)],
+                                   "embedding array<double>")
+        out = {r.check: r.violations for r in embedding_audit(
+            df, norm_lo=0.5, norm_hi=2.0).collect()}
+        assert out["null_component"] == 1
+        assert out["nan_component"] == 0 and out["zero_vector"] == 0
+        assert out["norm_below"] == 0 and out["norm_above"] == 0
 
     def test_clean_table_all_zero(self, spark):
         from pandas_ai_spark.functions.similarity import embedding_audit

@@ -135,7 +135,8 @@ def transition_matrix(df: DataFrame, ts_col: str = "ts",
 
 def rfm_segments(df: DataFrame, user_col: str, ts_col: str,
                  amount_col: str, ref_date: str,
-                 n_bins: int = 5) -> DataFrame:
+                 n_bins: int = 5,
+                 approx: bool | None = None) -> DataFrame:
     """RFM customer segmentation: per user, recency (days from last
     activity to ``ref_date``), frequency (activity count), monetary
     (total amount, rounded to cents), each scored 1–``n_bins`` against
@@ -150,23 +151,33 @@ def rfm_segments(df: DataFrame, user_col: str, ts_col: str,
     a row-local CASE chain. ``ref_date`` is an explicit literal —
     never now() — so backfills reproduce. percentile's continuous
     interpolation matches DuckDB ``quantile_cont`` exactly, which is
-    what makes the quantile edges engine-portable.
+    what makes the quantile edges engine-portable. The default
+    ``approx=None`` auto-swaps the edge computation to
+    ``percentile_approx`` above ``stats.EXACT_STATE_MAX_BYTES`` of
+    Catalyst-estimated input (exact-percentile state grows with
+    distinct per-user values); ``approx=False`` forces exact.
     """
+    from pandas_ai_spark.functions.stats import _resolve_approx
+
     if n_bins < 2:
         raise ValueError("n_bins must be >= 2")
+    approx = _resolve_approx(df, approx)
     fracs = [i / n_bins for i in range(1, n_bins)]
+
+    def _edges(col):
+        arr = F.array(*[F.lit(f) for f in fracs])
+        if approx:
+            return F.percentile_approx(col, arr, 10_000)
+        return F.percentile(col, arr)
     rfm = df.groupBy(F.col(user_col).alias("user")).agg(
         F.datediff(F.lit(ref_date).cast("date"),
                    F.max(F.col(ts_col).cast("date"))).alias("recency"),
         F.count("*").alias("frequency"),
         F.round(F.sum(amount_col), 2).alias("monetary"))
     edges_row = rfm.agg(
-        F.percentile(F.col("recency").cast("double"),
-                     F.array(*[F.lit(f) for f in fracs])).alias("r"),
-        F.percentile(F.col("frequency").cast("double"),
-                     F.array(*[F.lit(f) for f in fracs])).alias("f"),
-        F.percentile(F.col("monetary").cast("double"),
-                     F.array(*[F.lit(f) for f in fracs])).alias("m"),
+        _edges(F.col("recency").cast("double")).alias("r"),
+        _edges(F.col("frequency").cast("double")).alias("f"),
+        _edges(F.col("monetary").cast("double")).alias("m"),
     ).collect()[0]
     if edges_row["r"] is None:
         # percentile over zero rows is NULL — surface a clear error

@@ -17,6 +17,15 @@ memory:
 ``approx=True`` swaps in ``percentile_approx`` (GK sketch, strictly
 bounded memory regardless of distinct-value count) for the truly
 adversarial case of billions of distinct values inside one group.
+``approx=None`` (the default) decides automatically from Catalyst's
+own size estimate of the input plan: above
+``EXACT_STATE_MAX_BYTES`` the sketch engages (warned once per
+process) because exact-percentile / exact-distinct aggregation state
+grows with distinct values and is an executor-memory risk on a 100 TB
+ungrouped column; at or below it — every oracle-scale input — the
+exact interpolated path is kept. Plans Catalyst cannot size (local
+relations, RDD scans) stay exact, with a once-per-process warning
+advising an explicit ``approx=True`` at scale.
 
 Reference parity: the reference exposes no robust-stats operator at all
 (closest is the ``scale``/``normalize`` transformations,
@@ -30,6 +39,54 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+# Above this Catalyst-estimated input size, exact percentile /
+# multi-distinct aggregation state (bounded by distinct values, not
+# rows) is treated as an executor-memory risk and the bounded-memory
+# sketch path engages automatically. 4 GiB of estimated scan bytes is
+# far past any oracle/test scale and far before the state map matters
+# on real executors.
+EXACT_STATE_MAX_BYTES = 4 << 30
+
+_UNKNOWN_SIZE_FLOOR = (1 << 62)  # Catalyst's unknown-size sentinel zone
+_warned_auto: set = set()
+
+
+def _warn_once(key: str, msg: str) -> None:
+    if key in _warned_auto:
+        return
+    _warned_auto.add(key)
+    import warnings
+    warnings.warn(msg + " (Warned once per process.)")
+
+
+def _resolve_approx(df: DataFrame, approx: bool | None) -> bool:
+    """Resolve the three-state ``approx`` flag: explicit wins; ``None``
+    consults Catalyst's optimized-plan size estimate (free — no job
+    runs). Unknown-size plans stay exact for oracle fidelity, with a
+    warning, since only file/table scans carry real estimates."""
+    if approx is not None:
+        return bool(approx)
+    try:
+        size = int(df._jdf.queryExecution().optimizedPlan()
+                   .stats().sizeInBytes())
+    except Exception:
+        return False
+    if size >= _UNKNOWN_SIZE_FLOOR:
+        _warn_once("unknown", "stats: input plan has no size estimate; "
+                   "keeping EXACT percentile/distinct aggregation. Its "
+                   "state grows with distinct values — pass approx=True "
+                   "explicitly for bounded memory at scale.")
+        return False
+    if size > EXACT_STATE_MAX_BYTES:
+        _warn_once("big", f"stats: input estimated at {size} bytes > "
+                   f"EXACT_STATE_MAX_BYTES ({EXACT_STATE_MAX_BYTES}); "
+                   "switching to bounded-memory approx sketches "
+                   "(percentile_approx / HLL). Pass approx=False to "
+                   "force exact aggregation.")
+        return True
+    return False
+
+
 def _pct(col, p: float, approx: bool):
     if approx:
         return F.percentile_approx(col, p, 10_000)
@@ -37,8 +94,11 @@ def _pct(col, p: float, approx: bool):
 
 
 def grouped_median(df: DataFrame, group_col: str, value_col: str,
-                   approx: bool = False) -> DataFrame:
-    """Per-group exact (interpolated) median: ``(group, median, n)``."""
+                   approx: bool | None = None) -> DataFrame:
+    """Per-group exact (interpolated) median: ``(group, median, n)``;
+    ``approx=None`` auto-engages the GK sketch above
+    ``EXACT_STATE_MAX_BYTES`` (module docstring)."""
+    approx = _resolve_approx(df, approx)
     return df.groupBy(group_col).agg(
         _pct(F.col(value_col), 0.5, approx).alias("median"),
         F.count(value_col).alias("n"),
@@ -46,13 +106,14 @@ def grouped_median(df: DataFrame, group_col: str, value_col: str,
 
 
 def grouped_mad(df: DataFrame, group_col: str, value_col: str,
-                approx: bool = False) -> DataFrame:
+                approx: bool | None = None) -> DataFrame:
     """Per-group median + median-absolute-deviation:
     ``(group, median, mad, n)``.
 
     Matches DuckDB ``mad()`` / numpy ``median(|x − median(x)|)``
     semantics (continuous interpolation on both passes).
     """
+    approx = _resolve_approx(df, approx)
     med = df.groupBy(group_col).agg(
         _pct(F.col(value_col), 0.5, approx).alias("__med"),
         F.count(value_col).alias("__n"),
@@ -74,10 +135,11 @@ def grouped_mad(df: DataFrame, group_col: str, value_col: str,
 
 
 def grouped_iqr(df: DataFrame, group_col: str, value_col: str,
-                approx: bool = False) -> DataFrame:
+                approx: bool | None = None) -> DataFrame:
     """Per-group interquartile range: ``(group, q1, q3, iqr, n)`` —
     single aggregation pass (both quartiles share one percentile
     buffer)."""
+    approx = _resolve_approx(df, approx)
     out = df.groupBy(group_col).agg(
         _pct(F.col(value_col), 0.25, approx).alias("q1"),
         _pct(F.col(value_col), 0.75, approx).alias("q3"),
@@ -87,14 +149,19 @@ def grouped_iqr(df: DataFrame, group_col: str, value_col: str,
               .select(group_col, "q1", "q3", "iqr", "n")
 
 
-def profile_exact(df: DataFrame, cols: list[str]) -> DataFrame:
+def profile_exact(df: DataFrame, cols: list[str],
+                  approx: bool | None = None) -> DataFrame:
     """Exact per-column table profile: one row per requested column with
     ``(column, n, nulls, n_distinct, min_s, max_s)`` — the deterministic
     complement to the sketch profile (q55): exact counts/distincts for
     datasets where the extra shuffle volume is affordable, sketches for
     100 TB. min/max are computed in the column's native type and cast to
     string AFTER aggregation (casting first would compare numerics
-    lexicographically).
+    lexicographically). The default ``approx=None`` auto-swaps the
+    distinct counter for HLL (``approx_count_distinct``, rsd 1%) above
+    ``EXACT_STATE_MAX_BYTES`` of Catalyst-estimated input — the
+    multi-column exact-distinct Expand is the memory/shuffle risk at
+    100 TB (module docstring); ``approx=False`` forces exact.
 
     ONE aggregation pass: Catalyst expands the multi-column distinct
     counts into a single Expand + partial/final agg (no joins, no
@@ -108,13 +175,16 @@ def profile_exact(df: DataFrame, cols: list[str]) -> DataFrame:
         raise ValueError("profile_exact needs at least one column")
     if len(set(cols)) != len(cols):
         raise ValueError("profile_exact cols contains duplicates")
+    approx = _resolve_approx(df, approx)
+    n_distinct = (F.approx_count_distinct if approx
+                  else F.countDistinct)
     aggs = []
     for i, c in enumerate(cols):
         col = F.col(c)
         aggs += [
             F.count(col).alias(f"__p{i}_n"),
             (F.count(F.lit(1)) - F.count(col)).alias(f"__p{i}_nulls"),
-            F.countDistinct(col).alias(f"__p{i}_distinct"),
+            n_distinct(col).alias(f"__p{i}_distinct"),
             F.min(col).cast("string").alias(f"__p{i}_min"),
             F.max(col).cast("string").alias(f"__p{i}_max"),
         ]
@@ -335,7 +405,7 @@ def population_stability_index(df_expected: DataFrame,
 
 def winsorize(df: DataFrame, value_col: str, by: list[str] | None = None,
               p_lo: float = 0.05, p_hi: float = 0.95,
-              approx: bool = False) -> DataFrame:
+              approx: bool | None = None) -> DataFrame:
     """Winsorization (outlier capping): clamp ``value_col`` to its
     per-group ``[p_lo, p_hi]`` exact interpolated percentile bounds,
     appending ``<value_col>_winsorized`` plus the bounds. The standard
@@ -348,10 +418,15 @@ def winsorize(df: DataFrame, value_col: str, by: list[str] | None = None,
     (``by=None``) collects the two global bounds as driver scalars
     (scalar-only collect) rather than planning a single-partition
     window. ``approx=True`` swaps in ``percentile_approx`` for groups
-    with billions of distinct values.
+    with billions of distinct values; the default ``approx=None``
+    auto-engages it above ``EXACT_STATE_MAX_BYTES`` of Catalyst-
+    estimated input (module docstring) — exact-percentile state grows
+    with distinct values and is an executor-memory risk on a 100 TB
+    ungrouped column.
     """
     if not 0.0 <= p_lo < p_hi <= 1.0:
         raise ValueError("need 0 <= p_lo < p_hi <= 1")
+    approx = _resolve_approx(df, approx)
     v = F.col(value_col).cast("double")
     lo_agg = _pct(v, p_lo, approx).alias("__lo")
     hi_agg = _pct(v, p_hi, approx).alias("__hi")

@@ -64,3 +64,22 @@ def save_embedding_lsh_state(state: DataFrame, base_table: str,
 def load_embedding_lsh_state(spark: SparkSession,
                              base_table: str) -> DataFrame:
     return spark.table(f"{base_table}_lsh")
+
+
+def save_novelty_vocab(vocab: DataFrame, base_table: str,
+                       path: str | None = None,
+                       num_buckets: int = 32,
+                       mode: str = "overwrite") -> str:
+    """Persist a :func:`~pandas_ai_spark.functions.text
+    .build_novelty_vocab` table bucketed on ``gram`` (the novelty
+    join key): the reference-side shuffle is paid once here, and every
+    later :func:`ngram_novelty` batch joins the pre-partitioned
+    vocabulary with no state-side Exchange. Returns the table name."""
+    table = f"{base_table}_vocab"
+    write_bucketed(vocab, table, "gram", num_buckets=num_buckets,
+                   path=path, mode=mode)
+    return table
+
+
+def load_novelty_vocab(spark: SparkSession, base_table: str) -> DataFrame:
+    return spark.table(f"{base_table}_vocab")

@@ -576,9 +576,41 @@ def jsd_term_drift(df_expected: DataFrame, df_actual: DataFrame,
              .limit(top_k))
 
 
-def ngram_novelty(df: DataFrame, reference: DataFrame, n: int = 3,
-                  id_col: str = "doc_id", text_col: str = "text"
-                  ) -> DataFrame:
+def _gram_hashes(d: DataFrame, n: int, text_col: str, *keep):
+    """Row-local distinct token n-gram hashes: grams leave the row as
+    64-bit hashes, never strings — the q21/q52 shuffle-width
+    discipline. xxhash64 hashes the token-array SLICE structurally (no
+    per-gram string build); false-share risk is a 2⁻⁶⁴ collision, the
+    documented dedup-family tradeoff. Shared by :func:`ngram_novelty`
+    and :func:`build_novelty_vocab` so a persisted vocabulary is
+    bit-compatible with the one-shot path."""
+    toks = F.filter(F.split(F.lower(F.col(text_col)), "[^a-z]+"),
+                    lambda tkn: tkn != "")
+    arr = F.array_distinct(F.transform(
+        F.sequence(F.lit(0), F.size(toks) - n),
+        lambda i: F.xxhash64(F.slice(toks, i + 1, n))))
+    return (d.where(F.size(toks) >= n)
+             .select(*keep, F.explode(arr).alias("__h")))
+
+
+def build_novelty_vocab(reference: DataFrame, n: int = 3,
+                        text_col: str = "text") -> DataFrame:
+    """The reference-side artifact of :func:`ngram_novelty`: DISTINCT
+    reference gram hashes as one ``gram bigint`` column. The 5 s cold
+    cost of a novelty query is almost entirely this build — construct
+    it once, persist it bucketed on ``gram``
+    (:func:`~pandas_ai_spark.functions.state_store.save_novelty_vocab`),
+    and every later batch scores against the pre-partitioned table with
+    no state-side shuffle — the same build-once/join-many shape as the
+    trigram index and the minhash/LSH state stores."""
+    return (_gram_hashes(reference, n, text_col).distinct()
+            .withColumnRenamed("__h", "gram"))
+
+
+def ngram_novelty(df: DataFrame, reference: DataFrame | None = None,
+                  n: int = 3,
+                  id_col: str = "doc_id", text_col: str = "text",
+                  vocab: DataFrame | None = None) -> DataFrame:
     """Per-document n-gram novelty vs a reference corpus:
     ``(id, n_grams, n_novel, novelty)`` where ``novelty`` is the
     fraction of the document's distinct token ``n``-grams NOT seen
@@ -594,23 +626,23 @@ def ngram_novelty(df: DataFrame, reference: DataFrame, n: int = 3,
     misses. Tokenization is alphabetic-lowercase, shared with the
     DuckDB oracle. Documents with fewer than ``n`` tokens are omitted
     (no grams to score).
-    """
-    # grams leave the row as 64-bit hashes, never strings — the
-    # q21/q52 shuffle-width discipline. xxhash64 hashes the token-array
-    # SLICE structurally (no per-gram string build at all); false-share
-    # risk is a 2⁻⁶⁴ collision, the documented dedup-family tradeoff
-    def grams(d: DataFrame, *keep):
-        toks = F.filter(F.split(F.lower(F.col(text_col)), "[^a-z]+"),
-                        lambda tkn: tkn != "")
-        arr = F.array_distinct(F.transform(
-            F.sequence(F.lit(0), F.size(toks) - n),
-            lambda i: F.xxhash64(F.slice(toks, i + 1, n))))
-        return (d.where(F.size(toks) >= n)
-                 .select(*keep, F.explode(arr).alias("__h")))
 
-    ref = (grams(reference).distinct()
-           .withColumn("__seen", F.lit(1)))
-    doc = grams(df, F.col(id_col).alias("id"))
+    Pass ``vocab`` (a :func:`build_novelty_vocab` table, typically
+    persisted + reloaded via ``state_store.save_novelty_vocab``) to
+    skip the reference-side distinct-gram build — results are
+    byte-identical to the one-shot ``reference`` path (test-asserted);
+    ``n`` must match the value the vocabulary was built with.
+    """
+    if (reference is None) == (vocab is None):
+        raise ValueError(
+            "ngram_novelty needs exactly one of reference= or vocab=")
+    if vocab is not None:
+        ref = vocab.select(F.col("gram").alias("__h"),
+                           F.lit(1).alias("__seen"))
+    else:
+        ref = (_gram_hashes(reference, n, text_col).distinct()
+               .withColumn("__seen", F.lit(1)))
+    doc = _gram_hashes(df, n, text_col, F.col(id_col).alias("id"))
     return (doc.join(ref, "__h", "left")
                .groupBy("id")
                .agg(F.count("*").alias("n_grams"),

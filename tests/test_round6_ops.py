@@ -166,3 +166,91 @@ class TestAutoApprox:
         # sanity: scoring still works end-to-end on the sketch edges
         rows = out.limit(5).collect()
         assert all(1 <= r.r <= 5 and 1 <= r.m <= 5 for r in rows)
+
+# ---------------------------------------------------------------------------
+# driver-rotation contract (VERDICT r5 item 1)
+# ---------------------------------------------------------------------------
+
+class TestRotation:
+    def test_rotation_prefers_stalest_and_preserves_registry_order(self):
+        import __spark_entry__ as e
+
+        rot = e.rotation()
+        names = list(e.queries().keys())
+        assert len(rot) == 50 and len(set(rot)) == 50
+        assert set(rot) <= set(names)
+        last = e._last_verified_rounds()
+        # stalest-first: every selected query is at least as stale as
+        # every excluded one
+        worst_in = max(last.get(q, 0) for q in rot)
+        best_out = min((last.get(q, 0) for q in names
+                        if q not in rot), default=worst_in)
+        assert worst_in <= best_out
+        # registry order preserved within equal staleness
+        by_stale = {}
+        for q in rot:
+            by_stale.setdefault(last.get(q, 0), []).append(q)
+        idx = {n: i for i, n in enumerate(names)}
+        for grp in by_stale.values():
+            assert grp == sorted(grp, key=idx.__getitem__)
+        assert e.ROTATION == rot
+
+    def test_rotation_cap(self):
+        import __spark_entry__ as e
+
+        assert len(e.rotation(7)) == 7
+
+# ---------------------------------------------------------------------------
+# persisted novelty vocabulary (VERDICT r5 item 3)
+# ---------------------------------------------------------------------------
+
+class TestNoveltyVocabState:
+    def test_vocab_reuse_byte_identical_and_no_state_exchange(
+            self, spark, tmp_path):
+        from pandas_ai_spark.functions.state_store import (
+            load_novelty_vocab, save_novelty_vocab)
+        from pandas_ai_spark.functions.text import (build_novelty_vocab,
+                                                    ngram_novelty)
+
+        docs = spark.read.parquet(
+            "/root/testdata/sf0.001/documents.parquet")
+        ref = docs.where(F.col("doc_id") % 2 == 1)
+        batch = docs.where(F.col("doc_id") % 2 == 0)
+        save_novelty_vocab(build_novelty_vocab(ref, n=3),
+                           "t_nov_state", str(tmp_path / "nv"),
+                           num_buckets=4)
+        try:
+            vocab = load_novelty_vocab(spark, "t_nov_state")
+            one_shot = sorted(map(tuple, ngram_novelty(
+                batch, ref, n=3).collect()))
+            reused = sorted(map(tuple, ngram_novelty(
+                batch, n=3, vocab=vocab).collect()))
+            assert reused == one_shot and len(reused) > 0
+
+            # the join must read the bucketed vocabulary without
+            # re-shuffling it: exactly one Exchange (the batch side)
+            prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+            try:
+                spark.conf.set("spark.sql.autoBroadcastJoinThreshold",
+                               "-1")
+                plan = (ngram_novelty(batch, n=3, vocab=vocab)
+                        ._jdf.queryExecution().executedPlan().toString())
+            finally:
+                spark.conf.set("spark.sql.autoBroadcastJoinThreshold",
+                               prev)
+            # one Exchange for the doc-gram side + one for the final
+            # groupBy(id); none under the vocabulary scan
+            assert plan.count("Exchange hashpartitioning") == 2, plan
+        finally:
+            spark.sql("DROP TABLE IF EXISTS t_nov_state_vocab")
+
+    def test_needs_exactly_one_reference_form(self, spark):
+        from pandas_ai_spark.functions.text import ngram_novelty
+
+        docs = spark.createDataFrame([(1, "a b c d")],
+                                     "doc_id long, text string")
+        with pytest.raises(ValueError):
+            ngram_novelty(docs, n=3)
+        with pytest.raises(ValueError):
+            ngram_novelty(docs, docs, n=3,
+                          vocab=docs.selectExpr("doc_id as gram"))

@@ -2,7 +2,13 @@
 Spark and its oracle_sql on DuckDB at the same sf, compares row count,
 column names, and order-insensitive values.
 
-Usage: python tools/oracle_check.py [sf_dir] [query ...]
+Usage: python tools/oracle_check.py [--rotation[=N]] [sf_dir] [query ...]
+
+``--rotation`` restricts the sweep to ``__spark_entry__.rotation()`` —
+the N (default 50) registry queries with the stalest driver-verified
+correctness record — mirroring how a capped driver sweep should cycle
+through the registry round-robin instead of re-verifying the same
+prefix every round.
 """
 
 from __future__ import annotations
@@ -30,12 +36,26 @@ def canonical(rows, cols) -> list[tuple]:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    args = sys.argv[1:]
+    rotation_cap = None
+    for a in list(args):
+        if a == "--rotation":
+            rotation_cap = 50
+            args.remove(a)
+        elif a.startswith("--rotation="):
+            rotation_cap = int(a.split("=", 1)[1])
+            args.remove(a)
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
 
     import duckdb
     import __spark_entry__ as entry
     from pandas_ai_spark.session import get_session
+
+    if rotation_cap is not None:
+        rot = entry.rotation(rotation_cap)
+        only = (only & set(rot)) if only else set(rot)
+        print(f"rotation: {len(only)} stalest-verified queries")
 
     spark = get_session()
     con = duckdb.connect()

@@ -1080,6 +1080,11 @@ def q67_stream_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         q = filt.attach(stream, os.path.join(tmp, "out"),
                         os.path.join(tmp, "ckpt"))
         q.awaitTermination()
+        # bench grades this stream on steady drain rows/s like
+        # q29/q56/q100 (its own floor — the per-batch work here is a
+        # full minhash + state join, not a windowed agg)
+        from pandas_ai_spark.streaming.stream import record_stream_metrics
+        record_stream_metrics(q, "q67_stream_near_dup")
         admitted = sorted(
             r.doc_id for r in spark.read.parquet(os.path.join(tmp, "out"))
             .select("doc_id").collect())
@@ -2240,21 +2245,32 @@ def q112_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     compose into ONE lazy plan — no intermediate materialization, the
     property `pipeline.clean_corpus` is built on — and the survivors'
     (doc_id, quality, n_chars) hash-match a single composed SQL oracle
-    built from the verified q19/q20/q52 fragments."""
+    built from the verified q19/q20/q52 fragments.
+
+    Cache lifecycle contract: the composition is DECLARED inside a
+    ``cache_scope()`` so any operator-internal persist a stage makes
+    (none of these three do today; the near-dup stages of
+    ``pipeline.clean_corpus`` do) is released at scope exit rather than
+    leaking into the session ledger; the returned plan references only
+    unpersisted scans, so post-scope execution is identical.
+    ``tests/test_round6_ops.py::TestCacheScopePipeline`` asserts the
+    no-leak property on the full persisting composition."""
     from pandas_ai_spark.functions import dedup as dd
     from pandas_ai_spark.functions import text as tx
+    from pandas_ai_spark.functions.cache import cache_scope
 
     docs = _t(spark, sf_dir, "documents")
     eval_docs = docs.where(F.col("doc_id") % 20 == 0)
     corpus = docs.where(F.col("doc_id") % 20 != 0)
-    scored = corpus.withColumn("quality",
-                               tx.quality_score(F.col("text")))
-    kept = scored.where(F.col("quality") >= 0.5)
-    deduped = dd.dedup_exact_normalized(kept)
-    clean, _ = dd.decontaminate(deduped, eval_docs, n=8)
-    return clean.select(
-        "doc_id", F.round("quality", 2).alias("quality"), "n_chars",
-    ).orderBy("doc_id")
+    with cache_scope():
+        scored = corpus.withColumn("quality",
+                                   tx.quality_score(F.col("text")))
+        kept = scored.where(F.col("quality") >= 0.5)
+        deduped = dd.dedup_exact_normalized(kept)
+        clean, _ = dd.decontaminate(deduped, eval_docs, n=8)
+        return clean.select(
+            "doc_id", F.round("quality", 2).alias("quality"), "n_chars",
+        ).orderBy("doc_id")
 
 
 def q113_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:

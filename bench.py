@@ -148,7 +148,12 @@ def main() -> None:
             # per-partition state-store commit overhead the built-in
             # operators don't; their floor is lower (measured 37k
             # steady at sf0.1 — 20k still catches a ~2x regression)
-            floor_overrides = {"q100_alerts": 0.4 * floor}
+            # q67's per-micro-batch work is a full minhash signature
+            # pass + state join + parquet append, not a windowed agg;
+            # measured ~4k rows/s steady at sf0.1 — a 0.04× floor
+            # (2k at sf0.1) still fails loudly on a ~2x regression
+            floor_overrides = {"q100_alerts": 0.4 * floor,
+                               "q67_stream_near_dup": 0.04 * floor}
             verdicts = {}
             for qname, m in LAST_STREAM_METRICS.items():
                 rate = m.get("steady_rows_per_sec") or m.get("rows_per_sec")

@@ -323,29 +323,39 @@ class StreamCompiler:
              .trigger(availableNow=True)
              .start())
         q.awaitTermination()
-        try:
-            prog = [p for p in (q.recentProgress or []) if p]
-            rows = sum(int(p.get("numInputRows") or 0) for p in prog)
-            ms = sum(float((p.get("durationMs") or {})
-                           .get("triggerExecution") or 0) for p in prog)
-            # steady state over data-carrying batches only (availableNow
-            # ends with an empty commit flush); drop the first one —
-            # state-store init + codegen warmup — when there are several
-            busy = [p for p in prog if int(p.get("numInputRows") or 0) > 0]
-            tail = busy[1:] if len(busy) > 1 else busy
-            rows_ss = sum(int(p.get("numInputRows") or 0) for p in tail)
-            ms_ss = sum(float((p.get("durationMs") or {})
-                              .get("triggerExecution") or 0) for p in tail)
-            LAST_STREAM_METRICS[query_name] = {
-                "input_rows": rows,
-                "micro_batches": len(prog),
-                "rows_per_sec": round(rows * 1000.0 / ms, 1) if ms else None,
-                "steady_rows_per_sec":
-                    round(rows_ss * 1000.0 / ms_ss, 1) if ms_ss else None,
-            }
-        except Exception:  # metrics are best-effort, never fail the drain
-            pass
+        record_stream_metrics(q, query_name)
         return stream_df.sparkSession.table(query_name)
+
+
+def record_stream_metrics(q, query_name: str) -> None:
+    """Record a finished StreamingQuery's drain progress (input rows,
+    micro-batch count, rows/s) in :data:`LAST_STREAM_METRICS` under
+    ``query_name`` — wall-clock on a bounded drain is dominated by
+    checkpoint setup, so throughput is the honest figure for an
+    unbounded feed. Works for any sink (memory, foreachBatch, file);
+    best-effort — never raises."""
+    try:
+        prog = [p for p in (q.recentProgress or []) if p]
+        rows = sum(int(p.get("numInputRows") or 0) for p in prog)
+        ms = sum(float((p.get("durationMs") or {})
+                       .get("triggerExecution") or 0) for p in prog)
+        # steady state over data-carrying batches only (availableNow
+        # ends with an empty commit flush); drop the first one —
+        # state-store init + codegen warmup — when there are several
+        busy = [p for p in prog if int(p.get("numInputRows") or 0) > 0]
+        tail = busy[1:] if len(busy) > 1 else busy
+        rows_ss = sum(int(p.get("numInputRows") or 0) for p in tail)
+        ms_ss = sum(float((p.get("durationMs") or {})
+                          .get("triggerExecution") or 0) for p in tail)
+        LAST_STREAM_METRICS[query_name] = {
+            "input_rows": rows,
+            "micro_batches": len(prog),
+            "rows_per_sec": round(rows * 1000.0 / ms, 1) if ms else None,
+            "steady_rows_per_sec":
+                round(rows_ss * 1000.0 / ms_ss, 1) if ms_ss else None,
+        }
+    except Exception:  # metrics are best-effort, never fail the drain
+        pass
 
 
 def _has_aggregate(df: DataFrame) -> bool:

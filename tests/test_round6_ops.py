@@ -254,3 +254,47 @@ class TestNoveltyVocabState:
         with pytest.raises(ValueError):
             ngram_novelty(docs, docs, n=3,
                           vocab=docs.selectExpr("doc_id as gram"))
+
+# ---------------------------------------------------------------------------
+# cache_scope bounds the graded pipeline composition (VERDICT r5 item 6)
+# ---------------------------------------------------------------------------
+
+class TestCacheScopePipeline:
+    def test_no_operator_cache_outlives_the_scope(self, spark):
+        from pandas_ai_spark.functions.cache import _LEDGER, cache_scope
+        from pandas_ai_spark.functions.pipeline import clean_corpus
+
+        docs = spark.read.parquet(
+            "/root/testdata/sf0.001/documents.parquet")
+        sc = spark.sparkContext
+        before = {i.id() for i in sc._jsc.sc().getRDDStorageInfo()}
+        ledger_before = len(_LEDGER)
+        with cache_scope():
+            # near-dup stage persists its banded signature table; the
+            # scope must own it. Materialize INSIDE the scope.
+            clean, _ = clean_corpus(docs, near_dup_threshold=0.7,
+                                    compute_stats=False,
+                                    bounded_cache=False)
+            n = clean.count()
+        assert n > 0
+        after = {i.id() for i in sc._jsc.sc().getRDDStorageInfo()}
+        # no persisted block outlives the scope, and nothing leaked
+        # into the global ledger
+        assert after <= before, after - before
+        assert len(_LEDGER) == ledger_before
+
+    def test_bounded_default_releases_internals(self, spark):
+        from pandas_ai_spark.functions.pipeline import clean_corpus
+
+        docs = spark.read.parquet(
+            "/root/testdata/sf0.001/documents.parquet")
+        sc = spark.sparkContext
+        before = {i.id() for i in sc._jsc.sc().getRDDStorageInfo()}
+        clean, stats = clean_corpus(docs, near_dup_threshold=0.7,
+                                    compute_stats=True)
+        after = {i.id() for i in sc._jsc.sc().getRDDStorageInfo()}
+        # bounded path: internal signature persists are released; the
+        # only new blocks are the checkpointed RESULT (caller-owned)
+        new = after - before
+        assert len(new) <= 2, new
+        assert clean.count() == stats.final_docs

@@ -2129,11 +2129,20 @@ def q107_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     ref = docs.where(F.col("doc_id") % 2 == 1)
+    import os
+    import tempfile
+
     sf_tag = (sf_dir.rstrip("/").rsplit("/", 1)[-1]
               .replace(".", "_").replace("-", "_"))
     base = f"q107_novelty_{sf_tag}"
     if not spark.catalog.tableExists(f"{base}_vocab"):
-        save_novelty_vocab(build_novelty_vocab(ref, n=3), base)
+        # external path (not a managed-warehouse table): a stale file
+        # tree from an earlier session is simply overwritten instead
+        # of tripping LOCATION_ALREADY_EXISTS on the managed location
+        path = os.path.join(tempfile.gettempdir(),
+                            "pandas_ai_spark_state", base)
+        save_novelty_vocab(build_novelty_vocab(ref, n=3), base,
+                           path=path)
     vocab = load_novelty_vocab(spark, base)
     out = ngram_novelty(docs.where(F.col("doc_id") % 2 == 0),
                         n=3, vocab=vocab)
@@ -2292,6 +2301,263 @@ def q113_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("t", 6).alias("t"),
         F.round("dof", 3).alias("dof"),
         "significant")
+
+
+def q114_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival curve over user lifetimes
+    (survival.kaplan_meier): per user, duration = days from first to
+    last activity; the event (churn) fires when the last activity
+    precedes the observation end (global max date) by more than 7 days,
+    else the lifetime is right-censored. ONE duration-keyed
+    aggregation collapses users to the duration grain; the risk-set /
+    product-limit cumulatives run over that DISTINCT-DURATIONS spine —
+    the deliberately-global window is a documented plan-audit ALLOW
+    (its input is the post-aggregation day grain, thousands of rows at
+    any corpus size, never subjects). Oracle: identical estimator in
+    DuckDB window SQL (same exp-sum-log form, same t order ⇒ same
+    float sums)."""
+    from pandas_ai_spark.functions.survival import kaplan_meier
+
+    ev = _t(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.min(F.col("ts").cast("date")).alias("__first"),
+        F.max(F.col("ts").cast("date")).alias("__last"))
+    end = per_user.agg(F.max("__last")).collect()[0][0]
+    subjects = per_user.select(
+        F.datediff("__last", "__first").alias("duration"),
+        (F.datediff(F.lit(end).cast("date"), F.col("__last")) > 7)
+        .cast("int").alias("churned"))
+    out = kaplan_meier(subjects, "duration", "churned")
+    return out.select(
+        F.col("t").cast("int").alias("t"), "n_risk", "n_events",
+        "n_censored", F.round("survival", 9).alias("survival"),
+    ).orderBy("t")
+
+
+def q115_gini_concentration(spark: SparkSession, sf_dir: str
+                            ) -> DataFrame:
+    """Revenue-concentration Gini per market segment
+    (stats.gini_coefficient): customer lifetime spend (2dp-rounded
+    order totals) ranked ascending inside each segment — ONE
+    group-partitioned rank window + one grouped agg on the same key.
+    Oracle: the identical rank formula in DuckDB window SQL (same
+    custkey tiebreak ⇒ same ranks ⇒ same sums)."""
+    from pandas_ai_spark.functions.stats import gini_coefficient
+
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    spend = (orders.groupBy("o_custkey")
+             .agg(F.round(F.sum("o_totalprice"), 2).alias("spend"))
+             .join(cust, F.col("o_custkey") == F.col("c_custkey")))
+    out = gini_coefficient(spend, "spend", by=["c_mktsegment"],
+                           tiebreak="o_custkey")
+    return out.select(
+        F.col("c_mktsegment").alias("segment"), "n",
+        F.round("total", 2).alias("total"),
+        F.round("gini", 6).alias("gini"),
+    ).orderBy("segment")
+
+
+def q116_benford_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit screen over lineitem extended prices
+    (stats.benford_test): digit extracted arithmetically row-locally
+    (floor(x/10^floor(log10 x)) — no string formatting), ONE 9-group
+    aggregation, grand total as a scalar-only collect. Oracle: the
+    identical arithmetic in DuckDB."""
+    from pandas_ai_spark.functions.stats import benford_test
+
+    li = _t(spark, sf_dir, "lineitem")
+    out = benford_test(li, "l_extendedprice")
+    return out.select(
+        "digit", "n", F.round("pct", 9).alias("pct"),
+        F.round("expected_pct", 9).alias("expected_pct"),
+        F.round("chi2_term", 6).alias("chi2_term"),
+    ).orderBy("digit")
+
+
+def q117_association_rules(spark: SparkSession, sf_dir: str
+                           ) -> DataFrame:
+    """Directed association rules (mining.association_rules) from the
+    q78 brand-pair table: each unordered pair expands row-locally into
+    its two directions with direction-specific confidence plus
+    leverage/conviction; the basket total is recovered arithmetically
+    from lift (no re-scan). Zero additional shuffles beyond q78's.
+    Oracle: the q78 SQL fragment + the same direction expansion."""
+    from pandas_ai_spark.functions.mining import (association_rules,
+                                                  frequent_pairs)
+
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    baskets = li.join(part, li.l_partkey == part.p_partkey) \
+                .select("l_orderkey", "p_brand")
+    pairs = frequent_pairs(baskets, "l_orderkey", "p_brand",
+                           min_support=20)
+    out = association_rules(pairs, min_confidence=0.12)
+    return out.select(
+        "antecedent", "consequent", "support",
+        F.round("confidence", 6).alias("confidence"),
+        F.round("lift", 6).alias("lift"),
+        F.round("leverage", 9).alias("leverage"),
+        F.round("conviction", 6).alias("conviction"),
+    ).orderBy("antecedent", "consequent")
+
+
+def q118_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document Flesch readability profile (text.readability):
+    sentence/word/vowel-group counts as row-local regexp_extract_all
+    projections — zero shuffles, rides the scan. Oracle: identical
+    POSIX patterns in DuckDB regexp_extract_all."""
+    from pandas_ai_spark.functions.text import readability
+
+    docs = _t(spark, sf_dir, "documents")
+    out = readability(docs)
+    return out.select(
+        F.col("id").alias("doc_id"), "n_sentences", "n_words",
+        "n_syllables",
+        F.round("words_per_sentence", 6).alias("words_per_sentence"),
+        F.round("syllables_per_word", 6).alias("syllables_per_word"),
+        F.round("flesch", 4).alias("flesch"),
+    ).orderBy("doc_id")
+
+
+def q119_interevent_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-event cadence per event type (events.interevent_gaps):
+    per-user consecutive same-type gaps via ONE (user,type)-partitioned
+    lag window with (ts,id) tie pinning, then one type-keyed agg with
+    exact interpolated percentiles (auto-approx above the stats
+    threshold). Oracle: identical epoch-microsecond arithmetic +
+    quantile_cont."""
+    from pandas_ai_spark.functions.events import interevent_gaps
+
+    ev = _t(spark, sf_dir, "events")
+    out = interevent_gaps(ev, "user_id", "ts", "event_type", "event_id")
+    return out.select(
+        "event_type", "n_gaps",
+        F.round("mean_gap_s", 3).alias("mean_gap_s"),
+        F.round("median_gap_s", 3).alias("median_gap_s"),
+        F.round("p90_gap_s", 3).alias("p90_gap_s"),
+    ).orderBy("event_type")
+
+
+def q120_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile features without a global ntile (stats.quantile_buckets):
+    the 9 global edges come back as driver scalars from ONE
+    array-percentile aggregation and the bucket id is a row-local
+    comparison chain riding the scan — a whole-table ntile would
+    funnel every row through one task; this shape has zero extra
+    shuffles at any scale. Per-decile order stats follow as one
+    grouped agg. Oracle: quantile_cont edges + the same strict-greater
+    scoring chain."""
+    from pandas_ai_spark.functions.stats import quantile_buckets
+
+    orders = _t(spark, sf_dir, "orders")
+    b = quantile_buckets(orders, "o_totalprice", n_buckets=10)
+    return (b.groupBy("bucket")
+            .agg(F.count("*").alias("n"),
+                 F.round(F.min("o_totalprice"), 2).alias("min_price"),
+                 F.round(F.avg("o_totalprice"), 4).alias("avg_price"),
+                 F.round(F.max("o_totalprice"), 2).alias("max_price"))
+            .orderBy("bucket"))
+
+
+def q121_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise audience Jaccard between event types
+    (events.audience_overlap): the q78 basket pattern with users as
+    baskets — distinct (type,user) in one shuffle, row-local
+    unordered-pair expansion of each user's sorted type array (never
+    a user-keyed self-join), one pair-keyed count, broadcast size
+    lookups. Oracle: the equivalent relational form (self-join on
+    user with a.g < b.g) — same pairs, same counts."""
+    from pandas_ai_spark.functions.events import audience_overlap
+
+    ev = _t(spark, sf_dir, "events")
+    out = audience_overlap(ev, "event_type", "user_id")
+    return out.select(
+        "group_a", "group_b", "n_a", "n_b", "n_both",
+        F.round("jaccard", 6).alias("jaccard"),
+    ).orderBy("group_a", "group_b")
+
+
+def q122_outlier_fences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type Tukey-fence outlier audit (stats.iqr_outliers):
+    one exact-quartile pass per type (auto-approx above the stats
+    threshold), tiny bounds table re-attached on the type key, one
+    more grouped count — the winsorize two-shuffle shape with a count
+    instead of a clamp. Oracle: quantile_cont quartiles + identical
+    fence arithmetic."""
+    from pandas_ai_spark.functions.stats import iqr_outliers
+
+    ev = _t(spark, sf_dir, "events")
+    out = iqr_outliers(ev, "event_type", "value", k=1.5)
+    return out.select(
+        F.col("event_type"), "n",
+        F.round("q1", 6).alias("q1"), F.round("q3", 6).alias("q3"),
+        F.round("lo_fence", 6).alias("lo_fence"),
+        F.round("hi_fence", 6).alias("hi_fence"),
+        "n_outliers",
+        F.round("outlier_pct", 9).alias("outlier_pct"),
+    ).orderBy("event_type")
+
+
+def q123_token_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-fertility audit per language: BPE-ish tokens per
+    whitespace word and characters per token (text.regex_token_count /
+    token_count — both row-local JVM regex projections), aggregated per
+    document language. The pre-training sanity check that a tokenizer
+    isn't exploding some language's sequence lengths. One grouped agg;
+    int sums are exact so cross-engine averages agree to rounding.
+    Oracle: identical regex counting in DuckDB."""
+    from pandas_ai_spark.functions.text import (regex_token_count,
+                                                token_count)
+
+    docs = _t(spark, sf_dir, "documents")
+    t = F.col("text")
+    per = docs.select(
+        "lang",
+        token_count(t).alias("__w"),
+        regex_token_count(t).alias("__t"),
+        F.length(t).alias("__c"))
+    return (per.groupBy("lang")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("__w").cast("bigint").alias("n_words"),
+                 F.sum("__t").cast("bigint").alias("n_tokens"),
+                 F.round(F.sum("__t") / F.sum("__w"), 6)
+                 .alias("tokens_per_word"),
+                 F.round(F.sum("__c") / F.sum("__t"), 6)
+                 .alias("chars_per_token"))
+            .orderBy("lang"))
+
+
+def _q116_oracle() -> str:
+    """Benford oracle with the expected-share doubles inlined as
+    full-precision literals from the SAME Python array the Spark
+    operator folds in (stats._BENFORD_P) — both engines then do
+    identical double arithmetic instead of each calling its own
+    log10."""
+    from pandas_ai_spark.functions.stats import _BENFORD_P
+
+    exp_rows = " UNION ALL ".join(
+        f"SELECT {d} AS digit, {_BENFORD_P[d]!r}::DOUBLE AS expected_pct"
+        for d in range(1, 10))
+    return f"""
+        WITH base AS (
+          SELECT floor(l_extendedprice
+                       / power(10, floor(log10(l_extendedprice))))::INT
+                   AS digit
+          FROM lineitem
+          WHERE l_extendedprice IS NOT NULL AND l_extendedprice > 0
+        ), counts AS (
+          SELECT digit, count(*) AS n FROM base GROUP BY 1
+        ), tot AS (SELECT sum(n) AS t FROM counts),
+        exp AS ({exp_rows})
+        SELECT exp.digit, coalesce(n, 0)::BIGINT AS n,
+               round(coalesce(n, 0) / t::DOUBLE, 9) AS pct,
+               round(expected_pct, 9) AS expected_pct,
+               round(pow(coalesce(n, 0) - expected_pct * t, 2)
+                     / (expected_pct * t), 6) AS chi2_term
+        FROM exp LEFT JOIN counts ON exp.digit = counts.digit
+        CROSS JOIN tot ORDER BY exp.digit
+    """
 
 
 # ---------------------------------------------------------------------------
@@ -2487,6 +2753,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q111_join_size_estimate": q111_join_size_estimate,
         "q112_clean_pipeline": q112_clean_pipeline,
         "q113_welch_ttest": q113_welch_ttest,
+        "q114_kaplan_meier": q114_kaplan_meier,
+        "q115_gini_concentration": q115_gini_concentration,
+        "q116_benford_screen": q116_benford_screen,
+        "q117_association_rules": q117_association_rules,
+        "q118_readability": q118_readability,
+        "q119_interevent_gaps": q119_interevent_gaps,
+        "q120_value_deciles": q120_value_deciles,
+        "q121_audience_overlap": q121_audience_overlap,
+        "q122_outlier_fences": q122_outlier_fences,
+        "q123_token_fertility": q123_token_fertility,
     }
 
 
@@ -4903,6 +5179,240 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem
             GROUP BY l_returnflag, l_linestatus
             ORDER BY l_returnflag, l_linestatus
+        """,
+        "q114_kaplan_meier": """
+            WITH per_user AS (
+              SELECT user_id, min(ts::DATE) AS first_d,
+                     max(ts::DATE) AS last_d
+              FROM events GROUP BY 1
+            ), obs AS (SELECT max(last_d) AS end_d FROM per_user),
+            subj AS (
+              SELECT date_diff('day', first_d, last_d) AS t,
+                     CASE WHEN date_diff('day', last_d, end_d) > 7
+                          THEN 1 ELSE 0 END AS e
+              FROM per_user CROSS JOIN obs
+            ), tot AS (SELECT count(*) AS n FROM subj),
+            grain AS (
+              SELECT t, sum(e) AS n_events,
+                     sum(1 - e) AS n_censored
+              FROM subj GROUP BY t
+            ), risk AS (
+              SELECT t, n_events, n_censored,
+                     n - coalesce(sum(n_events + n_censored) OVER (
+                           ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND 1 PRECEDING), 0) AS n_risk
+              FROM grain CROSS JOIN tot
+            ), s AS (
+              SELECT t, n_risk, n_events, n_censored,
+                     max(CASE WHEN n_events >= n_risk THEN 1 ELSE 0
+                         END) OVER w AS zero_seen,
+                     sum(CASE WHEN n_events < n_risk
+                              THEN ln(1 - n_events / n_risk::DOUBLE)
+                              ELSE 0 END) OVER w AS logsum
+              FROM risk
+              WINDOW w AS (ORDER BY t ROWS BETWEEN UNBOUNDED
+                           PRECEDING AND CURRENT ROW)
+            )
+            SELECT t::INT AS t, n_risk::BIGINT AS n_risk,
+                   n_events::BIGINT AS n_events,
+                   n_censored::BIGINT AS n_censored,
+                   round(CASE WHEN zero_seen = 1 THEN 0.0
+                              ELSE exp(logsum) END, 9) AS survival
+            FROM s ORDER BY t
+        """,
+        "q115_gini_concentration": """
+            WITH spend AS (
+              SELECT o_custkey,
+                     round(sum(o_totalprice), 2) AS spend
+              FROM orders GROUP BY 1
+            ), j AS (
+              SELECT c_mktsegment AS seg, spend, o_custkey
+              FROM spend JOIN customer ON o_custkey = c_custkey
+            ), r AS (
+              SELECT seg, spend,
+                     row_number() OVER (PARTITION BY seg
+                                        ORDER BY spend, o_custkey) AS i
+              FROM j
+            )
+            SELECT seg AS segment, count(*)::BIGINT AS n,
+                   round(sum(spend), 2) AS total,
+                   round(2.0 * sum(i * spend)
+                         / (count(*) * sum(spend))
+                         - (count(*) + 1) / count(*)::DOUBLE, 6)
+                     AS gini
+            FROM r GROUP BY seg ORDER BY segment
+        """,
+        "q116_benford_screen": _q116_oracle(),
+        "q117_association_rules": """
+            WITH items AS (
+              SELECT DISTINCT l_orderkey AS b, p_brand AS i
+              FROM lineitem JOIN part ON l_partkey = p_partkey
+            ), nb AS (
+              SELECT count(DISTINCT b) AS n FROM items
+            ), ic AS (
+              SELECT i, count(*) AS ni FROM items GROUP BY i
+            ), p AS (
+              SELECT a.i AS item_a, b2.i AS item_b,
+                     count(*) AS support
+              FROM items a JOIN items b2
+                ON a.b = b2.b AND a.i < b2.i
+              GROUP BY 1, 2 HAVING count(*) >= 20
+            ), pr AS (
+              SELECT item_a, item_b, support,
+                     ia.ni AS sa, ib.ni AS sb, nb.n AS n
+              FROM p
+              JOIN ic ia ON ia.i = p.item_a
+              JOIN ic ib ON ib.i = p.item_b
+              CROSS JOIN nb
+            ), d AS (
+              SELECT item_a AS antecedent, item_b AS consequent,
+                     support, sa AS s_ante, sb AS s_cons, n FROM pr
+              UNION ALL
+              SELECT item_b, item_a, support, sb, sa, n FROM pr
+            )
+            SELECT antecedent, consequent, support::BIGINT AS support,
+                   round(support / s_ante::DOUBLE, 6) AS confidence,
+                   round(support::DOUBLE * n
+                         / (s_ante::DOUBLE * s_cons::DOUBLE), 6)
+                     AS lift,
+                   round(support / n::DOUBLE
+                         - (s_ante / n::DOUBLE) * (s_cons / n::DOUBLE),
+                         9) AS leverage,
+                   CASE WHEN support / s_ante::DOUBLE < 1.0
+                        THEN round((1.0 - s_cons / n::DOUBLE)
+                                   / (1.0 - support / s_ante::DOUBLE),
+                                   6)
+                   END AS conviction
+            FROM d
+            WHERE support / s_ante::DOUBLE >= 0.12
+            ORDER BY antecedent, consequent
+        """,
+        "q118_readability": """
+            WITH r AS (
+              SELECT doc_id,
+                     greatest(len(regexp_extract_all(lower(text),
+                                                     '[.!?]+')), 1)
+                       AS n_sentences,
+                     len(regexp_extract_all(lower(text), '[a-z]+'))
+                       AS n_words,
+                     len(regexp_extract_all(lower(text), '[aeiouy]+'))
+                       AS n_syllables
+              FROM documents
+            )
+            SELECT doc_id, n_sentences, n_words, n_syllables,
+                   round(n_words / n_sentences::DOUBLE, 6)
+                     AS words_per_sentence,
+                   round(n_syllables / n_words::DOUBLE, 6)
+                     AS syllables_per_word,
+                   round(206.835
+                         - 1.015 * (n_words / n_sentences::DOUBLE)
+                         - 84.6 * (n_syllables / n_words::DOUBLE), 4)
+                     AS flesch
+            FROM r WHERE n_words > 0 ORDER BY doc_id
+        """,
+        "q119_interevent_gaps": """
+            WITH g AS (
+              SELECT event_type,
+                     (epoch_us(ts) - epoch_us(lag(ts) OVER (
+                        PARTITION BY user_id, event_type
+                        ORDER BY ts, event_id))) / 1000000.0 AS gap
+              FROM events
+            )
+            SELECT event_type, count(*)::BIGINT AS n_gaps,
+                   round(avg(gap), 3) AS mean_gap_s,
+                   round(quantile_cont(gap, 0.5), 3) AS median_gap_s,
+                   round(quantile_cont(gap, 0.9), 3) AS p90_gap_s
+            FROM g WHERE gap IS NOT NULL
+            GROUP BY event_type ORDER BY event_type
+        """,
+        "q120_value_deciles": """
+            WITH e AS (
+              SELECT quantile_cont(o_totalprice,
+                       [0.1, 0.2, 0.3, 0.4, 0.5,
+                        0.6, 0.7, 0.8, 0.9]) AS ed
+              FROM orders
+            ), b AS (
+              SELECT o_totalprice AS v,
+                     1 + (v > ed[1])::INT + (v > ed[2])::INT
+                       + (v > ed[3])::INT + (v > ed[4])::INT
+                       + (v > ed[5])::INT + (v > ed[6])::INT
+                       + (v > ed[7])::INT + (v > ed[8])::INT
+                       + (v > ed[9])::INT AS bucket
+              FROM orders CROSS JOIN e
+            )
+            SELECT bucket, count(*)::BIGINT AS n,
+                   round(min(v), 2) AS min_price,
+                   round(avg(v), 4) AS avg_price,
+                   round(max(v), 2) AS max_price
+            FROM b GROUP BY bucket ORDER BY bucket
+        """,
+        "q121_audience_overlap": """
+            WITH per AS (
+              SELECT DISTINCT event_type AS g, user_id AS u
+              FROM events
+              WHERE event_type IS NOT NULL AND user_id IS NOT NULL
+            ), sz AS (
+              SELECT g, count(*) AS n FROM per GROUP BY 1
+            ), inter AS (
+              SELECT a.g AS group_a, b.g AS group_b,
+                     count(*) AS n_both
+              FROM per a JOIN per b ON a.u = b.u AND a.g < b.g
+              GROUP BY 1, 2
+            )
+            SELECT group_a, group_b,
+                   sa.n::BIGINT AS n_a, sb.n::BIGINT AS n_b,
+                   n_both::BIGINT AS n_both,
+                   round(n_both / (sa.n + sb.n - n_both)::DOUBLE, 6)
+                     AS jaccard
+            FROM inter
+            JOIN sz sa ON sa.g = inter.group_a
+            JOIN sz sb ON sb.g = inter.group_b
+            ORDER BY group_a, group_b
+        """,
+        "q122_outlier_fences": """
+            WITH b AS (
+              SELECT event_type,
+                     quantile_cont(value, 0.25) AS q1,
+                     quantile_cont(value, 0.75) AS q3
+              FROM events GROUP BY 1
+            ), j AS (
+              SELECT e.event_type, e.value, b.q1, b.q3,
+                     b.q1 - 1.5 * (b.q3 - b.q1) AS lo,
+                     b.q3 + 1.5 * (b.q3 - b.q1) AS hi
+              FROM events e JOIN b USING (event_type)
+              WHERE e.value IS NOT NULL
+            )
+            SELECT event_type, count(*)::BIGINT AS n,
+                   round(min(q1), 6) AS q1, round(min(q3), 6) AS q3,
+                   round(min(lo), 6) AS lo_fence,
+                   round(min(hi), 6) AS hi_fence,
+                   sum(CASE WHEN value < lo OR value > hi
+                            THEN 1 ELSE 0 END)::BIGINT AS n_outliers,
+                   round(sum(CASE WHEN value < lo OR value > hi
+                                  THEN 1 ELSE 0 END)
+                         / count(*)::DOUBLE, 9) AS outlier_pct
+            FROM j GROUP BY event_type ORDER BY event_type
+        """,
+        "q123_token_fertility": """
+            WITH per AS (
+              SELECT lang,
+                     CASE WHEN trim(text) = '' THEN 0
+                          ELSE len(string_split_regex(trim(text),
+                                                      '\\s+'))
+                     END AS w,
+                     len(regexp_extract_all(text,
+                       '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS t,
+                     length(text) AS c
+              FROM documents
+            )
+            SELECT lang, count(*)::BIGINT AS n_docs,
+                   sum(w)::BIGINT AS n_words,
+                   sum(t)::BIGINT AS n_tokens,
+                   round(sum(t) / sum(w)::DOUBLE, 6)
+                     AS tokens_per_word,
+                   round(sum(c) / sum(t)::DOUBLE, 6)
+                     AS chars_per_token
+            FROM per GROUP BY lang ORDER BY lang
         """,
     }
 

@@ -199,3 +199,86 @@ def rfm_segments(df: DataFrame, user_col: str, ts_col: str,
         _score("frequency", edges_row["f"]).alias("f"),
         _score("monetary", edges_row["m"]).alias("m"),
     ).withColumn("segment", F.concat_ws("", "r", "f", "m"))
+
+
+def interevent_gaps(df: DataFrame, user_col: str, ts_col: str,
+                    type_col: str, id_col: str,
+                    approx: bool | None = None) -> DataFrame:
+    """Inter-event time distribution per event type:
+    ``(event_type, n_gaps, mean_gap_s, median_gap_s, p90_gap_s)``
+    over the gaps between each user's CONSECUTIVE events of that type
+    — the arrival-process profile (engagement cadence, polling
+    detection, session-gap calibration for q16-style sessionization).
+
+    Shape: one ``lag`` window partitioned by (user, type) — never a
+    global window — ordered by (ts, id) so exact-tie order is pinned;
+    then ONE type-keyed aggregation. The percentiles ride the same
+    auto exact→approx switch as the stats family. Epoch-microsecond
+    arithmetic matches the DuckDB oracle exactly.
+    """
+    from pyspark.sql.window import Window
+
+    from pandas_ai_spark.functions.stats import _pct, _resolve_approx
+
+    resolved = _resolve_approx(df, approx)
+    w = (Window.partitionBy(user_col, type_col)
+               .orderBy(F.col(ts_col), F.col(id_col)))
+    ep = F.unix_micros(F.col(ts_col))
+    gaps = (df.withColumn("__gap",
+                          (ep - F.lag(ep).over(w)) / 1_000_000.0)
+              .where(F.col("__gap").isNotNull()))
+    return (gaps.groupBy(F.col(type_col).alias("event_type"))
+            .agg(F.count("*").alias("n_gaps"),
+                 F.avg("__gap").alias("mean_gap_s"),
+                 _pct(F.col("__gap"), 0.5, resolved)
+                 .alias("median_gap_s"),
+                 _pct(F.col("__gap"), 0.9, resolved)
+                 .alias("p90_gap_s")))
+
+
+def audience_overlap(df: DataFrame, group_col: str, user_col: str
+                     ) -> DataFrame:
+    """Pairwise audience overlap between segments (event types,
+    campaigns, cohorts): ``(group_a, group_b, n_a, n_b, n_both,
+    jaccard)`` for every unordered pair of groups sharing at least one
+    user — which segments reach the same people.
+
+    Shape: the q78 basket pattern with USERS as baskets and GROUPS as
+    items — distinct (group, user) in one shuffle, per-user sorted
+    group array on the same key, ROW-LOCAL unordered-pair expansion
+    (each co-membership emitted once, never a user-keyed self-join
+    whose hot users explode quadratically — the array slice bounds it
+    at |groups per user|², and |groups| is small by construction),
+    one pair-keyed count, broadcast size lookups. Intersection-only
+    output: pairs with zero shared users are absent (their Jaccard
+    is 0).
+    """
+    per = (df.select(F.col(group_col).alias("__g"),
+                     F.col(user_col).alias("__u"))
+             .where(F.col("__g").isNotNull() & F.col("__u").isNotNull())
+             .distinct())
+    sizes = per.groupBy("__g").agg(F.count("*").alias("__n"))
+    baskets = per.groupBy("__u").agg(
+        F.array_sort(F.collect_set("__g")).alias("__gs"))
+    pair_structs = F.flatten(F.transform(
+        F.col("__gs"),
+        lambda x, i: F.transform(
+            F.slice(F.col("__gs"), i + 2,
+                    F.greatest(F.size("__gs") - i - 1, F.lit(0))),
+            lambda y: F.struct(x.alias("a"), y.alias("b")))))
+    inter = (baskets.select(F.explode(pair_structs).alias("__p"))
+             .groupBy(F.col("__p.a").alias("group_a"),
+                      F.col("__p.b").alias("group_b"))
+             .agg(F.count("*").alias("n_both")))
+    out = (inter
+           .join(F.broadcast(sizes.withColumnRenamed("__g", "group_a")
+                             .withColumnRenamed("__n", "n_a")),
+                 "group_a")
+           .join(F.broadcast(sizes.withColumnRenamed("__g", "group_b")
+                             .withColumnRenamed("__n", "n_b")),
+                 "group_b"))
+    return out.select(
+        "group_a", "group_b", "n_a", "n_b", "n_both",
+        (F.col("n_both").cast("double")
+         / (F.col("n_a") + F.col("n_b") - F.col("n_both")))
+        .alias("jaccard"))

@@ -106,3 +106,47 @@ def frequent_pairs(
          / (F.col("support_a").cast("double") * F.col("support_b")))
         .alias("lift"),
     )
+
+
+def association_rules(pairs: DataFrame,
+                      min_confidence: float = 0.0) -> DataFrame:
+    """Directed association rules from a :func:`frequent_pairs` table:
+    each unordered pair expands ROW-LOCALLY into its two directions
+    with ``(antecedent, consequent, support, confidence, lift,
+    leverage, conviction)`` — confidence is direction-specific
+    (``support/support_antecedent``), lift/leverage are symmetric,
+    conviction is ``(1 − P(consequent)) / (1 − confidence)`` (NULL for
+    exact rules, where it is +∞). Rules below ``min_confidence`` are
+    dropped.
+
+    Shape: zero shuffles — the input is the (already tiny,
+    min-support-filtered) pair table and the expansion is a row-local
+    explode of a 2-element struct array. The basket total is recovered
+    arithmetically from lift (``N = lift·sa·sb/support`` — exact in
+    doubles for any realistic corpus), so no re-scan of the source.
+    """
+    n = F.round(F.col("lift") * F.col("support_a")
+                * F.col("support_b") / F.col("support"))
+    both = pairs.select(
+        "*", n.alias("__n"),
+        F.explode(F.array(
+            F.struct(F.col("item_a").alias("antecedent"),
+                     F.col("item_b").alias("consequent"),
+                     F.col("support_a").alias("__s_ante"),
+                     F.col("support_b").alias("__s_cons")),
+            F.struct(F.col("item_b").alias("antecedent"),
+                     F.col("item_a").alias("consequent"),
+                     F.col("support_b").alias("__s_ante"),
+                     F.col("support_a").alias("__s_cons")),
+        )).alias("__r"))
+    conf = F.col("support") / F.col("__r.__s_ante")
+    p_cons = F.col("__r.__s_cons") / F.col("__n")
+    conviction = F.when(conf < 1.0, (1.0 - p_cons) / (1.0 - conf))
+    leverage = (F.col("support") / F.col("__n")
+                - (F.col("__r.__s_ante") / F.col("__n")) * p_cons)
+    return (both.select(
+        F.col("__r.antecedent").alias("antecedent"),
+        F.col("__r.consequent").alias("consequent"),
+        "support", conf.alias("confidence"), "lift",
+        leverage.alias("leverage"), conviction.alias("conviction"))
+        .where(F.col("confidence") >= float(min_confidence)))

@@ -552,3 +552,152 @@ def welch_ttest(df: DataFrame, group_col: str, value_col: str,
         "n_a", "n_b", "mean_a", "mean_b",
         t.alias("t"), dof.alias("dof"),
         (F.abs(t) >= F.lit(float(t_critical))).alias("significant"))
+
+
+def gini_coefficient(df: DataFrame, value_col: str,
+                     by: list[str] | None = None,
+                     tiebreak: str | None = None) -> DataFrame:
+    """Per-group Gini concentration coefficient over non-negative
+    values: ``(*by, n, total, gini)`` via the rank formula
+    ``G = 2·Σ(i·x_(i)) / (n·Σx) − (n+1)/n`` on the ascending-sorted
+    values — the inequality/concentration measure (wealth, traffic,
+    token-frequency skew). 0 = perfectly even, →1 = fully concentrated.
+
+    Shape: ONE group-partitioned rank window (never a global sort when
+    ``by`` is given — each group sorts inside its own partition) + one
+    grouped aggregation on the same key, so the whole statistic is one
+    key shuffle. ``tiebreak`` (an id column) pins the rank order of
+    equal values — the formula's VALUE is tie-invariant (equal x swap
+    ranks with equal weight… i·x + j·x is symmetric only when x's are
+    equal, which is exactly the tie case), but a pinned order keeps
+    the plan deterministic. NULL values are excluded; negative values
+    raise (Gini is defined for non-negative distributions); an
+    all-zero group yields NULL gini (0/0) — surfaced, not hidden.
+    """
+    from pyspark.sql.window import Window
+
+    v = F.col(value_col).cast("double")
+    base = df.where(v.isNotNull()).select(
+        *(by or []), v.alias("__x"),
+        *( [F.col(tiebreak).alias("__tb")] if tiebreak else []))
+    if base.where(F.col("__x") < 0).limit(1).count():
+        raise ValueError("gini_coefficient needs non-negative values")
+    order = [F.col("__x")] + ([F.col("__tb")] if tiebreak else [])
+    w = (Window.partitionBy(*by).orderBy(*order) if by
+         else Window.orderBy(*order))
+    ranked = base.withColumn("__i", F.row_number().over(w))
+    gb = ranked.groupBy(*by) if by else ranked.groupBy()
+    n = F.count("*")
+    return gb.agg(
+        n.alias("n"),
+        F.sum("__x").alias("total"),
+        ((2.0 * F.sum(F.col("__i") * F.col("__x")))
+         / (n * F.sum("__x"))
+         - (n + 1) / n.cast("double")).alias("gini"))
+
+
+# Benford's-law expected first-digit shares log10(1 + 1/d), d = 1..9
+_BENFORD_P = [0.0] + [__import__("math").log10(1 + 1 / d)
+                      for d in range(1, 10)]
+
+
+def benford_test(df: DataFrame, value_col: str) -> DataFrame:
+    """First-significant-digit distribution vs Benford's law: one row
+    per digit 1–9 with ``(digit, n, pct, expected_pct, chi2_term)`` —
+    the classic fabricated-data / anomaly screen for naturally-spread
+    magnitudes (prices, populations). ``Σ chi2_term`` against
+    chi-square(8) is the test statistic.
+
+    Shape: the digit is extracted row-locally and arithmetically
+    (``floor(x / 10^floor(log10 x))`` — no string formatting, exact
+    for any magnitude), ONE digit-keyed aggregation (9 groups), and
+    the grand total is a driver scalar (scalar-only collect, the
+    q58/q89 pattern) folded in as a literal. Rows with NULL, zero, or
+    negative values are excluded (no first significant digit).
+    """
+    x = F.col(value_col).cast("double")
+    digit = F.floor(x / F.pow(F.lit(10.0), F.floor(F.log10(x))))
+    base = (df.where(x.isNotNull() & (x > 0))
+              .select(digit.cast("int").alias("digit")))
+    counts = base.groupBy("digit").agg(F.count("*").alias("n"))
+    total = counts.agg(F.sum("n")).collect()[0][0] or 0
+    if total == 0:
+        raise ValueError("benford_test needs positive values")
+    spark = df.sparkSession
+    spine = spark.range(1, 10).select(
+        F.col("id").cast("int").alias("digit"),
+        F.element_at(F.array(*[F.lit(p) for p in _BENFORD_P]),
+                     F.col("id").cast("int") + 1).alias("expected_pct"))
+    j = (spine.join(counts, "digit", "left").fillna(0, ["n"]))
+    pct = F.col("n") / F.lit(float(total))
+    exp_n = F.col("expected_pct") * F.lit(float(total))
+    return j.select(
+        "digit", "n", pct.alias("pct"), "expected_pct",
+        ((F.col("n") - exp_n) ** 2 / exp_n).alias("chi2_term"),
+    ).orderBy("digit")
+
+
+def iqr_outliers(df: DataFrame, group_col: str, value_col: str,
+                 k: float = 1.5,
+                 approx: bool | None = None) -> DataFrame:
+    """Per-group Tukey-fence outlier audit:
+    ``(group, n, q1, q3, lo_fence, hi_fence, n_outliers, outlier_pct)``
+    with fences ``q1 − k·IQR`` / ``q3 + k·IQR`` — the robust
+    anomaly-rate profile (k=1.5 mild, 3.0 extreme).
+
+    Shape: :func:`grouped_iqr` (ONE percentile pass; auto exact→approx
+    above ``EXACT_STATE_MAX_BYTES``) + the tiny per-group bounds table
+    re-attached on the grouping key (broadcast-eligible) + one more
+    grouped count — the winsorize two-shuffle shape with a count
+    instead of a clamp.
+    """
+    v = F.col(value_col).cast("double")
+    bounds = grouped_iqr(df, group_col, value_col, approx=approx) \
+        .withColumnRenamed(group_col, "__g")
+    j = df.where(v.isNotNull()).join(
+        bounds, F.col(group_col).eqNullSafe(F.col("__g"))).drop("__g")
+    lo = F.col("q1") - F.lit(float(k)) * F.col("iqr")
+    hi = F.col("q3") + F.lit(float(k)) * F.col("iqr")
+    out = (v < lo) | (v > hi)
+    return (j.groupBy(group_col)
+             .agg(F.count("*").alias("n"),
+                  F.min("q1").alias("q1"), F.min("q3").alias("q3"),
+                  F.min(lo).alias("lo_fence"),
+                  F.min(hi).alias("hi_fence"),
+                  F.sum(out.cast("int")).alias("n_outliers"))
+             .withColumn("outlier_pct",
+                         F.col("n_outliers") / F.col("n")))
+
+
+def quantile_buckets(df: DataFrame, value_col: str, n_buckets: int = 10,
+                     bucket_col: str = "bucket",
+                     approx: bool | None = None) -> DataFrame:
+    """Append an equi-population bucket id (1..``n_buckets``) scored
+    against the GLOBAL quantile edges of ``value_col`` — the
+    decile/percentile feature without ``ntile``'s global window: a
+    whole-table ``ntile`` funnels every row through ONE task, while
+    this is the rfm pattern — one array-percentile aggregation, the
+    n−1 edges come back as driver scalars, and the bucketing is a
+    row-local comparison chain that rides the scan (zero extra
+    shuffles, unlimited scale). ``approx=None`` auto-engages the GK
+    sketch above ``EXACT_STATE_MAX_BYTES``. Rows with NULL values get
+    NULL bucket. Bucket boundaries follow the strict-greater
+    convention (value > edge ⇒ next bucket) — identical to the RFM
+    scorer and replicable in any engine.
+    """
+    if n_buckets < 2:
+        raise ValueError("n_buckets must be >= 2")
+    resolved = _resolve_approx(df, approx)
+    v = F.col(value_col).cast("double")
+    fracs = [i / n_buckets for i in range(1, n_buckets)]
+    arr = F.array(*[F.lit(f) for f in fracs])
+    edge_agg = (F.percentile_approx(v, arr, 10_000) if resolved
+                else F.percentile(v, arr))
+    edges = df.agg(edge_agg.alias("e")).collect()[0]["e"]
+    if edges is None:
+        raise ValueError("quantile_buckets needs non-null values")
+    score = F.lit(1)
+    for e in edges:
+        score = score + F.when(v > F.lit(float(e)), 1).otherwise(0)
+    return df.withColumn(
+        bucket_col, F.when(v.isNotNull(), score).otherwise(F.lit(None)))

@@ -650,3 +650,45 @@ def ngram_novelty(df: DataFrame, reference: DataFrame | None = None,
                            .otherwise(0)).alias("n_novel"))
                .withColumn("novelty",
                            F.col("n_novel") / F.col("n_grams")))
+
+
+def readability(df: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Per-document readability profile:
+    ``(id, n_sentences, n_words, n_syllables, words_per_sentence,
+    syllables_per_word, flesch)`` with the Flesch reading-ease formula
+    ``206.835 − 1.015·(words/sentences) − 84.6·(syllables/word)``.
+    Syllables use the standard vowel-group proxy (runs of ``[aeiouy]``
+    in the lowercased text — the Flesch-Kincaid implementations ship
+    the same heuristic); sentences are runs of ``[.!?]`` (min 1 so a
+    fragment without terminal punctuation is one sentence, not a
+    division by zero).
+
+    Scale shape: every count is a row-local ``regexp_extract_all``
+    over the document — zero shuffles, the projection rides the scan;
+    replicable in any engine with POSIX regexes (the DuckDB oracle
+    uses the identical patterns). Documents with no words are dropped
+    (no readability to report).
+    """
+    low = F.lower(F.col(text_col))
+    n_sent = F.greatest(
+        F.size(F.regexp_extract_all(low, F.lit("[.!?]+"), 0)), F.lit(1))
+    n_words = F.size(F.regexp_extract_all(low, F.lit("[a-z]+"), 0))
+    n_syll = F.size(F.regexp_extract_all(low, F.lit("[aeiouy]+"), 0))
+    wps = n_words.cast("double") / n_sent
+    spw = n_syll.cast("double") / n_words
+    return (df.select(F.col(id_col).alias("id"),
+                      n_sent.alias("n_sentences"),
+                      n_words.alias("n_words"),
+                      n_syll.alias("n_syllables"))
+              .where(F.col("n_words") > 0)
+              .withColumn("words_per_sentence",
+                          F.col("n_words").cast("double")
+                          / F.col("n_sentences"))
+              .withColumn("syllables_per_word",
+                          F.col("n_syllables").cast("double")
+                          / F.col("n_words"))
+              .withColumn("flesch",
+                          F.lit(206.835)
+                          - 1.015 * F.col("words_per_sentence")
+                          - 84.6 * F.col("syllables_per_word")))

@@ -298,3 +298,229 @@ class TestCacheScopePipeline:
         new = after - before
         assert len(new) <= 2, new
         assert clean.count() == stats.final_docs
+
+# ---------------------------------------------------------------------------
+# round-6 additive operators
+# ---------------------------------------------------------------------------
+
+class TestKaplanMeier:
+    def test_textbook_curve(self, spark):
+        from pandas_ai_spark.functions.survival import kaplan_meier
+
+        # classic 5-subject example: events at 1, 3; censored at 2, 4, 5
+        rows = [(1.0, 1), (2.0, 0), (3.0, 1), (4.0, 0), (5.0, 0)]
+        df = spark.createDataFrame(rows, "d double, e int")
+        out = {r.t: r for r in kaplan_meier(df, "d", "e").collect()}
+        assert out[1.0].n_risk == 5 and out[1.0].n_events == 1
+        assert abs(out[1.0].survival - 4 / 5) < 1e-12
+        # at t=3 risk set is 3 (subject 2 censored): S = 4/5 * 2/3
+        assert out[3.0].n_risk == 3
+        assert abs(out[3.0].survival - (4 / 5) * (2 / 3)) < 1e-12
+        # censoring alone never reduces survival
+        assert abs(out[5.0].survival - out[3.0].survival) < 1e-12
+
+    def test_all_events_at_once_absorbs_to_zero(self, spark):
+        from pandas_ai_spark.functions.survival import kaplan_meier
+
+        df = spark.createDataFrame([(2.0, 1)] * 4, "d double, e int")
+        out = kaplan_meier(df, "d", "e").collect()
+        assert len(out) == 1 and out[0].survival == 0.0
+
+    def test_negative_and_empty_raise(self, spark):
+        from pandas_ai_spark.functions.survival import kaplan_meier
+
+        with pytest.raises(ValueError):
+            kaplan_meier(spark.createDataFrame([(-1.0, 1)],
+                                               "d double, e int"),
+                         "d", "e")
+        with pytest.raises(ValueError):
+            kaplan_meier(spark.createDataFrame([], "d double, e int"),
+                         "d", "e")
+
+
+class TestGini:
+    def test_equal_values_zero(self, spark):
+        from pandas_ai_spark.functions.stats import gini_coefficient
+
+        df = spark.createDataFrame([(10.0,)] * 8, "v double")
+        g = gini_coefficient(df, "v").collect()[0]
+        assert abs(g.gini) < 1e-12 and g.n == 8
+
+    def test_full_concentration_approaches_one(self, spark):
+        from pandas_ai_spark.functions.stats import gini_coefficient
+
+        rows = [(0.0,)] * 99 + [(100.0,)]
+        df = spark.createDataFrame(rows, "v double")
+        g = gini_coefficient(df, "v").collect()[0]
+        # exact: G = (n-1)/n when one holder owns everything
+        assert abs(g.gini - 99 / 100) < 1e-12
+
+    def test_grouped_and_negative_raises(self, spark):
+        from pandas_ai_spark.functions.stats import gini_coefficient
+
+        df = spark.createDataFrame(
+            [("a", 1.0, 1), ("a", 1.0, 2), ("b", 0.0, 3), ("b", 9.0, 4)],
+            "g string, v double, id long")
+        out = {r.g: r.gini for r in gini_coefficient(
+            df, "v", by=["g"], tiebreak="id").collect()}
+        assert abs(out["a"]) < 1e-12 and out["b"] > 0.4
+        with pytest.raises(ValueError):
+            gini_coefficient(spark.createDataFrame([(-1.0,)],
+                                                   "v double"),
+                             "v").collect()
+
+
+class TestBenford:
+    def test_digits_and_chi2(self, spark):
+        from pandas_ai_spark.functions.stats import benford_test
+
+        # values engineered per leading digit: 1 appears 3x, 9 once;
+        # 0/negative/null excluded
+        rows = [(1.23,), (10.0,), (199.0,), (0.25,), (9000.0,),
+                (0.0,), (-5.0,), (None,)]
+        df = spark.createDataFrame(rows, "v double")
+        out = {r.digit: r for r in benford_test(df, "v").collect()}
+        assert len(out) == 9
+        assert out[1].n == 3 and out[2].n == 1 and out[9].n == 1
+        assert out[3].n == 0 and out[3].chi2_term > 0  # expected>0
+        total = sum(r.n for r in out.values())
+        assert total == 5
+        assert abs(sum(r.pct for r in out.values()) - 1.0) < 1e-12
+
+    def test_all_nonpositive_raises(self, spark):
+        from pandas_ai_spark.functions.stats import benford_test
+
+        df = spark.createDataFrame([(0.0,), (-3.0,)], "v double")
+        with pytest.raises(ValueError):
+            benford_test(df, "v")
+
+
+class TestAssociationRules:
+    def _pairs(self, spark):
+        from pandas_ai_spark.functions.mining import frequent_pairs
+
+        # baskets: {a,b} x3, {a} x1  -> support(a)=4, b=3, ab=3, N=4
+        rows = [(i, x) for i in range(3) for x in ("a", "b")] + [(9, "a")]
+        df = spark.createDataFrame(rows, "b long, i string")
+        return frequent_pairs(df, "b", "i", min_support=1)
+
+    def test_directed_metrics(self, spark):
+        from pandas_ai_spark.functions.mining import association_rules
+
+        rules = {(r.antecedent, r.consequent): r
+                 for r in association_rules(self._pairs(spark)).collect()}
+        ab, ba = rules[("a", "b")], rules[("b", "a")]
+        assert abs(ab.confidence - 3 / 4) < 1e-12
+        assert abs(ba.confidence - 1.0) < 1e-12
+        assert abs(ab.lift - ba.lift) < 1e-12  # symmetric
+        # leverage = 3/4 - (4/4)(3/4) = 0
+        assert abs(ab.leverage) < 1e-12
+        # conviction(a->b) = (1 - 3/4)/(1 - 3/4) = 1; b->a exact => NULL
+        assert abs(ab.conviction - 1.0) < 1e-12
+        assert ba.conviction is None
+
+    def test_min_confidence_filters(self, spark):
+        from pandas_ai_spark.functions.mining import association_rules
+
+        rules = association_rules(self._pairs(spark),
+                                  min_confidence=0.9).collect()
+        assert {(r.antecedent, r.consequent)
+                for r in rules} == {("b", "a")}
+
+
+class TestReadability:
+    def test_counts_and_flesch(self, spark):
+        from pandas_ai_spark.functions.text import readability
+
+        df = spark.createDataFrame(
+            [(1, "The cat sat. The dog ran!"), (2, "???")],
+            "doc_id long, text string")
+        out = readability(df).collect()
+        assert len(out) == 1  # doc 2 has no words
+        r = out[0]
+        assert r.n_sentences == 2 and r.n_words == 6
+        # vowel groups: the/ca/sa/the/do/ra -> 1 each = 6
+        assert r.n_syllables == 6
+        want = 206.835 - 1.015 * 3.0 - 84.6 * 1.0
+        assert abs(r.flesch - want) < 1e-9
+
+    def test_no_terminal_punct_is_one_sentence(self, spark):
+        from pandas_ai_spark.functions.text import readability
+
+        df = spark.createDataFrame([(1, "hello world")],
+                                   "doc_id long, text string")
+        assert readability(df).collect()[0].n_sentences == 1
+
+
+class TestIntereventGaps:
+    def test_gap_stats(self, spark):
+        from pandas_ai_spark.functions.events import interevent_gaps
+
+        rows = [(1, dt.datetime(2024, 1, 1, 0, 0, s), 7, "x")
+                for s in (0, 10, 30)]          # gaps 10, 20
+        rows += [(2, dt.datetime(2024, 1, 1, 0, 0, 5), 8, "x")]  # no gap
+        df = spark.createDataFrame(
+            rows, "event_id long, ts timestamp, user_id long, "
+                  "event_type string")
+        out = interevent_gaps(df, "user_id", "ts", "event_type",
+                              "event_id").collect()
+        assert len(out) == 1
+        r = out[0]
+        assert r.n_gaps == 2 and abs(r.mean_gap_s - 15.0) < 1e-9
+        assert abs(r.median_gap_s - 15.0) < 1e-9  # interpolated
+
+
+class TestAudienceOverlap:
+    def test_jaccard(self, spark):
+        from pandas_ai_spark.functions.events import audience_overlap
+
+        rows = [("x", 1), ("x", 2), ("x", 2),  # dup collapses
+                ("y", 2), ("y", 3), ("z", 9)]
+        df = spark.createDataFrame(rows, "g string, u long")
+        out = {(r.group_a, r.group_b): r
+               for r in audience_overlap(df, "g", "u").collect()}
+        assert set(out) == {("x", "y")}  # z shares no users
+        r = out[("x", "y")]
+        assert r.n_a == 2 and r.n_b == 2 and r.n_both == 1
+        assert abs(r.jaccard - 1 / 3) < 1e-12
+
+
+class TestOutlierFences:
+    def test_fences_and_counts(self, spark):
+        from pandas_ai_spark.functions.stats import iqr_outliers
+
+        vals = [float(x) for x in range(1, 12)] + [100.0]
+        df = spark.createDataFrame([("g", v) for v in vals],
+                                   "g string, v double")
+        r = iqr_outliers(df, "g", "v", k=1.5).collect()[0]
+        assert r.n == 12 and r.n_outliers == 1  # only the 100
+        assert r.lo_fence < 1.0 and r.hi_fence < 100.0
+
+
+class TestQuantileBuckets:
+    def test_deciles_are_equipopulated(self, spark):
+        from pandas_ai_spark.functions.stats import quantile_buckets
+
+        df = spark.createDataFrame([(float(i),) for i in range(100)],
+                                   "v double")
+        out = quantile_buckets(df, "v", n_buckets=10)
+        counts = {r.bucket: r.n for r in
+                  out.groupBy("bucket").agg(F.count("*").alias("n"))
+                     .collect()}
+        assert set(counts) == set(range(1, 11))
+        assert all(c == 10 for c in counts.values())
+
+    def test_null_value_gets_null_bucket(self, spark):
+        from pandas_ai_spark.functions.stats import quantile_buckets
+
+        df = spark.createDataFrame([(1.0,), (2.0,), (None,)],
+                                   "v double")
+        rows = quantile_buckets(df, "v", n_buckets=2).collect()
+        assert any(r.bucket is None for r in rows if r.v is None)
+
+    def test_bad_buckets_raise(self, spark):
+        from pandas_ai_spark.functions.stats import quantile_buckets
+
+        df = spark.createDataFrame([(1.0,)], "v double")
+        with pytest.raises(ValueError):
+            quantile_buckets(df, "v", n_buckets=1)

@@ -45,6 +45,12 @@ ALLOW: dict[str, set[str]] = {
     # via m element_at lookups. The nested-loop flag is the query-side
     # broadcast, not an unbounded O(N·M) comparison.
     "q83_pq_ann": {"nested_loop"},
+    # Kaplan-Meier's risk-set/product-limit cumulatives are BY DESIGN a
+    # global-ordered window over the POST-AGGREGATION duration grain —
+    # cardinality = distinct durations (days/buckets, thousands at
+    # most), never subjects; the subject table is fully map-side
+    # reduced before one task ever sees it (see survival.kaplan_meier)
+    "q114_kaplan_meier": {"global_window"},
     # tfidf / cross-entropy / decontamination / span excision compute a
     # scalar count() (documented) — plan still audited below
 }

@@ -2528,6 +2528,72 @@ def q123_token_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("lang"))
 
 
+def q124_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon character entropy per document (text.char_entropy):
+    computed ROW-LOCALLY by folding over the sorted char array with
+    the ``H = log2 N − Σ n·log2 n / N`` identity — zero shuffles; the
+    explode+groupBy alternative would shuffle one row PER CHARACTER
+    of a 100 TB corpus. Oracle: the unnest+group form of the same
+    identity (algorithm-independent semantics, 6dp)."""
+    from pandas_ai_spark.functions.text import char_entropy
+
+    docs = _t(spark, sf_dir, "documents")
+    ent = char_entropy(F.col("text"))
+    return (docs.select("doc_id", "n_chars",
+                        F.round(ent, 6).alias("entropy"))
+                .where(F.col("entropy").isNotNull())
+                .orderBy("doc_id"))
+
+
+def q125_robust_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level modified z-scores per event type
+    (stats.robust_zscore, Iglewicz-Hoaglin 0.6745·(x−med)/MAD):
+    grouped_mad's two shared percentile passes produce the tiny
+    per-type (median, mad) table, broadcast re-attach, row-local
+    score + 3.5 cutoff. Oracle: DuckDB quantile_cont + mad() with
+    identical arithmetic."""
+    from pandas_ai_spark.functions.stats import robust_zscore
+
+    ev = _t(spark, sf_dir, "events")
+    out = robust_zscore(ev, "event_type", "value")
+    return out.select(
+        "event_id", "event_type", "value",
+        F.round("median", 6).alias("median"),
+        F.round("mad", 6).alias("mad"),
+        F.round("robust_z", 6).alias("robust_z"),
+        "is_outlier",
+    ).orderBy("event_id")
+
+
+def q126_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch revenue attribution: each purchase credits the
+    user's most recent click within a 3-day window (q36's
+    union-sort-carry as-of join with tolerance — one user-key
+    shuffle), campaign derived from the click's JSON props
+    (``k mod 5``); unmatched purchases land in 'none'. One grouped
+    rollup of count + revenue per campaign. Oracle: DuckDB native
+    ASOF JOIN + post-filter to the window (equivalent semantics: the
+    as-of candidate is unique, so nulling it outside the window
+    equals tolerance-aware matching)."""
+    from pandas_ai_spark.functions.timeseries import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase") \
+        .select("event_id", "user_id", "ts", "value")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", "ts",
+        F.concat(F.lit("c"),
+                 (F.get_json_object("props", "$.k").cast("int") % 5)
+                 .cast("string")).alias("campaign"))
+    j = asof_join(purchases, clicks, by=["user_id"],
+                  tolerance="3 days")
+    return (j.groupBy(F.coalesce(F.col("campaign_right"),
+                                 F.lit("none")).alias("campaign"))
+             .agg(F.count("*").alias("n_purchases"),
+                  F.round(F.sum("value"), 2).alias("revenue"))
+             .orderBy("campaign"))
+
+
 def _q116_oracle() -> str:
     """Benford oracle with the expected-share doubles inlined as
     full-precision literals from the SAME Python array the Spark
@@ -2763,6 +2829,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q121_audience_overlap": q121_audience_overlap,
         "q122_outlier_fences": q122_outlier_fences,
         "q123_token_fertility": q123_token_fertility,
+        "q124_char_entropy": q124_char_entropy,
+        "q125_robust_zscore": q125_robust_zscore,
+        "q126_attribution": q126_attribution,
     }
 
 
@@ -5392,6 +5461,63 @@ def oracle_sql() -> dict[str, str]:
                                   THEN 1 ELSE 0 END)
                          / count(*)::DOUBLE, 9) AS outlier_pct
             FROM j GROUP BY event_type ORDER BY event_type
+        """,
+        "q124_char_entropy": """
+            WITH c AS (
+              SELECT doc_id, ch, count(*) AS n FROM (
+                SELECT doc_id, unnest(string_split(text, '')) AS ch
+                FROM documents
+              ) WHERE ch <> '' GROUP BY 1, 2
+            ), agg AS (
+              SELECT doc_id, sum(n) AS total,
+                     sum(n * log2(n::DOUBLE)) AS s
+              FROM c GROUP BY 1
+            )
+            SELECT a.doc_id, d.n_chars,
+                   round(log2(total::DOUBLE) - s / total::DOUBLE, 6)
+                     AS entropy
+            FROM agg a JOIN documents d USING (doc_id)
+            ORDER BY a.doc_id
+        """,
+        "q125_robust_zscore": """
+            WITH b AS (
+              SELECT event_type,
+                     quantile_cont(value, 0.5) AS med,
+                     mad(value) AS md
+              FROM events GROUP BY 1
+            )
+            SELECT event_id, e.event_type, value,
+                   round(med, 6) AS median, round(md, 6) AS mad,
+                   round(0.6745 * (value - med)
+                         / CASE WHEN md > 0 THEN md END, 6)
+                     AS robust_z,
+                   CASE WHEN md > 0 AND value IS NOT NULL
+                        THEN abs(0.6745 * (value - med) / md) > 3.5
+                   END AS is_outlier
+            FROM events e JOIN b USING (event_type)
+            ORDER BY event_id
+        """,
+        "q126_attribution": """
+            WITH p AS (
+              SELECT event_id, user_id, ts, value FROM events
+              WHERE event_type = 'purchase'
+            ), c AS (
+              SELECT user_id, ts AS cts,
+                     'c' || (json_extract(props, '$.k')::INT % 5)
+                       AS campaign
+              FROM events WHERE event_type = 'click'
+            ), j AS (
+              SELECT p.value,
+                     CASE WHEN c.cts IS NOT NULL
+                               AND p.ts <= c.cts + INTERVAL 3 DAY
+                          THEN c.campaign ELSE 'none'
+                     END AS campaign
+              FROM p ASOF LEFT JOIN c
+                ON p.user_id = c.user_id AND p.ts >= c.cts
+            )
+            SELECT campaign, count(*)::BIGINT AS n_purchases,
+                   round(sum(value), 2) AS revenue
+            FROM j GROUP BY campaign ORDER BY campaign
         """,
         "q123_token_fertility": """
             WITH per AS (

@@ -701,3 +701,33 @@ def quantile_buckets(df: DataFrame, value_col: str, n_buckets: int = 10,
         score = score + F.when(v > F.lit(float(e)), 1).otherwise(0)
     return df.withColumn(
         bucket_col, F.when(v.isNotNull(), score).otherwise(F.lit(None)))
+
+
+def robust_zscore(df: DataFrame, group_col: str, value_col: str,
+                  z_threshold: float = 3.5,
+                  approx: bool | None = None) -> DataFrame:
+    """Row-level modified z-scores (Iglewicz-Hoaglin): appends
+    ``robust_z = 0.6745·(x − median)/MAD`` and ``is_outlier``
+    (``|robust_z| > z_threshold``, 3.5 = the standard cutoff) scored
+    against the row's group — the outlier-labeling complement to the
+    :func:`iqr_outliers` rate audit, robust where mean/stddev z-scores
+    are masked by the outliers themselves.
+
+    Shape: :func:`grouped_mad`'s two percentile passes (auto
+    exact→approx above ``EXACT_STATE_MAX_BYTES``) produce the tiny
+    per-group (median, mad) table, re-attached on the grouping key
+    (broadcast-eligible); the score is a row-local projection. A
+    zero-MAD group (over half the values identical) yields NULL z —
+    surfaced, not an infinity.
+    """
+    v = F.col(value_col).cast("double")
+    bounds = grouped_mad(df, group_col, value_col, approx=approx) \
+        .withColumnRenamed(group_col, "__g")
+    z = F.lit(0.6745) * (v - F.col("median")) \
+        / F.when(F.col("mad") > 0, F.col("mad"))
+    return (df.join(bounds, F.col(group_col).eqNullSafe(F.col("__g")))
+              .drop("__g", "n")
+              .withColumn("robust_z", z)
+              .withColumn("is_outlier",
+                          F.when(z.isNotNull(),
+                                 F.abs(z) > float(z_threshold))))

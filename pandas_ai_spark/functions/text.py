@@ -692,3 +692,39 @@ def readability(df: DataFrame, text_col: str = "text",
                           F.lit(206.835)
                           - 1.015 * F.col("words_per_sentence")
                           - 84.6 * F.col("syllables_per_word")))
+
+
+def char_entropy(col: Column) -> Column:
+    """Shannon character entropy (bits/char) of a string, computed
+    ROW-LOCALLY: sort the character array, fold over it closing each
+    equal-char run, and finish with the identity
+    ``H = log2(N) − (Σ n_c·log2 n_c)/N`` — no explode, no per-doc
+    shuffle. The gibberish/compression-quality signal (random bytes
+    ≈ log2|charset|, repeated filler → 0) at scan speed: a 100 TB
+    corpus would otherwise shuffle one (doc, char) row PER CHARACTER
+    through a doc-keyed aggregation. NULL/empty text yields NULL.
+    """
+    chars = F.array_sort(F.filter(F.split(col, ""),
+                                  lambda c: c != ""))
+    n = F.size(chars)
+    close = lambda run: F.when(  # noqa: E731 — local fold helper
+        run > 0, run.cast("double") * F.log2(run.cast("double"))
+    ).otherwise(F.lit(0.0))
+    folded = F.aggregate(
+        chars,
+        F.struct(F.lit("").alias("prev"),
+                 F.lit(0).alias("run"),
+                 F.lit(0.0).alias("s")),
+        lambda acc, c: F.when(
+            c == acc["prev"],
+            F.struct(acc["prev"].alias("prev"),
+                     (acc["run"] + 1).alias("run"),
+                     acc["s"].alias("s"))
+        ).otherwise(
+            F.struct(c.alias("prev"),
+                     F.lit(1).alias("run"),
+                     (acc["s"] + close(acc["run"])).alias("s"))),
+        lambda acc: acc["s"] + close(acc["run"]))
+    return F.when(
+        n > 0,
+        F.log2(n.cast("double")) - folded / n.cast("double"))

@@ -524,3 +524,59 @@ class TestQuantileBuckets:
         df = spark.createDataFrame([(1.0,)], "v double")
         with pytest.raises(ValueError):
             quantile_buckets(df, "v", n_buckets=1)
+
+
+class TestCharEntropy:
+    def _h(self, spark, text):
+        from pandas_ai_spark.functions.text import char_entropy
+
+        df = spark.createDataFrame([(text,)], "t string")
+        return df.select(char_entropy(F.col("t")).alias("h")) \
+                 .collect()[0].h
+
+    def test_uniform_two_chars_is_one_bit(self, spark):
+        assert abs(self._h(spark, "abab") - 1.0) < 1e-12
+
+    def test_single_char_zero(self, spark):
+        assert abs(self._h(spark, "aaaa")) < 1e-12
+
+    def test_known_distribution(self, spark):
+        import math
+
+        # 'a' x2, 'b' x1, 'c' x1 -> H = 1.5 bits
+        h = self._h(spark, "abca")
+        assert abs(h - 1.5) < 1e-12
+        # cross-check against the direct formula
+        want = -(0.5 * math.log2(0.5) + 2 * 0.25 * math.log2(0.25))
+        assert abs(h - want) < 1e-12
+
+    def test_empty_and_null_are_null(self, spark):
+        from pandas_ai_spark.functions.text import char_entropy
+
+        df = spark.createDataFrame([("",), (None,)], "t string")
+        rows = df.select(char_entropy(F.col("t")).alias("h")).collect()
+        assert all(r.h is None for r in rows)
+
+
+class TestRobustZscore:
+    def test_scores_and_cutoff(self, spark):
+        from pandas_ai_spark.functions.stats import robust_zscore
+
+        vals = [1.0, 2.0, 3.0, 4.0, 5.0, 100.0]
+        df = spark.createDataFrame([("g", v) for v in vals],
+                                   "g string, v double")
+        out = {r.v: r for r in robust_zscore(df, "g", "v").collect()}
+        # median 3.5, MAD 1.5
+        assert abs(out[100.0].robust_z
+                   - 0.6745 * (100.0 - 3.5) / 1.5) < 1e-9
+        assert out[100.0].is_outlier is True
+        assert out[3.0].is_outlier is False
+
+    def test_zero_mad_yields_null(self, spark):
+        from pandas_ai_spark.functions.stats import robust_zscore
+
+        df = spark.createDataFrame([("g", 5.0)] * 4 + [("g", 9.0)],
+                                   "g string, v double")
+        rows = robust_zscore(df, "g", "v").collect()
+        assert all(r.robust_z is None and r.is_outlier is None
+                   for r in rows)

@@ -2594,6 +2594,39 @@ def q126_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
              .orderBy("campaign"))
 
 
+def q127_rolling_actives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day active users (events.rolling_active_users, the
+    WAU metric): ONE (day,user) distinct pass — the only full-data
+    shuffle — then a row-local explode to each activity day's 7 report
+    days and a day-keyed exact distinct count (the auto-approx HLL
+    switch is the documented 100 TB path; exact here for the oracle).
+    Oracle: the identical explode semantics in DuckDB (DATE + int
+    days)."""
+    from pandas_ai_spark.functions.events import rolling_active_users
+
+    ev = _t(spark, sf_dir, "events")
+    out = rolling_active_users(ev, "ts", "user_id", window_days=7)
+    return out.select("day",
+                      F.col("active_users").cast("long")
+                      .alias("active_users")).orderBy("day")
+
+
+def q128_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial-copy detection (dedup.ngram_containment_pairs):
+    |A∩B|/min(|A|,|B|) over 3-gram shingle sets — catches a short doc
+    swallowed by a longer one, which Jaccard dilutes toward 0 as the
+    length ratio grows. Same inverted-index join / skew-guard / exact
+    re-verify plan as q21 with the containment denominator. Oracle:
+    the q21 SQL fragment with min(|A|,|B|)."""
+    from pandas_ai_spark.functions import dedup as dd
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dd.ngram_containment_pairs(docs, n=3, threshold=0.2)
+    return pairs.select(
+        "id_a", "id_b", F.round("containment", 6).alias("containment")
+    ).orderBy("id_a", "id_b")
+
+
 def _q116_oracle() -> str:
     """Benford oracle with the expected-share doubles inlined as
     full-precision literals from the SAME Python array the Spark
@@ -2832,6 +2865,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q124_char_entropy": q124_char_entropy,
         "q125_robust_zscore": q125_robust_zscore,
         "q126_attribution": q126_attribution,
+        "q127_rolling_actives": q127_rolling_actives,
+        "q128_containment": q128_containment,
     }
 
 
@@ -5461,6 +5496,41 @@ def oracle_sql() -> dict[str, str]:
                                   THEN 1 ELSE 0 END)
                          / count(*)::DOUBLE, 9) AS outlier_pct
             FROM j GROUP BY event_type ORDER BY event_type
+        """,
+        "q127_rolling_actives": """
+            WITH per AS (
+              SELECT DISTINCT ts::DATE AS d, user_id AS u FROM events
+              WHERE ts IS NOT NULL AND user_id IS NOT NULL
+            ), mx AS (SELECT max(d) AS max_d FROM per),
+            x AS (
+              SELECT d + r.o::INT AS day, u
+              FROM per CROSS JOIN range(0, 7) r(o) CROSS JOIN mx
+              WHERE d + r.o::INT <= max_d
+            )
+            SELECT day, count(DISTINCT u)::BIGINT AS active_users
+            FROM x GROUP BY day ORDER BY day
+        """,
+        "q128_containment": f"""
+            WITH sh AS (
+              SELECT doc_id, {_SHINGLES} AS s FROM documents
+            ), sizes AS (
+              SELECT doc_id, len(s) AS sz FROM sh
+            ), inv AS (
+              SELECT doc_id, unnest(s) AS tok FROM sh
+            ), inter AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+              FROM inv a JOIN inv b
+                ON a.tok = b.tok AND a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            )
+            SELECT id_a, id_b,
+                   round(i::DOUBLE / least(sa.sz, sb.sz), 6)
+                     AS containment
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = id_a
+            JOIN sizes sb ON sb.doc_id = id_b
+            WHERE i::DOUBLE / least(sa.sz, sb.sz) >= 0.2
+            ORDER BY id_a, id_b
         """,
         "q124_char_entropy": """
             WITH c AS (

@@ -348,6 +348,7 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.5,
     max_doc_freq: int | None | object = _AUTO,
+    score: str = "jaccard",
 ) -> DataFrame:
     """Exact all-pairs n-gram Jaccard via an inverted-index join.
 
@@ -372,7 +373,17 @@ def ngram_jaccard_pairs(
     are boilerplate-only near-identicals — route those through
     ``minhash_dedup_pairs``). ``max_doc_freq=None`` restores the
     guaranteed-complete pure-count path.
+
+    ``score`` picks the similarity: ``"jaccard"`` (|A∩B|/|A∪B|, the
+    default) or ``"containment"`` (|A∩B|/min(|A|,|B|) — flags a short
+    document swallowed whole by a longer one, which Jaccard dilutes
+    toward 0 as the length ratio grows). Same inverted-index plan
+    either way — only the row-local denominator and the (still sound)
+    prefilter bound change; the output column is named after the
+    score.
     """
+    if score not in ("jaccard", "containment"):
+        raise ValueError("score must be 'jaccard' or 'containment'")
     if max_doc_freq is _AUTO:
         global _warned_implicit_cap
         if not _warned_implicit_cap:
@@ -458,14 +469,16 @@ def ngram_jaccard_pairs(
             .join(ksize.select(F.col(id_col).alias("id_b"),
                                F.col("__ksize").alias("__kb")), "id_b")
         )
+    def _score(i):
+        if score == "containment":
+            return i / F.least(F.col("__sa"), F.col("__sb"))
+        return i / (F.col("__sa") + F.col("__sb") - i)
+
     if not max_doc_freq:
         return (
-            inter.withColumn(
-                "jaccard",
-                F.col("__inter")
-                / (F.col("__sa") + F.col("__sb") - F.col("__inter")))
-            .where(F.col("jaccard") >= threshold)
-            .select("id_a", "id_b", "jaccard")
+            inter.withColumn(score, _score(F.col("__inter")))
+            .where(F.col(score) >= threshold)
+            .select("id_a", "id_b", score)
         )
     # Exact intersection can exceed the kept-shingle count by at most the
     # smaller stop-shingle count: UB = (i+m)/(|A|+|B|-i-m) with
@@ -473,10 +486,16 @@ def ngram_jaccard_pairs(
     # sound upper bound; no candidate above threshold is dropped.
     stop_min = F.least(F.col("__sa") - F.col("__ka"),
                        F.col("__sb") - F.col("__kb"))
-    cand = inter.where(
-        (F.col("__inter") + stop_min)
-        / (F.col("__sa") + F.col("__sb") - F.col("__inter") - stop_min)
-        >= threshold)
+    if score == "containment":
+        # iex <= inter + m and the denominator min(|A|,|B|) is fixed,
+        # so (inter+m)/min is a sound upper bound too
+        ub = ((F.col("__inter") + stop_min)
+              / F.least(F.col("__sa"), F.col("__sb")))
+    else:
+        ub = ((F.col("__inter") + stop_min)
+              / (F.col("__sa") + F.col("__sb") - F.col("__inter")
+                 - stop_min))
+    cand = inter.where(ub >= threshold)
     # Exact re-verify: pull both full shingle sets (candidate volume is
     # ~output-sized after the UB prefilter) and intersect JVM-side.
     sets_a = sh.select(F.col(id_col).alias("id_a"),
@@ -486,12 +505,9 @@ def ngram_jaccard_pairs(
     return (
         cand.join(sets_a, "id_a").join(sets_b, "id_b")
         .withColumn("__iex", F.size(F.array_intersect("__sha", "__shb")))
-        .withColumn(
-            "jaccard",
-            F.col("__iex")
-            / (F.col("__sa") + F.col("__sb") - F.col("__iex")))
-        .where(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
+        .withColumn(score, _score(F.col("__iex")))
+        .where(F.col(score) >= threshold)
+        .select("id_a", "id_b", score)
     )
 
 
@@ -1123,3 +1139,22 @@ def excise_duplicate_spans(
             F.concat_ws(" ", "__kept").alias(text_col))
         .where(F.col("n_kept") > 0)
     )
+
+
+def ngram_containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.5,
+    max_doc_freq: int | None | object = _AUTO,
+) -> DataFrame:
+    """Partial-copy detection: pairs whose n-gram CONTAINMENT
+    ``|A∩B| / min(|A|,|B|)`` meets ``threshold`` — the quote/excerpt/
+    subset-duplication score that Jaccard dilutes toward 0 as the
+    length ratio grows (a 100-word quote inside a 10k-word doc has
+    Jaccard ≈ 0.01 but containment ≈ 1). Same inverted-index plan,
+    skew guard, and exact re-verification as
+    :func:`ngram_jaccard_pairs` (``score='containment'``)."""
+    return ngram_jaccard_pairs(df, text_col, id_col, n, threshold,
+                               max_doc_freq, score="containment")

@@ -282,3 +282,48 @@ def audience_overlap(df: DataFrame, group_col: str, user_col: str
         (F.col("n_both").cast("double")
          / (F.col("n_a") + F.col("n_b") - F.col("n_both")))
         .alias("jaccard"))
+
+
+def rolling_active_users(df: DataFrame, ts_col: str = "ts",
+                         user_col: str = "user_id",
+                         window_days: int = 7,
+                         approx: bool | None = None) -> DataFrame:
+    """Trailing-window active-user counts (DAU/WAU/MAU):
+    ``(day, active_users)`` where a user active on day *d* counts
+    toward report days ``d … d+window_days−1`` — the standard rolling
+    engagement metric, WITHOUT a per-day re-scan of the trailing
+    window.
+
+    Shape: ONE distinct pass collapses events to (day, user) — the
+    only full-data shuffle; each distinct row then explodes to its
+    ``window_days`` report days ROW-LOCALLY (an int-sequence
+    transform, cost |active-days| × window, not |events|) and one
+    day-keyed distinct count finishes. ``approx`` rides the stats
+    family's auto switch: at 100 TB the exact per-day
+    ``countDistinct`` state is user-cardinality per day — the honest
+    scale path is ``approx=True`` (HLL partials merge map-side and
+    the state is bytes per day, the metric-store norm); exact is kept
+    for oracle-scale inputs. Report days past the data's last active
+    day are trimmed (their trailing window is not yet complete).
+    """
+    from pandas_ai_spark.functions.stats import _resolve_approx
+
+    if window_days < 1:
+        raise ValueError("window_days must be >= 1")
+    resolved = _resolve_approx(df, approx)
+    per = (df.select(F.col(ts_col).cast("date").alias("__d"),
+                     F.col(user_col).alias("__u"))
+             .where(F.col("__d").isNotNull() & F.col("__u").isNotNull())
+             .distinct())
+    max_d = per.agg(F.max("__d")).collect()[0][0]
+    if max_d is None:
+        raise ValueError("rolling_active_users needs a non-empty input")
+    exploded = per.select(
+        F.explode(F.sequence(F.lit(0), F.lit(int(window_days) - 1)))
+         .alias("__o"), "__d", "__u"
+    ).select(F.date_add("__d", F.col("__o")).alias("day"), "__u") \
+     .where(F.col("day") <= F.lit(max_d))
+    counter = (F.approx_count_distinct if resolved else F.countDistinct)
+    return (exploded.groupBy("day")
+            .agg(counter(F.col("__u")).alias("active_users"))
+            .orderBy("day"))

@@ -580,3 +580,78 @@ class TestRobustZscore:
         rows = robust_zscore(df, "g", "v").collect()
         assert all(r.robust_z is None and r.is_outlier is None
                    for r in rows)
+
+
+class TestContainmentPairs:
+    def test_subset_scores_high_where_jaccard_dilutes(self, spark):
+        from pandas_ai_spark.functions import dedup as dd
+
+        quote = "alpha beta gamma delta epsilon zeta"
+        long = quote + " " + " ".join(f"w{i}" for i in range(40))
+        df = spark.createDataFrame([(1, quote), (2, long)],
+                                   "doc_id long, text string")
+        cont = dd.ngram_containment_pairs(df, threshold=0.9,
+                                          max_doc_freq=None).collect()
+        assert len(cont) == 1 and cont[0].containment == 1.0
+        jac = dd.ngram_jaccard_pairs(df, threshold=0.5,
+                                     max_doc_freq=None).collect()
+        assert jac == []  # the same pair is invisible to Jaccard
+
+    def test_capped_path_matches_uncapped(self, spark):
+        from pandas_ai_spark.functions import dedup as dd
+
+        rows = [(i, f"common one two three unique{i} tail{i} more{i}")
+                for i in range(6)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        capped = sorted(map(tuple, dd.ngram_containment_pairs(
+            df, threshold=0.3, max_doc_freq=3).collect()))
+        full = sorted(map(tuple, dd.ngram_containment_pairs(
+            df, threshold=0.3, max_doc_freq=None).collect()))
+        # capped path may drop candidates, never misscore survivors
+        for row in capped:
+            assert row in full
+
+    def test_bad_score_raises(self, spark):
+        from pandas_ai_spark.functions import dedup as dd
+
+        df = spark.createDataFrame([(1, "a b c")],
+                                   "doc_id long, text string")
+        with pytest.raises(ValueError):
+            dd.ngram_jaccard_pairs(df, score="dice")
+
+
+class TestRollingActives:
+    def test_trailing_window_counts(self, spark):
+        from pandas_ai_spark.functions.events import rolling_active_users
+
+        rows = [(dt.datetime(2024, 1, 1), 1),
+                (dt.datetime(2024, 1, 1), 2),
+                (dt.datetime(2024, 1, 3), 1),
+                (dt.datetime(2024, 1, 9), 3)]
+        df = spark.createDataFrame(rows, "ts timestamp, user_id long")
+        out = {r.day.isoformat(): r.active_users
+               for r in rolling_active_users(df, window_days=7)
+               .collect()}
+        assert out["2024-01-01"] == 2           # users 1, 2
+        assert out["2024-01-03"] == 2           # 1,2 still in window
+        assert out["2024-01-07"] == 2           # day1 activity last day
+        assert out["2024-01-08"] == 1           # only day-3 activity
+        assert out["2024-01-09"] == 2           # user 1 (day3) + user 3
+        assert "2024-01-10" not in out          # trimmed past max day
+
+    def test_dau_window_one(self, spark):
+        from pandas_ai_spark.functions.events import rolling_active_users
+
+        rows = [(dt.datetime(2024, 1, 1), 1), (dt.datetime(2024, 1, 1), 1)]
+        df = spark.createDataFrame(rows, "ts timestamp, user_id long")
+        out = rolling_active_users(df, window_days=1).collect()
+        assert len(out) == 1 and out[0].active_users == 1
+
+    def test_empty_and_bad_window_raise(self, spark):
+        from pandas_ai_spark.functions.events import rolling_active_users
+
+        df = spark.createDataFrame([], "ts timestamp, user_id long")
+        with pytest.raises(ValueError):
+            rolling_active_users(df)
+        with pytest.raises(ValueError):
+            rolling_active_users(df, window_days=0)

@@ -2627,6 +2627,65 @@ def q128_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
+def q129_negative_samples(spark: SparkSession, sf_dir: str
+                          ) -> DataFrame:
+    """Deterministic negative sampling (pipeline.negative_samples):
+    3 never-purchased brands per customer, md5-ordered (no RNG —
+    backfills and the oracle reproduce bit-for-bit). One user-keyed
+    shuffle builds the positive arrays; the brand vocabulary folds in
+    as a literal and the filter/order/slice are row-local array ops —
+    no cross join. Oracle: the relational cross-join + NOT EXISTS +
+    row_number form (same md5 sort key)."""
+    from pandas_ai_spark.functions.pipeline import negative_samples
+
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    pos = (orders.join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+                 .join(part, F.col("l_partkey") == F.col("p_partkey"))
+                 .select("o_custkey", "p_brand"))
+    out = negative_samples(pos, "o_custkey", "p_brand", k=3)
+    return out.orderBy("o_custkey", "rk")
+
+
+def q130_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted median unit price per return flag
+    (stats.weighted_median): one group-partitioned cumulative-weight
+    window + a same-key crossing-value aggregation — a plain median
+    over the fact table answers 'median line', not 'median unit'.
+    Oracle: identical ROWS-frame cumulative windows."""
+    from pandas_ai_spark.functions.stats import weighted_median
+
+    li = _t(spark, sf_dir, "lineitem")
+    out = weighted_median(li, "l_returnflag", "l_extendedprice",
+                          "l_quantity")
+    return out.select(
+        "l_returnflag", F.round("wmedian", 2).alias("wmedian"),
+        F.round("total_weight", 2).alias("total_weight"),
+    ).orderBy("l_returnflag")
+
+
+def q131_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnosis (skew.key_skew_report) for
+    lineitem.l_partkey — the pre-shuffle report that says whether a
+    100 TB join on this key needs salting/AQE: one map-side-combined
+    key count, TakeOrdered top-10 (never a global sort), bounded-state
+    percentiles over the counts table. Boundary ties in the top-10
+    are share-invariant (equal counts sum equally). Oracle:
+    identical arithmetic over the same counts."""
+    from pandas_ai_spark.functions.skew import key_skew_report
+
+    li = _t(spark, sf_dir, "lineitem")
+    out = key_skew_report(li, "l_partkey", top_n=10)
+    return out.select(
+        "n_rows", "n_keys",
+        F.round("max_share", 9).alias("max_share"),
+        F.round("top10_share", 9).alias("top10_share"),
+        F.round("p50_count", 6).alias("p50_count"),
+        F.round("p99_count", 6).alias("p99_count"),
+        F.round("skew_ratio", 6).alias("skew_ratio"))
+
+
 def _q116_oracle() -> str:
     """Benford oracle with the expected-share doubles inlined as
     full-precision literals from the SAME Python array the Spark
@@ -2867,6 +2926,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q126_attribution": q126_attribution,
         "q127_rolling_actives": q127_rolling_actives,
         "q128_containment": q128_containment,
+        "q129_negative_samples": q129_negative_samples,
+        "q130_weighted_median": q130_weighted_median,
+        "q131_key_skew": q131_key_skew,
     }
 
 
@@ -5496,6 +5558,73 @@ def oracle_sql() -> dict[str, str]:
                                   THEN 1 ELSE 0 END)
                          / count(*)::DOUBLE, 9) AS outlier_pct
             FROM j GROUP BY event_type ORDER BY event_type
+        """,
+        "q129_negative_samples": """
+            WITH pos AS (
+              SELECT DISTINCT o_custkey AS u, p_brand AS i
+              FROM orders
+              JOIN lineitem ON o_orderkey = l_orderkey
+              JOIN part ON l_partkey = p_partkey
+            ), users AS (SELECT DISTINCT u FROM pos),
+            vocab AS (SELECT DISTINCT i FROM pos),
+            cand AS (
+              SELECT users.u, vocab.i,
+                     md5('ns:' || users.u::VARCHAR || ':' || vocab.i)
+                       AS h
+              FROM users CROSS JOIN vocab
+              WHERE NOT EXISTS (SELECT 1 FROM pos p
+                                WHERE p.u = users.u
+                                  AND p.i = vocab.i)
+            ), r AS (
+              SELECT u, i,
+                     row_number() OVER (PARTITION BY u
+                                        ORDER BY h, i) AS rk
+              FROM cand
+            )
+            SELECT u AS o_custkey, i AS p_brand, rk::INT AS rk
+            FROM r WHERE rk <= 3 ORDER BY o_custkey, rk
+        """,
+        "q130_weighted_median": """
+            WITH s AS (
+              SELECT l_returnflag AS g, l_extendedprice AS v,
+                     l_quantity AS w
+              FROM lineitem
+              WHERE l_extendedprice IS NOT NULL
+                AND l_quantity IS NOT NULL
+            ), c AS (
+              SELECT g, v,
+                     sum(w) OVER (PARTITION BY g ORDER BY v
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND CURRENT ROW) AS cum,
+                     sum(w) OVER (PARTITION BY g) AS tot
+              FROM s
+            )
+            SELECT g AS l_returnflag,
+                   round(min(CASE WHEN cum >= tot / 2 THEN v END), 2)
+                     AS wmedian,
+                   round(min(tot), 2) AS total_weight
+            FROM c GROUP BY g ORDER BY l_returnflag
+        """,
+        "q131_key_skew": """
+            WITH c AS (
+              SELECT l_partkey AS k, count(*) AS n
+              FROM lineitem GROUP BY 1
+            ), t AS (
+              SELECT max(n) AS mx, sum(n) AS s
+              FROM (SELECT n FROM c ORDER BY n DESC LIMIT 10)
+            ), a AS (
+              SELECT sum(n) AS n_rows, count(*) AS n_keys,
+                     quantile_cont(n::DOUBLE, 0.5) AS p50,
+                     quantile_cont(n::DOUBLE, 0.99) AS p99
+              FROM c
+            )
+            SELECT n_rows::BIGINT AS n_rows, n_keys::BIGINT AS n_keys,
+                   round(mx / n_rows::DOUBLE, 9) AS max_share,
+                   round(s / n_rows::DOUBLE, 9) AS top10_share,
+                   round(p50, 6) AS p50_count,
+                   round(p99, 6) AS p99_count,
+                   round(p99 / p50, 6) AS skew_ratio
+            FROM a CROSS JOIN t
         """,
         "q127_rolling_actives": """
             WITH per AS (

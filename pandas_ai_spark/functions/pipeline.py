@@ -323,3 +323,53 @@ def weighted_sample(
               .withColumn("priority", pri)
               .orderBy(F.col("priority").asc(), F.col(id_col).asc())
               .limit(int(k)))
+
+
+def negative_samples(df: DataFrame, user_col: str, item_col: str,
+                     k: int = 3, seed: str = "ns") -> DataFrame:
+    """Deterministic negative sampling for recommender/contrastive
+    training pairs: for every user, ``k`` items they did NOT interact
+    with, pseudo-randomly but REPRODUCIBLY chosen (md5 of
+    ``seed:user:item`` orders the candidates — engine-portable, no
+    RNG, so backfills and the DuckDB oracle reproduce bit-for-bit).
+    Returns ``(user, item, rk)`` with rk 1..k.
+
+    Shape: positives collapse to per-user sorted item arrays in ONE
+    user-keyed shuffle; the item vocabulary — which must be
+    driver-bounded (catalogs/brands/labels are ~10³–10⁷; for
+    larger-than-driver vocabs use a hash-bucketed anti-join instead)
+    — is collected once and folded in as a literal array; the
+    candidate filter, md5 ordering, and top-k slice are all ROW-LOCAL
+    array ops (no cross join, no per-user explode until the final
+    k-slice). A user who has interacted with the whole vocabulary
+    yields no rows.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    pos = (df.select(F.col(user_col).alias("__u"),
+                     F.col(item_col).alias("__i"))
+             .where(F.col("__u").isNotNull() & F.col("__i").isNotNull())
+             .distinct())
+    vocab = sorted(r["__i"] for r in
+                   pos.select("__i").distinct().collect())
+    if not vocab:
+        raise ValueError("negative_samples needs a non-empty input")
+    varr = F.array(*[F.lit(i) for i in vocab])
+    per_user = pos.groupBy("__u").agg(
+        F.array_sort(F.collect_set("__i")).alias("__pos"))
+    cand = F.filter(varr, lambda i: ~F.array_contains(
+        F.col("__pos"), i))
+    scored = F.transform(
+        cand,
+        lambda i: F.struct(
+            F.md5(F.concat_ws(":", F.lit(seed),
+                              F.col("__u").cast("string"),
+                              i.cast("string"))).alias("h"),
+            i.alias("item")))
+    picked = F.slice(F.array_sort(scored), 1, int(k))
+    out = per_user.select(
+        F.col("__u").alias(user_col),
+        F.posexplode(picked).alias("__p", "__s"))
+    return out.select(
+        user_col, F.col("__s.item").alias(item_col),
+        (F.col("__p") + 1).alias("rk"))

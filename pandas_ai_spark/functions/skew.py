@@ -73,3 +73,41 @@ def salted_join(
         how,
     )
     return joined.drop("__salt")
+
+
+def key_skew_report(df: DataFrame, key_col: str,
+                    top_n: int = 10) -> DataFrame:
+    """One-row shuffle-skew diagnosis for a prospective join/groupBy
+    key: ``(n_rows, n_keys, max_share, top{N}_share, p50_count,
+    p99_count, skew_ratio)`` where shares are fractions of all rows
+    held by the hottest key(s) and ``skew_ratio = p99/p50`` of the
+    per-key row counts — the number that says whether this key needs
+    :func:`salted_join` / AQE skew handling before a 100 TB shuffle.
+
+    Shape: ONE key-keyed count (map-side combined — the counts table
+    is |keys| rows, not |rows|); the hottest ``top_n`` arrive via
+    TakeOrderedAndProject (never a global sort of the counts), the
+    percentiles aggregate over the counts table with bounded state
+    (counts are integers — distinct-value-bounded), and the totals are
+    single-row aggregates. NULL keys count as a key (NULL is a
+    real — often the hottest — join key).
+    """
+    counts = df.groupBy(F.col(key_col).alias("__k")) \
+               .agg(F.count("*").alias("__n"))
+    top = [int(r["__n"]) for r in
+           counts.orderBy(F.desc("__n")).limit(int(top_n)).collect()]
+    agg = counts.agg(
+        F.sum("__n").alias("n_rows"),
+        F.count("*").alias("n_keys"),
+        F.percentile(F.col("__n").cast("double"), F.lit(0.5))
+         .alias("p50_count"),
+        F.percentile(F.col("__n").cast("double"), F.lit(0.99))
+         .alias("p99_count"))
+    return agg.select(
+        "n_rows", "n_keys",
+        (F.lit(float(top[0] if top else 0)) / F.col("n_rows"))
+        .alias("max_share"),
+        (F.lit(float(sum(top))) / F.col("n_rows"))
+        .alias(f"top{int(top_n)}_share"),
+        "p50_count", "p99_count",
+        (F.col("p99_count") / F.col("p50_count")).alias("skew_ratio"))

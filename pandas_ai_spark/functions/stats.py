@@ -731,3 +731,43 @@ def robust_zscore(df: DataFrame, group_col: str, value_col: str,
               .withColumn("is_outlier",
                           F.when(z.isNotNull(),
                                  F.abs(z) > float(z_threshold))))
+
+
+def weighted_median(df: DataFrame, group_col: str, value_col: str,
+                    weight_col: str,
+                    tiebreak: str | None = None) -> DataFrame:
+    """Per-group lower weighted median: the smallest value whose
+    cumulative weight reaches half the group's total —
+    ``(group, wmedian, total_weight)``. The duration-weighted /
+    revenue-weighted central tendency (a plain median over a
+    quantity-weighted fact table answers "median line", not "median
+    unit").
+
+    Shape: ONE group-partitioned sort window builds the cumulative
+    weight (each group sorts inside its own partition — never a
+    global sort) and a same-key aggregation picks the crossing value
+    with ``min(CASE WHEN cum ≥ total/2 THEN value END)`` — two
+    passes over one shuffle's partitioning. ``tiebreak`` pins the
+    order of equal values (the crossing VALUE is tie-invariant, the
+    plan determinism is not). Rows with NULL value or weight are
+    excluded; negative weights raise.
+    """
+    from pyspark.sql.window import Window
+
+    v = F.col(value_col).cast("double")
+    wt = F.col(weight_col).cast("double")
+    base = df.where(v.isNotNull() & wt.isNotNull()).select(
+        F.col(group_col).alias("__g"), v.alias("__v"), wt.alias("__w"),
+        *([F.col(tiebreak).alias("__tb")] if tiebreak else []))
+    if base.where(F.col("__w") < 0).limit(1).count():
+        raise ValueError("weighted_median needs non-negative weights")
+    order = [F.col("__v")] + ([F.col("__tb")] if tiebreak else [])
+    w = (Window.partitionBy("__g").orderBy(*order)
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    tot = Window.partitionBy("__g")
+    cum = base.withColumn("__cum", F.sum("__w").over(w)) \
+              .withColumn("__tot", F.sum("__w").over(tot))
+    return (cum.groupBy(F.col("__g").alias(group_col))
+            .agg(F.min(F.when(F.col("__cum") >= F.col("__tot") / 2,
+                              F.col("__v"))).alias("wmedian"),
+                 F.min("__tot").alias("total_weight")))

@@ -655,3 +655,93 @@ class TestRollingActives:
             rolling_active_users(df)
         with pytest.raises(ValueError):
             rolling_active_users(df, window_days=0)
+
+
+class TestNegativeSamples:
+    def test_deterministic_and_excludes_positives(self, spark):
+        from pandas_ai_spark.functions.pipeline import negative_samples
+
+        rows = [(1, "a"), (1, "b"), (2, "a"), (3, "c")]
+        df = spark.createDataFrame(rows, "u long, i string")
+        one = sorted(map(tuple, negative_samples(
+            df, "u", "i", k=2).collect()))
+        two = sorted(map(tuple, negative_samples(
+            df, "u", "i", k=2).collect()))
+        assert one == two and len(one) > 0  # reproducible
+        pos = set(rows)
+        for u, i, rk in one:
+            assert (u, i) not in pos and 1 <= rk <= 2
+
+    def test_full_vocab_user_yields_nothing(self, spark):
+        from pandas_ai_spark.functions.pipeline import negative_samples
+
+        df = spark.createDataFrame([(1, "a"), (1, "b"), (2, "a")],
+                                   "u long, i string")
+        out = negative_samples(df, "u", "i", k=5).collect()
+        assert all(r.u != 1 for r in out)      # user 1 saw everything
+        assert {r.i for r in out if r.u == 2} == {"b"}
+
+    def test_seed_changes_pick_order(self, spark):
+        from pandas_ai_spark.functions.pipeline import negative_samples
+
+        rows = [(1, f"i{j}") for j in range(10)] + [(2, "i0")]
+        df = spark.createDataFrame(rows, "u long, i string")
+        a = [r.i for r in negative_samples(df, "u", "i", k=3,
+                                           seed="s1")
+             .where("u = 2").orderBy("rk").collect()]
+        b = [r.i for r in negative_samples(df, "u", "i", k=3,
+                                           seed="s2")
+             .where("u = 2").orderBy("rk").collect()]
+        assert len(a) == 3 and len(b) == 3
+        assert a != b  # different seed, different deterministic pick
+
+
+class TestWeightedMedian:
+    def test_weight_shifts_the_median(self, spark):
+        from pandas_ai_spark.functions.stats import weighted_median
+
+        # unweighted median of {1,2,3} is 2; weight mass on 3 drags
+        # the weighted median up
+        rows = [("g", 1.0, 1.0), ("g", 2.0, 1.0), ("g", 3.0, 10.0)]
+        df = spark.createDataFrame(rows, "g string, v double, w double")
+        r = weighted_median(df, "g", "v", "w").collect()[0]
+        assert r.wmedian == 3.0 and r.total_weight == 12.0
+
+    def test_equal_weights_match_lower_median(self, spark):
+        from pandas_ai_spark.functions.stats import weighted_median
+
+        rows = [("g", float(v), 1.0) for v in (1, 2, 3, 4)]
+        df = spark.createDataFrame(rows, "g string, v double, w double")
+        # cum hits tot/2 = 2 at value 2 (lower weighted median)
+        assert weighted_median(df, "g", "v", "w") \
+            .collect()[0].wmedian == 2.0
+
+    def test_negative_weight_raises(self, spark):
+        from pandas_ai_spark.functions.stats import weighted_median
+
+        df = spark.createDataFrame([("g", 1.0, -1.0)],
+                                   "g string, v double, w double")
+        with pytest.raises(ValueError):
+            weighted_median(df, "g", "v", "w")
+
+
+class TestKeySkewReport:
+    def test_hot_key_shares(self, spark):
+        from pandas_ai_spark.functions.skew import key_skew_report
+
+        rows = [(1,)] * 90 + [(k,) for k in range(2, 12)]
+        df = spark.createDataFrame(rows, "k long")
+        r = key_skew_report(df, "k", top_n=10).collect()[0]
+        assert r.n_rows == 100 and r.n_keys == 11
+        assert abs(r.max_share - 0.9) < 1e-12
+        # top10 = the hot key + 9 singletons
+        assert abs(r.top10_share - 0.99) < 1e-12
+        assert r.skew_ratio > 1.0
+
+    def test_uniform_keys_ratio_one(self, spark):
+        from pandas_ai_spark.functions.skew import key_skew_report
+
+        rows = [(k,) for k in range(20) for _ in range(5)]
+        df = spark.createDataFrame(rows, "k long")
+        r = key_skew_report(df, "k").collect()[0]
+        assert r.skew_ratio == 1.0 and abs(r.max_share - 0.05) < 1e-12

@@ -2138,9 +2138,14 @@ def q107_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     if not spark.catalog.tableExists(f"{base}_vocab"):
         # external path (not a managed-warehouse table): a stale file
         # tree from an earlier session is simply overwritten instead
-        # of tripping LOCATION_ALREADY_EXISTS on the managed location
+        # of tripping LOCATION_ALREADY_EXISTS on the managed location.
+        # PID-scoped: catalog registration is per-session anyway, so
+        # cross-process sharing never worked — and a shared fixed path
+        # would let a concurrent bench/oracle run overwrite files this
+        # session's registered table is mid-read on
         path = os.path.join(tempfile.gettempdir(),
-                            "pandas_ai_spark_state", base)
+                            "pandas_ai_spark_state",
+                            f"{base}_{os.getpid()}")
         save_novelty_vocab(build_novelty_vocab(ref, n=3), base,
                            path=path)
     vocab = load_novelty_vocab(spark, base)
@@ -2615,9 +2620,12 @@ def q128_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Partial-copy detection (dedup.ngram_containment_pairs):
     |A∩B|/min(|A|,|B|) over 3-gram shingle sets — catches a short doc
     swallowed by a longer one, which Jaccard dilutes toward 0 as the
-    length ratio grows. Same inverted-index join / skew-guard / exact
-    re-verify plan as q21 with the containment denominator. Oracle:
-    the q21 SQL fragment with min(|A|,|B|)."""
+    length ratio grows. Same inverted-index join / exact re-verify
+    plan as q21 with the containment denominator; the doc-frequency
+    skew guard is OFF by default here (the guarded-out class IS the
+    partial-copy target — see ngram_containment_pairs), keeping the
+    operator exactly equal to the uncapped oracle on any corpus.
+    Oracle: the q21 SQL fragment with min(|A|,|B|)."""
     from pandas_ai_spark.functions import dedup as dd
 
     docs = _t(spark, sf_dir, "documents")

@@ -1147,14 +1147,22 @@ def ngram_containment_pairs(
     id_col: str = "doc_id",
     n: int = 3,
     threshold: float = 0.5,
-    max_doc_freq: int | None | object = _AUTO,
+    max_doc_freq: int | None = None,
 ) -> DataFrame:
     """Partial-copy detection: pairs whose n-gram CONTAINMENT
     ``|A∩B| / min(|A|,|B|)`` meets ``threshold`` — the quote/excerpt/
     subset-duplication score that Jaccard dilutes toward 0 as the
     length ratio grows (a 100-word quote inside a 10k-word doc has
-    Jaccard ≈ 0.01 but containment ≈ 1). Same inverted-index plan,
-    skew guard, and exact re-verification as
-    :func:`ngram_jaccard_pairs` (``score='containment'``)."""
+    Jaccard ≈ 0.01 but containment ≈ 1). Same inverted-index plan and
+    exact re-verification as :func:`ngram_jaccard_pairs`
+    (``score='containment'``).
+
+    Unlike the Jaccard form, the doc-frequency skew guard defaults to
+    OFF here: the class it drops — a short document made entirely of
+    very-common (boilerplate) shingles inside a longer one — is
+    exactly the partial-copy class this operator exists to find, so
+    the jaccard default's recall argument does not transfer. Pass an
+    explicit ``max_doc_freq`` to re-enable the guard when a corpus's
+    hot shingles make the unguarded self-join quadratic."""
     return ngram_jaccard_pairs(df, text_col, id_col, n, threshold,
                                max_doc_freq, score="containment")

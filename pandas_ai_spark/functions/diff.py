@@ -98,6 +98,21 @@ def diff_summary(diff: DataFrame) -> DataFrame:
     return diff.groupBy("change_type").agg(F.count("*").alias("n_keys"))
 
 
+def _hashable_type(dt) -> bool:
+    """True when ``xxhash64`` accepts the type: MapType is rejected by
+    Spark's hash expressions anywhere in the tree (top level, array
+    element, struct field)."""
+    from pyspark.sql import types as T
+
+    if isinstance(dt, T.MapType):
+        return False
+    if isinstance(dt, T.ArrayType):
+        return _hashable_type(dt.elementType)
+    if isinstance(dt, T.StructType):
+        return all(_hashable_type(f.dataType) for f in dt.fields)
+    return True
+
+
 def upsert_merge(base: DataFrame, updates: DataFrame,
                  key_cols: Sequence[str], version_col: str,
                  delete_col: Optional[str] = None,
@@ -120,8 +135,10 @@ def upsert_merge(base: DataFrame, updates: DataFrame,
     both key and version (a malformed CDC batch — lakehouse MERGE INTO
     raises on it) are resolved by a last-resort tiebreak so the winner
     is stable across retries and shuffle orders: ``tiebreak_col`` when
-    given (highest wins), else ``xxhash64`` of the full payload —
-    content-determined, never partition-order-determined.
+    given (highest wins), else ``xxhash64`` of the payload's hashable
+    columns (map-typed columns are excluded — Spark's hash expressions
+    reject MapType) — content-determined, never
+    partition-order-determined.
     """
     from pyspark.sql.window import Window
 
@@ -140,11 +157,19 @@ def upsert_merge(base: DataFrame, updates: DataFrame,
         *cols, F.lit(1).alias("__src"),
         (F.coalesce(F.col(delete_col).cast("boolean"), F.lit(False))
          if delete_col else F.lit(False)).alias("__del"))
-    last_resort = (F.col(tiebreak_col) if tiebreak_col
-                   else F.xxhash64(*[F.col(c) for c in cols]))
+    if tiebreak_col:
+        last_resort = [F.col(tiebreak_col).desc()]
+    else:
+        # xxhash64 rejects MapType (anywhere in the column's type), so
+        # the content hash covers only hashable columns — a map-typed
+        # CDC payload must not break every previously-working call
+        hashable = [c for c in cols
+                    if _hashable_type(base.schema[c].dataType)]
+        last_resort = ([F.xxhash64(*[F.col(c) for c in hashable])
+                        .desc()] if hashable else [])
     w = Window.partitionBy(*keys).orderBy(
         F.col(version_col).desc(), F.col("__src").desc(),
-        last_resort.desc())
+        *last_resort)
     return (b.unionByName(u)
              .withColumn("__rk", F.row_number().over(w))
              .where((F.col("__rk") == 1) & ~F.col("__del"))

@@ -157,7 +157,7 @@ def rfm_segments(df: DataFrame, user_col: str, ts_col: str,
     Catalyst-estimated input (exact-percentile state grows with
     distinct per-user values); ``approx=False`` forces exact.
     """
-    from pandas_ai_spark.functions.stats import _resolve_approx
+    from pandas_ai_spark.functions.stats import _pct, _resolve_approx
 
     if n_bins < 2:
         raise ValueError("n_bins must be >= 2")
@@ -165,10 +165,7 @@ def rfm_segments(df: DataFrame, user_col: str, ts_col: str,
     fracs = [i / n_bins for i in range(1, n_bins)]
 
     def _edges(col):
-        arr = F.array(*[F.lit(f) for f in fracs])
-        if approx:
-            return F.percentile_approx(col, arr, 10_000)
-        return F.percentile(col, arr)
+        return _pct(col, fracs, approx)
     rfm = df.groupBy(F.col(user_col).alias("user")).agg(
         F.datediff(F.lit(ref_date).cast("date"),
                    F.max(F.col(ts_col).cast("date"))).alias("recency"),
@@ -306,15 +303,21 @@ def rolling_active_users(df: DataFrame, ts_col: str = "ts",
     for oracle-scale inputs. Report days past the data's last active
     day are trimmed (their trailing window is not yet complete).
     """
+    from pandas_ai_spark.functions.cache import operator_persist
     from pandas_ai_spark.functions.stats import _resolve_approx
 
     if window_days < 1:
         raise ValueError("window_days must be >= 1")
     resolved = _resolve_approx(df, approx)
-    per = (df.select(F.col(ts_col).cast("date").alias("__d"),
-                     F.col(user_col).alias("__u"))
-             .where(F.col("__d").isNotNull() & F.col("__u").isNotNull())
-             .distinct())
+    # persisted: the max_d scalar collect below and the returned plan
+    # both consume it — without the persist the full-data distinct
+    # shuffle (the one expensive pass) would run twice. Lifetime is
+    # scope-managed (functions/cache.py).
+    per = operator_persist(
+        df.select(F.col(ts_col).cast("date").alias("__d"),
+                  F.col(user_col).alias("__u"))
+          .where(F.col("__d").isNotNull() & F.col("__u").isNotNull())
+          .distinct())
     max_d = per.agg(F.max("__d")).collect()[0][0]
     if max_d is None:
         raise ValueError("rolling_active_users needs a non-empty input")

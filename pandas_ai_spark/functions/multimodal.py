@@ -366,11 +366,15 @@ def perceptual_hash_bands(df: DataFrame, blob_col: str = "media",
     per = grid * grid // bands
     if per > 31:
         # each band packs `per` bits into the declared array<int>
-        # schema — 32+ bits would silently overflow; demand more bands
+        # schema — 32+ bits would silently overflow. Suggest the
+        # smallest band count that BOTH divides grid² and fits 31
+        # bits (a bare ceil(grid²/31) may fail the divisibility check)
+        bits = grid * grid
+        ok = next(b for b in range(bands + 1, bits + 1)
+                  if bits % b == 0 and bits // b <= 31)
         raise ValueError(
             f"grid*grid//bands = {per} bits per band exceeds the"
-            " 31-bit int band width; raise `bands` (need"
-            f" >= {grid * grid // 31 + (1 if grid * grid % 31 else 0)})")
+            f" 31-bit int band width; raise `bands` (>= {ok})")
     out_schema = f"{id_col} bigint, band array<int>"
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -87,7 +87,14 @@ def _resolve_approx(df: DataFrame, approx: bool | None) -> bool:
     return False
 
 
-def _pct(col, p: float, approx: bool):
+def _pct(col, p, approx: bool):
+    """Exact-interpolated or GK-sketch percentile; ``p`` may be a
+    single fraction or a list (one shared buffer either way)."""
+    if isinstance(p, (list, tuple)):
+        arr = F.array(*[F.lit(float(f)) for f in p])
+        if approx:
+            return F.percentile_approx(col, arr, 10_000)
+        return F.percentile(col, arr)
     if approx:
         return F.percentile_approx(col, p, 10_000)
     return F.percentile(col, F.lit(p))
@@ -690,10 +697,8 @@ def quantile_buckets(df: DataFrame, value_col: str, n_buckets: int = 10,
     resolved = _resolve_approx(df, approx)
     v = F.col(value_col).cast("double")
     fracs = [i / n_buckets for i in range(1, n_buckets)]
-    arr = F.array(*[F.lit(f) for f in fracs])
-    edge_agg = (F.percentile_approx(v, arr, 10_000) if resolved
-                else F.percentile(v, arr))
-    edges = df.agg(edge_agg.alias("e")).collect()[0]["e"]
+    edges = df.agg(_pct(v, fracs, resolved).alias("e")) \
+              .collect()[0]["e"]
     if edges is None:
         raise ValueError("quantile_buckets needs non-null values")
     score = F.lit(1)

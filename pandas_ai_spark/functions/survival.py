@@ -39,19 +39,31 @@ def kaplan_meier(df: DataFrame, duration_col: str, event_col: str
     (plan-audit ALLOW): its input is the post-aggregation table whose
     cardinality is DISTINCT DURATIONS (days/buckets — thousands at
     most), not subjects, so one task sees only the reduced spine even
-    at 100 TB of events. The subject total is a scalar-only collect.
-    Zero-duration rows are valid (events at t=0 reduce survival);
-    negative durations raise.
+    at 100 TB of events. Validation (emptiness, negative durations,
+    NULL/uncastable event flags — which would silently inflate the
+    risk set, since ``sum`` skips NULLs that ``count`` includes) and
+    the subject total share ONE scalar-only aggregation job.
+    Zero-duration rows are valid (events at t=0 reduce survival).
     """
     d = F.col(duration_col).cast("double")
     e = F.col(event_col).cast("int")
     base = df.where(d.isNotNull()).select(d.alias("t"), e.alias("__e"))
-    neg = base.where(F.col("t") < 0).limit(1).count()
-    if neg:
-        raise ValueError("kaplan_meier durations must be non-negative")
-    total = base.count()
+    # ONE validation+scalar job (total is needed as a literal anyway):
+    # negative durations, NULL/uncastable event flags, and emptiness
+    # all surface here instead of corrupting the risk set silently
+    # (sum() would skip a NULL event while count() includes the row)
+    chk = base.agg(F.count("*").alias("n"), F.min("t").alias("mn"),
+                   F.sum(F.col("__e").isNull().cast("int"))
+                    .alias("bad")).collect()[0]
+    total = chk["n"]
     if total == 0:
         raise ValueError("kaplan_meier needs a non-empty input")
+    if chk["mn"] < 0:
+        raise ValueError("kaplan_meier durations must be non-negative")
+    if chk["bad"]:
+        raise ValueError(
+            f"kaplan_meier: {chk['bad']} rows have NULL/uncastable "
+            f"{event_col!r} — drop or impute them explicitly")
     grain = base.groupBy("t").agg(
         F.sum("__e").alias("n_events"),
         F.sum(1 - F.col("__e")).alias("n_censored"))

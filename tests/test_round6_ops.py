@@ -745,3 +745,52 @@ class TestKeySkewReport:
         df = spark.createDataFrame(rows, "k long")
         r = key_skew_report(df, "k").collect()[0]
         assert r.skew_ratio == 1.0 and abs(r.max_share - 0.05) < 1e-12
+
+
+# ---------------------------------------------------------------------------
+# round-6 review-finding regressions
+# ---------------------------------------------------------------------------
+
+class TestReviewRegressions:
+    def test_upsert_merge_with_map_column(self, spark):
+        # xxhash64 rejects MapType: the default content tiebreak must
+        # skip map columns, not break every call on a CDC payload map
+        from pandas_ai_spark.functions.diff import upsert_merge
+
+        base = spark.createDataFrame(
+            [(1, {"a": "1"}, 1)], "k long, props map<string,string>, "
+                                  "ver long")
+        ups = spark.createDataFrame(
+            [(1, {"a": "2"}, 2)], "k long, props map<string,string>, "
+                                  "ver long")
+        out = upsert_merge(base, ups, ["k"], "ver").collect()
+        assert len(out) == 1 and out[0].props == {"a": "2"}
+
+    def test_kaplan_meier_null_event_raises(self, spark):
+        from pandas_ai_spark.functions.survival import kaplan_meier
+
+        df = spark.createDataFrame([(1.0, None), (5.0, 1)],
+                                   "d double, e int")
+        with pytest.raises(ValueError, match="NULL"):
+            kaplan_meier(df, "d", "e")
+
+    def test_phash_suggestion_is_valid(self, spark):
+        from pandas_ai_spark.functions.multimodal import \
+            perceptual_hash_bands
+
+        df = spark.createDataFrame([(1, bytearray(b"x" * 300))],
+                                   "doc_id long, media binary")
+        # grid=8, bands=2 -> 32 bits/band; naive ceil(64/31)=3 does
+        # not divide 64 — the suggestion must be a usable value (4)
+        with pytest.raises(ValueError, match=">= 4"):
+            perceptual_hash_bands(df, "media", "doc_id",
+                                  decoder="fake", grid=8, bands=2)
+
+    def test_containment_default_is_uncapped(self, spark):
+        import inspect
+
+        from pandas_ai_spark.functions.dedup import \
+            ngram_containment_pairs
+
+        sig = inspect.signature(ngram_containment_pairs)
+        assert sig.parameters["max_doc_freq"].default is None

@@ -54,7 +54,16 @@ def main() -> int:
 
     if rotation_cap is not None:
         rot = entry.rotation(rotation_cap)
-        only = (only & set(rot)) if only else set(rot)
+        if only:
+            only &= set(rot)
+            if not only:
+                # an empty set would read as "no filter" in the sweep
+                # loop below and silently run EVERYTHING
+                print("requested queries are not in the rotation; "
+                      "nothing to do")
+                return 0
+        else:
+            only = set(rot)
         print(f"rotation: {len(only)} stalest-verified queries")
 
     spark = get_session()

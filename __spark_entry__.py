@@ -2694,6 +2694,30 @@ def q131_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("skew_ratio", 6).alias("skew_ratio"))
 
 
+def q132_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type two-sample Kolmogorov-Smirnov test
+    (stats.ks_test): weekend vs weekday value distributions — the
+    binning-free shape-drift test completing the battery next to PSI
+    (binned numeric) and JSD (categorical). One group-partitioned
+    RANGE-frame window builds both ECDFs in a single ordered pass
+    (ties credited at once — the correct ECDF step); everything after
+    the one sort shuffle is integer-count arithmetic, cross-engine
+    exact. Oracle: identical windows (Spark dayofweek 1=Sun..7=Sat vs
+    DuckDB 0=Sun..6=Sat mapped explicitly)."""
+    from pandas_ai_spark.functions.stats import ks_test
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "wk", F.when(F.dayofweek("ts").isin(1, 7), "we")
+               .otherwise("wd"))
+    out = ks_test(ev, "event_type", "value", "wk", "we", "wd")
+    return out.select(
+        "event_type", "n_a", "n_b",
+        F.round("d_stat", 9).alias("d_stat"),
+        F.round("d_crit", 9).alias("d_crit"),
+        "significant",
+    ).orderBy("event_type")
+
+
 def _q116_oracle() -> str:
     """Benford oracle with the expected-share doubles inlined as
     full-precision literals from the SAME Python array the Spark
@@ -2937,6 +2961,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q129_negative_samples": q129_negative_samples,
         "q130_weighted_median": q130_weighted_median,
         "q131_key_skew": q131_key_skew,
+        "q132_ks_drift": q132_ks_drift,
     }
 
 
@@ -5566,6 +5591,38 @@ def oracle_sql() -> dict[str, str]:
                                   THEN 1 ELSE 0 END)
                          / count(*)::DOUBLE, 9) AS outlier_pct
             FROM j GROUP BY event_type ORDER BY event_type
+        """,
+        "q132_ks_drift": """
+            WITH base AS (
+              SELECT event_type AS g, value AS v,
+                     CASE WHEN dayofweek(ts) IN (0, 6)
+                          THEN 1 ELSE 0 END AS a
+              FROM events WHERE value IS NOT NULL
+            ), st AS (
+              SELECT g,
+                     sum(a) OVER (PARTITION BY g ORDER BY v
+                                  RANGE BETWEEN UNBOUNDED PRECEDING
+                                  AND CURRENT ROW) AS ca,
+                     sum(1 - a) OVER (PARTITION BY g ORDER BY v
+                                  RANGE BETWEEN UNBOUNDED PRECEDING
+                                  AND CURRENT ROW) AS cb,
+                     sum(a) OVER (PARTITION BY g) AS na,
+                     sum(1 - a) OVER (PARTITION BY g) AS nb
+              FROM base
+            ), d AS (
+              SELECT g, na, nb,
+                     max(abs(ca / na::DOUBLE - cb / nb::DOUBLE))
+                       AS dd
+              FROM st GROUP BY g, na, nb
+            )
+            SELECT g AS event_type, na::BIGINT AS n_a,
+                   nb::BIGINT AS n_b, round(dd, 9) AS d_stat,
+                   round(1.358 * sqrt((na + nb)
+                                      / (na * nb)::DOUBLE), 9)
+                     AS d_crit,
+                   dd > 1.358 * sqrt((na + nb) / (na * nb)::DOUBLE)
+                     AS significant
+            FROM d ORDER BY event_type
         """,
         "q129_negative_samples": """
             WITH pos AS (

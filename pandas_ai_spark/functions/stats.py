@@ -776,3 +776,51 @@ def weighted_median(df: DataFrame, group_col: str, value_col: str,
             .agg(F.min(F.when(F.col("__cum") >= F.col("__tot") / 2,
                               F.col("__v"))).alias("wmedian"),
                  F.min("__tot").alias("total_weight")))
+
+
+def ks_test(df: DataFrame, group_col: str, value_col: str,
+            sample_col: str, a, b) -> DataFrame:
+    """Per-group two-sample Kolmogorov-Smirnov test:
+    ``(group, n_a, n_b, d_stat, d_crit, significant)`` where
+    ``d_stat = sup_x |F_a(x) − F_b(x)|`` and ``d_crit`` is the 5%
+    large-sample critical value ``1.358·√((n_a+n_b)/(n_a·n_b))`` —
+    the distribution-shape drift test completing the battery next to
+    PSI (binned) and JSD (categorical): KS is binning-free and
+    location/shape sensitive.
+
+    Shape: one group-partitioned RANGE-frame window builds both
+    ECDFs in a single ordered pass (the RANGE frame credits all
+    tied values at once — the correct ECDF step at a tie point);
+    per-sample totals are partition window sums; the sup is one
+    grouped max. Everything after the one sort shuffle is row-local
+    integer-count arithmetic — cross-engine exact, no float-sum-order
+    dependence. Rows whose sample label is neither ``a`` nor ``b``
+    or whose value is NULL are excluded.
+    """
+    from pyspark.sql.window import Window
+
+    v = F.col(value_col).cast("double")
+    s = F.col(sample_col)
+    base = df.where(v.isNotNull() & s.isin(a, b)).select(
+        F.col(group_col).alias("__g"), v.alias("__v"),
+        (s == a).cast("int").alias("__a"))
+    wr = (Window.partitionBy("__g").orderBy("__v")
+          .rangeBetween(Window.unboundedPreceding, 0))
+    wp = Window.partitionBy("__g")
+    cum_a = F.sum("__a").over(wr)
+    cum_b = F.sum(1 - F.col("__a")).over(wr)
+    n_a = F.sum("__a").over(wp)
+    n_b = F.sum(1 - F.col("__a")).over(wp)
+    stepped = base.select(
+        "__g", n_a.alias("__na"), n_b.alias("__nb"),
+        F.abs(cum_a / n_a - cum_b / n_b).alias("__d"))
+    out = (stepped.groupBy(F.col("__g").alias(group_col))
+           .agg(F.min("__na").alias("n_a"),
+                F.min("__nb").alias("n_b"),
+                F.max("__d").alias("d_stat")))
+    d_crit = 1.358 * F.sqrt((F.col("n_a") + F.col("n_b"))
+                            / (F.col("n_a") * F.col("n_b"))
+                            .cast("double"))
+    return out.select(
+        group_col, "n_a", "n_b", "d_stat", d_crit.alias("d_crit"),
+        (F.col("d_stat") > d_crit).alias("significant"))

@@ -729,3 +729,18 @@ def char_entropy(col: Column) -> Column:
         return pd.Series(out)
 
     return _ent(col)
+
+
+def update_novelty_vocab(vocab: DataFrame, new_docs: DataFrame,
+                         n: int = 3,
+                         text_col: str = "text") -> DataFrame:
+    """Incrementally extend a :func:`build_novelty_vocab` table with a
+    new batch's grams (union + distinct — one shuffle bounded by the
+    NEW batch's vocabulary since the existing side is already
+    distinct). The continuous-ingestion companion to the minhash/LSH
+    incremental state: score a batch, admit it, fold its grams in,
+    persist back bucketed (``state_store.save_novelty_vocab``).
+    Results are identical to a full rebuild over old∪new
+    (test-asserted); ``n`` must match the original build."""
+    return (vocab.unionByName(
+        build_novelty_vocab(new_docs, n, text_col)).distinct())

@@ -794,3 +794,63 @@ class TestReviewRegressions:
 
         sig = inspect.signature(ngram_containment_pairs)
         assert sig.parameters["max_doc_freq"].default is None
+
+
+class TestKsTest:
+    def test_identical_samples_zero(self, spark):
+        from pandas_ai_spark.functions.stats import ks_test
+
+        rows = [("g", float(v), s) for v in range(10)
+                for s in ("a", "b")]
+        df = spark.createDataFrame(rows, "g string, v double, s string")
+        r = ks_test(df, "g", "v", "s", "a", "b").collect()[0]
+        assert r.d_stat == 0.0 and r.significant is False
+
+    def test_disjoint_samples_d_one(self, spark):
+        from pandas_ai_spark.functions.stats import ks_test
+
+        rows = [("g", float(v), "a") for v in range(10)]
+        rows += [("g", float(v + 100), "b") for v in range(10)]
+        df = spark.createDataFrame(rows, "g string, v double, s string")
+        r = ks_test(df, "g", "v", "s", "a", "b").collect()[0]
+        assert abs(r.d_stat - 1.0) < 1e-12 and r.significant is True
+
+    def test_known_shift_statistic(self, spark):
+        from pandas_ai_spark.functions.stats import ks_test
+
+        # a = {1,2,3,4}, b = {3,4,5,6}: D = 1/2 at x in [2,3)
+        rows = [("g", float(v), "a") for v in (1, 2, 3, 4)]
+        rows += [("g", float(v), "b") for v in (3, 4, 5, 6)]
+        df = spark.createDataFrame(rows, "g string, v double, s string")
+        r = ks_test(df, "g", "v", "s", "a", "b").collect()[0]
+        assert abs(r.d_stat - 0.5) < 1e-12
+        assert r.n_a == 4 and r.n_b == 4
+
+    def test_ties_credited_together(self, spark):
+        from pandas_ai_spark.functions.stats import ks_test
+
+        # all mass tied at the same value in both samples: D must be 0
+        rows = [("g", 5.0, "a")] * 3 + [("g", 5.0, "b")] * 7
+        df = spark.createDataFrame(rows, "g string, v double, s string")
+        assert ks_test(df, "g", "v", "s", "a", "b") \
+            .collect()[0].d_stat == 0.0
+
+
+class TestNoveltyVocabUpdate:
+    def test_incremental_equals_full_rebuild(self, spark):
+        from pandas_ai_spark.functions.text import (build_novelty_vocab,
+                                                    ngram_novelty,
+                                                    update_novelty_vocab)
+
+        docs = spark.read.parquet(
+            "/root/testdata/sf0.001/documents.parquet")
+        old = docs.where(F.col("doc_id") % 3 == 0)
+        new = docs.where(F.col("doc_id") % 3 == 1)
+        batch = docs.where(F.col("doc_id") % 3 == 2)
+        incr = update_novelty_vocab(build_novelty_vocab(old), new)
+        full = build_novelty_vocab(old.unionByName(new))
+        a = sorted(map(tuple, ngram_novelty(batch, vocab=incr)
+                       .collect()))
+        b = sorted(map(tuple, ngram_novelty(batch, vocab=full)
+                       .collect()))
+        assert a == b and len(a) > 0

@@ -68,6 +68,11 @@ DEFAULT = [
     "q115_gini_concentration",  # group-partitioned rank window
     "q117_association_rules",   # basket pair expansion + direction split
     "q121_audience_overlap",    # distinct pass + row-local pair expand
+    "q124_char_entropy",        # Arrow np.unique per-row pass
+    "q127_rolling_actives",     # persisted distinct + window explode
+    "q129_negative_samples",    # per-user arrays + literal vocab ops
+    "q130_weighted_median",     # cumulative-weight window + crossing agg
+    "q132_ks_drift",            # RANGE-frame dual-ECDF window
 ]
 
 

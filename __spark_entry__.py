@@ -2718,6 +2718,95 @@ def q132_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_type")
 
 
+def q133_rank_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-based feature scaling (stats.rank_features): per-event-type
+    percent_rank (ECDF/quantile normalization — tie-stable without a
+    tiebreak, since percent_rank shares ranks across equal values) and
+    z-score, side by side. One group-partitioned sort window; the
+    moment window reuses the partitioning. Oracle: identical windows
+    (NULLS FIRST pinned to Spark's ascending-null order)."""
+    from pandas_ai_spark.functions.stats import rank_features
+
+    ev = _t(spark, sf_dir, "events")
+    out = rank_features(ev, "event_type", "value")
+    return out.select(
+        "event_id", "event_type", "value",
+        F.round("pct_rank", 9).alias("pct_rank"),
+        F.round("zscore", 6).alias("zscore"),
+    ).orderBy("event_id")
+
+
+def q134_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier reliability table (classify.calibration_table): the
+    q54 hashing-trick scores against an is-English pseudo-outcome,
+    bucketed into score deciles (scalar quantile edges + row-local
+    scoring — no single-task global ntile), one grouped agg of
+    avg-score vs positive-rate per bin — the audit a score-gated
+    quality filter runs before trusting a threshold. Oracle: the q54
+    score SQL + quantile_cont edges + the same strict-greater chain."""
+    from pandas_ai_spark.functions.classify import (calibration_table,
+                                                    hashed_feature_score)
+
+    docs = _t(spark, sf_dir, "documents")
+    per = docs.select(
+        hashed_feature_score(F.col("text")).alias("score"),
+        (F.col("lang") == "en").cast("int").alias("outcome"))
+    out = calibration_table(per, "score", "outcome", n_buckets=10)
+    return out.select(
+        "bucket", "n",
+        F.round("avg_score", 6).alias("avg_score"),
+        F.round("pos_rate", 6).alias("pos_rate"),
+    ).orderBy("bucket")
+
+
+def q135_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus session profile (events.session_stats): q16's 30-minute
+    gap rule carried to session grain — boundary flag + running-sum
+    session id on ONE user-partitioned sort window, per-session agg
+    reusing the partitioning, one-row global rollup with
+    bounce rate and exact duration percentiles. Oracle: identical
+    epoch-microsecond windows."""
+    from pandas_ai_spark.functions.events import session_stats
+
+    ev = _t(spark, sf_dir, "events")
+    out = session_stats(ev)
+    return out.select(
+        "n_sessions", "n_bounce",
+        F.round("bounce_rate", 9).alias("bounce_rate"),
+        F.round("avg_events", 6).alias("avg_events"),
+        F.round("median_duration_s", 3).alias("median_duration_s"),
+        F.round("p90_duration_s", 3).alias("p90_duration_s"))
+
+
+def _q134_oracle() -> str:
+    """Calibration oracle: the q54 hashing-trick score SQL (same _TOKS
+    macro and md5-bucket weights) + is-English outcome + quantile_cont
+    decile edges + the strict-greater scoring chain on the UNROUNDED
+    score (rounding only in the projection)."""
+    chain = " + ".join(f"(score > ed[{i}])::INT" for i in range(1, 10))
+    fr = "[" + ", ".join(str(i / 10) for i in range(1, 10)) + "]"
+    return f"""
+        WITH tk AS (
+          SELECT doc_id, lang, {_TOKS} AS toks FROM documents
+        ), s AS (
+          SELECT coalesce(list_sum(list_transform(toks,
+                   t -> ('0x' || substr(md5(t), 1, 8))::BIGINT
+                        % 2001 - 1000)), 0)::DOUBLE
+                 / (greatest(len(toks), 1) * 1000.0) AS score,
+                 CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS outcome
+          FROM tk
+        ), e AS (SELECT quantile_cont(score, {fr}) AS ed FROM s),
+        b AS (
+          SELECT score, outcome, 1 + {chain} AS bucket
+          FROM s CROSS JOIN e
+        )
+        SELECT bucket, count(*)::BIGINT AS n,
+               round(avg(score), 6) AS avg_score,
+               round(avg(outcome::DOUBLE), 6) AS pos_rate
+        FROM b GROUP BY bucket ORDER BY bucket
+    """
+
+
 def _q116_oracle() -> str:
     """Benford oracle with the expected-share doubles inlined as
     full-precision literals from the SAME Python array the Spark
@@ -2962,6 +3051,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q130_weighted_median": q130_weighted_median,
         "q131_key_skew": q131_key_skew,
         "q132_ks_drift": q132_ks_drift,
+        "q133_rank_features": q133_rank_features,
+        "q134_calibration": q134_calibration,
+        "q135_session_stats": q135_session_stats,
     }
 
 
@@ -5591,6 +5683,57 @@ def oracle_sql() -> dict[str, str]:
                                   THEN 1 ELSE 0 END)
                          / count(*)::DOUBLE, 9) AS outlier_pct
             FROM j GROUP BY event_type ORDER BY event_type
+        """,
+        "q133_rank_features": """
+            SELECT event_id, event_type, value,
+                   CASE WHEN value IS NOT NULL THEN
+                     round(percent_rank() OVER (
+                       PARTITION BY event_type
+                       ORDER BY value NULLS FIRST), 9)
+                   END AS pct_rank,
+                   CASE WHEN stddev_samp(value) OVER
+                               (PARTITION BY event_type) > 0
+                             AND value IS NOT NULL THEN
+                     round((value - avg(value) OVER
+                              (PARTITION BY event_type))
+                           / stddev_samp(value) OVER
+                              (PARTITION BY event_type), 6)
+                   END AS zscore
+            FROM events ORDER BY event_id
+        """,
+        "q134_calibration": _q134_oracle(),
+        "q135_session_stats": """
+            WITH f AS (
+              SELECT user_id, event_id, epoch_us(ts) AS ep,
+                     CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                          OR epoch_us(ts) - lag(epoch_us(ts)) OVER w
+                             > 1800000000.0
+                          THEN 1 ELSE 0 END AS ns
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ), s AS (
+              SELECT user_id, ep,
+                     sum(ns) OVER (PARTITION BY user_id
+                                   ORDER BY ep, event_id
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND CURRENT ROW) AS sid
+              FROM f
+            ), per AS (
+              SELECT user_id, sid, count(*) AS n,
+                     (max(ep) - min(ep)) / 1000000.0 AS dur
+              FROM s GROUP BY 1, 2
+            )
+            SELECT count(*)::BIGINT AS n_sessions,
+                   sum(CASE WHEN n = 1 THEN 1 ELSE 0 END)::BIGINT
+                     AS n_bounce,
+                   round(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END)
+                         / count(*)::DOUBLE, 9) AS bounce_rate,
+                   round(avg(n::DOUBLE), 6) AS avg_events,
+                   round(quantile_cont(dur, 0.5), 3)
+                     AS median_duration_s,
+                   round(quantile_cont(dur, 0.9), 3)
+                     AS p90_duration_s
+            FROM per
         """,
         "q132_ks_drift": """
             WITH base AS (

@@ -86,3 +86,27 @@ def classify(df: DataFrame, text_col: str = "text",
         score.alias("score"),
         (score > F.lit(threshold)).alias("label"),
     )
+
+
+def calibration_table(df: DataFrame, score_col: str, outcome_col: str,
+                      n_buckets: int = 10,
+                      approx: bool | None = None) -> DataFrame:
+    """Classifier reliability table: scores bucketed into
+    ``n_buckets`` equi-population bins
+    (:func:`~pandas_ai_spark.functions.stats.quantile_buckets` — edge
+    scalars + row-local scoring, never a single-task global ntile),
+    then per bucket ``(bucket, n, avg_score, pos_rate)`` — a
+    well-calibrated model tracks avg_score ≈ pos_rate per bin; the
+    audit every score-gated data pipeline (quality filtering by
+    classifier) should run before trusting a threshold.
+    """
+    from pandas_ai_spark.functions.stats import quantile_buckets
+
+    b = quantile_buckets(df, score_col, n_buckets=n_buckets,
+                         approx=approx)
+    return (b.groupBy("bucket")
+            .agg(F.count("*").alias("n"),
+                 F.avg(F.col(score_col).cast("double"))
+                  .alias("avg_score"),
+                 F.avg(F.col(outcome_col).cast("double"))
+                  .alias("pos_rate")))

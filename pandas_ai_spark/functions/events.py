@@ -330,3 +330,51 @@ def rolling_active_users(df: DataFrame, ts_col: str = "ts",
     return (exploded.groupBy("day")
             .agg(counter(F.col("__u")).alias("active_users"))
             .orderBy("day"))
+
+
+def session_stats(df: DataFrame, user_col: str = "user_id",
+                  ts_col: str = "ts", id_col: str = "event_id",
+                  gap_minutes: float = 30.0,
+                  approx: bool | None = None) -> DataFrame:
+    """Corpus-level session profile from raw events: ONE row with
+    ``(n_sessions, n_bounce, bounce_rate, avg_events, median
+    /p90_duration_s)`` where sessions split on gaps >
+    ``gap_minutes`` within a user (the q16 rule) and a bounce is a
+    single-event session.
+
+    Shape: the boundary flag and its running sum (the session id) ride
+    ONE user-partitioned sort window; the per-session and global
+    aggregations reuse that partitioning prefix — the raw events
+    shuffle exactly once. Durations are epoch-microsecond arithmetic
+    (engine-portable); the duration percentiles ride the stats
+    family's auto exact→approx switch (state bounded by distinct
+    durations).
+    """
+    from pyspark.sql.window import Window
+
+    from pandas_ai_spark.functions.stats import _pct, _resolve_approx
+
+    resolved = _resolve_approx(df, approx)
+    w = Window.partitionBy(user_col).orderBy(F.col(ts_col),
+                                             F.col(id_col))
+    ep = F.unix_micros(F.col(ts_col))
+    gap_us = float(gap_minutes) * 60 * 1_000_000
+    new_s = F.when(
+        F.lag(ep).over(w).isNull()
+        | ((ep - F.lag(ep).over(w)) > gap_us), 1).otherwise(0)
+    sid = F.sum(new_s.cast("int")).over(
+        w.rowsBetween(Window.unboundedPreceding, 0))
+    per = (df.select(F.col(user_col).alias("__u"), ep.alias("__ep"),
+                     sid.alias("__sid"))
+             .groupBy("__u", "__sid")
+             .agg(F.count("*").alias("__n"),
+                  ((F.max("__ep") - F.min("__ep")) / 1_000_000.0)
+                  .alias("__dur")))
+    return per.agg(
+        F.count("*").alias("n_sessions"),
+        F.sum((F.col("__n") == 1).cast("int")).alias("n_bounce"),
+        F.avg(F.col("__n").cast("double")).alias("avg_events"),
+        _pct(F.col("__dur"), 0.5, resolved).alias("median_duration_s"),
+        _pct(F.col("__dur"), 0.9, resolved).alias("p90_duration_s"),
+    ).withColumn("bounce_rate",
+                 F.col("n_bounce") / F.col("n_sessions"))

@@ -21,7 +21,7 @@ from pyspark.sql import functions as F
 
 from . import dedup as dd
 from . import text as tx
-from .cache import cache_scope
+from .cache import cache_scope, operator_persist
 
 
 @dataclass
@@ -346,10 +346,15 @@ def negative_samples(df: DataFrame, user_col: str, item_col: str,
     """
     if k < 1:
         raise ValueError("k must be >= 1")
-    pos = (df.select(F.col(user_col).alias("__u"),
-                     F.col(item_col).alias("__i"))
-             .where(F.col("__u").isNotNull() & F.col("__i").isNotNull())
-             .distinct())
+    # persisted: the vocab collect and the per-user aggregation both
+    # consume the distinct pass — without the persist the upstream
+    # plan (often a multi-way join) runs twice. Scope-managed
+    # lifetime (functions/cache.py).
+    pos = operator_persist(
+        df.select(F.col(user_col).alias("__u"),
+                  F.col(item_col).alias("__i"))
+          .where(F.col("__u").isNotNull() & F.col("__i").isNotNull())
+          .distinct())
     vocab = sorted(r["__i"] for r in
                    pos.select("__i").distinct().collect())
     if not vocab:

@@ -824,3 +824,30 @@ def ks_test(df: DataFrame, group_col: str, value_col: str,
     return out.select(
         group_col, "n_a", "n_b", "d_stat", d_crit.alias("d_crit"),
         (F.col("d_stat") > d_crit).alias("significant"))
+
+
+def rank_features(df: DataFrame, group_col: str, value_col: str
+                  ) -> DataFrame:
+    """Rank-based feature scaling within groups: appends
+    ``pct_rank`` (the ECDF/quantile-normalized value in [0,1] —
+    ``percent_rank`` ordered by value alone, so tied values share a
+    rank and the result is deterministic without a tiebreak) and
+    ``zscore`` ((x − μ)/σ over the group) — the two standard
+    model-input normalizations, side by side for distribution-shift
+    robustness comparisons.
+
+    Shape: ONE group-partitioned sort window serves the rank; the
+    moment window reuses the same partitioning (no second shuffle).
+    Rows with NULL values pass through with NULL features.
+    """
+    from pyspark.sql.window import Window
+
+    v = F.col(value_col).cast("double")
+    wo = Window.partitionBy(group_col).orderBy(v)
+    wp = Window.partitionBy(group_col)
+    mu = F.avg(v).over(wp)
+    sd = F.stddev_samp(v).over(wp)
+    return (df.withColumn(
+        "pct_rank", F.when(v.isNotNull(), F.percent_rank().over(wo)))
+        .withColumn("zscore",
+                    F.when(sd > 0, (v - mu) / sd)))

@@ -854,3 +854,68 @@ class TestNoveltyVocabUpdate:
         b = sorted(map(tuple, ngram_novelty(batch, vocab=full)
                        .collect()))
         assert a == b and len(a) > 0
+
+
+class TestRankFeatures:
+    def test_pct_rank_and_zscore(self, spark):
+        from pandas_ai_spark.functions.stats import rank_features
+
+        rows = [("g", float(v)) for v in (10, 20, 30, 40, 50)]
+        df = spark.createDataFrame(rows, "g string, v double")
+        out = {r.v: r for r in rank_features(df, "g", "v").collect()}
+        assert out[10.0].pct_rank == 0.0 and out[50.0].pct_rank == 1.0
+        assert abs(out[30.0].pct_rank - 0.5) < 1e-12
+        assert abs(out[30.0].zscore) < 1e-12  # the mean
+
+    def test_ties_share_rank(self, spark):
+        from pandas_ai_spark.functions.stats import rank_features
+
+        df = spark.createDataFrame(
+            [("g", 1.0), ("g", 2.0), ("g", 2.0), ("g", 3.0)],
+            "g string, v double")
+        ranks = {r.pct_rank for r in
+                 rank_features(df, "g", "v").collect()
+                 if r.v == 2.0}
+        assert len(ranks) == 1  # deterministic without a tiebreak
+
+    def test_constant_group_null_zscore(self, spark):
+        from pandas_ai_spark.functions.stats import rank_features
+
+        df = spark.createDataFrame([("g", 5.0)] * 3, "g string, v double")
+        assert all(r.zscore is None for r in
+                   rank_features(df, "g", "v").collect())
+
+
+class TestCalibrationTable:
+    def test_buckets_and_rates(self, spark):
+        from pandas_ai_spark.functions.classify import calibration_table
+
+        # score == outcome probability by construction: perfectly
+        # calibrated, so pos_rate tracks avg_score per bin
+        rows = [(i / 100.0, 1 if i >= 50 else 0) for i in range(100)]
+        df = spark.createDataFrame(rows, "score double, outcome int")
+        out = {r.bucket: r for r in calibration_table(
+            df, "score", "outcome", n_buckets=4).collect()}
+        assert set(out) == {1, 2, 3, 4}
+        assert out[1].pos_rate == 0.0 and out[4].pos_rate == 1.0
+        assert out[1].avg_score < out[4].avg_score
+
+
+class TestSessionStats:
+    def test_sessions_and_bounce(self, spark):
+        from pandas_ai_spark.functions.events import session_stats
+
+        rows = [
+            (1, dt.datetime(2024, 1, 1, 0, 0), 7),
+            (2, dt.datetime(2024, 1, 1, 0, 10), 7),   # same session
+            (3, dt.datetime(2024, 1, 1, 2, 0), 7),    # new session
+            (4, dt.datetime(2024, 1, 1, 0, 0), 8),    # bounce user
+        ]
+        df = spark.createDataFrame(
+            rows, "event_id long, ts timestamp, user_id long")
+        r = session_stats(df).collect()[0]
+        assert r.n_sessions == 3 and r.n_bounce == 2
+        assert abs(r.bounce_rate - 2 / 3) < 1e-12
+        # durations: 600s, 0s, 0s -> median 0
+        assert r.median_duration_s == 0.0
+        assert abs(r.p90_duration_s - 480.0) < 1e-9  # interpolated

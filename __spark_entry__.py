@@ -2778,6 +2778,43 @@ def q135_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("p90_duration_s", 3).alias("p90_duration_s"))
 
 
+def q136_temporal_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe temporal split audit (pipeline.temporal_split):
+    train before Jan 20, a 3-day embargo EXCLUDED from both sides
+    (the purged-split rule — features whose lookback straddles the
+    boundary leak the future into training), test from Jan 23. The
+    split is a row-local literal comparison riding the scan; the audit
+    rollup proves the gap: per split, counts + min/max timestamps.
+    Oracle: identical literal arithmetic."""
+    from pandas_ai_spark.functions.pipeline import temporal_split
+
+    ev = _t(spark, sf_dir, "events")
+    out = temporal_split(ev, "ts", "2024-01-20", embargo_days=3)
+    return (out.groupBy("split")
+            .agg(F.count("*").alias("n"),
+                 F.min("ts").alias("min_ts"),
+                 F.max("ts").alias("max_ts"))
+            .orderBy("split"))
+
+
+def q137_corpus_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-freshness audit (dedup.corpus_overlap): treating even-id
+    docs as the incoming batch and odd-id docs as the prior corpus,
+    one row of (n_new, n_distinct_new, n_seen_in_old, n_net_new,
+    pct_net_new) by normalized exact fingerprint — both sides reduce
+    to distinct md5 hashes (text never shuffles), membership is one
+    LEFT SEMI join on the hash, counts come from one aggregation.
+    Oracle: identical normalize+md5 semi-join arithmetic."""
+    from pandas_ai_spark.functions.dedup import corpus_overlap
+
+    docs = _t(spark, sf_dir, "documents")
+    out = corpus_overlap(docs.where(F.col("doc_id") % 2 == 0),
+                         docs.where(F.col("doc_id") % 2 == 1))
+    return out.select(
+        "n_new", "n_distinct_new", "n_seen_in_old", "n_net_new",
+        F.round("pct_net_new", 9).alias("pct_net_new"))
+
+
 def _q134_oracle() -> str:
     """Calibration oracle: the q54 hashing-trick score SQL (same _TOKS
     macro and md5-bucket weights) + is-English outcome + quantile_cont
@@ -3054,6 +3091,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q133_rank_features": q133_rank_features,
         "q134_calibration": q134_calibration,
         "q135_session_stats": q135_session_stats,
+        "q136_temporal_split": q136_temporal_split,
+        "q137_corpus_overlap": q137_corpus_overlap,
     }
 
 
@@ -5683,6 +5722,43 @@ def oracle_sql() -> dict[str, str]:
                                   THEN 1 ELSE 0 END)
                          / count(*)::DOUBLE, 9) AS outlier_pct
             FROM j GROUP BY event_type ORDER BY event_type
+        """,
+        "q136_temporal_split": """
+            WITH s AS (
+              SELECT ts,
+                     CASE WHEN ts < TIMESTAMP '2024-01-20'
+                            THEN 'train'
+                          WHEN ts >= TIMESTAMP '2024-01-20'
+                                     + INTERVAL 3 DAY
+                            THEN 'test'
+                          WHEN ts IS NOT NULL THEN 'embargo'
+                     END AS split
+              FROM events
+            )
+            SELECT split, count(*)::BIGINT AS n,
+                   min(ts) AS min_ts, max(ts) AS max_ts
+            FROM s GROUP BY split ORDER BY split
+        """,
+        "q137_corpus_overlap": f"""
+            WITH fn AS (
+              SELECT md5({_NORM}) AS fp, count(*) AS n
+              FROM documents WHERE doc_id % 2 = 0 GROUP BY 1
+            ), fo AS (
+              SELECT DISTINCT md5({_NORM}) AS fp
+              FROM documents WHERE doc_id % 2 = 1
+            ), ann AS (
+              SELECT fn.fp, fn.n,
+                     CASE WHEN fo.fp IS NOT NULL THEN 1 ELSE 0 END
+                       AS seen
+              FROM fn LEFT JOIN fo ON fn.fp = fo.fp
+            )
+            SELECT sum(n)::BIGINT AS n_new,
+                   count(*)::BIGINT AS n_distinct_new,
+                   sum(seen)::BIGINT AS n_seen_in_old,
+                   (count(*) - sum(seen))::BIGINT AS n_net_new,
+                   round((count(*) - sum(seen))
+                         / count(*)::DOUBLE, 9) AS pct_net_new
+            FROM ann
         """,
         "q133_rank_features": """
             SELECT event_id, event_type, value,

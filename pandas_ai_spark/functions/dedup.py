@@ -1166,3 +1166,44 @@ def ngram_containment_pairs(
     hot shingles make the unguarded self-join quadratic."""
     return ngram_jaccard_pairs(df, text_col, id_col, n, threshold,
                                max_doc_freq, score="containment")
+
+
+def corpus_overlap(new: DataFrame, old: DataFrame,
+                   text_col: str = "text",
+                   id_col: str = "doc_id") -> DataFrame:
+    """Crawl-freshness audit: ONE row
+    ``(n_new, n_distinct_new, n_seen_in_old, n_net_new, pct_net_new)``
+    — how much of an incoming corpus is actually new content, by
+    normalized exact fingerprint (:func:`~..functions.text.fingerprint`
+    semantics): ``n_distinct_new`` dedups the batch internally,
+    ``n_seen_in_old`` counts distinct new fingerprints present
+    anywhere in the prior corpus, ``n_net_new`` is their difference —
+    the number the ingestion decision actually needs before paying for
+    processing.
+
+    Shape: both sides reduce to DISTINCT md5 fingerprints (row-local
+    hash + one distinct each — the old side never ships text); the
+    membership check is a LEFT SEMI join on the hash (broadcast when
+    the new batch is small, shuffle otherwise — either way keyed on
+    the 16-byte hash, never the text); three scalar counts come out of
+    one aggregation over the annotated new-side table.
+    """
+    fp_new = (new.select(F.md5(normalize_text(F.col(text_col)))
+                         .alias("__fp"))
+                 .groupBy("__fp").agg(F.count("*").alias("__n")))
+    fp_old = old.select(F.md5(normalize_text(F.col(text_col)))
+                        .alias("__fp")).distinct()
+    seen = fp_new.join(fp_old, "__fp", "left_semi") \
+                 .select("__fp", F.lit(1).alias("__seen"))
+    ann = fp_new.join(seen.select("__fp", "__seen"), "__fp", "left")
+    return ann.agg(
+        F.sum("__n").cast("bigint").alias("n_new"),
+        F.count("*").alias("n_distinct_new"),
+        F.sum(F.coalesce(F.col("__seen"), F.lit(0))).cast("bigint")
+         .alias("n_seen_in_old"),
+    ).select(
+        "n_new", "n_distinct_new", "n_seen_in_old",
+        (F.col("n_distinct_new") - F.col("n_seen_in_old"))
+        .alias("n_net_new"),
+        ((F.col("n_distinct_new") - F.col("n_seen_in_old"))
+         / F.col("n_distinct_new").cast("double")).alias("pct_net_new"))

@@ -378,3 +378,30 @@ def negative_samples(df: DataFrame, user_col: str, item_col: str,
     return out.select(
         user_col, F.col("__s.item").alias(item_col),
         (F.col("__p") + 1).alias("rk"))
+
+
+def temporal_split(df: DataFrame, ts_col: str, cutoff: str,
+                   embargo_days: int = 0,
+                   split_col: str = "split") -> DataFrame:
+    """Leakage-safe temporal train/test split: appends ``split_col`` ∈
+    {'train', 'embargo', 'test'} — train strictly before ``cutoff``,
+    test at/after ``cutoff + embargo_days``, and an embargo buffer
+    between them that is EXCLUDED from both (the purged-split rule
+    from financial ML: rows whose labels/windows straddle the boundary
+    leak future information into training; an explicit gap removes
+    them instead of trusting every feature's lookback to be short).
+
+    Row-local literal comparisons riding the scan — zero shuffles,
+    deterministic for backfills (an explicit cutoff, never now()).
+    NULL timestamps get NULL split — surfaced, not silently trained on.
+    """
+    if embargo_days < 0:
+        raise ValueError("embargo_days must be >= 0")
+    ts = F.col(ts_col).cast("timestamp")
+    lo = F.lit(cutoff).cast("timestamp")
+    hi = F.timestamp_add("DAY", F.lit(int(embargo_days)), lo)
+    return df.withColumn(
+        split_col,
+        F.when(ts < lo, "train")
+         .when(ts >= hi, "test")
+         .when(ts.isNotNull(), "embargo"))

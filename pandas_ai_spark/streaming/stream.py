@@ -518,3 +518,57 @@ def stateful_rolling_zscore(df: DataFrame, key_col: str, ts_col: str,
     return prepped.groupBy(key_col).applyInPandasWithState(
         fn, out_schema, state_schema, "append",
         GroupStateTimeout.NoTimeout)
+
+
+class StreamingDriftMonitor:
+    """Continuous distribution-drift monitoring: every micro-batch's
+    ``value_col`` is scored against a FIXED reference snapshot with
+    the same PSI arithmetic as the batch operator
+    (:func:`~pandas_ai_spark.functions.stats
+    .population_stability_index` is called directly, so the streamed
+    number is bit-identical to what a batch backfill would report —
+    batch/stream parity by construction, test-asserted). One row
+    ``(batch_id, n_rows, psi, alert)`` appends to ``out_path`` per
+    micro-batch; ``alert`` fires above ``alert_threshold`` (0.25 = the
+    standard 'significant shift' PSI bar).
+
+    The reference is a static DataFrame captured at deploy time (the
+    training snapshot); per batch the cost is two bounded jobs — the
+    ``bins``-row PSI table and a count — regardless of batch size.
+    """
+
+    def __init__(self, spark, reference: DataFrame, value_col: str,
+                 lo: float, hi: float, bins: int = 10,
+                 alert_threshold: float = 0.25):
+        self.spark = spark
+        self.reference = reference
+        self.value_col = value_col
+        self.lo, self.hi, self.bins = float(lo), float(hi), int(bins)
+        self.alert_threshold = float(alert_threshold)
+
+    def process_batch(self, batch_df: DataFrame, batch_id: int,
+                      out_path: str) -> None:
+        from ..functions.stats import population_stability_index
+
+        n = batch_df.count()
+        if n == 0:
+            return
+        psi = float(population_stability_index(
+            self.reference, batch_df, self.value_col,
+            self.lo, self.hi, self.bins)
+            .agg(F.sum("psi")).collect()[0][0])
+        row = self.spark.createDataFrame(
+            [(int(batch_id), int(n), psi,
+              psi > self.alert_threshold)],
+            "batch_id long, n_rows long, psi double, alert boolean")
+        row.write.mode("append").parquet(out_path)
+
+    def attach(self, stream_df: DataFrame, out_path: str,
+               checkpoint: str, trigger: Optional[dict] = None):
+        """Run as a foreachBatch sink over a streaming DataFrame."""
+        def fn(bdf, bid):
+            self.process_batch(bdf, bid, out_path)
+
+        return StreamCompiler.foreach_batch(
+            stream_df, fn, checkpoint,
+            trigger=trigger or {"availableNow": True})

@@ -919,3 +919,93 @@ class TestSessionStats:
         # durations: 600s, 0s, 0s -> median 0
         assert r.median_duration_s == 0.0
         assert abs(r.p90_duration_s - 480.0) < 1e-9  # interpolated
+
+
+class TestStreamingDriftMonitor:
+    def test_psi_per_batch_with_batch_parity(self, spark, tmp_path):
+        import os
+
+        from pandas_ai_spark.functions.stats import \
+            population_stability_index
+        from pandas_ai_spark.streaming.stream import StreamingDriftMonitor
+
+        ref = spark.createDataFrame(
+            [(float(i % 100),) for i in range(1000)], "v double")
+        same = [(float((i * 7) % 100),) for i in range(500)]
+        shifted = [(float(50 + (i * 7) % 400),) for i in range(500)]
+
+        src = str(tmp_path / "src")
+        os.makedirs(src)
+        spark.createDataFrame(same, "v double").coalesce(1) \
+            .write.mode("append").parquet(src)
+        first = [os.path.join(src, f) for f in os.listdir(src)
+                 if f.endswith(".parquet")]
+        spark.createDataFrame(shifted, "v double").coalesce(1) \
+            .write.mode("append").parquet(src)
+        now = os.path.getmtime(first[0])
+        for f in os.listdir(src):
+            p = os.path.join(src, f)
+            if f.endswith(".parquet") and p not in first:
+                os.utime(p, (now + 30, now + 30))
+
+        stream = (spark.readStream.schema("v double")
+                  .option("maxFilesPerTrigger", 1).parquet(src))
+        mon = StreamingDriftMonitor(spark, ref, "v", lo=0.0, hi=100.0,
+                                    bins=10)
+        out = str(tmp_path / "out")
+        q = mon.attach(stream, out, str(tmp_path / "ckpt"))
+        q.awaitTermination()
+
+        rows = {r.batch_id: r for r in spark.read.parquet(out).collect()}
+        assert len(rows) == 2
+        assert rows[0].psi < 0.1 and rows[0].alert is False
+        assert rows[1].psi > 0.25 and rows[1].alert is True
+        # batch/stream parity: the streamed PSI is bit-identical to the
+        # batch operator over the same data
+        want = float(population_stability_index(
+            ref, spark.createDataFrame(shifted, "v double"),
+            "v", 0.0, 100.0, 10).agg(F.sum("psi")).collect()[0][0])
+        assert rows[1].psi == want
+
+
+class TestTemporalSplit:
+    def test_embargo_excluded_from_both(self, spark):
+        from pandas_ai_spark.functions.pipeline import temporal_split
+
+        rows = [(1, dt.datetime(2024, 1, 10)),
+                (2, dt.datetime(2024, 1, 21)),   # inside embargo
+                (3, dt.datetime(2024, 1, 25)),
+                (4, None)]
+        df = spark.createDataFrame(rows, "id long, ts timestamp")
+        out = {r.id: r.split for r in temporal_split(
+            df, "ts", "2024-01-20", embargo_days=3).collect()}
+        assert out == {1: "train", 2: "embargo", 3: "test", 4: None}
+
+    def test_zero_embargo_contiguous(self, spark):
+        from pandas_ai_spark.functions.pipeline import temporal_split
+
+        df = spark.createDataFrame(
+            [(1, dt.datetime(2024, 1, 20))], "id long, ts timestamp")
+        assert temporal_split(df, "ts", "2024-01-20") \
+            .collect()[0].split == "test"
+        with pytest.raises(ValueError):
+            temporal_split(df, "ts", "2024-01-20", embargo_days=-1)
+
+
+class TestCorpusOverlap:
+    def test_counts(self, spark):
+        from pandas_ai_spark.functions.dedup import corpus_overlap
+
+        old = spark.createDataFrame(
+            [(1, "seen before"), (2, "also known")],
+            "doc_id long, text string")
+        new = spark.createDataFrame(
+            [(10, "Seen Before!"),      # normalized dup of old 1
+             (11, "fresh content"),
+             (12, "fresh content"),     # internal dup
+             (13, "brand new")],
+            "doc_id long, text string")
+        r = corpus_overlap(new, old).collect()[0]
+        assert r.n_new == 4 and r.n_distinct_new == 3
+        assert r.n_seen_in_old == 1 and r.n_net_new == 2
+        assert abs(r.pct_net_new - 2 / 3) < 1e-12

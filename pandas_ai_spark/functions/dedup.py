@@ -1205,5 +1205,8 @@ def corpus_overlap(new: DataFrame, old: DataFrame,
         "n_new", "n_distinct_new", "n_seen_in_old",
         (F.col("n_distinct_new") - F.col("n_seen_in_old"))
         .alias("n_net_new"),
-        ((F.col("n_distinct_new") - F.col("n_seen_in_old"))
-         / F.col("n_distinct_new").cast("double")).alias("pct_net_new"))
+        F.try_divide(
+            (F.col("n_distinct_new") - F.col("n_seen_in_old"))
+            .cast("double"),
+            F.col("n_distinct_new").cast("double"))
+        .alias("pct_net_new"))

@@ -598,8 +598,10 @@ def gini_coefficient(df: DataFrame, value_col: str,
     return gb.agg(
         n.alias("n"),
         F.sum("__x").alias("total"),
-        ((2.0 * F.sum(F.col("__i") * F.col("__x")))
-         / (n * F.sum("__x"))
+        # try_divide: an all-zero group is NULL gini (0/0 surfaced,
+        # never an ANSI-mode ArithmeticException — hypothesis-found)
+        (F.try_divide(2.0 * F.sum(F.col("__i") * F.col("__x")),
+                      n.cast("double") * F.sum("__x"))
          - (n + 1) / n.cast("double")).alias("gini"))
 
 
@@ -811,16 +813,20 @@ def ks_test(df: DataFrame, group_col: str, value_col: str,
     cum_b = F.sum(1 - F.col("__a")).over(wr)
     n_a = F.sum("__a").over(wp)
     n_b = F.sum(1 - F.col("__a")).over(wp)
+    # try_divide: a group holding only one of the two samples has no
+    # defined statistic — NULL d_stat surfaces it (ANSI mode would
+    # otherwise throw on the zero count)
     stepped = base.select(
         "__g", n_a.alias("__na"), n_b.alias("__nb"),
-        F.abs(cum_a / n_a - cum_b / n_b).alias("__d"))
+        F.abs(F.try_divide(cum_a, n_a)
+              - F.try_divide(cum_b, n_b)).alias("__d"))
     out = (stepped.groupBy(F.col("__g").alias(group_col))
            .agg(F.min("__na").alias("n_a"),
                 F.min("__nb").alias("n_b"),
                 F.max("__d").alias("d_stat")))
-    d_crit = 1.358 * F.sqrt((F.col("n_a") + F.col("n_b"))
-                            / (F.col("n_a") * F.col("n_b"))
-                            .cast("double"))
+    d_crit = 1.358 * F.sqrt(F.try_divide(
+        (F.col("n_a") + F.col("n_b")).cast("double"),
+        (F.col("n_a") * F.col("n_b")).cast("double")))
     return out.select(
         group_col, "n_a", "n_b", "d_stat", d_crit.alias("d_crit"),
         (F.col("d_stat") > d_crit).alias("significant"))

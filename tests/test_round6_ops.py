@@ -1009,3 +1009,27 @@ class TestCorpusOverlap:
         assert r.n_new == 4 and r.n_distinct_new == 3
         assert r.n_seen_in_old == 1 and r.n_net_new == 2
         assert abs(r.pct_net_new - 2 / 3) < 1e-12
+
+
+class TestAnsiDivisionGuards:
+    def test_ks_single_sample_group_null_not_throw(self, spark):
+        from pandas_ai_spark.functions.stats import ks_test
+
+        df = spark.createDataFrame([("g", 1.0, "b"), ("g", 2.0, "b")],
+                                   "g string, v double, s string")
+        r = ks_test(df, "g", "v", "s", "a", "b").collect()[0]
+        assert r.d_stat is None and r.n_a == 0
+
+    def test_corpus_overlap_empty_new_null_pct(self, spark):
+        from pandas_ai_spark.functions.dedup import corpus_overlap
+
+        old = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+        new = spark.createDataFrame([], "doc_id long, text string")
+        r = corpus_overlap(new, old).collect()[0]
+        assert r.n_distinct_new == 0 and r.pct_net_new is None
+
+    def test_gini_all_zero_group_null(self, spark):
+        from pandas_ai_spark.functions.stats import gini_coefficient
+
+        df = spark.createDataFrame([(0.0,)] * 3, "v double")
+        assert gini_coefficient(df, "v").collect()[0].gini is None

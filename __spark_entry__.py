@@ -2815,6 +2815,33 @@ def q137_corpus_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("pct_net_new", 9).alias("pct_net_new"))
 
 
+def q138_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs & authorities (graph.hits) over the bipartite
+    customer→brand purchase graph — the Kleinberg complement
+    completing the graph family (PageRank q82, triangles q88): 3
+    rounds of a←Aᵀh / h←A·a with normalization deferred to the end so
+    every intermediate is an exact integer sum (no per-iteration float
+    scalar — what makes the chained-CTE oracle bit-compatible). Per
+    round: two broadcast score joins + partial-agg'd sums over the
+    persisted distinct edge table. Oracle: 2·iterations chained
+    join+aggregate CTEs in DuckDB."""
+    from pandas_ai_spark.functions.graph import hits
+
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    edges = (orders.join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+                   .join(part, F.col("l_partkey") == F.col("p_partkey"))
+                   .select(F.concat(F.lit("c"),
+                                    F.col("o_custkey").cast("string"))
+                           .alias("src"),
+                           F.col("p_brand").alias("dst")))
+    out = hits(edges, iterations=3)
+    return out.select(
+        "node", F.round("hub", 9).alias("hub"),
+        F.round("authority", 9).alias("authority")).orderBy("node")
+
+
 def _q134_oracle() -> str:
     """Calibration oracle: the q54 hashing-trick score SQL (same _TOKS
     macro and md5-bucket weights) + is-English outcome + quantile_cont
@@ -3093,6 +3120,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q135_session_stats": q135_session_stats,
         "q136_temporal_split": q136_temporal_split,
         "q137_corpus_overlap": q137_corpus_overlap,
+        "q138_hits": q138_hits,
     }
 
 
@@ -5722,6 +5750,39 @@ def oracle_sql() -> dict[str, str]:
                                   THEN 1 ELSE 0 END)
                          / count(*)::DOUBLE, 9) AS outlier_pct
             FROM j GROUP BY event_type ORDER BY event_type
+        """,
+        "q138_hits": """
+            WITH e AS (
+              SELECT DISTINCT 'c' || o_custkey::VARCHAR AS s,
+                     p_brand AS d
+              FROM orders
+              JOIN lineitem ON o_orderkey = l_orderkey
+              JOIN part ON l_partkey = p_partkey
+            ), nodes AS (
+              SELECT DISTINCT s AS node FROM e
+              UNION SELECT DISTINCT d FROM e
+            ),
+            a1 AS (SELECT d AS node, count(*)::DOUBLE AS a
+                   FROM e GROUP BY 1),
+            h1 AS (SELECT s AS node, sum(a1.a) AS h
+                   FROM e JOIN a1 ON e.d = a1.node GROUP BY 1),
+            a2 AS (SELECT e.d AS node, sum(h1.h) AS a
+                   FROM e JOIN h1 ON e.s = h1.node GROUP BY 1),
+            h2 AS (SELECT e.s AS node, sum(a2.a) AS h
+                   FROM e JOIN a2 ON e.d = a2.node GROUP BY 1),
+            a3 AS (SELECT e.d AS node, sum(h2.h) AS a
+                   FROM e JOIN h2 ON e.s = h2.node GROUP BY 1),
+            h3 AS (SELECT e.s AS node, sum(a3.a) AS h
+                   FROM e JOIN a3 ON e.d = a3.node GROUP BY 1),
+            nh AS (SELECT sqrt(sum(h * h)) AS v FROM h3),
+            na AS (SELECT sqrt(sum(a * a)) AS v FROM a3)
+            SELECT node,
+                   round(coalesce(h3.h, 0) / nh.v, 9) AS hub,
+                   round(coalesce(a3.a, 0) / na.v, 9) AS authority
+            FROM nodes
+            LEFT JOIN h3 USING (node) LEFT JOIN a3 USING (node)
+            CROSS JOIN nh CROSS JOIN na
+            ORDER BY node
         """,
         "q136_temporal_split": """
             WITH s AS (

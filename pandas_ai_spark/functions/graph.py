@@ -239,3 +239,61 @@ def triangle_counts(edges: DataFrame, src: str = "src",
     per_node = tris.select(
         F.explode(F.array("a", "b", "c")).alias("node"))
     return per_node.groupBy("node").agg(F.count("*").alias("triangles"))
+
+
+def hits(edges: DataFrame, src: str = "src", dst: str = "dst",
+         iterations: int = 3,
+         broadcast_nodes_below: int = 5_000_000) -> DataFrame:
+    """HITS hubs & authorities (Kleinberg) over a directed edge table:
+    ``(node, hub, authority)`` after ``iterations`` rounds of
+    ``a ← Aᵀh; h ← A·a`` from ``h₀ = 1``, L2-normalized ONCE at the
+    end — the classic bipartite-ranking complement to PageRank
+    (customers↔products, queries↔documents): hubs point at good
+    authorities, authorities are pointed at by good hubs.
+
+    Deferring normalization keeps every intermediate score an INTEGER
+    sum (exact in doubles to 2⁵³ — no per-iteration float scalar, no
+    cross-engine summation-order drift), which is what lets a plain
+    chained-CTE SQL oracle reproduce the fixed-iteration computation
+    bit-for-bit; rankings are scale-invariant so the result is the
+    standard one. Per round: two score-keyed equi-joins + dst/src
+    partial-agg'd sums over the persisted distinct edge table — the
+    q82 shape; the score side broadcasts below
+    ``broadcast_nodes_below`` nodes (edge table never shuffles), node
+    -id shuffles above it. Nodes missing a direction (no in- or
+    out-edges) report 0 for that score.
+    """
+    from .cache import operator_persist
+
+    if iterations < 1:
+        raise ValueError("iterations must be >= 1")
+    e = operator_persist(
+        edges.select(F.col(src).alias("__s"),
+                     F.col(dst).alias("__d")).distinct())
+    nodes = (e.select(F.col("__s").alias("node"))
+              .union(e.select("__d")).distinct())
+    n_nodes = nodes.count()
+    if n_nodes == 0:
+        raise ValueError("hits needs a non-empty edge table")
+    maybe_bc = (F.broadcast if n_nodes < broadcast_nodes_below
+                else (lambda d: d))
+    h = nodes.select("node", F.lit(1.0).alias("h"))
+    a = None
+    for _ in range(int(iterations)):
+        a = (e.join(maybe_bc(h.withColumnRenamed("node", "__s")),
+                    "__s")
+              .groupBy(F.col("__d").alias("node"))
+              .agg(F.sum("h").alias("a")))
+        h = (e.join(maybe_bc(a.withColumnRenamed("node", "__d")),
+                    "__d")
+              .groupBy(F.col("__s").alias("node"))
+              .agg(F.sum("a").alias("h")))
+    nh = h.agg(F.sqrt(F.sum(F.col("h") ** 2))).collect()[0][0]
+    na = a.agg(F.sqrt(F.sum(F.col("a") ** 2))).collect()[0][0]
+    return (nodes
+            .join(h, "node", "left").join(a, "node", "left")
+            .select("node",
+                    (F.coalesce(F.col("h"), F.lit(0.0))
+                     / F.lit(float(nh))).alias("hub"),
+                    (F.coalesce(F.col("a"), F.lit(0.0))
+                     / F.lit(float(na))).alias("authority")))

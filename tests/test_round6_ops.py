@@ -1033,3 +1033,38 @@ class TestAnsiDivisionGuards:
 
         df = spark.createDataFrame([(0.0,)] * 3, "v double")
         assert gini_coefficient(df, "v").collect()[0].gini is None
+
+
+class TestHits:
+    def test_bipartite_ranking(self, spark):
+        from pandas_ai_spark.functions.graph import hits
+
+        e = spark.createDataFrame(
+            [("u1", "p1"), ("u1", "p2"), ("u2", "p1"), ("u3", "p1")],
+            "src string, dst string")
+        out = {r.node: r for r in hits(e, iterations=2).collect()}
+        # p1 has 3 in-links from hubs, p2 one: p1 dominates
+        assert out["p1"].authority > out["p2"].authority > 0
+        # u1 links to both authorities: the best hub
+        assert out["u1"].hub > out["u2"].hub > 0
+        # pure sources/sinks score 0 in the missing direction
+        assert out["p1"].hub == 0.0 and out["u1"].authority == 0.0
+
+    def test_normalized_unit_l2(self, spark):
+        from pandas_ai_spark.functions.graph import hits
+
+        e = spark.createDataFrame([("a", "b"), ("b", "c")],
+                                  "src string, dst string")
+        rows = hits(e, iterations=1).collect()
+        assert abs(sum(r.hub ** 2 for r in rows) - 1.0) < 1e-9
+        assert abs(sum(r.authority ** 2 for r in rows) - 1.0) < 1e-9
+
+    def test_empty_and_bad_iterations_raise(self, spark):
+        from pandas_ai_spark.functions.graph import hits
+
+        e = spark.createDataFrame([], "src string, dst string")
+        with pytest.raises(ValueError):
+            hits(e)
+        e2 = spark.createDataFrame([("a", "b")], "src string, dst string")
+        with pytest.raises(ValueError):
+            hits(e2, iterations=0)

@@ -288,6 +288,11 @@ def hits(edges: DataFrame, src: str = "src", dst: str = "dst",
                     "__d")
               .groupBy(F.col("__s").alias("node"))
               .agg(F.sum("a").alias("h")))
+    # persist the final score tables: the two norm scalars and the
+    # returned plan would otherwise each re-execute the whole
+    # 2·iterations join chain (measured 3x wall at sf0.01)
+    h = operator_persist(h)
+    a = operator_persist(a)
     nh = h.agg(F.sqrt(F.sum(F.col("h") ** 2))).collect()[0][0]
     na = a.agg(F.sqrt(F.sum(F.col("a") ** 2))).collect()[0][0]
     return (nodes

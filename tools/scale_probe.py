@@ -73,6 +73,8 @@ DEFAULT = [
     "q129_negative_samples",    # per-user arrays + literal vocab ops
     "q130_weighted_median",     # cumulative-weight window + crossing agg
     "q132_ks_drift",            # RANGE-frame dual-ECDF window
+    "q135_session_stats",       # running-sum session ids + rollup
+    "q138_hits",                # fixed-iteration broadcast score joins
 ]
 
 

@@ -88,11 +88,14 @@ def main() -> None:
     # expression shape — a JIT warmup cost, not a per-query cost at scale.
     # The DuckDB baseline below gets the identical treatment.
     reps = int(os.environ.get("BENCH_REPS", "2"))
+    from pandas_ai_spark.functions.cache import release_operator_caches
     timings: dict[str, float] = {}
     controls: dict[str, float] = {}
     total = 0.0
     stream_protocol: dict[str, float] = {}
-    for name, fn in entry.queries().items():
+    # numeric order for stable display; queries() itself iterates
+    # stalest-first for the driver's capped correctness sweep
+    for name, fn in entry.queries_numeric().items():
         best = float("inf")
         for _ in range(1 if name in STREAM_PROTOCOL_QUERIES else reps):
             # cold Spark cache before EVERY rep: operators that persist
@@ -105,6 +108,10 @@ def main() -> None:
             t0 = time.perf_counter()
             fn(spark, sf_dir).collect()
             best = min(best, time.perf_counter() - t0)
+        # clearCache() above already freed the blocks; this trims the
+        # module ledger so DataFrame refs don't accumulate over 138
+        # queries
+        release_operator_caches()
         if name in CONTROL_QUERIES:
             controls[name] = round(best, 3)
         elif name in STREAM_PROTOCOL_QUERIES:
@@ -208,7 +215,32 @@ def main() -> None:
         if base_stream:
             out["baseline_stream_protocol"] = base_stream
 
+    # Driver-proofing (VERDICT r6 item 5): the driver keeps only the
+    # TAIL of stdout, so a long single-line JSON can be truncated into
+    # unparseability (BENCH_r06 landed parsed:null). Persist the full
+    # per-query table to a repo file, then print the full JSON (for
+    # humans / tools that capture everything) followed by ONE compact
+    # summary line LAST — short enough to always survive tail capture.
+    try:
+        here = os.path.dirname(os.path.abspath(__file__))
+        with open(os.path.join(here, "bench_last.json"), "w") as f:
+            json.dump(out, f, indent=1)
+    except OSError:
+        pass
     print(json.dumps(out))
+    summary = {
+        "metric": out["metric"],
+        "value": out["value"],
+        "unit": out["unit"],
+        "sf": out["sf"],
+        "n_queries": len(out.get("queries", {})),
+        "full_table": "bench_last.json",
+    }
+    if "baseline_total" in out:
+        summary["baseline_total"] = out["baseline_total"]
+    if "streaming_floor" in out:
+        summary["stream_all_pass"] = out["streaming_floor"]["all_pass"]
+    print(json.dumps(summary))
 
 
 if __name__ == "__main__":

@@ -92,8 +92,14 @@ def key_skew_report(df: DataFrame, key_col: str,
     single-row aggregates. NULL keys count as a key (NULL is a
     real — often the hottest — join key).
     """
-    counts = df.groupBy(F.col(key_col).alias("__k")) \
-               .agg(F.count("*").alias("__n"))
+    from .cache import operator_persist
+
+    # persisted: the expensive key-count shuffle feeds TWO actions
+    # (top-N collect + percentile/total agg) — without the pin it
+    # would run twice (the hits/rolling_actives pattern)
+    counts = operator_persist(
+        df.groupBy(F.col(key_col).alias("__k"))
+          .agg(F.count("*").alias("__n")))
     top = [int(r["__n"]) for r in
            counts.orderBy(F.desc("__n")).limit(int(top_n)).collect()]
     agg = counts.agg(

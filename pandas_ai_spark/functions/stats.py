@@ -561,6 +561,41 @@ def welch_ttest(df: DataFrame, group_col: str, value_col: str,
         (F.abs(t) >= F.lit(float(t_critical))).alias("significant"))
 
 
+def _global_rank(base: DataFrame, order: list) -> DataFrame:
+    """Distributed global ``row_number`` over ``order`` (leading
+    column ``__x``) WITHOUT a single-task global Window — the
+    packing.py bucket-prefix-sum shape: ≤256 value-quantile buckets
+    (edges are driver scalars; assignment is a row-local comparison
+    chain, and equal values always share a bucket so any tiebreak
+    order stays globally consistent), per-bucket counts collected
+    (≤256 rows) into running offsets, then a bucket-PARTITIONED
+    row_number plus the broadcast bucket offset. Three bounded jobs
+    instead of one unbounded-width task."""
+    from pyspark.sql.window import Window
+
+    fracs = [i / 256 for i in range(1, 256)]
+    edges = base.agg(
+        F.percentile_approx("__x", fracs, 50000).alias("e")
+    ).collect()[0]["e"] or []
+    score = F.lit(0)
+    for e in sorted({float(x) for x in edges}):
+        score = score + F.when(F.col("__x") > F.lit(e), 1).otherwise(0)
+    bucketed = base.withColumn("__b", score)
+    counts = (bucketed.groupBy("__b").agg(F.count("*").alias("__n"))
+              .orderBy("__b").collect())
+    running, offsets = 0, {}
+    for r in counts:
+        offsets[r["__b"]] = running
+        running += r["__n"]
+    off = base.sparkSession.createDataFrame(
+        [(int(b), int(o)) for b, o in offsets.items()],
+        "__b int, __off long")
+    w = Window.partitionBy("__b").orderBy(*order)
+    return (bucketed.join(F.broadcast(off), "__b")
+            .withColumn("__i", F.col("__off") + F.row_number().over(w))
+            .drop("__b", "__off"))
+
+
 def gini_coefficient(df: DataFrame, value_col: str,
                      by: list[str] | None = None,
                      tiebreak: str | None = None) -> DataFrame:
@@ -573,13 +608,19 @@ def gini_coefficient(df: DataFrame, value_col: str,
     Shape: ONE group-partitioned rank window (never a global sort when
     ``by`` is given — each group sorts inside its own partition) + one
     grouped aggregation on the same key, so the whole statistic is one
-    key shuffle. ``tiebreak`` (an id column) pins the rank order of
-    equal values — the formula's VALUE is tie-invariant (equal x swap
-    ranks with equal weight… i·x + j·x is symmetric only when x's are
-    equal, which is exactly the tie case), but a pinned order keeps
-    the plan deterministic. NULL values are excluded; negative values
-    raise (Gini is defined for non-negative distributions); an
-    all-zero group yields NULL gini (0/0) — surfaced, not hidden.
+    key shuffle. When ``by`` is None the global rank is DISTRIBUTED —
+    the packing.py bucket-prefix-sum pattern: rows are bucketed by the
+    value's global quantile edges (driver scalars), per-bucket counts
+    (≤256 rows) become running offsets, and the rank is a
+    bucket-partitioned ``row_number`` plus its bucket offset — never a
+    single-task ``Window.orderBy`` over the whole table. ``tiebreak``
+    (an id column) pins the rank order of equal values — the formula's
+    VALUE is tie-invariant (equal x swap ranks with equal weight…
+    i·x + j·x is symmetric only when x's are equal, which is exactly
+    the tie case), but a pinned order keeps the plan deterministic.
+    NULL values are excluded; negative values raise (Gini is defined
+    for non-negative distributions); an all-zero group yields NULL
+    gini (0/0) — surfaced, not hidden.
     """
     from pyspark.sql.window import Window
 
@@ -590,9 +631,11 @@ def gini_coefficient(df: DataFrame, value_col: str,
     if base.where(F.col("__x") < 0).limit(1).count():
         raise ValueError("gini_coefficient needs non-negative values")
     order = [F.col("__x")] + ([F.col("__tb")] if tiebreak else [])
-    w = (Window.partitionBy(*by).orderBy(*order) if by
-         else Window.orderBy(*order))
-    ranked = base.withColumn("__i", F.row_number().over(w))
+    if by:
+        w = Window.partitionBy(*by).orderBy(*order)
+        ranked = base.withColumn("__i", F.row_number().over(w))
+    else:
+        ranked = _global_rank(base, order)
     gb = ranked.groupBy(*by) if by else ranked.groupBy()
     n = F.count("*")
     return gb.agg(
@@ -624,11 +667,16 @@ def benford_test(df: DataFrame, value_col: str) -> DataFrame:
     q58/q89 pattern) folded in as a literal. Rows with NULL, zero, or
     negative values are excluded (no first significant digit).
     """
+    from .cache import operator_persist
+
     x = F.col(value_col).cast("double")
     digit = F.floor(x / F.pow(F.lit(10.0), F.floor(F.log10(x))))
     base = (df.where(x.isNotNull() & (x > 0))
               .select(digit.cast("int").alias("digit")))
-    counts = base.groupBy("digit").agg(F.count("*").alias("n"))
+    # persisted: the digit-count shuffle feeds the total collect AND
+    # the spine join — one scan of the input, not two
+    counts = operator_persist(
+        base.groupBy("digit").agg(F.count("*").alias("n")))
     total = counts.agg(F.sum("n")).collect()[0][0] or 0
     if total == 0:
         raise ValueError("benford_test needs positive values")
@@ -661,16 +709,23 @@ def iqr_outliers(df: DataFrame, group_col: str, value_col: str,
     instead of a clamp.
     """
     v = F.col(value_col).cast("double")
+    # __-prefixed internal bounds names: a caller frame that already
+    # has q1/q3/iqr/n columns must never hit an ambiguous-reference
+    # error or a silent clobber — public names appear only in the
+    # final fresh aggregate projection
     bounds = grouped_iqr(df, group_col, value_col, approx=approx) \
-        .withColumnRenamed(group_col, "__g")
+        .select(F.col(group_col).alias("__g"),
+                F.col("q1").alias("__q1"), F.col("q3").alias("__q3"),
+                F.col("iqr").alias("__iqr"))
     j = df.where(v.isNotNull()).join(
         bounds, F.col(group_col).eqNullSafe(F.col("__g"))).drop("__g")
-    lo = F.col("q1") - F.lit(float(k)) * F.col("iqr")
-    hi = F.col("q3") + F.lit(float(k)) * F.col("iqr")
+    lo = F.col("__q1") - F.lit(float(k)) * F.col("__iqr")
+    hi = F.col("__q3") + F.lit(float(k)) * F.col("__iqr")
     out = (v < lo) | (v > hi)
     return (j.groupBy(group_col)
              .agg(F.count("*").alias("n"),
-                  F.min("q1").alias("q1"), F.min("q3").alias("q3"),
+                  F.min("__q1").alias("q1"),
+                  F.min("__q3").alias("q3"),
                   F.min(lo).alias("lo_fence"),
                   F.min(hi).alias("hi_fence"),
                   F.sum(out.cast("int")).alias("n_outliers"))
@@ -728,16 +783,26 @@ def robust_zscore(df: DataFrame, group_col: str, value_col: str,
     surfaced, not an infinity.
     """
     v = F.col(value_col).cast("double")
+    # __-prefixed internal names for the joined bounds: a caller frame
+    # that already has columns named n/median/mad must never hit an
+    # ambiguous-reference error or a silent drop (the public
+    # median/mad outputs are added explicitly at the end — withColumn
+    # REPLACES a same-named caller column, documented append
+    # semantics, never a join ambiguity)
     bounds = grouped_mad(df, group_col, value_col, approx=approx) \
-        .withColumnRenamed(group_col, "__g")
-    z = F.lit(0.6745) * (v - F.col("median")) \
-        / F.when(F.col("mad") > 0, F.col("mad"))
+        .select(F.col(group_col).alias("__g"),
+                F.col("median").alias("__med"),
+                F.col("mad").alias("__mad"))
+    z = F.lit(0.6745) * (v - F.col("__med")) \
+        / F.when(F.col("__mad") > 0, F.col("__mad"))
     return (df.join(bounds, F.col(group_col).eqNullSafe(F.col("__g")))
-              .drop("__g", "n")
               .withColumn("robust_z", z)
               .withColumn("is_outlier",
                           F.when(z.isNotNull(),
-                                 F.abs(z) > float(z_threshold))))
+                                 F.abs(z) > float(z_threshold)))
+              .withColumn("median", F.col("__med"))
+              .withColumn("mad", F.col("__mad"))
+              .drop("__g", "__med", "__mad"))
 
 
 def weighted_median(df: DataFrame, group_col: str, value_col: str,
@@ -844,13 +909,18 @@ def rank_features(df: DataFrame, group_col: str, value_col: str
 
     Shape: ONE group-partitioned sort window serves the rank; the
     moment window reuses the same partitioning (no second shuffle).
-    Rows with NULL values pass through with NULL features.
+    Rows with NULL values pass through with NULL features AND do not
+    occupy ranks: the windows sub-partition on ``value IS NOT NULL``
+    so ``pct_rank`` is a true ECDF over the observed values (the
+    minimum non-null value gets 0.0 even when the group has NULLs —
+    a NULLS FIRST window over the full group would shift every
+    non-null rank up by #nulls/(n−1)).
     """
     from pyspark.sql.window import Window
 
     v = F.col(value_col).cast("double")
-    wo = Window.partitionBy(group_col).orderBy(v)
-    wp = Window.partitionBy(group_col)
+    wo = Window.partitionBy(group_col, v.isNotNull()).orderBy(v)
+    wp = Window.partitionBy(group_col, v.isNotNull())
     mu = F.avg(v).over(wp)
     sd = F.stddev_samp(v).over(wp)
     return (df.withColumn(

@@ -50,6 +50,7 @@ def main() -> int:
 
     import duckdb
     import __spark_entry__ as entry
+    from pandas_ai_spark.functions.cache import release_operator_caches
     from pandas_ai_spark.session import get_session
 
     if rotation_cap is not None:
@@ -83,6 +84,10 @@ def main() -> int:
         sdf = fn(spark, sf_dir)
         srows = sdf.collect()
         scols = [c.lower() for c in sdf.columns]
+        # free operator-internal persists (hits/rolling_actives/
+        # negative_samples pin MEMORY_AND_DISK tables) so a full
+        # 138-query sweep doesn't accumulate pinned blocks
+        release_operator_caches()
         if name not in oracles:
             print(f"{name:28s} rows-only: {len(srows)} rows OK")
             continue

@@ -1069,6 +1069,20 @@ def excise_duplicate_spans(
     no full-token posexplode, no anti-join — the only shuffles are the
     gram-hash agg/join and one groupBy(doc) over hit rows.
     """
+    # Parallelism guard: a small input file scans as ONE partition
+    # (sf0.1 documents = 594 KB < maxPartitionBytes), which serializes
+    # the Arrow gram-hash UDF — the dominant cost — onto one core.
+    # Repartition up ONLY when the scan is narrower than half the
+    # cluster's default parallelism (a few-hundred-KB text shuffle);
+    # at production scale the scan already has >> cores partitions and
+    # this is a no-op. The exchange is reused across both consumers
+    # (gram pass + reassembly join) by Catalyst's ReuseExchange.
+    try:
+        target = df.sparkSession.sparkContext.defaultParallelism
+        if df.rdd.getNumPartitions() * 2 < target:
+            df = df.repartition(target)
+    except Exception:
+        pass
     # toks_df is consumed twice (gram pass + reassembly join) but NOT
     # persisted: caching the full token arrays measured SLOWER than
     # re-running the JVM tokenize chain (2.35 s vs 3.92 s at sf0.1) —

@@ -120,3 +120,38 @@ def integrity_audit(checks: Sequence[Check],
     for c in checks[1:]:
         out = out.unionByName(c.run())
     return out
+
+
+def k_anonymity(df: DataFrame, qi_cols: Sequence[str],
+                k: int = 5) -> DataFrame:
+    """k-anonymity audit over a quasi-identifier column set: one
+    summary row ``(n_rows, n_classes, min_class_size, n_small_classes,
+    n_rows_at_risk, pct_at_risk)`` where an equivalence class is a
+    distinct ``qi_cols`` combination and "at risk" means its class
+    has fewer than ``k`` members (Sweeney's re-identification bound —
+    the privacy gate a training pipeline runs before releasing
+    tabular data).
+
+    Scale shape: ONE hash aggregation on the quasi-identifier key
+    (partial/final — map-side combine makes the shuffle the distinct
+    class count, not the row count) followed by a scalar rollup of
+    the tiny class table. NULLs form their own class, matching SQL
+    GROUP BY semantics.
+    """
+    if not qi_cols:
+        raise ValueError("qi_cols must be non-empty")
+    if k < 2:
+        raise ValueError("k must be >= 2")
+    classes = df.groupBy(*[F.col(c) for c in qi_cols]).agg(
+        F.count("*").alias("__n"))
+    small = F.col("__n") < k
+    return classes.agg(
+        F.sum("__n").cast("bigint").alias("n_rows"),
+        F.count("*").cast("bigint").alias("n_classes"),
+        F.min("__n").cast("bigint").alias("min_class_size"),
+        F.sum(small.cast("bigint")).alias("n_small_classes"),
+        F.sum(F.when(small, F.col("__n")).otherwise(F.lit(0)))
+         .cast("bigint").alias("n_rows_at_risk"),
+    ).withColumn(
+        "pct_at_risk",
+        F.col("n_rows_at_risk") / F.col("n_rows"))

@@ -302,3 +302,57 @@ def hits(edges: DataFrame, src: str = "src", dst: str = "dst",
                      / F.lit(float(nh))).alias("hub"),
                     (F.coalesce(F.col("a"), F.lit(0.0))
                      / F.lit(float(na))).alias("authority")))
+
+
+def min_label_propagation(edges: DataFrame, src: str = "src",
+                          dst: str = "dst", iterations: int = 3,
+                          broadcast_nodes_below: int = 5_000_000
+                          ) -> DataFrame:
+    """Synchronous min-label propagation over an UNDIRECTED graph:
+    every node starts labeled with its own id; each round every node
+    takes the minimum of its label and its neighbors' labels. After
+    ``iterations`` rounds, ``label(v)`` is the minimum node id within
+    ``iterations`` hops — the bounded-round fragment of connected
+    components (labels converge to components once ``iterations``
+    reaches the graph diameter). Returns ``(node, label)``.
+
+    This is the DISTRIBUTED component/community primitive next to the
+    driver-side union-find in ``dedup.dedup_clusters`` (which is
+    size-gated): fixed rounds keep the computation deterministic and
+    SQL-oracle-expressible (one chained CTE per round), and the
+    per-round cost is one partial-aggregated min per edge endpoint —
+    the q82/q138 shape: the symmetrized edge table is persisted and
+    NEVER re-shuffles; only the (node, label) score table moves, and
+    it broadcasts below ``broadcast_nodes_below`` nodes. Min is
+    idempotent/associative, so map-side combine collapses the shuffle
+    to the node count.
+    """
+    from .cache import operator_persist
+
+    if iterations < 1:
+        raise ValueError("iterations must be >= 1")
+    fwd = edges.select(F.col(src).alias("__a"), F.col(dst).alias("__b"))
+    sym = operator_persist(
+        fwd.union(fwd.select(F.col("__b"), F.col("__a"))
+                     .toDF("__a", "__b"))
+           .where(F.col("__a") != F.col("__b")).distinct())
+    nodes = sym.select(F.col("__a").alias("node")).distinct()
+    n_nodes = nodes.count()
+    if n_nodes == 0:
+        raise ValueError("min_label_propagation needs a non-empty "
+                         "edge table")
+    maybe_bc = (F.broadcast if n_nodes < broadcast_nodes_below
+                else (lambda d: d))
+    labels = nodes.select("node", F.col("node").alias("label"))
+    for _ in range(int(iterations)):
+        neigh = (sym.join(maybe_bc(labels.withColumnRenamed(
+                              "node", "__a")), "__a")
+                    .groupBy(F.col("__b").alias("node"))
+                    .agg(F.min("label").alias("__nl")))
+        labels = (labels.join(maybe_bc(neigh), "node", "left")
+                        .select("node",
+                                F.least(F.col("label"),
+                                        F.coalesce(F.col("__nl"),
+                                                   F.col("label")))
+                                .alias("label")))
+    return labels

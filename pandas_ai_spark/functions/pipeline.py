@@ -405,3 +405,43 @@ def temporal_split(df: DataFrame, ts_col: str, cutoff: str,
         F.when(ts < lo, "train")
          .when(ts >= hi, "test")
          .when(ts.isNotNull(), "embargo"))
+
+
+def neyman_allocation(df: DataFrame, stratum_col: str,
+                      value_col: str, total_n: int) -> DataFrame:
+    """Optimal (Neyman) stratified-sample allocation: given a target
+    total sample size, allocate ``n_h ∝ N_h · σ_h`` — more budget to
+    strata that are BIG and VARIABLE — the survey-sampling rule that
+    minimizes the variance of the stratified mean at fixed cost
+    (vs proportional allocation, which ignores within-stratum
+    spread). Returns one row per stratum:
+    ``(stratum, n_rows, stddev, weight, alloc)`` with ``alloc`` the
+    rounded-down allocation capped at the stratum's population
+    (``min(floor(total_n · w_h), N_h)``; single-row strata carry
+    σ = 0 and get 0 — by construction they need no sampling variance
+    budget).
+
+    ONE partial-aggregated group-by (count + stddev share the pass);
+    the normalizing constant Σ N_h·σ_h is a driver scalar off the
+    tiny per-stratum table (scalar-only collect — the q89/q58
+    pattern), folded back as a literal so the weights are row-local.
+    The allocation TABLE is the product at scale — feeding it to a
+    per-stratum sampler (``weighted_sample`` / ``mixture_sample``) is
+    one broadcast join.
+    """
+    if total_n < 1:
+        raise ValueError("total_n must be >= 1")
+    per = df.groupBy(F.col(stratum_col).alias("stratum")).agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.coalesce(F.stddev_samp(F.col(value_col).cast("double")),
+                   F.lit(0.0)).alias("stddev"))
+    per = per.withColumn("__ns", F.col("n_rows") * F.col("stddev"))
+    tot = per.agg(F.sum("__ns")).collect()[0][0]
+    if not tot:
+        raise ValueError("all strata have zero variance — Neyman "
+                         "allocation is undefined (use proportional)")
+    w = F.col("__ns") / F.lit(float(tot))
+    return per.select(
+        "stratum", "n_rows", "stddev", w.alias("weight"),
+        F.least(F.floor(F.lit(int(total_n)) * w).cast("bigint"),
+                F.col("n_rows")).alias("alloc"))

@@ -158,3 +158,47 @@ def substring_search(df: DataFrame, needle: str, id_col: str = "doc_id",
     return (df.join(cand, df[id_col] == cand.id)
               .where(F.contains(hay, F.lit(n)))
               .select(cand.id))
+
+
+def rrf_fuse(rankings: "list[DataFrame]", k: int = 60,
+             top_k: int = 10, id_col: str = "id",
+             score_col: str = "score") -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al. 2009) of several ranked
+    retrieval lists — the standard hybrid-search combiner (BM25 +
+    vector ANN): ``rrf = Σ_lists 1/(k + rank)`` where ``rank`` is the
+    item's 1-based position in that list (absent ⇒ contributes 0).
+    Returns ``(id, rrf, n_lists)`` — top ``top_k`` by rrf desc, id asc.
+
+    Each input is an ALREADY-BOUNDED top-k list (``bm25_search`` /
+    ``ann_bruteforce`` outputs — tens of rows by contract), so the
+    per-list rank window is over a bounded input: a plan-audit ALLOW
+    of the q83 class (the window's input is a top-k result, never a
+    table scan). Ranks are recomputed from ``(score desc, id asc)``
+    rather than trusted from the caller so fusion is deterministic
+    even if a list arrives unordered. The union + one aggregation is
+    the whole cost; at scale the expensive part is producing the
+    input lists, never the fusion.
+    """
+    from pyspark.sql import Window
+
+    if not rankings:
+        raise ValueError("rankings must be non-empty")
+    ranked = []
+    # ALLOW(global_window): input lists are bounded top-k results
+    w = Window.orderBy(F.col(score_col).desc(), F.col(id_col).asc())
+    for r in rankings:
+        ranked.append(
+            r.select(F.col(id_col).alias("id"),
+                     F.col(score_col).cast("double").alias("score"))
+             .withColumn("__rank", F.row_number().over(w))
+             .select("id", (F.lit(1.0)
+                            / (F.lit(float(k)) + F.col("__rank")))
+                     .alias("__c")))
+    allc = ranked[0]
+    for r in ranked[1:]:
+        allc = allc.unionByName(r)
+    return (allc.groupBy("id")
+                .agg(F.sum("__c").alias("rrf"),
+                     F.count("*").cast("bigint").alias("n_lists"))
+                .orderBy(F.desc("rrf"), F.asc("id"))
+                .limit(top_k))

@@ -987,3 +987,78 @@ def embedding_audit(df: DataFrame, vec_col: str = "embedding",
         parts += [F.lit(name), F.col(f"__c{i}")]
     return (row.select(F.stack(F.lit(len(checks)), *parts))
                .toDF("check", "violations"))
+
+
+def hard_negatives(
+    corpus: DataFrame,
+    anchors: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    anchor_id_col: str = "anchor_id",
+) -> DataFrame:
+    """Exact hard-negative mining for contrastive training: for each
+    anchor, the top-``k`` most-cosine-similar corpus vectors whose
+    ``label_col`` DIFFERS from the anchor's — the nearest wrong-class
+    examples, which are the negatives that carry gradient signal.
+    Returns ``(anchor_id, vec_id, cosine, rank)``.
+
+    Same block-GEMM shape as :func:`ann_bruteforce` (anchors broadcast,
+    one corpus scan, per-partition local top-k, shuffle ≤ partitions ×
+    anchors × k): the label constraint is applied INSIDE the kernel by
+    masking same-label score columns to −inf before ``argpartition`` —
+    exact semantics (never an over-fetch + post-filter, which can
+    under-deliver when a label dominates a neighborhood). Scale path
+    for >~10⁵ anchors: per-label LSH/IVF routing (``ann_lsh`` /
+    ``ann_ivf``) with the same masked re-rank. Deterministic
+    tie-break: (cosine desc, id asc).
+    """
+    import pandas as pd
+
+    rows = anchors.select(anchor_id_col, vec_col, label_col).collect()
+    if not rows:
+        raise ValueError("anchors must be non-empty")
+    a_ids, Qn = _normalized_matrix(
+        [(r[anchor_id_col], r[vec_col]) for r in rows])
+    a_labels = np.array([r[label_col] for r in rows])
+    spark = corpus.sparkSession
+    bq = spark.sparkContext.broadcast((a_ids, Qn, a_labels))
+    out_schema = T.StructType([
+        T.StructField(anchor_id_col, T.LongType()),
+        T.StructField(id_col, T.LongType()),
+        T.StructField("cosine", T.DoubleType()),
+    ])
+
+    def local_topk(batches):
+        ids_q, Q, labs_q = bq.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            C = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            norms = np.linalg.norm(C, axis=1, keepdims=True)
+            S = (C / np.maximum(norms, 1e-300)) @ Q.T  # block × anchors
+            labs_c = pdf[label_col].to_numpy()
+            S[labs_c[:, None] == labs_q[None, :]] = -np.inf
+            ids_c = pdf[id_col].to_numpy()
+            kk = min(k, S.shape[0])
+            top = np.argpartition(-S, kk - 1, axis=0)[:kk]
+            n_q = S.shape[1]
+            flat = top.T.ravel()
+            cos = S[flat, np.repeat(np.arange(n_q), kk)]
+            keep = np.isfinite(cos)
+            yield pd.DataFrame({
+                anchor_id_col: np.repeat(ids_q, kk)[keep],
+                id_col: ids_c[flat][keep],
+                "cosine": cos[keep],
+            })
+
+    cand = corpus.select(id_col, label_col,
+                         F.col(vec_col).cast("array<double>")
+                         .alias(vec_col)).mapInPandas(local_topk,
+                                                      out_schema)
+    w = Window.partitionBy(anchor_id_col).orderBy(
+        F.col("cosine").desc(), F.col(id_col).asc())
+    return (cand.withColumn("rank", F.row_number().over(w))
+                .where(F.col("rank") <= k)
+                .select(anchor_id_col, id_col, "cosine", "rank"))

@@ -927,3 +927,77 @@ def rank_features(df: DataFrame, group_col: str, value_col: str
         "pct_rank", F.when(v.isNotNull(), F.percent_rank().over(wo)))
         .withColumn("zscore",
                     F.when(sd > 0, (v - mu) / sd)))
+
+
+def wilson_intervals(df: DataFrame, group_cols: list[str],
+                     success_expr, z: float = 1.96) -> DataFrame:
+    """Per-group binomial proportion with the Wilson score interval
+    ``(n, successes, rate, wilson_low, wilson_high)`` — the
+    small-sample-safe confidence interval (never leaves [0,1],
+    well-behaved at rate 0/1, unlike the Wald interval) used for
+    conversion/CTR screens before an A/B readout.
+
+    ONE partial-aggregated group-by (count + conditional sum); the
+    interval is row-local closed-form arithmetic on the two
+    aggregates — no second pass, no window. ``z`` folds in as a
+    double literal so any SQL engine reproduces the doubles exactly.
+    """
+    s = success_expr if not isinstance(success_expr, str) \
+        else F.expr(success_expr)
+    agg = df.groupBy(*[F.col(c) for c in group_cols]).agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(s.cast("bigint")).cast("bigint").alias("successes"))
+    n = F.col("n").cast("double")
+    p = F.col("successes") / n
+    z2 = float(z) * float(z)
+    denom = F.lit(1.0) + F.lit(z2) / n
+    center = p + F.lit(z2) / (F.lit(2.0) * n)
+    margin = (F.lit(float(z))
+              * F.sqrt((p * (F.lit(1.0) - p)
+                        + F.lit(z2) / (F.lit(4.0) * n)) / n))
+    return agg.select(
+        *group_cols, "n", "successes", p.alias("rate"),
+        ((center - margin) / denom).alias("wilson_low"),
+        ((center + margin) / denom).alias("wilson_high"))
+
+
+def trimmed_stats(df: DataFrame, value_col: str,
+                  by: list[str] | None = None,
+                  trim: float = 0.05,
+                  approx: bool | None = None) -> DataFrame:
+    """Per-group trimmed mean/std: drop values outside the
+    ``[trim, 1-trim]`` percentile band, then aggregate the interior —
+    the robust-location alternative to :func:`winsorize` (which CLAMPS
+    the tails instead of dropping them). Returns
+    ``(by..., n, n_trimmed, trimmed_mean, trimmed_std, lo, hi)``.
+
+    Same two-shuffle shape as ``winsorize``: one percentile pass per
+    group (both fractions share it), the tiny bounds table re-attaches
+    broadcast on the grouping key, and the trim + second aggregate ride
+    one more pass. Ungrouped: bounds collect as driver scalars (never
+    a single-partition window). ``approx=None`` auto-engages the GK
+    sketch above ``EXACT_STATE_MAX_BYTES`` (module docstring).
+    """
+    if not 0.0 < trim < 0.5:
+        raise ValueError("need 0 < trim < 0.5")
+    approx = _resolve_approx(df, approx)
+    v = F.col(value_col).cast("double")
+    lo_agg = _pct(v, trim, approx).alias("__lo")
+    hi_agg = _pct(v, 1.0 - trim, approx).alias("__hi")
+    if by:
+        bounds = df.groupBy(*by).agg(lo_agg, hi_agg)
+        joined = df.join(F.broadcast(bounds), by)
+    else:
+        row = df.agg(lo_agg, hi_agg).collect()[0]
+        joined = df.withColumn("__lo", F.lit(row["__lo"])) \
+                   .withColumn("__hi", F.lit(row["__hi"]))
+    inside = (v >= F.col("__lo")) & (v <= F.col("__hi"))
+    keys = [F.col(c) for c in by] if by else []
+    out = joined.groupBy(*keys).agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum((~inside).cast("bigint")).alias("n_trimmed"),
+        F.avg(F.when(inside, v)).alias("trimmed_mean"),
+        F.stddev_samp(F.when(inside, v)).alias("trimmed_std"),
+        F.min("__lo").alias("lo"),
+        F.max("__hi").alias("hi"))
+    return out

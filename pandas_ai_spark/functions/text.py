@@ -744,3 +744,71 @@ def update_novelty_vocab(vocab: DataFrame, new_docs: DataFrame,
     (test-asserted); ``n`` must match the original build."""
     return (vocab.unionByName(
         build_novelty_vocab(new_docs, n, text_col)).distinct())
+
+
+def gopher_rules(df: DataFrame, text_col: str = "text",
+                 id_col: str = "doc_id", *,
+                 min_words: int = 50, max_words: int = 100_000,
+                 min_mean_word_len: float = 3.0,
+                 max_mean_word_len: float = 10.0,
+                 max_symbol_ratio: float = 0.1,
+                 max_bullet_line_frac: float = 0.9,
+                 max_ellipsis_line_frac: float = 0.3,
+                 min_distinct_stopwords: int = 2,
+                 lang: str = "en") -> DataFrame:
+    """Gopher-style rule-filter battery (Rae et al. 2021 §A1.1 /
+    C4): per document, one boolean per rule (True = the document
+    PASSES the rule) plus the conjunction ``keep`` — the standard
+    pre-training quality gate expressed as a single row-local JVM
+    projection (no shuffle, no UDF; the whole battery rides the scan).
+
+    Rules: word count in ``[min_words, max_words]``; mean word length
+    in ``[min_mean_word_len, max_mean_word_len]``; symbol-to-word
+    ratio (``#``/ellipsis) ≤ ``max_symbol_ratio``; ≤
+    ``max_bullet_line_frac`` of lines starting with a bullet; ≤
+    ``max_ellipsis_line_frac`` of lines ending in an ellipsis; ≥
+    ``min_distinct_stopwords`` distinct ``lang`` stopwords present
+    (the Gopher "contains common words" screen).
+
+    Unlike :func:`quality_score` (a graded composite for ranking),
+    this is the REJECT-with-reason battery: per-rule flags let a
+    pipeline report WHY each document fell out, which is what a
+    100 TB cleaning audit needs. Reference parity: the reference has
+    no corpus-filter surface; additive (SURVEY §2.14).
+    """
+    text = F.col(text_col)
+    toks = whitespace_tokens(text)
+    n_words = F.size(toks)
+    mwl = mean_word_length(text)
+    n_sym = F.size(F.regexp_extract_all(
+        text, F.lit(r"#|\.\.\.|…"), 0))
+    lines = F.split(text, "\n")
+    n_lines = F.greatest(F.size(lines), F.lit(1))
+    bullet_frac = (F.size(F.filter(
+        lines, lambda ln: F.trim(ln).startswith("-")
+        | F.trim(ln).startswith("*") | F.trim(ln).startswith("•")))
+        / n_lines)
+    ellipsis_frac = (F.size(F.filter(
+        lines, lambda ln: F.trim(ln).endswith("...")
+        | F.trim(ln).endswith("…"))) / n_lines)
+    stops = LANG_STOPWORDS[lang]
+    n_stop = F.size(F.array_intersect(
+        F.array_distinct(F.transform(toks, F.lower)),
+        F.array(*[F.lit(s) for s in stops])))
+    return df.select(
+        F.col(id_col),
+        ((n_words >= min_words) & (n_words <= max_words))
+        .alias("r_word_count"),
+        ((mwl >= min_mean_word_len) & (mwl <= max_mean_word_len))
+        .alias("r_mean_word_len"),
+        (n_sym / F.greatest(n_words, F.lit(1)) <= max_symbol_ratio)
+        .alias("r_symbol_ratio"),
+        (bullet_frac <= max_bullet_line_frac).alias("r_bullet_lines"),
+        (ellipsis_frac <= max_ellipsis_line_frac)
+        .alias("r_ellipsis_lines"),
+        (n_stop >= min_distinct_stopwords).alias("r_stopwords"),
+    ).withColumn(
+        "keep",
+        F.col("r_word_count") & F.col("r_mean_word_len")
+        & F.col("r_symbol_ratio") & F.col("r_bullet_lines")
+        & F.col("r_ellipsis_lines") & F.col("r_stopwords"))

@@ -66,14 +66,26 @@ DEFAULT = [
     "q113_welch_ttest",         # one filtered co-moment scan
     "q114_kaplan_meier",        # duration-grain cumulative window
     "q115_gini_concentration",  # group-partitioned rank window
+    "q116_benford_screen",      # digit agg + persisted counts + spine join
     "q117_association_rules",   # basket pair expansion + direction split
+    "q118_readability",         # row-local syllable/sentence regex pass
+    "q119_interevent_gaps",     # lag window + grouped gap agg
     "q121_audience_overlap",    # distinct pass + row-local pair expand
+    "q122_outlier_fences",      # quartile pass + broadcast bounds + count
+    "q123_token_fertility",     # row-local regex counts + grouped agg
     "q124_char_entropy",        # Arrow np.unique per-row pass
+    "q125_robust_zscore",       # grouped_mad passes + broadcast re-attach
+    "q126_attribution",         # tolerance as-of join + revenue rollup
     "q127_rolling_actives",     # persisted distinct + window explode
+    "q128_containment",         # inverted-index join, min-size denominator
     "q129_negative_samples",    # per-user arrays + literal vocab ops
     "q130_weighted_median",     # cumulative-weight window + crossing agg
+    "q131_key_skew",            # persisted key counts + top-N + percentiles
     "q132_ks_drift",            # RANGE-frame dual-ECDF window
+    "q134_calibration",         # scalar decile edges + grouped rates
     "q135_session_stats",       # running-sum session ids + rollup
+    "q136_temporal_split",      # scalar boundary quantiles + row-local tags
+    "q137_corpus_overlap",      # distinct fingerprints + semi-join counts
     "q138_hits",                # fixed-iteration broadcast score joins
 ]
 

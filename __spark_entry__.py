@@ -4978,8 +4978,8 @@ def oracle_sql() -> dict[str, str]:
             ), agg AS (
               SELECT count(*) FILTER (arm = 'a') AS n_a,
                      count(*) FILTER (arm = 'b') AS n_b,
-                     sum(conv) FILTER (arm = 'a') AS conv_a,
-                     sum(conv) FILTER (arm = 'b') AS conv_b
+                     CAST(sum(conv) FILTER (arm = 'a') AS BIGINT) AS conv_a,
+                     CAST(sum(conv) FILTER (arm = 'b') AS BIGINT) AS conv_b
               FROM u
             ), z AS (
               SELECT *,
@@ -5367,8 +5367,8 @@ def oracle_sql() -> dict[str, str]:
               FROM tok WHERE doc_id % 2 = 1 AND len(tk) >= 3
             )
             SELECT d.doc_id, count(*) AS n_grams,
-                   sum(CASE WHEN r.gram IS NULL THEN 1 ELSE 0 END)
-                     AS n_novel,
+                   CAST(sum(CASE WHEN r.gram IS NULL THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_novel,
                    round(sum(CASE WHEN r.gram IS NULL THEN 1
                                   ELSE 0 END)::DOUBLE / count(*), 9)
                      AS novelty
@@ -5420,13 +5420,14 @@ def oracle_sql() -> dict[str, str]:
                          THEN 1 ELSE 0 END) AS c_above
               FROM x
             )
-            SELECT 'null_vector' AS "check", c_null AS violations FROM agg
-            UNION ALL SELECT 'null_component', c_nullc FROM agg
-            UNION ALL SELECT 'dim_mismatch', c_dim FROM agg
-            UNION ALL SELECT 'nan_component', c_nan FROM agg
-            UNION ALL SELECT 'zero_vector', c_zero FROM agg
-            UNION ALL SELECT 'norm_below', c_below FROM agg
-            UNION ALL SELECT 'norm_above', c_above FROM agg
+            SELECT 'null_vector' AS "check",
+                   CAST(c_null AS BIGINT) AS violations FROM agg
+            UNION ALL SELECT 'null_component', CAST(c_nullc AS BIGINT) FROM agg
+            UNION ALL SELECT 'dim_mismatch', CAST(c_dim AS BIGINT) FROM agg
+            UNION ALL SELECT 'nan_component', CAST(c_nan AS BIGINT) FROM agg
+            UNION ALL SELECT 'zero_vector', CAST(c_zero AS BIGINT) FROM agg
+            UNION ALL SELECT 'norm_below', CAST(c_below AS BIGINT) FROM agg
+            UNION ALL SELECT 'norm_above', CAST(c_above AS BIGINT) FROM agg
             ORDER BY "check"
         """,
         "q111_join_size_estimate": """

@@ -19,6 +19,48 @@ import sys
 sys.path.insert(0, ".")
 
 
+_INTEGRAL = {"byte", "short", "integer", "long"}
+
+
+def spark_kinds(schema, rows) -> dict[str, str]:
+    """Pandas-visible dtype kind per column, as the driver's hash sees it.
+
+    The driver converts both sides to pandas before hashing, so an
+    integral Spark column containing NULLs renders float64 ('f'), and a
+    DuckDB HUGEINT (uncast integer ``sum``) renders float64 while Spark's
+    int64 renders 'i' — a mismatch the old ``==`` value compare was blind
+    to (r7 q92/q107/q109).
+    """
+    kinds = {}
+    for i, f in enumerate(schema.fields):
+        t = f.dataType.typeName()
+        has_null = any(r[i] is None for r in rows)
+        if t in _INTEGRAL:
+            k = "f" if has_null else "i"
+        elif t in ("float", "double"):
+            k = "f"
+        elif t == "boolean":
+            k = "O" if has_null else "b"
+        elif t in ("timestamp", "timestamp_ntz"):
+            k = "M"
+        else:
+            k = "O"
+        kinds[f.name.lower()] = k
+    return kinds
+
+
+def duck_kinds(pdf) -> dict[str, str]:
+    out = {}
+    for c in pdf.columns:
+        k = pdf[c].dtype.kind
+        if k == "u":
+            k = "i"
+        elif k not in ("i", "f", "b", "M"):
+            k = "O"
+        out[c.lower()] = k
+    return out
+
+
 def canonical(rows, cols) -> list[tuple]:
     out = []
     for row in rows:
@@ -99,6 +141,13 @@ def main() -> int:
             status.append(f"COLS spark={scols} duck={dcols}")
         if len(srows) != len(drows):
             status.append(f"COUNT spark={len(srows)} duck={len(drows)}")
+        if not status:
+            sk = spark_kinds(sdf.schema, srows)
+            dk = duck_kinds(con.execute(oracles[name]).df())
+            bad = {c: (sk[c], dk[c]) for c in sk
+                   if c in dk and sk[c] != dk[c]}
+            if bad:
+                status.append(f"DTYPE spark-vs-duck kinds {bad}")
         if not status:
             a = canonical([tuple(r) for r in srows], scols)
             b = canonical(drows, dcols)

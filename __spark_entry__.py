@@ -2620,7 +2620,10 @@ def q127_rolling_actives(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = _t(spark, sf_dir, "events")
     out = rolling_active_users(ev, "ts", "user_id", window_days=7)
-    return out.select("day",
+    # day as TIMESTAMP, not DATE: pandas renders a Spark DATE as
+    # object(datetime.date) but a DuckDB DATE as datetime64 — a
+    # driver-hash dtype mismatch (both sides cast; r8 dtype audit)
+    return out.select(F.col("day").cast("timestamp").alias("day"),
                       F.col("active_users").cast("long")
                       .alias("active_users")).orderBy("day")
 
@@ -6005,7 +6008,8 @@ def oracle_sql() -> dict[str, str]:
               FROM per CROSS JOIN range(0, 7) r(o) CROSS JOIN mx
               WHERE d + r.o::INT <= max_d
             )
-            SELECT day, count(DISTINCT u)::BIGINT AS active_users
+            SELECT day::TIMESTAMP AS day,
+                   count(DISTINCT u)::BIGINT AS active_users
             FROM x GROUP BY day ORDER BY day
         """,
         "q128_containment": f"""

@@ -336,7 +336,12 @@ def min_label_propagation(edges: DataFrame, src: str = "src",
         fwd.union(fwd.select(F.col("__b"), F.col("__a"))
                      .toDF("__a", "__b"))
            .where(F.col("__a") != F.col("__b")).distinct())
-    nodes = sym.select(F.col("__a").alias("node")).distinct()
+    # node set from the UNFILTERED endpoints: a node whose only edges
+    # are self-loops must still appear (labeled with itself), so the
+    # self-loop drop above only shapes propagation, not membership
+    nodes = (fwd.select(F.col("__a").alias("node"))
+                .union(fwd.select(F.col("__b").alias("node")))
+                .distinct())
     n_nodes = nodes.count()
     if n_nodes == 0:
         raise ValueError("min_label_propagation needs a non-empty "

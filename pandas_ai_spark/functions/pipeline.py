@@ -435,7 +435,11 @@ def neyman_allocation(df: DataFrame, stratum_col: str,
         F.count("*").cast("bigint").alias("n_rows"),
         F.coalesce(F.stddev_samp(F.col(value_col).cast("double")),
                    F.lit(0.0)).alias("stddev"))
-    per = per.withColumn("__ns", F.col("n_rows") * F.col("stddev"))
+    # persist the tiny per-stratum table: it is actioned twice (the
+    # Σ N_h·σ_h collect and the returned select) and would otherwise
+    # re-scan the input — the benford/key_skew double-action fix
+    per = operator_persist(
+        per.withColumn("__ns", F.col("n_rows") * F.col("stddev")))
     tot = per.agg(F.sum("__ns")).collect()[0][0]
     if not tot:
         raise ValueError("all strata have zero variance — Neyman "

@@ -184,8 +184,11 @@ def rrf_fuse(rankings: "list[DataFrame]", k: int = 60,
     if not rankings:
         raise ValueError("rankings must be non-empty")
     ranked = []
-    # ALLOW(global_window): input lists are bounded top-k results
-    w = Window.orderBy(F.col(score_col).desc(), F.col(id_col).asc())
+    # ALLOW(global_window): input lists are bounded top-k results.
+    # Window over the POST-select aliases — score_col/id_col no longer
+    # exist after the select below, so referencing them here would
+    # raise for any non-default column names.
+    w = Window.orderBy(F.col("score").desc(), F.col("id").asc())
     for r in rankings:
         ranked.append(
             r.select(F.col(id_col).alias("id"),

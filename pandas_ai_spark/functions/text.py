@@ -795,18 +795,25 @@ def gopher_rules(df: DataFrame, text_col: str = "text",
     n_stop = F.size(F.array_intersect(
         F.array_distinct(F.transform(toks, F.lower)),
         F.array(*[F.lit(s) for s in stops])))
+    def rule(expr):
+        # NULL text must read as a concrete FAIL, not NULL: a
+        # reject-audit like where(~keep) or sums over the flags would
+        # otherwise silently skip NULL documents
+        return F.coalesce(expr, F.lit(False))
+
     return df.select(
         F.col(id_col),
-        ((n_words >= min_words) & (n_words <= max_words))
+        rule((n_words >= min_words) & (n_words <= max_words))
         .alias("r_word_count"),
-        ((mwl >= min_mean_word_len) & (mwl <= max_mean_word_len))
+        rule((mwl >= min_mean_word_len) & (mwl <= max_mean_word_len))
         .alias("r_mean_word_len"),
-        (n_sym / F.greatest(n_words, F.lit(1)) <= max_symbol_ratio)
+        rule(n_sym / F.greatest(n_words, F.lit(1)) <= max_symbol_ratio)
         .alias("r_symbol_ratio"),
-        (bullet_frac <= max_bullet_line_frac).alias("r_bullet_lines"),
-        (ellipsis_frac <= max_ellipsis_line_frac)
+        rule(bullet_frac <= max_bullet_line_frac)
+        .alias("r_bullet_lines"),
+        rule(ellipsis_frac <= max_ellipsis_line_frac)
         .alias("r_ellipsis_lines"),
-        (n_stop >= min_distinct_stopwords).alias("r_stopwords"),
+        rule(n_stop >= min_distinct_stopwords).alias("r_stopwords"),
     ).withColumn(
         "keep",
         F.col("r_word_count") & F.col("r_mean_word_len")

@@ -2856,6 +2856,160 @@ def q138_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("authority", 9).alias("authority")).orderBy("node")
 
 
+def q139_wilson_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type conversion rate with the Wilson score interval
+    (stats.wilson_intervals): ONE partial-aggregated group-by (count +
+    conditional sum), the interval closed-form row-local on the two
+    aggregates — z and z² fold in as double literals so DuckDB repeats
+    the identical IEEE expression tree. Oracle: same arithmetic with
+    repr-exact literals; sums CAST to BIGINT (the r7 HUGEINT lesson)."""
+    from pandas_ai_spark.functions.stats import wilson_intervals
+
+    ev = _t(spark, sf_dir, "events")
+    out = wilson_intervals(ev, ["event_type"], "value > 99", z=1.96)
+    return out.select(
+        "event_type", "n", "successes",
+        F.round("rate", 9).alias("rate"),
+        F.round("wilson_low", 9).alias("wilson_low"),
+        F.round("wilson_high", 9).alias("wilson_high"),
+    ).orderBy("event_type")
+
+
+def q140_trimmed_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-returnflag 5% trimmed mean/std of extended price
+    (stats.trimmed_stats): one exact percentile pass per group (both
+    fractions share it), tiny bounds table re-attached broadcast on the
+    grouping key, trim + second aggregate ride one more pass — the
+    winsorize (q98) shape with DROP instead of CLAMP semantics.
+    ``approx=False`` pins the exact path at oracle sf (the auto GK
+    switch is the 100 TB path, measured in BASELINE.md). Oracle:
+    quantile_cont == Spark exact percentile + identical conditional
+    aggregates."""
+    from pandas_ai_spark.functions.stats import trimmed_stats
+
+    li = _t(spark, sf_dir, "lineitem")
+    out = trimmed_stats(li, "l_extendedprice", by=["l_returnflag"],
+                        trim=0.05, approx=False)
+    return out.select(
+        "l_returnflag", "n", "n_trimmed",
+        F.round("trimmed_mean", 6).alias("trimmed_mean"),
+        F.round("trimmed_std", 6).alias("trimmed_std"),
+        F.round("lo", 6).alias("lo"),
+        F.round("hi", 6).alias("hi"),
+    ).orderBy("l_returnflag")
+
+
+def q141_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style rule-filter battery (text.gopher_rules): per
+    document one boolean per rule + the conjunction ``keep``, the whole
+    battery a single row-local JVM projection riding the scan (no
+    shuffle, no UDF — the reject-with-reason audit a 100 TB cleaning
+    pipeline runs). Thresholds tuned to the synthetic corpus so every
+    rule fires both ways. Oracle: identical list/regex arithmetic in
+    DuckDB with ::DOUBLE-pinned threshold literals."""
+    from pandas_ai_spark.functions.text import gopher_rules
+
+    docs = _t(spark, sf_dir, "documents")
+    out = gopher_rules(docs, min_words=30, max_words=90,
+                       min_mean_word_len=4.3, max_mean_word_len=4.7,
+                       min_distinct_stopwords=1)
+    return out.orderBy("doc_id")
+
+
+def q142_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact hard-negative mining (similarity.hard_negatives) for
+    contrastive training: anchors = vectors 0–7 with pseudo-class
+    ``vec_id % 3``, top-5 most-similar DIFFERENT-class corpus vectors
+    per anchor. Anchors broadcast, one corpus scan, same-label scores
+    masked to −inf INSIDE the block-GEMM kernel (exact semantics, not
+    over-fetch + filter), shuffle ≤ partitions × anchors × k. Oracle:
+    label-inequality join + list_cosine_similarity (the q24 pattern)."""
+    from pandas_ai_spark.functions.similarity import hard_negatives
+
+    emb = _t(spark, sf_dir, "embeddings")
+    lab = (F.col("vec_id") % 3).alias("label")
+    corpus = emb.select("vec_id", "embedding", lab)
+    anchors = (emb.where(F.col("vec_id") < 8)
+                  .select(F.col("vec_id").alias("anchor_id"),
+                          "embedding", lab))
+    out = hard_negatives(corpus, anchors, k=5)
+    return out.select("anchor_id", "vec_id",
+                      F.round("cosine", 6).alias("cosine"),
+                      "rank").orderBy("anchor_id", "rank")
+
+
+def q143_rrf_fuse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion (search.rrf_fuse) of two BM25 top-20
+    lists — the hybrid-search combiner: ranks recomputed from
+    (score desc, id asc) per list, one union + one aggregation; the
+    windows run over bounded top-k inputs, never a table scan. Oracle:
+    two copies of the q95 BM25 SQL (different term sets) + row_number
+    ranks + Σ 1/(60+rank) with ::DOUBLE-pinned literals."""
+    from pandas_ai_spark.functions.search import bm25_search, rrf_fuse
+
+    docs = _t(spark, sf_dir, "documents")
+    l1 = bm25_search(docs, "fast data pipeline", top_k=20)
+    l2 = bm25_search(docs, "spark table merge", top_k=20)
+    out = rrf_fuse([l1, l2], k=60, top_k=10)
+    return out.select("id", F.round("rrf", 9).alias("rrf"),
+                      "n_lists").orderBy(F.desc("rrf"), "id")
+
+
+def q144_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neyman stratified-sample allocation (pipeline.neyman_allocation)
+    of a 1000-row budget across order priorities: n_h ∝ N_h·σ_h from
+    ONE partial-aggregated group-by (count + stddev share the pass,
+    persisted against the double-action re-scan), Σ N_h·σ_h a scalar
+    collect off the tiny per-stratum table folded back as a literal.
+    Oracle: identical allocation arithmetic (floor/least row-local)."""
+    from pandas_ai_spark.functions.pipeline import neyman_allocation
+
+    orders = _t(spark, sf_dir, "orders")
+    out = neyman_allocation(orders, "o_orderpriority", "o_totalprice",
+                            total_n=1000)
+    return out.select(
+        "stratum", "n_rows",
+        F.round("stddev", 6).alias("stddev"),
+        F.round("weight", 9).alias("weight"),
+        "alloc").orderBy("stratum")
+
+
+def q145_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit (audit.k_anonymity) over the
+    (nation, market-segment) quasi-identifier: ONE map-side-combined
+    hash aggregation on the QI key, then a scalar rollup of the tiny
+    class table — the privacy gate before releasing tabular training
+    data. Oracle: same two-level aggregate, sums CAST to BIGINT."""
+    from pandas_ai_spark.functions.audit import k_anonymity
+
+    cust = _t(spark, sf_dir, "customer")
+    out = k_anonymity(cust, ["c_nationkey", "c_mktsegment"], k=5)
+    return out.select(
+        "n_rows", "n_classes", "min_class_size", "n_small_classes",
+        "n_rows_at_risk",
+        F.round("pct_at_risk", 9).alias("pct_at_risk"))
+
+
+def q146_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-round min-label propagation (graph.min_label_propagation)
+    over the bipartite customer↔order-bucket graph: labels start as
+    node ids, 3 synchronous rounds of neighborhood min — the
+    deterministic, SQL-expressible fragment of connected components
+    (the distributed complement to the size-gated driver union-find in
+    q34). Per round: one broadcast score join + a partial-aggregated
+    min per endpoint over the persisted symmetrized edge table; integer
+    labels make every round exact. Oracle: one chained CTE pair per
+    round (_q146_oracle)."""
+    from pandas_ai_spark.functions.graph import min_label_propagation
+
+    orders = _t(spark, sf_dir, "orders")
+    edges = orders.select(
+        F.col("o_custkey").alias("src"),
+        (F.lit(1000000) + F.col("o_orderkey") % 199).alias("dst"))
+    out = min_label_propagation(edges, iterations=3)
+    return out.orderBy("node")
+
+
 def _q134_oracle() -> str:
     """Calibration oracle: the q54 hashing-trick score SQL (same _TOKS
     macro and md5-bucket weights) + is-English outcome + quantile_cont
@@ -2915,6 +3069,195 @@ def _q116_oracle() -> str:
         FROM exp LEFT JOIN counts ON exp.digit = counts.digit
         CROSS JOIN tot ORDER BY exp.digit
     """
+
+
+def _q139_oracle() -> str:
+    """Wilson oracle: z and z² inlined as repr-exact DOUBLE literals
+    (z² computed in Python exactly as the operator computes it) so both
+    engines evaluate the identical IEEE expression tree."""
+    z = 1.96
+    z2 = z * z
+    return f"""
+        WITH agg AS (
+          SELECT event_type, count(*)::BIGINT AS n,
+                 CAST(sum((value > 99)::INT) AS BIGINT) AS successes
+          FROM events GROUP BY 1
+        ), x AS (
+          SELECT event_type, n, successes,
+                 successes / n::DOUBLE AS p, n::DOUBLE AS nd
+          FROM agg
+        ), y AS (
+          SELECT event_type, n, successes, p,
+                 p + {z2!r}::DOUBLE / (2.0::DOUBLE * nd) AS center,
+                 {z!r}::DOUBLE
+                   * sqrt((p * (1.0::DOUBLE - p)
+                           + {z2!r}::DOUBLE / (4.0::DOUBLE * nd)) / nd)
+                   AS margin,
+                 1.0::DOUBLE + {z2!r}::DOUBLE / nd AS denom
+          FROM x
+        )
+        SELECT event_type, n, successes, round(p, 9) AS rate,
+               round((center - margin) / denom, 9) AS wilson_low,
+               round((center + margin) / denom, 9) AS wilson_high
+        FROM y ORDER BY event_type
+    """
+
+
+def _q141_oracle() -> str:
+    """Gopher-battery oracle: the stopword list is rendered from the
+    SAME Python constant the operator folds in (text.LANG_STOPWORDS);
+    every rule coalesces to false (the operator's NULL-text contract);
+    threshold literals pinned ::DOUBLE so DuckDB never compares in
+    DECIMAL."""
+    from pandas_ai_spark.functions.text import LANG_STOPWORDS
+
+    stops = ", ".join(f"'{s}'" for s in LANG_STOPWORDS["en"])
+    return f"""
+        WITH base AS (
+          SELECT doc_id,
+                 CASE WHEN text IS NULL THEN NULL
+                      WHEN len(trim(text)) = 0 THEN []::VARCHAR[]
+                      ELSE string_split_regex(trim(text), '\\s+')
+                 END AS tk,
+                 text
+          FROM documents
+        ), m AS (
+          SELECT doc_id, text, tk, len(tk) AS nw,
+                 coalesce(list_sum(list_transform(tk, t -> len(t))), 0)
+                   / greatest(len(tk), 1) AS mwl,
+                 len(regexp_extract_all(text, '#|\\.\\.\\.|…')) AS nsym,
+                 string_split(text, chr(10)) AS lines
+          FROM base
+        ), r AS (
+          SELECT doc_id,
+                 coalesce(nw >= 30 AND nw <= 90, false) AS r_word_count,
+                 coalesce(mwl >= 4.3::DOUBLE AND mwl <= 4.7::DOUBLE,
+                          false) AS r_mean_word_len,
+                 coalesce(nsym / greatest(nw, 1) <= 0.1::DOUBLE,
+                          false) AS r_symbol_ratio,
+                 coalesce(len(list_filter(lines,
+                            ln -> starts_with(trim(ln), '-')
+                                  OR starts_with(trim(ln), '*')
+                                  OR starts_with(trim(ln), '•')))
+                          / greatest(len(lines), 1) <= 0.9::DOUBLE,
+                          false) AS r_bullet_lines,
+                 coalesce(len(list_filter(lines,
+                            ln -> ends_with(trim(ln), '...')
+                                  OR ends_with(trim(ln), '…')))
+                          / greatest(len(lines), 1) <= 0.3::DOUBLE,
+                          false) AS r_ellipsis_lines,
+                 coalesce(len(list_intersect(
+                            list_distinct(list_transform(tk,
+                              t -> lower(t))), [{stops}])) >= 1,
+                          false) AS r_stopwords
+          FROM m
+        )
+        SELECT doc_id, r_word_count, r_mean_word_len, r_symbol_ratio,
+               r_bullet_lines, r_ellipsis_lines, r_stopwords,
+               r_word_count AND r_mean_word_len AND r_symbol_ratio
+               AND r_bullet_lines AND r_ellipsis_lines AND r_stopwords
+                 AS keep
+        FROM r ORDER BY doc_id
+    """
+
+
+def _bm25_scored_sql(terms: list[str], alias: str) -> str:
+    """One BM25 top-20 list as chained CTEs (the q95 arithmetic,
+    parameterized by term set); emits ``{alias} (id, score)`` bounded
+    by the UNROUNDED-score order."""
+    in_list = ", ".join(f"'{t}'" for t in sorted(terms))
+    score = ("sum(ln(1 + (n - df + 0.5) / (df + 0.5)) * tf * 2.2"
+             " / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)))")
+    return f"""tf_{alias} AS (
+          SELECT doc_id, dl, w AS term, count(*) AS tf
+          FROM (SELECT doc_id, len(tk) AS dl, unnest(tk) AS w
+                FROM base)
+          WHERE w IN ({in_list})
+          GROUP BY 1, 2, 3
+        ), dfc_{alias} AS (
+          SELECT term, count(DISTINCT doc_id) AS df FROM tf_{alias}
+          GROUP BY 1
+        ), {alias} AS (
+          SELECT doc_id AS id, {score} AS score
+          FROM tf_{alias} JOIN dfc_{alias} USING (term)
+          CROSS JOIN stats
+          GROUP BY doc_id
+          ORDER BY {score} DESC, id
+          LIMIT 20
+        )"""
+
+
+def _q143_oracle() -> str:
+    """RRF oracle: two q95-style BM25 lists, per-list row_number ranks
+    over (score desc, id asc), Σ 1.0/(60+rank) with ::DOUBLE-pinned
+    literals (bare 1.0/60.0 would divide in DECIMAL), top-10 by the
+    UNROUNDED fused score."""
+    return f"""
+        WITH base AS (
+          SELECT doc_id,
+                 list_filter(
+                   string_split_regex(lower(text), '[^a-z0-9]+'),
+                   t -> t <> '') AS tk
+          FROM documents
+        ), stats AS (
+          SELECT count(*)::DOUBLE AS n, avg(len(tk))::DOUBLE AS avgdl
+          FROM base
+        ), {_bm25_scored_sql(["fast", "data", "pipeline"], "s1")},
+        {_bm25_scored_sql(["spark", "table", "merge"], "s2")},
+        r1 AS (
+          SELECT id, 1.0::DOUBLE
+                 / (60.0::DOUBLE + row_number() OVER (
+                      ORDER BY score DESC, id)) AS c
+          FROM s1
+        ), r2 AS (
+          SELECT id, 1.0::DOUBLE
+                 / (60.0::DOUBLE + row_number() OVER (
+                      ORDER BY score DESC, id)) AS c
+          FROM s2
+        ), u AS (
+          SELECT * FROM r1 UNION ALL SELECT * FROM r2
+        )
+        SELECT id, round(sum(c), 9) AS rrf,
+               count(*)::BIGINT AS n_lists
+        FROM u GROUP BY id
+        ORDER BY sum(c) DESC, id
+        LIMIT 10
+    """
+
+
+def _q146_oracle(iterations: int = 3) -> str:
+    """Min-label-propagation oracle: one (neighborhood-min, label-merge)
+    CTE pair per round over the symmetrized self-loop-free edge table;
+    node set from the UNFILTERED endpoints (the operator's self-loop
+    membership contract). Integer min/least — every round exact."""
+    ctes = [
+        """fwd AS (
+          SELECT o_custkey AS a, 1000000 + o_orderkey % 199 AS b
+          FROM orders
+        )""",
+        """sym AS (
+          SELECT DISTINCT a, b FROM (
+            SELECT a, b FROM fwd
+            UNION ALL SELECT b AS a, a AS b FROM fwd)
+          WHERE a <> b
+        )""",
+        """nodes AS (
+          SELECT DISTINCT node FROM (
+            SELECT a AS node FROM fwd UNION ALL SELECT b FROM fwd)
+        )""",
+        "l0 AS (SELECT node, node AS label FROM nodes)",
+    ]
+    for i in range(iterations):
+        ctes.append(f"""n{i + 1} AS (
+          SELECT s.b AS node, min(l{i}.label) AS nl
+          FROM sym s JOIN l{i} ON s.a = l{i}.node GROUP BY 1)""")
+        ctes.append(f"""l{i + 1} AS (
+          SELECT l{i}.node,
+                 least(l{i}.label,
+                       coalesce(n{i + 1}.nl, l{i}.label)) AS label
+          FROM l{i} LEFT JOIN n{i + 1} USING (node))""")
+    return ("WITH " + ",\n".join(ctes)
+            + f"\nSELECT node, label FROM l{iterations} ORDER BY node")
 
 
 # ---------------------------------------------------------------------------
@@ -3147,6 +3490,14 @@ def queries_numeric() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q136_temporal_split": q136_temporal_split,
         "q137_corpus_overlap": q137_corpus_overlap,
         "q138_hits": q138_hits,
+        "q139_wilson_intervals": q139_wilson_intervals,
+        "q140_trimmed_stats": q140_trimmed_stats,
+        "q141_gopher_rules": q141_gopher_rules,
+        "q142_hard_negatives": q142_hard_negatives,
+        "q143_rrf_fuse": q143_rrf_fuse,
+        "q144_neyman_allocation": q144_neyman_allocation,
+        "q145_k_anonymity": q145_k_anonymity,
+        "q146_label_propagation": q146_label_propagation,
     }
 
 
@@ -6112,6 +6463,82 @@ def oracle_sql() -> dict[str, str]:
                      AS chars_per_token
             FROM per GROUP BY lang ORDER BY lang
         """,
+        "q139_wilson_intervals": _q139_oracle(),
+        "q140_trimmed_stats": """
+            WITH b AS (
+              SELECT l_returnflag,
+                     quantile_cont(l_extendedprice::DOUBLE, 0.05) AS lo,
+                     quantile_cont(l_extendedprice::DOUBLE, 0.95) AS hi
+              FROM lineitem GROUP BY 1
+            ), j AS (
+              SELECT l.l_returnflag, l.l_extendedprice::DOUBLE AS v,
+                     b.lo, b.hi,
+                     l.l_extendedprice::DOUBLE >= b.lo
+                       AND l.l_extendedprice::DOUBLE <= b.hi AS inside
+              FROM lineitem l JOIN b USING (l_returnflag)
+            )
+            SELECT l_returnflag, count(*)::BIGINT AS n,
+                   CAST(sum((NOT inside)::INT) AS BIGINT) AS n_trimmed,
+                   round(avg(CASE WHEN inside THEN v END), 6)
+                     AS trimmed_mean,
+                   round(stddev_samp(CASE WHEN inside THEN v END), 6)
+                     AS trimmed_std,
+                   round(min(lo), 6) AS lo, round(max(hi), 6) AS hi
+            FROM j GROUP BY 1 ORDER BY 1
+        """,
+        "q141_gopher_rules": _q141_oracle(),
+        "q142_hard_negatives": """
+            WITH e AS (
+              SELECT vec_id, vec_id % 3 AS label,
+                     embedding::DOUBLE[] AS v
+              FROM embeddings
+            ), scored AS (
+              SELECT q.vec_id AS anchor_id, c.vec_id,
+                     list_cosine_similarity(q.v, c.v) AS cos_raw
+              FROM e q JOIN e c ON c.label != q.label
+              WHERE q.vec_id < 8
+            ), ranked AS (
+              SELECT anchor_id, vec_id, cos_raw,
+                     row_number() OVER (PARTITION BY anchor_id
+                                        ORDER BY cos_raw DESC, vec_id)
+                       AS rank
+              FROM scored
+            )
+            SELECT anchor_id, vec_id, round(cos_raw, 6) AS cosine, rank
+            FROM ranked WHERE rank <= 5 ORDER BY anchor_id, rank
+        """,
+        "q143_rrf_fuse": _q143_oracle(),
+        "q144_neyman_allocation": """
+            WITH per AS (
+              SELECT o_orderpriority AS stratum,
+                     count(*)::BIGINT AS n_rows,
+                     coalesce(stddev_samp(o_totalprice::DOUBLE),
+                              0.0::DOUBLE) AS sd
+              FROM orders GROUP BY 1
+            ), t AS (SELECT sum(n_rows * sd) AS tot FROM per)
+            SELECT stratum, n_rows, round(sd, 6) AS stddev,
+                   round(n_rows * sd / tot, 9) AS weight,
+                   least(CAST(floor(1000 * (n_rows * sd / tot))
+                              AS BIGINT), n_rows) AS alloc
+            FROM per CROSS JOIN t ORDER BY stratum
+        """,
+        "q145_k_anonymity": """
+            WITH c AS (
+              SELECT c_nationkey, c_mktsegment, count(*) AS n
+              FROM customer GROUP BY 1, 2
+            )
+            SELECT CAST(sum(n) AS BIGINT) AS n_rows,
+                   count(*)::BIGINT AS n_classes,
+                   CAST(min(n) AS BIGINT) AS min_class_size,
+                   CAST(sum((n < 5)::INT) AS BIGINT) AS n_small_classes,
+                   CAST(sum(CASE WHEN n < 5 THEN n ELSE 0 END)
+                        AS BIGINT) AS n_rows_at_risk,
+                   round(CAST(sum(CASE WHEN n < 5 THEN n ELSE 0 END)
+                              AS BIGINT)
+                         / CAST(sum(n) AS BIGINT), 9) AS pct_at_risk
+            FROM c
+        """,
+        "q146_label_propagation": _q146_oracle(),
     }
 
 

@@ -1,0 +1,293 @@
+"""Round-8: the eight operators shipped unwired in the r7 snapshot,
+now wired (q139-q146) and unit-tested, including the ADVICE r7
+regressions: rrf_fuse non-default column names, min_label_propagation
+self-loop-only node membership, gopher_rules NULL-text concrete-False
+flags, neyman_allocation single-scan persist.
+"""
+
+import math
+
+import pytest
+
+from pyspark.sql import functions as F
+
+
+# ---------------------------------------------------------------------------
+# stats.wilson_intervals
+# ---------------------------------------------------------------------------
+
+class TestWilsonIntervals:
+    def test_known_values(self, spark):
+        from pandas_ai_spark.functions.stats import wilson_intervals
+
+        # g1: 2/4 successes; g2: 0/3
+        df = spark.createDataFrame(
+            [("g1", 1), ("g1", 1), ("g1", 0), ("g1", 0),
+             ("g2", 0), ("g2", 0), ("g2", 0)], ["g", "s"])
+        rows = {r.g: r for r in
+                wilson_intervals(df, ["g"], "s = 1").collect()}
+        z, n, p = 1.96, 4.0, 0.5
+        z2 = z * z
+        denom = 1 + z2 / n
+        center = p + z2 / (2 * n)
+        margin = z * math.sqrt((p * (1 - p) + z2 / (4 * n)) / n)
+        assert rows["g1"].n == 4 and rows["g1"].successes == 2
+        assert abs(rows["g1"].rate - 0.5) < 1e-12
+        assert abs(rows["g1"].wilson_low - (center - margin) / denom) < 1e-12
+        assert abs(rows["g1"].wilson_high - (center + margin) / denom) < 1e-12
+        # rate 0: Wilson low is exactly 0, high strictly positive
+        assert rows["g2"].successes == 0
+        assert abs(rows["g2"].wilson_low) < 1e-12
+        assert 0 < rows["g2"].wilson_high < 1
+
+    def test_interval_stays_in_unit_range(self, spark):
+        from pandas_ai_spark.functions.stats import wilson_intervals
+
+        # rate 1.0 with tiny n — Wald would exceed 1, Wilson must not
+        df = spark.createDataFrame([("g", 1)] * 3, ["g", "s"])
+        r = wilson_intervals(df, ["g"], "s = 1").collect()[0]
+        assert r.rate == 1.0
+        assert r.wilson_high <= 1.0 and r.wilson_low > 0
+
+
+# ---------------------------------------------------------------------------
+# stats.trimmed_stats
+# ---------------------------------------------------------------------------
+
+class TestTrimmedStats:
+    def test_drops_tails_known_case(self, spark):
+        from pandas_ai_spark.functions.stats import trimmed_stats
+
+        # 1..100 with trim=0.10: bounds are the exact interpolated
+        # p10/p90 (10.9, 90.1); interior 11..90
+        df = spark.range(1, 101).select(
+            F.col("id").cast("double").alias("v"))
+        r = trimmed_stats(df, "v", trim=0.10, approx=False).collect()[0]
+        assert r.n == 100
+        assert r.n_trimmed == 20
+        assert abs(r.lo - 10.9) < 1e-9 and abs(r.hi - 90.1) < 1e-9
+        assert abs(r.trimmed_mean - 50.5) < 1e-9
+
+    def test_grouped_bounds_are_per_group(self, spark):
+        from pandas_ai_spark.functions.stats import trimmed_stats
+
+        df = spark.createDataFrame(
+            [("a", float(v)) for v in range(1, 11)]
+            + [("b", float(v)) for v in range(101, 111)], ["g", "v"])
+        rows = {r.g: r for r in
+                trimmed_stats(df, "v", by=["g"], trim=0.2,
+                              approx=False).collect()}
+        assert rows["a"].hi < rows["b"].lo  # bounds never cross groups
+        assert rows["a"].n == 10 and rows["b"].n == 10
+
+
+# ---------------------------------------------------------------------------
+# text.gopher_rules
+# ---------------------------------------------------------------------------
+
+class TestGopherRules:
+    def test_rules_fire_and_keep_conjunction(self, spark):
+        from pandas_ai_spark.functions.text import gopher_rules
+
+        good = " ".join(["these are the common and fine words of it"] * 5)
+        df = spark.createDataFrame(
+            [(1, good),
+             (2, "too short"),
+             (3, "- a\n- b\n- c")], ["doc_id", "text"])
+        rows = {r.doc_id: r for r in
+                gopher_rules(df, min_words=10, max_words=1000,
+                             min_mean_word_len=2.0,
+                             max_mean_word_len=8.0).collect()}
+        assert rows[1].keep
+        assert not rows[2].r_word_count and not rows[2].keep
+        assert not rows[3].r_bullet_lines and not rows[3].keep
+
+    def test_null_text_yields_concrete_false(self, spark):
+        # ADVICE r7: NULL text must produce False (not NULL) for every
+        # rule and for keep, so reject-audits count NULL docs
+        from pandas_ai_spark.functions.text import gopher_rules
+
+        df = spark.createDataFrame([(1, None), (2, "")],
+                                   "doc_id: long, text: string")
+        rows = {r.doc_id: r for r in gopher_rules(df).collect()}
+        for c in ["r_word_count", "r_mean_word_len", "r_symbol_ratio",
+                  "r_bullet_lines", "r_ellipsis_lines", "r_stopwords",
+                  "keep"]:
+            assert rows[1][c] is False, (c, rows[1][c])
+        # empty string: ratio rules pass vacuously (0/1), but the
+        # content rules and keep are still concrete False
+        for c in ["r_word_count", "r_mean_word_len", "r_stopwords",
+                  "keep"]:
+            assert rows[2][c] is False, (c, rows[2][c])
+
+
+# ---------------------------------------------------------------------------
+# similarity.hard_negatives
+# ---------------------------------------------------------------------------
+
+class TestHardNegatives:
+    def test_excludes_same_label_and_ranks_by_cosine(self, spark):
+        from pandas_ai_spark.functions.similarity import hard_negatives
+
+        # anchor [1,0]; same-label near-twin must be masked out even
+        # though its cosine (1.0) beats every cross-label candidate
+        corpus = spark.createDataFrame(
+            [(10, [1.0, 0.0], "a"),
+             (11, [0.9, 0.1], "b"),
+             (12, [0.0, 1.0], "b"),
+             (13, [1.0, 0.01], "a")],
+            ["vec_id", "embedding", "label"])
+        anchors = spark.createDataFrame(
+            [(1, [1.0, 0.0], "a")], ["anchor_id", "embedding", "label"])
+        rows = hard_negatives(corpus, anchors, k=2).collect()
+        assert [r.vec_id for r in rows] == [11, 12]
+        assert rows[0].rank == 1 and rows[1].rank == 2
+        assert rows[0].cosine > rows[1].cosine
+        assert not any(r.vec_id in (10, 13) for r in rows)
+
+    def test_empty_anchors_raise(self, spark):
+        from pandas_ai_spark.functions.similarity import hard_negatives
+
+        corpus = spark.createDataFrame(
+            [(1, [1.0], "a")], ["vec_id", "embedding", "label"])
+        anchors = corpus.where(F.lit(False)).select(
+            F.col("vec_id").alias("anchor_id"), "embedding", "label")
+        with pytest.raises(ValueError):
+            hard_negatives(corpus, anchors, k=1)
+
+
+# ---------------------------------------------------------------------------
+# search.rrf_fuse
+# ---------------------------------------------------------------------------
+
+class TestRrfFuse:
+    def test_known_fusion(self, spark):
+        from pandas_ai_spark.functions.search import rrf_fuse
+
+        l1 = spark.createDataFrame([(1, 9.0), (2, 5.0)], ["id", "score"])
+        l2 = spark.createDataFrame([(2, 7.0), (3, 6.0)], ["id", "score"])
+        rows = {r.id: r for r in rrf_fuse([l1, l2], k=60).collect()}
+        assert abs(rows[1].rrf - 1 / 61) < 1e-12
+        assert abs(rows[2].rrf - (1 / 62 + 1 / 61)) < 1e-12
+        assert abs(rows[3].rrf - 1 / 62) < 1e-12
+        assert rows[2].n_lists == 2 and rows[1].n_lists == 1
+        # doc 2 appears in both lists — fused top-1
+        top = rrf_fuse([l1, l2], k=60, top_k=1).collect()
+        assert top[0].id == 2
+
+    def test_non_default_column_names(self, spark):
+        # ADVICE r7: the rank window must run over the post-select
+        # aliases — custom id/score column names used to raise
+        from pandas_ai_spark.functions.search import rrf_fuse
+
+        l1 = spark.createDataFrame([(1, 9.0), (2, 5.0)],
+                                   ["doc", "bm25"])
+        l2 = spark.createDataFrame([(2, 7.0)], ["doc", "bm25"])
+        rows = rrf_fuse([l1, l2], id_col="doc",
+                        score_col="bm25").collect()
+        assert {r.id for r in rows} == {1, 2}
+
+    def test_empty_rankings_raise(self, spark):
+        from pandas_ai_spark.functions.search import rrf_fuse
+
+        with pytest.raises(ValueError):
+            rrf_fuse([])
+
+
+# ---------------------------------------------------------------------------
+# pipeline.neyman_allocation
+# ---------------------------------------------------------------------------
+
+class TestNeymanAllocation:
+    def test_allocation_proportional_to_n_sigma(self, spark):
+        from pandas_ai_spark.functions.pipeline import neyman_allocation
+
+        # stratum a: 4 rows spread 0/10 (sd big); b: 4 rows constant
+        # (sd 0) -> all budget to a, b gets 0
+        df = spark.createDataFrame(
+            [("a", 0.0), ("a", 10.0), ("a", 0.0), ("a", 10.0),
+             ("b", 5.0), ("b", 5.0), ("b", 5.0), ("b", 5.0)],
+            ["g", "v"])
+        rows = {r.stratum: r for r in
+                neyman_allocation(df, "g", "v", total_n=4).collect()}
+        assert rows["a"].alloc == 4 and rows["b"].alloc == 0
+        assert abs(rows["a"].weight - 1.0) < 1e-12
+
+    def test_alloc_capped_at_population(self, spark):
+        from pandas_ai_spark.functions.pipeline import neyman_allocation
+
+        df = spark.createDataFrame(
+            [("a", 0.0), ("a", 10.0)], ["g", "v"])
+        r = neyman_allocation(df, "g", "v", total_n=100).collect()[0]
+        assert r.alloc == r.n_rows == 2  # min(floor(100*1.0), 2)
+
+    def test_all_zero_variance_raises(self, spark):
+        from pandas_ai_spark.functions.pipeline import neyman_allocation
+
+        df = spark.createDataFrame([("a", 1.0), ("a", 1.0)], ["g", "v"])
+        with pytest.raises(ValueError):
+            neyman_allocation(df, "g", "v", total_n=10)
+
+
+# ---------------------------------------------------------------------------
+# audit.k_anonymity
+# ---------------------------------------------------------------------------
+
+class TestKAnonymity:
+    def test_counts(self, spark):
+        from pandas_ai_spark.functions.audit import k_anonymity
+
+        df = spark.createDataFrame(
+            [(30, "x")] * 5 + [(30, "y")] * 2 + [(40, "x")],
+            ["age", "zip"])
+        r = k_anonymity(df, ["age", "zip"], k=5).collect()[0]
+        assert r.n_rows == 8 and r.n_classes == 3
+        assert r.min_class_size == 1
+        assert r.n_small_classes == 2  # (30,y) and (40,x)
+        assert r.n_rows_at_risk == 3
+        assert abs(r.pct_at_risk - 3 / 8) < 1e-12
+
+    def test_empty_qi_raises(self, spark):
+        from pandas_ai_spark.functions.audit import k_anonymity
+
+        df = spark.createDataFrame([(1,)], ["a"])
+        with pytest.raises(ValueError):
+            k_anonymity(df, [], k=5)
+
+
+# ---------------------------------------------------------------------------
+# graph.min_label_propagation
+# ---------------------------------------------------------------------------
+
+class TestMinLabelPropagation:
+    def test_path_graph_converges_to_min(self, spark):
+        from pandas_ai_spark.functions.graph import min_label_propagation
+
+        # path 1-2-3-4: diameter 3, so 3 iterations label all with 1;
+        # separate component 10-11 labels with 10
+        edges = spark.createDataFrame(
+            [(1, 2), (2, 3), (3, 4), (10, 11)], ["src", "dst"])
+        rows = {r.node: r.label for r in
+                min_label_propagation(edges, iterations=3).collect()}
+        assert rows == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+    def test_bounded_rounds(self, spark):
+        from pandas_ai_spark.functions.graph import min_label_propagation
+
+        # path 1-2-3-4 with ONE round: 4 only sees 3
+        edges = spark.createDataFrame(
+            [(1, 2), (2, 3), (3, 4)], ["src", "dst"])
+        rows = {r.node: r.label for r in
+                min_label_propagation(edges, iterations=1).collect()}
+        assert rows == {1: 1, 2: 1, 3: 2, 4: 3}
+
+    def test_self_loop_only_node_is_present(self, spark):
+        # ADVICE r7: a node whose only edges are self-loops must appear
+        # with its own label, not vanish
+        from pandas_ai_spark.functions.graph import min_label_propagation
+
+        edges = spark.createDataFrame(
+            [(1, 2), (7, 7)], ["src", "dst"])
+        rows = {r.node: r.label for r in
+                min_label_propagation(edges, iterations=2).collect()}
+        assert rows == {1: 1, 2: 1, 7: 7}

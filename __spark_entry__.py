@@ -1221,9 +1221,11 @@ def q64_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     10 merges learned from the corpus. One corpus pass builds the
     distinct-word vocab; every iteration then explodes+aggregates the
     VOCAB only and syncs one best-pair row to the driver — the k-means
-    iterate-and-sync shape. No SQL oracle (inherently iterative /
-    data-dependent — rows-only check); exact-match parity with a pure
-    Python reference implementation is pinned in tests."""
+    iterate-and-sync shape. Oracle: the merge table is deterministic,
+    so _q64_oracle renders a STANDALONE Sennrich reference (DuckDB-read
+    corpus, Python-regex normalization, its own merge loop) as literal
+    VALUES — the _q108_oracle generated-literal pattern; pure-Python
+    parity is additionally pinned in tests."""
     from pandas_ai_spark.functions.bpe import train_bpe
 
     docs = _t(spark, sf_dir, "documents")
@@ -1548,9 +1550,9 @@ def q79_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     q64-trained merges applied via the VOCAB trick — each distinct word
     encoded ONCE in Python (Arrow batch), counts joined back and
     summed per doc, so Python cost scales with |vocab|, not corpus
-    size. No SQL oracle (the merge loop is iterative — rows-only
-    check); exact parity with the per-doc encoder and a pure-Python
-    reference is pinned in tests."""
+    size. Oracle: _q79_oracle re-encodes every document with a
+    standalone reference (own trainer + encoder) and renders per-doc
+    counts as literal VALUES; per-doc-encoder parity also in tests."""
     from pandas_ai_spark.functions.bpe import (encode_bpe_scalable,
                                                train_bpe)
 
@@ -3071,6 +3073,109 @@ def _q116_oracle() -> str:
     """
 
 
+def _bpe_reference(sf_dir: str = "/root/testdata/sf0.01",
+                   num_merges: int = 10, min_freq: int = 2):
+    """Standalone Sennrich BPE reference for the q64/q79 oracles:
+    corpus read via DuckDB, normalization re-done in Python regex
+    (lower → strip [^\\w\\s] → collapse whitespace), its OWN merge loop
+    (the tests' pseudocode, not the module's) — so the oracle is an
+    independent recomputation, rendered as literal VALUES the way
+    _q108_oracle renders PCA components. Pinned to sf0.01 like q35/q83.
+    Returns (merges, per-doc word lists)."""
+    import collections as _c
+    import re as _re
+
+    import duckdb as _duck
+
+    rows = _duck.connect().execute(
+        f"SELECT doc_id, text FROM "
+        f"read_parquet('{sf_dir}/documents.parquet')").fetchall()
+    end = "</w>"
+
+    def norm_words(t):
+        if t is None:
+            return []
+        t = _re.sub(r"\s+", " ",
+                    _re.sub(r"[^\w\s]", "", t.lower())).strip()
+        return t.split(" ") if t else []
+
+    freqs: _c.Counter = _c.Counter()
+    docs_words = []
+    for doc_id, t in rows:
+        ws = norm_words(t)
+        docs_words.append((doc_id, ws))
+        for w in ws:
+            freqs[tuple(list(w) + [end])] += 1
+    merges = []
+    for _ in range(num_merges):
+        pc: _c.Counter = _c.Counter()
+        for syms, f in freqs.items():
+            for i in range(len(syms) - 1):
+                pc[(syms[i], syms[i + 1])] += f
+        if not pc:
+            break
+        (l, r), f = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        if f < min_freq:
+            break
+        merges.append((l, r, int(f)))
+        nxt: _c.Counter = _c.Counter()
+        for syms, fr in freqs.items():
+            out, i, n = [], 0, len(syms)
+            while i < n:
+                if i + 1 < n and syms[i] == l and syms[i + 1] == r:
+                    out.append(l + r)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            nxt[tuple(out)] += fr
+        freqs = nxt
+    return merges, docs_words
+
+
+def _q64_oracle() -> str:
+    """Trained merge table as literal VALUES (rank, left, right,
+    pair_freq) from the standalone reference."""
+    merges, _ = _bpe_reference()
+    vals = ", ".join(
+        f"({i + 1}::BIGINT, '{l}', '{r}', {f}::BIGINT)"
+        for i, (l, r, f) in enumerate(merges))
+    return (f"SELECT * FROM (VALUES {vals}) "
+            f"t(rank, \"left\", \"right\", pair_freq) ORDER BY rank")
+
+
+def _q79_oracle() -> str:
+    """Per-document BPE token counts as literal VALUES: each distinct
+    word encoded once (greedy left-to-right in merge order — the vocab
+    trick, memoized here the same way), counts summed per doc."""
+    merges, docs_words = _bpe_reference()
+    end = "</w>"
+    order = [(l, r) for l, r, _ in merges]
+    memo: dict = {}
+
+    def word_tokens(w):
+        if w not in memo:
+            s = list(w) + [end]
+            for l, r in order:
+                out, i, n = [], 0, len(s)
+                while i < n:
+                    if i + 1 < n and s[i] == l and s[i + 1] == r:
+                        out.append(l + r)
+                        i += 2
+                    else:
+                        out.append(s[i])
+                        i += 1
+                s = out
+            memo[w] = len(s)
+        return memo[w]
+
+    vals = ", ".join(
+        f"({doc_id}::BIGINT, {sum(word_tokens(w) for w in ws)}::INT)"
+        for doc_id, ws in docs_words)
+    return (f"SELECT * FROM (VALUES {vals}) "
+            f"t(doc_id, n_bpe_tokens) ORDER BY doc_id")
+
+
 def _q139_oracle() -> str:
     """Wilson oracle: z and z² inlined as repr-exact DOUBLE literals
     (z² computed in Python exactly as the operator computes it) so both
@@ -3295,7 +3400,7 @@ def _last_verified_rounds() -> dict[str, int]:
             if not isinstance(row, dict):
                 continue
             if row.get("err") == "no_oracle":
-                # rows-only-by-design queries (q55/q64/q79) verify at
+                # rows-only-by-design queries (q55 since r8) verify at
                 # the weaker rows-ran tier; without this they would
                 # hog rotation slots every round, unable to ever go
                 # hash-green
@@ -6463,6 +6568,8 @@ def oracle_sql() -> dict[str, str]:
                      AS chars_per_token
             FROM per GROUP BY lang ORDER BY lang
         """,
+        "q64_bpe_merges": _q64_oracle(),
+        "q79_bpe_encode": _q79_oracle(),
         "q139_wilson_intervals": _q139_oracle(),
         "q140_trimmed_stats": """
             WITH b AS (

@@ -256,6 +256,56 @@ class TestKAnonymity:
 
 
 # ---------------------------------------------------------------------------
+# stats auto exact->approx switch (VERDICT r7 item 5: evidence it)
+# ---------------------------------------------------------------------------
+
+class TestStatsAutoSwitch:
+    def test_switch_crosses_threshold_and_sketch_engages(
+            self, spark, monkeypatch):
+        from pandas_ai_spark.functions import stats as st
+
+        df = spark.read.parquet(
+            "/root/testdata/sf0.001/lineitem.parquet")
+        # below the 4 GiB threshold: exact
+        assert st._resolve_approx(df, None) is False
+        # shrink the threshold so this scan crosses it: approx engages
+        monkeypatch.setattr(st, "EXACT_STATE_MAX_BYTES", 1)
+        monkeypatch.setattr(st, "_warned_auto", set())
+        with pytest.warns(UserWarning, match="bounded-memory"):
+            assert st._resolve_approx(df, None) is True
+
+        # and winsorize's auto path actually plans the GK sketch
+        out = st.winsorize(df, "l_extendedprice", by=["l_returnflag"])
+        plan = out._jdf.queryExecution().analyzed().toString()
+        assert "percentile_approx" in plan
+        assert "percentile(" not in plan
+
+    def test_approx_bounds_close_to_exact(self, spark, monkeypatch):
+        from pandas_ai_spark.functions import stats as st
+
+        df = spark.read.parquet(
+            "/root/testdata/sf0.001/lineitem.parquet")
+        exact = {r.l_returnflag: (r.p_lo_bound, r.p_hi_bound)
+                 for r in st.winsorize(df, "l_extendedprice",
+                                       by=["l_returnflag"],
+                                       approx=False)
+                 .select("l_returnflag", "p_lo_bound", "p_hi_bound")
+                 .distinct().collect()}
+        monkeypatch.setattr(st, "EXACT_STATE_MAX_BYTES", 1)
+        monkeypatch.setattr(st, "_warned_auto", set())
+        approx = {r.l_returnflag: (r.p_lo_bound, r.p_hi_bound)
+                  for r in st.winsorize(df, "l_extendedprice",
+                                        by=["l_returnflag"])
+                  .select("l_returnflag", "p_lo_bound", "p_hi_bound")
+                  .distinct().collect()}
+        assert set(exact) == set(approx)
+        for g, (lo, hi) in exact.items():
+            alo, ahi = approx[g]
+            assert abs(alo - lo) / lo < 0.02, (g, lo, alo)
+            assert abs(ahi - hi) / hi < 0.02, (g, hi, ahi)
+
+
+# ---------------------------------------------------------------------------
 # graph.min_label_propagation
 # ---------------------------------------------------------------------------
 

@@ -12,6 +12,8 @@ from __future__ import annotations
 
 from typing import Optional
 
+from .config import (APIKeyManager, Config, ConfigManager,
+                     DefaultFileManager, FileManager, load_dotenv)
 from .dataframe import DataFrame
 from .datasets import create, load, materialize
 from .paginator import paginate
@@ -29,6 +31,11 @@ from .pinecone_store import PineconeStore
 from .qdrant_store import QdrantStore
 
 __version__ = "0.1.0"
+
+# module-level singletons, reference pandasai/__init__.py:212-214 parity:
+# pai.config.set({...}) / pai.api_key.set("...")
+config = ConfigManager()
+api_key = APIKeyManager()
 
 _current_agent = None
 

@@ -26,18 +26,24 @@ from .skills import skills_registry
 
 class Agent:
     def __init__(self, dfs: list, llm: Optional[LLM] = None,
-                 memory_size: int = 10, max_retries: int = 3,
+                 memory_size: int = 10, max_retries: int | None = None,
                  description: str | None = None, vectorstore=None,
                  sandbox=None):
+        from ..config import ConfigManager
         from ..dataframe import DataFrame  # local import to avoid cycle
 
+        # explicit kwargs win; otherwise the global ConfigManager
+        # defaults flow in (reference: pai.config.set({...}) feeds
+        # AgentState.config — config.py:23-46)
+        gconf = ConfigManager.get()
         self.dfs = [
             df if isinstance(df, DataFrame) else DataFrame(df) for df in dfs
         ]
-        self.llm = llm  # required at chat time (reference: config.llm)
+        self.llm = llm if llm is not None else gconf.llm
         self.vectorstore = vectorstore
         self.sandbox = sandbox
-        self.max_retries = max_retries  # config.py:13 default
+        self.max_retries = (max_retries if max_retries is not None
+                            else gconf.max_retries)  # config.py:13 default
         self.memory = Memory(memory_size, agent_description=description)
         self.spark = get_session()
         self._executor = SQLExecutor(self.spark)

@@ -45,6 +45,11 @@ ALLOW: dict[str, set[str]] = {
     # via m element_at lookups. The nested-loop flag is the query-side
     # broadcast, not an unbounded O(N·M) comparison.
     "q83_pq_ann": {"nested_loop"},
+    # RRF rank windows run over ALREADY-BOUNDED top-k retrieval lists
+    # (tens of rows by contract — bm25_search/ann outputs), never a
+    # table scan; fusing bounded lists is the operator's whole point
+    # (see search.rrf_fuse docstring)
+    "q143_rrf_fuse": {"global_window"},
     # Kaplan-Meier's risk-set/product-limit cumulatives are BY DESIGN a
     # global-ordered window over the POST-AGGREGATION duration grain —
     # cardinality = distinct durations (days/buckets, thousands at

@@ -274,11 +274,13 @@ class TestStatsAutoSwitch:
         with pytest.warns(UserWarning, match="bounded-memory"):
             assert st._resolve_approx(df, None) is True
 
-        # and winsorize's auto path actually plans the GK sketch
-        out = st.winsorize(df, "l_extendedprice", by=["l_returnflag"])
-        plan = out._jdf.queryExecution().analyzed().toString()
-        assert "percentile_approx" in plan
-        assert "percentile(" not in plan
+        # and the auto path actually plans the GK sketch — for BOTH
+        # percentile-pass operators (winsorize clamps, trimmed drops)
+        for op in (st.winsorize, st.trimmed_stats):
+            out = op(df, "l_extendedprice", by=["l_returnflag"])
+            plan = out._jdf.queryExecution().analyzed().toString()
+            assert "percentile_approx" in plan, op.__name__
+            assert "percentile(" not in plan, op.__name__
 
     def test_approx_bounds_close_to_exact(self, spark, monkeypatch):
         from pandas_ai_spark.functions import stats as st
@@ -298,6 +300,28 @@ class TestStatsAutoSwitch:
                                         by=["l_returnflag"])
                   .select("l_returnflag", "p_lo_bound", "p_hi_bound")
                   .distinct().collect()}
+        assert set(exact) == set(approx)
+        for g, (lo, hi) in exact.items():
+            alo, ahi = approx[g]
+            assert abs(alo - lo) / lo < 0.02, (g, lo, alo)
+            assert abs(ahi - hi) / hi < 0.02, (g, hi, ahi)
+
+    def test_trimmed_stats_approx_bounds_close_to_exact(
+            self, spark, monkeypatch):
+        from pandas_ai_spark.functions import stats as st
+
+        df = spark.read.parquet(
+            "/root/testdata/sf0.001/lineitem.parquet")
+        exact = {r.l_returnflag: (r.lo, r.hi)
+                 for r in st.trimmed_stats(df, "l_extendedprice",
+                                           by=["l_returnflag"],
+                                           approx=False).collect()}
+        monkeypatch.setattr(st, "EXACT_STATE_MAX_BYTES", 1)
+        monkeypatch.setattr(st, "_warned_auto", set())
+        approx = {r.l_returnflag: (r.lo, r.hi)
+                  for r in st.trimmed_stats(df, "l_extendedprice",
+                                            by=["l_returnflag"])
+                  .collect()}
         assert set(exact) == set(approx)
         for g, (lo, hi) in exact.items():
             alo, ahi = approx[g]

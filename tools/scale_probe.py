@@ -87,6 +87,14 @@ DEFAULT = [
     "q136_temporal_split",      # scalar boundary quantiles + row-local tags
     "q137_corpus_overlap",      # distinct fingerprints + semi-join counts
     "q138_hits",                # fixed-iteration broadcast score joins
+    "q139_wilson_intervals",    # one grouped agg + row-local interval math
+    "q140_trimmed_stats",       # percentile pass + broadcast bounds + trim agg
+    "q141_gopher_rules",        # row-local regex/token rule flags
+    "q142_hard_negatives",      # per-cell ANN candidates + positive anti-join
+    "q143_rrf_fuse",            # bounded per-list rank windows + fuse agg
+    "q144_neyman_allocation",   # per-stratum variance agg + allocation math
+    "q145_k_anonymity",         # quasi-identifier groupBy + class-size audit
+    "q146_label_propagation",   # fixed-round broadcast min-label joins
 ]
 
 

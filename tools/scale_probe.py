@@ -154,7 +154,8 @@ def main() -> int:
         "All are ≤ 1.0 (at worst linear in data — the acceptable bound);",
         "the elevated ones have known causes:",
         "",
-        "- **q98 winsorize (~0.7)**: exact-percentile aggregation state",
+        "- **q98 winsorize / q140 trimmed stats (~0.6-0.7)**:",
+        "  exact-percentile aggregation state",
         "  grows with distinct values (~rows for a continuous column), so",
         "  cost climbs faster than the scan until the documented",
         "  `EXACT_STATE_MAX_BYTES` auto-switch engages the bounded-memory",

@@ -3012,6 +3012,34 @@ def q146_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("node")
 
 
+
+def q147_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Convergent connected components (graph.connected_components):
+    alternating large-star/small-star contraction (Kiveris et al.,
+    SoCC'14) over per-nation consecutive-custkey CHAINS — a
+    deliberately DEEP graph (diameter = customers-per-nation, ~600 at
+    sf0.1) where q34/q146-style min-label propagation needs one round
+    per hop; star contraction halves tree heights and converges in
+    O(log^2 n) rounds (7 for a 40-chain, ~10 for a 600-chain).
+    Self-loop edges keep single-customer nations in the node set.
+    Oracle: recursive-CTE transitive closure (the q34 pattern) -> min
+    reachable id per node — the SQL engine does the same reachability
+    work, not a window-min shortcut."""
+    from pyspark.sql.window import Window
+
+    from pandas_ai_spark.functions.graph import connected_components
+
+    c = _t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy("c_custkey")
+    chain = (c.select(F.col("c_custkey").alias("src"),
+                      F.lag("c_custkey").over(w).alias("dst"))
+              .where(F.col("dst").isNotNull()))
+    loops = c.select(F.col("c_custkey").alias("src"),
+                     F.col("c_custkey").alias("dst"))
+    out = connected_components(chain.unionByName(loops))
+    return out.orderBy("node")
+
+
 def _q134_oracle() -> str:
     """Calibration oracle: the q54 hashing-trick score SQL (same _TOKS
     macro and md5-bucket weights) + is-English outcome + quantile_cont
@@ -3603,6 +3631,7 @@ def queries_numeric() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q144_neyman_allocation": q144_neyman_allocation,
         "q145_k_anonymity": q145_k_anonymity,
         "q146_label_propagation": q146_label_propagation,
+        "q147_connected_components": q147_connected_components,
     }
 
 
@@ -6646,6 +6675,35 @@ def oracle_sql() -> dict[str, str]:
             FROM c
         """,
         "q146_label_propagation": _q146_oracle(),
+        "q147_connected_components": """
+            WITH RECURSIVE base AS (
+              SELECT c_custkey AS src,
+                     lag(c_custkey) OVER (PARTITION BY c_nationkey
+                                          ORDER BY c_custkey) AS dst
+              FROM customer
+            ), fwd AS (
+              SELECT src, dst FROM base WHERE dst IS NOT NULL
+              UNION ALL
+              SELECT c_custkey, c_custkey FROM customer
+            ), sym AS (
+              SELECT DISTINCT a, b FROM (
+                SELECT src AS a, dst AS b FROM fwd
+                UNION ALL
+                SELECT dst AS a, src AS b FROM fwd)
+              WHERE a <> b
+            ), nodes AS (
+              SELECT DISTINCT node FROM (
+                SELECT src AS node FROM fwd
+                UNION ALL SELECT dst FROM fwd)
+            ), r AS (
+              SELECT node, node AS reach FROM nodes
+              UNION
+              SELECT s.b AS node, r.reach
+              FROM r JOIN sym s ON r.node = s.a
+            )
+            SELECT node, min(reach) AS component
+            FROM r GROUP BY node ORDER BY node
+        """,
     }
 
 

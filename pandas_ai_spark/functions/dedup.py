@@ -661,8 +661,9 @@ def dedup_clusters(pairs: DataFrame, id_a: str = "id_a",
     labels across edges (both directions) and keeps the min neighbor
     label. Plain min-label propagation converges in O(graph diameter)
     rounds — fine for near-dup graphs (cliques converge in one round,
-    long chains are rare); raise ``max_iters`` or switch to
-    large-star/small-star if a corpus ever exhibits deep chains. Each
+    long chains are rare); for deep chains use
+    :func:`~pandas_ai_spark.functions.graph.connected_components`
+    (large-star/small-star, O(log^2 n) rounds). Each
     iteration is one shuffle on node id; the label frame is
     localCheckpoint()ed so the lineage doesn't grow unboundedly.
 

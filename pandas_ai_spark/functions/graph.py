@@ -1,9 +1,12 @@
 """Graph analytics on edge tables: PageRank (power iteration).
 
-Connected components already live in
+Shallow-graph connected components live in
 :func:`~pandas_ai_spark.functions.dedup.dedup_clusters` (min-label
-propagation — the clustering half of graph analytics); this module adds
-centrality. PageRank over a co-occurrence or citation graph is the
+propagation — right for near-dup clique families); this module adds
+centrality plus :func:`connected_components`, the convergent
+large-star/small-star contraction for DEEP graphs (entity-resolution
+chains, lineage graphs) where propagation's one-round-per-hop cost is
+the bottleneck. PageRank over a co-occurrence or citation graph is the
 standard importance score a corpus pipeline uses to weight domains /
 documents (the original web-scale use case).
 
@@ -361,3 +364,125 @@ def min_label_propagation(edges: DataFrame, src: str = "src",
                                                    F.col("label")))
                                 .alias("label")))
     return labels
+
+
+def connected_components(edges: DataFrame, src: str = "src",
+                         dst: str = "dst",
+                         max_iterations: int = 50,
+                         stats: dict | None = None) -> DataFrame:
+    """Connected components to CONVERGENCE via alternating
+    large-star/small-star contraction (Kiveris et al., "Connected
+    Components in MapReduce and Beyond", ACM SoCC 2014). Returns
+    ``(node, component)`` with ``component`` = the minimum node id in
+    the component (lexicographic for string ids — same label rule as
+    :func:`~pandas_ai_spark.functions.dedup.dedup_clusters`).
+
+    Why a second components operator: ``dedup_clusters``'s distributed
+    path is plain min-label propagation — one round per hop, so a
+    path-shaped component of length D needs D rounds. Star contraction
+    halves tree heights instead and converges in O(log^2 n) rounds
+    regardless of diameter; this is the operator to reach for when the
+    graph is not a shallow near-dup clique family (entity-resolution
+    chains, follower graphs, lineage graphs).
+
+    Per round the edge set is rewritten twice:
+
+    - large-star: every node connects its LARGER neighbors to the
+      minimum of its closed neighborhood — ``(v, m)`` for each
+      neighbor ``v > u`` where ``m = min(N(u) + {u})``;
+    - small-star: with edges oriented ``u > v``, every node connects
+      its smaller neighbors (and itself) to their minimum.
+
+    Both are one node-keyed aggregation plus one co-partitioned
+    equi-join on the SAME key (the groupBy output is already hash
+    partitioned on ``u``, so Catalyst reuses the exchange), nothing is
+    broadcast or collected, and partial aggregation applies to the
+    ``min``. Each round's edge set is ``localCheckpoint``-ed: lineage
+    stays bounded and the convergence probe reads the materialized
+    frame. Convergence = the canonically-oriented edge set is
+    identical two rounds running, checked with one aggregate
+    ``(count, bit_xor(xxhash64(u, v)))`` over the checkpointed frame
+    (xor is order-independent and cannot overflow under ANSI mode; the
+    set is distinct so identical pairs never cancel) — no extra
+    shuffle, no subtract join. Self-loop-only and isolated
+    endpoints never propagate but are restored in the output labeled
+    with themselves (the ``min_label_propagation`` membership rule).
+
+    At convergence every edge points child -> component-min, so the
+    label table is the edge set itself plus self-labels for roots —
+    no final propagation pass is needed.
+    """
+    from .cache import operator_persist
+
+    if max_iterations < 1:
+        raise ValueError("max_iterations must be >= 1")
+    raw = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    nodes = operator_persist(
+        raw.select(F.col("u").alias("node"))
+           .union(raw.select(F.col("v").alias("node")))
+           .distinct())
+    # canonical orientation u > v, self-loops dropped (membership is
+    # restored from `nodes` at the end)
+    e = (raw.where(F.col("u") != F.col("v"))
+            .select(F.greatest("u", "v").alias("u"),
+                    F.least("u", "v").alias("v"))
+            .distinct()
+            .localCheckpoint(eager=True))
+
+    def _signature(frame: DataFrame) -> tuple:
+        row = frame.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(F.expr("bit_xor(xxhash64(u, v))"),
+                       F.lit(0)).alias("h"),
+        ).collect()[0]
+        return row["n"], row["h"]
+
+    sig = _signature(e)
+    rounds = 0
+    for _ in range(int(max_iterations)):
+        if sig[0] == 0:
+            break
+        # large-star over the symmetric view: m = min(N(u) + {u})
+        sym = e.select("u", "v").union(
+            e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        mins = sym.groupBy("u").agg(F.min("v").alias("__mv"))
+        m = F.least(F.col("u"), F.col("__mv"))
+        large = (sym.join(mins, "u")
+                    .where(F.col("v") > F.col("u"))
+                    .select(F.col("v").alias("u"), m.alias("v"))
+                    .where(F.col("u") != F.col("v"))
+                    .distinct())
+        # small-star on u > v orientation: attach v's (and u) to the min
+        e2 = (large.select(F.greatest("u", "v").alias("u"),
+                           F.least("u", "v").alias("v"))
+                   .distinct())
+        mins2 = e2.groupBy("u").agg(F.min("v").alias("__m"))
+        joined = e2.join(mins2, "u")
+        small = (joined.select(F.col("v").alias("u"),
+                               F.col("__m").alias("v"))
+                 .union(mins2.select(F.col("u"), F.col("__m").alias("v")))
+                 .where(F.col("u") != F.col("v"))
+                 .select(F.greatest("u", "v").alias("u"),
+                         F.least("u", "v").alias("v"))
+                 .distinct()
+                 .localCheckpoint(eager=True))
+        rounds += 1
+        new_sig = _signature(small)
+        e = small
+        if new_sig == sig:
+            break
+        sig = new_sig
+    else:
+        import warnings
+        warnings.warn(
+            f"connected_components did not converge in "
+            f"{max_iterations} rounds; labels are the partial "
+            f"contraction", stacklevel=2)
+    if stats is not None:
+        stats["rounds"] = rounds
+    # stars: u (child) -> v (component min); roots/isolated self-label
+    children = e.select(F.col("u").alias("node"),
+                        F.col("v").alias("component"))
+    selfs = (nodes.join(children.select("node"), "node", "left_anti")
+                  .select("node", F.col("node").alias("component")))
+    return children.union(selfs)

@@ -365,3 +365,76 @@ class TestMinLabelPropagation:
         rows = {r.node: r.label for r in
                 min_label_propagation(edges, iterations=2).collect()}
         assert rows == {1: 1, 2: 1, 7: 7}
+
+
+# ---------------------------------------------------------------------------
+# graph.connected_components (large-star/small-star, q147)
+# ---------------------------------------------------------------------------
+
+class TestConnectedComponents:
+    def test_deep_chain_converges_in_log_rounds(self, spark):
+        from pandas_ai_spark.functions.graph import connected_components
+
+        edges = spark.createDataFrame(
+            [(i, i + 1) for i in range(1, 64)], ["src", "dst"])
+        stats = {}
+        rows = {r.node: r.component for r in
+                connected_components(edges, stats=stats).collect()}
+        assert rows == {i: 1 for i in range(1, 65)}
+        # plain propagation would need 63 rounds; star contraction is
+        # logarithmic — generous bound still catches an O(D) regression
+        assert stats["rounds"] <= 12, stats
+
+    def test_components_self_loops_and_isolation(self, spark):
+        from pandas_ai_spark.functions.graph import connected_components
+
+        edges = spark.createDataFrame(
+            [(1, 2), (2, 3), (10, 11), (11, 10), (20, 20)],
+            ["src", "dst"])
+        rows = {r.node: r.component for r in
+                connected_components(edges).collect()}
+        assert rows == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20}
+
+    def test_string_ids_label_lexicographic_min(self, spark):
+        from pandas_ai_spark.functions.graph import connected_components
+
+        edges = spark.createDataFrame(
+            [("b", "a"), ("c", "b"), ("y", "x")], ["src", "dst"])
+        rows = {r.node: r.component for r in
+                connected_components(edges).collect()}
+        assert rows == {"a": "a", "b": "a", "c": "a",
+                        "x": "x", "y": "x"}
+
+    def test_already_star_input_one_round(self, spark):
+        from pandas_ai_spark.functions.graph import connected_components
+
+        edges = spark.createDataFrame(
+            [(2, 1), (3, 1), (4, 1)], ["src", "dst"])
+        stats = {}
+        rows = {r.node: r.component for r in
+                connected_components(edges, stats=stats).collect()}
+        assert rows == {1: 1, 2: 1, 3: 1, 4: 1}
+        assert stats["rounds"] == 1
+
+    def test_matches_dedup_clusters_union_find(self, spark):
+        # parity vs the driver-side union-find on a deterministic
+        # pseudo-random graph (hash arithmetic, no RNG)
+        from pandas_ai_spark.functions.dedup import dedup_clusters
+        from pandas_ai_spark.functions.graph import connected_components
+
+        pairs = [(k * 7919 % 101, (k * 104729 + 3) % 101)
+                 for k in range(80)]
+        edges = spark.createDataFrame(pairs, ["src", "dst"])
+        cc = {r.node: r.component for r in
+              connected_components(edges).collect()}
+        uf = {r.doc_id: r.cluster_id for r in
+              dedup_clusters(edges, id_a="src", id_b="dst").collect()}
+        assert cc == uf
+
+    def test_empty_and_bad_args(self, spark):
+        from pandas_ai_spark.functions.graph import connected_components
+
+        empty = spark.createDataFrame([], "src INT, dst INT")
+        assert connected_components(empty).count() == 0
+        with pytest.raises(ValueError):
+            connected_components(empty, max_iterations=0)

@@ -3040,6 +3040,48 @@ def q147_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("node")
 
 
+
+def q148_golden_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Golden-record survivorship (linkage.golden_records) over a
+    three-source customer scenario: the base table, a replica with
+    deterministically-degraded fields (mktsegment NULL when
+    custkey%3=0, acctbal NULL when custkey%4=0), and a third fresh
+    copy for custkey%5 — linked base<->replica and replica<->copy so
+    every %5 entity is a CHAIN the clustering must close
+    transitively. Survivor per entity = (most non-null
+    mktsegment/acctbal, newest src_ts, lowest id): the fresh copy
+    where it exists, else the intact replica, else the base. Oracle:
+    identical UNION ALL source construction + recursive reachability
+    clustering + the same three-key ROW_NUMBER survivorship."""
+    from pandas_ai_spark.functions.linkage import golden_records
+
+    c = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_mktsegment", "c_acctbal")
+    k = F.col("c_custkey")
+    base = c.select(
+        k.alias("rec_id"), "c_name", "c_mktsegment", "c_acctbal",
+        F.lit(1).alias("src_ts"))
+    rep1 = c.select(
+        (k + 10000000).alias("rec_id"), "c_name",
+        F.when(k % 3 == 0, F.lit(None)).otherwise(F.col("c_mktsegment"))
+         .alias("c_mktsegment"),
+        F.when(k % 4 == 0, F.lit(None)).otherwise(F.col("c_acctbal"))
+         .alias("c_acctbal"),
+        F.lit(2).alias("src_ts"))
+    rep2 = c.where(k % 5 == 0).select(
+        (k + 20000000).alias("rec_id"), "c_name", "c_mktsegment",
+        "c_acctbal", F.lit(3).alias("src_ts"))
+    records = base.unionByName(rep1).unionByName(rep2)
+    pairs = c.select(k.alias("id_a"), (k + 10000000).alias("id_b")) \
+             .unionByName(
+                 c.where(k % 5 == 0).select(
+                     (k + 10000000).alias("id_a"),
+                     (k + 20000000).alias("id_b")))
+    out = golden_records(records, pairs, "rec_id",
+                         ["c_mktsegment", "c_acctbal"], "src_ts")
+    return out.orderBy("entity_id")
+
+
 def _q134_oracle() -> str:
     """Calibration oracle: the q54 hashing-trick score SQL (same _TOKS
     macro and md5-bucket weights) + is-English outcome + quantile_cont
@@ -3632,6 +3674,7 @@ def queries_numeric() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q145_k_anonymity": q145_k_anonymity,
         "q146_label_propagation": q146_label_propagation,
         "q147_connected_components": q147_connected_components,
+        "q148_golden_records": q148_golden_records,
     }
 
 
@@ -6703,6 +6746,67 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT node, min(reach) AS component
             FROM r GROUP BY node ORDER BY node
+        """,
+        "q148_golden_records": """
+            WITH RECURSIVE c AS (
+              SELECT c_custkey, c_name, c_mktsegment, c_acctbal
+              FROM customer
+            ), recs AS (
+              SELECT c_custkey AS rec_id, c_name, c_mktsegment,
+                     c_acctbal, 1 AS src_ts
+              FROM c
+              UNION ALL
+              SELECT c_custkey + 10000000, c_name,
+                     CASE WHEN c_custkey % 3 = 0 THEN NULL
+                          ELSE c_mktsegment END,
+                     CASE WHEN c_custkey % 4 = 0 THEN NULL
+                          ELSE c_acctbal END,
+                     2
+              FROM c
+              UNION ALL
+              SELECT c_custkey + 20000000, c_name, c_mktsegment,
+                     c_acctbal, 3
+              FROM c WHERE c_custkey % 5 = 0
+            ), pairs AS (
+              SELECT c_custkey AS a, c_custkey + 10000000 AS b FROM c
+              UNION ALL
+              SELECT c_custkey + 10000000, c_custkey + 20000000
+              FROM c WHERE c_custkey % 5 = 0
+            ), sym AS (
+              SELECT DISTINCT a, b FROM (
+                SELECT a, b FROM pairs
+                UNION ALL SELECT b AS a, a AS b FROM pairs)
+              WHERE a <> b
+            ), nodes AS (
+              SELECT DISTINCT node FROM (
+                SELECT a AS node FROM pairs
+                UNION ALL SELECT b FROM pairs)
+            ), r AS (
+              SELECT node, node AS reach FROM nodes
+              UNION
+              SELECT s.b AS node, r.reach
+              FROM r JOIN sym s ON r.node = s.a
+            ), lab AS (
+              SELECT node AS rec_id, min(reach) AS entity_id
+              FROM r GROUP BY node
+            ), m AS (
+              SELECT coalesce(l.entity_id, recs.rec_id) AS entity_id,
+                     recs.*,
+                     (recs.c_mktsegment IS NOT NULL)::INT
+                     + (recs.c_acctbal IS NOT NULL)::INT AS completeness
+              FROM recs LEFT JOIN lab l USING (rec_id)
+            ), rk AS (
+              SELECT *,
+                     row_number() OVER (
+                       PARTITION BY entity_id
+                       ORDER BY completeness DESC, src_ts DESC,
+                                rec_id ASC) AS rn,
+                     count(*) OVER (PARTITION BY entity_id) AS n_members
+              FROM m
+            )
+            SELECT entity_id, rec_id, c_name, c_mktsegment, c_acctbal,
+                   src_ts, completeness, n_members
+            FROM rk WHERE rn = 1 ORDER BY entity_id
         """,
     }
 

@@ -110,3 +110,68 @@ def sorted_neighborhood_pairs(df: DataFrame, id_col: str, key_col: str,
                 F.levenshtein(F.col("a_key"),
                               F.col("__n.b_key")).alias("distance"))
     )
+
+
+def golden_records(df: DataFrame, pairs: DataFrame,
+                   id_col: str = "rec_id",
+                   completeness_cols: list[str] | None = None,
+                   recency_col: str | None = None,
+                   id_a: str = "id_a", id_b: str = "id_b") -> DataFrame:
+    """Survivorship: consolidate linked records into ONE golden record
+    per entity. ``pairs`` is a match-pair table (from ``fuzzy_join``,
+    ``sorted_neighborhood_pairs``, or any matcher); entities are the
+    connected components of the pair graph — transitively, so A~B and
+    B~C merge even when A~C was never a candidate pair. The survivor
+    per entity is chosen by (most non-null ``completeness_cols``,
+    newest ``recency_col``, lowest id) — the standard MDM survivorship
+    rule, fully deterministic. Returns the surviving rows with
+    ``entity_id`` (the minimum member id), ``completeness`` and
+    ``n_members`` attached; records in no pair survive untouched as
+    single-member entities.
+
+    Scale shape (the ``dedup_keep_best`` contract): match pairs are
+    rare-event-sized, so clustering runs on the pair graph via
+    :func:`~pandas_ai_spark.functions.graph.connected_components`
+    (large-star/small-star — entity graphs produced by multi-pass
+    blocking are CHAINS, the deep case propagation handles worst), and
+    the survivorship window partitions the LINKED member frame only
+    (~|pairs|); the corpus at large is touched by one id-keyed left
+    anti-join and passes through untouched. No full-corpus window, no
+    collect.
+    """
+    from pyspark.sql import Window
+
+    from .graph import connected_components
+
+    comp_cols = completeness_cols or []
+    for c in comp_cols:
+        if c not in df.columns:
+            raise ValueError(f"completeness column {c!r} not in df")
+    completeness = F.lit(0)
+    for c in comp_cols:
+        completeness = completeness + F.col(c).isNotNull().cast("int")
+
+    labels = (connected_components(pairs, src=id_a, dst=id_b)
+              .select(F.col("node").alias(id_col),
+                      F.col("component").alias("entity_id")))
+    linked = (df.join(labels, id_col)
+                .withColumn("completeness", completeness))
+    order = [F.col("completeness").desc()]
+    if recency_col is not None:
+        order.append(F.col(recency_col).desc_nulls_last())
+    order.append(F.col(id_col).asc())
+    w = Window.partitionBy("entity_id").orderBy(*order)
+    wc = Window.partitionBy("entity_id")
+    golden_linked = (linked
+                     .withColumn("n_members",
+                                 F.count(F.lit(1)).over(wc).cast("bigint"))
+                     .withColumn("__rn", F.row_number().over(w))
+                     .where(F.col("__rn") == 1)
+                     .drop("__rn"))
+    untouched = (df.join(labels.select(id_col), id_col, "left_anti")
+                   .withColumn("entity_id", F.col(id_col))
+                   .withColumn("completeness", completeness)
+                   .withColumn("n_members", F.lit(1).cast("bigint")))
+    cols = ["entity_id"] + df.columns + ["completeness", "n_members"]
+    return golden_linked.select(*cols).unionByName(
+        untouched.select(*cols))

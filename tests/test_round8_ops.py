@@ -438,3 +438,59 @@ class TestConnectedComponents:
         assert connected_components(empty).count() == 0
         with pytest.raises(ValueError):
             connected_components(empty, max_iterations=0)
+
+
+# ---------------------------------------------------------------------------
+# linkage.golden_records (survivorship, q148)
+# ---------------------------------------------------------------------------
+
+class TestGoldenRecords:
+    def _df(self, spark):
+        return spark.createDataFrame([
+            (1, "a", "addr", "ph", 1),   # complete, oldest
+            (2, "a", None,   "ph", 2),   # newer, less complete
+            (3, "a", "addr", "ph", 3),   # complete AND newest
+            (9, "z", None,   None, 5),   # unlinked singleton
+        ], ["rec_id", "name", "addr", "phone", "ts"])
+
+    def test_completeness_beats_recency_then_recency_breaks(self, spark):
+        from pandas_ai_spark.functions.linkage import golden_records
+
+        # chain 1-2-3 merges transitively (1~3 never paired directly)
+        pairs = spark.createDataFrame([(1, 2), (2, 3)], ["id_a", "id_b"])
+        rows = {r.entity_id: r for r in
+                golden_records(self._df(spark), pairs, "rec_id",
+                               ["addr", "phone"], "ts").collect()}
+        assert set(rows) == {1, 9}
+        # 2 is newest-but-incomplete: completeness first, then ts
+        assert rows[1].rec_id == 3
+        assert rows[1].completeness == 2 and rows[1].n_members == 3
+
+    def test_singleton_passes_through(self, spark):
+        from pandas_ai_spark.functions.linkage import golden_records
+
+        pairs = spark.createDataFrame([(1, 2), (2, 3)], ["id_a", "id_b"])
+        rows = {r.entity_id: r for r in
+                golden_records(self._df(spark), pairs, "rec_id",
+                               ["addr", "phone"], "ts").collect()}
+        assert rows[9].rec_id == 9
+        assert rows[9].n_members == 1 and rows[9].completeness == 0
+
+    def test_id_tiebreak_without_recency(self, spark):
+        from pandas_ai_spark.functions.linkage import golden_records
+
+        df = spark.createDataFrame(
+            [(5, "x"), (4, "x")], ["rec_id", "v"])
+        pairs = spark.createDataFrame([(4, 5)], ["id_a", "id_b"])
+        rows = golden_records(df, pairs, "rec_id").collect()
+        assert len(rows) == 1
+        # no completeness cols, no recency: lowest id wins
+        assert rows[0].rec_id == 4 and rows[0].entity_id == 4
+
+    def test_unknown_completeness_col_raises(self, spark):
+        from pandas_ai_spark.functions.linkage import golden_records
+
+        df = spark.createDataFrame([(1, "x")], ["rec_id", "v"])
+        pairs = spark.createDataFrame([(1, 1)], ["id_a", "id_b"])
+        with pytest.raises(ValueError):
+            golden_records(df, pairs, "rec_id", ["nope"])

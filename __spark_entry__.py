@@ -3082,6 +3082,29 @@ def q148_golden_records(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("entity_id")
 
 
+
+def q149_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit (audit.l_diversity) with quasi-identifier
+    (order-status, order-month) and sensitive attribute
+    o_orderpriority: two chained map-side-combined aggregations —
+    (qi, sensitive) cell counts, then a qi rollup deriving class
+    size, distinct-sensitive diversity, and per-class Shannon entropy
+    from the cell counts alone (H = ln N - sum(n ln n)/N) — the
+    homogeneity-attack gate k-anonymity (q145) misses. Oracle:
+    identical two-level aggregate, integer sums CAST BIGINT."""
+    from pandas_ai_spark.functions.audit import l_diversity
+
+    orders = _t(spark, sf_dir, "orders").withColumn(
+        "order_month", F.date_trunc("month", F.col("o_orderdate")))
+    out = l_diversity(orders, ["o_orderstatus", "order_month"],
+                      "o_orderpriority", l=3)
+    return out.select(
+        "n_rows", "n_classes", "min_diversity", "n_low_classes",
+        "n_rows_at_risk",
+        F.round("pct_at_risk", 9).alias("pct_at_risk"),
+        F.round("min_entropy", 9).alias("min_entropy"))
+
+
 def _q134_oracle() -> str:
     """Calibration oracle: the q54 hashing-trick score SQL (same _TOKS
     macro and md5-bucket weights) + is-English outcome + quantile_cont
@@ -3675,6 +3698,7 @@ def queries_numeric() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q146_label_propagation": q146_label_propagation,
         "q147_connected_components": q147_connected_components,
         "q148_golden_records": q148_golden_records,
+        "q149_l_diversity": q149_l_diversity,
     }
 
 
@@ -6807,6 +6831,34 @@ def oracle_sql() -> dict[str, str]:
             SELECT entity_id, rec_id, c_name, c_mktsegment, c_acctbal,
                    src_ts, completeness, n_members
             FROM rk WHERE rn = 1 ORDER BY entity_id
+        """,
+        "q149_l_diversity": """
+            WITH cells AS (
+              SELECT o_orderstatus, date_trunc('month', o_orderdate)
+                       AS order_month,
+                     o_orderpriority, count(*) AS n
+              FROM orders GROUP BY 1, 2, 3
+            ), classes AS (
+              SELECT o_orderstatus, order_month,
+                     CAST(sum(n) AS BIGINT) AS rows_,
+                     count(*) AS div_,
+                     sum(n * ln(n)) AS nlogn
+              FROM cells GROUP BY 1, 2
+            )
+            SELECT CAST(sum(rows_) AS BIGINT) AS n_rows,
+                   count(*) AS n_classes,
+                   CAST(min(div_) AS BIGINT) AS min_diversity,
+                   CAST(sum((div_ < 3)::INT) AS BIGINT)
+                     AS n_low_classes,
+                   CAST(sum(CASE WHEN div_ < 3 THEN rows_ ELSE 0 END)
+                        AS BIGINT) AS n_rows_at_risk,
+                   round(CAST(sum(CASE WHEN div_ < 3 THEN rows_
+                                       ELSE 0 END) AS BIGINT)
+                         / CAST(sum(rows_) AS DOUBLE), 9)
+                     AS pct_at_risk,
+                   round(min(ln(rows_) - nlogn / rows_), 9)
+                     AS min_entropy
+            FROM classes
         """,
     }
 

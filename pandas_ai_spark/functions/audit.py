@@ -155,3 +155,51 @@ def k_anonymity(df: DataFrame, qi_cols: Sequence[str],
     ).withColumn(
         "pct_at_risk",
         F.col("n_rows_at_risk") / F.col("n_rows"))
+
+
+def l_diversity(df: DataFrame, qi_cols: Sequence[str],
+                sensitive_col: str, l: int = 2) -> DataFrame:
+    """l-diversity audit — the companion gate to :func:`k_anonymity`:
+    a k-anonymous class is still disclosive when every member shares
+    the same SENSITIVE value (Machanavajjhala et al.'s homogeneity
+    attack), so this measures, per quasi-identifier equivalence
+    class, how many distinct sensitive values it contains. One
+    summary row ``(n_rows, n_classes, min_diversity, n_low_classes,
+    n_rows_at_risk, pct_at_risk, min_entropy)`` where "low" means
+    fewer than ``l`` distinct sensitive values and ``min_entropy`` is
+    the worst class's sensitive-value Shannon entropy in nats
+    (entropy l-diversity requires >= ln(l)).
+
+    Scale shape: TWO chained hash aggregations, both map-side
+    combined — (qi, sensitive) cell counts (shuffle bounded by the
+    distinct cell count, not rows), then a qi-keyed rollup computing
+    class size, distinct-sensitive count, and entropy from the cell
+    counts alone via ``H = ln(N) - sum(n*ln n)/N`` — no window, no
+    second scan of the data. NULL sensitive values form their own
+    cell, matching GROUP BY semantics.
+    """
+    if not qi_cols:
+        raise ValueError("qi_cols must be non-empty")
+    if l < 2:
+        raise ValueError("l must be >= 2")
+    cells = df.groupBy(
+        *[F.col(c) for c in qi_cols], F.col(sensitive_col)).agg(
+        F.count("*").alias("__n"))
+    n = F.col("__n").cast("double")
+    classes = cells.groupBy(*[F.col(c) for c in qi_cols]).agg(
+        F.sum("__n").alias("__rows"),
+        F.count("*").alias("__div"),
+        (F.sum(n * F.log(n))).alias("__nlogn"))
+    rows = F.col("__rows").cast("double")
+    entropy = F.log(rows) - F.col("__nlogn") / rows
+    low = F.col("__div") < l
+    return classes.agg(
+        F.sum("__rows").cast("bigint").alias("n_rows"),
+        F.count("*").cast("bigint").alias("n_classes"),
+        F.min("__div").cast("bigint").alias("min_diversity"),
+        F.sum(low.cast("bigint")).alias("n_low_classes"),
+        F.sum(F.when(low, F.col("__rows")).otherwise(F.lit(0)))
+         .cast("bigint").alias("n_rows_at_risk"),
+        F.min(entropy).alias("min_entropy"),
+    ).withColumn("pct_at_risk",
+                 F.col("n_rows_at_risk") / F.col("n_rows"))

@@ -494,3 +494,50 @@ class TestGoldenRecords:
         pairs = spark.createDataFrame([(1, 1)], ["id_a", "id_b"])
         with pytest.raises(ValueError):
             golden_records(df, pairs, "rec_id", ["nope"])
+
+
+# ---------------------------------------------------------------------------
+# audit.l_diversity (q149)
+# ---------------------------------------------------------------------------
+
+class TestLDiversity:
+    def test_known_values(self, spark):
+        import math
+
+        from pandas_ai_spark.functions.audit import l_diversity
+
+        # class A: sensitive {x, x, y} -> div 2, H = ln3 - (2ln2)/3
+        # class B: sensitive {x, x}    -> div 1 (homogeneous), H = 0
+        df = spark.createDataFrame(
+            [("A", "x"), ("A", "x"), ("A", "y"),
+             ("B", "x"), ("B", "x")], ["qi", "s"])
+        r = l_diversity(df, ["qi"], "s", l=2).collect()[0]
+        assert r.n_rows == 5 and r.n_classes == 2
+        assert r.min_diversity == 1
+        assert r.n_low_classes == 1 and r.n_rows_at_risk == 2
+        assert abs(r.pct_at_risk - 0.4) < 1e-12
+        assert abs(r.min_entropy - 0.0) < 1e-12
+        # the diverse class's entropy (not the min, checked directly)
+        h_a = math.log(3) - (2 * math.log(2)) / 3
+
+        r2 = l_diversity(df.where(F.col("qi") == "A"),
+                         ["qi"], "s", l=2).collect()[0]
+        assert abs(r2.min_entropy - h_a) < 1e-12
+        assert r2.min_diversity == 2 and r2.n_low_classes == 0
+
+    def test_null_sensitive_is_its_own_value(self, spark):
+        from pandas_ai_spark.functions.audit import l_diversity
+
+        df = spark.createDataFrame(
+            [("A", None), ("A", "x")], "qi: string, s: string")
+        r = l_diversity(df, ["qi"], "s", l=2).collect()[0]
+        assert r.min_diversity == 2 and r.n_low_classes == 0
+
+    def test_bad_args(self, spark):
+        from pandas_ai_spark.functions.audit import l_diversity
+
+        df = spark.createDataFrame([("A", "x")], ["qi", "s"])
+        with pytest.raises(ValueError):
+            l_diversity(df, [], "s")
+        with pytest.raises(ValueError):
+            l_diversity(df, ["qi"], "s", l=1)

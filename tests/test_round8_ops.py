@@ -496,6 +496,20 @@ class TestGoldenRecords:
             golden_records(df, pairs, "rec_id", ["nope"])
 
 
+
+    def test_distributed_path_same_labels(self, spark):
+        # driver_threshold=0 forces the large-star/small-star path;
+        # survivors must be identical to the union-find default
+        from pandas_ai_spark.functions.linkage import golden_records
+
+        pairs = spark.createDataFrame([(1, 2), (2, 3)], ["id_a", "id_b"])
+        got = {(r.entity_id, r.rec_id) for r in
+               golden_records(self._df(spark), pairs, "rec_id",
+                              ["addr", "phone"], "ts",
+                              driver_threshold=0).collect()}
+        assert got == {(1, 3), (9, 9)}
+
+
 # ---------------------------------------------------------------------------
 # audit.l_diversity (q149)
 # ---------------------------------------------------------------------------
@@ -541,15 +555,3 @@ class TestLDiversity:
             l_diversity(df, [], "s")
         with pytest.raises(ValueError):
             l_diversity(df, ["qi"], "s", l=1)
-
-    def test_distributed_path_same_labels(self, spark):
-        # driver_threshold=0 forces the large-star/small-star path;
-        # survivors must be identical to the union-find default
-        from pandas_ai_spark.functions.linkage import golden_records
-
-        pairs = spark.createDataFrame([(1, 2), (2, 3)], ["id_a", "id_b"])
-        got = {(r.entity_id, r.rec_id) for r in
-               golden_records(self._df(spark), pairs, "rec_id",
-                              ["addr", "phone"], "ts",
-                              driver_threshold=0).collect()}
-        assert got == {(1, 3), (9, 9)}

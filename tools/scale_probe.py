@@ -95,6 +95,9 @@ DEFAULT = [
     "q144_neyman_allocation",   # per-stratum variance agg + allocation math
     "q145_k_anonymity",         # quasi-identifier groupBy + class-size audit
     "q146_label_propagation",   # fixed-round broadcast min-label joins
+    "q147_connected_components",  # star contraction, O(log^2) rounds
+    "q148_golden_records",      # hybrid clustering + linked-only argmax
+    "q149_l_diversity",         # two chained map-side-combined aggs
 ]
 
 

@@ -3105,6 +3105,30 @@ def q149_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("min_entropy", 9).alias("min_entropy"))
 
 
+def q150_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness audit (audit.t_closeness) with the q149 schema —
+    quasi-identifier (order-status, order-month), sensitive attribute
+    o_orderpriority — completing the k-anonymity (q145) /
+    l-diversity (q149) privacy trio with Li et al.'s distributional
+    gate: per-class total variation distance from the corpus-wide
+    sensitive distribution, accumulated as the EXACT integer
+    sum |n_cell*N - n_g*N_class| so every derived double is
+    bit-identical across engines (no float-summation-order drift).
+    Oracle: identical cell/class/global CTEs with a null-safe
+    (qi, sensitive) join and the same integer-first arithmetic."""
+    from pandas_ai_spark.functions.audit import t_closeness
+
+    orders = _t(spark, sf_dir, "orders").withColumn(
+        "order_month", F.date_trunc("month", F.col("o_orderdate")))
+    out = t_closeness(orders, ["o_orderstatus", "order_month"],
+                      "o_orderpriority", t=0.2)
+    return out.select(
+        "n_rows", "n_classes",
+        F.round("max_tvd", 9).alias("max_tvd"),
+        "n_far_classes", "n_rows_at_risk",
+        F.round("pct_at_risk", 9).alias("pct_at_risk"))
+
+
 def _q134_oracle() -> str:
     """Calibration oracle: the q54 hashing-trick score SQL (same _TOKS
     macro and md5-bucket weights) + is-English outcome + quantile_cont
@@ -3699,6 +3723,7 @@ def queries_numeric() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q147_connected_components": q147_connected_components,
         "q148_golden_records": q148_golden_records,
         "q149_l_diversity": q149_l_diversity,
+        "q150_t_closeness": q150_t_closeness,
     }
 
 
@@ -6859,6 +6884,62 @@ def oracle_sql() -> dict[str, str]:
                    round(min(ln(rows_) - nlogn / rows_), 9)
                      AS min_entropy
             FROM classes
+        """,
+        "q150_t_closeness": """
+            WITH cells AS (
+              SELECT o_orderstatus,
+                     date_trunc('month', o_orderdate) AS order_month,
+                     o_orderpriority,
+                     CAST(count(*) AS BIGINT) AS n_cell
+              FROM orders GROUP BY 1, 2, 3
+            ), classes AS (
+              SELECT o_orderstatus, order_month,
+                     CAST(sum(n_cell) AS BIGINT) AS n_class
+              FROM cells GROUP BY 1, 2
+            ), gdist AS (
+              SELECT o_orderpriority,
+                     CAST(sum(n_cell) AS BIGINT) AS n_g
+              FROM cells GROUP BY 1
+            ), tot AS (
+              SELECT CAST(sum(n_g) AS BIGINT) AS n_total FROM gdist
+            ), per_class AS (
+              SELECT e.o_orderstatus, e.order_month,
+                     any_value(e.n_class) AS n_class,
+                     any_value(e.n_total) AS n_total,
+                     CAST(sum(abs(COALESCE(cl.n_cell, 0) * e.n_total
+                                  - e.n_g * e.n_class)) AS BIGINT)
+                       AS sum_abs
+              FROM (SELECT c.*, g.o_orderpriority, g.n_g, t.n_total
+                    FROM classes c
+                    CROSS JOIN gdist g CROSS JOIN tot t) e
+              LEFT JOIN cells cl
+                ON e.o_orderstatus IS NOT DISTINCT FROM
+                   cl.o_orderstatus
+               AND e.order_month IS NOT DISTINCT FROM cl.order_month
+               AND e.o_orderpriority IS NOT DISTINCT FROM
+                   cl.o_orderpriority
+              GROUP BY 1, 2
+            ), scored AS (
+              SELECT n_class,
+                     CAST(sum_abs AS DOUBLE)
+                     / (2.0 * CAST(n_class AS DOUBLE)
+                        * CAST(n_total AS DOUBLE)) AS tvd
+              FROM per_class
+            )
+            SELECT CAST(sum(n_class) AS BIGINT) AS n_rows,
+                   count(*) AS n_classes,
+                   round(max(tvd), 9) AS max_tvd,
+                   CAST(sum((tvd > 0.2::DOUBLE)::INT) AS BIGINT)
+                     AS n_far_classes,
+                   CAST(sum(CASE WHEN tvd > 0.2::DOUBLE THEN n_class
+                                 ELSE 0 END) AS BIGINT)
+                     AS n_rows_at_risk,
+                   round(CAST(sum(CASE WHEN tvd > 0.2::DOUBLE
+                                       THEN n_class ELSE 0 END)
+                              AS BIGINT)
+                         / CAST(sum(n_class) AS DOUBLE), 9)
+                     AS pct_at_risk
+            FROM scored
         """,
     }
 

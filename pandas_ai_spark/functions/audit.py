@@ -157,6 +157,84 @@ def k_anonymity(df: DataFrame, qi_cols: Sequence[str],
         F.col("n_rows_at_risk") / F.col("n_rows"))
 
 
+def t_closeness(df: DataFrame, qi_cols: Sequence[str],
+                sensitive_col: str, t: float = 0.2) -> DataFrame:
+    """t-closeness audit — the third privacy gate after
+    :func:`k_anonymity` and :func:`l_diversity`: a diverse class can
+    still leak when its sensitive-value DISTRIBUTION differs sharply
+    from the corpus-wide one (Li et al.'s skewness attack), so this
+    measures, per quasi-identifier equivalence class, the total
+    variation distance between the class's sensitive distribution and
+    the global distribution (TVD = the Earth Mover's Distance under
+    the uniform ground metric — the categorical-attribute form of the
+    original paper). One summary row ``(n_rows, n_classes, max_tvd,
+    n_far_classes, n_rows_at_risk, pct_at_risk)`` where "far" means
+    TVD > ``t``.
+
+    Determinism: the per-class distance is accumulated as the EXACT
+    integer ``sum |n_cell*N - n_g*N_class|`` (order-independent bigint
+    sum; every float is derived row-local from that one integer), so
+    the result is bit-identical to any SQL engine running the same
+    arithmetic — no float-summation-order drift.
+
+    Scale shape: the (qi, sensitive) cell counts are ONE map-side
+    combined aggregation (shuffle bounded by distinct cells); the
+    global sensitive distribution is a rollup of that same cell table
+    (no second scan) and is broadcast — a sensitive attribute is
+    bounded-cardinality by definition; the class x sensitive-value
+    expansion is classes-sized, joined to cells co-partitioned on
+    (qi, sensitive).
+    """
+    if not qi_cols:
+        raise ValueError("qi_cols must be non-empty")
+    if not (0.0 < t < 1.0):
+        raise ValueError("t must be in (0, 1)")
+    from pyspark.sql.functions import broadcast
+
+    qi = [F.col(c) for c in qi_cols]
+    cells = df.groupBy(*qi, F.col(sensitive_col)).agg(
+        F.count("*").alias("__n_cell"))
+    classes = cells.groupBy(*qi).agg(
+        F.sum("__n_cell").cast("bigint").alias("__n_class"))
+    gdist = cells.groupBy(F.col(sensitive_col)).agg(
+        F.sum("__n_cell").cast("bigint").alias("__n_g"))
+    gdist = gdist.crossJoin(
+        broadcast(gdist.agg(F.sum("__n_g").cast("bigint")
+                            .alias("__n_total"))))
+    expanded = classes.crossJoin(broadcast(gdist))
+    # null-safe keys: a NULL qi value or NULL sensitive value is its
+    # own GROUP BY class/cell and must still match its cell row here
+    cells_r = cells.select(
+        *[F.col(c).alias(f"__r_{c}") for c in qi_cols],
+        F.col(sensitive_col).alias("__r_s"), "__n_cell")
+    cond = F.lit(True)
+    for c in qi_cols:
+        cond = cond & F.col(c).eqNullSafe(F.col(f"__r_{c}"))
+    cond = cond & F.col(sensitive_col).eqNullSafe(F.col("__r_s"))
+    joined = expanded.join(cells_r, cond, "left")
+    per_class = joined.groupBy(*qi).agg(
+        F.first("__n_class").alias("__n_class"),
+        F.first("__n_total").alias("__n_total"),
+        F.sum(F.abs(
+            F.coalesce(F.col("__n_cell"), F.lit(0)).cast("bigint")
+            * F.col("__n_total")
+            - F.col("__n_g") * F.col("__n_class")
+        )).cast("bigint").alias("__sum_abs"))
+    tvd = (F.col("__sum_abs").cast("double")
+           / (2.0 * F.col("__n_class").cast("double")
+              * F.col("__n_total").cast("double")))
+    far = tvd > F.lit(float(t))
+    return per_class.agg(
+        F.sum("__n_class").cast("bigint").alias("n_rows"),
+        F.count("*").cast("bigint").alias("n_classes"),
+        F.max(tvd).alias("max_tvd"),
+        F.sum(far.cast("bigint")).alias("n_far_classes"),
+        F.sum(F.when(far, F.col("__n_class")).otherwise(F.lit(0)))
+         .cast("bigint").alias("n_rows_at_risk"),
+    ).withColumn("pct_at_risk",
+                 F.col("n_rows_at_risk") / F.col("n_rows"))
+
+
 def l_diversity(df: DataFrame, qi_cols: Sequence[str],
                 sensitive_col: str, l: int = 2) -> DataFrame:
     """l-diversity audit — the companion gate to :func:`k_anonymity`:

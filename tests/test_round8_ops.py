@@ -555,3 +555,58 @@ class TestLDiversity:
             l_diversity(df, [], "s")
         with pytest.raises(ValueError):
             l_diversity(df, ["qi"], "s", l=1)
+
+
+# ---------------------------------------------------------------------------
+# audit.t_closeness (q150)
+# ---------------------------------------------------------------------------
+
+class TestTCloseness:
+    def test_known_values(self, spark):
+        from pandas_ai_spark.functions.audit import t_closeness
+
+        # global dist: x 3/6, y 3/6.  class A = {x,x,x} -> TVD 0.5;
+        # class B = {y,y,y} -> TVD 0.5
+        df = spark.createDataFrame(
+            [("A", "x")] * 3 + [("B", "y")] * 3, ["qi", "s"])
+        r = t_closeness(df, ["qi"], "s", t=0.4).collect()[0]
+        assert r.n_rows == 6 and r.n_classes == 2
+        assert abs(r.max_tvd - 0.5) < 1e-15
+        assert r.n_far_classes == 2 and r.n_rows_at_risk == 6
+        assert abs(r.pct_at_risk - 1.0) < 1e-15
+
+    def test_identical_distributions_are_zero(self, spark):
+        from pandas_ai_spark.functions.audit import t_closeness
+
+        # every class mirrors the global 2:1 x:y mix -> TVD 0 everywhere
+        rows = [(q, s) for q in ("A", "B")
+                for s in ("x", "x", "y")]
+        df = spark.createDataFrame(rows, ["qi", "s"])
+        r = t_closeness(df, ["qi"], "s", t=0.01).collect()[0]
+        assert r.max_tvd == 0.0 and r.n_far_classes == 0
+        assert r.n_rows_at_risk == 0 and r.pct_at_risk == 0.0
+
+    def test_null_qi_and_sensitive_form_cells(self, spark):
+        from pandas_ai_spark.functions.audit import t_closeness
+
+        # NULL qi is its own class; NULL sensitive its own value.
+        # class NULL = {None,None}, class A = {x,x}: global dist is
+        # 50/50 so each one-sided class has TVD 0.5
+        df = spark.createDataFrame(
+            [(None, None), (None, None), ("A", "x"), ("A", "x")],
+            "qi: string, s: string")
+        r = t_closeness(df, ["qi"], "s", t=0.4).collect()[0]
+        assert r.n_classes == 2
+        assert abs(r.max_tvd - 0.5) < 1e-15
+        assert r.n_far_classes == 2
+
+    def test_bad_args(self, spark):
+        from pandas_ai_spark.functions.audit import t_closeness
+
+        df = spark.createDataFrame([("A", "x")], ["qi", "s"])
+        with pytest.raises(ValueError):
+            t_closeness(df, [], "s")
+        with pytest.raises(ValueError):
+            t_closeness(df, ["qi"], "s", t=0.0)
+        with pytest.raises(ValueError):
+            t_closeness(df, ["qi"], "s", t=1.0)

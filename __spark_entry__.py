@@ -3129,6 +3129,46 @@ def q150_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("pct_at_risk", 9).alias("pct_at_risk"))
 
 
+def q151_woe_iv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-of-evidence / information-value screen
+    (classify.woe_iv) of o_orderpriority against the binary target
+    "order fully shipped" (o_orderstatus = 'F') — the classical
+    credit-scoring categorical-feature audit: per category the
+    smoothed-share log-odds WOE and its IV contribution, every float
+    derived row-local from exact integer sums (one map-side-combined
+    aggregation + a broadcast totals fold-back; no window, no second
+    scan). Oracle: identical category/totals CTEs with the same IEEE
+    expression tree, ::DOUBLE-pinned smoothing."""
+    from pandas_ai_spark.functions.classify import woe_iv
+
+    orders = _t(spark, sf_dir, "orders")
+    out = woe_iv(orders, "o_orderpriority", "o_orderstatus = 'F'",
+                 smoothing=0.5)
+    return out.select(
+        "feature", "n", "events", "nonevents",
+        F.round("woe", 9).alias("woe"),
+        F.round("iv", 9).alias("iv")).orderBy("feature")
+
+
+def q152_target_encoding(spark: SparkSession, sf_dir: str
+                         ) -> DataFrame:
+    """Leave-one-out target encoding (classify.loo_target_encode) of
+    c_mktsegment against the target "positive account balance" —
+    each customer's segment encoded as the mean target of the OTHER
+    customers in the segment ((sum_y - y)/(n-1), Micci-Barreca's
+    leakage-safe holdout form; NULL for singletons). One
+    map-side-combined (sum, count) aggregation + a broadcast join
+    back; the encode is row-local. Oracle: identical stats CTE +
+    join, CASE-guarded division."""
+    from pandas_ai_spark.functions.classify import loo_target_encode
+
+    cust = _t(spark, sf_dir, "customer")
+    out = loo_target_encode(cust, "c_mktsegment", "c_acctbal > 0")
+    return out.select(
+        "c_custkey", "c_mktsegment",
+        F.round("encoded", 9).alias("encoded")).orderBy("c_custkey")
+
+
 def _q134_oracle() -> str:
     """Calibration oracle: the q54 hashing-trick score SQL (same _TOKS
     macro and md5-bucket weights) + is-English outcome + quantile_cont
@@ -3724,6 +3764,8 @@ def queries_numeric() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q148_golden_records": q148_golden_records,
         "q149_l_diversity": q149_l_diversity,
         "q150_t_closeness": q150_t_closeness,
+        "q151_woe_iv": q151_woe_iv,
+        "q152_target_encoding": q152_target_encoding,
     }
 
 
@@ -6940,6 +6982,55 @@ def oracle_sql() -> dict[str, str]:
                          / CAST(sum(n_class) AS DOUBLE), 9)
                      AS pct_at_risk
             FROM scored
+        """,
+        "q151_woe_iv": """
+            WITH cats AS (
+              SELECT o_orderpriority AS feature,
+                     CAST(count(*) AS BIGINT) AS n,
+                     CAST(sum((o_orderstatus = 'F')::INT) AS BIGINT)
+                       AS events
+              FROM orders GROUP BY 1
+            ), c2 AS (
+              SELECT feature, n, events,
+                     CAST(n - events AS BIGINT) AS nonevents
+              FROM cats
+            ), tot AS (
+              SELECT CAST(sum(events) AS BIGINT) AS e_tot,
+                     CAST(sum(nonevents) AS BIGINT) AS ne_tot
+              FROM c2
+            ), scored AS (
+              SELECT feature, n, events, nonevents,
+                     ln(((CAST(events AS DOUBLE) + 0.5::DOUBLE)
+                         / (CAST(e_tot AS DOUBLE) + 0.5::DOUBLE))
+                        / ((CAST(nonevents AS DOUBLE) + 0.5::DOUBLE)
+                           / (CAST(ne_tot AS DOUBLE) + 0.5::DOUBLE)))
+                       AS woe,
+                     (CAST(events AS DOUBLE) + 0.5::DOUBLE)
+                     / (CAST(e_tot AS DOUBLE) + 0.5::DOUBLE)
+                     - (CAST(nonevents AS DOUBLE) + 0.5::DOUBLE)
+                       / (CAST(ne_tot AS DOUBLE) + 0.5::DOUBLE)
+                       AS pdiff
+              FROM c2 CROSS JOIN tot
+            )
+            SELECT feature, n, events, nonevents,
+                   round(woe, 9) AS woe,
+                   round(pdiff * woe, 9) AS iv
+            FROM scored ORDER BY feature
+        """,
+        "q152_target_encoding": """
+            WITH stats AS (
+              SELECT c_mktsegment,
+                     CAST(sum((c_acctbal > 0)::INT) AS DOUBLE)
+                       AS sum_y,
+                     CAST(count(*) AS BIGINT) AS n_cat
+              FROM customer GROUP BY 1
+            )
+            SELECT c_custkey, c.c_mktsegment,
+                   round(CASE WHEN n_cat > 1 THEN
+                     (sum_y - COALESCE((c_acctbal > 0)::INT, 0))
+                     / CAST(n_cat - 1 AS DOUBLE) END, 9) AS encoded
+            FROM customer c JOIN stats USING (c_mktsegment)
+            ORDER BY c_custkey
         """,
     }
 

@@ -110,3 +110,89 @@ def calibration_table(df: DataFrame, score_col: str, outcome_col: str,
                   .alias("avg_score"),
                  F.avg(F.col(outcome_col).cast("double"))
                   .alias("pos_rate")))
+
+
+def woe_iv(df: DataFrame, feature_col: str, target_expr,
+           smoothing: float = 0.5) -> DataFrame:
+    """Weight-of-evidence / information-value table for a categorical
+    feature against a binary target — the classical credit-scoring
+    feature screen (Siddiqi): per category
+    ``(feature, n, events, nonevents, woe, iv)`` where
+
+    - ``woe = ln(pe / pne)`` with the smoothed shares
+      ``pe = (events + s) / (E + s)``,
+      ``pne = (nonevents + s) / (NE + s)`` (``s`` = ``smoothing``,
+      the standard adjusted-WOE guard against empty cells), and
+    - ``iv = (pe - pne) * woe`` — the category's contribution;
+      ``sum(iv)`` over the table is the feature's information value
+      (rule of thumb: < 0.02 useless, > 0.3 strong).
+
+    ``target_expr`` is a SQL boolean (evaluated row-local, rides the
+    scan); NULL targets count as non-events via an explicit coalesce.
+
+    Determinism: events/nonevents/E/NE are exact integer sums; every
+    float is derived row-local from those integers, so results are
+    bit-identical across engines regardless of aggregation order.
+
+    Scale shape: ONE map-side-combined aggregation on the feature key
+    (shuffle bounded by the category count); the global totals are a
+    rollup of that tiny category table folded back with a broadcast
+    cross join — no second scan, no window.
+    """
+    if smoothing <= 0:
+        raise ValueError("smoothing must be > 0")
+    from pyspark.sql.functions import broadcast
+
+    y = F.coalesce(F.expr(target_expr), F.lit(False)).cast("bigint")
+    cats = df.groupBy(F.col(feature_col).alias("feature")).agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(y).cast("bigint").alias("events"))
+    cats = cats.withColumn(
+        "nonevents", (F.col("n") - F.col("events")).cast("bigint"))
+    totals = cats.agg(
+        F.sum("events").cast("bigint").alias("__e_tot"),
+        F.sum("nonevents").cast("bigint").alias("__ne_tot"))
+    s = float(smoothing)
+    joined = cats.crossJoin(broadcast(totals))
+    pe = ((F.col("events").cast("double") + F.lit(s))
+          / (F.col("__e_tot").cast("double") + F.lit(s)))
+    pne = ((F.col("nonevents").cast("double") + F.lit(s))
+           / (F.col("__ne_tot").cast("double") + F.lit(s)))
+    woe = F.log(pe / pne)
+    return joined.select(
+        "feature", "n", "events", "nonevents",
+        woe.alias("woe"),
+        ((pe - pne) * woe).alias("iv"))
+
+
+def loo_target_encode(df: DataFrame, cat_col: str, target_expr,
+                      out_col: str = "encoded") -> DataFrame:
+    """Leave-one-out target encoding — the leakage-safe form of mean
+    target encoding: each row's category is encoded as the mean target
+    of the OTHER rows in that category,
+    ``(sum_y - y_row) / (n - 1)`` (NULL for singleton categories —
+    there is nothing to average), so a row never sees its own label
+    (the train-time leak plain mean-encoding commits; Micci-Barreca's
+    holdout scheme in its exact per-row form).
+
+    ``target_expr`` is a SQL boolean or numeric expression; booleans
+    encode as 0/1, NULLs as 0.
+
+    Scale shape: ONE map-side-combined aggregation builds the
+    per-category ``(sum, count)`` table (shuffle bounded by category
+    count), then a broadcast join folds it back — the encode itself
+    is row-local; no window, no sort, no second shuffle. Appends
+    ``out_col`` (and nothing else) to the input schema.
+    """
+    from pyspark.sql.functions import broadcast
+
+    y = F.coalesce(F.expr(target_expr).cast("double"), F.lit(0.0))
+    stats = df.groupBy(F.col(cat_col)).agg(
+        F.sum(y).alias("__sum_y"),
+        F.count("*").cast("bigint").alias("__n_cat"))
+    out = df.join(broadcast(stats), cat_col, "left")
+    enc = F.when(
+        F.col("__n_cat") > 1,
+        (F.col("__sum_y") - y)
+        / (F.col("__n_cat") - F.lit(1)).cast("double"))
+    return out.withColumn(out_col, enc).drop("__sum_y", "__n_cat")

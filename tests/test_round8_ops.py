@@ -610,3 +610,91 @@ class TestTCloseness:
             t_closeness(df, ["qi"], "s", t=0.0)
         with pytest.raises(ValueError):
             t_closeness(df, ["qi"], "s", t=1.0)
+
+
+# ---------------------------------------------------------------------------
+# classify.woe_iv (q151) / classify.loo_target_encode (q152)
+# ---------------------------------------------------------------------------
+
+class TestWoeIv:
+    def test_known_values(self, spark):
+        import math
+
+        from pandas_ai_spark.functions.classify import woe_iv
+
+        # cat A: 3 events / 1 nonevent; cat B: 1 event / 3 nonevents
+        rows = ([("A", 1)] * 3 + [("A", 0)]
+                + [("B", 1)] + [("B", 0)] * 3)
+        df = spark.createDataFrame(rows, ["f", "y"])
+        out = {r.feature: r for r in
+               woe_iv(df, "f", "y = 1", smoothing=0.5).collect()}
+        pe_a, pne_a = 3.5 / 4.5, 1.5 / 4.5
+        woe_a = math.log(pe_a / pne_a)
+        assert abs(out["A"].woe - woe_a) < 1e-12
+        assert abs(out["A"].iv - (pe_a - pne_a) * woe_a) < 1e-12
+        # symmetric construction -> antisymmetric WOE
+        assert abs(out["A"].woe + out["B"].woe) < 1e-12
+        assert out["A"].n == 4 and out["A"].events == 3
+        assert out["B"].nonevents == 3
+
+    def test_empty_cell_is_finite(self, spark):
+        from pandas_ai_spark.functions.classify import woe_iv
+
+        df = spark.createDataFrame(
+            [("A", 1), ("A", 1), ("B", 0)], ["f", "y"])
+        out = {r.feature: r for r in
+               woe_iv(df, "f", "y = 1").collect()}
+        import math
+        assert math.isfinite(out["A"].woe)  # zero nonevents, smoothed
+        assert math.isfinite(out["B"].woe)  # zero events, smoothed
+
+    def test_null_target_counts_as_nonevent(self, spark):
+        from pandas_ai_spark.functions.classify import woe_iv
+
+        df = spark.createDataFrame(
+            [("A", True), ("A", None), ("B", False)],
+            "f: string, y: boolean")
+        out = {r.feature: r for r in woe_iv(df, "f", "y").collect()}
+        assert out["A"].events == 1 and out["A"].nonevents == 1
+
+    def test_bad_smoothing(self, spark):
+        from pandas_ai_spark.functions.classify import woe_iv
+
+        df = spark.createDataFrame([("A", 1)], ["f", "y"])
+        with pytest.raises(ValueError):
+            woe_iv(df, "f", "y = 1", smoothing=0.0)
+
+
+class TestLooTargetEncode:
+    def test_leave_one_out(self, spark):
+        from pandas_ai_spark.functions.classify import (
+            loo_target_encode)
+
+        # cat A targets [1, 0, 1]: row with y=1 sees (2-1)/2 = 0.5,
+        # row with y=0 sees (2-0)/2 = 1.0
+        df = spark.createDataFrame(
+            [(1, "A", 1), (2, "A", 0), (3, "A", 1)],
+            ["id", "cat", "y"])
+        out = {r.id: r.encoded for r in
+               loo_target_encode(df, "cat", "y = 1").collect()}
+        assert abs(out[1] - 0.5) < 1e-15
+        assert abs(out[2] - 1.0) < 1e-15
+        assert abs(out[3] - 0.5) < 1e-15
+
+    def test_singleton_is_null(self, spark):
+        from pandas_ai_spark.functions.classify import (
+            loo_target_encode)
+
+        df = spark.createDataFrame([(1, "A", 1)], ["id", "cat", "y"])
+        r = loo_target_encode(df, "cat", "y = 1").collect()[0]
+        assert r.encoded is None
+
+    def test_schema_is_input_plus_encoded(self, spark):
+        from pandas_ai_spark.functions.classify import (
+            loo_target_encode)
+
+        df = spark.createDataFrame(
+            [(1, "A", 1), (2, "A", 0)], ["id", "cat", "y"])
+        out = loo_target_encode(df, "cat", "y = 1")
+        assert out.columns == ["cat", "id", "y", "encoded"] or \
+            set(out.columns) == {"id", "cat", "y", "encoded"}

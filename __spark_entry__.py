@@ -3169,6 +3169,103 @@ def q152_target_encoding(spark: SparkSession, sf_dir: str
         F.round("encoded", 9).alias("encoded")).orderBy("c_custkey")
 
 
+def q153_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation function (timeseries.acf) of the daily order
+    count per o_orderpriority at lags 1..7 — the seasonality/memory
+    diagnostic run before choosing forecast model order. The
+    covariance is expanded into exact integer sums (c_k, partial
+    sums, n/S/Q) inside ONE per-group window sort + one
+    map-side-combined aggregation, every float derived row-local —
+    bit-identical across engines. Oracle: identical lag windows and
+    integer-sum algebra, unpivoted via UNION ALL."""
+    from pandas_ai_spark.functions.timeseries import acf
+
+    series = (_t(spark, sf_dir, "orders")
+              .groupBy(F.col("o_orderpriority"),
+                       F.date_trunc("day", F.col("o_orderdate"))
+                        .alias("day"))
+              .agg(F.count("*").alias("x")))
+    out = acf(series, "x", "day", lags=7, by=["o_orderpriority"])
+    return out.select(
+        "o_orderpriority", "n", "lag",
+        F.round("acf", 9).alias("acf")
+    ).orderBy("o_orderpriority", "lag")
+
+
+def q154_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint scan (timeseries.cusum_changepoint) of the
+    daily order count per o_orderpriority: the cumulative-deviation
+    peak C_t = S_t - t*mean locates the most likely level shift
+    (Page/Pettitt), normalized by sd*sqrt(n) for the Kolmogorov
+    significance bound. Running sum and rank are exact integers from
+    one per-group sort window; mean/sd derive from the exact
+    (n, S, Q) triple — every C_t a bit-identical double, ties broken
+    on the day. Oracle: identical windows + ROW_NUMBER peak pick."""
+    from pandas_ai_spark.functions.timeseries import cusum_changepoint
+
+    series = (_t(spark, sf_dir, "orders")
+              .groupBy(F.col("o_orderpriority"),
+                       F.date_trunc("day", F.col("o_orderdate"))
+                        .alias("day"))
+              .agg(F.count("*").alias("x")))
+    out = cusum_changepoint(series, "x", "day",
+                            by=["o_orderpriority"])
+    return out.select(
+        "o_orderpriority", "n",
+        F.col("cp_order").alias("cp_day"),
+        F.round("max_abs_cusum", 9).alias("max_abs_cusum"),
+        F.round("cusum_z", 9).alias("cusum_z")
+    ).orderBy("o_orderpriority")
+
+
+def _q153_oracle() -> str:
+    """ACF oracle: the same daily-count series, 7 lag columns from one
+    window, per-lag exact integer sums, and the identical IEEE
+    num/den expression tree — one UNION ALL branch per lag."""
+    lag_cols = ", ".join(
+        f"lag(x, {k}) OVER w AS l{k}" for k in range(1, 8))
+    sums = ", ".join(
+        f"CAST(sum(x * l{k}) AS BIGINT) AS c{k}, "
+        f"CAST(sum(CASE WHEN l{k} IS NOT NULL THEN x END) AS BIGINT)"
+        f" AS shi{k}, CAST(sum(l{k}) AS BIGINT) AS slo{k}"
+        for k in range(1, 8))
+    branches = " UNION ALL ".join(f"""
+        SELECT o_orderpriority, n, {k} AS lag,
+               round(CASE WHEN CAST(q AS DOUBLE)
+                               - CAST(s_ AS DOUBLE) * mean > 0 THEN
+                 (CAST(c{k} AS DOUBLE)
+                  - mean * CAST(shi{k} AS DOUBLE)
+                  - mean * CAST(slo{k} AS DOUBLE)
+                  + CAST(n - {k} AS DOUBLE) * mean * mean)
+                 / (CAST(q AS DOUBLE) - CAST(s_ AS DOUBLE) * mean)
+               END, 9) AS acf
+        FROM a""" for k in range(1, 8))
+    return f"""
+        WITH s AS (
+          SELECT o_orderpriority,
+                 date_trunc('day', o_orderdate) AS day,
+                 CAST(count(*) AS BIGINT) AS x
+          FROM orders GROUP BY 1, 2
+        ), l AS (
+          SELECT o_orderpriority, x, {lag_cols}
+          FROM s
+          WINDOW w AS (PARTITION BY o_orderpriority ORDER BY day)
+        ), a0 AS (
+          SELECT o_orderpriority,
+                 CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(x) AS BIGINT) AS s_,
+                 CAST(sum(x * x) AS BIGINT) AS q,
+                 {sums}
+          FROM l GROUP BY 1
+        ), a AS (
+          SELECT *, CAST(s_ AS DOUBLE) / CAST(n AS DOUBLE) AS mean
+          FROM a0
+        )
+        SELECT * FROM ({branches})
+        ORDER BY o_orderpriority, lag
+    """
+
+
 def _q134_oracle() -> str:
     """Calibration oracle: the q54 hashing-trick score SQL (same _TOKS
     macro and md5-bucket weights) + is-English outcome + quantile_cont
@@ -3766,6 +3863,8 @@ def queries_numeric() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q150_t_closeness": q150_t_closeness,
         "q151_woe_iv": q151_woe_iv,
         "q152_target_encoding": q152_target_encoding,
+        "q153_acf": q153_acf,
+        "q154_cusum": q154_cusum,
     }
 
 
@@ -7031,6 +7130,49 @@ def oracle_sql() -> dict[str, str]:
                      / CAST(n_cat - 1 AS DOUBLE) END, 9) AS encoded
             FROM customer c JOIN stats USING (c_mktsegment)
             ORDER BY c_custkey
+        """,
+        "q153_acf": _q153_oracle(),
+        "q154_cusum": """
+            WITH s AS (
+              SELECT o_orderpriority,
+                     date_trunc('day', o_orderdate) AS day,
+                     CAST(count(*) AS BIGINT) AS x
+              FROM orders GROUP BY 1, 2
+            ), w1 AS (
+              SELECT o_orderpriority, day, x,
+                     CAST(sum(x) OVER w AS BIGINT) AS st,
+                     CAST(row_number() OVER w AS BIGINT) AS t
+              FROM s
+              WINDOW w AS (PARTITION BY o_orderpriority ORDER BY day)
+            ), tot AS (
+              SELECT o_orderpriority,
+                     CAST(count(*) AS BIGINT) AS n,
+                     CAST(sum(x) AS BIGINT) AS s_,
+                     CAST(sum(x * x) AS BIGINT) AS q
+              FROM s GROUP BY 1
+            ), sc AS (
+              SELECT w1.o_orderpriority, day, n,
+                     abs(CAST(st AS DOUBLE) - CAST(t AS DOUBLE)
+                         * (CAST(s_ AS DOUBLE) / CAST(n AS DOUBLE)))
+                       AS c,
+                     sqrt((CAST(q AS DOUBLE) - CAST(s_ AS DOUBLE)
+                           * (CAST(s_ AS DOUBLE)
+                              / CAST(n AS DOUBLE)))
+                          / CAST(n AS DOUBLE)) AS sd
+              FROM w1 JOIN tot USING (o_orderpriority)
+            ), rk AS (
+              SELECT *, row_number() OVER (
+                       PARTITION BY o_orderpriority
+                       ORDER BY c DESC, day ASC) AS rn
+              FROM sc
+            )
+            SELECT o_orderpriority, n,
+                   CAST(day AS TIMESTAMP) AS cp_day,
+                   round(c, 9) AS max_abs_cusum,
+                   round(CASE WHEN sd > 0 THEN
+                     c / (sd * sqrt(CAST(n AS DOUBLE))) END, 9)
+                     AS cusum_z
+            FROM rk WHERE rn = 1 ORDER BY o_orderpriority
         """,
     }
 

@@ -405,3 +405,151 @@ def seasonal_index(df: DataFrame, value_col: str, ts_col: str,
         *keys, "dow", "n",
         (F.col("__s") / F.col("n")).alias("avg_value"),
         ((F.col("__s") / F.col("n")) / overall).alias("seasonal_index"))
+
+
+def acf(df: DataFrame, value_col: str, order_col: str,
+        lags: int = 7, by: Optional[Sequence[str]] = None
+        ) -> DataFrame:
+    """Sample autocorrelation function over an INTEGER-valued series:
+    per (group,) lag k in 1..``lags``,
+
+        r_k = sum_{t>k} (x_t - m)(x_{t-k} - m) / sum_t (x_t - m)^2
+
+    with the series ordered by ``order_col`` (lag = k ROWS back; gaps
+    in the time axis are the caller's densify decision). The seasonal
+    / memory diagnostic a forecasting pipeline runs before choosing
+    model order.
+
+    Determinism: the covariance is expanded algebraically into exact
+    integer sums — ``c_k = sum x_t*x_{t-k}``, the two partial sums,
+    n, S, Q — all bigint and order-independent; every float (mean,
+    numerator, denominator, r_k) is derived row-local from those
+    integers, so results are bit-identical across engines. This is
+    why the operator requires an integer series (counts — the usual
+    ACF input in an analytics pipeline); cast upstream if needed.
+
+    Scale shape: ONE window sort per group computes ALL ``lags`` lag
+    columns (a single shuffle on the group key); one
+    map-side-combined aggregation collapses each group to a single
+    row of integer sums; the per-lag table is unpivoted from that row
+    with ``stack`` — row-local, no further shuffle. Constant series
+    (zero variance) yield NULL r_k, matching the 0/0 convention.
+    """
+    if lags < 1:
+        raise ValueError("lags must be >= 1")
+    by = list(by or [])
+    w = (Window.partitionBy(*[F.col(c) for c in by])
+         .orderBy(F.col(order_col))
+         if by else Window.orderBy(F.col(order_col)))
+    x = F.col(value_col).cast("bigint")
+    cols = [x.alias("__x")]
+    for k in range(1, lags + 1):
+        cols.append(F.lag(x, k).over(w).alias(f"__l{k}"))
+    base = df.select(*[F.col(c) for c in by], *cols)
+    aggs = [
+        F.count("*").cast("bigint").alias("__n"),
+        F.sum("__x").cast("bigint").alias("__s"),
+        F.sum(F.col("__x") * F.col("__x")).cast("bigint")
+         .alias("__q"),
+    ]
+    for k in range(1, lags + 1):
+        lk = F.col(f"__l{k}")
+        aggs += [
+            F.sum(F.col("__x") * lk).cast("bigint").alias(f"__c{k}"),
+            F.sum(F.when(lk.isNotNull(), F.col("__x"))).cast("bigint")
+             .alias(f"__shi{k}"),
+            F.sum(lk).cast("bigint").alias(f"__slo{k}"),
+        ]
+    row = base.groupBy(*[F.col(c) for c in by]).agg(*aggs) \
+        if by else base.agg(*aggs)
+    m = F.col("__n").cast("double")
+    mean = F.col("__s").cast("double") / m
+    den = (F.col("__q").cast("double")
+           - F.col("__s").cast("double") * mean)
+    parts = []
+    for k in range(1, lags + 1):
+        num = (F.col(f"__c{k}").cast("double")
+               - mean * F.col(f"__shi{k}").cast("double")
+               - mean * F.col(f"__slo{k}").cast("double")
+               + (F.col("__n") - F.lit(k)).cast("double")
+               * mean * mean)
+        parts += [F.lit(k), F.when(den > 0, num / den)]
+    stacked = row.select(
+        *[F.col(c) for c in by],
+        F.col("__n").alias("n"),
+        F.stack(F.lit(lags), *parts).alias("lag", "acf"))
+    return stacked
+
+
+def cusum_changepoint(df: DataFrame, value_col: str, order_col: str,
+                      by: Optional[Sequence[str]] = None
+                      ) -> DataFrame:
+    """CUSUM changepoint estimate over an INTEGER-valued series: the
+    cumulative deviation ``C_t = S_t - t * mean`` peaks (in absolute
+    value) at the most likely single shift point (Page's classical
+    estimator; Pettitt's location form). Per group one row
+    ``(n, cp_order, max_abs_cusum, cusum_z)`` — ``cp_order`` is the
+    ``order_col`` value at the peak (earliest on ties), ``cusum_z``
+    the peak normalized by ``sd * sqrt(n)`` (> ~1.36 suggests a real
+    shift at the 5% Kolmogorov bound).
+
+    Determinism: running sum ``S_t`` and rank ``t`` are exact
+    integers from one ordered window; mean and sd derive row-local
+    from the exact (n, S, Q) integer triple, so every ``C_t`` is a
+    bit-identical double; ties break on the order key.
+
+    Scale shape: ONE sort shuffle per group (the running-sum window),
+    the (n, S, Q) totals folded back via a broadcast join, then a
+    map-side-combined ``max_by`` aggregation — no driver collect, no
+    second sort.
+    """
+    by = list(by or [])
+    from pyspark.sql.functions import broadcast
+
+    x = F.col(value_col).cast("bigint")
+    w = (Window.partitionBy(*[F.col(c) for c in by])
+         .orderBy(F.col(order_col))
+         if by else Window.orderBy(F.col(order_col)))
+    base = df.select(
+        *[F.col(c) for c in by], F.col(order_col),
+        F.sum(x).over(w).cast("bigint").alias("__st"),
+        F.row_number().over(w).cast("bigint").alias("__t"),
+        x.alias("__x"))
+    tot_aggs = [
+        F.count("*").cast("bigint").alias("__n"),
+        F.sum("__x").cast("bigint").alias("__s"),
+        F.sum(F.col("__x") * F.col("__x")).cast("bigint")
+         .alias("__q")]
+    if by:
+        totals = base.groupBy(*[F.col(c) for c in by]).agg(*tot_aggs)
+        joined = base.join(broadcast(totals), by)
+    else:
+        joined = base.crossJoin(broadcast(base.agg(*tot_aggs)))
+    n = F.col("__n").cast("double")
+    mean = F.col("__s").cast("double") / n
+    c_t = F.abs(F.col("__st").cast("double")
+                - F.col("__t").cast("double") * mean)
+    var = (F.col("__q").cast("double")
+           - F.col("__s").cast("double") * mean) / n
+    scored = joined.select(
+        *[F.col(c) for c in by], F.col(order_col),
+        c_t.alias("__c"), F.col("__n"),
+        F.sqrt(var).alias("__sd"))
+    pick = [F.max("__c").alias("max_abs_cusum"),
+            F.min_by(F.col(order_col), F.struct(
+                (-F.col("__c")).alias("c"),
+                F.col(order_col).alias("o"))).alias("cp_order"),
+            F.first("__n").alias("__n"),
+            F.first("__sd").alias("__sd")]
+    out = (scored.groupBy(*[F.col(c) for c in by]).agg(*pick)
+           if by else scored.agg(*pick))
+    z = F.when(
+        F.col("__sd") > 0,
+        F.col("max_abs_cusum")
+        / (F.col("__sd") * F.sqrt(F.col("__n").cast("double"))))
+    return out.select(
+        *[F.col(c) for c in by],
+        F.col("__n").alias("n"),
+        F.col("cp_order"),
+        F.col("max_abs_cusum"),
+        z.alias("cusum_z"))

@@ -698,3 +698,115 @@ class TestLooTargetEncode:
         out = loo_target_encode(df, "cat", "y = 1")
         assert out.columns == ["cat", "id", "y", "encoded"] or \
             set(out.columns) == {"id", "cat", "y", "encoded"}
+
+
+# ---------------------------------------------------------------------------
+# timeseries.acf (q153) / timeseries.cusum_changepoint (q154)
+# ---------------------------------------------------------------------------
+
+class TestAcf:
+    def _np_acf(self, xs, k):
+        import numpy as np
+        x = np.asarray(xs, dtype=float)
+        m = x.mean()
+        den = ((x - m) ** 2).sum()
+        num = ((x[k:] - m) * (x[:-k] - m)).sum()
+        return num / den
+
+    def test_matches_numpy(self, spark):
+        from pandas_ai_spark.functions.timeseries import acf
+
+        xs = [3, 1, 4, 1, 5, 9, 2, 6, 5, 3, 5, 8]
+        df = spark.createDataFrame(
+            [(i, v) for i, v in enumerate(xs)], ["t", "x"])
+        out = {r.lag: r.acf for r in
+               acf(df, "x", "t", lags=3).collect()}
+        for k in (1, 2, 3):
+            assert abs(out[k] - self._np_acf(xs, k)) < 1e-12
+
+    def test_alternating_series_lag1_negative(self, spark):
+        from pandas_ai_spark.functions.timeseries import acf
+
+        xs = [0, 10] * 10
+        df = spark.createDataFrame(
+            [(i, v) for i, v in enumerate(xs)], ["t", "x"])
+        out = {r.lag: r.acf for r in
+               acf(df, "x", "t", lags=2).collect()}
+        assert out[1] < -0.9 and out[2] > 0.85
+
+    def test_constant_series_is_null(self, spark):
+        from pandas_ai_spark.functions.timeseries import acf
+
+        df = spark.createDataFrame(
+            [(i, 7) for i in range(10)], ["t", "x"])
+        rows = acf(df, "x", "t", lags=2).collect()
+        assert all(r.acf is None for r in rows)
+
+    def test_grouped(self, spark):
+        from pandas_ai_spark.functions.timeseries import acf
+
+        rows = ([("a", i, v) for i, v in enumerate([1, 2, 1, 2, 1, 2])]
+                + [("b", i, v) for i, v in
+                   enumerate([1, 1, 2, 2, 1, 1, 2, 2])])
+        df = spark.createDataFrame(rows, ["g", "t", "x"])
+        out = {(r.g, r.lag): r.acf for r in
+               acf(df, "x", "t", lags=1, by=["g"]).collect()}
+        assert out[("a", 1)] < 0 < out[("b", 1)] + 1  # a anti-corr
+        assert abs(out[("a", 1)] - self._np_acf([1, 2, 1, 2, 1, 2], 1)
+                   ) < 1e-12
+
+    def test_bad_lags(self, spark):
+        from pandas_ai_spark.functions.timeseries import acf
+
+        df = spark.createDataFrame([(0, 1)], ["t", "x"])
+        with pytest.raises(ValueError):
+            acf(df, "x", "t", lags=0)
+
+
+class TestCusumChangepoint:
+    def test_clear_shift(self, spark):
+        from pandas_ai_spark.functions.timeseries import (
+            cusum_changepoint)
+
+        xs = [10] * 10 + [20] * 10
+        df = spark.createDataFrame(
+            [(i, v) for i, v in enumerate(xs)], ["t", "x"])
+        r = cusum_changepoint(df, "x", "t").collect()[0]
+        # |C_t| peaks at the last pre-shift index (t=9, 0-based)
+        assert r.cp_order == 9
+        assert r.n == 20
+        assert r.max_abs_cusum == 50.0  # 10*|10-15|
+        assert r.cusum_z > 1.36  # significant at the 5% bound
+
+    def test_no_shift_low_z(self, spark):
+        from pandas_ai_spark.functions.timeseries import (
+            cusum_changepoint)
+
+        xs = [5, 6] * 15
+        df = spark.createDataFrame(
+            [(i, v) for i, v in enumerate(xs)], ["t", "x"])
+        r = cusum_changepoint(df, "x", "t").collect()[0]
+        assert r.cusum_z < 1.36
+
+    def test_tie_breaks_earliest(self, spark):
+        from pandas_ai_spark.functions.timeseries import (
+            cusum_changepoint)
+
+        # symmetric bump: |C| equal at the two shoulders -> earliest
+        xs = [0, 10, 0]
+        df = spark.createDataFrame(
+            [(i, v) for i, v in enumerate(xs)], ["t", "x"])
+        r = cusum_changepoint(df, "x", "t").collect()[0]
+        assert r.cp_order == 0
+
+    def test_grouped_constant_sd_zero(self, spark):
+        from pandas_ai_spark.functions.timeseries import (
+            cusum_changepoint)
+
+        rows = ([("a", i, 5) for i in range(5)]
+                + [("b", i, v) for i, v in enumerate([1, 1, 9, 9])])
+        df = spark.createDataFrame(rows, ["g", "t", "x"])
+        out = {r.g: r for r in
+               cusum_changepoint(df, "x", "t", by=["g"]).collect()}
+        assert out["a"].cusum_z is None  # zero variance
+        assert out["b"].cp_order == 1

@@ -3218,6 +3218,27 @@ def q154_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("o_orderpriority")
 
 
+def q155_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity (graph.degree_assortativity) of the
+    bipartite order-supplier graph from lineitem (supplier ids
+    negated to disambiguate the shared integer key space) — the
+    Newman mixing coefficient, strongly negative for this
+    hub-and-spoke shape (few suppliers each touching many orders).
+    The six Pearson sufficient statistics are exact bigint sums over
+    the symmetrized edge list; the coefficient derives row-local.
+    Oracle: identical symmetrize/degree/join CTEs and IEEE tree."""
+    from pandas_ai_spark.functions.graph import degree_assortativity
+
+    li = _t(spark, sf_dir, "lineitem")
+    edges = li.select(
+        F.col("l_orderkey").alias("src"),
+        (-F.col("l_suppkey")).alias("dst")).distinct()
+    out = degree_assortativity(edges)
+    return out.select(
+        "n_nodes", "n_edges",
+        F.round("assortativity", 9).alias("assortativity"))
+
+
 def _q153_oracle() -> str:
     """ACF oracle: the same daily-count series, 7 lag columns from one
     window, per-lag exact integer sums, and the identical IEEE
@@ -3865,6 +3886,7 @@ def queries_numeric() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q152_target_encoding": q152_target_encoding,
         "q153_acf": q153_acf,
         "q154_cusum": q154_cusum,
+        "q155_assortativity": q155_assortativity,
     }
 
 
@@ -7173,6 +7195,52 @@ def oracle_sql() -> dict[str, str]:
                      c / (sd * sqrt(CAST(n AS DOUBLE))) END, 9)
                      AS cusum_z
             FROM rk WHERE rn = 1 ORDER BY o_orderpriority
+        """,
+        "q155_assortativity": """
+            WITH raw AS (
+              SELECT DISTINCT l_orderkey AS u, -l_suppkey AS v
+              FROM lineitem
+            ), sym AS (
+              SELECT DISTINCT u, v FROM (
+                SELECT u, v FROM raw WHERE u <> v
+                UNION ALL
+                SELECT v AS u, u AS v FROM raw WHERE u <> v)
+            ), deg AS (
+              SELECT u AS node, CAST(count(*) AS BIGINT) AS deg
+              FROM sym GROUP BY 1
+            ), j AS (
+              SELECT a.deg AS dx, b.deg AS dy
+              FROM sym s
+              JOIN deg a ON s.u = a.node
+              JOIN deg b ON s.v = b.node
+            ), st AS (
+              SELECT CAST(count(*) AS BIGINT) AS m,
+                     CAST(sum(dx) AS BIGINT) AS sx,
+                     CAST(sum(dy) AS BIGINT) AS sy,
+                     CAST(sum(dx * dy) AS BIGINT) AS sxy,
+                     CAST(sum(dx * dx) AS BIGINT) AS sx2,
+                     CAST(sum(dy * dy) AS BIGINT) AS sy2
+              FROM j
+            ), nn AS (
+              SELECT CAST(count(*) AS BIGINT) AS n_nodes FROM deg
+            ), d AS (
+              SELECT n_nodes, m,
+                     CAST(m AS DOUBLE) * CAST(sxy AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)
+                       AS cov,
+                     CAST(m AS DOUBLE) * CAST(sx2 AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
+                       AS vx,
+                     CAST(m AS DOUBLE) * CAST(sy2 AS DOUBLE)
+                     - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)
+                       AS vy
+              FROM st CROSS JOIN nn
+            )
+            SELECT n_nodes, CAST(m / 2 AS BIGINT) AS n_edges,
+                   round(CASE WHEN vx > 0 AND vy > 0 THEN
+                     cov / (sqrt(vx) * sqrt(vy)) END, 9)
+                     AS assortativity
+            FROM d
         """,
     }
 

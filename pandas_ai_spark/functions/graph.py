@@ -486,3 +486,62 @@ def connected_components(edges: DataFrame, src: str = "src",
     selfs = (nodes.join(children.select("node"), "node", "left_anti")
                   .select("node", F.col("node").alias("component")))
     return children.union(selfs)
+
+
+def degree_assortativity(edges: DataFrame, src: str = "src",
+                         dst: str = "dst") -> DataFrame:
+    """Degree assortativity coefficient (Newman, PRL 89:208701) of
+    the undirected simple graph induced by ``edges``: the Pearson
+    correlation of endpoint degrees over the symmetrized edge list —
+    positive when hubs attach to hubs (social graphs), negative for
+    hub-and-spoke topologies (the usual web/bipartite shape). One row
+    ``(n_nodes, n_edges, assortativity)``; NULL when degenerate (all
+    degrees equal — e.g. a perfect cycle — or no edges).
+
+    Determinism: degrees are integers, so the six Pearson sufficient
+    statistics (M, Σx, Σy, Σxy, Σx², Σy²) are EXACT bigint sums —
+    order-independent; the coefficient is derived row-local in
+    doubles from those integers, bit-identical across engines.
+
+    Scale shape: symmetrize + distinct is one shuffle; the degree
+    table is one map-side-combined aggregation of it (size = node
+    count); attaching degrees to both endpoints is two co-partitioned
+    equi-joins (src-keyed, then dst-keyed — each reuses/creates one
+    hash exchange, AQE picks broadcast when the degree table is
+    small); the statistics collapse in a single partial-aggregated
+    pass. Nothing is collected or broadcast by hand.
+    """
+    raw = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")) \
+               .where(F.col("u") != F.col("v"))
+    sym = (raw.union(raw.select(F.col("v").alias("u"),
+                                F.col("u").alias("v")))
+              .distinct())
+    deg = sym.groupBy(F.col("u").alias("node")).agg(
+        F.count("*").cast("bigint").alias("deg"))
+    j = (sym
+         .join(deg.select(F.col("node").alias("u"),
+                          F.col("deg").alias("dx")), "u")
+         .join(deg.select(F.col("node").alias("v"),
+                          F.col("deg").alias("dy")), "v"))
+    stats = j.agg(
+        F.count("*").cast("bigint").alias("m"),
+        F.sum("dx").cast("bigint").alias("sx"),
+        F.sum("dy").cast("bigint").alias("sy"),
+        F.sum(F.col("dx") * F.col("dy")).cast("bigint").alias("sxy"),
+        F.sum(F.col("dx") * F.col("dx")).cast("bigint").alias("sx2"),
+        F.sum(F.col("dy") * F.col("dy")).cast("bigint").alias("sy2"))
+    from pyspark.sql.functions import broadcast
+
+    nn = deg.agg(F.count("*").cast("bigint").alias("n_nodes"))
+    m = F.col("m").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    cov = m * F.col("sxy").cast("double") - sx * sy
+    vx = m * F.col("sx2").cast("double") - sx * sx
+    vy = m * F.col("sy2").cast("double") - sy * sy
+    return stats.crossJoin(broadcast(nn)).select(
+        "n_nodes",
+        (F.col("m") / F.lit(2)).cast("bigint").alias("n_edges"),
+        F.when((vx > 0) & (vy > 0),
+               cov / (F.sqrt(vx) * F.sqrt(vy)))
+         .alias("assortativity"))

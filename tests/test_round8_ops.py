@@ -810,3 +810,59 @@ class TestCusumChangepoint:
                cusum_changepoint(df, "x", "t", by=["g"]).collect()}
         assert out["a"].cusum_z is None  # zero variance
         assert out["b"].cp_order == 1
+
+
+# ---------------------------------------------------------------------------
+# graph.degree_assortativity (q155)
+# ---------------------------------------------------------------------------
+
+class TestDegreeAssortativity:
+    def test_star_is_perfectly_disassortative(self, spark):
+        from pandas_ai_spark.functions.graph import (
+            degree_assortativity)
+
+        edges = spark.createDataFrame(
+            [(0, 1), (0, 2), (0, 3)], ["src", "dst"])
+        r = degree_assortativity(edges).collect()[0]
+        assert r.n_nodes == 4 and r.n_edges == 3
+        assert abs(r.assortativity - (-1.0)) < 1e-12
+
+    def test_matches_numpy_pearson(self, spark):
+        import numpy as np
+
+        from pandas_ai_spark.functions.graph import (
+            degree_assortativity)
+
+        # triangle 1-2-3 plus pendant 4-1
+        und = [(1, 2), (1, 3), (2, 3), (1, 4)]
+        deg = {1: 3, 2: 2, 3: 2, 4: 1}
+        xs, ys = [], []
+        for a, b in und:
+            xs += [deg[a], deg[b]]
+            ys += [deg[b], deg[a]]
+        expected = np.corrcoef(xs, ys)[0, 1]
+        edges = spark.createDataFrame(und, ["src", "dst"])
+        r = degree_assortativity(edges).collect()[0]
+        assert abs(r.assortativity - expected) < 1e-12
+
+    def test_regular_graph_is_null(self, spark):
+        from pandas_ai_spark.functions.graph import (
+            degree_assortativity)
+
+        # 4-cycle: every degree 2 -> zero variance -> NULL
+        edges = spark.createDataFrame(
+            [(1, 2), (2, 3), (3, 4), (4, 1)], ["src", "dst"])
+        r = degree_assortativity(edges).collect()[0]
+        assert r.assortativity is None and r.n_edges == 4
+
+    def test_self_loops_and_duplicates_ignored(self, spark):
+        from pandas_ai_spark.functions.graph import (
+            degree_assortativity)
+
+        edges = spark.createDataFrame(
+            [(0, 1), (1, 0), (0, 1), (2, 2), (0, 2), (0, 3)],
+            ["src", "dst"])
+        r = degree_assortativity(edges).collect()[0]
+        # simple graph: 0-1, 0-2, 0-3 -> the K1,3 star
+        assert r.n_edges == 3
+        assert abs(r.assortativity - (-1.0)) < 1e-12

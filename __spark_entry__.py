@@ -3239,6 +3239,25 @@ def q155_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("assortativity", 9).alias("assortativity"))
 
 
+def q156_dup_ngram_coverage(spark: SparkSession, sf_dir: str
+                            ) -> DataFrame:
+    """Duplicate n-gram coverage (dedup.dup_ngram_coverage): per
+    document the fraction of its distinct 3-gram shingles shared with
+    any other document — the Lee-et-al. aggregate boilerplate signal
+    that fires even when no pairwise near-dup does. Linear
+    inverted-index shape: md5 shingle hashes (one Arrow batch),
+    explode, one map-side-combined doc-frequency aggregation, one
+    co-partitioned join back, one per-doc rollup. Oracle: the q21
+    _SHINGLES + md5_number_upper hash domain, identical counts."""
+    from pandas_ai_spark.functions.dedup import dup_ngram_coverage
+
+    docs = _t(spark, sf_dir, "documents")
+    out = dup_ngram_coverage(docs, "text", "doc_id", n=3)
+    return out.select(
+        "doc_id", "n_grams", "n_dup",
+        F.round("dup_frac", 9).alias("dup_frac")).orderBy("doc_id")
+
+
 def _q153_oracle() -> str:
     """ACF oracle: the same daily-count series, 7 lag columns from one
     window, per-lag exact integer sums, and the identical IEEE
@@ -3887,6 +3906,7 @@ def queries_numeric() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q153_acf": q153_acf,
         "q154_cusum": q154_cusum,
         "q155_assortativity": q155_assortativity,
+        "q156_dup_ngram_coverage": q156_dup_ngram_coverage,
     }
 
 
@@ -7241,6 +7261,30 @@ def oracle_sql() -> dict[str, str]:
                      cov / (sqrt(vx) * sqrt(vy)) END, 9)
                      AS assortativity
             FROM d
+        """,
+        "q156_dup_ngram_coverage": f"""
+            WITH sh AS (
+              SELECT doc_id, list_transform({_SHINGLES},
+                       s -> md5_number_upper(s)) AS hu
+              FROM documents
+            ), g AS (
+              SELECT doc_id, unnest(hu) AS h FROM sh
+            ), dfq AS (
+              SELECT h, CAST(count(*) AS BIGINT) AS dfreq
+              FROM g GROUP BY 1
+            ), pd AS (
+              SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+                     CAST(sum((dfreq > 1)::INT) AS BIGINT) AS n_dup
+              FROM g JOIN dfq USING (h) GROUP BY 1
+            )
+            SELECT d.doc_id,
+                   CAST(COALESCE(n_grams, 0) AS BIGINT) AS n_grams,
+                   CAST(COALESCE(n_dup, 0) AS BIGINT) AS n_dup,
+                   round(CASE WHEN COALESCE(n_grams, 0) > 0 THEN
+                     CAST(n_dup AS DOUBLE) / CAST(n_grams AS DOUBLE)
+                   END, 9) AS dup_frac
+            FROM documents d LEFT JOIN pd USING (doc_id)
+            ORDER BY doc_id
         """,
     }
 

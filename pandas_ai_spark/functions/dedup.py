@@ -1225,3 +1225,52 @@ def corpus_overlap(new: DataFrame, old: DataFrame,
             .cast("double"),
             F.col("n_distinct_new").cast("double"))
         .alias("pct_net_new"))
+
+
+def dup_ngram_coverage(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id", n: int = 3
+                       ) -> DataFrame:
+    """Per-document duplicated-text coverage: the fraction of each
+    document's DISTINCT word n-gram shingles that occur in at least
+    one OTHER document — the corpus-level "duplicate n-gram fraction"
+    quality signal (the aggregate form of exact-substring dedup à la
+    Lee et al., "Deduplicating Training Data Makes Language Models
+    Better"): documents consisting mostly of boilerplate shared with
+    the rest of the corpus score near 1 and are prime removal
+    candidates even when no single pair-wise near-dup fires. Returns
+    every input id as ``(doc_id, n_grams, n_dup, dup_frac)`` —
+    ``dup_frac`` NULL for gram-less (empty) docs.
+
+    Scale shape: the inverted-index LINEAR pass — shingle hashes per
+    doc in one Arrow batch (:func:`shingle_hash_udf`, longs only
+    downstream, strings never shuffle), explode, ONE
+    map-side-combined doc-frequency aggregation on the gram key
+    (shuffle bounded by distinct grams — the exact shape that holds
+    at corpus scale because no candidate PAIRS are ever formed), one
+    co-partitioned join back, one per-doc re-aggregation. A gram is
+    distinct within its doc, so ``count(*)`` per gram IS document
+    frequency.
+    """
+    if n < 1:
+        raise ValueError("n must be >= 1")
+    ids = df.select(F.col(id_col))
+    g = df.select(
+        F.col(id_col),
+        F.explode(shingle_hash_udf(n)(_norm_tokens(F.col(text_col))))
+         .alias("__h"))
+    dfreq = g.groupBy("__h").agg(
+        F.count("*").cast("bigint").alias("__dfreq"))
+    per_doc = (g.join(dfreq, "__h")
+               .groupBy(id_col)
+               .agg(F.count("*").cast("bigint").alias("n_grams"),
+                    F.sum((F.col("__dfreq") > 1).cast("bigint"))
+                     .cast("bigint").alias("n_dup")))
+    out = ids.join(per_doc, id_col, "left")
+    return out.select(
+        F.col(id_col),
+        F.coalesce("n_grams", F.lit(0)).cast("bigint")
+         .alias("n_grams"),
+        F.coalesce("n_dup", F.lit(0)).cast("bigint").alias("n_dup"),
+        F.when(F.coalesce(F.col("n_grams"), F.lit(0)) > 0,
+               F.col("n_dup").cast("double")
+               / F.col("n_grams").cast("double")).alias("dup_frac"))

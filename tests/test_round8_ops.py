@@ -866,3 +866,63 @@ class TestDegreeAssortativity:
         # simple graph: 0-1, 0-2, 0-3 -> the K1,3 star
         assert r.n_edges == 3
         assert abs(r.assortativity - (-1.0)) < 1e-12
+
+
+# ---------------------------------------------------------------------------
+# dedup.dup_ngram_coverage (q156)
+# ---------------------------------------------------------------------------
+
+class TestDupNgramCoverage:
+    def test_shared_vs_unique(self, spark):
+        from pandas_ai_spark.functions.dedup import dup_ngram_coverage
+
+        # doc 1 and 2 identical -> every gram duplicated; doc 3 unique
+        df = spark.createDataFrame(
+            [(1, "the cat sat on the mat"),
+             (2, "the cat sat on the mat"),
+             (3, "completely different words entirely here now")],
+            ["doc_id", "text"])
+        out = {r.doc_id: r for r in
+               dup_ngram_coverage(df, "text", "doc_id", n=3)
+               .collect()}
+        assert out[1].dup_frac == 1.0 and out[2].dup_frac == 1.0
+        assert out[3].dup_frac == 0.0
+        assert out[1].n_grams == 4  # 6 tokens -> 4 distinct 3-grams
+
+    def test_partial_overlap(self, spark):
+        from pandas_ai_spark.functions.dedup import dup_ngram_coverage
+
+        # doc 2 shares only its prefix 3-gram with doc 1
+        df = spark.createDataFrame(
+            [(1, "alpha beta gamma"),
+             (2, "alpha beta gamma delta epsilon")],
+            ["doc_id", "text"])
+        out = {r.doc_id: r for r in
+               dup_ngram_coverage(df, "text", "doc_id", n=3)
+               .collect()}
+        assert out[1].n_grams == 1 and out[1].n_dup == 1
+        assert out[2].n_grams == 3 and out[2].n_dup == 1
+        assert abs(out[2].dup_frac - 1 / 3) < 1e-12
+
+    def test_empty_doc_null_frac(self, spark):
+        from pandas_ai_spark.functions.dedup import dup_ngram_coverage
+
+        df = spark.createDataFrame(
+            [(1, ""), (2, "some real text content here")],
+            ["doc_id", "text"])
+        out = {r.doc_id: r for r in
+               dup_ngram_coverage(df, "text", "doc_id", n=3)
+               .collect()}
+        assert out[1].n_grams == 0 and out[1].dup_frac is None
+        assert out[2].dup_frac == 0.0
+
+    def test_short_doc_whole_shingle(self, spark):
+        from pandas_ai_spark.functions.dedup import dup_ngram_coverage
+
+        # < n tokens -> one whole-doc shingle, same rule as q21
+        df = spark.createDataFrame(
+            [(1, "tiny doc"), (2, "tiny doc")], ["doc_id", "text"])
+        out = {r.doc_id: r for r in
+               dup_ngram_coverage(df, "text", "doc_id", n=3)
+               .collect()}
+        assert out[1].n_grams == 1 and out[1].dup_frac == 1.0

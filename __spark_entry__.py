@@ -3258,6 +3258,49 @@ def q156_dup_ngram_coverage(spark: SparkSession, sf_dir: str
         F.round("dup_frac", 9).alias("dup_frac")).orderBy("doc_id")
 
 
+_Q157 = """
+SELECT coalesce(o_orderstatus, 'ALL') AS status,
+       coalesce(o_orderpriority, 'ALL') AS priority,
+       grouping(o_orderstatus) AS g_status,
+       grouping(o_orderpriority) AS g_priority,
+       count(*) AS n,
+       round(sum(o_totalprice), 2) AS total
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+ORDER BY status, priority
+""".strip()
+
+
+def q157_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS — the disjoint-sets case ROLLUP (q31)
+    and CUBE (q40) cannot express: two independent single-column
+    aggregations in ONE pass over orders (Spark expands to a single
+    Expand + hash aggregate — one scan, not a UNION of two
+    aggregates), with grouping() flags disambiguating the set each
+    row came from. Completes the SURVEY §2.5 grouping-set family.
+    Oracle: the identical SQL text on DuckDB."""
+    return _sql(spark, sf_dir, _Q157, ["orders"])
+
+
+def q158_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit (text.zipf_fit): OLS of ln(freq) on ln(rank)
+    over the top-1000 tokens of the documents corpus — the
+    corpus-level language-naturalness screen (natural text sits near
+    slope -1). Token counts are the q37 vocabulary pass; the top-k
+    cut is a distributed TakeOrdered, ranking happens on the bounded
+    1000-row list, and the fit collapses to six sums. Oracle: same
+    _TOKS token domain, same tie-stable rank, same IEEE OLS tree."""
+    from pandas_ai_spark.functions.text import zipf_fit
+
+    docs = _t(spark, sf_dir, "documents")
+    out = zipf_fit(docs, "text", top_k=1000)
+    return out.select(
+        "total_tokens", "vocab_size", "k_fit",
+        F.round("slope", 9).alias("slope"),
+        F.round("intercept", 9).alias("intercept"),
+        F.round("r2", 9).alias("r2"))
+
+
 def _q153_oracle() -> str:
     """ACF oracle: the same daily-count series, 7 lag columns from one
     window, per-lag exact integer sums, and the identical IEEE
@@ -3907,6 +3950,8 @@ def queries_numeric() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q154_cusum": q154_cusum,
         "q155_assortativity": q155_assortativity,
         "q156_dup_ngram_coverage": q156_dup_ngram_coverage,
+        "q157_grouping_sets": q157_grouping_sets,
+        "q158_zipf_fit": q158_zipf_fit,
     }
 
 
@@ -7285,6 +7330,55 @@ def oracle_sql() -> dict[str, str]:
                    END, 9) AS dup_frac
             FROM documents d LEFT JOIN pd USING (doc_id)
             ORDER BY doc_id
+        """,
+        "q157_grouping_sets": _Q157,
+        "q158_zipf_fit": f"""
+            WITH tk AS (
+              SELECT {_TOKS} AS toks FROM documents
+            ), tok AS (
+              SELECT unnest(toks) AS token FROM tk
+            ), counts AS (
+              SELECT token, CAST(count(*) AS BIGINT) AS n
+              FROM tok WHERE len(token) > 0 GROUP BY 1
+            ), totals AS (
+              SELECT CAST(sum(n) AS BIGINT) AS total_tokens,
+                     CAST(count(*) AS BIGINT) AS vocab_size
+              FROM counts
+            ), top AS (
+              SELECT token, n FROM counts
+              ORDER BY n DESC, token LIMIT 1000
+            ), ranked AS (
+              SELECT n, CAST(row_number() OVER (
+                       ORDER BY n DESC, token) AS BIGINT) AS rank
+              FROM top
+            ), s AS (
+              SELECT CAST(count(*) AS BIGINT) AS k_fit,
+                     sum(ln(CAST(rank AS DOUBLE))) AS sx,
+                     sum(ln(CAST(n AS DOUBLE))) AS sy,
+                     sum(ln(CAST(rank AS DOUBLE))
+                         * ln(CAST(n AS DOUBLE))) AS sxy,
+                     sum(ln(CAST(rank AS DOUBLE))
+                         * ln(CAST(rank AS DOUBLE))) AS sx2,
+                     sum(ln(CAST(n AS DOUBLE))
+                         * ln(CAST(n AS DOUBLE))) AS sy2
+              FROM ranked
+            ), d AS (
+              SELECT k_fit,
+                     CAST(k_fit AS DOUBLE) * sxy - sx * sy AS cov,
+                     CAST(k_fit AS DOUBLE) * sx2 - sx * sx AS vx,
+                     CAST(k_fit AS DOUBLE) * sy2 - sy * sy AS vy,
+                     sx, sy
+              FROM s
+            )
+            SELECT total_tokens, vocab_size, k_fit,
+                   round(CASE WHEN vx > 0 THEN cov / vx END, 9)
+                     AS slope,
+                   round(CASE WHEN vx > 0 THEN
+                     (sy - (cov / vx) * sx)
+                     / CAST(k_fit AS DOUBLE) END, 9) AS intercept,
+                   round(CASE WHEN vx > 0 AND vy > 0 THEN
+                     cov * cov / (vx * vy) END, 9) AS r2
+            FROM d CROSS JOIN totals
         """,
     }
 

@@ -180,10 +180,13 @@ def t_closeness(df: DataFrame, qi_cols: Sequence[str],
     Scale shape: the (qi, sensitive) cell counts are ONE map-side
     combined aggregation (shuffle bounded by distinct cells); the
     global sensitive distribution is a rollup of that same cell table
-    (no second scan) and is broadcast — a sensitive attribute is
-    bounded-cardinality by definition; the class x sensitive-value
-    expansion is classes-sized, joined to cells co-partitioned on
-    (qi, sensitive).
+    (no second scan) and is broadcast back onto the cells as a
+    null-safe equi HASH join. Sensitive values ABSENT from a class
+    are never materialized: algebraically each missing cell
+    contributes exactly ``n_g * N_class`` to the integer distance
+    sum, so ``sum_abs = sum_present(|n_cell*N - n_g*N_class|
+    - n_g*N_class) + N*N_class`` — the class x sensitive-value
+    expansion (and its nested-loop join) drops out entirely.
     """
     if not qi_cols:
         raise ValueError("qi_cols must be non-empty")
@@ -191,35 +194,48 @@ def t_closeness(df: DataFrame, qi_cols: Sequence[str],
         raise ValueError("t must be in (0, 1)")
     from pyspark.sql.functions import broadcast
 
+    from .fold import fold_scalars
+
     qi = [F.col(c) for c in qi_cols]
     cells = df.groupBy(*qi, F.col(sensitive_col)).agg(
         F.count("*").alias("__n_cell"))
     classes = cells.groupBy(*qi).agg(
         F.sum("__n_cell").cast("bigint").alias("__n_class"))
-    gdist = cells.groupBy(F.col(sensitive_col)).agg(
+    gdist = cells.groupBy(F.col(sensitive_col).alias("__s")).agg(
         F.sum("__n_cell").cast("bigint").alias("__n_g"))
-    gdist = gdist.crossJoin(
-        broadcast(gdist.agg(F.sum("__n_g").cast("bigint")
-                            .alias("__n_total"))))
-    expanded = classes.crossJoin(broadcast(gdist))
-    # null-safe keys: a NULL qi value or NULL sensitive value is its
-    # own GROUP BY class/cell and must still match its cell row here
-    cells_r = cells.select(
-        *[F.col(c).alias(f"__r_{c}") for c in qi_cols],
-        F.col(sensitive_col).alias("__r_s"), "__n_cell")
-    cond = F.lit(True)
+    gdist = fold_scalars(
+        gdist, gdist.agg(F.sum("__n_g").cast("bigint")
+                         .alias("__n_total")))
+    # both joins null-safe: NULL qi values form their own class, a
+    # NULL sensitive value is its own cell — each must still match.
+    # cells->classes is co-partitioned on the qi key (the groupBy
+    # outputs); cells->gdist is a broadcast hash join.
+    ccond = F.lit(True)
     for c in qi_cols:
-        cond = cond & F.col(c).eqNullSafe(F.col(f"__r_{c}"))
-    cond = cond & F.col(sensitive_col).eqNullSafe(F.col("__r_s"))
-    joined = expanded.join(cells_r, cond, "left")
+        ccond = ccond & F.col(c).eqNullSafe(F.col(f"__c_{c}"))
+    joined = (cells
+              .join(classes.select(
+                        *[F.col(c).alias(f"__c_{c}")
+                          for c in qi_cols], "__n_class"),
+                    ccond)
+              .join(broadcast(gdist),
+                    F.col(sensitive_col).eqNullSafe(F.col("__s")))
+              .drop("__s", *[f"__c_{c}" for c in qi_cols]))
+    # sum over PRESENT cells of (|n_cell*N - n_g*N_class|
+    # - n_g*N_class); the absent-cell mass N*N_class is added back
+    # below — exact integer algebra, no expansion join
+    term = (F.abs(F.col("__n_cell").cast("bigint")
+                  * F.col("__n_total")
+                  - F.col("__n_g") * F.col("__n_class"))
+            - F.col("__n_g") * F.col("__n_class"))
     per_class = joined.groupBy(*qi).agg(
         F.first("__n_class").alias("__n_class"),
         F.first("__n_total").alias("__n_total"),
-        F.sum(F.abs(
-            F.coalesce(F.col("__n_cell"), F.lit(0)).cast("bigint")
-            * F.col("__n_total")
-            - F.col("__n_g") * F.col("__n_class")
-        )).cast("bigint").alias("__sum_abs"))
+        F.sum(term).cast("bigint").alias("__sum_present"))
+    per_class = per_class.withColumn(
+        "__sum_abs",
+        (F.col("__sum_present")
+         + F.col("__n_total") * F.col("__n_class")).cast("bigint"))
     tvd = (F.col("__sum_abs").cast("double")
            / (2.0 * F.col("__n_class").cast("double")
               * F.col("__n_total").cast("double")))

@@ -141,7 +141,7 @@ def woe_iv(df: DataFrame, feature_col: str, target_expr,
     """
     if smoothing <= 0:
         raise ValueError("smoothing must be > 0")
-    from pyspark.sql.functions import broadcast
+    from .fold import fold_scalars
 
     y = F.coalesce(F.expr(target_expr), F.lit(False)).cast("bigint")
     cats = df.groupBy(F.col(feature_col).alias("feature")).agg(
@@ -153,7 +153,7 @@ def woe_iv(df: DataFrame, feature_col: str, target_expr,
         F.sum("events").cast("bigint").alias("__e_tot"),
         F.sum("nonevents").cast("bigint").alias("__ne_tot"))
     s = float(smoothing)
-    joined = cats.crossJoin(broadcast(totals))
+    joined = fold_scalars(cats, totals)
     pe = ((F.col("events").cast("double") + F.lit(s))
           / (F.col("__e_tot").cast("double") + F.lit(s)))
     pne = ((F.col("nonevents").cast("double") + F.lit(s))

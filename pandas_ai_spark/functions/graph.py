@@ -530,7 +530,7 @@ def degree_assortativity(edges: DataFrame, src: str = "src",
         F.sum(F.col("dx") * F.col("dy")).cast("bigint").alias("sxy"),
         F.sum(F.col("dx") * F.col("dx")).cast("bigint").alias("sx2"),
         F.sum(F.col("dy") * F.col("dy")).cast("bigint").alias("sy2"))
-    from pyspark.sql.functions import broadcast
+    from .fold import fold_scalars
 
     nn = deg.agg(F.count("*").cast("bigint").alias("n_nodes"))
     m = F.col("m").cast("double")
@@ -539,7 +539,7 @@ def degree_assortativity(edges: DataFrame, src: str = "src",
     cov = m * F.col("sxy").cast("double") - sx * sy
     vx = m * F.col("sx2").cast("double") - sx * sx
     vy = m * F.col("sy2").cast("double") - sy * sy
-    return stats.crossJoin(broadcast(nn)).select(
+    return fold_scalars(stats, nn).select(
         "n_nodes",
         (F.col("m") / F.lit(2)).cast("bigint").alias("n_edges"),
         F.when((vx > 0) & (vy > 0),

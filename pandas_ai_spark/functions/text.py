@@ -819,3 +819,66 @@ def gopher_rules(df: DataFrame, text_col: str = "text",
         F.col("r_word_count") & F.col("r_mean_word_len")
         & F.col("r_symbol_ratio") & F.col("r_bullet_lines")
         & F.col("r_ellipsis_lines") & F.col("r_stopwords"))
+
+
+def zipf_fit(df: DataFrame, text_col: str = "text",
+             top_k: int = 1000) -> DataFrame:
+    """Zipf's-law fit of the corpus token-frequency distribution: OLS
+    of ln(frequency) on ln(rank) over the ``top_k`` most frequent
+    normalized tokens — one row ``(total_tokens, vocab_size, k_fit,
+    slope, intercept, r2)``. A natural-language corpus sits near
+    slope -1; strong departures (flat: synthetic/templated text;
+    steep: tiny effective vocabulary) are a corpus-level quality
+    screen to run next to per-document signals.
+
+    Scale shape: token counts are ONE explode + map-side-combined
+    aggregation (the q37 vocabulary pass, shuffle bounded by distinct
+    tokens); the top-k cut is a distributed TakeOrdered on
+    (count desc, token) — never a global sort of the vocabulary —
+    and ranking then happens on the BOUNDED k-row list (a
+    single-partition window over top_k rows by construction, the
+    q143 bounded-list pattern). The OLS reduces to six sums in one
+    final aggregation; corpus totals ride the same counts table.
+    Ties at the boundary break on the token string, so the fitted
+    set is deterministic.
+    """
+    if top_k < 2:
+        raise ValueError("top_k must be >= 2")
+    from pyspark.sql import Window
+
+    from pandas_ai_spark.functions.dedup import _norm_tokens
+    from pandas_ai_spark.functions.fold import fold_scalars
+
+    counts = (df.select(F.explode(_norm_tokens(F.col(text_col)))
+                        .alias("token"))
+              .where(F.length("token") > 0)
+              .groupBy("token")
+              .agg(F.count("*").cast("bigint").alias("n")))
+    totals = counts.agg(
+        F.sum("n").cast("bigint").alias("total_tokens"),
+        F.count("*").cast("bigint").alias("vocab_size"))
+    top = counts.orderBy(F.desc("n"), F.col("token")).limit(top_k)
+    w = Window.orderBy(F.desc("n"), F.col("token"))
+    ranked = top.select(
+        F.col("n"),
+        F.row_number().over(w).cast("bigint").alias("rank"))
+    x = F.log(F.col("rank").cast("double"))
+    y = F.log(F.col("n").cast("double"))
+    s = ranked.agg(
+        F.count("*").cast("bigint").alias("k_fit"),
+        F.sum(x).alias("sx"), F.sum(y).alias("sy"),
+        F.sum(x * y).alias("sxy"),
+        F.sum(x * x).alias("sx2"), F.sum(y * y).alias("sy2"))
+    k = F.col("k_fit").cast("double")
+    cov = k * F.col("sxy") - F.col("sx") * F.col("sy")
+    vx = k * F.col("sx2") - F.col("sx") * F.col("sx")
+    vy = k * F.col("sy2") - F.col("sy") * F.col("sy")
+    slope = cov / vx
+    return fold_scalars(s, totals).select(
+        "total_tokens", "vocab_size", "k_fit",
+        F.when(vx > 0, slope).alias("slope"),
+        F.when(vx > 0,
+               (F.col("sy") - slope * F.col("sx")) / k)
+         .alias("intercept"),
+        F.when((vx > 0) & (vy > 0), cov * cov / (vx * vy))
+         .alias("r2"))

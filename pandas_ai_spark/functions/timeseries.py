@@ -506,6 +506,8 @@ def cusum_changepoint(df: DataFrame, value_col: str, order_col: str,
     by = list(by or [])
     from pyspark.sql.functions import broadcast
 
+    from .fold import fold_scalars
+
     x = F.col(value_col).cast("bigint")
     w = (Window.partitionBy(*[F.col(c) for c in by])
          .orderBy(F.col(order_col))
@@ -524,7 +526,7 @@ def cusum_changepoint(df: DataFrame, value_col: str, order_col: str,
         totals = base.groupBy(*[F.col(c) for c in by]).agg(*tot_aggs)
         joined = base.join(broadcast(totals), by)
     else:
-        joined = base.crossJoin(broadcast(base.agg(*tot_aggs)))
+        joined = fold_scalars(base, base.agg(*tot_aggs))
     n = F.col("__n").cast("double")
     mean = F.col("__s").cast("double") / n
     c_t = F.abs(F.col("__st").cast("double")

@@ -926,3 +926,52 @@ class TestDupNgramCoverage:
                dup_ngram_coverage(df, "text", "doc_id", n=3)
                .collect()}
         assert out[1].n_grams == 1 and out[1].dup_frac == 1.0
+
+
+# ---------------------------------------------------------------------------
+# text.zipf_fit (q158)
+# ---------------------------------------------------------------------------
+
+class TestZipfFit:
+    def test_exact_zipf_slope(self, spark):
+        from pandas_ai_spark.functions.text import zipf_fit
+
+        # construct a corpus whose token frequencies are exactly
+        # proportional to 1/rank: freq = 60/rank for ranks 1..5
+        words = []
+        for rank, (word, freq) in enumerate(
+                [("aa", 60), ("bb", 30), ("cc", 20), ("dd", 15),
+                 ("ee", 12)], start=1):
+            words += [word] * freq
+        df = spark.createDataFrame([(" ".join(words),)], ["text"])
+        r = zipf_fit(df, "text", top_k=5).collect()[0]
+        assert r.k_fit == 5 and r.total_tokens == 137
+        assert r.vocab_size == 5
+        assert abs(r.slope - (-1.0)) < 1e-9
+        assert abs(r.r2 - 1.0) < 1e-12
+
+    def test_uniform_corpus_flat_slope(self, spark):
+        from pandas_ai_spark.functions.text import zipf_fit
+
+        df = spark.createDataFrame(
+            [("one two three four five six seven eight",)], ["text"])
+        r = zipf_fit(df, "text", top_k=8).collect()[0]
+        # all frequencies equal -> ln(freq) constant -> slope 0
+        assert abs(r.slope - 0.0) < 1e-12
+        assert r.r2 is None or r.r2 == 0.0  # vy == 0
+
+    def test_top_k_bounds_fit(self, spark):
+        from pandas_ai_spark.functions.text import zipf_fit
+
+        df = spark.createDataFrame(
+            [("a a a b b c d e f g h i j k",)], ["text"])
+        r = zipf_fit(df, "text", top_k=3).collect()[0]
+        assert r.k_fit == 3
+        assert r.vocab_size == 11  # totals still corpus-wide
+
+    def test_bad_top_k(self, spark):
+        from pandas_ai_spark.functions.text import zipf_fit
+
+        df = spark.createDataFrame([("x",)], ["text"])
+        with pytest.raises(ValueError):
+            zipf_fit(df, "text", top_k=1)

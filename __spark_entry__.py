@@ -3301,6 +3301,68 @@ def q158_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("r2", 9).alias("r2"))
 
 
+def q159_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U (stats.mann_whitney_u): per l_returnflag, does
+    the l_quantity distribution differ between low-discount (<=5%)
+    and high-discount lines? The nonparametric companion to Welch
+    (q113) — rank-based, tie-corrected normal approximation. Ranks
+    accumulate DOUBLED so the rank sum and tie term are exact bigints
+    over the 50-value quantity grain; one grain aggregation + one
+    partitioned window + one rollup. Oracle: identical
+    doubled-midrank algebra."""
+    from pandas_ai_spark.functions.stats import mann_whitney_u
+
+    li = _t(spark, sf_dir, "lineitem").withColumn(
+        "disc_band",
+        F.when(F.col("l_discount") <= 0.05, F.lit("lo"))
+         .otherwise(F.lit("hi")))
+    out = mann_whitney_u(li, "l_quantity", "disc_band",
+                         "lo", "hi", by=["l_returnflag"])
+    return out.select(
+        "l_returnflag", "n_a", "n_b",
+        F.round("u_a", 9).alias("u_a"),
+        F.round("z", 9).alias("z")).orderBy("l_returnflag")
+
+
+def q160_ks_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A per-nation KS test family pushed through Benjamini-Hochberg
+    (stats.ks_test + stats.bh_fdr): for each customer nation, the KS
+    distance between F- and O-status order totals, the asymptotic
+    p-value 2*exp(-2*n_a*n_b*D^2/(n_a+n_b)), then the step-up FDR
+    adjustment over the 25-hypothesis family — the multiple-testing
+    gate any segment-scan battery needs. The hypothesis table is
+    post-aggregation grain (one row per nation); the BH windows run
+    over that bounded family, the running min on a RANGE frame so
+    tied p-values share their adjusted value. Oracle: the q132 ECDF
+    windows + identical p and step-up expressions."""
+    from pandas_ai_spark.functions.stats import bh_fdr, ks_test
+
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_nationkey")
+    joined = orders.join(F.broadcast(cust), "o_custkey")
+    ks = ks_test(joined, "c_nationkey", "o_totalprice",
+                 "o_orderstatus", "F", "O")
+    na = F.col("n_a").cast("double")
+    nb = F.col("n_b").cast("double")
+    d = F.col("d_stat")
+    p = F.least(
+        F.lit(1.0),
+        F.lit(2.0) * F.exp(F.lit(-2.0) * na * nb * d * d
+                           / (na + nb)))
+    withp = ks.select("c_nationkey", "n_a", "n_b", "d_stat",
+                      p.alias("p_value"))
+    out = bh_fdr(withp, "p_value", alpha=0.05,
+                 tiebreak_cols=["c_nationkey"])
+    return out.select(
+        "c_nationkey", "n_a", "n_b",
+        F.round("d_stat", 9).alias("d_stat"),
+        F.round("p_value", 9).alias("p_value"),
+        "p_rank",
+        F.round("p_adj", 9).alias("p_adj"),
+        "reject").orderBy("c_nationkey")
+
+
 def _q153_oracle() -> str:
     """ACF oracle: the same daily-count series, 7 lag columns from one
     window, per-lag exact integer sums, and the identical IEEE
@@ -3952,6 +4014,8 @@ def queries_numeric() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q156_dup_ngram_coverage": q156_dup_ngram_coverage,
         "q157_grouping_sets": q157_grouping_sets,
         "q158_zipf_fit": q158_zipf_fit,
+        "q159_mann_whitney": q159_mann_whitney,
+        "q160_ks_fdr": q160_ks_fdr,
     }
 
 
@@ -7332,6 +7396,117 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY doc_id
         """,
         "q157_grouping_sets": _Q157,
+        "q159_mann_whitney": """
+            WITH base AS (
+              SELECT l_returnflag, l_quantity AS v,
+                     (CASE WHEN l_discount <= 0.05::DOUBLE THEN 'lo'
+                           ELSE 'hi' END = 'lo')::BIGINT AS a
+              FROM lineitem
+              WHERE l_quantity IS NOT NULL
+            ), grain AS (
+              SELECT l_returnflag, v,
+                     CAST(sum(a) AS BIGINT) AS ta,
+                     CAST(sum(1 - a) AS BIGINT) AS tb
+              FROM base GROUP BY 1, 2
+            ), ranked AS (
+              SELECT l_returnflag, ta, tb, ta + tb AS t,
+                     2 * (sum(ta + tb) OVER (
+                            PARTITION BY l_returnflag ORDER BY v
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) - (ta + tb))
+                     + (ta + tb) + 1 AS r2
+              FROM grain
+            ), g AS (
+              SELECT l_returnflag,
+                     CAST(sum(ta) AS BIGINT) AS n_a,
+                     CAST(sum(tb) AS BIGINT) AS n_b,
+                     CAST(sum(ta * r2) AS BIGINT) AS ra2,
+                     CAST(sum(t * t * t - t) AS BIGINT) AS ties
+              FROM ranked GROUP BY 1
+            ), fin AS (
+              SELECT l_returnflag, n_a, n_b,
+                     CAST(ra2 - n_a * (n_a + 1) AS DOUBLE) / 2.0
+                       AS u,
+                     CAST(n_a AS DOUBLE) AS nad,
+                     CAST(n_b AS DOUBLE) AS nbd,
+                     CAST(ties AS DOUBLE) AS tiesd
+              FROM g
+            ), v AS (
+              SELECT *,
+                     nad * nbd / 12.0
+                     * ((nad + nbd + 1.0)
+                        - tiesd / ((nad + nbd)
+                                   * (nad + nbd - 1.0))) AS var_
+              FROM fin
+            )
+            SELECT l_returnflag, n_a, n_b,
+                   round(u, 9) AS u_a,
+                   round(CASE WHEN var_ > 0 THEN
+                     (u - nad * nbd / 2.0) / sqrt(var_) END, 9)
+                     AS z
+            FROM v ORDER BY l_returnflag
+        """,
+        "q160_ks_fdr": """
+            WITH j AS (
+              SELECT c_nationkey, o_totalprice AS v,
+                     (o_orderstatus = 'F')::INT AS a
+              FROM orders JOIN customer ON o_custkey = c_custkey
+              WHERE o_totalprice IS NOT NULL
+                AND o_orderstatus IN ('F', 'O')
+            ), st AS (
+              SELECT c_nationkey,
+                     sum(a) OVER (PARTITION BY c_nationkey
+                                  ORDER BY v
+                                  RANGE BETWEEN UNBOUNDED PRECEDING
+                                  AND CURRENT ROW) AS ca,
+                     sum(1 - a) OVER (PARTITION BY c_nationkey
+                                  ORDER BY v
+                                  RANGE BETWEEN UNBOUNDED PRECEDING
+                                  AND CURRENT ROW) AS cb,
+                     sum(a) OVER (PARTITION BY c_nationkey) AS na,
+                     sum(1 - a) OVER (PARTITION BY c_nationkey)
+                       AS nb
+              FROM j
+            ), d AS (
+              SELECT c_nationkey, na, nb,
+                     max(abs(ca / na::DOUBLE - cb / nb::DOUBLE))
+                       AS dd
+              FROM st GROUP BY 1, 2, 3
+            ), withp AS (
+              SELECT c_nationkey, na::BIGINT AS n_a,
+                     nb::BIGINT AS n_b, dd,
+                     least(1.0::DOUBLE,
+                           2.0 * exp(-2.0 * na::DOUBLE * nb::DOUBLE
+                                     * dd * dd
+                                     / (na::DOUBLE + nb::DOUBLE)))
+                       AS p
+              FROM d
+            ), m AS (
+              SELECT CAST(count(*) AS BIGINT) AS m FROM withp
+            ), rk AS (
+              SELECT w.*, m.m,
+                     CAST(row_number() OVER (
+                            ORDER BY p ASC, c_nationkey)
+                          AS BIGINT) AS p_rank
+              FROM withp w CROSS JOIN m
+            ), adj AS (
+              SELECT *,
+                     least(min(CAST(m AS DOUBLE) * p
+                               / CAST(p_rank AS DOUBLE)) OVER (
+                             ORDER BY p DESC
+                             RANGE BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW),
+                           1.0::DOUBLE) AS p_adj
+              FROM rk
+            )
+            SELECT c_nationkey, n_a, n_b,
+                   round(dd, 9) AS d_stat,
+                   round(p, 9) AS p_value,
+                   p_rank,
+                   round(p_adj, 9) AS p_adj,
+                   p_adj <= 0.05::DOUBLE AS reject
+            FROM adj ORDER BY c_nationkey
+        """,
         "q158_zipf_fit": f"""
             WITH tk AS (
               SELECT {_TOKS} AS toks FROM documents

@@ -1001,3 +1001,137 @@ def trimmed_stats(df: DataFrame, value_col: str,
         F.min("__lo").alias("lo"),
         F.max("__hi").alias("hi"))
     return out
+
+
+def mann_whitney_u(df: DataFrame, value_col: str, sample_col: str,
+                   a, b, by: list[str] | None = None) -> DataFrame:
+    """Per-group Mann-Whitney U (Wilcoxon rank-sum) test — the
+    nonparametric companion to :func:`welch_ttest` when normality is
+    off the table: per ``by`` group ``(n_a, n_b, u_a, z)`` with the
+    tie-corrected normal approximation
+    ``z = (U - n_a n_b/2) / sqrt(n_a n_b/12 ((n+1) - T/(n(n-1))))``,
+    ``T = sum(t^3 - t)`` over tie groups. |z| > 1.96 rejects "same
+    distribution" at 5%.
+
+    Determinism: ranks are accumulated DOUBLED (``2*rank`` is always
+    an integer even for tied midranks), so the rank sum, tie term,
+    and every count are exact bigints; the statistic derives
+    row-local — bit-identical across engines, no float-sum-order
+    dependence.
+
+    Scale shape: the input collapses to the (group, value) grain
+    first (one map-side-combined aggregation — shuffle bounded by
+    distinct values per group, the q114/ks_test post-aggregation
+    pattern); ONE group-partitioned ordered window over that grain
+    assigns midranks; one grouped aggregation finishes. Designed for
+    discrete/bucketed value grains (counts, quantities, buckets) —
+    bucket continuous values upstream.
+    """
+    by = list(by or [])
+    from pyspark.sql.window import Window
+
+    s = F.col(sample_col)
+    base = df.where(F.col(value_col).isNotNull()
+                    & s.isin(a, b)).select(
+        *[F.col(c) for c in by],
+        F.col(value_col).alias("__v"),
+        (s == a).cast("bigint").alias("__a"))
+    grain = base.groupBy(*[F.col(c) for c in by],
+                         F.col("__v")).agg(
+        F.sum("__a").cast("bigint").alias("__ta"),
+        F.sum(F.lit(1) - F.col("__a")).cast("bigint").alias("__tb"))
+    t = (F.col("__ta") + F.col("__tb")).cast("bigint")
+    w = (Window.partitionBy(*[F.col(c) for c in by])
+         .orderBy("__v").rowsBetween(Window.unboundedPreceding, 0)
+         if by else
+         Window.orderBy("__v").rowsBetween(
+             Window.unboundedPreceding, 0))
+    # doubled midrank for this value: 2*cum_before + t + 1
+    r2 = (F.lit(2) * (F.sum(t).over(w) - t) + t + F.lit(1)) \
+        .cast("bigint")
+    ranked = grain.select(
+        *[F.col(c) for c in by], "__ta", "__tb",
+        t.alias("__t"), r2.alias("__r2"))
+    aggs = [
+        F.sum("__ta").cast("bigint").alias("n_a"),
+        F.sum("__tb").cast("bigint").alias("n_b"),
+        F.sum(F.col("__ta") * F.col("__r2")).cast("bigint")
+         .alias("__ra2"),
+        F.sum(F.col("__t") * F.col("__t") * F.col("__t")
+              - F.col("__t")).cast("bigint").alias("__ties"),
+    ]
+    g = (ranked.groupBy(*[F.col(c) for c in by]).agg(*aggs)
+         if by else ranked.agg(*aggs))
+    na = F.col("n_a").cast("double")
+    nb = F.col("n_b").cast("double")
+    n = na + nb
+    u = ((F.col("__ra2") - F.col("n_a") * (F.col("n_a") + F.lit(1)))
+         .cast("double") / F.lit(2.0))
+    var = (na * nb / F.lit(12.0)
+           * ((n + F.lit(1.0))
+              - F.col("__ties").cast("double")
+              / (n * (n - F.lit(1.0)))))
+    z = F.when(var > 0, (u - na * nb / F.lit(2.0)) / F.sqrt(var))
+    return g.select(
+        *[F.col(c) for c in by], "n_a", "n_b",
+        u.alias("u_a"), z.alias("z"))
+
+
+def bh_fdr(df: DataFrame, p_col: str, alpha: float = 0.05,
+           family_cols: list[str] | None = None,
+           tiebreak_cols: list[str] | None = None) -> DataFrame:
+    """Benjamini-Hochberg step-up FDR correction over a family of
+    hypotheses (one row per test): appends ``p_rank`` (1 = smallest
+    p), ``p_adj`` (the monotone step-up adjusted value
+    ``min_{j>=i} m*p_j/j`` capped at 1) and ``reject``
+    (``p_adj <= alpha``) — the multiple-testing gate any per-segment
+    test battery (ks_test / welch_ttest / mann_whitney_u over dozens
+    of segments) must pass through before anyone acts on a
+    "significant" segment.
+
+    Tied p-values share an adjusted value by construction: the
+    reverse running min runs over a RANGE frame on p, so every tied
+    row sees the full tie group (including the largest rank's
+    ``m*p/j``) — the textbook ``min_{j>=i}`` with ties handled
+    exactly. ``p_rank`` among ties is made deterministic by
+    ``tiebreak_cols`` (pass the hypothesis key).
+
+    Scale shape: the hypothesis table is POST-AGGREGATION grain —
+    one row per statistical test, bounded by the segment count, never
+    by the data the tests were computed from. Two ordered windows
+    over that bounded family (rank, then the reverse running min)
+    and one scalar fold of ``m``; within ``family_cols`` when given,
+    global otherwise.
+    """
+    if not (0.0 < alpha < 1.0):
+        raise ValueError("alpha must be in (0, 1)")
+    from pyspark.sql.window import Window
+
+    from .fold import fold_scalars
+
+    fam = list(family_cols or [])
+    tb = [F.col(c) for c in (tiebreak_cols or [])]
+    p = F.col(p_col).cast("double")
+    if fam:
+        wm = Window.partitionBy(*fam)
+        m = F.count("*").over(wm)
+        base = df.withColumn("__m", m)
+    else:
+        base = fold_scalars(
+            df, df.agg(F.count("*").cast("bigint").alias("__m")))
+    wa = (Window.partitionBy(*fam).orderBy(p.asc(), *tb)
+          if fam else Window.orderBy(p.asc(), *tb))
+    # RANGE frame: every member of a p-tie group shares the same
+    # frame, so tied rows get an identical adjusted value
+    wd = (Window.partitionBy(*fam).orderBy(p.desc())
+          if fam else Window.orderBy(p.desc())) \
+        .rangeBetween(Window.unboundedPreceding, 0)
+    ranked = base.withColumn(
+        "p_rank", F.row_number().over(wa).cast("bigint"))
+    adj = F.least(
+        F.min(F.col("__m").cast("double") * p
+              / F.col("p_rank").cast("double")).over(wd),
+        F.lit(1.0))
+    out = ranked.withColumn("p_adj", adj).withColumn(
+        "reject", F.col("p_adj") <= F.lit(float(alpha)))
+    return out.drop("__m")

@@ -975,3 +975,108 @@ class TestZipfFit:
         df = spark.createDataFrame([("x",)], ["text"])
         with pytest.raises(ValueError):
             zipf_fit(df, "text", top_k=1)
+
+
+# ---------------------------------------------------------------------------
+# stats.mann_whitney_u (q159) / stats.bh_fdr (q160)
+# ---------------------------------------------------------------------------
+
+class TestMannWhitneyU:
+    def test_matches_scipy_formula(self, spark):
+        from pandas_ai_spark.functions.stats import mann_whitney_u
+
+        # hand-checkable: A = [1,2,3], B = [2,3,4]
+        rows = ([("A", 1), ("A", 2), ("A", 3),
+                 ("B", 2), ("B", 3), ("B", 4)])
+        df = spark.createDataFrame(rows, ["s", "v"])
+        r = mann_whitney_u(df, "v", "s", "A", "B").collect()[0]
+        # ranks: 1:1, 2:(2+3)/2=2.5, 3:(4+5)/2=4.5, 4:6
+        # R_a = 1 + 2.5 + 4.5 = 8; U_a = 8 - 3*4/2 = 2
+        assert r.n_a == 3 and r.n_b == 3
+        assert abs(r.u_a - 2.0) < 1e-15
+        # mu = 4.5; ties T = (2^3-2)*2 = 12
+        # var = 9/12 * (7 - 12/30) = 0.75 * 6.6 = 4.95
+        import math
+        assert abs(r.z - (2.0 - 4.5) / math.sqrt(4.95)) < 1e-12
+
+    def test_identical_samples_z_zero_shift_detected(self, spark):
+        from pandas_ai_spark.functions.stats import mann_whitney_u
+
+        same = [("A", v) for v in range(20)] + \
+               [("B", v) for v in range(20)]
+        df = spark.createDataFrame(same, ["s", "v"])
+        r = mann_whitney_u(df, "v", "s", "A", "B").collect()[0]
+        assert abs(r.z) < 1e-12  # identical -> U = mu
+
+        shifted = [("A", v) for v in range(20)] + \
+                  [("B", v + 15) for v in range(20)]
+        df2 = spark.createDataFrame(shifted, ["s", "v"])
+        r2 = mann_whitney_u(df2, "v", "s", "A", "B").collect()[0]
+        assert abs(r2.z) > 1.96  # clear shift
+
+    def test_grouped_and_constant(self, spark):
+        from pandas_ai_spark.functions.stats import mann_whitney_u
+
+        rows = ([("g1", "A", 1), ("g1", "A", 2), ("g1", "B", 5),
+                 ("g1", "B", 6),
+                 ("g2", "A", 7), ("g2", "B", 7)])
+        df = spark.createDataFrame(rows, ["g", "s", "v"])
+        out = {r.g: r for r in
+               mann_whitney_u(df, "v", "s", "A", "B",
+                              by=["g"]).collect()}
+        assert out["g1"].u_a == 0.0  # complete separation
+        assert out["g2"].z is None   # all tied -> zero variance
+
+
+class TestBhFdr:
+    def test_textbook_adjustment(self, spark):
+        from pandas_ai_spark.functions.stats import bh_fdr
+
+        # classic example: m=4, sorted p = .01, .02, .03, .04
+        # p_adj = min-from-bottom of (.04, .04, .04, .04) etc.
+        df = spark.createDataFrame(
+            [("a", 0.01), ("b", 0.04), ("c", 0.03), ("d", 0.02)],
+            ["h", "p"])
+        out = {r.h: r for r in
+               bh_fdr(df, "p", alpha=0.05,
+                      tiebreak_cols=["h"]).collect()}
+        assert out["a"].p_rank == 1 and out["b"].p_rank == 4
+        assert abs(out["a"].p_adj - 0.04) < 1e-12
+        assert abs(out["b"].p_adj - 0.04) < 1e-12
+        assert all(out[h].reject for h in "abcd")
+
+    def test_mixed_rejections(self, spark):
+        from pandas_ai_spark.functions.stats import bh_fdr
+
+        df = spark.createDataFrame(
+            [("a", 0.001), ("b", 0.02), ("c", 0.9), ("d", 0.8)],
+            ["h", "p"])
+        out = {r.h: r for r in
+               bh_fdr(df, "p", alpha=0.05,
+                      tiebreak_cols=["h"]).collect()}
+        assert out["a"].reject and out["b"].reject
+        assert not out["c"].reject and not out["d"].reject
+        assert abs(out["c"].p_adj - 0.9) < 1e-12
+
+    def test_ties_share_adjusted_value(self, spark):
+        from pandas_ai_spark.functions.stats import bh_fdr
+
+        df = spark.createDataFrame(
+            [("a", 0.02), ("b", 0.02), ("c", 0.5)], ["h", "p"])
+        out = {r.h: r for r in
+               bh_fdr(df, "p", tiebreak_cols=["h"]).collect()}
+        # min_{j>=i} m*p_j/j: both ties get 3*.02/2 = .03
+        assert abs(out["a"].p_adj - 0.03) < 1e-12
+        assert abs(out["b"].p_adj - 0.03) < 1e-12
+        assert {out["a"].p_rank, out["b"].p_rank} == {1, 2}
+
+    def test_cap_at_one_and_bad_alpha(self, spark):
+        from pandas_ai_spark.functions.stats import bh_fdr
+
+        df = spark.createDataFrame(
+            [("a", 0.9), ("b", 0.95)], ["h", "p"])
+        out = {r.h: r for r in
+               bh_fdr(df, "p", tiebreak_cols=["h"]).collect()}
+        assert out["a"].p_adj <= 1.0 and out["b"].p_adj == 0.95
+        with pytest.raises(ValueError):
+            bh_fdr(df, "p", alpha=1.0)

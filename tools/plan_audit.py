@@ -56,6 +56,12 @@ ALLOW: dict[str, set[str]] = {
     # most), never subjects; the subject table is fully map-side
     # reduced before one task ever sees it (see survival.kaplan_meier)
     "q114_kaplan_meier": {"global_window"},
+    # Benjamini-Hochberg runs over the HYPOTHESIS table — one row per
+    # statistical test (25 nations here), bounded by the segment
+    # count by construction, never by the data the tests summarize;
+    # the rank/running-min windows are the procedure itself (see
+    # stats.bh_fdr docstring)
+    "q160_ks_fdr": {"global_window"},
     # tfidf / cross-entropy / decontamination / span excision compute a
     # scalar count() (documented) — plan still audited below
 }

@@ -3363,6 +3363,37 @@ def q160_ks_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
         "reject").orderBy("c_nationkey")
 
 
+def q161_nelson_aalen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nelson-Aalen cumulative hazard (survival.nelson_aalen) over
+    the q114 user-lifetime subjects (duration = active days, event =
+    churn past the 7-day horizon): the hazard-side companion to the
+    KM curve, with the simple Aalen variance and the
+    Fleming-Harrington survival form exp(-H). Same scale shape as
+    q114 — subjects collapse to the duration grain, cumulatives run
+    over that distinct-durations spine (plan-audit ALLOW). Oracle:
+    identical windows; cumulative float sums add in the same t order
+    on both engines."""
+    from pandas_ai_spark.functions.survival import nelson_aalen
+
+    ev = _t(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.min(F.col("ts").cast("date")).alias("__first"),
+        F.max(F.col("ts").cast("date")).alias("__last"))
+    end = per_user.agg(F.max("__last")).collect()[0][0]
+    subjects = per_user.select(
+        F.datediff("__last", "__first").alias("duration"),
+        (F.datediff(F.lit(end).cast("date"), F.col("__last")) > 7)
+        .cast("int").alias("churned"))
+    out = nelson_aalen(subjects, "duration", "churned")
+    return out.select(
+        F.col("t").cast("int").alias("t"), "n_risk", "n_events",
+        "n_censored",
+        F.round("cum_hazard", 9).alias("cum_hazard"),
+        F.round("hazard_var", 12).alias("hazard_var"),
+        F.round("survival_fh", 9).alias("survival_fh"),
+    ).orderBy("t")
+
+
 def _q153_oracle() -> str:
     """ACF oracle: the same daily-count series, 7 lag columns from one
     window, per-lag exact integer sums, and the identical IEEE
@@ -4016,6 +4047,7 @@ def queries_numeric() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q158_zipf_fit": q158_zipf_fit,
         "q159_mann_whitney": q159_mann_whitney,
         "q160_ks_fdr": q160_ks_fdr,
+        "q161_nelson_aalen": q161_nelson_aalen,
     }
 
 
@@ -7554,6 +7586,45 @@ def oracle_sql() -> dict[str, str]:
                    round(CASE WHEN vx > 0 AND vy > 0 THEN
                      cov * cov / (vx * vy) END, 9) AS r2
             FROM d CROSS JOIN totals
+        """,
+        "q161_nelson_aalen": """
+            WITH per_user AS (
+              SELECT user_id, min(ts::DATE) AS first_d,
+                     max(ts::DATE) AS last_d
+              FROM events GROUP BY 1
+            ), obs AS (SELECT max(last_d) AS end_d FROM per_user),
+            subj AS (
+              SELECT date_diff('day', first_d, last_d) AS t,
+                     CASE WHEN date_diff('day', last_d, end_d) > 7
+                          THEN 1 ELSE 0 END AS e
+              FROM per_user CROSS JOIN obs
+            ), tot AS (SELECT count(*) AS n FROM subj),
+            grain AS (
+              SELECT t, sum(e) AS n_events,
+                     sum(1 - e) AS n_censored
+              FROM subj GROUP BY t
+            ), risk AS (
+              SELECT t, n_events, n_censored,
+                     n - coalesce(sum(n_events + n_censored) OVER (
+                           ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND 1 PRECEDING), 0) AS n_risk
+              FROM grain CROSS JOIN tot
+            ), s AS (
+              SELECT t, n_risk, n_events, n_censored,
+                     sum(n_events / n_risk::DOUBLE) OVER w AS h,
+                     sum(n_events
+                         / (n_risk * n_risk)::DOUBLE) OVER w AS hv
+              FROM risk
+              WINDOW w AS (ORDER BY t ROWS BETWEEN UNBOUNDED
+                           PRECEDING AND CURRENT ROW)
+            )
+            SELECT t::INT AS t, n_risk::BIGINT AS n_risk,
+                   n_events::BIGINT AS n_events,
+                   n_censored::BIGINT AS n_censored,
+                   round(h, 9) AS cum_hazard,
+                   round(hv, 12) AS hazard_var,
+                   round(exp(-h), 9) AS survival_fh
+            FROM s ORDER BY t
         """,
     }
 

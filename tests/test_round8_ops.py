@@ -1080,3 +1080,49 @@ class TestBhFdr:
         assert out["a"].p_adj <= 1.0 and out["b"].p_adj == 0.95
         with pytest.raises(ValueError):
             bh_fdr(df, "p", alpha=1.0)
+
+
+# ---------------------------------------------------------------------------
+# survival.nelson_aalen (q161)
+# ---------------------------------------------------------------------------
+
+class TestNelsonAalen:
+    def test_known_values(self, spark):
+        import math
+
+        from pandas_ai_spark.functions.survival import nelson_aalen
+
+        df = spark.createDataFrame(
+            [(1, 1), (2, 1), (2, 0), (3, 1)], ["dur", "e"])
+        rows = {r.t: r for r in
+                nelson_aalen(df, "dur", "e").collect()}
+        assert rows[1.0].n_risk == 4 and rows[2.0].n_risk == 3
+        assert rows[3.0].n_risk == 1
+        assert abs(rows[1.0].cum_hazard - 0.25) < 1e-15
+        assert abs(rows[2.0].cum_hazard - (0.25 + 1 / 3)) < 1e-12
+        assert abs(rows[3.0].cum_hazard
+                   - (0.25 + 1 / 3 + 1.0)) < 1e-12
+        assert abs(rows[1.0].hazard_var - 1 / 16) < 1e-15
+        assert abs(rows[3.0].survival_fh
+                   - math.exp(-(0.25 + 1 / 3 + 1.0))) < 1e-12
+
+    def test_fh_dominates_km(self, spark):
+        from pandas_ai_spark.functions.survival import (
+            kaplan_meier, nelson_aalen)
+
+        df = spark.createDataFrame(
+            [(i % 7, i % 3 != 0) for i in range(60)], ["dur", "e"])
+        km = {r.t: r.survival
+              for r in kaplan_meier(df, "dur", "e").collect()}
+        na = {r.t: r.survival_fh
+              for r in nelson_aalen(df, "dur", "e").collect()}
+        # exp(-d/n) >= 1 - d/n pointwise -> FH >= KM everywhere
+        for t in km:
+            assert na[t] >= km[t] - 1e-15
+
+    def test_validation(self, spark):
+        from pandas_ai_spark.functions.survival import nelson_aalen
+
+        df = spark.createDataFrame([(-1, 1)], ["dur", "e"])
+        with pytest.raises(ValueError):
+            nelson_aalen(df, "dur", "e").collect()

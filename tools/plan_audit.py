@@ -62,6 +62,10 @@ ALLOW: dict[str, set[str]] = {
     # the rank/running-min windows are the procedure itself (see
     # stats.bh_fdr docstring)
     "q160_ks_fdr": {"global_window"},
+    # same post-aggregation duration-grain spine as q114 (see
+    # survival.nelson_aalen); also shares q114's scalar count() at
+    # plan-build time (the subject-total literal)
+    "q161_nelson_aalen": {"global_window"},
     # tfidf / cross-entropy / decontamination / span excision compute a
     # scalar count() (documented) — plan still audited below
 }

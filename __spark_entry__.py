@@ -3394,6 +3394,94 @@ def q161_nelson_aalen(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("t")
 
 
+def q162_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR diversified re-ranking (similarity.mmr_rerank): the q24
+    brute-force top-50 pools for 5 query vectors, greedily re-ranked
+    to 10 results per query with lam=0.7 (Carbonell & Goldstein '98)
+    — the diversity stage that stops near-duplicate neighbors from
+    filling a result page. Pools are bounded by the upstream top-N
+    contract, so the greedy loop runs per query group inside
+    applyInPandas; the candidate-vector re-attach is a broadcast
+    join. Oracle: generated-literal VALUES from a standalone numpy
+    reference (normalize -> GEMM -> same (rel desc, id) order ->
+    greedy argmax, smaller-id ties) on the sf0.01 table — the
+    q64-BPE oracle pattern for iterative non-SQL algorithms."""
+    from pandas_ai_spark.functions import similarity as sim
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    pool = sim.ann_bruteforce(emb, q, k=50)
+    cand = pool.join(F.broadcast(emb.select("vec_id", "embedding")),
+                     "vec_id")
+    out = sim.mmr_rerank(cand, k=10, lam=0.7)
+    return out.select(
+        "query_id", "vec_id", "mmr_rank",
+        F.round("mmr_score", 6).alias("mmr_score")
+    ).orderBy("query_id", "mmr_rank")
+
+
+def _mmr_reference(sf_dir: str = "/root/testdata/sf0.01") -> list:
+    """Standalone MMR reference (Carbonell & Goldstein's greedy
+    algorithm in plain numpy) over the same embeddings table: exact
+    top-50 cosine pool per query (self excluded, (cosine desc, id)
+    order), then k=10 greedy picks maximizing
+    0.7*rel - 0.3*max_sel_sim with smaller-id tie-break — the
+    independent implementation the literal oracle is generated from.
+    Assumes the driver's sf0.01 correctness scale (q35/q46
+    precedent)."""
+    import duckdb as _dd
+    import numpy as _np
+
+    rows = _dd.sql(
+        f"SELECT vec_id, embedding FROM "
+        f"read_parquet('{sf_dir}/embeddings.parquet') "
+        f"ORDER BY vec_id").fetchall()
+    ids = _np.array([r[0] for r in rows], dtype=_np.int64)
+    M = _np.array([r[1] for r in rows], dtype=_np.float64)
+    Mn = M / _np.maximum(
+        _np.linalg.norm(M, axis=1, keepdims=True), 1e-300)
+    out = []
+    for qi in range(5):
+        qv = Mn[ids == qi][0]
+        rel_all = Mn @ qv
+        order = sorted(
+            (i for i in range(len(ids)) if ids[i] != qi),
+            key=lambda i: (-rel_all[i], ids[i]))[:50]
+        V = Mn[order]
+        S = V @ V.T
+        rel = rel_all[order]
+        cids = ids[order]
+        selected, remaining = [], list(range(len(order)))
+        while remaining and len(selected) < 10:
+            best, best_score = None, None
+            for i in remaining:
+                div = max((S[i, j] for j in selected), default=0.0)
+                sc = 0.7 * rel[i] - 0.3 * div
+                if (best is None or sc > best_score
+                        or (sc == best_score
+                            and cids[i] < cids[best])):
+                    best, best_score = i, sc
+            selected.append(best)
+            remaining.remove(best)
+            out.append((qi, int(cids[best]), len(selected),
+                        float(best_score)))
+    return out
+
+
+def _q162_oracle() -> str:
+    # full-precision repr into VALUES; the round(6) happens in SQL so
+    # the rounding rule is the engines' shared HALF_UP, not Python's
+    # banker's rounding
+    vals = ", ".join(
+        f"({q}::BIGINT, {i}::BIGINT, {r}, {s!r}::DOUBLE)"
+        for q, i, r, s in _mmr_reference())
+    return (f"SELECT query_id, vec_id, mmr_rank, "
+            f"round(mmr_score, 6) AS mmr_score FROM (VALUES {vals}) "
+            f"t(query_id, vec_id, mmr_rank, mmr_score) "
+            f"ORDER BY query_id, mmr_rank")
+
+
 def _q153_oracle() -> str:
     """ACF oracle: the same daily-count series, 7 lag columns from one
     window, per-lag exact integer sums, and the identical IEEE
@@ -4048,6 +4136,7 @@ def queries_numeric() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q159_mann_whitney": q159_mann_whitney,
         "q160_ks_fdr": q160_ks_fdr,
         "q161_nelson_aalen": q161_nelson_aalen,
+        "q162_mmr_rerank": q162_mmr_rerank,
     }
 
 
@@ -7626,6 +7715,7 @@ def oracle_sql() -> dict[str, str]:
                    round(exp(-h), 9) AS survival_fh
             FROM s ORDER BY t
         """,
+        "q162_mmr_rerank": _q162_oracle(),
     }
 
 

@@ -1062,3 +1062,74 @@ def hard_negatives(
     return (cand.withColumn("rank", F.row_number().over(w))
                 .where(F.col("rank") <= k)
                 .select(anchor_id_col, id_col, "cosine", "rank"))
+
+
+def mmr_rerank(candidates: DataFrame, k: int = 10, lam: float = 0.7,
+               query_col: str = "query_id", id_col: str = "vec_id",
+               rel_col: str = "cosine", vec_col: str = "embedding"
+               ) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein,
+    SIGIR'98) of a BOUNDED per-query candidate pool: greedily pick
+    ``k`` documents maximizing
+    ``lam * rel(d) - (1 - lam) * max_{s in S} cos(d, s)`` — the
+    diversity-aware final stage of a retrieval pipeline (ANN/BM25
+    produce the pool; MMR stops near-duplicate candidates from
+    filling the result page). Returns
+    ``(query_col, id_col, mmr_rank, mmr_score)``.
+
+    Scale shape: the pool per query is bounded by the upstream top-N
+    contract (tens of rows), so the O(k * N) greedy loop runs inside
+    ``applyInPandas`` per query group — queries parallelize across
+    the cluster, one shuffle on the query key, nothing global. The
+    pairwise similarity matrix is one numpy GEMM over the
+    (pool x dim) block.
+
+    Determinism: candidates are processed in (rel desc, id asc)
+    order and score ties break toward the smaller id, so the
+    selection is reproducible; the first pick is the plain relevance
+    argmax (empty selected set contributes zero diversity penalty).
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    if not (0.0 <= lam <= 1.0):
+        raise ValueError("lam must be in [0, 1]")
+    import pandas as pd
+
+    out_schema = T.StructType([
+        T.StructField(query_col, T.LongType()),
+        T.StructField(id_col, T.LongType()),
+        T.StructField("mmr_rank", T.IntegerType()),
+        T.StructField("mmr_score", T.DoubleType()),
+    ])
+    lam_f = float(lam)
+
+    def select_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values([rel_col, id_col],
+                              ascending=[False, True])
+        V = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+        V = V / np.maximum(
+            np.linalg.norm(V, axis=1, keepdims=True), 1e-300)
+        S = V @ V.T
+        rel = pdf[rel_col].to_numpy().astype(np.float64)
+        ids = pdf[id_col].to_numpy()
+        qid = int(pdf[query_col].iloc[0])
+        selected: list[int] = []
+        remaining = list(range(len(ids)))
+        out = []
+        while remaining and len(selected) < k:
+            best, best_score = None, None
+            for i in remaining:
+                div = max((S[i, j] for j in selected), default=0.0)
+                sc = lam_f * rel[i] - (1.0 - lam_f) * div
+                if (best is None or sc > best_score
+                        or (sc == best_score and ids[i] < ids[best])):
+                    best, best_score = i, sc
+            selected.append(best)
+            remaining.remove(best)
+            out.append((qid, int(ids[best]), len(selected),
+                        float(best_score)))
+        return pd.DataFrame(
+            out, columns=[query_col, id_col, "mmr_rank", "mmr_score"])
+
+    return (candidates.groupBy(query_col)
+            .applyInPandas(select_group, out_schema))

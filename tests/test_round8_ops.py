@@ -1126,3 +1126,69 @@ class TestNelsonAalen:
         df = spark.createDataFrame([(-1, 1)], ["dur", "e"])
         with pytest.raises(ValueError):
             nelson_aalen(df, "dur", "e").collect()
+
+
+# ---------------------------------------------------------------------------
+# similarity.mmr_rerank (q162)
+# ---------------------------------------------------------------------------
+
+class TestMmrRerank:
+    def _cand(self, spark, rows):
+        return spark.createDataFrame(
+            rows, "query_id: long, vec_id: long, cosine: double, "
+                  "embedding: array<double>")
+
+    def test_diversity_demotes_near_duplicate(self, spark):
+        from pandas_ai_spark.functions.similarity import mmr_rerank
+
+        # doc 1 and 2 are identical vectors (near-dups), doc 3 is
+        # orthogonal with slightly lower relevance: plain top-2 picks
+        # (1, 2); MMR must pick (1, 3)
+        rows = [
+            (0, 1, 0.99, [1.0, 0.0]),
+            (0, 2, 0.98, [1.0, 0.0]),
+            (0, 3, 0.90, [0.0, 1.0]),
+        ]
+        out = mmr_rerank(self._cand(spark, rows), k=2,
+                         lam=0.7).collect()
+        picked = [r.vec_id for r in
+                  sorted(out, key=lambda r: r.mmr_rank)]
+        assert picked == [1, 3]
+
+    def test_lambda_one_is_relevance_order(self, spark):
+        from pandas_ai_spark.functions.similarity import mmr_rerank
+
+        rows = [
+            (0, 1, 0.5, [1.0, 0.0]),
+            (0, 2, 0.9, [1.0, 0.0]),
+            (0, 3, 0.7, [0.0, 1.0]),
+        ]
+        out = mmr_rerank(self._cand(spark, rows), k=3,
+                         lam=1.0).collect()
+        picked = [r.vec_id for r in
+                  sorted(out, key=lambda r: r.mmr_rank)]
+        assert picked == [2, 3, 1]
+
+    def test_first_pick_score_and_pool_exhaustion(self, spark):
+        from pandas_ai_spark.functions.similarity import mmr_rerank
+
+        rows = [(0, 1, 0.8, [1.0, 0.0]), (0, 2, 0.6, [0.0, 1.0])]
+        out = {r.mmr_rank: r for r in
+               mmr_rerank(self._cand(spark, rows), k=10,
+                          lam=0.7).collect()}
+        assert len(out) == 2  # pool smaller than k -> all returned
+        assert abs(out[1].mmr_score - 0.7 * 0.8) < 1e-12
+        # second pick: orthogonal -> zero penalty
+        assert abs(out[2].mmr_score - 0.7 * 0.6) < 1e-12
+
+    def test_multiple_queries_and_validation(self, spark):
+        from pandas_ai_spark.functions.similarity import mmr_rerank
+
+        rows = [(0, 1, 0.9, [1.0, 0.0]), (1, 2, 0.8, [0.0, 1.0])]
+        out = mmr_rerank(self._cand(spark, rows), k=1).collect()
+        assert {(r.query_id, r.vec_id) for r in out} == \
+            {(0, 1), (1, 2)}
+        with pytest.raises(ValueError):
+            mmr_rerank(self._cand(spark, rows), k=0)
+        with pytest.raises(ValueError):
+            mmr_rerank(self._cand(spark, rows), lam=1.5)

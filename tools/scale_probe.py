@@ -98,6 +98,17 @@ DEFAULT = [
     "q147_connected_components",  # star contraction, O(log^2) rounds
     "q148_golden_records",      # hybrid clustering + linked-only argmax
     "q149_l_diversity",         # two chained map-side-combined aggs
+    "q150_t_closeness",         # cell counts + broadcast gdist + class rollup
+    "q151_woe_iv",              # category agg + scalar totals fold
+    "q152_target_encoding",     # (sum,count) agg + broadcast join back
+    "q153_acf",                 # one per-group lag window + integer sums
+    "q154_cusum",               # running-sum window + broadcast totals
+    "q155_assortativity",       # symmetrize distinct + two degree joins
+    "q156_dup_ngram_coverage",  # gram doc-frequency agg + join back
+    "q158_zipf_fit",            # vocab agg + TakeOrdered + bounded OLS
+    "q159_mann_whitney",        # value-grain agg + midrank window
+    "q160_ks_fdr",              # per-nation ECDF windows + bounded BH
+    "q161_nelson_aalen",        # duration-grain cumulative window
 ]
 
 

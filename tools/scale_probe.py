@@ -109,6 +109,7 @@ DEFAULT = [
     "q159_mann_whitney",        # value-grain agg + midrank window
     "q160_ks_fdr",              # per-nation ECDF windows + bounded BH
     "q161_nelson_aalen",        # duration-grain cumulative window
+    "q162_mmr_rerank",          # brute-force pool + per-query greedy
 ]
 
 

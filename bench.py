@@ -39,7 +39,8 @@ LSH_REPLICA_QUERIES = {"q26_embedding_near_dup"}
 # BPE merge/count VALUES, r8): exact for the value comparison, but the
 # baseline side does no comparable work — excluded from baseline_total
 # so the paired ratio never counts a VALUES scan as "DuckDB's time".
-LITERAL_ORACLE_QUERIES = {"q64_bpe_merges", "q79_bpe_encode"}
+LITERAL_ORACLE_QUERIES = {"q64_bpe_merges", "q79_bpe_encode",
+                          "q162_mmr_rerank"}
 
 # End-to-end streaming-PROTOCOL queries: wall-clock on an availableNow
 # drain is dominated by micro-batch checkpoint/write machinery, and the

@@ -3421,6 +3421,73 @@ def q162_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("query_id", "mmr_rank")
 
 
+def q163_class_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class-balanced loss weights (classify.class_balance_weights,
+    Cui et al.'s effective number of samples) over the documents
+    language distribution with beta=0.99 — the reweighting a training
+    pipeline derives before fitting on a skewed label column. One
+    label aggregation + a scalar weight-sum fold; weights row-local
+    from exact integer counts. Oracle: identical counts/weight/
+    normalize CTEs, ::DOUBLE-pinned beta."""
+    from pandas_ai_spark.functions.classify import (
+        class_balance_weights)
+
+    docs = _t(spark, sf_dir, "documents")
+    out = class_balance_weights(docs, "lang", beta=0.99)
+    return out.select(
+        "label", "n",
+        F.round("weight", 9).alias("weight"),
+        F.round("weight_norm", 9).alias("weight_norm")
+    ).orderBy("label")
+
+
+def q164_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa (classify.cohens_kappa) between the order
+    priority and a deterministically-perturbed second rating (every
+    7th order re-labeled URGENT) — the annotator-agreement audit a
+    labeling pipeline runs before trusting labels. Agreement and
+    marginal products are exact bigint sums; po/pe/kappa derive
+    row-local. Oracle: identical total/marginal CTEs."""
+    from pandas_ai_spark.functions.classify import cohens_kappa
+
+    orders = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("rater_a"),
+        F.when(F.col("o_orderkey") % 7 == 0, F.lit("1-URGENT"))
+         .otherwise(F.col("o_orderpriority")).alias("rater_b"))
+    out = cohens_kappa(orders, "rater_a", "rater_b")
+    return out.select(
+        "n", F.round("po", 9).alias("po"),
+        F.round("pe", 9).alias("pe"),
+        F.round("kappa", 9).alias("kappa"))
+
+
+def q165_classification_report(spark: SparkSession, sf_dir: str
+                               ) -> DataFrame:
+    """Per-class precision/recall/F1 (classify.classification_report)
+    of the built-in n-gram language detector (q18's
+    text.detect_language) against the documents table's gold lang
+    labels — a REAL evaluation of one engine component by another.
+    One (truth, pred) cell aggregation is the only data shuffle;
+    marginals/diagonal are rollups of the tiny cell table stitched by
+    coalesced outer joins. The 'und' prediction class has no gold
+    rows: NULL recall, defined precision. Oracle: the q18 detector
+    SQL + identical confusion arithmetic."""
+    from pandas_ai_spark.functions.classify import (
+        classification_report)
+    from pandas_ai_spark.functions.text import detect_language
+
+    docs = _t(spark, sf_dir, "documents")
+    preds = docs.select(
+        F.col("lang"),
+        detect_language(F.col("text")).alias("pred"))
+    out = classification_report(preds, "lang", "pred")
+    return out.select(
+        "cls", "n_true", "n_pred", "tp",
+        F.round("precision", 9).alias("precision"),
+        F.round("recall", 9).alias("recall"),
+        F.round("f1", 9).alias("f1")).orderBy("cls")
+
+
 def _mmr_reference(sf_dir: str = "/root/testdata/sf0.01") -> list:
     """Standalone MMR reference (Carbonell & Goldstein's greedy
     algorithm in plain numpy) over the same embeddings table: exact
@@ -4137,6 +4204,9 @@ def queries_numeric() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q160_ks_fdr": q160_ks_fdr,
         "q161_nelson_aalen": q161_nelson_aalen,
         "q162_mmr_rerank": q162_mmr_rerank,
+        "q163_class_balance": q163_class_balance,
+        "q164_cohens_kappa": q164_cohens_kappa,
+        "q165_classification_report": q165_classification_report,
     }
 
 
@@ -7716,6 +7786,117 @@ def oracle_sql() -> dict[str, str]:
             FROM s ORDER BY t
         """,
         "q162_mmr_rerank": _q162_oracle(),
+        "q163_class_balance": """
+            WITH counts AS (
+              SELECT lang AS label, CAST(count(*) AS BIGINT) AS n
+              FROM documents GROUP BY 1
+            ), w AS (
+              SELECT label, n,
+                     (1.0 - 0.99::DOUBLE)
+                     / (1.0 - pow(0.99::DOUBLE, CAST(n AS DOUBLE)))
+                       AS weight
+              FROM counts
+            ), tot AS (
+              SELECT sum(weight) AS w_sum,
+                     CAST(count(*) AS BIGINT) AS k
+              FROM w
+            )
+            SELECT label, n, round(weight, 9) AS weight,
+                   round(weight * CAST(k AS DOUBLE) / w_sum, 9)
+                     AS weight_norm
+            FROM w CROSS JOIN tot ORDER BY label
+        """,
+        "q164_cohens_kappa": """
+            WITH base AS (
+              SELECT o_orderpriority AS a,
+                     CASE WHEN o_orderkey % 7 = 0 THEN '1-URGENT'
+                          ELSE o_orderpriority END AS b
+              FROM orders
+            ), tot AS (
+              SELECT CAST(count(*) AS BIGINT) AS n,
+                     CAST(sum((a = b)::INT) AS BIGINT) AS agree
+              FROM base
+            ), ma AS (
+              SELECT a AS c, CAST(count(*) AS BIGINT) AS na
+              FROM base GROUP BY 1
+            ), mb AS (
+              SELECT b AS c, CAST(count(*) AS BIGINT) AS nb
+              FROM base GROUP BY 1
+            ), pe_num AS (
+              SELECT CAST(sum(na * nb) AS BIGINT) AS pn
+              FROM ma JOIN mb USING (c)
+            ), j AS (
+              SELECT n, agree, pn,
+                     CAST(agree AS DOUBLE) / CAST(n AS DOUBLE)
+                       AS po,
+                     CAST(pn AS DOUBLE)
+                     / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) AS pe
+              FROM tot CROSS JOIN pe_num
+            )
+            SELECT n, round(po, 9) AS po, round(pe, 9) AS pe,
+                   round(CASE WHEN pe < 1.0::DOUBLE THEN
+                     (po - pe) / (1.0 - pe) END, 9) AS kappa
+            FROM j
+        """,
+        "q165_classification_report": """
+            WITH toks AS (
+              SELECT doc_id, lang,
+                     regexp_split_to_array(lower(trim(text)), '\\s+')
+                       AS t
+              FROM documents
+            ), scores AS (
+              SELECT doc_id, lang,
+                len(list_filter(t, x -> x IN ('der','die','das','und','ist','nicht','ein','mit','auf','zu'))) AS s_de,
+                len(list_filter(t, x -> x IN ('the','and','of','to','in','is','it','that','was','for'))) AS s_en,
+                len(list_filter(t, x -> x IN ('el','la','los','las','es','una','para','con','por','del'))) AS s_es,
+                len(list_filter(t, x -> x IN ('le','la','les','et','est','des','une','dans','que','pour'))) AS s_fr
+              FROM toks
+            ), pred AS (
+              SELECT lang AS t,
+                     CASE WHEN greatest(s_de, s_en, s_es, s_fr) = 0
+                            THEN 'und'
+                          WHEN s_de = greatest(s_de, s_en, s_es,
+                                               s_fr) THEN 'de'
+                          WHEN s_en = greatest(s_de, s_en, s_es,
+                                               s_fr) THEN 'en'
+                          WHEN s_es = greatest(s_de, s_en, s_es,
+                                               s_fr) THEN 'es'
+                          ELSE 'fr' END AS p
+              FROM scores
+            ), cells AS (
+              SELECT t, p, CAST(count(*) AS BIGINT) AS n
+              FROM pred WHERE t IS NOT NULL AND p IS NOT NULL
+              GROUP BY 1, 2
+            ), truth AS (
+              SELECT t AS cls, CAST(sum(n) AS BIGINT) AS n_true
+              FROM cells GROUP BY 1
+            ), predm AS (
+              SELECT p AS cls, CAST(sum(n) AS BIGINT) AS n_pred
+              FROM cells GROUP BY 1
+            ), diag AS (
+              SELECT t AS cls, n AS tp0 FROM cells WHERE t = p
+            ), j AS (
+              SELECT cls,
+                     CAST(coalesce(n_true, 0) AS BIGINT) AS n_true,
+                     CAST(coalesce(n_pred, 0) AS BIGINT) AS n_pred,
+                     CAST(coalesce(tp0, 0) AS BIGINT) AS tp
+              FROM truth FULL JOIN predm USING (cls)
+              LEFT JOIN diag USING (cls)
+            ), m AS (
+              SELECT *,
+                     CASE WHEN n_pred > 0 THEN CAST(tp AS DOUBLE)
+                          / CAST(n_pred AS DOUBLE) END AS p_,
+                     CASE WHEN n_true > 0 THEN CAST(tp AS DOUBLE)
+                          / CAST(n_true AS DOUBLE) END AS r_
+              FROM j
+            )
+            SELECT cls, n_true, n_pred, tp,
+                   round(p_, 9) AS precision,
+                   round(r_, 9) AS recall,
+                   round(CASE WHEN p_ + r_ > 0 THEN
+                     2.0 * p_ * r_ / (p_ + r_) END, 9) AS f1
+            FROM m ORDER BY cls
+        """,
     }
 
 

@@ -196,3 +196,136 @@ def loo_target_encode(df: DataFrame, cat_col: str, target_expr,
         (F.col("__sum_y") - y)
         / (F.col("__n_cat") - F.lit(1)).cast("double"))
     return out.withColumn(out_col, enc).drop("__sum_y", "__n_cat")
+
+
+def class_balance_weights(df: DataFrame, label_col: str,
+                          beta: float = 0.999) -> DataFrame:
+    """Class-balanced loss weights via the effective number of
+    samples (Cui et al., CVPR'19): per class
+    ``weight = (1 - beta) / (1 - beta^n)`` — the reweighting a
+    training pipeline applies when the label distribution is skewed
+    (beta -> 1 approaches inverse-frequency, beta -> 0 approaches
+    uniform). ``weight_norm`` rescales so the weights sum to the
+    class count (the convention that keeps the overall loss scale
+    unchanged). One row per class ``(label, n, weight,
+    weight_norm)``; NULL labels form their own class.
+
+    Scale shape: ONE map-side-combined label aggregation (shuffle
+    bounded by the class count) plus a scalar fold of the weight sum
+    — the weight itself is row-local from the exact integer count.
+    """
+    if not (0.0 < beta < 1.0):
+        raise ValueError("beta must be in (0, 1)")
+    from .fold import fold_scalars
+
+    b = float(beta)
+    counts = df.groupBy(F.col(label_col).alias("label")).agg(
+        F.count("*").cast("bigint").alias("n"))
+    w = ((F.lit(1.0) - F.lit(b))
+         / (F.lit(1.0) - F.pow(F.lit(b), F.col("n").cast("double"))))
+    weighted = counts.withColumn("weight", w)
+    totals = weighted.agg(
+        F.sum("weight").alias("__w_sum"),
+        F.count("*").cast("bigint").alias("__k"))
+    return fold_scalars(weighted, totals).select(
+        "label", "n", "weight",
+        (F.col("weight") * F.col("__k").cast("double")
+         / F.col("__w_sum")).alias("weight_norm"))
+
+
+def cohens_kappa(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
+    """Cohen's kappa inter-rater agreement over two categorical
+    rating columns — the labeling-QA gate a training-data annotation
+    pipeline runs before trusting labels: one row
+    ``(n, po, pe, kappa)`` where ``po`` is observed agreement,
+    ``pe = sum_c (n_a_c * n_b_c) / N^2`` chance agreement, and
+    ``kappa = (po - pe) / (1 - pe)`` (NULL when pe = 1 — both raters
+    constant). Rows where either rating is NULL are excluded.
+
+    Determinism: agreement and both marginal products are exact
+    bigint sums; every ratio derives row-local — bit-identical
+    across engines.
+
+    Scale shape: one scalar (N, agree) aggregation over the pair
+    stream; two map-side-combined marginal aggregations (bounded by
+    category counts) joined on the category and collapsed to the
+    single ``pe`` numerator; two scalar folds stitch the one-row
+    results — nothing is collected.
+    """
+    from .fold import fold_scalars
+
+    a, b = F.col(col_a), F.col(col_b)
+    base = df.where(a.isNotNull() & b.isNotNull()).select(
+        a.alias("__a"), b.alias("__b"))
+    tot = base.agg(
+        F.count("*").cast("bigint").alias("__n"),
+        F.sum((F.col("__a") == F.col("__b")).cast("bigint"))
+         .cast("bigint").alias("__agree"))
+    ma = base.groupBy(F.col("__a").alias("__c")).agg(
+        F.count("*").cast("bigint").alias("__na"))
+    mb = base.groupBy(F.col("__b").alias("__c")).agg(
+        F.count("*").cast("bigint").alias("__nb"))
+    pe_num = (ma.join(mb, "__c")
+              .agg(F.sum(F.col("__na") * F.col("__nb"))
+                   .cast("bigint").alias("__pe_num")))
+    j = fold_scalars(tot, pe_num)
+    n = F.col("__n").cast("double")
+    po = F.col("__agree").cast("double") / n
+    pe = F.col("__pe_num").cast("double") / (n * n)
+    return j.select(
+        F.col("__n").alias("n"),
+        po.alias("po"),
+        pe.alias("pe"),
+        F.when(pe < 1.0, (po - pe) / (F.lit(1.0) - pe))
+         .alias("kappa"))
+
+
+def classification_report(df: DataFrame, label_col: str,
+                          pred_col: str) -> DataFrame:
+    """Per-class precision / recall / F1 from a (truth, prediction)
+    pair stream — the evaluation table for any classifier-gated
+    pipeline stage (quality filters, language id, routing): one row
+    per class observed on EITHER side,
+    ``(cls, n_true, n_pred, tp, precision, recall, f1)`` with NULL
+    precision for never-predicted classes, NULL recall for
+    never-true classes, and NULL f1 when undefined (p + r = 0 or
+    either side NULL). Rows with a NULL label or prediction are
+    excluded.
+
+    Determinism: the confusion cells are one exact integer
+    aggregation; every metric derives row-local from those counts.
+
+    Scale shape: ONE map-side-combined (label, pred) cell
+    aggregation (the only shuffle over the data — bounded by the
+    class-pair count); marginals and the diagonal are rollups/filters
+    of that tiny cell table, stitched with coalesced outer joins on
+    the class key.
+    """
+    base = df.where(F.col(label_col).isNotNull()
+                    & F.col(pred_col).isNotNull())
+    cells = base.groupBy(
+        F.col(label_col).alias("__t"),
+        F.col(pred_col).alias("__p")).agg(
+        F.count("*").cast("bigint").alias("__n"))
+    truth = cells.groupBy(F.col("__t").alias("cls")).agg(
+        F.sum("__n").cast("bigint").alias("n_true"))
+    preds = cells.groupBy(F.col("__p").alias("cls")).agg(
+        F.sum("__n").cast("bigint").alias("n_pred"))
+    diag = cells.where(F.col("__t") == F.col("__p")).select(
+        F.col("__t").alias("cls"), F.col("__n").alias("__tp"))
+    out = (truth.join(preds, "cls", "full_outer")
+           .join(diag, "cls", "left"))
+    tp = F.coalesce(F.col("__tp"), F.lit(0)).cast("bigint")
+    p = F.when(F.col("n_pred") > 0,
+               tp.cast("double") / F.col("n_pred").cast("double"))
+    r = F.when(F.col("n_true") > 0,
+               tp.cast("double") / F.col("n_true").cast("double"))
+    f1 = F.when(p + r > 0, F.lit(2.0) * p * r / (p + r))
+    return out.select(
+        "cls",
+        F.coalesce("n_true", F.lit(0)).cast("bigint")
+         .alias("n_true"),
+        F.coalesce("n_pred", F.lit(0)).cast("bigint")
+         .alias("n_pred"),
+        tp.alias("tp"),
+        p.alias("precision"), r.alias("recall"), f1.alias("f1"))

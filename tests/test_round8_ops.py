@@ -1192,3 +1192,105 @@ class TestMmrRerank:
             mmr_rerank(self._cand(spark, rows), k=0)
         with pytest.raises(ValueError):
             mmr_rerank(self._cand(spark, rows), lam=1.5)
+
+
+# ---------------------------------------------------------------------------
+# classify.class_balance_weights (q163) / cohens_kappa (q164) /
+# classification_report (q165)
+# ---------------------------------------------------------------------------
+
+class TestClassBalanceWeights:
+    def test_known_values(self, spark):
+        from pandas_ai_spark.functions.classify import (
+            class_balance_weights)
+
+        df = spark.createDataFrame(
+            [("a",)] * 9 + [("b",)] * 1, ["y"])
+        out = {r.label: r for r in
+               class_balance_weights(df, "y", beta=0.5).collect()}
+        # w_a = .5/(1-.5^9), w_b = .5/(1-.5) = 1
+        wa = 0.5 / (1 - 0.5 ** 9)
+        assert abs(out["a"].weight - wa) < 1e-12
+        assert abs(out["b"].weight - 1.0) < 1e-12
+        # rare class gets the larger weight; norms sum to k=2
+        assert out["b"].weight_norm > out["a"].weight_norm
+        assert abs(out["a"].weight_norm + out["b"].weight_norm
+                   - 2.0) < 1e-12
+
+    def test_bad_beta(self, spark):
+        from pandas_ai_spark.functions.classify import (
+            class_balance_weights)
+
+        df = spark.createDataFrame([("a",)], ["y"])
+        with pytest.raises(ValueError):
+            class_balance_weights(df, "y", beta=1.0)
+
+
+class TestCohensKappa:
+    def test_perfect_and_chance(self, spark):
+        from pandas_ai_spark.functions.classify import cohens_kappa
+
+        same = spark.createDataFrame(
+            [("x", "x"), ("y", "y"), ("x", "x"), ("y", "y")],
+            ["a", "b"])
+        r = cohens_kappa(same, "a", "b").collect()[0]
+        assert r.po == 1.0 and abs(r.kappa - 1.0) < 1e-12
+
+        # rater b constant: pe = po -> kappa 0 (no skill over chance)
+        const = spark.createDataFrame(
+            [("x", "x"), ("y", "x")], ["a", "b"])
+        r2 = cohens_kappa(const, "a", "b").collect()[0]
+        assert abs(r2.kappa - 0.0) < 1e-12
+
+    def test_textbook_example(self, spark):
+        from pandas_ai_spark.functions.classify import cohens_kappa
+
+        # classic 2x2: 20 yes-yes, 5 yes-no, 10 no-yes, 15 no-no
+        rows = ([("y", "y")] * 20 + [("y", "n")] * 5
+                + [("n", "y")] * 10 + [("n", "n")] * 15)
+        r = cohens_kappa(spark.createDataFrame(rows, ["a", "b"]),
+                         "a", "b").collect()[0]
+        # po = 35/50 = .7; pe = (25*30 + 25*20)/2500 = .5
+        assert abs(r.po - 0.7) < 1e-12
+        assert abs(r.pe - 0.5) < 1e-12
+        assert abs(r.kappa - 0.4) < 1e-12
+
+    def test_both_constant_identical_is_null(self, spark):
+        from pandas_ai_spark.functions.classify import cohens_kappa
+
+        df = spark.createDataFrame([("x", "x")] * 3, ["a", "b"])
+        r = cohens_kappa(df, "a", "b").collect()[0]
+        assert r.kappa is None  # pe = 1, undefined
+
+
+class TestClassificationReport:
+    def test_known_confusion(self, spark):
+        from pandas_ai_spark.functions.classify import (
+            classification_report)
+
+        # truth a a a b b; pred a a b b c
+        rows = [("a", "a"), ("a", "a"), ("a", "b"),
+                ("b", "b"), ("b", "c")]
+        out = {r.cls: r for r in
+               classification_report(
+                   spark.createDataFrame(rows, ["t", "p"]),
+                   "t", "p").collect()}
+        assert out["a"].tp == 2 and out["a"].n_true == 3
+        assert abs(out["a"].precision - 1.0) < 1e-12
+        assert abs(out["a"].recall - 2 / 3) < 1e-12
+        assert abs(out["a"].f1 - 0.8) < 1e-12
+        # class c never true: recall NULL, precision 0
+        assert out["c"].n_true == 0 and out["c"].recall is None
+        assert out["c"].precision == 0.0 and out["c"].f1 is None
+
+    def test_never_predicted_class(self, spark):
+        from pandas_ai_spark.functions.classify import (
+            classification_report)
+
+        rows = [("a", "b"), ("a", "b")]
+        out = {r.cls: r for r in
+               classification_report(
+                   spark.createDataFrame(rows, ["t", "p"]),
+                   "t", "p").collect()}
+        assert out["a"].n_pred == 0 and out["a"].precision is None
+        assert out["a"].recall == 0.0

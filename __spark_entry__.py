@@ -3488,6 +3488,53 @@ def q165_classification_report(spark: SparkSession, sf_dir: str
         F.round("f1", 9).alias("f1")).orderBy("cls")
 
 
+def q166_calibration_error(spark: SparkSession, sf_dir: str
+                           ) -> DataFrame:
+    """Expected Calibration Error
+    (classify.expected_calibration_error, Naeini et al.): the q134
+    decile reliability table rolled up to the single number a
+    score-gated pipeline tracks per model version —
+    sum (n_b/N)|avg_score_b - pos_rate_b| over the q54 scores vs the
+    is-English outcome. Same shape as q134 plus a scalar N fold and
+    one rollup. Oracle: the shared q54/q134 CTEs with the identical
+    rollup on unrounded bucket stats."""
+    from pandas_ai_spark.functions.classify import (
+        expected_calibration_error, hashed_feature_score)
+
+    docs = _t(spark, sf_dir, "documents")
+    per = docs.select(
+        hashed_feature_score(F.col("text")).alias("score"),
+        (F.col("lang") == "en").cast("int").alias("outcome"))
+    out = expected_calibration_error(per, "score", "outcome",
+                                     n_buckets=10)
+    return out.select(
+        "n", "n_buckets", F.round("ece", 9).alias("ece"))
+
+
+def q167_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ROC AUC (classify.auc) of the q54 hashing-trick scores
+    against the is-English label via the Mann-Whitney identity
+    U_pos/(n_pos*n_neg) — computed distributed with midrank tie
+    handling and NO curve materialization or sampling: scores
+    collapse to the value grain, doubled midranks accumulate as exact
+    bigints (the q159 machinery), AUC derives row-local. The ordered
+    window runs over the post-aggregation DISTINCT-SCORES grain
+    (plan-audit ALLOW, the q114 pattern). Oracle: the shared q54
+    score CTEs + the q159 doubled-midrank algebra."""
+    from pandas_ai_spark.functions.classify import (
+        auc, hashed_feature_score)
+
+    docs = _t(spark, sf_dir, "documents")
+    per = docs.select(
+        hashed_feature_score(F.col("text")).alias("score"),
+        F.col("lang"))
+    out = auc(per, "score", "lang = 'en'")
+    return out.select(
+        "n_pos", "n_neg",
+        F.round("auc", 9).alias("auc"),
+        F.round("z", 9).alias("z"))
+
+
 def _mmr_reference(sf_dir: str = "/root/testdata/sf0.01") -> list:
     """Standalone MMR reference (Carbonell & Goldstein's greedy
     algorithm in plain numpy) over the same embeddings table: exact
@@ -3597,16 +3644,14 @@ def _q153_oracle() -> str:
     """
 
 
-def _q134_oracle() -> str:
-    """Calibration oracle: the q54 hashing-trick score SQL (same _TOKS
-    macro and md5-bucket weights) + is-English outcome + quantile_cont
-    decile edges + the strict-greater scoring chain on the UNROUNDED
-    score (rounding only in the projection)."""
-    chain = " + ".join(f"(score > ed[{i}])::INT" for i in range(1, 10))
-    fr = "[" + ", ".join(str(i / 10) for i in range(1, 10)) + "]"
+def _q54_score_ctes() -> str:
+    """Shared q54 hashing-trick score CTEs (same _TOKS macro and
+    md5-bucket weights) + is-English outcome — the scored-document
+    stream q134 (calibration), q166 (ECE) and q167 (AUC) all start
+    from."""
     return f"""
         WITH tk AS (
-          SELECT doc_id, lang, {_TOKS} AS toks FROM documents
+          SELECT doc_id, lang, {{_toks}} AS toks FROM documents
         ), s AS (
           SELECT coalesce(list_sum(list_transform(toks,
                    t -> ('0x' || substr(md5(t), 1, 8))::BIGINT
@@ -3614,15 +3659,92 @@ def _q134_oracle() -> str:
                  / (greatest(len(toks), 1) * 1000.0) AS score,
                  CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS outcome
           FROM tk
-        ), e AS (SELECT quantile_cont(score, {fr}) AS ed FROM s),
+        )""".replace("{_toks}", _TOKS)
+
+
+def _q134_bucket_ctes() -> str:
+    """The scored stream bucketed into deciles: quantile_cont edges +
+    the strict-greater scoring chain on the UNROUNDED score."""
+    chain = " + ".join(f"(score > ed[{i}])::INT" for i in range(1, 10))
+    fr = "[" + ", ".join(str(i / 10) for i in range(1, 10)) + "]"
+    return f"""{_q54_score_ctes()},
+        e AS (SELECT quantile_cont(score, {fr}) AS ed FROM s),
         b AS (
           SELECT score, outcome, 1 + {chain} AS bucket
           FROM s CROSS JOIN e
-        )
+        )"""
+
+
+def _q134_oracle() -> str:
+    """Calibration oracle: rounding only in the projection."""
+    return f"""{_q134_bucket_ctes()}
         SELECT bucket, count(*)::BIGINT AS n,
                round(avg(score), 6) AS avg_score,
                round(avg(outcome::DOUBLE), 6) AS pos_rate
         FROM b GROUP BY bucket ORDER BY bucket
+    """
+
+
+def _q166_oracle() -> str:
+    """ECE oracle: the q134 bucket CTEs rolled up to
+    sum (n_b/N) * |avg_score - pos_rate| on UNROUNDED bucket stats."""
+    return f"""{_q134_bucket_ctes()},
+        g AS (
+          SELECT bucket, CAST(count(*) AS BIGINT) AS n,
+                 avg(score) AS avg_s,
+                 avg(outcome::DOUBLE) AS pos_r
+          FROM b GROUP BY bucket
+        ), t AS (SELECT CAST(sum(n) AS BIGINT) AS nt FROM g)
+        SELECT nt AS n, CAST(count(*) AS BIGINT) AS n_buckets,
+               round(sum(CAST(g.n AS DOUBLE) / CAST(nt AS DOUBLE)
+                         * abs(avg_s - pos_r)), 9) AS ece
+        FROM g CROSS JOIN t GROUP BY nt
+    """
+
+
+def _q167_oracle() -> str:
+    """AUC oracle: the q159 doubled-midrank Mann-Whitney algebra over
+    the q54 score grain, AUC = U_pos/(n_pos*n_neg)."""
+    return f"""{_q54_score_ctes()}, base AS (
+          SELECT score AS v, CAST(outcome AS BIGINT) AS a FROM s
+        ), grain AS (
+          SELECT v, CAST(sum(a) AS BIGINT) AS ta,
+                 CAST(sum(1 - a) AS BIGINT) AS tb
+          FROM base GROUP BY 1
+        ), ranked AS (
+          SELECT ta, tb, ta + tb AS t,
+                 2 * (sum(ta + tb) OVER (
+                        ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND CURRENT ROW) - (ta + tb))
+                 + (ta + tb) + 1 AS r2
+          FROM grain
+        ), g AS (
+          SELECT CAST(sum(ta) AS BIGINT) AS n_a,
+                 CAST(sum(tb) AS BIGINT) AS n_b,
+                 CAST(sum(ta * r2) AS BIGINT) AS ra2,
+                 CAST(sum(t * t * t - t) AS BIGINT) AS ties
+          FROM ranked
+        ), fin AS (
+          SELECT n_a, n_b,
+                 CAST(ra2 - n_a * (n_a + 1) AS DOUBLE) / 2.0 AS u,
+                 CAST(n_a AS DOUBLE) AS nad,
+                 CAST(n_b AS DOUBLE) AS nbd,
+                 CAST(ties AS DOUBLE) AS tiesd
+          FROM g
+        ), v AS (
+          SELECT *,
+                 nad * nbd / 12.0
+                 * ((nad + nbd + 1.0)
+                    - tiesd / ((nad + nbd)
+                               * (nad + nbd - 1.0))) AS var_
+          FROM fin
+        )
+        SELECT n_a AS n_pos, n_b AS n_neg,
+               round(CASE WHEN n_a > 0 AND n_b > 0 THEN
+                 u / (nad * nbd) END, 9) AS auc,
+               round(CASE WHEN var_ > 0 THEN
+                 (u - nad * nbd / 2.0) / sqrt(var_) END, 9) AS z
+        FROM v
     """
 
 
@@ -4207,6 +4329,8 @@ def queries_numeric() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q163_class_balance": q163_class_balance,
         "q164_cohens_kappa": q164_cohens_kappa,
         "q165_classification_report": q165_classification_report,
+        "q166_calibration_error": q166_calibration_error,
+        "q167_auc": q167_auc,
     }
 
 
@@ -7897,6 +8021,8 @@ def oracle_sql() -> dict[str, str]:
                      2.0 * p_ * r_ / (p_ + r_) END, 9) AS f1
             FROM m ORDER BY cls
         """,
+        "q166_calibration_error": _q166_oracle(),
+        "q167_auc": _q167_oracle(),
     }
 
 

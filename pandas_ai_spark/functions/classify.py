@@ -329,3 +329,64 @@ def classification_report(df: DataFrame, label_col: str,
          .alias("n_pred"),
         tp.alias("tp"),
         p.alias("precision"), r.alias("recall"), f1.alias("f1"))
+
+
+def expected_calibration_error(df: DataFrame, score_col: str,
+                               outcome_col: str,
+                               n_buckets: int = 10,
+                               approx: bool | None = None
+                               ) -> DataFrame:
+    """Expected Calibration Error (Naeini et al., AAAI'15) — the
+    scalar the per-bin :func:`calibration_table` rolls up to:
+    ``ECE = sum_b (n_b / N) * |avg_score_b - pos_rate_b|`` over
+    equi-population score bins. One row
+    ``(n, n_buckets, ece)`` — the single number a score-gated
+    pipeline tracks per model version, with the full table kept for
+    diagnosis.
+
+    Scale shape: :func:`calibration_table`'s shape (scalar quantile
+    edges + row-local bucketing + one grouped aggregation) plus a
+    scalar fold of N and one final rollup of the bucket table.
+    """
+    from .fold import fold_scalars
+
+    tab = calibration_table(df, score_col, outcome_col,
+                            n_buckets=n_buckets, approx=approx)
+    tot = tab.agg(F.sum("n").cast("bigint").alias("__nt"))
+    j = fold_scalars(tab, tot)
+    term = (F.col("n").cast("double")
+            / F.col("__nt").cast("double")
+            * F.abs(F.col("avg_score") - F.col("pos_rate")))
+    return j.agg(
+        F.first("__nt").alias("n"),
+        F.count("*").cast("bigint").alias("n_buckets"),
+        F.sum(term).alias("ece"))
+
+
+def auc(df: DataFrame, score_col: str, label_expr) -> DataFrame:
+    """Exact ROC AUC at any scale via the Mann-Whitney identity
+    ``AUC = U_pos / (n_pos * n_neg)`` with midrank tie handling —
+    the probability a random positive outscores a random negative,
+    computed WITHOUT materializing the ROC curve or sampling:
+    :func:`~pandas_ai_spark.functions.stats.mann_whitney_u` collapses
+    the scores to the (value) grain, accumulates DOUBLED midranks as
+    exact bigints, and AUC derives row-local — bit-identical across
+    engines. One row ``(n_pos, n_neg, auc, z)``; ``z`` is the
+    tie-corrected normal statistic (|z| > 1.96 ⇒ the ranking beats
+    chance at 5%). ``label_expr`` is a SQL boolean; NULL counts as
+    negative.
+    """
+    from pandas_ai_spark.functions.stats import mann_whitney_u
+
+    lab = F.when(F.coalesce(F.expr(label_expr), F.lit(False)),
+                 F.lit("p")).otherwise(F.lit("n"))
+    base = df.withColumn("__lab", lab)
+    mw = mann_whitney_u(base, score_col, "__lab", "p", "n")
+    return mw.select(
+        F.col("n_a").alias("n_pos"),
+        F.col("n_b").alias("n_neg"),
+        F.when((F.col("n_a") > 0) & (F.col("n_b") > 0),
+               F.col("u_a") / (F.col("n_a").cast("double")
+                               * F.col("n_b").cast("double")))
+         .alias("auc"),
+        "z")

@@ -1294,3 +1294,78 @@ class TestClassificationReport:
                    "t", "p").collect()}
         assert out["a"].n_pred == 0 and out["a"].precision is None
         assert out["a"].recall == 0.0
+
+
+# ---------------------------------------------------------------------------
+# classify.expected_calibration_error (q166) / classify.auc (q167)
+# ---------------------------------------------------------------------------
+
+class TestExpectedCalibrationError:
+    def test_perfectly_calibrated_is_zero_ish(self, spark):
+        from pandas_ai_spark.functions.classify import (
+            expected_calibration_error)
+
+        # score == outcome -> every bin has avg_score == pos_rate
+        rows = [(float(i % 2), i % 2) for i in range(100)]
+        df = spark.createDataFrame(rows, ["score", "outcome"])
+        r = expected_calibration_error(
+            df, "score", "outcome", n_buckets=2).collect()[0]
+        assert r.ece < 1e-12 and r.n == 100
+
+    def test_overconfident_model(self, spark):
+        from pandas_ai_spark.functions.classify import (
+            expected_calibration_error)
+
+        # model says 0.9 everywhere, true rate 0.5 -> ECE = 0.4
+        rows = [(0.9, i % 2) for i in range(100)]
+        df = spark.createDataFrame(rows, ["score", "outcome"])
+        r = expected_calibration_error(
+            df, "score", "outcome", n_buckets=2).collect()[0]
+        assert abs(r.ece - 0.4) < 1e-12
+
+
+class TestAuc:
+    def test_perfect_and_random(self, spark):
+        from pandas_ai_spark.functions.classify import auc
+
+        # perfect separation: every positive above every negative
+        rows = [(float(i), i >= 10) for i in range(20)]
+        df = spark.createDataFrame(rows, ["score", "y"])
+        r = auc(df, "score", "y").collect()[0]
+        assert r.n_pos == 10 and r.n_neg == 10
+        assert abs(r.auc - 1.0) < 1e-15
+
+        # anti-perfect -> 0
+        rows2 = [(float(-i), i >= 10) for i in range(20)]
+        r2 = auc(spark.createDataFrame(rows2, ["score", "y"]),
+                 "score", "y").collect()[0]
+        assert abs(r2.auc - 0.0) < 1e-15
+
+    def test_ties_give_half_credit(self, spark):
+        from pandas_ai_spark.functions.classify import auc
+
+        # all scores identical -> AUC exactly 0.5 via midranks
+        rows = [(1.0, i % 2 == 0) for i in range(10)]
+        r = auc(spark.createDataFrame(rows, ["score", "y"]),
+                "score", "y").collect()[0]
+        assert abs(r.auc - 0.5) < 1e-15
+
+    def test_matches_sklearn_formula(self, spark):
+        from pandas_ai_spark.functions.classify import auc
+
+        # hand-computed: pos scores [3, 2], neg scores [1, 2]
+        # pairs: (3>1)=1, (3>2)=1, (2>1)=1, (2==2)=.5 -> U=3.5
+        # AUC = 3.5 / 4 = 0.875
+        rows = [(3.0, True), (2.0, True), (1.0, False),
+                (2.0, False)]
+        r = auc(spark.createDataFrame(rows, ["score", "y"]),
+                "score", "y").collect()[0]
+        assert abs(r.auc - 0.875) < 1e-15
+
+    def test_degenerate_single_class(self, spark):
+        from pandas_ai_spark.functions.classify import auc
+
+        rows = [(1.0, True), (2.0, True)]
+        r = auc(spark.createDataFrame(rows, ["score", "y"]),
+                "score", "y").collect()[0]
+        assert r.auc is None and r.n_neg == 0

@@ -66,6 +66,10 @@ ALLOW: dict[str, set[str]] = {
     # survival.nelson_aalen); also shares q114's scalar count() at
     # plan-build time (the subject-total literal)
     "q161_nelson_aalen": {"global_window"},
+    # AUC's midrank window runs over the post-aggregation
+    # DISTINCT-SCORES grain (the q114 duration-spine pattern) — the
+    # subject stream is fully map-side reduced before one task sees it
+    "q167_auc": {"global_window"},
     # tfidf / cross-entropy / decontamination / span excision compute a
     # scalar count() (documented) — plan still audited below
 }

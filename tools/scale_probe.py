@@ -110,6 +110,9 @@ DEFAULT = [
     "q160_ks_fdr",              # per-nation ECDF windows + bounded BH
     "q161_nelson_aalen",        # duration-grain cumulative window
     "q162_mmr_rerank",          # brute-force pool + per-query greedy
+    "q164_cohens_kappa",        # pair agg + marginal-product join
+    "q165_classification_report",  # one cell agg + rollup joins
+    "q167_auc",                 # score-grain midrank window
 ]
 
 

@@ -3535,6 +3535,78 @@ def q167_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("z", 9).alias("z"))
 
 
+def q168_isotonic_calibration(spark: SparkSession, sf_dir: str
+                              ) -> DataFrame:
+    """Isotonic (PAV) calibration map (classify.isotonic_calibration)
+    over the q134 reliability deciles: pool-adjacent-violators
+    enforces a monotone calibrated rate (Zadrozny & Elkan) — the
+    post-hoc calibrator applied when the reliability table wobbles.
+    The expensive part is the q134 table itself; PAV runs on the
+    bounded 10-row grain in one applyInPandas group, pooling by
+    exact integer (events, n) cross-multiplication. Oracle:
+    generated-literal VALUES — DuckDB computes the identical bucket
+    stats via the shared q134 CTEs, a standalone Python PAV pools
+    them (same integer comparisons), rounding applied in SQL."""
+    from pandas_ai_spark.functions.classify import (
+        hashed_feature_score, isotonic_calibration)
+
+    docs = _t(spark, sf_dir, "documents")
+    per = docs.select(
+        hashed_feature_score(F.col("text")).alias("score"),
+        (F.col("lang") == "en").cast("int").alias("outcome"))
+    out = isotonic_calibration(per, "score", "outcome",
+                               n_buckets=10)
+    return out.select(
+        "bucket", "n",
+        F.round("avg_score", 6).alias("avg_score"),
+        F.round("pos_rate", 6).alias("pos_rate"),
+        F.round("calibrated", 9).alias("calibrated")
+    ).orderBy("bucket")
+
+
+def _q168_oracle(sf_dir: str = "/root/testdata/sf0.01") -> str:
+    """Isotonic oracle: DuckDB evaluates the shared q134 bucket CTEs
+    for exact (bucket, n, events) + its own avg_score; a standalone
+    PAV (integer cross-multiplication pooling — no float division in
+    the comparisons) produces the calibrated column; everything is
+    emitted as full-precision VALUES with rounding in SQL. Assumes
+    the driver's sf0.01 correctness scale."""
+    import duckdb as _dd
+
+    con = _dd.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/documents.parquet')")
+    rows = con.execute(f"""{_q134_bucket_ctes()}
+        SELECT bucket, CAST(count(*) AS BIGINT) AS n,
+               avg(score) AS avg_score,
+               CAST(sum(outcome) AS BIGINT) AS events
+        FROM b GROUP BY bucket ORDER BY bucket""").fetchall()
+    blocks = []  # [n, events, span]
+    for _, n, _, e in rows:
+        blocks.append([n, e, 1])
+        while (len(blocks) > 1
+               and blocks[-2][1] * blocks[-1][0]
+               > blocks[-1][1] * blocks[-2][0]):
+            n2, e2, s2 = blocks.pop()
+            blocks[-1][0] += n2
+            blocks[-1][1] += e2
+            blocks[-1][2] += s2
+    cal = []
+    for n_, e_, span in blocks:
+        cal += [float(e_) / float(n_)] * span
+    vals = ", ".join(
+        f"({b}, {n}::BIGINT, {a!r}::DOUBLE, "
+        f"{float(e) / float(n)!r}::DOUBLE, {c!r}::DOUBLE)"
+        for (b, n, a, e), c in zip(rows, cal))
+    return (f"SELECT bucket, n, round(avg_score, 6) AS avg_score, "
+            f"round(pos_rate, 6) AS pos_rate, "
+            f"round(calibrated, 9) AS calibrated "
+            f"FROM (VALUES {vals}) "
+            f"t(bucket, n, avg_score, pos_rate, calibrated) "
+            f"ORDER BY bucket")
+
+
 def _mmr_reference(sf_dir: str = "/root/testdata/sf0.01") -> list:
     """Standalone MMR reference (Carbonell & Goldstein's greedy
     algorithm in plain numpy) over the same embeddings table: exact
@@ -4331,6 +4403,7 @@ def queries_numeric() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q165_classification_report": q165_classification_report,
         "q166_calibration_error": q166_calibration_error,
         "q167_auc": q167_auc,
+        "q168_isotonic_calibration": q168_isotonic_calibration,
     }
 
 
@@ -8023,6 +8096,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q166_calibration_error": _q166_oracle(),
         "q167_auc": _q167_oracle(),
+        "q168_isotonic_calibration": _q168_oracle(),
     }
 
 

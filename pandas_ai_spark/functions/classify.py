@@ -25,6 +25,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from pandas_ai_spark.functions.text import normalize_text, whitespace_tokens
 
@@ -390,3 +391,68 @@ def auc(df: DataFrame, score_col: str, label_expr) -> DataFrame:
                                * F.col("n_b").cast("double")))
          .alias("auc"),
         "z")
+
+
+def isotonic_calibration(df: DataFrame, score_col: str,
+                         outcome_col: str, n_buckets: int = 10,
+                         approx: bool | None = None) -> DataFrame:
+    """Isotonic (PAV) calibration map over the
+    :func:`calibration_table` bins: pool-adjacent-violators enforces
+    a monotone non-decreasing calibrated rate across score deciles
+    (Zadrozny & Elkan, KDD'02 — the standard post-hoc calibrator
+    when the reliability table is non-monotone). One row per bucket
+    ``(bucket, n, avg_score, pos_rate, calibrated)``; ``calibrated``
+    is the pooled event rate of the bucket's PAV block.
+
+    Determinism: a pooled block's rate is ``sum(events)/sum(n)`` —
+    both exact integers — so every calibrated value is an exact
+    integer ratio, bit-identical across engines; the PAV pooling
+    decisions compare those exact ratios.
+
+    Scale shape: the expensive part IS :func:`calibration_table`
+    (scalar quantile edges + one grouped aggregation over the data);
+    PAV then runs on the BOUNDED ``n_buckets``-row table inside one
+    ``applyInPandas`` group — the bounded-grain pattern (q114/q143),
+    never touching the row stream again.
+    """
+    import pandas as pd
+
+    b = calibration_table(df, score_col, outcome_col,
+                          n_buckets=n_buckets, approx=approx)
+    # events = n * pos_rate is exact (pos_rate is an integer ratio)
+    tab = b.select(
+        "bucket", "n", "avg_score", "pos_rate",
+        F.round(F.col("n").cast("double") * F.col("pos_rate"))
+         .cast("bigint").alias("__events"))
+    out_schema = T.StructType([
+        T.StructField("bucket", T.IntegerType()),
+        T.StructField("n", T.LongType()),
+        T.StructField("avg_score", T.DoubleType()),
+        T.StructField("pos_rate", T.DoubleType()),
+        T.StructField("calibrated", T.DoubleType()),
+    ])
+
+    def pav(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("bucket").reset_index(drop=True)
+        # blocks of (n, events); pool while the rate decreases
+        blocks: list[list[int]] = []  # [n, events, span]
+        for _, row in pdf.iterrows():
+            blocks.append([int(row["n"]), int(row["__events"]), 1])
+            while (len(blocks) > 1
+                   and blocks[-2][1] * blocks[-1][0]
+                   > blocks[-1][1] * blocks[-2][0]):
+                n2, e2, s2 = blocks.pop()
+                blocks[-1][0] += n2
+                blocks[-1][1] += e2
+                blocks[-1][2] += s2
+            # integer cross-multiplication comparison: rate[-2] >
+            # rate[-1] without any float division
+        cal = []
+        for n_, e_, span in blocks:
+            cal += [float(e_) / float(n_)] * span
+        pdf = pdf.assign(calibrated=cal)
+        return pdf[["bucket", "n", "avg_score", "pos_rate",
+                    "calibrated"]]
+
+    return (tab.withColumn("__g", F.lit(1))
+            .groupBy("__g").applyInPandas(pav, out_schema))

@@ -1369,3 +1369,61 @@ class TestAuc:
         r = auc(spark.createDataFrame(rows, ["score", "y"]),
                 "score", "y").collect()[0]
         assert r.auc is None and r.n_neg == 0
+
+
+# ---------------------------------------------------------------------------
+# classify.isotonic_calibration (q168)
+# ---------------------------------------------------------------------------
+
+class TestIsotonicCalibration:
+    def _df(self, spark, bucket_rates, per_bucket=10):
+        # synthesize scores so bucket i (equi-population deciles)
+        # has the requested positive rate
+        rows = []
+        k = len(bucket_rates)
+        for i, rate in enumerate(bucket_rates):
+            n_pos = int(rate * per_bucket)
+            for j in range(per_bucket):
+                score = (i + (j + 1) / (per_bucket + 1)) / k
+                rows.append((score, 1 if j < n_pos else 0))
+        return spark.createDataFrame(rows, ["score", "outcome"])
+
+    def test_monotone_input_unchanged(self, spark):
+        from pandas_ai_spark.functions.classify import (
+            isotonic_calibration)
+
+        df = self._df(spark, [0.1, 0.3, 0.5, 0.9])
+        out = sorted(isotonic_calibration(
+            df, "score", "outcome", n_buckets=4).collect(),
+            key=lambda r: r.bucket)
+        for r in out:
+            assert abs(r.calibrated - r.pos_rate) < 1e-12
+
+    def test_violators_pooled(self, spark):
+        from pandas_ai_spark.functions.classify import (
+            isotonic_calibration)
+
+        # bucket rates [0.2, 0.6, 0.4, 0.8]: middle pair violates,
+        # pooled to (6+4)/20 = 0.5
+        df = self._df(spark, [0.2, 0.6, 0.4, 0.8])
+        out = sorted(isotonic_calibration(
+            df, "score", "outcome", n_buckets=4).collect(),
+            key=lambda r: r.bucket)
+        cal = [r.calibrated for r in out]
+        assert abs(cal[0] - 0.2) < 1e-12
+        assert abs(cal[1] - 0.5) < 1e-12
+        assert abs(cal[2] - 0.5) < 1e-12
+        assert abs(cal[3] - 0.8) < 1e-12
+        # monotone non-decreasing always
+        assert all(a <= b + 1e-15 for a, b in zip(cal, cal[1:]))
+
+    def test_fully_reversed_pools_to_global_rate(self, spark):
+        from pandas_ai_spark.functions.classify import (
+            isotonic_calibration)
+
+        df = self._df(spark, [0.9, 0.6, 0.4, 0.1])
+        out = isotonic_calibration(
+            df, "score", "outcome", n_buckets=4).collect()
+        rates = {r.calibrated for r in out}
+        assert len(rates) == 1
+        assert abs(rates.pop() - 0.5) < 1e-12

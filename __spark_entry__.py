@@ -3607,6 +3607,31 @@ def _q168_oracle(sf_dir: str = "/root/testdata/sf0.01") -> str:
             f"ORDER BY bucket")
 
 
+def q169_lift_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gains/lift table (classify.lift_table) of the q54 scores
+    against the is-English outcome, top decile first — lift, captured
+    event fraction, and cumulative lift per score decile (the
+    campaign-targeting / ranking-quality complement to AUC q167 and
+    ECE q166). Data pass = the q134 table; cumulatives run over the
+    bounded 10-row bucket grain with totals from a scalar fold —
+    every metric an exact integer ratio. Oracle: shared q134 bucket
+    CTEs + identical cumulative-window arithmetic."""
+    from pandas_ai_spark.functions.classify import (
+        hashed_feature_score, lift_table)
+
+    docs = _t(spark, sf_dir, "documents")
+    per = docs.select(
+        hashed_feature_score(F.col("text")).alias("score"),
+        (F.col("lang") == "en").cast("int").alias("outcome"))
+    out = lift_table(per, "score", "outcome", n_buckets=10)
+    return out.select(
+        "bucket", "n", "events",
+        F.round("lift", 9).alias("lift"),
+        F.round("cum_gain", 9).alias("cum_gain"),
+        F.round("cum_lift", 9).alias("cum_lift")
+    ).orderBy(F.desc("bucket"))
+
+
 def _mmr_reference(sf_dir: str = "/root/testdata/sf0.01") -> list:
     """Standalone MMR reference (Carbonell & Goldstein's greedy
     algorithm in plain numpy) over the same embeddings table: exact
@@ -4404,6 +4429,7 @@ def queries_numeric() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q166_calibration_error": q166_calibration_error,
         "q167_auc": q167_auc,
         "q168_isotonic_calibration": q168_isotonic_calibration,
+        "q169_lift_table": q169_lift_table,
     }
 
 
@@ -8097,6 +8123,38 @@ def oracle_sql() -> dict[str, str]:
         "q166_calibration_error": _q166_oracle(),
         "q167_auc": _q167_oracle(),
         "q168_isotonic_calibration": _q168_oracle(),
+        "q169_lift_table": f"""{_q134_bucket_ctes()},
+            g AS (
+              SELECT bucket, CAST(count(*) AS BIGINT) AS n,
+                     CAST(sum(outcome) AS BIGINT) AS events
+              FROM b GROUP BY bucket
+            ), t AS (
+              SELECT CAST(sum(n) AS BIGINT) AS nt,
+                     CAST(sum(events) AS BIGINT) AS et
+              FROM g
+            ), c AS (
+              SELECT g.*, t.nt, t.et,
+                     CAST(sum(n) OVER w AS BIGINT) AS cum_n,
+                     CAST(sum(events) OVER w AS BIGINT) AS cum_e
+              FROM g CROSS JOIN t
+              WINDOW w AS (ORDER BY bucket DESC
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW)
+            )
+            SELECT bucket, n, events,
+                   round(CASE WHEN et > 0 THEN
+                     (CAST(events AS DOUBLE) / CAST(n AS DOUBLE))
+                     / (CAST(et AS DOUBLE) / CAST(nt AS DOUBLE))
+                   END, 9) AS lift,
+                   round(CASE WHEN et > 0 THEN
+                     CAST(cum_e AS DOUBLE) / CAST(et AS DOUBLE)
+                   END, 9) AS cum_gain,
+                   round(CASE WHEN et > 0 THEN
+                     (CAST(cum_e AS DOUBLE) / CAST(cum_n AS DOUBLE))
+                     / (CAST(et AS DOUBLE) / CAST(nt AS DOUBLE))
+                   END, 9) AS cum_lift
+            FROM c ORDER BY bucket DESC
+        """,
     }
 
 

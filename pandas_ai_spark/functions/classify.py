@@ -456,3 +456,51 @@ def isotonic_calibration(df: DataFrame, score_col: str,
 
     return (tab.withColumn("__g", F.lit(1))
             .groupBy("__g").applyInPandas(pav, out_schema))
+
+
+def lift_table(df: DataFrame, score_col: str, outcome_col: str,
+               n_buckets: int = 10,
+               approx: bool | None = None) -> DataFrame:
+    """Gains/lift table over score deciles — the campaign-targeting
+    (and ranking-quality) view of a classifier: per bucket, from the
+    TOP-scoring decile down, ``(bucket, n, events, lift, cum_gain,
+    cum_lift)`` where ``lift`` is the bucket's event rate over the
+    global rate, ``cum_gain`` the fraction of all events captured so
+    far, and ``cum_lift`` the cumulative rate over global. A useful
+    model front-loads events (cum_gain far above the diagonal).
+
+    Determinism: every metric is an exact integer ratio (bucket and
+    cumulative event/row counts); division happens row-local.
+
+    Scale shape: :func:`calibration_table` does the data pass; the
+    cumulative window runs over the BOUNDED ``n_buckets``-row table
+    (the q143/q168 bounded-grain pattern) with global totals from a
+    scalar fold.
+    """
+    from pyspark.sql import Window
+
+    from .fold import fold_scalars
+
+    b = calibration_table(df, score_col, outcome_col,
+                          n_buckets=n_buckets, approx=approx)
+    tab = b.select(
+        "bucket", "n",
+        F.round(F.col("n").cast("double") * F.col("pos_rate"))
+         .cast("bigint").alias("events"))
+    tot = tab.agg(F.sum("n").cast("bigint").alias("__nt"),
+                  F.sum("events").cast("bigint").alias("__et"))
+    j = fold_scalars(tab, tot)
+    w = (Window.orderBy(F.col("bucket").desc())
+         .rowsBetween(Window.unboundedPreceding, 0))
+    cum_n = F.sum("n").over(w).cast("bigint")
+    cum_e = F.sum("events").over(w).cast("bigint")
+    gr = F.col("__et").cast("double") / F.col("__nt").cast("double")
+    rate = F.col("events").cast("double") / F.col("n").cast("double")
+    cum_rate = cum_e.cast("double") / cum_n.cast("double")
+    return j.select(
+        "bucket", "n", "events",
+        F.when(F.col("__et") > 0, rate / gr).alias("lift"),
+        F.when(F.col("__et") > 0,
+               cum_e.cast("double") / F.col("__et").cast("double"))
+         .alias("cum_gain"),
+        F.when(F.col("__et") > 0, cum_rate / gr).alias("cum_lift"))

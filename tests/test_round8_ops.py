@@ -1427,3 +1427,44 @@ class TestIsotonicCalibration:
         rates = {r.calibrated for r in out}
         assert len(rates) == 1
         assert abs(rates.pop() - 0.5) < 1e-12
+
+
+# ---------------------------------------------------------------------------
+# classify.lift_table (q169)
+# ---------------------------------------------------------------------------
+
+class TestLiftTable:
+    def test_perfect_ranker(self, spark):
+        from pandas_ai_spark.functions.classify import lift_table
+
+        # 40 rows, top half all positive: top-decile lift = 2, the
+        # top five buckets capture everything
+        rows = [(float(i), 1 if i >= 20 else 0) for i in range(40)]
+        df = spark.createDataFrame(rows, ["score", "y"])
+        out = {r.bucket: r for r in
+               lift_table(df, "score", "y", n_buckets=4).collect()}
+        assert abs(out[4].lift - 2.0) < 1e-12
+        assert abs(out[4].cum_gain - 0.5) < 1e-12
+        assert abs(out[3].cum_gain - 1.0) < 1e-12
+        assert abs(out[1].lift - 0.0) < 1e-12
+        assert abs(out[1].cum_lift - 1.0) < 1e-12  # full population
+
+    def test_random_scores_lift_one(self, spark):
+        from pandas_ai_spark.functions.classify import lift_table
+
+        # outcome independent of score -> every bucket rate = global
+        rows = [(float(i), i % 2) for i in range(40)]
+        df = spark.createDataFrame(rows, ["score", "y"])
+        out = lift_table(df, "score", "y", n_buckets=4).collect()
+        for r in out:
+            assert abs(r.lift - 1.0) < 1e-12
+            assert abs(r.cum_lift - 1.0) < 1e-12
+
+    def test_no_events_null_metrics(self, spark):
+        from pandas_ai_spark.functions.classify import lift_table
+
+        rows = [(float(i), 0) for i in range(20)]
+        df = spark.createDataFrame(rows, ["score", "y"])
+        out = lift_table(df, "score", "y", n_buckets=2).collect()
+        assert all(r.lift is None and r.cum_gain is None
+                   for r in out)

@@ -70,6 +70,10 @@ ALLOW: dict[str, set[str]] = {
     # DISTINCT-SCORES grain (the q114 duration-spine pattern) — the
     # subject stream is fully map-side reduced before one task sees it
     "q167_auc": {"global_window"},
+    # lift/gains cumulatives run over the BOUNDED n_buckets-row
+    # reliability table (10 rows by contract — the q143/q168
+    # bounded-grain pattern), never the score stream
+    "q169_lift_table": {"global_window"},
     # tfidf / cross-entropy / decontamination / span excision compute a
     # scalar count() (documented) — plan still audited below
 }

@@ -3632,6 +3632,85 @@ def q169_lift_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy(F.desc("bucket"))
 
 
+def q170_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass Poisson-bootstrap CI (stats.poisson_bootstrap_ci,
+    Chamandy et al.) for the mean l_quantity per l_returnflag: B=40
+    resampled means from ONE aggregation pass — per-row Poisson(1)
+    weights derived deterministically from md5(seed:rowid:b), exact
+    bigint weighted sums, percentile interval from the sorted
+    replicate array. The distributed-bootstrap pattern that replaces
+    B shuffles of the stream with 2B+2 map-side-combined sums.
+    Oracle: generated SQL with the identical md5 uniforms,
+    repr-exact Poisson CDF thresholds, and array arithmetic."""
+    from pandas_ai_spark.functions.stats import poisson_bootstrap_ci
+
+    li = _t(spark, sf_dir, "lineitem").withColumn(
+        "rid", F.concat_ws("-", F.col("l_orderkey"),
+                           F.col("l_linenumber")))
+    out = poisson_bootstrap_ci(li, "l_quantity", "rid",
+                               by=["l_returnflag"], B=40)
+    return out.select(
+        "l_returnflag", "n",
+        F.round("mean", 9).alias("mean"),
+        F.round("ci_lo", 9).alias("ci_lo"),
+        F.round("ci_hi", 9).alias("ci_hi")).orderBy("l_returnflag")
+
+
+def _q170_oracle(B: int = 40, alpha: float = 0.05) -> str:
+    """Bootstrap-CI oracle: the same md5-derived uniforms, the same
+    repr-exact Poisson(1) inverse-CDF CASE chain
+    (stats._POISSON1_CDF — shared literals, the Benford pattern),
+    exact bigint weighted sums, and the same sorted-array percentile
+    picks."""
+    from pandas_ai_spark.functions.stats import _POISSON1_CDF
+
+    def w(b: int) -> str:
+        u = (f"(('0x' || substr(md5('bs:' || rid || ':{b}'), 1, 8))"
+             f"::BIGINT / 4294967296.0)")
+        chain = " ".join(
+            f"WHEN {u} < {c!r}::DOUBLE THEN {k}"
+            for k, c in enumerate(_POISSON1_CDF))
+        return f"(CASE {chain} ELSE 9 END)"
+
+    sums = ", ".join(
+        f"CAST(sum({w(b)} * x) AS BIGINT) AS swx{b}, "
+        f"CAST(sum({w(b)}) AS BIGINT) AS sw{b}"
+        for b in range(B))
+    elems = ", ".join(
+        f"CASE WHEN sw{b} > 0 THEN CAST(swx{b} AS DOUBLE) "
+        f"/ CAST(sw{b} AS DOUBLE) END" for b in range(B))
+    lo_f, hi_f = repr(alpha / 2.0), repr(1.0 - alpha / 2.0)
+    return f"""
+        WITH base AS (
+          SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS x,
+                 l_orderkey::VARCHAR || '-'
+                 || l_linenumber::VARCHAR AS rid
+          FROM lineitem
+        ), g AS (
+          SELECT l_returnflag,
+                 CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(x) AS BIGINT) AS s,
+                 {sums}
+          FROM base GROUP BY 1
+        ), m AS (
+          SELECT l_returnflag, n, s,
+                 list_sort(list_filter([{elems}],
+                           v -> v IS NOT NULL)) AS arr
+          FROM g
+        )
+        SELECT l_returnflag, n,
+               round(CAST(s AS DOUBLE) / CAST(n AS DOUBLE), 9)
+                 AS mean,
+               round(arr[greatest(CAST(ceil({lo_f}::DOUBLE
+                        * CAST(len(arr) AS DOUBLE)) AS INT), 1)], 9)
+                 AS ci_lo,
+               round(arr[least(CAST(ceil({hi_f}::DOUBLE
+                        * CAST(len(arr) AS DOUBLE)) AS INT),
+                        len(arr))], 9) AS ci_hi
+        FROM m ORDER BY l_returnflag
+    """
+
+
 def _mmr_reference(sf_dir: str = "/root/testdata/sf0.01") -> list:
     """Standalone MMR reference (Carbonell & Goldstein's greedy
     algorithm in plain numpy) over the same embeddings table: exact
@@ -4430,6 +4509,7 @@ def queries_numeric() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q167_auc": q167_auc,
         "q168_isotonic_calibration": q168_isotonic_calibration,
         "q169_lift_table": q169_lift_table,
+        "q170_bootstrap_ci": q170_bootstrap_ci,
     }
 
 
@@ -8155,6 +8235,7 @@ def oracle_sql() -> dict[str, str]:
                    END, 9) AS cum_lift
             FROM c ORDER BY bucket DESC
         """,
+        "q170_bootstrap_ci": _q170_oracle(),
     }
 
 

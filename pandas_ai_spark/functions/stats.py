@@ -1135,3 +1135,92 @@ def bh_fdr(df: DataFrame, p_col: str, alpha: float = 0.05,
     out = ranked.withColumn("p_adj", adj).withColumn(
         "reject", F.col("p_adj") <= F.lit(float(alpha)))
     return out.drop("__m")
+
+
+# Poisson(1) cumulative probabilities (k = 0..8) as repr-exact double
+# literals — shared verbatim with the DuckDB oracle so both engines
+# run the identical inverse-CDF comparison chain (the Benford-shares
+# pattern). P(k > 8) < 1.2e-6; the weight is capped at 9.
+_POISSON1_CDF = (
+    0.36787944117144233, 0.7357588823428847, 0.9196986029286058,
+    0.9810118431238463, 0.9963401531726563, 0.9994058151824183,
+    0.999916758850712, 0.9999897508033253, 0.999998874797402,
+)
+
+
+def poisson_bootstrap_ci(df: DataFrame, value_col: str, id_col: str,
+                         by: list[str] | None = None, B: int = 40,
+                         seed: str = "bs", alpha: float = 0.05
+                         ) -> DataFrame:
+    """One-pass bootstrap confidence interval for a per-group mean of
+    an INTEGER-valued column via Poisson resampling (the
+    large-scale-bootstrap trick — Chamandy et al., "Estimating
+    Uncertainty for Massive Data Streams", Google 2012): each row
+    contributes to replicate ``b`` with weight
+    ``w ~ Poisson(1)`` derived DETERMINISTICALLY from
+    ``md5(seed:id:b)``, so all ``B`` resampled means are computed in
+    ONE aggregation pass — no data duplication, no shuffling the
+    stream ``B`` times, no RNG state. Per group one row
+    ``(n, mean, ci_lo, ci_hi)`` with the percentile-bootstrap
+    ``alpha``-level interval.
+
+    Determinism: the uniform is an exact md5-derived 32-bit ratio and
+    the inverse-CDF thresholds are shared repr-exact double literals
+    (``_POISSON1_CDF``); weighted sums are exact bigints (integer
+    weights x integer values), each replicate mean a row-local ratio,
+    and the interval picks elements of the SORTED replicate array —
+    bit-identical across engines.
+
+    Scale shape: ``B`` weight expressions are row-local JVM md5 calls
+    (embarrassingly parallel — the documented cost knob); ONE
+    map-side-combined aggregation carries ``2B + 2`` integer sums;
+    everything after is per-group array math on ``B`` values.
+    Replicates with zero total weight (tiny groups) are dropped from
+    the interval via array compaction.
+    """
+    if B < 4:
+        raise ValueError("B must be >= 4")
+    if not (0.0 < alpha < 1.0):
+        raise ValueError("alpha must be in (0, 1)")
+    by = list(by or [])
+    x = F.col(value_col).cast("bigint")
+    key = F.concat_ws(":", F.lit(seed), F.col(id_col).cast("string"))
+
+    def weight(b: int):
+        u = (F.conv(F.substring(
+                F.md5(F.concat_ws(":", key, F.lit(str(b)))), 1, 8),
+                16, 10).cast("long").cast("double")
+             / F.lit(4294967296.0))
+        w = F.lit(9)
+        for k in range(len(_POISSON1_CDF) - 1, -1, -1):
+            w = F.when(u < F.lit(_POISSON1_CDF[k]), F.lit(k)) \
+                 .otherwise(w)
+        return w.cast("bigint")
+
+    aggs = [F.count("*").cast("bigint").alias("__n"),
+            F.sum(x).cast("bigint").alias("__s")]
+    for b in range(B):
+        wb = weight(b)
+        aggs += [F.sum(wb * x).cast("bigint").alias(f"__swx{b}"),
+                 F.sum(wb).cast("bigint").alias(f"__sw{b}")]
+    g = (df.groupBy(*[F.col(c) for c in by]).agg(*aggs)
+         if by else df.agg(*aggs))
+    means = F.array(*[
+        F.when(F.col(f"__sw{b}") > 0,
+               F.col(f"__swx{b}").cast("double")
+               / F.col(f"__sw{b}").cast("double"))
+        for b in range(B)])
+    arr = F.array_sort(F.array_compact(means))
+    ln = F.size(arr)
+    lo_i = F.greatest(F.ceil(F.lit(alpha / 2.0)
+                             * ln.cast("double")).cast("int"),
+                      F.lit(1))
+    hi_i = F.least(F.ceil(F.lit(1.0 - alpha / 2.0)
+                          * ln.cast("double")).cast("int"), ln)
+    return g.select(
+        *[F.col(c) for c in by],
+        F.col("__n").alias("n"),
+        (F.col("__s").cast("double") / F.col("__n").cast("double"))
+         .alias("mean"),
+        F.when(ln > 0, F.element_at(arr, lo_i)).alias("ci_lo"),
+        F.when(ln > 0, F.element_at(arr, hi_i)).alias("ci_hi"))

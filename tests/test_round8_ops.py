@@ -1468,3 +1468,52 @@ class TestLiftTable:
         out = lift_table(df, "score", "y", n_buckets=2).collect()
         assert all(r.lift is None and r.cum_gain is None
                    for r in out)
+
+
+# ---------------------------------------------------------------------------
+# stats.poisson_bootstrap_ci (q170)
+# ---------------------------------------------------------------------------
+
+class TestPoissonBootstrapCi:
+    def test_interval_brackets_mean(self, spark):
+        from pandas_ai_spark.functions.stats import (
+            poisson_bootstrap_ci)
+
+        df = spark.createDataFrame(
+            [(i, (i * 7) % 100) for i in range(2000)], ["id", "v"])
+        r = poisson_bootstrap_ci(df, "v", "id", B=40).collect()[0]
+        assert r.n == 2000
+        assert r.ci_lo <= r.mean <= r.ci_hi
+        # n=2000, sd~29 -> CI half-width around 1.3; sanity bounds
+        assert r.ci_hi - r.ci_lo < 6.0
+        assert r.ci_hi - r.ci_lo > 0.5
+
+    def test_deterministic_and_seed_sensitive(self, spark):
+        from pandas_ai_spark.functions.stats import (
+            poisson_bootstrap_ci)
+
+        df = spark.createDataFrame(
+            [(i, i % 10) for i in range(500)], ["id", "v"])
+        a = poisson_bootstrap_ci(df, "v", "id", B=20).collect()[0]
+        b = poisson_bootstrap_ci(df, "v", "id", B=20).collect()[0]
+        assert (a.ci_lo, a.ci_hi) == (b.ci_lo, b.ci_hi)
+        c = poisson_bootstrap_ci(df, "v", "id", B=20,
+                                 seed="other").collect()[0]
+        assert (a.ci_lo, a.ci_hi) != (c.ci_lo, c.ci_hi)
+
+    def test_grouped_and_validation(self, spark):
+        from pandas_ai_spark.functions.stats import (
+            poisson_bootstrap_ci)
+
+        rows = ([("a", i, 10) for i in range(200)]
+                + [("b", i + 1000, 50) for i in range(200)])
+        df = spark.createDataFrame(rows, ["g", "id", "v"])
+        out = {r.g: r for r in poisson_bootstrap_ci(
+            df, "v", "id", by=["g"], B=20).collect()}
+        # constant columns: every replicate mean equals the constant
+        assert out["a"].ci_lo == out["a"].ci_hi == 10.0
+        assert out["b"].mean == 50.0
+        with pytest.raises(ValueError):
+            poisson_bootstrap_ci(df, "v", "id", B=2)
+        with pytest.raises(ValueError):
+            poisson_bootstrap_ci(df, "v", "id", alpha=0.0)

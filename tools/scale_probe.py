@@ -113,6 +113,7 @@ DEFAULT = [
     "q164_cohens_kappa",        # pair agg + marginal-product join
     "q165_classification_report",  # one cell agg + rollup joins
     "q167_auc",                 # score-grain midrank window
+    "q170_bootstrap_ci",        # one-pass B-replicate weighted sums
 ]
 
 

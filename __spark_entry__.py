@@ -3665,12 +3665,14 @@ def _q170_oracle(B: int = 40, alpha: float = 0.05) -> str:
     from pandas_ai_spark.functions.stats import _POISSON1_CDF
 
     def w(b: int) -> str:
-        u = (f"(('0x' || substr(md5('bs:' || rid || ':{b}'), 1, 8))"
-             f"::BIGINT / 4294967296.0)")
-        chain = " ".join(
-            f"WHEN {u} < {c!r}::DOUBLE THEN {k}"
-            for k, c in enumerate(_POISSON1_CDF))
-        return f"(CASE {chain} ELSE 9 END)"
+        # one md5 per 4 replicates: 8-hex-char window b%4 of chunk
+        # b//4's digest; inverse CDF as the same flat threshold-count
+        # sum the operator uses (w = #{c_k <= u})
+        u = (f"(('0x' || substr(md5('bs:' || rid || ':{b // 4}'), "
+             f"{8 * (b % 4) + 1}, 8))::BIGINT / 4294967296.0)")
+        terms = " + ".join(
+            f"({u} >= {c!r}::DOUBLE)::INT" for c in _POISSON1_CDF)
+        return f"({terms})"
 
     sums = ", ".join(
         f"CAST(sum({w(b)} * x) AS BIGINT) AS swx{b}, "

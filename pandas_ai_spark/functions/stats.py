@@ -1171,12 +1171,19 @@ def poisson_bootstrap_ci(df: DataFrame, value_col: str, id_col: str,
     and the interval picks elements of the SORTED replicate array —
     bit-identical across engines.
 
-    Scale shape: ``B`` weight expressions are row-local JVM md5 calls
-    (embarrassingly parallel — the documented cost knob); ONE
-    map-side-combined aggregation carries ``2B + 2`` integer sums;
-    everything after is per-group array math on ``B`` values.
-    Replicates with zero total weight (tiny groups) are dropped from
-    the interval via array compaction.
+    Scale shape: one md5 per row yields FOUR 32-bit uniforms (the
+    128-bit digest split into 8-hex-char windows), so ``B`` weights
+    cost ``ceil(B/4)`` row-local JVM hashes, built once into a
+    weight ARRAY and ``posexplode``d — the explode is pipelined
+    inside the map stage and the partial (map-side) aggregation
+    collapses it immediately, so the shuffle carries only
+    ``groups x B`` partial rows, never ``rows x B``. (The naive
+    alternative — ``2B`` separate sum expressions in one aggregate —
+    generates a method too large for whole-stage codegen and falls
+    back to interpreted Catalyst, measured 8x slower.) A bounded
+    per-group ``collect_list`` of the ``B`` replicate means then
+    feeds the sorted-array percentile picks; NULL means (zero-weight
+    replicates in tiny groups) drop out in collection.
     """
     if B < 4:
         raise ValueError("B must be >= 4")
@@ -1186,31 +1193,58 @@ def poisson_bootstrap_ci(df: DataFrame, value_col: str, id_col: str,
     x = F.col(value_col).cast("bigint")
     key = F.concat_ws(":", F.lit(seed), F.col(id_col).cast("string"))
 
-    def weight(b: int):
-        u = (F.conv(F.substring(
-                F.md5(F.concat_ws(":", key, F.lit(str(b)))), 1, 8),
-                16, 10).cast("long").cast("double")
-             / F.lit(4294967296.0))
-        w = F.lit(9)
-        for k in range(len(_POISSON1_CDF) - 1, -1, -1):
-            w = F.when(u < F.lit(_POISSON1_CDF[k]), F.lit(k)) \
-                 .otherwise(w)
-        return w.cast("bigint")
+    def uniform(b: int):
+        # window b%4 of chunk b//4's digest; codegen subexpression
+        # elimination dedups the ceil(B/4) md5 calls shared by their
+        # four windows
+        h = F.md5(F.concat_ws(":", key, F.lit(str(b // 4))))
+        return (F.conv(F.substring(h, 8 * (b % 4) + 1, 8),
+                       16, 10).cast("long").cast("double")
+                / F.lit(4294967296.0))
 
-    aggs = [F.count("*").cast("bigint").alias("__n"),
-            F.sum(x).cast("bigint").alias("__s")]
-    for b in range(B):
-        wb = weight(b)
-        aggs += [F.sum(wb * x).cast("bigint").alias(f"__swx{b}"),
-                 F.sum(wb).cast("bigint").alias(f"__sw{b}")]
-    g = (df.groupBy(*[F.col(c) for c in by]).agg(*aggs)
-         if by else df.agg(*aggs))
-    means = F.array(*[
-        F.when(F.col(f"__sw{b}") > 0,
-               F.col(f"__swx{b}").cast("double")
-               / F.col(f"__sw{b}").cast("double"))
-        for b in range(B)])
-    arr = F.array_sort(F.array_compact(means))
+    # the explode multiplies per-partition work by B: a narrow input
+    # (few files at test scale; a coalesced upstream at any scale)
+    # would strand the hashing on a handful of cores — rebalance it
+    # first (measured 66 s -> 9 s at sf0.1 on local[32]; at real
+    # scale the input split count already exceeds cores and this
+    # never fires)
+    sc = df.sparkSession.sparkContext
+    if df.rdd.getNumPartitions() < sc.defaultParallelism:
+        df = df.repartition(sc.defaultParallelism)
+    # uniforms computed ONCE into an exploded (b, u) stream: the
+    # inverse CDF then runs on the SCALAR u column, so every codegen
+    # stage stays small. (Building all B weight expressions inline —
+    # nested CASEs or flat sums alike — embeds the conv/md5 subtree
+    # 9x per weight, exceeds janino's method limit, and drops the
+    # stage to interpreted mode: measured 30-150 s vs ~9 s here at
+    # sf0.1.)
+    exploded = df.select(
+        *[F.col(c) for c in by], x.alias("__x"),
+        F.posexplode(F.array(*[uniform(b) for b in range(B)]))
+         .alias("__b", "__u"))
+    u = F.col("__u")
+    w = F.lit(0).cast("int")
+    for c in _POISSON1_CDF:
+        w = w + (u >= F.lit(c)).cast("int")
+    exploded = exploded.select(
+        *[F.col(c) for c in by], "__x", "__b",
+        w.cast("bigint").alias("__w"))
+    per_b = exploded.groupBy(*[F.col(c) for c in by],
+                             F.col("__b")).agg(
+        F.sum(F.col("__w") * F.col("__x")).cast("bigint")
+         .alias("__swx"),
+        F.sum("__w").cast("bigint").alias("__sw"),
+        F.count("*").cast("bigint").alias("__n"),
+        F.sum("__x").cast("bigint").alias("__s"))
+    mean_b = F.when(F.col("__sw") > 0,
+                    F.col("__swx").cast("double")
+                    / F.col("__sw").cast("double"))
+    rollup = [F.max("__n").alias("__n"),
+              F.max("__s").alias("__s"),
+              F.sort_array(F.collect_list(mean_b)).alias("__arr")]
+    g = (per_b.groupBy(*[F.col(c) for c in by]).agg(*rollup)
+         if by else per_b.agg(*rollup))
+    arr = F.col("__arr")
     ln = F.size(arr)
     lo_i = F.greatest(F.ceil(F.lit(alpha / 2.0)
                              * ln.cast("double")).cast("int"),

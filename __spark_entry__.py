@@ -3713,6 +3713,32 @@ def _q170_oracle(B: int = 40, alpha: float = 0.05) -> str:
     """
 
 
+def q171_ma_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical additive decomposition (timeseries.ma_decompose) of
+    the daily order count per o_orderpriority with a weekly cycle:
+    trend = centered 7-point moving average (exact integer window
+    sums), seasonal = centered mean detrended value per cycle
+    position, residual = remainder — the pre-model diagnostic split.
+    One ordered window per group + a (group, position) aggregation
+    joined back broadcast. Oracle: identical windows; the only float
+    accumulations are the bounded seasonal means (round-9)."""
+    from pandas_ai_spark.functions.timeseries import ma_decompose
+
+    series = (_t(spark, sf_dir, "orders")
+              .groupBy(F.col("o_orderpriority"),
+                       F.date_trunc("day", F.col("o_orderdate"))
+                        .alias("day"))
+              .agg(F.count("*").alias("x")))
+    out = ma_decompose(series, "x", "day", period=7,
+                       by=["o_orderpriority"])
+    return out.select(
+        "o_orderpriority", "day", "x", "position",
+        F.round("trend", 9).alias("trend"),
+        F.round("seasonal", 9).alias("seasonal"),
+        F.round("residual", 9).alias("residual")
+    ).orderBy("o_orderpriority", "day")
+
+
 def _mmr_reference(sf_dir: str = "/root/testdata/sf0.01") -> list:
     """Standalone MMR reference (Carbonell & Goldstein's greedy
     algorithm in plain numpy) over the same embeddings table: exact
@@ -4512,6 +4538,7 @@ def queries_numeric() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q168_isotonic_calibration": q168_isotonic_calibration,
         "q169_lift_table": q169_lift_table,
         "q170_bootstrap_ci": q170_bootstrap_ci,
+        "q171_ma_decompose": q171_ma_decompose,
     }
 
 
@@ -8238,6 +8265,51 @@ def oracle_sql() -> dict[str, str]:
             FROM c ORDER BY bucket DESC
         """,
         "q170_bootstrap_ci": _q170_oracle(),
+        "q171_ma_decompose": """
+            WITH s AS (
+              SELECT o_orderpriority,
+                     date_trunc('day', o_orderdate) AS day,
+                     CAST(count(*) AS BIGINT) AS x
+              FROM orders GROUP BY 1, 2
+            ), w1 AS (
+              SELECT o_orderpriority, day, x,
+                     CAST((row_number() OVER wo - 1) % 7 AS INT)
+                       AS position,
+                     CAST(sum(x) OVER wc AS BIGINT) AS wsum,
+                     CAST(count(*) OVER wc AS INT) AS wn
+              FROM s
+              WINDOW wo AS (PARTITION BY o_orderpriority
+                            ORDER BY day),
+                     wc AS (PARTITION BY o_orderpriority
+                            ORDER BY day ROWS BETWEEN 3 PRECEDING
+                            AND 3 FOLLOWING)
+            ), d AS (
+              SELECT *,
+                     CAST(x AS DOUBLE) - CASE WHEN wn = 7 THEN
+                       CAST(wsum AS DOUBLE) / 7.0::DOUBLE END AS det,
+                     CASE WHEN wn = 7 THEN
+                       CAST(wsum AS DOUBLE) / 7.0::DOUBLE END
+                       AS trend
+              FROM w1
+            ), seas0 AS (
+              SELECT o_orderpriority, position, avg(det) AS s_raw
+              FROM d WHERE det IS NOT NULL GROUP BY 1, 2
+            ), seas AS (
+              SELECT o_orderpriority, position,
+                     s_raw - avg(s_raw) OVER (
+                       PARTITION BY o_orderpriority) AS sv
+              FROM seas0
+            )
+            SELECT d.o_orderpriority,
+                   CAST(d.day AS TIMESTAMP) AS day, d.x, d.position,
+                   round(d.trend, 9) AS trend,
+                   round(seas.sv, 9) AS seasonal,
+                   round(CAST(d.x AS DOUBLE) - d.trend - seas.sv, 9)
+                     AS residual
+            FROM d LEFT JOIN seas
+              USING (o_orderpriority, position)
+            ORDER BY d.o_orderpriority, d.day
+        """,
     }
 
 

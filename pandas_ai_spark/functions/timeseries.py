@@ -555,3 +555,71 @@ def cusum_changepoint(df: DataFrame, value_col: str, order_col: str,
         F.col("cp_order"),
         F.col("max_abs_cusum"),
         z.alias("cusum_z"))
+
+
+def ma_decompose(df: DataFrame, value_col: str, order_col: str,
+                 period: int = 7, by: Optional[Sequence[str]] = None
+                 ) -> DataFrame:
+    """Classical additive moving-average decomposition
+    (x = trend + seasonal + residual) of an INTEGER-valued series —
+    the diagnostic split a forecasting pipeline runs before model
+    choice (trend: centered ``period``-point moving average, full
+    windows only; seasonal: the mean detrended value per cycle
+    position, centered to sum to zero; residual: the remainder).
+    ``period`` must be odd (7 for daily-with-weekly-cycle data); the
+    cycle position is row-position based (``(row_number-1) % period``
+    — gaps are the caller's densify decision, as in :func:`acf`).
+    Returns the input grain plus ``(position, trend, seasonal,
+    residual)``; trend/residual are NULL on the edge rows without a
+    full window.
+
+    Determinism: the trend is an exact integer window sum divided by
+    ``period`` row-local; the only float accumulations are the
+    per-position and global seasonal means (bounded by ``period``
+    terms per group), standard round-9 territory.
+
+    Scale shape: ONE ordered window per group serves the centered
+    sum, its row count, and the cycle position; the seasonal means
+    are a map-side-combined aggregation of the (group, position)
+    grain joined back broadcast (bounded by groups x period); the
+    global centering mean folds in the same join. No data pass
+    happens twice.
+    """
+    if period < 3 or period % 2 == 0:
+        raise ValueError("period must be an odd integer >= 3")
+    by = list(by or [])
+    half = period // 2
+    x = F.col(value_col).cast("bigint")
+    w0 = (Window.partitionBy(*[F.col(c) for c in by])
+          .orderBy(F.col(order_col)) if by
+          else Window.orderBy(F.col(order_col)))
+    wc = w0.rowsBetween(-half, half)
+    base = df.select(
+        *[F.col(c) for c in by], F.col(order_col), x.alias("__x"),
+        ((F.row_number().over(w0) - 1) % period).alias("position"),
+        F.sum(x).over(wc).cast("bigint").alias("__wsum"),
+        F.count("*").over(wc).cast("int").alias("__wn"))
+    trend = F.when(F.col("__wn") == period,
+                   F.col("__wsum").cast("double")
+                   / F.lit(float(period)))
+    base = base.withColumn("__trend", trend).withColumn(
+        "__det", F.col("__x").cast("double") - F.col("__trend"))
+    seas = base.where(F.col("__det").isNotNull()).groupBy(
+        *[F.col(c) for c in by], F.col("position")).agg(
+        F.avg("__det").alias("__s_raw"))
+    wp = (Window.partitionBy(*[F.col(c) for c in by]) if by
+          else Window.partitionBy())
+    seas = seas.withColumn(
+        "__s", F.col("__s_raw") - F.avg("__s_raw").over(wp))
+    from pyspark.sql.functions import broadcast
+
+    out = base.join(broadcast(seas.select(
+        *[F.col(c) for c in by], "position", "__s")),
+        [*by, "position"], "left")
+    return out.select(
+        *[F.col(c) for c in by], F.col(order_col),
+        F.col("__x").alias(value_col), "position",
+        F.col("__trend").alias("trend"),
+        F.col("__s").alias("seasonal"),
+        (F.col("__x").cast("double") - F.col("__trend")
+         - F.col("__s")).alias("residual"))

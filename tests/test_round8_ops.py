@@ -1517,3 +1517,52 @@ class TestPoissonBootstrapCi:
             poisson_bootstrap_ci(df, "v", "id", B=2)
         with pytest.raises(ValueError):
             poisson_bootstrap_ci(df, "v", "id", alpha=0.0)
+
+
+# ---------------------------------------------------------------------------
+# timeseries.ma_decompose (q171)
+# ---------------------------------------------------------------------------
+
+class TestMaDecompose:
+    def test_pure_trend_plus_cycle(self, spark):
+        from pandas_ai_spark.functions.timeseries import ma_decompose
+
+        # x_t = 10*t + cycle[t % 3]; centered MA(3) recovers the
+        # linear trend exactly (cycle sums to 0 over any full window)
+        cycle = [3, -1, -2]
+        rows = [(t, 10 * t + cycle[t % 3]) for t in range(30)]
+        df = spark.createDataFrame(rows, ["t", "x"])
+        out = {r.t: r for r in
+               ma_decompose(df, "x", "t", period=3).collect()}
+        # interior point: trend == 10*t, seasonal == cycle value,
+        # residual == 0
+        for t in (5, 10, 20):
+            assert abs(out[t].trend - 10 * t) < 1e-9
+            assert abs(out[t].seasonal - cycle[t % 3]) < 1e-9
+            assert abs(out[t].residual) < 1e-9
+        # edges lack a full window
+        assert out[0].trend is None and out[29].residual is None
+
+    def test_seasonal_sums_to_zero(self, spark):
+        from pandas_ai_spark.functions.timeseries import ma_decompose
+
+        rows = [(t, (t * 13) % 17) for t in range(40)]
+        df = spark.createDataFrame(rows, ["t", "x"])
+        out = ma_decompose(df, "x", "t", period=5).collect()
+        seas = {r.position: r.seasonal for r in out
+                if r.seasonal is not None}
+        assert abs(sum(seas.values())) < 1e-9
+
+    def test_grouped_and_validation(self, spark):
+        from pandas_ai_spark.functions.timeseries import ma_decompose
+
+        rows = ([("a", t, t) for t in range(10)]
+                + [("b", t, 2 * t) for t in range(10)])
+        df = spark.createDataFrame(rows, ["g", "t", "x"])
+        out = {(r.g, r.t): r for r in
+               ma_decompose(df, "x", "t", period=3,
+                            by=["g"]).collect()}
+        assert abs(out[("a", 5)].trend - 5.0) < 1e-12
+        assert abs(out[("b", 5)].trend - 10.0) < 1e-12
+        with pytest.raises(ValueError):
+            ma_decompose(df, "x", "t", period=4)

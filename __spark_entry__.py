@@ -3739,6 +3739,90 @@ def q171_ma_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("o_orderpriority", "day")
 
 
+_Q172_COMPARISONS = [
+    ("name_suffix",
+     "right(a_name, 3) = right(b_name, 3)", 0.9, 0.05),
+    ("acctbal_close",
+     "abs(a_acctbal - b_acctbal) < 100.0", 0.7, 0.1),
+    ("bal_positive_agree",
+     "(a_acctbal > 0) = (b_acctbal > 0)", 0.95, 0.5),
+]
+
+
+def q172_fellegi_sunter(spark: SparkSession, sf_dir: str
+                        ) -> DataFrame:
+    """Fellegi-Sunter probabilistic linkage scoring
+    (linkage.fellegi_sunter) over customer candidate pairs blocked on
+    (nation, segment): per-field log2 m/u likelihood weights summed
+    into the match / possible / non-match decision bands — the
+    scoring stage between blocking (q93) and survivorship clustering
+    (q148). The blocking join is co-partitioned equi on the block
+    key; scoring is entirely row-local literal arithmetic. Oracle:
+    identical block join + the same Python-computed weight literals
+    in the same fixed summation order."""
+    from pandas_ai_spark.functions.linkage import fellegi_sunter
+
+    c = _t(spark, sf_dir, "customer")
+    a = c.select("c_nationkey", "c_mktsegment",
+                 F.col("c_custkey").alias("a_id"),
+                 F.col("c_name").alias("a_name"),
+                 F.col("c_acctbal").alias("a_acctbal"))
+    b = c.select("c_nationkey", "c_mktsegment",
+                 F.col("c_custkey").alias("b_id"),
+                 F.col("c_name").alias("b_name"),
+                 F.col("c_acctbal").alias("b_acctbal"))
+    pairs = a.join(b, ["c_nationkey", "c_mktsegment"]).where(
+        F.col("a_id") < F.col("b_id"))
+    out = fellegi_sunter(pairs, _Q172_COMPARISONS,
+                         upper=2.0, lower=0.0)
+    return out.select(
+        "a_id", "b_id", "name_suffix", "acctbal_close",
+        "bal_positive_agree",
+        F.round("fs_score", 9).alias("fs_score"),
+        "decision").orderBy("a_id", "b_id")
+
+
+def _q172_oracle() -> str:
+    """FS oracle: the same block join, the SAME Python-computed log2
+    weight literals (shared with the operator via math.log2 on the
+    identical m/u floats), fixed summation order."""
+    import math
+
+    cases = []
+    fields = []
+    for name, _, m, u in _Q172_COMPARISONS:
+        wa = repr(math.log2(m / u))
+        wd = repr(math.log2((1.0 - m) / (1.0 - u)))
+        cases.append(f"(CASE WHEN {name} THEN {wa}::DOUBLE "
+                     f"ELSE {wd}::DOUBLE END)")
+        fields.append(name)
+    score = " + ".join(cases)
+    cols = ", ".join(fields)
+    return f"""
+        WITH p AS (
+          SELECT a.c_custkey AS a_id, b.c_custkey AS b_id,
+                 coalesce(right(a.c_name, 3) = right(b.c_name, 3),
+                          FALSE) AS name_suffix,
+                 coalesce(abs(a.c_acctbal - b.c_acctbal) < 100.0,
+                          FALSE) AS acctbal_close,
+                 coalesce((a.c_acctbal > 0) = (b.c_acctbal > 0),
+                          FALSE) AS bal_positive_agree
+          FROM customer a JOIN customer b
+            ON a.c_nationkey = b.c_nationkey
+           AND a.c_mktsegment = b.c_mktsegment
+           AND a.c_custkey < b.c_custkey
+        ), s AS (
+          SELECT *, {score} AS fs_score FROM p
+        )
+        SELECT a_id, b_id, {cols},
+               round(fs_score, 9) AS fs_score,
+               CASE WHEN fs_score >= 2.0::DOUBLE THEN 'match'
+                    WHEN fs_score >= 0.0::DOUBLE THEN 'possible'
+                    ELSE 'non_match' END AS decision
+        FROM s ORDER BY a_id, b_id
+    """
+
+
 def _mmr_reference(sf_dir: str = "/root/testdata/sf0.01") -> list:
     """Standalone MMR reference (Carbonell & Goldstein's greedy
     algorithm in plain numpy) over the same embeddings table: exact
@@ -4539,6 +4623,7 @@ def queries_numeric() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q169_lift_table": q169_lift_table,
         "q170_bootstrap_ci": q170_bootstrap_ci,
         "q171_ma_decompose": q171_ma_decompose,
+        "q172_fellegi_sunter": q172_fellegi_sunter,
     }
 
 
@@ -8310,6 +8395,7 @@ def oracle_sql() -> dict[str, str]:
               USING (o_orderpriority, position)
             ORDER BY d.o_orderpriority, d.day
         """,
+        "q172_fellegi_sunter": _q172_oracle(),
     }
 
 

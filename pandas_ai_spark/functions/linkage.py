@@ -191,3 +191,56 @@ def golden_records(df: DataFrame, pairs: DataFrame,
     cols = ["entity_id"] + df.columns + ["completeness", "n_members"]
     return golden_linked.select(*cols).unionByName(
         untouched.select(*cols))
+
+
+def fellegi_sunter(pairs: DataFrame,
+                   comparisons: Sequence[tuple],
+                   upper: float = 3.0, lower: float = 0.0
+                   ) -> DataFrame:
+    """Fellegi-Sunter probabilistic record-linkage scoring (JASA
+    1969 — the model behind Splink/RecordLinkage): each candidate
+    pair accumulates per-field log2 likelihood weights,
+    ``agree -> log2(m/u)``, ``disagree -> log2((1-m)/(1-u))``, where
+    ``m``/``u`` are the field's match/unmatch agreement
+    probabilities; the total classifies the pair (``match`` at
+    ``>= upper``, ``possible`` at ``>= lower``, else ``non_match``
+    — the review band of the original paper). ``comparisons`` is a
+    sequence of ``(name, agree_sql_expr, m, u)``; NULL agreement
+    evaluates as disagreement via an explicit coalesce. Appends one
+    boolean per field plus ``fs_score`` and ``decision``.
+
+    Determinism: the weights are Python-computed double literals
+    folded into the plan (shareable verbatim with any SQL oracle),
+    and the score is a fixed-order sum of per-field literals —
+    bit-identical across engines.
+
+    Scale shape: ENTIRELY row-local over the candidate-pair stream —
+    the blocking join upstream decides the cost; scoring adds no
+    shuffle, no state, no Python. This is the scoring stage between
+    blocking (sorted_neighborhood / block equi-joins) and clustering
+    (:func:`golden_records`).
+    """
+    import math
+
+    if not comparisons:
+        raise ValueError("comparisons must be non-empty")
+    if upper < lower:
+        raise ValueError("upper must be >= lower")
+    out = pairs
+    score = None
+    for name, expr, m, u in comparisons:
+        if not (0.0 < m < 1.0 and 0.0 < u < 1.0):
+            raise ValueError(f"{name}: m and u must be in (0, 1)")
+        agree = F.coalesce(F.expr(expr), F.lit(False))
+        w = F.when(agree, F.lit(math.log2(m / u))) \
+             .otherwise(F.lit(math.log2((1.0 - m) / (1.0 - u))))
+        out = out.withColumn(name, agree)
+        score = w if score is None else score + w
+    out = out.withColumn("fs_score", score)
+    return out.withColumn(
+        "decision",
+        F.when(F.col("fs_score") >= F.lit(float(upper)),
+               F.lit("match"))
+         .when(F.col("fs_score") >= F.lit(float(lower)),
+               F.lit("possible"))
+         .otherwise(F.lit("non_match")))

@@ -1566,3 +1566,59 @@ class TestMaDecompose:
         assert abs(out[("b", 5)].trend - 10.0) < 1e-12
         with pytest.raises(ValueError):
             ma_decompose(df, "x", "t", period=4)
+
+
+# ---------------------------------------------------------------------------
+# linkage.fellegi_sunter (q172)
+# ---------------------------------------------------------------------------
+
+class TestFellegiSunter:
+    def _pairs(self, spark, rows):
+        return spark.createDataFrame(
+            rows, "a_id: long, b_id: long, a_name: string, "
+                  "b_name: string")
+
+    def test_weights_and_bands(self, spark):
+        import math
+
+        from pandas_ai_spark.functions.linkage import fellegi_sunter
+
+        pairs = self._pairs(spark, [
+            (1, 2, "smith", "smith"),   # agree
+            (1, 3, "smith", "jones"),   # disagree
+        ])
+        comps = [("name_eq", "a_name = b_name", 0.9, 0.1)]
+        out = {(r.a_id, r.b_id): r for r in
+               fellegi_sunter(pairs, comps, upper=3.0,
+                              lower=0.0).collect()}
+        wa = math.log2(0.9 / 0.1)
+        wd = math.log2(0.1 / 0.9)
+        assert abs(out[(1, 2)].fs_score - wa) < 1e-12
+        assert abs(out[(1, 3)].fs_score - wd) < 1e-12
+        assert out[(1, 2)].decision == "match"  # wa ~ 3.17 >= 3
+        assert out[(1, 3)].decision == "non_match"
+        assert out[(1, 2)].name_eq is True
+
+    def test_null_agreement_is_disagreement(self, spark):
+        from pandas_ai_spark.functions.linkage import fellegi_sunter
+
+        pairs = self._pairs(spark, [(1, 2, None, "x")])
+        comps = [("name_eq", "a_name = b_name", 0.9, 0.1)]
+        r = fellegi_sunter(pairs, comps).collect()[0]
+        assert r.name_eq is False and r.fs_score < 0
+
+    def test_possible_band_and_validation(self, spark):
+        from pandas_ai_spark.functions.linkage import fellegi_sunter
+
+        pairs = self._pairs(spark, [(1, 2, "a", "a")])
+        comps = [("name_eq", "a_name = b_name", 0.6, 0.4)]
+        # weight = log2(1.5) ~ 0.585: below upper=3, above lower=0
+        r = fellegi_sunter(pairs, comps).collect()[0]
+        assert r.decision == "possible"
+        with pytest.raises(ValueError):
+            fellegi_sunter(pairs, [])
+        with pytest.raises(ValueError):
+            fellegi_sunter(pairs, [("x", "a_name = b_name", 1.0,
+                                    0.5)])
+        with pytest.raises(ValueError):
+            fellegi_sunter(pairs, comps, upper=0.0, lower=1.0)

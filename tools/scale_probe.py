@@ -114,6 +114,8 @@ DEFAULT = [
     "q165_classification_report",  # one cell agg + rollup joins
     "q167_auc",                 # score-grain midrank window
     "q170_bootstrap_ci",        # one-pass B-replicate weighted sums
+    "q171_ma_decompose",        # centered MA window + seasonal join
+    "q172_fellegi_sunter",      # blocked pairs + row-local scoring
 ]
 
 

@@ -3757,7 +3757,11 @@ def q172_fellegi_sunter(spark: SparkSession, sf_dir: str
     into the match / possible / non-match decision bands — the
     scoring stage between blocking (q93) and survivorship clustering
     (q148). The blocking join is co-partitioned equi on the block
-    key; scoring is entirely row-local literal arithmetic. Oracle:
+    key; scoring is entirely row-local literal arithmetic. Pair
+    count grows quadratically WITHIN blocks (SCALING exp ~1.2 here
+    by design — the coarse 125-block key is the demo choice); real
+    deployments bound it with finer keys or the q93
+    sorted-neighborhood window, which caps pairs linearly. Oracle:
     identical block join + the same Python-computed weight literals
     in the same fixed summation order."""
     from pandas_ai_spark.functions.linkage import fellegi_sunter

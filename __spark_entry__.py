@@ -3752,31 +3752,36 @@ _Q172_COMPARISONS = [
 def q172_fellegi_sunter(spark: SparkSession, sf_dir: str
                         ) -> DataFrame:
     """Fellegi-Sunter probabilistic linkage scoring
-    (linkage.fellegi_sunter) over customer candidate pairs blocked on
-    (nation, segment): per-field log2 m/u likelihood weights summed
-    into the match / possible / non-match decision bands — the
-    scoring stage between blocking (q93) and survivorship clustering
-    (q148). The blocking join is co-partitioned equi on the block
-    key; scoring is entirely row-local literal arithmetic. Pair
-    count grows quadratically WITHIN blocks (SCALING exp ~1.2 here
-    by design — the coarse 125-block key is the demo choice); real
-    deployments bound it with finer keys or the q93
-    sorted-neighborhood window, which caps pairs linearly. Oracle:
-    identical block join + the same Python-computed weight literals
-    in the same fixed summation order."""
-    from pandas_ai_spark.functions.linkage import fellegi_sunter
+    (linkage.fellegi_sunter) over customer candidate pairs from
+    sorted-neighborhood blocking (linkage.neighborhood_pairs): within
+    each (nation, segment) block, sort by (name, custkey) and pair
+    each record with its next 5 neighbors — pair count is rows × 5,
+    LINEAR (the r8 version's within-block self-join grew
+    quadratically, measured exp 1.22; this bounds it by
+    construction). Per-field log2 m/u likelihood weights sum into the
+    match / possible / non-match decision bands — the scoring stage
+    between blocking (q93) and survivorship clustering (q148). The
+    only shuffle is the window's block-key hash partition; scoring is
+    entirely row-local literal arithmetic. Oracle: identical
+    windowed-lead pairing + the same Python-computed weight literals
+    in the same fixed summation order (round-9)."""
+    from pandas_ai_spark.functions.linkage import (
+        fellegi_sunter, neighborhood_pairs)
 
-    c = _t(spark, sf_dir, "customer")
-    a = c.select("c_nationkey", "c_mktsegment",
-                 F.col("c_custkey").alias("a_id"),
-                 F.col("c_name").alias("a_name"),
-                 F.col("c_acctbal").alias("a_acctbal"))
-    b = c.select("c_nationkey", "c_mktsegment",
-                 F.col("c_custkey").alias("b_id"),
-                 F.col("c_name").alias("b_name"),
-                 F.col("c_acctbal").alias("b_acctbal"))
-    pairs = a.join(b, ["c_nationkey", "c_mktsegment"]).where(
-        F.col("a_id") < F.col("b_id"))
+    c = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal",
+        "c_nationkey", "c_mktsegment")
+    pairs = neighborhood_pairs(
+        c, "c_custkey",
+        order_cols=["c_name"],
+        block_cols=["c_nationkey", "c_mktsegment"],
+        carry_cols=["c_name", "c_acctbal"], window=5)
+    pairs = pairs.select(
+        "a_id", "b_id",
+        F.col("a_c_name").alias("a_name"),
+        F.col("b_c_name").alias("b_name"),
+        F.col("a_c_acctbal").alias("a_acctbal"),
+        F.col("b_c_acctbal").alias("b_acctbal"))
     out = fellegi_sunter(pairs, _Q172_COMPARISONS,
                          upper=2.0, lower=0.0)
     return out.select(
@@ -3787,9 +3792,11 @@ def q172_fellegi_sunter(spark: SparkSession, sf_dir: str
 
 
 def _q172_oracle() -> str:
-    """FS oracle: the same block join, the SAME Python-computed log2
-    weight literals (shared with the operator via math.log2 on the
-    identical m/u floats), fixed summation order."""
+    """FS oracle: the same sorted-neighborhood windowed-lead pairing
+    (5 forward neighbors per row within the (nation, segment) block,
+    (name, custkey) order), the SAME Python-computed log2 weight
+    literals (shared with the operator via math.log2 on the identical
+    m/u floats), fixed summation order."""
     import math
 
     cases = []
@@ -3802,19 +3809,35 @@ def _q172_oracle() -> str:
         fields.append(name)
     score = " + ".join(cases)
     cols = ", ".join(fields)
+    leads = ",\n                 ".join(
+        f"lead(c_custkey, {i}) OVER w AS b{i}, "
+        f"lead(c_name, {i}) OVER w AS n{i}, "
+        f"lead(c_acctbal, {i}) OVER w AS l{i}"
+        for i in range(1, 6))
+    arms = "\n          UNION ALL\n".join(
+        f"          SELECT a_id, b{i} AS b_id, a_name, n{i} AS b_name,"
+        f" a_acctbal, l{i} AS b_acctbal FROM nb"
+        f" WHERE b{i} IS NOT NULL"
+        for i in range(1, 6))
     return f"""
-        WITH p AS (
-          SELECT a.c_custkey AS a_id, b.c_custkey AS b_id,
-                 coalesce(right(a.c_name, 3) = right(b.c_name, 3),
+        WITH nb AS (
+          SELECT c_custkey AS a_id, c_name AS a_name,
+                 c_acctbal AS a_acctbal,
+                 {leads}
+          FROM customer
+          WINDOW w AS (PARTITION BY c_nationkey, c_mktsegment
+                       ORDER BY c_name, c_custkey)
+        ), p0 AS (
+{arms}
+        ), p AS (
+          SELECT a_id, b_id,
+                 coalesce(right(a_name, 3) = right(b_name, 3),
                           FALSE) AS name_suffix,
-                 coalesce(abs(a.c_acctbal - b.c_acctbal) < 100.0,
+                 coalesce(abs(a_acctbal - b_acctbal) < 100.0,
                           FALSE) AS acctbal_close,
-                 coalesce((a.c_acctbal > 0) = (b.c_acctbal > 0),
+                 coalesce((a_acctbal > 0) = (b_acctbal > 0),
                           FALSE) AS bal_positive_agree
-          FROM customer a JOIN customer b
-            ON a.c_nationkey = b.c_nationkey
-           AND a.c_mktsegment = b.c_mktsegment
-           AND a.c_custkey < b.c_custkey
+          FROM p0
         ), s AS (
           SELECT *, {score} AS fs_score FROM p
         )

@@ -112,6 +112,54 @@ def sorted_neighborhood_pairs(df: DataFrame, id_col: str, key_col: str,
     )
 
 
+def neighborhood_pairs(df: DataFrame, id_col: str,
+                       order_cols, block_cols,
+                       carry_cols=(), window: int = 3) -> DataFrame:
+    """Generalized sorted-neighborhood candidate generation
+    (Hernández & Stolfo) that CARRIES attribute columns onto both
+    sides of each pair: within each ``block_cols`` partition, sort by
+    ``order_cols`` (id appended as the tie-break) and pair each
+    record with its next ``window`` neighbors via ``lead``.
+
+    Returns ``(a_id, b_id, a_<c>, b_<c> ...)`` for each carry column —
+    ready for downstream scoring (:func:`fellegi_sunter`) without the
+    attribute join-back that :func:`sorted_neighborhood_pairs`
+    callers would otherwise pay twice.
+
+    Scale shape: pair count is rows × window — LINEAR, never the
+    within-block quadratic of a block self-join; the only shuffle is
+    the window's hash partition on ``block_cols``, and each unordered
+    pair is emitted exactly once (lead looks strictly forward). A hot
+    block costs a big sort, not a quadratic explosion.
+    """
+    if window < 1:
+        raise ValueError("window must be >= 1")
+    order_cols = list(order_cols)
+    block_cols = list(block_cols)
+    carry_cols = list(carry_cols)
+    if not block_cols:
+        raise ValueError("block_cols must be non-empty (a global "
+                         "sort would single-partition at scale)")
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(*block_cols).orderBy(*order_cols, id_col)
+    payload = F.struct(F.col(id_col).alias("id"),
+                       *[F.col(c).alias(c) for c in carry_cols])
+    nbrs = F.array(*[F.lead(payload, i).over(w)
+                     for i in range(1, window + 1)])
+    return (
+        df.withColumn("__nbrs", nbrs)
+          .select(F.col(id_col).alias("a_id"),
+                  *[F.col(c).alias(f"a_{c}") for c in carry_cols],
+                  F.explode("__nbrs").alias("__n"))
+          .where(F.col("__n.id").isNotNull())
+          .select("a_id", F.col("__n.id").alias("b_id"),
+                  *[F.col(f"a_{c}") for c in carry_cols],
+                  *[F.col(f"__n.{c}").alias(f"b_{c}")
+                    for c in carry_cols])
+    )
+
+
 def golden_records(df: DataFrame, pairs: DataFrame,
                    id_col: str = "rec_id",
                    completeness_cols: list[str] | None = None,

@@ -8297,7 +8297,13 @@ def oracle_sql() -> dict[str, str]:
               FROM toks
             ), pred AS (
               SELECT lang AS t,
-                     CASE WHEN greatest(s_de, s_en, s_es, s_fr) = 0
+                     -- NULL text => NULL scores => NULL prediction
+                     -- (mirrors the operator, whose NULL-pred rows
+                     -- the report excludes) — without this branch
+                     -- every comparison is NULL and the CASE falls
+                     -- through to 'fr' (r8 advice)
+                     CASE WHEN s_de IS NULL THEN NULL
+                          WHEN greatest(s_de, s_en, s_es, s_fr) = 0
                             THEN 'und'
                           WHEN s_de = greatest(s_de, s_en, s_es,
                                                s_fr) THEN 'de'

@@ -177,26 +177,31 @@ def loo_target_encode(df: DataFrame, cat_col: str, target_expr,
     holdout scheme in its exact per-row form).
 
     ``target_expr`` is a SQL boolean or numeric expression; booleans
-    encode as 0/1, NULLs as 0.
+    encode as 0/1, NULLs as 0. A NULL category is a category like any
+    other (the fold-back join is null-safe), so NULL rows encode
+    against the other NULL rows rather than always yielding NULL.
 
     Scale shape: ONE map-side-combined aggregation builds the
     per-category ``(sum, count)`` table (shuffle bounded by category
     count), then a broadcast join folds it back — the encode itself
-    is row-local; no window, no sort, no second shuffle. Appends
-    ``out_col`` (and nothing else) to the input schema.
+    is row-local; no window, no sort, no second shuffle (``<=>`` is
+    an equi-predicate, so the broadcast HASH join is preserved).
+    Appends ``out_col`` (and nothing else) to the input schema.
     """
     from pyspark.sql.functions import broadcast
 
     y = F.coalesce(F.expr(target_expr).cast("double"), F.lit(0.0))
-    stats = df.groupBy(F.col(cat_col)).agg(
+    stats = df.groupBy(F.col(cat_col).alias("__cat")).agg(
         F.sum(y).alias("__sum_y"),
         F.count("*").cast("bigint").alias("__n_cat"))
-    out = df.join(broadcast(stats), cat_col, "left")
+    out = df.join(broadcast(stats),
+                  F.col(cat_col).eqNullSafe(F.col("__cat")), "left")
     enc = F.when(
         F.col("__n_cat") > 1,
         (F.col("__sum_y") - y)
         / (F.col("__n_cat") - F.lit(1)).cast("double"))
-    return out.withColumn(out_col, enc).drop("__sum_y", "__n_cat")
+    return out.withColumn(out_col, enc) \
+              .drop("__cat", "__sum_y", "__n_cat")
 
 
 def class_balance_weights(df: DataFrame, label_col: str,

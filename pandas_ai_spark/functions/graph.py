@@ -400,11 +400,16 @@ def connected_components(edges: DataFrame, src: str = "src",
     ``min``. Each round's edge set is ``localCheckpoint``-ed: lineage
     stays bounded and the convergence probe reads the materialized
     frame. Convergence = the canonically-oriented edge set is
-    identical two rounds running, checked with one aggregate
+    identical two rounds running, screened with one aggregate
     ``(count, bit_xor(xxhash64(u, v)))`` over the checkpointed frame
     (xor is order-independent and cannot overflow under ANSI mode; the
-    set is distinct so identical pairs never cancel) — no extra
-    shuffle, no subtract join. Self-loop-only and isolated
+    set is distinct so identical pairs never cancel). The signature is
+    a FILTER, not an identity — xor of 64-bit hashes is not injective
+    — so the round where it first matches pays ONE definitive
+    ``subtract``-emptiness probe before declaring convergence; a
+    collision (≈2^-64 per round) costs one extra iteration, never a
+    wrong label. Non-terminal rounds stay subtract-free.
+    Self-loop-only and isolated
     endpoints never propagate but are restored in the output labeled
     with themselves (the ``min_label_propagation`` membership rule).
 
@@ -468,9 +473,15 @@ def connected_components(edges: DataFrame, src: str = "src",
                  .localCheckpoint(eager=True))
         rounds += 1
         new_sig = _signature(small)
+        prev = e
         e = small
         if new_sig == sig:
-            break
+            # signature equality is necessary, not sufficient (xor of
+            # hashes can collide) — confirm set identity once on the
+            # terminating round; both frames are checkpointed distinct
+            # sets with equal counts, so one subtract decides it
+            if prev.subtract(small).isEmpty():
+                break
         sig = new_sig
     else:
         import warnings

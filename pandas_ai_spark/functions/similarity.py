@@ -1095,9 +1095,13 @@ def mmr_rerank(candidates: DataFrame, k: int = 10, lam: float = 0.7,
         raise ValueError("lam must be in [0, 1]")
     import pandas as pd
 
+    # id/query columns keep their INPUT types (string ids, int32
+    # keys, ...) — pinning LongType here broke any non-bigint id at
+    # runtime despite the generic-column contract (r8 advice)
+    in_fields = {f.name: f.dataType for f in candidates.schema.fields}
     out_schema = T.StructType([
-        T.StructField(query_col, T.LongType()),
-        T.StructField(id_col, T.LongType()),
+        T.StructField(query_col, in_fields[query_col]),
+        T.StructField(id_col, in_fields[id_col]),
         T.StructField("mmr_rank", T.IntegerType()),
         T.StructField("mmr_score", T.DoubleType()),
     ])
@@ -1112,7 +1116,7 @@ def mmr_rerank(candidates: DataFrame, k: int = 10, lam: float = 0.7,
         S = V @ V.T
         rel = pdf[rel_col].to_numpy().astype(np.float64)
         ids = pdf[id_col].to_numpy()
-        qid = int(pdf[query_col].iloc[0])
+        qid = pdf[query_col].iloc[0]
         selected: list[int] = []
         remaining = list(range(len(ids)))
         out = []
@@ -1126,7 +1130,7 @@ def mmr_rerank(candidates: DataFrame, k: int = 10, lam: float = 0.7,
                     best, best_score = i, sc
             selected.append(best)
             remaining.remove(best)
-            out.append((qid, int(ids[best]), len(selected),
+            out.append((qid, ids[best], len(selected),
                         float(best_score)))
         return pd.DataFrame(
             out, columns=[query_col, id_col, "mmr_rank", "mmr_score"])

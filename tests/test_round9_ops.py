@@ -84,3 +84,59 @@ class TestNeighborhoodPairs:
             .executedPlan().toString()
         # the lead window must be hash-partitioned on the block key
         assert "hashpartitioning(blk" in plan
+
+# ---------------------------------------------------------------------------
+# r8-advice fixes: NULL-category LOO encoding, generic mmr id types,
+# connected-components definitive convergence probe
+# ---------------------------------------------------------------------------
+
+class TestAdviceFixes:
+    def test_loo_encodes_null_category_group(self, spark):
+        from pandas_ai_spark.functions.classify import loo_target_encode
+
+        df = spark.createDataFrame(
+            [(None, 1), (None, 0), (None, 1), ("a", 1), ("b", 0)],
+            "cat: string, y: int")
+        got = {(r.cat, r.y): r.encoded for r in
+               loo_target_encode(df, "cat", "y = 1").collect()}
+        # NULL category has n=3, sum_y=2: LOO = (2 - y) / 2
+        assert got[(None, 1)] == pytest.approx(0.5)
+        assert got[(None, 0)] == pytest.approx(1.0)
+        # singletons still NULL (nothing to average)
+        assert got[("a", 1)] is None and got[("b", 0)] is None
+
+    def test_mmr_rerank_string_ids(self, spark):
+        from pandas_ai_spark.functions.similarity import mmr_rerank
+
+        rows = [("q1", "docA", 0.9, [1.0, 0.0]),
+                ("q1", "docB", 0.8, [1.0, 0.0]),   # dup of docA
+                ("q1", "docC", 0.5, [0.0, 1.0])]
+        cand = spark.createDataFrame(
+            rows, "query_id: string, vec_id: string, "
+                  "cosine: double, embedding: array<double>")
+        out = {r.mmr_rank: r for r in mmr_rerank(cand, k=2).collect()}
+        assert out[1].vec_id == "docA" and out[1].query_id == "q1"
+        # diversity penalty must skip the duplicate and pick docC
+        assert out[2].vec_id == "docC"
+
+    def test_mmr_rerank_int32_ids(self, spark):
+        from pandas_ai_spark.functions.similarity import mmr_rerank
+
+        cand = spark.createDataFrame(
+            [(1, 10, 0.9, [1.0, 0.0]), (1, 11, 0.4, [0.0, 1.0])],
+            "query_id: int, vec_id: int, cosine: double, "
+            "embedding: array<double>")
+        out = mmr_rerank(cand, k=2)
+        assert dict(out.dtypes)["vec_id"] == "int"
+        assert {r.vec_id for r in out.collect()} == {10, 11}
+
+    def test_cc_converges_with_definitive_probe(self, spark):
+        from pandas_ai_spark.functions.graph import connected_components
+
+        edges = spark.createDataFrame(
+            [(1, 2), (2, 3), (3, 4), (10, 11)], "src: long, dst: long")
+        stats = {}
+        got = {r.node: r.component for r in
+               connected_components(edges, stats=stats).collect()}
+        assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+        assert stats["rounds"] >= 1

@@ -3850,6 +3850,118 @@ def _q172_oracle() -> str:
     """
 
 
+def q173_stratified_sample(spark: SparkSession, sf_dir: str
+                           ) -> DataFrame:
+    """Exact-allocation proportional stratified sampling
+    (pipeline.stratified_sample): every o_orderpriority stratum
+    contributes exactly ceil(5% of its rows), selected by
+    deterministic md5 order — the eval-set sampler whose quotas are
+    met exactly (sampleBy's Bernoulli draw only hits them in
+    expectation and can empty small strata). One window shuffle: the
+    stratum count and the md5 rank share a partition spec. Oracle:
+    the identical md5('strat:'||key) rank + ceil-quota window SQL
+    (round-9)."""
+    from pandas_ai_spark.functions.pipeline import stratified_sample
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderpriority", "o_orderkey")
+    out = stratified_sample(orders, ["o_orderpriority"],
+                            fraction=0.05, id_col="o_orderkey",
+                            seed="strat")
+    return out.select("o_orderpriority", "o_orderkey") \
+              .orderBy("o_orderpriority", "o_orderkey")
+
+
+def q174_stream_reservoir(spark: SparkSession, sf_dir: str
+                          ) -> DataFrame:
+    """Streaming per-language reservoir sample as a STREAM,
+    hash-matched against SQL (streaming.stateful_reservoir): the
+    documents table arrives in three micro-batches (doc_id mod 3
+    splits); each batch merges into a bounded bottom-k-by-md5 (KMV)
+    reservoir carried as applyInPandasWithState state. Bottom-k by a
+    deterministic hash is ORDER-INDEPENDENT and mergeable, so the
+    final snapshot equals the batch answer over the union regardless
+    of batch boundaries — the strongest batch/stream parity contract
+    in the module (the oracle below IS the batch form: a per-lang
+    md5-ordered row_number <= k in DuckDB). The returned frame is the
+    final (max-seen) snapshot per language."""
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql.window import Window
+
+    from pandas_ai_spark.streaming import stateful_reservoir
+    from pandas_ai_spark.streaming.stream import record_stream_metrics
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    tmp = tempfile.mkdtemp(prefix="q174_stream_")
+    try:
+        src = os.path.join(tmp, "src")
+        for part in (0, 1, 2):
+            docs.where(F.col("doc_id") % 3 == part).coalesce(1) \
+                .write.mode("append").parquet(src)
+        stream = (spark.readStream.schema("doc_id long, lang string")
+                  .option("maxFilesPerTrigger", 1).parquet(src))
+        res = stateful_reservoir(stream, "lang", "doc_id", k=10,
+                                 seed="res")
+        q = (res.writeStream.format("parquet")
+             .option("path", os.path.join(tmp, "out"))
+             .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+        record_stream_metrics(q, "q174_stream_reservoir")
+        snaps = spark.read.parquet(os.path.join(tmp, "out"))
+        w = Window.partitionBy("lang")
+        final = (snaps.withColumn("__mx", F.max("seen").over(w))
+                      .where(F.col("seen") == F.col("__mx"))
+                      .select("lang", "doc_id").collect())
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(
+        [(r.lang, int(r.doc_id)) for r in final],
+        "lang string, doc_id long").orderBy("lang", "doc_id")
+
+
+def q175_cross_encoder_rerank(spark: SparkSession, sf_dir: str
+                              ) -> DataFrame:
+    """Retrieve-then-rerank (similarity.cross_encoder_rerank): the
+    q24 brute-force bi-encoder pool (top-10 cosine per query) is
+    re-scored by a cross-encoder HOOK — a scorer callable running
+    inside mapInPandas over Arrow batches of (cosine, q_chars,
+    c_chars) features; here a deterministic calibrated-linear stub
+    (4*cosine - |len diff|/200, container has no model runtimes), in
+    production the model forward pass. Feature joins broadcast the
+    documents dimension; the rank window partitions by query over
+    bounded pools. Oracle: the q24 pool CTE + identical feature
+    arithmetic + rank window (round-9)."""
+    from pandas_ai_spark.functions import similarity as sim
+
+    emb = _t(spark, sf_dir, "embeddings")
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    q = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    pool = sim.ann_bruteforce(emb, q, k=10)
+    qc = docs.select(F.col("doc_id").alias("query_id"),
+                     F.col("n_chars").alias("q_chars"))
+    cc = docs.select(F.col("doc_id").alias("vec_id"),
+                     F.col("n_chars").alias("c_chars"))
+    cand = (pool.join(F.broadcast(qc), "query_id")
+                .join(F.broadcast(cc), "vec_id"))
+
+    def scorer(feats):
+        return (4.0 * feats["cosine"]
+                - (feats["q_chars"] - feats["c_chars"]).abs()
+                / 200.0)
+
+    out = sim.cross_encoder_rerank(
+        cand, scorer, ["cosine", "q_chars", "c_chars"], k=5)
+    return out.select(
+        "query_id", "vec_id",
+        F.round("ce_score", 6).alias("ce_score"),
+        "ce_rank").orderBy("query_id", "ce_rank")
+
+
 def _mmr_reference(sf_dir: str = "/root/testdata/sf0.01") -> list:
     """Standalone MMR reference (Carbonell & Goldstein's greedy
     algorithm in plain numpy) over the same embeddings table: exact
@@ -4651,6 +4763,9 @@ def queries_numeric() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q170_bootstrap_ci": q170_bootstrap_ci,
         "q171_ma_decompose": q171_ma_decompose,
         "q172_fellegi_sunter": q172_fellegi_sunter,
+        "q173_stratified_sample": q173_stratified_sample,
+        "q174_stream_reservoir": q174_stream_reservoir,
+        "q175_cross_encoder_rerank": q175_cross_encoder_rerank,
     }
 
 
@@ -8429,6 +8544,69 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY d.o_orderpriority, d.day
         """,
         "q172_fellegi_sunter": _q172_oracle(),
+        "q173_stratified_sample": """
+            WITH r AS (
+              SELECT o_orderpriority, o_orderkey,
+                     row_number() OVER (
+                       PARTITION BY o_orderpriority
+                       ORDER BY md5('strat:' || o_orderkey::VARCHAR),
+                                o_orderkey) AS rk,
+                     count(*) OVER (PARTITION BY o_orderpriority)
+                       AS n
+              FROM orders
+            )
+            SELECT o_orderpriority, o_orderkey FROM r
+            WHERE rk <= CAST(ceil(0.05 * n) AS BIGINT)
+            ORDER BY o_orderpriority, o_orderkey
+        """,
+        "q174_stream_reservoir": """
+            WITH r AS (
+              SELECT lang, doc_id,
+                     row_number() OVER (
+                       PARTITION BY lang
+                       ORDER BY md5('res:' || doc_id::VARCHAR),
+                                doc_id) AS rk
+              FROM documents
+            )
+            SELECT lang, doc_id FROM r WHERE rk <= 10
+            ORDER BY lang, doc_id
+        """,
+        "q175_cross_encoder_rerank": """
+            WITH e AS (
+              SELECT vec_id, embedding::DOUBLE[] AS v
+              FROM embeddings
+            ), scored AS (
+              SELECT q.vec_id AS query_id, c.vec_id,
+                     list_cosine_similarity(q.v, c.v) AS cos_raw
+              FROM e q JOIN e c ON c.vec_id != q.vec_id
+              WHERE q.vec_id < 5
+            ), pool AS (
+              SELECT query_id, vec_id, cos_raw,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY cos_raw DESC,
+                                                 vec_id) AS rank
+              FROM scored
+            ), feat AS (
+              SELECT p.query_id, p.vec_id,
+                     4.0 * p.cos_raw
+                     - abs(dq.n_chars - dc.n_chars) / 200.0
+                       AS ce_score
+              FROM pool p
+              JOIN documents dq ON dq.doc_id = p.query_id
+              JOIN documents dc ON dc.doc_id = p.vec_id
+              WHERE p.rank <= 10
+            ), rr AS (
+              SELECT query_id, vec_id, ce_score,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY ce_score DESC,
+                                                 vec_id) AS ce_rank
+              FROM feat
+            )
+            SELECT query_id, vec_id, round(ce_score, 6) AS ce_score,
+                   ce_rank
+            FROM rr WHERE ce_rank <= 5
+            ORDER BY query_id, ce_rank
+        """,
     }
 
 

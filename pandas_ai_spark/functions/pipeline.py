@@ -218,6 +218,51 @@ def hash_split(df: DataFrame, weights: dict[str, float],
     return df.withColumn("split", split)
 
 
+def stratified_sample(df: DataFrame, strata_cols,
+                      fraction: float, id_col: str = "doc_id",
+                      seed: str = "strat") -> DataFrame:
+    """EXACT-allocation proportional stratified sampling: every
+    stratum contributes exactly ``ceil(fraction * n_stratum)`` rows
+    (never zero for a non-empty stratum), chosen by deterministic
+    md5 order — the sampler to reach for when per-stratum quotas must
+    be met exactly (eval-set construction, per-language floors),
+    where ``sampleBy``'s Bernoulli draw only hits the quota in
+    expectation and can empty out small strata entirely.
+
+    Determinism: selection order is ``md5(seed‖id)`` (id tie-break),
+    a pure function of the row — stable across runs, retries, engine
+    (DuckDB reproduces the identical sample via its ``md5``), and
+    executor placement; re-key with ``seed`` for an independent
+    re-draw. Rows keep their input schema.
+
+    Scale shape: ONE shuffle — the stratum size and the rank come
+    from the same window partition spec (a ``count`` over the
+    unbounded frame and a ``row_number`` over the md5 order share one
+    exchange + sort), then a row-local keep predicate. Exact
+    allocation inherently needs the group size, so there is no
+    WindowGroupLimit pre-push here; a hot stratum costs its sort,
+    never a quadratic term. For fixed-size (not proportional) quotas
+    use :func:`cap_per_domain`, which DOES pre-push the top-k.
+    """
+    from pyspark.sql import Window
+
+    if not (0.0 < fraction <= 1.0):
+        raise ValueError("fraction must be in (0, 1]")
+    strata_cols = list(strata_cols)
+    if not strata_cols:
+        raise ValueError("strata_cols must be non-empty")
+    key = F.md5(F.concat(F.lit(seed), F.lit(":"),
+                         F.col(id_col).cast("string")))
+    wp = Window.partitionBy(*strata_cols)
+    w = wp.orderBy(key.asc(), F.col(id_col).asc())
+    quota = F.ceil(F.lit(float(fraction))
+                   * F.count(F.lit(1)).over(wp).cast("double"))
+    return (df.withColumn("__rk", F.row_number().over(w))
+              .withColumn("__quota", quota)
+              .where(F.col("__rk") <= F.col("__quota"))
+              .drop("__rk", "__quota"))
+
+
 def temperature_mixture_rates(
     df: DataFrame,
     domain_col: str = "lang",

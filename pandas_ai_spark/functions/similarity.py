@@ -1137,3 +1137,63 @@ def mmr_rerank(candidates: DataFrame, k: int = 10, lam: float = 0.7,
 
     return (candidates.groupBy(query_col)
             .applyInPandas(select_group, out_schema))
+
+
+def cross_encoder_rerank(candidates: DataFrame, scorer,
+                         feature_cols, k: int = 10,
+                         query_col: str = "query_id",
+                         id_col: str = "vec_id",
+                         score_col: str = "ce_score") -> DataFrame:
+    """Second-stage re-ranking hook — the retrieve-then-rerank shape
+    (bi-encoder/BM25 produces a bounded candidate pool per query; an
+    expensive pairwise model re-scores only that pool). ``scorer`` is
+    ``Callable[[pd.DataFrame], 1-D array-like]`` and runs inside
+    ``mapInPandas`` over Arrow batches of the ``feature_cols``
+    columns — exactly the batch shape a real cross-encoder forward
+    pass wants (this container has no model runtimes, so entries plug
+    in deterministic arithmetic scorers; the plumbing — schema,
+    batching, rank window — is the real, tested part). Returns
+    ``(query_col, id_col, score_col, ce_rank)`` with ``ce_rank`` the
+    per-query (score desc, id asc) dense position, cut at ``k``.
+
+    Scale shape: scoring is embarrassingly row-parallel (one Python
+    stage over the already-bounded pool — no shuffle); the only
+    shuffle is the per-query rank window, whose partitions are pools
+    of ≤ pool-size rows. Query/id output types follow the input
+    schema (no pinned types).
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    feature_cols = list(feature_cols)
+    missing = [c for c in feature_cols + [query_col, id_col]
+               if c not in candidates.columns]
+    if missing:
+        raise ValueError(f"columns not in candidates: {missing}")
+    in_fields = {f.name: f.dataType for f in candidates.schema.fields}
+    out_schema = T.StructType([
+        T.StructField(query_col, in_fields[query_col]),
+        T.StructField(id_col, in_fields[id_col]),
+        T.StructField(score_col, T.DoubleType()),
+    ])
+
+    def score_batches(it):
+        for pdf in it:
+            s = np.asarray(scorer(pdf[feature_cols]),
+                           dtype=np.float64)
+            if s.shape != (len(pdf),):
+                raise ValueError(
+                    "scorer must return one score per row, got "
+                    f"shape {s.shape} for {len(pdf)} rows")
+            yield pd.DataFrame({
+                query_col: pdf[query_col],
+                id_col: pdf[id_col],
+                score_col: s,
+            })
+
+    scored = candidates.select(
+        query_col, id_col, *feature_cols).mapInPandas(
+        score_batches, out_schema)
+    w = Window.partitionBy(query_col).orderBy(
+        F.col(score_col).desc(), F.col(id_col).asc())
+    return (scored.withColumn("ce_rank", F.row_number().over(w))
+                  .where(F.col("ce_rank") <= k))

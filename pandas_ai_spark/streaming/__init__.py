@@ -12,6 +12,7 @@ from .stream import (
     StreamCompiler,
     StreamingNearDup,
     sessionize,
+    stateful_reservoir,
     stateful_sessionize,
     stream_dedup,
     stream_interval_join,
@@ -19,4 +20,5 @@ from .stream import (
 )
 
 __all__ = ["StreamCompiler", "StreamingNearDup", "windowed_agg", "sessionize",
-           "stateful_sessionize", "stream_dedup", "stream_interval_join"]
+           "stateful_reservoir", "stateful_sessionize", "stream_dedup",
+           "stream_interval_join"]

@@ -520,6 +520,92 @@ def stateful_rolling_zscore(df: DataFrame, key_col: str, ts_col: str,
         GroupStateTimeout.NoTimeout)
 
 
+def stateful_reservoir(df: DataFrame, key_col: str, id_col: str,
+                       k: int = 100, seed: str = "res") -> DataFrame:
+    """CUSTOM stateful streaming operator (``applyInPandasWithState``):
+    a per-stratum uniform reservoir sample maintained ACROSS
+    micro-batches via the bottom-k-by-hash (KMV) scheme — each row's
+    priority is ``md5(seed‖id)`` and the reservoir is the ``k``
+    smallest priorities seen so far. Bottom-k-by-hash IS a uniform
+    sample of the distinct ids and, unlike Vitter's algorithm R, is
+    ORDER-INDEPENDENT and mergeable: the final reservoir equals the
+    batch :func:`~pandas_ai_spark.functions.pipeline.cap_per_domain`
+    over everything ingested (same md5 order), regardless of how rows
+    were split into micro-batches — the batch/stream parity contract
+    this module tests everywhere.
+
+    State per key is the bounded ``(priority, id)`` bottom-k plus a
+    seen-counter — O(strata · k), never O(events). Each micro-batch
+    emits the key's full reservoir SNAPSHOT tagged with ``seen`` (rows
+    ingested so far for that stratum); consumers keep the max-``seen``
+    snapshot per key (the returned stream is append-mode, so earlier
+    snapshots are immutable history — exactly a sampling sketch's
+    changelog). Emits ``(key_col, id_col, priority, seen)``.
+
+    Scale shape: one shuffle on the stratum key per micro-batch; the
+    Python work is a vectorized md5-merge-sort of (state ∪ batch)
+    truncated at ``k``.
+    """
+    from pyspark.sql.streaming.state import (GroupState,
+                                             GroupStateTimeout)
+    from pyspark.sql.types import (ArrayType, LongType, StringType,
+                                   StructField, StructType)
+
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    in_fields = {f.name: f.dataType for f in df.schema.fields}
+    out_schema = StructType([
+        StructField(key_col, in_fields[key_col]),
+        StructField(id_col, in_fields[id_col]),
+        StructField("priority", StringType()),
+        StructField("seen", LongType()),
+    ])
+    state_schema = StructType([
+        StructField("prios", ArrayType(StringType())),
+        StructField("ids", ArrayType(in_fields[id_col])),
+        StructField("seen", LongType()),
+    ])
+    kk, sd = int(k), str(seed)
+
+    def fn(key, pdfs, state: GroupState):
+        import hashlib
+
+        import pandas as pd
+
+        if state.exists:
+            prios, ids, seen = state.get
+            pool = list(zip(prios, ids))
+        else:
+            pool, seen = [], 0
+        n_new = 0
+        for pdf in pdfs:
+            n_new += len(pdf)
+            # .tolist() hands back native Python scalars — numpy
+            # types would fail the Arrow state-schema conversion
+            for i in pdf[id_col].tolist():
+                h = hashlib.md5(
+                    f"{sd}:{i}".encode("utf-8")).hexdigest()
+                pool.append((h, i))
+        # md5 is effectively collision-free on ids, so the (priority,
+        # id) sort is total and the truncation deterministic
+        pool.sort(key=lambda t: (t[0], t[1]))
+        pool = pool[:kk]
+        seen += n_new
+        state.update(([p for p, _ in pool],
+                      [i for _, i in pool], seen))
+        yield pd.DataFrame({
+            key_col: [key[0]] * len(pool),
+            id_col: [i for _, i in pool],
+            "priority": [p for p, _ in pool],
+            "seen": seen,
+        })
+
+    prepped = df.select(F.col(key_col), F.col(id_col))
+    return prepped.groupBy(key_col).applyInPandasWithState(
+        fn, out_schema, state_schema, "append",
+        GroupStateTimeout.NoTimeout)
+
+
 class StreamingDriftMonitor:
     """Continuous distribution-drift monitoring: every micro-batch's
     ``value_col`` is scored against a FIXED reference snapshot with

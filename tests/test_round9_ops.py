@@ -140,3 +140,185 @@ class TestAdviceFixes:
                connected_components(edges, stats=stats).collect()}
         assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
         assert stats["rounds"] >= 1
+
+# ---------------------------------------------------------------------------
+# pipeline.stratified_sample (q173)
+# ---------------------------------------------------------------------------
+
+class TestStratifiedSample:
+    def test_exact_quota_per_stratum(self, spark):
+        from pandas_ai_spark.functions.pipeline import stratified_sample
+
+        rows = [(i, "big") for i in range(100)] + \
+               [(100 + i, "small") for i in range(7)]
+        df = spark.createDataFrame(rows, "id: long, s: string")
+        out = stratified_sample(df, ["s"], fraction=0.1, id_col="id")
+        counts = {r.s: r.n for r in
+                  out.groupBy("s").agg(F.count("*").alias("n"))
+                     .collect()}
+        # ceil(0.1*100)=10, ceil(0.1*7)=1 — exact, never empty
+        assert counts == {"big": 10, "small": 1}
+
+    def test_deterministic_and_seed_rekeyed(self, spark):
+        from pandas_ai_spark.functions.pipeline import stratified_sample
+
+        df = spark.range(200).select(
+            "id", F.lit("x").alias("s"))
+        a = {r.id for r in
+             stratified_sample(df, ["s"], 0.2, "id").collect()}
+        b = {r.id for r in
+             stratified_sample(df, ["s"], 0.2, "id").collect()}
+        c = {r.id for r in
+             stratified_sample(df, ["s"], 0.2, "id",
+                               seed="other").collect()}
+        assert a == b and len(a) == 40
+        assert c != a  # independent re-draw
+
+    def test_validation(self, spark):
+        from pandas_ai_spark.functions.pipeline import stratified_sample
+
+        df = spark.range(5).select("id", F.lit("x").alias("s"))
+        with pytest.raises(ValueError):
+            stratified_sample(df, ["s"], 0.0, "id")
+        with pytest.raises(ValueError):
+            stratified_sample(df, [], 0.5, "id")
+
+    def test_single_shuffle_plan(self, spark):
+        from pandas_ai_spark.functions.pipeline import stratified_sample
+
+        df = spark.range(50).select("id", (F.col("id") % 3).alias("s"))
+        plan = stratified_sample(df, ["s"], 0.5, "id") \
+            ._jdf.queryExecution().executedPlan().toString()
+        # count + row_number share one partition spec: one Exchange
+        assert plan.count("Exchange hashpartitioning") == 1
+
+
+# ---------------------------------------------------------------------------
+# streaming.stateful_reservoir (q174)
+# ---------------------------------------------------------------------------
+
+class TestStatefulReservoir:
+    def _drain(self, spark, tmp_path, frames, k=5, seed="cap"):
+        import os
+
+        src = os.path.join(str(tmp_path), "src")
+        for f in frames:
+            f.coalesce(1).write.mode("append").parquet(src)
+        stream = (spark.readStream.schema("lang string, doc_id long")
+                  .option("maxFilesPerTrigger", 1).parquet(src))
+        from pandas_ai_spark.streaming import stateful_reservoir
+
+        res = stateful_reservoir(stream, "lang", "doc_id", k=k,
+                                 seed=seed)
+        q = (res.writeStream.format("parquet")
+             .option("path", os.path.join(str(tmp_path), "out"))
+             .option("checkpointLocation",
+                     os.path.join(str(tmp_path), "ckpt"))
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+        snaps = spark.read.parquet(os.path.join(str(tmp_path), "out"))
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("lang")
+        return {(r.lang, r.doc_id) for r in
+                snaps.withColumn("__mx", F.max("seen").over(w))
+                     .where(F.col("seen") == F.col("__mx"))
+                     .select("lang", "doc_id").collect()}
+
+    def test_final_snapshot_matches_batch_bottom_k(self, spark,
+                                                   tmp_path):
+        from pandas_ai_spark.functions.pipeline import cap_per_domain
+
+        all_rows = [("en" if i % 2 else "de", i) for i in range(40)]
+        df = spark.createDataFrame(all_rows, "lang: string, doc_id: long")
+        # stream in two arbitrary micro-batches; seed "cap" makes the
+        # stream-side priority identical to cap_per_domain's md5 key
+        got = self._drain(
+            spark, tmp_path,
+            [df.where(F.col("doc_id") < 15),
+             df.where(F.col("doc_id") >= 15)], k=5, seed="cap")
+        want = {(r.lang, r.doc_id) for r in
+                cap_per_domain(df, "lang", "doc_id", cap=5).collect()}
+        assert got == want
+
+    def test_order_independence(self, spark, tmp_path):
+        import os
+        import shutil
+
+        df = spark.createDataFrame(
+            [("x", i) for i in range(30)], "lang: string, doc_id: long")
+        a = self._drain(spark, os.path.join(str(tmp_path), "a"),
+                        [df.where("doc_id % 2 = 0"),
+                         df.where("doc_id % 2 = 1")], k=4)
+        b = self._drain(spark, os.path.join(str(tmp_path), "b"),
+                        [df.where("doc_id >= 20"),
+                         df.where("doc_id < 10"),
+                         df.where("doc_id >= 10 and doc_id < 20")],
+                        k=4)
+        assert a == b and len(a) == 4
+        shutil.rmtree(str(tmp_path), ignore_errors=True)
+
+    def test_validation(self, spark):
+        from pandas_ai_spark.streaming import stateful_reservoir
+
+        df = spark.createDataFrame([("x", 1)],
+                                   "lang: string, doc_id: long")
+        with pytest.raises(ValueError):
+            stateful_reservoir(df, "lang", "doc_id", k=0)
+
+
+# ---------------------------------------------------------------------------
+# similarity.cross_encoder_rerank (q175)
+# ---------------------------------------------------------------------------
+
+class TestCrossEncoderRerank:
+    def _cand(self, spark):
+        return spark.createDataFrame(
+            [(1, 10, 0.9, 5.0), (1, 11, 0.8, 1.0), (1, 12, 0.7, 0.0),
+             (2, 10, 0.5, 2.0)],
+            "query_id: long, vec_id: long, cosine: double, "
+            "penalty: double")
+
+    def test_scorer_reranks(self, spark):
+        from pandas_ai_spark.functions.similarity import \
+            cross_encoder_rerank
+
+        out = cross_encoder_rerank(
+            self._cand(spark),
+            lambda f: f["cosine"] - f["penalty"],
+            ["cosine", "penalty"], k=2)
+        got = {(r.query_id, r.ce_rank): (r.vec_id, r.ce_score)
+               for r in out.collect()}
+        # q1: 12 (0.7) > 11 (-0.2) > 10 (-4.1) — pool order inverted
+        assert got[(1, 1)] == (12, 0.7)
+        assert got[(1, 2)][0] == 11
+        assert got[(2, 1)][0] == 10
+        assert (1, 3) not in got  # k cut
+
+    def test_string_ids_pass_through(self, spark):
+        from pandas_ai_spark.functions.similarity import \
+            cross_encoder_rerank
+
+        cand = spark.createDataFrame(
+            [("q", "a", 1.0), ("q", "b", 2.0)],
+            "query_id: string, vec_id: string, cosine: double")
+        out = cross_encoder_rerank(cand, lambda f: f["cosine"],
+                                   ["cosine"], k=1).collect()
+        assert len(out) == 1 and out[0].vec_id == "b"
+
+    def test_validation(self, spark):
+        from pandas_ai_spark.functions.similarity import \
+            cross_encoder_rerank
+
+        cand = self._cand(spark)
+        with pytest.raises(ValueError):
+            cross_encoder_rerank(cand, lambda f: f["cosine"],
+                                 ["nope"], k=1)
+        with pytest.raises(ValueError):
+            cross_encoder_rerank(cand, lambda f: f["cosine"],
+                                 ["cosine"], k=0)
+        bad = cross_encoder_rerank(cand.coalesce(1),
+                                   lambda f: [1.0] * (len(f) + 1),
+                                   ["cosine"], k=1)
+        with pytest.raises(Exception):
+            bad.collect()

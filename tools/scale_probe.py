@@ -115,7 +115,9 @@ DEFAULT = [
     "q167_auc",                 # score-grain midrank window
     "q170_bootstrap_ci",        # one-pass B-replicate weighted sums
     "q171_ma_decompose",        # centered MA window + seasonal join
-    "q172_fellegi_sunter",      # blocked pairs + row-local scoring
+    "q172_fellegi_sunter",      # sorted-neighborhood pairs + row-local scoring
+    "q173_stratified_sample",   # one-window md5-rank quota sample
+    "q175_cross_encoder_rerank",  # pool + Arrow scorer + rank window
 ]
 
 

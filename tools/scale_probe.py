@@ -121,33 +121,68 @@ DEFAULT = [
 ]
 
 
+# De-flooring probe (VERDICT r8 item 4): every query ≥2 s at sf0.1 whose
+# inputs are FACT tables (customer/orders/lineitem/events) also runs at
+# the derived 3x point .scale/sf0.3 (tools/make_scale_data.py — keyed
+# replication preserves those tables' distributions). Text/embedding
+# queries (q21/q26/q34/q68/q107/q112/q128) are excluded: replicating a
+# corpus makes copies near-duplicates of each other, inflating dedup
+# pair counts beyond the generator's natural rate — a distribution
+# change, not a scale change; their exponents keep the top decade.
+PROBE_SF03 = [
+    "q82_pagerank",
+    "q88_triangle_centrality",
+    "q98_winsorize",
+    "q111_join_size_estimate",
+    "q129_negative_samples",
+    "q138_hits",
+    "q140_trimmed_stats",
+    "q146_label_propagation",
+    "q147_connected_components",
+    "q148_golden_records",
+    "q170_bootstrap_ci",
+    "q172_fellegi_sunter",
+]
+
+SF03_DIR = ".scale/sf0.3"
+
+
 def main() -> int:
+    import os
+
     import __spark_entry__ as entry
     from pandas_ai_spark.session import get_session
 
     names = sys.argv[1:] or DEFAULT
+    partial = bool(sys.argv[1:])
     spark = get_session(app_name="scale_probe")
     qs = entry.queries()
+    have_03 = os.path.exists(f"{SF03_DIR}/lineitem.parquet")
 
     # warm codegen
     w = spark.read.parquet("/root/testdata/sf0.01/region.parquet")
     w.groupBy(w.columns[0]).count().collect()
 
+    def timed(name: str, sf_dir: str) -> float:
+        best = float("inf")
+        for _ in range(2):
+            # same hygiene as bench.py: cold cache before EVERY rep
+            # — operators that persist intra-query tables (the dedup
+            # family) must not hand rep 2 a warm partial execution,
+            # or the scaling exponent measures cache reads
+            spark.catalog.clearCache()
+            t0 = time.perf_counter()
+            qs[name](spark, sf_dir).collect()
+            best = min(best, time.perf_counter() - t0)
+        return best
+
     results: dict[str, dict[str, float]] = {}
     for name in names:
         results[name] = {}
         for sf in SFS:
-            best = float("inf")
-            for _ in range(2):
-                # same hygiene as bench.py: cold cache before EVERY rep
-                # — operators that persist intra-query tables (the dedup
-                # family) must not hand rep 2 a warm partial execution,
-                # or the scaling exponent measures cache reads
-                spark.catalog.clearCache()
-                t0 = time.perf_counter()
-                qs[name](spark, f"/root/testdata/sf{sf}").collect()
-                best = min(best, time.perf_counter() - t0)
-            results[name][sf] = best
+            results[name][sf] = timed(name, f"/root/testdata/sf{sf}")
+        if have_03 and name in PROBE_SF03:
+            results[name]["0.3"] = timed(name, SF03_DIR)
 
     lines = [
         "# SCALING — measured wall-clock vs scale factor",
@@ -155,27 +190,42 @@ def main() -> int:
         "Generated by tools/scale_probe.py (best of 2 reps, local[32]).",
         "`exp` = least-squares slope of log(t) vs log(sf) over the top",
         "decade (sf 0.01 → 0.1); ≈0 ⇒ overhead-bound, ≈1 ⇒ linear, >1.3 ⇒",
-        "super-linear (a 100 TB risk).",
+        "super-linear (a 100 TB risk). Queries ≥2 s at sf0.1 over FACT",
+        "tables also run at the derived 3x point (.scale/sf0.3,",
+        "tools/make_scale_data.py) — `exp (0.1→0.3)` is the de-floored",
+        "slope there, free of the sub-second scheduler floor that",
+        "contaminates the top-decade column for small times.",
         "",
-        "| query | sf0.001 s | sf0.01 s | sf0.1 s | exp (0.01→0.1) |",
-        "|---|---|---|---|---|",
+        "| query | sf0.001 s | sf0.01 s | sf0.1 s | exp (0.01→0.1) "
+        "| sf0.3 s | exp (0.1→0.3) |",
+        "|---|---|---|---|---|---|---|",
     ]
-    worst = 0.0
+    worst, worst03 = 0.0, 0.0
     for name, ts in results.items():
         exp = math.log(ts["0.1"] / ts["0.01"]) / math.log(10)
         worst = max(worst, exp)
+        if "0.3" in ts:
+            e3 = math.log(ts["0.3"] / ts["0.1"]) / math.log(3)
+            worst03 = max(worst03, e3)
+            tail = f"| {ts['0.3']:.2f} | {e3:.2f} |"
+        else:
+            tail = "| — | — |"
         lines.append(
             f"| {name} | {ts['0.001']:.2f} | {ts['0.01']:.2f} "
-            f"| {ts['0.1']:.2f} | {exp:.2f} |")
+            f"| {ts['0.1']:.2f} | {exp:.2f} {tail}")
         print(lines[-1])
     lines.append("")
-    lines.append(f"Worst exponent: {worst:.2f}.")
+    lines.append(f"Worst top-decade exponent: {worst:.2f}; worst"
+                 f" de-floored (0.1→0.3) exponent: {worst03:.2f}.")
     lines += [
         "",
-        "## Notes on exponents > 0.5",
+        "## Notes on elevated exponents",
         "",
-        "All are ≤ 1.0 (at worst linear in data — the acceptable bound);",
-        "the elevated ones have known causes:",
+        "The de-floored (0.1→0.3) column is the trustworthy slope for",
+        "every probed query; top-decade values for sub-second queries",
+        "mix the ~0.2-0.9 s scheduler floor into the denominator and",
+        "can under- OR over-state growth. Known causes for the",
+        "elevated top-decade values:",
         "",
         "- **q98 winsorize / q140 trimmed stats (~0.6-0.7)**:",
         "  exact-percentile aggregation state",
@@ -195,10 +245,24 @@ def main() -> int:
         "  (~0.5)**: sub-second at sf≤0.01 (overhead-bound), so the",
         "  first data-dominated point is sf0.1; per-stage work is",
         "  row-linear by construction (single scans + equi-joins).",
+        "- **text/embedding-corpus queries carry no sf0.3 point**:",
+        "  replicated documents would be near-duplicates of each other,",
+        "  inflating dedup/LSH pair counts beyond the generator's",
+        "  natural duplicate rate — their top-decade exponents stand,",
+        "  backed by the plan-shape audit (bucketed/banded joins, no",
+        "  all-pairs terms).",
     ]
+    if partial:
+        # a subset invocation is a spot-check: print, never clobber
+        # the full SCALING.md table (r9 fix — a one-query run used to
+        # overwrite the whole file)
+        print(f"\nWorst top-decade exponent: {worst:.2f} "
+              f"(partial run; SCALING.md not rewritten)")
+        return 0
     with open("SCALING.md", "w") as f:
         f.write("\n".join(lines) + "\n")
-    print(f"\nWorst exponent: {worst:.2f} — wrote SCALING.md")
+    print(f"\nWorst exponents: {worst:.2f} top-decade, "
+          f"{worst03:.2f} de-floored — wrote SCALING.md")
     return 0
 
 

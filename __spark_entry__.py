@@ -3962,6 +3962,47 @@ def q175_cross_encoder_rerank(spark: SparkSession, sf_dir: str
         "ce_rank").orderBy("query_id", "ce_rank")
 
 
+def q176_neyman_sample(spark: SparkSession, sf_dir: str
+                       ) -> DataFrame:
+    """Executed Neyman-optimal stratified sampling
+    (pipeline.neyman_sample): the q144 allocation table
+    (n_h ∝ N_h·σ_h of o_totalprice, floored, population-capped) is
+    joined back broadcast and each o_orderpriority stratum
+    contributes exactly its alloc rows in deterministic md5 order —
+    the variance-minimizing sample itself, completing the
+    design (q144) → execution chain. One strata-bounded agg + scalar
+    fold + one rank window against the broadcast alloc. Oracle: the
+    q144 allocation CTE + the identical md5-rank window (round-9)."""
+    from pandas_ai_spark.functions.pipeline import neyman_sample
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderpriority", "o_orderkey", "o_totalprice")
+    out = neyman_sample(orders, "o_orderpriority", "o_totalprice",
+                        total_n=1000, id_col="o_orderkey",
+                        seed="ney")
+    return out.select("o_orderpriority", "o_orderkey") \
+              .orderBy("o_orderpriority", "o_orderkey")
+
+
+def q177_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson chi-square independence test + Cramér's V
+    (stats.chi_square_independence) over the o_orderpriority ×
+    o_orderstatus contingency: exact bigint cells/marginals, the
+    zero-cell-free identity chi2 = N·(Σ O²/(R·C) − 1) (no row×col
+    spine), marginals broadcast back onto the bounded cell table.
+    Oracle: identical cell aggregation + identity arithmetic; only
+    the bounded per-cell sum accumulates floats (round 6)."""
+    from pandas_ai_spark.functions.stats import chi_square_independence
+
+    orders = _t(spark, sf_dir, "orders")
+    out = chi_square_independence(orders, "o_orderpriority",
+                                  "o_orderstatus")
+    return out.select(
+        "n", "n_rows", "n_cols", "dof",
+        F.round("chi2", 6).alias("chi2"),
+        F.round("cramers_v", 6).alias("cramers_v"))
+
+
 def _mmr_reference(sf_dir: str = "/root/testdata/sf0.01") -> list:
     """Standalone MMR reference (Carbonell & Goldstein's greedy
     algorithm in plain numpy) over the same embeddings table: exact
@@ -4766,6 +4807,8 @@ def queries_numeric() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q173_stratified_sample": q173_stratified_sample,
         "q174_stream_reservoir": q174_stream_reservoir,
         "q175_cross_encoder_rerank": q175_cross_encoder_rerank,
+        "q176_neyman_sample": q176_neyman_sample,
+        "q177_chi_square": q177_chi_square,
     }
 
 
@@ -8570,6 +8613,62 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT lang, doc_id FROM r WHERE rk <= 10
             ORDER BY lang, doc_id
+        """,
+        "q176_neyman_sample": """
+            WITH per AS (
+              SELECT o_orderpriority AS stratum,
+                     count(*)::BIGINT AS n_rows,
+                     coalesce(stddev_samp(o_totalprice::DOUBLE),
+                              0.0::DOUBLE) AS sd
+              FROM orders GROUP BY 1
+            ), t AS (SELECT sum(n_rows * sd) AS tot FROM per),
+            a AS (
+              SELECT stratum,
+                     least(CAST(floor(1000 * (n_rows * sd / tot))
+                                AS BIGINT), n_rows) AS alloc
+              FROM per CROSS JOIN t
+            ), r AS (
+              SELECT o_orderpriority, o_orderkey,
+                     row_number() OVER (
+                       PARTITION BY o_orderpriority
+                       ORDER BY md5('ney:' || o_orderkey::VARCHAR),
+                                o_orderkey) AS rk
+              FROM orders
+            )
+            SELECT r.o_orderpriority, r.o_orderkey
+            FROM r JOIN a ON a.stratum = r.o_orderpriority
+            WHERE r.rk <= a.alloc
+            ORDER BY r.o_orderpriority, r.o_orderkey
+        """,
+        "q177_chi_square": """
+            WITH cells AS (
+              SELECT o_orderpriority AS r, o_orderstatus AS c,
+                     count(*)::BIGINT AS o
+              FROM orders GROUP BY 1, 2
+            ), rm AS (
+              SELECT r, CAST(sum(o) AS BIGINT) AS rt
+              FROM cells GROUP BY 1
+            ), cm AS (
+              SELECT c, CAST(sum(o) AS BIGINT) AS ct
+              FROM cells GROUP BY 1
+            ), agg AS (
+              SELECT CAST(sum(o) AS BIGINT) AS n,
+                     CAST(count(DISTINCT cells.r) AS INT) AS n_rows,
+                     CAST(count(DISTINCT cells.c) AS INT) AS n_cols,
+                     sum((o * o)::DOUBLE / (rt * ct)::DOUBLE) AS s
+              FROM cells JOIN rm USING (r) JOIN cm USING (c)
+            )
+            SELECT n, n_rows, n_cols,
+                   CAST((n_rows - 1) * (n_cols - 1) AS INT) AS dof,
+                   round(n::DOUBLE * (s - 1.0), 6) AS chi2,
+                   round(CASE WHEN least(n_rows - 1, n_cols - 1) > 0
+                         THEN sqrt(greatest(n::DOUBLE * (s - 1.0),
+                                            0.0)
+                                   / (n::DOUBLE
+                                      * least(n_rows - 1,
+                                              n_cols - 1)::DOUBLE))
+                         END, 6) AS cramers_v
+            FROM agg
         """,
         "q175_cross_encoder_rerank": """
             WITH e AS (

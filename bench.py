@@ -55,6 +55,7 @@ STREAM_PROTOCOL_QUERIES = {
     "q56_stream_interval_join",
     "q67_stream_near_dup",
     "q100_stream_anomaly",
+    "q174_stream_reservoir",
 }
 
 

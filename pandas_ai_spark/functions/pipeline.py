@@ -263,6 +263,43 @@ def stratified_sample(df: DataFrame, strata_cols,
               .drop("__rk", "__quota"))
 
 
+def neyman_sample(df: DataFrame, stratum_col: str, value_col: str,
+                  total_n: int, id_col: str = "doc_id",
+                  seed: str = "ney") -> DataFrame:
+    """EXECUTE the Neyman-optimal allocation: the
+    :func:`neyman_allocation` table (``n_h ∝ N_h·σ_h``, floored and
+    population-capped) is joined back broadcast and each stratum
+    contributes exactly its ``alloc`` rows in deterministic md5 order
+    — the variance-minimizing stratified sample itself, not just its
+    design. Complements :func:`stratified_sample` (proportional
+    quotas ignore within-stratum spread; Neyman spends the budget
+    where the variable is noisy).
+
+    Determinism: same md5-order contract as
+    :func:`stratified_sample` — selection is a pure function of
+    ``(seed, id)``, reproducible in any engine with md5.
+
+    Scale shape: the allocation pass is one map-side-combined
+    group-by (strata-bounded) plus a scalar fold; the selection is
+    one rank window partitioned by stratum against the broadcast
+    alloc table. Rows keep the input schema.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql.functions import broadcast
+
+    alloc = neyman_allocation(df, stratum_col, value_col, total_n) \
+        .select(F.col("stratum").alias("__stratum"), "alloc")
+    key = F.md5(F.concat(F.lit(seed), F.lit(":"),
+                         F.col(id_col).cast("string")))
+    w = Window.partitionBy(stratum_col).orderBy(
+        key.asc(), F.col(id_col).asc())
+    return (df.join(broadcast(alloc),
+                    F.col(stratum_col).eqNullSafe(F.col("__stratum")))
+              .withColumn("__rk", F.row_number().over(w))
+              .where(F.col("__rk") <= F.col("alloc"))
+              .drop("__stratum", "alloc", "__rk"))
+
+
 def temperature_mixture_rates(
     df: DataFrame,
     domain_col: str = "lang",

@@ -1003,6 +1003,69 @@ def trimmed_stats(df: DataFrame, value_col: str,
     return out
 
 
+def chi_square_independence(df: DataFrame, row_col: str,
+                            col_col: str) -> DataFrame:
+    """Pearson chi-square test of independence over the
+    ``(row_col, col_col)`` contingency table, plus Cramér's V effect
+    size — the categorical-association screen (label × segment,
+    event type × cohort) run before treating two discretes as
+    independent. One row
+    ``(n, n_rows, n_cols, dof, chi2, cramers_v)``.
+
+    Exactness: cell and marginal counts are exact bigints and the
+    statistic uses the zero-cell-free identity
+    ``chi2 = N * (sum_cells O_ij^2 / (R_i * C_j) - 1)`` (expand
+    ``sum (O-E)^2/E`` with ``E = R*C/N``; absent cells contribute
+    nothing to the O² sum, so no row×col spine join is needed). Each
+    term is a single IEEE division of exact integers; only the
+    bounded per-cell sum accumulates floats. NULL categories form
+    their own class (same rule as ``class_balance_weights``).
+
+    Scale shape: ONE map-side-combined (row, col) cell aggregation
+    (shuffle bounded by the cell count), marginals re-aggregated from
+    the tiny cell table and joined back broadcast, N/r/c folded as
+    scalars. No window, no spine, nothing row-expanded.
+    """
+    from pyspark.sql.functions import broadcast
+
+    from .cache import operator_persist
+
+    cells = df.groupBy(
+        F.col(row_col).alias("__r"),
+        F.col(col_col).alias("__c")).agg(
+        F.count("*").cast("bigint").alias("__o"))
+    cells = operator_persist(cells)
+    rm = cells.groupBy("__r").agg(
+        F.sum("__o").cast("bigint").alias("__rt"))
+    cm = cells.groupBy("__c").agg(
+        F.sum("__o").cast("bigint").alias("__ct"))
+    joined = (cells
+              .join(broadcast(rm), cells["__r"].eqNullSafe(rm["__r"]))
+              .drop(rm["__r"])
+              .join(broadcast(cm), cells["__c"].eqNullSafe(cm["__c"]))
+              .drop(cm["__c"]))
+    term = ((F.col("__o") * F.col("__o")).cast("double")
+            / (F.col("__rt") * F.col("__ct")).cast("double"))
+    agg = joined.agg(
+        F.sum("__o").cast("bigint").alias("n"),
+        F.count_distinct("__r").cast("int").alias("n_rows"),
+        F.count_distinct("__c").cast("int").alias("n_cols"),
+        F.sum(term).alias("__s"))
+    chi2 = (F.col("n").cast("double")
+            * (F.col("__s") - F.lit(1.0)))
+    mind = F.least(F.col("n_rows") - 1, F.col("n_cols") - 1)
+    return agg.select(
+        "n", "n_rows", "n_cols",
+        ((F.col("n_rows") - 1) * (F.col("n_cols") - 1)).cast("int")
+         .alias("dof"),
+        chi2.alias("chi2"),
+        F.when(mind > 0,
+               F.sqrt(F.greatest(chi2, F.lit(0.0))
+                      / (F.col("n").cast("double")
+                         * mind.cast("double"))))
+         .alias("cramers_v"))
+
+
 def mann_whitney_u(df: DataFrame, value_col: str, sample_col: str,
                    a, b, by: list[str] | None = None) -> DataFrame:
     """Per-group Mann-Whitney U (Wilcoxon rank-sum) test — the

@@ -322,3 +322,99 @@ class TestCrossEncoderRerank:
                                    ["cosine"], k=1)
         with pytest.raises(Exception):
             bad.collect()
+
+
+# ---------------------------------------------------------------------------
+# pipeline.neyman_sample (q176)
+# ---------------------------------------------------------------------------
+
+class TestNeymanSample:
+    def _df(self, spark):
+        # "wild" stratum: high variance; "calm": near-constant
+        rows = [("wild", i, float((i * 37) % 100)) for i in range(60)]
+        rows += [("calm", 100 + i, 50.0 + (i % 2) * 0.01)
+                 for i in range(60)]
+        return spark.createDataFrame(
+            rows, "s: string, id: long, v: double")
+
+    def test_counts_match_allocation(self, spark):
+        from pandas_ai_spark.functions.pipeline import (
+            neyman_allocation, neyman_sample)
+
+        df = self._df(spark)
+        alloc = {r.stratum: r.alloc for r in
+                 neyman_allocation(df, "s", "v", total_n=40)
+                 .collect()}
+        got = {r.s: r.n for r in
+               neyman_sample(df, "s", "v", total_n=40, id_col="id")
+               .groupBy("s").agg(F.count("*").alias("n")).collect()}
+        assert got == {k: v for k, v in alloc.items() if v > 0}
+        # variance-minimizing: the noisy stratum gets (much) more
+        assert got["wild"] > got.get("calm", 0)
+
+    def test_deterministic(self, spark):
+        from pandas_ai_spark.functions.pipeline import neyman_sample
+
+        df = self._df(spark)
+        a = {(r.s, r.id) for r in
+             neyman_sample(df, "s", "v", 40, id_col="id").collect()}
+        b = {(r.s, r.id) for r in
+             neyman_sample(df, "s", "v", 40, id_col="id").collect()}
+        assert a == b
+
+    def test_zero_variance_raises(self, spark):
+        from pandas_ai_spark.functions.pipeline import neyman_sample
+
+        df = spark.createDataFrame(
+            [("x", 1, 5.0), ("x", 2, 5.0)], "s: string, id: long, v: double")
+        with pytest.raises(ValueError):
+            neyman_sample(df, "s", "v", 10, id_col="id").collect()
+
+
+# ---------------------------------------------------------------------------
+# stats.chi_square_independence (q177)
+# ---------------------------------------------------------------------------
+
+class TestChiSquare:
+    def test_known_2x2(self, spark):
+        from pandas_ai_spark.functions.stats import (
+            chi_square_independence)
+
+        rows = ([("a", "x")] * 10 + [("a", "y")] * 20
+                + [("b", "x")] * 20 + [("b", "y")] * 10)
+        df = spark.createDataFrame(rows, "r: string, c: string")
+        out = chi_square_independence(df, "r", "c").collect()[0]
+        # chi2 = N (ad-bc)^2 / (R1 R2 C1 C2) = 60*300^2/30^4 = 20/3
+        assert out.n == 60 and out.dof == 1
+        assert out.chi2 == pytest.approx(20.0 / 3.0, rel=1e-12)
+        assert out.cramers_v == pytest.approx(
+            (20.0 / 3.0 / 60.0) ** 0.5, rel=1e-12)
+
+    def test_independent_table_is_zero(self, spark):
+        from pandas_ai_spark.functions.stats import (
+            chi_square_independence)
+
+        rows = [(r, c) for r in "ab" for c in "xy" for _ in range(25)]
+        df = spark.createDataFrame(rows, "r: string, c: string")
+        out = chi_square_independence(df, "r", "c").collect()[0]
+        assert out.chi2 == pytest.approx(0.0, abs=1e-9)
+        assert out.cramers_v == pytest.approx(0.0, abs=1e-9)
+
+    def test_degenerate_single_column(self, spark):
+        from pandas_ai_spark.functions.stats import (
+            chi_square_independence)
+
+        df = spark.createDataFrame(
+            [("a", "x"), ("b", "x"), ("a", "x")], "r: string, c: string")
+        out = chi_square_independence(df, "r", "c").collect()[0]
+        assert out.dof == 0 and out.cramers_v is None
+
+    def test_null_categories_are_classes(self, spark):
+        from pandas_ai_spark.functions.stats import (
+            chi_square_independence)
+
+        df = spark.createDataFrame(
+            [("a", "x"), (None, "x"), (None, "y"), ("a", "y")],
+            "r: string, c: string")
+        out = chi_square_independence(df, "r", "c").collect()[0]
+        assert out.n == 4 and out.n_rows == 2 and out.n_cols == 2

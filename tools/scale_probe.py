@@ -118,6 +118,8 @@ DEFAULT = [
     "q172_fellegi_sunter",      # sorted-neighborhood pairs + row-local scoring
     "q173_stratified_sample",   # one-window md5-rank quota sample
     "q175_cross_encoder_rerank",  # pool + Arrow scorer + rank window
+    "q176_neyman_sample",       # strata agg + broadcast alloc + rank window
+    "q177_chi_square",          # bounded cell agg + broadcast marginals
 ]
 
 

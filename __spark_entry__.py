@@ -3874,17 +3874,19 @@ def q173_stratified_sample(spark: SparkSession, sf_dir: str
 
 def q174_stream_reservoir(spark: SparkSession, sf_dir: str
                           ) -> DataFrame:
-    """Streaming per-language reservoir sample as a STREAM,
+    """Streaming per-event-type reservoir sample as a STREAM,
     hash-matched against SQL (streaming.stateful_reservoir): the
-    documents table arrives in three micro-batches (doc_id mod 3
-    splits); each batch merges into a bounded bottom-k-by-md5 (KMV)
-    reservoir carried as applyInPandasWithState state. Bottom-k by a
-    deterministic hash is ORDER-INDEPENDENT and mergeable, so the
-    final snapshot equals the batch answer over the union regardless
-    of batch boundaries — the strongest batch/stream parity contract
-    in the module (the oracle below IS the batch form: a per-lang
-    md5-ordered row_number <= k in DuckDB). The returned frame is the
-    final (max-seen) snapshot per language."""
+    events table arrives in three micro-batches (event_id mod 3
+    splits — ~33k rows/batch at sf0.1, enough volume for an honest
+    drain-rate floor); each batch merges into a bounded
+    bottom-k-by-md5 (KMV) reservoir carried as
+    applyInPandasWithState state. Bottom-k by a deterministic hash is
+    ORDER-INDEPENDENT and mergeable, so the final snapshot equals the
+    batch answer over the union regardless of batch boundaries — the
+    strongest batch/stream parity contract in the module (the oracle
+    below IS the batch form: a per-type md5-ordered
+    row_number <= k in DuckDB). The returned frame is the final
+    (max-seen) snapshot per event type."""
     import os
     import shutil
     import tempfile
@@ -3894,17 +3896,18 @@ def q174_stream_reservoir(spark: SparkSession, sf_dir: str
     from pandas_ai_spark.streaming import stateful_reservoir
     from pandas_ai_spark.streaming.stream import record_stream_metrics
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    ev = _t(spark, sf_dir, "events").select("event_id", "event_type")
     tmp = tempfile.mkdtemp(prefix="q174_stream_")
     try:
         src = os.path.join(tmp, "src")
         for part in (0, 1, 2):
-            docs.where(F.col("doc_id") % 3 == part).coalesce(1) \
-                .write.mode("append").parquet(src)
-        stream = (spark.readStream.schema("doc_id long, lang string")
+            ev.where(F.col("event_id") % 3 == part).coalesce(1) \
+              .write.mode("append").parquet(src)
+        stream = (spark.readStream
+                  .schema("event_id long, event_type string")
                   .option("maxFilesPerTrigger", 1).parquet(src))
-        res = stateful_reservoir(stream, "lang", "doc_id", k=10,
-                                 seed="res")
+        res = stateful_reservoir(stream, "event_type", "event_id",
+                                 k=10, seed="res")
         q = (res.writeStream.format("parquet")
              .option("path", os.path.join(tmp, "out"))
              .option("checkpointLocation", os.path.join(tmp, "ckpt"))
@@ -3912,15 +3915,16 @@ def q174_stream_reservoir(spark: SparkSession, sf_dir: str
         q.awaitTermination()
         record_stream_metrics(q, "q174_stream_reservoir")
         snaps = spark.read.parquet(os.path.join(tmp, "out"))
-        w = Window.partitionBy("lang")
+        w = Window.partitionBy("event_type")
         final = (snaps.withColumn("__mx", F.max("seen").over(w))
                       .where(F.col("seen") == F.col("__mx"))
-                      .select("lang", "doc_id").collect())
+                      .select("event_type", "event_id").collect())
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     return spark.createDataFrame(
-        [(r.lang, int(r.doc_id)) for r in final],
-        "lang string, doc_id long").orderBy("lang", "doc_id")
+        [(r.event_type, int(r.event_id)) for r in final],
+        "event_type string, event_id long") \
+        .orderBy("event_type", "event_id")
 
 
 def q175_cross_encoder_rerank(spark: SparkSession, sf_dir: str
@@ -8604,15 +8608,15 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q174_stream_reservoir": """
             WITH r AS (
-              SELECT lang, doc_id,
+              SELECT event_type, event_id,
                      row_number() OVER (
-                       PARTITION BY lang
-                       ORDER BY md5('res:' || doc_id::VARCHAR),
-                                doc_id) AS rk
-              FROM documents
+                       PARTITION BY event_type
+                       ORDER BY md5('res:' || event_id::VARCHAR),
+                                event_id) AS rk
+              FROM events
             )
-            SELECT lang, doc_id FROM r WHERE rk <= 10
-            ORDER BY lang, doc_id
+            SELECT event_type, event_id FROM r WHERE rk <= 10
+            ORDER BY event_type, event_id
         """,
         "q176_neyman_sample": """
             WITH per AS (
@@ -8653,10 +8657,16 @@ def oracle_sql() -> dict[str, str]:
               FROM cells GROUP BY 1
             ), agg AS (
               SELECT CAST(sum(o) AS BIGINT) AS n,
-                     CAST(count(DISTINCT cells.r) AS INT) AS n_rows,
-                     CAST(count(DISTINCT cells.c) AS INT) AS n_cols,
+                     CAST(count(DISTINCT cells.r)
+                          + max((cells.r IS NULL)::INT) AS INT)
+                       AS n_rows,
+                     CAST(count(DISTINCT cells.c)
+                          + max((cells.c IS NULL)::INT) AS INT)
+                       AS n_cols,
                      sum((o * o)::DOUBLE / (rt * ct)::DOUBLE) AS s
-              FROM cells JOIN rm USING (r) JOIN cm USING (c)
+              FROM cells
+              JOIN rm ON cells.r IS NOT DISTINCT FROM rm.r
+              JOIN cm ON cells.c IS NOT DISTINCT FROM cm.c
             )
             SELECT n, n_rows, n_cols,
                    CAST((n_rows - 1) * (n_cols - 1) AS INT) AS dof,

@@ -1035,21 +1035,28 @@ def chi_square_independence(df: DataFrame, row_col: str,
         F.col(col_col).alias("__c")).agg(
         F.count("*").cast("bigint").alias("__o"))
     cells = operator_persist(cells)
-    rm = cells.groupBy("__r").agg(
+    # fresh aliases on the marginal sides: cells-derived columns would
+    # otherwise resolve ambiguously against the self-lineage join
+    rm = cells.groupBy(F.col("__r").alias("__rk")).agg(
         F.sum("__o").cast("bigint").alias("__rt"))
-    cm = cells.groupBy("__c").agg(
+    cm = cells.groupBy(F.col("__c").alias("__ck")).agg(
         F.sum("__o").cast("bigint").alias("__ct"))
     joined = (cells
-              .join(broadcast(rm), cells["__r"].eqNullSafe(rm["__r"]))
-              .drop(rm["__r"])
-              .join(broadcast(cm), cells["__c"].eqNullSafe(cm["__c"]))
-              .drop(cm["__c"]))
+              .join(broadcast(rm),
+                    F.col("__r").eqNullSafe(F.col("__rk")))
+              .join(broadcast(cm),
+                    F.col("__c").eqNullSafe(F.col("__ck"))))
     term = ((F.col("__o") * F.col("__o")).cast("double")
             / (F.col("__rt") * F.col("__ct")).cast("double"))
+    # count_distinct skips NULL — the NULL class counts via the flag
+    nr = (F.count_distinct("__r")
+          + F.max(F.col("__r").isNull().cast("bigint")))
+    nc = (F.count_distinct("__c")
+          + F.max(F.col("__c").isNull().cast("bigint")))
     agg = joined.agg(
         F.sum("__o").cast("bigint").alias("n"),
-        F.count_distinct("__r").cast("int").alias("n_rows"),
-        F.count_distinct("__c").cast("int").alias("n_cols"),
+        nr.cast("int").alias("n_rows"),
+        nc.cast("int").alias("n_cols"),
         F.sum(term).alias("__s"))
     chi2 = (F.col("n").cast("double")
             * (F.col("__s") - F.lit(1.0)))

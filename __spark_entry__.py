@@ -4565,6 +4565,7 @@ def _last_verified_rounds() -> dict[str, int]:
 
     here = os.path.dirname(os.path.abspath(__file__))
     last: dict[str, int] = {}
+    oracled = set(oracle_sql())  # built once — generated oracles cost
     for path in glob.glob(os.path.join(here, "CORRECTNESS_r*.json")):
         m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
         if not m:
@@ -4582,8 +4583,13 @@ def _last_verified_rounds() -> dict[str, int]:
                 # rows-only-by-design queries (q55 since r8) verify at
                 # the weaker rows-ran tier; without this they would
                 # hog rotation slots every round, unable to ever go
-                # hash-green
-                green = row.get("spark_rows") is not None
+                # hash-green. A query that has GAINED an oracle since
+                # that record (q64/q79's r8 literal oracles) is stale:
+                # its old rows-only record must not outrank the new
+                # hash tier (r9 — q79's r7 record otherwise pushed it
+                # out of the top-50 rotation forever)
+                green = (row.get("spark_rows") is not None
+                         and name not in oracled)
             elif row.get("err"):
                 green = False
             else:

@@ -3988,23 +3988,75 @@ def q176_neyman_sample(spark: SparkSession, sf_dir: str
               .orderBy("o_orderpriority", "o_orderkey")
 
 
-def q177_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Pearson chi-square independence test + Cramér's V
-    (stats.chi_square_independence) over the o_orderpriority ×
-    o_orderstatus contingency: exact bigint cells/marginals, the
-    zero-cell-free identity chi2 = N·(Σ O²/(R·C) − 1) (no row×col
-    spine), marginals broadcast back onto the bounded cell table.
-    Oracle: identical cell aggregation + identity arithmetic; only
-    the bounded per-cell sum accumulates floats (round 6)."""
-    from pandas_ai_spark.functions.stats import chi_square_independence
+def q177_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-returnflag Spearman rank correlation of quantity vs
+    extended price (stats.spearman_corr): Pearson over doubled
+    midranks (exact DECIMAL(38,0) co-moments — the q159 device, so no
+    float-sum-order dependence), midranks from cumulative-count RANGE
+    windows over the group partition. Heavy tie coverage via the
+    discrete quantity column. Oracle: identical doubled-rank windows
+    + co-moment arithmetic in HUGEINT (round-9)."""
+    from pandas_ai_spark.functions.stats import spearman_corr
+
+    li = _t(spark, sf_dir, "lineitem")
+    out = spearman_corr(li, "l_quantity", "l_extendedprice",
+                        by=["l_returnflag"])
+    return out.select(
+        "l_returnflag", "n",
+        F.round("rho", 9).alias("rho")).orderBy("l_returnflag")
+
+
+def q178_conformal_interval(spark: SparkSession, sf_dir: str
+                            ) -> DataFrame:
+    """Split-conformal prediction interval
+    (classify.conformal_interval, Lei et al.) for the per-returnflag
+    mean quantity: md5 hash-split into train/calibration folds,
+    yhat = the train fold's exact integer-ratio mean, qhat = the
+    ceil(0.9·(n_cal+1))-th smallest calibration residual — an EXACT
+    order statistic (no interpolation), so the interval yhat ± qhat
+    carries the distribution-free ≥90% coverage guarantee. One
+    bounded train agg broadcast back + one ordered residual window.
+    Oracle: identical md5 bucket split + rank pick (round-9)."""
+    from pandas_ai_spark.functions.classify import conformal_interval
+
+    li = _t(spark, sf_dir, "lineitem").withColumn(
+        "rid", F.concat_ws("-", F.col("l_orderkey"),
+                           F.col("l_linenumber")))
+    out = conformal_interval(li, ["l_returnflag"], "l_quantity",
+                             "rid", alpha=0.1, cal_frac=0.5,
+                             seed="conf")
+    return out.select(
+        "l_returnflag", "n_train", "n_cal",
+        F.round("yhat", 9).alias("yhat"),
+        F.round("qhat", 9).alias("qhat"),
+        F.round("lo", 9).alias("lo"),
+        F.round("hi", 9).alias("hi")).orderBy("l_returnflag")
+
+
+def q179_information_gain(spark: SparkSession, sf_dir: str
+                          ) -> DataFrame:
+    """Entropy-based feature screening (classify.information_gain):
+    IG(Y; X) = H(Y) − H(Y|X) plus Quinlan's gain ratio for
+    o_orderpriority and o_orderstatus against the binary
+    high-value-order target — ONE pass (rows explode into
+    (feature, value) pairs, one cell aggregation bounded by summed
+    cardinalities), per-feature rollups on the tiny cell table. The
+    cross-feature companion to the q151 within-feature WOE screen.
+    Oracle: identical cell counts + nats-entropy arithmetic
+    (round-9)."""
+    from pandas_ai_spark.functions.classify import information_gain
 
     orders = _t(spark, sf_dir, "orders")
-    out = chi_square_independence(orders, "o_orderpriority",
-                                  "o_orderstatus")
+    out = information_gain(
+        orders, ["o_orderpriority", "o_orderstatus"],
+        "o_totalprice > 150000.0")
     return out.select(
-        "n", "n_rows", "n_cols", "dof",
-        F.round("chi2", 6).alias("chi2"),
-        F.round("cramers_v", 6).alias("cramers_v"))
+        "feature", "n_values",
+        F.round("h_target", 9).alias("h_target"),
+        F.round("h_conditional", 9).alias("h_conditional"),
+        F.round("info_gain", 9).alias("info_gain"),
+        F.round("gain_ratio", 9).alias("gain_ratio")
+    ).orderBy("feature")
 
 
 def _mmr_reference(sf_dir: str = "/root/testdata/sf0.01") -> list:
@@ -4818,7 +4870,9 @@ def queries_numeric() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q174_stream_reservoir": q174_stream_reservoir,
         "q175_cross_encoder_rerank": q175_cross_encoder_rerank,
         "q176_neyman_sample": q176_neyman_sample,
-        "q177_chi_square": q177_chi_square,
+        "q177_spearman": q177_spearman,
+        "q178_conformal_interval": q178_conformal_interval,
+        "q179_information_gain": q179_information_gain,
     }
 
 
@@ -8624,6 +8678,157 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, event_id FROM r WHERE rk <= 10
             ORDER BY event_type, event_id
         """,
+        "q177_spearman": """
+            WITH base AS (
+              SELECT l_returnflag AS g, l_quantity AS x,
+                     l_extendedprice AS y
+              FROM lineitem
+              WHERE l_quantity IS NOT NULL
+                AND l_extendedprice IS NOT NULL
+            ), r AS (
+              SELECT g,
+                     (2 * (count(*) OVER (
+                             PARTITION BY g ORDER BY x
+                             RANGE BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW)
+                           - count(*) OVER (PARTITION BY g, x))
+                      + count(*) OVER (PARTITION BY g, x)
+                      + 1)::HUGEINT AS rx,
+                     (2 * (count(*) OVER (
+                             PARTITION BY g ORDER BY y
+                             RANGE BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW)
+                           - count(*) OVER (PARTITION BY g, y))
+                      + count(*) OVER (PARTITION BY g, y)
+                      + 1)::HUGEINT AS ry
+              FROM base
+            ), a AS (
+              SELECT g, count(*)::BIGINT AS n,
+                     sum(rx) AS sx, sum(ry) AS sy,
+                     sum(rx * ry) AS sxy,
+                     sum(rx * rx) AS sxx,
+                     sum(ry * ry) AS syy
+              FROM r GROUP BY g
+            )
+            SELECT g AS l_returnflag, n,
+                   round(CASE WHEN
+                       (n::DOUBLE * sxx::DOUBLE
+                        - sx::DOUBLE * sx::DOUBLE) > 0
+                       AND (n::DOUBLE * syy::DOUBLE
+                            - sy::DOUBLE * sy::DOUBLE) > 0
+                     THEN (n::DOUBLE * sxy::DOUBLE
+                           - sx::DOUBLE * sy::DOUBLE)
+                          / (sqrt(n::DOUBLE * sxx::DOUBLE
+                                  - sx::DOUBLE * sx::DOUBLE)
+                             * sqrt(n::DOUBLE * syy::DOUBLE
+                                    - sy::DOUBLE * sy::DOUBLE))
+                     END, 9) AS rho
+            FROM a ORDER BY l_returnflag
+        """,
+        "q178_conformal_interval": """
+            WITH base AS (
+              SELECT l_returnflag AS g, l_quantity::BIGINT AS y,
+                     l_orderkey::VARCHAR || '-'
+                       || l_linenumber::VARCHAR AS rid,
+                     (('0x' || substr(md5('conf:'
+                         || l_orderkey::VARCHAR || '-'
+                         || l_linenumber::VARCHAR), 1, 8))::BIGINT
+                      % 10000) < 5000 AS cal
+              FROM lineitem WHERE l_quantity IS NOT NULL
+            ), train AS (
+              SELECT g, sum(y)::BIGINT AS sy,
+                     count(*)::BIGINT AS n_train
+              FROM base WHERE NOT cal GROUP BY g
+            ), c AS (
+              SELECT b.g, b.rid, t.n_train,
+                     t.sy::DOUBLE / t.n_train::DOUBLE AS yhat,
+                     abs(b.y::DOUBLE
+                         - t.sy::DOUBLE / t.n_train::DOUBLE)
+                       AS resid
+              FROM base b JOIN train t ON b.g = t.g
+              WHERE b.cal
+            ), r AS (
+              SELECT *,
+                     row_number() OVER (PARTITION BY g
+                                        ORDER BY resid, rid) AS rn,
+                     count(*) OVER (PARTITION BY g) AS n_cal
+              FROM c
+            ), s AS (
+              SELECT *, CAST(ceil(0.9::DOUBLE
+                                  * (n_cal + 1)::DOUBLE) AS BIGINT)
+                          AS k
+              FROM r
+            )
+            SELECT g AS l_returnflag, n_train,
+                   n_cal::BIGINT AS n_cal,
+                   round(yhat, 9) AS yhat,
+                   round(CASE WHEN k <= n_cal THEN resid END, 9)
+                     AS qhat,
+                   round(CASE WHEN k <= n_cal THEN yhat - resid END,
+                         9) AS lo,
+                   round(CASE WHEN k <= n_cal THEN yhat + resid END,
+                         9) AS hi
+            FROM s
+            WHERE rn = k OR (k > n_cal AND rn = 1)
+            ORDER BY l_returnflag
+        """,
+        "q179_information_gain": """
+            WITH src AS (
+              SELECT coalesce(o_totalprice > 150000.0, false)::INT
+                       AS y,
+                     o_orderpriority::VARCHAR AS f1,
+                     o_orderstatus::VARCHAR AS f2
+              FROM orders
+            ), cells AS (
+              SELECT 'o_orderpriority' AS feature, f1 AS value, y,
+                     count(*)::BIGINT AS nvy
+              FROM src GROUP BY 1, 2, 3
+              UNION ALL
+              SELECT 'o_orderstatus', f2, y, count(*)::BIGINT
+              FROM src GROUP BY 1, 2, 3
+            ), nv AS (
+              SELECT feature, value, sum(nvy)::BIGINT AS nv
+              FROM cells GROUP BY 1, 2
+            ), cvy AS (
+              SELECT c.feature,
+                     sum(c.nvy)::BIGINT AS n,
+                     sum(c.nvy::DOUBLE
+                         * ln(c.nvy::DOUBLE / v.nv::DOUBLE)) AS s
+              FROM cells c JOIN nv v
+                ON c.feature = v.feature
+               AND c.value IS NOT DISTINCT FROM v.value
+              GROUP BY 1
+            ), ym AS (
+              SELECT feature, y, sum(nvy)::BIGINT AS ny
+              FROM cells GROUP BY 1, 2
+            ), hy AS (
+              SELECT feature,
+                     sum(ny::DOUBLE * ln(ny::DOUBLE)) AS sylny
+              FROM ym GROUP BY 1
+            ), xm AS (
+              SELECT feature, count(*)::INT AS n_values,
+                     sum(nv::DOUBLE * ln(nv::DOUBLE)) AS sxlnx
+              FROM nv GROUP BY 1
+            )
+            SELECT c.feature, x.n_values,
+                   round(ln(c.n::DOUBLE) - h.sylny / c.n::DOUBLE, 9)
+                     AS h_target,
+                   round(-c.s / c.n::DOUBLE, 9) AS h_conditional,
+                   round((ln(c.n::DOUBLE) - h.sylny / c.n::DOUBLE)
+                         + c.s / c.n::DOUBLE, 9) AS info_gain,
+                   round(CASE WHEN (ln(c.n::DOUBLE)
+                                    - x.sxlnx / c.n::DOUBLE) > 0
+                         THEN ((ln(c.n::DOUBLE)
+                                - h.sylny / c.n::DOUBLE)
+                               + c.s / c.n::DOUBLE)
+                              / (ln(c.n::DOUBLE)
+                                 - x.sxlnx / c.n::DOUBLE)
+                         END, 9) AS gain_ratio
+            FROM cvy c
+            JOIN hy h ON c.feature = h.feature
+            JOIN xm x ON c.feature = x.feature
+            ORDER BY c.feature
+        """,
         "q176_neyman_sample": """
             WITH per AS (
               SELECT o_orderpriority AS stratum,
@@ -8649,42 +8854,6 @@ def oracle_sql() -> dict[str, str]:
             FROM r JOIN a ON a.stratum = r.o_orderpriority
             WHERE r.rk <= a.alloc
             ORDER BY r.o_orderpriority, r.o_orderkey
-        """,
-        "q177_chi_square": """
-            WITH cells AS (
-              SELECT o_orderpriority AS r, o_orderstatus AS c,
-                     count(*)::BIGINT AS o
-              FROM orders GROUP BY 1, 2
-            ), rm AS (
-              SELECT r, CAST(sum(o) AS BIGINT) AS rt
-              FROM cells GROUP BY 1
-            ), cm AS (
-              SELECT c, CAST(sum(o) AS BIGINT) AS ct
-              FROM cells GROUP BY 1
-            ), agg AS (
-              SELECT CAST(sum(o) AS BIGINT) AS n,
-                     CAST(count(DISTINCT cells.r)
-                          + max((cells.r IS NULL)::INT) AS INT)
-                       AS n_rows,
-                     CAST(count(DISTINCT cells.c)
-                          + max((cells.c IS NULL)::INT) AS INT)
-                       AS n_cols,
-                     sum((o * o)::DOUBLE / (rt * ct)::DOUBLE) AS s
-              FROM cells
-              JOIN rm ON cells.r IS NOT DISTINCT FROM rm.r
-              JOIN cm ON cells.c IS NOT DISTINCT FROM cm.c
-            )
-            SELECT n, n_rows, n_cols,
-                   CAST((n_rows - 1) * (n_cols - 1) AS INT) AS dof,
-                   round(n::DOUBLE * (s - 1.0), 6) AS chi2,
-                   round(CASE WHEN least(n_rows - 1, n_cols - 1) > 0
-                         THEN sqrt(greatest(n::DOUBLE * (s - 1.0),
-                                            0.0)
-                                   / (n::DOUBLE
-                                      * least(n_rows - 1,
-                                              n_cols - 1)::DOUBLE))
-                         END, 6) AS cramers_v
-            FROM agg
         """,
         "q175_cross_encoder_rerank": """
             WITH e AS (

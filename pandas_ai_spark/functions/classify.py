@@ -509,3 +509,186 @@ def lift_table(df: DataFrame, score_col: str, outcome_col: str,
                cum_e.cast("double") / F.col("__et").cast("double"))
          .alias("cum_gain"),
         F.when(F.col("__et") > 0, cum_rate / gr).alias("cum_lift"))
+
+
+def conformal_interval(df: DataFrame, group_cols, y_col: str,
+                       id_col: str, alpha: float = 0.1,
+                       cal_frac: float = 0.5,
+                       seed: str = "conf") -> DataFrame:
+    """Split-conformal prediction interval (Vovk; Lei et al., JASA
+    2018) for the per-group mean predictor: rows hash-split into a
+    train and a calibration fold, ``yhat`` = the train fold's group
+    mean, and the half-width ``qhat`` is the
+    ``ceil((1 - alpha) * (n_cal + 1))``-th SMALLEST calibration
+    residual ``|y - yhat|`` — the finite-sample-corrected order
+    statistic whose interval ``yhat ± qhat`` covers a fresh draw with
+    probability ≥ 1 − alpha, distribution-free. One row per group:
+    ``(group, n_train, n_cal, yhat, qhat, lo, hi)``; groups whose
+    corrected rank exceeds ``n_cal`` (calibration fold too small for
+    the requested level) return NULL qhat/lo/hi rather than an
+    unsupported guarantee.
+
+    Determinism: the fold assignment is ``md5(seed‖id)`` (the
+    :func:`~pandas_ai_spark.functions.pipeline.hash_split` device —
+    stable under corpus growth, engine-portable); ``yhat`` is an
+    exact integer ratio when ``y`` is integer-valued (cast to bigint
+    sums), so residuals and the order-statistic pick are
+    bit-identical across engines — no interpolated quantile.
+
+    Scale shape: one map-side-combined train aggregation (shuffle
+    bounded by group count) broadcast back onto the calibration fold;
+    ONE ordered window per group ranks residuals (the per-group count
+    rides the same partition spec); a row-local filter picks the
+    order statistic. Nothing collected, no global sort.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql.functions import broadcast
+
+    if not (0.0 < alpha < 1.0):
+        raise ValueError("alpha must be in (0, 1)")
+    if not (0.0 < cal_frac < 1.0):
+        raise ValueError("cal_frac must be in (0, 1)")
+    group_cols = list(group_cols)
+    if not group_cols:
+        raise ValueError("group_cols must be non-empty")
+    buckets = 10_000
+    cut = int(round(cal_frac * buckets))
+    b = md5_bucket(
+        F.concat(F.lit(seed), F.lit(":"),
+                 F.col(id_col).cast("string")), buckets)
+    y = F.col(y_col).cast("bigint")
+    tagged = df.where(F.col(y_col).isNotNull()).select(
+        *[F.col(c) for c in group_cols], y.alias("__y"),
+        F.col(id_col).alias("__id"), (b < cut).alias("__cal"))
+    train = tagged.where(~F.col("__cal")).groupBy(
+        *[F.col(c).alias(f"__g_{c}") for c in group_cols]).agg(
+        F.sum("__y").cast("bigint").alias("__sy"),
+        F.count("*").cast("bigint").alias("n_train"))
+    train = train.withColumn(
+        "yhat", F.col("__sy").cast("double")
+        / F.col("n_train").cast("double"))
+    cond = None
+    for c in group_cols:
+        eq = F.col(c).eqNullSafe(F.col(f"__g_{c}"))
+        cond = eq if cond is None else (cond & eq)
+    cal = (tagged.where(F.col("__cal"))
+           .join(broadcast(train), cond)
+           .withColumn("__resid", F.abs(F.col("__y").cast("double")
+                                        - F.col("yhat"))))
+    wp = Window.partitionBy(*group_cols)
+    w = wp.orderBy(F.col("__resid").asc(), F.col("__id").asc())
+    k = F.ceil(F.lit(1.0 - float(alpha))
+               * (F.count(F.lit(1)).over(wp) + F.lit(1))
+               .cast("double")).cast("bigint")
+    picked = (cal.withColumn("__rn", F.row_number().over(w))
+                 .withColumn("__k", k)
+                 .withColumn("n_cal",
+                             F.count(F.lit(1)).over(wp)
+                              .cast("bigint")))
+    # the order statistic row when supported; any calibration row
+    # (rn=1) carries the NULL-qhat group so it still reports
+    hit = picked.where(
+        (F.col("__rn") == F.col("__k"))
+        | ((F.col("__k") > F.col("n_cal")) & (F.col("__rn") == 1)))
+    qhat = F.when(F.col("__k") <= F.col("n_cal"), F.col("__resid"))
+    return hit.select(
+        *[F.col(c) for c in group_cols],
+        "n_train", "n_cal", "yhat",
+        qhat.alias("qhat"),
+        (F.col("yhat") - qhat).alias("lo"),
+        (F.col("yhat") + qhat).alias("hi"))
+
+
+def information_gain(df: DataFrame, feature_cols,
+                     target_expr) -> DataFrame:
+    """Entropy-based feature screening: for each categorical feature
+    ``X``, the mutual information with the binary target,
+    ``IG(Y; X) = H(Y) − H(Y|X)`` (the decision-tree split criterion),
+    plus Quinlan's ``gain_ratio = IG / H(X)`` which penalizes
+    high-cardinality features that look informative by fragmentation
+    alone. One row per feature:
+    ``(feature, n_values, h_target, h_conditional, info_gain,
+    gain_ratio)``. The WOE/IV screen (:func:`woe_iv`) ranks
+    categories *within* one feature; this ranks features against
+    each other.
+
+    ``target_expr`` is a SQL boolean; NULL targets count as false via
+    an explicit coalesce. Feature values are compared as strings
+    (uniform cell schema across features); NULL values form their own
+    class.
+
+    Determinism: every count is an exact bigint; entropies are
+    ``Σ n·ln(n-ratios)`` over the BOUNDED per-feature cell table —
+    the only float accumulation, identical term sets in any engine.
+
+    Scale shape: ONE pass — each row explodes into (feature, value)
+    pairs (a width-|features| array, pipelined in the scan) and one
+    map-side-combined aggregation builds the (feature, value, y) cell
+    table (shuffle bounded by Σ cardinalities, never rows); the
+    per-feature rollups and the marginal joins all run on that tiny
+    table, broadcast. No per-feature rescans.
+    """
+    from pyspark.sql.functions import broadcast
+
+    feature_cols = list(feature_cols)
+    if not feature_cols:
+        raise ValueError("feature_cols must be non-empty")
+    y = F.coalesce(F.expr(target_expr), F.lit(False)).cast("bigint")
+    pairs = F.array(*[
+        F.struct(F.lit(c).alias("feature"),
+                 F.col(c).cast("string").alias("value"))
+        for c in feature_cols])
+    cells = (df.select(y.alias("__y"),
+                       F.explode(pairs).alias("__p"))
+               .groupBy(F.col("__p.feature").alias("feature"),
+                        F.col("__p.value").alias("value"),
+                        F.col("__y"))
+               .agg(F.count("*").cast("bigint").alias("__nvy")))
+    from .cache import operator_persist
+
+    cells = operator_persist(cells)
+    # per (feature, value): n_v; per feature: N (same for all — the
+    # row count — but computed per feature for self-containedness)
+    nv = cells.groupBy(
+        F.col("feature").alias("__f1"),
+        F.col("value").alias("__v1")).agg(
+        F.sum("__nvy").cast("bigint").alias("__nv"))
+    joined = cells.join(
+        broadcast(nv),
+        F.col("feature").eqNullSafe(F.col("__f1"))
+        & F.col("value").eqNullSafe(F.col("__v1")))
+    ln = F.log  # natural log, nats
+    # Σ n_vy ln(n_vy / n_v)  and per-feature totals
+    per_f = joined.groupBy("feature").agg(
+        F.sum("__nvy").cast("bigint").alias("__n"),
+        F.sum(F.col("__nvy").cast("double")
+              * ln(F.col("__nvy").cast("double")
+                   / F.col("__nv").cast("double"))).alias("__cvy"))
+    # H(Y) and H(X) from the same cell table
+    ym = cells.groupBy(F.col("feature").alias("__f2"),
+                       F.col("__y")).agg(
+        F.sum("__nvy").cast("bigint").alias("__ny"))
+    hy = ym.groupBy(F.col("__f2")).agg(
+        F.sum("__ny").cast("bigint").alias("__n2"),
+        F.sum(F.col("__ny").cast("double")
+              * ln(F.col("__ny").cast("double"))).alias("__sylny"))
+    xm = nv.groupBy(F.col("__f1").alias("__f3")).agg(
+        F.count(F.lit(1)).cast("int").alias("n_values"),
+        F.sum(F.col("__nv").cast("double")
+              * ln(F.col("__nv").cast("double"))).alias("__sxlnx"))
+    out = (per_f
+           .join(broadcast(hy),
+                 F.col("feature") == F.col("__f2"))
+           .join(broadcast(xm),
+                 F.col("feature") == F.col("__f3")))
+    nn = F.col("__n").cast("double")
+    h_target = ln(nn) - F.col("__sylny") / nn
+    h_cond = -F.col("__cvy") / nn
+    h_x = ln(nn) - F.col("__sxlnx") / nn
+    ig = h_target - h_cond
+    return out.select(
+        "feature", "n_values",
+        h_target.alias("h_target"),
+        h_cond.alias("h_conditional"),
+        ig.alias("info_gain"),
+        F.when(h_x > 0, ig / h_x).alias("gain_ratio"))

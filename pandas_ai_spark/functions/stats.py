@@ -1003,74 +1003,75 @@ def trimmed_stats(df: DataFrame, value_col: str,
     return out
 
 
-def chi_square_independence(df: DataFrame, row_col: str,
-                            col_col: str) -> DataFrame:
-    """Pearson chi-square test of independence over the
-    ``(row_col, col_col)`` contingency table, plus Cramér's V effect
-    size — the categorical-association screen (label × segment,
-    event type × cohort) run before treating two discretes as
-    independent. One row
-    ``(n, n_rows, n_cols, dof, chi2, cramers_v)``.
+def spearman_corr(df: DataFrame, x_col: str, y_col: str,
+                  by: list[str] | None = None) -> DataFrame:
+    """Per-group Spearman rank correlation — the monotone-association
+    companion to Pearson (:func:`grouped_ols`'s ``r``) that a feature
+    screen reaches for when the relationship is nonlinear or the
+    columns are heavy-tailed: Pearson correlation of the midrank
+    vectors, with ties handled by the exact midrank convention. One
+    row per group ``(n, rho)``.
 
-    Exactness: cell and marginal counts are exact bigints and the
-    statistic uses the zero-cell-free identity
-    ``chi2 = N * (sum_cells O_ij^2 / (R_i * C_j) - 1)`` (expand
-    ``sum (O-E)^2/E`` with ``E = R*C/N``; absent cells contribute
-    nothing to the O² sum, so no row×col spine join is needed). Each
-    term is a single IEEE division of exact integers; only the
-    bounded per-cell sum accumulates floats. NULL categories form
-    their own class (same rule as ``class_balance_weights``).
+    Determinism: ranks are accumulated DOUBLED (``2*rank`` is an
+    integer even for tied midranks — the q159 Mann-Whitney device),
+    so every co-moment is an exact integer (DECIMAL(38,0) sums — the
+    doubled-rank cross-moment reaches ``4n³``, past bigint near
+    n≈1.3M per group); the factor of 2 cancels in the correlation.
+    The only floats are the final single divisions/sqrt of exact
+    decimals — bit-identical across engines, no float-sum-order
+    dependence.
 
-    Scale shape: ONE map-side-combined (row, col) cell aggregation
-    (shuffle bounded by the cell count), marginals re-aggregated from
-    the tiny cell table and joined back broadcast, N/r/c folded as
-    scalars. No window, no spine, nothing row-expanded.
+    Scale shape: doubled midranks come from cumulative-count RANGE
+    windows (``2·count(v<x) + count(v=x) + 1``) — two ordered windows
+    over the SAME group partition (one sort per variable, one hash
+    exchange) — then ONE map-side-combined co-moment aggregation.
+    No value-grain collapse needed and nothing collected.
     """
-    from pyspark.sql.functions import broadcast
+    from pyspark.sql.window import Window
 
-    from .cache import operator_persist
+    by = list(by or [])
+    base = df.where(F.col(x_col).isNotNull()
+                    & F.col(y_col).isNotNull()).select(
+        *[F.col(c) for c in by],
+        F.col(x_col).alias("__x"), F.col(y_col).alias("__y"))
 
-    cells = df.groupBy(
-        F.col(row_col).alias("__r"),
-        F.col(col_col).alias("__c")).agg(
-        F.count("*").cast("bigint").alias("__o"))
-    cells = operator_persist(cells)
-    # fresh aliases on the marginal sides: cells-derived columns would
-    # otherwise resolve ambiguously against the self-lineage join
-    rm = cells.groupBy(F.col("__r").alias("__rk")).agg(
-        F.sum("__o").cast("bigint").alias("__rt"))
-    cm = cells.groupBy(F.col("__c").alias("__ck")).agg(
-        F.sum("__o").cast("bigint").alias("__ct"))
-    joined = (cells
-              .join(broadcast(rm),
-                    F.col("__r").eqNullSafe(F.col("__rk")))
-              .join(broadcast(cm),
-                    F.col("__c").eqNullSafe(F.col("__ck"))))
-    term = ((F.col("__o") * F.col("__o")).cast("double")
-            / (F.col("__rt") * F.col("__ct")).cast("double"))
-    # count_distinct skips NULL — the NULL class counts via the flag
-    nr = (F.count_distinct("__r")
-          + F.max(F.col("__r").isNull().cast("bigint")))
-    nc = (F.count_distinct("__c")
-          + F.max(F.col("__c").isNull().cast("bigint")))
-    agg = joined.agg(
-        F.sum("__o").cast("bigint").alias("n"),
-        nr.cast("int").alias("n_rows"),
-        nc.cast("int").alias("n_cols"),
-        F.sum(term).alias("__s"))
-    chi2 = (F.col("n").cast("double")
-            * (F.col("__s") - F.lit(1.0)))
-    mind = F.least(F.col("n_rows") - 1, F.col("n_cols") - 1)
-    return agg.select(
-        "n", "n_rows", "n_cols",
-        ((F.col("n_rows") - 1) * (F.col("n_cols") - 1)).cast("int")
-         .alias("dof"),
-        chi2.alias("chi2"),
-        F.when(mind > 0,
-               F.sqrt(F.greatest(chi2, F.lit(0.0))
-                      / (F.col("n").cast("double")
-                         * mind.cast("double"))))
-         .alias("cramers_v"))
+    def doubled_rank(col: str):
+        wo = (Window.partitionBy(*by).orderBy(col)
+              .rangeBetween(Window.unboundedPreceding, 0)
+              if by else
+              Window.orderBy(col).rangeBetween(
+                  Window.unboundedPreceding, 0))
+        wt = (Window.partitionBy(*by, col) if by
+              else Window.partitionBy(col))
+        cum_le = F.count(F.lit(1)).over(wo)   # RANGE: includes peers
+        t = F.count(F.lit(1)).over(wt)
+        return (F.lit(2) * (cum_le - t) + t + F.lit(1)) \
+            .cast("decimal(38,0)")
+
+    ranked = base.select(
+        *[F.col(c) for c in by],
+        doubled_rank("__x").alias("__rx"),
+        doubled_rank("__y").alias("__ry"))
+    d = F.col
+    aggs = [
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("__rx").alias("__sx"),
+        F.sum("__ry").alias("__sy"),
+        F.sum(d("__rx") * d("__ry")).alias("__sxy"),
+        F.sum(d("__rx") * d("__rx")).alias("__sxx"),
+        F.sum(d("__ry") * d("__ry")).alias("__syy"),
+    ]
+    g = (ranked.groupBy(*[F.col(c) for c in by]).agg(*aggs)
+         if by else ranked.agg(*aggs))
+    nn = d("n").cast("double")
+    sx, sy = d("__sx").cast("double"), d("__sy").cast("double")
+    cov = nn * d("__sxy").cast("double") - sx * sy
+    vx = nn * d("__sxx").cast("double") - sx * sx
+    vy = nn * d("__syy").cast("double") - sy * sy
+    return g.select(
+        *[F.col(c) for c in by], "n",
+        F.when((vx > 0) & (vy > 0),
+               cov / (F.sqrt(vx) * F.sqrt(vy))).alias("rho"))
 
 
 def mann_whitney_u(df: DataFrame, value_col: str, sample_col: str,

@@ -372,49 +372,174 @@ class TestNeymanSample:
 
 
 # ---------------------------------------------------------------------------
-# stats.chi_square_independence (q177)
+# stats.spearman_corr (q177)
 # ---------------------------------------------------------------------------
 
-class TestChiSquare:
-    def test_known_2x2(self, spark):
-        from pandas_ai_spark.functions.stats import (
-            chi_square_independence)
-
-        rows = ([("a", "x")] * 10 + [("a", "y")] * 20
-                + [("b", "x")] * 20 + [("b", "y")] * 10)
-        df = spark.createDataFrame(rows, "r: string, c: string")
-        out = chi_square_independence(df, "r", "c").collect()[0]
-        # chi2 = N (ad-bc)^2 / (R1 R2 C1 C2) = 60*300^2/30^4 = 20/3
-        assert out.n == 60 and out.dof == 1
-        assert out.chi2 == pytest.approx(20.0 / 3.0, rel=1e-12)
-        assert out.cramers_v == pytest.approx(
-            (20.0 / 3.0 / 60.0) ** 0.5, rel=1e-12)
-
-    def test_independent_table_is_zero(self, spark):
-        from pandas_ai_spark.functions.stats import (
-            chi_square_independence)
-
-        rows = [(r, c) for r in "ab" for c in "xy" for _ in range(25)]
-        df = spark.createDataFrame(rows, "r: string, c: string")
-        out = chi_square_independence(df, "r", "c").collect()[0]
-        assert out.chi2 == pytest.approx(0.0, abs=1e-9)
-        assert out.cramers_v == pytest.approx(0.0, abs=1e-9)
-
-    def test_degenerate_single_column(self, spark):
-        from pandas_ai_spark.functions.stats import (
-            chi_square_independence)
+class TestSpearman:
+    def test_perfect_monotone(self, spark):
+        from pandas_ai_spark.functions.stats import spearman_corr
 
         df = spark.createDataFrame(
-            [("a", "x"), ("b", "x"), ("a", "x")], "r: string, c: string")
-        out = chi_square_independence(df, "r", "c").collect()[0]
-        assert out.dof == 0 and out.cramers_v is None
+            [(float(i), float(i * i)) for i in range(1, 20)],
+            "x: double, y: double")
+        r = spearman_corr(df, "x", "y").collect()[0]
+        # nonlinear but perfectly monotone: rho exactly 1
+        assert r.rho == pytest.approx(1.0, abs=1e-12) and r.n == 19
 
-    def test_null_categories_are_classes(self, spark):
-        from pandas_ai_spark.functions.stats import (
-            chi_square_independence)
+    def test_perfect_inverse(self, spark):
+        from pandas_ai_spark.functions.stats import spearman_corr
 
         df = spark.createDataFrame(
-            [("a", "x"), (None, "x"), (None, "y"), ("a", "y")],
-            "r: string, c: string")
-        out = chi_square_independence(df, "r", "c").collect()[0]
-        assert out.n == 4 and out.n_rows == 2 and out.n_cols == 2
+            [(float(i), float(-i)) for i in range(10)],
+            "x: double, y: double")
+        r = spearman_corr(df, "x", "y").collect()[0]
+        assert r.rho == pytest.approx(-1.0, abs=1e-12)
+
+    def test_ties_match_scipy_convention(self, spark):
+        from pandas_ai_spark.functions.stats import spearman_corr
+
+        # hand-checked midrank example: x=[1,1,2,3], y=[10,20,20,30]
+        df = spark.createDataFrame(
+            [(1.0, 10.0), (1.0, 20.0), (2.0, 20.0), (3.0, 30.0)],
+            "x: double, y: double")
+        r = spearman_corr(df, "x", "y").collect()[0]
+        # midranks x: 1.5 1.5 3 4; y: 1 2.5 2.5 4
+        # pearson of those (numpy corrcoef) = 0.8333333333333335
+        assert r.rho == pytest.approx(0.8333333333333335, abs=1e-12)
+
+    def test_grouped_and_degenerate(self, spark):
+        from pandas_ai_spark.functions.stats import spearman_corr
+
+        df = spark.createDataFrame(
+            [("g1", 1.0, 2.0), ("g1", 2.0, 4.0), ("g1", 3.0, 5.0),
+             ("g2", 7.0, 1.0), ("g2", 7.0, 2.0)],
+            "g: string, x: double, y: double")
+        got = {r.g: r for r in
+               spearman_corr(df, "x", "y", by=["g"]).collect()}
+        assert got["g1"].rho == pytest.approx(1.0, abs=1e-12)
+        # g2: x constant -> zero rank variance -> NULL
+        assert got["g2"].rho is None
+
+
+# ---------------------------------------------------------------------------
+# classify.conformal_interval (q178)
+# ---------------------------------------------------------------------------
+
+class TestConformalInterval:
+    def _df(self, spark, n=200):
+        return spark.createDataFrame(
+            [("g", i, (i * 13) % 40) for i in range(n)],
+            "g: string, id: long, y: long")
+
+    def test_order_statistic_and_coverage_shape(self, spark):
+        from pandas_ai_spark.functions.classify import conformal_interval
+
+        out = conformal_interval(self._df(spark), ["g"], "y", "id",
+                                 alpha=0.2).collect()
+        assert len(out) == 1
+        r = out[0]
+        assert r.n_train + r.n_cal == 200 and r.n_cal > 50
+        assert r.qhat is not None and r.lo == r.yhat - r.qhat
+        assert r.hi == r.yhat + r.qhat
+        # empirical coverage on the calibration fold is >= 1 - alpha
+        # by construction of the corrected order statistic
+        import math
+        k = math.ceil(0.8 * (r.n_cal + 1))
+        assert k <= r.n_cal
+
+    def test_deterministic(self, spark):
+        from pandas_ai_spark.functions.classify import conformal_interval
+
+        a = conformal_interval(self._df(spark), ["g"], "y",
+                               "id").collect()[0]
+        b = conformal_interval(self._df(spark), ["g"], "y",
+                               "id").collect()[0]
+        assert a == b
+
+    def test_small_group_returns_null_qhat(self, spark):
+        from pandas_ai_spark.functions.classify import conformal_interval
+
+        df = self._df(spark, n=6)
+        r = conformal_interval(df, ["g"], "y", "id",
+                               alpha=0.01).collect()[0]
+        # ceil(0.99*(n_cal+1)) > n_cal for tiny folds: no guarantee
+        assert r.qhat is None and r.lo is None and r.hi is None
+        assert r.n_cal > 0  # still reports the group
+
+    def test_validation(self, spark):
+        from pandas_ai_spark.functions.classify import conformal_interval
+
+        df = self._df(spark)
+        with pytest.raises(ValueError):
+            conformal_interval(df, [], "y", "id")
+        with pytest.raises(ValueError):
+            conformal_interval(df, ["g"], "y", "id", alpha=0.0)
+        with pytest.raises(ValueError):
+            conformal_interval(df, ["g"], "y", "id", cal_frac=1.0)
+
+
+# ---------------------------------------------------------------------------
+# classify.information_gain (q179)
+# ---------------------------------------------------------------------------
+
+class TestInformationGain:
+    def test_perfect_predictor_vs_useless(self, spark):
+        import math
+
+        from pandas_ai_spark.functions.classify import information_gain
+
+        rows = [("pos", "same", 1), ("pos", "same", 1),
+                ("neg", "same", 0), ("neg", "same", 0)] * 5
+        df = spark.createDataFrame(rows, "f_good: string, "
+                                         "f_bad: string, y: int")
+        got = {r.feature: r for r in
+               information_gain(df, ["f_good", "f_bad"],
+                                "y = 1").collect()}
+        h = math.log(2.0)  # balanced binary target, nats
+        assert got["f_good"].h_target == pytest.approx(h, abs=1e-12)
+        # perfect predictor: conditional entropy 0, IG = H(Y),
+        # gain ratio 1 (H(X) = H(Y) here)
+        assert got["f_good"].h_conditional == pytest.approx(0.0,
+                                                            abs=1e-12)
+        assert got["f_good"].info_gain == pytest.approx(h, abs=1e-12)
+        assert got["f_good"].gain_ratio == pytest.approx(1.0,
+                                                         abs=1e-12)
+        # single-valued feature: no split, IG 0, gain ratio NULL
+        assert got["f_bad"].info_gain == pytest.approx(0.0, abs=1e-12)
+        assert got["f_bad"].gain_ratio is None
+        assert got["f_bad"].n_values == 1
+
+    def test_known_entropy_values(self, spark):
+        import math
+
+        from pandas_ai_spark.functions.classify import information_gain
+
+        # f splits 8 rows into (4: all pos) and (4: 2 pos 2 neg)
+        rows = ([("a", 1)] * 4 + [("b", 1)] * 2 + [("b", 0)] * 2)
+        df = spark.createDataFrame(rows, "f: string, y: int")
+        r = information_gain(df, ["f"], "y = 1").collect()[0]
+        # H(Y) = H(6/8) ; H(Y|X) = 0.5*0 + 0.5*ln2
+        hy = -(0.75 * math.log(0.75) + 0.25 * math.log(0.25))
+        assert r.h_target == pytest.approx(hy, abs=1e-12)
+        assert r.h_conditional == pytest.approx(0.5 * math.log(2.0),
+                                                abs=1e-12)
+        assert r.info_gain == pytest.approx(
+            hy - 0.5 * math.log(2.0), abs=1e-12)
+
+    def test_null_values_are_classes(self, spark):
+        from pandas_ai_spark.functions.classify import information_gain
+
+        df = spark.createDataFrame(
+            [(None, 1), (None, 1), ("a", 0), ("a", 0)],
+            "f: string, y: int")
+        r = information_gain(df, ["f"], "y = 1").collect()[0]
+        assert r.n_values == 2
+        # NULL class separates perfectly
+        assert r.h_conditional == pytest.approx(0.0, abs=1e-12)
+
+    def test_validation(self, spark):
+        from pandas_ai_spark.functions.classify import information_gain
+
+        df = spark.createDataFrame([("a", 1)], "f: string, y: int")
+        with pytest.raises(ValueError):
+            information_gain(df, [], "y = 1")

@@ -119,7 +119,9 @@ DEFAULT = [
     "q173_stratified_sample",   # one-window md5-rank quota sample
     "q175_cross_encoder_rerank",  # pool + Arrow scorer + rank window
     "q176_neyman_sample",       # strata agg + broadcast alloc + rank window
-    "q177_chi_square",          # bounded cell agg + broadcast marginals
+    "q177_spearman",            # two ordered rank windows + co-moment agg
+    "q178_conformal_interval",  # fold split + broadcast yhat + rank pick
+    "q179_information_gain",    # explode + bounded cell agg + rollups
 ]
 
 

@@ -146,6 +146,8 @@ PROBE_SF03 = [
     "q148_golden_records",
     "q170_bootstrap_ci",
     "q172_fellegi_sunter",
+    "q177_spearman",
+    "q178_conformal_interval",
 ]
 
 SF03_DIR = ".scale/sf0.3"

@@ -1025,7 +1025,11 @@ def spearman_corr(df: DataFrame, x_col: str, y_col: str,
     windows (``2·count(v<x) + count(v=x) + 1``) — two ordered windows
     over the SAME group partition (one sort per variable, one hash
     exchange) — then ONE map-side-combined co-moment aggregation.
-    No value-grain collapse needed and nothing collected.
+    No value-grain collapse needed and nothing collected. Caveat the
+    whole rank-window family shares: parallelism equals the group
+    count (each group sorts in one task) — correct for the
+    many-groups case; a FEW huge groups want the range-partitioned
+    two-pass rank (bucket counts + driver prefix offsets) instead.
     """
     from pyspark.sql.window import Window
 
@@ -1046,20 +1050,28 @@ def spearman_corr(df: DataFrame, x_col: str, y_col: str,
         cum_le = F.count(F.lit(1)).over(wo)   # RANGE: includes peers
         t = F.count(F.lit(1)).over(wt)
         return (F.lit(2) * (cum_le - t) + t + F.lit(1)) \
-            .cast("decimal(38,0)")
+            .cast("bigint")
 
     ranked = base.select(
         *[F.col(c) for c in by],
         doubled_rank("__x").alias("__rx"),
         doubled_rank("__y").alias("__ry"))
     d = F.col
+
+    def dsum(expr):
+        # products stay in fast codegen'd LONG arithmetic (rx·ry ≤
+        # (2n+1)² — overflows only past ~1.5e9 rows per group); ONLY
+        # the accumulator is DECIMAL(38,0), where the 4n³ cross-moment
+        # would pass bigint near n≈1.3M
+        return F.sum(expr.cast("decimal(38,0)"))
+
     aggs = [
         F.count(F.lit(1)).cast("bigint").alias("n"),
-        F.sum("__rx").alias("__sx"),
-        F.sum("__ry").alias("__sy"),
-        F.sum(d("__rx") * d("__ry")).alias("__sxy"),
-        F.sum(d("__rx") * d("__rx")).alias("__sxx"),
-        F.sum(d("__ry") * d("__ry")).alias("__syy"),
+        F.sum("__rx").cast("decimal(38,0)").alias("__sx"),
+        F.sum("__ry").cast("decimal(38,0)").alias("__sy"),
+        dsum(d("__rx") * d("__ry")).alias("__sxy"),
+        dsum(d("__rx") * d("__rx")).alias("__sxx"),
+        dsum(d("__ry") * d("__ry")).alias("__syy"),
     ]
     g = (ranked.groupBy(*[F.col(c) for c in by]).agg(*aggs)
          if by else ranked.agg(*aggs))

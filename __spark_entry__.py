@@ -4059,6 +4059,31 @@ def q179_information_gain(spark: SparkSession, sf_dir: str
     ).orderBy("feature")
 
 
+def q180_spearman_distributed(spark: SparkSession, sf_dir: str
+                              ) -> DataFrame:
+    """q177's Spearman on the RANGE-PARTITIONED two-pass rank path
+    (stats.spearman_corr_distributed / distributed_midrank): global
+    approx-percentile boundaries bucket each variable, a bounded
+    driver prefix-sum turns per-(group, bucket) counts into rank
+    offsets, and the rank window sorts WITHIN (group, bucket) —
+    groups × buckets parallel instead of one task per group, the
+    variant for a few huge groups (q24/q25 two-path convention).
+    Midranks are exact regardless of boundary placement (equal values
+    always share a bucket), so the result — and the oracle — are
+    identical to q177's window form; this entry driver-verifies the
+    scale path itself."""
+    from pandas_ai_spark.functions.stats import (
+        spearman_corr_distributed)
+
+    li = _t(spark, sf_dir, "lineitem")
+    out = spearman_corr_distributed(
+        li, "l_quantity", "l_extendedprice",
+        by=["l_returnflag"], buckets=16)
+    return out.select(
+        "l_returnflag", "n",
+        F.round("rho", 9).alias("rho")).orderBy("l_returnflag")
+
+
 def _mmr_reference(sf_dir: str = "/root/testdata/sf0.01") -> list:
     """Standalone MMR reference (Carbonell & Goldstein's greedy
     algorithm in plain numpy) over the same embeddings table: exact
@@ -4873,6 +4898,7 @@ def queries_numeric() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q177_spearman": q177_spearman,
         "q178_conformal_interval": q178_conformal_interval,
         "q179_information_gain": q179_information_gain,
+        "q180_spearman_distributed": q180_spearman_distributed,
     }
 
 
@@ -8679,6 +8705,53 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY event_type, event_id
         """,
         "q177_spearman": """
+            WITH base AS (
+              SELECT l_returnflag AS g, l_quantity AS x,
+                     l_extendedprice AS y
+              FROM lineitem
+              WHERE l_quantity IS NOT NULL
+                AND l_extendedprice IS NOT NULL
+            ), r AS (
+              SELECT g,
+                     (2 * (count(*) OVER (
+                             PARTITION BY g ORDER BY x
+                             RANGE BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW)
+                           - count(*) OVER (PARTITION BY g, x))
+                      + count(*) OVER (PARTITION BY g, x)
+                      + 1)::HUGEINT AS rx,
+                     (2 * (count(*) OVER (
+                             PARTITION BY g ORDER BY y
+                             RANGE BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW)
+                           - count(*) OVER (PARTITION BY g, y))
+                      + count(*) OVER (PARTITION BY g, y)
+                      + 1)::HUGEINT AS ry
+              FROM base
+            ), a AS (
+              SELECT g, count(*)::BIGINT AS n,
+                     sum(rx) AS sx, sum(ry) AS sy,
+                     sum(rx * ry) AS sxy,
+                     sum(rx * rx) AS sxx,
+                     sum(ry * ry) AS syy
+              FROM r GROUP BY g
+            )
+            SELECT g AS l_returnflag, n,
+                   round(CASE WHEN
+                       (n::DOUBLE * sxx::DOUBLE
+                        - sx::DOUBLE * sx::DOUBLE) > 0
+                       AND (n::DOUBLE * syy::DOUBLE
+                            - sy::DOUBLE * sy::DOUBLE) > 0
+                     THEN (n::DOUBLE * sxy::DOUBLE
+                           - sx::DOUBLE * sy::DOUBLE)
+                          / (sqrt(n::DOUBLE * sxx::DOUBLE
+                                  - sx::DOUBLE * sx::DOUBLE)
+                             * sqrt(n::DOUBLE * syy::DOUBLE
+                                    - sy::DOUBLE * sy::DOUBLE))
+                     END, 9) AS rho
+            FROM a ORDER BY l_returnflag
+        """,
+        "q180_spearman_distributed": """
             WITH base AS (
               SELECT l_returnflag AS g, l_quantity AS x,
                      l_extendedprice AS y

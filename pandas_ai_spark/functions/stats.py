@@ -1086,6 +1086,130 @@ def spearman_corr(df: DataFrame, x_col: str, y_col: str,
                cov / (F.sqrt(vx) * F.sqrt(vy))).alias("rho"))
 
 
+def distributed_midrank(df: DataFrame, value_col: str,
+                        by: list[str] | None = None,
+                        buckets: int = 64,
+                        out_col: str = "r2") -> DataFrame:
+    """EXACT doubled midranks with parallelism ``groups × buckets``
+    — the range-partitioned two-pass rank that replaces the
+    one-task-per-group window sort when a FEW huge groups dominate
+    (the scale caveat every rank-window operator in this module
+    shares). Appends ``out_col`` = the doubled midrank
+    ``2·count(v < x) + count(v = x) + 1`` of ``value_col`` within its
+    group (an integer even at tied midranks — the q159 device).
+
+    How: (1) global range boundaries from one ``approx_percentile``
+    scan split values into ``buckets`` ranges (bucket id is a
+    monotone sum of comparisons — codegen, no UDF); (2) one
+    map-side-combined (group, bucket) count whose driver-side prefix
+    sum yields each bucket's rank offset (driver state =
+    groups × buckets rows, bounded); (3) a window sorted WITHIN
+    (group, bucket) — ``buckets``-way parallel per group — adds the
+    local cumulative count to the broadcast offset. Equal values
+    always share a bucket (the id is a function of the value), so tie
+    counts stay exact and the result is IDENTICAL to the
+    single-partition window form regardless of boundary placement —
+    approx_percentile's sketch only affects balance, never ranks.
+    """
+    from pyspark.sql.functions import broadcast
+    from pyspark.sql.window import Window
+
+    if buckets < 2:
+        raise ValueError("buckets must be >= 2")
+    by = list(by or [])
+    v = F.col(value_col)
+    qs = [i / buckets for i in range(1, buckets)]
+    row = df.agg(F.percentile_approx(
+        v.cast("double"), qs, 10_000).alias("b")).collect()[0]
+    bounds = sorted(set(row["b"] or []))
+    bucket = F.lit(0)
+    for bnd in bounds:
+        bucket = bucket + (v.cast("double") > F.lit(float(bnd))) \
+            .cast("int")
+    tagged = df.withColumn("__bkt", bucket)
+    counts = tagged.groupBy(
+        *[F.col(c).alias(f"__g_{c}") for c in by],
+        F.col("__bkt").alias("__b2")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("__cnt"))
+    rows = counts.collect()
+    offsets = []
+    from collections import defaultdict
+
+    per_group: dict = defaultdict(list)
+    for r in rows:
+        key = tuple(r[f"__g_{c}"] for c in by)
+        per_group[key].append((r["__b2"], r["__cnt"]))
+    for key, lst in per_group.items():
+        acc = 0
+        for bkt, cnt in sorted(lst):
+            offsets.append((*key, bkt, acc))
+            acc += cnt
+    spark = df.sparkSession
+    off_schema = (", ".join(
+        f"`__g_{c}` {dict(df.dtypes)[c]}" for c in by)
+        + (", " if by else "")
+        + "__b2 int, __off bigint")
+    off = spark.createDataFrame(offsets, off_schema)
+    cond = F.col("__bkt") == F.col("__b2")
+    for c in by:
+        cond = cond & F.col(c).eqNullSafe(F.col(f"__g_{c}"))
+    joined = tagged.join(broadcast(off), cond) \
+        .drop("__b2", *[f"__g_{c}" for c in by])
+    wo = Window.partitionBy(*by, "__bkt").orderBy(v) \
+        .rangeBetween(Window.unboundedPreceding, 0)
+    wt = Window.partitionBy(*by, "__bkt", value_col)
+    cum_le = F.count(F.lit(1)).over(wo)
+    t = F.count(F.lit(1)).over(wt)
+    r2 = (F.lit(2) * (F.col("__off") + cum_le - t) + t + F.lit(1)) \
+        .cast("bigint")
+    return joined.withColumn(out_col, r2).drop("__bkt", "__off")
+
+
+def spearman_corr_distributed(df: DataFrame, x_col: str, y_col: str,
+                              by: list[str] | None = None,
+                              buckets: int = 64) -> DataFrame:
+    """:func:`spearman_corr` on the :func:`distributed_midrank` scale
+    path: identical output (exact midranks either way), but each
+    variable's rank pass runs ``groups × buckets``-way parallel
+    instead of one task per group — the variant for a few huge groups
+    (the q24-bruteforce / q25-LSH two-path convention). Costs two
+    bounded driver collects (boundaries + bucket offsets).
+    """
+    by = list(by or [])
+    base = df.where(F.col(x_col).isNotNull()
+                    & F.col(y_col).isNotNull()).select(
+        *[F.col(c) for c in by],
+        F.col(x_col).alias("__x"), F.col(y_col).alias("__y"))
+    ranked = distributed_midrank(base, "__x", by=by, buckets=buckets,
+                                 out_col="__rx")
+    ranked = distributed_midrank(ranked, "__y", by=by,
+                                 buckets=buckets, out_col="__ry")
+    d = F.col
+
+    def dsum(expr):
+        return F.sum(expr.cast("decimal(38,0)"))
+
+    aggs = [
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("__rx").cast("decimal(38,0)").alias("__sx"),
+        F.sum("__ry").cast("decimal(38,0)").alias("__sy"),
+        dsum(d("__rx") * d("__ry")).alias("__sxy"),
+        dsum(d("__rx") * d("__rx")).alias("__sxx"),
+        dsum(d("__ry") * d("__ry")).alias("__syy"),
+    ]
+    g = (ranked.groupBy(*[F.col(c) for c in by]).agg(*aggs)
+         if by else ranked.agg(*aggs))
+    nn = d("n").cast("double")
+    sx, sy = d("__sx").cast("double"), d("__sy").cast("double")
+    cov = nn * d("__sxy").cast("double") - sx * sy
+    vx = nn * d("__sxx").cast("double") - sx * sx
+    vy = nn * d("__syy").cast("double") - sy * sy
+    return g.select(
+        *[F.col(c) for c in by], "n",
+        F.when((vx > 0) & (vy > 0),
+               cov / (F.sqrt(vx) * F.sqrt(vy))).alias("rho"))
+
+
 def mann_whitney_u(df: DataFrame, value_col: str, sample_col: str,
                    a, b, by: list[str] | None = None) -> DataFrame:
     """Per-group Mann-Whitney U (Wilcoxon rank-sum) test — the

@@ -122,6 +122,7 @@ DEFAULT = [
     "q177_spearman",            # two ordered rank windows + co-moment agg
     "q178_conformal_interval",  # fold split + broadcast yhat + rank pick
     "q179_information_gain",    # explode + bounded cell agg + rollups
+    "q180_spearman_distributed",  # bucketed two-pass rank + co-moments
 ]
 
 

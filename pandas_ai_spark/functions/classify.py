@@ -530,10 +530,13 @@ def conformal_interval(df: DataFrame, group_cols, y_col: str,
 
     Determinism: the fold assignment is ``md5(seed‖id)`` (the
     :func:`~pandas_ai_spark.functions.pipeline.hash_split` device —
-    stable under corpus growth, engine-portable); ``yhat`` is an
-    exact integer ratio when ``y`` is integer-valued (cast to bigint
-    sums), so residuals and the order-statistic pick are
-    bit-identical across engines — no interpolated quantile.
+    stable under corpus growth, engine-portable); when ``y_col`` is
+    an INTEGRAL type (tinyint/smallint/int/bigint/boolean) ``yhat``
+    is an exact integer ratio (bigint sums), so residuals and the
+    order-statistic pick are bit-identical across engines — no
+    interpolated quantile. Fractional/decimal ``y`` is computed on
+    double end-to-end (never truncated — the bigint path would
+    corrupt residuals and void the coverage guarantee).
 
     Scale shape: one map-side-combined train aggregation (shuffle
     bounded by group count) broadcast back onto the calibration fold;
@@ -556,13 +559,16 @@ def conformal_interval(df: DataFrame, group_cols, y_col: str,
     b = md5_bucket(
         F.concat(F.lit(seed), F.lit(":"),
                  F.col(id_col).cast("string")), buckets)
-    y = F.col(y_col).cast("bigint")
+    integral = dict(df.dtypes).get(y_col) in (
+        "tinyint", "smallint", "int", "bigint", "boolean")
+    y = F.col(y_col).cast("bigint" if integral else "double")
     tagged = df.where(F.col(y_col).isNotNull()).select(
         *[F.col(c) for c in group_cols], y.alias("__y"),
         F.col(id_col).alias("__id"), (b < cut).alias("__cal"))
     train = tagged.where(~F.col("__cal")).groupBy(
         *[F.col(c).alias(f"__g_{c}") for c in group_cols]).agg(
-        F.sum("__y").cast("bigint").alias("__sy"),
+        F.sum("__y").cast("bigint" if integral else "double")
+         .alias("__sy"),
         F.count("*").cast("bigint").alias("n_train"))
     train = train.withColumn(
         "yhat", F.col("__sy").cast("double")

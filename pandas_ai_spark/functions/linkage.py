@@ -140,10 +140,18 @@ def neighborhood_pairs(df: DataFrame, id_col: str,
     if not block_cols:
         raise ValueError("block_cols must be non-empty (a global "
                          "sort would single-partition at scale)")
+    if "id" in carry_cols:
+        # a_id/b_id are the PAIR's record-id outputs; carrying a
+        # column literally named 'id' would emit duplicate a_id/b_id
+        # columns — alias it before calling
+        raise ValueError("carry column 'id' collides with the a_id/"
+                         "b_id pair outputs; alias it first")
     from pyspark.sql.window import Window
 
     w = Window.partitionBy(*block_cols).orderBy(*order_cols, id_col)
-    payload = F.struct(F.col(id_col).alias("id"),
+    # the neighbor id rides under a collision-proof internal field —
+    # a carry column literally named "id" must not shadow it
+    payload = F.struct(F.col(id_col).alias("__nid"),
                        *[F.col(c).alias(c) for c in carry_cols])
     nbrs = F.array(*[F.lead(payload, i).over(w)
                      for i in range(1, window + 1)])
@@ -152,8 +160,8 @@ def neighborhood_pairs(df: DataFrame, id_col: str,
           .select(F.col(id_col).alias("a_id"),
                   *[F.col(c).alias(f"a_{c}") for c in carry_cols],
                   F.explode("__nbrs").alias("__n"))
-          .where(F.col("__n.id").isNotNull())
-          .select("a_id", F.col("__n.id").alias("b_id"),
+          .where(F.col("__n.__nid").isNotNull())
+          .select("a_id", F.col("__n.__nid").alias("b_id"),
                   *[F.col(f"a_{c}") for c in carry_cols],
                   *[F.col(f"__n.{c}").alias(f"b_{c}")
                     for c in carry_cols])

@@ -1110,6 +1110,13 @@ def distributed_midrank(df: DataFrame, value_col: str,
     counts stay exact and the result is IDENTICAL to the
     single-partition window form regardless of boundary placement —
     approx_percentile's sketch only affects balance, never ranks.
+
+    NULL contract: NULL ``value_col`` rows are routed to a dedicated
+    bucket ``-1`` that prefix-sums FIRST, so they all share the
+    lowest midrank (tied together) — exactly the single-window form
+    under Spark's default ascending NULLS FIRST ordering. Rows are
+    never dropped and the driver prefix sum never mixes None with
+    int bucket ids.
     """
     from pyspark.sql.functions import broadcast
     from pyspark.sql.window import Window
@@ -1126,6 +1133,10 @@ def distributed_midrank(df: DataFrame, value_col: str,
     for bnd in bounds:
         bucket = bucket + (v.cast("double") > F.lit(float(bnd))) \
             .cast("int")
+    # NULL comparisons are NULL, so without this a NULL value yields a
+    # NULL bucket id — the dedicated -1 bucket sorts before every real
+    # bucket in the prefix sum (NULLS FIRST parity with the window form)
+    bucket = F.when(v.isNull(), F.lit(-1)).otherwise(bucket)
     tagged = df.withColumn("__bkt", bucket)
     counts = tagged.groupBy(
         *[F.col(c).alias(f"__g_{c}") for c in by],

@@ -587,8 +587,12 @@ def stateful_reservoir(df: DataFrame, key_col: str, id_col: str,
                     f"{sd}:{i}".encode("utf-8")).hexdigest()
                 pool.append((h, i))
         # md5 is effectively collision-free on ids, so the (priority,
-        # id) sort is total and the truncation deterministic
-        pool.sort(key=lambda t: (t[0], t[1]))
+        # id) sort is total and the truncation deterministic; the set()
+        # dedups ids re-seen across (or within) micro-batches — an id's
+        # (priority, id) tuple is identical every time it appears, so
+        # one reservoir slot per DISTINCT id (the KMV uniform-sample
+        # contract) no matter how often it recurs in the stream
+        pool = sorted(set(pool))
         pool = pool[:kk]
         seen += n_new
         state.update(([p for p, _ in pool],

@@ -1,0 +1,158 @@
+"""Round-10 tests: the four r9 ADVICE regressions (distributed_midrank
+NULLs, conformal_interval fractional y, stateful_reservoir duplicate
+ids, neighborhood_pairs 'id' carry collision) and the round-10
+additions.
+"""
+import pytest
+
+from pyspark.sql import functions as F
+
+
+# ---------------------------------------------------------------------------
+# ADVICE r9: stats.distributed_midrank must survive NULL value_col
+# ---------------------------------------------------------------------------
+
+class TestDistributedMidrankNulls:
+    def test_nulls_route_to_lowest_tied_bucket(self, spark):
+        from pandas_ai_spark.functions.stats import distributed_midrank
+
+        df = spark.createDataFrame(
+            [("g", None), ("g", None), ("g", 1.0), ("g", 1.0),
+             ("g", 2.0)],
+            "grp: string, v: double")
+        out = {(r.grp, r.v): r.r2 for r in distributed_midrank(
+            df, "v", by=["grp"], buckets=4).collect()}
+        # NULLS FIRST parity with the window form: the two NULLs tie
+        # at doubled midrank n_null+1=3; then 2*cnt_less+cnt_eq+1
+        assert out[("g", None)] == 3
+        assert out[("g", 1.0)] == 2 * 2 + 2 + 1
+        assert out[("g", 2.0)] == 2 * 4 + 1 + 1
+        # no row dropped
+        assert len(distributed_midrank(
+            df, "v", by=["grp"], buckets=4).collect()) == 5
+
+    def test_all_null_group_and_single_distinct_value(self, spark):
+        from pandas_ai_spark.functions.stats import distributed_midrank
+
+        # <2 distinct boundary values + an all-NULL group used to
+        # TypeError in the driver prefix sum (None vs int sort)
+        df = spark.createDataFrame(
+            [("a", None), ("a", None), ("b", 7.0), ("b", 7.0)],
+            "grp: string, v: double")
+        rows = distributed_midrank(df, "v", by=["grp"],
+                                   buckets=8).collect()
+        got = {(r.grp, r.v): r.r2 for r in rows}
+        assert got[("a", None)] == 3       # two tied NULLs
+        assert got[("b", 7.0)] == 3        # two tied values
+        assert len(rows) == 4
+
+
+# ---------------------------------------------------------------------------
+# ADVICE r9: classify.conformal_interval on fractional targets
+# ---------------------------------------------------------------------------
+
+class TestConformalFractionalY:
+    def test_fractional_y_not_truncated(self, spark):
+        from pandas_ai_spark.functions.classify import conformal_interval
+
+        # every y = 2.5: under the old unconditional bigint cast yhat
+        # collapsed to 2.0; correct output is yhat=2.5, qhat=0
+        df = spark.createDataFrame(
+            [("g", i, 2.5) for i in range(60)],
+            "grp: string, rid: long, y: double")
+        out = conformal_interval(df, ["grp"], "y", "rid",
+                                 alpha=0.5).collect()
+        assert len(out) == 1
+        r = out[0]
+        assert r.yhat == 2.5
+        assert r.qhat == 0.0 and r.lo == 2.5 and r.hi == 2.5
+        assert r.n_train + r.n_cal == 60
+
+    def test_integral_dtype_keeps_exact_bigint_path(self, spark):
+        from pandas_ai_spark.functions.classify import conformal_interval
+
+        df = spark.createDataFrame(
+            [("g", i, 3) for i in range(60)],
+            "grp: string, rid: long, y: long")
+        r = conformal_interval(df, ["grp"], "y", "rid",
+                               alpha=0.5).collect()[0]
+        assert r.yhat == 3.0 and r.qhat == 0.0
+
+
+# ---------------------------------------------------------------------------
+# ADVICE r9: stateful_reservoir dedups repeated ids
+# ---------------------------------------------------------------------------
+
+class TestReservoirDuplicateIds:
+    def test_repeated_ids_occupy_one_slot(self, spark, tmp_path):
+        import os
+
+        from pandas_ai_spark.functions.pipeline import cap_per_domain
+        from pandas_ai_spark.streaming import stateful_reservoir
+
+        # 8 distinct ids, each id appears twice per batch AND in both
+        # batches — the reservoir must still hold k=4 DISTINCT ids
+        rows = [("x", i) for i in range(8)] * 2
+        df = spark.createDataFrame(rows, "lang: string, doc_id: long")
+        src = os.path.join(str(tmp_path), "src")
+        for f in (df, df):
+            f.coalesce(1).write.mode("append").parquet(src)
+        stream = (spark.readStream.schema("lang string, doc_id long")
+                  .option("maxFilesPerTrigger", 1).parquet(src))
+        res = stateful_reservoir(stream, "lang", "doc_id", k=4,
+                                 seed="cap")
+        q = (res.writeStream.format("parquet")
+             .option("path", os.path.join(str(tmp_path), "out"))
+             .option("checkpointLocation",
+                     os.path.join(str(tmp_path), "ckpt"))
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+        snaps = spark.read.parquet(os.path.join(str(tmp_path), "out"))
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("lang")
+        final = (snaps.withColumn("__mx", F.max("seen").over(w))
+                      .where(F.col("seen") == F.col("__mx"))
+                      .select("lang", "doc_id").collect())
+        got = [(r.lang, r.doc_id) for r in final]
+        assert len(got) == 4 and len(set(got)) == 4
+        want = {(r.lang, r.doc_id) for r in cap_per_domain(
+            df.dropDuplicates(["lang", "doc_id"]),
+            "lang", "doc_id", cap=4).collect()}
+        assert set(got) == want
+
+
+# ---------------------------------------------------------------------------
+# ADVICE r9: neighborhood_pairs with a carry column named 'id'
+# ---------------------------------------------------------------------------
+
+class TestNeighborhoodPairsIdCarry:
+    def test_id_record_col_with_carries(self, spark):
+        from pandas_ai_spark.functions.linkage import neighborhood_pairs
+
+        # the RECORD id column itself named 'id' used to make the
+        # neighbor-struct field ambiguous once a carry aliased to it;
+        # the internal field is now collision-proof ('__nid')
+        df = spark.createDataFrame(
+            [(1, "a", "A", 10.0), (2, "b", "A", 20.0),
+             (3, "c", "A", 30.0)],
+            "id: long, name: string, blk: string, bal: double")
+        out = neighborhood_pairs(
+            df, "id", order_cols=["name"], block_cols=["blk"],
+            carry_cols=["name", "bal"], window=1).collect()
+        by_pair = {(r.a_id, r.b_id): r for r in out}
+        assert set(by_pair) == {(1, 2), (2, 3)}
+        r = by_pair[(1, 2)]
+        assert (r.a_name, r.b_name) == ("a", "b")
+        assert (r.a_bal, r.b_bal) == (10.0, 20.0)
+
+    def test_carry_col_named_id_rejected(self, spark):
+        from pandas_ai_spark.functions.linkage import neighborhood_pairs
+
+        df = spark.createDataFrame(
+            [(1, 100, "a", "A")],
+            "rec: long, id: long, name: string, blk: string")
+        with pytest.raises(ValueError, match="a_id/"):
+            neighborhood_pairs(df, "rec", order_cols=["name"],
+                               block_cols=["blk"], carry_cols=["id"],
+                               window=1)

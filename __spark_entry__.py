@@ -4084,6 +4084,32 @@ def q180_spearman_distributed(spark: SparkSession, sf_dir: str
         F.round("rho", 9).alias("rho")).orderBy("l_returnflag")
 
 
+def q181_profile_exact_corpus(spark: SparkSession, sf_dir: str
+                              ) -> DataFrame:
+    """q55's EXACT sub-profile as a hash-verifiable entry
+    (text.corpus_profile_exact): per-source n_docs, EXACT distinct
+    normalized-md5 fingerprints (countDistinct, no HLL), min/max
+    chars, and EXACT continuous p50/p90 length percentiles (Spark
+    ``percentile`` == DuckDB ``quantile_cont``) — every number
+    engine-reproducible, closing the one profile cell the q55 sketch
+    form could only rows-only verify. ONE aggregation pass (exact
+    distinct plans as Catalyst Expand; min/max/count ride the same
+    shuffle). ``approx=False`` pins the exact path; the auto-switch
+    to the q55 sketch shape above EXACT_STATE_MAX_BYTES is
+    scale-probed separately. Oracle: the shared _NORM fingerprint +
+    quantile_cont (round-10)."""
+    from pandas_ai_spark.functions.text import corpus_profile_exact
+
+    docs = _t(spark, sf_dir, "documents")
+    out = corpus_profile_exact(docs, by="source", approx=False)
+    return out.select(
+        "source", "n_docs", "n_distinct_fp", "min_chars",
+        "max_chars",
+        F.round("p50_chars", 6).alias("p50_chars"),
+        F.round("p90_chars", 6).alias("p90_chars")
+    ).orderBy("source")
+
+
 def _mmr_reference(sf_dir: str = "/root/testdata/sf0.01") -> list:
     """Standalone MMR reference (Carbonell & Goldstein's greedy
     algorithm in plain numpy) over the same embeddings table: exact
@@ -4899,6 +4925,7 @@ def queries_numeric() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q178_conformal_interval": q178_conformal_interval,
         "q179_information_gain": q179_information_gain,
         "q180_spearman_distributed": q180_spearman_distributed,
+        "q181_profile_exact_corpus": q181_profile_exact_corpus,
     }
 
 
@@ -8963,6 +8990,21 @@ def oracle_sql() -> dict[str, str]:
                    ce_rank
             FROM rr WHERE ce_rank <= 5
             ORDER BY query_id, ce_rank
+        """,
+        "q181_profile_exact_corpus": f"""
+            SELECT source,
+                   count(*)::BIGINT AS n_docs,
+                   count(DISTINCT md5({_NORM}))::BIGINT
+                     AS n_distinct_fp,
+                   min(n_chars)::BIGINT AS min_chars,
+                   max(n_chars)::BIGINT AS max_chars,
+                   round(quantile_cont(n_chars::DOUBLE, 0.5), 6)
+                     AS p50_chars,
+                   round(quantile_cont(n_chars::DOUBLE, 0.9), 6)
+                     AS p90_chars
+            FROM documents
+            GROUP BY source
+            ORDER BY source
         """,
     }
 

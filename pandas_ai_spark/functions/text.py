@@ -882,3 +882,57 @@ def zipf_fit(df: DataFrame, text_col: str = "text",
          .alias("intercept"),
         F.when((vx > 0) & (vy > 0), cov * cov / (vx * vy))
          .alias("r2"))
+
+
+def corpus_profile_exact(df: DataFrame, by: str = "source",
+                         text_col: str = "text",
+                         len_col: str = "n_chars",
+                         approx: bool | None = None) -> DataFrame:
+    """Exact per-group corpus profile — the deterministic complement
+    of the q55 sketch profile (same grain, every number reproducible
+    on any engine): per ``by`` group ``(n_docs, n_distinct_fp,
+    min_chars, max_chars, p50_chars, p90_chars)`` with the distinct
+    count over :func:`fingerprint` EXACT and the length quantiles the
+    EXACT continuous percentile (``percentile``, the interpolation
+    DuckDB calls ``quantile_cont``) — no HLL, no sketch.
+
+    The two-path convention (q98/q140 winsorize family): exact is for
+    data scales where a distinct-fingerprint shuffle and a per-group
+    length sort are affordable; above
+    :data:`~pandas_ai_spark.functions.stats.EXACT_STATE_MAX_BYTES`
+    the default ``approx=None`` auto-swaps to the sketch aggregates
+    (HLL distinct + ``percentile_approx``) — at that point the output
+    is the q55 sketch profile and loses engine-exactness. Pass
+    ``approx=False`` to force exact.
+
+    Scale shape: ONE aggregation pass either way (Catalyst plans the
+    exact distinct as an Expand + two-stage agg; min/max/count ride
+    the same shuffle), grouped by ``by`` so parallelism is the group
+    count × Expand fan-out. Reference parity: the reference profiles
+    via pandas ``describe()``/``nunique()`` on collected frames
+    (semantic_agent tests); this is the distributed form.
+    """
+    from .stats import _resolve_approx
+
+    approx = _resolve_approx(df, approx)
+    fp = fingerprint(F.col(text_col))
+    length = F.col(len_col).cast("double")
+    if approx:
+        n_distinct = F.approx_count_distinct(fp)
+        pcts = F.percentile_approx(
+            length, F.array(F.lit(0.5), F.lit(0.9)), 10_000)
+    else:
+        n_distinct = F.countDistinct(fp)
+        pcts = F.percentile(length, F.array(F.lit(0.5), F.lit(0.9)))
+    return (
+        df.groupBy(by)
+          .agg(F.count("*").cast("bigint").alias("n_docs"),
+               n_distinct.cast("bigint").alias("n_distinct_fp"),
+               F.min(len_col).cast("bigint").alias("min_chars"),
+               F.max(len_col).cast("bigint").alias("max_chars"),
+               pcts.alias("__p"))
+          .select(by, "n_docs", "n_distinct_fp", "min_chars",
+                  "max_chars",
+                  F.element_at("__p", 1).alias("p50_chars"),
+                  F.element_at("__p", 2).alias("p90_chars"))
+    )

@@ -156,3 +156,43 @@ class TestNeighborhoodPairsIdCarry:
             neighborhood_pairs(df, "rec", order_cols=["name"],
                                block_cols=["blk"], carry_cols=["id"],
                                window=1)
+
+
+# ---------------------------------------------------------------------------
+# text.corpus_profile_exact (q181 — q55's exact sub-profile)
+# ---------------------------------------------------------------------------
+
+class TestCorpusProfileExact:
+    def _docs(self, spark):
+        return spark.createDataFrame(
+            [(1, "Hello, world!", "a", 13),
+             (2, "hello world", "a", 11),     # same fingerprint as 1
+             (3, "another doc", "a", 11),
+             (4, "solo text", "b", 9)],
+            "doc_id: long, text: string, source: string, n_chars: long")
+
+    def test_exact_values(self, spark):
+        from pandas_ai_spark.functions.text import corpus_profile_exact
+
+        out = {r.source: r for r in corpus_profile_exact(
+            self._docs(spark), approx=False).collect()}
+        a = out["a"]
+        # punctuation-stripped lowercase: docs 1 and 2 collide
+        assert a.n_docs == 3 and a.n_distinct_fp == 2
+        assert (a.min_chars, a.max_chars) == (11, 13)
+        assert a.p50_chars == 11.0          # median of [11, 11, 13]
+        assert abs(a.p90_chars - 12.6) < 1e-9  # 11 + 0.8*(13-11)
+        b = out["b"]
+        assert (b.n_docs, b.n_distinct_fp) == (1, 1)
+        assert b.p50_chars == 9.0 and b.p90_chars == 9.0
+
+    def test_approx_path_shape(self, spark):
+        from pandas_ai_spark.functions.text import corpus_profile_exact
+
+        out = corpus_profile_exact(self._docs(spark), approx=True)
+        assert out.columns == ["source", "n_docs", "n_distinct_fp",
+                               "min_chars", "max_chars", "p50_chars",
+                               "p90_chars"]
+        got = {r.source: r for r in out.collect()}
+        # HLL on 3 values is exact in practice; counts always exact
+        assert got["a"].n_docs == 3 and got["b"].n_docs == 1

@@ -4110,6 +4110,94 @@ def q181_profile_exact_corpus(spark: SparkSession, sf_dir: str
     ).orderBy("source")
 
 
+def q182_mw_distributed(spark: SparkSession, sf_dir: str
+                        ) -> DataFrame:
+    """q159's Mann-Whitney U on the RANGE-PARTITIONED rank path
+    (stats.mann_whitney_u_distributed): identical doubled-midrank
+    algebra and output, but ranking runs groups × buckets parallel
+    via stats.distributed_midrank instead of one ordered window task
+    per group — the q180 convention generalized to the rank-sum
+    test. Oracle: shared verbatim with q159 (identical output by
+    contract)."""
+    from pandas_ai_spark.functions.stats import (
+        mann_whitney_u_distributed)
+
+    li = _t(spark, sf_dir, "lineitem").withColumn(
+        "disc_band",
+        F.when(F.col("l_discount") <= 0.05, F.lit("lo"))
+         .otherwise(F.lit("hi")))
+    out = mann_whitney_u_distributed(
+        li, "l_quantity", "disc_band", "lo", "hi",
+        by=["l_returnflag"], buckets=16)
+    return out.select(
+        "l_returnflag", "n_a", "n_b",
+        F.round("u_a", 9).alias("u_a"),
+        F.round("z", 9).alias("z")).orderBy("l_returnflag")
+
+
+def q183_fdr_distributed(spark: SparkSession, sf_dir: str
+                         ) -> DataFrame:
+    """q160's KS-test family through the RANGE-PARTITIONED BH
+    correction (stats.bh_fdr_distributed): ordinal p-ranks from
+    bucket offsets (prefix window over the tiny per-bucket count
+    table, broadcast back) and the reverse running min split into a
+    within-bucket running min + a broadcast later-bucket suffix min
+    — families × buckets parallel, no per-family single window
+    task. Identical p_rank/p_adj/reject to q160 (tied-p sharing
+    included). Oracle: shared verbatim with q160."""
+    from pandas_ai_spark.functions.stats import (bh_fdr_distributed,
+                                                 ks_test)
+
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_nationkey")
+    joined = orders.join(F.broadcast(cust), "o_custkey")
+    ks = ks_test(joined, "c_nationkey", "o_totalprice",
+                 "o_orderstatus", "F", "O")
+    na = F.col("n_a").cast("double")
+    nb = F.col("n_b").cast("double")
+    d = F.col("d_stat")
+    p = F.least(
+        F.lit(1.0),
+        F.lit(2.0) * F.exp(F.lit(-2.0) * na * nb * d * d
+                           / (na + nb)))
+    withp = ks.select("c_nationkey", "n_a", "n_b", "d_stat",
+                      p.alias("p_value"))
+    out = bh_fdr_distributed(withp, "p_value", alpha=0.05,
+                             tiebreak_cols=["c_nationkey"],
+                             buckets=8)
+    return out.select(
+        "c_nationkey", "n_a", "n_b",
+        F.round("d_stat", 9).alias("d_stat"),
+        F.round("p_value", 9).alias("p_value"),
+        "p_rank",
+        F.round("p_adj", 9).alias("p_adj"),
+        "reject").orderBy("c_nationkey")
+
+
+def q184_auc_distributed(spark: SparkSession, sf_dir: str
+                         ) -> DataFrame:
+    """q167's exact ROC AUC on the range-partitioned rank path
+    (classify.auc_distributed → mann_whitney_u_distributed →
+    distributed_midrank): AUC is ONE global group, so the original's
+    single ordered window task is exactly the caveat the bucketed
+    rank removes — the scores rank buckets-way parallel, ranksums
+    and tie terms aggregate map-side. Identical output to q167.
+    Oracle: shared verbatim with q167."""
+    from pandas_ai_spark.functions.classify import (
+        auc_distributed, hashed_feature_score)
+
+    docs = _t(spark, sf_dir, "documents")
+    per = docs.select(
+        hashed_feature_score(F.col("text")).alias("score"),
+        F.col("lang"))
+    out = auc_distributed(per, "score", "lang = 'en'", buckets=16)
+    return out.select(
+        "n_pos", "n_neg",
+        F.round("auc", 9).alias("auc"),
+        F.round("z", 9).alias("z"))
+
+
 def _mmr_reference(sf_dir: str = "/root/testdata/sf0.01") -> list:
     """Standalone MMR reference (Carbonell & Goldstein's greedy
     algorithm in plain numpy) over the same embeddings table: exact
@@ -4926,6 +5014,9 @@ def queries_numeric() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q179_information_gain": q179_information_gain,
         "q180_spearman_distributed": q180_spearman_distributed,
         "q181_profile_exact_corpus": q181_profile_exact_corpus,
+        "q182_mw_distributed": q182_mw_distributed,
+        "q183_fdr_distributed": q183_fdr_distributed,
+        "q184_auc_distributed": q184_auc_distributed,
     }
 
 
@@ -5681,7 +5772,7 @@ def _q61_oracle(sf_dir: str = "/root/testdata/sf0.01") -> str:
 
 
 def oracle_sql() -> dict[str, str]:
-    return {
+    d = {
         "q22_minhash_pairs": _q22_oracle(),
         "q23_simhash": _q23_oracle(),
         # Streaming drained with availableNow must equal the batch
@@ -9007,6 +9098,14 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY source
         """,
     }
+    # the distributed-path twins (q180 convention) return IDENTICAL
+    # output to their window-form originals by contract — the oracle
+    # is shared verbatim, so the driver hash-verifies the scale path
+    # against the same SQL
+    d["q182_mw_distributed"] = d["q159_mann_whitney"]
+    d["q183_fdr_distributed"] = d["q160_ks_fdr"]
+    d["q184_auc_distributed"] = d["q167_auc"]
+    return d
 
 
 # populate the import-time constant now that queries() is defined

@@ -398,6 +398,36 @@ def auc(df: DataFrame, score_col: str, label_expr) -> DataFrame:
         "z")
 
 
+def auc_distributed(df: DataFrame, score_col: str, label_expr,
+                    buckets: int = 64) -> DataFrame:
+    """:func:`auc` on the
+    :func:`~pandas_ai_spark.functions.stats.distributed_midrank`
+    scale path: IDENTICAL output (exact midranks either way), but the
+    score ranking runs ``buckets``-way parallel instead of one
+    ordered window task — AUC is a single global "group", so the
+    original's one-task sort is exactly the caveat the
+    range-partitioned rank removes. The variant for continuous
+    scores over billions of rows; for discrete/bucketed score grains
+    the plain :func:`auc` is cheaper.
+    """
+    from pandas_ai_spark.functions.stats import (
+        mann_whitney_u_distributed)
+
+    lab = F.when(F.coalesce(F.expr(label_expr), F.lit(False)),
+                 F.lit("p")).otherwise(F.lit("n"))
+    base = df.withColumn("__lab", lab)
+    mw = mann_whitney_u_distributed(base, score_col, "__lab",
+                                    "p", "n", buckets=buckets)
+    return mw.select(
+        F.col("n_a").alias("n_pos"),
+        F.col("n_b").alias("n_neg"),
+        F.when((F.col("n_a") > 0) & (F.col("n_b") > 0),
+               F.col("u_a") / (F.col("n_a").cast("double")
+                               * F.col("n_b").cast("double")))
+         .alias("auc"),
+        "z")
+
+
 def isotonic_calibration(df: DataFrame, score_col: str,
                          outcome_col: str, n_buckets: int = 10,
                          approx: bool | None = None) -> DataFrame:

@@ -1221,6 +1221,182 @@ def spearman_corr_distributed(df: DataFrame, x_col: str, y_col: str,
                cov / (F.sqrt(vx) * F.sqrt(vy))).alias("rho"))
 
 
+def mann_whitney_u_distributed(df: DataFrame, value_col: str,
+                               sample_col: str, a, b,
+                               by: list[str] | None = None,
+                               buckets: int = 64) -> DataFrame:
+    """:func:`mann_whitney_u` on the :func:`distributed_midrank`
+    scale path: IDENTICAL output (doubled midranks are exact either
+    way — same u_a, z, tie correction), but ranking runs
+    ``groups × buckets``-way parallel instead of the original's one
+    ordered window task per group — the variant for a FEW huge
+    groups, where even the (group, value) grain is large (continuous
+    scores, q167's AUC device). Costs the midrank pass's two bounded
+    driver collects (boundaries + bucket offsets) plus one extra
+    grain aggregation for the tie term.
+
+    Scale shape: rows (not the grain) carry through
+    :func:`distributed_midrank`; the rank-sum aggregation is
+    map-side combined (shuffle bounded by group count); the tie term
+    ``Σ(t³−t)`` comes from a separate map-side-combined (group,
+    value) grain aggregation, broadcast-joined back (group-count
+    rows). No per-group single-task sort anywhere.
+    """
+    from pyspark.sql.functions import broadcast
+
+    from .fold import fold_scalars
+
+    by = list(by or [])
+    s = F.col(sample_col)
+    base = df.where(F.col(value_col).isNotNull()
+                    & s.isin(a, b)).select(
+        *[F.col(c) for c in by],
+        F.col(value_col).alias("__v"),
+        (s == a).cast("bigint").alias("__a"))
+    ranked = distributed_midrank(base, "__v", by=by,
+                                 buckets=buckets, out_col="__r2")
+    main = [
+        F.sum("__a").cast("bigint").alias("n_a"),
+        F.sum(F.lit(1) - F.col("__a")).cast("bigint").alias("n_b"),
+        F.sum(F.col("__a") * F.col("__r2")).cast("bigint")
+         .alias("__ra2"),
+    ]
+    g = (ranked.groupBy(*[F.col(c) for c in by]).agg(*main)
+         if by else ranked.agg(*main))
+    t = F.col("__t")
+    tie_agg = F.sum(t * t * t - t).cast("bigint").alias("__ties")
+    grain = base.groupBy(*[F.col(c) for c in by], F.col("__v")).agg(
+        F.count("*").cast("bigint").alias("__t"))
+    if by:
+        ties = grain.groupBy(
+            *[F.col(c).alias(f"__g_{c}") for c in by]).agg(tie_agg)
+        cond = None
+        for c in by:
+            eq = F.col(c).eqNullSafe(F.col(f"__g_{c}"))
+            cond = eq if cond is None else (cond & eq)
+        g = g.join(broadcast(ties), cond) \
+             .drop(*[f"__g_{c}" for c in by])
+    else:
+        g = fold_scalars(g, grain.agg(tie_agg))
+    na = F.col("n_a").cast("double")
+    nb = F.col("n_b").cast("double")
+    n = na + nb
+    u = ((F.col("__ra2") - F.col("n_a") * (F.col("n_a") + F.lit(1)))
+         .cast("double") / F.lit(2.0))
+    var = (na * nb / F.lit(12.0)
+           * ((n + F.lit(1.0))
+              - F.col("__ties").cast("double")
+              / (n * (n - F.lit(1.0)))))
+    z = F.when(var > 0, (u - na * nb / F.lit(2.0)) / F.sqrt(var))
+    return g.select(
+        *[F.col(c) for c in by], "n_a", "n_b",
+        u.alias("u_a"), z.alias("z"))
+
+
+def bh_fdr_distributed(df: DataFrame, p_col: str,
+                       alpha: float = 0.05,
+                       family_cols: list[str] | None = None,
+                       tiebreak_cols: list[str] | None = None,
+                       buckets: int = 64) -> DataFrame:
+    """:func:`bh_fdr` on the range-partitioned scale path: IDENTICAL
+    output (p_rank, p_adj, reject — including the tied-p sharing and
+    NULL-p ordering), but the ordinal rank and the reverse running
+    min run ``families × buckets``-way parallel instead of one
+    ordered window task per family — for a genuinely huge hypothesis
+    family (per-feature×segment batteries), where :func:`bh_fdr`'s
+    bounded-grain assumption breaks.
+
+    How (all declarative — no driver state beyond the boundary
+    scan): (1) approx-percentile boundaries bucket ``p`` (NULL p →
+    dedicated lowest bucket, matching the window form's NULLS-FIRST
+    rank / NULLS-LAST running min exactly); (2) the per-(family,
+    bucket) count table — TINY — gets prefix-summed by a window over
+    itself and broadcast back: ordinal ``p_rank`` = offset + local
+    row_number; (3) the BH candidate ``m·p/rank`` suffix-min splits
+    into a within-bucket running min plus a broadcast per-bucket
+    suffix-min over the tiny table (strictly-later buckets), and
+    ``least`` (NULL-skipping) recombines them. Ties of p never span
+    buckets (the bucket id is a function of p), and the max-rank tie
+    candidate is in every tied row's suffix, so tied rows share
+    their adjusted value exactly as the original's RANGE frame.
+    """
+    if not (0.0 < alpha < 1.0):
+        raise ValueError("alpha must be in (0, 1)")
+    if buckets < 2:
+        raise ValueError("buckets must be >= 2")
+    from pyspark.sql.functions import broadcast
+    from pyspark.sql.window import Window
+
+    from .fold import fold_scalars
+
+    fam = list(family_cols or [])
+    tb = [F.col(c) for c in (tiebreak_cols or [])]
+    out_cols = list(df.columns)
+    p = F.col(p_col).cast("double")
+    if fam:
+        wm = Window.partitionBy(*fam)
+        base = df.withColumn("__m", F.count("*").over(wm))
+    else:
+        base = fold_scalars(
+            df, df.agg(F.count("*").cast("bigint").alias("__m")))
+    qs = [i / buckets for i in range(1, buckets)]
+    row = base.agg(F.percentile_approx(p, qs, 10_000)
+                   .alias("b")).collect()[0]
+    bounds = sorted(set(row["b"] or []))
+    bucket = F.lit(0)
+    for bnd in bounds:
+        bucket = bucket + (p > F.lit(float(bnd))).cast("int")
+    bucket = F.when(p.isNull(), F.lit(-1)).otherwise(bucket)
+    tagged = base.withColumn("__bkt", bucket)
+    gsel = [F.col(c).alias(f"__g_{c}") for c in fam]
+    counts = tagged.groupBy(*gsel,
+                            F.col("__bkt").alias("__b2")).agg(
+        F.count("*").cast("bigint").alias("__cnt"))
+    woff = (Window.partitionBy(*[f"__g_{c}" for c in fam])
+            .orderBy(F.col("__b2").asc())
+            .rowsBetween(Window.unboundedPreceding, -1))
+    offs = counts.select(
+        *[F.col(f"__g_{c}") for c in fam], "__b2",
+        F.coalesce(F.sum("__cnt").over(woff), F.lit(0))
+         .cast("bigint").alias("__off"))
+    cond = F.col("__bkt") == F.col("__b2")
+    for c in fam:
+        cond = cond & F.col(c).eqNullSafe(F.col(f"__g_{c}"))
+    joined = tagged.join(broadcast(offs), cond) \
+        .drop("__b2", *[f"__g_{c}" for c in fam])
+    wrn = (Window.partitionBy(*fam, "__bkt")
+           .orderBy(p.asc(), *tb))
+    ranked = joined.withColumn(
+        "p_rank", (F.col("__off")
+                   + F.row_number().over(wrn)).cast("bigint"))
+    cand = (F.col("__m").cast("double") * p
+            / F.col("p_rank").cast("double"))
+    ranked = ranked.withColumn("__cand", cand)
+    wsuf = (Window.partitionBy(*fam, "__bkt")
+            .orderBy(F.col("p_rank").desc())
+            .rowsBetween(Window.unboundedPreceding, 0))
+    ranked = ranked.withColumn("__sin", F.min("__cand").over(wsuf))
+    bmin = ranked.groupBy(*gsel,
+                          F.col("__bkt").alias("__b2")).agg(
+        F.min("__cand").alias("__bmin"))
+    wb = (Window.partitionBy(*[f"__g_{c}" for c in fam])
+          .orderBy(F.col("__b2").desc())
+          .rowsBetween(Window.unboundedPreceding, -1))
+    beyond = bmin.select(
+        *[F.col(f"__g_{c}") for c in fam], "__b2",
+        F.min("__bmin").over(wb).alias("__beyond"))
+    cond2 = F.col("__bkt") == F.col("__b2")
+    for c in fam:
+        cond2 = cond2 & F.col(c).eqNullSafe(F.col(f"__g_{c}"))
+    out = ranked.join(broadcast(beyond), cond2)
+    # least() skips NULLs: a last-bucket row (no later bucket) and a
+    # NULL-p row (NULL candidate) both resolve correctly
+    p_adj = F.least(F.col("__sin"), F.col("__beyond"), F.lit(1.0))
+    return out.withColumn("p_adj", p_adj).withColumn(
+        "reject", F.col("p_adj") <= F.lit(float(alpha))).select(
+        *out_cols, "p_rank", "p_adj", "reject")
+
+
 def mann_whitney_u(df: DataFrame, value_col: str, sample_col: str,
                    a, b, by: list[str] | None = None) -> DataFrame:
     """Per-group Mann-Whitney U (Wilcoxon rank-sum) test — the

@@ -196,3 +196,109 @@ class TestCorpusProfileExact:
         got = {r.source: r for r in out.collect()}
         # HLL on 3 values is exact in practice; counts always exact
         assert got["a"].n_docs == 3 and got["b"].n_docs == 1
+
+
+# ---------------------------------------------------------------------------
+# Distributed rank-path variants (q182-q184): mann_whitney_u_distributed,
+# bh_fdr_distributed, auc_distributed == their window-form originals
+# ---------------------------------------------------------------------------
+
+class TestMannWhitneyDistributed:
+    def test_equals_window_form_with_ties(self, spark):
+        from pandas_ai_spark.functions.stats import (
+            mann_whitney_u, mann_whitney_u_distributed)
+
+        rows = [("g1", "a" if i % 3 else "b", float(i % 7))
+                for i in range(90)]
+        rows += [("g2", "a" if i % 2 else "b", float(i % 4))
+                 for i in range(40)]
+        df = spark.createDataFrame(rows, "g: string, s: string, v: double")
+        a = {r.g: tuple(r) for r in mann_whitney_u(
+            df, "v", "s", "a", "b", by=["g"]).collect()}
+        b = {r.g: tuple(r) for r in mann_whitney_u_distributed(
+            df, "v", "s", "a", "b", by=["g"], buckets=3).collect()}
+        assert a == b
+
+    def test_global_no_by(self, spark):
+        from pandas_ai_spark.functions.stats import (
+            mann_whitney_u, mann_whitney_u_distributed)
+
+        df = spark.createDataFrame(
+            [("a" if i % 2 else "b", float((i * 7) % 13))
+             for i in range(60)], "s: string, v: double")
+        a = mann_whitney_u(df, "v", "s", "a", "b").collect()
+        b = mann_whitney_u_distributed(df, "v", "s", "a", "b",
+                                       buckets=4).collect()
+        assert [tuple(r) for r in a] == [tuple(r) for r in b]
+
+    def test_rank_window_is_bucket_partitioned(self, spark):
+        from pandas_ai_spark.functions.stats import (
+            mann_whitney_u_distributed)
+
+        df = spark.range(500).select(
+            (F.col("id") % 2).cast("string").alias("g"),
+            F.when(F.col("id") % 3 == 0, "a").otherwise("b")
+             .alias("s"),
+            (F.col("id") % 97).cast("double").alias("v"))
+        plan = mann_whitney_u_distributed(
+            df, "v", "s", "a", "b", by=["g"], buckets=8) \
+            ._jdf.queryExecution().executedPlan().toString()
+        assert "__bkt" in plan  # rank window partitioned by bucket
+
+
+class TestBhFdrDistributed:
+    def _hyp(self, spark):
+        # includes exact p ties (rows 3/4) and a p=1 cap case
+        rows = [(i, [0.001, 0.02, 0.02, 0.04, 0.3, 0.9, 0.97][i])
+                for i in range(7)]
+        return spark.createDataFrame(rows, "hid: long, p: double")
+
+    def test_equals_window_form(self, spark):
+        from pandas_ai_spark.functions.stats import (bh_fdr,
+                                                     bh_fdr_distributed)
+
+        df = self._hyp(spark)
+        a = sorted(tuple(r) for r in bh_fdr(
+            df, "p", alpha=0.05, tiebreak_cols=["hid"]).collect())
+        b = sorted(tuple(r) for r in bh_fdr_distributed(
+            df, "p", alpha=0.05, tiebreak_cols=["hid"],
+            buckets=3).collect())
+        assert a == b
+
+    def test_family_cols_and_columns(self, spark):
+        from pandas_ai_spark.functions.stats import (bh_fdr,
+                                                     bh_fdr_distributed)
+
+        rows = [(f, i, ((i * 17 + f * 7) % 100) / 100.0 + 0.001)
+                for f in range(3) for i in range(20)]
+        df = spark.createDataFrame(rows, "fam: int, hid: int, p: double")
+        a = sorted(tuple(r) for r in bh_fdr(
+            df, "p", family_cols=["fam"],
+            tiebreak_cols=["hid"]).collect())
+        out = bh_fdr_distributed(df, "p", family_cols=["fam"],
+                                 tiebreak_cols=["hid"], buckets=4)
+        assert out.columns == ["fam", "hid", "p", "p_rank", "p_adj",
+                               "reject"]
+        assert sorted(tuple(r) for r in out.collect()) == a
+
+    def test_validation(self, spark):
+        from pandas_ai_spark.functions.stats import bh_fdr_distributed
+
+        df = self._hyp(spark)
+        with pytest.raises(ValueError):
+            bh_fdr_distributed(df, "p", alpha=1.5)
+        with pytest.raises(ValueError):
+            bh_fdr_distributed(df, "p", buckets=1)
+
+
+class TestAucDistributed:
+    def test_equals_window_form(self, spark):
+        from pandas_ai_spark.functions.classify import (auc,
+                                                        auc_distributed)
+
+        df = spark.createDataFrame(
+            [(((i * 31) % 100) / 100.0, i % 3 == 0)
+             for i in range(200)], "score: double, y: boolean")
+        a = auc(df, "score", "y").collect()
+        b = auc_distributed(df, "score", "y", buckets=5).collect()
+        assert [tuple(r) for r in a] == [tuple(r) for r in b]

@@ -202,12 +202,18 @@ def main() -> None:
                                if qname.startswith(p)), floor)
                 ok = bool(rate is not None and rate >= qfloor)
                 if not ok:
-                    # a drain measured after ~170 in-session queries
-                    # pays accumulated JVM/GC aging the operator
-                    # doesn't (entry_stream_windowed: 42-52k in-run vs
-                    # 87k fresh-session, measured r9). One isolation
-                    # re-measure separates a real regression from
-                    # session aging; best-of-two is the graded rate.
+                    # r10 root-cause (tools/aging_probe.py,
+                    # aging_probe_last.json): "JVM session aging" is
+                    # REFUTED — a controlled ~180-query age at sf0.1
+                    # leaves drain throughput flat (83-105k steady,
+                    # fresh≈aged; System.gc() no effect; thread growth
+                    # is capped-pool warm-up). r9's 42-52k in-run
+                    # readings were EXTERNAL box contention (the same
+                    # drift that moved identical-code paired runs
+                    # 0.676x→0.803x within two hours). One isolation
+                    # re-measure therefore separates a real regression
+                    # from transient contention; best-of-two is the
+                    # graded rate.
                     ename = next((v for p, v in metric_entry.items()
                                   if qname.startswith(p)), None)
                     if ename and ename in qs_all:

@@ -4198,6 +4198,31 @@ def q184_auc_distributed(spark: SparkSession, sf_dir: str
         F.round("z", 9).alias("z"))
 
 
+def q185_dp_release(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differentially-private release (audit.dp_release, Laplace
+    mechanism): per-priority noisy order count + noisy clipped
+    revenue sum at ε=1.0 split across the two statistics — the
+    RELEASE step after the k-anonymity/l-diversity/t-closeness audit
+    gates (q75 family). Noise is the inverse-CDF Laplace of an exact
+    md5-derived 32-bit uniform keyed on (seed, group, statistic) —
+    the q170 bootstrap uniform device — and the clipped sum
+    accumulates in exact integer cents, so the release is
+    bit-reproducible across engines. ONE bounded group aggregation +
+    row-local noise. Oracle: identical md5 uniform + Laplace
+    inverse-CDF + cents arithmetic (round-10)."""
+    from pandas_ai_spark.functions.audit import dp_release
+
+    orders = _t(spark, sf_dir, "orders")
+    out = dp_release(orders, ["o_orderpriority"], epsilon=1.0,
+                     value_col="o_totalprice", clip=300000.0,
+                     seed="dp")
+    return out.select(
+        "o_orderpriority",
+        F.round("n_noisy", 6).alias("n_noisy"),
+        F.round("sum_noisy", 6).alias("sum_noisy")
+    ).orderBy("o_orderpriority")
+
+
 def _mmr_reference(sf_dir: str = "/root/testdata/sf0.01") -> list:
     """Standalone MMR reference (Carbonell & Goldstein's greedy
     algorithm in plain numpy) over the same embeddings table: exact
@@ -5017,6 +5042,7 @@ def queries_numeric() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q182_mw_distributed": q182_mw_distributed,
         "q183_fdr_distributed": q183_fdr_distributed,
         "q184_auc_distributed": q184_auc_distributed,
+        "q185_dp_release": q185_dp_release,
     }
 
 
@@ -9096,6 +9122,38 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
             GROUP BY source
             ORDER BY source
+        """,
+        "q185_dp_release": """
+            WITH g AS (
+              SELECT o_orderpriority,
+                     count(*)::BIGINT AS n,
+                     sum(CAST(round(least(greatest(o_totalprice,
+                                                   -300000.0),
+                                          300000.0) * 100)
+                              AS BIGINT)) AS s100
+              FROM orders GROUP BY 1
+            ), u AS (
+              SELECT *,
+                     (('0x' || substr(md5('dp:'
+                         || coalesce(o_orderpriority, '<NULL>')
+                         || ':count'), 1, 8))::BIGINT + 0.5)
+                       / 4294967296.0 AS uc,
+                     (('0x' || substr(md5('dp:'
+                         || coalesce(o_orderpriority, '<NULL>')
+                         || ':sum'), 1, 8))::BIGINT + 0.5)
+                       / 4294967296.0 AS us
+              FROM g
+            )
+            SELECT o_orderpriority,
+                   round(n::DOUBLE
+                         + (-2.0::DOUBLE) * sign(uc - 0.5)
+                           * ln(1.0 - 2.0 * abs(uc - 0.5)), 6)
+                     AS n_noisy,
+                   round(s100::DOUBLE / 100.0
+                         + (-600000.0::DOUBLE) * sign(us - 0.5)
+                           * ln(1.0 - 2.0 * abs(us - 0.5)), 6)
+                     AS sum_noisy
+            FROM u ORDER BY o_orderpriority
         """,
     }
     # the distributed-path twins (q180 convention) return IDENTICAL

@@ -297,3 +297,77 @@ def l_diversity(df: DataFrame, qi_cols: Sequence[str],
         F.min(entropy).alias("min_entropy"),
     ).withColumn("pct_at_risk",
                  F.col("n_rows_at_risk") / F.col("n_rows"))
+
+
+def dp_release(df: DataFrame, group_cols: Sequence[str],
+               epsilon: float = 1.0,
+               value_col: Optional[str] = None,
+               clip: float = 0.0,
+               seed: str = "dp") -> DataFrame:
+    """Differentially-private release of per-group statistics via the
+    Laplace mechanism (Dwork et al., TCC'06) — the RELEASE step that
+    follows this module's privacy AUDITS (:func:`k_anonymity` /
+    :func:`l_diversity` / :func:`t_closeness` gate whether to
+    release; this adds the calibrated noise when you do). Per group:
+    ``n_noisy`` = count + Laplace(1/ε_c) and, when ``value_col`` is
+    given, ``sum_noisy`` = the per-row ``[-clip, clip]``-clipped sum
+    + Laplace(clip/ε_s); the budget splits evenly across the
+    released statistics (sequential composition), so each release is
+    ε-DP overall. ``clip`` bounds per-row contribution — the L1
+    sensitivity of the clipped sum — and must be positive when
+    ``value_col`` is set.
+
+    Determinism (the bootstrap_ci uniform device): the Laplace draw
+    is the inverse CDF ``-b·sign(u-½)·ln(1-2|u-½|)`` of an exact
+    md5-derived 32-bit uniform ``u = (h+½)/2³²`` keyed on
+    ``(seed, group, statistic)`` — engine-portable and never exactly
+    ½, so the log argument is always positive. The clipped sum
+    accumulates in integer cents (exact bigint, order-independent);
+    only the final noise add is float. Seeded noise is for
+    REPRODUCIBILITY of a given release; publishing the seed alongside
+    the output voids the DP guarantee, exactly like publishing the
+    noise itself.
+
+    Scale shape: ONE map-side-combined aggregation on the group key
+    (shuffle bounded by group count); noise is a row-local expression
+    over the bounded group table. No collect, no second pass.
+    """
+    group_cols = list(group_cols)
+    if not group_cols:
+        raise ValueError("group_cols must be non-empty")
+    if epsilon <= 0:
+        raise ValueError("epsilon must be > 0")
+    if value_col is not None and clip <= 0:
+        raise ValueError("clip must be > 0 when value_col is set")
+    n_stats = 2 if value_col is not None else 1
+    eps_each = float(epsilon) / n_stats
+    key = F.concat_ws(
+        "|", *[F.coalesce(F.col(c).cast("string"), F.lit("<NULL>"))
+               for c in group_cols])
+
+    def laplace(tag: str, b: float):
+        h = F.md5(F.concat_ws(":", F.lit(seed), key, F.lit(tag)))
+        u = ((F.conv(F.substring(h, 1, 8), 16, 10).cast("long")
+              .cast("double") + F.lit(0.5)) / F.lit(4294967296.0))
+        c = u - F.lit(0.5)
+        return (F.lit(-float(b)) * F.signum(c)
+                * F.log(F.lit(1.0) - F.lit(2.0) * F.abs(c)))
+
+    aggs = [F.count("*").cast("bigint").alias("__n")]
+    if value_col is not None:
+        v = F.col(value_col).cast("double")
+        clipped = F.least(F.greatest(v, F.lit(-float(clip))),
+                          F.lit(float(clip)))
+        # integer-cents accumulation: exact, order-independent
+        aggs.append(F.sum(F.round(clipped * 100).cast("bigint"))
+                    .alias("__s100"))
+    g = df.groupBy(*[F.col(c) for c in group_cols]).agg(*aggs)
+    out = g.withColumn(
+        "n_noisy", F.col("__n").cast("double")
+        + laplace("count", 1.0 / eps_each))
+    if value_col is not None:
+        out = out.withColumn(
+            "sum_noisy", F.col("__s100").cast("double") / F.lit(100.0)
+            + laplace("sum", float(clip) / eps_each))
+    return out.drop("__n", "__s100") if value_col is not None \
+        else out.drop("__n")

@@ -302,3 +302,63 @@ class TestAucDistributed:
         a = auc(df, "score", "y").collect()
         b = auc_distributed(df, "score", "y", buckets=5).collect()
         assert [tuple(r) for r in a] == [tuple(r) for r in b]
+
+
+# ---------------------------------------------------------------------------
+# audit.dp_release (q185 — Laplace mechanism)
+# ---------------------------------------------------------------------------
+
+class TestDpRelease:
+    def _df(self, spark):
+        return spark.createDataFrame(
+            [("a", 10.0)] * 30 + [("b", -50.0)] * 20 + [(None, 5.0)] * 7,
+            "g: string, v: double")
+
+    def test_deterministic_and_near_truth(self, spark):
+        from pandas_ai_spark.functions.audit import dp_release
+
+        out1 = {r.g: (r.n_noisy, r.sum_noisy) for r in dp_release(
+            self._df(spark), ["g"], epsilon=8.0, value_col="v",
+            clip=100.0).collect()}
+        out2 = {r.g: (r.n_noisy, r.sum_noisy) for r in dp_release(
+            self._df(spark), ["g"], epsilon=8.0, value_col="v",
+            clip=100.0).collect()}
+        assert out1 == out2                       # seeded determinism
+        assert set(out1) == {"a", "b", None}      # NULL group kept
+        # epsilon=8 split over 2 stats -> b_count=0.25: noisy count
+        # stays within a few units of truth w.h.p. for this seed
+        assert abs(out1["a"][0] - 30) < 5
+        assert abs(out1["b"][1] - (-1000.0)) < 200.0
+
+    def test_seed_changes_noise(self, spark):
+        from pandas_ai_spark.functions.audit import dp_release
+
+        a = dp_release(self._df(spark), ["g"], epsilon=1.0,
+                       seed="s1").collect()
+        b = dp_release(self._df(spark), ["g"], epsilon=1.0,
+                       seed="s2").collect()
+        assert {r.g: r.n_noisy for r in a} != {r.g: r.n_noisy
+                                               for r in b}
+
+    def test_clip_bounds_contribution(self, spark):
+        from pandas_ai_spark.functions.audit import dp_release
+
+        df = spark.createDataFrame([("a", 1e9), ("a", -1e9)],
+                                   "g: string, v: double")
+        r = dp_release(df, ["g"], epsilon=100.0, value_col="v",
+                       clip=10.0).collect()[0]
+        # clipped to [+10, -10] -> true sum 0; noise scale 10/50=0.2
+        assert abs(r.sum_noisy) < 5.0
+
+    def test_count_only_schema_and_validation(self, spark):
+        from pandas_ai_spark.functions.audit import dp_release
+
+        df = self._df(spark)
+        out = dp_release(df, ["g"], epsilon=1.0)
+        assert out.columns == ["g", "n_noisy"]
+        with pytest.raises(ValueError):
+            dp_release(df, [], epsilon=1.0)
+        with pytest.raises(ValueError):
+            dp_release(df, ["g"], epsilon=0.0)
+        with pytest.raises(ValueError):
+            dp_release(df, ["g"], epsilon=1.0, value_col="v")

@@ -129,12 +129,19 @@ DEFAULT = [
 # De-flooring probe (VERDICT r8 item 4): every query ≥2 s at sf0.1 whose
 # inputs are FACT tables (customer/orders/lineitem/events) also runs at
 # the derived 3x point .scale/sf0.3 (tools/make_scale_data.py — keyed
-# replication preserves those tables' distributions). Text/embedding
-# queries (q21/q26/q34/q68/q107/q112/q128) are excluded: replicating a
-# corpus makes copies near-duplicates of each other, inflating dedup
-# pair counts beyond the generator's natural rate — a distribution
-# change, not a scale change; their exponents keep the top decade.
+# replication preserves those tables' distributions). Text queries run
+# at sf0.3 since r10: the corpus there is 1x natural + 2x
+# SYNTHETIC-UNIQUE docs (i.i.d. draws from the per-language empirical
+# unigram distribution, seeded) — shingle/token volume scales 3x
+# without the near-dup inflation plain replication would cause.
+# Embedding queries stay excluded (embeddings.parquet is copied
+# as-is); q107's vocab growth at sf0.3 is an upper bound (synthetic
+# text is more n-gram-novel than natural text).
 PROBE_SF03 = [
+    "q21_ngram_jaccard",
+    "q22_minhash_pairs",
+    "q34_dedup_clusters",
+    "q107_ngram_novelty",
     "q82_pagerank",
     "q88_triangle_centrality",
     "q98_winsorize",
@@ -154,11 +161,267 @@ PROBE_SF03 = [
 SF03_DIR = ".scale/sf0.3"
 
 
+def probe_gk_switch(spark) -> list[str]:
+    """Demonstrate the q98/q140 exact→GK auto-switch (r9 VERDICT item
+    3): run winsorize / trimmed_stats at sf0.1 and sf0.3 on BOTH
+    paths — auto with the DEFAULT ``EXACT_STATE_MAX_BYTES`` (asserted
+    to stay exact at these scales via the Catalyst size estimate) and
+    auto with the cap lowered to 1 byte (asserted to engage the
+    bounded-memory GK sketch via the once-per-process switch warning)
+    — and report each path's 0.1→0.3 slope plus the projected scale
+    factor where the default cap flips. Returns markdown lines for
+    SCALING.md."""
+    from pandas_ai_spark.functions import stats
+
+    dirs = {"0.1": "/root/testdata/sf0.1", "0.3": SF03_DIR}
+    est = {}
+    for sf, d in dirs.items():
+        li = spark.read.parquet(f"{d}/lineitem.parquet")
+        est[sf] = int(li._jdf.queryExecution().optimizedPlan()
+                      .stats().sizeInBytes())
+        # the default cap must resolve these scales to the EXACT path
+        assert stats._resolve_approx(li, None) is False, \
+            f"expected exact path at sf{sf}"
+
+    ops = {
+        "q98 winsorize": lambda df: stats.winsorize(
+            df, "l_extendedprice", by=["l_returnflag"],
+            p_lo=0.05, p_hi=0.95).where(
+            "l_extendedprice != l_extendedprice_winsorized")
+            .agg({"*": "count"}),
+        "q140 trimmed_stats": lambda df: stats.trimmed_stats(
+            df, "l_extendedprice", by=["l_returnflag"], trim=0.05),
+    }
+    t: dict[tuple, float] = {}
+    default_cap = stats.EXACT_STATE_MAX_BYTES
+    for path in ("exact", "gk-sketch"):
+        stats.EXACT_STATE_MAX_BYTES = (default_cap if path == "exact"
+                                       else 1)
+        try:
+            for sf, d in dirs.items():
+                li = spark.read.parquet(f"{d}/lineitem.parquet")
+                if path == "gk-sketch":
+                    stats._warned_auto.discard("big")
+                for op, fn in ops.items():
+                    best = float("inf")
+                    for _ in range(2):
+                        spark.catalog.clearCache()
+                        t0 = time.perf_counter()
+                        fn(li).collect()
+                        best = min(best, time.perf_counter() - t0)
+                    t[(op, path, sf)] = best
+                if path == "gk-sketch":
+                    # the switch is LOGGED: the once-per-process
+                    # warning key proves the sketch engaged
+                    assert "big" in stats._warned_auto, \
+                        "GK switch warning did not fire"
+        finally:
+            stats.EXACT_STATE_MAX_BYTES = default_cap
+
+    lines = [
+        "",
+        "## Exact→GK auto-switch (q98/q140 family)",
+        "",
+        "Both paths probed at sf0.1 and the de-floored sf0.3 point —",
+        "`exact` with the default `EXACT_STATE_MAX_BYTES` (the",
+        "Catalyst estimate keeps these scales exact, asserted), and",
+        "`gk-sketch` with the cap lowered to 1 byte (the auto-switch",
+        "warning fired, asserted — the same code path a 100 TB input",
+        "takes with the DEFAULT cap).",
+        "",
+        "| op | path | sf0.1 s | sf0.3 s | exp (0.1→0.3) |",
+        "|---|---|---|---|---|",
+    ]
+    for op in ops:
+        for path in ("exact", "gk-sketch"):
+            a, b = t[(op, path, "0.1")], t[(op, path, "0.3")]
+            e = math.log(b / a) / math.log(3)
+            lines.append(f"| {op} | {path} | {a:.2f} | {b:.2f} "
+                         f"| {e:.2f} |")
+    # projected switch point under linear size growth
+    sf_switch = 0.3 * default_cap / max(est["0.3"], 1)
+    lines += [
+        "",
+        f"Catalyst scan estimates: sf0.1 = {est['0.1'] >> 20} MiB,",
+        f"sf0.3 = {est['0.3'] >> 20} MiB; with the default",
+        f"{default_cap >> 30} GiB cap and linear size growth the",
+        f"auto-switch engages at ≈ sf{sf_switch:.0f}",
+        f"(~{sf_switch / 0.3:.0f}× the sf0.3 probe) — exact",
+        "percentiles everywhere the oracle can check, bounded-memory",
+        "GK past the point where exact state becomes an",
+        "executor-memory risk.",
+    ]
+    return lines
+
+
+def probe_ngram_growth(spark) -> list[str]:
+    """Explain the q21/q34 sf0.3 exponent with the quantity that
+    drives it: exact shared-shingle candidate generation is
+    Θ(Σ bucket²) — every shingle's doc-frequency grows ∝ sf, so the
+    candidate-pair volume grows ∝ sf² BY CONSTRUCTION, spread across
+    the long tail of small buckets (no cap can linearize it without
+    changing the answer; ``max_doc_freq`` guards degenerate
+    boilerplate shingles, it is a recall/cost knob, not an
+    asymptotic fix). Measures n_docs, candidate pairs, and runtime
+    at sf0.1/sf0.3; the 100 TB path for near-dup detection is the
+    q22 MinHash-LSH banding (measured sub-linear in the main
+    table), per the two-path convention."""
+    from pandas_ai_spark.functions import dedup as dd
+    from pandas_ai_spark.functions.text import (normalize_text,
+                                                whitespace_tokens)
+    from pyspark.sql import functions as F
+
+    dirs = {"0.1": "/root/testdata/sf0.1", "0.3": SF03_DIR}
+    rows = []
+    for sf, d in dirs.items():
+        docs = spark.read.parquet(f"{d}/documents.parquet")
+        n_docs = docs.count()
+        toks = whitespace_tokens(normalize_text(F.col("text")))
+        idx = F.sequence(F.lit(1),
+                         F.greatest(F.size(toks) - 2, F.lit(1)))
+        sh = F.array_distinct(F.transform(
+            idx, lambda i: F.concat_ws(" ", F.slice(toks, i, 3))))
+        cand = (docs.select(F.explode(sh).alias("sh"))
+                    .groupBy("sh").count()
+                    .agg(F.sum(F.col("count") * (F.col("count") - 1)
+                               / 2).alias("p"))
+                    .collect()[0]["p"])
+        best = float("inf")
+        for _ in range(2):
+            spark.catalog.clearCache()
+            t0 = time.perf_counter()
+            dd.ngram_jaccard_pairs(docs, n=3,
+                                   threshold=0.12).count()
+            best = min(best, time.perf_counter() - t0)
+        rows.append((sf, n_docs, int(cand), best))
+    lines = [
+        "",
+        "## q21/q34 shared-shingle growth — why, measured",
+        "",
+        "Exact n-gram-Jaccard candidates are Θ(Σ bucket²) over shared",
+        "shingles: every shingle's doc-frequency grows ∝ sf, so",
+        "candidate pairs grow ∝ sf² BY CONSTRUCTION — spread across",
+        "the long tail of small buckets, so no doc-frequency cap can",
+        "linearize it without changing the answer (`max_doc_freq`",
+        "guards degenerate boilerplate shingles — a recall/cost knob).",
+        "The elevated q21/q34 sf0.3 exponents in the main table ARE",
+        "this candidate term; runtime tracks it sub-proportionally",
+        "(per-candidate work is one hash-join row). The 100 TB",
+        "near-dup path is q22's MinHash-LSH banding (sub-linear in",
+        "the main table) — exact Jaccard is the small/medium-corpus",
+        "verifier, per the two-path convention.",
+        "",
+        "| sf | docs | candidate pairs | runtime s |",
+        "|---|---|---|---|",
+    ]
+    for sf, n, c, b in rows:
+        lines.append(f"| {sf} | {n} | {c} | {b:.2f} |")
+    (s1, _, c1, t1), (s3, _, c3, t3) = rows
+    lines += [
+        "",
+        f"Candidate growth {c3 / c1:.1f}x for 3x docs (exp "
+        f"{math.log(c3 / c1) / math.log(3):.2f} — the quadratic "
+        f"term); runtime growth {t3 / t1:.1f}x (exp "
+        f"{math.log(t3 / t1) / math.log(3):.2f}).",
+    ]
+    return lines
+
+
+def probe_streaming(spark) -> list[str]:
+    """Streaming drains at sf0.1 vs the 3x sf0.3 point (r9 VERDICT
+    stretch item 8): q29's built-in windowed agg and q174's custom
+    stateful reservoir each drain the events feed at both scales;
+    steady rows/s should hold or improve at 3x volume (state is
+    O(windows) / O(strata·k), never O(events) — more rows per
+    micro-batch amortizes the fixed per-batch commit cost). Best of
+    2 drains per point. Returns markdown lines for SCALING.md."""
+    import __spark_entry__ as entry
+    from pandas_ai_spark.streaming.stream import LAST_STREAM_METRICS
+
+    qs = entry.queries()
+    pairs = [("q29_stream_windowed", "entry_stream_windowed"),
+             ("q174_stream_reservoir", "q174_stream_reservoir")]
+    dirs = {"0.1": "/root/testdata/sf0.1", "0.3": SF03_DIR}
+    res: dict = {}
+    for name, metric in pairs:
+        for sf, d in dirs.items():
+            best, rows, nb = None, None, None
+            for _ in range(2):
+                spark.catalog.clearCache()
+                qs[name](spark, d).collect()
+                m = LAST_STREAM_METRICS.get(metric) or {}
+                r = m.get("steady_rows_per_sec")
+                if r is not None and (best is None or r > best):
+                    best = r
+                    rows = m.get("input_rows")
+                    nb = m.get("micro_batches")
+            res[(name, sf)] = (best, rows, nb)
+    lines = [
+        "",
+        "## Streaming drains at 3x volume",
+        "",
+        "Steady drain rows/s (best of 2) at sf0.1 vs the sf0.3 point —",
+        "state is O(windows) / O(strata·k), never O(events), so more",
+        "rows per micro-batch amortize the fixed per-batch commit cost",
+        "and the rate should hold or improve at 3x:",
+        "",
+        "| stream | sf0.1 rows | sf0.1 rows/s | sf0.3 rows "
+        "| sf0.3 rows/s | ratio |",
+        "|---|---|---|---|---|---|",
+    ]
+    for name, _ in pairs:
+        a, ra, _na = res[(name, "0.1")]
+        b, rb, _nb = res[(name, "0.3")]
+        ratio = (b / a) if (a and b) else float("nan")
+        lines.append(f"| {name} | {ra} | {a:.0f} | {rb} | {b:.0f} "
+                     f"| {ratio:.2f}x |")
+    lines += [
+        "",
+        "q174's 15k rows/s bench floor was re-derived against the",
+        "sf0.3 point: a 3x-volume drain must not fall below the",
+        "sf0.1 rate (ratio ≥ ~1 expected; << 1 would mean per-batch",
+        "state work grows with volume — the O(events) failure the",
+        "bounded-state design rules out).",
+    ]
+    return lines
+
+
 def main() -> int:
     import os
 
     import __spark_entry__ as entry
     from pandas_ai_spark.session import get_session
+
+    if "--streaming" in sys.argv:
+        # append-only spot run: probe the streams and extend the
+        # existing SCALING.md (the full-run path regenerates it)
+        spark = get_session(app_name="scale_probe")
+        lines = probe_streaming(spark)
+        print("\n".join(lines))
+        try:
+            with open("SCALING.md", "a") as f:
+                f.write("\n".join(lines) + "\n")
+        except OSError:
+            pass
+        return 0
+
+    if "--sections" in sys.argv:
+        # refresh ONLY the extra sections (GK switch / ngram growth /
+        # streaming) in place: the main table keeps its measured
+        # values, everything from the first extra heading down is
+        # regenerated — the cheap path when a section's method
+        # changes without touching the per-query probes
+        spark = get_session(app_name="scale_probe")
+        fresh = (probe_gk_switch(spark) + probe_ngram_growth(spark)
+                 + probe_streaming(spark))
+        print("\n".join(fresh))
+        with open("SCALING.md") as f:
+            cur = f.read()
+        cut = cur.find("\n## Exact→GK auto-switch")
+        base = cur[:cut] if cut != -1 else cur.rstrip() + "\n"
+        with open("SCALING.md", "w") as f:
+            f.write(base + "\n".join(fresh) + "\n")
+        return 0
 
     names = sys.argv[1:] or DEFAULT
     partial = bool(sys.argv[1:])
@@ -252,13 +515,28 @@ def main() -> int:
         "  (~0.5)**: sub-second at sf≤0.01 (overhead-bound), so the",
         "  first data-dominated point is sf0.1; per-stage work is",
         "  row-linear by construction (single scans + equi-joins).",
-        "- **text/embedding-corpus queries carry no sf0.3 point**:",
-        "  replicated documents would be near-duplicates of each other,",
-        "  inflating dedup/LSH pair counts beyond the generator's",
-        "  natural duplicate rate — their top-decade exponents stand,",
-        "  backed by the plan-shape audit (bucketed/banded joins, no",
-        "  all-pairs terms).",
+        "- **text-corpus queries probe sf0.3 since r10** on a corpus",
+        "  of 1x natural + 2x SYNTHETIC-UNIQUE documents (seeded",
+        "  draws from the per-language empirical BIGRAM chain —",
+        "  tools/make_scale_data.py; naive unigram i.i.d. was",
+        "  measured adversarial: top-token shingle combos shared",
+        "  across thousands of docs): shingle/token volume scales 3x",
+        "  without whole-doc near-duplication, preserving the local",
+        "  n-gram frequency structure. q107's sf0.3 slope is an upper",
+        "  bound (synthetic text is still more n-gram-novel than",
+        "  natural text); q21/q34's sf0.3 slope carries the inherent",
+        "  shared-shingle quadratic term — see the dedicated section",
+        "  below.",
+        "- **embedding-corpus queries carry no sf0.3 point**:",
+        "  embeddings.parquet is copied as-is (synthetic vectors would",
+        "  change the ANN neighborhood structure) — their top-decade",
+        "  exponents stand, backed by the plan-shape audit",
+        "  (bucketed/banded joins, no all-pairs terms).",
     ]
+    if have_03 and not partial:
+        lines += probe_gk_switch(spark)
+        lines += probe_ngram_growth(spark)
+        lines += probe_streaming(spark)
     if partial:
         # a subset invocation is a spot-check: print, never clobber
         # the full SCALING.md table (r9 fix — a one-query run used to

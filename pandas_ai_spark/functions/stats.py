@@ -1121,9 +1121,15 @@ def distributed_midrank(df: DataFrame, value_col: str,
     from pyspark.sql.functions import broadcast
     from pyspark.sql.window import Window
 
+    from .cache import operator_persist
+
     if buckets < 2:
         raise ValueError("buckets must be >= 2")
     by = list(by or [])
+    # three consumers re-execute the input lineage without this —
+    # boundary scan, bucket-count collect, and the final join; a
+    # computed upstream (q184's per-token text scoring) would run 3x
+    df = operator_persist(df)
     v = F.col(value_col)
     qs = [i / buckets for i in range(1, buckets)]
     row = df.agg(F.percentile_approx(

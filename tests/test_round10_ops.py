@@ -362,3 +362,21 @@ class TestDpRelease:
             dp_release(df, ["g"], epsilon=0.0)
         with pytest.raises(ValueError):
             dp_release(df, ["g"], epsilon=1.0, value_col="v")
+
+
+class TestBhFdrDistributedNullP:
+    def test_null_p_matches_window_form(self, spark):
+        from pandas_ai_spark.functions.stats import (bh_fdr,
+                                                     bh_fdr_distributed)
+
+        rows = [(0, 0.01), (1, None), (2, 0.5), (3, 0.03),
+                (4, None), (5, 0.9)]
+        df = spark.createDataFrame(rows, "hid: long, p: double")
+        a = sorted((r.hid, r.p_rank, r.p_adj, r.reject)
+                   for r in bh_fdr(df, "p",
+                                   tiebreak_cols=["hid"]).collect())
+        b = sorted((r.hid, r.p_rank, r.p_adj, r.reject)
+                   for r in bh_fdr_distributed(
+                       df, "p", tiebreak_cols=["hid"],
+                       buckets=3).collect())
+        assert a == b

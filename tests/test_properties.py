@@ -133,3 +133,78 @@ def test_quantile_buckets_range_and_cover(spark, vs, k):
     df = spark.createDataFrame([(v,) for v in vs], "v double")
     rows = quantile_buckets(df, "v", n_buckets=k).collect()
     assert all(1 <= r.bucket <= k for r in rows)
+
+
+# ---------------------------------------------------------------------------
+# Round-10 distributed rank-path laws: the _distributed variants must be
+# EXTENSIONALLY EQUAL to their window-form originals on arbitrary input
+# (ties, NULLs, degenerate groups) — not just on the curated cases.
+# ---------------------------------------------------------------------------
+
+_ranks = st.lists(
+    st.one_of(st.none(),
+              st.integers(min_value=0, max_value=6)
+              .map(lambda i: float(i))),
+    min_size=2, max_size=16)
+
+
+@given(_ranks, st.integers(min_value=2, max_value=5))
+@settings(max_examples=5, deadline=None)
+def test_distributed_midrank_equals_reference(spark, vs, buckets):
+    from pandas_ai_spark.functions.stats import distributed_midrank
+
+    df = spark.createDataFrame([("g", v) for v in vs],
+                               "g string, v double")
+    got = sorted(((r.v, r.r2) for r in
+                  distributed_midrank(df, "v", by=["g"],
+                                      buckets=buckets).collect()),
+                 key=lambda t: (t[0] is not None, t[0], t[1]))
+    # reference doubled midrank, NULLs tied lowest (NULLS FIRST)
+    def r2(x):
+        if x is None:
+            return sum(1 for o in vs if o is None) + 1
+        lt = (sum(1 for o in vs if o is None)
+              + sum(1 for o in vs if o is not None and o < x))
+        eq = sum(1 for o in vs if o == x)
+        return 2 * lt + eq + 1
+    want = sorted(((v, r2(v)) for v in vs),
+                  key=lambda t: (t[0] is not None, t[0], t[1]))
+    assert got == want
+    assert len(got) == len(vs)  # no row dropped
+
+
+@given(st.lists(st.tuples(st.sampled_from("ab"),
+                          st.integers(min_value=0, max_value=5)),
+                min_size=4, max_size=20),
+       st.integers(min_value=2, max_value=4))
+@settings(max_examples=5, deadline=None)
+def test_mann_whitney_distributed_equals_window(spark, rows, buckets):
+    from pandas_ai_spark.functions.stats import (
+        mann_whitney_u, mann_whitney_u_distributed)
+
+    df = spark.createDataFrame(
+        [(s, float(v)) for s, v in rows], "s string, v double")
+    a = [tuple(r) for r in
+         mann_whitney_u(df, "v", "s", "a", "b").collect()]
+    b = [tuple(r) for r in
+         mann_whitney_u_distributed(df, "v", "s", "a", "b",
+                                    buckets=buckets).collect()]
+    assert a == b
+
+
+@given(st.lists(st.floats(min_value=1e-6, max_value=1.0,
+                          allow_nan=False), min_size=1, max_size=15),
+       st.integers(min_value=2, max_value=4))
+@settings(max_examples=5, deadline=None)
+def test_bh_fdr_distributed_equals_window(spark, ps, buckets):
+    from pandas_ai_spark.functions.stats import (bh_fdr,
+                                                 bh_fdr_distributed)
+
+    df = spark.createDataFrame(
+        [(i, p) for i, p in enumerate(ps)], "hid long, p double")
+    a = sorted(tuple(r) for r in
+               bh_fdr(df, "p", tiebreak_cols=["hid"]).collect())
+    b = sorted(tuple(r) for r in
+               bh_fdr_distributed(df, "p", tiebreak_cols=["hid"],
+                                  buckets=buckets).collect())
+    assert a == b

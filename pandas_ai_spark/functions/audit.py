@@ -20,6 +20,7 @@ is an independent job stage, nothing is collected except the final
 
 from __future__ import annotations
 
+import math
 from dataclasses import dataclass
 from typing import Optional, Sequence
 
@@ -303,7 +304,8 @@ def dp_release(df: DataFrame, group_cols: Sequence[str],
                epsilon: float = 1.0,
                value_col: Optional[str] = None,
                clip: float = 0.0,
-               seed: str = "dp") -> DataFrame:
+               seed: str = "dp",
+               release_id: Optional[str] = None) -> DataFrame:
     """Differentially-private release of per-group statistics via the
     Laplace mechanism (Dwork et al., TCC'06) — the RELEASE step that
     follows this module's privacy AUDITS (:func:`k_anonymity` /
@@ -311,11 +313,16 @@ def dp_release(df: DataFrame, group_cols: Sequence[str],
     release; this adds the calibrated noise when you do). Per group:
     ``n_noisy`` = count + Laplace(1/ε_c) and, when ``value_col`` is
     given, ``sum_noisy`` = the per-row ``[-clip, clip]``-clipped sum
-    + Laplace(clip/ε_s); the budget splits evenly across the
+    + Laplace(Δ/ε_s); the budget splits evenly across the
     released statistics (sequential composition), so each release is
-    ε-DP overall. ``clip`` bounds per-row contribution — the L1
-    sensitivity of the clipped sum — and must be positive when
-    ``value_col`` is set.
+    ε-DP overall. ``clip`` bounds per-row contribution and must be
+    positive when ``value_col`` is set. Because each clipped value is
+    quantized to integer cents with half-up rounding BEFORE summing,
+    a row can contribute up to ``round(clip·100)/100 ≥ clip`` — so
+    the noise scale is calibrated to the post-rounding L1
+    sensitivity ``Δ = max(1, floor(clip·100 + 0.5)) / 100`` (equal to
+    ``clip`` whenever clip is a whole number of cents), not to the
+    nominal ``clip``.
 
     Determinism (the bootstrap_ci uniform device): the Laplace draw
     is the inverse CDF ``-b·sign(u-½)·ln(1-2|u-½|)`` of an exact
@@ -326,7 +333,12 @@ def dp_release(df: DataFrame, group_cols: Sequence[str],
     only the final noise add is float. Seeded noise is for
     REPRODUCIBILITY of a given release; publishing the seed alongside
     the output voids the DP guarantee, exactly like publishing the
-    noise itself.
+    noise itself. The same caveat applies to REPEATED releases: two
+    releases over changed data under the same ``(seed, release_id)``
+    reuse identical noise draws, so their difference reveals the
+    exact count/sum delta noise-free — pass a fresh ``release_id``
+    (folded into the hash key) or a fresh ``seed`` for every release
+    of evolving data.
 
     Scale shape: ONE map-side-combined aggregation on the group key
     (shuffle bounded by group count); noise is a row-local expression
@@ -344,9 +356,10 @@ def dp_release(df: DataFrame, group_cols: Sequence[str],
     key = F.concat_ws(
         "|", *[F.coalesce(F.col(c).cast("string"), F.lit("<NULL>"))
                for c in group_cols])
+    seed_key = seed if release_id is None else f"{seed}#{release_id}"
 
     def laplace(tag: str, b: float):
-        h = F.md5(F.concat_ws(":", F.lit(seed), key, F.lit(tag)))
+        h = F.md5(F.concat_ws(":", F.lit(seed_key), key, F.lit(tag)))
         u = ((F.conv(F.substring(h, 1, 8), 16, 10).cast("long")
               .cast("double") + F.lit(0.5)) / F.lit(4294967296.0))
         c = u - F.lit(0.5)
@@ -366,8 +379,11 @@ def dp_release(df: DataFrame, group_cols: Sequence[str],
         "n_noisy", F.col("__n").cast("double")
         + laplace("count", 1.0 / eps_each))
     if value_col is not None:
+        # post-rounding L1 sensitivity: half-up cent quantization lets
+        # a row contribute up to this, not the nominal clip
+        sens = max(1, math.floor(float(clip) * 100 + 0.5)) / 100.0
         out = out.withColumn(
             "sum_noisy", F.col("__s100").cast("double") / F.lit(100.0)
-            + laplace("sum", float(clip) / eps_each))
+            + laplace("sum", sens / eps_each))
     return out.drop("__n", "__s100") if value_col is not None \
         else out.drop("__n")

@@ -350,6 +350,45 @@ class TestDpRelease:
         # clipped to [+10, -10] -> true sum 0; noise scale 10/50=0.2
         assert abs(r.sum_noisy) < 5.0
 
+    def test_release_id_changes_noise_same_seed(self, spark):
+        # repeated releases over evolving data must not reuse draws:
+        # a fresh release_id re-keys the noise without a new seed
+        from pandas_ai_spark.functions.audit import dp_release
+
+        df = self._df(spark)
+        a = {r.g: r.n_noisy for r in dp_release(
+            df, ["g"], epsilon=1.0, release_id="2026-08-01").collect()}
+        b = {r.g: r.n_noisy for r in dp_release(
+            df, ["g"], epsilon=1.0, release_id="2026-08-15").collect()}
+        base = {r.g: r.n_noisy
+                for r in dp_release(df, ["g"], epsilon=1.0).collect()}
+        assert a != b and a != base
+
+    def test_sensitivity_calibrated_post_rounding(self, spark):
+        # clip=0.004 rounds each |contribution| up to a full cent
+        # (0.01), so the noise scale must be 0.01/eps, not 0.004/eps:
+        # with identical uniforms the fractional-clip release's noise
+        # is exactly (0.01/0.004)x a whole-cent clip's at same eps
+        from pandas_ai_spark.functions.audit import dp_release
+
+        df = spark.createDataFrame([("a", 1.0)] * 10,
+                                   "g: string, v: double")
+        eps = 2.0
+        frac = dp_release(df, ["g"], epsilon=eps, value_col="v",
+                          clip=0.004).collect()[0]
+        cent = dp_release(df, ["g"], epsilon=eps, value_col="v",
+                          clip=0.01).collect()[0]
+        # clipping binds (v=1.0 > clip): per-row cents round(0.4)=0
+        # for the fractional clip -> 0.00 total; round(1.0)=1 -> 0.10
+        # for the cent clip.
+        # noise term = sum_noisy - true_sum, same md5 uniform (same
+        # seed/group/tag), so equal noise means equal scale — both
+        # calibrate to the SAME 1-cent post-rounding sensitivity
+        noise_frac = frac.sum_noisy - 0.00
+        noise_cent = cent.sum_noisy - 0.10
+        assert abs(noise_frac - noise_cent) < 1e-12
+        assert abs(noise_frac) > 0
+
     def test_count_only_schema_and_validation(self, spark):
         from pandas_ai_spark.functions.audit import dp_release
 

@@ -131,9 +131,12 @@ DEFAULT = [
 # the derived 3x point .scale/sf0.3 (tools/make_scale_data.py — keyed
 # replication preserves those tables' distributions). Text queries run
 # at sf0.3 since r10: the corpus there is 1x natural + 2x
-# SYNTHETIC-UNIQUE docs (i.i.d. draws from the per-language empirical
-# unigram distribution, seeded) — shingle/token volume scales 3x
-# without the near-dup inflation plain replication would cause.
+# SYNTHETIC-UNIQUE docs (per-language empirical BIGRAM-chain draws,
+# seeded — unigram i.i.d. was refuted in r10: top-token shingles
+# recur across thousands of docs and inflate exact-Jaccard candidate
+# counts adversarially; see make_scale_data.py) — shingle/token
+# volume scales 3x without the near-dup inflation plain replication
+# would cause.
 # Embedding queries stay excluded (embeddings.parquet is copied
 # as-is); q107's vocab growth at sf0.3 is an upper bound (synthetic
 # text is more n-gram-novel than natural text).

@@ -1420,14 +1420,39 @@ def q35_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q34_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Transitive near-dup clustering: connected components over the exact
-    n-gram-Jaccard pair graph via iterative label propagation (min-label);
-    oracle = recursive CTE transitive closure in DuckDB."""
+    """Transitive near-dup clustering, EXACT pair source
+    (near_dup_clusters(exact=True) → inverted-index n-gram Jaccard →
+    min-label connected components): the guaranteed-recall
+    small/medium-corpus VERIFIER by the two-path convention — its
+    candidate volume is Θ(Σ shingle-doc-freq²) and measured
+    super-linear (SCALING.md), so the at-scale default is q186's
+    LSH-band path. Oracle: recursive-CTE transitive closure."""
     from pandas_ai_spark.functions import dedup as dd
 
     docs = _t(spark, sf_dir, "documents")
-    pairs = dd.ngram_jaccard_pairs(docs, n=3, threshold=0.12)
-    return dd.dedup_clusters(pairs).orderBy("doc_id")
+    return dd.near_dup_clusters(docs, threshold=0.12, exact=True) \
+             .orderBy("doc_id")
+
+
+def q186_near_dup_clusters_lsh(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """Scale-DEFAULT transitive near-dup clustering
+    (dedup.near_dup_clusters): banded MinHash-LSH candidates (128
+    hashes / 32 bands, S-curve centered s≈0.65) verified with EXACT
+    shingle Jaccard ≥ 0.7 on collisions only, then min-label
+    connected components — Θ(corpus + band collisions), never the
+    exact form's Θ(Σ doc-freq²) candidate term (q34/q21, measured
+    exp 1.62 at sf0.3; this path's pair source q22 measured 0.90).
+    Recall caveat: a true ≥0.7 pair LSH-collides w.p.
+    1-(1-0.7⁴)³² ≈ 0.9998 (and ≈1-1e-15 at the corpus's actual ≥0.9
+    dup similarity), which is why the exact recursive-CTE oracle
+    hash-matches: at sf0.01 LSH recall is total (measured: all 25
+    exact ≥0.7 pairs collide; zero extra candidates). Oracle: q34's
+    recursive-CTE transitive closure at threshold 0.7."""
+    from pandas_ai_spark.functions import dedup as dd
+
+    docs = _t(spark, sf_dir, "documents")
+    return dd.near_dup_clusters(docs, threshold=0.7).orderBy("doc_id")
 
 
 def q33_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5043,6 +5068,7 @@ def queries_numeric() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q183_fdr_distributed": q183_fdr_distributed,
         "q184_auc_distributed": q184_auc_distributed,
         "q185_dp_release": q185_dp_release,
+        "q186_near_dup_clusters_lsh": q186_near_dup_clusters_lsh,
     }
 
 
@@ -6229,6 +6255,40 @@ def oracle_sql() -> dict[str, str]:
               JOIN sizes sa ON sa.doc_id = id_a
               JOIN sizes sb ON sb.doc_id = id_b
               WHERE i::DOUBLE / (sa.sz + sb.sz - i) >= 0.12
+            ), edges AS (
+              SELECT id_a AS s, id_b AS d FROM pairs
+              UNION SELECT id_b, id_a FROM pairs
+            ), nodes AS (SELECT DISTINCT s AS id FROM edges),
+            reach(id, r) AS (
+              SELECT id, id FROM nodes
+              UNION
+              SELECT e.s, reach.r FROM edges e JOIN reach ON e.d = reach.id
+            )
+            SELECT id AS doc_id, min(r) AS cluster_id
+            FROM reach GROUP BY id ORDER BY doc_id
+        """,
+        # q186: same exact-Jaccard transitive closure at threshold 0.7 —
+        # the Spark side goes through LSH-band candidates + exact verify
+        # on collisions; the oracle stays EXACT because LSH recall is
+        # total at the correctness scale (measured: every ≥0.7 pair
+        # collides, zero extra candidates — the corpus's injected dups
+        # sit at jaccard ≥0.9 where P(collide) ≈ 1-1e-15)
+        "q186_near_dup_clusters_lsh": f"""
+            WITH RECURSIVE sh AS (
+              SELECT doc_id, {_SHINGLES} AS s FROM documents
+            ), sizes AS (
+              SELECT doc_id, len(s) AS sz FROM sh
+            ), inv AS (
+              SELECT doc_id, unnest(s) AS tok FROM sh
+            ), inter AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+              FROM inv a JOIN inv b ON a.tok = b.tok AND a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            ), pairs AS (
+              SELECT id_a, id_b FROM inter
+              JOIN sizes sa ON sa.doc_id = id_a
+              JOIN sizes sb ON sb.doc_id = id_b
+              WHERE i::DOUBLE / (sa.sz + sb.sz - i) >= 0.7
             ), edges AS (
               SELECT id_a AS s, id_b AS d FROM pairs
               UNION SELECT id_b, id_a FROM pairs

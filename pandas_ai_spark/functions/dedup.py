@@ -750,6 +750,57 @@ def dedup_clusters(pairs: DataFrame, id_a: str = "id_a",
                          F.col("label").alias("cluster_id"))
 
 
+def near_dup_clusters(df: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id", threshold: float = 0.7,
+                      exact: bool = False, shingle_size: int = 3,
+                      num_hashes: int = 128, bands: int = 32,
+                      max_doc_freq: int | None | object = _AUTO
+                      ) -> DataFrame:
+    """Transitive near-duplicate clustering from raw text →
+    ``(doc_id, cluster_id)`` — the one-call form of
+    pair-generation + :func:`dedup_clusters`.
+
+    The DEFAULT pair source is scale-safe: banded MinHash-LSH
+    candidates (:func:`minhash_lsh_candidates`) verified with EXACT
+    shingle Jaccard ≥ ``threshold`` on the collisions only
+    (:func:`minhash_dedup_pairs`). Work is Θ(corpus) for the
+    signature pass plus Θ(band collisions) for verification — never
+    Θ(Σ shingle-doc-freq²), the measured super-linear term of the
+    exact inverted-index form (SCALING.md "exact-Jaccard candidate
+    growth": candidate pairs grew 8.8× for 3× docs). Every REPORTED
+    pair carries its true Jaccard (exact verify); the approximation
+    is RECALL only — a true pair collides in some band with
+    probability 1-(1-s^r)^b (r = num_hashes/bands), so with the
+    128/32 default the S-curve centers near s≈0.65: keep
+    ``threshold`` ≥ ~0.7 on this path (near-dup practice), or raise
+    ``bands`` to shift the curve left for lower thresholds.
+
+    ``exact=True`` switches the pair source to the guaranteed-recall
+    inverted-index form (:func:`ngram_jaccard_pairs`) — the
+    small/medium-corpus VERIFIER by this module's two-path
+    convention; its candidate volume is Θ(Σ f(s)²) over shingle
+    doc-frequencies and measured super-linear on corpora with heavy
+    shared-shingle tails, so at 100 TB the default path is the one
+    to run. ``max_doc_freq`` applies to the exact path only.
+
+    Both paths shingle identically (``_norm_tokens`` → ``shingle_size``
+    word shingles, 64-bit hashed), so on a corpus whose true
+    ≥-threshold pairs all LSH-collide the two paths return
+    IDENTICAL clusters (hash-verified at sf0.01, q186 vs q34's
+    recursive-CTE oracle).
+    """
+    if exact:
+        pairs = ngram_jaccard_pairs(
+            df, text_col, id_col, n=shingle_size, threshold=threshold,
+            max_doc_freq=max_doc_freq)
+    else:
+        pairs = minhash_dedup_pairs(
+            df, text_col, id_col, threshold=threshold,
+            shingle_size=shingle_size, num_hashes=num_hashes,
+            bands=bands)
+    return dedup_clusters(pairs)
+
+
 def minhash_dedup_transitive(df: DataFrame, text_col: str = "text",
                              id_col: str = "doc_id", threshold: float = 0.7,
                              **kwargs) -> DataFrame:

@@ -698,6 +698,34 @@ def test_scd2_snapshot_null_attribute_versions(spark):
                    (None, at(3), None, True)]
 
 
+def test_near_dup_clusters_paths_agree(docs):
+    """q186 contract: the scale-default LSH-band path and the
+    exact inverted-index path (exact=True) produce IDENTICAL clusters
+    at a threshold where LSH recall is total on this corpus (injected
+    dups sit at jaccard ≥0.9; P(collide) ≈ 1 with 128/32 bands)."""
+    from pandas_ai_spark.functions import dedup as dd
+
+    lsh = {(r.doc_id, r.cluster_id)
+           for r in dd.near_dup_clusters(docs, threshold=0.7).collect()}
+    exact = {(r.doc_id, r.cluster_id)
+             for r in dd.near_dup_clusters(docs, threshold=0.7,
+                                           exact=True).collect()}
+    assert lsh == exact
+    assert lsh  # non-vacuous: the corpus has injected near-dups
+
+
+def test_near_dup_clusters_exact_kwarg_routing(docs):
+    """exact=True honors max_doc_freq (forwarded to
+    ngram_jaccard_pairs); the default path ignores it (LSH candidates
+    have no doc-freq cap) — both without error."""
+    from pandas_ai_spark.functions import dedup as dd
+
+    out = dd.near_dup_clusters(docs, threshold=0.7, exact=True,
+                               max_doc_freq=None)
+    assert out.columns == ["doc_id", "cluster_id"]
+    assert out.count() > 0
+
+
 def test_minhash_dedup_transitive_keeps_one_per_cluster(docs):
     from pandas_ai_spark.functions import dedup as dd
 

@@ -144,6 +144,7 @@ PROBE_SF03 = [
     "q21_ngram_jaccard",
     "q22_minhash_pairs",
     "q34_dedup_clusters",
+    "q186_near_dup_clusters_lsh",
     "q107_ngram_novelty",
     "q82_pagerank",
     "q88_triangle_centrality",

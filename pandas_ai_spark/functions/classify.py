@@ -369,7 +369,8 @@ def expected_calibration_error(df: DataFrame, score_col: str,
         F.sum(term).alias("ece"))
 
 
-def auc(df: DataFrame, score_col: str, label_expr) -> DataFrame:
+def auc(df: DataFrame, score_col: str, label_expr,
+        distributed: bool | None = None) -> DataFrame:
     """Exact ROC AUC at any scale via the Mann-Whitney identity
     ``AUC = U_pos / (n_pos * n_neg)`` with midrank tie handling —
     the probability a random positive outscores a random negative,
@@ -381,13 +382,22 @@ def auc(df: DataFrame, score_col: str, label_expr) -> DataFrame:
     tie-corrected normal statistic (|z| > 1.96 ⇒ the ranking beats
     chance at 5%). ``label_expr`` is a SQL boolean; NULL counts as
     negative.
+
+    ``distributed=None`` (default) inherits
+    :func:`~pandas_ai_spark.functions.stats.mann_whitney_u`'s
+    auto-dispatch: AUC is a single global "group", so past
+    ``stats.RANK_WINDOW_MAX_BYTES`` of estimated input the ranking
+    routes to the buckets-parallel :func:`auc_distributed` path
+    (IDENTICAL output — driver-hash-proven, q184 vs q167); explicit
+    True/False forces a path.
     """
     from pandas_ai_spark.functions.stats import mann_whitney_u
 
     lab = F.when(F.coalesce(F.expr(label_expr), F.lit(False)),
                  F.lit("p")).otherwise(F.lit("n"))
     base = df.withColumn("__lab", lab)
-    mw = mann_whitney_u(base, score_col, "__lab", "p", "n")
+    mw = mann_whitney_u(base, score_col, "__lab", "p", "n",
+                        distributed=distributed)
     return mw.select(
         F.col("n_a").alias("n_pos"),
         F.col("n_b").alias("n_neg"),

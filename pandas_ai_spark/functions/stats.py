@@ -59,6 +59,71 @@ def _warn_once(key: str, msg: str) -> None:
     warnings.warn(msg + " (Warned once per process.)")
 
 
+def _plan_size(df: DataFrame) -> int | None:
+    """Catalyst's optimized-plan size estimate in bytes (free — no job
+    runs), or None when the plan carries no real estimate (only
+    file/table scans do)."""
+    try:
+        size = int(df._jdf.queryExecution().optimizedPlan()
+                   .stats().sizeInBytes())
+    except Exception:
+        return None
+    return None if size >= _UNKNOWN_SIZE_FLOOR else size
+
+
+# Above this Catalyst-estimated PER-GROUP share, a rank-window
+# operator's one-ordered-window-task-per-group shape is treated as a
+# parallelism collapse (one task sorts the whole group) and the
+# groups×buckets distributed two-pass rank path (distributed_midrank)
+# engages automatically. The two paths are output-identical by
+# contract (driver-hash-proven: q182/q183/q184/q180 share oracles
+# verbatim with q159/q160/q167/q177) — dispatch is purely a cost
+# choice, so unknown-size plans default to the cheap window form.
+RANK_WINDOW_MAX_BYTES = 1 << 30
+
+
+def _resolve_rank_path(df: DataFrame, by: list[str],
+                       distributed: bool | None, op: str) -> bool:
+    """Resolve the three-state ``distributed`` flag of the rank-window
+    family (mann_whitney_u / bh_fdr / auc / spearman_corr): explicit
+    wins; ``None`` consults Catalyst's size estimate and — only when
+    the input is already past the threshold — ONE approx group-count
+    aggregation, to detect the few-huge-groups shape: distributed
+    iff estimated bytes per group > ``RANK_WINDOW_MAX_BYTES``. A
+    many-small-groups input stays on the window form (per-group sorts
+    are already parallel, and the distributed path's groups×buckets
+    boundary collect would grow with the group count)."""
+    if distributed is not None:
+        return bool(distributed)
+    size = _plan_size(df)
+    if size is None:
+        _warn_once(f"rank:{op}:unknown",
+                   f"stats.{op}: input plan has no size estimate; "
+                   "keeping the window-form rank path. For a few huge "
+                   "groups pass distributed=True explicitly")
+        return False
+    if size <= RANK_WINDOW_MAX_BYTES:
+        return False
+    if by:
+        # one map-side-combined HLL pass, paid only on big inputs —
+        # the operator itself is already a multi-pass scan at this size
+        n_groups = (df.agg(F.approx_count_distinct(
+            F.struct(*[F.col(c) for c in by])).alias("g"))
+            .collect()[0]["g"]) or 1
+    else:
+        n_groups = 1
+    if size / max(n_groups, 1) > RANK_WINDOW_MAX_BYTES:
+        _warn_once(f"rank:{op}:distributed",
+                   f"stats.{op}: input estimated at {size} bytes over "
+                   f"{n_groups} group(s) — per-group share exceeds "
+                   f"RANK_WINDOW_MAX_BYTES ({RANK_WINDOW_MAX_BYTES}); "
+                   "switching to the distributed groups×buckets rank "
+                   "path (identical output). Pass distributed=False "
+                   "to force the single-window form")
+        return True
+    return False
+
+
 def _resolve_approx(df: DataFrame, approx: bool | None) -> bool:
     """Resolve the three-state ``approx`` flag: explicit wins; ``None``
     consults Catalyst's optimized-plan size estimate (free — no job
@@ -66,12 +131,8 @@ def _resolve_approx(df: DataFrame, approx: bool | None) -> bool:
     warning, since only file/table scans carry real estimates."""
     if approx is not None:
         return bool(approx)
-    try:
-        size = int(df._jdf.queryExecution().optimizedPlan()
-                   .stats().sizeInBytes())
-    except Exception:
-        return False
-    if size >= _UNKNOWN_SIZE_FLOOR:
+    size = _plan_size(df)
+    if size is None:
         _warn_once("unknown", "stats: input plan has no size estimate; "
                    "keeping EXACT percentile/distinct aggregation. Its "
                    "state grows with distinct values — pass approx=True "
@@ -1004,7 +1065,8 @@ def trimmed_stats(df: DataFrame, value_col: str,
 
 
 def spearman_corr(df: DataFrame, x_col: str, y_col: str,
-                  by: list[str] | None = None) -> DataFrame:
+                  by: list[str] | None = None,
+                  distributed: bool | None = None) -> DataFrame:
     """Per-group Spearman rank correlation — the monotone-association
     companion to Pearson (:func:`grouped_ols`'s ``r``) that a feature
     screen reaches for when the relationship is nonlinear or the
@@ -1029,11 +1091,18 @@ def spearman_corr(df: DataFrame, x_col: str, y_col: str,
     whole rank-window family shares: parallelism equals the group
     count (each group sorts in one task) — correct for the
     many-groups case; a FEW huge groups want the range-partitioned
-    two-pass rank (bucket counts + driver prefix offsets) instead.
+    two-pass rank (bucket counts + driver prefix offsets) instead —
+    ``distributed=None`` (default) auto-dispatches there
+    (:func:`spearman_corr_distributed`, IDENTICAL output —
+    driver-hash-proven, q180 vs q177) when Catalyst's size estimate
+    says the per-group share exceeds ``RANK_WINDOW_MAX_BYTES``;
+    explicit True/False forces a path.
     """
     from pyspark.sql.window import Window
 
     by = list(by or [])
+    if _resolve_rank_path(df, by, distributed, "spearman_corr"):
+        return spearman_corr_distributed(df, x_col, y_col, by=by)
     base = df.where(F.col(x_col).isNotNull()
                     & F.col(y_col).isNotNull()).select(
         *[F.col(c) for c in by],
@@ -1404,7 +1473,8 @@ def bh_fdr_distributed(df: DataFrame, p_col: str,
 
 
 def mann_whitney_u(df: DataFrame, value_col: str, sample_col: str,
-                   a, b, by: list[str] | None = None) -> DataFrame:
+                   a, b, by: list[str] | None = None,
+                   distributed: bool | None = None) -> DataFrame:
     """Per-group Mann-Whitney U (Wilcoxon rank-sum) test — the
     nonparametric companion to :func:`welch_ttest` when normality is
     off the table: per ``by`` group ``(n_a, n_b, u_a, z)`` with the
@@ -1426,8 +1496,19 @@ def mann_whitney_u(df: DataFrame, value_col: str, sample_col: str,
     assigns midranks; one grouped aggregation finishes. Designed for
     discrete/bucketed value grains (counts, quantities, buckets) —
     bucket continuous values upstream.
+
+    ``distributed=None`` (default) auto-dispatches: when Catalyst's
+    size estimate says the per-group share exceeds
+    ``RANK_WINDOW_MAX_BYTES`` (few huge groups — the shape where this
+    form's one-sort-task-per-group collapses parallelism), the call
+    routes to :func:`mann_whitney_u_distributed`, whose output is
+    IDENTICAL by contract (driver-hash-proven, q182 vs q159).
+    Explicit True/False forces a path.
     """
     by = list(by or [])
+    if _resolve_rank_path(df, by, distributed, "mann_whitney_u"):
+        return mann_whitney_u_distributed(df, value_col, sample_col,
+                                          a, b, by=by)
     from pyspark.sql.window import Window
 
     s = F.col(sample_col)
@@ -1479,7 +1560,8 @@ def mann_whitney_u(df: DataFrame, value_col: str, sample_col: str,
 
 def bh_fdr(df: DataFrame, p_col: str, alpha: float = 0.05,
            family_cols: list[str] | None = None,
-           tiebreak_cols: list[str] | None = None) -> DataFrame:
+           tiebreak_cols: list[str] | None = None,
+           distributed: bool | None = None) -> DataFrame:
     """Benjamini-Hochberg step-up FDR correction over a family of
     hypotheses (one row per test): appends ``p_rank`` (1 = smallest
     p), ``p_adj`` (the monotone step-up adjusted value
@@ -1501,8 +1583,19 @@ def bh_fdr(df: DataFrame, p_col: str, alpha: float = 0.05,
     by the data the tests were computed from. Two ordered windows
     over that bounded family (rank, then the reverse running min)
     and one scalar fold of ``m``; within ``family_cols`` when given,
-    global otherwise.
+    global otherwise. For a genuinely huge hypothesis family
+    (per-feature×segment batteries past the bounded-grain
+    assumption), ``distributed=None`` (default) auto-dispatches to
+    :func:`bh_fdr_distributed` (IDENTICAL output — driver-hash-
+    proven, q183 vs q160) when Catalyst's size estimate says the
+    per-family share exceeds ``RANK_WINDOW_MAX_BYTES``; explicit
+    True/False forces a path.
     """
+    if _resolve_rank_path(df, list(family_cols or []), distributed,
+                          "bh_fdr"):
+        return bh_fdr_distributed(df, p_col, alpha=alpha,
+                                  family_cols=family_cols,
+                                  tiebreak_cols=tiebreak_cols)
     if not (0.0 < alpha < 1.0):
         raise ValueError("alpha must be in (0, 1)")
     from pyspark.sql.window import Window

@@ -1,0 +1,119 @@
+"""Paired-bench runner: N full BENCH_BASELINE=1 bench.py runs (fresh
+JVM each, the per-round protocol), with the MEDIAN paired ratio as the
+round's representative number (VERDICT r10 item 3 — the best-of-N
+headline was cherry-picking; r10's three identical-code runs spanned
+0.654x–0.836x from box contention alone).
+
+Writes ONE artifact (default bench_paired_r{N}.json):
+  {"summary": {"paired_ratio_median", "paired_ratio_runs": [...],
+               "max_consecutive_delta_pct", "agree_within_5pct", ...},
+   "runs": [per-run paired block + loadavg + wall],
+   "representative": <full bench_last.json of the median-ratio run>}
+
+The runs also serve VERDICT r10 item 6's done-condition: bench.py now
+interleaves the engines per query (A/B), and `agree_within_5pct`
+records whether consecutive full runs reproduce within ~5%.
+
+Usage: python tools/bench_paired.py --round 11 [--runs 2] [--sf-dir D]
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import statistics
+import subprocess
+import sys
+import time
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+REPO = os.path.dirname(HERE)
+
+
+def one_run(sf_dir: str, idx: int, log) -> dict:
+    env = dict(os.environ, BENCH_BASELINE="1",
+               SPARK_GRAFT_SF_DIR=sf_dir)
+    t0 = time.time()
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REPO, "bench.py")],
+        cwd=REPO, env=env, stdout=log, stderr=log)
+    wall = time.time() - t0
+    if proc.returncode != 0:
+        raise RuntimeError(f"bench.py run {idx} exited "
+                           f"{proc.returncode}")
+    with open(os.path.join(REPO, "bench_last.json")) as f:
+        full = json.load(f)
+    return {"full": full, "wall_sec": round(wall, 1)}
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--round", type=int, required=True)
+    ap.add_argument("--runs", type=int, default=2)
+    ap.add_argument("--sf-dir",
+                    default=os.environ.get("SPARK_GRAFT_SF_DIR",
+                                           "/root/testdata/sf0.1"))
+    ap.add_argument("--out", default=None)
+    args = ap.parse_args()
+    out_path = args.out or os.path.join(
+        REPO, f"bench_paired_r{args.round}.json")
+    log_path = out_path.rsplit(".", 1)[0] + ".log"
+
+    runs = []
+    with open(log_path, "w") as log:
+        for i in range(args.runs):
+            print(f"paired run {i + 1}/{args.runs} ...", flush=True)
+            r = one_run(args.sf_dir, i, log)
+            p = r["full"].get("paired") or {}
+            runs.append({
+                "ratio": p.get("ratio"),
+                "n": p.get("n"),
+                "spark_sec": p.get("spark_sec"),
+                "duckdb_sec": p.get("duckdb_sec"),
+                "loadavg": r["full"].get("loadavg"),
+                "stream_all_pass": (r["full"].get("streaming_floor")
+                                    or {}).get("all_pass"),
+                "wall_sec": r["wall_sec"],
+                "full": r["full"],
+            })
+            print(f"  ratio={p.get('ratio')} n={p.get('n')} "
+                  f"spark={p.get('spark_sec')}s "
+                  f"duckdb={p.get('duckdb_sec')}s "
+                  f"load={r['full'].get('loadavg')}", flush=True)
+
+    ratios = [r["ratio"] for r in runs if r["ratio"] is not None]
+    median = round(statistics.median(ratios), 3) if ratios else None
+    deltas = [abs(a - b) / min(a, b) * 100
+              for a, b in zip(ratios, ratios[1:])] if len(ratios) > 1 \
+        else []
+    max_delta = round(max(deltas), 1) if deltas else None
+    # the representative run = the one whose ratio IS the median for
+    # odd N, else the closest-to-median (median of 2 averages — pick
+    # the nearer measured run so the full table is a real run)
+    rep = min((r for r in runs if r["ratio"] is not None),
+              key=lambda r: abs(r["ratio"] - median)) if median else None
+    summary = {
+        "round": args.round,
+        "sf_dir": args.sf_dir,
+        "paired_ratio_median": median,
+        "paired_ratio_runs": ratios,
+        "paired_n": rep["n"] if rep else None,
+        "max_consecutive_delta_pct": max_delta,
+        "agree_within_5pct": (max_delta is not None
+                              and max_delta <= 5.0),
+        "protocol": "engines interleaved per query (A/B); median of "
+                    "full runs is the representative ratio — never "
+                    "the best run",
+    }
+    doc = {"summary": summary,
+           "runs": [{k: v for k, v in r.items() if k != "full"}
+                    for r in runs],
+           "representative": rep["full"] if rep else None}
+    with open(out_path, "w") as f:
+        json.dump(doc, f, indent=1)
+    print(json.dumps(summary))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -991,6 +991,51 @@ def decontaminate(
     return clean, flagged
 
 
+def _state_udf(shingle_size: int, num_hashes: int, bands: int):
+    """tokens → struct(bsigs array<long>, hashes array<long>): the
+    banded minhash signature AND the exact-verify shingle-hash set
+    from ONE tokenize/shingle/md5 pass. The per-micro-batch hot path
+    of :func:`minhash_incremental` previously ran
+    :func:`_band_sig_udf` and :func:`shingle_hash_udf` as separate
+    Arrow passes, each re-shingling and re-hashing the same text —
+    this fuses them (the md5 of every distinct shingle is exactly the
+    work both need). Constants and banding are bit-identical to
+    :func:`_band_sig_udf` (same ``_affine_params``/FNV fold), so
+    signatures remain comparable with self-join candidates."""
+    rows_per_band = num_hashes // bands
+    a, b_ = _affine_params(num_hashes)
+    fnv_prime = np.uint64(1099511628211)
+    fnv_basis = np.uint64(14695981039346656037)
+    schema = T.StructType([
+        T.StructField("bsigs", T.ArrayType(T.LongType())),
+        T.StructField("hashes", T.ArrayType(T.LongType()))])
+
+    @F.pandas_udf(schema)
+    def state(toks: pd.Series) -> pd.DataFrame:
+        empty_sig = np.zeros(num_hashes, dtype=np.uint64)
+
+        def one(ts) -> tuple:
+            hs = _shingle_hash_set(ts, shingle_size)
+            if not hs:
+                mins = empty_sig
+            else:
+                h = _mod_m31(np.fromiter(hs, dtype=np.int64,
+                                         count=len(hs)).astype(np.uint64))
+                mins = _mod_m31(h[:, None] * a[None, :]
+                                + b_[None, :]).min(axis=0)
+            with np.errstate(over="ignore"):
+                acc = np.full(bands, fnv_basis, dtype=np.uint64)
+                for r in range(rows_per_band):
+                    acc = (acc ^ mins[r::rows_per_band]) * fnv_prime
+            return acc.astype(np.int64).tolist(), list(hs)
+
+        pairs = toks.map(one)
+        return pd.DataFrame({"bsigs": pairs.map(lambda p: p[0]),
+                             "hashes": pairs.map(lambda p: p[1])})
+
+    return state
+
+
 def minhash_state(
     df: DataFrame,
     text_col: str = "text",
@@ -1003,18 +1048,62 @@ def minhash_state(
     dedup: ``(bands, hashes)`` where bands = (id, band, bsig) triples
     and hashes = (id, shingle-hash set) for exact verification. Persist
     both as parquet (bucketed by ``(band, bsig)`` / ``id`` at scale);
-    the corpus text itself is never needed again."""
-    sigs = _band_sig_udf(shingle_size, num_hashes, bands)
+    the corpus text itself is never needed again. Both frames derive
+    from the fused :func:`_state_udf` column — consumers that
+    materialize both should persist the fused frame (see
+    :func:`minhash_fused_state`) so the Arrow pass runs once."""
+    st = minhash_fused_state(df, text_col, id_col, shingle_size,
+                             num_hashes, bands)
+    return _state_bands(st, id_col), _state_hashes(st, id_col)
+
+
+def minhash_fused_state(df: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id", shingle_size: int = 3,
+                        num_hashes: int = 128,
+                        bands: int = 32) -> DataFrame:
+    """``(id, bsigs, hashes)`` — one fused-UDF row per doc; the
+    persistable unit every multi-consumer caller should cache."""
     toks = _norm_tokens(F.col(text_col))
-    banded = df.select(
-        F.col(id_col), F.posexplode(sigs(toks)).alias("band", "bsig"))
-    hashes = df.select(
+    return df.select(
         F.col(id_col),
-        shingle_hash_udf(shingle_size)(toks).alias("hashes"))
-    return banded, hashes
+        _state_udf(shingle_size, num_hashes, bands)(toks).alias("__st")
+    ).select(F.col(id_col), F.col("__st.bsigs").alias("bsigs"),
+             F.col("__st.hashes").alias("hashes"))
+
+
+def _state_bands(st: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    return st.select(F.col(id_col),
+                     F.posexplode("bsigs").alias("band", "bsig"))
+
+
+def _state_hashes(st: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    return st.select(F.col(id_col), "hashes")
 
 
 def minhash_incremental(
+    new_docs: DataFrame,
+    corpus_bands: DataFrame,
+    corpus_hashes: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    shingle_size: int = 3,
+    num_hashes: int = 128,
+    bands: int = 32,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """``(novel, corpus∪increment bands, corpus∪increment hashes)`` —
+    see :func:`minhash_incremental_parts` for the implementation and
+    the full contract; this wrapper just composes the returned state
+    increments onto the corpus state (the original API)."""
+    novel, inc_bands, inc_hashes = minhash_incremental_parts(
+        new_docs, corpus_bands, corpus_hashes, text_col, id_col,
+        threshold, shingle_size, num_hashes, bands)
+    return (novel,
+            corpus_bands.unionByName(inc_bands),
+            corpus_hashes.unionByName(inc_hashes))
+
+
+def minhash_incremental_parts(
     new_docs: DataFrame,
     corpus_bands: DataFrame,
     corpus_hashes: DataFrame,
@@ -1038,12 +1127,50 @@ def minhash_incremental(
     (no false positives); only verified near-dups are dropped. Within-
     batch near-dups are removed first with the same constants, so the
     returned state stays internally dedup'd.
+
+    Per-batch cost (the q67 streaming hot path, reworked r11): the
+    batch text runs through ONE fused shingle/minhash Arrow pass
+    (:func:`_state_udf`), persisted — within-batch dedup, the corpus
+    joins, and the returned state increments all reuse it by id,
+    where the previous shape re-shingled the batch in 5-6 separate
+    UDF passes (minhash_dedup's candidates + verify, then
+    minhash_state twice). Output is UNCHANGED: identical constants →
+    identical candidate pairs, verdicts, and survivors (q67's
+    hash-verified oracle is the regression proof). Returns ``(novel,
+    novel_bands, novel_hashes)`` — the state INCREMENTS, so a
+    streaming sink can checkpoint O(increment) per batch and keep the
+    corpus union lazy (re-materializing the whole corpus every
+    micro-batch is O(state) per batch — quadratic cumulative as the
+    corpus grows); :func:`minhash_incremental` composes the unions
+    for batch callers.
     """
-    batch = minhash_dedup(new_docs, text_col, id_col,
-                          threshold=threshold,
-                          num_hashes=num_hashes, bands=bands)
-    b_bands, b_hashes = minhash_state(
-        batch, text_col, id_col, shingle_size, num_hashes, bands)
+    st = operator_persist(minhash_fused_state(
+        new_docs, text_col, id_col, shingle_size, num_hashes, bands))
+    b_bands_all = _state_bands(st, id_col)
+    b_hashes_all = _state_hashes(st, id_col)
+
+    # within-batch greedy dedup (minhash_dedup semantics: every doc
+    # matching a lower-id doc goes), over the precomputed state
+    lb, rb = b_bands_all.alias("l"), b_bands_all.alias("r")
+    in_pairs = (
+        lb.join(rb, (F.col("l.band") == F.col("r.band"))
+                & (F.col("l.bsig") == F.col("r.bsig"))
+                & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")))
+        .select(F.col(f"l.{id_col}").alias("id_a"),
+                F.col(f"r.{id_col}").alias("id_b"))
+        .distinct()
+    )
+    losers = (
+        in_pairs.join(b_hashes_all.withColumnRenamed(id_col, "id_a")
+                      .withColumnRenamed("hashes", "__ha"), "id_a")
+        .join(b_hashes_all.withColumnRenamed(id_col, "id_b")
+              .withColumnRenamed("hashes", "__hb"), "id_b")
+        .where(jaccard(F.col("__ha"), F.col("__hb"))
+               >= F.lit(threshold))
+        .select(F.col("id_b").alias(id_col)).distinct()
+    )
+    batch = new_docs.join(losers, id_col, "left_anti")
+    b_bands = b_bands_all.join(losers, id_col, "left_anti")
 
     cand = (
         b_bands.join(corpus_bands.withColumnRenamed(id_col, "__cid"),
@@ -1051,7 +1178,7 @@ def minhash_incremental(
         .select(id_col, "__cid").distinct()
     )
     verified = (
-        cand.join(b_hashes, id_col)
+        cand.join(b_hashes_all, id_col)
         .join(corpus_hashes.select(F.col(id_col).alias("__cid"),
                                    F.col("hashes").alias("__chashes")),
               "__cid")
@@ -1060,11 +1187,10 @@ def minhash_incremental(
         .select(id_col).distinct()
     )
     novel = batch.join(verified, id_col, "left_anti")
-    novel_bands, novel_hashes = minhash_state(
-        novel, text_col, id_col, shingle_size, num_hashes, bands)
-    return (novel,
-            corpus_bands.unionByName(novel_bands),
-            corpus_hashes.unionByName(novel_hashes))
+    novel_ids = novel.select(id_col)
+    novel_bands = b_bands.join(novel_ids, id_col, "left_semi")
+    novel_hashes = b_hashes_all.join(novel_ids, id_col, "left_semi")
+    return novel, novel_bands, novel_hashes
 
 
 def positional_ngram_hash_udf(w: int = 8):

@@ -410,22 +410,64 @@ class StreamingNearDup:
             else empty_hashes
         self.admitted_rows = 0
 
+    # after this many batches the state union (one checkpointed
+    # increment per batch) is collapsed into a single checkpoint —
+    # bounds plan width for long-running streams while keeping the
+    # steady-state cost O(increment) per batch, not O(corpus)
+    STATE_COMPACT_EVERY = 64
+
     def process_batch(self, batch_df: DataFrame, batch_id: int,
                       out_path: Optional[str] = None) -> DataFrame:
         """Dedup one batch against the evolving corpus; append novel
-        docs to ``out_path`` (if given) and advance the state."""
-        novel, new_bands, new_hashes = self._dd.minhash_incremental(
-            batch_df.select(self.id_col, self.text_col),
-            self.corpus_bands, self.corpus_hashes,
-            text_col=self.text_col, id_col=self.id_col,
-            threshold=self.threshold, shingle_size=self.shingle_size,
-            num_hashes=self.num_hashes, bands=self.bands_n)
-        # truncate the union-of-unions lineage each batch
-        self.corpus_bands = new_bands.localCheckpoint(eager=True)
-        self.corpus_hashes = new_hashes.localCheckpoint(eager=True)
-        if out_path is not None:
-            novel.write.mode("append").parquet(out_path)
-            self.admitted_rows += novel.count()
+        docs to ``out_path`` (if given) and advance the state.
+
+        Per-batch materialization (r11 rework):
+        only the INCREMENT is localCheckpoint'ed; the corpus state
+        stays a lazy union of already-materialized checkpoints, so a
+        batch writes O(novel) state instead of re-materializing the
+        whole O(corpus) union (quadratic cumulative as the corpus
+        grows — the old shape). The batch's fused shingle/minhash
+        table and the novel frame are persisted inside a cache scope
+        (one Arrow pass, one join pipeline per batch; the old shape
+        left per-batch persists in the global ledger for the whole
+        drain). Every ``STATE_COMPACT_EVERY`` batches the union is
+        collapsed into one checkpoint to bound plan width."""
+        from ..functions.cache import cache_scope, operator_persist
+
+        with cache_scope():
+            # persist the batch itself: every downstream action would
+            # otherwise re-read the streaming source (foreachBatch
+            # re-executes the batch plan per action), which both
+            # re-scans the files and INFLATES numInputRows in the
+            # progress metrics — the old shape re-read the source ~10x
+            # per batch, so its reported rows/s were ~10x the true
+            # document throughput (r11 finding; floors recalibrated)
+            batch = operator_persist(
+                batch_df.select(self.id_col, self.text_col))
+            novel, inc_bands, inc_hashes = \
+                self._dd.minhash_incremental_parts(
+                    batch,
+                    self.corpus_bands, self.corpus_hashes,
+                    text_col=self.text_col, id_col=self.id_col,
+                    threshold=self.threshold,
+                    shingle_size=self.shingle_size,
+                    num_hashes=self.num_hashes, bands=self.bands_n)
+            # novel feeds the write, the count, and both increments'
+            # semi-joins — persist once, release at scope exit
+            novel = operator_persist(novel)
+            self.corpus_bands = self.corpus_bands.unionByName(
+                inc_bands.localCheckpoint(eager=True))
+            self.corpus_hashes = self.corpus_hashes.unionByName(
+                inc_hashes.localCheckpoint(eager=True))
+            self._batches = getattr(self, "_batches", 0) + 1
+            if self._batches % self.STATE_COMPACT_EVERY == 0:
+                self.corpus_bands = \
+                    self.corpus_bands.localCheckpoint(eager=True)
+                self.corpus_hashes = \
+                    self.corpus_hashes.localCheckpoint(eager=True)
+            if out_path is not None:
+                novel.write.mode("append").parquet(out_path)
+                self.admitted_rows += novel.count()
         return novel
 
     def attach(self, stream_df: DataFrame, out_path: str,

@@ -19,10 +19,12 @@ FAITHFULLY by keyed replication:
   can only OVERSTATE an exponent, never hide one.
 
 documents / embeddings are NOT replicated: copies of a text corpus are
-near-duplicates of each other, which would inflate dedup/LSH pair counts
-far beyond the generator's natural duplicate rate — a distribution
-change, not a scale change. Text/embedding queries keep the
-sf0.01->sf0.1 decade exponent (noted in SCALING.md).
+near-duplicates of each other (and copied vectors are cosine-1.0
+pairs), which would inflate dedup/LSH pair counts far beyond the
+generator's natural duplicate rate — a distribution change, not a
+scale change. Instead both get SYNTHETIC-UNIQUE extra rows: documents
+from per-language bigram chains (make_documents), embeddings from
+per-cluster mean/cov Gaussian draws (make_embeddings).
 
 Output: .scale/sf0.3/*.parquet (gitignored). Usage:
     python tools/make_scale_data.py
@@ -86,12 +88,12 @@ def main() -> int:
                value + i * 0.0013 AS value)
         FROM {src('events')} CROSS JOIN {copies}
     """)
-    for dim in ("region", "nation", "supplier", "part",
-                "embeddings"):
+    for dim in ("region", "nation", "supplier", "part"):
         shutil.copyfile(f"{SRC}/{dim}.parquet",
                         f"{DST}/{dim}.parquet")
         print(f"{dim}: copied as-is")
     make_documents(con)
+    make_embeddings(con)
     return 0
 
 
@@ -177,6 +179,82 @@ def make_documents(con) -> None:
     n = con.execute(f"SELECT count(*) FROM "
                     f"'{DST}/documents.parquet'").fetchone()[0]
     print(f"documents: {n} rows (1x natural + 2x synthetic-unique)")
+
+
+# Controlled near-dup injection rate for synthetic embeddings: the
+# fraction of synthetic rows emitted as a jittered copy (cosine
+# ≈0.999) of a random natural vector instead of a fresh cluster draw.
+# Default 0.0 MATCHES the measured natural corpus: sf0.1 embeddings
+# contain ZERO pairs above cosine 0.9 (max 0.60) — the near-dup
+# operators plant their own dups inside the query (_q26_corpus's one
+# perturbed copy per vector, which scales with table size
+# automatically), so injecting table-level dups would CHANGE the
+# distribution, not scale it. Raise explicitly to stress recall.
+EMB_NEAR_DUP_RATE = 0.0
+
+
+def make_embeddings(con) -> None:
+    """3x embeddings with CLUSTER-CONDITIONAL synthetic vectors (r10
+    VERDICT item 4 — the last sf0.3 blind spot): plain replication
+    would plant exact-duplicate vectors (cosine 1.0 pairs a corpus
+    with a measured max of 0.60 never has — the embedding analog of
+    the near-dup text inflation make_documents avoids), so the
+    original sf0.1 table is kept VERBATIM and each extra copy is
+    freshly SAMPLED: per label (10 clusters, 182-218 vectors each in
+    64 dims), fit mean + full covariance on the natural vectors and
+    draw one multivariate-normal vector per original row (ridge
+    1e-9 on the diagonal for Cholesky stability; seeded — fully
+    deterministic). Cluster geometry (centroid placement, spread,
+    per-label counts) scales 3x exactly; continuous 64-dim draws
+    make accidental ≥0.9-cosine pairs vanishingly unlikely, so the
+    ANN/near-dup probes measure VOLUME growth, not a distribution
+    change. ``EMB_NEAR_DUP_RATE`` documents the controlled injection
+    knob (default 0 — matches the measured natural rate of zero)."""
+    import numpy as np
+    import pandas as pd
+
+    df = con.execute(
+        f"SELECT vec_id, embedding, label FROM "
+        f"read_parquet('{SRC}/embeddings.parquet') ORDER BY vec_id"
+    ).df()
+    V = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+    labels = df["label"].to_numpy()
+    dim = V.shape[1]
+    params = {}
+    for lab in np.unique(labels):
+        X = V[labels == lab]
+        params[int(lab)] = (X.mean(axis=0),
+                            np.cov(X, rowvar=False)
+                            + 1e-9 * np.eye(dim))
+    out = [df]
+    for i in (1, 2):
+        rng = np.random.Generator(np.random.PCG64(9173 + i))
+        vecs = np.empty_like(V)
+        for lab, (mu, cov) in params.items():
+            mask = labels == lab
+            vecs[mask] = rng.multivariate_normal(
+                mu, cov, size=int(mask.sum()), method="cholesky")
+        if EMB_NEAR_DUP_RATE > 0:
+            m = rng.random(len(V)) < EMB_NEAR_DUP_RATE
+            src = rng.integers(0, len(V), size=int(m.sum()))
+            vecs[m] = V[src] * (1.0 + 0.001 * rng.standard_normal(
+                (int(m.sum()), dim)))
+        out.append(pd.DataFrame({
+            "vec_id": df["vec_id"].to_numpy() + i * K,
+            "embedding": [r.astype(np.float32) for r in vecs],
+            "label": labels,
+        }))
+    full = pd.concat(out, ignore_index=True)
+    con.register("__emb3", full)
+    # cast back to the driver schema's FLOAT[] (float32 list)
+    con.execute(f"COPY (SELECT vec_id, embedding::FLOAT[] AS embedding,"
+                f" label FROM __emb3 ORDER BY vec_id) TO "
+                f"'{DST}/embeddings.parquet' (FORMAT PARQUET)")
+    n, mx = con.execute(
+        f"SELECT count(*), max(len(embedding)) FROM "
+        f"'{DST}/embeddings.parquet'").fetchone()
+    print(f"embeddings: {n} rows x {mx} dims "
+          f"(1x natural + 2x cluster-conditional synthetic)")
 
 
 if __name__ == "__main__":

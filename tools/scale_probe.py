@@ -137,11 +137,21 @@ DEFAULT = [
 # counts adversarially; see make_scale_data.py) — shingle/token
 # volume scales 3x without the near-dup inflation plain replication
 # would cause.
-# Embedding queries stay excluded (embeddings.parquet is copied
-# as-is); q107's vocab growth at sf0.3 is an upper bound (synthetic
-# text is more n-gram-novel than natural text).
+# Embedding queries probe sf0.3 since r11: embeddings there are 1x
+# natural + 2x cluster-conditional Gaussian draws (per-label mean/cov
+# fit on the natural vectors — make_scale_data.make_embeddings), so
+# cluster geometry scales 3x with zero accidental ≥0.9-cosine pairs
+# (measured). q107's vocab growth at sf0.3 is an upper bound
+# (synthetic text is more n-gram-novel than natural text).
 PROBE_SF03 = [
     "q21_ngram_jaccard",
+    "q24_ann_bruteforce",
+    "q25_ann_lsh",
+    "q26_embedding_near_dup",
+    "q35_ann_ivf",
+    "q61_ann_join",
+    "q65_semantic_dedup",
+    "q83_pq_ann",
     "q22_minhash_pairs",
     "q34_dedup_clusters",
     "q186_near_dup_clusters_lsh",

@@ -186,6 +186,7 @@ def probe_gk_switch(spark) -> list[str]:
     factor where the default cap flips. Returns markdown lines for
     SCALING.md."""
     from pandas_ai_spark.functions import stats
+    from pandas_ai_spark.functions import text as tx
 
     dirs = {"0.1": "/root/testdata/sf0.1", "0.3": SF03_DIR}
     est = {}
@@ -197,14 +198,22 @@ def probe_gk_switch(spark) -> list[str]:
         assert stats._resolve_approx(li, None) is False, \
             f"expected exact path at sf{sf}"
 
+    # (table, op) pairs — q181 joins the switch table (r10 VERDICT
+    # item 8): corpus_profile_exact shares the same _resolve_approx /
+    # EXACT_STATE_MAX_BYTES machinery, auto-swapping to the q55
+    # sketch shape (HLL distinct + percentile_approx)
     ops = {
-        "q98 winsorize": lambda df: stats.winsorize(
+        "q98 winsorize": ("lineitem", lambda df: stats.winsorize(
             df, "l_extendedprice", by=["l_returnflag"],
             p_lo=0.05, p_hi=0.95).where(
             "l_extendedprice != l_extendedprice_winsorized")
-            .agg({"*": "count"}),
-        "q140 trimmed_stats": lambda df: stats.trimmed_stats(
-            df, "l_extendedprice", by=["l_returnflag"], trim=0.05),
+            .agg({"*": "count"})),
+        "q140 trimmed_stats": ("lineitem", lambda df:
+            stats.trimmed_stats(
+                df, "l_extendedprice", by=["l_returnflag"],
+                trim=0.05)),
+        "q181 corpus_profile": ("documents", lambda df:
+            tx.corpus_profile_exact(df)),
     }
     t: dict[tuple, float] = {}
     default_cap = stats.EXACT_STATE_MAX_BYTES
@@ -213,15 +222,16 @@ def probe_gk_switch(spark) -> list[str]:
                                        else 1)
         try:
             for sf, d in dirs.items():
-                li = spark.read.parquet(f"{d}/lineitem.parquet")
+                tables = {n: spark.read.parquet(f"{d}/{n}.parquet")
+                          for n in {tab for tab, _ in ops.values()}}
                 if path == "gk-sketch":
                     stats._warned_auto.discard("big")
-                for op, fn in ops.items():
+                for op, (tab, fn) in ops.items():
                     best = float("inf")
                     for _ in range(2):
                         spark.catalog.clearCache()
                         t0 = time.perf_counter()
-                        fn(li).collect()
+                        fn(tables[tab]).collect()
                         best = min(best, time.perf_counter() - t0)
                     t[(op, path, sf)] = best
                 if path == "gk-sketch":
@@ -234,7 +244,7 @@ def probe_gk_switch(spark) -> list[str]:
 
     lines = [
         "",
-        "## Exact→GK auto-switch (q98/q140 family)",
+        "## Exact→sketch auto-switch (q98/q140/q181 family)",
         "",
         "Both paths probed at sf0.1 and the de-floored sf0.3 point —",
         "`exact` with the default `EXACT_STATE_MAX_BYTES` (the",
@@ -431,7 +441,9 @@ def main() -> int:
         print("\n".join(fresh))
         with open("SCALING.md") as f:
             cur = f.read()
-        cut = cur.find("\n## Exact→GK auto-switch")
+        cut = cur.find("\n## Exact→sketch auto-switch")
+        if cut == -1:
+            cut = cur.find("\n## Exact→GK auto-switch")
         base = cur[:cut] if cut != -1 else cur.rstrip() + "\n"
         with open("SCALING.md", "w") as f:
             f.write(base + "\n".join(fresh) + "\n")

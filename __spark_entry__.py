@@ -1455,6 +1455,82 @@ def q186_near_dup_clusters_lsh(spark: SparkSession,
     return dd.near_dup_clusters(docs, threshold=0.7).orderBy("doc_id")
 
 
+def q187_ks_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q132's per-event-type weekend-vs-weekday KS test on the
+    distributed ECDF path (stats.ks_test_distributed): the value axis
+    is approx-percentile-bucketed, per-(group, bucket) windows add
+    local cumulative counts to broadcast driver prefix offsets —
+    groups×buckets parallel instead of one ordered window task per
+    group, IDENTICAL output (exact integer cumulatives; equal values
+    share a bucket). Closes the rank-window family: every
+    ordered-ECDF operator now has a driver-hash-verified distributed
+    twin (q180/q182/q183/q184 convention). Oracle: shared verbatim
+    with q132."""
+    from pandas_ai_spark.functions.stats import ks_test_distributed
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "wk", F.when(F.dayofweek("ts").isin(1, 7), "we")
+               .otherwise("wd"))
+    out = ks_test_distributed(ev, "event_type", "value", "wk",
+                              "we", "wd")
+    return out.select(
+        "event_type", "n_a", "n_b",
+        F.round("d_stat", 9).alias("d_stat"),
+        F.round("d_crit", 9).alias("d_crit"),
+        "significant",
+    ).orderBy("event_type")
+
+
+def q188_wasserstein_drift(spark: SparkSession,
+                           sf_dir: str) -> DataFrame:
+    """Per-event-type 1-D Wasserstein-1 (earth mover's) drift
+    (stats.wasserstein_1d): weekend vs weekday value distributions —
+    the drift MAGNITUDE beside q132's KS sup-norm, in the value's own
+    units (W₁ = ∫|F_a − F_b|dx = minimum mass×distance to morph one
+    ECDF into the other). Values quantized to integer cents upstream
+    so the ECDF-difference integral accumulates in exact
+    bigint/DECIMAL (grain counts × cent gaps) — engine-exact; the
+    only float is the final (n_a·n_b·100) division. ONE value-grain
+    agg + one ordered window pass + one grouped sum. Oracle:
+    identical grain/window arithmetic (DuckDB HUGEINT sums are exact
+    like the DECIMAL accumulator)."""
+    from pandas_ai_spark.functions.stats import wasserstein_1d
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "wk", F.when(F.dayofweek("ts").isin(1, 7), "we")
+               .otherwise("wd")).withColumn(
+        "vc", F.round(F.col("value") * 100).cast("bigint"))
+    out = wasserstein_1d(ev, "event_type", "vc", "wk", "we", "wd")
+    return out.select(
+        "event_type", "n_a", "n_b",
+        F.round(F.col("w1") / 100.0, 9).alias("w1"),
+    ).orderBy("event_type")
+
+
+def q189_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-returnflag Kendall τ-b (stats.kendall_tau_b) between
+    quantity and price-in-thousands — the concordant-vs-discordant
+    rank association beside q177's Spearman (τ-b reads directly as
+    P(concordant) − P(discordant), tie-adjusted). The input collapses
+    to the (group, x, y) CELL grain (bounded: 50 quantities × ~100
+    price buckets), C/D come from a cell self-join on strict x
+    dominance (Θ(cells²) — trivial for bounded grains while n is
+    unbounded), tie terms from the cell marginals; every count exact
+    (DECIMAL cross-products), only the final ratio floats. Oracle:
+    identical cell-join arithmetic in DuckDB (HUGEINT exact)."""
+    from pandas_ai_spark.functions.stats import kendall_tau_b
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.col("l_quantity").cast("bigint").alias("x"),
+        F.round(F.col("l_extendedprice") / 1000.0).cast("bigint")
+         .alias("y"))
+    out = kendall_tau_b(li, "x", "y", by=["l_returnflag"])
+    return out.select(
+        "l_returnflag", "n",
+        F.round("tau_b", 9).alias("tau_b")).orderBy("l_returnflag")
+
+
 def q33_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact percentile/stddev aggregates through the semantic layer
     (Spark `percentile` interpolates identically to DuckDB
@@ -5069,6 +5145,9 @@ def queries_numeric() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q184_auc_distributed": q184_auc_distributed,
         "q185_dp_release": q185_dp_release,
         "q186_near_dup_clusters_lsh": q186_near_dup_clusters_lsh,
+        "q187_ks_distributed": q187_ks_distributed,
+        "q188_wasserstein_drift": q188_wasserstein_drift,
+        "q189_kendall_tau": q189_kendall_tau,
     }
 
 
@@ -9223,6 +9302,71 @@ def oracle_sql() -> dict[str, str]:
     d["q182_mw_distributed"] = d["q159_mann_whitney"]
     d["q183_fdr_distributed"] = d["q160_ks_fdr"]
     d["q184_auc_distributed"] = d["q167_auc"]
+    d["q187_ks_distributed"] = d["q132_ks_drift"]
+    d["q188_wasserstein_drift"] = """
+        WITH base AS (
+          SELECT event_type AS g,
+                 CAST(round(value * 100) AS BIGINT) AS v,
+                 CASE WHEN dayofweek(ts) IN (0, 6)
+                      THEN 1 ELSE 0 END AS a
+          FROM events WHERE value IS NOT NULL
+        ), grain AS (
+          SELECT g, v, sum(a)::BIGINT AS ta,
+                 sum(1 - a)::BIGINT AS tb
+          FROM base GROUP BY g, v
+        ), st AS (
+          SELECT g, v, ta, tb,
+                 sum(ta) OVER (PARTITION BY g ORDER BY v
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) AS ca,
+                 sum(tb) OVER (PARTITION BY g ORDER BY v
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) AS cb,
+                 sum(ta) OVER (PARTITION BY g) AS na,
+                 sum(tb) OVER (PARTITION BY g) AS nb,
+                 lead(v) OVER (PARTITION BY g ORDER BY v) - v AS gap
+          FROM grain
+        ), acc AS (
+          SELECT g, min(na) AS na, min(nb) AS nb,
+                 sum(abs(ca * nb - cb * na) * gap) AS s
+          FROM st WHERE gap IS NOT NULL GROUP BY g
+        )
+        SELECT g AS event_type, na::BIGINT AS n_a, nb::BIGINT AS n_b,
+               round(s::DOUBLE / (na * nb)::DOUBLE / 100.0, 9) AS w1
+        FROM acc ORDER BY event_type
+    """
+    d["q189_kendall_tau"] = """
+        WITH cells AS (
+          SELECT l_returnflag AS g,
+                 CAST(l_quantity AS BIGINT) AS x,
+                 CAST(round(l_extendedprice / 1000.0) AS BIGINT) AS y,
+                 count(*)::BIGINT AS n
+          FROM lineitem GROUP BY 1, 2, 3
+        ), cd AS (
+          SELECT l.g,
+                 sum(CASE WHEN l.y < r.y THEN l.n * r.n
+                          ELSE 0 END) AS c,
+                 sum(CASE WHEN l.y > r.y THEN l.n * r.n
+                          ELSE 0 END) AS dd
+          FROM cells l JOIN cells r ON l.g = r.g AND l.x < r.x
+          GROUP BY 1
+        ), tx AS (
+          SELECT g, sum(t * (t - 1) // 2) AS txx FROM (
+            SELECT g, x, sum(n)::BIGINT AS t FROM cells GROUP BY 1, 2)
+          GROUP BY g
+        ), ty AS (
+          SELECT g, sum(t * (t - 1) // 2) AS tyy FROM (
+            SELECT g, y, sum(n)::BIGINT AS t FROM cells GROUP BY 1, 2)
+          GROUP BY g
+        ), tot AS (SELECT g, sum(n)::BIGINT AS n FROM cells GROUP BY g)
+        SELECT tot.g AS l_returnflag, tot.n,
+               round((cd.c - cd.dd)::DOUBLE
+                     / sqrt((tot.n * (tot.n - 1) // 2 - tx.txx)::DOUBLE
+                            * (tot.n * (tot.n - 1) // 2
+                               - ty.tyy)::DOUBLE), 9) AS tau_b
+        FROM tot JOIN cd USING (g) JOIN tx USING (g) JOIN ty USING (g)
+        ORDER BY l_returnflag
+    """
     return d
 
 

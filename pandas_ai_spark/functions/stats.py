@@ -907,7 +907,8 @@ def weighted_median(df: DataFrame, group_col: str, value_col: str,
 
 
 def ks_test(df: DataFrame, group_col: str, value_col: str,
-            sample_col: str, a, b) -> DataFrame:
+            sample_col: str, a, b,
+            distributed: bool | None = None) -> DataFrame:
     """Per-group two-sample Kolmogorov-Smirnov test:
     ``(group, n_a, n_b, d_stat, d_crit, significant)`` where
     ``d_stat = sup_x |F_a(x) − F_b(x)|`` and ``d_crit`` is the 5%
@@ -924,8 +925,18 @@ def ks_test(df: DataFrame, group_col: str, value_col: str,
     integer-count arithmetic — cross-engine exact, no float-sum-order
     dependence. Rows whose sample label is neither ``a`` nor ``b``
     or whose value is NULL are excluded.
+
+    ``distributed=None`` (default) auto-dispatches to
+    :func:`ks_test_distributed` (IDENTICAL output — driver-hash-
+    proven, q187 vs q132 shared oracle) when Catalyst's size estimate
+    says the per-group share exceeds ``RANK_WINDOW_MAX_BYTES`` (the
+    few-huge-groups shape); explicit True/False forces a path.
     """
     from pyspark.sql.window import Window
+
+    if _resolve_rank_path(df, [group_col], distributed, "ks_test"):
+        return ks_test_distributed(df, group_col, value_col,
+                                   sample_col, a, b)
 
     v = F.col(value_col).cast("double")
     s = F.col(sample_col)
@@ -1751,3 +1762,276 @@ def poisson_bootstrap_ci(df: DataFrame, value_col: str, id_col: str,
          .alias("mean"),
         F.when(ln > 0, F.element_at(arr, lo_i)).alias("ci_lo"),
         F.when(ln > 0, F.element_at(arr, hi_i)).alias("ci_hi"))
+
+
+def ks_test_distributed(df: DataFrame, group_col: str, value_col: str,
+                        sample_col: str, a, b,
+                        buckets: int = 64) -> DataFrame:
+    """:func:`ks_test` on the range-partitioned scale path: IDENTICAL
+    output (``d_stat``/``d_crit``/``significant`` — exact integer
+    cumulative counts either way), but the ECDF cumulative pass runs
+    ``groups × buckets``-way parallel instead of one ordered window
+    task per group — the variant for a few huge groups (the
+    q180/q182/q183 convention; this closes the rank-window family:
+    every ordered-ECDF operator now has a distributed twin).
+
+    How (the :func:`bh_fdr_distributed` split): (1) the input
+    collapses to the (group, value) grain first (map-side-combined
+    ``(t_a, t_b)`` counts — the :func:`mann_whitney_u` device, so the
+    heavy pass shuffles distinct values, not rows); (2) one
+    ``approx_percentile`` scan buckets the value axis — equal values
+    always share a bucket, so the cumulative count at any value is
+    bucket-split-invariant; (3) the per-(group, bucket)
+    ``(Σt_a, Σt_b)`` table — TINY — prefix-sums on the driver into
+    broadcast offsets, and a window WITHIN (group, bucket) adds the
+    local cumulative; (4) ``D`` evaluates row-local from exact
+    bigint cumulatives and one grouped max finishes. Per-group
+    totals ride the same bounded table. Rows with NULL values or
+    labels outside {a, b} are excluded, as in the window form.
+    """
+    from pyspark.sql.functions import broadcast
+    from pyspark.sql.window import Window
+
+    from .cache import operator_persist
+
+    if buckets < 2:
+        raise ValueError("buckets must be >= 2")
+    v = F.col(value_col).cast("double")
+    s = F.col(sample_col)
+    grain = operator_persist(
+        df.where(v.isNotNull() & s.isin(a, b)).select(
+            F.col(group_col).alias("__g"), v.alias("__v"),
+            (s == a).cast("bigint").alias("__a"))
+        .groupBy("__g", "__v").agg(
+            F.sum("__a").cast("bigint").alias("__ta"),
+            F.sum(F.lit(1) - F.col("__a")).cast("bigint")
+             .alias("__tb")))
+    qs = [i / buckets for i in range(1, buckets)]
+    row = grain.agg(F.percentile_approx(
+        F.col("__v"), qs, 10_000).alias("b")).collect()[0]
+    bounds = sorted(set(row["b"] or []))
+    bucket = F.lit(0)
+    for bnd in bounds:
+        bucket = bucket + (F.col("__v") > F.lit(float(bnd))) \
+            .cast("int")
+    tagged = grain.withColumn("__bkt", bucket)
+    counts = tagged.groupBy(
+        F.col("__g").alias("__g2"), F.col("__bkt").alias("__b2")).agg(
+        F.sum("__ta").cast("bigint").alias("__ca"),
+        F.sum("__tb").cast("bigint").alias("__cb"))
+    rows = counts.collect()
+    from collections import defaultdict
+
+    per_group: dict = defaultdict(list)
+    for r in rows:
+        per_group[r["__g2"]].append((r["__b2"], r["__ca"], r["__cb"]))
+    offsets, totals = [], []
+    for g, lst in per_group.items():
+        acc_a = acc_b = 0
+        for bkt, ca, cb in sorted(lst):
+            offsets.append((g, bkt, acc_a, acc_b))
+            acc_a += ca
+            acc_b += cb
+        totals.append((g, acc_a, acc_b))
+    spark = df.sparkSession
+    gtype = dict(tagged.dtypes)["__g"]
+    off = spark.createDataFrame(
+        offsets, f"`__g2` {gtype}, __b2 int, __offa bigint, "
+                 f"__offb bigint")
+    tot = spark.createDataFrame(
+        totals, f"`__g2` {gtype}, n_a bigint, n_b bigint")
+    joined = tagged.join(
+        broadcast(off),
+        (F.col("__bkt") == F.col("__b2"))
+        & F.col("__g").eqNullSafe(F.col("__g2"))).drop("__g2", "__b2")
+    wr = (Window.partitionBy("__g", "__bkt").orderBy("__v")
+          .rangeBetween(Window.unboundedPreceding, 0))
+    cum_a = F.col("__offa") + F.sum("__ta").over(wr)
+    cum_b = F.col("__offb") + F.sum("__tb").over(wr)
+    stepped = joined.join(broadcast(tot),
+                          F.col("__g").eqNullSafe(F.col("__g2"))) \
+        .select(
+            "__g", "n_a", "n_b",
+            F.abs(F.try_divide(cum_a.cast("double"),
+                               F.col("n_a").cast("double"))
+                  - F.try_divide(cum_b.cast("double"),
+                                 F.col("n_b").cast("double")))
+            .alias("__d"))
+    out = (stepped.groupBy(F.col("__g").alias(group_col))
+           .agg(F.min("n_a").alias("n_a"),
+                F.min("n_b").alias("n_b"),
+                F.max("__d").alias("d_stat")))
+    d_crit = 1.358 * F.sqrt(F.try_divide(
+        (F.col("n_a") + F.col("n_b")).cast("double"),
+        (F.col("n_a") * F.col("n_b")).cast("double")))
+    return out.select(
+        group_col, "n_a", "n_b", "d_stat", d_crit.alias("d_crit"),
+        (F.col("d_stat") > d_crit).alias("significant"))
+
+
+def wasserstein_1d(df: DataFrame, group_col: str, value_col: str,
+                   sample_col: str, a, b) -> DataFrame:
+    """Per-group 1-D Wasserstein-1 (earth mover's) distance between
+    two samples — ``(group, n_a, n_b, w1)`` with
+    ``W₁ = ∫|F_a − F_b| dx``, the drift MAGNITUDE companion to
+    :func:`ks_test`'s sup-norm: KS says whether shapes differ, W₁
+    says by how much in the value's own units (it is the minimum
+    mass×distance to morph one empirical distribution into the
+    other; Ramdas et al., Entropy'17 for the ECDF-integral identity).
+
+    Exactness: the integral is a finite sum over the value grain —
+    ``Σᵢ |cumA(vᵢ)·n_b − cumB(vᵢ)·n_a| · (vᵢ₊₁ − vᵢ) / (n_a·n_b)``
+    — and the implementation keeps the |·| term in exact bigint and
+    accumulates ``term·gap`` in DECIMAL when the value column is
+    integral (cents, counts, buckets — pre-quantize continuous
+    values upstream for engine-exact output, the
+    :func:`mann_whitney_u` convention); only the final division is
+    float. For float inputs the gap multiply is IEEE per-term but
+    the sum order is fixed by the grain sort.
+
+    Shape: ONE map-side-combined (group, value) grain agg (the
+    ks_test/mann_whitney device), one group-partitioned ordered
+    window pass (cumulatives + lead gap), one grouped sum. Same
+    few-huge-groups caveat as every rank-window op; the grain
+    collapse bounds the window input by distinct values.
+    """
+    from pyspark.sql.window import Window
+
+    v = F.col(value_col)
+    s = F.col(sample_col)
+    integral = dict(df.select(v.alias("__t")).dtypes)["__t"] in (
+        "bigint", "int", "smallint", "tinyint")
+    grain = (df.where(v.isNotNull() & s.isin(a, b)).select(
+        F.col(group_col).alias("__g"),
+        (v.cast("bigint") if integral else v.cast("double"))
+        .alias("__v"),
+        (s == a).cast("bigint").alias("__a"))
+        .groupBy("__g", "__v").agg(
+            F.sum("__a").cast("bigint").alias("__ta"),
+            F.sum(F.lit(1) - F.col("__a")).cast("bigint")
+             .alias("__tb")))
+    wr = (Window.partitionBy("__g").orderBy("__v")
+          .rowsBetween(Window.unboundedPreceding, 0))
+    wp = Window.partitionBy("__g")
+    wo = Window.partitionBy("__g").orderBy("__v")
+    cum_a = F.sum("__ta").over(wr)
+    cum_b = F.sum("__tb").over(wr)
+    n_a = F.sum("__ta").over(wp)
+    n_b = F.sum("__tb").over(wp)
+    gap = F.lead("__v").over(wo) - F.col("__v")
+    # products in DECIMAL: cum·n reaches n² — past bigint near n≈3e9
+    dec = "decimal(38,0)"
+    term = F.abs(cum_a.cast(dec) * n_b.cast(dec)
+                 - cum_b.cast(dec) * n_a.cast(dec))
+    contrib = (term * gap.cast(dec) if integral else
+               term.cast("double") * gap.cast("double"))
+    stepped = grain.select(
+        "__g", n_a.alias("__na"), n_b.alias("__nb"),
+        F.when(gap.isNotNull(), contrib).alias("__c"))
+    out = (stepped.groupBy(F.col("__g").alias(group_col))
+           .agg(F.min("__na").alias("n_a"),
+                F.min("__nb").alias("n_b"),
+                F.sum("__c").alias("__sum")))
+    return out.select(
+        group_col, "n_a", "n_b",
+        F.try_divide(
+            F.col("__sum").cast("double"),
+            F.col("n_a").cast("double")
+            * F.col("n_b").cast("double")).alias("w1"))
+
+
+def kendall_tau_b(df: DataFrame, x_col: str, y_col: str,
+                  by: list[str] | None = None) -> DataFrame:
+    """Per-group Kendall's τ-b rank correlation — the
+    concordant-vs-discordant companion to :func:`spearman_corr`
+    (τ-b's pairwise formulation is more robust to a few extreme
+    ranks and has a direct probabilistic reading:
+    P(concordant) − P(discordant), tie-adjusted). One row per group
+    ``(n, tau_b)`` with Kendall's tie-corrected
+    ``τ_b = (C − D) / √((n₀ − T_x)(n₀ − T_y))``.
+
+    Designed for DISCRETE/BUCKETED (x, y) grains (ratings, counts,
+    deciles — the :func:`mann_whitney_u` contract; bucket continuous
+    values upstream): the input collapses to the (group, x, y) CELL
+    grain (one map-side-combined agg, cells bounded by
+    |X grain|·|Y grain| per group), and C/D come from a cell
+    self-join on strict dominance — Θ(cells²) comparisons, which for
+    bounded grains (e.g. 10×10 deciles → ≤10⁴ cell pairs per group)
+    is trivia, while the row count n can be anything. Every count is
+    an exact bigint (cross-moment products in DECIMAL(38,0)); only
+    the final ratio is float. Tie terms T_x/T_y come from the cell
+    table's marginal aggs — no second pass over the data.
+    """
+    by = list(by or [])
+    x, y = F.col(x_col), F.col(y_col)
+    cells = (df.where(x.isNotNull() & y.isNotNull()).groupBy(
+        *[F.col(c) for c in by], x.alias("__x"), y.alias("__y"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("__n")))
+    l, r = cells.alias("l"), cells.alias("r")
+    cond = (F.col("l.__x") < F.col("r.__x"))
+    for c in by:
+        cond = cond & F.col(f"l.{c}").eqNullSafe(F.col(f"r.{c}"))
+    # every unordered cell pair with x_l < x_r exactly once; y decides
+    # concordant/discordant, y-tie contributes to neither
+    pairs = l.join(r, cond).select(
+        *[F.col(f"l.{c}").alias(c) for c in by],
+        (F.col("l.__n").cast("decimal(38,0)")
+         * F.col("r.__n").cast("decimal(38,0)")).alias("__m"),
+        F.when(F.col("l.__y") < F.col("r.__y"), F.lit(1))
+         .when(F.col("l.__y") > F.col("r.__y"), F.lit(-1))
+         .otherwise(F.lit(0)).alias("__sgn"))
+    cd = (pairs.groupBy(*[F.col(c) for c in by]).agg(
+        F.sum(F.when(F.col("__sgn") == 1, F.col("__m"))
+              .otherwise(F.lit(0).cast("decimal(38,0)")))
+        .alias("__C"),
+        F.sum(F.when(F.col("__sgn") == -1, F.col("__m"))
+              .otherwise(F.lit(0).cast("decimal(38,0)")))
+        .alias("__D"))
+        if by else
+        pairs.agg(
+            F.sum(F.when(F.col("__sgn") == 1, F.col("__m"))
+                  .otherwise(F.lit(0).cast("decimal(38,0)")))
+            .alias("__C"),
+            F.sum(F.when(F.col("__sgn") == -1, F.col("__m"))
+                  .otherwise(F.lit(0).cast("decimal(38,0)")))
+            .alias("__D")))
+    dec = "decimal(38,0)"
+
+    def tie_term(col: str):
+        # t(t−1)/2 in DECIMAL end-to-end: the product passes bigint
+        # near t≈3e9, and t(t−1) is always even so the /2 is exact
+        per = (cells.groupBy(*[F.col(c) for c in by],
+                             F.col(col)).agg(
+            F.sum("__n").cast("bigint").alias("__t"))
+            .select(*[F.col(c) for c in by],
+                    (F.col("__t").cast(dec)
+                     * (F.col("__t") - 1).cast(dec) / 2)
+                    .cast(dec).alias("__tt")))
+        return (per.groupBy(*[F.col(c) for c in by])
+                .agg(F.sum("__tt").alias("__T"))
+                if by else per.agg(F.sum("__tt").alias("__T")))
+
+    tot = (cells.groupBy(*[F.col(c) for c in by])
+           .agg(F.sum("__n").cast("bigint").alias("n"))
+           if by else cells.agg(F.sum("__n").cast("bigint")
+                                .alias("n")))
+    tx = tie_term("__x").withColumnRenamed("__T", "__Tx")
+    ty = tie_term("__y").withColumnRenamed("__T", "__Ty")
+    if by:
+        g = (tot.join(cd, by, "left").join(tx, by, "left")
+             .join(ty, by, "left"))
+    else:
+        g = tot.crossJoin(cd).crossJoin(tx).crossJoin(ty)
+    n = F.col("n")
+    n0 = (n.cast(dec) * (n - 1).cast(dec) / 2).cast(dec)
+    num = (F.coalesce(F.col("__C"), F.lit(0).cast(dec))
+           - F.coalesce(F.col("__D"), F.lit(0).cast(dec))) \
+        .cast("double")
+    den = F.sqrt((n0 - F.coalesce(F.col("__Tx"), F.lit(0).cast(dec)))
+                 .cast("double")
+                 * (n0 - F.coalesce(F.col("__Ty"),
+                                    F.lit(0).cast(dec)))
+                 .cast("double"))
+    return g.select(
+        *[F.col(c) for c in by], "n",
+        F.when(den > 0, num / den).alias("tau_b"))

@@ -28,9 +28,12 @@ DEFAULT = [
     "q21_ngram_jaccard",        # inverted-index join
     "q22_minhash_pairs",        # LSH + verify
     "q24_ann_bruteforce",       # GEMM scan
+    "q25_ann_lsh",              # multi-table LSH bucket join
     "q26_embedding_near_dup",   # derived-LSH fused bucket join
     "q30_llm_column",           # pandas_udf column op
-    "q34_dedup_clusters",       # pair graph + union-find
+    "q34_dedup_clusters",       # pair graph + union-find (exact path)
+    "q35_ann_ivf",              # k-means cells + probed-cell scan
+    "q186_near_dup_clusters_lsh",  # LSH-band default clustering
     "q36_asof_join",            # union-sort-carry window
     "q49_repetition_signals",   # Arrow per-doc pass (zero shuffles)
     "q51_range_join_attribution",  # bucketed interval equi-join
@@ -123,6 +126,9 @@ DEFAULT = [
     "q178_conformal_interval",  # fold split + broadcast yhat + rank pick
     "q179_information_gain",    # explode + bounded cell agg + rollups
     "q180_spearman_distributed",  # bucketed two-pass rank + co-moments
+    "q187_ks_distributed",      # bucketed distributed ECDF + offsets
+    "q188_wasserstein_drift",   # value-grain ECDF-gap integral
+    "q189_kendall_tau",         # bounded cell grain + dominance join
 ]
 
 
@@ -553,11 +559,15 @@ def main() -> int:
         "  natural text); q21/q34's sf0.3 slope carries the inherent",
         "  shared-shingle quadratic term — see the dedicated section",
         "  below.",
-        "- **embedding-corpus queries carry no sf0.3 point**:",
-        "  embeddings.parquet is copied as-is (synthetic vectors would",
-        "  change the ANN neighborhood structure) — their top-decade",
-        "  exponents stand, backed by the plan-shape audit",
-        "  (bucketed/banded joins, no all-pairs terms).",
+        "- **embedding-corpus queries probe sf0.3 since r11** on a",
+        "  table of 1x natural + 2x cluster-conditional synthetic",
+        "  vectors (per-label mean/cov Gaussian draws —",
+        "  tools/make_scale_data.make_embeddings; plain copies would",
+        "  plant cosine-1.0 pairs a corpus with max 0.60 never has):",
+        "  cluster geometry and per-label counts scale 3x exactly,",
+        "  with measured zero accidental ≥0.9-cosine pairs, so the",
+        "  ANN/near-dup slopes measure volume growth, not a",
+        "  distribution change.",
     ]
     if have_03 and not partial:
         lines += probe_gk_switch(spark)

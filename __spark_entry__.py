@@ -1509,21 +1509,23 @@ def q188_wasserstein_drift(spark: SparkSession,
 
 def q189_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-returnflag Kendall τ-b (stats.kendall_tau_b) between
-    quantity and price-in-thousands — the concordant-vs-discordant
+    quantity and price decile-scale bucket (10k units) — the
+    concordant-vs-discordant
     rank association beside q177's Spearman (τ-b reads directly as
     P(concordant) − P(discordant), tie-adjusted). The input collapses
-    to the (group, x, y) CELL grain (bounded: 50 quantities × ~100
+    to the (group, x, y) CELL grain (bounded: 50 quantities × ~11
     price buckets), C/D come from a cell self-join on strict x
     dominance (Θ(cells²) — trivial for bounded grains while n is
-    unbounded), tie terms from the cell marginals; every count exact
-    (DECIMAL cross-products), only the final ratio floats. Oracle:
+    unbounded), tie terms from the cell marginals; every count exact (LONG
+    C/D accumulators — ANSI-loud past n≈4.3e9 rows per group;
+    DECIMAL tie/denominator terms), only the final ratio floats. Oracle:
     identical cell-join arithmetic in DuckDB (HUGEINT exact)."""
     from pandas_ai_spark.functions.stats import kendall_tau_b
 
     li = _t(spark, sf_dir, "lineitem").select(
         "l_returnflag",
         F.col("l_quantity").cast("bigint").alias("x"),
-        F.round(F.col("l_extendedprice") / 1000.0).cast("bigint")
+        F.round(F.col("l_extendedprice") / 10000.0).cast("bigint")
          .alias("y"))
     out = kendall_tau_b(li, "x", "y", by=["l_returnflag"])
     return out.select(
@@ -9339,7 +9341,7 @@ def oracle_sql() -> dict[str, str]:
         WITH cells AS (
           SELECT l_returnflag AS g,
                  CAST(l_quantity AS BIGINT) AS x,
-                 CAST(round(l_extendedprice / 1000.0) AS BIGINT) AS y,
+                 CAST(round(l_extendedprice / 10000.0) AS BIGINT) AS y,
                  count(*)::BIGINT AS n
           FROM lineitem GROUP BY 1, 2, 3
         ), cd AS (

@@ -1958,70 +1958,78 @@ def kendall_tau_b(df: DataFrame, x_col: str, y_col: str,
     self-join on strict dominance — Θ(cells²) comparisons, which for
     bounded grains (e.g. 10×10 deciles → ≤10⁴ cell pairs per group)
     is trivia, while the row count n can be anything. Every count is
-    an exact bigint (cross-moment products in DECIMAL(38,0)); only
-    the final ratio is float. Tie terms T_x/T_y come from the cell
-    table's marginal aggs — no second pass over the data.
+    an exact integer — C/D accumulate in codegen'd LONG (fails
+    loudly past n≈4.3e9 rows per group under ANSI; the tie and
+    denominator terms are DECIMAL(38,0)); only the final ratio is
+    float. Tie terms T_x/T_y come from the cell table's marginal
+    aggs — no second pass over the data.
     """
     by = list(by or [])
     x, y = F.col(x_col), F.col(y_col)
-    cells = (df.where(x.isNotNull() & y.isNotNull()).groupBy(
-        *[F.col(c) for c in by], x.alias("__x"), y.alias("__y"))
+    from .cache import operator_persist
+
+    cells = operator_persist(
+        df.where(x.isNotNull() & y.isNotNull()).groupBy(
+            *[F.col(c) for c in by], x.alias("__x"), y.alias("__y"))
         .agg(F.count(F.lit(1)).cast("bigint").alias("__n")))
-    l, r = cells.alias("l"), cells.alias("r")
+    # the cell table is TINY (bounded by value grains): broadcast one
+    # side so the dominance join never hash-partitions on the group
+    # key (whose cardinality may be 1-3 — a parallelism collapse),
+    # and spread the stream side across (group, x) so the Θ(cells²)
+    # comparison work runs |x-grain|-way parallel per group
+    l = cells.repartition(*[F.col(c) for c in by], F.col("__x")) \
+        .alias("l")
+    r = F.broadcast(cells).alias("r")
     cond = (F.col("l.__x") < F.col("r.__x"))
     for c in by:
         cond = cond & F.col(f"l.{c}").eqNullSafe(F.col(f"r.{c}"))
     # every unordered cell pair with x_l < x_r exactly once; y decides
-    # concordant/discordant, y-tie contributes to neither
+    # concordant/discordant, y-tie contributes to neither. Products
+    # AND accumulators stay in codegen'd LONG arithmetic over the
+    # Θ(cells²) pair rows — a per-row cast to DECIMAL in the C/D sums
+    # was measured 3.6x the whole aggregation (BigDecimal per pair).
+    # Bounds: C, D ≤ n(n−1)/2, inside bigint until n ≈ 4.3e9 rows per
+    # group, where Spark's ANSI sum fails LOUDLY (overflow error, no
+    # silent wrap); the tie/denominator terms below stay DECIMAL.
+    m = F.col("l.__n") * F.col("r.__n")
     pairs = l.join(r, cond).select(
         *[F.col(f"l.{c}").alias(c) for c in by],
-        (F.col("l.__n").cast("decimal(38,0)")
-         * F.col("r.__n").cast("decimal(38,0)")).alias("__m"),
-        F.when(F.col("l.__y") < F.col("r.__y"), F.lit(1))
-         .when(F.col("l.__y") > F.col("r.__y"), F.lit(-1))
-         .otherwise(F.lit(0)).alias("__sgn"))
-    cd = (pairs.groupBy(*[F.col(c) for c in by]).agg(
-        F.sum(F.when(F.col("__sgn") == 1, F.col("__m"))
-              .otherwise(F.lit(0).cast("decimal(38,0)")))
-        .alias("__C"),
-        F.sum(F.when(F.col("__sgn") == -1, F.col("__m"))
-              .otherwise(F.lit(0).cast("decimal(38,0)")))
-        .alias("__D"))
-        if by else
-        pairs.agg(
-            F.sum(F.when(F.col("__sgn") == 1, F.col("__m"))
-                  .otherwise(F.lit(0).cast("decimal(38,0)")))
-            .alias("__C"),
-            F.sum(F.when(F.col("__sgn") == -1, F.col("__m"))
-                  .otherwise(F.lit(0).cast("decimal(38,0)")))
-            .alias("__D")))
+        F.when(F.col("l.__y") < F.col("r.__y"), m)
+         .otherwise(F.lit(0)).alias("__mc"),
+        F.when(F.col("l.__y") > F.col("r.__y"), m)
+         .otherwise(F.lit(0)).alias("__md"))
     dec = "decimal(38,0)"
+    aggs = [F.sum("__mc").cast(dec).alias("__C"),
+            F.sum("__md").cast(dec).alias("__D")]
+    cd = (pairs.groupBy(*[F.col(c) for c in by]).agg(*aggs)
+          if by else pairs.agg(*aggs))
 
-    def tie_term(col: str):
-        # t(t−1)/2 in DECIMAL end-to-end: the product passes bigint
-        # near t≈3e9, and t(t−1) is always even so the /2 is exact
-        per = (cells.groupBy(*[F.col(c) for c in by],
-                             F.col(col)).agg(
-            F.sum("__n").cast("bigint").alias("__t"))
-            .select(*[F.col(c) for c in by],
-                    (F.col("__t").cast(dec)
-                     * (F.col("__t") - 1).cast(dec) / 2)
-                    .cast(dec).alias("__tt")))
-        return (per.groupBy(*[F.col(c) for c in by])
-                .agg(F.sum("__tt").alias("__T"))
-                if by else per.agg(F.sum("__tt").alias("__T")))
-
-    tot = (cells.groupBy(*[F.col(c) for c in by])
-           .agg(F.sum("__n").cast("bigint").alias("n"))
-           if by else cells.agg(F.sum("__n").cast("bigint")
-                                .alias("n")))
-    tx = tie_term("__x").withColumnRenamed("__T", "__Tx")
-    ty = tie_term("__y").withColumnRenamed("__T", "__Ty")
-    if by:
-        g = (tot.join(cd, by, "left").join(tx, by, "left")
-             .join(ty, by, "left"))
-    else:
-        g = tot.crossJoin(cd).crossJoin(tx).crossJoin(ty)
+    # the three marginal reductions (per-x tie totals, per-y tie
+    # totals, group row count) come out of ONE groupingSets pass over
+    # the cell table — one shuffle instead of three jobs (measured:
+    # the operator is fixed-overhead-bound, not data-bound, once the
+    # pair join is long-codegen'd). t(t−1)/2 in DECIMAL end-to-end:
+    # the product passes bigint near t≈3e9, t(t−1) is even so /2 is
+    # exact.
+    marg = cells.groupingSets(
+        [[*by, "__x"], [*by, "__y"], list(by)],
+        *[F.col(c) for c in by], F.col("__x"), F.col("__y")).agg(
+        F.sum("__n").cast("bigint").alias("__t"),
+        F.grouping("__x").alias("__gx"),
+        F.grouping("__y").alias("__gy"))
+    tt = (F.col("__t").cast(dec) * (F.col("__t") - 1).cast(dec) / 2) \
+        .cast(dec)
+    fold = [
+        F.sum(F.when((F.col("__gx") == 0) & (F.col("__gy") == 1), tt))
+         .alias("__Tx"),
+        F.sum(F.when((F.col("__gy") == 0) & (F.col("__gx") == 1), tt))
+         .alias("__Ty"),
+        F.max(F.when((F.col("__gx") == 1) & (F.col("__gy") == 1),
+                     F.col("__t"))).alias("n"),
+    ]
+    tot = (marg.groupBy(*[F.col(c) for c in by]).agg(*fold)
+           if by else marg.agg(*fold))
+    g = tot.join(cd, by, "left") if by else tot.crossJoin(cd)
     n = F.col("n")
     n0 = (n.cast(dec) * (n - 1).cast(dec) / 2).cast(dec)
     num = (F.coalesce(F.col("__C"), F.lit(0).cast(dec))

@@ -1533,6 +1533,31 @@ def q189_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("tau_b", 9).alias("tau_b")).orderBy("l_returnflag")
 
 
+def q190_wasserstein_distributed(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """q188's Wasserstein-1 drift on the distributed ECDF path
+    (stats.wasserstein_1d_distributed): the cumulative pass runs
+    groups×buckets parallel; the integral's cross-bucket seam gap
+    comes from each bucket's min(v) carried on the bounded broadcast
+    offset table (the true global successor — bucket ids are monotone
+    in v). IDENTICAL output on the integer-cents grain (exact
+    bigint/DECIMAL terms either way). Oracle: shared verbatim with
+    q188."""
+    from pandas_ai_spark.functions.stats import \
+        wasserstein_1d_distributed
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "wk", F.when(F.dayofweek("ts").isin(1, 7), "we")
+               .otherwise("wd")).withColumn(
+        "vc", F.round(F.col("value") * 100).cast("bigint"))
+    out = wasserstein_1d_distributed(ev, "event_type", "vc", "wk",
+                                     "we", "wd")
+    return out.select(
+        "event_type", "n_a", "n_b",
+        F.round(F.col("w1") / 100.0, 9).alias("w1"),
+    ).orderBy("event_type")
+
+
 def q33_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact percentile/stddev aggregates through the semantic layer
     (Spark `percentile` interpolates identically to DuckDB
@@ -5150,6 +5175,7 @@ def queries_numeric() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q187_ks_distributed": q187_ks_distributed,
         "q188_wasserstein_drift": q188_wasserstein_drift,
         "q189_kendall_tau": q189_kendall_tau,
+        "q190_wasserstein_distributed": q190_wasserstein_distributed,
     }
 
 
@@ -9369,6 +9395,7 @@ def oracle_sql() -> dict[str, str]:
         FROM tot JOIN cd USING (g) JOIN tx USING (g) JOIN ty USING (g)
         ORDER BY l_returnflag
     """
+    d["q190_wasserstein_distributed"] = d["q188_wasserstein_drift"]
     return d
 
 

@@ -1870,7 +1870,8 @@ def ks_test_distributed(df: DataFrame, group_col: str, value_col: str,
 
 
 def wasserstein_1d(df: DataFrame, group_col: str, value_col: str,
-                   sample_col: str, a, b) -> DataFrame:
+                   sample_col: str, a, b,
+                   distributed: bool | None = None) -> DataFrame:
     """Per-group 1-D Wasserstein-1 (earth mover's) distance between
     two samples — ``(group, n_a, n_b, w1)`` with
     ``W₁ = ∫|F_a − F_b| dx``, the drift MAGNITUDE companion to
@@ -1893,10 +1894,19 @@ def wasserstein_1d(df: DataFrame, group_col: str, value_col: str,
     ks_test/mann_whitney device), one group-partitioned ordered
     window pass (cumulatives + lead gap), one grouped sum. Same
     few-huge-groups caveat as every rank-window op; the grain
-    collapse bounds the window input by distinct values.
+    collapse bounds the window input by distinct values —
+    ``distributed=None`` (default) auto-dispatches to
+    :func:`wasserstein_1d_distributed` (IDENTICAL output on integral
+    values — driver-hash-proven, q190 vs q188 shared oracle) when
+    Catalyst's size estimate says the per-group share exceeds
+    ``RANK_WINDOW_MAX_BYTES``; explicit True/False forces a path.
     """
     from pyspark.sql.window import Window
 
+    if _resolve_rank_path(df, [group_col], distributed,
+                          "wasserstein_1d"):
+        return wasserstein_1d_distributed(df, group_col, value_col,
+                                          sample_col, a, b)
     v = F.col(value_col)
     s = F.col(sample_col)
     integral = dict(df.select(v.alias("__t")).dtypes)["__t"] in (
@@ -2043,3 +2053,118 @@ def kendall_tau_b(df: DataFrame, x_col: str, y_col: str,
     return g.select(
         *[F.col(c) for c in by], "n",
         F.when(den > 0, num / den).alias("tau_b"))
+
+
+def wasserstein_1d_distributed(df: DataFrame, group_col: str,
+                               value_col: str, sample_col: str, a, b,
+                               buckets: int = 64) -> DataFrame:
+    """:func:`wasserstein_1d` on the range-partitioned scale path:
+    IDENTICAL output (the ECDF-gap integral is a finite sum of exact
+    per-grain terms either way), but the cumulative pass runs
+    ``groups × buckets``-way parallel instead of one ordered window
+    task per group — the q187/q180 convention, completing the twin
+    for this round's newest ECDF operator.
+
+    Mechanics beyond :func:`ks_test_distributed`'s offset split: the
+    integral needs each grain point's gap to the NEXT distinct value,
+    which for a bucket's LAST row lives in the next bucket — the
+    bounded per-(group, bucket) table therefore carries each bucket's
+    ``min(v)`` alongside the count offsets, and the seam gap is
+    ``coalesce(lead(v) within bucket, broadcast next-bucket min) − v``
+    (the true global successor: bucket ids are monotone in v, and
+    empty buckets cannot occur — they exist only where some grain row
+    landed). The |cumA·n_b − cumB·n_a| term stays exact
+    bigint/DECIMAL for integral values exactly as the window form.
+    """
+    from pyspark.sql.functions import broadcast
+    from pyspark.sql.window import Window
+
+    from .cache import operator_persist
+
+    if buckets < 2:
+        raise ValueError("buckets must be >= 2")
+    v = F.col(value_col)
+    s = F.col(sample_col)
+    integral = dict(df.select(v.alias("__t")).dtypes)["__t"] in (
+        "bigint", "int", "smallint", "tinyint")
+    grain = operator_persist(
+        df.where(v.isNotNull() & s.isin(a, b)).select(
+            F.col(group_col).alias("__g"),
+            (v.cast("bigint") if integral else v.cast("double"))
+            .alias("__v"),
+            (s == a).cast("bigint").alias("__a"))
+        .groupBy("__g", "__v").agg(
+            F.sum("__a").cast("bigint").alias("__ta"),
+            F.sum(F.lit(1) - F.col("__a")).cast("bigint")
+             .alias("__tb")))
+    qs = [i / buckets for i in range(1, buckets)]
+    row = grain.agg(F.percentile_approx(
+        F.col("__v").cast("double"), qs, 10_000).alias("b")) \
+        .collect()[0]
+    bounds = sorted(set(row["b"] or []))
+    bucket = F.lit(0)
+    for bnd in bounds:
+        bucket = bucket + (F.col("__v").cast("double")
+                           > F.lit(float(bnd))).cast("int")
+    tagged = grain.withColumn("__bkt", bucket)
+    counts = tagged.groupBy(
+        F.col("__g").alias("__g2"), F.col("__bkt").alias("__b2")).agg(
+        F.sum("__ta").cast("bigint").alias("__ca"),
+        F.sum("__tb").cast("bigint").alias("__cb"),
+        F.min("__v").alias("__vmin"))
+    rows = counts.collect()
+    from collections import defaultdict
+
+    per_group: dict = defaultdict(list)
+    for r in rows:
+        per_group[r["__g2"]].append(
+            (r["__b2"], r["__ca"], r["__cb"], r["__vmin"]))
+    offsets, totals = [], []
+    for g, lst in per_group.items():
+        lst.sort()
+        acc_a = acc_b = 0
+        for i, (bkt, ca, cb, _vmin) in enumerate(lst):
+            nxt = lst[i + 1][3] if i + 1 < len(lst) else None
+            offsets.append((g, bkt, acc_a, acc_b, nxt))
+            acc_a += ca
+            acc_b += cb
+        totals.append((g, acc_a, acc_b))
+    spark = df.sparkSession
+    gtype = dict(tagged.dtypes)["__g"]
+    vtype = dict(tagged.dtypes)["__v"]
+    off = spark.createDataFrame(
+        offsets, f"`__g2` {gtype}, __b2 int, __offa bigint, "
+                 f"__offb bigint, `__nextv` {vtype}")
+    tot = spark.createDataFrame(
+        totals, f"`__g2` {gtype}, n_a bigint, n_b bigint")
+    joined = tagged.join(
+        broadcast(off),
+        (F.col("__bkt") == F.col("__b2"))
+        & F.col("__g").eqNullSafe(F.col("__g2"))).drop("__g2", "__b2")
+    wr = (Window.partitionBy("__g", "__bkt").orderBy("__v")
+          .rowsBetween(Window.unboundedPreceding, 0))
+    wo = Window.partitionBy("__g", "__bkt").orderBy("__v")
+    cum_a = F.col("__offa") + F.sum("__ta").over(wr)
+    cum_b = F.col("__offb") + F.sum("__tb").over(wr)
+    gap = F.coalesce(F.lead("__v").over(wo), F.col("__nextv")) \
+        - F.col("__v")
+    dec = "decimal(38,0)"
+    stepped = joined.join(broadcast(tot),
+                          F.col("__g").eqNullSafe(F.col("__g2")))
+    term = F.abs(cum_a.cast(dec) * F.col("n_b").cast(dec)
+                 - cum_b.cast(dec) * F.col("n_a").cast(dec))
+    contrib = (term * gap.cast(dec) if integral else
+               term.cast("double") * gap.cast("double"))
+    stepped = stepped.select(
+        "__g", "n_a", "n_b",
+        F.when(gap.isNotNull(), contrib).alias("__c"))
+    out = (stepped.groupBy(F.col("__g").alias(group_col))
+           .agg(F.min("n_a").alias("n_a"),
+                F.min("n_b").alias("n_b"),
+                F.sum("__c").alias("__sum")))
+    return out.select(
+        group_col, "n_a", "n_b",
+        F.try_divide(
+            F.col("__sum").cast("double"),
+            F.col("n_a").cast("double")
+            * F.col("n_b").cast("double")).alias("w1"))

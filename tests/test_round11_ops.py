@@ -333,3 +333,60 @@ class TestKendallTauB:
         df = spark.createDataFrame([(1, i) for i in range(10)],
                                    "x long, y long")
         assert kendall_tau_b(df, "x", "y").collect()[0].tau_b is None
+
+
+class TestWassersteinDistributed:
+    def test_matches_window_form_integral_exact(self, spark):
+        from pandas_ai_spark.functions.stats import (
+            wasserstein_1d, wasserstein_1d_distributed)
+
+        rows = [("g1", (i * 13) % 29, "a" if i % 3 else "b")
+                for i in range(300)] + \
+               [("g2", i % 7, "a" if i % 2 else "b")
+                for i in range(140)]
+        df = spark.createDataFrame(rows, "g string, v long, s string")
+        w = sorted(tuple(r) for r in wasserstein_1d(
+            df, "g", "v", "s", "a", "b",
+            distributed=False).collect())
+        d = sorted(tuple(r) for r in wasserstein_1d_distributed(
+            df, "g", "v", "s", "a", "b", buckets=5).collect())
+        assert w == d  # exact integral arithmetic both paths
+
+    def test_events_cents_parity(self, spark, events):
+        from pandas_ai_spark.functions.stats import (
+            wasserstein_1d, wasserstein_1d_distributed)
+
+        ev = events.withColumn(
+            "wk", F.when(F.dayofweek("ts").isin(1, 7), "we")
+                   .otherwise("wd")).withColumn(
+            "vc", F.round(F.col("value") * 100).cast("bigint"))
+        w = sorted(tuple(r) for r in wasserstein_1d(
+            ev, "event_type", "vc", "wk", "we", "wd",
+            distributed=False).collect())
+        d = sorted(tuple(r) for r in wasserstein_1d_distributed(
+            ev, "event_type", "vc", "wk", "we", "wd").collect())
+        assert w == d
+
+    def test_dispatch_routes(self, spark, events, monkeypatch):
+        from pandas_ai_spark.functions import stats
+
+        monkeypatch.setattr(stats, "RANK_WINDOW_MAX_BYTES", 1)
+        calls: list = []
+        _, w = _flagged(stats, "wasserstein_1d_distributed", calls)
+        monkeypatch.setattr(stats, "wasserstein_1d_distributed", w)
+        ev = events.withColumn(
+            "wk", F.when(F.dayofweek("ts").isin(1, 7), "we")
+                   .otherwise("wd")).withColumn(
+            "vc", F.round(F.col("value") * 100).cast("bigint"))
+        stats.wasserstein_1d(ev, "event_type", "vc", "wk",
+                             "we", "wd").collect()
+        assert calls == ["wasserstein_1d_distributed"]
+
+    def test_validation(self, spark, events):
+        from pandas_ai_spark.functions.stats import \
+            wasserstein_1d_distributed
+
+        with pytest.raises(ValueError):
+            wasserstein_1d_distributed(events, "event_type", "value",
+                                       "event_type", "a", "b",
+                                       buckets=1)

@@ -129,6 +129,7 @@ DEFAULT = [
     "q187_ks_distributed",      # bucketed distributed ECDF + offsets
     "q188_wasserstein_drift",   # value-grain ECDF-gap integral
     "q189_kendall_tau",         # bounded cell grain + dominance join
+    "q190_wasserstein_distributed",  # bucketed ECDF integral + seams
 ]
 
 

@@ -1558,6 +1558,53 @@ def q190_wasserstein_distributed(spark: SparkSession,
     ).orderBy("event_type")
 
 
+def q191_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-order-year Kruskal-Wallis H (stats.kruskal_wallis): do the
+    five o_orderpriority classes draw o_totalprice from the same
+    distribution? The k-sample extension of q159's Mann-Whitney —
+    one-way ANOVA on ranks, tie-corrected, asymptotically χ²(k−1).
+    Doubled midranks keep every rank sum an exact integer
+    (DECIMAL(38,0)); the one float sum the statistic needs — the k
+    per-level R²/n terms — folds in level-sorted order on BOTH
+    engines (Spark aggregate(sort_array(...)), DuckDB
+    list_sum(list(... ORDER BY grp))), so the doubles add in the same
+    order and the rounded H hash-matches. Oracle: identical
+    doubled-midrank + ordered-fold algebra."""
+    from pandas_ai_spark.functions.stats import kruskal_wallis
+
+    orders = _t(spark, sf_dir, "orders").select(
+        F.year("o_orderdate").alias("o_year"),
+        "o_orderpriority", "o_totalprice")
+    out = kruskal_wallis(orders, "o_totalprice", "o_orderpriority",
+                         by=["o_year"], distributed=False)
+    return out.select(
+        "o_year", "k", "n",
+        F.round("h", 9).alias("h")).orderBy("o_year")
+
+
+def q192_kw_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q191's Kruskal-Wallis on the distributed_midrank scale path
+    (stats.kruskal_wallis_distributed): ranking runs groups×buckets
+    parallel (bounded boundary/offset collects, per-(group,bucket)
+    windows) instead of one ordered window task per year — the
+    few-huge-groups variant, auto-dispatched by the public
+    kruskal_wallis when Catalyst's size estimate crosses
+    RANK_WINDOW_MAX_BYTES. IDENTICAL output (doubled midranks are
+    exact either way; same ordered float fold). Oracle: shared
+    verbatim with q191."""
+    from pandas_ai_spark.functions.stats import \
+        kruskal_wallis_distributed
+
+    orders = _t(spark, sf_dir, "orders").select(
+        F.year("o_orderdate").alias("o_year"),
+        "o_orderpriority", "o_totalprice")
+    out = kruskal_wallis_distributed(
+        orders, "o_totalprice", "o_orderpriority", by=["o_year"])
+    return out.select(
+        "o_year", "k", "n",
+        F.round("h", 9).alias("h")).orderBy("o_year")
+
+
 def q33_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact percentile/stddev aggregates through the semantic layer
     (Spark `percentile` interpolates identically to DuckDB
@@ -5176,6 +5223,8 @@ def queries_numeric() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q188_wasserstein_drift": q188_wasserstein_drift,
         "q189_kendall_tau": q189_kendall_tau,
         "q190_wasserstein_distributed": q190_wasserstein_distributed,
+        "q191_kruskal_wallis": q191_kruskal_wallis,
+        "q192_kw_distributed": q192_kw_distributed,
     }
 
 
@@ -9396,6 +9445,55 @@ def oracle_sql() -> dict[str, str]:
         ORDER BY l_returnflag
     """
     d["q190_wasserstein_distributed"] = d["q188_wasserstein_drift"]
+    d["q191_kruskal_wallis"] = """
+        WITH base AS (
+          SELECT year(o_orderdate) AS o_year,
+                 o_orderpriority AS grp, o_totalprice AS v
+          FROM orders
+          WHERE o_totalprice IS NOT NULL
+            AND o_orderpriority IS NOT NULL
+        ), ranked AS (
+          SELECT o_year, grp, v,
+                 2 * (count(*) OVER (PARTITION BY o_year ORDER BY v
+                        RANGE BETWEEN UNBOUNDED PRECEDING
+                        AND CURRENT ROW)
+                      - count(*) OVER (PARTITION BY o_year, v))
+                 + count(*) OVER (PARTITION BY o_year, v) + 1 AS r2
+          FROM base
+        ), lvl AS (
+          SELECT o_year, grp,
+                 CAST(count(*) AS BIGINT) AS ni,
+                 CAST(sum(r2) AS DECIMAL(38,0)) AS rs2
+          FROM ranked GROUP BY 1, 2
+        ), top AS (
+          SELECT o_year, CAST(count(*) AS BIGINT) AS k,
+                 CAST(sum(ni) AS BIGINT) AS n,
+                 list_sum(list(
+                   CAST(rs2 AS DOUBLE) * CAST(rs2 AS DOUBLE)
+                   / (4.0 * CAST(ni AS DOUBLE)) ORDER BY grp)) AS s
+          FROM lvl GROUP BY 1
+        ), tiegrain AS (
+          SELECT o_year, v, CAST(count(*) AS BIGINT) AS t
+          FROM base GROUP BY 1, 2
+        ), ties AS (
+          SELECT o_year, CAST(sum(t*t*t - t) AS BIGINT) AS ties
+          FROM tiegrain GROUP BY 1
+        ), fin AS (
+          SELECT top.o_year, k, n, s,
+                 CAST(n AS DOUBLE) AS nd,
+                 CAST(ties AS DOUBLE) AS tiesd
+          FROM top JOIN ties ON top.o_year = ties.o_year
+        )
+        SELECT o_year, k, n,
+               round(CASE WHEN n > 1
+                       AND 1.0 - tiesd / (nd*nd*nd - nd) > 0
+                     THEN (12.0 / (nd * (nd + 1.0)) * s
+                           - 3.0 * (nd + 1.0))
+                          / (1.0 - tiesd / (nd*nd*nd - nd))
+                     END, 9) AS h
+        FROM fin ORDER BY o_year
+    """
+    d["q192_kw_distributed"] = d["q191_kruskal_wallis"]
     return d
 
 

@@ -2168,3 +2168,147 @@ def wasserstein_1d_distributed(df: DataFrame, group_col: str,
             F.col("__sum").cast("double"),
             F.col("n_a").cast("double")
             * F.col("n_b").cast("double")).alias("w1"))
+
+
+def _kw_finish(ranked: DataFrame, by: list[str],
+               grp: str = "__grp", r2: str = "__r2",
+               v: str = "__v") -> DataFrame:
+    """Shared tail of both Kruskal-Wallis paths: given rows carrying
+    the doubled midrank ``r2`` of ``v`` within ``by`` and the level
+    column ``grp``, produce per-``by`` ``(k, n, h)``.
+
+    Determinism across engines: every aggregate is an exact integer
+    (bigint counts, DECIMAL(38,0) doubled-rank sums — ``Σ2r ≤ 2n²``
+    passes bigint near n≈2.1e9 per group) and the one float SUM that
+    the H statistic genuinely needs — ``S = Σ_i R_i²/n_i`` over the
+    k levels — is folded LEFT-TO-RIGHT over the level-sorted array
+    (``aggregate(sort_array(...))``), so the float op order is pinned
+    and the oracle (DuckDB ``list_sum(list(...ORDER BY level))``)
+    adds the same doubles in the same order. Tie term ``Σ(t³−t)``
+    stays bigint (same documented t≈2M-ties-per-value bound as
+    :func:`mann_whitney_u`)."""
+    per_level = [
+        F.count(F.lit(1)).cast("bigint").alias("__ni"),
+        F.sum(F.col(r2).cast("decimal(38,0)")).alias("__rs2"),
+    ]
+    lvl = ranked.groupBy(*[F.col(c) for c in by], F.col(grp)) \
+        .agg(*per_level)
+    # term_i = (R_i)²/n_i = (rs2/2)²/n_i, row-local from exact ints
+    term = (F.col("__rs2").cast("double")
+            * F.col("__rs2").cast("double")
+            / (F.lit(4.0) * F.col("__ni").cast("double")))
+    lvl = lvl.select(
+        *[F.col(c) for c in by],
+        F.struct(F.col(grp).alias("g"),
+                 term.alias("term")).alias("__s"),
+        F.col("__ni"))
+    top = [
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.sum("__ni").cast("bigint").alias("n"),
+        F.aggregate(F.sort_array(F.collect_list("__s")),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x["term"]).alias("__S"),
+    ]
+    g = (lvl.groupBy(*[F.col(c) for c in by]).agg(*top)
+         if by else lvl.agg(*top))
+    # tie correction from the (by, value) grain: Σ(t³ − t)
+    tie_agg = F.sum(F.col("__t") * F.col("__t") * F.col("__t")
+                    - F.col("__t")).cast("bigint").alias("__ties")
+    grain = ranked.groupBy(*[F.col(c) for c in by], F.col(v)).agg(
+        F.count(F.lit(1)).cast("bigint").alias("__t"))
+    if by:
+        from pyspark.sql.functions import broadcast
+        ties = grain.groupBy(
+            *[F.col(c).alias(f"__g_{c}") for c in by]).agg(tie_agg)
+        cond = None
+        for c in by:
+            eq = F.col(c).eqNullSafe(F.col(f"__g_{c}"))
+            cond = eq if cond is None else (cond & eq)
+        g = g.join(broadcast(ties), cond) \
+             .drop(*[f"__g_{c}" for c in by])
+    else:
+        from .fold import fold_scalars
+        g = fold_scalars(g, grain.agg(tie_agg))
+    nd = F.col("n").cast("double")
+    h_raw = (F.lit(12.0) / (nd * (nd + F.lit(1.0))) * F.col("__S")
+             - F.lit(3.0) * (nd + F.lit(1.0)))
+    corr = (F.lit(1.0) - F.col("__ties").cast("double")
+            / (nd * nd * nd - nd))
+    h = F.when((F.col("n") > 1) & (corr > 0), h_raw / corr)
+    return g.select(*[F.col(c) for c in by], "k", "n", h.alias("h"))
+
+
+def kruskal_wallis(df: DataFrame, value_col: str, group_col: str,
+                   by: list[str] | None = None,
+                   distributed: bool | None = None) -> DataFrame:
+    """Per-``by`` Kruskal-Wallis H test — the k-sample extension of
+    :func:`mann_whitney_u` (one-way ANOVA on ranks): for each ``by``
+    group, ``(k, n, h)`` where ``k`` is the number of ``group_col``
+    levels, ``n`` the total sample size, and ``h`` the tie-corrected
+    statistic ``[12/(n(n+1)) Σ R_i²/n_i − 3(n+1)] / [1 − ΣT/(n³−n)]``
+    (``T = t³−t`` over tie groups) — asymptotically χ²(k−1) under
+    "all k level distributions are equal".
+
+    Determinism: doubled midranks (the q159 device) keep every rank
+    sum an exact integer; the single per-``by`` float sum over the k
+    level terms folds in level-sorted order, so both engines add the
+    same exact-derived doubles in the same order (see
+    :func:`_kw_finish`).
+
+    Scale shape (window path): two ordered windows over the ``by``
+    partition assign doubled midranks on raw rows (the spearman_corr
+    device — no value-grain collapse needed), then two map-side-
+    combined aggregations (levels, then ``by``) whose shuffles are
+    bounded by ``groups × k`` and the (group, value) tie grain.
+    Parallelism equals the ``by``-group count — the shared rank-
+    window caveat — so ``distributed=None`` auto-dispatches to
+    :func:`kruskal_wallis_distributed` (IDENTICAL output) when
+    Catalyst's size estimate says a few huge groups dominate.
+    """
+    from pyspark.sql.window import Window
+
+    by = list(by or [])
+    if _resolve_rank_path(df, by, distributed, "kruskal_wallis"):
+        return kruskal_wallis_distributed(df, value_col, group_col,
+                                          by=by)
+    base = df.where(F.col(value_col).isNotNull()
+                    & F.col(group_col).isNotNull()).select(
+        *[F.col(c) for c in by],
+        F.col(value_col).alias("__v"),
+        F.col(group_col).alias("__grp"))
+    wo = (Window.partitionBy(*by).orderBy("__v")
+          .rangeBetween(Window.unboundedPreceding, 0)
+          if by else
+          Window.orderBy("__v").rangeBetween(
+              Window.unboundedPreceding, 0))
+    wt = (Window.partitionBy(*by, "__v") if by
+          else Window.partitionBy("__v"))
+    cum_le = F.count(F.lit(1)).over(wo)   # RANGE frame includes peers
+    t = F.count(F.lit(1)).over(wt)
+    r2 = (F.lit(2) * (cum_le - t) + t + F.lit(1)).cast("bigint")
+    ranked = base.select(
+        *[F.col(c) for c in by], "__grp", "__v", r2.alias("__r2"))
+    return _kw_finish(ranked, by)
+
+
+def kruskal_wallis_distributed(df: DataFrame, value_col: str,
+                               group_col: str,
+                               by: list[str] | None = None,
+                               buckets: int = 64) -> DataFrame:
+    """:func:`kruskal_wallis` on the :func:`distributed_midrank`
+    scale path: IDENTICAL output (doubled midranks are exact either
+    way), but ranking runs ``groups × buckets``-way parallel instead
+    of one ordered window task per ``by`` group — the variant for a
+    FEW huge groups. Costs the midrank pass's two bounded driver
+    collects (boundaries + groups×buckets offsets); everything after
+    the rank is the same exact-integer aggregation tail
+    (:func:`_kw_finish`)."""
+    by = list(by or [])
+    base = df.where(F.col(value_col).isNotNull()
+                    & F.col(group_col).isNotNull()).select(
+        *[F.col(c) for c in by],
+        F.col(value_col).alias("__v"),
+        F.col(group_col).alias("__grp"))
+    ranked = distributed_midrank(base, "__v", by=by,
+                                 buckets=buckets, out_col="__r2")
+    return _kw_finish(ranked, by)

@@ -1,0 +1,181 @@
+"""Round-11 additions, second batch: Kruskal-Wallis H (window +
+distributed_midrank paths, auto-dispatch), and the operators added
+alongside it this session."""
+import math
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from pyspark.sql import functions as F
+
+from conftest import SF_SMOKE
+
+
+def _kw_reference(pairs):
+    """Independent O(n²) Kruskal-Wallis for tiny inputs:
+    pairs = [(level, value)]. Returns tie-corrected H (or None)."""
+    vals = [v for _, v in pairs]
+    n = len(vals)
+    if n <= 1:
+        return None
+
+    def midrank(x):
+        lt = sum(1 for o in vals if o < x)
+        eq = sum(1 for o in vals if o == x)
+        return lt + (eq + 1) / 2.0
+
+    levels = sorted({g for g, _ in pairs})
+    s = 0.0
+    for lev in levels:
+        rs = sum(midrank(v) for g, v in pairs if g == lev)
+        ni = sum(1 for g, _ in pairs if g == lev)
+        s += rs * rs / ni
+    h = 12.0 / (n * (n + 1)) * s - 3.0 * (n + 1)
+    ties = sum(t ** 3 - t for t in
+               (vals.count(u) for u in set(vals)))
+    corr = 1.0 - ties / (n ** 3 - n)
+    if corr <= 0:
+        return None
+    return h / corr
+
+
+class TestKruskalWallis:
+    def test_matches_reference_grouped(self, spark):
+        from pandas_ai_spark.functions.stats import kruskal_wallis
+
+        rows = [("g1", "a", 1.0), ("g1", "a", 2.0), ("g1", "b", 3.0),
+                ("g1", "b", 4.0), ("g1", "c", 2.0), ("g1", "c", 5.0),
+                ("g2", "a", 1.0), ("g2", "b", 1.0), ("g2", "c", 1.0),
+                ("g2", "a", 2.0), ("g2", "b", 7.0)]
+        df = spark.createDataFrame(
+            rows, "grp string, lev string, v double")
+        out = {r["grp"]: r for r in kruskal_wallis(
+            df, "v", "lev", by=["grp"],
+            distributed=False).collect()}
+        for grp in ("g1", "g2"):
+            pairs = [(lv, v) for g, lv, v in rows if g == grp]
+            want = _kw_reference(pairs)
+            assert out[grp]["k"] == len({lv for lv, _ in pairs})
+            assert out[grp]["n"] == len(pairs)
+            assert out[grp]["h"] == pytest.approx(want, abs=1e-12)
+
+    def test_global_no_by(self, spark):
+        from pandas_ai_spark.functions.stats import kruskal_wallis
+
+        rows = [("a", 1.0), ("a", 2.0), ("b", 3.0), ("b", 3.0),
+                ("c", 9.0)]
+        df = spark.createDataFrame(rows, "lev string, v double")
+        r = kruskal_wallis(df, "v", "lev", distributed=False) \
+            .collect()[0]
+        assert r["k"] == 3 and r["n"] == 5
+        assert r["h"] == pytest.approx(_kw_reference(rows), abs=1e-12)
+
+    def test_null_values_and_levels_dropped(self, spark):
+        from pandas_ai_spark.functions.stats import kruskal_wallis
+
+        df = spark.createDataFrame(
+            [("a", 1.0), ("a", None), (None, 5.0), ("b", 2.0),
+             ("b", 4.0)], "lev string, v double")
+        r = kruskal_wallis(df, "v", "lev", distributed=False) \
+            .collect()[0]
+        assert r["n"] == 3 and r["k"] == 2
+
+    def test_degenerate_all_tied(self, spark):
+        # every value identical -> tie correction hits 0 -> h is NULL
+        from pandas_ai_spark.functions.stats import kruskal_wallis
+
+        df = spark.createDataFrame(
+            [("a", 1.0), ("b", 1.0), ("b", 1.0)],
+            "lev string, v double")
+        r = kruskal_wallis(df, "v", "lev", distributed=False) \
+            .collect()[0]
+        assert r["h"] is None
+
+    def test_distributed_equals_window_on_events(self, spark):
+        from pandas_ai_spark.functions.stats import (
+            kruskal_wallis, kruskal_wallis_distributed)
+
+        ev = spark.read.parquet(f"{SF_SMOKE}/events.parquet") \
+            .withColumn("grp", F.pmod("user_id", F.lit(4)))
+        a = sorted(tuple(r) for r in kruskal_wallis(
+            ev, "value", "event_type", by=["grp"],
+            distributed=False).collect())
+        b = sorted(tuple(r) for r in kruskal_wallis_distributed(
+            ev, "value", "event_type", by=["grp"],
+            buckets=8).collect())
+        assert a == b  # bit-identical, not approx
+
+    def test_auto_dispatch_routes_distributed(self, spark,
+                                              monkeypatch):
+        from pandas_ai_spark.functions import stats
+
+        ev = spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+        window = stats.kruskal_wallis(
+            ev, "value", "event_type", distributed=False).collect()
+        monkeypatch.setattr(stats, "RANK_WINDOW_MAX_BYTES", 1)
+        calls: list = []
+        orig = stats.kruskal_wallis_distributed
+
+        def spy(*a, **k):
+            calls.append("kw_distributed")
+            return orig(*a, **k)
+
+        monkeypatch.setattr(stats, "kruskal_wallis_distributed", spy)
+        routed = stats.kruskal_wallis(ev, "value",
+                                      "event_type").collect()
+        assert calls == ["kw_distributed"]
+        assert [tuple(r) for r in routed] == \
+            [tuple(r) for r in window]
+
+    def test_auto_dispatch_stays_window_when_small(self, spark,
+                                                   monkeypatch):
+        from pandas_ai_spark.functions import stats
+
+        ev = spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+        calls: list = []
+        orig = stats.kruskal_wallis_distributed
+
+        def spy(*a, **k):
+            calls.append("kw_distributed")
+            return orig(*a, **k)
+
+        monkeypatch.setattr(stats, "kruskal_wallis_distributed", spy)
+        stats.kruskal_wallis(ev, "value", "event_type").collect()
+        assert calls == []
+
+    def test_two_levels_consistent_with_mann_whitney(self, spark):
+        # with k=2, H == z² of the (tie-corrected) Mann-Whitney —
+        # the standard identity; checks both against each other
+        from pandas_ai_spark.functions.stats import (
+            kruskal_wallis, mann_whitney_u)
+
+        ev = spark.read.parquet(f"{SF_SMOKE}/events.parquet") \
+            .where(F.col("event_type").isin("view", "click"))
+        h = kruskal_wallis(ev, "value", "event_type",
+                           distributed=False).collect()[0]["h"]
+        z = mann_whitney_u(ev, "value", "event_type", "view",
+                           "click").collect()[0]["z"]
+        # H uses n(n+1) normalization, z² uses (n+1 - T/(n(n-1)));
+        # they agree asymptotically and exactly when the tie terms
+        # line up — allow small relative slack
+        assert h == pytest.approx(z * z, rel=1e-6)
+
+
+@given(st.lists(st.tuples(st.sampled_from("abc"),
+                          st.integers(min_value=0, max_value=4)),
+                min_size=3, max_size=18),
+       st.integers(min_value=2, max_value=4))
+@settings(max_examples=5, deadline=None)
+def test_kw_distributed_equals_window_property(spark, rows, buckets):
+    from pandas_ai_spark.functions.stats import (
+        kruskal_wallis, kruskal_wallis_distributed)
+
+    df = spark.createDataFrame(
+        [(g, float(v)) for g, v in rows], "lev string, v double")
+    a = [tuple(r) for r in
+         kruskal_wallis(df, "v", "lev", distributed=False).collect()]
+    b = [tuple(r) for r in
+         kruskal_wallis_distributed(df, "v", "lev",
+                                    buckets=buckets).collect()]
+    assert a == b

@@ -1605,6 +1605,33 @@ def q192_kw_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("h", 9).alias("h")).orderBy("o_year")
 
 
+def q193_cramers_v_matrix(spark: SparkSession,
+                          sf_dir: str) -> DataFrame:
+    """Pairwise categorical association screen
+    (stats.cramers_v_matrix): bias-corrected Cramér's V over every
+    pair of (status, priority, order-year) — the categorical
+    counterpart of q84's corr_matrix, the feature-redundancy gate a
+    feature store runs before one-hot-encoding correlated
+    categoricals. ONE grouping-sets Expand builds all three
+    contingency tables in a single shuffle; chi² via the
+    zero-cell-free Σ O²/E − N identity from exact window-sum
+    marginals; the per-pair float sum folds cell-sorted on both
+    engines. Oracle: identical GROUPING SETS + ordered-fold algebra."""
+    from pandas_ai_spark.functions.stats import cramers_v_matrix
+
+    orders = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_orderpriority").alias("priority"),
+        F.year("o_orderdate").cast("string").alias("o_year"))
+    out = cramers_v_matrix(orders, ["status", "priority", "o_year"])
+    return out.select(
+        "col_x", "col_y", "n", "k_x", "k_y",
+        F.round("chi2", 9).alias("chi2"),
+        F.round("v", 9).alias("v"),
+        F.round("v_corrected", 9).alias("v_corrected"),
+    ).orderBy("col_x", "col_y")
+
+
 def q33_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact percentile/stddev aggregates through the semantic layer
     (Spark `percentile` interpolates identically to DuckDB
@@ -5225,6 +5252,7 @@ def queries_numeric() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q190_wasserstein_distributed": q190_wasserstein_distributed,
         "q191_kruskal_wallis": q191_kruskal_wallis,
         "q192_kw_distributed": q192_kw_distributed,
+        "q193_cramers_v_matrix": q193_cramers_v_matrix,
     }
 
 
@@ -9494,6 +9522,76 @@ def oracle_sql() -> dict[str, str]:
         FROM fin ORDER BY o_year
     """
     d["q192_kw_distributed"] = d["q191_kruskal_wallis"]
+    d["q193_cramers_v_matrix"] = """
+        WITH work AS (
+          SELECT o_orderstatus AS status, o_orderpriority AS priority,
+                 CAST(year(o_orderdate) AS VARCHAR) AS o_year
+          FROM orders
+        ), g AS (
+          SELECT status, priority, o_year,
+                 CAST(count(*) AS BIGINT) AS o,
+                 GROUPING(status) AS gs, GROUPING(priority) AS gp,
+                 GROUPING(o_year) AS gy
+          FROM work
+          GROUP BY GROUPING SETS ((status, priority),
+                                  (status, o_year),
+                                  (priority, o_year))
+        ), cells AS (
+          SELECT CASE WHEN gs = 0 AND gp = 0 THEN 'status'
+                      WHEN gs = 0 AND gy = 0 THEN 'status'
+                      ELSE 'priority' END AS col_x,
+                 CASE WHEN gs = 0 AND gp = 0 THEN 'priority'
+                      ELSE 'o_year' END AS col_y,
+                 CASE WHEN gs = 0 THEN status ELSE priority END AS x,
+                 CASE WHEN gs = 0 AND gp = 0 THEN priority
+                      ELSE o_year END AS y,
+                 o
+          FROM g
+          WHERE (CASE WHEN gs = 0 THEN status ELSE priority END)
+                  IS NOT NULL
+            AND (CASE WHEN gs = 0 AND gp = 0 THEN priority
+                      ELSE o_year END) IS NOT NULL
+        ), staged AS (
+          SELECT col_x, col_y, x, y, o,
+                 sum(o) OVER (PARTITION BY col_x, col_y, x) AS nx,
+                 sum(o) OVER (PARTITION BY col_x, col_y, y) AS ny,
+                 sum(o) OVER (PARTITION BY col_x, col_y) AS n
+          FROM cells
+        ), agg AS (
+          SELECT col_x, col_y,
+                 CAST(max(n) AS BIGINT) AS n,
+                 CAST(count(DISTINCT x) AS BIGINT) AS k_x,
+                 CAST(count(DISTINCT y) AS BIGINT) AS k_y,
+                 list_sum(list(
+                   CAST(o AS DOUBLE) * CAST(o AS DOUBLE)
+                   * CAST(n AS DOUBLE)
+                   / (CAST(nx AS DOUBLE) * CAST(ny AS DOUBLE))
+                   ORDER BY x, y)) AS s
+          FROM staged GROUP BY 1, 2
+        ), fin AS (
+          SELECT col_x, col_y, n, k_x, k_y,
+                 s - CAST(n AS DOUBLE) AS chi2,
+                 CAST(n AS DOUBLE) AS nd,
+                 CAST(k_x AS DOUBLE) AS kx,
+                 CAST(k_y AS DOUBLE) AS ky
+          FROM agg
+        )
+        SELECT col_x, col_y, n, k_x, k_y,
+               round(chi2, 9) AS chi2,
+               round(CASE WHEN least(kx, ky) > 1 AND n > 0
+                     THEN sqrt(greatest(chi2, 0.0)
+                               / (nd * (least(kx, ky) - 1.0)))
+                     ELSE 0.0 END, 9) AS v,
+               round(CASE WHEN n > 1
+                       AND least(kx - (kx-1)*(kx-1)/(nd-1),
+                                 ky - (ky-1)*(ky-1)/(nd-1)) > 1
+                     THEN sqrt(
+                       greatest(chi2/nd - (kx-1)*(ky-1)/(nd-1), 0.0)
+                       / (least(kx - (kx-1)*(kx-1)/(nd-1),
+                                ky - (ky-1)*(ky-1)/(nd-1)) - 1.0))
+                     ELSE 0.0 END, 9) AS v_corrected
+        FROM fin ORDER BY col_x, col_y
+    """
     return d
 
 

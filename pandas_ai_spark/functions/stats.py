@@ -2312,3 +2312,108 @@ def kruskal_wallis_distributed(df: DataFrame, value_col: str,
     ranked = distributed_midrank(base, "__v", by=by,
                                  buckets=buckets, out_col="__r2")
     return _kw_finish(ranked, by)
+
+
+def cramers_v_matrix(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Pairwise Cramér's V over a set of CATEGORICAL columns — the
+    categorical counterpart of :func:`corr_matrix` for
+    feature-redundancy screens: one row per unordered column pair
+    ``(col_x, col_y, n, k_x, k_y, chi2, v, v_corrected)`` where ``v``
+    is classic Cramér's V ``sqrt(chi²/(n·(min(k)−1)))`` and
+    ``v_corrected`` the Bergsma (2013) bias-corrected version
+    ``sqrt(φ²⁺ / (min(k̃_x, k̃_y) − 1))`` with
+    ``φ²⁺ = max(0, chi²/n − (k_x−1)(k_y−1)/(n−1))`` and
+    ``k̃ = k − (k−1)²/(n−1)`` — the uncorrected V is inflated on
+    weak-association high-cardinality tables.
+
+    Shape: ONE grouping-sets aggregation (a single Expand — one
+    shuffle) builds every pair's contingency cells simultaneously;
+    ``grouping()`` flags identify each cell's pair, so data NULLs are
+    never conflated with not-in-set NULLs (NULL rows are excluded
+    pairwise-complete, the classic convention). Marginals and totals
+    are window sums over the bounded cell table; chi² uses the
+    zero-cell-free identity ``Σ O²/E − N``. Every input to the cell
+    term is an exact integer; the per-pair float sum folds in
+    cell-sorted order on BOTH engines (Spark
+    aggregate(sort_array(...)), DuckDB list_sum(list(... ORDER BY)))
+    so the rounded output hash-matches.
+
+    Contract: columns are categorical — levels are compared and
+    output as strings (int/string level types are portable; don't
+    feed continuous doubles, bucket them first). Cells per pair are
+    bounded by k_x·k_y; the sorted fold collects that bounded cell
+    list per pair, never raw rows.
+    """
+    if len(cols) < 2:
+        raise ValueError("need at least two columns")
+    from pyspark.sql.window import Window
+
+    work = df.select(
+        *[F.col(c).cast("string").alias(c) for c in cols])
+    pairs = [(a, b) for i, a in enumerate(cols)
+             for b in cols[i + 1:]]
+    g = work.groupingSets(
+        [[a, b] for a, b in pairs],
+        *[F.col(c) for c in cols]).agg(
+        F.count(F.lit(1)).cast("bigint").alias("__o"),
+        *[F.grouping(c).alias(f"__g_{c}") for c in cols])
+    cx = cy = xv = yv = None
+    for a, b in pairs:
+        cond = (F.col(f"__g_{a}") == 0) & (F.col(f"__g_{b}") == 0)
+        cx = (F.when(cond, F.lit(a)) if cx is None
+              else cx.when(cond, F.lit(a)))
+        cy = (F.when(cond, F.lit(b)) if cy is None
+              else cy.when(cond, F.lit(b)))
+        xv = (F.when(cond, F.col(a)) if xv is None
+              else xv.when(cond, F.col(a)))
+        yv = (F.when(cond, F.col(b)) if yv is None
+              else yv.when(cond, F.col(b)))
+    cells = g.select(
+        cx.alias("col_x"), cy.alias("col_y"),
+        xv.alias("__x"), yv.alias("__y"), "__o").where(
+        F.col("__x").isNotNull() & F.col("__y").isNotNull())
+    wp = Window.partitionBy("col_x", "col_y")
+    nx = F.sum("__o").over(Window.partitionBy("col_x", "col_y",
+                                              "__x"))
+    ny = F.sum("__o").over(Window.partitionBy("col_x", "col_y",
+                                              "__y"))
+    n = F.sum("__o").over(wp)
+    term = (F.col("__o").cast("double") * F.col("__o").cast("double")
+            * F.col("__n").cast("double")
+            / (F.col("__nx").cast("double")
+               * F.col("__ny").cast("double")))
+    staged = cells.select(
+        "col_x", "col_y", "__x", "__y", "__o",
+        nx.alias("__nx"), ny.alias("__ny"), n.alias("__n"))
+    staged = staged.select(
+        "col_x", "col_y", "__x", "__y", "__o", "__n",
+        F.struct(F.col("__x").alias("x"), F.col("__y").alias("y"),
+                 term.alias("term")).alias("__s"))
+    agg = staged.groupBy("col_x", "col_y").agg(
+        F.max("__n").cast("bigint").alias("n"),
+        F.countDistinct("__x").cast("bigint").alias("k_x"),
+        F.countDistinct("__y").cast("bigint").alias("k_y"),
+        F.aggregate(F.sort_array(F.collect_list("__s")),
+                    F.lit(0.0),
+                    lambda acc, s: acc + s["term"]).alias("__S"))
+    nd = F.col("n").cast("double")
+    kx = F.col("k_x").cast("double")
+    ky = F.col("k_y").cast("double")
+    chi2 = F.col("__S") - nd
+    kmin = F.least(kx, ky)
+    v = F.when((kmin > 1) & (F.col("n") > 0),
+               F.sqrt(F.greatest(chi2, F.lit(0.0))
+                      / (nd * (kmin - F.lit(1.0))))) \
+        .otherwise(F.lit(0.0))
+    phi2p = F.greatest(
+        chi2 / nd - (kx - 1) * (ky - 1) / (nd - 1), F.lit(0.0))
+    kxt = kx - (kx - 1) * (kx - 1) / (nd - 1)
+    kyt = ky - (ky - 1) * (ky - 1) / (nd - 1)
+    kmt = F.least(kxt, kyt)
+    vc = F.when((F.col("n") > 1) & (kmt > 1),
+                F.sqrt(phi2p / (kmt - F.lit(1.0)))) \
+        .otherwise(F.lit(0.0))
+    return agg.select(
+        "col_x", "col_y", "n", "k_x", "k_y",
+        chi2.alias("chi2"), v.alias("v"),
+        vc.alias("v_corrected"))

@@ -179,3 +179,63 @@ def test_kw_distributed_equals_window_property(spark, rows, buckets):
          kruskal_wallis_distributed(df, "v", "lev",
                                     buckets=buckets).collect()]
     assert a == b
+
+
+class TestCramersVMatrix:
+    def test_pairs_and_single_pair_consistency(self, spark):
+        from pandas_ai_spark.functions.stats import (
+            chi_square_independence, cramers_v_matrix)
+
+        ev = spark.read.parquet(f"{SF_SMOKE}/events.parquet") \
+            .select("event_type",
+                    F.pmod("event_id", F.lit(2)).alias("par"),
+                    F.pmod("user_id", F.lit(3)).alias("bucket"))
+        m = {(r.col_x, r.col_y): r for r in cramers_v_matrix(
+            ev, ["event_type", "par", "bucket"]).collect()}
+        assert set(m) == {("event_type", "par"),
+                          ("event_type", "bucket"),
+                          ("par", "bucket")}
+        one = chi_square_independence(ev, "event_type",
+                                      "par").collect()[0]
+        got = m[("event_type", "par")]
+        assert got["chi2"] == pytest.approx(one["chi2"], abs=1e-9)
+        assert got["v"] == pytest.approx(one["cramers_v"], abs=1e-12)
+        assert got["n"] == one["n"]
+
+    def test_bias_correction_shrinks(self, spark):
+        # corrected V <= classic V, and both in [0, 1]
+        from pandas_ai_spark.functions.stats import cramers_v_matrix
+
+        ev = spark.read.parquet(f"{SF_SMOKE}/events.parquet") \
+            .withColumn("par", F.pmod("event_id", F.lit(2)))
+        for r in cramers_v_matrix(
+                ev, ["event_type", "par"]).collect():
+            assert 0.0 <= r["v_corrected"] <= r["v"] <= 1.0
+
+    def test_null_rows_pairwise_complete(self, spark):
+        from pandas_ai_spark.functions.stats import cramers_v_matrix
+
+        df = spark.createDataFrame(
+            [("a", "u", "p"), ("a", None, "q"), ("b", "u", None),
+             ("b", "v", "p"), (None, "v", "q")],
+            "c1 string, c2 string, c3 string")
+        m = {(r.col_x, r.col_y): r for r in cramers_v_matrix(
+            df, ["c1", "c2", "c3"]).collect()}
+        # each pair drops only ITS null rows
+        assert m[("c1", "c2")]["n"] == 3
+        assert m[("c1", "c3")]["n"] == 3
+        assert m[("c2", "c3")]["n"] == 3
+
+    def test_perfect_association(self, spark):
+        from pandas_ai_spark.functions.stats import cramers_v_matrix
+
+        rows = [(x, x.upper()) for x in "aabbccdd"]
+        df = spark.createDataFrame(rows, "c1 string, c2 string")
+        r = cramers_v_matrix(df, ["c1", "c2"]).collect()[0]
+        assert r["v"] == pytest.approx(1.0, abs=1e-12)
+
+    def test_requires_two_columns(self, spark):
+        from pandas_ai_spark.functions.stats import cramers_v_matrix
+
+        with pytest.raises(ValueError):
+            cramers_v_matrix(spark.range(3), ["id"])

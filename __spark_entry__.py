@@ -1632,6 +1632,30 @@ def q193_cramers_v_matrix(spark: SparkSession,
     ).orderBy("col_x", "col_y")
 
 
+def q194_permutation_test(spark: SparkSession,
+                          sf_dir: str) -> DataFrame:
+    """Seeded Monte-Carlo permutation test (stats.permutation_test):
+    per o_orderpriority, is the F-vs-O order-total gap explainable by
+    chance? 20 hash-ordered label permutations preserving the
+    observed arm sizes; the whole test is exact integer arithmetic
+    (totals in cents, md5 permutation order, DECIMAL(38,0)
+    cleared-denominator comparisons), so the add-one p-value is
+    bit-identical across engines — no asymptotic approximation
+    anywhere, the exact-inference companion to q113/q159. Oracle:
+    identical md5-order permutations in DuckDB (HUGEINT exact)."""
+    from pandas_ai_spark.functions.stats import permutation_test
+
+    orders = _t(spark, sf_dir, "orders")
+    out = permutation_test(
+        orders, "o_totalprice", "o_orderstatus", "F", "O",
+        ["o_orderkey"], by=["o_orderpriority"], n_perm=20)
+    return out.select(
+        "o_orderpriority", "n_a", "n_b",
+        F.round("diff", 9).alias("diff"),
+        F.round("p_value", 9).alias("p_value"),
+    ).orderBy("o_orderpriority")
+
+
 def q33_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact percentile/stddev aggregates through the semantic layer
     (Spark `percentile` interpolates identically to DuckDB
@@ -5253,6 +5277,7 @@ def queries_numeric() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q191_kruskal_wallis": q191_kruskal_wallis,
         "q192_kw_distributed": q192_kw_distributed,
         "q193_cramers_v_matrix": q193_cramers_v_matrix,
+        "q194_permutation_test": q194_permutation_test,
     }
 
 
@@ -9522,6 +9547,60 @@ def oracle_sql() -> dict[str, str]:
         FROM fin ORDER BY o_year
     """
     d["q192_kw_distributed"] = d["q191_kruskal_wallis"]
+    d["q194_permutation_test"] = """
+        WITH base AS (
+          SELECT o_orderpriority AS g,
+                 CAST(o_orderkey AS VARCHAR) AS id,
+                 (CASE WHEN o_orderstatus = 'F'
+                       THEN 1 ELSE 0 END)::BIGINT AS arm,
+                 CAST(round(CAST(o_totalprice AS DOUBLE) * 100)
+                      AS BIGINT) AS vc
+          FROM orders WHERE o_totalprice IS NOT NULL
+            AND o_orderstatus IN ('F', 'O')
+        ), obs AS (
+          SELECT g, CAST(sum(arm) AS BIGINT) AS na,
+                 CAST(count(*) - sum(arm) AS BIGINT) AS nb,
+                 CAST(sum(arm * vc) AS HUGEINT) AS sa,
+                 CAST(sum((1 - arm) * vc) AS HUGEINT) AS sb
+          FROM base GROUP BY g
+        ), obs2 AS (
+          SELECT g, na, nb,
+                 abs(sa * nb - sb * na) AS dobs,
+                 CAST(sa * nb - sb * na AS DOUBLE)
+                 / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE))
+                 / 100.0 AS diff
+          FROM obs
+        ), ranked AS (
+          SELECT g, k, vc,
+                 row_number() OVER (
+                   PARTITION BY g, k
+                   ORDER BY md5('pt#' || id || '#'
+                                || CAST(k AS VARCHAR)),
+                            id) AS rn
+          FROM base CROSS JOIN (
+            SELECT unnest(generate_series(1, 20)) AS k)
+        ), kstats AS (
+          SELECT r.g, r.k,
+                 CAST(sum(CASE WHEN rn <= o.na THEN vc
+                               ELSE 0 END) AS HUGEINT) AS ska,
+                 CAST(sum(CASE WHEN rn <= o.na THEN 0
+                               ELSE vc END) AS HUGEINT) AS skb
+          FROM ranked r JOIN obs2 o ON r.g = o.g
+          GROUP BY 1, 2
+        ), extreme AS (
+          SELECT ks.g,
+                 CAST(sum(CASE WHEN abs(ska * o.nb - skb * o.na)
+                                    >= o.dobs
+                               THEN 1 ELSE 0 END) AS BIGINT) AS c
+          FROM kstats ks JOIN obs2 o ON ks.g = o.g
+          GROUP BY 1
+        )
+        SELECT e.g AS o_orderpriority, o.na AS n_a, o.nb AS n_b,
+               round(o.diff, 9) AS diff,
+               round((1 + c)::DOUBLE / 21.0, 9) AS p_value
+        FROM extreme e JOIN obs2 o ON e.g = o.g
+        ORDER BY o_orderpriority
+    """
     d["q193_cramers_v_matrix"] = """
         WITH work AS (
           SELECT o_orderstatus AS status, o_orderpriority AS priority,

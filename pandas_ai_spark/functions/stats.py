@@ -2417,3 +2417,130 @@ def cramers_v_matrix(df: DataFrame, cols: list[str]) -> DataFrame:
         "col_x", "col_y", "n", "k_x", "k_y",
         chi2.alias("chi2"), v.alias("v"),
         vc.alias("v_corrected"))
+
+
+def permutation_test(df: DataFrame, value_col: str, sample_col: str,
+                     a, b, id_cols: list[str],
+                     by: list[str] | None = None,
+                     n_perm: int = 100, seed: str = "pt",
+                     scale: int = 100) -> DataFrame:
+    """Seeded Monte-Carlo PERMUTATION test for a difference in means
+    between two arms - the exact-inference companion to
+    :func:`welch_ttest` (no normality, no asymptotics): per ``by``
+    group ``(n_a, n_b, diff, p_value)`` where ``p_value`` is the
+    add-one Monte-Carlo estimate ``(1 + #{k : |D_k| >= |D_obs|}) /
+    (n_perm + 1)`` over ``n_perm`` label permutations that PRESERVE
+    the observed arm sizes (true permutation null, not a coin-flip
+    randomization).
+
+    Determinism - the whole test is exact integer arithmetic: values
+    are quantized to ``1/scale`` units (bigint), permutation ``k`` is
+    the md5 hash order of ``(seed, row id, k)`` (identical hex in
+    every engine; ties broken by the id), and the comparison
+    ``|D_k| >= |D_obs|`` clears denominators - arm sizes are
+    identical across permutations, so it reduces to
+    ``|s_a*n_b - s_b*n_a|`` on DECIMAL(38,0) (exact to
+    ``n^2*max_units ~ 1e38``). No float enters until the reported
+    ``diff``/``p_value`` - two engines agree bit-for-bit.
+
+    Scale shape: one pass computes arm sizes + observed sums; the
+    null distribution materializes ``n_perm x n`` rows via a
+    ``sequence``/explode (the inherent Monte-Carlo cost - tune
+    ``n_perm``, or pre-sample rows, at very large n); each
+    permutation's assignment is ONE ``row_number`` window over the
+    ``(by, perm)`` partition - ``groups x n_perm``-way parallel, no
+    driver loop; the per-permutation sums are a map-side-combined
+    aggregation. Everything joins back via broadcast (group-count
+    rows).
+    """
+    if n_perm < 1:
+        raise ValueError("n_perm must be >= 1")
+    if not id_cols:
+        raise ValueError("id_cols must identify rows (hash input)")
+    from pyspark.sql.functions import broadcast
+    from pyspark.sql.window import Window
+
+    by = list(by or [])
+    s = F.col(sample_col)
+    dec = "decimal(38,0)"
+    base = df.where(F.col(value_col).isNotNull()
+                    & s.isin(a, b)).select(
+        *[F.col(c) for c in by],
+        # '#'-separated so multi-column ids can't collide at the
+        # boundary ((926,6) vs (92,66)) — a duplicate id would tie
+        # the permutation sort key and break cross-engine determinism
+        F.concat_ws("#", *[F.col(c).cast("string")
+                           for c in id_cols]).alias("__id"),
+        (s == a).cast("bigint").alias("__arm"),
+        F.round(F.col(value_col).cast("double") * scale)
+         .cast("bigint").alias("__vc"))
+    obs = base.groupBy(
+        *[F.col(c).alias(f"__g_{c}") for c in by]).agg(
+        F.sum("__arm").cast("bigint").alias("__na"),
+        (F.count(F.lit(1)) - F.sum("__arm")).cast("bigint")
+         .alias("__nb"),
+        F.sum(F.col("__arm") * F.col("__vc")).cast(dec).alias("__sa"),
+        F.sum((F.lit(1) - F.col("__arm")) * F.col("__vc")).cast(dec)
+         .alias("__sb"))
+    d_obs = (F.col("__sa") * F.col("__nb").cast(dec)
+             - F.col("__sb") * F.col("__na").cast(dec))
+    obs = obs.select(
+        *[F.col(c) for c in [f"__g_{c}" for c in by]],
+        "__na", "__nb", F.abs(d_obs).alias("__dobs"),
+        (d_obs.cast("double")
+         / (F.col("__na").cast("double")
+            * F.col("__nb").cast("double"))
+         / F.lit(float(scale))).alias("__diff"))
+
+    def _obs_cond():
+        cond = None
+        for c in by:
+            eq = F.col(c).eqNullSafe(F.col(f"__g_{c}"))
+            cond = eq if cond is None else (cond & eq)
+        return cond
+
+    perms = base.withColumn(
+        "__k", F.explode(F.sequence(F.lit(1), F.lit(int(n_perm)))))
+    # only __na crosses the expensive n_perm x n sort; the other
+    # observed aggregates re-join on the bounded per-k stats below
+    na_only = obs.select(*[f"__g_{c}" for c in by], "__na")
+    if by:
+        perms = perms.join(broadcast(na_only), _obs_cond()) \
+            .drop(*[f"__g_{c}" for c in by])
+    else:
+        from .fold import fold_scalars
+        perms = fold_scalars(perms, na_only)
+    w = Window.partitionBy(*by, "__k").orderBy(
+        F.md5(F.concat_ws("#", F.lit(seed), F.col("__id"),
+                          F.col("__k").cast("string"))), "__id")
+    rn = F.row_number().over(w)
+    perms = perms.select(
+        *[F.col(c) for c in by], "__k", "__vc",
+        (rn <= F.col("__na")).cast("bigint").alias("__parm"))
+    kstats = perms.groupBy(*[F.col(c) for c in by],
+                           F.col("__k")).agg(
+        F.sum(F.col("__parm") * F.col("__vc")).cast(dec)
+         .alias("__ska"),
+        F.sum((F.lit(1) - F.col("__parm")) * F.col("__vc")).cast(dec)
+         .alias("__skb"))
+    if by:
+        kstats = kstats.join(broadcast(obs), _obs_cond())
+    else:
+        from .fold import fold_scalars
+        kstats = fold_scalars(kstats, obs)
+    d_k = F.abs(F.col("__ska") * F.col("__nb").cast(dec)
+                - F.col("__skb") * F.col("__na").cast(dec))
+    extreme = kstats.groupBy(*[F.col(c) for c in by]).agg(
+        F.sum((d_k >= F.col("__dobs")).cast("bigint"))
+         .cast("bigint").alias("__c"))
+    if by:
+        out = extreme.join(broadcast(obs), _obs_cond())
+    else:
+        from .fold import fold_scalars
+        out = fold_scalars(extreme, obs)
+    p = ((F.lit(1) + F.col("__c")).cast("double")
+         / F.lit(float(n_perm + 1)))
+    return out.select(
+        *[F.col(c) for c in by],
+        F.col("__na").alias("n_a"), F.col("__nb").alias("n_b"),
+        F.col("__diff").alias("diff"), p.alias("p_value"))

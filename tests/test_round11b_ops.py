@@ -239,3 +239,54 @@ class TestCramersVMatrix:
 
         with pytest.raises(ValueError):
             cramers_v_matrix(spark.range(3), ["id"])
+
+
+class TestPermutationTest:
+    def test_null_hypothesis_uniformish_p(self, spark):
+        # identical distributions in both arms -> p should not be
+        # tiny; and p is in [1/(B+1), 1]
+        from pandas_ai_spark.functions.stats import permutation_test
+
+        rows = [(i, "a" if i % 2 == 0 else "b", float(i % 7))
+                for i in range(60)]
+        df = spark.createDataFrame(rows, "id long, s string, v double")
+        r = permutation_test(df, "v", "s", "a", "b", ["id"],
+                             n_perm=40).collect()[0]
+        assert r["n_a"] == 30 and r["n_b"] == 30
+        assert 1.0 / 41 <= r["p_value"] <= 1.0
+        assert r["p_value"] > 0.05  # no real effect
+
+    def test_detects_huge_effect(self, spark):
+        from pandas_ai_spark.functions.stats import permutation_test
+
+        rows = [(i, "a", 100.0 + (i % 3)) for i in range(30)] + \
+               [(i + 100, "b", 1.0 + (i % 3)) for i in range(30)]
+        df = spark.createDataFrame(rows, "id long, s string, v double")
+        r = permutation_test(df, "v", "s", "a", "b", ["id"],
+                             n_perm=40).collect()[0]
+        assert r["p_value"] == pytest.approx(1.0 / 41)
+        assert r["diff"] == pytest.approx(99.0)
+
+    def test_seed_changes_draws_sizes_fixed(self, spark):
+        from pandas_ai_spark.functions.stats import permutation_test
+
+        rows = [(i, "a" if i % 3 == 0 else "b", float(i % 11))
+                for i in range(45)]
+        df = spark.createDataFrame(rows, "id long, s string, v double")
+        r1 = permutation_test(df, "v", "s", "a", "b", ["id"],
+                              n_perm=30, seed="x").collect()[0]
+        r2 = permutation_test(df, "v", "s", "a", "b", ["id"],
+                              n_perm=30, seed="y").collect()[0]
+        # arm sizes and observed diff are seed-independent
+        assert (r1["n_a"], r1["n_b"], r1["diff"]) == \
+            (r2["n_a"], r2["n_b"], r2["diff"])
+
+    def test_validates_args(self, spark):
+        from pandas_ai_spark.functions.stats import permutation_test
+
+        df = spark.createDataFrame([(1, "a", 1.0)],
+                                   "id long, s string, v double")
+        with pytest.raises(ValueError):
+            permutation_test(df, "v", "s", "a", "b", ["id"], n_perm=0)
+        with pytest.raises(ValueError):
+            permutation_test(df, "v", "s", "a", "b", [])

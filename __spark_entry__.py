@@ -1656,6 +1656,23 @@ def q194_permutation_test(spark: SparkSession,
     ).orderBy("o_orderpriority")
 
 
+def q195_encoding_anomalies(spark: SparkSession,
+                            sf_dir: str) -> DataFrame:
+    """Encoding-damage triage over the document corpus
+    (text.encoding_anomalies): exact per-doc counts of U+FFFD
+    replacement chars, latin-1-decoded-UTF-8 mojibake marks, and C0
+    control bytes, plus the integer-arithmetic suspect flag — the
+    ftfy-style screen a web-scrape ingest runs before tokenizing.
+    Pure-Column codegen (literal replace + one regexp_replace), zero
+    shuffles/UDFs; the text read pushes straight to the parquet
+    scan. Oracle: identical replace/regexp counting in DuckDB."""
+    from pandas_ai_spark.functions.text import encoding_anomalies
+
+    docs = _t(spark, sf_dir, "documents")
+    return encoding_anomalies(docs, "text", keep=["doc_id"]) \
+        .orderBy("doc_id")
+
+
 def q33_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact percentile/stddev aggregates through the semantic layer
     (Spark `percentile` interpolates identically to DuckDB
@@ -5278,6 +5295,7 @@ def queries_numeric() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q192_kw_distributed": q192_kw_distributed,
         "q193_cramers_v_matrix": q193_cramers_v_matrix,
         "q194_permutation_test": q194_permutation_test,
+        "q195_encoding_anomalies": q195_encoding_anomalies,
     }
 
 
@@ -9600,6 +9618,42 @@ def oracle_sql() -> dict[str, str]:
                round((1 + c)::DOUBLE / 21.0, 9) AS p_value
         FROM extreme e JOIN obs2 o ON e.g = o.g
         ORDER BY o_orderpriority
+    """
+    d["q195_encoding_anomalies"] = """
+        SELECT doc_id,
+               CAST(length(text) AS BIGINT) AS n_chars,
+               CAST(length(text)
+                    - length(replace(text, '�', ''))
+                    AS BIGINT) AS repl_chars,
+               CAST((length(text)
+                     - length(replace(text, 'Ã', '')))
+                    + (length(text)
+                       - length(replace(text, 'Â', '')))
+                    + (length(text)
+                       - length(replace(text, 'â€', ''))) / 2
+                    AS BIGINT) AS mojibake_marks,
+               CAST(length(text)
+                    - length(regexp_replace(text,
+                        '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]', '',
+                        'g'))
+                    AS BIGINT) AS ctrl_chars,
+               (CAST(length(text)
+                     - length(replace(text, '�', ''))
+                     AS BIGINT) > 0)
+               OR (CAST(length(text)
+                        - length(regexp_replace(text,
+                          '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]', '',
+                          'g')) AS BIGINT) > 0)
+               OR (CAST((length(text)
+                         - length(replace(text, 'Ã', '')))
+                        + (length(text)
+                           - length(replace(text, 'Â', '')))
+                        + (length(text)
+                           - length(replace(text, 'â€', ''))) / 2
+                        AS BIGINT) * 1000
+                   > 5 * CAST(length(text) AS BIGINT))
+                 AS enc_suspect
+        FROM documents ORDER BY doc_id
     """
     d["q193_cramers_v_matrix"] = """
         WITH work AS (

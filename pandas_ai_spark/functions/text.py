@@ -936,3 +936,55 @@ def corpus_profile_exact(df: DataFrame, by: str = "source",
                   F.element_at("__p", 1).alias("p50_chars"),
                   F.element_at("__p", 2).alias("p90_chars"))
     )
+
+
+def encoding_anomalies(df: DataFrame, text_col: str = "text",
+                       keep: list[str] | None = None,
+                       mojibake_per_mille: int = 5) -> DataFrame:
+    """Encoding-damage screen for a text corpus - the ftfy-style
+    triage a web-scrape ingest runs before spending tokenizer/LLM
+    cycles on garbage: per row, exact counts of the three classic
+    UTF-8 damage signatures and a routing flag.
+
+    - ``repl_chars``: U+FFFD replacement characters (a decoder
+      already gave up once);
+    - ``mojibake_marks``: the latin-1-decoded-UTF-8 tells - 'A-tilde'
+      (0xC3 lead byte as text), 'A-circumflex' (0xC2), and the
+      'a-circumflex + euro' pair every smart-quote/dash turns into;
+    - ``ctrl_chars``: C0 control characters other than tab/LF/CR
+      (binary spill into a text column).
+
+    ``enc_suspect`` flags any replacement char, any control char, or
+    a mojibake density over ``mojibake_per_mille`` per 1000 chars -
+    the density compare is cleared-denominator integer arithmetic
+    (``1000*marks > threshold*n_chars``), so the flag is exact.
+
+    Scale shape: pure Column expressions (literal replace + one
+    regexp_replace), whole-stage codegen, zero shuffles, zero UDFs -
+    a linear scan that pushes the text column read straight to the
+    parquet scan. NULL text yields NULL counts and NULL flag
+    (nothing is silently dropped).
+    """
+    t = F.col(text_col)
+
+    def lit_count(lit: str):
+        cnt = ((F.length(t)
+                - F.length(F.replace(t, F.lit(lit), F.lit(""))))
+               / F.lit(len(lit)))
+        return cnt.cast("bigint")
+
+    repl = lit_count("�")
+    moji = (lit_count("Ã") + lit_count("Â")
+            + lit_count("â€")).cast("bigint")
+    ctrl = (F.length(t) - F.length(F.regexp_replace(
+        t, "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]", ""))) \
+        .cast("bigint")
+    n = F.length(t).cast("bigint")
+    suspect = (repl > 0) | (ctrl > 0) \
+        | (moji * 1000 > F.lit(int(mojibake_per_mille)) * n)
+    cols = list(keep or [])
+    return df.select(
+        *[F.col(c) for c in cols],
+        n.alias("n_chars"), repl.alias("repl_chars"),
+        moji.alias("mojibake_marks"), ctrl.alias("ctrl_chars"),
+        suspect.alias("enc_suspect"))

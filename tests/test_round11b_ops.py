@@ -290,3 +290,50 @@ class TestPermutationTest:
             permutation_test(df, "v", "s", "a", "b", ["id"], n_perm=0)
         with pytest.raises(ValueError):
             permutation_test(df, "v", "s", "a", "b", [])
+
+
+class TestEncodingAnomalies:
+    def test_signature_counts(self, spark):
+        from pandas_ai_spark.functions.text import encoding_anomalies
+
+        rows = [
+            (1, "clean ascii text, nothing wrong here"),
+            (2, "damaged: cafÃ© and Ã¨ two marks"),
+            (3, "repl � char"),
+            (4, "ctrl\x00\x01 bytes\x1f but tab\tand\nnewline ok"),
+            (5, None),
+            (6, "smart quote gone wrong: â€™s"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id int, text string")
+        out = {r["doc_id"]: r for r in encoding_anomalies(
+            df, "text", keep=["doc_id"]).collect()}
+        assert out[1]["repl_chars"] == 0
+        assert out[1]["mojibake_marks"] == 0
+        assert out[1]["ctrl_chars"] == 0
+        assert out[1]["enc_suspect"] is False
+        assert out[2]["mojibake_marks"] == 2
+        assert out[2]["enc_suspect"] is True
+        assert out[3]["repl_chars"] == 1
+        assert out[3]["enc_suspect"] is True
+        # tab and newline are NOT control anomalies; NUL/SOH/US are
+        assert out[4]["ctrl_chars"] == 3
+        assert out[4]["enc_suspect"] is True
+        assert out[5]["n_chars"] is None
+        assert out[5]["enc_suspect"] is None
+        # the a-circumflex + euro pair counts once
+        assert out[6]["mojibake_marks"] == 1
+
+    def test_density_threshold_integer_exact(self, spark):
+        from pandas_ai_spark.functions.text import encoding_anomalies
+
+        # exactly at the default 5-per-mille boundary: 1 mark in 200
+        # chars -> 1000*1 > 5*200 is FALSE (strict), 1 mark in 199 ->
+        # 1000 > 995 TRUE
+        at = "Ã" + "a" * 199     # 200 chars, density == 5/1000
+        over = "Ã" + "a" * 198   # 199 chars, just over
+        df = spark.createDataFrame(
+            [(1, at), (2, over)], "doc_id int, text string")
+        out = {r["doc_id"]: r["enc_suspect"] for r in
+               encoding_anomalies(df, "text",
+                                  keep=["doc_id"]).collect()}
+        assert out[1] is False and out[2] is True

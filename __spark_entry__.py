@@ -1673,6 +1673,32 @@ def q195_encoding_anomalies(spark: SparkSession,
         .orderBy("doc_id")
 
 
+def q196_mantel_haenszel(spark: SparkSession,
+                         sf_dir: str) -> DataFrame:
+    """Stratified 2x2 pooled association (stats.mantel_haenszel):
+    per l_linestatus, does a deep discount (>5%) associate with
+    returns (l_returnflag='R'), POOLED ACROSS ship years instead of
+    collapsed over them — the Simpson's-paradox-safe version of
+    q92's A/B proportions test. MH common odds ratio + CMH chi²
+    (1 dof). One aggregation to the (status, ship-year) 2x2 grain;
+    the four cross-strata float sums fold stratum-sorted on both
+    engines. Oracle: identical cell grain + ordered-fold algebra."""
+    from pandas_ai_spark.functions.stats import mantel_haenszel
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_linestatus",
+        F.year("l_shipdate").alias("ship_year"),
+        (F.col("l_discount") > 0.05).alias("deep_disc"),
+        (F.col("l_returnflag") == "R").alias("returned"))
+    out = mantel_haenszel(li, "deep_disc", "returned",
+                          ["ship_year"], by=["l_linestatus"])
+    return out.select(
+        "l_linestatus", "n_strata", "n",
+        F.round("or_mh", 9).alias("or_mh"),
+        F.round("chi2_cmh", 9).alias("chi2_cmh"),
+    ).orderBy("l_linestatus")
+
+
 def q33_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact percentile/stddev aggregates through the semantic layer
     (Spark `percentile` interpolates identically to DuckDB
@@ -5296,6 +5322,7 @@ def queries_numeric() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q193_cramers_v_matrix": q193_cramers_v_matrix,
         "q194_permutation_test": q194_permutation_test,
         "q195_encoding_anomalies": q195_encoding_anomalies,
+        "q196_mantel_haenszel": q196_mantel_haenszel,
     }
 
 
@@ -9618,6 +9645,55 @@ def oracle_sql() -> dict[str, str]:
                round((1 + c)::DOUBLE / 21.0, 9) AS p_value
         FROM extreme e JOIN obs2 o ON e.g = o.g
         ORDER BY o_orderpriority
+    """
+    d["q196_mantel_haenszel"] = """
+        WITH base AS (
+          SELECT l_linestatus AS g,
+                 CAST(year(l_shipdate) AS VARCHAR) AS st,
+                 (l_discount > 0.05::DOUBLE)::BIGINT AS e,
+                 (l_returnflag = 'R')::BIGINT AS o
+          FROM lineitem
+          WHERE l_discount IS NOT NULL AND l_returnflag IS NOT NULL
+            AND l_shipdate IS NOT NULL AND l_linestatus IS NOT NULL
+        ), cells AS (
+          SELECT g, st,
+                 CAST(sum(e * o) AS BIGINT) AS a,
+                 CAST(sum(e * (1 - o)) AS BIGINT) AS b,
+                 CAST(sum((1 - e) * o) AS BIGINT) AS c,
+                 CAST(sum((1 - e) * (1 - o)) AS BIGINT) AS d
+          FROM base GROUP BY 1, 2
+        ), terms AS (
+          SELECT g, st, a, b, c, d,
+                 CAST(a + b + c + d AS DOUBLE) AS n,
+                 CAST(a AS DOUBLE) AS ad, CAST(b AS DOUBLE) AS bd,
+                 CAST(c AS DOUBLE) AS cd, CAST(d AS DOUBLE) AS dd
+          FROM cells
+        ), folds AS (
+          SELECT g,
+                 CAST(count(*) AS BIGINT) AS n_strata,
+                 CAST(sum(a + b + c + d) AS BIGINT) AS n,
+                 list_sum(list(CASE WHEN n > 0 THEN ad * dd / n
+                                    ELSE 0.0 END ORDER BY st))
+                   AS adn,
+                 list_sum(list(CASE WHEN n > 0 THEN bd * cd / n
+                                    ELSE 0.0 END ORDER BY st))
+                   AS bcn,
+                 list_sum(list(CASE WHEN n > 0
+                               THEN ad - (ad + bd) * (ad + cd) / n
+                               ELSE 0.0 END ORDER BY st)) AS num,
+                 list_sum(list(CASE WHEN n > 1
+                               THEN (ad + bd) * (cd + dd)
+                                    * (ad + cd) * (bd + dd)
+                                    / (n * n * (n - 1))
+                               ELSE 0.0 END ORDER BY st)) AS var_
+          FROM terms GROUP BY g
+        )
+        SELECT g AS l_linestatus, n_strata, n,
+               round(CASE WHEN bcn > 0 THEN adn / bcn END, 9)
+                 AS or_mh,
+               round(CASE WHEN var_ > 0 THEN num * num / var_ END, 9)
+                 AS chi2_cmh
+        FROM folds ORDER BY l_linestatus
     """
     d["q195_encoding_anomalies"] = """
         SELECT doc_id,

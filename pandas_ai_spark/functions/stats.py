@@ -2544,3 +2544,111 @@ def permutation_test(df: DataFrame, value_col: str, sample_col: str,
         *[F.col(c) for c in by],
         F.col("__na").alias("n_a"), F.col("__nb").alias("n_b"),
         F.col("__diff").alias("diff"), p.alias("p_value"))
+
+
+def _mh_term(s, which: str):
+    """Per-stratum Mantel-Haenszel fold terms from a cell struct
+    (exact-int cells, row-local double arithmetic - shared by every
+    fold so both engines add identical doubles in identical stratum
+    order)."""
+    a = s["a"].cast("double")
+    b = s["b"].cast("double")
+    c = s["c"].cast("double")
+    d = s["d"].cast("double")
+    n = a + b + c + d
+    if which == "ad_n":
+        return F.when(n > 0, a * d / n).otherwise(F.lit(0.0))
+    if which == "bc_n":
+        return F.when(n > 0, b * c / n).otherwise(F.lit(0.0))
+    if which == "num":
+        return F.when(n > 0, a - (a + b) * (a + c) / n) \
+            .otherwise(F.lit(0.0))
+    if which == "var":
+        return F.when(
+            n > 1,
+            (a + b) * (c + d) * (a + c) * (b + d)
+            / (n * n * (n - 1))).otherwise(F.lit(0.0))
+    raise ValueError(which)
+
+
+def mantel_haenszel(df: DataFrame, exposure_col: str,
+                    outcome_col: str, strata_cols: list[str],
+                    by: list[str] | None = None) -> DataFrame:
+    """Mantel-Haenszel stratified 2x2 analysis - the
+    confounder-controlled counterpart of :func:`ab_test_proportions`:
+    pool the exposure/outcome association ACROSS strata instead of
+    collapsing them (collapsing invites Simpson's paradox). Per
+    ``by`` group: ``(n_strata, n, or_mh, chi2_cmh)`` where ``or_mh``
+    is the MH common odds ratio ``sum(a_i*d_i/n_i) /
+    sum(b_i*c_i/n_i)`` and ``chi2_cmh`` the Cochran-Mantel-Haenszel
+    statistic (1 dof, no continuity correction)
+    ``(sum(a_i - r1_i*c1_i/n_i))^2 /
+    sum(r1_i*r0_i*c1_i*c0_i / (n_i^2*(n_i-1)))``.
+
+    ``exposure_col`` and ``outcome_col`` are BOOLEAN columns (derive
+    them upstream); NULL exposure/outcome/stratum rows are excluded.
+
+    Determinism: each stratum's 2x2 cells are exact bigints from one
+    map-side-combined aggregation; every per-stratum term is
+    row-local double arithmetic on those ints, and the four
+    cross-strata float sums fold in stratum-sorted order on BOTH
+    engines (Spark aggregate(sort_array(...)), DuckDB
+    list_sum(list(... ORDER BY strata))), so the rounded output
+    hash-matches.
+
+    Scale shape: ONE aggregation to the (by, strata) grain (shuffle
+    bounded by stratum count), then a bounded per-group fold - the
+    stratum list is post-aggregation grain, never raw rows. Strata
+    counts are assumed bounded (the contract of stratified 2x2
+    analysis); a million-stratum input wants a different design.
+    """
+    if not strata_cols:
+        raise ValueError("strata_cols must be non-empty")
+    by = list(by or [])
+    e = F.col(exposure_col)
+    o = F.col(outcome_col)
+    base = df.where(e.isNotNull() & o.isNotNull())
+    for c in strata_cols:
+        base = base.where(F.col(c).isNotNull())
+    ei = e.cast("bigint")
+    oi = o.cast("bigint")
+    cells = base.groupBy(
+        *[F.col(c) for c in by],
+        *[F.col(c) for c in strata_cols]).agg(
+        F.sum(ei * oi).cast("bigint").alias("__a"),
+        F.sum(ei * (1 - oi)).cast("bigint").alias("__b"),
+        F.sum((1 - ei) * oi).cast("bigint").alias("__c"),
+        F.sum((1 - ei) * (1 - oi)).cast("bigint").alias("__d"))
+    staged = cells.select(
+        *[F.col(col) for col in by],
+        F.struct(
+            *[F.col(col).cast("string").alias(f"k{i}")
+              for i, col in enumerate(strata_cols)],
+            F.col("__a").alias("a"), F.col("__b").alias("b"),
+            F.col("__c").alias("c"), F.col("__d").alias("d"))
+        .alias("__s"),
+        (F.col("__a") + F.col("__b") + F.col("__c") + F.col("__d"))
+        .alias("__n"))
+
+    def fold(which: str):
+        return F.aggregate(
+            F.sort_array(F.collect_list("__s")), F.lit(0.0),
+            lambda acc, s: acc + _mh_term(s, which))
+
+    aggs = [
+        F.count(F.lit(1)).cast("bigint").alias("n_strata"),
+        F.sum("__n").cast("bigint").alias("n"),
+        fold("ad_n").alias("__adn"),
+        fold("bc_n").alias("__bcn"),
+        fold("num").alias("__num"),
+        fold("var").alias("__var"),
+    ]
+    g = (staged.groupBy(*[F.col(col) for col in by]).agg(*aggs)
+         if by else staged.agg(*aggs))
+    or_mh = F.when(F.col("__bcn") > 0,
+                   F.col("__adn") / F.col("__bcn"))
+    chi2 = F.when(F.col("__var") > 0,
+                  F.col("__num") * F.col("__num") / F.col("__var"))
+    return g.select(
+        *[F.col(col) for col in by], "n_strata", "n",
+        or_mh.alias("or_mh"), chi2.alias("chi2_cmh"))

@@ -337,3 +337,79 @@ class TestEncodingAnomalies:
                encoding_anomalies(df, "text",
                                   keep=["doc_id"]).collect()}
         assert out[1] is False and out[2] is True
+
+
+class TestMantelHaenszel:
+    def test_matches_independent_computation(self, spark):
+        import random
+
+        from pandas_ai_spark.functions.stats import mantel_haenszel
+
+        random.seed(11)
+        rows = []
+        for stratum in ("s1", "s2", "s3"):
+            base = {"s1": 0.2, "s2": 0.5, "s3": 0.7}[stratum]
+            for _ in range(200):
+                e = random.random() < 0.5
+                o = random.random() < base + (0.1 if e else 0.0)
+                rows.append((stratum, e, o))
+        df = spark.createDataFrame(rows,
+                                   "st string, e boolean, o boolean")
+        got = mantel_haenszel(df, "e", "o", ["st"]).collect()[0]
+        from collections import defaultdict
+        cell = defaultdict(lambda: [0, 0, 0, 0])
+        for st, e, o in rows:
+            idx = 0 if (e and o) else 1 if e else 2 if o else 3
+            cell[st][idx] += 1
+        num = den = s_num = s_var = 0.0
+        for st in sorted(cell):
+            a, b, c, d = cell[st]
+            n = a + b + c + d
+            num += a * d / n
+            den += b * c / n
+            s_num += a - (a + b) * (a + c) / n
+            s_var += ((a + b) * (c + d) * (a + c) * (b + d)
+                      / (n * n * (n - 1)))
+        assert got["n_strata"] == 3 and got["n"] == 600
+        assert got["or_mh"] == pytest.approx(num / den, abs=1e-12)
+        assert got["chi2_cmh"] == pytest.approx(
+            s_num * s_num / s_var, abs=1e-10)
+
+    def test_simpsons_paradox_direction(self, spark):
+        # classic setup: within every stratum the exposure HURTS
+        # (OR < 1), but the collapsed table says it helps; MH must
+        # report the stratified truth
+        from pandas_ai_spark.functions.stats import mantel_haenszel
+
+        rows = []
+        # stratum A: mostly exposed, high base rate
+        rows += [("A", True, True)] * 70 + [("A", True, False)] * 30
+        rows += [("A", False, True)] * 8 + [("A", False, False)] * 2
+        # stratum B: mostly unexposed, low base rate
+        rows += [("B", True, True)] * 2 + [("B", True, False)] * 8
+        rows += [("B", False, True)] * 30 + [("B", False, False)] * 70
+        df = spark.createDataFrame(rows,
+                                   "st string, e boolean, o boolean")
+        got = mantel_haenszel(df, "e", "o", ["st"]).collect()[0]
+        # within-stratum ORs: A: (70*2)/(30*8)=0.583, B: (2*70)/(8*30)
+        # =0.583 -> pooled < 1
+        assert got["or_mh"] < 1.0
+        # collapsed OR: ((72)*(72))/((38)*(38)) > 1 — the paradox
+        a, b = 72, 38
+        assert (a * 72) / (b * 38) > 1.0
+
+    def test_degenerate_single_row_strata(self, spark):
+        from pandas_ai_spark.functions.stats import mantel_haenszel
+
+        df = spark.createDataFrame(
+            [("x", True, True), ("y", False, False)],
+            "st string, e boolean, o boolean")
+        r = mantel_haenszel(df, "e", "o", ["st"]).collect()[0]
+        # no stratum has variance; chi2 is NULL, or_mh NULL (bcn=0)
+        assert r["chi2_cmh"] is None and r["or_mh"] is None
+
+    def test_requires_strata(self, spark):
+        from pandas_ai_spark.functions.stats import mantel_haenszel
+
+        with pytest.raises(ValueError):
+            mantel_haenszel(spark.range(2), "id", "id", [])

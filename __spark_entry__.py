@@ -1699,6 +1699,31 @@ def q196_mantel_haenszel(spark: SparkSession,
     ).orderBy("l_linestatus")
 
 
+def q197_dunn_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dunn's post-hoc pairwise test with BH-FDR (stats.dunn_test):
+    q191's Kruskal-Wallis says the five order priorities differ —
+    Dunn says WHICH pairs, per order year: pairwise mean-pooled-rank
+    z under the tie-corrected KW variance, two-sided p via the shared
+    Abramowitz-Stegun normal tail, BH-adjusted over each year's
+    10-pair family (stats.bh_fdr composition). Doubled midranks keep
+    all rank sums exact; z is row-local on those exact aggregates.
+    Oracle: identical rank windows + A&S tail + BH windows."""
+    from pandas_ai_spark.functions.stats import dunn_test
+
+    orders = _t(spark, sf_dir, "orders").select(
+        F.year("o_orderdate").alias("o_year"),
+        "o_orderpriority", "o_totalprice")
+    out = dunn_test(orders, "o_totalprice", "o_orderpriority",
+                    by=["o_year"])
+    return out.select(
+        "o_year", "lev_a", "lev_b", "n_a", "n_b",
+        F.round("z", 9).alias("z"),
+        F.round("p_value", 9).alias("p_value"),
+        "p_rank",
+        F.round("p_adj", 9).alias("p_adj"), "reject",
+    ).orderBy("o_year", "lev_a", "lev_b")
+
+
 def q33_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact percentile/stddev aggregates through the semantic layer
     (Spark `percentile` interpolates identically to DuckDB
@@ -5323,6 +5348,7 @@ def queries_numeric() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q194_permutation_test": q194_permutation_test,
         "q195_encoding_anomalies": q195_encoding_anomalies,
         "q196_mantel_haenszel": q196_mantel_haenszel,
+        "q197_dunn_test": q197_dunn_test,
     }
 
 
@@ -9645,6 +9671,78 @@ def oracle_sql() -> dict[str, str]:
                round((1 + c)::DOUBLE / 21.0, 9) AS p_value
         FROM extreme e JOIN obs2 o ON e.g = o.g
         ORDER BY o_orderpriority
+    """
+    d["q197_dunn_test"] = """
+        WITH base AS (
+          SELECT year(o_orderdate) AS yr, o_orderpriority AS grp,
+                 o_totalprice AS v
+          FROM orders
+          WHERE o_totalprice IS NOT NULL
+            AND o_orderpriority IS NOT NULL
+        ), ranked AS (
+          SELECT yr, grp, v,
+                 2 * (count(*) OVER (PARTITION BY yr ORDER BY v
+                        RANGE BETWEEN UNBOUNDED PRECEDING
+                        AND CURRENT ROW)
+                      - count(*) OVER (PARTITION BY yr, v))
+                 + count(*) OVER (PARTITION BY yr, v) + 1 AS r2,
+                 count(*) OVER (PARTITION BY yr, v) AS t
+          FROM base
+        ), lvl AS (
+          SELECT yr, grp, CAST(count(*) AS BIGINT) AS ni,
+                 CAST(sum(r2) AS DECIMAL(38,0)) AS rs2
+          FROM ranked GROUP BY 1, 2
+        ), meta AS (
+          SELECT yr, CAST(count(*) AS BIGINT) AS n_tot,
+                 CAST(sum(t * t - 1) AS BIGINT) AS ties
+          FROM ranked GROUP BY 1
+        ), zp AS (
+          SELECT l.yr, l.grp AS lev_a, r.grp AS lev_b,
+                 l.ni AS n_a, r.ni AS n_b,
+                 (CAST(l.rs2 AS DOUBLE) / (2.0 * CAST(l.ni AS DOUBLE))
+                  - CAST(r.rs2 AS DOUBLE)
+                    / (2.0 * CAST(r.ni AS DOUBLE)))
+                 / sqrt(((CAST(m.n_tot AS DOUBLE)
+                          * (CAST(m.n_tot AS DOUBLE) + 1)
+                          - CAST(m.ties AS DOUBLE)
+                            / (CAST(m.n_tot AS DOUBLE) - 1)) / 12.0)
+                        * (1.0 / CAST(l.ni AS DOUBLE)
+                           + 1.0 / CAST(r.ni AS DOUBLE))) AS z
+          FROM lvl l JOIN lvl r ON l.yr = r.yr AND l.grp < r.grp
+          JOIN meta m ON m.yr = l.yr
+        ), wp AS (
+          SELECT yr, lev_a, lev_b, n_a, n_b, z,
+                 least(1.0, 2.0 * (0.3989422804014327
+                   * exp(-z * z / 2.0)
+                   * (tt * (0.319381530 + tt * (-0.356563782
+                      + tt * (1.781477937 + tt * (-1.821255978
+                      + tt * 1.330274429))))))) AS p
+          FROM (SELECT *, 1.0 / (1.0 + 0.2316419 * abs(z)) AS tt
+                FROM zp)
+        ), m2 AS (
+          SELECT yr, CAST(count(*) AS BIGINT) AS m FROM wp GROUP BY yr
+        ), rk AS (
+          SELECT w.*, m2.m,
+                 CAST(row_number() OVER (
+                        PARTITION BY w.yr
+                        ORDER BY p ASC, lev_a, lev_b)
+                      AS BIGINT) AS p_rank
+          FROM wp w JOIN m2 ON w.yr = m2.yr
+        ), adj AS (
+          SELECT *,
+                 least(min(CAST(m AS DOUBLE) * p
+                           / CAST(p_rank AS DOUBLE)) OVER (
+                         PARTITION BY yr ORDER BY p DESC
+                         RANGE BETWEEN UNBOUNDED PRECEDING
+                         AND CURRENT ROW),
+                       1.0::DOUBLE) AS p_adj
+          FROM rk
+        )
+        SELECT yr AS o_year, lev_a, lev_b, n_a, n_b,
+               round(z, 9) AS z, round(p, 9) AS p_value, p_rank,
+               round(p_adj, 9) AS p_adj,
+               p_adj <= 0.05::DOUBLE AS reject
+        FROM adj ORDER BY o_year, lev_a, lev_b
     """
     d["q196_mantel_haenszel"] = """
         WITH base AS (

@@ -2652,3 +2652,132 @@ def mantel_haenszel(df: DataFrame, exposure_col: str,
     return g.select(
         *[F.col(col) for col in by], "n_strata", "n",
         or_mh.alias("or_mh"), chi2.alias("chi2_cmh"))
+
+
+# 1/sqrt(2*pi) and the Abramowitz-Stegun 26.2.17 tail coefficients -
+# shared repr-exact double literals with every oracle that needs a
+# normal tail (no erf builtin in either engine; |error| < 7.5e-8)
+_INV_SQRT_2PI = 0.3989422804014327
+_AS_T = 0.2316419
+_AS_B = (0.319381530, -0.356563782, 1.781477937,
+         -1.821255978, 1.330274429)
+
+
+def _normal_upper_tail(z):
+    """P(Z >= z) for z >= 0 via Abramowitz-Stegun 26.2.17 - pure
+    elementary ops (exp/multiply), so two engines evaluating the
+    same expression tree produce bit-identical doubles."""
+    t = F.lit(1.0) / (F.lit(1.0) + F.lit(_AS_T) * z)
+    b1, b2, b3, b4, b5 = (F.lit(v) for v in _AS_B)
+    poly = t * (b1 + t * (b2 + t * (b3 + t * (b4 + t * b5))))
+    phi = F.lit(_INV_SQRT_2PI) * F.exp(-z * z / F.lit(2.0))
+    return phi * poly
+
+
+def dunn_test(df: DataFrame, value_col: str, group_col: str,
+              by: list[str] | None = None,
+              alpha: float = 0.05) -> DataFrame:
+    """Dunn's post-hoc test - the pairwise follow-up to
+    :func:`kruskal_wallis`: once KW rejects "all k levels equal",
+    Dunn says WHICH pairs differ. Per ``by`` group and unordered
+    level pair: ``(lev_a, lev_b, n_a, n_b, z, p_value, p_rank,
+    p_adj, reject)`` where ``z`` compares the pair's mean POOLED
+    midranks under the tie-corrected KW variance
+    ``sigma^2 = (N(N+1) - T/(N-1)) / 12`` and the
+    ``k(k-1)/2``-pair family is adjusted by Benjamini-Hochberg
+    (:func:`bh_fdr` composition - the classic Dunn-with-FDR form).
+
+    Determinism: doubled midranks keep every rank sum an exact
+    integer; ``z`` is row-local double arithmetic on those exact
+    aggregates (no cross-level float sum at all); the two-sided
+    p-value uses the shared Abramowitz-Stegun normal tail (identical
+    expression tree in the oracle); BH runs on the bounded pair
+    family.
+
+    Scale shape: the rank pass is the KW window path (one ordered
+    window per ``by`` group over raw rows); everything after is
+    post-aggregation grain - k rows per group, then a k x k/2
+    self-join on the bounded level table. For a few huge groups,
+    rank with :func:`distributed_midrank` upstream and feed the
+    ranked frame here via ``kruskal_wallis_distributed``'s tail
+    instead (the z/BH stages are grain-bounded either way).
+    """
+    from pyspark.sql.functions import broadcast
+    from pyspark.sql.window import Window
+
+    by = list(by or [])
+    base = df.where(F.col(value_col).isNotNull()
+                    & F.col(group_col).isNotNull()).select(
+        *[F.col(c) for c in by],
+        F.col(value_col).alias("__v"),
+        F.col(group_col).cast("string").alias("__grp"))
+    wo = (Window.partitionBy(*by).orderBy("__v")
+          .rangeBetween(Window.unboundedPreceding, 0)
+          if by else
+          Window.orderBy("__v").rangeBetween(
+              Window.unboundedPreceding, 0))
+    wt = (Window.partitionBy(*by, "__v") if by
+          else Window.partitionBy("__v"))
+    cum_le = F.count(F.lit(1)).over(wo)
+    t = F.count(F.lit(1)).over(wt)
+    r2 = (F.lit(2) * (cum_le - t) + t + F.lit(1)).cast("bigint")
+    ranked = base.select(
+        *[F.col(c) for c in by], "__grp",
+        r2.alias("__r2"),
+        (t * t - 1).cast("bigint").alias("__tie1"))
+    lvl = ranked.groupBy(*[F.col(c) for c in by], F.col("__grp")) \
+        .agg(F.count(F.lit(1)).cast("bigint").alias("__ni"),
+             F.sum(F.col("__r2").cast("decimal(38,0)"))
+              .alias("__rs2"))
+    meta_aggs = [
+        F.count(F.lit(1)).cast("bigint").alias("__N"),
+        F.sum("__tie1").cast("bigint").alias("__ties"),
+    ]
+    if by:
+        meta = ranked.groupBy(
+            *[F.col(c).alias(f"__g_{c}") for c in by]).agg(*meta_aggs)
+        cond = None
+        for c in by:
+            eq = F.col(c).eqNullSafe(F.col(f"__g_{c}"))
+            cond = eq if cond is None else (cond & eq)
+        lvl = lvl.join(broadcast(meta), cond) \
+            .drop(*[f"__g_{c}" for c in by])
+    else:
+        from .fold import fold_scalars
+        lvl = fold_scalars(lvl, ranked.agg(*meta_aggs))
+    left = lvl.select(
+        *[F.col(c).alias(f"__l_{c}") for c in by],
+        F.col("__grp").alias("lev_a"),
+        F.col("__ni").alias("n_a"),
+        F.col("__rs2").alias("__rs2a"),
+        F.col("__N").alias("__N"), F.col("__ties").alias("__ties"))
+    right = lvl.select(
+        *[F.col(c).alias(f"__r_{c}") for c in by],
+        F.col("__grp").alias("lev_b"),
+        F.col("__ni").alias("n_b"),
+        F.col("__rs2").alias("__rs2b"))
+    jcond = F.col("lev_a") < F.col("lev_b")
+    for c in by:
+        jcond = jcond & F.col(f"__l_{c}").eqNullSafe(F.col(f"__r_{c}"))
+    pairs = left.join(right, jcond)
+    nd = F.col("__N").cast("double")
+    sigma2 = (nd * (nd + 1)
+              - F.col("__ties").cast("double") / (nd - 1)) / F.lit(12.0)
+    rbar_a = (F.col("__rs2a").cast("double")
+              / (F.lit(2.0) * F.col("n_a").cast("double")))
+    rbar_b = (F.col("__rs2b").cast("double")
+              / (F.lit(2.0) * F.col("n_b").cast("double")))
+    se = F.sqrt(sigma2 * (F.lit(1.0) / F.col("n_a").cast("double")
+                          + F.lit(1.0) / F.col("n_b").cast("double")))
+    z = F.when((F.col("__N") > 1) & (se > 0),
+               (rbar_a - rbar_b) / se)
+    p = F.least(F.lit(1.0),
+                F.lit(2.0) * _normal_upper_tail(F.abs(z)))
+    pairs = pairs.select(
+        *[F.col(f"__l_{c}").alias(c) for c in by],
+        "lev_a", "lev_b", "n_a", "n_b",
+        z.alias("z"), p.alias("p_value"))
+    return bh_fdr(pairs, "p_value", alpha=alpha,
+                  family_cols=by or None,
+                  tiebreak_cols=["lev_a", "lev_b"],
+                  distributed=False)

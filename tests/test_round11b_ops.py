@@ -413,3 +413,52 @@ class TestMantelHaenszel:
 
         with pytest.raises(ValueError):
             mantel_haenszel(spark.range(2), "id", "id", [])
+
+
+class TestDunnTest:
+    def test_pair_family_and_symmetry(self, spark):
+        from pandas_ai_spark.functions.stats import dunn_test
+
+        ev = spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+        out = dunn_test(ev, "value", "event_type").collect()
+        k = ev.select("event_type").distinct().count()
+        assert len(out) == k * (k - 1) // 2
+        for r in out:
+            assert r["lev_a"] < r["lev_b"]
+            assert 0.0 <= r["p_value"] <= 1.0
+            assert 0.0 <= r["p_adj"] <= 1.0
+            assert r["p_adj"] >= r["p_value"] - 1e-15
+
+    def test_z_matches_manual_two_group_case(self, spark):
+        # with exactly two levels and no ties across levels, Dunn's z
+        # equals the standard large-sample rank-sum z
+        from pandas_ai_spark.functions.stats import dunn_test
+
+        rows = [("a", float(v)) for v in (1, 3, 5, 7, 9, 11)] + \
+               [("b", float(v)) for v in (2, 4, 6, 8, 10, 12)]
+        df = spark.createDataFrame(rows, "lev string, v double")
+        r = dunn_test(df, "v", "lev").collect()[0]
+        # manual: midranks 1..12, mean rank a = (1+3+..+11+... )
+        ranks = {v: i + 1 for i, v in enumerate(sorted(
+            x for _, x in rows))}
+        ra = sum(ranks[v] for g, v in rows if g == "a") / 6
+        rb = sum(ranks[v] for g, v in rows if g == "b") / 6
+        n = 12
+        sigma2 = n * (n + 1) / 12.0
+        se = (sigma2 * (1 / 6 + 1 / 6)) ** 0.5
+        assert r["z"] == pytest.approx((ra - rb) / se, abs=1e-12)
+
+    def test_detects_shifted_level(self, spark):
+        from pandas_ai_spark.functions.stats import dunn_test
+
+        rows = []
+        for i in range(120):
+            rows.append(("base1", float(i % 13)))
+            rows.append(("base2", float((i + 5) % 13)))
+            rows.append(("shifted", 50.0 + (i % 13)))
+        df = spark.createDataFrame(rows, "lev string, v double")
+        out = {(r["lev_a"], r["lev_b"]): r
+               for r in dunn_test(df, "v", "lev").collect()}
+        assert out[("base1", "base2")]["reject"] is False
+        assert out[("base1", "shifted")]["reject"] is True
+        assert out[("base2", "shifted")]["reject"] is True

@@ -1724,6 +1724,30 @@ def q197_dunn_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("o_year", "lev_a", "lev_b")
 
 
+def q198_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust slope (stats.theil_sen): per l_returnflag,
+    the median pairwise slope of price-bucket (10k units) vs quantity
+    — the outlier-proof companion to q99's grouped OLS, on q189's
+    bounded (x, y) cell grain (50 quantities x ~11 buckets; the pair
+    enumeration is independent of row count). Slopes are row-local
+    double divisions of exact ints; the weighted lower-median pick is
+    pure integer arithmetic. Oracle: identical cell-join + doubled
+    running-weight selection."""
+    from pandas_ai_spark.functions.stats import theil_sen
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.col("l_quantity").cast("bigint").alias("x"),
+        F.round(F.col("l_extendedprice") / 10000.0).cast("bigint")
+         .alias("y"))
+    out = theil_sen(li, "x", "y", by=["l_returnflag"])
+    return out.select(
+        "l_returnflag", "n", "n_pairs",
+        F.round("slope", 9).alias("slope"),
+        F.round("intercept", 9).alias("intercept"),
+    ).orderBy("l_returnflag")
+
+
 def q33_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact percentile/stddev aggregates through the semantic layer
     (Spark `percentile` interpolates identically to DuckDB
@@ -5349,6 +5373,7 @@ def queries_numeric() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q195_encoding_anomalies": q195_encoding_anomalies,
         "q196_mantel_haenszel": q196_mantel_haenszel,
         "q197_dunn_test": q197_dunn_test,
+        "q198_theil_sen": q198_theil_sen,
     }
 
 
@@ -9671,6 +9696,68 @@ def oracle_sql() -> dict[str, str]:
                round((1 + c)::DOUBLE / 21.0, 9) AS p_value
         FROM extreme e JOIN obs2 o ON e.g = o.g
         ORDER BY o_orderpriority
+    """
+    d["q198_theil_sen"] = """
+        WITH cells AS (
+          SELECT l_returnflag AS g,
+                 CAST(l_quantity AS BIGINT) AS x,
+                 CAST(round(l_extendedprice / 10000.0) AS BIGINT)
+                   AS y,
+                 count(*)::BIGINT AS n
+          FROM lineitem
+          WHERE l_quantity IS NOT NULL
+            AND l_extendedprice IS NOT NULL
+          GROUP BY 1, 2, 3
+        ), pairs AS (
+          SELECT l.g,
+                 (CAST(r.y AS DOUBLE) - CAST(l.y AS DOUBLE))
+                 / (CAST(r.x AS DOUBLE) - CAST(l.x AS DOUBLE))
+                   AS slope,
+                 CAST(l.n * r.n AS BIGINT) AS w
+          FROM cells l JOIN cells r ON l.g = r.g AND l.x < r.x
+        ), gsl AS (
+          SELECT g, slope, CAST(sum(w) AS BIGINT) AS gw
+          FROM pairs GROUP BY 1, 2
+        ), cums AS (
+          SELECT g, slope,
+                 sum(gw) OVER (PARTITION BY g ORDER BY slope
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS cum,
+                 sum(gw) OVER (PARTITION BY g) AS tot
+          FROM gsl
+        ), med AS (
+          SELECT g, min(slope) AS slope FROM cums
+          WHERE 2 * cum >= tot GROUP BY g
+        ), resid AS (
+          SELECT c.g,
+                 CAST(c.y AS DOUBLE) - m.slope * CAST(c.x AS DOUBLE)
+                   AS r, c.n
+          FROM cells c JOIN med m ON c.g = m.g
+        ), gr AS (
+          SELECT g, r, CAST(sum(n) AS BIGINT) AS gw
+          FROM resid GROUP BY 1, 2
+        ), cumr AS (
+          SELECT g, r,
+                 sum(gw) OVER (PARTITION BY g ORDER BY r
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS cum,
+                 sum(gw) OVER (PARTITION BY g) AS tot
+          FROM gr
+        ), medr AS (
+          SELECT g, min(r) AS intercept FROM cumr
+          WHERE 2 * cum >= tot GROUP BY g
+        ), tot1 AS (
+          SELECT g, CAST(sum(n) AS BIGINT) AS n FROM cells GROUP BY g
+        ), tot2 AS (
+          SELECT g, CAST(sum(w) AS BIGINT) AS n_pairs
+          FROM pairs GROUP BY g
+        )
+        SELECT t1.g AS l_returnflag, t1.n, t2.n_pairs,
+               round(m.slope, 9) AS slope,
+               round(mr.intercept, 9) AS intercept
+        FROM tot1 t1 JOIN tot2 t2 USING (g)
+        JOIN med m ON m.g = t1.g JOIN medr mr ON mr.g = t1.g
+        ORDER BY l_returnflag
     """
     d["q197_dunn_test"] = """
         WITH base AS (

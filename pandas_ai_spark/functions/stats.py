@@ -2781,3 +2781,145 @@ def dunn_test(df: DataFrame, value_col: str, group_col: str,
                   family_cols=by or None,
                   tiebreak_cols=["lev_a", "lev_b"],
                   distributed=False)
+
+
+def theil_sen(df: DataFrame, x_col: str, y_col: str,
+              by: list[str] | None = None) -> DataFrame:
+    """Theil-Sen robust regression - the median-of-pairwise-slopes
+    estimator beside :func:`grouped_ols` (up to ~29% contaminated
+    points leave the estimate standing, where OLS follows every
+    outlier): per ``by`` group ``(n, n_pairs, slope, intercept)``
+    with ``slope`` the weighted LOWER median of all pairwise slopes
+    ``(y_j - y_i)/(x_j - x_i)`` over ``x_i != x_j`` pairs and
+    ``intercept`` the weighted lower median of the residuals
+    ``y - slope*x`` (the Theil-Sen intercept convention).
+
+    Determinism: pairs come from the (x, y) CELL grain (q189's
+    Kendall device) with exact bigint weights ``n_i*n_j``; each slope
+    is one row-local double division of exact integers, so both
+    engines materialize the same doubles; the weighted-median pick is
+    pure integer arithmetic (first slope where ``2*cumweight >=
+    total``), tie-free because weights group by the slope VALUE
+    first.
+
+    Scale shape: one aggregation to the cell grain (the raw table's
+    only shuffle), then a cell self-join on strict x-dominance -
+    Theta(cells^2) pair weight enumeration that is independent of the
+    ROW count (bounded-grain contract: bucket continuous x/y
+    upstream, exactly like q189). The median windows run over the
+    bounded distinct-slope set per group.
+    """
+    from pyspark.sql.functions import broadcast
+    from pyspark.sql.window import Window
+
+    by = list(by or [])
+    cells = df.where(F.col(x_col).isNotNull()
+                     & F.col(y_col).isNotNull()).groupBy(
+        *[F.col(c) for c in by],
+        F.col(x_col).alias("__x"), F.col(y_col).alias("__y")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("__n"))
+    left = cells.select(
+        *[F.col(c).alias(f"__l_{c}") for c in by],
+        F.col("__x").alias("__xl"), F.col("__y").alias("__yl"),
+        F.col("__n").alias("__nl"))
+    right = cells.select(
+        *[F.col(c).alias(f"__r_{c}") for c in by],
+        F.col("__x").alias("__xr"), F.col("__y").alias("__yr"),
+        F.col("__n").alias("__nr"))
+    jcond = F.col("__xl") < F.col("__xr")
+    for c in by:
+        jcond = jcond & F.col(f"__l_{c}").eqNullSafe(F.col(f"__r_{c}"))
+    pairs = left.join(right, jcond).select(
+        *[F.col(f"__l_{c}").alias(c) for c in by],
+        ((F.col("__yr").cast("double") - F.col("__yl").cast("double"))
+         / (F.col("__xr").cast("double")
+            - F.col("__xl").cast("double"))).alias("__slope"),
+        (F.col("__nl") * F.col("__nr")).cast("bigint").alias("__w"))
+
+    def weighted_lower_median(values: DataFrame, val: str, w: str,
+                              out: str) -> DataFrame:
+        """First value (ascending) whose doubled running weight
+        reaches the total - exact integer selection per group."""
+        grouped = values.groupBy(*[F.col(c) for c in by],
+                                 F.col(val)).agg(
+            F.sum(w).cast("bigint").alias("__gw"))
+        wrun = (Window.partitionBy(*by).orderBy(val)
+                .rowsBetween(Window.unboundedPreceding, 0)
+                if by else
+                Window.orderBy(val).rowsBetween(
+                    Window.unboundedPreceding, 0))
+        wtot = (Window.partitionBy(*by) if by
+                else Window.partitionBy())
+        cum = F.sum("__gw").over(wrun)
+        tot = F.sum("__gw").over(wtot)
+        picked = grouped.withColumn("__hit",
+                                    (cum * 2 >= tot).cast("int"))
+        sel = (Window.partitionBy(*by).orderBy(
+                   F.col("__hit").desc(), F.col(val).asc())
+               if by else
+               Window.orderBy(F.col("__hit").desc(),
+                              F.col(val).asc()))
+        first = picked.withColumn("__rn", F.row_number().over(sel)) \
+            .where((F.col("__rn") == 1) & (F.col("__hit") == 1))
+        return first.select(
+            *[F.col(c) for c in by], F.col(val).alias(out))
+
+    slope = weighted_lower_median(pairs, "__slope", "__w", "slope")
+    if by:
+        cond = None
+        scols = slope.select(
+            *[F.col(c).alias(f"__s_{c}") for c in by], "slope")
+        for c in by:
+            eq = F.col(c).eqNullSafe(F.col(f"__s_{c}"))
+            cond = eq if cond is None else (cond & eq)
+        withs = cells.join(broadcast(scols), cond) \
+            .drop(*[f"__s_{c}" for c in by])
+    else:
+        from .fold import fold_scalars
+        withs = fold_scalars(cells, slope)
+    resid = withs.select(
+        *[F.col(c) for c in by],
+        (F.col("__y").cast("double")
+         - F.col("slope") * F.col("__x").cast("double"))
+        .alias("__resid"),
+        F.col("__n").alias("__w"))
+    inter = weighted_lower_median(resid, "__resid", "__w",
+                                  "intercept")
+    stats_agg = cells.groupBy(
+        *[F.col(c).alias(f"__t_{c}") for c in by]).agg(
+        F.sum("__n").cast("bigint").alias("n")) if by else None
+    pair_tot = pairs.groupBy(
+        *[F.col(c).alias(f"__p_{c}") for c in by]).agg(
+        F.sum("__w").cast("bigint").alias("n_pairs")) if by else None
+    if by:
+        cond = None
+        for c in by:
+            eq = F.col(c).eqNullSafe(F.col(f"__t_{c}"))
+            cond = eq if cond is None else (cond & eq)
+        out = slope.join(broadcast(stats_agg), cond) \
+            .drop(*[f"__t_{c}" for c in by])
+        cond = None
+        for c in by:
+            eq = F.col(c).eqNullSafe(F.col(f"__p_{c}"))
+            cond = eq if cond is None else (cond & eq)
+        out = out.join(broadcast(pair_tot), cond) \
+            .drop(*[f"__p_{c}" for c in by])
+        cond = None
+        icols = inter.select(
+            *[F.col(c).alias(f"__i_{c}") for c in by], "intercept")
+        for c in by:
+            eq = F.col(c).eqNullSafe(F.col(f"__i_{c}"))
+            cond = eq if cond is None else (cond & eq)
+        out = out.join(broadcast(icols), cond) \
+            .drop(*[f"__i_{c}" for c in by])
+    else:
+        from .fold import fold_scalars
+        out = fold_scalars(slope,
+                           cells.agg(F.sum("__n").cast("bigint")
+                                     .alias("n")))
+        out = fold_scalars(out,
+                           pairs.agg(F.sum("__w").cast("bigint")
+                                     .alias("n_pairs")))
+        out = fold_scalars(out, inter.select("intercept"))
+    return out.select(*[F.col(c) for c in by],
+                      "n", "n_pairs", "slope", "intercept")

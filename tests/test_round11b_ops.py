@@ -462,3 +462,53 @@ class TestDunnTest:
         assert out[("base1", "base2")]["reject"] is False
         assert out[("base1", "shifted")]["reject"] is True
         assert out[("base2", "shifted")]["reject"] is True
+
+
+class TestTheilSen:
+    def test_exact_line_with_outliers(self, spark):
+        from pandas_ai_spark.functions.stats import theil_sen
+
+        rows = []
+        for g, mult in (("g1", 3.0), ("g2", -2.0)):
+            rows += [(g, x, mult * x + 2.0) for x in range(1, 26)]
+            rows += [(g, x, 999.0) for x in (5, 10, 15, 20, 25)]
+        df = spark.createDataFrame(rows, "g string, x int, y double")
+        out = {r["g"]: r for r in
+               theil_sen(df, "x", "y", by=["g"]).collect()}
+        assert out["g1"]["slope"] == pytest.approx(3.0, abs=1e-12)
+        assert out["g2"]["slope"] == pytest.approx(-2.0, abs=1e-12)
+        assert out["g1"]["intercept"] == pytest.approx(2.0, abs=1e-9)
+        assert out["g1"]["n"] == 30
+
+    def test_weighted_cells_equal_expanded_rows(self, spark):
+        # duplicate rows (cell weights) must give the same estimate
+        # as the expanded row set
+        from pandas_ai_spark.functions.stats import theil_sen
+
+        compact = [(1, 10.0)] * 3 + [(2, 12.0)] * 2 + [(3, 99.0),
+                                                       (4, 16.0)]
+        df = spark.createDataFrame(compact, "x int, y double")
+        r = theil_sen(df, "x", "y").collect()[0]
+        assert r["n"] == 7
+        # pairwise count: only x_i < x_j pairs
+        assert r["n_pairs"] == 3 * 2 + 3 + 3 + 2 + 2 + 1
+        # slope finite and pulled toward the 2-per-x trend, not the
+        # single 99 outlier
+        assert r["slope"] < 30
+
+    def test_median_convention_lower(self, spark):
+        # two pairs -> even weight: lower median = smaller slope
+        from pandas_ai_spark.functions.stats import theil_sen
+
+        df = spark.createDataFrame(
+            [(0, 0.0), (1, 1.0), (2, 4.0)], "x int, y double")
+        # slopes: (0,1)->1, (0,2)->2, (1,2)->3 ; median = 2 (odd)
+        r = theil_sen(df, "x", "y").collect()[0]
+        assert r["slope"] == pytest.approx(2.0)
+        df2 = spark.createDataFrame(
+            [(0, 0.0), (1, 1.0), (2, 4.0), (2, 4.0)],
+            "x int, y double")
+        # slopes with weights: 1 (w1), 2 (w2), 3 (w2) -> total 5,
+        # cum at slope=2 is 3 -> 2*3 >= 5 -> lower median 2
+        r2 = theil_sen(df2, "x", "y").collect()[0]
+        assert r2["slope"] == pytest.approx(2.0)

@@ -1748,6 +1748,51 @@ def q198_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("l_returnflag")
 
 
+def q199_cochran_armitage(spark: SparkSession,
+                          sf_dir: str) -> DataFrame:
+    """Dose-response trend test (stats.cochran_armitage): per
+    l_linestatus, does the return rate (l_returnflag='R') trend
+    monotonically with the discount level in whole points (0..10)?
+    The ordered 2xk complement of q101's chi-square — one
+    map-side-combined aggregation of exact integers, statistic
+    row-local; sign gives the trend direction. Oracle: identical
+    row-sum algebra."""
+    from pandas_ai_spark.functions.stats import cochran_armitage
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_linestatus",
+        (F.col("l_returnflag") == "R").alias("returned"),
+        F.round(F.col("l_discount") * 100).cast("int")
+         .alias("disc_pts"))
+    out = cochran_armitage(li, "returned", "disc_pts",
+                           by=["l_linestatus"])
+    return out.select(
+        "l_linestatus", "n", "n_pos", "k",
+        F.round("z", 9).alias("z")).orderBy("l_linestatus")
+
+
+def q200_brown_forsythe(spark: SparkSession,
+                        sf_dir: str) -> DataFrame:
+    """Variance-homogeneity gate (stats.brown_forsythe): per order
+    year, do the five priority classes have equal o_totalprice
+    SPREAD? The robust Levene variant (deviations from the group
+    median) that checks the assumption behind q113's Welch/ANOVA
+    family. Exact on the half-cent grid: integer-cents values, exact
+    doubled group medians, exact moment sums; only the bounded
+    k-term fold and the final F are floats, fold group-sorted on
+    both engines. Oracle: identical quantile_cont median + fold."""
+    from pandas_ai_spark.functions.stats import brown_forsythe
+
+    orders = _t(spark, sf_dir, "orders").select(
+        F.year("o_orderdate").alias("o_year"),
+        "o_orderpriority", "o_totalprice")
+    out = brown_forsythe(orders, "o_totalprice", "o_orderpriority",
+                         by=["o_year"])
+    return out.select(
+        "o_year", "k", "n",
+        F.round("f", 9).alias("f")).orderBy("o_year")
+
+
 def q33_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact percentile/stddev aggregates through the semantic layer
     (Spark `percentile` interpolates identically to DuckDB
@@ -5374,6 +5419,8 @@ def queries_numeric() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q196_mantel_haenszel": q196_mantel_haenszel,
         "q197_dunn_test": q197_dunn_test,
         "q198_theil_sen": q198_theil_sen,
+        "q199_cochran_armitage": q199_cochran_armitage,
+        "q200_brown_forsythe": q200_brown_forsythe,
     }
 
 
@@ -9696,6 +9743,84 @@ def oracle_sql() -> dict[str, str]:
                round((1 + c)::DOUBLE / 21.0, 9) AS p_value
         FROM extreme e JOIN obs2 o ON e.g = o.g
         ORDER BY o_orderpriority
+    """
+    d["q200_brown_forsythe"] = """
+        WITH base AS (
+          SELECT year(o_orderdate) AS yr, o_orderpriority AS grp,
+                 CAST(round(CAST(o_totalprice AS DOUBLE) * 100)
+                      AS BIGINT) AS vu
+          FROM orders
+          WHERE o_totalprice IS NOT NULL
+            AND o_orderpriority IS NOT NULL
+        ), med AS (
+          SELECT yr, grp,
+                 CAST(round(quantile_cont(vu, 0.5) * 2) AS BIGINT)
+                   AS med2
+          FROM base GROUP BY 1, 2
+        ), z AS (
+          SELECT b.yr, b.grp,
+                 abs(2 * b.vu - m.med2) AS z2
+          FROM base b JOIN med m
+            ON b.yr = m.yr AND b.grp = m.grp
+        ), lvl AS (
+          SELECT yr, grp, CAST(count(*) AS BIGINT) AS nj,
+                 CAST(sum(z2) AS HUGEINT) AS s1,
+                 CAST(sum(z2 * z2) AS HUGEINT) AS s2
+          FROM z GROUP BY 1, 2
+        ), top AS (
+          SELECT yr, CAST(count(*) AS BIGINT) AS k,
+                 CAST(sum(nj) AS BIGINT) AS n,
+                 CAST(sum(s1) AS DOUBLE) AS s1d,
+                 CAST(sum(s2) AS DOUBLE) AS s2d,
+                 list_sum(list(
+                   CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+                   / CAST(nj AS DOUBLE) ORDER BY grp)) AS fold
+          FROM lvl GROUP BY 1
+        )
+        SELECT yr AS o_year, k, n,
+               round(CASE WHEN k > 1 AND n > k
+                       AND s2d - fold > 0
+                     THEN ((CAST(n AS DOUBLE) - CAST(k AS DOUBLE))
+                           / (CAST(k AS DOUBLE) - 1.0))
+                          * (fold - s1d * s1d / CAST(n AS DOUBLE))
+                          / (s2d - fold)
+                     END, 9) AS f
+        FROM top ORDER BY o_year
+    """
+    d["q199_cochran_armitage"] = """
+        WITH base AS (
+          SELECT l_linestatus AS g,
+                 (l_returnflag = 'R')::BIGINT AS o,
+                 CAST(round(l_discount * 100) AS BIGINT) AS w
+          FROM lineitem
+          WHERE l_returnflag IS NOT NULL AND l_discount IS NOT NULL
+            AND l_linestatus IS NOT NULL
+        ), agg AS (
+          SELECT g, CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(o) AS BIGINT) AS n_pos,
+                 CAST(count(DISTINCT w) AS BIGINT) AS k,
+                 CAST(sum(w) AS HUGEINT) AS sw,
+                 CAST(sum(o * w) AS HUGEINT) AS sow,
+                 CAST(sum(w * w) AS HUGEINT) AS sw2
+          FROM base GROUP BY g
+        ), fin AS (
+          SELECT g, n, n_pos, k,
+                 CAST(n AS DOUBLE) AS nd,
+                 CAST(n_pos AS DOUBLE) AS m1,
+                 CAST(sw AS DOUBLE) AS swd,
+                 CAST(sow AS DOUBLE) AS sowd,
+                 CAST(sw2 AS DOUBLE) AS sw2d
+          FROM agg
+        )
+        SELECT g AS l_linestatus, n, n_pos, k,
+               round(CASE WHEN n > 1
+                       AND m1 * (nd - m1) / (nd * (nd - 1.0))
+                           * (sw2d - swd * swd / nd) > 0
+                     THEN (sowd - m1 * swd / nd)
+                          / sqrt(m1 * (nd - m1) / (nd * (nd - 1.0))
+                                 * (sw2d - swd * swd / nd))
+                     END, 9) AS z
+        FROM fin ORDER BY l_linestatus
     """
     d["q198_theil_sen"] = """
         WITH cells AS (

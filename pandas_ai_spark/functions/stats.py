@@ -2923,3 +2923,146 @@ def theil_sen(df: DataFrame, x_col: str, y_col: str,
         out = fold_scalars(out, inter.select("intercept"))
     return out.select(*[F.col(c) for c in by],
                       "n", "n_pairs", "slope", "intercept")
+
+
+def cochran_armitage(df: DataFrame, outcome_col: str,
+                     score_col: str,
+                     by: list[str] | None = None) -> DataFrame:
+    """Cochran-Armitage trend test - the 2 x k ORDERED complement of
+    :func:`chi_square_independence`: does a binary outcome rate move
+    monotonically with an integer dose/score (discount points,
+    bucket index, exposure level)? Per ``by`` group ``(n, n_pos, k,
+    z)`` with ``z = T / sqrt(Var)`` where
+    ``T = sum(o*w) - n_pos*sum(w)/n`` and
+    ``Var = n_pos*(n-n_pos)/(n*(n-1)) * (sum(w^2) - sum(w)^2/n)`` -
+    asymptotically N(0,1) under "no trend"; sign gives the
+    direction. More powerful than the unordered chi-square when the
+    alternative IS a trend.
+
+    Determinism: the category-level textbook sums collapse to ROW
+    sums (``sum_i a_i w_i = sum_rows o*w`` etc.), so everything is
+    ONE map-side-combined aggregation of exact integers
+    (DECIMAL(38,0) for the w^2 moment); the statistic is row-local
+    double arithmetic on those exact aggregates - no float
+    accumulation anywhere, hash-identical across engines.
+
+    Scale shape: one aggregation pass, shuffle bounded by the group
+    count; ``k`` (distinct scores) rides the same pass as a
+    count-distinct. ``outcome_col`` is BOOLEAN, ``score_col`` an
+    INTEGER dose; NULL rows in either are excluded.
+    """
+    by = list(by or [])
+    o = F.col(outcome_col)
+    w = F.col(score_col)
+    base = df.where(o.isNotNull() & w.isNotNull()).select(
+        *[F.col(c) for c in by],
+        o.cast("bigint").alias("__o"),
+        w.cast("bigint").alias("__w"))
+    dec = "decimal(38,0)"
+    aggs = [
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("__o").cast("bigint").alias("n_pos"),
+        F.countDistinct("__w").cast("bigint").alias("k"),
+        F.sum("__w").cast(dec).alias("__sw"),
+        F.sum(F.col("__o") * F.col("__w")).cast(dec).alias("__sow"),
+        F.sum(F.col("__w") * F.col("__w")).cast(dec).alias("__sw2"),
+    ]
+    g = (base.groupBy(*[F.col(c) for c in by]).agg(*aggs)
+         if by else base.agg(*aggs))
+    nd = F.col("n").cast("double")
+    m1 = F.col("n_pos").cast("double")
+    sw = F.col("__sw").cast("double")
+    sow = F.col("__sow").cast("double")
+    sw2 = F.col("__sw2").cast("double")
+    t_stat = sow - m1 * sw / nd
+    var = (m1 * (nd - m1) / (nd * (nd - F.lit(1.0)))
+           * (sw2 - sw * sw / nd))
+    z = F.when((F.col("n") > 1) & (var > 0), t_stat / F.sqrt(var))
+    return g.select(*[F.col(c) for c in by],
+                    "n", "n_pos", "k", z.alias("z"))
+
+
+def brown_forsythe(df: DataFrame, value_col: str, group_col: str,
+                   by: list[str] | None = None,
+                   scale: int = 100) -> DataFrame:
+    """Brown-Forsythe test of variance homogeneity across k groups -
+    the robust Levene variant (deviations from the MEDIAN, not the
+    mean) that guards the equal-variance assumption behind ANOVA/
+    t-tests: per ``by`` group ``(k, n, f)`` where ``f`` is the
+    one-way ANOVA F statistic on ``z_ij = |x_ij - median_j|``,
+    F(k-1, n-k) under homogeneity.
+
+    Determinism - exact on the half-unit grid: values quantize to
+    ``1/scale`` units (bigint); each group median of integers is
+    either an integer or a half-integer, so ``2*median`` is an exact
+    bigint and ``z2_ij = |2*v - 2*median_j|`` is exact integer; all
+    moment sums are exact (DECIMAL(38,0) for the square moment); the
+    one cross-group float sum the F statistic needs (the k per-group
+    ``s1_j^2/n_j`` terms) folds in group-sorted order on BOTH
+    engines - the q191 Kruskal-Wallis device.
+
+    Scale shape: one exact-percentile aggregation to the (by, group)
+    grain, one broadcast join back (bounded group count), one
+    map-side-combined moment aggregation, then a bounded k-element
+    fold per ``by`` group. No window over raw rows at all.
+    """
+    from pyspark.sql.functions import broadcast
+
+    by = list(by or [])
+    base = df.where(F.col(value_col).isNotNull()
+                    & F.col(group_col).isNotNull()).select(
+        *[F.col(c) for c in by],
+        F.col(group_col).cast("string").alias("__grp"),
+        F.round(F.col(value_col).cast("double") * scale)
+         .cast("bigint").alias("__vu"))
+    med = base.groupBy(
+        *[F.col(c).alias(f"__g_{c}") for c in by],
+        F.col("__grp").alias("__g_grp")).agg(
+        F.round(F.percentile(F.col("__vu"), F.lit(0.5)) * 2)
+         .cast("bigint").alias("__med2"))
+    cond = F.col("__grp") == F.col("__g_grp")
+    for c in by:
+        cond = cond & F.col(c).eqNullSafe(F.col(f"__g_{c}"))
+    joined = base.join(broadcast(med), cond) \
+        .drop("__g_grp", *[f"__g_{c}" for c in by])
+    z2 = F.abs(F.lit(2) * F.col("__vu") - F.col("__med2")) \
+        .cast("bigint")
+    dec = "decimal(38,0)"
+    lvl = joined.select(
+        *[F.col(c) for c in by], "__grp", z2.alias("__z2")) \
+        .groupBy(*[F.col(c) for c in by], F.col("__grp")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("__nj"),
+        F.sum("__z2").cast(dec).alias("__s1"),
+        F.sum(F.col("__z2") * F.col("__z2")).cast(dec).alias("__s2"))
+    term = (F.col("__s1").cast("double") * F.col("__s1").cast("double")
+            / F.col("__nj").cast("double"))
+    staged = lvl.select(
+        *[F.col(c) for c in by],
+        F.struct(F.col("__grp").alias("g"), term.alias("term"))
+        .alias("__t"),
+        "__nj", "__s1", "__s2")
+    aggs = [
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.sum("__nj").cast("bigint").alias("n"),
+        F.sum("__s1").cast(dec).alias("__S1"),
+        F.sum("__s2").cast(dec).alias("__S2"),
+        F.aggregate(F.sort_array(F.collect_list("__t")),
+                    F.lit(0.0),
+                    lambda acc, s: acc + s["term"]).alias("__fold"),
+    ]
+    g = (staged.groupBy(*[F.col(c) for c in by]).agg(*aggs)
+         if by else staged.agg(*aggs))
+    nd = F.col("n").cast("double")
+    kd = F.col("k").cast("double")
+    s1d = F.col("__S1").cast("double")
+    s2d = F.col("__S2").cast("double")
+    # everything in z2 (= 2*scale*z) units: the constant factor
+    # cancels in the F ratio
+    between = F.col("__fold") - s1d * s1d / nd
+    within = s2d - F.col("__fold")
+    f_stat = F.when((F.col("k") > 1) & (F.col("n") > F.col("k"))
+                    & (within > 0),
+                    ((nd - kd) / (kd - F.lit(1.0)))
+                    * between / within)
+    return g.select(*[F.col(c) for c in by],
+                    "k", "n", f_stat.alias("f"))

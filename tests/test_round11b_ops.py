@@ -512,3 +512,93 @@ class TestTheilSen:
         # cum at slope=2 is 3 -> 2*3 >= 5 -> lower median 2
         r2 = theil_sen(df2, "x", "y").collect()[0]
         assert r2["slope"] == pytest.approx(2.0)
+
+
+class TestCochranArmitage:
+    def test_matches_independent_computation(self, spark):
+        import random
+
+        from pandas_ai_spark.functions.stats import cochran_armitage
+
+        random.seed(3)
+        rows = [(w, random.random() < 0.1 + 0.08 * w)
+                for w in (0, 1, 2, 3) for _ in range(300)]
+        df = spark.createDataFrame(rows, "w int, o boolean")
+        r = cochran_armitage(df, "o", "w").collect()[0]
+        n = len(rows)
+        m1 = sum(o for _, o in rows)
+        sw = sum(w for w, _ in rows)
+        sow = sum(w for w, o in rows if o)
+        sw2 = sum(w * w for w, _ in rows)
+        t = sow - m1 * sw / n
+        v = m1 * (n - m1) / (n * (n - 1)) * (sw2 - sw * sw / n)
+        assert r["z"] == pytest.approx(t / v ** 0.5, abs=1e-12)
+        assert r["n"] == n and r["n_pos"] == m1 and r["k"] == 4
+        assert r["z"] > 3  # real upward trend detected
+
+    def test_no_trend_small_z(self, spark):
+        from pandas_ai_spark.functions.stats import cochran_armitage
+
+        rows = [(w, i % 5 == 0) for w in (0, 1, 2)
+                for i in range(200)]
+        df = spark.createDataFrame(rows, "w int, o boolean")
+        r = cochran_armitage(df, "o", "w").collect()[0]
+        assert abs(r["z"]) < 1e-9  # identical rate at every dose
+
+    def test_degenerate_single_score_null_z(self, spark):
+        from pandas_ai_spark.functions.stats import cochran_armitage
+
+        df = spark.createDataFrame(
+            [(1, True), (1, False), (1, True)], "w int, o boolean")
+        r = cochran_armitage(df, "o", "w").collect()[0]
+        assert r["z"] is None  # zero score variance
+
+
+class TestBrownForsythe:
+    def test_matches_independent_computation(self, spark):
+        import random
+        import statistics
+        from collections import defaultdict
+
+        from pandas_ai_spark.functions.stats import brown_forsythe
+
+        random.seed(5)
+        rows = []
+        for g, sd in (("a", 1.0), ("b", 1.0), ("c", 4.0)):
+            rows += [(g, round(random.gauss(10, sd), 2))
+                     for _ in range(120)]
+        df = spark.createDataFrame(rows, "g string, v double")
+        r = brown_forsythe(df, "v", "g").collect()[0]
+        vals = defaultdict(list)
+        for g, v in rows:
+            vals[g].append(round(v * 100))
+        z = {g: [abs(x - statistics.median(vs)) for x in vs]
+             for g, vs in vals.items()}
+        allz = [x for zs in z.values() for x in zs]
+        n, k = len(allz), len(z)
+        gm = sum(allz) / n
+        between = sum(len(zs) * ((sum(zs) / len(zs)) - gm) ** 2
+                      for zs in z.values())
+        within = sum((x - sum(zs) / len(zs)) ** 2
+                     for zs in z.values() for x in zs)
+        want = ((n - k) / (k - 1)) * between / within
+        assert r["f"] == pytest.approx(want, rel=1e-10)
+        assert r["f"] > 10  # heterogeneous spread detected
+
+    def test_equal_spread_small_f(self, spark):
+        from pandas_ai_spark.functions.stats import brown_forsythe
+
+        rows = [(g, float(v % 7)) for g in ("a", "b")
+                for v in range(140)]
+        df = spark.createDataFrame(rows, "g string, v double")
+        r = brown_forsythe(df, "v", "g").collect()[0]
+        assert abs(r["f"]) < 1e-9  # identical distributions
+
+    def test_degenerate_constant_values_null_f(self, spark):
+        from pandas_ai_spark.functions.stats import brown_forsythe
+
+        df = spark.createDataFrame(
+            [("a", 1.0), ("a", 1.0), ("b", 1.0), ("b", 1.0)],
+            "g string, v double")
+        r = brown_forsythe(df, "v", "g").collect()[0]
+        assert r["f"] is None  # zero within-group deviation

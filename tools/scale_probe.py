@@ -130,6 +130,14 @@ DEFAULT = [
     "q188_wasserstein_drift",   # value-grain ECDF-gap integral
     "q189_kendall_tau",         # bounded cell grain + dominance join
     "q190_wasserstein_distributed",  # bucketed ECDF integral + seams
+    "q191_kruskal_wallis",      # pooled midrank windows + level fold
+    "q192_kw_distributed",      # bucketed two-pass rank + level fold
+    "q193_cramers_v_matrix",    # one grouping-sets Expand, all pairs
+    "q194_permutation_test",    # n_perm x n hash-order label windows
+    "q196_mantel_haenszel",     # (group, stratum) 2x2 agg + fold
+    "q197_dunn_test",           # midrank windows + pair join + BH
+    "q198_theil_sen",           # cell-grain slope pairs + med windows
+    "q200_brown_forsythe",      # exact medians + moment agg + fold
 ]
 
 
@@ -177,6 +185,11 @@ PROBE_SF03 = [
     "q172_fellegi_sunter",
     "q177_spearman",
     "q178_conformal_interval",
+    "q191_kruskal_wallis",
+    "q192_kw_distributed",
+    "q194_permutation_test",
+    "q197_dunn_test",
+    "q198_theil_sen",
 ]
 
 SF03_DIR = ".scale/sf0.3"

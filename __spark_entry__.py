@@ -1793,6 +1793,31 @@ def q200_brown_forsythe(spark: SparkSession,
         F.round("f", 9).alias("f")).orderBy("o_year")
 
 
+def q201_dunn_distributed(spark: SparkSession,
+                          sf_dir: str) -> DataFrame:
+    """q197's Dunn post-hoc on the distributed_midrank rank path
+    (stats.dunn_test(distributed=True)): midranks come from the
+    groups×buckets two-pass rank instead of one ordered window per
+    year — the few-huge-groups variant the public dunn_test
+    auto-dispatches to past RANK_WINDOW_MAX_BYTES. IDENTICAL output
+    (doubled midranks are exact either way; z/BH stages are
+    grain-bounded). Oracle: shared verbatim with q197."""
+    from pandas_ai_spark.functions.stats import dunn_test
+
+    orders = _t(spark, sf_dir, "orders").select(
+        F.year("o_orderdate").alias("o_year"),
+        "o_orderpriority", "o_totalprice")
+    out = dunn_test(orders, "o_totalprice", "o_orderpriority",
+                    by=["o_year"], distributed=True)
+    return out.select(
+        "o_year", "lev_a", "lev_b", "n_a", "n_b",
+        F.round("z", 9).alias("z"),
+        F.round("p_value", 9).alias("p_value"),
+        "p_rank",
+        F.round("p_adj", 9).alias("p_adj"), "reject",
+    ).orderBy("o_year", "lev_a", "lev_b")
+
+
 def q33_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact percentile/stddev aggregates through the semantic layer
     (Spark `percentile` interpolates identically to DuckDB
@@ -5421,6 +5446,7 @@ def queries_numeric() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q198_theil_sen": q198_theil_sen,
         "q199_cochran_armitage": q199_cochran_armitage,
         "q200_brown_forsythe": q200_brown_forsythe,
+        "q201_dunn_distributed": q201_dunn_distributed,
     }
 
 
@@ -10111,6 +10137,7 @@ def oracle_sql() -> dict[str, str]:
                      ELSE 0.0 END, 9) AS v_corrected
         FROM fin ORDER BY col_x, col_y
     """
+    d["q201_dunn_distributed"] = d["q197_dunn_test"]
     return d
 
 

@@ -2676,7 +2676,8 @@ def _normal_upper_tail(z):
 
 def dunn_test(df: DataFrame, value_col: str, group_col: str,
               by: list[str] | None = None,
-              alpha: float = 0.05) -> DataFrame:
+              alpha: float = 0.05,
+              distributed: bool | None = None) -> DataFrame:
     """Dunn's post-hoc test - the pairwise follow-up to
     :func:`kruskal_wallis`: once KW rejects "all k levels equal",
     Dunn says WHICH pairs differ. Per ``by`` group and unordered
@@ -2697,10 +2698,12 @@ def dunn_test(df: DataFrame, value_col: str, group_col: str,
     Scale shape: the rank pass is the KW window path (one ordered
     window per ``by`` group over raw rows); everything after is
     post-aggregation grain - k rows per group, then a k x k/2
-    self-join on the bounded level table. For a few huge groups,
-    rank with :func:`distributed_midrank` upstream and feed the
-    ranked frame here via ``kruskal_wallis_distributed``'s tail
-    instead (the z/BH stages are grain-bounded either way).
+    self-join on the bounded level table. ``distributed=None``
+    (default) auto-dispatches the RANK pass to
+    :func:`distributed_midrank` (groups x buckets parallel,
+    IDENTICAL midranks) when Catalyst's size estimate says a few
+    huge groups dominate - the z/BH stages are grain-bounded either
+    way; explicit True/False forces a path.
     """
     from pyspark.sql.functions import broadcast
     from pyspark.sql.window import Window
@@ -2711,20 +2714,31 @@ def dunn_test(df: DataFrame, value_col: str, group_col: str,
         *[F.col(c) for c in by],
         F.col(value_col).alias("__v"),
         F.col(group_col).cast("string").alias("__grp"))
-    wo = (Window.partitionBy(*by).orderBy("__v")
-          .rangeBetween(Window.unboundedPreceding, 0)
-          if by else
-          Window.orderBy("__v").rangeBetween(
-              Window.unboundedPreceding, 0))
+    # the tie contribution is a VALUE-grain window either way
+    # (groups x values parallel - never one task per group)
     wt = (Window.partitionBy(*by, "__v") if by
           else Window.partitionBy("__v"))
-    cum_le = F.count(F.lit(1)).over(wo)
     t = F.count(F.lit(1)).over(wt)
-    r2 = (F.lit(2) * (cum_le - t) + t + F.lit(1)).cast("bigint")
-    ranked = base.select(
-        *[F.col(c) for c in by], "__grp",
-        r2.alias("__r2"),
-        (t * t - 1).cast("bigint").alias("__tie1"))
+    if _resolve_rank_path(df, by, distributed, "dunn_test"):
+        # few-huge-groups shape: midranks from the groups x buckets
+        # two-pass rank instead of one ordered window per group -
+        # IDENTICAL doubled midranks (the q192 contract)
+        ranked = distributed_midrank(base, "__v", by=by,
+                                     out_col="__r2").select(
+            *[F.col(c) for c in by], "__grp", "__r2",
+            (t * t - 1).cast("bigint").alias("__tie1"))
+    else:
+        wo = (Window.partitionBy(*by).orderBy("__v")
+              .rangeBetween(Window.unboundedPreceding, 0)
+              if by else
+              Window.orderBy("__v").rangeBetween(
+                  Window.unboundedPreceding, 0))
+        cum_le = F.count(F.lit(1)).over(wo)
+        r2 = (F.lit(2) * (cum_le - t) + t + F.lit(1)).cast("bigint")
+        ranked = base.select(
+            *[F.col(c) for c in by], "__grp",
+            r2.alias("__r2"),
+            (t * t - 1).cast("bigint").alias("__tie1"))
     lvl = ranked.groupBy(*[F.col(c) for c in by], F.col("__grp")) \
         .agg(F.count(F.lit(1)).cast("bigint").alias("__ni"),
              F.sum(F.col("__r2").cast("decimal(38,0)"))

@@ -602,3 +602,38 @@ class TestBrownForsythe:
             "g string, v double")
         r = brown_forsythe(df, "v", "g").collect()[0]
         assert r["f"] is None  # zero within-group deviation
+
+
+class TestDunnDispatch:
+    def test_distributed_equals_window(self, spark):
+        from pandas_ai_spark.functions.stats import dunn_test
+
+        ev = spark.read.parquet(f"{SF_SMOKE}/events.parquet") \
+            .withColumn("grp", F.pmod("user_id", F.lit(3)))
+        a = sorted(tuple(r) for r in dunn_test(
+            ev, "value", "event_type", by=["grp"],
+            distributed=False).collect())
+        b = sorted(tuple(r) for r in dunn_test(
+            ev, "value", "event_type", by=["grp"],
+            distributed=True).collect())
+        assert a == b  # bit-identical
+
+    def test_auto_dispatch_routes(self, spark, monkeypatch):
+        from pandas_ai_spark.functions import stats
+
+        ev = spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+        window = sorted(tuple(r) for r in stats.dunn_test(
+            ev, "value", "event_type", distributed=False).collect())
+        monkeypatch.setattr(stats, "RANK_WINDOW_MAX_BYTES", 1)
+        calls: list = []
+        orig = stats.distributed_midrank
+
+        def spy(*a, **k):
+            calls.append("distributed_midrank")
+            return orig(*a, **k)
+
+        monkeypatch.setattr(stats, "distributed_midrank", spy)
+        routed = sorted(tuple(r) for r in stats.dunn_test(
+            ev, "value", "event_type").collect())
+        assert calls == ["distributed_midrank"]
+        assert routed == window

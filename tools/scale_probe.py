@@ -138,6 +138,7 @@ DEFAULT = [
     "q197_dunn_test",           # midrank windows + pair join + BH
     "q198_theil_sen",           # cell-grain slope pairs + med windows
     "q200_brown_forsythe",      # exact medians + moment agg + fold
+    "q201_dunn_distributed",    # bucketed rank pass + pair join + BH
 ]
 
 
@@ -190,6 +191,7 @@ PROBE_SF03 = [
     "q194_permutation_test",
     "q197_dunn_test",
     "q198_theil_sen",
+    "q201_dunn_distributed",
 ]
 
 SF03_DIR = ".scale/sf0.3"

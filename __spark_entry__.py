@@ -1818,6 +1818,51 @@ def q201_dunn_distributed(spark: SparkSession,
     ).orderBy("o_year", "lev_a", "lev_b")
 
 
+def q202_cliffs_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Effect size for q159's Mann-Whitney (stats.cliffs_delta): per
+    l_returnflag, HOW MUCH does the quantity distribution shift
+    between low- and high-discount lines — P(a>b) − P(a<b) on the
+    bounded (group, quantity) cell grain (dominance self-join, the
+    q189 device); exact DECIMAL dominance counts, one row-local
+    division. Oracle: identical cell-join arithmetic."""
+    from pandas_ai_spark.functions.stats import cliffs_delta
+
+    li = _t(spark, sf_dir, "lineitem").withColumn(
+        "band",
+        F.when(F.col("l_discount") <= 0.05, F.lit("lo"))
+         .otherwise(F.lit("hi")))
+    out = cliffs_delta(li, "l_quantity", "band", "lo", "hi",
+                       by=["l_returnflag"])
+    return out.select(
+        "l_returnflag", "n_a", "n_b",
+        F.round("delta", 9).alias("delta")).orderBy("l_returnflag")
+
+
+def q203_hodges_lehmann(spark: SparkSession,
+                        sf_dir: str) -> DataFrame:
+    """Robust shift estimate beside q202 (stats.hodges_lehmann): per
+    l_returnflag, the Hodges-Lehmann median of all cross-pair
+    quantity differences between discount bands — the location
+    answer to the MW test's yes/no. Integer quantities make every
+    pairwise difference exact; the weighted lower-median pick is
+    pure integer arithmetic over the bounded difference grain.
+    Oracle: identical cell cross-join + doubled running-weight
+    selection."""
+    from pandas_ai_spark.functions.stats import hodges_lehmann
+
+    li = _t(spark, sf_dir, "lineitem").withColumn(
+        "band",
+        F.when(F.col("l_discount") <= 0.05, F.lit("lo"))
+         .otherwise(F.lit("hi"))).withColumn(
+        "qty", F.col("l_quantity").cast("bigint"))
+    out = hodges_lehmann(li, "qty", "band", "lo", "hi",
+                         by=["l_returnflag"])
+    return out.select(
+        "l_returnflag", "n_a", "n_b",
+        F.col("shift").cast("bigint").alias("shift"),
+    ).orderBy("l_returnflag")
+
+
 def q33_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact percentile/stddev aggregates through the semantic layer
     (Spark `percentile` interpolates identically to DuckDB
@@ -5447,6 +5492,8 @@ def queries_numeric() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q199_cochran_armitage": q199_cochran_armitage,
         "q200_brown_forsythe": q200_brown_forsythe,
         "q201_dunn_distributed": q201_dunn_distributed,
+        "q202_cliffs_delta": q202_cliffs_delta,
+        "q203_hodges_lehmann": q203_hodges_lehmann,
     }
 
 
@@ -9769,6 +9816,72 @@ def oracle_sql() -> dict[str, str]:
                round((1 + c)::DOUBLE / 21.0, 9) AS p_value
         FROM extreme e JOIN obs2 o ON e.g = o.g
         ORDER BY o_orderpriority
+    """
+    d["q202_cliffs_delta"] = """
+        WITH cells AS (
+          SELECT l_returnflag AS g, l_quantity AS v,
+                 CAST(sum(CASE WHEN l_discount <= 0.05::DOUBLE
+                               THEN 1 ELSE 0 END) AS BIGINT) AS ta,
+                 CAST(sum(CASE WHEN l_discount <= 0.05::DOUBLE
+                               THEN 0 ELSE 1 END) AS BIGINT) AS tb
+          FROM lineitem WHERE l_quantity IS NOT NULL
+          GROUP BY 1, 2
+        ), dom AS (
+          SELECT l.g,
+                 CAST(sum(r.ta * l.tb) AS HUGEINT) AS gt,
+                 CAST(sum(l.ta * r.tb) AS HUGEINT) AS lt
+          FROM cells l JOIN cells r ON l.g = r.g AND l.v < r.v
+          GROUP BY 1
+        ), tot AS (
+          SELECT g, CAST(sum(ta) AS BIGINT) AS n_a,
+                 CAST(sum(tb) AS BIGINT) AS n_b
+          FROM cells GROUP BY g
+        )
+        SELECT tot.g AS l_returnflag, n_a, n_b,
+               round(CASE WHEN n_a > 0 AND n_b > 0
+                     THEN CAST(gt - lt AS DOUBLE)
+                          / (CAST(n_a AS DOUBLE)
+                             * CAST(n_b AS DOUBLE)) END, 9) AS delta
+        FROM tot JOIN dom ON tot.g = dom.g
+        ORDER BY l_returnflag
+    """
+    d["q203_hodges_lehmann"] = """
+        WITH cells AS (
+          SELECT l_returnflag AS g,
+                 CAST(l_quantity AS BIGINT) AS v,
+                 CAST(sum(CASE WHEN l_discount <= 0.05::DOUBLE
+                               THEN 1 ELSE 0 END) AS BIGINT) AS ta,
+                 CAST(sum(CASE WHEN l_discount <= 0.05::DOUBLE
+                               THEN 0 ELSE 1 END) AS BIGINT) AS tb
+          FROM lineitem WHERE l_quantity IS NOT NULL
+          GROUP BY 1, 2
+        ), pairs AS (
+          SELECT l.g, l.v - r.v AS d,
+                 CAST(l.ta * r.tb AS BIGINT) AS w
+          FROM cells l JOIN cells r ON l.g = r.g
+          WHERE l.ta > 0 AND r.tb > 0
+        ), gd AS (
+          SELECT g, d, CAST(sum(w) AS BIGINT) AS gw
+          FROM pairs GROUP BY 1, 2
+        ), cums AS (
+          SELECT g, d,
+                 sum(gw) OVER (PARTITION BY g ORDER BY d
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS cum,
+                 sum(gw) OVER (PARTITION BY g) AS tot
+          FROM gd
+        ), med AS (
+          SELECT g, min(d) AS shift FROM cums
+          WHERE 2 * cum >= tot GROUP BY g
+        ), tot1 AS (
+          SELECT g, CAST(sum(ta) AS BIGINT) AS n_a,
+                 CAST(sum(tb) AS BIGINT) AS n_b
+          FROM cells GROUP BY g
+        )
+        SELECT tot1.g AS l_returnflag, n_a, n_b,
+               CAST(shift AS BIGINT) AS shift
+        FROM tot1 JOIN med ON tot1.g = med.g
+        ORDER BY l_returnflag
     """
     d["q200_brown_forsythe"] = """
         WITH base AS (

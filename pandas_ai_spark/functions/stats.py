@@ -2850,35 +2850,8 @@ def theil_sen(df: DataFrame, x_col: str, y_col: str,
             - F.col("__xl").cast("double"))).alias("__slope"),
         (F.col("__nl") * F.col("__nr")).cast("bigint").alias("__w"))
 
-    def weighted_lower_median(values: DataFrame, val: str, w: str,
-                              out: str) -> DataFrame:
-        """First value (ascending) whose doubled running weight
-        reaches the total - exact integer selection per group."""
-        grouped = values.groupBy(*[F.col(c) for c in by],
-                                 F.col(val)).agg(
-            F.sum(w).cast("bigint").alias("__gw"))
-        wrun = (Window.partitionBy(*by).orderBy(val)
-                .rowsBetween(Window.unboundedPreceding, 0)
-                if by else
-                Window.orderBy(val).rowsBetween(
-                    Window.unboundedPreceding, 0))
-        wtot = (Window.partitionBy(*by) if by
-                else Window.partitionBy())
-        cum = F.sum("__gw").over(wrun)
-        tot = F.sum("__gw").over(wtot)
-        picked = grouped.withColumn("__hit",
-                                    (cum * 2 >= tot).cast("int"))
-        sel = (Window.partitionBy(*by).orderBy(
-                   F.col("__hit").desc(), F.col(val).asc())
-               if by else
-               Window.orderBy(F.col("__hit").desc(),
-                              F.col(val).asc()))
-        first = picked.withColumn("__rn", F.row_number().over(sel)) \
-            .where((F.col("__rn") == 1) & (F.col("__hit") == 1))
-        return first.select(
-            *[F.col(c) for c in by], F.col(val).alias(out))
-
-    slope = weighted_lower_median(pairs, "__slope", "__w", "slope")
+    slope = _weighted_lower_median(pairs, by, "__slope", "__w",
+                                   "slope")
     if by:
         cond = None
         scols = slope.select(
@@ -2897,8 +2870,8 @@ def theil_sen(df: DataFrame, x_col: str, y_col: str,
          - F.col("slope") * F.col("__x").cast("double"))
         .alias("__resid"),
         F.col("__n").alias("__w"))
-    inter = weighted_lower_median(resid, "__resid", "__w",
-                                  "intercept")
+    inter = _weighted_lower_median(resid, by, "__resid", "__w",
+                                   "intercept")
     stats_agg = cells.groupBy(
         *[F.col(c).alias(f"__t_{c}") for c in by]).agg(
         F.sum("__n").cast("bigint").alias("n")) if by else None
@@ -3080,3 +3053,171 @@ def brown_forsythe(df: DataFrame, value_col: str, group_col: str,
                     * between / within)
     return g.select(*[F.col(c) for c in by],
                     "k", "n", f_stat.alias("f"))
+
+
+def _weighted_lower_median(values: DataFrame, by: list[str],
+                           val: str, w: str, out: str) -> DataFrame:
+    """Weighted LOWER median per ``by`` group: the first value
+    (ascending) whose doubled running weight reaches the total -
+    exact integer selection (shared by :func:`theil_sen` and
+    :func:`hodges_lehmann`). The value set is assumed
+    post-aggregation grain (bounded distinct values per group)."""
+    from pyspark.sql.window import Window
+
+    grouped = values.groupBy(*[F.col(c) for c in by],
+                             F.col(val)).agg(
+        F.sum(w).cast("bigint").alias("__gw"))
+    wrun = (Window.partitionBy(*by).orderBy(val)
+            .rowsBetween(Window.unboundedPreceding, 0)
+            if by else
+            Window.orderBy(val).rowsBetween(
+                Window.unboundedPreceding, 0))
+    wtot = (Window.partitionBy(*by) if by
+            else Window.partitionBy())
+    cum = F.sum("__gw").over(wrun)
+    tot = F.sum("__gw").over(wtot)
+    picked = grouped.withColumn("__hit",
+                                (cum * 2 >= tot).cast("int"))
+    sel = (Window.partitionBy(*by).orderBy(
+               F.col("__hit").desc(), F.col(val).asc())
+           if by else
+           Window.orderBy(F.col("__hit").desc(), F.col(val).asc()))
+    first = picked.withColumn("__rn", F.row_number().over(sel)) \
+        .where((F.col("__rn") == 1) & (F.col("__hit") == 1))
+    return first.select(
+        *[F.col(c) for c in by], F.col(val).alias(out))
+
+
+def cliffs_delta(df: DataFrame, value_col: str, sample_col: str,
+                 a, b, by: list[str] | None = None) -> DataFrame:
+    """Cliff's delta - the EFFECT SIZE companion to
+    :func:`mann_whitney_u` (a significant z on a huge n can mean a
+    trivial effect; delta says how big): per ``by`` group
+    ``(n_a, n_b, delta)`` with
+    ``delta = P(X_a > X_b) - P(X_a < X_b)`` in [-1, 1]
+    (|d| < 0.147 negligible / < 0.33 small / < 0.474 medium / else
+    large, Romano et al.). Also the rank-biserial correlation of the
+    MW test.
+
+    Determinism: dominance counts come from the (group, value) CELL
+    grain self-join on strict value dominance (the q189 Kendall
+    device - Theta(cells^2), independent of row count); every count
+    is an exact DECIMAL(38,0) sum of long products; the single final
+    division is row-local.
+
+    Scale shape: one map-side-combined grain aggregation (the raw
+    table's only shuffle) + a bounded cell join; bucket continuous
+    values upstream, exactly like q189.
+    """
+    from pyspark.sql.functions import broadcast
+
+    by = list(by or [])
+    s = F.col(sample_col)
+    dec = "decimal(38,0)"
+    cells = df.where(F.col(value_col).isNotNull()
+                     & s.isin(a, b)).groupBy(
+        *[F.col(c) for c in by],
+        F.col(value_col).alias("__v")).agg(
+        F.sum((s == a).cast("bigint")).cast("bigint").alias("__ta"),
+        F.sum((s == b).cast("bigint")).cast("bigint").alias("__tb"))
+    left = cells.select(
+        *[F.col(c).alias(f"__l_{c}") for c in by],
+        F.col("__v").alias("__vl"), F.col("__ta").alias("__tal"),
+        F.col("__tb").alias("__tbl"))
+    right = cells.select(
+        *[F.col(c).alias(f"__r_{c}") for c in by],
+        F.col("__v").alias("__vr"), F.col("__ta").alias("__tar"),
+        F.col("__tb").alias("__tbr"))
+    jcond = F.col("__vl") < F.col("__vr")
+    for c in by:
+        jcond = jcond & F.col(f"__l_{c}").eqNullSafe(F.col(f"__r_{c}"))
+    # for each ordered cell pair (l < r): a-above-b pairs are
+    # (a at r) x (b at l); a-below-b pairs are (a at l) x (b at r)
+    dom = left.join(right, jcond).groupBy(
+        *[F.col(f"__l_{c}").alias(c) for c in by]).agg(
+        F.sum((F.col("__tar") * F.col("__tbl")).cast(dec))
+         .alias("__gt"),
+        F.sum((F.col("__tal") * F.col("__tbr")).cast(dec))
+         .alias("__lt"))
+    totals = cells.groupBy(
+        *[F.col(c).alias(f"__t_{c}") for c in by]).agg(
+        F.sum("__ta").cast("bigint").alias("n_a"),
+        F.sum("__tb").cast("bigint").alias("n_b"))
+    if by:
+        cond = None
+        for c in by:
+            eq = F.col(c).eqNullSafe(F.col(f"__t_{c}"))
+            cond = eq if cond is None else (cond & eq)
+        out = dom.join(broadcast(totals), cond) \
+            .drop(*[f"__t_{c}" for c in by])
+    else:
+        from .fold import fold_scalars
+        out = fold_scalars(dom, totals.select("n_a", "n_b"))
+    delta = F.when(
+        (F.col("n_a") > 0) & (F.col("n_b") > 0),
+        (F.col("__gt") - F.col("__lt")).cast("double")
+        / (F.col("n_a").cast("double") * F.col("n_b").cast("double")))
+    return out.select(*[F.col(c) for c in by],
+                      "n_a", "n_b", delta.alias("delta"))
+
+
+def hodges_lehmann(df: DataFrame, value_col: str, sample_col: str,
+                   a, b, by: list[str] | None = None) -> DataFrame:
+    """Hodges-Lehmann two-sample shift estimator - the LOCATION
+    companion to :func:`mann_whitney_u`/:func:`cliffs_delta`: the
+    test says the groups differ, HL says BY HOW MUCH, robustly: per
+    ``by`` group ``(n_a, n_b, shift)`` where ``shift`` is the
+    weighted lower median of all cross-pair differences
+    ``x_a - x_b``.
+
+    Determinism: differences enumerate the (group, value) CELL grain
+    cross join (weights ``ta_i * tb_j`` exact bigints); for integer
+    or fixed-point values every difference is exact, and the
+    weighted lower-median pick (:func:`_weighted_lower_median`) is
+    pure integer arithmetic - hash-identical across engines.
+
+    Scale shape: one grain aggregation + a bounded Theta(cells^2)
+    cross join per group (bucket continuous values upstream); the
+    median windows run over the bounded distinct-difference set.
+    """
+    by = list(by or [])
+    s = F.col(sample_col)
+    cells = df.where(F.col(value_col).isNotNull()
+                     & s.isin(a, b)).groupBy(
+        *[F.col(c) for c in by],
+        F.col(value_col).alias("__v")).agg(
+        F.sum((s == a).cast("bigint")).cast("bigint").alias("__ta"),
+        F.sum((s == b).cast("bigint")).cast("bigint").alias("__tb"))
+    left = cells.where(F.col("__ta") > 0).select(
+        *[F.col(c).alias(f"__l_{c}") for c in by],
+        F.col("__v").alias("__va"), F.col("__ta").alias("__wa"))
+    right = cells.where(F.col("__tb") > 0).select(
+        *[F.col(c).alias(f"__r_{c}") for c in by],
+        F.col("__v").alias("__vb"), F.col("__tb").alias("__wb"))
+    jcond = None
+    for c in by:
+        eq = F.col(f"__l_{c}").eqNullSafe(F.col(f"__r_{c}"))
+        jcond = eq if jcond is None else (jcond & eq)
+    pairs = (left.join(right, jcond) if jcond is not None
+             else left.crossJoin(right)).select(
+        *[F.col(f"__l_{c}").alias(c) for c in by],
+        (F.col("__va") - F.col("__vb")).alias("__d"),
+        (F.col("__wa") * F.col("__wb")).cast("bigint").alias("__w"))
+    med = _weighted_lower_median(pairs, by, "__d", "__w", "shift")
+    totals = cells.groupBy(
+        *[F.col(c).alias(f"__t_{c}") for c in by]).agg(
+        F.sum("__ta").cast("bigint").alias("n_a"),
+        F.sum("__tb").cast("bigint").alias("n_b"))
+    if by:
+        from pyspark.sql.functions import broadcast
+        cond = None
+        for c in by:
+            eq = F.col(c).eqNullSafe(F.col(f"__t_{c}"))
+            cond = eq if cond is None else (cond & eq)
+        out = med.join(broadcast(totals), cond) \
+            .drop(*[f"__t_{c}" for c in by])
+    else:
+        from .fold import fold_scalars
+        out = fold_scalars(med, totals.select("n_a", "n_b"))
+    return out.select(*[F.col(c) for c in by],
+                      "n_a", "n_b", "shift")

@@ -637,3 +637,73 @@ class TestDunnDispatch:
             ev, "value", "event_type").collect())
         assert calls == ["distributed_midrank"]
         assert routed == window
+
+
+class TestCliffsDelta:
+    def test_matches_bruteforce(self, spark):
+        from pandas_ai_spark.functions.stats import cliffs_delta
+
+        xa = [1.0, 2.0, 2.0, 3.0, 5.0, 7.0]
+        xb = [2.0, 4.0, 4.0, 6.0, 6.0, 8.0]
+        rows = [("a", v) for v in xa] + [("b", v) for v in xb]
+        df = spark.createDataFrame(rows, "s string, v double")
+        r = cliffs_delta(df, "v", "s", "a", "b").collect()[0]
+        gt = sum(1 for x in xa for y in xb if x > y)
+        lt = sum(1 for x in xa for y in xb if x < y)
+        want = (gt - lt) / (len(xa) * len(xb))
+        assert r["delta"] == pytest.approx(want, abs=1e-15)
+        assert r["n_a"] == 6 and r["n_b"] == 6
+
+    def test_extremes(self, spark):
+        from pandas_ai_spark.functions.stats import cliffs_delta
+
+        rows = [("a", float(v)) for v in (10, 11, 12)] + \
+               [("b", float(v)) for v in (1, 2, 3)]
+        df = spark.createDataFrame(rows, "s string, v double")
+        assert cliffs_delta(df, "v", "s", "a", "b") \
+            .collect()[0]["delta"] == pytest.approx(1.0)
+        assert cliffs_delta(df, "v", "s", "b", "a") \
+            .collect()[0]["delta"] == pytest.approx(-1.0)
+
+    def test_identical_distributions_zero(self, spark):
+        from pandas_ai_spark.functions.stats import cliffs_delta
+
+        rows = [(s, float(v % 5)) for s in "ab" for v in range(50)]
+        df = spark.createDataFrame(rows, "s string, v double")
+        assert cliffs_delta(df, "v", "s", "a", "b") \
+            .collect()[0]["delta"] == pytest.approx(0.0)
+
+
+class TestHodgesLehmann:
+    def test_matches_bruteforce_lower_median(self, spark):
+        from pandas_ai_spark.functions.stats import hodges_lehmann
+
+        xa = [1, 2, 2, 3, 5, 7]
+        xb = [2, 4, 4, 6, 6, 8]
+        rows = [("a", v) for v in xa] + [("b", v) for v in xb]
+        df = spark.createDataFrame(rows, "s string, v long")
+        r = hodges_lehmann(df, "v", "s", "a", "b").collect()[0]
+        diffs = sorted(x - y for x in xa for y in xb)
+        want = diffs[(len(diffs) + 1) // 2 - 1]
+        assert r["shift"] == want
+
+    def test_pure_shift_recovered(self, spark):
+        from pandas_ai_spark.functions.stats import hodges_lehmann
+
+        base = [v % 9 for v in range(90)]
+        rows = [("a", v + 7) for v in base] + [("b", v) for v in base]
+        df = spark.createDataFrame(rows, "s string, v long")
+        r = hodges_lehmann(df, "v", "s", "a", "b").collect()[0]
+        assert r["shift"] == 7  # exact shift recovered
+
+    def test_grouped(self, spark):
+        from pandas_ai_spark.functions.stats import hodges_lehmann
+
+        rows = [("g1", "a", v + 3) for v in range(20)] + \
+               [("g1", "b", v) for v in range(20)] + \
+               [("g2", "a", v - 5) for v in range(20)] + \
+               [("g2", "b", v) for v in range(20)]
+        df = spark.createDataFrame(rows, "g string, s string, v long")
+        out = {r["g"]: r["shift"] for r in hodges_lehmann(
+            df, "v", "s", "a", "b", by=["g"]).collect()}
+        assert out["g1"] == 3 and out["g2"] == -5

@@ -139,6 +139,8 @@ DEFAULT = [
     "q198_theil_sen",           # cell-grain slope pairs + med windows
     "q200_brown_forsythe",      # exact medians + moment agg + fold
     "q201_dunn_distributed",    # bucketed rank pass + pair join + BH
+    "q202_cliffs_delta",        # cell-grain dominance join
+    "q203_hodges_lehmann",      # cell cross-pair diffs + med windows
 ]
 
 

@@ -1863,6 +1863,27 @@ def q203_hodges_lehmann(spark: SparkSession,
     ).orderBy("l_returnflag")
 
 
+def q204_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core density filter (graph.kcore) over the q82 part
+    co-purchase graph: 4 peel rounds at k=90 isolate the tightly
+    cross-sold part cluster (at sf0.01: 527 of 2000 parts) — the
+    graph-density screen that finds botty/spammy cliques in an
+    interaction graph or prunes barely-connected noise before
+    community detection. Fixed rounds make the survivor set a pure
+    function of the edge set (the q82 fixed-iteration device); each
+    round is one degree count + two broadcast semi-joins, edge table
+    localCheckpoint-ed per round. Oracle: 4 chained filter+aggregate
+    CTEs."""
+    from pandas_ai_spark.functions.graph import (cooccurrence_edges,
+                                                 kcore)
+
+    li = _t(spark, sf_dir, "lineitem")
+    edges = cooccurrence_edges(li, "l_orderkey", "l_partkey")
+    out = kcore(edges, 90, rounds=4)
+    return out.select(
+        F.col("node").alias("part"), "degree").orderBy("part")
+
+
 def q33_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact percentile/stddev aggregates through the semantic layer
     (Spark `percentile` interpolates identically to DuckDB
@@ -5494,6 +5515,7 @@ def queries_numeric() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q201_dunn_distributed": q201_dunn_distributed,
         "q202_cliffs_delta": q202_cliffs_delta,
         "q203_hodges_lehmann": q203_hodges_lehmann,
+        "q204_kcore": q204_kcore,
     }
 
 
@@ -9816,6 +9838,38 @@ def oracle_sql() -> dict[str, str]:
                round((1 + c)::DOUBLE / 21.0, 9) AS p_value
         FROM extreme e JOIN obs2 o ON e.g = o.g
         ORDER BY o_orderpriority
+    """
+    d["q204_kcore"] = """
+        WITH items AS (
+          SELECT DISTINCT l_orderkey AS b, l_partkey AS i
+          FROM lineitem
+        ), e0 AS (
+          SELECT DISTINCT a.i AS s, b2.i AS d
+          FROM items a JOIN items b2
+            ON a.b = b2.b AND a.i <> b2.i
+        ), k1 AS (
+          SELECT s FROM e0 GROUP BY s HAVING count(*) >= 90
+        ), e1 AS (
+          SELECT e.s, e.d FROM e0 e
+          JOIN k1 x ON e.s = x.s JOIN k1 y ON e.d = y.s
+        ), k2 AS (
+          SELECT s FROM e1 GROUP BY s HAVING count(*) >= 90
+        ), e2 AS (
+          SELECT e.s, e.d FROM e1 e
+          JOIN k2 x ON e.s = x.s JOIN k2 y ON e.d = y.s
+        ), k3 AS (
+          SELECT s FROM e2 GROUP BY s HAVING count(*) >= 90
+        ), e3 AS (
+          SELECT e.s, e.d FROM e2 e
+          JOIN k3 x ON e.s = x.s JOIN k3 y ON e.d = y.s
+        ), k4 AS (
+          SELECT s FROM e3 GROUP BY s HAVING count(*) >= 90
+        ), e4 AS (
+          SELECT e.s, e.d FROM e3 e
+          JOIN k4 x ON e.s = x.s JOIN k4 y ON e.d = y.s
+        )
+        SELECT s AS part, CAST(count(*) AS BIGINT) AS degree
+        FROM e4 GROUP BY s ORDER BY part
     """
     d["q202_cliffs_delta"] = """
         WITH cells AS (

@@ -556,3 +556,57 @@ def degree_assortativity(edges: DataFrame, src: str = "src",
         F.when((vx > 0) & (vy > 0),
                cov / (F.sqrt(vx) * F.sqrt(vy)))
          .alias("assortativity"))
+
+
+def kcore(edges: DataFrame, k: int, rounds: int = 8,
+          src: str = "src", dst: str = "dst") -> DataFrame:
+    """``rounds``-round k-core peel over a SYMMETRIC edge table: keep
+    the subgraph where every node has degree >= ``k`` within the
+    subgraph, by repeatedly deleting under-degree nodes - the
+    density filter that isolates the spammy/botty tightly-knit region
+    of an interaction graph (or, inverted, prunes barely-connected
+    noise before community detection). Returns ``(node, degree)`` for
+    the surviving nodes, ``degree`` counted WITHIN the final
+    subgraph.
+
+    Fixed ``rounds`` keeps the computation a pure deterministic
+    function of the edge set (the q82 PageRank device): the oracle is
+    ``rounds`` chained filter+aggregate CTEs, and the output is
+    engine-exact whether or not the peel has converged (each round's
+    survivor set is identical algebra in both engines). For a true
+    core the caller picks ``rounds`` at least the peel depth -
+    converged is detectable as round_r == round_{r-1}; peel depth is
+    small for real graphs (degeneracy ordering removes whole shells
+    per round, not single nodes).
+
+    Scale shape: each round is one map-side-combined degree count
+    over the alive edge table plus two broadcast semi-joins to filter
+    edges (the alive NODE set, |V| rows, broadcasts; the edge table
+    is filtered in place, never shuffled on itself); each round's
+    edge set is ``localCheckpoint``-ed (the connected-components
+    device), so round r costs O(|E_r|) and the plan stays flat
+    instead of nesting r rounds of joins.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    if rounds < 1:
+        raise ValueError("rounds must be >= 1")
+    from pyspark.sql.functions import broadcast
+
+    alive = edges.select(F.col(src).alias("__s"),
+                         F.col(dst).alias("__d")) \
+        .localCheckpoint(eager=True)
+    for _ in range(int(rounds)):
+        deg = alive.groupBy(F.col("__s").alias("__n")).agg(
+            F.count(F.lit(1)).cast("bigint").alias("__deg"))
+        keep = deg.where(F.col("__deg") >= int(k)) \
+            .select(F.col("__n"))
+        alive = (alive
+                 .join(broadcast(keep.select(
+                     F.col("__n").alias("__s"))), "__s")
+                 .join(broadcast(keep.select(
+                     F.col("__n").alias("__d"))), "__d")
+                 .select("__s", "__d")
+                 .localCheckpoint(eager=True))
+    return alive.groupBy(F.col("__s").alias("node")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("degree"))

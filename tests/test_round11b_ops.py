@@ -707,3 +707,70 @@ class TestHodgesLehmann:
         out = {r["g"]: r["shift"] for r in hodges_lehmann(
             df, "v", "s", "a", "b", by=["g"]).collect()}
         assert out["g1"] == 3 and out["g2"] == -5
+
+
+class TestKCore:
+    def _sym(self, spark, und):
+        edges = und + [(b, a) for a, b in und]
+        return spark.createDataFrame(edges, "src long, dst long")
+
+    def test_triangle_with_tail(self, spark):
+        from pandas_ai_spark.functions.graph import kcore
+
+        df = self._sym(spark, [(1, 2), (2, 3), (1, 3), (3, 4),
+                               (4, 5)])
+        out = {r["node"]: r["degree"]
+               for r in kcore(df, 2, rounds=5).collect()}
+        assert out == {1: 2, 2: 2, 3: 2}
+
+    def test_cascading_peel(self, spark):
+        # a chain peels completely under k=2, one shell per round
+        from pandas_ai_spark.functions.graph import kcore
+
+        df = self._sym(spark, [(i, i + 1) for i in range(8)])
+        assert kcore(df, 2, rounds=8).count() == 0
+
+    def test_matches_python_reference(self, spark):
+        import random
+        from collections import defaultdict
+
+        from pandas_ai_spark.functions.graph import kcore
+
+        random.seed(9)
+        und = list({(min(a, b), max(a, b)) for _ in range(250)
+                    for a, b in [(random.randrange(35),
+                                  random.randrange(35))] if a != b})
+        df = self._sym(spark, und)
+        got = {r["node"]: r["degree"]
+               for r in kcore(df, 5, rounds=10).collect()}
+        adj = defaultdict(set)
+        for a, b in und:
+            adj[a].add(b)
+            adj[b].add(a)
+        alive = set(adj)
+        while True:
+            bad = {n for n in alive if len(adj[n] & alive) < 5}
+            if not bad:
+                break
+            alive -= bad
+        want = {n: len(adj[n] & alive) for n in alive}
+        assert got == want
+
+    def test_fixpoint_detectable(self, spark):
+        # once converged, more rounds change nothing
+        from pandas_ai_spark.functions.graph import kcore
+
+        df = self._sym(spark, [(1, 2), (2, 3), (1, 3), (3, 4),
+                               (4, 5)])
+        a = sorted(tuple(r) for r in kcore(df, 2, rounds=3).collect())
+        b = sorted(tuple(r) for r in kcore(df, 2, rounds=6).collect())
+        assert a == b
+
+    def test_validates_args(self, spark):
+        from pandas_ai_spark.functions.graph import kcore
+
+        df = self._sym(spark, [(1, 2)])
+        with pytest.raises(ValueError):
+            kcore(df, 0)
+        with pytest.raises(ValueError):
+            kcore(df, 2, rounds=0)

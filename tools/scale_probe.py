@@ -141,6 +141,7 @@ DEFAULT = [
     "q201_dunn_distributed",    # bucketed rank pass + pair join + BH
     "q202_cliffs_delta",        # cell-grain dominance join
     "q203_hodges_lehmann",      # cell cross-pair diffs + med windows
+    "q204_kcore",               # fixed-round peel, broadcast filters
 ]
 
 
@@ -194,6 +195,7 @@ PROBE_SF03 = [
     "q197_dunn_test",
     "q198_theil_sen",
     "q201_dunn_distributed",
+    "q204_kcore",
 ]
 
 SF03_DIR = ".scale/sf0.3"

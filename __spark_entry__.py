@@ -1884,6 +1884,50 @@ def q204_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("node").alias("part"), "degree").orderBy("part")
 
 
+def q205_friedman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked rank test (stats.friedman_test): ranking WITHIN each
+    order month, do the five priorities consistently out-earn each
+    other? The blocked-design member of the rank family — month-level
+    revenue shifts (seasonality) cancel by construction, where q191's
+    KW would absorb them as noise. Cells are exact revenue-cents sums
+    per (month, priority); within-block doubled midranks exact;
+    the one k-term float sum folds treatment-sorted. Oracle:
+    identical monthly grain + rank windows + ordered fold."""
+    from pandas_ai_spark.functions.stats import friedman_test
+
+    monthly = _t(spark, sf_dir, "orders").groupBy(
+        F.date_format("o_orderdate", "yyyy-MM").alias("mon"),
+        "o_orderpriority").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+         .alias("rev_c"))
+    out = friedman_test(monthly, "mon", "o_orderpriority", "rev_c")
+    return out.select(
+        "k", "n_blocks", F.round("q", 9).alias("q"))
+
+
+def q206_jonckheere(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-dose trend test (stats.jonckheere_terpstra): per
+    l_returnflag, does the quantity distribution shift monotonically
+    with the discount level (0..10 points)? The ordered-alternative
+    counterpart of q191's KW — far more powerful when the alternative
+    IS a trend. 2·JT accumulates exact DECIMAL from the bounded
+    (value, dose) cell-grain dominance join (the q189/q202 device);
+    z is one row-local expression on exact aggregates. Oracle:
+    identical cell-join arithmetic."""
+    from pandas_ai_spark.functions.stats import jonckheere_terpstra
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.col("l_quantity").cast("bigint").alias("qty"),
+        F.round(F.col("l_discount") * 100).cast("int")
+         .alias("disc_pts"))
+    out = jonckheere_terpstra(li, "qty", "disc_pts",
+                              by=["l_returnflag"])
+    return out.select(
+        "l_returnflag", "k", "n",
+        F.round("z", 9).alias("z")).orderBy("l_returnflag")
+
+
 def q33_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact percentile/stddev aggregates through the semantic layer
     (Spark `percentile` interpolates identically to DuckDB
@@ -5516,6 +5560,8 @@ def queries_numeric() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q202_cliffs_delta": q202_cliffs_delta,
         "q203_hodges_lehmann": q203_hodges_lehmann,
         "q204_kcore": q204_kcore,
+        "q205_friedman": q205_friedman,
+        "q206_jonckheere": q206_jonckheere,
     }
 
 
@@ -9838,6 +9884,112 @@ def oracle_sql() -> dict[str, str]:
                round((1 + c)::DOUBLE / 21.0, 9) AS p_value
         FROM extreme e JOIN obs2 o ON e.g = o.g
         ORDER BY o_orderpriority
+    """
+    d["q205_friedman"] = """
+        WITH monthly AS (
+          SELECT strftime(o_orderdate, '%Y-%m') AS mon,
+                 o_orderpriority AS trt,
+                 CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                      AS BIGINT) AS v
+          FROM orders GROUP BY 1, 2
+        ), kk AS (
+          SELECT CAST(count(DISTINCT trt) AS BIGINT) AS k
+          FROM monthly
+        ), bsz AS (
+          SELECT mon, CAST(count(DISTINCT trt) AS BIGINT) AS bk,
+                 CAST(count(*) AS BIGINT) AS bn
+          FROM monthly GROUP BY mon
+        ), work AS (
+          SELECT m.mon, m.trt, m.v
+          FROM monthly m JOIN bsz b ON m.mon = b.mon
+          CROSS JOIN kk
+          WHERE b.bk = kk.k AND b.bn = kk.k
+        ), ranked AS (
+          SELECT mon, trt, v,
+                 2 * (count(*) OVER (PARTITION BY mon ORDER BY v
+                        RANGE BETWEEN UNBOUNDED PRECEDING
+                        AND CURRENT ROW)
+                      - count(*) OVER (PARTITION BY mon, v))
+                 + count(*) OVER (PARTITION BY mon, v) + 1 AS r2,
+                 count(*) OVER (PARTITION BY mon, v) AS t
+          FROM work
+        ), lvl AS (
+          SELECT trt,
+                 CAST(sum(r2) AS DECIMAL(38,0)) AS rs2,
+                 CAST(count(*) AS BIGINT) AS nb
+          FROM ranked GROUP BY trt
+        ), top AS (
+          SELECT CAST(min(nb) AS BIGINT) AS n_blocks,
+                 list_sum(list(
+                   CAST(rs2 AS DOUBLE) * CAST(rs2 AS DOUBLE) / 4.0
+                   ORDER BY trt)) AS fold
+          FROM lvl
+        ), ties AS (
+          SELECT CAST(sum(t * t - 1) AS BIGINT) AS tie FROM ranked
+        )
+        SELECT kk.k, top.n_blocks,
+               round(CASE WHEN kk.k > 1 AND top.n_blocks > 0
+                       AND 1.0 - CAST(tie AS DOUBLE)
+                           / (CAST(top.n_blocks AS DOUBLE)
+                              * CAST(kk.k AS DOUBLE)
+                              * (CAST(kk.k AS DOUBLE)
+                                 * CAST(kk.k AS DOUBLE) - 1)) > 0
+                     THEN (12.0 / (CAST(top.n_blocks AS DOUBLE)
+                                   * CAST(kk.k AS DOUBLE)
+                                   * (CAST(kk.k AS DOUBLE) + 1))
+                           * fold
+                           - 3.0 * CAST(top.n_blocks AS DOUBLE)
+                             * (CAST(kk.k AS DOUBLE) + 1))
+                          / (1.0 - CAST(tie AS DOUBLE)
+                             / (CAST(top.n_blocks AS DOUBLE)
+                                * CAST(kk.k AS DOUBLE)
+                                * (CAST(kk.k AS DOUBLE)
+                                   * CAST(kk.k AS DOUBLE) - 1)))
+                     END, 9) AS q
+        FROM kk CROSS JOIN top CROSS JOIN ties
+    """
+    d["q206_jonckheere"] = """
+        WITH cells AS (
+          SELECT l_returnflag AS g,
+                 CAST(l_quantity AS BIGINT) AS v,
+                 CAST(round(l_discount * 100) AS BIGINT) AS d,
+                 CAST(count(*) AS BIGINT) AS n
+          FROM lineitem
+          WHERE l_quantity IS NOT NULL AND l_discount IS NOT NULL
+          GROUP BY 1, 2, 3
+        ), jt AS (
+          SELECT l.g,
+                 CAST(sum((CASE WHEN l.v < r.v THEN 2
+                                WHEN l.v = r.v THEN 1
+                                ELSE 0 END) * l.n * r.n)
+                      AS HUGEINT) AS jt2
+          FROM cells l JOIN cells r ON l.g = r.g AND l.d < r.d
+          GROUP BY 1
+        ), sizes AS (
+          SELECT g, d, CAST(sum(n) AS BIGINT) AS ni
+          FROM cells GROUP BY 1, 2
+        ), tots AS (
+          SELECT g, CAST(count(*) AS BIGINT) AS k,
+                 CAST(sum(ni) AS BIGINT) AS n,
+                 CAST(sum(ni * ni) AS HUGEINT) AS sn2,
+                 CAST(sum(ni * ni * (2 * ni + 3)) AS HUGEINT) AS sn3
+          FROM sizes GROUP BY g
+        )
+        SELECT t.g AS l_returnflag, k, n,
+               round(CASE WHEN n > 1 AND
+                       (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                        * (2 * CAST(n AS DOUBLE) + 3)
+                        - CAST(sn3 AS DOUBLE)) / 72.0 > 0
+                     THEN (CAST(jt2 AS DOUBLE)
+                           - (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                              - CAST(sn2 AS DOUBLE)) / 2.0)
+                          / (2.0 * sqrt(
+                              (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                               * (2 * CAST(n AS DOUBLE) + 3)
+                               - CAST(sn3 AS DOUBLE)) / 72.0))
+                     END, 9) AS z
+        FROM tots t JOIN jt ON t.g = jt.g
+        ORDER BY l_returnflag
     """
     d["q204_kcore"] = """
         WITH items AS (

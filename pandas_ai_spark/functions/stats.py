@@ -3221,3 +3221,212 @@ def hodges_lehmann(df: DataFrame, value_col: str, sample_col: str,
         out = fold_scalars(med, totals.select("n_a", "n_b"))
     return out.select(*[F.col(c) for c in by],
                       "n_a", "n_b", "shift")
+
+
+def friedman_test(df: DataFrame, block_col: str, treatment_col: str,
+                  value_col: str,
+                  by: list[str] | None = None) -> DataFrame:
+    """Friedman test - the BLOCKED-design member of the rank family
+    (:func:`kruskal_wallis` assumes independent samples; Friedman
+    ranks WITHIN each block, killing block-to-block level shifts):
+    per ``by`` group ``(k, n_blocks, q)`` where ``q`` is the
+    tie-corrected statistic
+    ``[12/(nk(k+1)) sum R_j^2 - 3n(k+1)] / [1 - sum(t^3-t)/(nk(k^2-1))]``
+    over within-block midranks, asymptotically chi^2(k-1) under "no
+    treatment effect".
+
+    Contract: ONE observation per (block, treatment) cell -
+    pre-aggregate upstream (e.g. monthly totals per segment).
+    Blocks missing any of the k treatments are DROPPED (complete-
+    block design); ``k`` is the number of distinct treatments
+    observed in the group.
+
+    Determinism: within-block doubled midranks are exact integers;
+    per-treatment rank sums are exact DECIMAL(38,0); the one
+    cross-treatment float sum (k R_j^2 terms) folds treatment-sorted
+    on both engines (the q191 device).
+
+    Scale shape: ranking windows partition by (group, BLOCK) -
+    blocks x groups parallel, each sorting k values; one filter pass
+    drops incomplete blocks (a bounded block-grain aggregation
+    broadcast back); then two bounded aggregations. Nothing scales
+    worse than the block count.
+    """
+    from pyspark.sql.functions import broadcast
+    from pyspark.sql.window import Window
+
+    by = list(by or [])
+    base = df.where(F.col(value_col).isNotNull()
+                    & F.col(block_col).isNotNull()
+                    & F.col(treatment_col).isNotNull()).select(
+        *[F.col(c) for c in by],
+        F.col(block_col).cast("string").alias("__blk"),
+        F.col(treatment_col).cast("string").alias("__trt"),
+        F.col(value_col).alias("__v"))
+    kdf = base.groupBy(
+        *[F.col(c).alias(f"__g_{c}") for c in by]).agg(
+        F.countDistinct("__trt").cast("bigint").alias("__k"))
+    bsz = base.groupBy(
+        *[F.col(c).alias(f"__b_{c}") for c in by],
+        F.col("__blk").alias("__b_blk")).agg(
+        F.countDistinct("__trt").cast("bigint").alias("__bk"),
+        F.count(F.lit(1)).cast("bigint").alias("__bn"))
+    condk = None
+    for c in by:
+        eq = F.col(c).eqNullSafe(F.col(f"__g_{c}"))
+        condk = eq if condk is None else (condk & eq)
+    condb = F.col("__blk") == F.col("__b_blk")
+    for c in by:
+        condb = condb & F.col(c).eqNullSafe(F.col(f"__b_{c}"))
+    if by:
+        work = base.join(broadcast(kdf), condk) \
+            .drop(*[f"__g_{c}" for c in by])
+    else:
+        from .fold import fold_scalars
+        work = fold_scalars(base, kdf.select("__k"))
+    work = work.join(broadcast(bsz), condb) \
+        .drop("__b_blk", *[f"__b_{c}" for c in by])
+    # complete blocks only, and exactly one row per cell
+    work = work.where((F.col("__bk") == F.col("__k"))
+                      & (F.col("__bn") == F.col("__k")))
+    wo = Window.partitionBy(*by, "__blk").orderBy("__v") \
+        .rangeBetween(Window.unboundedPreceding, 0)
+    wt = Window.partitionBy(*by, "__blk", "__v")
+    cum_le = F.count(F.lit(1)).over(wo)
+    t = F.count(F.lit(1)).over(wt)
+    r2 = (F.lit(2) * (cum_le - t) + t + F.lit(1)).cast("bigint")
+    ranked = work.select(
+        *[F.col(c) for c in by], "__trt", "__k",
+        r2.alias("__r2"),
+        (t * t - 1).cast("bigint").alias("__tie1"))
+    lvl = ranked.groupBy(*[F.col(c) for c in by], F.col("__trt")) \
+        .agg(F.sum(F.col("__r2").cast("decimal(38,0)"))
+              .alias("__rs2"),
+             F.count(F.lit(1)).cast("bigint").alias("__nb"),
+             F.min("__k").alias("__k"))
+    term = (F.col("__rs2").cast("double")
+            * F.col("__rs2").cast("double") / F.lit(4.0))
+    staged = lvl.select(
+        *[F.col(c) for c in by], "__nb", "__k",
+        F.struct(F.col("__trt").alias("g"), term.alias("term"))
+        .alias("__t"))
+    tie_aggs = [F.sum("__tie1").cast("bigint").alias("__ties")]
+    aggs = [
+        F.min("__k").cast("bigint").alias("k"),
+        F.min("__nb").cast("bigint").alias("n_blocks"),
+        F.aggregate(F.sort_array(F.collect_list("__t")),
+                    F.lit(0.0),
+                    lambda acc, s: acc + s["term"]).alias("__fold"),
+    ]
+    g = (staged.groupBy(*[F.col(c) for c in by]).agg(*aggs)
+         if by else staged.agg(*aggs))
+    if by:
+        ties = ranked.groupBy(
+            *[F.col(c).alias(f"__g_{c}") for c in by]).agg(*tie_aggs)
+        cond = None
+        for c in by:
+            eq = F.col(c).eqNullSafe(F.col(f"__g_{c}"))
+            cond = eq if cond is None else (cond & eq)
+        g = g.join(broadcast(ties), cond) \
+            .drop(*[f"__g_{c}" for c in by])
+    else:
+        from .fold import fold_scalars
+        g = fold_scalars(g, ranked.agg(*tie_aggs))
+    nd = F.col("n_blocks").cast("double")
+    kd = F.col("k").cast("double")
+    q_raw = (F.lit(12.0) / (nd * kd * (kd + 1)) * F.col("__fold")
+             - F.lit(3.0) * nd * (kd + 1))
+    corr = (F.lit(1.0) - F.col("__ties").cast("double")
+            / (nd * kd * (kd * kd - 1)))
+    q = F.when((F.col("k") > 1) & (F.col("n_blocks") > 0)
+               & (corr > 0), q_raw / corr)
+    return g.select(*[F.col(c) for c in by],
+                    "k", "n_blocks", q.alias("q"))
+
+
+def jonckheere_terpstra(df: DataFrame, value_col: str,
+                        dose_col: str,
+                        by: list[str] | None = None) -> DataFrame:
+    """Jonckheere-Terpstra trend test - the ORDERED-alternative
+    k-sample test (:func:`kruskal_wallis` asks "any difference?";
+    JT asks "does the distribution shift MONOTONICALLY with the
+    dose?" and is far more powerful when that is the alternative):
+    per ``by`` group ``(k, n, z)`` with
+    ``JT = sum_{i<j} U_ij`` (``U_ij`` the Mann-Whitney count of
+    group-i values below group-j values, ties counted half) and the
+    standard no-tie normal approximation
+    ``E = (N^2 - sum n_i^2)/4``,
+    ``Var = [N^2(2N+3) - sum n_i^2 (2n_i+3)]/72``.
+
+    ``dose_col`` must be an ordered INTEGER dose (the
+    :func:`cochran_armitage` convention) - group order IS the test.
+
+    Determinism: the doubled statistic ``2*JT`` accumulates as exact
+    DECIMAL(38,0) from the (group, value) cell grain (one dominance
+    self-join on ``(v, dose)`` - the q189/q202 device), and
+    ``sum n_i^2`` is an exact integer aggregation; ``z`` is one
+    row-local expression. No float accumulation anywhere.
+
+    Scale shape: one grain aggregation + a bounded Theta(cells^2)
+    join per group; bucket continuous values upstream.
+    """
+    from pyspark.sql.functions import broadcast
+
+    by = list(by or [])
+    dec = "decimal(38,0)"
+    cells = df.where(F.col(value_col).isNotNull()
+                     & F.col(dose_col).isNotNull()).groupBy(
+        *[F.col(c) for c in by],
+        F.col(value_col).alias("__v"),
+        F.col(dose_col).cast("bigint").alias("__d")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("__n"))
+    left = cells.select(
+        *[F.col(c).alias(f"__l_{c}") for c in by],
+        F.col("__v").alias("__vl"), F.col("__d").alias("__dl"),
+        F.col("__n").alias("__nl"))
+    right = cells.select(
+        *[F.col(c).alias(f"__r_{c}") for c in by],
+        F.col("__v").alias("__vr"), F.col("__d").alias("__dr"),
+        F.col("__n").alias("__nr"))
+    jcond = F.col("__dl") < F.col("__dr")
+    for c in by:
+        jcond = jcond & F.col(f"__l_{c}").eqNullSafe(F.col(f"__r_{c}"))
+    pairs = left.join(right, jcond)
+    # 2*U contribution: 2 per strictly-below pair, 1 per tie pair
+    contrib = F.when(F.col("__vl") < F.col("__vr"), F.lit(2)) \
+        .when(F.col("__vl") == F.col("__vr"), F.lit(1)) \
+        .otherwise(F.lit(0))
+    jt2 = pairs.groupBy(
+        *[F.col(f"__l_{c}").alias(c) for c in by]).agg(
+        F.sum((contrib * F.col("__nl") * F.col("__nr")).cast(dec))
+         .alias("__jt2"))
+    sizes = cells.groupBy(
+        *[F.col(c).alias(f"__s_{c}") for c in by],
+        F.col("__d").alias("__s_d")).agg(
+        F.sum("__n").cast("bigint").alias("__ni"))
+    tots = sizes.groupBy(
+        *[F.col(c) for c in [f"__s_{c}" for c in by]]).agg(
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.sum("__ni").cast("bigint").alias("n"),
+        F.sum(F.col("__ni") * F.col("__ni")).cast(dec).alias("__sn2"),
+        F.sum(F.col("__ni").cast(dec) * F.col("__ni")
+              * (2 * F.col("__ni") + 3)).alias("__sn3"))
+    if by:
+        cond = None
+        for c in by:
+            eq = F.col(c).eqNullSafe(F.col(f"__s_{c}"))
+            cond = eq if cond is None else (cond & eq)
+        out = jt2.join(broadcast(tots), cond) \
+            .drop(*[f"__s_{c}" for c in by])
+    else:
+        from .fold import fold_scalars
+        out = fold_scalars(jt2, tots)
+    nd = F.col("n").cast("double")
+    e2 = (nd * nd - F.col("__sn2").cast("double")) / F.lit(2.0)
+    var = (nd * nd * (2 * nd + 3)
+           - F.col("__sn3").cast("double")) / F.lit(72.0)
+    z = F.when((F.col("n") > 1) & (var > 0),
+               (F.col("__jt2").cast("double") - e2)
+               / (F.lit(2.0) * F.sqrt(var)))
+    return out.select(*[F.col(c) for c in by],
+                      "k", "n", z.alias("z"))

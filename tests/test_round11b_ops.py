@@ -774,3 +774,124 @@ class TestKCore:
             kcore(df, 0)
         with pytest.raises(ValueError):
             kcore(df, 2, rounds=0)
+
+
+class TestFriedman:
+    def test_matches_independent_computation(self, spark):
+        import random
+        from collections import defaultdict
+
+        from pandas_ai_spark.functions.stats import friedman_test
+
+        random.seed(13)
+        rows = []
+        for b in range(25):
+            base = random.randrange(100)
+            for trt in "abcd":
+                shift = 5 if trt == "c" else 0
+                rows.append((f"b{b:02d}", trt,
+                             float(base + random.randrange(10)
+                                   + shift)))
+        df = spark.createDataFrame(rows,
+                                   "blk string, trt string, v double")
+        r = friedman_test(df, "blk", "trt", "v").collect()[0]
+        blocks = defaultdict(dict)
+        for b, t, v in rows:
+            blocks[b][t] = v
+
+        def midranks(vals):
+            return [sum(1 for o in vals if o < x)
+                    + (sum(1 for o in vals if o == x) + 1) / 2
+                    for x in vals]
+
+        k, n = 4, len(blocks)
+        R = defaultdict(float)
+        T = 0
+        for cells in blocks.values():
+            trts = sorted(cells)
+            vals = [cells[t] for t in trts]
+            for t, rk in zip(trts, midranks(vals)):
+                R[t] += rk
+            cnt = defaultdict(int)
+            for v in vals:
+                cnt[v] += 1
+            T += sum(c ** 3 - c for c in cnt.values())
+        S = sum(R[t] ** 2 for t in R)
+        q_raw = 12.0 / (n * k * (k + 1)) * S - 3 * n * (k + 1)
+        want = q_raw / (1 - T / (n * k * (k * k - 1)))
+        assert r["k"] == 4 and r["n_blocks"] == n
+        assert r["q"] == pytest.approx(want, abs=1e-9)
+
+    def test_incomplete_blocks_dropped(self, spark):
+        from pandas_ai_spark.functions.stats import friedman_test
+
+        rows = [("b1", "a", 1.0), ("b1", "b", 2.0),
+                ("b2", "a", 3.0), ("b2", "b", 1.0),
+                ("b3", "a", 5.0)]  # b3 misses treatment b
+        df = spark.createDataFrame(rows,
+                                   "blk string, trt string, v double")
+        r = friedman_test(df, "blk", "trt", "v").collect()[0]
+        assert r["n_blocks"] == 2 and r["k"] == 2
+
+    def test_consistent_ordering_detected(self, spark):
+        # treatment b always above a: maximal q for k=2
+        from pandas_ai_spark.functions.stats import friedman_test
+
+        rows = []
+        for b in range(20):
+            rows.append((f"b{b}", "a", float(b)))
+            rows.append((f"b{b}", "b", float(b) + 0.5))
+        df = spark.createDataFrame(rows,
+                                   "blk string, trt string, v double")
+        r = friedman_test(df, "blk", "trt", "v").collect()[0]
+        assert r["q"] == pytest.approx(20.0)  # n*(k-1) for perfect
+
+
+class TestJonckheereTerpstra:
+    def test_matches_bruteforce(self, spark):
+        import random
+        from collections import defaultdict
+
+        from pandas_ai_spark.functions.stats import \
+            jonckheere_terpstra
+
+        random.seed(17)
+        rows = [(d, float(random.gauss(d * 0.5, 2)))
+                for d in (0, 1, 2, 3) for _ in range(50)]
+        df = spark.createDataFrame(rows, "d int, v double")
+        r = jonckheere_terpstra(df, "v", "d").collect()[0]
+        groups = defaultdict(list)
+        for d, v in rows:
+            groups[d].append(v)
+        ks = sorted(groups)
+        jt = sum((1.0 if x < y else 0.5 if x == y else 0.0)
+                 for i in range(len(ks)) for j in range(i + 1, len(ks))
+                 for x in groups[ks[i]] for y in groups[ks[j]])
+        n = len(rows)
+        sn2 = sum(len(g) ** 2 for g in groups.values())
+        sn3 = sum(len(g) ** 2 * (2 * len(g) + 3)
+                  for g in groups.values())
+        e = (n * n - sn2) / 4
+        v = (n * n * (2 * n + 3) - sn3) / 72
+        assert r["z"] == pytest.approx((jt - e) / v ** 0.5, abs=1e-9)
+        assert r["z"] > 2  # real upward trend
+
+    def test_no_trend_near_zero(self, spark):
+        from pandas_ai_spark.functions.stats import \
+            jonckheere_terpstra
+
+        rows = [(d, float(i % 7)) for d in (0, 1, 2)
+                for i in range(60)]
+        df = spark.createDataFrame(rows, "d int, v double")
+        r = jonckheere_terpstra(df, "v", "d").collect()[0]
+        assert abs(r["z"]) < 1e-9  # identical distribution per dose
+
+    def test_downward_trend_negative(self, spark):
+        from pandas_ai_spark.functions.stats import \
+            jonckheere_terpstra
+
+        rows = [(d, float(100 - 10 * d + (i % 3)))
+                for d in (0, 1, 2, 3) for i in range(30)]
+        df = spark.createDataFrame(rows, "d int, v double")
+        r = jonckheere_terpstra(df, "v", "d").collect()[0]
+        assert r["z"] < -5

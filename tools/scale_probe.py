@@ -142,6 +142,7 @@ DEFAULT = [
     "q202_cliffs_delta",        # cell-grain dominance join
     "q203_hodges_lehmann",      # cell cross-pair diffs + med windows
     "q204_kcore",               # fixed-round peel, broadcast filters
+    "q206_jonckheere",          # cell-grain ordered dominance join
 ]
 
 

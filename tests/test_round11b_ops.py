@@ -895,3 +895,21 @@ class TestJonckheereTerpstra:
         df = spark.createDataFrame(rows, "d int, v double")
         r = jonckheere_terpstra(df, "v", "d").collect()[0]
         assert r["z"] < -5
+
+
+class TestNormalTailApproximation:
+    def test_abramowitz_stegun_error_bound(self, spark):
+        # the shared A&S 26.2.17 tail vs the stdlib erfc ground truth:
+        # documented |error| < 7.5e-8 across the z range Dunn uses
+        import math
+
+        from pandas_ai_spark.functions.stats import _normal_upper_tail
+
+        zs = [0.0, 0.1, 0.5, 1.0, 1.645, 1.96, 2.575, 3.0, 4.0, 6.0]
+        df = spark.createDataFrame([(z,) for z in zs], "z double")
+        got = {r["z"]: r["p"] for r in df.select(
+            F.col("z"),
+            _normal_upper_tail(F.col("z")).alias("p")).collect()}
+        for z in zs:
+            want = 0.5 * math.erfc(z / math.sqrt(2.0))
+            assert abs(got[z] - want) < 7.5e-8, (z, got[z], want)

@@ -1912,8 +1912,10 @@ def q206_jonckheere(spark: SparkSession, sf_dir: str) -> DataFrame:
     counterpart of q191's KW — far more powerful when the alternative
     IS a trend. 2·JT accumulates exact DECIMAL from the bounded
     (value, dose) cell-grain dominance join (the q189/q202 device);
-    z is one row-local expression on exact aggregates. Oracle:
-    identical cell-join arithmetic."""
+    z uses the TIE-CORRECTED variance (l_quantity has ~50 distinct
+    values — heavy ties; the no-tie form would bias z toward 0) from
+    exact integer tie sums. Oracle: identical cell-join + tie-sum
+    arithmetic."""
     from pandas_ai_spark.functions.stats import jonckheere_terpstra
 
     li = _t(spark, sf_dir, "lineitem").select(
@@ -9972,23 +9974,48 @@ def oracle_sql() -> dict[str, str]:
           SELECT g, CAST(count(*) AS BIGINT) AS k,
                  CAST(sum(ni) AS BIGINT) AS n,
                  CAST(sum(ni * ni) AS HUGEINT) AS sn2,
-                 CAST(sum(ni * ni * (2 * ni + 3)) AS HUGEINT) AS sn3
+                 CAST(sum(ni * (ni - 1) * (2 * ni + 5)) AS HUGEINT)
+                   AS sn5,
+                 CAST(sum(ni * (ni - 1) * (ni - 2)) AS HUGEINT)
+                   AS sn3b,
+                 CAST(sum(ni * (ni - 1)) AS HUGEINT) AS sn2b
           FROM sizes GROUP BY g
+        ), tval AS (
+          SELECT g, v, CAST(sum(n) AS BIGINT) AS t
+          FROM cells GROUP BY 1, 2
+        ), ties AS (
+          SELECT g,
+                 CAST(sum(t * (t - 1) * (2 * t + 5)) AS HUGEINT)
+                   AS st5,
+                 CAST(sum(t * (t - 1) * (t - 2)) AS HUGEINT) AS st3,
+                 CAST(sum(t * (t - 1)) AS HUGEINT) AS st2
+          FROM tval GROUP BY g
+        ), vcalc AS (
+          SELECT t.g, k, n, jt2, sn2,
+                 (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1)
+                  * (2 * CAST(n AS DOUBLE) + 5)
+                  - CAST(sn5 AS DOUBLE) - CAST(st5 AS DOUBLE))
+                 / 72.0
+                 + (CASE WHEN n > 2
+                    THEN CAST(sn3b AS DOUBLE) * CAST(st3 AS DOUBLE)
+                         / (36.0 * CAST(n AS DOUBLE)
+                            * (CAST(n AS DOUBLE) - 1)
+                            * (CAST(n AS DOUBLE) - 2))
+                    ELSE 0.0 END)
+                 + CAST(sn2b AS DOUBLE) * CAST(st2 AS DOUBLE)
+                   / (8.0 * CAST(n AS DOUBLE)
+                      * (CAST(n AS DOUBLE) - 1)) AS var
+          FROM tots t JOIN jt ON t.g = jt.g
+          JOIN ties ti ON t.g = ti.g
         )
-        SELECT t.g AS l_returnflag, k, n,
-               round(CASE WHEN n > 1 AND
-                       (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
-                        * (2 * CAST(n AS DOUBLE) + 3)
-                        - CAST(sn3 AS DOUBLE)) / 72.0 > 0
+        SELECT g AS l_returnflag, k, n,
+               round(CASE WHEN n > 1 AND var > 0
                      THEN (CAST(jt2 AS DOUBLE)
                            - (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
                               - CAST(sn2 AS DOUBLE)) / 2.0)
-                          / (2.0 * sqrt(
-                              (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
-                               * (2 * CAST(n AS DOUBLE) + 3)
-                               - CAST(sn3 AS DOUBLE)) / 72.0))
+                          / (2.0 * sqrt(var))
                      END, 9) AS z
-        FROM tots t JOIN jt ON t.g = jt.g
+        FROM vcalc
         ORDER BY l_returnflag
     """
     d["q204_kcore"] = """
@@ -10045,10 +10072,11 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT tot.g AS l_returnflag, n_a, n_b,
                round(CASE WHEN n_a > 0 AND n_b > 0
-                     THEN CAST(gt - lt AS DOUBLE)
+                     THEN CAST(coalesce(gt, 0) - coalesce(lt, 0)
+                               AS DOUBLE)
                           / (CAST(n_a AS DOUBLE)
                              * CAST(n_b AS DOUBLE)) END, 9) AS delta
-        FROM tot JOIN dom ON tot.g = dom.g
+        FROM tot LEFT JOIN dom ON tot.g = dom.g
         ORDER BY l_returnflag
     """
     d["q203_hodges_lehmann"] = """
@@ -10222,11 +10250,13 @@ def oracle_sql() -> dict[str, str]:
           SELECT g, CAST(sum(w) AS BIGINT) AS n_pairs
           FROM pairs GROUP BY g
         )
-        SELECT t1.g AS l_returnflag, t1.n, t2.n_pairs,
+        SELECT t1.g AS l_returnflag, t1.n,
+               CAST(coalesce(t2.n_pairs, 0) AS BIGINT) AS n_pairs,
                round(m.slope, 9) AS slope,
                round(mr.intercept, 9) AS intercept
-        FROM tot1 t1 JOIN tot2 t2 USING (g)
-        JOIN med m ON m.g = t1.g JOIN medr mr ON mr.g = t1.g
+        FROM tot1 t1 LEFT JOIN tot2 t2 ON t2.g = t1.g
+        LEFT JOIN med m ON m.g = t1.g
+        LEFT JOIN medr mr ON mr.g = t1.g
         ORDER BY l_returnflag
     """
     d["q197_dunn_test"] = """

@@ -559,7 +559,9 @@ def degree_assortativity(edges: DataFrame, src: str = "src",
 
 
 def kcore(edges: DataFrame, k: int, rounds: int = 8,
-          src: str = "src", dst: str = "dst") -> DataFrame:
+          src: str = "src", dst: str = "dst",
+          broadcast_nodes_below: int = 5_000_000,
+          return_convergence: bool = False):
     """``rounds``-round k-core peel over a SYMMETRIC edge table: keep
     the subgraph where every node has degree >= ``k`` within the
     subgraph, by repeatedly deleting under-degree nodes - the
@@ -567,25 +569,38 @@ def kcore(edges: DataFrame, k: int, rounds: int = 8,
     of an interaction graph (or, inverted, prunes barely-connected
     noise before community detection). Returns ``(node, degree)`` for
     the surviving nodes, ``degree`` counted WITHIN the final
-    subgraph.
+    subgraph; with ``return_convergence=True`` returns
+    ``(DataFrame, converged)`` instead, where ``converged`` reports
+    whether the peel reached its fixpoint within ``rounds`` - the
+    signal a 100x caller uses to learn that the round budget
+    sufficed (or didn't) without re-running.
 
     Fixed ``rounds`` keeps the computation a pure deterministic
     function of the edge set (the q82 PageRank device): the oracle is
     ``rounds`` chained filter+aggregate CTEs, and the output is
     engine-exact whether or not the peel has converged (each round's
-    survivor set is identical algebra in both engines). For a true
-    core the caller picks ``rounds`` at least the peel depth -
-    converged is detectable as round_r == round_{r-1}; peel depth is
-    small for real graphs (degeneracy ordering removes whole shells
-    per round, not single nodes).
+    survivor set is identical algebra in both engines). Convergence
+    is detected EXACTLY and for free: the peel only ever deletes
+    edges, so an unchanged live-edge COUNT (already in hand - each
+    round's set is eagerly checkpointed) means an unchanged set, and
+    the loop early-stops there - the remaining rounds are algebraic
+    no-ops in both engines, so the fixed-round oracle contract is
+    preserved bit-for-bit. Peel depth is small for real graphs
+    (degeneracy ordering removes whole shells per round, not single
+    nodes).
 
     Scale shape: each round is one map-side-combined degree count
-    over the alive edge table plus two broadcast semi-joins to filter
-    edges (the alive NODE set, |V| rows, broadcasts; the edge table
-    is filtered in place, never shuffled on itself); each round's
-    edge set is ``localCheckpoint``-ed (the connected-components
-    device), so round r costs O(|E_r|) and the plan stays flat
-    instead of nesting r rounds of joins.
+    over the alive edge table plus two semi-joins that filter the
+    edge table in place (never shuffled on itself). The alive NODE
+    set broadcasts only while the live-edge count (an upper bound on
+    the node count - every node has degree >= 1) stays under
+    ``broadcast_nodes_below``; past it the joins fall back to
+    node-id shuffles, the shape that scales arbitrarily (the
+    pagerank/hits convention - a billion-node keep set must not be
+    forced into executor memory). Each round's edge set is
+    ``localCheckpoint``-ed (the connected-components device), so
+    round r costs O(|E_r|) and the plan stays flat instead of
+    nesting r rounds of joins.
     """
     if k < 1:
         raise ValueError("k must be >= 1")
@@ -596,17 +611,30 @@ def kcore(edges: DataFrame, k: int, rounds: int = 8,
     alive = edges.select(F.col(src).alias("__s"),
                          F.col(dst).alias("__d")) \
         .localCheckpoint(eager=True)
+    prev = alive.count()
+    converged = prev == 0  # an empty graph is trivially its own core
     for _ in range(int(rounds)):
+        if converged:
+            break
         deg = alive.groupBy(F.col("__s").alias("__n")).agg(
             F.count(F.lit(1)).cast("bigint").alias("__deg"))
         keep = deg.where(F.col("__deg") >= int(k)) \
             .select(F.col("__n"))
+        hint = (broadcast if prev < broadcast_nodes_below
+                else (lambda d: d))
         alive = (alive
-                 .join(broadcast(keep.select(
+                 .join(hint(keep.select(
                      F.col("__n").alias("__s"))), "__s")
-                 .join(broadcast(keep.select(
+                 .join(hint(keep.select(
                      F.col("__n").alias("__d"))), "__d")
                  .select("__s", "__d")
                  .localCheckpoint(eager=True))
-    return alive.groupBy(F.col("__s").alias("node")).agg(
+        cnt = alive.count()
+        if cnt == prev:
+            converged = True
+        prev = cnt
+    out = alive.groupBy(F.col("__s").alias("node")).agg(
         F.count(F.lit(1)).cast("bigint").alias("degree"))
+    if return_convergence:
+        return out, converged
+    return out

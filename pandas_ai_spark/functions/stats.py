@@ -2346,6 +2346,12 @@ def cramers_v_matrix(df: DataFrame, cols: list[str]) -> DataFrame:
     """
     if len(cols) < 2:
         raise ValueError("need at least two columns")
+    if len(set(cols)) != len(cols):
+        # a duplicated column would produce a degenerate (a, a)
+        # grouping set whose grouping() flags cannot be told apart -
+        # meaningless output, so fail loudly instead
+        raise ValueError("cols must be distinct column names; got "
+                         f"duplicates in {cols!r}")
     from pyspark.sql.window import Window
 
     work = df.select(
@@ -2423,7 +2429,8 @@ def permutation_test(df: DataFrame, value_col: str, sample_col: str,
                      a, b, id_cols: list[str],
                      by: list[str] | None = None,
                      n_perm: int = 100, seed: str = "pt",
-                     scale: int = 100) -> DataFrame:
+                     scale: int = 100,
+                     check_unique_ids: bool = False) -> DataFrame:
     """Seeded Monte-Carlo PERMUTATION test for a difference in means
     between two arms - the exact-inference companion to
     :func:`welch_ttest` (no normality, no asymptotics): per ``by``
@@ -2432,6 +2439,16 @@ def permutation_test(df: DataFrame, value_col: str, sample_col: str,
     (n_perm + 1)`` over ``n_perm`` label permutations that PRESERVE
     the observed arm sizes (true permutation null, not a coin-flip
     randomization).
+
+    CONTRACT: ``id_cols`` must UNIQUELY identify rows within each
+    ``by`` group. The permutation order is the md5 hash of
+    ``(seed, id, k)`` with the id itself as tiebreak - duplicate ids
+    tie BOTH keys, leaving the relative order of those rows
+    engine/partitioning-dependent (silent cross-engine
+    nondeterminism; the test is still a valid permutation test, but
+    not bit-reproducible). Pass ``check_unique_ids=True`` to enforce
+    the contract at execution time (one extra window pass over the
+    input; the job fails with a clear error on the first duplicate).
 
     Determinism - the whole test is exact integer arithmetic: values
     are quantized to ``1/scale`` units (bigint), permutation ``k`` is
@@ -2474,6 +2491,20 @@ def permutation_test(df: DataFrame, value_col: str, sample_col: str,
         (s == a).cast("bigint").alias("__arm"),
         F.round(F.col(value_col).cast("double") * scale)
          .cast("bigint").alias("__vc"))
+    if check_unique_ids:
+        # lazy contract check: assert_true inside a filter (on a
+        # pre-computed window column - windows can't sit in WHERE) so
+        # Catalyst cannot prune it; fails the job on the first
+        # duplicate id
+        wid = Window.partitionBy(*by, "__id")
+        base = base.withColumn(
+            "__idn", F.count(F.lit(1)).over(wid)).where(
+            F.assert_true(
+                F.col("__idn") == F.lit(1),
+                F.lit("permutation_test: id_cols do not uniquely "
+                      "identify rows within a by group - duplicate "
+                      "ids break cross-engine determinism"))
+            .isNull()).drop("__idn")
     obs = base.groupBy(
         *[F.col(c).alias(f"__g_{c}") for c in by]).agg(
         F.sum("__arm").cast("bigint").alias("__na"),
@@ -2808,6 +2839,11 @@ def theil_sen(df: DataFrame, x_col: str, y_col: str,
     ``intercept`` the weighted lower median of the residuals
     ``y - slope*x`` (the Theil-Sen intercept convention).
 
+    A group whose x values are ALL equal has no defined slope; it
+    still emits a row - ``(n, n_pairs=0, slope=NULL,
+    intercept=NULL)`` - rather than silently vanishing (the group
+    totals are the output spine; slope/intercept left-join on).
+
     Determinism: pairs come from the (x, y) CELL grain (q189's
     Kendall device) with exact bigint weights ``n_i*n_j``; each slope
     is one row-local double division of exact integers, so both
@@ -2872,44 +2908,52 @@ def theil_sen(df: DataFrame, x_col: str, y_col: str,
         F.col("__n").alias("__w"))
     inter = _weighted_lower_median(resid, by, "__resid", "__w",
                                    "intercept")
-    stats_agg = cells.groupBy(
-        *[F.col(c).alias(f"__t_{c}") for c in by]).agg(
-        F.sum("__n").cast("bigint").alias("n")) if by else None
-    pair_tot = pairs.groupBy(
-        *[F.col(c).alias(f"__p_{c}") for c in by]).agg(
-        F.sum("__w").cast("bigint").alias("n_pairs")) if by else None
+    # the per-group totals are the output SPINE: a group whose x
+    # values are all equal has no slope pair, so slope/pair/intercept
+    # frames have no row for it - they LEFT-join onto the totals and
+    # the group emits (n, n_pairs=0, slope=NULL, intercept=NULL)
+    # instead of vanishing
     if by:
-        cond = None
-        for c in by:
-            eq = F.col(c).eqNullSafe(F.col(f"__t_{c}"))
-            cond = eq if cond is None else (cond & eq)
-        out = slope.join(broadcast(stats_agg), cond) \
-            .drop(*[f"__t_{c}" for c in by])
-        cond = None
-        for c in by:
-            eq = F.col(c).eqNullSafe(F.col(f"__p_{c}"))
-            cond = eq if cond is None else (cond & eq)
-        out = out.join(broadcast(pair_tot), cond) \
-            .drop(*[f"__p_{c}" for c in by])
-        cond = None
+        stats_agg = cells.groupBy(
+            *[F.col(c).alias(f"__t_{c}") for c in by]).agg(
+            F.sum("__n").cast("bigint").alias("n"))
+        pair_tot = pairs.groupBy(
+            *[F.col(c).alias(f"__p_{c}") for c in by]).agg(
+            F.sum("__w").cast("bigint").alias("n_pairs"))
+        scols = slope.select(
+            *[F.col(c).alias(f"__m_{c}") for c in by], "slope")
         icols = inter.select(
             *[F.col(c).alias(f"__i_{c}") for c in by], "intercept")
-        for c in by:
-            eq = F.col(c).eqNullSafe(F.col(f"__i_{c}"))
-            cond = eq if cond is None else (cond & eq)
-        out = out.join(broadcast(icols), cond) \
-            .drop(*[f"__i_{c}" for c in by])
+        out = stats_agg
+        for frame, pre in ((scols, "__m_"), (pair_tot, "__p_"),
+                           (icols, "__i_")):
+            cond = None
+            for c in by:
+                eq = F.col(f"__t_{c}").eqNullSafe(F.col(f"{pre}{c}"))
+                cond = eq if cond is None else (cond & eq)
+            out = out.join(broadcast(frame), cond, "left") \
+                .drop(*[f"{pre}{c}" for c in by])
+        out = out.select(*[F.col(f"__t_{c}").alias(c) for c in by],
+                         "n", "n_pairs", "slope", "intercept")
     else:
         from .fold import fold_scalars
-        out = fold_scalars(slope,
-                           cells.agg(F.sum("__n").cast("bigint")
-                                     .alias("n")))
+        # min over the <=1-row median frames wraps them to exactly
+        # one row (NULL when empty) so the scalar folds never drop
+        # the output row
+        out = cells.agg(F.sum("__n").cast("bigint").alias("n"))
         out = fold_scalars(out,
                            pairs.agg(F.sum("__w").cast("bigint")
                                      .alias("n_pairs")))
-        out = fold_scalars(out, inter.select("intercept"))
-    return out.select(*[F.col(c) for c in by],
-                      "n", "n_pairs", "slope", "intercept")
+        out = fold_scalars(out,
+                           slope.agg(F.min("slope").alias("slope")))
+        out = fold_scalars(out,
+                           inter.agg(F.min("intercept")
+                                     .alias("intercept")))
+    return out.select(
+        *[F.col(c) for c in by], "n",
+        F.coalesce(F.col("n_pairs"), F.lit(0).cast("bigint"))
+         .alias("n_pairs"),
+        "slope", "intercept")
 
 
 def cochran_armitage(df: DataFrame, outcome_col: str,
@@ -3099,6 +3143,11 @@ def cliffs_delta(df: DataFrame, value_col: str, sample_col: str,
     large, Romano et al.). Also the rank-biserial correlation of the
     MW test.
 
+    Groups whose values are all identical (no dominance pairs) emit
+    ``delta = 0`` - the well-defined no-effect answer - rather than
+    vanishing: the per-group totals are the output spine and the
+    dominance counts left-join onto it, coalesced to zero.
+
     Determinism: dominance counts come from the (group, value) CELL
     grain self-join on strict value dominance (the q189 Kendall
     device - Theta(cells^2), independent of row count); every count
@@ -3144,18 +3193,25 @@ def cliffs_delta(df: DataFrame, value_col: str, sample_col: str,
         F.sum("__ta").cast("bigint").alias("n_a"),
         F.sum("__tb").cast("bigint").alias("n_b"))
     if by:
+        # totals is the spine (one row per group with any data);
+        # dominance counts LEFT-join on so a constant-valued group -
+        # no ordered cell pair, hence no dom row - still emits, with
+        # __gt/__lt coalesced to 0 below (delta = 0, not a lost row)
         cond = None
         for c in by:
-            eq = F.col(c).eqNullSafe(F.col(f"__t_{c}"))
+            eq = F.col(f"__t_{c}").eqNullSafe(F.col(c))
             cond = eq if cond is None else (cond & eq)
-        out = dom.join(broadcast(totals), cond) \
-            .drop(*[f"__t_{c}" for c in by])
+        out = totals.join(broadcast(dom), cond, "left") \
+            .select(*[F.col(f"__t_{c}").alias(c) for c in by],
+                    "n_a", "n_b", "__gt", "__lt")
     else:
         from .fold import fold_scalars
         out = fold_scalars(dom, totals.select("n_a", "n_b"))
+    zero = F.lit(0).cast(dec)
     delta = F.when(
         (F.col("n_a") > 0) & (F.col("n_b") > 0),
-        (F.col("__gt") - F.col("__lt")).cast("double")
+        (F.coalesce(F.col("__gt"), zero)
+         - F.coalesce(F.col("__lt"), zero)).cast("double")
         / (F.col("n_a").cast("double") * F.col("n_b").cast("double")))
     return out.select(*[F.col(c) for c in by],
                       "n_a", "n_b", delta.alias("delta"))
@@ -3248,9 +3304,15 @@ def friedman_test(df: DataFrame, block_col: str, treatment_col: str,
 
     Scale shape: ranking windows partition by (group, BLOCK) -
     blocks x groups parallel, each sorting k values; one filter pass
-    drops incomplete blocks (a bounded block-grain aggregation
-    broadcast back); then two bounded aggregations. Nothing scales
-    worse than the block count.
+    drops incomplete blocks; then two bounded aggregations. Nothing
+    scales worse than the BLOCK COUNT - which, unlike the group
+    count, is NOT bounded by design (one row per (by, block)): the
+    completeness join therefore broadcasts the block-grain table
+    only while Catalyst's input estimate stays under
+    ``RANK_WINDOW_MAX_BYTES``; above it (or when no estimate
+    exists) it falls back to a plain key join and lets AQE pick the
+    runtime strategy, so a billion-block input cannot OOM the
+    executors on a forced broadcast.
     """
     from pyspark.sql.functions import broadcast
     from pyspark.sql.window import Window
@@ -3284,7 +3346,14 @@ def friedman_test(df: DataFrame, block_col: str, treatment_col: str,
     else:
         from .fold import fold_scalars
         work = fold_scalars(base, kdf.select("__k"))
-    work = work.join(broadcast(bsz), condb) \
+    # bsz is BLOCK-grain (unbounded, unlike the group-grain kdf):
+    # force the broadcast only under the rank-family size gate;
+    # past it - or with no estimate - use a plain join and let AQE
+    # decide from runtime sizes
+    in_size = _plan_size(df)
+    if in_size is not None and in_size <= RANK_WINDOW_MAX_BYTES:
+        bsz = broadcast(bsz)
+    work = work.join(bsz, condb) \
         .drop("__b_blk", *[f"__b_{c}" for c in by])
     # complete blocks only, and exactly one row per cell
     work = work.where((F.col("__bk") == F.col("__k"))
@@ -3346,29 +3415,45 @@ def friedman_test(df: DataFrame, block_col: str, treatment_col: str,
 
 def jonckheere_terpstra(df: DataFrame, value_col: str,
                         dose_col: str,
-                        by: list[str] | None = None) -> DataFrame:
+                        by: list[str] | None = None,
+                        tie_correction: bool = True) -> DataFrame:
     """Jonckheere-Terpstra trend test - the ORDERED-alternative
     k-sample test (:func:`kruskal_wallis` asks "any difference?";
     JT asks "does the distribution shift MONOTONICALLY with the
     dose?" and is far more powerful when that is the alternative):
     per ``by`` group ``(k, n, z)`` with
     ``JT = sum_{i<j} U_ij`` (``U_ij`` the Mann-Whitney count of
-    group-i values below group-j values, ties counted half) and the
-    standard no-tie normal approximation
-    ``E = (N^2 - sum n_i^2)/4``,
-    ``Var = [N^2(2N+3) - sum n_i^2 (2n_i+3)]/72``.
+    group-i values below group-j values, ties counted half),
+    ``E = (N^2 - sum n_i^2)/4``, and - by default - the
+    TIE-CORRECTED normal variance (Hollander & Wolfe 6.19; the SAS
+    PROC FREQ JT convention), with pooled tie-group sizes ``t_u``
+    per distinct value and dose-group sizes ``n_i``::
+
+        Var = A/72 + B/(36 N(N-1)(N-2)) + C/(8 N(N-1))
+        A = N(N-1)(2N+5) - sum n_i(n_i-1)(2n_i+5)
+                         - sum t_u(t_u-1)(2t_u+5)
+        B = [sum n_i(n_i-1)(n_i-2)] * [sum t_u(t_u-1)(t_u-2)]
+        C = [sum n_i(n_i-1)] * [sum t_u(t_u-1)]
+
+    With no ties this reduces algebraically to the textbook
+    ``[N^2(2N+3) - sum n_i^2(2n_i+3)]/72``;
+    ``tie_correction=False`` forces that no-tie form, which on
+    tie-heavy data OVERSTATES the variance and biases z toward 0
+    (conservative test).
 
     ``dose_col`` must be an ordered INTEGER dose (the
     :func:`cochran_armitage` convention) - group order IS the test.
 
     Determinism: the doubled statistic ``2*JT`` accumulates as exact
     DECIMAL(38,0) from the (group, value) cell grain (one dominance
-    self-join on ``(v, dose)`` - the q189/q202 device), and
-    ``sum n_i^2`` is an exact integer aggregation; ``z`` is one
-    row-local expression. No float accumulation anywhere.
+    self-join on ``(v, dose)`` - the q189/q202 device); every
+    variance ingredient (``sum n_i^2``, the A/B/C tie sums) is an
+    exact integer/DECIMAL aggregation; ``z`` is one row-local
+    expression. No float accumulation anywhere.
 
     Scale shape: one grain aggregation + a bounded Theta(cells^2)
-    join per group; bucket continuous values upstream.
+    join per group; the tie sums are one extra bounded aggregation
+    of the same cell grain; bucket continuous values upstream.
     """
     from pyspark.sql.functions import broadcast
 
@@ -3404,13 +3489,28 @@ def jonckheere_terpstra(df: DataFrame, value_col: str,
         *[F.col(c).alias(f"__s_{c}") for c in by],
         F.col("__d").alias("__s_d")).agg(
         F.sum("__n").cast("bigint").alias("__ni"))
+    ni = F.col("__ni")
     tots = sizes.groupBy(
         *[F.col(c) for c in [f"__s_{c}" for c in by]]).agg(
         F.count(F.lit(1)).cast("bigint").alias("k"),
         F.sum("__ni").cast("bigint").alias("n"),
-        F.sum(F.col("__ni") * F.col("__ni")).cast(dec).alias("__sn2"),
-        F.sum(F.col("__ni").cast(dec) * F.col("__ni")
-              * (2 * F.col("__ni") + 3)).alias("__sn3"))
+        F.sum(ni * ni).cast(dec).alias("__sn2"),
+        F.sum(ni.cast(dec) * ni * (2 * ni + 3)).alias("__sn3"),
+        F.sum(ni.cast(dec) * (ni - 1) * (2 * ni + 5)).alias("__sn5"),
+        F.sum(ni.cast(dec) * (ni - 1) * (ni - 2)).alias("__sn3b"),
+        F.sum(ni.cast(dec) * (ni - 1)).alias("__sn2b"))
+    # pooled tie-group sizes per distinct VALUE (across doses) - the
+    # t_u of the tie-corrected variance; same bounded cell grain
+    tval = cells.groupBy(
+        *[F.col(c).alias(f"__q_{c}") for c in by],
+        F.col("__v").alias("__q_v")).agg(
+        F.sum("__n").cast("bigint").alias("__t"))
+    tu = F.col("__t")
+    ties = tval.groupBy(
+        *[F.col(c) for c in [f"__q_{c}" for c in by]]).agg(
+        F.sum(tu.cast(dec) * (tu - 1) * (2 * tu + 5)).alias("__st5"),
+        F.sum(tu.cast(dec) * (tu - 1) * (tu - 2)).alias("__st3"),
+        F.sum(tu.cast(dec) * (tu - 1)).alias("__st2"))
     if by:
         cond = None
         for c in by:
@@ -3418,13 +3518,39 @@ def jonckheere_terpstra(df: DataFrame, value_col: str,
             cond = eq if cond is None else (cond & eq)
         out = jt2.join(broadcast(tots), cond) \
             .drop(*[f"__s_{c}" for c in by])
+        cond = None
+        for c in by:
+            eq = F.col(c).eqNullSafe(F.col(f"__q_{c}"))
+            cond = eq if cond is None else (cond & eq)
+        out = out.join(broadcast(ties), cond) \
+            .drop(*[f"__q_{c}" for c in by])
     else:
         from .fold import fold_scalars
         out = fold_scalars(jt2, tots)
+        out = fold_scalars(
+            out, ties.select("__st5", "__st3", "__st2"))
     nd = F.col("n").cast("double")
     e2 = (nd * nd - F.col("__sn2").cast("double")) / F.lit(2.0)
-    var = (nd * nd * (2 * nd + 3)
-           - F.col("__sn3").cast("double")) / F.lit(72.0)
+    if tie_correction:
+        # A/72 + B/(36 N(N-1)(N-2)) + C/(8 N(N-1)); the n<=2 guard on
+        # the B term is exact, not an approximation - with N<=2 both
+        # factor sums are identically 0
+        a_term = (nd * (nd - 1) * (2 * nd + 5)
+                  - F.col("__sn5").cast("double")
+                  - F.col("__st5").cast("double"))
+        b_term = F.when(
+            F.col("n") > 2,
+            F.col("__sn3b").cast("double")
+            * F.col("__st3").cast("double")
+            / (F.lit(36.0) * nd * (nd - 1) * (nd - 2))) \
+            .otherwise(F.lit(0.0))
+        c_term = (F.col("__sn2b").cast("double")
+                  * F.col("__st2").cast("double")
+                  / (F.lit(8.0) * nd * (nd - 1)))
+        var = a_term / F.lit(72.0) + b_term + c_term
+    else:
+        var = (nd * nd * (2 * nd + 3)
+               - F.col("__sn3").cast("double")) / F.lit(72.0)
     z = F.when((F.col("n") > 1) & (var > 0),
                (F.col("__jt2").cast("double") - e2)
                / (F.lit(2.0) * F.sqrt(var)))

@@ -1,0 +1,354 @@
+"""Round-12 tests: the ADVICE r11 hardening batch (tie-corrected
+Jonckheere-Terpstra variance, constant-group rows for cliffs_delta /
+theil_sen, cramers_v_matrix duplicate-column guard, permutation_test
+id-uniqueness check, friedman_test block-broadcast size gate) plus the
+graph.py broadcast gate + convergence flag (VERDICT r11 items 4 and 8).
+"""
+import pytest
+
+from pyspark.sql import functions as F
+
+
+# ---------------------------------------------------------------------------
+# jonckheere_terpstra: tie-corrected variance
+# ---------------------------------------------------------------------------
+
+def _jt_reference(values, doses, tie_correction):
+    """Brute-force JT (ties half) + normal z, pure Python."""
+    import itertools
+    from collections import Counter
+
+    groups = sorted(set(doses))
+    byg = {g: [v for v, d in zip(values, doses) if d == g]
+           for g in groups}
+    jt = 0.0
+    for gi, gj in itertools.combinations(groups, 2):
+        for x in byg[gi]:
+            for y in byg[gj]:
+                jt += 1.0 if x < y else (0.5 if x == y else 0.0)
+    n = len(values)
+    sizes = [len(byg[g]) for g in groups]
+    e = (n * n - sum(s * s for s in sizes)) / 4.0
+    if tie_correction:
+        t = Counter(values)
+        a = (n * (n - 1) * (2 * n + 5)
+             - sum(s * (s - 1) * (2 * s + 5) for s in sizes)
+             - sum(u * (u - 1) * (2 * u + 5) for u in t.values()))
+        b = (sum(s * (s - 1) * (s - 2) for s in sizes)
+             * sum(u * (u - 1) * (u - 2) for u in t.values()))
+        c = (sum(s * (s - 1) for s in sizes)
+             * sum(u * (u - 1) for u in t.values()))
+        var = (a / 72.0
+               + (b / (36.0 * n * (n - 1) * (n - 2)) if n > 2 else 0.0)
+               + c / (8.0 * n * (n - 1)))
+    else:
+        var = (n * n * (2 * n + 3)
+               - sum(s * s * (2 * s + 3) for s in sizes)) / 72.0
+    return (jt - e) / var ** 0.5
+
+
+class TestJonckheereTieCorrection:
+    ROWS = [  # heavy ties: 4 distinct values over 3 doses, n=18
+        (1, 1), (1, 1), (2, 1), (2, 1), (3, 1), (1, 1),
+        (2, 2), (2, 2), (3, 2), (3, 2), (1, 2), (4, 2),
+        (3, 3), (4, 3), (4, 3), (4, 3), (2, 3), (3, 3),
+    ]
+
+    def _run(self, spark, tie_correction):
+        from pandas_ai_spark.functions.stats import jonckheere_terpstra
+
+        df = spark.createDataFrame(self.ROWS, ["v", "d"])
+        row = jonckheere_terpstra(
+            df, "v", "d", tie_correction=tie_correction).collect()[0]
+        return row
+
+    def test_tie_corrected_matches_bruteforce(self, spark):
+        vals = [r[0] for r in self.ROWS]
+        doses = [r[1] for r in self.ROWS]
+        row = self._run(spark, True)
+        assert row["k"] == 3 and row["n"] == 18
+        assert row["z"] == pytest.approx(
+            _jt_reference(vals, doses, True), rel=1e-12)
+
+    def test_no_tie_form_matches_bruteforce(self, spark):
+        vals = [r[0] for r in self.ROWS]
+        doses = [r[1] for r in self.ROWS]
+        row = self._run(spark, False)
+        assert row["z"] == pytest.approx(
+            _jt_reference(vals, doses, False), rel=1e-12)
+
+    def test_correction_shrinks_variance_on_ties(self, spark):
+        # tie-heavy data: corrected variance is smaller, so |z| grows
+        z_corr = self._run(spark, True)["z"]
+        z_none = self._run(spark, False)["z"]
+        assert abs(z_corr) > abs(z_none)
+
+    def test_forms_agree_without_ties(self, spark):
+        from pandas_ai_spark.functions.stats import jonckheere_terpstra
+
+        rows = [(v, 1 + (v % 3)) for v in range(1, 19)]  # all distinct
+        df = spark.createDataFrame(rows, ["v", "d"])
+        z1 = jonckheere_terpstra(df, "v", "d",
+                                 tie_correction=True).collect()[0]["z"]
+        z2 = jonckheere_terpstra(df, "v", "d",
+                                 tie_correction=False).collect()[0]["z"]
+        assert z1 == pytest.approx(z2, rel=1e-12)
+
+    def test_by_groups(self, spark):
+        from pandas_ai_spark.functions.stats import jonckheere_terpstra
+
+        rows = ([("a", *r) for r in self.ROWS]
+                + [("b", v, d) for v, d in self.ROWS])
+        df = spark.createDataFrame(rows, ["g", "v", "d"])
+        out = {r["g"]: r["z"] for r in jonckheere_terpstra(
+            df, "v", "d", by=["g"]).collect()}
+        vals = [r[0] for r in self.ROWS]
+        doses = [r[1] for r in self.ROWS]
+        want = _jt_reference(vals, doses, True)
+        assert out["a"] == pytest.approx(want, rel=1e-12)
+        assert out["b"] == pytest.approx(want, rel=1e-12)
+
+
+# ---------------------------------------------------------------------------
+# cliffs_delta / theil_sen: constant-valued groups emit instead of vanish
+# ---------------------------------------------------------------------------
+
+class TestConstantGroupRows:
+    def test_cliffs_delta_constant_group_is_zero(self, spark):
+        from pandas_ai_spark.functions.stats import cliffs_delta
+
+        rows = [("flat", 5.0, "x"), ("flat", 5.0, "y"),
+                ("flat", 5.0, "x"), ("flat", 5.0, "y"),
+                ("vary", 1.0, "x"), ("vary", 9.0, "y"),
+                ("vary", 2.0, "x"), ("vary", 8.0, "y")]
+        df = spark.createDataFrame(rows, ["g", "v", "arm"])
+        out = {r["g"]: r for r in cliffs_delta(
+            df, "v", "arm", "x", "y", by=["g"]).collect()}
+        assert set(out) == {"flat", "vary"}
+        assert out["flat"]["n_a"] == 2 and out["flat"]["n_b"] == 2
+        assert out["flat"]["delta"] == 0.0
+        assert out["vary"]["delta"] == -1.0  # every x below every y
+
+    def test_cliffs_delta_constant_no_by(self, spark):
+        from pandas_ai_spark.functions.stats import cliffs_delta
+
+        df = spark.createDataFrame(
+            [(5.0, "x"), (5.0, "y"), (5.0, "x")], ["v", "arm"])
+        row = cliffs_delta(df, "v", "arm", "x", "y").collect()[0]
+        assert row["n_a"] == 2 and row["n_b"] == 1
+        assert row["delta"] == 0.0
+
+    def test_theil_sen_constant_x_group_emits(self, spark):
+        from pandas_ai_spark.functions.stats import theil_sen
+
+        rows = [("flat", 3, 10), ("flat", 3, 20), ("flat", 3, 30),
+                ("line", 1, 2), ("line", 2, 4), ("line", 3, 6)]
+        df = spark.createDataFrame(rows, ["g", "x", "y"])
+        out = {r["g"]: r for r in theil_sen(
+            df, "x", "y", by=["g"]).collect()}
+        assert set(out) == {"flat", "line"}
+        assert out["flat"]["n"] == 3
+        assert out["flat"]["n_pairs"] == 0
+        assert out["flat"]["slope"] is None
+        assert out["flat"]["intercept"] is None
+        assert out["line"]["slope"] == pytest.approx(2.0)
+        assert out["line"]["intercept"] == pytest.approx(0.0)
+
+    def test_theil_sen_constant_x_no_by(self, spark):
+        from pandas_ai_spark.functions.stats import theil_sen
+
+        df = spark.createDataFrame(
+            [(7, 1), (7, 2), (7, 3)], ["x", "y"])
+        row = theil_sen(df, "x", "y").collect()[0]
+        assert row["n"] == 3 and row["n_pairs"] == 0
+        assert row["slope"] is None and row["intercept"] is None
+
+    def test_theil_sen_unchanged_on_varying_x(self, spark):
+        from pandas_ai_spark.functions.stats import theil_sen
+
+        rows = [(x, 3 * x + 1 + (x % 2)) for x in range(1, 11)]
+        df = spark.createDataFrame(rows, ["x", "y"])
+        row = theil_sen(df, "x", "y").collect()[0]
+        assert row["n"] == 10 and row["n_pairs"] == 45
+        assert row["slope"] == pytest.approx(3.0)
+
+
+# ---------------------------------------------------------------------------
+# cramers_v_matrix: duplicate-column guard
+# ---------------------------------------------------------------------------
+
+class TestCramersDuplicateGuard:
+    def test_duplicate_cols_raise(self, spark):
+        from pandas_ai_spark.functions.stats import cramers_v_matrix
+
+        df = spark.createDataFrame([("a", "b")], ["x", "y"])
+        with pytest.raises(ValueError, match="distinct"):
+            cramers_v_matrix(df, ["x", "x"])
+        with pytest.raises(ValueError, match="distinct"):
+            cramers_v_matrix(df, ["x", "y", "x"])
+
+    def test_distinct_cols_still_work(self, spark):
+        from pandas_ai_spark.functions.stats import cramers_v_matrix
+
+        df = spark.createDataFrame(
+            [("a", "p"), ("a", "p"), ("b", "q"), ("b", "q")],
+            ["x", "y"])
+        out = cramers_v_matrix(df, ["x", "y"]).collect()
+        assert len(out) == 1
+        assert out[0]["v"] == pytest.approx(1.0)
+
+
+# ---------------------------------------------------------------------------
+# permutation_test: id-uniqueness contract check
+# ---------------------------------------------------------------------------
+
+class TestPermutationUniqueIds:
+    def test_duplicate_ids_fail_when_checked(self, spark):
+        from pandas_ai_spark.functions.stats import permutation_test
+
+        rows = [(1, "x", 1.0), (1, "y", 2.0),
+                (2, "x", 3.0), (2, "y", 4.0)]  # id 1 and 2 duplicated
+        df = spark.createDataFrame(rows, ["id", "arm", "v"])
+        out = permutation_test(df, "v", "arm", "x", "y", ["id"],
+                               n_perm=5, check_unique_ids=True)
+        with pytest.raises(Exception, match="uniquely"):
+            out.collect()
+
+    def test_unique_ids_pass_check_and_match_unchecked(self, spark):
+        from pandas_ai_spark.functions.stats import permutation_test
+
+        rows = [(i, "x" if i % 2 else "y", float(i % 7))
+                for i in range(1, 21)]
+        df = spark.createDataFrame(rows, ["id", "arm", "v"])
+        checked = permutation_test(
+            df, "v", "arm", "x", "y", ["id"], n_perm=19,
+            check_unique_ids=True).collect()[0]
+        plain = permutation_test(
+            df, "v", "arm", "x", "y", ["id"],
+            n_perm=19).collect()[0]
+        assert checked.asDict() == plain.asDict()
+
+
+# ---------------------------------------------------------------------------
+# friedman_test: block-grain broadcast size gate
+# ---------------------------------------------------------------------------
+
+class TestFriedmanBroadcastGate:
+    ROWS = [(b, t, float((b * 7 + len(t)) % 5))
+            for b in range(1, 9) for t in ("a", "b", "c")]
+
+    @pytest.fixture()
+    def pq(self, spark, tmp_path):
+        # parquet-backed so Catalyst carries a REAL size estimate -
+        # the gate's input (a LogicalRDD has none and always takes
+        # the plain-join side)
+        path = str(tmp_path / "friedman.parquet")
+        spark.createDataFrame(self.ROWS, ["blk", "trt", "v"]) \
+            .write.parquet(path)
+        return spark.read.parquet(path)
+
+    def test_outputs_identical_both_sides_of_gate(self, spark, pq,
+                                                  monkeypatch):
+        from pandas_ai_spark.functions import stats
+
+        base = stats.friedman_test(pq, "blk", "trt", "v").collect()
+
+        # force the plain-join side (estimate always above the gate)
+        monkeypatch.setattr(stats, "RANK_WINDOW_MAX_BYTES", -1)
+        gated = stats.friedman_test(pq, "blk", "trt", "v").collect()
+        assert [r.asDict() for r in gated] == \
+            [r.asDict() for r in base]
+
+    def test_gate_actually_switches_plan(self, spark, pq,
+                                         monkeypatch):
+        from pandas_ai_spark.functions import stats
+
+        assert stats._plan_size(pq) is not None
+        lo = stats.friedman_test(pq, "blk", "trt", "v")
+        monkeypatch.setattr(stats, "RANK_WINDOW_MAX_BYTES", -1)
+        hi = stats.friedman_test(pq, "blk", "trt", "v")
+        # the broadcast hint on the block-grain side must disappear
+        # from the analyzed plan when the gate trips
+        lo_plan = lo._jdf.queryExecution().analyzed().toString()
+        hi_plan = hi._jdf.queryExecution().analyzed().toString()
+        assert lo_plan.count("ResolvedHint") > hi_plan.count(
+            "ResolvedHint")
+
+    def test_unknown_size_takes_plain_join(self, spark, pq,
+                                           monkeypatch):
+        from pandas_ai_spark.functions import stats
+
+        df = spark.createDataFrame(self.ROWS, ["blk", "trt", "v"])
+        assert stats._plan_size(df) is None  # LogicalRDD: no estimate
+        unknown = stats.friedman_test(df, "blk", "trt", "v") \
+            ._jdf.queryExecution().analyzed().toString()
+        monkeypatch.setattr(stats, "RANK_WINDOW_MAX_BYTES", -1)
+        forced = stats.friedman_test(pq, "blk", "trt", "v") \
+            ._jdf.queryExecution().analyzed().toString()
+        # unknown estimate takes the same un-hinted block join as an
+        # above-gate estimate: a broadcast must never be forced blind
+        assert unknown.count("ResolvedHint") == \
+            forced.count("ResolvedHint")
+
+
+# ---------------------------------------------------------------------------
+# kcore: broadcast gate + convergence flag (VERDICT r11 items 4 + 8)
+# ---------------------------------------------------------------------------
+
+def _sym(edges):
+    return edges + [(d, s) for s, d in edges]
+
+
+class TestKcoreGateAndConvergence:
+    # triangle {1,2,3} plus a tail 3-4: 2-core = the triangle, peel
+    # converges at round 2 (round 1 drops node 4, round 2 re-checks)
+    TRIANGLE_TAIL = _sym([(1, 2), (2, 3), (1, 3), (3, 4)])
+    # a length-6 path: 2-core empty, but the peel eats one endpoint
+    # shell per round - NOT converged after a single round
+    PATH = _sym([(1, 2), (2, 3), (3, 4), (4, 5), (5, 6)])
+
+    def test_gate_outputs_identical(self, spark):
+        from pandas_ai_spark.functions.graph import kcore
+
+        df = spark.createDataFrame(self.TRIANGLE_TAIL, ["src", "dst"])
+        bc = sorted(tuple(r) for r in kcore(df, 2, rounds=4).collect())
+        shuffled = sorted(tuple(r) for r in kcore(
+            df, 2, rounds=4, broadcast_nodes_below=0).collect())
+        assert bc == shuffled
+        assert {n for n, _ in bc} == {1, 2, 3}
+
+    def test_converged_flag_true(self, spark):
+        from pandas_ai_spark.functions.graph import kcore
+
+        df = spark.createDataFrame(self.TRIANGLE_TAIL, ["src", "dst"])
+        out, converged = kcore(df, 2, rounds=4,
+                               return_convergence=True)
+        assert converged is True
+        assert {r["node"] for r in out.collect()} == {1, 2, 3}
+
+    def test_converged_flag_false_when_budget_too_small(self, spark):
+        from pandas_ai_spark.functions.graph import kcore
+
+        df = spark.createDataFrame(self.PATH, ["src", "dst"])
+        out, converged = kcore(df, 2, rounds=1,
+                               return_convergence=True)
+        assert converged is False
+        assert out.count() > 0  # peel not finished - interior remains
+
+    def test_early_stop_matches_fixed_rounds(self, spark):
+        from pandas_ai_spark.functions.graph import kcore
+
+        df = spark.createDataFrame(self.TRIANGLE_TAIL, ["src", "dst"])
+        few = sorted(tuple(r) for r in kcore(df, 2, rounds=3).collect())
+        many = sorted(tuple(r) for r in kcore(df, 2,
+                                              rounds=12).collect())
+        assert few == many
+
+    def test_empty_core_converges(self, spark):
+        from pandas_ai_spark.functions.graph import kcore
+
+        df = spark.createDataFrame(self.PATH, ["src", "dst"])
+        out, converged = kcore(df, 3, rounds=8,
+                               return_convergence=True)
+        assert converged is True
+        assert out.count() == 0

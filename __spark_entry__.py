@@ -2497,7 +2497,12 @@ def q100_stream_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
             stream, "event_type", "ts", "value", "event_id",
             window=20, min_periods=5, z_threshold=3.0)
         name = f"q100_alerts_{uuid.uuid4().hex[:8]}"
-        out = StreamCompiler.run_available_now(alerts, name)
+        # 5 event-type keys: size the state-store instance count to
+        # the key cardinality instead of the 32-partition session
+        # default — 27 empty stores were paying per-batch commit I/O
+        # for nothing (measured 45k -> 80-86k rows/s steady at sf0.1)
+        out = StreamCompiler.run_available_now(alerts, name,
+                                               state_partitions=8)
         rows = out.select(
             "event_id", "event_type", "value",
             F.round("zscore", 6).alias("zscore")).orderBy("event_id") \
@@ -4408,11 +4413,18 @@ def q174_stream_reservoir(spark: SparkSession, sf_dir: str
                   .option("maxFilesPerTrigger", 1).parquet(src))
         res = stateful_reservoir(stream, "event_type", "event_id",
                                  k=10, seed="res")
-        q = (res.writeStream.format("parquet")
-             .option("path", os.path.join(tmp, "out"))
-             .option("checkpointLocation", os.path.join(tmp, "ckpt"))
-             .trigger(availableNow=True).start())
-        q.awaitTermination()
+        # 5 strata: size the state-store instance count to the key
+        # cardinality (q100 convention — empty stores pay per-batch
+        # commit I/O)
+        from pandas_ai_spark.streaming.stream import (
+            scoped_shuffle_partitions)
+        with scoped_shuffle_partitions(spark, 8):
+            q = (res.writeStream.format("parquet")
+                 .option("path", os.path.join(tmp, "out"))
+                 .option("checkpointLocation",
+                         os.path.join(tmp, "ckpt"))
+                 .trigger(availableNow=True).start())
+            q.awaitTermination()
         record_stream_metrics(q, "q174_stream_reservoir")
         snaps = spark.read.parquet(os.path.join(tmp, "out"))
         w = Window.partitionBy("event_type")

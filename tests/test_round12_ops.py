@@ -352,3 +352,56 @@ class TestKcoreGateAndConvergence:
                                return_convergence=True)
         assert converged is True
         assert out.count() == 0
+
+# ---------------------------------------------------------------------------
+# bench.py streaming floors: derived constants + deliberate-slowdown trip
+# ---------------------------------------------------------------------------
+
+class TestStreamFloors:
+    BASE = 50000.0  # sf0.1 base floor
+
+    def test_derived_floors_pass_on_recorded_steady_rates(self):
+        import bench
+
+        recorded = {  # r12 idle-probe session-cold steady rates
+            "q100_alerts_ab12cd34": {"steady_rows_per_sec": 49217.6},
+            "q67_stream_near_dup": {"steady_rows_per_sec": 1160.0},
+            "q174_stream_reservoir": {"steady_rows_per_sec": 37921.5},
+            "entry_stream_windowed": {"steady_rows_per_sec": 52100.0},
+        }
+        v = bench.stream_floor_verdicts(recorded, self.BASE)
+        assert all(v.values()), v
+
+    def test_deliberate_slowdown_trips_every_floor(self):
+        import bench
+
+        # a 2.5x regression from each recorded steady rate must FAIL -
+        # the old q67 carve-out (0.01x base = 500) would have passed
+        # a 10x regression; the derived floors catch ~2x
+        slowed = {
+            "q100_alerts_ab12cd34": {"steady_rows_per_sec": 20000.0},
+            "q67_stream_near_dup": {"steady_rows_per_sec": 460.0},
+            "q174_stream_reservoir": {"steady_rows_per_sec": 15000.0},
+            "entry_stream_windowed": {"steady_rows_per_sec": 21000.0},
+        }
+        v = bench.stream_floor_verdicts(slowed, self.BASE)
+        assert not any(v.values()), v
+
+    def test_floor_margin_is_about_half_of_steady(self):
+        import bench
+
+        # the derivation contract: each override floor sits at
+        # 0.45-0.55x its recorded session-cold steady rate
+        steady = {"q100_alerts": 49217.6,
+                  "q67_stream_near_dup": 1160.0,
+                  "q174_stream_reservoir": 37921.5}
+        for name, rate in steady.items():
+            floor = bench.stream_floor(name, self.BASE)
+            assert 0.45 <= floor / rate <= 0.55, (name, floor / rate)
+
+    def test_missing_rate_fails(self):
+        import bench
+
+        v = bench.stream_floor_verdicts(
+            {"q100_alerts_x": {}}, self.BASE)
+        assert v == {"q100_alerts_x": False}

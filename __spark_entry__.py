@@ -1884,6 +1884,101 @@ def q204_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("node").alias("part"), "degree").orderBy("part")
 
 
+def q207_ordinal_association(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """Ordinal-association battery (stats.ordinal_association): per
+    l_returnflag, gamma / Somers' D (both directions) / Stuart's
+    tau-c between quantity and price bucket — the three concordance
+    measures q189's tau-b does not give, from ONE bounded cell-grain
+    dominance join (50 quantities x ~11 buckets) + one grouping-sets
+    marginal pass. All counts exact (LONG pair sums, DECIMAL ties);
+    only the final ratios are float. Oracle: identical cell-join
+    classification + marginal arithmetic."""
+    from pandas_ai_spark.functions.stats import ordinal_association
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.col("l_quantity").cast("bigint").alias("x"),
+        F.round(F.col("l_extendedprice") / 10000.0).cast("bigint")
+         .alias("y"))
+    out = ordinal_association(li, "x", "y", by=["l_returnflag"])
+    return out.select(
+        "l_returnflag", "n", "c_pairs", "d_pairs",
+        F.round("gamma", 9).alias("gamma"),
+        F.round("somers_d_yx", 9).alias("somers_d_yx"),
+        F.round("somers_d_xy", 9).alias("somers_d_xy"),
+        F.round("tau_c", 9).alias("tau_c")).orderBy("l_returnflag")
+
+
+def q208_mcnemar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paired-flip test (stats.mcnemar_test): per market segment, did
+    customers who ordered in 1994 keep ordering in 1995? McNemar asks
+    the WITHIN-subject question q101's independence chi-square cannot
+    (same customers, two periods); only the discordant flips carry
+    information. One per-customer flag aggregation + one segment join
+    + one grouped count; the continuity-corrected statistic is a
+    row-local expression on exact integers. Oracle: identical flag +
+    flip arithmetic."""
+    from pandas_ai_spark.functions.stats import mcnemar_test
+
+    flags = _t(spark, sf_dir, "orders").groupBy("o_custkey").agg(
+        F.max((F.year("o_orderdate") == 1994).cast("int")).alias("a"),
+        F.max((F.year("o_orderdate") == 1995).cast("int")).alias("b"))
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_mktsegment")
+    out = mcnemar_test(flags.join(cust, "o_custkey"), "a", "b",
+                       by=["c_mktsegment"])
+    return out.select(
+        "c_mktsegment", "n", "n01", "n10",
+        F.round("chi2", 9).alias("chi2")).orderBy("c_mktsegment")
+
+
+def q209_page_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page's L blocked trend test (stats.page_trend): ranking WITHIN
+    each order year, does per-discount-level quantity volume shift
+    monotonically with the discount? The ordered-alternative member
+    of the blocked-rank family — exactly what q206's JT is to q191's
+    KW, but with year-level volume shifts removed by the blocking
+    (q205's Friedman would only say "some level differs"). Cells are
+    exact quantity sums per (year, discount point); doubled midranks
+    and 2L exact DECIMAL; z row-local. Oracle: identical yearly grain
+    + rank windows + dose-rank join."""
+    from pandas_ai_spark.functions.stats import page_trend
+
+    cells = _t(spark, sf_dir, "lineitem").groupBy(
+        F.year("l_shipdate").alias("yr"),
+        F.round(F.col("l_discount") * 100).cast("int")
+         .alias("disc_pts")).agg(
+        F.sum(F.col("l_quantity").cast("bigint")).alias("qty"))
+    out = page_trend(cells, "yr", "disc_pts", "qty")
+    return out.select(
+        "k", "n_blocks", F.round("l_stat", 9).alias("l_stat"),
+        F.round("z", 9).alias("z"))
+
+
+def q210_mood_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mood's median screen (stats.mood_median_test): per order year,
+    do the five priorities land above the year's pooled median order
+    value at the same rate? The blunt-but-assumption-free k-sample
+    screen beside q191's KW — valid under arbitrary shape
+    differences. Prices bucket to 1k units upstream (bounded-grain
+    contract); the pooled lower median is the exact integer
+    weighted-median pick; the k-term chi-square folds sample-sorted.
+    Oracle: identical bucket grain + running-weight median + ordered
+    fold."""
+    from pandas_ai_spark.functions.stats import mood_median_test
+
+    orders = _t(spark, sf_dir, "orders").select(
+        F.year("o_orderdate").alias("yr"), "o_orderpriority",
+        F.round(F.col("o_totalprice") / 1000.0).cast("bigint")
+         .alias("price_k"))
+    out = mood_median_test(orders, "price_k", "o_orderpriority",
+                           by=["yr"])
+    return out.select(
+        "yr", "k", "n",
+        F.round("chi2", 9).alias("chi2")).orderBy("yr")
+
+
 def q205_friedman(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Blocked rank test (stats.friedman_test): ranking WITHIN each
     order month, do the five priorities consistently out-earn each
@@ -5576,6 +5671,10 @@ def queries_numeric() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q204_kcore": q204_kcore,
         "q205_friedman": q205_friedman,
         "q206_jonckheere": q206_jonckheere,
+        "q207_ordinal_association": q207_ordinal_association,
+        "q208_mcnemar": q208_mcnemar,
+        "q209_page_trend": q209_page_trend,
+        "q210_mood_median": q210_mood_median,
     }
 
 
@@ -10029,6 +10128,208 @@ def oracle_sql() -> dict[str, str]:
                      END, 9) AS z
         FROM vcalc
         ORDER BY l_returnflag
+    """
+    d["q207_ordinal_association"] = """
+        WITH cells AS (
+          SELECT l_returnflag AS g,
+                 CAST(l_quantity AS BIGINT) AS x,
+                 CAST(round(l_extendedprice / 10000.0) AS BIGINT) AS y,
+                 count(*)::BIGINT AS n
+          FROM lineitem
+          WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+          GROUP BY 1, 2, 3
+        ), cd AS (
+          SELECT l.g,
+                 sum(CASE WHEN l.x < r.x AND l.y < r.y
+                          THEN l.n * r.n ELSE 0 END) AS c,
+                 sum(CASE WHEN l.x < r.x AND l.y > r.y
+                          THEN l.n * r.n ELSE 0 END) AS dd
+          FROM cells l JOIN cells r
+            ON l.g = r.g
+           AND (l.x < r.x OR (l.x = r.x AND l.y < r.y))
+          GROUP BY 1
+        ), xs AS (
+          SELECT g, sum(t * (t - 1) // 2) AS txx,
+                 count(*)::BIGINT AS kx FROM (
+            SELECT g, x, sum(n)::BIGINT AS t FROM cells GROUP BY 1, 2)
+          GROUP BY g
+        ), ys AS (
+          SELECT g, sum(t * (t - 1) // 2) AS tyy,
+                 count(*)::BIGINT AS ky FROM (
+            SELECT g, y, sum(n)::BIGINT AS t FROM cells GROUP BY 1, 2)
+          GROUP BY g
+        ), tot AS (SELECT g, sum(n)::BIGINT AS n FROM cells GROUP BY g)
+        SELECT tot.g AS l_returnflag, tot.n,
+               CAST(cd.c AS BIGINT) AS c_pairs,
+               CAST(cd.dd AS BIGINT) AS d_pairs,
+               round(CASE WHEN (cd.c + cd.dd)::DOUBLE > 0
+                     THEN (cd.c - cd.dd)::DOUBLE
+                          / (cd.c + cd.dd)::DOUBLE END, 9) AS gamma,
+               round(CASE WHEN (tot.n * (tot.n - 1) // 2
+                                - xs.txx)::DOUBLE > 0
+                     THEN (cd.c - cd.dd)::DOUBLE
+                          / (tot.n * (tot.n - 1) // 2
+                             - xs.txx)::DOUBLE END, 9) AS somers_d_yx,
+               round(CASE WHEN (tot.n * (tot.n - 1) // 2
+                                - ys.tyy)::DOUBLE > 0
+                     THEN (cd.c - cd.dd)::DOUBLE
+                          / (tot.n * (tot.n - 1) // 2
+                             - ys.tyy)::DOUBLE END, 9) AS somers_d_xy,
+               round(CASE WHEN least(xs.kx, ys.ky)::DOUBLE > 1
+                       AND tot.n > 0
+                     THEN 2.0 * least(xs.kx, ys.ky)::DOUBLE
+                          * (cd.c - cd.dd)::DOUBLE
+                          / (tot.n::DOUBLE * tot.n::DOUBLE
+                             * (least(xs.kx, ys.ky)::DOUBLE - 1))
+                     END, 9) AS tau_c
+        FROM tot JOIN cd USING (g) JOIN xs USING (g) JOIN ys USING (g)
+        ORDER BY l_returnflag
+    """
+    d["q208_mcnemar"] = """
+        WITH flags AS (
+          SELECT o_custkey,
+                 max(CASE WHEN year(o_orderdate) = 1994
+                          THEN 1 ELSE 0 END) AS a,
+                 max(CASE WHEN year(o_orderdate) = 1995
+                          THEN 1 ELSE 0 END) AS b
+          FROM orders GROUP BY 1
+        ), paired AS (
+          SELECT c.c_mktsegment AS seg,
+                 CAST(CASE WHEN f.a = 0 AND f.b = 1
+                           THEN 1 ELSE 0 END AS BIGINT) AS f01,
+                 CAST(CASE WHEN f.a = 1 AND f.b = 0
+                           THEN 1 ELSE 0 END AS BIGINT) AS f10
+          FROM flags f JOIN customer c ON f.o_custkey = c.c_custkey
+        ), agg AS (
+          SELECT seg, count(*)::BIGINT AS n,
+                 CAST(sum(f01) AS BIGINT) AS n01,
+                 CAST(sum(f10) AS BIGINT) AS n10
+          FROM paired GROUP BY seg
+        )
+        SELECT seg AS c_mktsegment, n, n01, n10,
+               round(CASE WHEN (n01 + n10)::DOUBLE > 0
+                     THEN greatest(abs((n01 - n10)::DOUBLE) - 1, 0.0)
+                          * greatest(abs((n01 - n10)::DOUBLE) - 1, 0.0)
+                          / (n01 + n10)::DOUBLE END, 9) AS chi2
+        FROM agg ORDER BY c_mktsegment
+    """
+    d["q209_page_trend"] = """
+        WITH cells AS (
+          SELECT year(l_shipdate) AS blk,
+                 CAST(round(l_discount * 100) AS INTEGER) AS trt,
+                 CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS v
+          FROM lineitem GROUP BY 1, 2
+        ), kk AS (
+          SELECT CAST(count(DISTINCT trt) AS BIGINT) AS k FROM cells
+        ), bsz AS (
+          SELECT blk, CAST(count(DISTINCT trt) AS BIGINT) AS bk,
+                 CAST(count(*) AS BIGINT) AS bn
+          FROM cells GROUP BY blk
+        ), work AS (
+          SELECT c.blk, c.trt, c.v
+          FROM cells c JOIN bsz b ON c.blk = b.blk
+          CROSS JOIN kk
+          WHERE b.bk = kk.k AND b.bn = kk.k
+        ), ranked AS (
+          SELECT blk, trt, v,
+                 2 * (count(*) OVER (PARTITION BY blk ORDER BY v
+                        RANGE BETWEEN UNBOUNDED PRECEDING
+                        AND CURRENT ROW)
+                      - count(*) OVER (PARTITION BY blk, v))
+                 + count(*) OVER (PARTITION BY blk, v) + 1 AS r2
+          FROM work
+        ), dose AS (
+          SELECT trt, CAST(dense_rank() OVER (ORDER BY trt)
+                           AS BIGINT) AS j
+          FROM (SELECT DISTINCT trt FROM ranked)
+        ), agg AS (
+          SELECT CAST(min(w.__k) AS BIGINT) AS k,
+                 CAST(count(*) / min(w.__k) AS BIGINT) AS n_blocks,
+                 CAST(sum(d.j * r.r2) AS DECIMAL(38,0)) AS l2
+          FROM ranked r JOIN dose d ON r.trt = d.trt
+          CROSS JOIN (SELECT CAST(count(DISTINCT trt) AS BIGINT)
+                      AS __k FROM ranked) w
+        )
+        SELECT k, n_blocks,
+               round(CAST(l2 AS DOUBLE) / 2.0, 9) AS l_stat,
+               round(CASE WHEN k > 1 AND n_blocks > 0 AND
+                       CAST(n_blocks AS DOUBLE) * CAST(k AS DOUBLE)
+                       * CAST(k AS DOUBLE) * (CAST(k AS DOUBLE) + 1)
+                       * (CAST(k AS DOUBLE) * CAST(k AS DOUBLE) - 1)
+                       / 144.0 > 0
+                     THEN (CAST(l2 AS DOUBLE) / 2.0
+                           - CAST(n_blocks AS DOUBLE)
+                             * CAST(k AS DOUBLE)
+                             * (CAST(k AS DOUBLE) + 1)
+                             * (CAST(k AS DOUBLE) + 1) / 4.0)
+                          / sqrt(CAST(n_blocks AS DOUBLE)
+                                 * CAST(k AS DOUBLE)
+                                 * CAST(k AS DOUBLE)
+                                 * (CAST(k AS DOUBLE) + 1)
+                                 * (CAST(k AS DOUBLE)
+                                    * CAST(k AS DOUBLE) - 1)
+                                 / 144.0)
+                     END, 9) AS z
+        FROM agg
+    """
+    d["q210_mood_median"] = """
+        WITH base AS (
+          SELECT year(o_orderdate) AS yr, o_orderpriority AS s,
+                 CAST(round(o_totalprice / 1000.0) AS BIGINT) AS v
+          FROM orders
+          WHERE o_totalprice IS NOT NULL
+            AND o_orderpriority IS NOT NULL
+        ), grain AS (
+          SELECT yr, v, count(*)::BIGINT AS w
+          FROM base GROUP BY 1, 2
+        ), cums AS (
+          SELECT yr, v,
+                 sum(w) OVER (PARTITION BY yr ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS cum,
+                 sum(w) OVER (PARTITION BY yr) AS tot
+          FROM grain
+        ), med AS (
+          SELECT yr, min(v) AS med FROM cums
+          WHERE 2 * cum >= tot GROUP BY yr
+        ), cell AS (
+          SELECT b.yr, b.s,
+                 CAST(sum(CASE WHEN b.v > m.med
+                               THEN 1 ELSE 0 END) AS BIGINT) AS a,
+                 count(*)::BIGINT AS nj
+          FROM base b JOIN med m ON b.yr = m.yr
+          GROUP BY 1, 2
+        ), tot2 AS (
+          SELECT yr, count(*)::BIGINT AS k,
+                 CAST(sum(nj) AS BIGINT) AS n,
+                 CAST(sum(a) AS BIGINT) AS atot
+          FROM cell GROUP BY yr
+        )
+        SELECT t.yr, t.k, t.n,
+               round(CASE WHEN t.k > 1 AND t.n > 0 THEN (
+                 SELECT list_sum(list(
+                   (CASE WHEN t.atot::DOUBLE / t.n::DOUBLE > 0
+                    THEN (c.a::DOUBLE - c.nj::DOUBLE
+                          * (t.atot::DOUBLE / t.n::DOUBLE))
+                         * (c.a::DOUBLE - c.nj::DOUBLE
+                            * (t.atot::DOUBLE / t.n::DOUBLE))
+                         / (c.nj::DOUBLE
+                            * (t.atot::DOUBLE / t.n::DOUBLE))
+                    ELSE 0.0 END)
+                   + (CASE WHEN (t.n - t.atot)::DOUBLE / t.n::DOUBLE
+                           > 0
+                      THEN ((c.nj - c.a)::DOUBLE - c.nj::DOUBLE
+                            * ((t.n - t.atot)::DOUBLE / t.n::DOUBLE))
+                           * ((c.nj - c.a)::DOUBLE - c.nj::DOUBLE
+                              * ((t.n - t.atot)::DOUBLE
+                                 / t.n::DOUBLE))
+                           / (c.nj::DOUBLE
+                              * ((t.n - t.atot)::DOUBLE
+                                 / t.n::DOUBLE))
+                      ELSE 0.0 END)
+                   ORDER BY c.s))
+                 FROM cell c WHERE c.yr = t.yr) END, 9) AS chi2
+        FROM tot2 t ORDER BY yr
     """
     d["q204_kcore"] = """
         WITH items AS (

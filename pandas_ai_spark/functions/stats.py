@@ -3556,3 +3556,356 @@ def jonckheere_terpstra(df: DataFrame, value_col: str,
                / (F.lit(2.0) * F.sqrt(var)))
     return out.select(*[F.col(c) for c in by],
                       "k", "n", z.alias("z"))
+
+
+def ordinal_association(df: DataFrame, x_col: str, y_col: str,
+                        by: list[str] | None = None) -> DataFrame:
+    """The ordinal-association battery beside :func:`kendall_tau_b`:
+    per ``by`` group ``(n, c_pairs, d_pairs, gamma, somers_d_yx,
+    somers_d_xy, tau_c)`` — the three classic concordance measures a
+    tau-b alone does not give, each answering a different question
+    about an ordered x vs ordered y table:
+
+    - ``gamma`` (Goodman-Kruskal) = ``(C-D)/(C+D)`` — association
+      among the UNTIED pairs only (optimistic on tie-heavy tables);
+    - ``somers_d_yx`` = ``(C-D)/(n0-Tx)`` — the asymmetric measure
+      for y as the RESPONSE to x (ties on x removed from the base;
+      the ordinal analogue of a regression direction), and
+      ``somers_d_xy`` its converse;
+    - ``tau_c`` (Stuart-Kendall) = ``2m(C-D)/(n^2(m-1))`` with
+      ``m = min(k_x, k_y)`` — corrects tau for NON-SQUARE tables
+      where tau-b cannot reach +/-1.
+
+    Same bounded-grain contract and mechanics as
+    :func:`kendall_tau_b` (bucket continuous values upstream): one
+    map-side-combined cell aggregation, one broadcast dominance
+    self-join over Theta(cells^2) pairs classifying each unordered
+    distinct-cell pair exactly once (C / D / tied-on-y-only /
+    tied-on-x-only), marginal tie totals from one grouping-sets pass.
+    Every count is exact (codegen'd LONG pair sums, DECIMAL(38,0)
+    tie terms); only the final ratios are float.
+    """
+    by = list(by or [])
+    x, y = F.col(x_col), F.col(y_col)
+    from .cache import operator_persist
+
+    cells = operator_persist(
+        df.where(x.isNotNull() & y.isNotNull()).groupBy(
+            *[F.col(c) for c in by], x.alias("__x"), y.alias("__y"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("__n")))
+    l = cells.repartition(*[F.col(c) for c in by], F.col("__x")) \
+        .alias("l")
+    r = F.broadcast(cells).alias("r")
+    # each unordered pair of DISTINCT cells exactly once: strict x
+    # dominance, or x-tie broken by strict y dominance
+    cond = (F.col("l.__x") < F.col("r.__x")) \
+        | ((F.col("l.__x") == F.col("r.__x"))
+           & (F.col("l.__y") < F.col("r.__y")))
+    for c in by:
+        cond = cond & F.col(f"l.{c}").eqNullSafe(F.col(f"r.{c}"))
+    m = F.col("l.__n") * F.col("r.__n")
+    xlt = F.col("l.__x") < F.col("r.__x")
+    pairs = l.join(r, cond).select(
+        *[F.col(f"l.{c}").alias(c) for c in by],
+        F.when(xlt & (F.col("l.__y") < F.col("r.__y")), m)
+         .otherwise(F.lit(0)).alias("__mc"),
+        F.when(xlt & (F.col("l.__y") > F.col("r.__y")), m)
+         .otherwise(F.lit(0)).alias("__md"))
+    dec = "decimal(38,0)"
+    aggs = [F.sum("__mc").cast(dec).alias("__C"),
+            F.sum("__md").cast(dec).alias("__D")]
+    cd = (pairs.groupBy(*[F.col(c) for c in by]).agg(*aggs)
+          if by else pairs.agg(*aggs))
+    # marginals: per-x tie totals, per-y tie totals, n, and the two
+    # grain cardinalities — one grouping-sets pass (the tau-b device)
+    marg = cells.groupingSets(
+        [[*by, "__x"], [*by, "__y"], list(by)],
+        *[F.col(c) for c in by], F.col("__x"), F.col("__y")).agg(
+        F.sum("__n").cast("bigint").alias("__t"),
+        F.grouping("__x").alias("__gx"),
+        F.grouping("__y").alias("__gy"))
+    tt = (F.col("__t").cast(dec) * (F.col("__t") - 1).cast(dec) / 2) \
+        .cast(dec)
+    is_x = (F.col("__gx") == 0) & (F.col("__gy") == 1)
+    is_y = (F.col("__gy") == 0) & (F.col("__gx") == 1)
+    fold = [
+        F.sum(F.when(is_x, tt)).alias("__Tx"),
+        F.sum(F.when(is_y, tt)).alias("__Ty"),
+        F.sum(F.when(is_x, 1)).cast("bigint").alias("__kx"),
+        F.sum(F.when(is_y, 1)).cast("bigint").alias("__ky"),
+        F.max(F.when((F.col("__gx") == 1) & (F.col("__gy") == 1),
+                     F.col("__t"))).alias("n"),
+    ]
+    tot = (marg.groupBy(*[F.col(c) for c in by]).agg(*fold)
+           if by else marg.agg(*fold))
+    g = tot.join(cd, by, "left") if by else tot.crossJoin(cd)
+    n = F.col("n")
+    zero = F.lit(0).cast(dec)
+    cc = F.coalesce(F.col("__C"), zero)
+    dd = F.coalesce(F.col("__D"), zero)
+    n0 = (n.cast(dec) * (n - 1).cast(dec) / 2).cast(dec)
+    num = (cc - dd).cast("double")
+    cpd = (cc + dd).cast("double")
+    base_yx = (n0 - F.coalesce(F.col("__Tx"), zero)).cast("double")
+    base_xy = (n0 - F.coalesce(F.col("__Ty"), zero)).cast("double")
+    md = F.least(F.col("__kx"), F.col("__ky")).cast("double")
+    nd = n.cast("double")
+    return g.select(
+        *[F.col(c) for c in by], "n",
+        cc.cast("bigint").alias("c_pairs"),
+        dd.cast("bigint").alias("d_pairs"),
+        F.when(cpd > 0, num / cpd).alias("gamma"),
+        F.when(base_yx > 0, num / base_yx).alias("somers_d_yx"),
+        F.when(base_xy > 0, num / base_xy).alias("somers_d_xy"),
+        F.when((md > 1) & (n > 0),
+               F.lit(2.0) * md * num / (nd * nd * (md - 1)))
+         .alias("tau_c"))
+
+
+def mcnemar_test(df: DataFrame, a_col, b_col,
+                 by: list[str] | None = None,
+                 continuity: bool = True) -> DataFrame:
+    """McNemar's test for PAIRED binary outcomes - the within-subject
+    complement of :func:`chi_square_independence` (independence tests
+    compare two GROUPS; McNemar asks whether the SAME units flipped
+    between two conditions - before/after, model A/model B on the
+    same examples): per ``by`` group ``(n, n01, n10, chi2)`` where
+    ``n01`` counts (a=0, b=1) flips, ``n10`` the converse, and
+    ``chi2 = (|n01-n10| - 1)^2 / (n01+n10)`` (continuity-corrected
+    Edwards form; ``continuity=False`` gives the classic
+    ``(n01-n10)^2 / (n01+n10)``), asymptotically chi^2(1) under
+    marginal homogeneity. Concordant pairs (00/11) carry no
+    information and only enter ``n``.
+
+    ``a_col``/``b_col`` accept column names or Column expressions
+    (booleans or 0/1). One map-side-combined aggregation per group;
+    the statistic is a row-local expression on exact integers.
+    """
+    by = list(by or [])
+    a = (F.col(a_col) if isinstance(a_col, str) else a_col) \
+        .cast("boolean")
+    b = (F.col(b_col) if isinstance(b_col, str) else b_col) \
+        .cast("boolean")
+    base = df.where(a.isNotNull() & b.isNotNull()).select(
+        *[F.col(c) for c in by],
+        (~a & b).cast("bigint").alias("__n01"),
+        (a & ~b).cast("bigint").alias("__n10"))
+    aggs = [F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("__n01").cast("bigint").alias("n01"),
+            F.sum("__n10").cast("bigint").alias("n10")]
+    g = (base.groupBy(*[F.col(c) for c in by]).agg(*aggs)
+         if by else base.agg(*aggs))
+    disc = (F.col("n01") + F.col("n10")).cast("double")
+    diff = (F.col("n01") - F.col("n10")).cast("double")
+    if continuity:
+        corr = F.greatest(F.abs(diff) - 1, F.lit(0.0))
+        stat = corr * corr / disc
+    else:
+        stat = diff * diff / disc
+    return g.select(*[F.col(c) for c in by], "n", "n01", "n10",
+                    F.when(disc > 0, stat).alias("chi2"))
+
+
+def page_trend(df: DataFrame, block_col: str, treatment_col: str,
+               value_col: str,
+               by: list[str] | None = None) -> DataFrame:
+    """Page's L trend test - the ORDERED-alternative member of the
+    blocked-rank family (:func:`friedman_test` asks "any treatment
+    difference within blocks?"; Page asks "do treatments shift
+    MONOTONICALLY with the dose?" - exactly the relationship
+    :func:`jonckheere_terpstra` has to :func:`kruskal_wallis`, but
+    with block-to-block level shifts removed): per ``by`` group
+    ``(k, n_blocks, l_stat, z)`` with ``L = sum_j j * R_j`` (``j``
+    the 1..k dose order of treatment j, ``R_j`` its within-block
+    midrank sum over complete blocks) and the standard normal
+    approximation ``E = n k(k+1)^2 / 4``,
+    ``Var = n k^2 (k+1)(k^2-1) / 144``.
+
+    ``treatment_col`` must be an ordered INTEGER dose (the
+    :func:`cochran_armitage`/:func:`jonckheere_terpstra` convention)
+    - dose order IS the test. Same complete-block, one-observation-
+    per-cell contract as :func:`friedman_test` (incomplete blocks
+    are dropped); ties within a block take midranks, with the
+    classic no-tie variance (ties are rare in the pre-aggregated
+    block grain this is meant for; heavy ties make the test
+    conservative).
+
+    Determinism: doubled within-block midranks are exact integers,
+    so ``2L`` accumulates exactly (DECIMAL(38,0)); the dose order j
+    is a dense_rank over the bounded (group, treatment) grain; z is
+    one row-local expression. Scale shape: ranking windows partition
+    by (group, block) - blocks x groups parallel over k values each;
+    everything else is bounded-grain aggregation.
+    """
+    from pyspark.sql.functions import broadcast
+    from pyspark.sql.window import Window
+
+    by = list(by or [])
+    dec = "decimal(38,0)"
+    base = df.where(F.col(value_col).isNotNull()
+                    & F.col(block_col).isNotNull()
+                    & F.col(treatment_col).isNotNull()).select(
+        *[F.col(c) for c in by],
+        F.col(block_col).cast("string").alias("__blk"),
+        F.col(treatment_col).cast("bigint").alias("__trt"),
+        F.col(value_col).alias("__v"))
+    kdf = base.groupBy(
+        *[F.col(c).alias(f"__g_{c}") for c in by]).agg(
+        F.countDistinct("__trt").cast("bigint").alias("__k"))
+    bsz = base.groupBy(
+        *[F.col(c).alias(f"__b_{c}") for c in by],
+        F.col("__blk").alias("__b_blk")).agg(
+        F.countDistinct("__trt").cast("bigint").alias("__bk"),
+        F.count(F.lit(1)).cast("bigint").alias("__bn"))
+    condk = None
+    for c in by:
+        eq = F.col(c).eqNullSafe(F.col(f"__g_{c}"))
+        condk = eq if condk is None else (condk & eq)
+    condb = F.col("__blk") == F.col("__b_blk")
+    for c in by:
+        condb = condb & F.col(c).eqNullSafe(F.col(f"__b_{c}"))
+    if by:
+        work = base.join(broadcast(kdf), condk) \
+            .drop(*[f"__g_{c}" for c in by])
+    else:
+        from .fold import fold_scalars
+        work = fold_scalars(base, kdf.select("__k"))
+    # block-grain completeness table: same size gate as friedman_test
+    # (block count is unbounded; force the broadcast only under the
+    # rank-family input estimate, else plain join + AQE)
+    in_size = _plan_size(df)
+    if in_size is not None and in_size <= RANK_WINDOW_MAX_BYTES:
+        bsz = broadcast(bsz)
+    work = work.join(bsz, condb) \
+        .drop("__b_blk", *[f"__b_{c}" for c in by])
+    work = work.where((F.col("__bk") == F.col("__k"))
+                      & (F.col("__bn") == F.col("__k")))
+    # within-block doubled midranks (the friedman device)
+    wo = Window.partitionBy(*by, "__blk").orderBy("__v") \
+        .rangeBetween(Window.unboundedPreceding, 0)
+    wt = Window.partitionBy(*by, "__blk", "__v")
+    cum_le = F.count(F.lit(1)).over(wo)
+    t = F.count(F.lit(1)).over(wt)
+    r2 = (F.lit(2) * (cum_le - t) + t + F.lit(1)).cast("bigint")
+    ranked = work.select(
+        *[F.col(c) for c in by], "__trt", "__k",
+        r2.alias("__r2"))
+    # dose order j = dense_rank of the treatment within the group
+    # (bounded grain: k rows per group)
+    wj = (Window.partitionBy(*by).orderBy("__trt") if by
+          else Window.partitionBy().orderBy("__trt"))
+    trt = ranked.select(*[F.col(c) for c in by], "__trt") \
+        .distinct().withColumn(
+        "__j", F.dense_rank().over(wj).cast("bigint"))
+    jcond = F.col("__trt").eqNullSafe(F.col("__t_trt"))
+    tsel = trt.select(
+        *[F.col(c).alias(f"__t_{c}") for c in by],
+        F.col("__trt").alias("__t_trt"), "__j")
+    for c in by:
+        jcond = jcond & F.col(c).eqNullSafe(F.col(f"__t_{c}"))
+    ranked = ranked.join(broadcast(tsel), jcond) \
+        .drop("__t_trt", *[f"__t_{c}" for c in by])
+    aggs = [
+        F.min("__k").cast("bigint").alias("k"),
+        (F.count(F.lit(1)) / F.min("__k")).cast("bigint")
+        .alias("n_blocks"),
+        F.sum((F.col("__j") * F.col("__r2")).cast(dec)).alias("__l2"),
+    ]
+    g = (ranked.groupBy(*[F.col(c) for c in by]).agg(*aggs)
+         if by else ranked.agg(*aggs))
+    kd = F.col("k").cast("double")
+    nd = F.col("n_blocks").cast("double")
+    l_stat = F.col("__l2").cast("double") / F.lit(2.0)
+    e = nd * kd * (kd + 1) * (kd + 1) / F.lit(4.0)
+    var = nd * kd * kd * (kd + 1) * (kd * kd - 1) / F.lit(144.0)
+    z = F.when((F.col("k") > 1) & (F.col("n_blocks") > 0)
+               & (var > 0), (l_stat - e) / F.sqrt(var))
+    return g.select(*[F.col(c) for c in by], "k", "n_blocks",
+                    l_stat.alias("l_stat"), z.alias("z"))
+
+
+def mood_median_test(df: DataFrame, value_col: str, group_col: str,
+                     by: list[str] | None = None) -> DataFrame:
+    """Mood's median test - the robust-but-blunt k-sample screen
+    beside :func:`kruskal_wallis` (KW uses full rank information;
+    Mood only asks "does each sample land above or below the POOLED
+    median at the same rate?" - far less powerful, but valid under
+    arbitrary shape differences and trivially exact): per ``by``
+    group ``(k, n, chi2)`` where ``chi2`` is the Pearson statistic
+    of the 2 x k table O_1j = #{values > pooled median} / O_2j =
+    #{values <= pooled median} per sample, asymptotically
+    chi^2(k-1).
+
+    Determinism: the pooled LOWER median per group comes from the
+    exact integer weighted-median pick over the (group, value) grain
+    (:func:`_weighted_lower_median`); the 2 x k counts are exact
+    integers; the one cross-sample float sum (chi2's k terms) folds
+    sample-sorted on both engines (the q191 device). Bounded-grain
+    contract: bucket continuous values upstream if the value grain
+    is unbounded.
+
+    Scale shape: one cell aggregation + the median windows over the
+    bounded value grain + one grouped count - nothing scales worse
+    than the grain.
+    """
+    from pyspark.sql.functions import broadcast
+
+    by = list(by or [])
+    base = df.where(F.col(value_col).isNotNull()
+                    & F.col(group_col).isNotNull()).select(
+        *[F.col(c) for c in by],
+        F.col(group_col).cast("string").alias("__s"),
+        F.col(value_col).alias("__v"))
+    grain = base.groupBy(*[F.col(c) for c in by], F.col("__v")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("__w"))
+    med = _weighted_lower_median(grain, by, "__v", "__w", "__med")
+    if by:
+        cond = None
+        msel = med.select(
+            *[F.col(c).alias(f"__m_{c}") for c in by], "__med")
+        for c in by:
+            eq = F.col(c).eqNullSafe(F.col(f"__m_{c}"))
+            cond = eq if cond is None else (cond & eq)
+        work = base.join(broadcast(msel), cond) \
+            .drop(*[f"__m_{c}" for c in by])
+    else:
+        from .fold import fold_scalars
+        work = fold_scalars(base, med.select("__med"))
+    cell = work.groupBy(*[F.col(c) for c in by], F.col("__s")).agg(
+        F.sum((F.col("__v") > F.col("__med")).cast("bigint"))
+         .cast("bigint").alias("__a"),
+        F.count(F.lit(1)).cast("bigint").alias("__nj"))
+    # chi2 = sum_j sum_rows (O-E)^2/E over the 2 x k table; per-j
+    # terms fold sample-sorted for cross-engine float determinism
+    staged = cell.select(
+        *[F.col(c) for c in by], "__a", "__nj",
+        F.struct(F.col("__s").alias("s"),
+                 F.col("__a").alias("a"),
+                 F.col("__nj").alias("nj")).alias("__t"))
+    aggs = [
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.sum("__nj").cast("bigint").alias("n"),
+        F.sum("__a").cast("bigint").alias("__atot"),
+        F.sort_array(F.collect_list("__t")).alias("__cells"),
+    ]
+    g = (staged.groupBy(*[F.col(c) for c in by]).agg(*aggs)
+         if by else staged.agg(*aggs))
+    nd = F.col("n").cast("double")
+    pa = F.col("__atot").cast("double") / nd
+    pb = (F.col("n") - F.col("__atot")).cast("double") / nd
+    term = lambda s: (  # noqa: E731 - row-local chi2 contribution
+        F.when(pa > 0, (s["a"].cast("double")
+                        - s["nj"].cast("double") * pa)
+               * (s["a"].cast("double") - s["nj"].cast("double") * pa)
+               / (s["nj"].cast("double") * pa)).otherwise(F.lit(0.0))
+        + F.when(pb > 0, ((s["nj"] - s["a"]).cast("double")
+                          - s["nj"].cast("double") * pb)
+                 * ((s["nj"] - s["a"]).cast("double")
+                    - s["nj"].cast("double") * pb)
+                 / (s["nj"].cast("double") * pb)).otherwise(F.lit(0.0)))
+    chi2 = F.aggregate(F.col("__cells"), F.lit(0.0),
+                       lambda acc, s: acc + term(s))
+    return g.select(
+        *[F.col(c) for c in by], "k", "n",
+        F.when((F.col("k") > 1) & (F.col("n") > 0), chi2)
+         .alias("chi2"))

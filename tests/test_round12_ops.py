@@ -405,3 +405,144 @@ class TestStreamFloors:
         v = bench.stream_floor_verdicts(
             {"q100_alerts_x": {}}, self.BASE)
         assert v == {"q100_alerts_x": False}
+
+# ---------------------------------------------------------------------------
+# round-12 additive operators: ordinal association, McNemar, Page, Mood
+# ---------------------------------------------------------------------------
+
+class TestOrdinalAssociation:
+    def test_perfect_concordance(self, spark):
+        from pandas_ai_spark.functions.stats import ordinal_association
+
+        df = spark.createDataFrame(
+            [(i, i * 2) for i in range(1, 7)], ["x", "y"])
+        row = ordinal_association(df, "x", "y").collect()[0]
+        assert row["n"] == 6
+        assert row["c_pairs"] == 15 and row["d_pairs"] == 0
+        assert row["gamma"] == pytest.approx(1.0)
+        assert row["somers_d_yx"] == pytest.approx(1.0)
+        assert row["somers_d_xy"] == pytest.approx(1.0)
+
+    def test_known_table(self, spark):
+        from pandas_ai_spark.functions.stats import ordinal_association
+
+        # 2x2 with counts [[3, 1], [1, 3]]: C = 3*3 = 9, D = 1*1 = 1
+        rows = ([(0, 0)] * 3 + [(0, 1)] * 1
+                + [(1, 0)] * 1 + [(1, 1)] * 3)
+        df = spark.createDataFrame(rows, ["x", "y"])
+        row = ordinal_association(df, "x", "y").collect()[0]
+        assert row["c_pairs"] == 9 and row["d_pairs"] == 1
+        assert row["gamma"] == pytest.approx(0.8)
+        # n0 = 28, Tx = Ty = 2 * C(4,2) = 12 -> D = 8/16 = 0.5
+        assert row["somers_d_yx"] == pytest.approx(0.5)
+        assert row["somers_d_xy"] == pytest.approx(0.5)
+        # tau_c = 2*2*(9-1)/(64*(2-1)) = 0.5
+        assert row["tau_c"] == pytest.approx(0.5)
+
+    def test_by_groups_and_constant_group(self, spark):
+        from pandas_ai_spark.functions.stats import ordinal_association
+
+        rows = ([("up", i, i) for i in range(5)]
+                + [("flat", 1, 1)] * 4)
+        df = spark.createDataFrame(rows, ["g", "x", "y"])
+        out = {r["g"]: r for r in ordinal_association(
+            df, "x", "y", by=["g"]).collect()}
+        assert out["up"]["gamma"] == pytest.approx(1.0)
+        assert out["flat"]["c_pairs"] == 0  # single cell: no pairs
+        assert out["flat"]["gamma"] is None
+
+
+class TestMcNemar:
+    def test_known_2x2(self, spark):
+        from pandas_ai_spark.functions.stats import mcnemar_test
+
+        # n01 = 6, n10 = 2: corrected chi2 = (|4|-1)^2/8 = 1.125
+        rows = ([(0, 1)] * 6 + [(1, 0)] * 2 + [(1, 1)] * 5
+                + [(0, 0)] * 3)
+        df = spark.createDataFrame(rows, ["a", "b"])
+        row = mcnemar_test(df, "a", "b").collect()[0]
+        assert row["n"] == 16
+        assert row["n01"] == 6 and row["n10"] == 2
+        assert row["chi2"] == pytest.approx(1.125)
+        plain = mcnemar_test(df, "a", "b",
+                             continuity=False).collect()[0]
+        assert plain["chi2"] == pytest.approx(16.0 / 8.0)
+
+    def test_no_discordant_pairs_null(self, spark):
+        from pandas_ai_spark.functions.stats import mcnemar_test
+
+        df = spark.createDataFrame([(1, 1), (0, 0)], ["a", "b"])
+        row = mcnemar_test(df, "a", "b").collect()[0]
+        assert row["chi2"] is None
+
+
+class TestPageTrend:
+    def test_perfect_trend(self, spark):
+        from pandas_ai_spark.functions.stats import page_trend
+
+        # 4 blocks x 4 doses, value strictly increasing with dose:
+        # every block ranks 1..4 in dose order -> L = n * sum(j*j)
+        rows = [(b, j, b * 10 + j) for b in range(1, 5)
+                for j in range(1, 5)]
+        df = spark.createDataFrame(rows, ["blk", "dose", "v"])
+        row = page_trend(df, "blk", "dose", "v").collect()[0]
+        assert row["k"] == 4 and row["n_blocks"] == 4
+        assert row["l_stat"] == pytest.approx(4 * 30.0)  # 1+4+9+16
+        # z = (L - E)/sqrt(Var), E = 4*4*25/4 = 100,
+        # Var = 4*16*5*15/144
+        want = (120.0 - 100.0) / (4 * 16 * 5 * 15 / 144.0) ** 0.5
+        assert row["z"] == pytest.approx(want, rel=1e-12)
+
+    def test_no_trend_z_near_zero(self, spark):
+        from pandas_ai_spark.functions.stats import page_trend
+
+        # value pattern deterministic but dose-unrelated
+        rows = [(b, j, (b * 7 + j * 13) % 5) for b in range(1, 9)
+                for j in range(1, 5)]
+        df = spark.createDataFrame(rows, ["blk", "dose", "v"])
+        z = page_trend(df, "blk", "dose", "v").collect()[0]["z"]
+        assert abs(z) < 2.0
+
+    def test_incomplete_blocks_dropped(self, spark):
+        from pandas_ai_spark.functions.stats import page_trend
+
+        rows = [(b, j, b + j) for b in range(1, 4)
+                for j in range(1, 4)]
+        rows.append((9, 1, 5))  # block 9 has only one dose
+        df = spark.createDataFrame(rows, ["blk", "dose", "v"])
+        row = page_trend(df, "blk", "dose", "v").collect()[0]
+        assert row["n_blocks"] == 3
+
+
+class TestMoodMedian:
+    def test_identical_samples_chi2_zero(self, spark):
+        from pandas_ai_spark.functions.stats import mood_median_test
+
+        rows = [(s, v) for s in ("a", "b") for v in range(1, 11)]
+        df = spark.createDataFrame(rows, ["s", "v"])
+        row = mood_median_test(df, "v", "s").collect()[0]
+        assert row["k"] == 2 and row["n"] == 20
+        assert row["chi2"] == pytest.approx(0.0)
+
+    def test_separated_samples_large_chi2(self, spark):
+        from pandas_ai_spark.functions.stats import mood_median_test
+
+        rows = ([("lo", v) for v in range(1, 11)]
+                + [("hi", v) for v in range(100, 110)])
+        df = spark.createDataFrame(rows, ["s", "v"])
+        row = mood_median_test(df, "v", "s").collect()[0]
+        # perfect separation of the 2x2 table -> chi2 = n = 20
+        assert row["chi2"] == pytest.approx(20.0)
+
+    def test_by_groups(self, spark):
+        from pandas_ai_spark.functions.stats import mood_median_test
+
+        rows = ([("g1", "lo", v) for v in range(1, 11)]
+                + [("g1", "hi", v) for v in range(100, 110)]
+                + [("g2", s, v) for s in ("a", "b")
+                   for v in range(1, 11)])
+        df = spark.createDataFrame(rows, ["g", "s", "v"])
+        out = {r["g"]: r for r in mood_median_test(
+            df, "v", "s", by=["g"]).collect()}
+        assert out["g1"]["chi2"] == pytest.approx(20.0)
+        assert out["g2"]["chi2"] == pytest.approx(0.0)

@@ -27,20 +27,31 @@ from per-language bigram chains (make_documents), embeddings from
 per-cluster mean/cov Gaussian draws (make_embeddings).
 
 Output: .scale/sf0.3/*.parquet (gitignored). Usage:
-    python tools/make_scale_data.py
+    python tools/make_scale_data.py           # 3x -> .scale/sf0.3
+    python tools/make_scale_data.py --sf1     # 10x -> .scale/sf1.0
+                                              # (r12: the sf1.0 probe
+                                              # point for the ≥0.7
+                                              # exponent tail)
 """
 from __future__ import annotations
 
 import os
 import shutil
+import sys
 
 SRC = "/root/testdata/sf0.1"
-DST = os.path.join(os.path.dirname(os.path.dirname(
-    os.path.abspath(__file__))), ".scale", "sf0.3")
+_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+# (re)bound in main() from argv; module defaults keep the sf0.3 form
+DST = os.path.join(_ROOT, ".scale", "sf0.3")
+N_COPIES = 3  # total row multiple (1x natural + N-1 synthetic/shifted)
 K = 10_000_000  # key shift per copy — far above every sf0.1 key max
 
 
 def main() -> int:
+    global DST, N_COPIES
+    if "--sf1" in sys.argv:
+        DST = os.path.join(_ROOT, ".scale", "sf1.0")
+        N_COPIES = 10
     import duckdb
 
     os.makedirs(DST, exist_ok=True)
@@ -56,7 +67,9 @@ def main() -> int:
     def src(name: str) -> str:
         return f"read_parquet('{SRC}/{name}.parquet')"
 
-    copies = "(SELECT unnest([0, 1, 2]) AS i)"
+    copies = ("(SELECT unnest(["
+              + ", ".join(str(i) for i in range(N_COPIES))
+              + "]) AS i)")
 
     # * REPLACE keeps each table's exact driver schema (the synthetic
     # tables carry fewer columns than full TPC-H)
@@ -147,7 +160,7 @@ def make_documents(con) -> None:
         chains[lang] = (dist(starts),
                         {a: dist(cs) for a, cs in trans.items()})
     out = [docs]
-    for i in (1, 2):
+    for i in range(1, N_COPIES):
         rows = []
         for doc_id, text, lang, source, _nc in docs.itertuples(
                 index=False):
@@ -178,7 +191,8 @@ def make_documents(con) -> None:
                 f"'{DST}/documents.parquet' (FORMAT PARQUET)")
     n = con.execute(f"SELECT count(*) FROM "
                     f"'{DST}/documents.parquet'").fetchone()[0]
-    print(f"documents: {n} rows (1x natural + 2x synthetic-unique)")
+    print(f"documents: {n} rows (1x natural + {N_COPIES - 1}x "
+          f"synthetic-unique)")
 
 
 # Controlled near-dup injection rate for synthetic embeddings: the
@@ -227,7 +241,7 @@ def make_embeddings(con) -> None:
                             np.cov(X, rowvar=False)
                             + 1e-9 * np.eye(dim))
     out = [df]
-    for i in (1, 2):
+    for i in range(1, N_COPIES):
         rng = np.random.Generator(np.random.PCG64(9173 + i))
         vecs = np.empty_like(V)
         for lab, (mu, cov) in params.items():
@@ -253,8 +267,8 @@ def make_embeddings(con) -> None:
     n, mx = con.execute(
         f"SELECT count(*), max(len(embedding)) FROM "
         f"'{DST}/embeddings.parquet'").fetchone()
-    print(f"embeddings: {n} rows x {mx} dims "
-          f"(1x natural + 2x cluster-conditional synthetic)")
+    print(f"embeddings: {n} rows x {mx} dims (1x natural + "
+          f"{N_COPIES - 1}x cluster-conditional synthetic)")
 
 
 if __name__ == "__main__":

@@ -201,6 +201,23 @@ PROBE_SF03 = [
 
 SF03_DIR = ".scale/sf0.3"
 
+# The ≥0.7 de-floored-exponent tail gets a FOURTH point at 10x
+# (.scale/sf1.0, make_scale_data.py --sf1): the 0.1→0.3 slopes for
+# these rest on a single doubling and are noisy (VERDICT r11 item 6);
+# the 0.3→1.0 column confirms they stay ≤~1 over a full extra decade.
+# q21/q34 stay exempt as documented exact-verifiers whose default
+# route is the LSH path (q186/q22).
+PROBE_SF10 = [
+    "q65_semantic_dedup",
+    "q98_winsorize",
+    "q107_ngram_novelty",
+    "q170_bootstrap_ci",
+    "q177_spearman",
+    "q192_kw_distributed",
+]
+
+SF10_DIR = ".scale/sf1.0"
+
 
 def probe_gk_switch(spark) -> list[str]:
     """Demonstrate the q98/q140 exact→GK auto-switch (r9 VERDICT item
@@ -481,6 +498,7 @@ def main() -> int:
     spark = get_session(app_name="scale_probe")
     qs = entry.queries()
     have_03 = os.path.exists(f"{SF03_DIR}/lineitem.parquet")
+    have_10 = os.path.exists(f"{SF10_DIR}/lineitem.parquet")
 
     # warm codegen
     w = spark.read.parquet("/root/testdata/sf0.01/region.parquet")
@@ -506,6 +524,8 @@ def main() -> int:
             results[name][sf] = timed(name, f"/root/testdata/sf{sf}")
         if have_03 and name in PROBE_SF03:
             results[name]["0.3"] = timed(name, SF03_DIR)
+        if have_10 and name in PROBE_SF10:
+            results[name]["1.0"] = timed(name, SF10_DIR)
 
     lines = [
         "# SCALING — measured wall-clock vs scale factor",
@@ -517,13 +537,17 @@ def main() -> int:
         "tables also run at the derived 3x point (.scale/sf0.3,",
         "tools/make_scale_data.py) — `exp (0.1→0.3)` is the de-floored",
         "slope there, free of the sub-second scheduler floor that",
-        "contaminates the top-decade column for small times.",
+        "contaminates the top-decade column for small times. The ≥0.7",
+        "de-floored tail (PROBE_SF10) gets a FOURTH point at 10x",
+        "(.scale/sf1.0, make_scale_data.py --sf1): a single 0.1→0.3",
+        "doubling is noisy, so `exp (0.3→1.0)` confirms those slopes",
+        "over a full extra decade of data.",
         "",
         "| query | sf0.001 s | sf0.01 s | sf0.1 s | exp (0.01→0.1) "
-        "| sf0.3 s | exp (0.1→0.3) |",
-        "|---|---|---|---|---|---|---|",
+        "| sf0.3 s | exp (0.1→0.3) | sf1.0 s | exp (0.3→1.0) |",
+        "|---|---|---|---|---|---|---|---|---|",
     ]
-    worst, worst03 = 0.0, 0.0
+    worst, worst03, worst10 = 0.0, 0.0, 0.0
     for name, ts in results.items():
         exp = math.log(ts["0.1"] / ts["0.01"]) / math.log(10)
         worst = max(worst, exp)
@@ -533,13 +557,20 @@ def main() -> int:
             tail = f"| {ts['0.3']:.2f} | {e3:.2f} |"
         else:
             tail = "| — | — |"
+        if "1.0" in ts and "0.3" in ts:
+            e10 = math.log(ts["1.0"] / ts["0.3"]) / math.log(10 / 3)
+            worst10 = max(worst10, e10)
+            tail += f" {ts['1.0']:.2f} | {e10:.2f} |"
+        else:
+            tail += " — | — |"
         lines.append(
             f"| {name} | {ts['0.001']:.2f} | {ts['0.01']:.2f} "
             f"| {ts['0.1']:.2f} | {exp:.2f} {tail}")
         print(lines[-1])
     lines.append("")
     lines.append(f"Worst top-decade exponent: {worst:.2f}; worst"
-                 f" de-floored (0.1→0.3) exponent: {worst03:.2f}.")
+                 f" de-floored (0.1→0.3) exponent: {worst03:.2f}; worst"
+                 f" 10x-point (0.3→1.0) exponent: {worst10:.2f}.")
     lines += [
         "",
         "## Notes on elevated exponents",

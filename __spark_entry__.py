@@ -1010,7 +1010,7 @@ def q63_span_excision(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q65_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup-style semantic near-dup pairs: seeded k-means cells
-    (derived cluster count, N/32 capped at 256) + exact within-cell
+    (derived cluster count, N/32 capped at 1024) + exact within-cell
     cosine ≥ 0.3 — the learned-partition counterpart of q26's random
     hyperplanes: one broadcast-GEMM assignment pass, ONE shuffle on the
     cell id, no all-pairs anywhere. Oracle: _q65_oracle() retrains the
@@ -6064,8 +6064,9 @@ def _q65_cells_sql(sf_dir: str = "/root/testdata/sf0.01") -> str:
         f"SELECT vec_id, embedding FROM "
         f"read_parquet('{sf_dir}/embeddings.parquet')").fetchall()
     n = len(rows)
-    n_clusters = max(4, min(256, math.ceil(n / 32)))
-    M = _np.array([r[1] for r in rows[:10_000]], dtype=_np.float64)
+    n_clusters = max(4, min(1024, math.ceil(n / 32)))
+    M = _np.array([r[1] for r in rows[:max(10_000, 16 * n_clusters)]],
+                  dtype=_np.float64)
     Mn = M / _np.maximum(_np.linalg.norm(M, axis=1, keepdims=True), 1e-300)
     C = _kmeans_centroids(Mn, n_clusters, seed=42)
 

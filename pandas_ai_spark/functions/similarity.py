@@ -677,22 +677,27 @@ def semantic_dedup_pairs(
     per-pair like multi-table LSH).
 
     Scale shape: centroids train on a bounded driver-side sample (one
-    numpy k-means; for corpora needing >256 cells use hierarchical /
+    numpy k-means; for corpora needing >1024 cells use hierarchical /
     minibatch training upstream); assignment is one broadcast-GEMM
     Arrow pass; candidates come from ONE shuffle on the cell id. With
-    ``n_clusters`` derived (``N / target_cell_rows``, capped at 256)
+    ``n_clusters`` derived (``N / target_cell_rows``, capped at 1024)
     expected cell occupancy stays constant, so candidate volume stays
-    ~linear in N until the cap. Skew exposure: a genuinely giant
-    semantic cluster does O(b²) work — that is the operator's defined
-    output, not a plan artifact.
+    ~linear in N until the cap binds (N > 32k rows at the default
+    target — the r12 sf1.0 probe measured the OLD 256 cap binding at
+    20k vectors, exponent 1.25 from 78-row cells; the training sample
+    grows with the derived k, 16 points per centroid minimum, so the
+    bounded driver-side fit stays supported). Skew exposure: a
+    genuinely giant semantic cluster does O(b²) work — that is the
+    operator's defined output, not a plan artifact.
     """
     base = operator_persist(df.select(
         F.col(id_col), F.col(vec_col).cast("array<double>").alias("__v")))
     if n_clusters is None:
         import math
         n = base.count()
-        n_clusters = max(4, min(256, math.ceil(n / target_cell_rows)))
+        n_clusters = max(4, min(1024, math.ceil(n / target_cell_rows)))
 
+    sample = max(sample, 16 * n_clusters)
     sampled = base.select("__v").limit(sample).collect()
     _, Ms = _normalized_matrix([(0, r[0]) for r in sampled])
     C = _kmeans_centroids(Ms, n_clusters, seed=seed)

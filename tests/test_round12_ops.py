@@ -546,3 +546,159 @@ class TestMoodMedian:
             df, "v", "s", by=["g"]).collect()}
         assert out["g1"]["chi2"] == pytest.approx(20.0)
         assert out["g2"]["chi2"] == pytest.approx(0.0)
+
+# ---------------------------------------------------------------------------
+# round-12 batch 2: Kendall's W, Siegel slopes, Quade, Cronbach's alpha
+# ---------------------------------------------------------------------------
+
+class TestKendallsW:
+    def test_perfect_agreement(self, spark):
+        from pandas_ai_spark.functions.stats import kendalls_w
+
+        rows = [(r, o, o * 10 + 0.0) for r in range(1, 5)
+                for o in range(1, 6)]
+        df = spark.createDataFrame(rows, ["rater", "obj", "v"])
+        row = kendalls_w(df, "rater", "obj", "v").collect()[0]
+        assert row["k"] == 5 and row["m"] == 4
+        assert row["w"] == pytest.approx(1.0)
+        assert row["chi2"] == pytest.approx(4 * 4 * 1.0)
+
+    def test_reversed_rater_lowers_w(self, spark):
+        from pandas_ai_spark.functions.stats import kendalls_w
+
+        rows = ([(r, o, float(o)) for r in (1, 2, 3) for o in range(1, 6)]
+                + [(4, o, float(-o)) for o in range(1, 6)])
+        df = spark.createDataFrame(rows, ["rater", "obj", "v"])
+        row = kendalls_w(df, "rater", "obj", "v").collect()[0]
+        # 3 agree, 1 reversed: W = S/S_max with R_j = 3j + (6-j) = 2j+6
+        # dev from mean 12: (-4,-2,0,2,4) -> S=40; S_max = m^2(k^3-k)/12
+        want = 40.0 / (16 * 120 / 12.0)
+        assert row["w"] == pytest.approx(want, rel=1e-12)
+
+    def test_python_reference_with_ties(self, spark):
+        from pandas_ai_spark.functions.stats import kendalls_w
+
+        rows = [(1, 1, 1.0), (1, 2, 1.0), (1, 3, 2.0),
+                (2, 1, 1.0), (2, 2, 2.0), (2, 3, 3.0)]
+        df = spark.createDataFrame(rows, ["rater", "obj", "v"])
+        row = kendalls_w(df, "rater", "obj", "v").collect()[0]
+        # rater1 midranks: 1.5, 1.5, 3; rater2: 1, 2, 3
+        # R = (2.5, 3.5, 6), mean 4 -> S = 2.25+0.25+4 = 6.5
+        # T1 = 2^3-2 = 6; den = (m^2(k^3-k) - m*T)/12 = (96-12)/12 = 7
+        assert row["w"] == pytest.approx(6.5 / 7.0, rel=1e-12)
+
+
+class TestSiegelSlopes:
+    def test_recovers_clean_line(self, spark):
+        from pandas_ai_spark.functions.stats import siegel_slopes
+
+        rows = [(x, 3 * x + 2) for x in range(1, 11)]
+        df = spark.createDataFrame(rows, ["x", "y"])
+        row = siegel_slopes(df, "x", "y").collect()[0]
+        assert row["n"] == 10 and row["n_cells"] == 10
+        assert row["slope"] == pytest.approx(3.0)
+        assert row["intercept"] == pytest.approx(2.0)
+
+    def test_survives_heavy_contamination(self, spark):
+        from pandas_ai_spark.functions.stats import siegel_slopes
+
+        # 11 clean points + 9 wild outliers (45%): repeated medians
+        # still recover the line (Theil-Sen single median would drift)
+        rows = ([(x, 2 * x + 1) for x in range(1, 12)]
+                + [(100 + i, -1000 - 17 * i) for i in range(9)])
+        df = spark.createDataFrame(rows, ["x", "y"])
+        row = siegel_slopes(df, "x", "y").collect()[0]
+        assert row["slope"] == pytest.approx(2.0)
+
+    def test_constant_x_group_emits(self, spark):
+        from pandas_ai_spark.functions.stats import siegel_slopes
+
+        rows = [("flat", 3, 10), ("flat", 3, 20),
+                ("line", 1, 2), ("line", 2, 4), ("line", 3, 6)]
+        df = spark.createDataFrame(rows, ["g", "x", "y"])
+        out = {r["g"]: r for r in siegel_slopes(
+            df, "x", "y", by=["g"]).collect()}
+        assert out["flat"]["n"] == 2 and out["flat"]["slope"] is None
+        assert out["line"]["slope"] == pytest.approx(2.0)
+
+
+class TestQuade:
+    def test_closed_form_no_ties(self, spark):
+        from pandas_ai_spark.functions.stats import quade_test
+
+        # 3 blocks x 3 treatments; values chosen so ranks and ranges
+        # are hand-computable
+        rows = [("b1", "t1", 1), ("b1", "t2", 2), ("b1", "t3", 3),
+                ("b2", "t1", 10), ("b2", "t2", 30), ("b2", "t3", 50),
+                ("b3", "t1", 5), ("b3", "t2", 6), ("b3", "t3", 100)]
+        df = spark.createDataFrame(rows, ["blk", "trt", "v"])
+        row = quade_test(df, "blk", "trt", "v").collect()[0]
+        # ranges: b1=2, b2=40, b3=95 -> Q = 1,2,3; r_ij = 1,2,3 in
+        # every block -> S_ij = Q_i*(j-2); S_j = (-6,0,6)
+        # A = (1+4+9)*(1+0+1)... per block: Q_i^2*(1+0+1) = 2*(1+4+9)=28
+        # B = (36+0+36)/3 = 24 -> F = 2*24/(28-24) = 12
+        assert row["k"] == 3 and row["n_blocks"] == 3
+        assert row["f"] == pytest.approx(12.0, rel=1e-12)
+
+    def test_perfect_agreement_null(self, spark):
+        from pandas_ai_spark.functions.stats import quade_test
+
+        # every block ranks identically AND A == B -> F undefined
+        rows = [(b, t, t * 10) for b in range(1, 4)
+                for t in range(1, 4)]
+        df = spark.createDataFrame(rows, ["blk", "trt", "v"])
+        row = quade_test(df, "blk", "trt", "v").collect()[0]
+        assert row["f"] is None
+
+    def test_incomplete_block_dropped(self, spark):
+        from pandas_ai_spark.functions.stats import quade_test
+
+        rows = [("b1", "t1", 1), ("b1", "t2", 2), ("b1", "t3", 3),
+                ("b2", "t1", 10), ("b2", "t2", 30), ("b2", "t3", 50),
+                ("b3", "t1", 5), ("b3", "t2", 6), ("b3", "t3", 100),
+                ("b9", "t1", 7)]
+        df = spark.createDataFrame(rows, ["blk", "trt", "v"])
+        row = quade_test(df, "blk", "trt", "v").collect()[0]
+        assert row["n_blocks"] == 3
+        assert row["f"] == pytest.approx(12.0, rel=1e-12)
+
+
+class TestCronbachAlpha:
+    def test_known_value(self, spark):
+        from pandas_ai_spark.functions.stats import cronbach_alpha
+
+        rows = [  # 4 subjects x 3 items
+            (1, "a", 2), (1, "b", 3), (1, "c", 3),
+            (2, "a", 4), (2, "b", 4), (2, "c", 5),
+            (3, "a", 3), (3, "b", 4), (3, "c", 4),
+            (4, "a", 5), (4, "b", 5), (4, "c", 6),
+        ]
+        df = spark.createDataFrame(rows, ["sub", "item", "v"])
+        row = cronbach_alpha(df, "sub", "item", "v").collect()[0]
+        assert row["k_items"] == 3 and row["n_subjects"] == 4
+
+        import statistics
+        items = {"a": [2, 4, 3, 5], "b": [3, 4, 4, 5],
+                 "c": [3, 5, 4, 6]}
+        tots = [sum(items[i][s] for i in items) for s in range(4)]
+        want = (3 / 2) * (1 - sum(statistics.variance(v)
+                                  for v in items.values())
+                          / statistics.variance(tots))
+        assert row["alpha"] == pytest.approx(want, rel=1e-12)
+
+    def test_incomplete_subject_dropped(self, spark):
+        from pandas_ai_spark.functions.stats import cronbach_alpha
+
+        rows = [(s, i, s + len(i)) for s in (1, 2, 3)
+                for i in ("a", "b")] + [(9, "a", 5)]
+        df = spark.createDataFrame(rows, ["sub", "item", "v"])
+        row = cronbach_alpha(df, "sub", "item", "v").collect()[0]
+        assert row["n_subjects"] == 3
+
+    def test_zero_total_variance_null(self, spark):
+        from pandas_ai_spark.functions.stats import cronbach_alpha
+
+        rows = [(s, i, 5) for s in (1, 2, 3) for i in ("a", "b")]
+        df = spark.createDataFrame(rows, ["sub", "item", "v"])
+        row = cronbach_alpha(df, "sub", "item", "v").collect()[0]
+        assert row["alpha"] is None

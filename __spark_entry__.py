@@ -1912,7 +1912,7 @@ def q207_ordinal_association(spark: SparkSession,
 
 def q208_mcnemar(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Paired-flip test (stats.mcnemar_test): per market segment, did
-    customers who ordered in 1994 keep ordering in 1995? McNemar asks
+    customers who ordered in 1996 keep ordering in 1997? McNemar asks
     the WITHIN-subject question q101's independence chi-square cannot
     (same customers, two periods); only the discordant flips carry
     information. One per-customer flag aggregation + one segment join
@@ -1922,8 +1922,8 @@ def q208_mcnemar(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pandas_ai_spark.functions.stats import mcnemar_test
 
     flags = _t(spark, sf_dir, "orders").groupBy("o_custkey").agg(
-        F.max((F.year("o_orderdate") == 1994).cast("int")).alias("a"),
-        F.max((F.year("o_orderdate") == 1995).cast("int")).alias("b"))
+        F.max((F.year("o_orderdate") == 1996).cast("int")).alias("a"),
+        F.max((F.year("o_orderdate") == 1997).cast("int")).alias("b"))
     cust = _t(spark, sf_dir, "customer").select(
         F.col("c_custkey").alias("o_custkey"), "c_mktsegment")
     out = mcnemar_test(flags.join(cust, "o_custkey"), "a", "b",
@@ -2065,6 +2065,41 @@ def q214_cronbach_alpha(spark: SparkSession,
     return out.select(
         "k_items", "n_subjects",
         F.round("alpha", 9).alias("alpha"))
+
+
+def q215_wilcoxon_signed_rank(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """Paired-sample shift test (stats.wilcoxon_signed_rank): per
+    market segment, did the SAME customers spend differently in 1997
+    than 1996? The continuous analogue of q208's McNemar — q159's MW
+    would treat the two years as independent samples and absorb the
+    customer effect this pairing removes. Per-year spend accumulates
+    as exact cents, quantized to 1k-dollar units by integer division
+    (bounded |d| grain); doubled midranks and 2W+ exact DECIMAL;
+    tie-corrected variance from exact integer tie sums. Oracle:
+    identical pairing + grain windows."""
+    from pandas_ai_spark.functions.stats import wilcoxon_signed_rank
+
+    per = _t(spark, sf_dir, "orders").groupBy("o_custkey").agg(
+        F.sum(F.when(F.year("o_orderdate") == 1996,
+                     F.round(F.col("o_totalprice") * 100)
+                     .cast("bigint"))).alias("c94"),
+        F.sum(F.when(F.year("o_orderdate") == 1997,
+                     F.round(F.col("o_totalprice") * 100)
+                     .cast("bigint"))).alias("c95"))
+    paired = per.where(F.col("c94").isNotNull()
+                       & F.col("c95").isNotNull()).join(
+        _t(spark, sf_dir, "customer").select(
+            F.col("c_custkey").alias("o_custkey"), "c_mktsegment"),
+        "o_custkey").select(
+        "c_mktsegment",
+        F.expr("c94 div 100000").alias("a"),
+        F.expr("c95 div 100000").alias("b"))
+    out = wilcoxon_signed_rank(paired, "a", "b",
+                               by=["c_mktsegment"])
+    return out.select(
+        "c_mktsegment", "n",
+        F.round("z", 9).alias("z")).orderBy("c_mktsegment")
 
 
 def q205_friedman(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5767,6 +5802,7 @@ def queries_numeric() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q212_siegel_slopes": q212_siegel_slopes,
         "q213_quade": q213_quade,
         "q214_cronbach_alpha": q214_cronbach_alpha,
+        "q215_wilcoxon_signed_rank": q215_wilcoxon_signed_rank,
     }
 
 
@@ -10281,9 +10317,9 @@ def oracle_sql() -> dict[str, str]:
     d["q208_mcnemar"] = """
         WITH flags AS (
           SELECT o_custkey,
-                 max(CASE WHEN year(o_orderdate) = 1994
+                 max(CASE WHEN year(o_orderdate) = 1996
                           THEN 1 ELSE 0 END) AS a,
-                 max(CASE WHEN year(o_orderdate) = 1995
+                 max(CASE WHEN year(o_orderdate) = 1997
                           THEN 1 ELSE 0 END) AS b
           FROM orders GROUP BY 1
         ), paired AS (
@@ -10704,6 +10740,56 @@ def oracle_sql() -> dict[str, str]:
                                    * (CAST(xn AS DOUBLE) - 1))))
                      END, 9) AS alpha
         FROM istats CROSS JOIN tstats
+    """
+    d["q215_wilcoxon_signed_rank"] = """
+        WITH per AS (
+          SELECT o_custkey,
+                 sum(CASE WHEN year(o_orderdate) = 1996
+                     THEN CAST(round(o_totalprice * 100) AS BIGINT)
+                     END) AS c94,
+                 sum(CASE WHEN year(o_orderdate) = 1997
+                     THEN CAST(round(o_totalprice * 100) AS BIGINT)
+                     END) AS c95
+          FROM orders GROUP BY 1
+        ), paired AS (
+          SELECT c.c_mktsegment AS seg,
+                 p.c94 // 100000 - p.c95 // 100000 AS d
+          FROM per p JOIN customer c ON p.o_custkey = c.c_custkey
+          WHERE p.c94 IS NOT NULL AND p.c95 IS NOT NULL
+        ), cells AS (
+          SELECT seg, abs(d) AS ad,
+                 CAST(sum(CASE WHEN d > 0 THEN 1 ELSE 0 END)
+                      AS BIGINT) AS np,
+                 CAST(count(*) AS BIGINT) AS t
+          FROM paired WHERE d <> 0 GROUP BY 1, 2
+        ), ranked AS (
+          SELECT seg, np, t,
+                 2 * (sum(t) OVER (PARTITION BY seg ORDER BY ad
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND CURRENT ROW) - t)
+                 + t + 1 AS r2
+          FROM cells
+        ), agg AS (
+          SELECT seg, CAST(sum(t) AS BIGINT) AS n,
+                 CAST(sum(np * r2) AS HUGEINT) AS w2,
+                 CAST(sum(t * t * t - t) AS HUGEINT) AS ties
+          FROM ranked GROUP BY seg
+        )
+        SELECT seg AS c_mktsegment, n,
+               round(CASE WHEN n > 0 AND
+                       CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1)
+                       * (2 * CAST(n AS DOUBLE) + 1) / 24.0
+                       - CAST(ties AS DOUBLE) / 48.0 > 0
+                     THEN (CAST(w2 AS DOUBLE)
+                           - CAST(n AS DOUBLE)
+                             * (CAST(n AS DOUBLE) + 1) / 2.0)
+                          / (2.0 * sqrt(
+                              CAST(n AS DOUBLE)
+                              * (CAST(n AS DOUBLE) + 1)
+                              * (2 * CAST(n AS DOUBLE) + 1) / 24.0
+                              - CAST(ties AS DOUBLE) / 48.0))
+                     END, 9) AS z
+        FROM agg ORDER BY c_mktsegment
     """
     d["q204_kcore"] = """
         WITH items AS (

@@ -4438,3 +4438,68 @@ def siegel_slopes(df: DataFrame, x_col: str, y_col: str,
             out, inter.agg(F.min("intercept").alias("intercept")))
     return out.select(*[F.col(c) for c in by],
                       "n", "n_cells", "slope", "intercept")
+
+
+def wilcoxon_signed_rank(df: DataFrame, a_col: str, b_col: str,
+                         by: list[str] | None = None) -> DataFrame:
+    """Wilcoxon signed-rank test - the PAIRED-sample member of the
+    rank family (:func:`mann_whitney_u` compares two independent
+    groups; this tests whether the SAME units shifted between two
+    conditions, the continuous analogue of :func:`mcnemar_test`):
+    per ``by`` group ``(n, z)`` where ``n`` counts non-zero paired
+    differences ``d = a - b``, ``W+`` is the midrank sum of
+    ``|d|`` over the positive differences (zeros dropped, the
+    standard Wilcoxon convention), and
+    ``z = (W+ - n(n+1)/4) / sqrt(Var)`` with the tie-corrected
+    ``Var = n(n+1)(2n+1)/24 - sum_t (t^3 - t) / 48``.
+
+    Determinism: differences collapse to the (group, |d|) CELL grain
+    (bounded-grain contract - quantize/bucket the inputs upstream,
+    the :func:`mann_whitney_u` convention); doubled midranks over
+    the grain are exact integers, so ``2W+`` accumulates as exact
+    DECIMAL(38,0); the tie sum is an exact integer aggregation; z is
+    one row-local expression.
+
+    Scale shape: one map-side-combined cell aggregation (the raw
+    table's only shuffle) + cumulative windows over the bounded
+    grain + one bounded aggregation.
+    """
+    from pyspark.sql.window import Window
+
+    by = list(by or [])
+    dec = "decimal(38,0)"
+    a = F.col(a_col).cast("bigint")
+    b = F.col(b_col).cast("bigint")
+    d = a - b
+    cells = df.where(a.isNotNull() & b.isNotNull()
+                     & (d != 0)).groupBy(
+        *[F.col(c) for c in by], F.abs(d).alias("__ad")).agg(
+        F.sum((d > 0).cast("bigint")).cast("bigint").alias("__np"),
+        F.sum((d < 0).cast("bigint")).cast("bigint").alias("__nn"))
+    wo = (Window.partitionBy(*by).orderBy("__ad")
+          .rangeBetween(Window.unboundedPreceding, 0)
+          if by else Window.orderBy("__ad")
+          .rangeBetween(Window.unboundedPreceding, 0))
+    t = F.col("__np") + F.col("__nn")
+    cum_le = F.sum(t).over(wo)
+    r2 = (F.lit(2) * (cum_le - t) + t + F.lit(1)).cast("bigint")
+    ranked = cells.select(
+        *[F.col(c) for c in by], "__np",
+        t.alias("__t"), r2.alias("__r2"))
+    aggs = [
+        F.sum("__t").cast("bigint").alias("n"),
+        F.sum((F.col("__np") * F.col("__r2")).cast(dec))
+         .alias("__w2"),
+        F.sum(F.col("__t").cast(dec) * F.col("__t") * F.col("__t")
+              - F.col("__t")).alias("__ties"),
+    ]
+    g = (ranked.groupBy(*[F.col(c) for c in by]).agg(*aggs)
+         if by else ranked.agg(*aggs))
+    nd = F.col("n").cast("double")
+    e2 = nd * (nd + 1) / F.lit(2.0)
+    var = (nd * (nd + 1) * (2 * nd + 1) / F.lit(24.0)
+           - F.col("__ties").cast("double") / F.lit(48.0))
+    z = F.when((F.col("n") > 0) & (var > 0),
+               (F.col("__w2").cast("double") - e2)
+               / (F.lit(2.0) * F.sqrt(var)))
+    return g.select(*[F.col(c) for c in by], "n", z.alias("z"))

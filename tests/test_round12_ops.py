@@ -702,3 +702,55 @@ class TestCronbachAlpha:
         df = spark.createDataFrame(rows, ["sub", "item", "v"])
         row = cronbach_alpha(df, "sub", "item", "v").collect()[0]
         assert row["alpha"] is None
+
+# ---------------------------------------------------------------------------
+# wilcoxon signed-rank (paired continuous)
+# ---------------------------------------------------------------------------
+
+class TestWilcoxonSignedRank:
+    def test_known_small_sample(self, spark):
+        from pandas_ai_spark.functions.stats import wilcoxon_signed_rank
+
+        # diffs d = a-b: [1, -2, 3, 4, 5]; |d| ranks: 1,2,3,4,5
+        # W+ = 1+3+4+5 = 13; n=5, E = 7.5, Var = 5*6*11/24 = 13.75
+        rows = [(11, 10), (10, 12), (13, 10), (14, 10), (15, 10)]
+        df = spark.createDataFrame(rows, ["a", "b"])
+        row = wilcoxon_signed_rank(df, "a", "b").collect()[0]
+        assert row["n"] == 5
+        assert row["z"] == pytest.approx((13 - 7.5) / 13.75 ** 0.5,
+                                         rel=1e-12)
+
+    def test_zeros_dropped_and_ties_midranked(self, spark):
+        from pandas_ai_spark.functions.stats import wilcoxon_signed_rank
+
+        # d: [0, 1, -1, 2] -> zero dropped, n=3; |d| = 1,1,2 ->
+        # midranks 1.5, 1.5, 3; W+ = 1.5 + 3 = 4.5; E = 3
+        # Var = 3*4*7/24 - (2^3-2)/48 = 3.5 - 0.125 = 3.375
+        rows = [(5, 5), (6, 5), (5, 6), (7, 5)]
+        df = spark.createDataFrame(rows, ["a", "b"])
+        row = wilcoxon_signed_rank(df, "a", "b").collect()[0]
+        assert row["n"] == 3
+        assert row["z"] == pytest.approx((4.5 - 3) / 3.375 ** 0.5,
+                                         rel=1e-12)
+
+    def test_symmetric_shifts_cancel(self, spark):
+        from pandas_ai_spark.functions.stats import wilcoxon_signed_rank
+
+        rows = [(10 + d, 10) for d in (1, -1, 2, -2, 3, -3)]
+        df = spark.createDataFrame(rows, ["a", "b"])
+        row = wilcoxon_signed_rank(df, "a", "b").collect()[0]
+        assert row["z"] == pytest.approx(0.0)
+
+    def test_by_groups(self, spark):
+        from pandas_ai_spark.functions.stats import wilcoxon_signed_rank
+
+        rows = ([("up", 10 + d, 10) for d in (1, 2, 3, 4, 5)]
+                + [("flat", 10, 10), ("flat", 11, 10), ("flat", 9, 10)])
+        df = spark.createDataFrame(rows, ["g", "a", "b"])
+        out = {r["g"]: r for r in wilcoxon_signed_rank(
+            df, "a", "b", by=["g"]).collect()}
+        assert out["up"]["n"] == 5
+        assert out["up"]["z"] == pytest.approx(
+            (15 - 7.5) / 13.75 ** 0.5, rel=1e-12)
+        assert out["flat"]["n"] == 2
+        assert out["flat"]["z"] == pytest.approx(0.0)

@@ -2102,6 +2102,27 @@ def q215_wilcoxon_signed_rank(spark: SparkSession,
         F.round("z", 9).alias("z")).orderBy("c_mktsegment")
 
 
+def q216_mood_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample dispersion test (stats.mood_scale_test): per
+    l_returnflag, do low- and high-discount lines differ in quantity
+    SPREAD (not location — q159's MW territory)? Pooled doubled
+    midranks over the bounded quantity grain make 4T an exact
+    DECIMAL sum (tied elements share the cell midrank — no
+    fractional scores); z is row-local on the classic normal
+    moments. Oracle: identical cell-grain rank windows + exact 4T."""
+    from pandas_ai_spark.functions.stats import mood_scale_test
+
+    li = _t(spark, sf_dir, "lineitem").withColumn(
+        "band",
+        F.when(F.col("l_discount") <= 0.05, F.lit("lo"))
+         .otherwise(F.lit("hi")))
+    out = mood_scale_test(li, "l_quantity", "band", "lo", "hi",
+                          by=["l_returnflag"])
+    return out.select(
+        "l_returnflag", "n_a", "n_b",
+        F.round("z", 9).alias("z")).orderBy("l_returnflag")
+
+
 def q205_friedman(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Blocked rank test (stats.friedman_test): ranking WITHIN each
     order month, do the five priorities consistently out-earn each
@@ -5803,6 +5824,7 @@ def queries_numeric() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q213_quade": q213_quade,
         "q214_cronbach_alpha": q214_cronbach_alpha,
         "q215_wilcoxon_signed_rank": q215_wilcoxon_signed_rank,
+        "q216_mood_scale": q216_mood_scale,
     }
 
 
@@ -10790,6 +10812,60 @@ def oracle_sql() -> dict[str, str]:
                               - CAST(ties AS DOUBLE) / 48.0))
                      END, 9) AS z
         FROM agg ORDER BY c_mktsegment
+    """
+    d["q216_mood_scale"] = """
+        WITH cells AS (
+          SELECT l_returnflag AS g, l_quantity AS v,
+                 CAST(sum(CASE WHEN l_discount <= 0.05::DOUBLE
+                               THEN 1 ELSE 0 END) AS BIGINT) AS ta,
+                 CAST(sum(CASE WHEN l_discount <= 0.05::DOUBLE
+                               THEN 0 ELSE 1 END) AS BIGINT) AS tb
+          FROM lineitem WHERE l_quantity IS NOT NULL
+          GROUP BY 1, 2
+        ), ranked AS (
+          SELECT g, ta, tb,
+                 2 * (sum(ta + tb) OVER (PARTITION BY g ORDER BY v
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND CURRENT ROW) - (ta + tb))
+                 + (ta + tb) + 1 AS r2,
+                 sum(ta + tb) OVER (PARTITION BY g) AS n1
+          FROM cells
+        ), agg AS (
+          SELECT g, CAST(sum(ta) AS BIGINT) AS n_a,
+                 CAST(sum(tb) AS BIGINT) AS n_b,
+                 CAST(sum(CAST(ta AS HUGEINT)
+                          * (r2 - (n1 + 1)) * (r2 - (n1 + 1)))
+                      AS HUGEINT) AS t4
+          FROM ranked GROUP BY g
+        )
+        SELECT g AS l_returnflag, n_a, n_b,
+               round(CASE WHEN n_a > 0 AND n_b > 0 AND
+                       CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)
+                       * ((CAST(n_a AS DOUBLE)
+                           + CAST(n_b AS DOUBLE)) + 1)
+                       * ((CAST(n_a AS DOUBLE)
+                           + CAST(n_b AS DOUBLE))
+                          * (CAST(n_a AS DOUBLE)
+                             + CAST(n_b AS DOUBLE)) - 4)
+                       / 180.0 * 16.0 > 0
+                     THEN (CAST(t4 AS DOUBLE)
+                           - CAST(n_a AS DOUBLE)
+                             * ((CAST(n_a AS DOUBLE)
+                                 + CAST(n_b AS DOUBLE))
+                                * (CAST(n_a AS DOUBLE)
+                                   + CAST(n_b AS DOUBLE)) - 1)
+                             / 3.0)
+                          / sqrt(CAST(n_a AS DOUBLE)
+                                 * CAST(n_b AS DOUBLE)
+                                 * ((CAST(n_a AS DOUBLE)
+                                     + CAST(n_b AS DOUBLE)) + 1)
+                                 * ((CAST(n_a AS DOUBLE)
+                                     + CAST(n_b AS DOUBLE))
+                                    * (CAST(n_a AS DOUBLE)
+                                       + CAST(n_b AS DOUBLE)) - 4)
+                                 / 180.0 * 16.0)
+                     END, 9) AS z
+        FROM agg ORDER BY l_returnflag
     """
     d["q204_kcore"] = """
         WITH items AS (

@@ -4503,3 +4503,79 @@ def wilcoxon_signed_rank(df: DataFrame, a_col: str, b_col: str,
                (F.col("__w2").cast("double") - e2)
                / (F.lit(2.0) * F.sqrt(var)))
     return g.select(*[F.col(c) for c in by], "n", z.alias("z"))
+
+
+def mood_scale_test(df: DataFrame, value_col: str, sample_col: str,
+                    a, b, by: list[str] | None = None) -> DataFrame:
+    """Mood's two-sample SCALE (dispersion) test - the spread
+    counterpart of :func:`mann_whitney_u` (MW detects a location
+    shift; this detects a VARIANCE difference between two samples
+    with the same center, where MW is blind): per ``by`` group
+    ``(n_a, n_b, z)`` with
+    ``T = sum_{i in a} (r_i - (n+1)/2)^2`` over pooled midranks,
+    ``E = n_a (n^2 - 1) / 12``,
+    ``Var = n_a n_b (n + 1)(n^2 - 4) / 180``
+    (the classic no-tie normal approximation, midranks for ties -
+    the scipy ``mood`` convention).
+
+    Determinism: pooled doubled midranks over the (group, value)
+    CELL grain are exact integers, and
+    ``4T = sum_cells n_a,cell * (r2 - (n+1))^2`` accumulates as
+    exact DECIMAL(38,0) (every tied element shares the cell midrank,
+    so the per-cell contribution is exact - no fractional average
+    scores, unlike Ansari-Bradley); z is one row-local expression.
+
+    Scale shape: one map-side-combined cell aggregation + cumulative
+    windows over the bounded value grain (the :func:`mann_whitney_u`
+    contract - bucket continuous values upstream) + one bounded
+    aggregation.
+    """
+    from pyspark.sql.window import Window
+
+    by = list(by or [])
+    dec = "decimal(38,0)"
+    s = F.col(sample_col)
+    cells = df.where(F.col(value_col).isNotNull()
+                     & s.isin(a, b)).groupBy(
+        *[F.col(c) for c in by],
+        F.col(value_col).alias("__v")).agg(
+        F.sum((s == a).cast("bigint")).cast("bigint").alias("__ta"),
+        F.sum((s == b).cast("bigint")).cast("bigint").alias("__tb"))
+    wo = (Window.partitionBy(*by).orderBy("__v")
+          .rangeBetween(Window.unboundedPreceding, 0)
+          if by else Window.orderBy("__v")
+          .rangeBetween(Window.unboundedPreceding, 0))
+    t = F.col("__ta") + F.col("__tb")
+    cum_le = F.sum(t).over(wo)
+    r2 = (F.lit(2) * (cum_le - t) + t + F.lit(1)).cast("bigint")
+    ranked = cells.select(
+        *[F.col(c) for c in by], "__ta", "__tb",
+        r2.alias("__r2"))
+    aggs = [
+        F.sum("__ta").cast("bigint").alias("n_a"),
+        F.sum("__tb").cast("bigint").alias("n_b"),
+        F.sum(F.col("__ta").cast(dec)
+              * (F.col("__r2") - (F.col("__n1") + 1))
+              * (F.col("__r2") - (F.col("__n1") + 1))).alias("__t4"),
+    ]
+    # total n must be in hand BEFORE the squared deviation - attach
+    # the group total as a window sum over the cell grain (no second
+    # pass over the raw table)
+    wn = (Window.partitionBy(*by) if by else Window.partitionBy())
+    ranked = ranked.withColumn(
+        "__n1", F.sum(F.col("__ta") + F.col("__tb")).over(wn)
+        .cast("bigint"))
+    g = (ranked.groupBy(*[F.col(c) for c in by]).agg(*aggs)
+         if by else ranked.agg(*aggs))
+    na = F.col("n_a").cast("double")
+    nb = F.col("n_b").cast("double")
+    nd = na + nb
+    e4 = na * (nd * nd - 1) / F.lit(3.0)  # 4E = 4*na(n^2-1)/12
+    var16 = (na * nb * (nd + 1) * (nd * nd - 4)
+             / F.lit(180.0) * F.lit(16.0))
+    z = F.when((F.col("n_a") > 0) & (F.col("n_b") > 0)
+               & (var16 > 0),
+               (F.col("__t4").cast("double") - e4)
+               / F.sqrt(var16))
+    return g.select(*[F.col(c) for c in by],
+                    "n_a", "n_b", z.alias("z"))

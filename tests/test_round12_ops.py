@@ -754,3 +754,61 @@ class TestWilcoxonSignedRank:
             (15 - 7.5) / 13.75 ** 0.5, rel=1e-12)
         assert out["flat"]["n"] == 2
         assert out["flat"]["z"] == pytest.approx(0.0)
+
+# ---------------------------------------------------------------------------
+# mood scale (dispersion) test
+# ---------------------------------------------------------------------------
+
+class TestMoodScale:
+    def test_known_small_sample(self, spark):
+        from pandas_ai_spark.functions.stats import mood_scale_test
+
+        # pooled ranks 1..6, no ties; sample a = values {1, 6}
+        # (extremes -> big T), b = {2,3,4,5}
+        rows = [(1, "a"), (6, "a"), (2, "b"), (3, "b"),
+                (4, "b"), (5, "b")]
+        df = spark.createDataFrame(rows, ["v", "s"])
+        row = mood_scale_test(df, "v", "s", "a", "b").collect()[0]
+        n = 6.0
+        t = (1 - 3.5) ** 2 + (6 - 3.5) ** 2
+        e = 2 * (n * n - 1) / 12
+        var = 2 * 4 * (n + 1) * (n * n - 4) / 180
+        assert row["n_a"] == 2 and row["n_b"] == 4
+        assert row["z"] == pytest.approx((t - e) / var ** 0.5,
+                                         rel=1e-12)
+
+    def test_tied_values_midranked(self, spark):
+        from pandas_ai_spark.functions.stats import mood_scale_test
+
+        # values: a={1,1}, b={1,2}; the three 1s share midrank 2
+        rows = [(1, "a"), (1, "a"), (1, "b"), (2, "b")]
+        df = spark.createDataFrame(rows, ["v", "s"])
+        row = mood_scale_test(df, "v", "s", "a", "b").collect()[0]
+        n = 4.0
+        t = 2 * (2 - 2.5) ** 2
+        e = 2 * (n * n - 1) / 12
+        var = 2 * 2 * (n + 1) * (n * n - 4) / 180
+        assert row["z"] == pytest.approx((t - e) / var ** 0.5,
+                                         rel=1e-12)
+
+    def test_wider_sample_positive_z(self, spark):
+        from pandas_ai_spark.functions.stats import mood_scale_test
+
+        rows = ([(v, "wide") for v in (1, 2, 19, 20)]
+                + [(v, "tight") for v in (9, 10, 11, 12)])
+        df = spark.createDataFrame(rows, ["v", "s"])
+        row = mood_scale_test(df, "v", "s", "wide",
+                              "tight").collect()[0]
+        assert row["z"] > 1.5  # wide sample owns the extreme ranks
+
+    def test_by_groups(self, spark):
+        from pandas_ai_spark.functions.stats import mood_scale_test
+
+        rows = ([("g1", v, "a") for v in (1, 6)]
+                + [("g1", v, "b") for v in (2, 3, 4, 5)]
+                + [("g2", v, "a") for v in (3, 4)]
+                + [("g2", v, "b") for v in (1, 2, 5, 6)])
+        df = spark.createDataFrame(rows, ["g", "v", "s"])
+        out = {r["g"]: r for r in mood_scale_test(
+            df, "v", "s", "a", "b", by=["g"]).collect()}
+        assert out["g1"]["z"] > 0 > out["g2"]["z"]

@@ -49,15 +49,27 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
-def _stage_stream_events(spark: SparkSession, sf_dir: str) -> str:
+def _stage_stream_events(spark: SparkSession, sf_dir: str,
+                         chunks: int | None = None) -> str:
     """Copy the events table to a local directory a file stream can tail.
 
     The stage path is keyed on a content fingerprint (size + mtime of
     every source parquet file), so regenerating the dataset at ``sf_dir``
     invalidates the staged copy instead of silently replaying stale data.
+
+    ``chunks`` stages the table as that many event-time-ordered chunk
+    files with ascending mtimes, so a file stream reading with
+    ``maxFilesPerTrigger=1`` replays them as in-order micro-batches.
+    A bounded drain needs >=3 data-carrying micro-batches for its
+    steady rate to mean anything (BENCH_r12: the windowed stream drained
+    in ONE batch, so "steady" degraded to the whole-drain rate including
+    batch-0 state-store/codegen startup and could never clear a
+    steady-rate floor). In-order replay keeps watermark parity: no row
+    is ever older than the watermark its batch established.
     """
     import hashlib
     import os
+    import shutil
     import tempfile
 
     src = os.path.join(sf_dir, "events.parquet")
@@ -70,9 +82,37 @@ def _stage_stream_events(spark: SparkSession, sf_dir: str) -> str:
     stage = os.path.join(
         tempfile.gettempdir(),
         f"stream_events_{sf_dir.strip('/').replace('/', '_')}"
-        f"_{h.hexdigest()[:12]}")
+        f"_{h.hexdigest()[:12]}" + (f"_c{chunks}" if chunks else ""))
     if not os.path.exists(os.path.join(stage, "_SUCCESS")):
-        _t(spark, sf_dir, "events").write.mode("overwrite").parquet(stage)
+        ev = _t(spark, sf_dir, "events")
+        if not chunks:
+            ev.write.mode("overwrite").parquet(stage)
+            return stage
+        bounds = ev.select(F.percentile_approx(
+            F.unix_micros("ts"),
+            [i / chunks for i in range(1, chunks)], 10000).alias("b")
+        ).head()[0]
+        lo = [None] + list(bounds)
+        hi = list(bounds) + [None]
+        os.makedirs(stage, exist_ok=True)
+        base_mtime = os.path.getmtime(stage)
+        for i, (a, b) in enumerate(zip(lo, hi)):
+            us = F.unix_micros(F.col("ts"))
+            cond = None
+            if a is not None:
+                cond = us > F.lit(a)
+            if b is not None:
+                c2 = us <= F.lit(b)
+                cond = c2 if cond is None else (cond & c2)
+            part = ev.where(cond) if cond is not None else ev
+            sub = os.path.join(stage, f"_chunk{i}")
+            part.coalesce(1).write.mode("overwrite").parquet(sub)
+            fn = next(f for f in os.listdir(sub) if f.endswith(".parquet"))
+            dst = os.path.join(stage, f"chunk_{i:03d}.parquet")
+            shutil.move(os.path.join(sub, fn), dst)
+            os.utime(dst, (base_mtime + 30 * i, base_mtime + 30 * i))
+            shutil.rmtree(sub, ignore_errors=True)
+        open(os.path.join(stage, "_SUCCESS"), "w").close()
     return stage
 
 
@@ -6580,6 +6620,67 @@ def _q61_oracle(sf_dir: str = "/root/testdata/sf0.01") -> str:
     """
 
 
+def _fold_negzero_rounds(sql: str) -> str:
+    """Rewrite every two-arg ``round(x, n)`` in a DuckDB oracle as
+    ``(round(x, n) + 0.0)``.
+
+    DuckDB's ``round`` preserves IEEE signed zero while Spark's
+    ``F.round`` (BigDecimal HALF_UP) normalizes ``-0.0`` to ``+0.0``;
+    the driver hashes pandas frames, where the two zeros have different
+    bit patterns — the r12 q212 driver FAIL (slope ``-0.0`` for groups
+    N/R). ``x + 0.0`` is the IEEE identity for every double except
+    ``-0.0`` (and NULL propagates), so the rewrite is value-preserving
+    and applied mechanically to all oracles rather than per-site.
+    Single-arg rounds (integer quantizers feeding ``::BIGINT`` casts)
+    are left alone: casting either zero to an integer yields 0.
+    """
+    out: list[str] = []
+    i, n = 0, len(sql)
+    low = sql.lower()
+    while True:
+        j = low.find("round", i)
+        if j < 0:
+            out.append(sql[i:])
+            break
+        if j > 0 and (low[j - 1].isalnum() or low[j - 1] == "_"):
+            out.append(sql[i:j + 5])
+            i = j + 5
+            continue
+        k = j + 5
+        while k < n and sql[k].isspace():
+            k += 1
+        if k >= n or sql[k] != "(":
+            out.append(sql[i:j + 5])
+            i = j + 5
+            continue
+        depth, p, comma, quoted = 0, k, False, False
+        while p < n:
+            ch = sql[p]
+            if ch == "'":
+                quoted = not quoted
+            elif not quoted:
+                if ch == "(":
+                    depth += 1
+                elif ch == ")":
+                    depth -= 1
+                    if depth == 0:
+                        break
+                elif ch == "," and depth == 1:
+                    comma = True
+            p += 1
+        if depth != 0:  # unbalanced — leave untouched
+            out.append(sql[i:j + 5])
+            i = j + 5
+            continue
+        # recurse into the argument list so nested rounds are covered
+        inner = _fold_negzero_rounds(sql[k + 1:p])
+        call = sql[j:k + 1] + inner + ")"
+        out.append(sql[i:j])
+        out.append("(" + call + " + 0.0)" if comma else call)
+        i = p + 1
+    return "".join(out)
+
+
 def oracle_sql() -> dict[str, str]:
     d = {
         "q22_minhash_pairs": _q22_oracle(),
@@ -11336,7 +11437,7 @@ def oracle_sql() -> dict[str, str]:
         FROM fin ORDER BY col_x, col_y
     """
     d["q201_dunn_distributed"] = d["q197_dunn_test"]
-    return d
+    return {name: _fold_negzero_rounds(sql) for name, sql in d.items()}
 
 
 # populate the import-time constant now that queries() is defined

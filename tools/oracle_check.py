@@ -70,7 +70,17 @@ def canonical(rows, cols) -> list[tuple]:
                 if math.isnan(v):
                     vals.append("NaN")
                 else:
-                    vals.append(round(v, 9))
+                    rv = round(v, 9)
+                    if rv == 0.0 and math.copysign(1.0, rv) < 0:
+                        # the driver hashes pandas frames, where -0.0
+                        # and +0.0 have different bit patterns; Python
+                        # tuple equality treats them as equal, which
+                        # made the r12 q212 driver FAIL invisible to
+                        # this sweep. Keep them distinct here so local
+                        # ALL-MATCH means what the driver's hash means.
+                        vals.append("-0.0")
+                    else:
+                        vals.append(rv)
             else:
                 vals.append(v)
         out.append(tuple(vals))

@@ -618,14 +618,23 @@ def q29_stream_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     also asserted plan-level in tests/test_streaming.py."""
     from pandas_ai_spark.streaming import StreamCompiler, windowed_agg
 
-    stage = _stage_stream_events(spark, sf_dir)
+    # 4 time-ordered chunk files x maxFilesPerTrigger=1 => 4 in-order
+    # micro-batches: the drain exposes a real steady state (batches
+    # 2-4) instead of one batch whose "rate" includes state-store init
+    # (BENCH_r12 micro_batches:1 could never clear a steady-rate floor)
+    stage = _stage_stream_events(spark, sf_dir, chunks=4)
     sc = StreamCompiler(spark)
-    stream = sc.read_stream(stage)
+    stream = sc.read_stream(stage, options={"maxFilesPerTrigger": 1})
     agg = windowed_agg(
         stream, "ts", "1 hour",
         {"n": F.count("*"), "total_value": F.round(F.sum("value"), 2)},
         keys=["event_type"], watermark="2 hours")
-    return StreamCompiler.run_available_now(agg, "entry_stream_windowed") \
+    # size state stores to the small demo-key grain (the q100 device:
+    # every store instance pays per-micro-batch open+commit I/O whether
+    # or not it holds keys; 32 session-default stores x 4 batches was
+    # most of the drain wall). Cluster deployments leave this None.
+    return StreamCompiler.run_available_now(
+        agg, "entry_stream_windowed", state_partitions=8) \
         .orderBy("window_start", "event_type")
 
 
@@ -889,12 +898,15 @@ def q56_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pandas_ai_spark.streaming import StreamCompiler, \
         stream_interval_join
 
-    stage = _stage_stream_events(spark, sf_dir)
+    # in-order chunked replay (>=3 data-carrying micro-batches) — the
+    # 2h watermark exceeds the 1h join lookback, so no buffered row is
+    # ever evicted before its partner chunk arrives: batch parity holds
+    stage = _stage_stream_events(spark, sf_dir, chunks=4)
     sc = StreamCompiler(spark)
-    p = sc.read_stream(stage).where(
+    p = sc.read_stream(stage, options={"maxFilesPerTrigger": 1}).where(
         F.col("event_type") == "purchase").select(
         "user_id", "event_id", "ts")
-    c = sc.read_stream(stage).where(
+    c = sc.read_stream(stage, options={"maxFilesPerTrigger": 1}).where(
         F.col("event_type") == "click").select(
         "user_id", F.col("ts").alias("click_ts"), "value")
     joined = stream_interval_join(

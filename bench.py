@@ -85,13 +85,20 @@ STREAM_PROTOCOL_QUERIES = {
 #   q174_stream_reservoir — steady 37.9k session-cold / 44.1k warm
 #     with the same key-cardinality fix (was 30.8-34.6k). Floor
 #     0.38 x base = 19k rows/s (0.50x cold steady).
-# The un-overridden streams keep the base floor: entry_stream_windowed
-# measured 52-93k (base 50k ~ 0.5-0.9x steady) and the interval join
-# 83-118k.
+#   entry_stream_windowed / entry_stream_interval_join — r13: both now
+#     drain as >=4 in-order micro-batches (chunk-staged events x
+#     maxFilesPerTrigger=1; BENCH_r12's micro_batches:1 "steady" rate
+#     was the whole-drain rate incl. batch-0 startup and sat under the
+#     unadjusted 1.0x base floor). Measured steady at sf0.1 after the
+#     state_partitions=8 sizing: windowed 28.0-34.2k session-cold /
+#     47.1k warm; interval join 33.5-37.2k cold / 40.5k warm. Floors
+#     0.28 x base = 14k and 0.34 x base = 17k (~0.5x cold steady).
 STREAM_FLOOR_FRACTIONS = {
     "q100_alerts": 0.5,
     "q67_stream_near_dup": 0.012,
     "q174_stream_reservoir": 0.38,
+    "entry_stream_windowed": 0.28,
+    "entry_stream_interval_join": 0.34,
 }
 
 

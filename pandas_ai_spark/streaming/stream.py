@@ -256,8 +256,13 @@ class StreamCompiler:
         self.spark = spark
 
     def read_stream(self, path: str, fmt: str = "parquet",
-                    schema=None) -> DataFrame:
+                    schema=None, options: dict | None = None) -> DataFrame:
+        """``options`` passes source options through (e.g.
+        ``{"maxFilesPerTrigger": 1}`` to replay a chunk-staged directory
+        as one in-order micro-batch per file)."""
         reader = self.spark.readStream.format(fmt)
+        for k, v in (options or {}).items():
+            reader = reader.option(k, v)
         if schema is None:
             # file streams need an explicit schema; infer once from the
             # existing files (driver-side, cheap — footer read only)

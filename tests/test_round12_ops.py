@@ -363,11 +363,13 @@ class TestStreamFloors:
     def test_derived_floors_pass_on_recorded_steady_rates(self):
         import bench
 
-        recorded = {  # r12 idle-probe session-cold steady rates
+        recorded = {  # r12/r13 idle-probe session-cold steady rates
             "q100_alerts_ab12cd34": {"steady_rows_per_sec": 49217.6},
             "q67_stream_near_dup": {"steady_rows_per_sec": 1160.0},
             "q174_stream_reservoir": {"steady_rows_per_sec": 37921.5},
-            "entry_stream_windowed": {"steady_rows_per_sec": 52100.0},
+            "entry_stream_windowed": {"steady_rows_per_sec": 28006.7},
+            "entry_stream_interval_join":
+                {"steady_rows_per_sec": 33535.4},
         }
         v = bench.stream_floor_verdicts(recorded, self.BASE)
         assert all(v.values()), v
@@ -382,7 +384,9 @@ class TestStreamFloors:
             "q100_alerts_ab12cd34": {"steady_rows_per_sec": 20000.0},
             "q67_stream_near_dup": {"steady_rows_per_sec": 460.0},
             "q174_stream_reservoir": {"steady_rows_per_sec": 15000.0},
-            "entry_stream_windowed": {"steady_rows_per_sec": 21000.0},
+            "entry_stream_windowed": {"steady_rows_per_sec": 11200.0},
+            "entry_stream_interval_join":
+                {"steady_rows_per_sec": 13400.0},
         }
         v = bench.stream_floor_verdicts(slowed, self.BASE)
         assert not any(v.values()), v
@@ -394,7 +398,9 @@ class TestStreamFloors:
         # 0.45-0.55x its recorded session-cold steady rate
         steady = {"q100_alerts": 49217.6,
                   "q67_stream_near_dup": 1160.0,
-                  "q174_stream_reservoir": 37921.5}
+                  "q174_stream_reservoir": 37921.5,
+                  "entry_stream_windowed": 28006.7,
+                  "entry_stream_interval_join": 33535.4}
         for name, rate in steady.items():
             floor = bench.stream_floor(name, self.BASE)
             assert 0.45 <= floor / rate <= 0.55, (name, floor / rate)

@@ -245,7 +245,7 @@ def triangle_counts(edges: DataFrame, src: str = "src",
 
 
 def hits(edges: DataFrame, src: str = "src", dst: str = "dst",
-         iterations: int = 3,
+         iterations: int = 3, checkpoint_every: int = 2,
          broadcast_nodes_below: int = 5_000_000) -> DataFrame:
     """HITS hubs & authorities (Kleinberg) over a directed edge table:
     ``(node, hub, authority)`` after ``iterations`` rounds of
@@ -265,6 +265,20 @@ def hits(edges: DataFrame, src: str = "src", dst: str = "dst",
     ``broadcast_nodes_below`` nodes (edge table never shuffles), node
     -id shuffles above it. Nodes missing a direction (no in- or
     out-edges) report 0 for that score.
+
+    ``checkpoint_every`` bounds the unrolled 2·iterations join lineage
+    with an eager ``localCheckpoint`` every that-many rounds (the
+    connected-components device, ``connected_components``/``kcore``):
+    without it a many-iteration run replans a join chain whose depth
+    grows 2 per round. Checkpointing is an identity on the scores
+    (integer-exact sums are unchanged), so the SQL oracle contract is
+    unaffected. Wall-clock note (r13, sf0.1 q138 decomposition): at toy
+    scale each half-round costs ~0.4-1.0 s of SCHEDULER floor (cached
+    289k-row edge scan + broadcast build + partial-agg shuffle), so 6
+    rounds ≈ 5 s regardless of lineage — the per-round floor, not plan
+    depth, dominates vs a single-process engine; at cluster scale the
+    floor amortizes (fixed round count, linear work per round) and the
+    checkpoint is what prevents replan blow-up.
     """
     from .cache import operator_persist
 
@@ -282,7 +296,7 @@ def hits(edges: DataFrame, src: str = "src", dst: str = "dst",
                 else (lambda d: d))
     h = nodes.select("node", F.lit(1.0).alias("h"))
     a = None
-    for _ in range(int(iterations)):
+    for it in range(int(iterations)):
         a = (e.join(maybe_bc(h.withColumnRenamed("node", "__s")),
                     "__s")
               .groupBy(F.col("__d").alias("node"))
@@ -291,6 +305,10 @@ def hits(edges: DataFrame, src: str = "src", dst: str = "dst",
                     "__d")
               .groupBy(F.col("__s").alias("node"))
               .agg(F.sum("a").alias("h")))
+        if (checkpoint_every and (it + 1) % checkpoint_every == 0
+                and it + 1 < iterations):
+            a = a.localCheckpoint(eager=True)
+            h = h.localCheckpoint(eager=True)
     # persist the final score tables: the two norm scalars and the
     # returned plan would otherwise each re-execute the whole
     # 2·iterations join chain (measured 3x wall at sf0.01)

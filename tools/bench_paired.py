@@ -92,6 +92,27 @@ def main() -> int:
     # the nearer measured run so the full table is a real run)
     rep = min((r for r in runs if r["ratio"] is not None),
               key=lambda r: abs(r["ratio"] - median)) if median else None
+    # heavy-pair cut (VERDICT r12 item 6): the totals ratio hides the
+    # per-query distribution — sub-second DuckDB CTEs vs Spark's
+    # ~0.2-0.5 s job floor dominate a per-query median at toy scale.
+    # On pairs where DuckDB does >=1 s of real work the per-query
+    # ratios are the honest engine-speed story; report them directly.
+    heavy = None
+    if rep:
+        full = rep["full"]
+        sp_t = full.get("queries") or {}
+        du_t = full.get("baseline") or {}
+        pairs = {q: round(sp_t[q] / du_t[q], 3)
+                 for q in sorted(set(sp_t) & set(du_t))
+                 if du_t[q] >= 1.0 and du_t[q] > 0}
+        if pairs:
+            heavy = {
+                "duckdb_floor_sec": 1.0,
+                "n": len(pairs),
+                "ratios": pairs,
+                "median": round(statistics.median(pairs.values()), 3),
+                "over_2x": sorted(q for q, r in pairs.items() if r > 2.0),
+            }
     summary = {
         "round": args.round,
         "sf_dir": args.sf_dir,
@@ -105,6 +126,8 @@ def main() -> int:
                     "full runs is the representative ratio — never "
                     "the best run",
     }
+    if heavy:
+        summary["heavy_pairs"] = heavy
     doc = {"summary": summary,
            "runs": [{k: v for k, v in r.items() if k != "full"}
                     for r in runs],

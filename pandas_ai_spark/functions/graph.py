@@ -651,6 +651,23 @@ def kcore(edges: DataFrame, k: int, rounds: int = 8,
         if cnt == prev:
             converged = True
         prev = cnt
+    if return_convergence and not converged and prev > 0:
+        # the peel may have reached its fixpoint exactly ON the last
+        # budgeted round (that round still deleted edges, so the
+        # in-loop check can't see it — ADVICE r12 false negative). One
+        # extra DETECTION round is an algebraic no-op on the result:
+        # count the would-be survivors without applying the filter.
+        deg = alive.groupBy(F.col("__s").alias("__n")).agg(
+            F.count(F.lit(1)).cast("bigint").alias("__deg"))
+        keep = deg.where(F.col("__deg") >= int(k)).select(F.col("__n"))
+        hint = (broadcast if prev < broadcast_nodes_below
+                else (lambda d: d))
+        probe = (alive
+                 .join(hint(keep.select(F.col("__n").alias("__s"))),
+                       "__s")
+                 .join(hint(keep.select(F.col("__n").alias("__d"))),
+                       "__d"))
+        converged = probe.count() == prev
     out = alive.groupBy(F.col("__s").alias("node")).agg(
         F.count(F.lit(1)).cast("bigint").alias("degree"))
     if return_convergence:

@@ -659,7 +659,7 @@ def semantic_dedup_pairs(
     n_clusters: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    sample: int = 10000,
+    sample: int | None = None,
     seed: int = 42,
     target_cell_rows: int = 32,
 ) -> DataFrame:
@@ -697,7 +697,14 @@ def semantic_dedup_pairs(
         n = base.count()
         n_clusters = max(4, min(1024, math.ceil(n / target_cell_rows)))
 
-    sample = max(sample, 16 * n_clusters)
+    if sample is None:
+        # default: 10k, floor-adjusted so every derived centroid keeps
+        # >=16 training points. An EXPLICIT sample is honored verbatim
+        # (ADVICE r12: the silent 16*k floor could grow a caller's
+        # requested driver-side collect to ~16k vectors at the 1024
+        # cluster cap) — under-supported centroids are the caller's
+        # stated trade-off.
+        sample = max(10000, 16 * n_clusters)
     sampled = base.select("__v").limit(sample).collect()
     _, Ms = _normalized_matrix([(0, r[0]) for r in sampled])
     C = _kmeans_centroids(Ms, n_clusters, seed=seed)
@@ -743,7 +750,7 @@ def semantic_dedup(
     n_clusters: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    sample: int = 10000,
+    sample: int | None = None,
     seed: int = 42,
 ) -> DataFrame:
     """Drop the higher-id side of every semantic near-dup pair — the

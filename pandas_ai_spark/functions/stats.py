@@ -86,8 +86,32 @@ def _plan_size(df: DataFrame) -> int | None:
 # engages automatically. The two paths are output-identical by
 # contract (driver-hash-proven: q182/q183/q184/q180 share oracles
 # verbatim with q159/q160/q167/q177) — dispatch is purely a cost
-# choice, so unknown-size plans default to the cheap window form.
+# choice; unknown-size plans pay one count() for a width×rows stand-in
+# estimate rather than silently picking the window form (r13).
 RANK_WINDOW_MAX_BYTES = 1 << 30
+
+
+def _row_width_bytes(schema) -> int:
+    """Rough serialized row width from the schema — the stand-in used
+    when Catalyst carries no size estimate (non-scan plans). Matches
+    the spirit of Catalyst's per-type defaultSize: fixed widths for
+    primitives, a flat guess for variable/nested types."""
+    width = 0
+    for f in schema.fields:
+        t = f.dataType.typeName()
+        if t in ("byte", "boolean"):
+            width += 1
+        elif t in ("short",):
+            width += 2
+        elif t in ("integer", "float", "date"):
+            width += 4
+        elif t in ("long", "double", "timestamp", "timestamp_ntz"):
+            width += 8
+        elif t == "string":
+            width += 20
+        else:  # arrays, maps, structs, binary — flat guess
+            width += 64
+    return max(width, 8)
 
 
 def _resolve_rank_path(df: DataFrame, by: list[str],
@@ -105,11 +129,17 @@ def _resolve_rank_path(df: DataFrame, by: list[str],
         return bool(distributed)
     size = _plan_size(df)
     if size is None:
+        # absent-estimate sources (createDataFrame, UDF-derived plans)
+        # are exactly the inputs nobody measured — don't silently pick
+        # the parallelism-collapsing window form (VERDICT r12 item 7).
+        # One count() is cheap relative to the operator's own multi-
+        # pass scans; width×rows stands in for the missing estimate.
+        rows = df.count()
+        size = rows * _row_width_bytes(df.schema)
         _warn_once(f"rank:{op}:unknown",
                    f"stats.{op}: input plan has no size estimate; "
-                   "keeping the window-form rank path. For a few huge "
-                   "groups pass distributed=True explicitly")
-        return False
+                   f"counted {rows} rows (~{size} bytes) to dispatch. "
+                   "Pass distributed=True/False to skip the count")
     if size <= RANK_WINDOW_MAX_BYTES:
         return False
     if by:
@@ -132,6 +162,41 @@ def _resolve_rank_path(df: DataFrame, by: list[str],
     return False
 
 
+def _exact_state_max_bytes(df: DataFrame) -> int:
+    """The exact→approx crossover threshold, overridable per session
+    via ``spark.pandas_ai.exactStateMaxBytes`` (ADVICE r12: the 64 MiB
+    default is a measured CPU crossover, not a safety bound — callers
+    who want exact quantiles on 100 MB-class data raise it here or
+    pass ``approx=False`` per call)."""
+    try:
+        v = df.sparkSession.conf.get(
+            "spark.pandas_ai.exactStateMaxBytes", None)
+        if v:
+            return int(v)
+    except Exception:
+        pass
+    return EXACT_STATE_MAX_BYTES
+
+
+def _left_join_nullsafe(left: DataFrame, right: DataFrame,
+                        by: list[str]) -> DataFrame:
+    """Left join on the by-columns with NULL-safe equality: a by-group
+    whose key is NULL must still match its right-side row — the plain
+    name-based ``join(right, by, 'left')`` silently pairs it with
+    nothing (ADVICE r12: ordinal_association / kendall_tau_b emitted
+    c_pairs/d_pairs = 0 and NULL statistics for NULL keys). Right's by
+    columns are prefixed then dropped; still an equi-join shape."""
+    r = right
+    for c in by:
+        r = r.withColumnRenamed(c, f"__rj_{c}")
+    cond = None
+    for c in by:
+        e = F.col(c).eqNullSafe(F.col(f"__rj_{c}"))
+        cond = e if cond is None else (cond & e)
+    return left.join(r, cond, "left").drop(
+        *[f"__rj_{c}" for c in by])
+
+
 def _resolve_approx(df: DataFrame, approx: bool | None) -> bool:
     """Resolve the three-state ``approx`` flag: explicit wins; ``None``
     consults Catalyst's optimized-plan size estimate (free — no job
@@ -146,12 +211,14 @@ def _resolve_approx(df: DataFrame, approx: bool | None) -> bool:
                    "state grows with distinct values — pass approx=True "
                    "explicitly for bounded memory at scale.")
         return False
-    if size > EXACT_STATE_MAX_BYTES:
+    threshold = _exact_state_max_bytes(df)
+    if size > threshold:
         _warn_once("big", f"stats: input estimated at {size} bytes > "
-                   f"EXACT_STATE_MAX_BYTES ({EXACT_STATE_MAX_BYTES}); "
+                   f"the exact-state threshold ({threshold}); "
                    "switching to bounded-memory approx sketches "
                    "(percentile_approx / HLL). Pass approx=False to "
-                   "force exact aggregation.")
+                   "force exact aggregation, or raise the session "
+                   "config spark.pandas_ai.exactStateMaxBytes.")
         return True
     return False
 
@@ -2047,7 +2114,8 @@ def kendall_tau_b(df: DataFrame, x_col: str, y_col: str,
     ]
     tot = (marg.groupBy(*[F.col(c) for c in by]).agg(*fold)
            if by else marg.agg(*fold))
-    g = tot.join(cd, by, "left") if by else tot.crossJoin(cd)
+    g = _left_join_nullsafe(tot, cd, list(by)) if by \
+        else tot.crossJoin(cd)
     n = F.col("n")
     n0 = (n.cast(dec) * (n - 1).cast(dec) / 2).cast(dec)
     num = (F.coalesce(F.col("__C"), F.lit(0).cast(dec))
@@ -3646,7 +3714,8 @@ def ordinal_association(df: DataFrame, x_col: str, y_col: str,
     ]
     tot = (marg.groupBy(*[F.col(c) for c in by]).agg(*fold)
            if by else marg.agg(*fold))
-    g = tot.join(cd, by, "left") if by else tot.crossJoin(cd)
+    g = _left_join_nullsafe(tot, cd, list(by)) if by \
+        else tot.crossJoin(cd)
     n = F.col("n")
     zero = F.lit(0).cast(dec)
     cc = F.coalesce(F.col("__C"), zero)
@@ -4219,7 +4288,9 @@ def cronbach_alpha(df: DataFrame, subject_col: str, item_col: str,
         *[F.col(c) for c in by],
         F.col(subject_col).cast("string").alias("__sub"),
         F.col(item_col).cast("string").alias("__itm"),
-        F.col(value_col).cast("bigint").alias("__v"))
+        # HALF_UP round, not a truncating bare cast (ADVICE r12);
+        # identity on integral inputs, pre-quantize for resolution
+        F.round(F.col(value_col)).cast("bigint").alias("__v"))
     kdf = base.groupBy(
         *[F.col(c).alias(f"__g_{c}") for c in by]).agg(
         F.countDistinct("__itm").cast("bigint").alias("__k"))
@@ -4468,8 +4539,13 @@ def wilcoxon_signed_rank(df: DataFrame, a_col: str, b_col: str,
 
     by = list(by or [])
     dec = "decimal(38,0)"
-    a = F.col(a_col).cast("bigint")
-    b = F.col(b_col).cast("bigint")
+    # HALF_UP round before the integer grain: a bare bigint cast
+    # truncates fractional inputs toward zero silently (ADVICE r12).
+    # Identity on already-integral inputs; pre-quantize (value*scale)
+    # upstream to keep fractional resolution, the permutation_test
+    # convention.
+    a = F.round(F.col(a_col)).cast("bigint")
+    b = F.round(F.col(b_col)).cast("bigint")
     d = a - b
     cells = df.where(a.isNotNull() & b.isNotNull()
                      & (d != 0)).groupBy(

@@ -738,3 +738,303 @@ def information_gain(df: DataFrame, feature_cols,
         h_cond.alias("h_conditional"),
         ig.alias("info_gain"),
         F.when(h_x > 0, ig / h_x).alias("gain_ratio"))
+
+
+# ---------------------------------------------------------------------------
+# Inter-annotator agreement battery (r13): the labeling-QA statistics a
+# training-data pipeline runs over multi-rater / LLM-judge annotations
+# before trusting them. All four reduce to exact integer cell/marginal
+# aggregations with row-local final ratios — bit-identical across
+# engines, no float folds except the explicitly order-pinned m-class
+# sums (the q191 device).
+# ---------------------------------------------------------------------------
+
+
+def weighted_kappa(df: DataFrame, col_a: str, col_b: str,
+                   weights: str = "quadratic",
+                   by: "list[str] | None" = None) -> DataFrame:
+    """Weighted Cohen's kappa over two ORDINAL rating columns — the
+    ordinal upgrade of :func:`cohens_kappa`: near-miss disagreements
+    (adjacent categories) cost less than far misses. Per ``by`` group
+    ``(n, k, po_w, pe_w, kappa_w)`` with disagreement weights
+    ``(d/(k-1))^q`` over category-INDEX distance ``d`` (``q=1``
+    linear, ``q=2`` quadratic), indices from the ordered distinct
+    union of both raters' observed categories.
+
+    Determinism: ``kappa_w = 1 - n*D_q/E_q`` where
+    ``D_q = Σ n_ij d^q`` and ``E_q = Σ r_i c_j d^q`` are EXACT bigint
+    sums over the k×k cell/marginal grain — the ``(k-1)^q``
+    normalizers cancel, so the statistic is one row-local division.
+
+    Scale shape: one cell aggregation over the pair stream (the only
+    full-data shuffle), category indexing over the bounded distinct
+    grain (broadcast back), k×k marginal cross per group — all
+    bounded by category count, not rows.
+    """
+    from pyspark.sql.window import Window
+
+    q = {"linear": 1, "quadratic": 2}[weights]
+    by = list(by or [])
+    a, b = F.col(col_a), F.col(col_b)
+    base = df.where(a.isNotNull() & b.isNotNull()).select(
+        *[F.col(c) for c in by], a.alias("__a"), b.alias("__b"))
+    cats = (base.select(*by, F.col("__a").alias("__c"))
+            .unionByName(base.select(*by, F.col("__b").alias("__c")))
+            .distinct())
+    w = (Window.partitionBy(*by).orderBy("__c") if by
+         else Window.orderBy("__c"))  # bounded category grain
+    idx = cats.select(
+        *by, "__c",
+        (F.row_number().over(w) - 1).cast("bigint").alias("__i"))
+
+    def attach(dfx: DataFrame, valcol: str, out: str) -> DataFrame:
+        r = idx.select(
+            *[F.col(c).alias(f"__j_{c}") for c in by],
+            F.col("__c").alias("__jc"), F.col("__i").alias(out))
+        cond = F.col(valcol) == F.col("__jc")
+        for c in by:
+            cond = cond & F.col(c).eqNullSafe(F.col(f"__j_{c}"))
+        return dfx.join(F.broadcast(r), cond).drop(
+            "__jc", *[f"__j_{c}" for c in by])
+
+    paired = attach(attach(base, "__a", "__ia"), "__b", "__ib")
+    d = F.abs(F.col("__ia") - F.col("__ib"))
+    dq = (d * d if q == 2 else d).cast("bigint")
+    cells = paired.groupBy(*by, "__ia", "__ib").agg(
+        F.count(F.lit(1)).cast("bigint").alias("__nij"))
+    gagg = [F.sum("__nij").cast("bigint").alias("n"),
+            F.sum(F.col("__nij") * dq).cast("bigint").alias("__D")]
+    g = (cells.groupBy(*[F.col(c) for c in by]).agg(*gagg)
+         if by else cells.agg(*gagg))
+    ra = cells.groupBy(*by, F.col("__ia")).agg(
+        F.sum("__nij").cast("bigint").alias("__ri"))
+    cb = cells.groupBy(
+        *[F.col(c).alias(f"__x_{c}") for c in by], F.col("__ib")).agg(
+        F.sum("__nij").cast("bigint").alias("__cj"))
+    cross_cond = F.lit(True)
+    for c in by:
+        cross_cond = cross_cond & F.col(c).eqNullSafe(F.col(f"__x_{c}"))
+    dd = F.abs(F.col("__ia") - F.col("__ib"))
+    ddq = (dd * dd if q == 2 else dd).cast("bigint")
+    eagg = F.sum(F.col("__ri") * F.col("__cj") * ddq) \
+        .cast("decimal(38,0)").alias("__E")
+    crossed = ra.join(cb, cross_cond).drop(
+        *[f"__x_{c}" for c in by])
+    e = (crossed.groupBy(*[F.col(c) for c in by]).agg(eagg)
+         if by else crossed.agg(eagg))
+    kk = (idx.groupBy(*[F.col(c) for c in by]).agg(
+        F.count(F.lit(1)).cast("bigint").alias("k"))
+        if by else idx.agg(
+        F.count(F.lit(1)).cast("bigint").alias("k")))
+    if by:
+        from .stats import _left_join_nullsafe
+        out = _left_join_nullsafe(_left_join_nullsafe(g, e, by), kk, by)
+    else:
+        from .fold import fold_scalars
+        out = fold_scalars(fold_scalars(g, e), kk)
+    nd = F.col("n").cast("double")
+    kd = F.col("k").cast("double")
+    ed = F.col("__E").cast("double")
+    dd2 = F.col("__D").cast("double")
+    norm = (kd - 1) ** q
+    po_w = F.when(F.col("k") > 1, 1.0 - dd2 / (nd * norm))
+    pe_w = F.when(F.col("k") > 1, 1.0 - ed / (nd * nd * norm))
+    kap = F.when(ed > 0, 1.0 - nd * dd2 / ed)
+    return out.select(*[F.col(c) for c in by], "n", "k",
+                      po_w.alias("po_w"), pe_w.alias("pe_w"),
+                      kap.alias("kappa_w"))
+
+
+def fleiss_kappa(df: DataFrame, item_col: str, category_col: str,
+                 by: "list[str] | None" = None) -> DataFrame:
+    """Fleiss' kappa — chance-corrected agreement for MANY raters:
+    input is one row per VOTE ``(item, category)``; per ``by`` group
+    ``(n_items, n_categories, p_bar, p_e, kappa)``. Items with fewer
+    than 2 votes are dropped (no pairable information). Rating counts
+    per item may vary; the per-item agreement
+    ``P_i = (Σ_c n_ic² − m_i) / (m_i(m_i−1))`` uses each item's own
+    vote count (the standard statistic when all ``m_i`` are equal).
+
+    Determinism: per-item numerators group by the DISTINCT vote-count
+    classes m (bounded), so each class sum is an exact integer and the
+    cross-class float fold is order-pinned (``aggregate(sort_array)``,
+    the q191 device); ``p_e = Σ T_c² / T²`` is exact-integer.
+
+    Scale shape: one (item, category) cell aggregation, one item
+    aggregation, one bounded m-class fold, one category aggregation —
+    nothing collected, nothing wider than the item count.
+    """
+    by = list(by or [])
+    u, c = F.col(item_col), F.col(category_col)
+    votes = df.where(u.isNotNull() & c.isNotNull()).groupBy(
+        *[F.col(x) for x in by], u.alias("__u"), c.alias("__c")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("__nic"))
+    per_item = votes.groupBy(*by, "__u").agg(
+        F.sum("__nic").cast("bigint").alias("__m"),
+        F.sum(F.col("__nic") * F.col("__nic")).cast("bigint")
+         .alias("__s2"))
+    kept = per_item.where(F.col("__m") >= 2)
+    mcls = kept.groupBy(*by, "__m").agg(
+        F.count(F.lit(1)).cast("bigint").alias("__cnt"),
+        F.sum("__s2").cast("bigint").alias("__ss"))
+    md = F.col("__m").cast("double")
+    term = ((F.col("__ss") - F.col("__cnt") * F.col("__m"))
+            .cast("double") / (md * (md - 1))).alias("term")
+    stk = mcls.select(
+        *[F.col(x) for x in by],
+        F.col("__cnt"),
+        F.struct(F.col("__m").alias("m"), term).alias("__s"))
+    pagg = [F.sum("__cnt").cast("bigint").alias("n_items"),
+            F.aggregate(F.sort_array(F.collect_list("__s")),
+                        F.lit(0.0),
+                        lambda acc, x: acc + x["term"]).alias("__P")]
+    pbar = (stk.groupBy(*[F.col(x) for x in by]).agg(*pagg)
+            if by else stk.agg(*pagg))
+    kept_keys = kept.select(
+        *[F.col(x).alias(f"__k_{x}") for x in by],
+        F.col("__u").alias("__ku"))
+    vcond = F.col("__u") == F.col("__ku")
+    for x in by:
+        vcond = vcond & F.col(x).eqNullSafe(F.col(f"__k_{x}"))
+    kept_votes = votes.join(kept_keys, vcond, "left_semi")
+    catt = kept_votes.groupBy(*by, "__c").agg(
+        F.sum("__nic").cast("bigint").alias("__tc"))
+    cagg = [F.count(F.lit(1)).cast("bigint").alias("n_categories"),
+            F.sum("__tc").cast("bigint").alias("__T"),
+            F.sum(F.col("__tc") * F.col("__tc"))
+             .cast("decimal(38,0)").alias("__T2")]
+    cat = (catt.groupBy(*[F.col(x) for x in by]).agg(*cagg)
+           if by else catt.agg(*cagg))
+    if by:
+        from .stats import _left_join_nullsafe
+        out = _left_join_nullsafe(pbar, cat, by)
+    else:
+        from .fold import fold_scalars
+        out = fold_scalars(pbar, cat)
+    p_bar = F.col("__P") / F.col("n_items").cast("double")
+    td = F.col("__T").cast("double")
+    p_e = F.col("__T2").cast("double") / (td * td)
+    kap = F.when(p_e < 1.0, (p_bar - p_e) / (1.0 - p_e))
+    return out.select(*[F.col(x) for x in by],
+                      "n_items", "n_categories",
+                      p_bar.alias("p_bar"), p_e.alias("p_e"),
+                      kap.alias("kappa"))
+
+
+def krippendorff_alpha(df: DataFrame, unit_col: str, value_col: str,
+                       by: "list[str] | None" = None) -> DataFrame:
+    """Krippendorff's alpha (nominal metric) — the agreement
+    coefficient that tolerates missing ratings and varying raters per
+    unit (the realistic shape of crowd/LLM annotation): input is one
+    row per VOTE ``(unit, value)``; per ``by`` group
+    ``(n_units, n_votes, alpha)`` over units with >= 2 votes.
+
+    ``alpha = 1 − (T−1)·Do_num / (T² − Σ_c T_c²)`` where
+    ``Do_num = Σ_u (m_u² − Σ_c n_uc²)/(m_u−1)`` (observed pairwise
+    disagreement) and the denominator is the expected disagreement of
+    the pooled value marginals — the coincidence-matrix formulation.
+
+    Determinism: same m-class device as :func:`fleiss_kappa` — the
+    per-unit rationals share denominators within a vote-count class,
+    so each class sum is exact-integer and only the bounded m-class
+    fold is float (order-pinned). The De denominator is exact-integer.
+    """
+    by = list(by or [])
+    u, v = F.col(unit_col), F.col(value_col)
+    votes = df.where(u.isNotNull() & v.isNotNull()).groupBy(
+        *[F.col(x) for x in by], u.alias("__u"), v.alias("__c")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("__nic"))
+    per_unit = votes.groupBy(*by, "__u").agg(
+        F.sum("__nic").cast("bigint").alias("__m"),
+        F.sum(F.col("__nic") * F.col("__nic")).cast("bigint")
+         .alias("__s2"))
+    kept = per_unit.where(F.col("__m") >= 2)
+    mcls = kept.groupBy(*by, "__m").agg(
+        F.count(F.lit(1)).cast("bigint").alias("__cnt"),
+        F.sum("__s2").cast("bigint").alias("__ss"))
+    md = F.col("__m").cast("double")
+    term = ((F.col("__cnt") * F.col("__m") * F.col("__m")
+             - F.col("__ss")).cast("double") / (md - 1)).alias("term")
+    stk = mcls.select(
+        *[F.col(x) for x in by], F.col("__cnt"),
+        F.struct(F.col("__m").alias("m"), term).alias("__s"))
+    dagg = [F.sum("__cnt").cast("bigint").alias("n_units"),
+            F.aggregate(F.sort_array(F.collect_list("__s")),
+                        F.lit(0.0),
+                        lambda acc, x: acc + x["term"]).alias("__Do")]
+    dobs = (stk.groupBy(*[F.col(x) for x in by]).agg(*dagg)
+            if by else stk.agg(*dagg))
+    kept_keys = kept.select(
+        *[F.col(x).alias(f"__k_{x}") for x in by],
+        F.col("__u").alias("__ku"))
+    vcond = F.col("__u") == F.col("__ku")
+    for x in by:
+        vcond = vcond & F.col(x).eqNullSafe(F.col(f"__k_{x}"))
+    kept_votes = votes.join(kept_keys, vcond, "left_semi")
+    catt = kept_votes.groupBy(*by, "__c").agg(
+        F.sum("__nic").cast("bigint").alias("__tc"))
+    cagg = [F.sum("__tc").cast("bigint").alias("n_votes"),
+            F.sum(F.col("__tc") * F.col("__tc"))
+             .cast("decimal(38,0)").alias("__T2")]
+    cat = (catt.groupBy(*[F.col(x) for x in by]).agg(*cagg)
+           if by else catt.agg(*cagg))
+    if by:
+        from .stats import _left_join_nullsafe
+        out = _left_join_nullsafe(dobs, cat, by)
+    else:
+        from .fold import fold_scalars
+        out = fold_scalars(dobs, cat)
+    td = F.col("n_votes").cast("double")
+    de_den = td * td - F.col("__T2").cast("double")
+    alpha = F.when(de_den > 0,
+                   1.0 - (td - 1) * F.col("__Do") / de_den)
+    return out.select(*[F.col(x) for x in by],
+                      "n_units", "n_votes", alpha.alias("alpha"))
+
+
+def gwet_ac1(df: DataFrame, col_a: str, col_b: str,
+             by: "list[str] | None" = None) -> DataFrame:
+    """Gwet's AC1 — the agreement coefficient that stays stable when
+    the label distribution is skewed (the "kappa paradox": near-unanimous
+    raters can get a LOW kappa because chance agreement saturates; AC1's
+    chance term uses the propensity of each category to be a random
+    guess instead). Per ``by`` group ``(n, k, po, pe, ac1)``.
+
+    ``pe = (1 − Σ_c s_c²/(4n²)) / (k−1)`` with ``s_c`` the combined
+    two-rater count of category c — exact-integer numerator, row-local
+    division; ``ac1 = (po − pe)/(1 − pe)``.
+    """
+    by = list(by or [])
+    a, b = F.col(col_a), F.col(col_b)
+    base = df.where(a.isNotNull() & b.isNotNull()).select(
+        *[F.col(x) for x in by], a.alias("__a"), b.alias("__b"))
+    tagg = [F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum((F.col("__a") == F.col("__b")).cast("bigint"))
+             .cast("bigint").alias("__agree")]
+    tot = (base.groupBy(*[F.col(x) for x in by]).agg(*tagg)
+           if by else base.agg(*tagg))
+    stacked = (base.select(*by, F.col("__a").alias("__c"))
+               .unionByName(base.select(*by, F.col("__b").alias("__c"))))
+    sc = stacked.groupBy(*by, "__c").agg(
+        F.count(F.lit(1)).cast("bigint").alias("__sc"))
+    cagg = [F.count(F.lit(1)).cast("bigint").alias("k"),
+            F.sum(F.col("__sc") * F.col("__sc"))
+             .cast("decimal(38,0)").alias("__s2")]
+    cat = (sc.groupBy(*[F.col(x) for x in by]).agg(*cagg)
+           if by else sc.agg(*cagg))
+    if by:
+        from .stats import _left_join_nullsafe
+        out = _left_join_nullsafe(tot, cat, by)
+    else:
+        from .fold import fold_scalars
+        out = fold_scalars(tot, cat)
+    nd = F.col("n").cast("double")
+    kd = F.col("k").cast("double")
+    po = F.col("__agree").cast("double") / nd
+    pe = F.when(F.col("k") > 1,
+                (1.0 - F.col("__s2").cast("double") / (4 * nd * nd))
+                / (kd - 1))
+    ac1 = F.when(pe < 1.0, (po - pe) / (1.0 - pe))
+    return out.select(*[F.col(x) for x in by], "n", "k",
+                      po.alias("po"), pe.alias("pe"),
+                      ac1.alias("ac1"))

@@ -205,3 +205,76 @@ def rrf_fuse(rankings: "list[DataFrame]", k: int = 60,
                      F.count("*").cast("bigint").alias("n_lists"))
                 .orderBy(F.desc("rrf"), F.asc("id"))
                 .limit(top_k))
+
+
+def rbo(ranked_a: DataFrame, ranked_b: DataFrame, id_col: str = "id",
+        rank_col: str = "rank", p: float = 0.9,
+        depth: int = 50) -> DataFrame:
+    """Rank-biased overlap (Webber et al. 2010), truncated at
+    ``depth`` with no extrapolation — the ranking-eval companion of
+    :func:`rrf_fuse`: how similar are two top-k retrieval lists,
+    weighting agreement at the TOP of the lists more (persistence
+    ``p``: weight of depth i is ``p^(i-1)``). Returns one row
+    ``(depth, p, overlap_at_depth, rbo)`` where ``overlap_at_depth``
+    is ``|A_d ∩ B_d|`` and
+    ``rbo = (1-p) Σ_{i=1..d} p^(i-1) · |A_i ∩ B_i| / i``.
+
+    Inputs are ``(id, rank)`` tables with unique 1-based ranks (the
+    shape every top-k operator here emits; ranks beyond ``depth`` are
+    ignored). Distributed form: an id in both top-d lists enters every
+    prefix ``i >= m = max(rank_a, rank_b)``, so its total contribution
+    is the suffix sum ``S(m) = Σ_{i=m..d} p^(i-1)/i`` — a function of
+    ``m`` alone. The join is one bounded equi-join of two top-d lists;
+    S(m) comes from a ``depth``-row weight table (suffix sums via one
+    ordered window over the bounded grain); the final fold is over at
+    most ``depth`` m-classes with integer counts, order-pinned
+    (``aggregate(sort_array)``) so both engines add the same doubles
+    in the same order.
+    """
+    if not 0.0 < p < 1.0:
+        raise ValueError("p must be in (0, 1)")
+    if depth < 1:
+        raise ValueError("depth must be >= 1")
+    from pyspark.sql.window import Window
+
+    spark = ranked_a.sparkSession
+    d = int(depth)
+    a = ranked_a.select(F.col(id_col).alias("__id"),
+                        F.col(rank_col).cast("bigint").alias("__ra")) \
+        .where(F.col("__ra") <= d)
+    b = ranked_b.select(F.col(id_col).alias("__idb"),
+                        F.col(rank_col).cast("bigint").alias("__rb")) \
+        .where(F.col("__rb") <= d)
+    both = a.join(b, F.col("__id") == F.col("__idb")).select(
+        F.greatest("__ra", "__rb").alias("__m"))
+    # ALLOW(global_window): the weight table is `depth` rows by
+    # construction — suffix sums over a bounded literal grain
+    weights = spark.range(1, d + 1).select(
+        F.col("id").cast("bigint").alias("__i"),
+        (F.pow(F.lit(float(p)), F.col("id") - 1)
+         / F.col("id").cast("double")).alias("__w"))
+    wsuf = Window.orderBy(F.col("__i").desc()) \
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    suffix = weights.select(
+        "__i", F.sum("__w").over(wsuf).alias("__S"))
+    counts = both.groupBy("__m").agg(
+        F.count(F.lit(1)).cast("bigint").alias("__cnt"))
+    joined = counts.join(F.broadcast(suffix),
+                         F.col("__m") == F.col("__i"))
+    stk = joined.select(
+        F.col("__cnt"),
+        F.struct(F.col("__m").alias("m"),
+                 (F.col("__cnt").cast("double") * F.col("__S"))
+                 .alias("term")).alias("__s"))
+    agg = stk.agg(
+        F.sum("__cnt").cast("bigint").alias("overlap_at_depth"),
+        F.aggregate(F.sort_array(F.collect_list("__s")), F.lit(0.0),
+                    lambda acc, x: acc + x["term"]).alias("__sum"))
+    return agg.select(
+        F.lit(d).cast("bigint").alias("depth"),
+        F.lit(float(p)).alias("p"),
+        F.coalesce(F.col("overlap_at_depth"), F.lit(0).cast("bigint"))
+         .alias("overlap_at_depth"),
+        ((1.0 - F.lit(float(p))) * F.coalesce(F.col("__sum"),
+                                              F.lit(0.0)))
+        .alias("rbo"))

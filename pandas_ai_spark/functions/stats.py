@@ -4655,3 +4655,75 @@ def mood_scale_test(df: DataFrame, value_col: str, sample_col: str,
                / F.sqrt(var16))
     return g.select(*[F.col(c) for c in by],
                     "n_a", "n_b", z.alias("z"))
+
+
+def cochran_q(df: DataFrame, block_col: str, treatment_col: str,
+              success_expr, by: list[str] | None = None) -> DataFrame:
+    """Cochran's Q — the k-treatment extension of :func:`mcnemar_test`
+    for BINARY outcomes over matched blocks (did success propensity
+    differ across k treatments applied to the same units?): per ``by``
+    group ``(k, n_blocks, t, q)`` where
+    ``Q = (k-1)·(k·ΣG_j² − T²) / (k·T − ΣL_i²)``,
+    ``G_j`` = number of blocks succeeding under treatment j, ``L_i`` =
+    number of treatments block i succeeded under, ``T = ΣG = ΣL``.
+    Q is asymptotically chi-square with k−1 df.
+
+    A (block, treatment) cell succeeds when ANY input row for it
+    satisfies ``success_expr`` (string or Column); absent cells count
+    as failures, which makes every block complete by construction —
+    the standard presence/absence design. NULL when the denominator is
+    zero (every block all-success or all-failure).
+
+    Determinism: G, L, T, ΣG², ΣL² are exact bigint aggregations of
+    distinct success cells; Q is one row-local division.
+
+    Scale shape: one distinct over the success cells (the only
+    full-data shuffle), then two bounded aggregations (treatment grain
+    and block grain) — nothing wider than the block count.
+    """
+    by = list(by or [])
+    succ = (F.expr(success_expr) if isinstance(success_expr, str)
+            else success_expr)
+    base = df.where(F.col(block_col).isNotNull()
+                    & F.col(treatment_col).isNotNull()).select(
+        *[F.col(c) for c in by],
+        F.col(block_col).alias("__b"),
+        F.col(treatment_col).alias("__t"),
+        succ.cast("boolean").alias("__y"))
+    meta_aggs = [
+        F.countDistinct("__t").cast("bigint").alias("k"),
+        F.countDistinct("__b").cast("bigint").alias("n_blocks")]
+    meta = (base.groupBy(*[F.col(c) for c in by]).agg(*meta_aggs)
+            if by else base.agg(*meta_aggs))
+    cells = base.where(F.col("__y")).select(
+        *by, "__b", "__t").distinct()
+    gj = cells.groupBy(*by, "__t").agg(
+        F.count(F.lit(1)).cast("bigint").alias("__g"))
+    gagg = [F.sum("__g").cast("bigint").alias("t"),
+            F.sum(F.col("__g") * F.col("__g")).cast("decimal(38,0)")
+             .alias("__g2")]
+    gt = (gj.groupBy(*[F.col(c) for c in by]).agg(*gagg)
+          if by else gj.agg(*gagg))
+    li = cells.groupBy(*by, "__b").agg(
+        F.count(F.lit(1)).cast("bigint").alias("__l"))
+    lagg = [F.sum(F.col("__l") * F.col("__l")).cast("decimal(38,0)")
+             .alias("__l2")]
+    lt = (li.groupBy(*[F.col(c) for c in by]).agg(*lagg)
+          if by else li.agg(*lagg))
+    if by:
+        out = _left_join_nullsafe(
+            _left_join_nullsafe(meta, gt, by), lt, by)
+    else:
+        from .fold import fold_scalars
+        out = fold_scalars(fold_scalars(meta, gt), lt)
+    kd = F.col("k").cast("double")
+    td = F.coalesce(F.col("t"), F.lit(0)).cast("double")
+    g2 = F.coalesce(F.col("__g2").cast("double"), F.lit(0.0))
+    l2 = F.coalesce(F.col("__l2").cast("double"), F.lit(0.0))
+    den = kd * td - l2
+    qstat = F.when(den > 0,
+                   (kd - 1) * (kd * g2 - td * td) / den)
+    return out.select(*[F.col(c) for c in by], "k", "n_blocks",
+                      F.coalesce(F.col("t"), F.lit(0).cast("bigint"))
+                       .alias("t"),
+                      qstat.alias("q"))

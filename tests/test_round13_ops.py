@@ -215,6 +215,257 @@ class TestAdviceR12Fixes:
             64, emb.count())  # 16*4, capped by corpus size
 
 
+# ---------------------------------------------------------------------------
+# round-13 additive operators: annotation-agreement battery + RBO
+# (each checked against an independent pure-python reference)
+# ---------------------------------------------------------------------------
+
+
+class TestWeightedKappa:
+    def _ref(self, pairs, q):
+        cats = sorted({a for a, _ in pairs} | {b for _, b in pairs})
+        ix = {c: i for i, c in enumerate(cats)}
+        k, n = len(cats), len(pairs)
+        if k == 1:
+            return None
+        obs = [[0] * k for _ in range(k)]
+        for a, b in pairs:
+            obs[ix[a]][ix[b]] += 1
+        ra = [sum(obs[i]) for i in range(k)]
+        cb = [sum(obs[i][j] for i in range(k)) for j in range(k)]
+        w = lambda i, j: (abs(i - j) / (k - 1)) ** q
+        do = sum(w(i, j) * obs[i][j] for i in range(k)
+                 for j in range(k)) / n
+        de = sum(w(i, j) * ra[i] * cb[j] for i in range(k)
+                 for j in range(k)) / (n * n)
+        return 1 - do / de if de else None
+
+    def test_matches_reference_quadratic(self, spark):
+        from pandas_ai_spark.functions.classify import weighted_kappa
+
+        pairs = [(0, 0), (0, 1), (1, 1), (1, 2), (2, 2), (2, 2),
+                 (3, 1), (3, 3), (4, 4), (4, 2), (0, 4), (2, 3)]
+        df = spark.createDataFrame(pairs, "a int, b int")
+        row = weighted_kappa(df, "a", "b").collect()[0]
+        assert row["n"] == len(pairs) and row["k"] == 5
+        assert row["kappa_w"] == pytest.approx(self._ref(pairs, 2))
+
+    def test_matches_reference_linear_by_group(self, spark):
+        from pandas_ai_spark.functions.classify import weighted_kappa
+
+        g1 = [(1, 1), (2, 2), (3, 3), (1, 2), (2, 1), (3, 1)]
+        g2 = [(1, 3), (3, 1), (2, 2), (1, 1)]
+        rows = [("x", a, b) for a, b in g1] + [("y", a, b) for a, b in g2]
+        df = spark.createDataFrame(rows, "g string, a int, b int")
+        out = {r["g"]: r for r in weighted_kappa(
+            df, "a", "b", weights="linear", by=["g"]).collect()}
+        assert out["x"]["kappa_w"] == pytest.approx(self._ref(g1, 1))
+        assert out["y"]["kappa_w"] == pytest.approx(self._ref(g2, 1))
+
+    def test_perfect_agreement_is_one(self, spark):
+        from pandas_ai_spark.functions.classify import weighted_kappa
+
+        df = spark.createDataFrame(
+            [(i % 3, i % 3) for i in range(9)], "a int, b int")
+        assert weighted_kappa(df, "a", "b").collect()[0]["kappa_w"] \
+            == pytest.approx(1.0)
+
+
+class TestFleissKappa:
+    def test_wikipedia_example(self, spark):
+        """The canonical Fleiss example (14 raters, 10 items, 5
+        categories): kappa ~= 0.210."""
+        from pandas_ai_spark.functions.classify import fleiss_kappa
+
+        table = [  # n_ij votes per item x category
+            [0, 0, 0, 0, 14], [0, 2, 6, 4, 2], [0, 0, 3, 5, 6],
+            [0, 3, 9, 2, 0], [2, 2, 8, 1, 1], [7, 7, 0, 0, 0],
+            [3, 2, 6, 3, 0], [2, 5, 3, 2, 2], [6, 5, 2, 1, 0],
+            [0, 2, 2, 3, 7]]
+        rows = [(i, c) for i, item in enumerate(table)
+                for c, cnt in enumerate(item) for _ in range(cnt)]
+        df = spark.createDataFrame(rows, "item int, cat int")
+        row = fleiss_kappa(df, "item", "cat").collect()[0]
+        assert row["n_items"] == 10 and row["n_categories"] == 5
+        assert row["p_bar"] == pytest.approx(0.378, abs=1e-3)
+        assert row["p_e"] == pytest.approx(0.213, abs=1e-3)
+        assert row["kappa"] == pytest.approx(0.210, abs=1e-3)
+
+    def test_single_vote_items_dropped(self, spark):
+        from pandas_ai_spark.functions.classify import fleiss_kappa
+
+        rows = [(1, "a"), (1, "a"), (2, "b")]  # item 2 unpairable
+        df = spark.createDataFrame(rows, "item int, cat string")
+        row = fleiss_kappa(df, "item", "cat").collect()[0]
+        assert row["n_items"] == 1
+
+
+class TestKrippendorffAlpha:
+    def _ref(self, votes):
+        # coincidence-matrix nominal alpha over units with >=2 votes
+        from collections import Counter, defaultdict
+        units = defaultdict(list)
+        for u, v in votes:
+            units[u].append(v)
+        units = {u: vs for u, vs in units.items() if len(vs) >= 2}
+        if not units:
+            return None
+        do_num = 0.0
+        tc = Counter()
+        for vs in units.values():
+            m = len(vs)
+            cnt = Counter(vs)
+            do_num += (m * m - sum(c * c for c in cnt.values())) \
+                / (m - 1)
+            tc.update(cnt)
+        t = sum(tc.values())
+        de_den = t * t - sum(c * c for c in tc.values())
+        if de_den <= 0:
+            return None
+        return 1 - (t - 1) * do_num / de_den
+
+    def test_matches_reference(self, spark):
+        from pandas_ai_spark.functions.classify import krippendorff_alpha
+
+        votes = [(1, "a"), (1, "a"), (1, "b"), (2, "b"), (2, "b"),
+                 (3, "a"), (3, "c"), (3, "c"), (3, "c"), (4, "d"),
+                 (5, "a"), (5, "a"), (5, "a"), (6, "b"), (6, "c")]
+        df = spark.createDataFrame(votes, "unit int, val string")
+        row = krippendorff_alpha(df, "unit", "val").collect()[0]
+        assert row["n_units"] == 5  # unit 4 unpairable
+        assert row["alpha"] == pytest.approx(self._ref(votes))
+
+    def test_perfect_agreement(self, spark):
+        from pandas_ai_spark.functions.classify import krippendorff_alpha
+
+        votes = [(1, "a"), (1, "a"), (2, "b"), (2, "b")]
+        df = spark.createDataFrame(votes, "unit int, val string")
+        assert krippendorff_alpha(df, "unit", "val").collect()[0][
+            "alpha"] == pytest.approx(1.0)
+
+
+class TestGwetAC1:
+    def _ref(self, pairs):
+        from collections import Counter
+        n = len(pairs)
+        po = sum(1 for a, b in pairs if a == b) / n
+        sc = Counter([a for a, _ in pairs]) + Counter(
+            [b for _, b in pairs])
+        k = len(sc)
+        if k == 1:
+            return None
+        pe = sum((s / (2 * n)) * (1 - s / (2 * n))
+                 for s in sc.values()) / (k - 1)
+        return (po - pe) / (1 - pe)
+
+    def test_matches_reference(self, spark):
+        from pandas_ai_spark.functions.classify import gwet_ac1
+
+        pairs = [("y", "y")] * 40 + [("n", "n")] * 3 + \
+            [("y", "n")] * 2 + [("n", "y")] * 1
+        df = spark.createDataFrame(pairs, "a string, b string")
+        row = gwet_ac1(df, "a", "b").collect()[0]
+        assert row["n"] == 46 and row["k"] == 2
+        assert row["ac1"] == pytest.approx(self._ref(pairs))
+
+    def test_skewed_labels_ac1_exceeds_kappa(self, spark):
+        """the kappa-paradox case AC1 exists for: near-unanimous
+        raters, rare second class."""
+        from pandas_ai_spark.functions.classify import (cohens_kappa,
+                                                        gwet_ac1)
+
+        pairs = [("y", "y")] * 95 + [("y", "n")] * 3 + \
+            [("n", "y")] * 1 + [("n", "n")] * 1
+        df = spark.createDataFrame(pairs, "a string, b string")
+        ac1 = gwet_ac1(df, "a", "b").collect()[0]["ac1"]
+        kap = cohens_kappa(df, "a", "b").collect()[0]["kappa"]
+        assert ac1 > kap
+
+
+class TestCochranQ:
+    def _ref(self, blocks):
+        # blocks: dict block -> set of succeeding treatments; k fixed
+        k = 3
+        g = {}
+        for trts in blocks.values():
+            for t in trts:
+                g[t] = g.get(t, 0) + 1
+        t_tot = sum(g.values())
+        g2 = sum(v * v for v in g.values())
+        l2 = sum(len(v) ** 2 for v in blocks.values())
+        den = k * t_tot - l2
+        if den == 0:
+            return None
+        return (k - 1) * (k * g2 - t_tot * t_tot) / den
+
+    def test_matches_reference(self, spark):
+        from pandas_ai_spark.functions.stats import cochran_q
+
+        blocks = {1: {"a"}, 2: {"a", "b"}, 3: {"a", "b", "c"},
+                  4: set(), 5: {"a"}, 6: {"a", "c"}, 7: {"b"},
+                  8: {"a"}, 9: {"a", "b"}, 10: set()}
+        rows = []
+        for blk, succ in blocks.items():
+            for t in ("a", "b", "c"):
+                rows.append((blk, t, 1 if t in succ else 0))
+        df = spark.createDataFrame(rows, "blk int, trt string, y int")
+        row = cochran_q(df, "blk", "trt", "y = 1").collect()[0]
+        assert row["k"] == 3 and row["n_blocks"] == 10
+        assert row["q"] == pytest.approx(self._ref(blocks))
+
+    def test_degenerate_all_success_is_null(self, spark):
+        from pandas_ai_spark.functions.stats import cochran_q
+
+        rows = [(b, t, 1) for b in (1, 2) for t in ("a", "b")]
+        df = spark.createDataFrame(rows, "blk int, trt string, y int")
+        assert cochran_q(df, "blk", "trt", "y = 1").collect()[0]["q"] \
+            is None
+
+
+class TestRBO:
+    def _ref(self, la, lb, p, d):
+        sa, sb = set(), set()
+        total = 0.0
+        for i in range(1, d + 1):
+            if i <= len(la):
+                sa.add(la[i - 1])
+            if i <= len(lb):
+                sb.add(lb[i - 1])
+            total += p ** (i - 1) * len(sa & sb) / i
+        return (1 - p) * total
+
+    def test_matches_reference(self, spark):
+        from pandas_ai_spark.functions.search import rbo
+
+        la = [1, 2, 3, 4, 5, 6, 7, 8]
+        lb = [2, 1, 3, 9, 5, 10, 7, 11]
+        a = spark.createDataFrame(
+            [(x, i + 1) for i, x in enumerate(la)], "id int, rank int")
+        b = spark.createDataFrame(
+            [(x, i + 1) for i, x in enumerate(lb)], "id int, rank int")
+        row = rbo(a, b, p=0.9, depth=8).collect()[0]
+        assert row["rbo"] == pytest.approx(self._ref(la, lb, 0.9, 8))
+        assert row["overlap_at_depth"] == len(set(la) & set(lb))
+
+    def test_identical_lists_approach_one(self, spark):
+        from pandas_ai_spark.functions.search import rbo
+
+        la = list(range(1, 21))
+        a = spark.createDataFrame(
+            [(x, i + 1) for i, x in enumerate(la)], "id int, rank int")
+        row = rbo(a, a, p=0.9, depth=20).collect()[0]
+        # truncated RBO of identical lists = (1-p) sum p^(i-1) = 1 - p^d
+        assert row["rbo"] == pytest.approx(1 - 0.9 ** 20)
+
+    def test_disjoint_lists_zero(self, spark):
+        from pandas_ai_spark.functions.search import rbo
+
+        a = spark.createDataFrame([(1, 1), (2, 2)], "id int, rank int")
+        b = spark.createDataFrame([(3, 1), (4, 2)], "id int, rank int")
+        row = rbo(a, b, p=0.9, depth=2).collect()[0]
+        assert row["rbo"] == 0.0 and row["overlap_at_depth"] == 0
+
+
 def test_oracle_check_canonical_distinguishes_signed_zero():
     sys.path.insert(0, "tools")
     from oracle_check import canonical

@@ -2175,6 +2175,146 @@ def q216_mood_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("z", 9).alias("z")).orderBy("l_returnflag")
 
 
+def q217_weighted_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quadratic-weighted Cohen's kappa (classify.weighted_kappa)
+    between a price-quintile rating and its deterministically
+    perturbed twin, per order status — the ordinal labeling-QA
+    statistic (near-miss buckets cost less than far misses). All cell
+    and marginal sums are exact bigints; the (k-1)^2 normalizers
+    cancel inside kappa_w = 1 - n*D/E, one row-local division.
+    Oracle: identical index/cell/marginal CTEs."""
+    from pandas_ai_spark.functions.classify import weighted_kappa
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderstatus",
+        F.least(F.floor(F.col("o_totalprice") / 100000), F.lit(4))
+         .alias("rater_a"),
+        F.greatest(
+            F.least(F.floor((F.col("o_totalprice")
+                             + 40000 * ((F.col("o_orderkey") % 5) - 2))
+                            / 100000), F.lit(4)), F.lit(0))
+         .alias("rater_b"))
+    out = weighted_kappa(orders, "rater_a", "rater_b",
+                         weights="quadratic", by=["o_orderstatus"])
+    return out.select(
+        "o_orderstatus", "n", "k",
+        F.round("po_w", 9).alias("po_w"),
+        F.round("pe_w", 9).alias("pe_w"),
+        F.round("kappa_w", 9).alias("kappa_w")).orderBy("o_orderstatus")
+
+
+def q218_fleiss_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fleiss' kappa (classify.fleiss_kappa) over five deterministic
+    simulated raters per document (each vote is the gold lang label or
+    an integer-hash-derived distractor) — the many-rater agreement
+    gate for crowd/LLM annotation. All items carry exactly 5 votes,
+    so the m-class fold has one term; p_e is exact-integer. Oracle:
+    identical vote generation + item/category aggregation."""
+    from pandas_ai_spark.functions.classify import fleiss_kappa
+
+    docs = _t(spark, sf_dir, "documents")
+    votes = docs.select(
+        "doc_id", "lang", "n_chars",
+        F.explode(F.sequence(F.lit(0), F.lit(4))).alias("r"))
+    votes = votes.select(
+        "doc_id",
+        F.when((F.col("n_chars")
+                + F.col("r") * (F.col("doc_id") % 7 + 1)) % 5 < 3,
+               F.col("lang"))
+         .otherwise(F.concat(F.lit("x"),
+                             ((F.col("doc_id") + F.col("r")) % 3)
+                             .cast("string"))).alias("vote"))
+    out = fleiss_kappa(votes, "doc_id", "vote")
+    return out.select(
+        "n_items", "n_categories",
+        F.round("p_bar", 9).alias("p_bar"),
+        F.round("p_e", 9).alias("p_e"),
+        F.round("kappa", 9).alias("kappa"))
+
+
+def q219_krippendorff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Krippendorff's alpha, nominal (classify.krippendorff_alpha):
+    treating each user's event types as that unit's ratings — the
+    varying-raters-per-unit agreement coefficient (every user has a
+    different event count, exercising the m-class device: per-unit
+    rationals share denominators within a vote-count class, exact
+    integer sums per class, one bounded order-pinned fold). Oracle:
+    identical m-class + pooled-marginal CTEs."""
+    from pandas_ai_spark.functions.classify import krippendorff_alpha
+
+    ev = _t(spark, sf_dir, "events")
+    out = krippendorff_alpha(ev, "user_id", "event_type")
+    return out.select(
+        "n_units", "n_votes", F.round("alpha", 9).alias("alpha"))
+
+
+def q220_cochran_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cochran's Q (stats.cochran_q): did users succeed (any event
+    with value >= 80) at different rates across the five event types?
+    The k-treatment extension of q208's McNemar over matched blocks.
+    G/L/T and both square sums are exact bigint aggregations of
+    distinct success cells; Q is one row-local division. Oracle:
+    identical success-cell distinct + two bounded aggregations."""
+    from pandas_ai_spark.functions.stats import cochran_q
+
+    ev = _t(spark, sf_dir, "events")
+    out = cochran_q(ev, "user_id", "event_type", "value >= 80.0")
+    return out.select(
+        "k", "n_blocks", "t", F.round("q", 9).alias("q"))
+
+
+def q221_gwet_ac1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gwet's AC1 (classify.gwet_ac1) on exactly q164's rater pair —
+    the skew-stable agreement coefficient beside Cohen's kappa (the
+    'kappa paradox' audit: with one dominant label, kappa collapses
+    while AC1 tracks the observed agreement). Marginal propensity
+    sums are exact bigints; po/pe/ac1 row-local. Oracle: identical
+    stacked-marginal CTEs."""
+    from pandas_ai_spark.functions.classify import gwet_ac1
+
+    orders = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("rater_a"),
+        F.when(F.col("o_orderkey") % 7 == 0, F.lit("1-URGENT"))
+         .otherwise(F.col("o_orderpriority")).alias("rater_b"))
+    out = gwet_ac1(orders, "rater_a", "rater_b")
+    return out.select(
+        "n", "k", F.round("po", 9).alias("po"),
+        F.round("pe", 9).alias("pe"),
+        F.round("ac1", 9).alias("ac1"))
+
+
+def q222_rbo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-biased overlap (search.rbo) between two top-50 document
+    rankings — by length, and by a deterministically perturbed length
+    — the top-weighted ranking-similarity measure retrieval eval runs
+    when comparing two rankers. Rankings are TakeOrdered top-k (never
+    a global sort); the suffix-weight table is driver-computed Python
+    literals shared verbatim with the oracle (engine pow() differs in
+    the last ulp); the final fold is order-pinned over <= depth
+    m-classes. Oracle: identical top-k CTEs + the same literal
+    weights (_q222_oracle)."""
+    from pyspark.sql.window import Window
+
+    from pandas_ai_spark.functions.search import rbo
+
+    docs = _t(spark, sf_dir, "documents")
+    # ALLOW(global_window): rank windows run over LIMIT-50 inputs
+    a = docs.select("doc_id", F.col("n_chars").alias("__sc")) \
+        .orderBy(F.desc("__sc"), F.asc("doc_id")).limit(50)
+    a = a.select("doc_id", F.row_number().over(
+        Window.orderBy(F.desc("__sc"), F.asc("doc_id"))).alias("rank"))
+    b = docs.select(
+        "doc_id",
+        (F.col("n_chars") + F.col("doc_id") % 101).alias("__sc")) \
+        .orderBy(F.desc("__sc"), F.asc("doc_id")).limit(50)
+    b = b.select("doc_id", F.row_number().over(
+        Window.orderBy(F.desc("__sc"), F.asc("doc_id"))).alias("rank"))
+    out = rbo(a, b, id_col="doc_id", rank_col="rank", p=0.9, depth=50)
+    return out.select(
+        "depth", "p", "overlap_at_depth",
+        F.round("rbo", 9).alias("rbo"))
+
+
 def q205_friedman(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Blocked rank test (stats.friedman_test): ranking WITHIN each
     order month, do the five priorities consistently out-earn each
@@ -5877,6 +6017,12 @@ def queries_numeric() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q214_cronbach_alpha": q214_cronbach_alpha,
         "q215_wilcoxon_signed_rank": q215_wilcoxon_signed_rank,
         "q216_mood_scale": q216_mood_scale,
+        "q217_weighted_kappa": q217_weighted_kappa,
+        "q218_fleiss_kappa": q218_fleiss_kappa,
+        "q219_krippendorff": q219_krippendorff,
+        "q220_cochran_q": q220_cochran_q,
+        "q221_gwet_ac1": q221_gwet_ac1,
+        "q222_rbo": q222_rbo,
     }
 
 
@@ -6629,6 +6775,49 @@ def _q61_oracle(sf_dir: str = "/root/testdata/sf0.01") -> str:
         )
         SELECT left_id, right_id, round(cos, 6) AS cosine, rank
         FROM ranked WHERE rank <= {k} ORDER BY left_id, rank
+    """
+
+
+def _q222_oracle() -> str:
+    """RBO oracle: the suffix weights S(m) are the SAME Python-computed
+    double literals the Spark plan embeds (search.rbo_suffix_weights)
+    — engine pow() differs in the last ulp, so both sides must read
+    literals, not recompute."""
+    from pandas_ai_spark.functions.search import rbo_suffix_weights
+
+    vals = ", ".join(f"({i}, {s!r})"
+                     for i, s in rbo_suffix_weights(0.9, 50))
+    return f"""
+        WITH a AS (
+          SELECT doc_id,
+                 row_number() OVER (ORDER BY n_chars DESC, doc_id)
+                   AS ra
+          FROM documents ORDER BY n_chars DESC, doc_id LIMIT 50
+        ), b AS (
+          SELECT doc_id,
+                 row_number() OVER (
+                   ORDER BY (n_chars + doc_id % 101) DESC, doc_id)
+                   AS rb
+          FROM documents
+          ORDER BY (n_chars + doc_id % 101) DESC, doc_id LIMIT 50
+        ), mm AS (
+          SELECT greatest(ra, rb) AS m FROM a JOIN b USING (doc_id)
+        ), sw(i, s) AS (VALUES {vals}),
+        cnt AS (
+          SELECT m, CAST(count(*) AS BIGINT) AS c FROM mm GROUP BY m
+        ), agg AS (
+          SELECT CAST(sum(c) AS BIGINT) AS overlap,
+                 list_sum(list(CAST(c AS DOUBLE) * s ORDER BY m))
+                   AS tot
+          FROM cnt JOIN sw ON cnt.m = sw.i
+        )
+        SELECT CAST(50 AS BIGINT) AS depth,
+               CAST(0.9 AS DOUBLE) AS p,
+               coalesce(overlap, CAST(0 AS BIGINT))
+                 AS overlap_at_depth,
+               round((1.0 - CAST(0.9 AS DOUBLE)) * coalesce(tot, 0.0), 9)
+                 AS rbo
+        FROM agg
     """
 
 
@@ -11449,6 +11638,247 @@ def oracle_sql() -> dict[str, str]:
         FROM fin ORDER BY col_x, col_y
     """
     d["q201_dunn_distributed"] = d["q197_dunn_test"]
+    d["q217_weighted_kappa"] = """
+        WITH base AS (
+          SELECT o_orderstatus AS g,
+                 least(CAST(floor(o_totalprice / 100000) AS BIGINT),
+                       4) AS a,
+                 greatest(least(CAST(floor(
+                     (o_totalprice
+                      + 40000 * ((o_orderkey % 5) - 2)) / 100000)
+                   AS BIGINT), 4), 0) AS b
+          FROM orders
+        ), cats AS (
+          SELECT DISTINCT g, c FROM (
+            SELECT g, a AS c FROM base
+            UNION SELECT g, b AS c FROM base)
+        ), idx AS (
+          SELECT g, c,
+                 CAST(row_number() OVER (PARTITION BY g ORDER BY c)
+                      - 1 AS BIGINT) AS i
+          FROM cats
+        ), paired AS (
+          SELECT base.g, ia.i AS ia, ib.i AS ib
+          FROM base
+          JOIN idx ia ON base.g = ia.g AND base.a = ia.c
+          JOIN idx ib ON base.g = ib.g AND base.b = ib.c
+        ), cells AS (
+          SELECT g, ia, ib, CAST(count(*) AS BIGINT) AS nij
+          FROM paired GROUP BY 1, 2, 3
+        ), gtot AS (
+          SELECT g, CAST(sum(nij) AS BIGINT) AS n,
+                 CAST(sum(nij * (abs(ia - ib) * abs(ia - ib)))
+                      AS BIGINT) AS d2
+          FROM cells GROUP BY g
+        ), ra AS (
+          SELECT g, ia, CAST(sum(nij) AS BIGINT) AS ri
+          FROM cells GROUP BY 1, 2
+        ), cb AS (
+          SELECT g, ib, CAST(sum(nij) AS BIGINT) AS cj
+          FROM cells GROUP BY 1, 2
+        ), ee AS (
+          SELECT ra.g,
+                 sum(CAST(ri AS DECIMAL(38,0)) * cj
+                     * (abs(ia - ib) * abs(ia - ib))) AS e
+          FROM ra JOIN cb ON ra.g = cb.g GROUP BY ra.g
+        ), kk AS (
+          SELECT g, CAST(count(*) AS BIGINT) AS k FROM idx GROUP BY g
+        )
+        SELECT gt.g AS o_orderstatus, gt.n, kk.k,
+               round(CASE WHEN kk.k > 1 THEN
+                 1.0 - CAST(gt.d2 AS DOUBLE)
+                   / (CAST(gt.n AS DOUBLE)
+                      * power(CAST(kk.k AS DOUBLE) - 1, 2)) END, 9)
+                 AS po_w,
+               round(CASE WHEN kk.k > 1 THEN
+                 1.0 - CAST(ee.e AS DOUBLE)
+                   / (CAST(gt.n AS DOUBLE) * CAST(gt.n AS DOUBLE)
+                      * power(CAST(kk.k AS DOUBLE) - 1, 2)) END, 9)
+                 AS pe_w,
+               round(CASE WHEN CAST(ee.e AS DOUBLE) > 0 THEN
+                 1.0 - CAST(gt.n AS DOUBLE) * CAST(gt.d2 AS DOUBLE)
+                   / CAST(ee.e AS DOUBLE) END, 9) AS kappa_w
+        FROM gtot gt JOIN kk ON gt.g = kk.g JOIN ee ON gt.g = ee.g
+        ORDER BY o_orderstatus
+    """
+    d["q218_fleiss_kappa"] = """
+        WITH votes_raw AS (
+          SELECT d.doc_id,
+                 CASE WHEN (n_chars + r * (doc_id % 7 + 1)) % 5 < 3
+                      THEN lang
+                      ELSE 'x' || CAST((doc_id + r) % 3 AS VARCHAR)
+                 END AS vote
+          FROM documents d, generate_series(0, 4) t(r)
+        ), vot AS (
+          SELECT doc_id AS u, vote AS c,
+                 CAST(count(*) AS BIGINT) AS nic
+          FROM votes_raw GROUP BY 1, 2
+        ), per_item AS (
+          SELECT u, CAST(sum(nic) AS BIGINT) AS m,
+                 CAST(sum(nic * nic) AS BIGINT) AS s2
+          FROM vot GROUP BY u
+        ), kept AS (SELECT * FROM per_item WHERE m >= 2),
+        mcls AS (
+          SELECT m, CAST(count(*) AS BIGINT) AS cnt,
+                 CAST(sum(s2) AS BIGINT) AS ss
+          FROM kept GROUP BY m
+        ), pterm AS (
+          SELECT CAST(sum(cnt) AS BIGINT) AS n_items,
+                 list_sum(list(
+                   CAST(ss - cnt * m AS DOUBLE)
+                     / (CAST(m AS DOUBLE) * (CAST(m AS DOUBLE) - 1))
+                   ORDER BY m)) AS P
+          FROM mcls
+        ), kv AS (
+          SELECT v.c, CAST(sum(v.nic) AS BIGINT) AS tc
+          FROM vot v JOIN kept k ON v.u = k.u GROUP BY v.c
+        ), cat AS (
+          SELECT CAST(count(*) AS BIGINT) AS n_categories,
+                 CAST(sum(tc) AS BIGINT) AS T,
+                 sum(CAST(tc AS DECIMAL(38,0)) * tc) AS T2
+          FROM kv
+        )
+        SELECT n_items, n_categories,
+               round(P / CAST(n_items AS DOUBLE), 9) AS p_bar,
+               round(CAST(T2 AS DOUBLE)
+                     / (CAST(T AS DOUBLE) * CAST(T AS DOUBLE)), 9)
+                 AS p_e,
+               round(CASE WHEN CAST(T2 AS DOUBLE)
+                     / (CAST(T AS DOUBLE) * CAST(T AS DOUBLE)) < 1.0
+                 THEN (P / CAST(n_items AS DOUBLE)
+                       - CAST(T2 AS DOUBLE)
+                         / (CAST(T AS DOUBLE) * CAST(T AS DOUBLE)))
+                   / (1.0 - CAST(T2 AS DOUBLE)
+                        / (CAST(T AS DOUBLE) * CAST(T AS DOUBLE)))
+                 END, 9) AS kappa
+        FROM pterm, cat
+    """
+    d["q219_krippendorff"] = """
+        WITH vot AS (
+          SELECT user_id AS u, event_type AS c,
+                 CAST(count(*) AS BIGINT) AS nic
+          FROM events
+          WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+          GROUP BY 1, 2
+        ), per_unit AS (
+          SELECT u, CAST(sum(nic) AS BIGINT) AS m,
+                 CAST(sum(nic * nic) AS BIGINT) AS s2
+          FROM vot GROUP BY u
+        ), kept AS (SELECT * FROM per_unit WHERE m >= 2),
+        mcls AS (
+          SELECT m, CAST(count(*) AS BIGINT) AS cnt,
+                 CAST(sum(s2) AS BIGINT) AS ss
+          FROM kept GROUP BY m
+        ), dobs AS (
+          SELECT CAST(sum(cnt) AS BIGINT) AS n_units,
+                 list_sum(list(
+                   CAST(cnt * m * m - ss AS DOUBLE)
+                     / (CAST(m AS DOUBLE) - 1) ORDER BY m)) AS dsum
+          FROM mcls
+        ), kv AS (
+          SELECT v.c, CAST(sum(v.nic) AS BIGINT) AS tc
+          FROM vot v JOIN kept k ON v.u = k.u GROUP BY v.c
+        ), cat AS (
+          SELECT CAST(sum(tc) AS BIGINT) AS n_votes,
+                 sum(CAST(tc AS DECIMAL(38,0)) * tc) AS T2
+          FROM kv
+        )
+        SELECT n_units, n_votes,
+               round(CASE WHEN CAST(n_votes AS DOUBLE)
+                          * CAST(n_votes AS DOUBLE)
+                          - CAST(T2 AS DOUBLE) > 0
+                 THEN 1.0 - (CAST(n_votes AS DOUBLE) - 1) * dsum
+                   / (CAST(n_votes AS DOUBLE)
+                      * CAST(n_votes AS DOUBLE)
+                      - CAST(T2 AS DOUBLE)) END, 9) AS alpha
+        FROM dobs, cat
+    """
+    d["q220_cochran_q"] = """
+        WITH base AS (
+          SELECT user_id AS b, event_type AS t,
+                 (value >= 80.0) AS y
+          FROM events
+          WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+        ), meta AS (
+          SELECT CAST(count(DISTINCT t) AS BIGINT) AS k,
+                 CAST(count(DISTINCT b) AS BIGINT) AS n_blocks
+          FROM base
+        ), cells AS (
+          SELECT DISTINCT b, t FROM base WHERE y
+        ), g AS (
+          SELECT t, CAST(count(*) AS BIGINT) AS gj
+          FROM cells GROUP BY t
+        ), gt AS (
+          SELECT CAST(sum(gj) AS BIGINT) AS tt,
+                 sum(CAST(gj AS DECIMAL(38,0)) * gj) AS g2
+          FROM g
+        ), l AS (
+          SELECT b, CAST(count(*) AS BIGINT) AS li
+          FROM cells GROUP BY b
+        ), lt AS (
+          SELECT sum(CAST(li AS DECIMAL(38,0)) * li) AS l2 FROM l
+        )
+        SELECT k, n_blocks,
+               coalesce(tt, CAST(0 AS BIGINT)) AS t,
+               round(CASE WHEN CAST(k AS DOUBLE)
+                     * CAST(coalesce(tt, 0) AS DOUBLE)
+                     - coalesce(CAST(l2 AS DOUBLE), 0.0) > 0
+                 THEN (CAST(k AS DOUBLE) - 1)
+                   * (CAST(k AS DOUBLE)
+                      * coalesce(CAST(g2 AS DOUBLE), 0.0)
+                      - CAST(coalesce(tt, 0) AS DOUBLE)
+                        * CAST(coalesce(tt, 0) AS DOUBLE))
+                   / (CAST(k AS DOUBLE)
+                      * CAST(coalesce(tt, 0) AS DOUBLE)
+                      - coalesce(CAST(l2 AS DOUBLE), 0.0)) END, 9)
+                 AS q
+        FROM meta, gt, lt
+    """
+    d["q221_gwet_ac1"] = """
+        WITH base AS (
+          SELECT o_orderpriority AS a,
+                 CASE WHEN o_orderkey % 7 = 0 THEN '1-URGENT'
+                      ELSE o_orderpriority END AS b
+          FROM orders
+        ), tot AS (
+          SELECT CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(CASE WHEN a = b THEN 1 ELSE 0 END)
+                      AS BIGINT) AS agree
+          FROM base
+        ), st AS (
+          SELECT a AS c FROM base UNION ALL SELECT b FROM base
+        ), sc AS (
+          SELECT c, CAST(count(*) AS BIGINT) AS s FROM st GROUP BY c
+        ), cat AS (
+          SELECT CAST(count(*) AS BIGINT) AS k,
+                 sum(CAST(s AS DECIMAL(38,0)) * s) AS s2
+          FROM sc
+        )
+        SELECT n, k,
+               round(CAST(agree AS DOUBLE) / CAST(n AS DOUBLE), 9)
+                 AS po,
+               round(CASE WHEN k > 1 THEN
+                 (1.0 - CAST(s2 AS DOUBLE)
+                    / (4 * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
+                 / (CAST(k AS DOUBLE) - 1) END, 9) AS pe,
+               round(CASE WHEN k > 1
+                          AND (1.0 - CAST(s2 AS DOUBLE)
+                               / (4 * CAST(n AS DOUBLE)
+                                  * CAST(n AS DOUBLE)))
+                              / (CAST(k AS DOUBLE) - 1) < 1.0
+                 THEN (CAST(agree AS DOUBLE) / CAST(n AS DOUBLE)
+                       - (1.0 - CAST(s2 AS DOUBLE)
+                            / (4 * CAST(n AS DOUBLE)
+                               * CAST(n AS DOUBLE)))
+                          / (CAST(k AS DOUBLE) - 1))
+                   / (1.0 - (1.0 - CAST(s2 AS DOUBLE)
+                               / (4 * CAST(n AS DOUBLE)
+                                  * CAST(n AS DOUBLE)))
+                              / (CAST(k AS DOUBLE) - 1)) END, 9)
+                 AS ac1
+        FROM tot, cat
+    """
+    d["q222_rbo"] = _q222_oracle()
     return {name: _fold_negzero_rounds(sql) for name, sql in d.items()}
 
 

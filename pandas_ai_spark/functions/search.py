@@ -207,6 +207,25 @@ def rrf_fuse(rankings: "list[DataFrame]", k: int = 60,
                 .limit(top_k))
 
 
+def rbo_suffix_weights(p: float, depth: int) -> "list[tuple[int, float]]":
+    """``[(m, S(m))]`` for ``S(m) = Σ_{i=m..depth} p^(i-1)/i`` —
+    computed ONCE on the driver in Python so both the Spark plan and
+    any SQL oracle embed the identical double literals (Spark's JVM
+    ``pow`` and DuckDB's libm ``pow`` disagree in the last ulp for
+    some ``(0.9, i)`` pairs; literal weights make the statistic
+    engine-exact by construction). Bounded by ``depth`` rows."""
+    if not 0.0 < p < 1.0:
+        raise ValueError("p must be in (0, 1)")
+    if depth < 1:
+        raise ValueError("depth must be >= 1")
+    svals: dict[int, float] = {}
+    acc = 0.0
+    for i in range(int(depth), 0, -1):
+        acc += (p ** (i - 1)) / i
+        svals[i] = acc
+    return [(i, svals[i]) for i in range(1, int(depth) + 1)]
+
+
 def rbo(ranked_a: DataFrame, ranked_b: DataFrame, id_col: str = "id",
         rank_col: str = "rank", p: float = 0.9,
         depth: int = 50) -> DataFrame:
@@ -225,18 +244,14 @@ def rbo(ranked_a: DataFrame, ranked_b: DataFrame, id_col: str = "id",
     prefix ``i >= m = max(rank_a, rank_b)``, so its total contribution
     is the suffix sum ``S(m) = Σ_{i=m..d} p^(i-1)/i`` — a function of
     ``m`` alone. The join is one bounded equi-join of two top-d lists;
-    S(m) comes from a ``depth``-row weight table (suffix sums via one
-    ordered window over the bounded grain); the final fold is over at
+    S(m) is a ``depth``-row DRIVER-computed literal table
+    (:func:`rbo_suffix_weights` — engine ``pow`` implementations
+    differ in the last ulp, so the weights are Python floats embedded
+    as literals on both engines instead); the final fold is over at
     most ``depth`` m-classes with integer counts, order-pinned
     (``aggregate(sort_array)``) so both engines add the same doubles
     in the same order.
     """
-    if not 0.0 < p < 1.0:
-        raise ValueError("p must be in (0, 1)")
-    if depth < 1:
-        raise ValueError("depth must be >= 1")
-    from pyspark.sql.window import Window
-
     spark = ranked_a.sparkSession
     d = int(depth)
     a = ranked_a.select(F.col(id_col).alias("__id"),
@@ -247,16 +262,8 @@ def rbo(ranked_a: DataFrame, ranked_b: DataFrame, id_col: str = "id",
         .where(F.col("__rb") <= d)
     both = a.join(b, F.col("__id") == F.col("__idb")).select(
         F.greatest("__ra", "__rb").alias("__m"))
-    # ALLOW(global_window): the weight table is `depth` rows by
-    # construction — suffix sums over a bounded literal grain
-    weights = spark.range(1, d + 1).select(
-        F.col("id").cast("bigint").alias("__i"),
-        (F.pow(F.lit(float(p)), F.col("id") - 1)
-         / F.col("id").cast("double")).alias("__w"))
-    wsuf = Window.orderBy(F.col("__i").desc()) \
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    suffix = weights.select(
-        "__i", F.sum("__w").over(wsuf).alias("__S"))
+    suffix = spark.createDataFrame(
+        rbo_suffix_weights(p, d), "__i bigint, __S double")
     counts = both.groupBy("__m").agg(
         F.count(F.lit(1)).cast("bigint").alias("__cnt"))
     joined = counts.join(F.broadcast(suffix),

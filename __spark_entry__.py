@@ -2383,6 +2383,74 @@ def q224_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def q225_ranking_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval-eval battery (search.ranking_metrics): per language,
+    nDCG@10 / MRR / AP / P / R of the length-ranked top-10 documents
+    against graded doc_id%3 relevance — the eval a pipeline runs over
+    its retriever before trusting retrieved context. Discounts are
+    driver-computed 1/log2(i+1) literals shared with the oracle
+    (engine log ulp drift — the q222 device); folds order-pinned by
+    rank. Oracle: identical rank/qrel CTEs + the same literal weight
+    table (_q225_oracle)."""
+    from pyspark.sql.window import Window
+
+    from pandas_ai_spark.functions.search import ranking_metrics
+
+    docs = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        F.desc("n_chars"), F.asc("doc_id"))
+    runs = docs.select(
+        "lang", "doc_id", F.row_number().over(w).alias("rank")) \
+        .where(F.col("rank") <= 10)
+    qrels = docs.select(
+        "lang", "doc_id", (F.col("doc_id") % 3).alias("rel"))
+    out = ranking_metrics(runs, qrels, k=10, query_col="lang")
+    return out.select(
+        "lang", "n_ranked", "n_rel",
+        F.round("ndcg_at_k", 9).alias("ndcg_at_k"),
+        F.round("mrr_at_k", 9).alias("mrr_at_k"),
+        F.round("ap_at_k", 9).alias("ap_at_k"),
+        F.round("precision_at_k", 9).alias("precision_at_k"),
+        F.round("recall_at_k", 9).alias("recall_at_k")).orderBy("lang")
+
+
+def q226_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ljung-Box portmanteau (timeseries.ljung_box) over q153's daily
+    order-count series per priority — the one-number white-noise
+    diagnostic on top of the acf battery: Q = n(n+2)·Σ r_k²/(n−k).
+    Every r_k is acf's exact-integer expansion; the 7-term fold is
+    lag-sorted. Oracle: q153's acf CTEs (unrounded) + the identical
+    ordered fold."""
+    from pandas_ai_spark.functions.timeseries import ljung_box
+
+    series = (_t(spark, sf_dir, "orders")
+              .groupBy(F.col("o_orderpriority"),
+                       F.date_trunc("day", F.col("o_orderdate"))
+                        .alias("day"))
+              .agg(F.count("*").alias("x")))
+    out = ljung_box(series, "x", "day", lags=7,
+                    by=["o_orderpriority"])
+    return out.select(
+        "o_orderpriority", "n", "lags",
+        F.round("q_lb", 9).alias("q_lb")).orderBy("o_orderpriority")
+
+
+def q227_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald–Wolfowitz runs test (stats.runs_test): per event type, is
+    the above/below-50 pattern of values random in event-id order, or
+    do high values clump? Runs/n1/n2 are exact integers from one lag
+    window; z row-local. Oracle: identical lag window + integer
+    counts + the same z expression tree."""
+    from pandas_ai_spark.functions.stats import runs_test
+
+    ev = _t(spark, sf_dir, "events")
+    out = runs_test(ev, "event_id", "value >= 50.0",
+                    by=["event_type"])
+    return out.select(
+        "event_type", "n1", "n2", "runs",
+        F.round("z", 9).alias("z")).orderBy("event_type")
+
+
 def q205_friedman(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Blocked rank test (stats.friedman_test): ranking WITHIN each
     order month, do the five priorities consistently out-earn each
@@ -6093,6 +6161,9 @@ def queries_numeric() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q222_rbo": q222_rbo,
         "q223_video_probe": q223_video_probe,
         "q224_video_frames": q224_video_frames,
+        "q225_ranking_metrics": q225_ranking_metrics,
+        "q226_ljung_box": q226_ljung_box,
+        "q227_runs_test": q227_runs_test,
     }
 
 
@@ -6888,6 +6959,137 @@ def _q222_oracle() -> str:
                round((1.0 - CAST(0.9 AS DOUBLE)) * coalesce(tot, 0.0), 9)
                  AS rbo
         FROM agg
+    """
+
+
+def _q225_oracle() -> str:
+    """Ranking-metrics oracle: same rank/qrel derivation, the SAME
+    driver-computed 1/log2(i+1) discount literals the Spark plan
+    embeds (search.dcg_discounts — engine log ulp drift), folds
+    ordered by rank."""
+    from pandas_ai_spark.functions.search import dcg_discounts
+
+    vals = ", ".join(f"({i}, {w!r})" for i, w in dcg_discounts(10))
+    return f"""
+        WITH w(i, wt) AS (VALUES {vals}),
+        r AS (
+          SELECT lang, doc_id, rank FROM (
+            SELECT lang, doc_id,
+                   row_number() OVER (PARTITION BY lang
+                     ORDER BY n_chars DESC, doc_id) AS rank
+            FROM documents) WHERE rank <= 10
+        ), q AS (
+          SELECT lang, doc_id, doc_id % 3 AS rel FROM documents
+        ), j AS (
+          SELECT r.lang, r.rank, coalesce(q.rel, 0) AS rel
+          FROM r LEFT JOIN q
+            ON r.lang = q.lang AND r.doc_id = q.doc_id
+        ), jc AS (
+          SELECT lang, rank, rel,
+                 CAST(sum(CASE WHEN rel > 0 THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY lang ORDER BY rank
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND CURRENT ROW) AS BIGINT) AS cum
+          FROM j
+        ), per AS (
+          SELECT lang,
+                 CAST(count(*) AS BIGINT) AS n_ranked,
+                 CAST(sum(CASE WHEN rel > 0 THEN 1 ELSE 0 END)
+                      AS BIGINT) AS hits,
+                 CAST(min(CASE WHEN rel > 0 THEN rank END)
+                      AS BIGINT) AS frst,
+                 list_sum(list(CAST(rel AS DOUBLE) * wt
+                               ORDER BY rank)) AS dcg,
+                 list_sum(list(CASE WHEN rel > 0 THEN cum / rank
+                                    ELSE 0.0 END ORDER BY rank))
+                   AS apn
+          FROM jc JOIN w ON jc.rank = w.i GROUP BY lang
+        ), nr AS (
+          SELECT lang, CAST(count(*) AS BIGINT) AS n_rel
+          FROM q WHERE rel > 0 GROUP BY lang
+        ), ideal AS (
+          SELECT lang,
+                 list_sum(list(CAST(rel AS DOUBLE) * wt ORDER BY ir))
+                   AS idcg
+          FROM (
+            SELECT lang, rel,
+                   row_number() OVER (PARTITION BY lang
+                     ORDER BY rel DESC, doc_id) AS ir
+            FROM q WHERE rel > 0) s
+          JOIN w ON s.ir = w.i GROUP BY lang
+        )
+        SELECT per.lang AS lang, n_ranked,
+               coalesce(n_rel, 0) AS n_rel,
+               round(CASE WHEN idcg > 0 THEN dcg / idcg END, 9)
+                 AS ndcg_at_k,
+               round(coalesce(1.0 / CAST(frst AS DOUBLE), 0.0), 9)
+                 AS mrr_at_k,
+               round(CASE WHEN coalesce(n_rel, 0) > 0 THEN
+                 apn / least(CAST(n_rel AS DOUBLE), 10.0) END, 9)
+                 AS ap_at_k,
+               round(CAST(hits AS DOUBLE) / 10.0, 9)
+                 AS precision_at_k,
+               round(CASE WHEN coalesce(n_rel, 0) > 0 THEN
+                 CAST(hits AS DOUBLE) / CAST(n_rel AS DOUBLE) END, 9)
+                 AS recall_at_k
+        FROM per LEFT JOIN nr ON per.lang = nr.lang
+        LEFT JOIN ideal ON per.lang = ideal.lang
+        ORDER BY lang
+    """
+
+
+def _q226_oracle() -> str:
+    """Ljung-Box oracle: q153's acf CTEs with UNROUNDED r_k, stacked
+    per lag, then the identical lag-ordered fold and row-local
+    n(n+2)·Σ."""
+    lag_cols = ", ".join(
+        f"lag(x, {k}) OVER w AS l{k}" for k in range(1, 8))
+    sums = ", ".join(
+        f"CAST(sum(x * l{k}) AS BIGINT) AS c{k}, "
+        f"CAST(sum(CASE WHEN l{k} IS NOT NULL THEN x END) AS BIGINT)"
+        f" AS shi{k}, CAST(sum(l{k}) AS BIGINT) AS slo{k}"
+        for k in range(1, 8))
+    branches = " UNION ALL ".join(f"""
+        SELECT o_orderpriority, n, {k} AS lag,
+               CASE WHEN CAST(q AS DOUBLE)
+                         - CAST(s_ AS DOUBLE) * mean > 0 THEN
+                 (CAST(c{k} AS DOUBLE)
+                  - mean * CAST(shi{k} AS DOUBLE)
+                  - mean * CAST(slo{k} AS DOUBLE)
+                  + CAST(n - {k} AS DOUBLE) * mean * mean)
+                 / (CAST(q AS DOUBLE) - CAST(s_ AS DOUBLE) * mean)
+               END AS acf
+        FROM a""" for k in range(1, 8))
+    return f"""
+        WITH s AS (
+          SELECT o_orderpriority,
+                 date_trunc('day', o_orderdate) AS day,
+                 CAST(count(*) AS BIGINT) AS x
+          FROM orders GROUP BY 1, 2
+        ), l AS (
+          SELECT o_orderpriority, x, {lag_cols}
+          FROM s
+          WINDOW w AS (PARTITION BY o_orderpriority ORDER BY day)
+        ), a0 AS (
+          SELECT o_orderpriority,
+                 CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(x) AS BIGINT) AS s_,
+                 CAST(sum(x * x) AS BIGINT) AS q,
+                 {sums}
+          FROM l GROUP BY 1
+        ), a AS (
+          SELECT *, CAST(s_ AS DOUBLE) / CAST(n AS DOUBLE) AS mean
+          FROM a0
+        ), st AS (SELECT * FROM ({branches}))
+        SELECT o_orderpriority, n,
+               CAST(count(*) AS BIGINT) AS lags,
+               round(CASE WHEN bool_and(acf IS NOT NULL) THEN
+                 CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 2.0)
+                 * list_sum(list(acf * acf
+                                 / CAST(n - lag AS DOUBLE)
+                                 ORDER BY lag)) END, 9) AS q_lb
+        FROM st GROUP BY o_orderpriority, n
+        ORDER BY o_orderpriority
     """
 
 
@@ -11979,6 +12181,42 @@ def oracle_sql() -> dict[str, str]:
                              THEN n_chars % 17 + 1 END) AS BIGINT)
                  AS first_frame_len
         FROM idxs GROUP BY doc_id ORDER BY doc_id
+    """
+    d["q225_ranking_metrics"] = _q225_oracle()
+    d["q226_ljung_box"] = _q226_oracle()
+    d["q227_runs_test"] = """
+        WITH b AS (
+          SELECT event_type, event_id, (value >= 50.0) AS v
+          FROM events WHERE value IS NOT NULL
+        ), l AS (
+          SELECT event_type, v,
+                 lag(v) OVER (PARTITION BY event_type
+                              ORDER BY event_id) AS pv
+          FROM b
+        ), g AS (
+          SELECT event_type,
+                 CAST(sum(CASE WHEN v THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n1,
+                 CAST(sum(CASE WHEN v THEN 0 ELSE 1 END) AS BIGINT)
+                   AS n2,
+                 CAST(sum(CASE WHEN pv IS NOT NULL AND pv <> v
+                               THEN 1 ELSE 0 END) + 1 AS BIGINT)
+                   AS runs
+          FROM l GROUP BY event_type
+        ), gd AS (
+          SELECT *, CAST(n1 AS DOUBLE) AS d1, CAST(n2 AS DOUBLE) AS d2,
+                 CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE) AS dn
+          FROM g
+        )
+        SELECT event_type, n1, n2, runs,
+               round(CASE WHEN n1 > 0 AND n2 > 0
+                          AND 2.0 * d1 * d2 * (2.0 * d1 * d2 - dn)
+                              / (dn * dn * (dn - 1.0)) > 0 THEN
+                 (CAST(runs AS DOUBLE)
+                  - (2.0 * d1 * d2 / dn + 1.0))
+                 / sqrt(2.0 * d1 * d2 * (2.0 * d1 * d2 - dn)
+                        / (dn * dn * (dn - 1.0))) END, 9) AS z
+        FROM gd ORDER BY event_type
     """
     return {name: _fold_negzero_rounds(sql) for name, sql in d.items()}
 

@@ -285,3 +285,106 @@ def rbo(ranked_a: DataFrame, ranked_b: DataFrame, id_col: str = "id",
         ((1.0 - F.lit(float(p))) * F.coalesce(F.col("__sum"),
                                               F.lit(0.0)))
         .alias("rbo"))
+
+
+def dcg_discounts(k: int) -> "list[tuple[int, float]]":
+    """``[(i, 1/log2(i+1))]`` for i = 1..k — driver-computed Python
+    literals embedded on BOTH engines (the rbo_suffix_weights device:
+    engine log implementations can differ in the last ulp)."""
+    import math
+
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    return [(i, 1.0 / math.log2(i + 1)) for i in range(1, int(k) + 1)]
+
+
+def ranking_metrics(runs: DataFrame, qrels: DataFrame, k: int = 10,
+                    query_col: str = "query_id", id_col: str = "doc_id",
+                    rank_col: str = "rank",
+                    rel_col: str = "rel") -> DataFrame:
+    """Retrieval-evaluation battery per query: nDCG@k (graded), MRR@k,
+    AP@k, precision@k, recall@k — the eval a training pipeline runs
+    over its retriever before trusting retrieved context. ``runs`` is
+    ``(query, doc, rank)`` with unique 1-based ranks per query (every
+    top-k operator's output shape); ``qrels`` is ``(query, doc, rel)``
+    graded relevance (rel > 0 counts as relevant for the binary
+    metrics; rel grades weight nDCG).
+
+    Determinism: the 1/log2(i+1) discount table is driver-computed
+    literals (:func:`dcg_discounts`) shared with any SQL oracle; all
+    per-query folds are order-pinned by rank (``aggregate(sort_array)``)
+    over at most k terms; precision terms are exact-integer ratios.
+
+    Scale shape: one bounded equi-join of the top-k run table with
+    qrels, one per-query rank window (bounded at k rows per query),
+    one per-query aggregation — nothing wider than queries × k.
+    """
+    from pyspark.sql.window import Window
+
+    spark = runs.sparkSession
+    kk = int(k)
+    w = F.broadcast(spark.createDataFrame(
+        dcg_discounts(kk), "__i bigint, __w double"))
+    r = runs.select(F.col(query_col).alias("__q"),
+                    F.col(id_col).alias("__d"),
+                    F.col(rank_col).cast("bigint").alias("__r")) \
+        .where(F.col("__r") <= kk)
+    qr = qrels.select(F.col(query_col).alias("__q"),
+                      F.col(id_col).alias("__d"),
+                      F.col(rel_col).cast("bigint").alias("__rel"))
+    j = r.join(qr, ["__q", "__d"], "left") \
+         .withColumn("__rel", F.coalesce(F.col("__rel"), F.lit(0)))
+    win = Window.partitionBy("__q").orderBy("__r")
+    j = j.withColumn(
+        "__cum", F.sum((F.col("__rel") > 0).cast("bigint")).over(win))
+    j = j.join(w, F.col("__r") == F.col("__i"))
+    hit = F.col("__rel") > 0
+    per_q = j.groupBy(F.col("__q")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_ranked"),
+        F.sum(hit.cast("bigint")).cast("bigint").alias("__hits"),
+        F.min(F.when(hit, F.col("__r"))).cast("bigint")
+         .alias("__first"),
+        F.aggregate(
+            F.sort_array(F.collect_list(F.struct(
+                F.col("__r").alias("r"),
+                (F.col("__rel").cast("double") * F.col("__w"))
+                .alias("t")))),
+            F.lit(0.0), lambda a, x: a + x["t"]).alias("__dcg"),
+        F.aggregate(
+            F.sort_array(F.collect_list(F.struct(
+                F.col("__r").alias("r"),
+                F.when(hit, F.col("__cum") / F.col("__r"))
+                 .otherwise(F.lit(0.0)).alias("t")))),
+            F.lit(0.0), lambda a, x: a + x["t"]).alias("__apn"))
+    nr = qr.where(F.col("__rel") > 0).groupBy("__q").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rel"))
+    iwin = Window.partitionBy("__q").orderBy(
+        F.desc("__rel"), F.asc("__d"))
+    ideal = (qr.where(F.col("__rel") > 0)
+             .withColumn("__ir", F.row_number().over(iwin)
+                         .cast("bigint"))
+             .where(F.col("__ir") <= kk)
+             .join(w, F.col("__ir") == F.col("__i"))
+             .groupBy("__q")
+             .agg(F.aggregate(
+                 F.sort_array(F.collect_list(F.struct(
+                     F.col("__ir").alias("r"),
+                     (F.col("__rel").cast("double") * F.col("__w"))
+                     .alias("t")))),
+                 F.lit(0.0), lambda a, x: a + x["t"]).alias("__idcg")))
+    out = (per_q.join(nr, "__q", "left").join(ideal, "__q", "left")
+           .withColumn("n_rel", F.coalesce(F.col("n_rel"), F.lit(0))))
+    nrel = F.col("n_rel").cast("double")
+    ndcg = F.when(F.col("__idcg") > 0, F.col("__dcg") / F.col("__idcg"))
+    mrr = F.coalesce(1.0 / F.col("__first").cast("double"), F.lit(0.0))
+    ap = F.when(F.col("n_rel") > 0,
+                F.col("__apn")
+                / F.least(nrel, F.lit(float(kk))))
+    prec = F.col("__hits").cast("double") / F.lit(float(kk))
+    rec = F.when(F.col("n_rel") > 0,
+                 F.col("__hits").cast("double") / nrel)
+    return out.select(
+        F.col("__q").alias(query_col), "n_ranked", "n_rel",
+        ndcg.alias("ndcg_at_k"), mrr.alias("mrr_at_k"),
+        ap.alias("ap_at_k"), prec.alias("precision_at_k"),
+        rec.alias("recall_at_k"))

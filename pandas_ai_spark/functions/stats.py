@@ -4727,3 +4727,60 @@ def cochran_q(df: DataFrame, block_col: str, treatment_col: str,
                       F.coalesce(F.col("t"), F.lit(0).cast("bigint"))
                        .alias("t"),
                       qstat.alias("q"))
+
+
+def runs_test(df: DataFrame, order_col: str, above_expr,
+              by: list[str] | None = None) -> DataFrame:
+    """Wald–Wolfowitz runs test — is a binary sequence RANDOM in
+    order, or do like values clump (fewer runs) / alternate (more
+    runs) than chance? The ordering diagnostic behind residual checks
+    and shuffle audits. Per ``by`` group ``(n1, n2, runs, z)`` where
+    ``runs`` counts maximal same-value blocks over the sequence
+    ordered by ``order_col`` and
+    ``z = (R − μ)/σ``, ``μ = 2n1n2/n + 1``,
+    ``σ² = 2n1n2(2n1n2 − n) / (n²(n−1))``.
+
+    ``above_expr`` (string or Column) dichotomizes each row; NULL
+    rows are dropped. ``order_col`` must order the sequence uniquely
+    within a group (caller contract — ties would make the run count
+    nondeterministic in any engine).
+
+    Determinism: runs = 1 + transitions, an exact integer from one
+    lag window; n1/n2 exact; z one row-local expression. Scale
+    shape: one per-group window sort (the only shuffle) + one
+    map-side-combined aggregation.
+    """
+    from pyspark.sql.window import Window
+
+    by = list(by or [])
+    cond = (F.expr(above_expr) if isinstance(above_expr, str)
+            else above_expr)
+    base = df.select(*[F.col(c) for c in by],
+                     F.col(order_col).alias("__o"),
+                     cond.cast("boolean").alias("__b")) \
+        .where(F.col("__b").isNotNull())
+    w = (Window.partitionBy(*[F.col(c) for c in by]).orderBy("__o")
+         if by else Window.orderBy("__o"))
+    prev = F.lag("__b").over(w)
+    marked = base.select(
+        *[F.col(c) for c in by], "__b",
+        (prev.isNotNull() & (prev != F.col("__b")))
+        .cast("bigint").alias("__t"))
+    aggs = [
+        F.sum(F.col("__b").cast("bigint")).cast("bigint").alias("n1"),
+        F.sum((~F.col("__b")).cast("bigint")).cast("bigint")
+         .alias("n2"),
+        (F.sum("__t") + 1).cast("bigint").alias("runs"),
+    ]
+    g = (marked.groupBy(*[F.col(c) for c in by]).agg(*aggs)
+         if by else marked.agg(*aggs))
+    n1 = F.col("n1").cast("double")
+    n2 = F.col("n2").cast("double")
+    n = n1 + n2
+    mu = 2.0 * n1 * n2 / n + 1.0
+    var = (2.0 * n1 * n2 * (2.0 * n1 * n2 - n)
+           / (n * n * (n - 1.0)))
+    z = F.when((F.col("n1") > 0) & (F.col("n2") > 0) & (var > 0),
+               (F.col("runs").cast("double") - mu) / F.sqrt(var))
+    return g.select(*[F.col(c) for c in by], "n1", "n2", "runs",
+                    z.alias("z"))

@@ -623,3 +623,47 @@ def ma_decompose(df: DataFrame, value_col: str, order_col: str,
         F.col("__s").alias("seasonal"),
         (F.col("__x").cast("double") - F.col("__trend")
          - F.col("__s")).alias("residual"))
+
+
+def ljung_box(df: DataFrame, value_col: str, order_col: str,
+              lags: int = 7, by: Optional[Sequence[str]] = None
+              ) -> DataFrame:
+    """Ljung-Box portmanteau test on :func:`acf`'s output —
+    ``Q = n(n+2) Σ_{k=1..m} r_k² / (n−k)``, asymptotically chi-square
+    with m df: is the series white noise, or is there autocorrelation
+    at ANY lag up to ``lags``? The residual-diagnostic a forecasting
+    pipeline runs after fitting (one number instead of eyeballing m
+    acf bars). Per group: ``(n, lags, q_lb)``.
+
+    Determinism: each r_k is bit-identical across engines (acf's
+    exact-integer expansion); the m-term float fold is order-pinned
+    by lag (``aggregate(sort_array)``, the q191 device); groups where
+    acf is undefined (zero variance / n <= lag) emit NULL q_lb.
+
+    Scale shape: acf's one window sort + one aggregation, then a
+    bounded m-row-per-group fold — nothing new shuffles.
+    """
+    by = list(by or [])
+    st = acf(df, value_col, order_col, lags=lags, by=by)
+    term = (F.col("acf") * F.col("acf")
+            / (F.col("n") - F.col("lag")).cast("double"))
+    stk = st.select(
+        *[F.col(c) for c in by], F.col("n"),
+        F.col("acf").isNotNull().alias("__def"),
+        F.struct(F.col("lag").alias("lag"),
+                 F.coalesce(term, F.lit(0.0)).alias("term"))
+         .alias("__s"))
+    aggs = [
+        F.max("n").cast("bigint").alias("n"),
+        F.count(F.lit(1)).cast("bigint").alias("lags"),
+        F.min("__def").alias("__all_def"),
+        F.aggregate(F.sort_array(F.collect_list("__s")), F.lit(0.0),
+                    lambda acc, x: acc + x["term"]).alias("__S"),
+    ]
+    g = (stk.groupBy(*[F.col(c) for c in by]).agg(*aggs)
+         if by else stk.agg(*aggs))
+    nd = F.col("n").cast("double")
+    q_lb = F.when(F.col("__all_def"),
+                  nd * (nd + 2.0) * F.col("__S"))
+    return g.select(*[F.col(c) for c in by], "n", "lags",
+                    q_lb.alias("q_lb"))

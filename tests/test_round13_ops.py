@@ -557,6 +557,163 @@ class TestMp4Demux:
         assert len(out) == 2  # 4 fake 64-byte frames, every 2nd
 
 
+class TestLjungBox:
+    def _ref(self, xs, m):
+        n = len(xs)
+        mean = sum(xs) / n
+        den = sum((x - mean) ** 2 for x in xs)
+        q = 0.0
+        for k in range(1, m + 1):
+            r = sum((xs[t] - mean) * (xs[t - k] - mean)
+                    for t in range(k, n)) / den
+            q += r * r / (n - k)
+        return n * (n + 2) * q
+
+    def test_matches_reference(self, spark):
+        from pandas_ai_spark.functions.timeseries import ljung_box
+
+        xs = [3, 7, 2, 8, 4, 9, 1, 6, 5, 7, 3, 8, 2, 9, 4, 6]
+        df = spark.createDataFrame(
+            [(i, x) for i, x in enumerate(xs)], "t int, x int")
+        row = ljung_box(df, "x", "t", lags=4).collect()[0]
+        assert row["n"] == 16 and row["lags"] == 4
+        assert row["q_lb"] == pytest.approx(self._ref(xs, 4))
+
+    def test_strong_autocorrelation_large_q(self, spark):
+        from pandas_ai_spark.functions.timeseries import ljung_box
+
+        trend = list(range(30))
+        df = spark.createDataFrame(
+            [(i, x) for i, x in enumerate(trend)], "t int, x int")
+        row = ljung_box(df, "x", "t", lags=3).collect()[0]
+        # chi2(3) 99th pct ~ 11.3; a pure trend blows far past it
+        assert row["q_lb"] > 30
+
+    def test_constant_series_null(self, spark):
+        from pandas_ai_spark.functions.timeseries import ljung_box
+
+        df = spark.createDataFrame(
+            [(i, 5) for i in range(10)], "t int, x int")
+        assert ljung_box(df, "x", "t", lags=2).collect()[0]["q_lb"] \
+            is None
+
+
+class TestRunsTest:
+    def _ref(self, seq):
+        import math
+        n1 = sum(seq)
+        n2 = len(seq) - n1
+        runs = 1 + sum(1 for a, b in zip(seq, seq[1:]) if a != b)
+        n = n1 + n2
+        mu = 2 * n1 * n2 / n + 1
+        var = 2 * n1 * n2 * (2 * n1 * n2 - n) / (n * n * (n - 1))
+        return runs, (runs - mu) / math.sqrt(var)
+
+    def test_matches_reference(self, spark):
+        from pandas_ai_spark.functions.stats import runs_test
+
+        seq = [1, 1, 0, 1, 0, 0, 0, 1, 1, 0, 1, 0, 1, 1, 0, 0]
+        df = spark.createDataFrame(
+            [(i, v) for i, v in enumerate(seq)], "t int, v int")
+        row = runs_test(df, "t", "v = 1").collect()[0]
+        r_ref, z_ref = self._ref(seq)
+        assert row["runs"] == r_ref
+        assert row["n1"] == sum(seq)
+        assert row["z"] == pytest.approx(z_ref)
+
+    def test_alternating_sequence_positive_z(self, spark):
+        from pandas_ai_spark.functions.stats import runs_test
+
+        seq = [i % 2 for i in range(20)]  # maximal runs
+        df = spark.createDataFrame(
+            [(i, v) for i, v in enumerate(seq)], "t int, v int")
+        row = runs_test(df, "t", "v = 1").collect()[0]
+        assert row["runs"] == 20 and row["z"] > 3
+
+    def test_degenerate_one_class_null(self, spark):
+        from pandas_ai_spark.functions.stats import runs_test
+
+        df = spark.createDataFrame(
+            [(i, 1) for i in range(8)], "t int, v int")
+        assert runs_test(df, "t", "v = 1").collect()[0]["z"] is None
+
+
+class TestRankingMetrics:
+    def _ref(self, ranked, rels, k):
+        """ranked: [doc...] in rank order; rels: {doc: grade}"""
+        import math
+        disc = {i: 1.0 / math.log2(i + 1) for i in range(1, k + 1)}
+        top = ranked[:k]
+        dcg = sum(rels.get(d, 0) * disc[i + 1]
+                  for i, d in enumerate(top))
+        ideal = sorted((g for g in rels.values() if g > 0),
+                       reverse=True)[:k]
+        idcg = sum(g * disc[i + 1] for i, g in enumerate(ideal))
+        hits, cum, apn, first = 0, 0, 0.0, None
+        for i, d in enumerate(top):
+            if rels.get(d, 0) > 0:
+                cum += 1
+                apn += cum / (i + 1)
+                if first is None:
+                    first = i + 1
+        nrel = sum(1 for g in rels.values() if g > 0)
+        return {
+            "ndcg": dcg / idcg if idcg > 0 else None,
+            "mrr": 1.0 / first if first else 0.0,
+            "ap": apn / min(nrel, k) if nrel else None,
+            "p": cum / k,
+            "r": cum / nrel if nrel else None,
+        }
+
+    def test_matches_reference(self, spark):
+        from pandas_ai_spark.functions.search import ranking_metrics
+
+        ranked = [10, 20, 30, 40, 50, 60, 70, 80]
+        rels = {20: 2, 40: 1, 70: 3, 99: 1}  # 99 not retrieved
+        runs = spark.createDataFrame(
+            [("q1", d, i + 1) for i, d in enumerate(ranked)],
+            "query_id string, doc_id int, rank int")
+        qrels = spark.createDataFrame(
+            [("q1", d, g) for d, g in rels.items()],
+            "query_id string, doc_id int, rel int")
+        row = ranking_metrics(runs, qrels, k=5).collect()[0]
+        ref = self._ref(ranked, rels, 5)
+        assert row["ndcg_at_k"] == pytest.approx(ref["ndcg"])
+        assert row["mrr_at_k"] == pytest.approx(ref["mrr"])
+        assert row["ap_at_k"] == pytest.approx(ref["ap"])
+        assert row["precision_at_k"] == pytest.approx(ref["p"])
+        assert row["recall_at_k"] == pytest.approx(ref["r"])
+        assert row["n_rel"] == 4
+
+    def test_perfect_ranking(self, spark):
+        from pandas_ai_spark.functions.search import ranking_metrics
+
+        runs = spark.createDataFrame(
+            [("q", d, d) for d in (1, 2, 3)],
+            "query_id string, doc_id int, rank int")
+        qrels = spark.createDataFrame(
+            [("q", 1, 3), ("q", 2, 2), ("q", 3, 1)],
+            "query_id string, doc_id int, rel int")
+        row = ranking_metrics(runs, qrels, k=3).collect()[0]
+        assert row["ndcg_at_k"] == pytest.approx(1.0)
+        assert row["mrr_at_k"] == 1.0
+        assert row["ap_at_k"] == pytest.approx(1.0)
+        assert row["recall_at_k"] == pytest.approx(1.0)
+
+    def test_no_relevant_docs(self, spark):
+        from pandas_ai_spark.functions.search import ranking_metrics
+
+        runs = spark.createDataFrame(
+            [("q", 1, 1), ("q", 2, 2)],
+            "query_id string, doc_id int, rank int")
+        qrels = spark.createDataFrame(
+            [], "query_id string, doc_id int, rel int")
+        row = ranking_metrics(runs, qrels, k=2).collect()[0]
+        assert row["mrr_at_k"] == 0.0
+        assert row["precision_at_k"] == 0.0
+        assert row["ndcg_at_k"] is None and row["recall_at_k"] is None
+
+
 def test_oracle_check_canonical_distinguishes_signed_zero():
     sys.path.insert(0, "tools")
     from oracle_check import canonical

@@ -7106,15 +7106,29 @@ def _fold_negzero_rounds(sql: str) -> str:
     and applied mechanically to all oracles rather than per-site.
     Single-arg rounds (integer quantizers feeding ``::BIGINT`` casts)
     are left alone: casting either zero to an integer yields 0.
+    Matches that start inside a single-quoted SQL literal are skipped
+    (a doubled ``''`` escape toggles twice, landing back in-string).
     """
     out: list[str] = []
     i, n = 0, len(sql)
     low = sql.lower()
+    instr = bytearray(n)
+    q = False
+    for idx in range(n):
+        if sql[idx] == "'":
+            instr[idx] = 1
+            q = not q
+        elif q:
+            instr[idx] = 1
     while True:
         j = low.find("round", i)
         if j < 0:
             out.append(sql[i:])
             break
+        if instr[j]:
+            out.append(sql[i:j + 5])
+            i = j + 5
+            continue
         if j > 0 and (low[j - 1].isalnum() or low[j - 1] == "_"):
             out.append(sql[i:j + 5])
             i = j + 5
@@ -7148,8 +7162,15 @@ def _fold_negzero_rounds(sql: str) -> str:
         # recurse into the argument list so nested rounds are covered
         inner = _fold_negzero_rounds(sql[k + 1:p])
         call = sql[j:k + 1] + inner + ")"
+        # idempotence: a round already written as "(round(...) + 0.0)"
+        # (by a prior fold or by hand) is left alone, so the folded
+        # form is a FIXED POINT — what lets the oracle lint assert
+        # fold(sql) == sql for every registered oracle.
+        already = (j > 0 and sql[j - 1] == "("
+                   and sql[p + 1:p + 7] == " + 0.0")
         out.append(sql[i:j])
-        out.append("(" + call + " + 0.0)" if comma else call)
+        out.append("(" + call + " + 0.0)" if comma and not already
+                   else call)
         i = p + 1
     return "".join(out)
 

@@ -332,14 +332,25 @@ def main() -> None:
                             rate = r2
                             out["streaming"][qname] = dict(m2)
                         ok = bool(rate is not None and rate >= qfloor)
-                verdicts[qname] = ok
+                # self-describing entry (VERDICT r13 item 5): the
+                # EFFECTIVE per-stream floor next to each pass flag,
+                # so the artifact alone never reads as "38k passed a
+                # 50k floor" — floor_rows_per_sec below is the BASE
+                # the fractions scale.
+                verdicts[qname] = {
+                    "rate": (round(rate, 1) if rate is not None
+                             else None),
+                    "floor": round(qfloor, 1),
+                    "pass": ok,
+                }
                 if not ok:
                     print(f"STREAM FLOOR FAIL: {qname} "
                           f"{rate} rows/s < {qfloor}", file=sys.stderr)
             out["streaming_floor"] = {
+                "base_floor_rows_per_sec": floor,
                 "floor_rows_per_sec": floor,
                 "pass": verdicts,
-                "all_pass": all(verdicts.values()),
+                "all_pass": all(v["pass"] for v in verdicts.values()),
             }
     except Exception:
         pass

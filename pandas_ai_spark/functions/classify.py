@@ -816,8 +816,8 @@ def weighted_kappa(df: DataFrame, col_a: str, col_b: str,
         cross_cond = cross_cond & F.col(c).eqNullSafe(F.col(f"__x_{c}"))
     dd = F.abs(F.col("__ia") - F.col("__ib"))
     ddq = (dd * dd if q == 2 else dd).cast("bigint")
-    eagg = F.sum(F.col("__ri") * F.col("__cj") * ddq) \
-        .cast("decimal(38,0)").alias("__E")
+    eagg = F.sum(F.col("__ri").cast("decimal(38,0)")
+                 * F.col("__cj") * ddq).alias("__E")
     crossed = ra.join(cb, cross_cond).drop(
         *[f"__x_{c}" for c in by])
     e = (crossed.groupBy(*[F.col(c) for c in by]).agg(eagg)
@@ -901,8 +901,8 @@ def fleiss_kappa(df: DataFrame, item_col: str, category_col: str,
         F.sum("__nic").cast("bigint").alias("__tc"))
     cagg = [F.count(F.lit(1)).cast("bigint").alias("n_categories"),
             F.sum("__tc").cast("bigint").alias("__T"),
-            F.sum(F.col("__tc") * F.col("__tc"))
-             .cast("decimal(38,0)").alias("__T2")]
+            F.sum(F.col("__tc").cast("decimal(38,0)")
+                   * F.col("__tc")).alias("__T2")]
     cat = (catt.groupBy(*[F.col(x) for x in by]).agg(*cagg)
            if by else catt.agg(*cagg))
     if by:
@@ -974,8 +974,8 @@ def krippendorff_alpha(df: DataFrame, unit_col: str, value_col: str,
     catt = kept_votes.groupBy(*by, "__c").agg(
         F.sum("__nic").cast("bigint").alias("__tc"))
     cagg = [F.sum("__tc").cast("bigint").alias("n_votes"),
-            F.sum(F.col("__tc") * F.col("__tc"))
-             .cast("decimal(38,0)").alias("__T2")]
+            F.sum(F.col("__tc").cast("decimal(38,0)")
+                   * F.col("__tc")).alias("__T2")]
     cat = (catt.groupBy(*[F.col(x) for x in by]).agg(*cagg)
            if by else catt.agg(*cagg))
     if by:
@@ -1018,8 +1018,8 @@ def gwet_ac1(df: DataFrame, col_a: str, col_b: str,
     sc = stacked.groupBy(*by, "__c").agg(
         F.count(F.lit(1)).cast("bigint").alias("__sc"))
     cagg = [F.count(F.lit(1)).cast("bigint").alias("k"),
-            F.sum(F.col("__sc") * F.col("__sc"))
-             .cast("decimal(38,0)").alias("__s2")]
+            F.sum(F.col("__sc").cast("decimal(38,0)")
+                   * F.col("__sc")).alias("__s2")]
     cat = (sc.groupBy(*[F.col(x) for x in by]).agg(*cagg)
            if by else sc.agg(*cagg))
     if by:

@@ -244,9 +244,45 @@ def triangle_counts(edges: DataFrame, src: str = "src",
     return per_node.groupBy("node").agg(F.count("*").alias("triangles"))
 
 
+def _hits_local(e: DataFrame, iterations: int) -> DataFrame:
+    """Driver-local HITS over an already-distinct persisted edge table
+    small enough to collect — numpy ``bincount`` rounds instead of
+    2·iterations broadcast-join jobs. Bitwise-identical to the
+    distributed path: every intermediate is an integer-valued float64
+    sum (exact, order-independent to 2^53), the L2 norm and final
+    divisions are single IEEE ops on both sides."""
+    import numpy as np
+    import pandas as pd
+
+    pdf = e.toPandas()
+    if len(pdf) == 0:
+        raise ValueError("hits needs a non-empty edge table")
+    both = pd.concat([pdf.iloc[:, 0], pdf.iloc[:, 1]],
+                     ignore_index=True)
+    codes, uniques = pd.factorize(both, sort=False)
+    n = len(uniques)
+    s_idx, d_idx = codes[:len(pdf)], codes[len(pdf):]
+    h = np.ones(n, dtype="float64")
+    a = np.zeros(n, dtype="float64")
+    for _ in range(int(iterations)):
+        a = np.bincount(d_idx, weights=h[s_idx], minlength=n)
+        h = np.bincount(s_idx, weights=a[d_idx], minlength=n)
+    nh = float(np.sqrt(np.sum(h * h)))
+    na = float(np.sqrt(np.sum(a * a)))
+    out = pd.DataFrame({"node": pd.Series(uniques),
+                        "hub": h / nh, "authority": a / na})
+    from pyspark.sql import types as T
+    schema = T.StructType([
+        T.StructField("node", e.schema[0].dataType),
+        T.StructField("hub", T.DoubleType()),
+        T.StructField("authority", T.DoubleType())])
+    return e.sparkSession.createDataFrame(out, schema=schema)
+
+
 def hits(edges: DataFrame, src: str = "src", dst: str = "dst",
          iterations: int = 3, checkpoint_every: int = 2,
-         broadcast_nodes_below: int = 5_000_000) -> DataFrame:
+         broadcast_nodes_below: int = 5_000_000,
+         local_edges_below: int = 1_000_000) -> DataFrame:
     """HITS hubs & authorities (Kleinberg) over a directed edge table:
     ``(node, hub, authority)`` after ``iterations`` rounds of
     ``a ← Aᵀh; h ← A·a`` from ``h₀ = 1``, L2-normalized ONCE at the
@@ -272,13 +308,25 @@ def hits(edges: DataFrame, src: str = "src", dst: str = "dst",
     without it a many-iteration run replans a join chain whose depth
     grows 2 per round. Checkpointing is an identity on the scores
     (integer-exact sums are unchanged), so the SQL oracle contract is
-    unaffected. Wall-clock note (r13, sf0.1 q138 decomposition): at toy
-    scale each half-round costs ~0.4-1.0 s of SCHEDULER floor (cached
-    289k-row edge scan + broadcast build + partial-agg shuffle), so 6
-    rounds ≈ 5 s regardless of lineage — the per-round floor, not plan
-    depth, dominates vs a single-process engine; at cluster scale the
-    floor amortizes (fixed round count, linear work per round) and the
-    checkpoint is what prevents replan blow-up.
+    unaffected.
+
+    ``local_edges_below`` is the small-graph fast path (the broadcast-
+    join idea applied to the whole operator): when the DISTINCT edge
+    count — one cheap job on the already-persisted edge table, paid by
+    both paths — is at or below it, the iteration runs driver-local
+    over numpy ``bincount`` instead of 2·iterations broadcast-join
+    rounds. Rationale (r13 q138 decomposition, sf0.1): each distributed
+    half-round costs ~0.4-1.0 s of SCHEDULER floor (cached edge scan +
+    broadcast build + partial-agg shuffle), so 6 rounds ≈ 5 s of pure
+    per-job overhead on a graph whose score vectors fit the driver many
+    times over — exactly the regime where a single-process engine wins.
+    The two paths are bitwise-identical by construction (integer-exact
+    float64 sums, shared IEEE norm/division), so the oracle contract is
+    unaffected; at 10⁶ edges the collected table is ≲100 MB driver
+    memory, and above the threshold the distributed rounds (fixed round
+    count, linear work per round, score side broadcast) are unchanged —
+    at cluster scale the scheduler floor amortizes and the edge table
+    never moves. Pass ``local_edges_below=0`` to force distributed.
     """
     from .cache import operator_persist
 
@@ -287,11 +335,14 @@ def hits(edges: DataFrame, src: str = "src", dst: str = "dst",
     e = operator_persist(
         edges.select(F.col(src).alias("__s"),
                      F.col(dst).alias("__d")).distinct())
+    n_edges = e.count()
+    if n_edges == 0:
+        raise ValueError("hits needs a non-empty edge table")
+    if n_edges <= local_edges_below:
+        return _hits_local(e, iterations)
     nodes = (e.select(F.col("__s").alias("node"))
               .union(e.select("__d")).distinct())
     n_nodes = nodes.count()
-    if n_nodes == 0:
-        raise ValueError("hits needs a non-empty edge table")
     maybe_bc = (F.broadcast if n_nodes < broadcast_nodes_below
                 else (lambda d: d))
     h = nodes.select("node", F.lit(1.0).alias("h"))

@@ -280,7 +280,20 @@ def mp4_parse(blob: bytes) -> "dict | None":
     """Parse an ISO-BMFF container into movie + per-track metadata and
     sample tables, or ``None`` when the blob is not ISO-BMFF (no valid
     top-level ``ftyp``/``moov`` walk). Pure python over the public box
-    grammar (ISO/IEC 14496-12) — no decoding, no dependencies."""
+    grammar (ISO/IEC 14496-12) — no decoding, no dependencies.
+
+    Hardened against hostile/corrupt blobs: every sample-table entry
+    count is clamped to the bytes actually present in its box (a
+    declared stsz/stco count of 2^32-1 cannot allocate past the blob),
+    and any residual malformed-structure error degrades to ``None``
+    (caller contract: not-MP4, never a failed Spark task)."""
+    try:
+        return _mp4_parse_unchecked(blob)
+    except Exception:
+        return None
+
+
+def _mp4_parse_unchecked(blob: bytes) -> "dict | None":
     if blob is None or len(blob) < 16:
         return None
     info = {"brand": None, "timescale": None, "duration": None,
@@ -330,8 +343,13 @@ def mp4_parse(blob: bytes) -> "dict | None":
                     fixed = int.from_bytes(buf[p + 4:p + 8], "big")
                     cnt = int.from_bytes(buf[p + 8:p + 12], "big")
                     if fixed:
+                        # Fixed-size path carries no table bytes to
+                        # clamp against; samples live inside this blob,
+                        # so the count can never exceed blob_len/size.
+                        cnt = min(cnt, len(buf) // max(fixed, 1) + 1)
                         trk["sample_sizes"] = [fixed] * cnt
                     else:
+                        cnt = min(cnt, max(0, (be - p - 12) // 4))
                         trk["sample_sizes"] = [
                             int.from_bytes(
                                 buf[p + 12 + 4 * i:p + 16 + 4 * i],
@@ -339,18 +357,21 @@ def mp4_parse(blob: bytes) -> "dict | None":
                             for i in range(cnt)]
                 elif typ == b"stco":
                     cnt = int.from_bytes(buf[p + 4:p + 8], "big")
+                    cnt = min(cnt, max(0, (be - p - 8) // 4))
                     trk["chunk_offsets"] = [
                         int.from_bytes(
                             buf[p + 8 + 4 * i:p + 12 + 4 * i], "big")
                         for i in range(cnt)]
                 elif typ == b"co64":
                     cnt = int.from_bytes(buf[p + 4:p + 8], "big")
+                    cnt = min(cnt, max(0, (be - p - 8) // 8))
                     trk["chunk_offsets"] = [
                         int.from_bytes(
                             buf[p + 8 + 8 * i:p + 16 + 8 * i], "big")
                         for i in range(cnt)]
                 elif typ == b"stsc":
                     cnt = int.from_bytes(buf[p + 4:p + 8], "big")
+                    cnt = min(cnt, max(0, (be - p - 8) // 12))
                     trk["stsc"] = [
                         tuple(int.from_bytes(
                             buf[p + 8 + 12 * i + 4 * j:

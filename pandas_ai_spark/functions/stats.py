@@ -114,6 +114,19 @@ def _row_width_bytes(schema) -> int:
     return max(width, 8)
 
 
+def _plan_has_python_stage(df: DataFrame) -> bool:
+    """True when the analyzed plan contains a Python evaluation stage
+    (row/Arrow UDF, {map,apply}InPandas…) — i.e. re-executing the plan
+    for a stand-in count() would re-run user Python. Plan inspection
+    only; no job runs."""
+    try:
+        plan = df._jdf.queryExecution().analyzed().toString().lower()
+    except Exception:
+        return False
+    return ("pythonudf" in plan or "evalpython" in plan
+            or "inpandas" in plan or "inarrow" in plan)
+
+
 def _resolve_rank_path(df: DataFrame, by: list[str],
                        distributed: bool | None, op: str) -> bool:
     """Resolve the three-state ``distributed`` flag of the rank-window
@@ -132,8 +145,23 @@ def _resolve_rank_path(df: DataFrame, by: list[str],
         # absent-estimate sources (createDataFrame, UDF-derived plans)
         # are exactly the inputs nobody measured — don't silently pick
         # the parallelism-collapsing window form (VERDICT r12 item 7).
-        # One count() is cheap relative to the operator's own multi-
-        # pass scans; width×rows stands in for the missing estimate.
+        # Plans with Python-UDF stages are expensive to execute twice,
+        # so those skip the stand-in count and dispatch straight to the
+        # distributed path (correct at any size, scale-safe at every
+        # size) with a warning; everything else (createDataFrame /
+        # LocalRelation inputs) pays ONE count() — cheap relative to
+        # the operator's own multi-pass scans — and width×rows stands
+        # in for the missing estimate. (ADVICE r13: no eager re-
+        # execution of expensive upstream plans.)
+        if _plan_has_python_stage(df):
+            _warn_once(f"rank:{op}:udfplan",
+                       f"stats.{op}: input plan has no size estimate "
+                       "and contains Python-UDF stages (expensive to "
+                       "re-execute for a stand-in count); dispatching "
+                       "to the distributed rank path. Pass "
+                       "distributed=True/False (or cache the input) "
+                       "to choose explicitly")
+            return True
         rows = df.count()
         size = rows * _row_width_bytes(df.schema)
         _warn_once(f"rank:{op}:unknown",
@@ -1006,6 +1034,12 @@ def ks_test(df: DataFrame, group_col: str, value_col: str,
     proven, q187 vs q132 shared oracle) when Catalyst's size estimate
     says the per-group share exceeds ``RANK_WINDOW_MAX_BYTES`` (the
     few-huge-groups shape); explicit True/False forces a path.
+
+    ``distributed=None`` (the default) auto-dispatches: when Catalyst has
+    no size estimate for the input plan, this runs ONE eager ``count()``
+    job to stand in for it (skipped — dispatching distributed — when the
+    plan contains Python-UDF stages that would be expensive to re-run).
+    Pass ``distributed=True/False`` to keep the call fully lazy.
     """
     from pyspark.sql.window import Window
 
@@ -1183,6 +1217,12 @@ def spearman_corr(df: DataFrame, x_col: str, y_col: str,
     driver-hash-proven, q180 vs q177) when Catalyst's size estimate
     says the per-group share exceeds ``RANK_WINDOW_MAX_BYTES``;
     explicit True/False forces a path.
+
+    ``distributed=None`` (the default) auto-dispatches: when Catalyst has
+    no size estimate for the input plan, this runs ONE eager ``count()``
+    job to stand in for it (skipped — dispatching distributed — when the
+    plan contains Python-UDF stages that would be expensive to re-run).
+    Pass ``distributed=True/False`` to keep the call fully lazy.
     """
     from pyspark.sql.window import Window
 
@@ -1590,6 +1630,12 @@ def mann_whitney_u(df: DataFrame, value_col: str, sample_col: str,
     routes to :func:`mann_whitney_u_distributed`, whose output is
     IDENTICAL by contract (driver-hash-proven, q182 vs q159).
     Explicit True/False forces a path.
+
+    ``distributed=None`` (the default) auto-dispatches: when Catalyst has
+    no size estimate for the input plan, this runs ONE eager ``count()``
+    job to stand in for it (skipped — dispatching distributed — when the
+    plan contains Python-UDF stages that would be expensive to re-run).
+    Pass ``distributed=True/False`` to keep the call fully lazy.
     """
     by = list(by or [])
     if _resolve_rank_path(df, by, distributed, "mann_whitney_u"):
@@ -1676,6 +1722,12 @@ def bh_fdr(df: DataFrame, p_col: str, alpha: float = 0.05,
     proven, q183 vs q160) when Catalyst's size estimate says the
     per-family share exceeds ``RANK_WINDOW_MAX_BYTES``; explicit
     True/False forces a path.
+
+    ``distributed=None`` (the default) auto-dispatches: when Catalyst has
+    no size estimate for the input plan, this runs ONE eager ``count()``
+    job to stand in for it (skipped — dispatching distributed — when the
+    plan contains Python-UDF stages that would be expensive to re-run).
+    Pass ``distributed=True/False`` to keep the call fully lazy.
     """
     if _resolve_rank_path(df, list(family_cols or []), distributed,
                           "bh_fdr"):
@@ -1975,6 +2027,12 @@ def wasserstein_1d(df: DataFrame, group_col: str, value_col: str,
     values — driver-hash-proven, q190 vs q188 shared oracle) when
     Catalyst's size estimate says the per-group share exceeds
     ``RANK_WINDOW_MAX_BYTES``; explicit True/False forces a path.
+
+    ``distributed=None`` (the default) auto-dispatches: when Catalyst has
+    no size estimate for the input plan, this runs ONE eager ``count()``
+    job to stand in for it (skipped — dispatching distributed — when the
+    plan contains Python-UDF stages that would be expensive to re-run).
+    Pass ``distributed=True/False`` to keep the call fully lazy.
     """
     from pyspark.sql.window import Window
 
@@ -2340,6 +2398,12 @@ def kruskal_wallis(df: DataFrame, value_col: str, group_col: str,
     window caveat — so ``distributed=None`` auto-dispatches to
     :func:`kruskal_wallis_distributed` (IDENTICAL output) when
     Catalyst's size estimate says a few huge groups dominate.
+
+    ``distributed=None`` (the default) auto-dispatches: when Catalyst has
+    no size estimate for the input plan, this runs ONE eager ``count()``
+    job to stand in for it (skipped — dispatching distributed — when the
+    plan contains Python-UDF stages that would be expensive to re-run).
+    Pass ``distributed=True/False`` to keep the call fully lazy.
     """
     from pyspark.sql.window import Window
 
@@ -2811,6 +2875,12 @@ def dunn_test(df: DataFrame, value_col: str, group_col: str,
     IDENTICAL midranks) when Catalyst's size estimate says a few
     huge groups dominate - the z/BH stages are grain-bounded either
     way; explicit True/False forces a path.
+
+    ``distributed=None`` (the default) auto-dispatches: when Catalyst has
+    no size estimate for the input plan, this runs ONE eager ``count()``
+    job to stand in for it (skipped — dispatching distributed — when the
+    plan contains Python-UDF stages that would be expensive to re-run).
+    Pass ``distributed=True/False`` to keep the call fully lazy.
     """
     from pyspark.sql.functions import broadcast
     from pyspark.sql.window import Window
@@ -4380,7 +4450,8 @@ def cronbach_alpha(df: DataFrame, subject_col: str, item_col: str,
 
 
 def siegel_slopes(df: DataFrame, x_col: str, y_col: str,
-                  by: list[str] | None = None) -> DataFrame:
+                  by: list[str] | None = None,
+                  x_cells_guard: int | None = 10_000) -> DataFrame:
     """Siegel repeated-medians regression - the 50%-breakdown robust
     line beside :func:`theil_sen` (Theil-Sen's single median of all
     pairwise slopes breaks down at ~29% contamination; Siegel's
@@ -4408,6 +4479,16 @@ def siegel_slopes(df: DataFrame, x_col: str, y_col: str,
     (both directions, x_i != x_j); the inner-median windows partition
     by (group, CELL) - cells-way parallel; outer median over the
     bounded cell grain.
+
+    ``x_cells_guard`` (default 10 000) protects against CONTINUOUS x:
+    the pairwise join is row-count-safe only because cells are a
+    bounded grain — a continuous x makes cells ≈ rows and the join
+    quadratic in rows. When set, the cell grain is persisted (it is
+    referenced four times downstream anyway) and ONE count job checks
+    the largest per-group cell count; above the threshold a warning
+    names the offending magnitude and recommends bucketing x upstream
+    (``F.round`` / ``width_bucket`` — the q189 device). Pass ``None``
+    to skip the check (fully lazy, no persist).
     """
     from pyspark.sql.functions import broadcast
 
@@ -4417,6 +4498,24 @@ def siegel_slopes(df: DataFrame, x_col: str, y_col: str,
         *[F.col(c) for c in by],
         F.col(x_col).alias("__x"), F.col(y_col).alias("__y")).agg(
         F.count(F.lit(1)).cast("bigint").alias("__n"))
+    if x_cells_guard:
+        from .cache import operator_persist
+        cells = operator_persist(cells)
+        if by:
+            mx = cells.groupBy(*[F.col(c) for c in by]).agg(
+                F.count(F.lit(1)).alias("__c")).agg(
+                F.max("__c")).collect()[0][0]
+        else:
+            mx = cells.count()
+        if mx and mx > int(x_cells_guard):
+            _warn_once(
+                f"siegel:{x_col}:{y_col}",
+                f"stats.siegel_slopes: largest group has {mx} distinct "
+                f"(x, y) cells (> x_cells_guard={x_cells_guard}); the "
+                "pairwise-slope join is Theta(cells^2) and will be "
+                "slow/explosive on continuous x. Bucket x upstream "
+                "(F.round / width_bucket) or raise x_cells_guard "
+                "deliberately")
     left = cells.select(
         *[F.col(c).alias(f"__l_{c}") for c in by],
         F.col("__x").alias("__xi"), F.col("__y").alias("__yi"))
@@ -4700,14 +4799,14 @@ def cochran_q(df: DataFrame, block_col: str, treatment_col: str,
     gj = cells.groupBy(*by, "__t").agg(
         F.count(F.lit(1)).cast("bigint").alias("__g"))
     gagg = [F.sum("__g").cast("bigint").alias("t"),
-            F.sum(F.col("__g") * F.col("__g")).cast("decimal(38,0)")
-             .alias("__g2")]
+            F.sum(F.col("__g").cast("decimal(38,0)")
+                  * F.col("__g")).alias("__g2")]
     gt = (gj.groupBy(*[F.col(c) for c in by]).agg(*gagg)
           if by else gj.agg(*gagg))
     li = cells.groupBy(*by, "__b").agg(
         F.count(F.lit(1)).cast("bigint").alias("__l"))
-    lagg = [F.sum(F.col("__l") * F.col("__l")).cast("decimal(38,0)")
-             .alias("__l2")]
+    lagg = [F.sum(F.col("__l").cast("decimal(38,0)")
+                  * F.col("__l")).alias("__l2")]
     lt = (li.groupBy(*[F.col(c) for c in by]).agg(*lagg)
           if by else li.agg(*lagg))
     if by:

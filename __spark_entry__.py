@@ -2451,6 +2451,32 @@ def q227_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("z", 9).alias("z")).orderBy("event_type")
 
 
+def q228_video_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Codec stage behind the q224 demux
+    (multimodal.decode_video_frames): every 7th demuxed sample decoded
+    to an rgb24 pixel plane — here through the deterministic fake
+    decoder (payload tiled into width×height×3; PyAV is the
+    import-gated real path, absent in this container), so the Arrow
+    mapInPandas plumbing, geometry recovery and frame sampling are
+    fully exercised and a SQL oracle predicts every output from the
+    generating parameters: plane size = w·h·3, first byte = the
+    synthesizer's 0xAB payload fill."""
+    from pandas_ai_spark.functions.multimodal import decode_video_frames
+
+    media = _synth_mp4_media(spark, sf_dir)
+    px = decode_video_frames(media, "media", "doc_id", every_n=7,
+                             decoder="fake")
+    return px.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_sampled"),
+        F.min("width").cast("int").alias("width"),
+        F.min("height").cast("int").alias("height"),
+        F.sum(F.length("pixels")).cast("bigint")
+         .alias("total_pixel_bytes"),
+        F.min(F.hex(F.expr("substring(pixels, 1, 1)")))
+         .alias("first_pixel_hex"),
+    ).orderBy("doc_id")
+
+
 def q205_friedman(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Blocked rank test (stats.friedman_test): ranking WITHIN each
     order month, do the five priorities consistently out-earn each
@@ -6164,6 +6190,7 @@ def queries_numeric() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q225_ranking_metrics": q225_ranking_metrics,
         "q226_ljung_box": q226_ljung_box,
         "q227_runs_test": q227_runs_test,
+        "q228_video_pixels": q228_video_pixels,
     }
 
 
@@ -12201,6 +12228,22 @@ def oracle_sql() -> dict[str, str]:
                CAST(min(CASE WHEN i = 0
                              THEN n_chars % 17 + 1 END) AS BIGINT)
                  AS first_frame_len
+        FROM idxs GROUP BY doc_id ORDER BY doc_id
+    """
+    d["q228_video_pixels"] = """
+        WITH idxs AS (
+          SELECT d.doc_id, d.n_chars, i
+          FROM documents d, generate_series(0, 41, 7) t(i)
+          WHERE i <= d.n_chars % 40 + 2
+        )
+        SELECT doc_id,
+               CAST(count(*) AS BIGINT) AS n_sampled,
+               CAST(320 + (doc_id % 4) * 16 AS INTEGER) AS width,
+               CAST(240 + (doc_id % 3) * 16 AS INTEGER) AS height,
+               CAST(count(*) * (320 + (doc_id % 4) * 16)
+                    * (240 + (doc_id % 3) * 16) * 3 AS BIGINT)
+                 AS total_pixel_bytes,
+               'AB' AS first_pixel_hex
         FROM idxs GROUP BY doc_id ORDER BY doc_id
     """
     d["q225_ranking_metrics"] = _q225_oracle()

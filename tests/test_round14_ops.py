@@ -144,6 +144,78 @@ class TestMp4Hardening:
 
 
 # ---------------------------------------------------------------------------
+# video pixel decode (codec stage behind the demuxer, VERDICT r13 item 7)
+# ---------------------------------------------------------------------------
+
+class TestVideoPixelDecode:
+    def _media(self, spark):
+        from pandas_ai_spark.functions.multimodal import build_mp4
+
+        frames = [bytes([i % 251 for i in range(j + 5)])
+                  for j in range(9)]
+        blob = build_mp4(frames, 32, 24, 900)
+        return (spark.createDataFrame([(1, bytearray(blob))],
+                                      "doc_id long, media binary"),
+                frames)
+
+    def test_fake_decode_tiles_demuxed_payload(self, spark):
+        """The fake path still runs the REAL demux: geometry from tkhd,
+        sampled payloads sliced via stsz/stsc/stco, then tiled into the
+        w*h*3 plane — content- and geometry-exact."""
+        from pandas_ai_spark.functions.multimodal import (
+            _fake_decode_pixels, decode_video_frames)
+
+        df, frames = self._media(spark)
+        rows = {r["frame_idx"]: r for r in decode_video_frames(
+            df, "media", "doc_id", every_n=4,
+            decoder="fake").collect()}
+        assert sorted(rows) == [0, 4, 8]
+        for i, r in rows.items():
+            assert (r["width"], r["height"]) == (32, 24)
+            assert bytes(r["pixels"]) == _fake_decode_pixels(
+                frames[i], 32, 24)
+            assert len(r["pixels"]) == 32 * 24 * 3
+
+    def test_real_decoder_requires_pyav(self, spark):
+        from pandas_ai_spark.functions.multimodal import (
+            DecoderUnavailable, decode_video_frames)
+
+        try:
+            import av  # noqa: F401
+            pytest.skip("pyav installed — raise path not applicable")
+        except ImportError:
+            pass
+        df, _ = self._media(spark)
+        with pytest.raises(DecoderUnavailable, match="PyAV"):
+            decode_video_frames(df, "media", "doc_id", decoder="real")
+
+    def test_real_decode_with_pyav(self, spark):
+        """Gated on PyAV presence (absent in this container): a real
+        codec decode must yield rgb24 planes whose byte count matches
+        the decoded geometry."""
+        pytest.importorskip("av")
+        from pandas_ai_spark.functions.multimodal import (
+            decode_video_frames)
+
+        df, _ = self._media(spark)
+        out = decode_video_frames(df, "media", "doc_id", every_n=1,
+                                  decoder="real").collect()
+        assert out and all(
+            len(r["pixels"]) == r["width"] * r["height"] * 3
+            for r in out)
+
+    def test_non_mp4_blob_yields_no_rows_on_fake(self, spark):
+        from pandas_ai_spark.functions.multimodal import (
+            decode_video_frames)
+
+        df = spark.createDataFrame(
+            [(7, bytearray(b"\x01" * 200))],
+            "doc_id long, media binary")
+        assert decode_video_frames(df, "media", "doc_id",
+                                   decoder="fake").count() == 0
+
+
+# ---------------------------------------------------------------------------
 # decimal cast BEFORE product/sum (source lint + behavior pin)
 # ---------------------------------------------------------------------------
 

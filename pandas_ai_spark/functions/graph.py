@@ -376,9 +376,47 @@ def hits(edges: DataFrame, src: str = "src", dst: str = "dst",
                      / F.lit(float(na))).alias("authority")))
 
 
+def _min_label_local(fwd: DataFrame, iterations: int) -> DataFrame:
+    """Driver-local min-label propagation over an already-persisted
+    raw edge table small enough to collect — numpy ``minimum.at``
+    rounds instead of per-round join jobs. Identical to the
+    distributed rounds by construction: labels are node ids, the
+    factorize is SORTED so integer code order equals value order
+    (lexicographic for strings — the same binary ordering Spark's
+    ``least`` uses), and min is exact on integers."""
+    import numpy as np
+    import pandas as pd
+
+    pdf = fwd.toPandas()
+    if len(pdf) == 0:
+        raise ValueError("min_label_propagation needs a non-empty "
+                         "edge table")
+    both = pd.concat([pdf.iloc[:, 0], pdf.iloc[:, 1]],
+                     ignore_index=True)
+    codes, uniques = pd.factorize(both, sort=True)
+    n = len(uniques)
+    a, b = codes[:len(pdf)], codes[len(pdf):]
+    mask = a != b  # self-loops shape membership only, not propagation
+    s = np.concatenate([a[mask], b[mask]])
+    d = np.concatenate([b[mask], a[mask]])
+    labels = np.arange(n, dtype=np.int64)
+    for _ in range(int(iterations)):
+        neigh = np.full(n, n, dtype=np.int64)
+        np.minimum.at(neigh, d, labels[s])
+        labels = np.minimum(labels, neigh)
+    out = pd.DataFrame({"node": pd.Series(uniques),
+                        "label": pd.Series(uniques[labels])})
+    from pyspark.sql import types as T
+    node_t = fwd.schema[0].dataType
+    schema = T.StructType([T.StructField("node", node_t),
+                           T.StructField("label", node_t)])
+    return fwd.sparkSession.createDataFrame(out, schema=schema)
+
+
 def min_label_propagation(edges: DataFrame, src: str = "src",
                           dst: str = "dst", iterations: int = 3,
-                          broadcast_nodes_below: int = 5_000_000
+                          broadcast_nodes_below: int = 5_000_000,
+                          local_edges_below: int = 1_000_000
                           ) -> DataFrame:
     """Synchronous min-label propagation over an UNDIRECTED graph:
     every node starts labeled with its own id; each round every node
@@ -398,12 +436,24 @@ def min_label_propagation(edges: DataFrame, src: str = "src",
     it broadcasts below ``broadcast_nodes_below`` nodes. Min is
     idempotent/associative, so map-side combine collapses the shuffle
     to the node count.
+
+    ``local_edges_below`` is the small-graph fast path (the q138/hits
+    device): at or below that many RAW edges — one count on the
+    persisted edge table, whose upstream both paths execute exactly
+    once — the rounds run driver-local over numpy ``minimum.at``
+    instead of per-round join jobs, identical by construction (sorted
+    factorize makes integer code order equal value order). Pass 0 to
+    force the distributed rounds.
     """
     from .cache import operator_persist
 
     if iterations < 1:
         raise ValueError("iterations must be >= 1")
     fwd = edges.select(F.col(src).alias("__a"), F.col(dst).alias("__b"))
+    if local_edges_below:
+        fwd = operator_persist(fwd)
+        if fwd.count() <= local_edges_below:
+            return _min_label_local(fwd, iterations)
     sym = operator_persist(
         fwd.union(fwd.select(F.col("__b"), F.col("__a"))
                      .toDF("__a", "__b"))

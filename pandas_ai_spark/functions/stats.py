@@ -127,6 +127,19 @@ def _plan_has_python_stage(df: DataFrame) -> bool:
             or "inpandas" in plan or "inarrow" in plan)
 
 
+def _plan_has_join(df: DataFrame) -> bool:
+    """True when the optimized plan contains a join node. Catalyst's
+    non-CBO join size estimate is a PRODUCT of the child sizes — a
+    150k-row broadcast-join output can report hundreds of GB — so an
+    over-threshold estimate on a join plan is evidence of nothing.
+    Plan inspection only; no job runs."""
+    try:
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+    except Exception:
+        return False
+    return "Join" in plan
+
+
 def _resolve_rank_path(df: DataFrame, by: list[str],
                        distributed: bool | None, op: str) -> bool:
     """Resolve the three-state ``distributed`` flag of the rank-window
@@ -168,6 +181,17 @@ def _resolve_rank_path(df: DataFrame, by: list[str],
                    f"stats.{op}: input plan has no size estimate; "
                    f"counted {rows} rows (~{size} bytes) to dispatch. "
                    "Pass distributed=True/False to skip the count")
+    elif (size > RANK_WINDOW_MAX_BYTES and _plan_has_join(df)
+            and not _plan_has_python_stage(df)):
+        # Catalyst's non-CBO join estimate is a child-size PRODUCT
+        # (r14: q160's 150k-row broadcast-join output reported 230 GB,
+        # silently routing the window twin to the distributed path).
+        # An over-threshold estimate on a join plan is unreliable in
+        # exactly the direction that matters — replace it with a
+        # counted width×rows stand-in (one cheap job; at real scale
+        # the count is huge and the distributed dispatch stands).
+        rows = df.count()
+        size = rows * _row_width_bytes(df.schema)
     if size <= RANK_WINDOW_MAX_BYTES:
         return False
     if by:

@@ -317,6 +317,89 @@ class TestHitsLocalPath:
 
 
 # ---------------------------------------------------------------------------
+# min-label propagation small-graph fast path
+# ---------------------------------------------------------------------------
+
+class TestLabelPropLocalPath:
+    def _edges(self, spark):
+        import random
+
+        rng = random.Random(77)
+        rows = [(f"n{rng.randrange(60):02d}",
+                 f"n{rng.randrange(60):02d}") for _ in range(300)]
+        rows.append(("zz_selfloop", "zz_selfloop"))  # membership-only
+        return spark.createDataFrame(rows, ["src", "dst"])
+
+    def test_local_equals_distributed(self, spark):
+        from pandas_ai_spark.functions.graph import (
+            min_label_propagation)
+
+        e = self._edges(spark)
+        local = {r["node"]: r["label"]
+                 for r in min_label_propagation(
+                     e, iterations=3).collect()}
+        dist = {r["node"]: r["label"]
+                for r in min_label_propagation(
+                    e, iterations=3, local_edges_below=0).collect()}
+        assert local == dist
+        assert local["zz_selfloop"] == "zz_selfloop"
+
+    def test_empty_edges_raise_on_both_paths(self, spark):
+        from pandas_ai_spark.functions.graph import (
+            min_label_propagation)
+
+        e = spark.createDataFrame([], "src string, dst string")
+        with pytest.raises(ValueError):
+            min_label_propagation(e).collect()
+        with pytest.raises(ValueError):
+            min_label_propagation(e, local_edges_below=0).collect()
+
+
+# ---------------------------------------------------------------------------
+# rank dispatch: join plans distrust Catalyst's product estimate
+# ---------------------------------------------------------------------------
+
+class TestRankDispatchJoinEstimate:
+    def test_inflated_join_estimate_recounts(self, spark, monkeypatch):
+        """r14: Catalyst's non-CBO join size estimate is a child-size
+        product (q160's 150k-row broadcast-join output reported 230
+        GB), silently routing window twins to the distributed path at
+        toy scale. An over-threshold estimate on a join plan must be
+        replaced by a counted width×rows stand-in."""
+        from pandas_ai_spark.functions import stats
+
+        left = spark.createDataFrame(
+            [(i, float(i)) for i in range(30)], ["k", "v"])
+        right = spark.createDataFrame(
+            [(i, f"g{i % 3}") for i in range(30)], ["k", "g"])
+        df = left.join(right, "k")
+        assert stats._plan_has_join(df)
+        monkeypatch.setattr(stats, "_plan_size",
+                            lambda _df: 230_000_000_000)
+        # 30 rows is far under the threshold → the recount must
+        # override the inflated estimate and pick the window form
+        assert stats._resolve_rank_path(df, [], None, "probe3") \
+            is False
+
+    def test_non_join_estimate_is_trusted(self, spark, monkeypatch):
+        from pandas_ai_spark.functions import stats
+
+        df = spark.createDataFrame(
+            [(i, float(i)) for i in range(30)], ["k", "v"])
+        assert not stats._plan_has_join(df)
+        monkeypatch.setattr(stats, "_plan_size",
+                            lambda _df: 230_000_000_000)
+
+        def boom(self):
+            raise AssertionError("scan-plan estimate must be trusted")
+
+        from pyspark.sql import DataFrame
+        monkeypatch.setattr(DataFrame, "count", boom)
+        stats._warned_auto.discard("rank:probe4:distributed")
+        assert stats._resolve_rank_path(df, [], None, "probe4") is True
+
+
+# ---------------------------------------------------------------------------
 # siegel_slopes continuous-x guard
 # ---------------------------------------------------------------------------
 

@@ -104,19 +104,52 @@ def main() -> int:
         full = rep["full"]
         sp_t = full.get("queries") or {}
         du_t = full.get("baseline") or {}
-        pairs = {q: round(sp_t[q] / du_t[q], 3)
+        pairs = {q: {"ratio": round(sp_t[q] / du_t[q], 3),
+                     "spark_sec": round(sp_t[q], 3),
+                     "duck_sec": round(du_t[q], 3)}
                  for q in sorted(set(sp_t) & set(du_t))
                  if du_t[q] > 0
                  and (du_t[q] >= 1.0 or sp_t[q] >= 2.0)}
         if pairs:
+            # two sub-cuts, both fully listed: pairs where the
+            # BASELINE does >=1 s of real work (the engine-speed
+            # story), and pairs only Spark's side is heavy (>=2 s over
+            # a sub-second baseline — scheduler-floor / forced
+            # scale-path-demo tail; visible, never hidden, but a
+            # different claim than "slower on real work").
+            dheavy = {q: v for q, v in pairs.items()
+                      if v["duck_sec"] >= 1.0}
+            sonly = {q: v for q, v in pairs.items()
+                     if v["duck_sec"] < 1.0}
             heavy = {
                 "cut": "duckdb >= 1.0s OR spark >= 2.0s",
                 "duckdb_floor_sec": 1.0,
                 "spark_floor_sec": 2.0,
                 "n": len(pairs),
-                "ratios": pairs,
-                "median": round(statistics.median(pairs.values()), 3),
-                "over_2x": sorted(q for q, r in pairs.items() if r > 2.0),
+                "ratios": {q: v["ratio"] for q, v in pairs.items()},
+                "pairs": pairs,
+                "median": round(statistics.median(
+                    v["ratio"] for v in pairs.values()), 3),
+                "duck_heavy": {
+                    "n": len(dheavy),
+                    "median": (round(statistics.median(
+                        v["ratio"] for v in dheavy.values()), 3)
+                        if dheavy else None),
+                    "over_2x": sorted(
+                        q for q, v in dheavy.items()
+                        if v["ratio"] > 2.0),
+                },
+                "spark_only_heavy": {
+                    "n": len(sonly),
+                    "median": (round(statistics.median(
+                        v["ratio"] for v in sonly.values()), 3)
+                        if sonly else None),
+                    "over_2x": sorted(
+                        q for q, v in sonly.items()
+                        if v["ratio"] > 2.0),
+                },
+                "over_2x": sorted(q for q, v in pairs.items()
+                                  if v["ratio"] > 2.0),
             }
     summary = {
         "round": args.round,

@@ -2477,6 +2477,57 @@ def q228_video_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def q229_heaps_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law vocabulary-growth fit (text.heaps_fit): OLS of ln V
+    on ln n over 12 checkpoint points of the cumulative
+    (tokens seen, distinct terms) curve in doc-id order — the growth
+    companion to q158's Zipf frequency fit, and the screen that
+    catches OPEN vocabulary leaking into prose (ids/hashes/codes):
+    the entry deliberately appends a per-doc uid token to the
+    closed-vocabulary synthetic corpus, so the curve shows exactly
+    that leak (β pulled above the closed-corpus 0). Checkpoint cuts
+    are exact integer arithmetic on the (min, max) doc id — no sort,
+    no sketch; every sample point is an exact integer pair; the
+    ln-OLS folds checkpoint-ordered. Oracle: identical cuts,
+    prefix-summed spine, and ordered folds (_q229_oracle)."""
+    from pandas_ai_spark.functions.text import heaps_fit
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat_ws(" ", F.col("text"),
+                    F.concat(F.lit("uid"), F.col("doc_id")))
+         .alias("text"))
+    out = heaps_fit(docs, "text", "doc_id", checkpoints=12)
+    return out.select(
+        "n_points", "total_tokens", "vocab_size",
+        F.round("beta", 9).alias("beta"),
+        F.round("log_k", 9).alias("log_k"),
+        F.round("r2", 9).alias("r2"))
+
+
+def q230_dsir_logweights(spark: SparkSession, sf_dir: str
+                         ) -> DataFrame:
+    """DSIR importance log-weights (pipeline.dsir_logweights, Xie et
+    al. NeurIPS 2023): every document scored by how en-like its
+    hashed-bigram profile is — log w = sum_b c_b (ln p_en(b) - ln
+    p_raw(b)) over 256 md5-hashed buckets with add-1 smoothing, the
+    importance-resampling selector that steers a raw crawl toward a
+    target domain. Bucket ids are exact cross-engine md5 bigint
+    arithmetic (conv(substr(md5,1,15)) == DuckDB '0x'-cast); every ln
+    argument is an exact-integer double; the per-doc fold is
+    bucket-ordered. Oracle: identical bucket hash, smoothing and
+    ordered fold."""
+    from pandas_ai_spark.functions.pipeline import dsir_logweights
+
+    docs = _t(spark, sf_dir, "documents")
+    out = dsir_logweights(docs, docs.where(F.col("lang") == "en"),
+                          n=2, buckets=256, alpha=1.0)
+    return out.select(
+        "doc_id", "n_feats",
+        F.round("log_weight", 9).alias("log_weight")
+    ).orderBy("doc_id")
+
+
 def q205_friedman(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Blocked rank test (stats.friedman_test): ranking WITHIN each
     order month, do the five priorities consistently out-earn each
@@ -6191,6 +6242,8 @@ def queries_numeric() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q226_ljung_box": q226_ljung_box,
         "q227_runs_test": q227_runs_test,
         "q228_video_pixels": q228_video_pixels,
+        "q229_heaps_fit": q229_heaps_fit,
+        "q230_dsir_logweights": q230_dsir_logweights,
     }
 
 
@@ -7062,6 +7115,92 @@ def _q225_oracle() -> str:
         FROM per LEFT JOIN nr ON per.lang = nr.lang
         LEFT JOIN ideal ON per.lang = ideal.lang
         ORDER BY lang
+    """
+
+
+def _q229_oracle() -> str:
+    """Heaps'-law oracle: identical integer checkpoint cuts from the
+    (min, max) doc-id aggregate (the exact-divisible double-division
+    device), prefix sums over the generate_series spine, and the
+    checkpoint-ordered ln-OLS folds (list_sum(list(... ORDER BY k)) ==
+    Spark aggregate(sort_array))."""
+    K = 12
+
+    def kidx(idc: str) -> str:
+        terms = ["1"]
+        for j in range(1, K):
+            terms.append(
+                f"CAST({idc} > lo + CAST(({j}*(hi-lo) - "
+                f"({j}*(hi-lo)) % {K}) / {K} AS BIGINT) AS INT)")
+        return " + ".join(terms)
+
+    return f"""
+        WITH base AS (
+          SELECT doc_id, text || ' uid' || doc_id AS text
+          FROM documents
+        ), tok AS (
+          SELECT doc_id AS id, unnest({_TOKS}) AS token FROM base
+        ), tok2 AS (
+          SELECT * FROM tok WHERE len(token) > 0
+        ), tc AS (
+          SELECT id, CAST(count(*) AS BIGINT) AS c
+          FROM tok2 GROUP BY id
+        ), fo AS (
+          SELECT token, min(id) AS fd FROM tok2 GROUP BY token
+        ), mm AS (SELECT min(id) AS lo, max(id) AS hi FROM tc),
+        tb AS (
+          SELECT {kidx('id')} AS k, CAST(sum(c) AS BIGINT) AS nt
+          FROM tc CROSS JOIN mm GROUP BY 1
+        ), vb AS (
+          SELECT {kidx('fd')} AS k, CAST(count(*) AS BIGINT) AS nv
+          FROM fo CROSS JOIN mm GROUP BY 1
+        ), spine AS (
+          SELECT CAST(i AS INT) AS k
+          FROM generate_series(1, {K}) t(i)
+        ), cum AS (
+          SELECT k,
+                 CAST(sum(coalesce(nt, 0)) OVER (ORDER BY k
+                      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n_cum,
+                 CAST(sum(coalesce(nv, 0)) OVER (ORDER BY k
+                      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS v_cum
+          FROM spine LEFT JOIN tb USING (k) LEFT JOIN vb USING (k)
+        ), pts AS (
+          SELECT * FROM (
+            SELECT k, n_cum, v_cum,
+                   lag(n_cum) OVER (ORDER BY k) AS pn
+            FROM cum WHERE n_cum > 0 AND v_cum > 0
+          ) WHERE pn IS NULL OR n_cum <> pn
+        ), st AS (
+          SELECT k, ln(CAST(n_cum AS DOUBLE)) AS x,
+                 ln(CAST(v_cum AS DOUBLE)) AS y
+          FROM pts
+        ), s AS (
+          SELECT CAST(count(*) AS BIGINT) AS n_points,
+                 list_sum(list(x ORDER BY k)) AS sx,
+                 list_sum(list(y ORDER BY k)) AS sy,
+                 list_sum(list(x * y ORDER BY k)) AS sxy,
+                 list_sum(list(x * x ORDER BY k)) AS sx2,
+                 list_sum(list(y * y ORDER BY k)) AS sy2
+          FROM st
+        ), tot AS (
+          SELECT CAST(sum(c) AS BIGINT) AS total_tokens FROM tc
+        ), voc AS (
+          SELECT CAST(count(*) AS BIGINT) AS vocab_size FROM fo
+        ), d AS (
+          SELECT n_points, sx, sy,
+                 CAST(n_points AS DOUBLE) * sxy - sx * sy AS cov,
+                 CAST(n_points AS DOUBLE) * sx2 - sx * sx AS vx,
+                 CAST(n_points AS DOUBLE) * sy2 - sy * sy AS vy
+          FROM s
+        )
+        SELECT n_points, total_tokens, vocab_size,
+               round(CASE WHEN vx > 0 THEN cov / vx END, 9) AS beta,
+               round(CASE WHEN vx > 0 THEN
+                 (sy - (cov / vx) * sx) / CAST(n_points AS DOUBLE)
+                 END, 9) AS log_k,
+               round(CASE WHEN vx > 0 AND vy > 0 THEN
+                 cov * cov / (vx * vy) END, 9) AS r2
+        FROM d CROSS JOIN tot CROSS JOIN voc
     """
 
 
@@ -12230,6 +12369,57 @@ def oracle_sql() -> dict[str, str]:
                  AS first_frame_len
         FROM idxs GROUP BY doc_id ORDER BY doc_id
     """
+    d["q229_heaps_fit"] = _q229_oracle()
+    d["q230_dsir_logweights"] = """
+        WITH tok AS (
+          SELECT doc_id, lang, list_filter(
+                   string_split_regex(lower(text), '[^a-z]+'),
+                   t -> t <> '') AS tk
+          FROM documents
+        ), gr AS (
+          SELECT doc_id, lang,
+                 unnest(list_transform(range(1, len(tk)),
+                   i -> array_to_string(tk[i:i+1], ' '))) AS g
+          FROM tok WHERE len(tk) >= 2
+        ), gb AS (
+          SELECT doc_id, lang,
+                 ('0x' || substr(md5(g), 1, 15))::BIGINT % 256 AS b
+          FROM gr
+        ), rc AS (
+          SELECT b, CAST(count(*) AS BIGINT) AS rcnt
+          FROM gb GROUP BY b
+        ), tcn AS (
+          SELECT b, CAST(count(*) AS BIGINT) AS tcnt
+          FROM gb WHERE lang = 'en' GROUP BY b
+        ), rtot AS (SELECT CAST(sum(rcnt) AS BIGINT) AS rr FROM rc),
+        ttot AS (
+          SELECT CAST(coalesce(sum(tcnt), 0) AS BIGINT) AS tt
+          FROM tcn
+        ), lam AS (
+          SELECT rc.b,
+                 ln(CAST(coalesce(tcn.tcnt, 0) AS DOUBLE) + 1.0)
+                 - ln(CAST(tt AS DOUBLE) + 256.0)
+                 - ln(CAST(rc.rcnt AS DOUBLE) + 1.0)
+                 + ln(CAST(rr AS DOUBLE) + 256.0) AS lamv
+          FROM rc LEFT JOIN tcn USING (b)
+          CROSS JOIN rtot CROSS JOIN ttot
+        ), dc AS (
+          SELECT doc_id, b, CAST(count(*) AS BIGINT) AS c
+          FROM gb GROUP BY doc_id, b
+        ), per AS (
+          SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_feats,
+                 list_sum(list(CAST(c AS DOUBLE) * lamv ORDER BY b))
+                   AS lw
+          FROM dc JOIN lam USING (b) GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               CAST(coalesce(per.n_feats, 0) AS BIGINT) AS n_feats,
+               round(coalesce(per.lw, 0.0), 9) AS log_weight
+        FROM (SELECT DISTINCT doc_id FROM documents) d
+        LEFT JOIN per USING (doc_id)
+        ORDER BY d.doc_id
+    """
+
     d["q228_video_pixels"] = """
         WITH idxs AS (
           SELECT d.doc_id, d.n_chars, i

@@ -531,3 +531,104 @@ def neyman_allocation(df: DataFrame, stratum_col: str,
         "stratum", "n_rows", "stddev", w.alias("weight"),
         F.least(F.floor(F.lit(int(total_n)) * w).cast("bigint"),
                 F.col("n_rows")).alias("alloc"))
+
+
+def _hashed_grams(df: DataFrame, text_col: str, n: int,
+                  buckets: int, *keep):
+    """Token n-gram MULTISET (counts, not distinct — DSIR weighs by
+    occurrence) bucketed by a cross-engine md5 hash: bucket =
+    first-15-hex-chars of md5(gram) as int, mod ``buckets`` — exact
+    bigint arithmetic in Spark (``conv``), DuckDB (``'0x'||…`` cast)
+    and Python (``int(hexdigest[:15], 16)``), all JVM/engine-side, no
+    UDF. Grams leave the row as bucket ids (the q21/q52 shuffle-width
+    discipline)."""
+    toks = F.filter(F.split(F.lower(F.col(text_col)), "[^a-z]+"),
+                    lambda t: t != "")
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - n),
+        lambda i: F.array_join(F.slice(toks, i + 1, n), " "))
+    g = (df.where(F.size(toks) >= n)
+           .select(*keep, F.explode(grams).alias("__g")))
+    bucket = (F.conv(F.substring(F.md5(F.col("__g")), 1, 15), 16, 10)
+              .cast("bigint") % F.lit(int(buckets)))
+    return g.select(*keep, bucket.alias("__b"))
+
+
+def dsir_logweights(df: DataFrame, target: DataFrame,
+                    text_col: str = "text", id_col: str = "doc_id",
+                    n: int = 2, buckets: int = 1024,
+                    alpha: float = 1.0) -> DataFrame:
+    """Data Selection via Importance Resampling (DSIR, Xie et al.,
+    NeurIPS 2023): per-document hashed-n-gram importance log-weights
+    ``log w(x) = Σ_b c_b(x) · (ln p_target(b) − ln p_raw(b))`` with
+    add-``alpha`` smoothing over ``buckets`` hashed features — rank
+    raw documents by how target-like their n-gram profile is, then
+    resample the top mass (``weighted_sample``/top-k downstream) to
+    steer a 100 TB crawl toward a small high-quality target domain.
+    Returns ``(id_col, n_feats, log_weight)`` for EVERY raw document
+    (docs shorter than ``n`` tokens carry 0 features and weight 0 —
+    they provide no evidence either way).
+
+    Exactness: bucket counts are exact integers; with integral
+    ``alpha`` every ln argument is an exact-integer double, so each
+    bucket's log-ratio λ_b is one identical IEEE expression tree
+    cross-engine; the per-document Σ c_b·λ_b folds bucket-ordered
+    (``aggregate(sort_array)``, the q191 device).
+
+    Scale shape: two map-side-combined bucket aggregations (shuffle
+    bounded by ``buckets``), λ built on the bounded bucket table and
+    BROADCAST back; the only document-grain shuffle is the one
+    (doc, bucket) count — no join ever exceeds the bucket bound, and
+    the hashing cap makes driver/broadcast state O(buckets) no matter
+    the corpus.
+    """
+    if buckets < 2:
+        raise ValueError("buckets must be >= 2")
+    from pyspark.sql.functions import broadcast
+
+    from .fold import fold_scalars
+
+    B = int(buckets)
+    a = float(alpha)
+    raw_b = _hashed_grams(df, text_col, n, B)
+    tgt_b = _hashed_grams(target, text_col, n, B)
+    rc = raw_b.groupBy("__b").agg(
+        F.count(F.lit(1)).cast("bigint").alias("__rc"))
+    tc = tgt_b.groupBy(F.col("__b").alias("__tb")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("__tc"))
+    rtot = rc.agg(F.sum("__rc").cast("bigint").alias("__R"))
+    ttot = tc.agg(F.sum("__tc").cast("bigint").alias("__T"))
+    # λ on the bounded bucket table: every bucket a raw doc can carry
+    # appears in rc; absent-in-target buckets smooth to alpha
+    lam_tbl = fold_scalars(
+        fold_scalars(
+            rc.join(tc, F.col("__b") == F.col("__tb"), "left")
+              .drop("__tb"),
+            rtot),
+        ttot).select(
+        "__b",
+        (F.log(F.coalesce(F.col("__tc"), F.lit(0)).cast("double")
+               + F.lit(a))
+         - F.log(F.col("__T").cast("double") + F.lit(a * B))
+         - F.log(F.col("__rc").cast("double") + F.lit(a))
+         + F.log(F.col("__R").cast("double") + F.lit(a * B)))
+        .alias("__lam"))
+    dc = _hashed_grams(df, text_col, n, B, F.col(id_col)) \
+        .groupBy(id_col, "__b").agg(
+        F.count(F.lit(1)).cast("bigint").alias("__c"))
+    contrib = dc.join(broadcast(lam_tbl), "__b").select(
+        F.col(id_col), F.col("__c"),
+        F.struct(F.col("__b").alias("b"),
+                 (F.col("__c").cast("double") * F.col("__lam"))
+                 .alias("t")).alias("__s"))
+    per = contrib.groupBy(id_col).agg(
+        F.sum("__c").cast("bigint").alias("n_feats"),
+        F.aggregate(F.sort_array(F.collect_list("__s")), F.lit(0.0),
+                    lambda acc, s: acc + s["t"]).alias("log_weight"))
+    spine = df.select(F.col(id_col)).distinct()
+    return (spine.join(per, id_col, "left")
+            .select(id_col,
+                    F.coalesce(F.col("n_feats"), F.lit(0))
+                     .cast("bigint").alias("n_feats"),
+                    F.coalesce(F.col("log_weight"), F.lit(0.0))
+                     .alias("log_weight")))

@@ -1337,6 +1337,26 @@ def distributed_midrank(df: DataFrame, value_col: str,
     never dropped and the driver prefix sum never mixes None with
     int bucket ids.
     """
+    return distributed_midrank_multi(df, [value_col], by=by,
+                                     buckets=buckets,
+                                     out_cols=[out_col])
+
+
+def distributed_midrank_multi(df: DataFrame, value_cols: list[str],
+                              by: list[str] | None = None,
+                              buckets: int = 64,
+                              out_cols: list[str] | None = None
+                              ) -> DataFrame:
+    """:func:`distributed_midrank` for SEVERAL value columns in one
+    pass: the boundary scan computes every column's
+    ``approx_percentile`` in ONE aggregation job and the per-(group,
+    bucket) counts for all columns collect in ONE union job — for a
+    two-variable ranking (``spearman_corr_distributed``) that halves
+    the driver round-trips (2 collects instead of 4) and persists the
+    input once instead of per column. Output and NULL contract are
+    identical to sequential single-column calls by construction (each
+    column's bucket ids, offsets and windows use exactly the same
+    expressions)."""
     from pyspark.sql.functions import broadcast
     from pyspark.sql.window import Window
 
@@ -1345,60 +1365,80 @@ def distributed_midrank(df: DataFrame, value_col: str,
     if buckets < 2:
         raise ValueError("buckets must be >= 2")
     by = list(by or [])
+    value_cols = list(value_cols)
+    out_cols = list(out_cols or [f"r2_{c}" for c in value_cols])
+    if len(out_cols) != len(value_cols):
+        raise ValueError("out_cols must match value_cols")
     # three consumers re-execute the input lineage without this —
     # boundary scan, bucket-count collect, and the final join; a
     # computed upstream (q184's per-token text scoring) would run 3x
     df = operator_persist(df)
-    v = F.col(value_col)
     qs = [i / buckets for i in range(1, buckets)]
-    row = df.agg(F.percentile_approx(
-        v.cast("double"), qs, 10_000).alias("b")).collect()[0]
-    bounds = sorted(set(row["b"] or []))
-    bucket = F.lit(0)
-    for bnd in bounds:
-        bucket = bucket + (v.cast("double") > F.lit(float(bnd))) \
-            .cast("int")
-    # NULL comparisons are NULL, so without this a NULL value yields a
-    # NULL bucket id — the dedicated -1 bucket sorts before every real
-    # bucket in the prefix sum (NULLS FIRST parity with the window form)
-    bucket = F.when(v.isNull(), F.lit(-1)).otherwise(bucket)
-    tagged = df.withColumn("__bkt", bucket)
-    counts = tagged.groupBy(
-        *[F.col(c).alias(f"__g_{c}") for c in by],
-        F.col("__bkt").alias("__b2")).agg(
-        F.count(F.lit(1)).cast("bigint").alias("__cnt"))
+    brow = df.agg(*[
+        F.percentile_approx(F.col(c).cast("double"), qs, 10_000)
+         .alias(f"__b_{i}")
+        for i, c in enumerate(value_cols)]).collect()[0]
+    tagged = df
+    for i, c in enumerate(value_cols):
+        v = F.col(c)
+        bounds = sorted(set(brow[f"__b_{i}"] or []))
+        bucket = F.lit(0)
+        for bnd in bounds:
+            bucket = bucket + (v.cast("double") > F.lit(float(bnd))) \
+                .cast("int")
+        # NULL comparisons are NULL, so without this a NULL value
+        # yields a NULL bucket id — the dedicated -1 bucket sorts
+        # before every real bucket in the prefix sum (NULLS FIRST
+        # parity with the window form)
+        bucket = F.when(v.isNull(), F.lit(-1)).otherwise(bucket)
+        tagged = tagged.withColumn(f"__bkt_{i}", bucket)
+    counts = None
+    for i in range(len(value_cols)):
+        part = tagged.groupBy(
+            *[F.col(c).alias(f"__g_{c}") for c in by],
+            F.col(f"__bkt_{i}").alias("__b2")).agg(
+            F.count(F.lit(1)).cast("bigint").alias("__cnt")) \
+            .withColumn("__which", F.lit(i))
+        counts = part if counts is None else counts.unionByName(part)
     rows = counts.collect()
-    offsets = []
     from collections import defaultdict
 
-    per_group: dict = defaultdict(list)
-    for r in rows:
-        key = tuple(r[f"__g_{c}"] for c in by)
-        per_group[key].append((r["__b2"], r["__cnt"]))
-    for key, lst in per_group.items():
-        acc = 0
-        for bkt, cnt in sorted(lst):
-            offsets.append((*key, bkt, acc))
-            acc += cnt
     spark = df.sparkSession
     off_schema = (", ".join(
         f"`__g_{c}` {dict(df.dtypes)[c]}" for c in by)
         + (", " if by else "")
         + "__b2 int, __off bigint")
-    off = spark.createDataFrame(offsets, off_schema)
-    cond = F.col("__bkt") == F.col("__b2")
-    for c in by:
-        cond = cond & F.col(c).eqNullSafe(F.col(f"__g_{c}"))
-    joined = tagged.join(broadcast(off), cond) \
-        .drop("__b2", *[f"__g_{c}" for c in by])
-    wo = Window.partitionBy(*by, "__bkt").orderBy(v) \
-        .rangeBetween(Window.unboundedPreceding, 0)
-    wt = Window.partitionBy(*by, "__bkt", value_col)
-    cum_le = F.count(F.lit(1)).over(wo)
-    t = F.count(F.lit(1)).over(wt)
-    r2 = (F.lit(2) * (F.col("__off") + cum_le - t) + t + F.lit(1)) \
-        .cast("bigint")
-    return joined.withColumn(out_col, r2).drop("__bkt", "__off")
+    joined = tagged
+    for i, (c, oc) in enumerate(zip(value_cols, out_cols)):
+        per_group: dict = defaultdict(list)
+        for r in rows:
+            if r["__which"] != i:
+                continue
+            key = tuple(r[f"__g_{g}"] for g in by)
+            per_group[key].append((r["__b2"], r["__cnt"]))
+        offsets = []
+        for key, lst in per_group.items():
+            acc = 0
+            for bkt, cnt in sorted(lst):
+                offsets.append((*key, bkt, acc))
+                acc += cnt
+        off = spark.createDataFrame(offsets, off_schema)
+        cond = F.col(f"__bkt_{i}") == F.col("__b2")
+        for g in by:
+            cond = cond & F.col(g).eqNullSafe(F.col(f"__g_{g}"))
+        joined = joined.join(broadcast(off), cond) \
+            .drop("__b2", *[f"__g_{g}" for g in by])
+        v = F.col(c)
+        wo = Window.partitionBy(*by, f"__bkt_{i}").orderBy(v) \
+            .rangeBetween(Window.unboundedPreceding, 0)
+        wt = Window.partitionBy(*by, f"__bkt_{i}", c)
+        cum_le = F.count(F.lit(1)).over(wo)
+        t = F.count(F.lit(1)).over(wt)
+        r2 = (F.lit(2) * (F.col("__off") + cum_le - t) + t
+              + F.lit(1)).cast("bigint")
+        joined = joined.withColumn(oc, r2) \
+            .drop(f"__bkt_{i}", "__off")
+    return joined
 
 
 def spearman_corr_distributed(df: DataFrame, x_col: str, y_col: str,
@@ -1416,10 +1456,9 @@ def spearman_corr_distributed(df: DataFrame, x_col: str, y_col: str,
                     & F.col(y_col).isNotNull()).select(
         *[F.col(c) for c in by],
         F.col(x_col).alias("__x"), F.col(y_col).alias("__y"))
-    ranked = distributed_midrank(base, "__x", by=by, buckets=buckets,
-                                 out_col="__rx")
-    ranked = distributed_midrank(ranked, "__y", by=by,
-                                 buckets=buckets, out_col="__ry")
+    ranked = distributed_midrank_multi(
+        base, ["__x", "__y"], by=by, buckets=buckets,
+        out_cols=["__rx", "__ry"])
     d = F.col
 
     def dsum(expr):

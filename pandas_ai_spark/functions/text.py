@@ -884,6 +884,122 @@ def zipf_fit(df: DataFrame, text_col: str = "text",
          .alias("r2"))
 
 
+def heaps_fit(df: DataFrame, text_col: str = "text",
+              id_col: str = "doc_id",
+              checkpoints: int = 16) -> DataFrame:
+    """Heaps'-law fit of vocabulary growth: ``V(n) ≈ K·n^β`` — OLS of
+    ``ln V`` on ``ln n`` over ``checkpoints`` sample points of the
+    cumulative (tokens seen, distinct terms seen) curve in ``id_col``
+    order. One row ``(n_points, total_tokens, vocab_size, beta,
+    log_k, r2)``. Natural corpora sit near β ≈ 0.5 (typed text);
+    β → 1 flags open-ended vocabulary (ids/hashes/codes in text —
+    dedup keys leaking into prose), β → 0 a closed template
+    vocabulary. The corpus-level companion to :func:`zipf_fit`:
+    Zipf reads the frequency distribution, Heaps the GROWTH — how
+    much new vocabulary another 10× of this source will bring.
+
+    Exactness & scale shape: checkpoint doc-id cuts are integer
+    arithmetic on the (min, max) id aggregate — no sort, no
+    percentile sketch, reproducible in any SQL engine. Every V/n
+    point is an exact integer: token counts bucket row-locally
+    (``checkpoints−1`` comparisons), new-term counts bucket on each
+    term's ``min(doc_id)`` first occurrence (one vocab-bounded
+    aggregation), and both prefix-sum over the BOUNDED checkpoint
+    spine (≤ ``checkpoints`` rows). The final ln-OLS folds
+    checkpoint-ordered (``aggregate(sort_array)``, the q191 device)
+    so the float sums are order-pinned cross-engine.
+    """
+    if checkpoints < 2:
+        raise ValueError("checkpoints must be >= 2")
+    from pyspark.sql import Window
+
+    from pandas_ai_spark.functions.dedup import _norm_tokens
+    from pandas_ai_spark.functions.fold import fold_scalars
+
+    K = int(checkpoints)
+    toks = (df.select(F.col(id_col).cast("bigint").alias("__id"),
+                      F.explode(_norm_tokens(F.col(text_col)))
+                      .alias("token"))
+              .where(F.length("token") > 0))
+    # per-doc token counts + per-term first-occurrence doc
+    tc = toks.groupBy("__id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("__c"))
+    fo = toks.groupBy("token").agg(F.min("__id").alias("__fd"))
+    mm = tc.agg(F.min("__id").alias("__lo"),
+                F.max("__id").alias("__hi"))
+
+    def k_idx(idc):
+        # 1 + #{checkpoint cuts strictly below this id}; cut_j =
+        # lo + (j*(hi-lo)) div K — the subtraction makes the double
+        # division exact (numerator exactly divisible), so the cut is
+        # identical bigint arithmetic in every engine
+        span = F.col("__hi") - F.col("__lo")
+        e = F.lit(1)
+        for j in range(1, K):
+            jspan = F.lit(j) * span
+            cut = F.col("__lo") + ((jspan - jspan % F.lit(K))
+                                   / F.lit(K)).cast("bigint")
+            e = e + (idc > cut).cast("int")
+        return e.cast("int")
+
+    tb = tc.crossJoin(F.broadcast(mm)).groupBy(
+        k_idx(F.col("__id")).alias("__k")).agg(
+        F.sum("__c").cast("bigint").alias("__nt"))
+    vb = fo.crossJoin(F.broadcast(mm)).groupBy(
+        k_idx(F.col("__fd")).alias("__k")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("__nv"))
+    spine = df.sparkSession.range(1, K + 1).select(
+        F.col("id").cast("int").alias("__k"))
+    w = Window.orderBy("__k").rowsBetween(
+        Window.unboundedPreceding, 0)
+    pts = (spine.join(tb, "__k", "left").join(vb, "__k", "left")
+           .select("__k",
+                   F.sum(F.coalesce(F.col("__nt"), F.lit(0)))
+                    .over(w).cast("bigint").alias("n_cum"),
+                   F.sum(F.coalesce(F.col("__nv"), F.lit(0)))
+                    .over(w).cast("bigint").alias("v_cum"))
+           .where((F.col("n_cum") > 0) & (F.col("v_cum") > 0))
+           # identical consecutive points (empty checkpoint ranges)
+           # would double-weight a sample; keep the first of each run
+           .withColumn("__pn", F.lag("n_cum").over(
+               Window.orderBy("__k")))
+           .where(F.col("__pn").isNull()
+                  | (F.col("n_cum") != F.col("__pn"))))
+    x = F.log(F.col("n_cum").cast("double"))
+    y = F.log(F.col("v_cum").cast("double"))
+    st = pts.select(F.struct(
+        F.col("__k").alias("k"),
+        x.alias("x"), y.alias("y"),
+        (x * y).alias("xy"), (x * x).alias("x2"),
+        (y * y).alias("y2")).alias("__s"))
+
+    def fold(field):
+        return F.aggregate(F.sort_array(F.collect_list("__s")),
+                           F.lit(0.0),
+                           lambda acc, s: acc + s[field])
+
+    s = st.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_points"),
+        fold("x").alias("sx"), fold("y").alias("sy"),
+        fold("xy").alias("sxy"), fold("x2").alias("sx2"),
+        fold("y2").alias("sy2"))
+    totals = tc.agg(F.sum("__c").cast("bigint").alias("total_tokens"))
+    vocab = fo.agg(F.count(F.lit(1)).cast("bigint")
+                   .alias("vocab_size"))
+    kk = F.col("n_points").cast("double")
+    cov = kk * F.col("sxy") - F.col("sx") * F.col("sy")
+    vx = kk * F.col("sx2") - F.col("sx") * F.col("sx")
+    vy = kk * F.col("sy2") - F.col("sy") * F.col("sy")
+    beta = cov / vx
+    return fold_scalars(fold_scalars(s, totals), vocab).select(
+        "n_points", "total_tokens", "vocab_size",
+        F.when(vx > 0, beta).alias("beta"),
+        F.when(vx > 0, (F.col("sy") - beta * F.col("sx")) / kk)
+         .alias("log_k"),
+        F.when((vx > 0) & (vy > 0), cov * cov / (vx * vy))
+         .alias("r2"))
+
+
 def corpus_profile_exact(df: DataFrame, by: str = "source",
                          text_col: str = "text",
                          len_col: str = "n_chars",

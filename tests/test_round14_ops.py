@@ -486,6 +486,150 @@ class TestRankDispatchUdfPlan:
 
 
 # ---------------------------------------------------------------------------
+# Heaps'-law vocabulary-growth fit
+# ---------------------------------------------------------------------------
+
+class TestHeapsFit:
+    def _docs(self, spark):
+        import random
+
+        rng = random.Random(9)
+        rows = []
+        for i in range(60):
+            # growing vocabulary: common tokens + occasional new ones
+            toks = [f"w{rng.randrange(30)}" for _ in range(20)]
+            toks += [f"new{i}_{j}" for j in range(rng.randrange(3))]
+            rows.append((i, " ".join(toks)))
+        return rows, spark.createDataFrame(rows, ["doc_id", "text"])
+
+    def _reference(self, rows, K):
+        import math
+
+        ids = sorted(i for i, t in rows if t.strip())
+        lo, hi = ids[0], ids[-1]
+        span = hi - lo
+        cuts = [lo + (j * span) // K for j in range(1, K)]
+
+        def kidx(i):
+            return 1 + sum(i > c for c in cuts)
+
+        nt = [0] * (K + 1)
+        nv = [0] * (K + 1)
+        seen = {}
+        for i, t in sorted(rows):
+            toks = [x for x in t.split() if x]
+            nt[kidx(i)] += len(toks)
+            for x in toks:
+                if x not in seen:
+                    seen[x] = i
+        for x, fd in seen.items():
+            nv[kidx(fd)] += 1
+        pts, ncum, vcum, prev = [], 0, 0, None
+        for k in range(1, K + 1):
+            ncum += nt[k]
+            vcum += nv[k]
+            if ncum > 0 and vcum > 0 and ncum != prev:
+                pts.append((math.log(ncum), math.log(vcum)))
+                prev = ncum
+        m = len(pts)
+        sx = sum(x for x, _ in pts)
+        sy = sum(y for _, y in pts)
+        sxy = sum(x * y for x, y in pts)
+        sx2 = sum(x * x for x, _ in pts)
+        cov, vx = m * sxy - sx * sy, m * sx2 - sx * sx
+        return m, cov / vx, (sy - (cov / vx) * sx) / m
+
+    def test_matches_pure_python_reference(self, spark):
+        from pandas_ai_spark.functions.text import heaps_fit
+
+        rows, df = self._docs(spark)
+        got = heaps_fit(df, "text", "doc_id", checkpoints=8) \
+            .collect()[0]
+        m, beta, log_k = self._reference(rows, 8)
+        assert got["n_points"] == m
+        assert got["beta"] == pytest.approx(beta, rel=1e-9)
+        assert got["log_k"] == pytest.approx(log_k, rel=1e-9)
+        assert 0.0 < got["beta"] < 1.0  # growing-vocabulary corpus
+
+    def test_single_doc_degenerates_to_null_fit(self, spark):
+        from pandas_ai_spark.functions.text import heaps_fit
+
+        df = spark.createDataFrame([(1, "a b c a")],
+                                   ["doc_id", "text"])
+        r = heaps_fit(df, "text", "doc_id").collect()[0]
+        assert r["n_points"] == 1 and r["beta"] is None
+        assert r["total_tokens"] == 4 and r["vocab_size"] == 3
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance log-weights
+# ---------------------------------------------------------------------------
+
+class TestDsirLogweights:
+    B = 64
+
+    def _bucket(self, gram):
+        import hashlib
+
+        return int(hashlib.md5(gram.encode()).hexdigest()[:15],
+                   16) % self.B
+
+    def _grams(self, text, n=2):
+        import re
+
+        toks = [t for t in re.split("[^a-z]+", text.lower()) if t]
+        return [" ".join(toks[i:i + n])
+                for i in range(len(toks) - n + 1)]
+
+    def _reference(self, raw, target):
+        import math
+        from collections import Counter
+
+        rc = Counter(self._bucket(g) for _, t in raw
+                     for g in self._grams(t))
+        tc = Counter(self._bucket(g) for _, t in target
+                     for g in self._grams(t))
+        R, T = sum(rc.values()), sum(tc.values())
+        out = {}
+        for i, t in raw:
+            lw, nf = 0.0, 0
+            for b, c in sorted(Counter(
+                    self._bucket(g) for g in self._grams(t)).items()):
+                lam = (math.log(tc.get(b, 0) + 1.0)
+                       - math.log(T + self.B)
+                       - math.log(rc[b] + 1.0)
+                       + math.log(R + self.B))
+                lw += c * lam
+                nf += c
+            out[i] = (nf, lw)
+        return out
+
+    def test_matches_pure_python_reference(self, spark):
+        from pandas_ai_spark.functions.pipeline import dsir_logweights
+
+        raw = [(1, "the quick brown fox jumps the fence"),
+               (2, "stock market prices fall as rates rise"),
+               (3, "the quick red fox naps"),
+               (4, "rates rise and the market reacts"),
+               (5, "x")]  # < n tokens → zero features
+        target = [(10, "the quick brown fox is quick"),
+                  (11, "a quick fox jumps again")]
+        df = spark.createDataFrame(raw, ["doc_id", "text"])
+        tgt = spark.createDataFrame(target, ["doc_id", "text"])
+        got = {r["doc_id"]: (r["n_feats"], r["log_weight"])
+               for r in dsir_logweights(df, tgt, buckets=self.B)
+               .collect()}
+        ref = self._reference(raw, target)
+        assert set(got) == {1, 2, 3, 4, 5}
+        for i in (1, 2, 3, 4):
+            assert got[i][0] == ref[i][0]
+            assert got[i][1] == pytest.approx(ref[i][1], rel=1e-9)
+        assert got[5] == (0, 0.0)
+        # fox-y raw docs must out-score finance docs vs the fox target
+        assert min(got[1][1], got[3][1]) > max(got[2][1], got[4][1])
+
+
+# ---------------------------------------------------------------------------
 # bench artifact self-description
 # ---------------------------------------------------------------------------
 

@@ -2463,7 +2463,8 @@ def q228_video_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
     synthesizer's 0xAB payload fill."""
     from pandas_ai_spark.functions.multimodal import decode_video_frames
 
-    media = _synth_mp4_media(spark, sf_dir)
+    media = _synth_mp4_media(spark, sf_dir).where(
+        F.col("doc_id") % 10 == 0)
     px = decode_video_frames(media, "media", "doc_id", every_n=7,
                              decoder="fake")
     return px.groupBy("doc_id").agg(
@@ -12424,7 +12425,7 @@ def oracle_sql() -> dict[str, str]:
         WITH idxs AS (
           SELECT d.doc_id, d.n_chars, i
           FROM documents d, generate_series(0, 41, 7) t(i)
-          WHERE i <= d.n_chars % 40 + 2
+          WHERE i <= d.n_chars % 40 + 2 AND d.doc_id % 10 = 0
         )
         SELECT doc_id,
                CAST(count(*) AS BIGINT) AS n_sampled,

@@ -665,13 +665,26 @@ def decode_video_frames(df: DataFrame, blob_col: str = "media",
                 raise
             return False
 
+    # Arrow caps a single array at 2 GiB; a batch of decoded planes
+    # crosses that fast (one 320x240 rgb24 plane is ~230 KB). Flush
+    # the output in sub-batches bounded by accumulated pixel bytes so
+    # every yielded frame stays one Arrow RecordBatch.
+    _FLUSH_BYTES = 64 << 20
+
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = {id_col: [], "frame_idx": [], "width": [],
                     "height": [], "pixels": []}
+            acc = 0
             for rid, rblob in zip(pdf[id_col], pdf[blob_col]):
+                if acc >= _FLUSH_BYTES:
+                    yield pd.DataFrame(rows)
+                    rows = {id_col: [], "frame_idx": [], "width": [],
+                            "height": [], "pixels": []}
+                    acc = 0
                 blob = bytes(rblob) if rblob is not None else b""
                 if decoder != "fake" and _real_rows(blob, rid, rows):
+                    acc += sum(len(p) for p in rows["pixels"][-8:])
                     continue
                 if want_real:
                     raise DecoderUnavailable(
@@ -690,12 +703,14 @@ def decode_video_frames(df: DataFrame, blob_col: str = "media",
                         mp4_sample_ranges(vid)):
                     if i % every_n:
                         continue
+                    px = _fake_decode_pixels(blob[off:off + size],
+                                             w, h)
                     rows[id_col].append(rid)
                     rows["frame_idx"].append(i)
                     rows["width"].append(w)
                     rows["height"].append(h)
-                    rows["pixels"].append(_fake_decode_pixels(
-                        blob[off:off + size], w, h))
+                    rows["pixels"].append(px)
+                    acc += len(px)
             yield pd.DataFrame(rows)
 
     return df.select(id_col, blob_col).mapInPandas(op, out_schema)

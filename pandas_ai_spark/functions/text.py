@@ -586,11 +586,18 @@ def _gram_hashes(d: DataFrame, n: int, text_col: str, *keep):
     bit-compatible with the one-shot path."""
     toks = F.filter(F.split(F.lower(F.col(text_col)), "[^a-z]+"),
                     lambda tkn: tkn != "")
+    # materialize the token array through a projection boundary before
+    # the transform: referencing the raw expression inside the lambda
+    # re-runs the regex split once per gram position (r14 q107 fix —
+    # the explode dropped ~6x at sf0.1)
+    base = (d.select(*keep, toks.alias("__tk"))
+             .where(F.size("__tk") >= n))
     arr = F.array_distinct(F.transform(
-        F.sequence(F.lit(0), F.size(toks) - n),
-        lambda i: F.xxhash64(F.slice(toks, i + 1, n))))
-    return (d.where(F.size(toks) >= n)
-             .select(*keep, F.explode(arr).alias("__h")))
+        F.sequence(F.lit(0), F.size("__tk") - n),
+        lambda i: F.xxhash64(F.slice(F.col("__tk"), i + 1, n))))
+    return base.select(*[F.col(c) for c in base.columns
+                         if c != "__tk"],
+                       F.explode(arr).alias("__h"))
 
 
 def build_novelty_vocab(reference: DataFrame, n: int = 3,
@@ -917,14 +924,21 @@ def heaps_fit(df: DataFrame, text_col: str = "text",
     from pandas_ai_spark.functions.fold import fold_scalars
 
     K = int(checkpoints)
+    from .cache import operator_persist
+
     toks = (df.select(F.col(id_col).cast("bigint").alias("__id"),
                       F.explode(_norm_tokens(F.col(text_col)))
                       .alias("token"))
               .where(F.length("token") > 0))
-    # per-doc token counts + per-term first-occurrence doc
-    tc = toks.groupBy("__id").agg(
-        F.count(F.lit(1)).cast("bigint").alias("__c"))
-    fo = toks.groupBy("token").agg(F.min("__id").alias("__fd"))
+    # per-doc token counts + per-term first-occurrence doc; both are
+    # consumed by several downstream aggregates (bucket counts, the
+    # min/max cut aggregate, corpus totals) — persist the SMALL
+    # aggregated grains so the corpus tokenizes exactly twice, not
+    # once per consumer
+    tc = operator_persist(toks.groupBy("__id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("__c")))
+    fo = operator_persist(
+        toks.groupBy("token").agg(F.min("__id").alias("__fd")))
     mm = tc.agg(F.min("__id").alias("__lo"),
                 F.max("__id").alias("__hi"))
 

@@ -30,7 +30,76 @@ TABLES = [
 ]
 
 
+# Lazy scan-handle memo, keyed per live session (WeakKeyDictionary so a
+# replaced session never pins stale JVM refs). spark.read.parquet pays a
+# file listing + a schema-footer read per CALL (~130 ms measured at
+# sf0.1), repeated for every query and every bench rep; DuckDB's side of
+# the paired protocol builds its table views ONCE outside the timed
+# region (bench.py CREATE VIEW loop). Reusing the immutable lazy plan
+# object is the apples-to-apples equivalent — no data or results are
+# cached (the scan re-reads parquet on every action; bench.py still
+# clearCache()s between reps).
+import weakref
+
+_T_MEMO: "weakref.WeakKeyDictionary[SparkSession, dict]" = \
+    weakref.WeakKeyDictionary()
+
+# Narrow-scan fan-out (guide §2.5 "input skew: one huge unsplittable
+# file"): the testdata parquet files are written as ONE row group, so
+# a scan yields 1 split no matter the conf and every map-side
+# expression (md5 uniforms, tokenize+explode, percentile partials,
+# pandas_udf signatures) runs on one of 32 cores — while DuckDB
+# parallelizes within a row group natively. When the scan has fewer
+# splits than cores, fan the heavy-map tables out with ONE
+# deterministic hash repartition on the table's key (retry-safe, no
+# round-robin pre-sort; key cardinality >> partitions so the spread is
+# even — guide §2.5). At real scale (splits >= cores) this never fires
+# — the q170 device, table-level. `embeddings` is deliberately NOT
+# fanned out: the sample-based ANN/kmeans trainers (q24/q26/q35/q66/
+# q83...) collect a file-order sample whose row order pins trained
+# codebooks shared with the oracles.
+_FANOUT_KEYS = {
+    "lineitem": "l_orderkey",
+    "orders": "o_orderkey",
+    "events": "event_id",
+    "documents": "doc_id",
+    "customer": "c_custkey",
+    "part": "p_partkey",
+}
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    per_session = _T_MEMO.setdefault(spark, {})
+    key = (sf_dir, name)
+    df = per_session.get(key)
+    if df is None:
+        df = _t_load(spark, sf_dir, name)
+        fk = _FANOUT_KEYS.get(name)
+        if fk is not None:
+            n = spark.sparkContext.defaultParallelism
+            if df.rdd.getNumPartitions() < n:
+                df = df.repartition(n, F.col(fk))
+        per_session[key] = df
+    return df
+
+
+def _t_raw(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """The un-fanned scan, for the TWO queries whose oracle is a
+    pinned snapshot of a partition-layout-seeded RNG (q46/q57
+    sampleBy): Bernoulli sampling draws a per-partition seeded stream,
+    so the fan-out repartition would change the sampled set and break
+    the snapshot. Every hash/content-deterministic query uses
+    :func:`_t`."""
+    per_session = _T_MEMO.setdefault(spark, {})
+    key = (sf_dir, name, "raw")
+    df = per_session.get(key)
+    if df is None:
+        df = _t_load(spark, sf_dir, name)
+        per_session[key] = df
+    return df
+
+
+def _t_load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         # events.ts is parquet TIMESTAMP(NANOS) which Spark's vectorized
         # reader rejects; read as long ns and truncate to microseconds —
@@ -693,7 +762,9 @@ def q46_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     per seed; per-stratum rates asserted in tests. Oracle: pinned
     snapshot (_Q46_SNAPSHOT) — the sampling RNG isn't reproducible in
     SQL but the seeded result is stable for a given input file."""
-    docs = _t(spark, sf_dir, "documents")
+    # layout-pinned scan: the oracle is a seeded-sampling snapshot,
+    # and sampleBy draws a per-partition seeded stream
+    docs = _t_raw(spark, sf_dir, "documents")
     fractions = {"en": 0.5, "de": 0.25, "fr": 0.25, "es": 0.25, "zh": 0.1,
                  "und": 0.1}
     sample = docs.sampleBy("lang", fractions, seed=42)
@@ -942,7 +1013,9 @@ def q57_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     property-tested in tests/test_functions.py."""
     from pandas_ai_spark.functions.pipeline import mixture_sample
 
-    docs = _t(spark, sf_dir, "documents")
+    # layout-pinned scan: the oracle is a seeded-sampling snapshot,
+    # and sampleBy draws a per-partition seeded stream (q46 convention)
+    docs = _t_raw(spark, sf_dir, "documents")
     sampled, counts, rates = mixture_sample(
         docs, "lang", alpha=0.5, sample_frac=0.4, seed=42)
     meta = spark.createDataFrame(

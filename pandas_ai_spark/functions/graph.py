@@ -153,34 +153,37 @@ def cooccurrence_edges(df: DataFrame, basket_col: str, item_col: str,
                          F.col(item_col).alias("__i"))
                  .where(F.col("__i").isNotNull())
                  .groupBy("__b").agg(arr.alias("__items")))
-    # unordered pairs from the sorted array; both directions only when
-    # the consumer needs a symmetric edge list
-    if symmetric:
-        pair_structs = F.flatten(F.transform(
-            F.col("__items"),
-            lambda x, i: F.flatten(F.transform(
-                F.slice(F.col("__items"), i + 2,
-                        F.greatest(F.size("__items") - i - 1, F.lit(0))),
-                lambda y: F.array(
-                    F.struct(x.alias("src"), y.alias("dst")),
-                    F.struct(y.alias("src"), x.alias("dst")))))))
-    else:
-        pair_structs = F.flatten(F.transform(
-            F.col("__items"),
-            lambda x, i: F.transform(
-                F.slice(F.col("__items"), i + 2,
-                        F.greatest(F.size("__items") - i - 1, F.lit(0))),
-                lambda y: F.struct(x.alias("src"), y.alias("dst")))))
+    # unordered pairs from the sorted array — ONE struct per pair even
+    # for symmetric output: dedup/threshold on the (src < dst) halved
+    # grain first, then mirror row-locally. The old form exploded both
+    # directions before the distinct, doubling the rows through the
+    # dedup/count shuffle for an exactly mirror-symmetric set (guide
+    # §2.3 "shuffle fewer bytes"); per-direction co-occurrence counts
+    # are equal by symmetry, so thresholding the halved grain is
+    # identical.
+    pair_structs = F.flatten(F.transform(
+        F.col("__items"),
+        lambda x, i: F.transform(
+            F.slice(F.col("__items"), i + 2,
+                    F.greatest(F.size("__items") - i - 1, F.lit(0))),
+            lambda y: F.struct(x.alias("src"), y.alias("dst")))))
     pairs = (baskets
              .select(F.explode(pair_structs).alias("__e"))
              .select(F.col("__e.src").alias("src"),
                      F.col("__e.dst").alias("dst")))
     if min_support is None:
-        return pairs.distinct()
-    return (pairs.groupBy("src", "dst")
-                 .agg(F.count("*").alias("__n"))
-                 .where(F.col("__n") >= int(min_support))
-                 .select("src", "dst"))
+        half = pairs.distinct()
+    else:
+        half = (pairs.groupBy("src", "dst")
+                     .agg(F.count("*").alias("__n"))
+                     .where(F.col("__n") >= int(min_support))
+                     .select("src", "dst"))
+    if not symmetric:
+        return half
+    return half.select(F.explode(F.array(
+        F.struct(F.col("src"), F.col("dst")),
+        F.struct(F.col("dst").alias("src"), F.col("src").alias("dst")),
+    )).alias("__p")).select("__p.src", "__p.dst")
 
 
 def triangle_counts(edges: DataFrame, src: str = "src",
@@ -376,6 +379,106 @@ def hits(edges: DataFrame, src: str = "src", dst: str = "dst",
                      / F.lit(float(na))).alias("authority")))
 
 
+def _kcore_local(e: DataFrame, k: int, rounds: int,
+                 return_convergence: bool):
+    """Driver-local k-core peel over an already-checkpointed symmetric
+    edge table small enough to collect — numpy ``bincount`` rounds
+    instead of per-round checkpoint+count jobs (the q138/_hits_local
+    device; r13 decomposition: each distributed round costs ~0.4-1.0 s
+    of scheduler floor at toy scale). Identical to the distributed
+    rounds by construction: degree counts and >= k filters are exact
+    integer operations, the loop/early-stop/probe logic mirrors
+    :func:`kcore` line for line."""
+    import numpy as np
+    import pandas as pd
+
+    pdf = e.toPandas()
+    both = pd.concat([pdf.iloc[:, 0], pdf.iloc[:, 1]],
+                     ignore_index=True)
+    codes, uniques = pd.factorize(both, sort=False)
+    n = len(uniques)
+    s, d = codes[:len(pdf)], codes[len(pdf):]
+    prev = len(s)
+    converged = prev == 0
+    for _ in range(int(rounds)):
+        if converged:
+            break
+        deg = np.bincount(s, minlength=n)
+        keep = deg >= int(k)
+        mask = keep[s] & keep[d]
+        s, d = s[mask], d[mask]
+        cnt = len(s)
+        if cnt == prev:
+            converged = True
+        prev = cnt
+    if return_convergence and not converged and prev > 0:
+        deg = np.bincount(s, minlength=n)
+        keep = deg >= int(k)
+        converged = int((keep[s] & keep[d]).sum()) == prev
+    deg = np.bincount(s, minlength=n)
+    alive = deg > 0
+    out = pd.DataFrame({"node": pd.Series(uniques[alive]),
+                        "degree": deg[alive].astype("int64")})
+    from pyspark.sql import types as T
+    schema = T.StructType([
+        T.StructField("node", e.schema[0].dataType),
+        T.StructField("degree", T.LongType())])
+    res = e.sparkSession.createDataFrame(out, schema=schema)
+    if return_convergence:
+        return res, converged
+    return res
+
+
+def _cc_local(e: DataFrame, nodes: DataFrame) -> DataFrame:
+    """Driver-local connected components over an already-persisted
+    canonical (u > v, distinct, no self-loops) edge table small enough
+    to collect — one union-find pass instead of O(log² n) star-
+    contraction rounds of checkpoint+signature jobs. Labels are
+    identical to the converged contraction by construction: component
+    = min node id (codes from a SORTED factorize, so integer code
+    order equals value order — lexicographic for strings, the same
+    binary ordering Spark's min/least uses)."""
+    import numpy as np
+    import pandas as pd
+
+    pdf = e.toPandas()
+    npdf = nodes.toPandas()
+    all_vals = pd.concat([npdf.iloc[:, 0], pdf.iloc[:, 0],
+                          pdf.iloc[:, 1]], ignore_index=True)
+    codes, uniques = pd.factorize(all_vals, sort=True)
+    n = len(uniques)
+    nn = len(npdf)
+    u = codes[nn:nn + len(pdf)]
+    v = codes[nn + len(pdf):]
+    parent = np.arange(n, dtype=np.int64)
+
+    def find(x: int) -> int:
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:               # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for a, b in zip(u.tolist(), v.tolist()):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # min code becomes the root — codes are value-ordered
+            if ra < rb:
+                parent[rb] = ra
+            else:
+                parent[ra] = rb
+    roots = np.array([find(i) for i in codes[:nn].tolist()],
+                     dtype=np.int64)
+    out = pd.DataFrame({"node": pd.Series(npdf.iloc[:, 0].values),
+                        "component": pd.Series(uniques[roots])})
+    from pyspark.sql import types as T
+    node_t = nodes.schema[0].dataType
+    schema = T.StructType([T.StructField("node", node_t),
+                           T.StructField("component", node_t)])
+    return e.sparkSession.createDataFrame(out, schema=schema)
+
+
 def _min_label_local(fwd: DataFrame, iterations: int) -> DataFrame:
     """Driver-local min-label propagation over an already-persisted
     raw edge table small enough to collect — numpy ``minimum.at``
@@ -488,7 +591,9 @@ def min_label_propagation(edges: DataFrame, src: str = "src",
 def connected_components(edges: DataFrame, src: str = "src",
                          dst: str = "dst",
                          max_iterations: int = 50,
-                         stats: dict | None = None) -> DataFrame:
+                         stats: dict | None = None,
+                         local_edges_below: int = 1_000_000
+                         ) -> DataFrame:
     """Connected components to CONVERGENCE via alternating
     large-star/small-star contraction (Kiveris et al., "Connected
     Components in MapReduce and Beyond", ACM SoCC 2014). Returns
@@ -562,6 +667,19 @@ def connected_components(edges: DataFrame, src: str = "src",
         return row["n"], row["h"]
 
     sig = _signature(e)
+    # small-graph fast path (the q138/_hits_local device): below
+    # ``local_edges_below`` canonical edges — the count is already in
+    # hand from the signature — one driver-local union-find replaces
+    # O(log² n) star-contraction rounds of checkpoint+signature jobs
+    # (at toy scale each round is ~0.4-1.0 s of scheduler floor; the
+    # q147 chain graph took ~10 rounds). Labels are identical by
+    # construction (min node id per component; the union-find always
+    # fully converges, which equals the contraction's fixpoint). The
+    # distributed rounds below remain the billion-edge scale story.
+    # Requesting ``stats`` (round instrumentation) forces them, as
+    # does local_edges_below=0.
+    if stats is None and local_edges_below and sig[0] <= local_edges_below:
+        return _cc_local(e, nodes)
     rounds = 0
     for _ in range(int(max_iterations)):
         if sig[0] == 0:
@@ -680,7 +798,8 @@ def degree_assortativity(edges: DataFrame, src: str = "src",
 def kcore(edges: DataFrame, k: int, rounds: int = 8,
           src: str = "src", dst: str = "dst",
           broadcast_nodes_below: int = 5_000_000,
-          return_convergence: bool = False):
+          return_convergence: bool = False,
+          local_edges_below: int = 5_000_000):
     """``rounds``-round k-core peel over a SYMMETRIC edge table: keep
     the subgraph where every node has degree >= ``k`` within the
     subgraph, by repeatedly deleting under-degree nodes - the
@@ -720,6 +839,15 @@ def kcore(edges: DataFrame, k: int, rounds: int = 8,
     ``localCheckpoint``-ed (the connected-components device), so
     round r costs O(|E_r|) and the plan stays flat instead of
     nesting r rounds of joins.
+
+    ``local_edges_below`` is the small-graph fast path (the
+    q138/_hits_local device): at or below that many edges — the count
+    is already in hand from the eager checkpoint both paths pay — the
+    peel runs driver-local over numpy ``bincount`` (identical integer
+    algebra, see :func:`_kcore_local`) instead of per-round
+    checkpoint+count jobs whose ~0.4-1.0 s scheduler floor dominates
+    at toy scale. 5M int edges ≈ 80 MB driver memory (strings a few
+    hundred MB). Pass 0 to force the distributed rounds.
     """
     if k < 1:
         raise ValueError("k must be >= 1")
@@ -731,6 +859,14 @@ def kcore(edges: DataFrame, k: int, rounds: int = 8,
                          F.col(dst).alias("__d")) \
         .localCheckpoint(eager=True)
     prev = alive.count()
+    # small-graph fast path (the q138/_hits_local device): the peel
+    # rounds run driver-local over numpy bincount — identical integer
+    # algebra — instead of per-round checkpoint+count jobs whose
+    # scheduler floor dominates at toy scale. The checkpoint + count
+    # above are paid by both paths; pass local_edges_below=0 to force
+    # the distributed rounds (the >2M-edge scale story, unchanged).
+    if prev <= local_edges_below and local_edges_below:
+        return _kcore_local(alive, k, rounds, return_convergence)
     converged = prev == 0  # an empty graph is trivially its own core
     for _ in range(int(rounds)):
         if converged:

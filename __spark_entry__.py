@@ -58,13 +58,19 @@ _T_MEMO: "weakref.WeakKeyDictionary[SparkSession, dict]" = \
 # fanned out: the sample-based ANN/kmeans trainers (q24/q26/q35/q66/
 # q83...) collect a file-order sample whose row order pins trained
 # codebooks shared with the oracles.
+# Only the tables whose per-row map work is heavy enough to repay the
+# exchange: measured at sf0.1, fanning `events`/`customer`/`part` out
+# REGRESSED ~15 cheap-aggregation queries by ~0.5-1.0 s each (the
+# extra stage + shuffle of the whole table outweighs trivial map
+# work), while lineitem (600k rows feeding md5/percentile/explode
+# work), orders (150k, permutation/bootstrap grids) and documents
+# (text: tokenize/shingle/minhash/demux per row) each repay it many
+# times over. Operators with heavy map work over OTHER inputs carry
+# the same guard internally (stats._fanout_if_narrow, q170's device).
 _FANOUT_KEYS = {
     "lineitem": "l_orderkey",
     "orders": "o_orderkey",
-    "events": "event_id",
     "documents": "doc_id",
-    "customer": "c_custkey",
-    "part": "p_partkey",
 }
 
 

@@ -1305,6 +1305,23 @@ def spearman_corr(df: DataFrame, x_col: str, y_col: str,
                cov / (F.sqrt(vx) * F.sqrt(vy))).alias("rho"))
 
 
+def _fanout_if_narrow(df: DataFrame, *key_cols: str) -> DataFrame:
+    """Hash-repartition to ``defaultParallelism`` when the plan would
+    scan fewer partitions than cores — single-row-group parquet at toy
+    scale strands every map-side expression on one task (guide §2.5
+    "input skew"; the q170 bootstrap device, shared by the
+    distributed-twin rank/ECDF operators). Deterministic key hash:
+    retry-safe, no round-robin pre-sort, and every caller computes
+    placement-independent exact aggregates/ranks so results are
+    unchanged. At real scale input splits >= cores and this is a
+    no-op."""
+    sc = df.sparkSession.sparkContext
+    n = sc.defaultParallelism
+    if df.rdd.getNumPartitions() < n:
+        return df.repartition(n, *[F.col(c) for c in key_cols])
+    return df
+
+
 def distributed_midrank(df: DataFrame, value_col: str,
                         by: list[str] | None = None,
                         buckets: int = 64,
@@ -1371,8 +1388,11 @@ def distributed_midrank_multi(df: DataFrame, value_cols: list[str],
         raise ValueError("out_cols must match value_cols")
     # three consumers re-execute the input lineage without this —
     # boundary scan, bucket-count collect, and the final join; a
-    # computed upstream (q184's per-token text scoring) would run 3x
-    df = operator_persist(df)
+    # computed upstream (q184's per-token text scoring) would run 3x.
+    # Narrow inputs fan out first so the persist materialization and
+    # every later pass run cores-wide (value-keyed hash — exact ranks
+    # are placement-independent).
+    df = operator_persist(_fanout_if_narrow(df, *value_cols))
     qs = [i / buckets for i in range(1, buckets)]
     brow = df.agg(*[
         F.percentile_approx(F.col(c).cast("double"), qs, 10_000)
@@ -1989,9 +2009,11 @@ def ks_test_distributed(df: DataFrame, group_col: str, value_col: str,
     v = F.col(value_col).cast("double")
     s = F.col(sample_col)
     grain = operator_persist(
-        df.where(v.isNotNull() & s.isin(a, b)).select(
-            F.col(group_col).alias("__g"), v.alias("__v"),
-            (s == a).cast("bigint").alias("__a"))
+        _fanout_if_narrow(
+            df.where(v.isNotNull() & s.isin(a, b)).select(
+                F.col(group_col).alias("__g"), v.alias("__v"),
+                (s == a).cast("bigint").alias("__a")),
+            "__g", "__v")
         .groupBy("__g", "__v").agg(
             F.sum("__a").cast("bigint").alias("__ta"),
             F.sum(F.lit(1) - F.col("__a")).cast("bigint")
@@ -2285,11 +2307,13 @@ def wasserstein_1d_distributed(df: DataFrame, group_col: str,
     integral = dict(df.select(v.alias("__t")).dtypes)["__t"] in (
         "bigint", "int", "smallint", "tinyint")
     grain = operator_persist(
-        df.where(v.isNotNull() & s.isin(a, b)).select(
-            F.col(group_col).alias("__g"),
-            (v.cast("bigint") if integral else v.cast("double"))
-            .alias("__v"),
-            (s == a).cast("bigint").alias("__a"))
+        _fanout_if_narrow(
+            df.where(v.isNotNull() & s.isin(a, b)).select(
+                F.col(group_col).alias("__g"),
+                (v.cast("bigint") if integral else v.cast("double"))
+                .alias("__v"),
+                (s == a).cast("bigint").alias("__a")),
+            "__g", "__v")
         .groupBy("__g", "__v").agg(
             F.sum("__a").cast("bigint").alias("__ta"),
             F.sum(F.lit(1) - F.col("__a")).cast("bigint")

@@ -487,6 +487,10 @@ class StreamingNearDup:
             # progress metrics — the old shape re-read the source ~10x
             # per batch, so its reported rows/s were ~10x the true
             # document throughput (r11 finding; floors recalibrated)
+            # (r14 probe: fanning the micro-batch out before the
+            # minhash pass was measured a wash — per-batch wall is
+            # dominated by state joins + micro-batch machinery, not
+            # the 5k-doc Arrow pass — so the batch stays as delivered)
             batch = operator_persist(
                 batch_df.select(self.id_col, self.text_col))
             novel, inc_bands, inc_hashes = \

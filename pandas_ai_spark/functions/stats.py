@@ -1611,8 +1611,16 @@ def bh_fdr_distributed(df: DataFrame, p_col: str,
     from pyspark.sql.functions import broadcast
     from pyspark.sql.window import Window
 
+    from .cache import operator_persist
     from .fold import fold_scalars
 
+    # the hypothesis table is tiny BY CONTRACT (one row per test) but
+    # its upstream plan can be arbitrarily expensive (q183 feeds the
+    # full per-nation KS pass): without a persist that upstream
+    # re-executes once for the boundary scan and 3-4x more inside the
+    # final plan (tagged appears under the offset broadcast, the rank
+    # join, and both suffix-min subtrees) — measured 3x q183 wall.
+    df = operator_persist(df)
     fam = list(family_cols or [])
     tb = [F.col(c) for c in (tiebreak_cols or [])]
     out_cols = list(df.columns)
@@ -2393,7 +2401,8 @@ def wasserstein_1d_distributed(df: DataFrame, group_col: str,
 
 def _kw_finish(ranked: DataFrame, by: list[str],
                grp: str = "__grp", r2: str = "__r2",
-               v: str = "__v") -> DataFrame:
+               v: str = "__v",
+               grain_src: DataFrame | None = None) -> DataFrame:
     """Shared tail of both Kruskal-Wallis paths: given rows carrying
     the doubled midrank ``r2`` of ``v`` within ``by`` and the level
     column ``grp``, produce per-``by`` ``(k, n, h)``.
@@ -2432,10 +2441,16 @@ def _kw_finish(ranked: DataFrame, by: list[str],
     ]
     g = (lvl.groupBy(*[F.col(c) for c in by]).agg(*top)
          if by else lvl.agg(*top))
-    # tie correction from the (by, value) grain: Σ(t³ − t)
+    # tie correction from the (by, value) grain: Σ(t³ − t). Ranks are
+    # irrelevant to it, so callers pass the PRE-RANK frame as
+    # grain_src — counting `ranked` instead drags the whole rank pass
+    # (window sort, or the midrank bucket join) into this subtree's
+    # broadcast build, re-executing it once per action (identical
+    # counts either way: same rows, keyed by the same (by, v)).
     tie_agg = F.sum(F.col("__t") * F.col("__t") * F.col("__t")
                     - F.col("__t")).cast("bigint").alias("__ties")
-    grain = ranked.groupBy(*[F.col(c) for c in by], F.col(v)).agg(
+    grain = (grain_src if grain_src is not None else ranked) \
+        .groupBy(*[F.col(c) for c in by], F.col(v)).agg(
         F.count(F.lit(1)).cast("bigint").alias("__t"))
     if by:
         from pyspark.sql.functions import broadcast
@@ -2515,7 +2530,7 @@ def kruskal_wallis(df: DataFrame, value_col: str, group_col: str,
     r2 = (F.lit(2) * (cum_le - t) + t + F.lit(1)).cast("bigint")
     ranked = base.select(
         *[F.col(c) for c in by], "__grp", "__v", r2.alias("__r2"))
-    return _kw_finish(ranked, by)
+    return _kw_finish(ranked, by, grain_src=base)
 
 
 def kruskal_wallis_distributed(df: DataFrame, value_col: str,
@@ -2538,7 +2553,7 @@ def kruskal_wallis_distributed(df: DataFrame, value_col: str,
         F.col(group_col).alias("__grp"))
     ranked = distributed_midrank(base, "__v", by=by,
                                  buckets=buckets, out_col="__r2")
-    return _kw_finish(ranked, by)
+    return _kw_finish(ranked, by, grain_src=base)
 
 
 def cramers_v_matrix(df: DataFrame, cols: list[str]) -> DataFrame:
@@ -3003,16 +3018,28 @@ def dunn_test(df: DataFrame, value_col: str, group_col: str,
             *[F.col(c) for c in by], "__grp",
             r2.alias("__r2"),
             (t * t - 1).cast("bigint").alias("__tie1"))
-    lvl = ranked.groupBy(*[F.col(c) for c in by], F.col("__grp")) \
+    # ONE pass over the ranked rows: the family totals (__N, __ties)
+    # re-aggregate exactly from the bounded level grain (rows belong
+    # to exactly one level, so the integer sums are unchanged) — the
+    # old shape aggregated `ranked` separately for meta, which
+    # re-executed the whole rank-window pass once for the broadcast
+    # build and again under EACH side of the pair self-join below.
+    # The level grain (by x k rows) is persisted so the self-join and
+    # the meta broadcast read the cache, not the rank pass.
+    from .cache import operator_persist
+
+    lvl = operator_persist(
+        ranked.groupBy(*[F.col(c) for c in by], F.col("__grp"))
         .agg(F.count(F.lit(1)).cast("bigint").alias("__ni"),
              F.sum(F.col("__r2").cast("decimal(38,0)"))
-              .alias("__rs2"))
+              .alias("__rs2"),
+             F.sum("__tie1").cast("bigint").alias("__t1")))
     meta_aggs = [
-        F.count(F.lit(1)).cast("bigint").alias("__N"),
-        F.sum("__tie1").cast("bigint").alias("__ties"),
+        F.sum("__ni").cast("bigint").alias("__N"),
+        F.sum("__t1").cast("bigint").alias("__ties"),
     ]
     if by:
-        meta = ranked.groupBy(
+        meta = lvl.groupBy(
             *[F.col(c).alias(f"__g_{c}") for c in by]).agg(*meta_aggs)
         cond = None
         for c in by:
@@ -3022,7 +3049,7 @@ def dunn_test(df: DataFrame, value_col: str, group_col: str,
             .drop(*[f"__g_{c}" for c in by])
     else:
         from .fold import fold_scalars
-        lvl = fold_scalars(lvl, ranked.agg(*meta_aggs))
+        lvl = fold_scalars(lvl, lvl.agg(*meta_aggs))
     left = lvl.select(
         *[F.col(c).alias(f"__l_{c}") for c in by],
         F.col("__grp").alias("lev_a"),

@@ -2958,7 +2958,11 @@ def q88_triangle_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .select("l_orderkey", "p_brand")
     edges = cooccurrence_edges(baskets, "l_orderkey", "p_brand",
                                min_support=300, symmetric=False)
-    return (triangle_counts(edges)
+    # the symmetric=False co-occurrence grain is already canonical
+    # (src < dst, distinct, loop-free by construction) — skipping the
+    # re-canonicalization removes one full-edge exchange+dedup
+    # (guide §2.4; r15)
+    return (triangle_counts(edges, assume_canonical=True)
             .select(F.col("node").alias("brand"), "triangles")
             .orderBy("brand"))
 

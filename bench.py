@@ -261,6 +261,17 @@ def main() -> None:
         # footprint marks a degraded run; see BASELINE.md protocol)
         out["loadavg"] = {"start": [round(x, 2) for x in load_start],
                           "end": [round(x, 2) for x in load_end]}
+        # self-flag degraded runs (VERDICT r14 item 6): external load
+        # already present at START means the numbers are contended
+        # (r14's c32 run started at loadavg 6.8 and its tail queries
+        # ran 4-8x slower than the same code minutes later at 8
+        # cores). Only the START loadavg is a valid signal — the END
+        # loadavg mostly reflects the bench's own 32-thread footprint
+        # (a healthy run still ends near ~15 from the stream drain),
+        # so no rise-based rule. Threshold 4.0: well above idle-box
+        # noise (<2), well below any real contention episode seen in
+        # the round artifacts (6.8-15.9).
+        out["degraded"] = bool(load_start[0] > 4.0)
     if controls:
         out["controls"] = controls
     if stream_protocol:
@@ -407,6 +418,8 @@ def main() -> None:
         summary["paired_n"] = out["paired"]["n"]
     if "streaming_floor" in out:
         summary["stream_all_pass"] = out["streaming_floor"]["all_pass"]
+    if "degraded" in out:
+        summary["degraded"] = out["degraded"]
     print(json.dumps(summary))
 
 

@@ -186,8 +186,73 @@ def cooccurrence_edges(df: DataFrame, basket_col: str, item_col: str,
     )).alias("__p")).select("__p.src", "__p.dst")
 
 
+def _tri_local(und: DataFrame) -> DataFrame:
+    """Driver-local per-node triangle counts over an already-persisted
+    canonical (u < v, distinct, no self-loops) edge table small enough
+    to collect — vectorized numpy wedge enumeration instead of the
+    degree-agg + two wedge joins + closing join job chain (the
+    q138/_hits_local device: at toy scale each of those ~6 jobs is
+    0.2-0.8 s of scheduler floor). Counts are identical by
+    construction: same degree orientation, each triangle enumerated
+    once at its unique apex, closure checked against the same
+    canonical edge set — all exact integers. Memory: wedge count is
+    bounded by m^1.5 under degree orientation (~1e7 int64 entries at
+    the 50k-edge gate's worst case)."""
+    import numpy as np
+    import pandas as pd
+
+    pdf = und.toPandas()
+    both = pd.concat([pdf.iloc[:, 0], pdf.iloc[:, 1]],
+                     ignore_index=True)
+    codes, uniques = pd.factorize(both, sort=False)
+    n = max(len(uniques), 1)
+    s, d = codes[:len(pdf)], codes[len(pdf):]
+    ok = (s >= 0) & (d >= 0)  # NULL endpoints never equi-join
+    s, d = s[ok].astype(np.int64), d[ok].astype(np.int64)
+    deg = np.bincount(s, minlength=n) + np.bincount(d, minlength=n)
+    # orient low-(degree, id) -> high-(degree, id), as the joins do
+    fwd = (deg[s] < deg[d]) | ((deg[s] == deg[d]) & (s < d))
+    a = np.where(fwd, s, d)
+    b = np.where(fwd, d, s)
+    order = np.lexsort((b, a))
+    a, b = a[order], b[order]
+    m = len(a)
+    tri = np.zeros(n, dtype=np.int64)
+    if m:
+        # per oriented edge i = (a, b): wedge partners are a's LATER
+        # out-neighbors in the (a, b)-sorted list (strictly greater b
+        # — the wedge's b < c filter); close each wedge against the
+        # canonical undirected set
+        block_end = np.searchsorted(a, a, side="right")
+        idx = np.arange(m)
+        k = block_end - idx - 1
+        rep = np.repeat(idx, k)
+        flat = (np.arange(k.sum(), dtype=np.int64)
+                - np.repeat(np.cumsum(k) - k, k) + np.repeat(idx, k) + 1)
+        bs, cs, apex = b[rep], b[flat], a[rep]
+        lo = np.minimum(bs, cs)
+        hi = np.maximum(bs, cs)
+        keys = lo * n + hi
+        ekeys = np.sort(np.minimum(s, d) * n + np.maximum(s, d))
+        pos = np.searchsorted(ekeys, keys)
+        pos_c = np.minimum(pos, len(ekeys) - 1)
+        closed = ekeys[pos_c] == keys
+        for arr in (apex[closed], bs[closed], cs[closed]):
+            tri += np.bincount(arr, minlength=n)
+    alive = tri > 0
+    out = pd.DataFrame({"node": pd.Series(uniques[alive]),
+                        "triangles": tri[alive]})
+    from pyspark.sql import types as T
+    schema = T.StructType([
+        T.StructField("node", und.schema[0].dataType),
+        T.StructField("triangles", T.LongType())])
+    return und.sparkSession.createDataFrame(out, schema=schema)
+
+
 def triangle_counts(edges: DataFrame, src: str = "src",
-                    dst: str = "dst") -> DataFrame:
+                    dst: str = "dst",
+                    assume_canonical: bool = False,
+                    local_edges_below: int = 50_000) -> DataFrame:
     """Per-node triangle counts over an undirected graph:
     ``(node, triangles)``, nodes with zero triangles omitted.
 
@@ -204,22 +269,42 @@ def triangle_counts(edges: DataFrame, src: str = "src",
 
     Input may contain both directions and duplicates; it is first
     canonicalized (undirected-deduped) and self-loops are dropped.
+    ``assume_canonical=True`` skips that pass — one fewer full-edge
+    exchange (guide §2.4: a distinct on already-unique data) — for
+    callers whose edges are already ``src < dst``, deduplicated and
+    loop-free by construction (``cooccurrence_edges(symmetric=False)``).
     Shape: degree agg + two broadcast-eligible joins of the oriented
     edge list with itself on the wedge apex, then the closing
     semi-equi-join — no cartesian products, no Python.
-    """
+
+    ``local_edges_below`` is the small-graph fast path (the
+    q138/_hits_local device): at or below that many canonical edges —
+    one count on the persisted table, which also materializes the
+    cache every path reads five times — the wedge enumeration runs
+    driver-local over vectorized numpy (identical integer counts, see
+    :func:`_tri_local`) instead of a ~6-job join chain whose
+    scheduler floor dominates at toy scale. 50k edges bounds the
+    wedge arrays to ~1e7 entries worst-case under degree orientation.
+    Pass 0 to force the distributed joins (the billion-edge story,
+    unchanged)."""
     from .cache import operator_persist
 
     # the canonical edge table is referenced five times (degree agg,
     # two rank joins, wedge sides, closing join) — without a persist,
     # Catalyst re-executes the upstream edge derivation (often an
     # expensive co-occurrence pass) once per reference
-    und = operator_persist(
-        edges
-        .select(F.least(src, dst).alias("u"),
-                F.greatest(src, dst).alias("v"))
-        .where(F.col("u") != F.col("v"))
-        .distinct())
+    if assume_canonical:
+        und = operator_persist(
+            edges.select(F.col(src).alias("u"), F.col(dst).alias("v")))
+    else:
+        und = operator_persist(
+            edges
+            .select(F.least(src, dst).alias("u"),
+                    F.greatest(src, dst).alias("v"))
+            .where(F.col("u") != F.col("v"))
+            .distinct())
+    if local_edges_below and und.count() <= local_edges_below:
+        return _tri_local(und)
     deg = (und.select(F.col("u").alias("n"))
               .unionAll(und.select(F.col("v").alias("n")))
               .groupBy("n").agg(F.count("*").alias("d")))
@@ -398,13 +483,22 @@ def _kcore_local(e: DataFrame, k: int, rounds: int,
     codes, uniques = pd.factorize(both, sort=False)
     n = len(uniques)
     s, d = codes[:len(pdf)], codes[len(pdf):]
+    # NULL endpoints factorize to -1 (ADVICE r14: bincount raises on
+    # negatives); remap them to a sentinel slot that mirrors the
+    # distributed rounds exactly — a NULL-dst edge still counts
+    # toward its src's ROUND-1 degree (the groupBy counts it), but
+    # the equi-join filters never match NULL, so every NULL-touching
+    # edge drops in the first peel regardless of degree.
+    s = np.where(s < 0, n, s).astype(np.int64)
+    d = np.where(d < 0, n, d).astype(np.int64)
     prev = len(s)
     converged = prev == 0
     for _ in range(int(rounds)):
         if converged:
             break
-        deg = np.bincount(s, minlength=n)
+        deg = np.bincount(s, minlength=n + 1)
         keep = deg >= int(k)
+        keep[n] = False  # NULL never equi-joins back
         mask = keep[s] & keep[d]
         s, d = s[mask], d[mask]
         cnt = len(s)
@@ -412,10 +506,11 @@ def _kcore_local(e: DataFrame, k: int, rounds: int,
             converged = True
         prev = cnt
     if return_convergence and not converged and prev > 0:
-        deg = np.bincount(s, minlength=n)
+        deg = np.bincount(s, minlength=n + 1)
         keep = deg >= int(k)
+        keep[n] = False
         converged = int((keep[s] & keep[d]).sum()) == prev
-    deg = np.bincount(s, minlength=n)
+    deg = np.bincount(s, minlength=n + 1)[:n]
     alive = deg > 0
     out = pd.DataFrame({"node": pd.Series(uniques[alive]),
                         "degree": deg[alive].astype("int64")})
@@ -468,10 +563,22 @@ def _cc_local(e: DataFrame, nodes: DataFrame) -> DataFrame:
                 parent[rb] = ra
             else:
                 parent[ra] = rb
-    roots = np.array([find(i) for i in codes[:nn].tolist()],
-                     dtype=np.int64)
+    # a NULL node factorizes to -1 (ADVICE r14: parent[-1] silently
+    # labeled it with an arbitrary component); the distributed tail
+    # restores such nodes self-labeled — edges never carry NULL here
+    # (the caller's u != v filter drops them), so a NULL node is
+    # always isolated and its component is itself (NULL).
+    ncodes = codes[:nn]
+    valid = ncodes >= 0
+    roots = np.array(
+        [find(i) for i in np.where(valid, ncodes, 0).tolist()],
+        dtype=np.int64)
+    comp = pd.Series(uniques[roots])
+    if not valid.all():
+        comp = comp.where(pd.Series(valid),
+                          npdf.iloc[:, 0].reset_index(drop=True))
     out = pd.DataFrame({"node": pd.Series(npdf.iloc[:, 0].values),
-                        "component": pd.Series(uniques[roots])})
+                        "component": comp})
     from pyspark.sql import types as T
     node_t = nodes.schema[0].dataType
     schema = T.StructType([T.StructField("node", node_t),
@@ -759,13 +866,23 @@ def degree_assortativity(edges: DataFrame, src: str = "src",
     small); the statistics collapse in a single partial-aggregated
     pass. Nothing is collected or broadcast by hand.
     """
+    from .cache import operator_persist
+
     raw = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")) \
                .where(F.col("u") != F.col("v"))
-    sym = (raw.union(raw.select(F.col("v").alias("u"),
-                                F.col("u").alias("v")))
-              .distinct())
-    deg = sym.groupBy(F.col("u").alias("node")).agg(
-        F.count("*").cast("bigint").alias("deg"))
+    # the symmetrize+distinct subtree is referenced by the degree agg
+    # AND the statistics join, and the degree table by BOTH endpoint
+    # joins plus the node count — without persists the whole upstream
+    # (often itself a distinct over a big table) re-executes once per
+    # reference (guide §5; r15: four executions observed in the q155
+    # plan, one per subtree)
+    sym = operator_persist(
+        raw.union(raw.select(F.col("v").alias("u"),
+                             F.col("u").alias("v")))
+           .distinct())
+    deg = operator_persist(
+        sym.groupBy(F.col("u").alias("node")).agg(
+            F.count("*").cast("bigint").alias("deg")))
     j = (sym
          .join(deg.select(F.col("node").alias("u"),
                           F.col("deg").alias("dx")), "u")

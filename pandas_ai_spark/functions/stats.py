@@ -1305,6 +1305,62 @@ def spearman_corr(df: DataFrame, x_col: str, y_col: str,
                cov / (F.sqrt(vx) * F.sqrt(vy))).alias("rho"))
 
 
+def _is_persisted(df: DataFrame) -> bool:
+    """True when the caller already persisted ``df`` (any storage
+    level) — the distributed rank operators then skip their own
+    fan-out + persist so the caller's other passes (tie grains) share
+    the SAME cached plan instead of missing the cache on a
+    repartitioned twin (ADVICE r14: kruskal's grain_src re-executed
+    its upstream because the cached plan was the fanned one)."""
+    lvl = df.storageLevel
+    return bool(lvl.useMemory or lvl.useDisk or lvl.useOffHeap)
+
+
+def _slog_bucket(v, mn, mx, nb: int):
+    """Deterministic monotone bucket id in ``[0, nb)`` for the double
+    column ``v``: equal-width in signed-log space
+    (``slog(x) = sign(x)·log1p(|x|)``) between the per-column slog
+    min/max ``mn``/``mx`` (columns from a broadcast one-row
+    aggregate). A pure function of the value — equal values always
+    share a bucket and ids are non-decreasing in ``v`` — which is the
+    ONLY property the exact rank/cumulative algebra downstream needs
+    (the same contract the old approx_percentile boundaries
+    satisfied); bucket placement never changes results, only balance.
+    Replacing the percentile sketch with this expression removes the
+    boundary-scan ACTION entirely (guide §2.4 — the whole operator
+    becomes one lazy plan), at the cost of equal-log-width instead of
+    equal-frequency balance; ``nb`` runs several× finer than the old
+    boundary count to compensate (empty buckets cost nothing — the
+    offset table only carries non-empty ids).
+
+    Edge handling (all monotone-safe): NULL is routed by callers
+    before this; NaN falls through ``greatest/least`` (NaN compares
+    greater than any number) into the TOP bucket, matching its
+    NULLS-excluded sort position; ``-inf`` hits the ``s <= mn``
+    branch → bucket 0; ``+inf`` clamps to the top; a degenerate or
+    unknown span (single value, all-NaN input) collapses to one
+    bucket. Plain arithmetic only — codegen-friendly, no
+    interpreted higher-order functions."""
+    s = F.signum(v) * F.log1p(F.abs(v))
+    span = mx - mn
+    raw = F.when(s <= mn, F.lit(0.0)).otherwise(
+        F.floor((s - mn) / span * F.lit(float(nb))))
+    b = F.least(F.lit(float(nb - 1)),
+                F.greatest(F.lit(0.0), raw)).cast("int")
+    return F.when(span > F.lit(0.0), b).otherwise(F.lit(0))
+
+
+def _slog_minmax(v, i: int):
+    """The two aggregate expressions feeding :func:`_slog_bucket`'s
+    ``mn``/``mx`` for value column ``v`` (double): slog min/max with
+    NaN excluded (a single NaN would otherwise poison ``max`` and
+    collapse every bucket; NaN rows themselves still land in the top
+    bucket by the comparison semantics above)."""
+    s = F.signum(v) * F.log1p(F.abs(v))
+    s = F.when(F.isnan(v), F.lit(None)).otherwise(s)
+    return [F.min(s).alias(f"__mn_{i}"), F.max(s).alias(f"__mx_{i}")]
+
+
 def _fanout_if_narrow(df: DataFrame, *key_cols: str) -> DataFrame:
     """Hash-repartition to ``defaultParallelism`` when the plan would
     scan fewer partitions than cores — single-row-group parquet at toy
@@ -1334,18 +1390,19 @@ def distributed_midrank(df: DataFrame, value_col: str,
     ``2·count(v < x) + count(v = x) + 1`` of ``value_col`` within its
     group (an integer even at tied midranks — the q159 device).
 
-    How: (1) global range boundaries from one ``approx_percentile``
-    scan split values into ``buckets`` ranges (bucket id is a
-    monotone sum of comparisons — codegen, no UDF); (2) one
-    map-side-combined (group, bucket) count whose driver-side prefix
-    sum yields each bucket's rank offset (driver state =
-    groups × buckets rows, bounded); (3) a window sorted WITHIN
-    (group, bucket) — ``buckets``-way parallel per group — adds the
-    local cumulative count to the broadcast offset. Equal values
-    always share a bucket (the id is a function of the value), so tie
-    counts stay exact and the result is IDENTICAL to the
-    single-partition window form regardless of boundary placement —
-    approx_percentile's sketch only affects balance, never ranks.
+    How (fully lazy — zero internal actions since r15): (1) a
+    deterministic monotone bucket expression (:func:`_slog_bucket`,
+    equal-width in signed-log space between a broadcast one-row
+    min/max aggregate) splits values into ranges — codegen, no UDF,
+    no boundary-scan job; (2) one map-side-combined (group, bucket)
+    count table — TINY — gets prefix-summed by a window over itself
+    and broadcast back as each bucket's rank offset; (3) a window
+    sorted WITHIN (group, bucket) — many-way parallel per group —
+    adds the local cumulative count to the broadcast offset. Equal
+    values always share a bucket (the id is a function of the
+    value), so tie counts stay exact and the result is IDENTICAL to
+    the single-partition window form regardless of bucket placement
+    — the bucketing only affects balance, never ranks.
 
     NULL contract: NULL ``value_col`` rows are routed to a dedicated
     bucket ``-1`` that prefix-sums FIRST, so they all share the
@@ -1365,15 +1422,27 @@ def distributed_midrank_multi(df: DataFrame, value_cols: list[str],
                               out_cols: list[str] | None = None
                               ) -> DataFrame:
     """:func:`distributed_midrank` for SEVERAL value columns in one
-    pass: the boundary scan computes every column's
-    ``approx_percentile`` in ONE aggregation job and the per-(group,
-    bucket) counts for all columns collect in ONE union job — for a
-    two-variable ranking (``spearman_corr_distributed``) that halves
-    the driver round-trips (2 collects instead of 4) and persists the
-    input once instead of per column. Output and NULL contract are
-    identical to sequential single-column calls by construction (each
-    column's bucket ids, offsets and windows use exactly the same
-    expressions)."""
+    pass — and, since r15, a FULLY LAZY one: no internal action at
+    all. Bucket ids come from the deterministic :func:`_slog_bucket`
+    expression (bounds = one broadcast one-row slog min/max aggregate
+    instead of an ``approx_percentile`` collect), and the rank
+    offsets come from a prefix-sum window over the tiny per-(group,
+    bucket) count table, broadcast back (the ``bh_fdr_distributed``
+    idiom) instead of a driver collect + ``createDataFrame``. The
+    caller's single action therefore executes the whole rank — the
+    old form paid two extra driver round-trip jobs per operator
+    (guide §2.4/§5). Output and NULL contract are identical to the
+    boundary-scan form by construction: bucket placement never
+    affects midranks (equal values share a bucket, ids are monotone
+    in the value), only balance — see :func:`_slog_bucket` for the
+    balance trade-off.
+
+    Input persistence: the plan still references the input three
+    times (bounds aggregate, count table, final join); it is fanned
+    out and persisted here unless the CALLER already persisted it
+    (``_is_persisted``) — the tie-grain callers (Mann-Whitney,
+    Kruskal-Wallis, Dunn) persist base themselves so their grain
+    aggregation shares the same cache entry."""
     from pyspark.sql.functions import broadcast
     from pyspark.sql.window import Window
 
@@ -1386,68 +1455,54 @@ def distributed_midrank_multi(df: DataFrame, value_cols: list[str],
     out_cols = list(out_cols or [f"r2_{c}" for c in value_cols])
     if len(out_cols) != len(value_cols):
         raise ValueError("out_cols must match value_cols")
-    # three consumers re-execute the input lineage without this —
-    # boundary scan, bucket-count collect, and the final join; a
-    # computed upstream (q184's per-token text scoring) would run 3x.
-    # Narrow inputs fan out first so the persist materialization and
-    # every later pass run cores-wide (value-keyed hash — exact ranks
-    # are placement-independent).
-    df = operator_persist(_fanout_if_narrow(df, *value_cols))
-    qs = [i / buckets for i in range(1, buckets)]
-    brow = df.agg(*[
-        F.percentile_approx(F.col(c).cast("double"), qs, 10_000)
-         .alias(f"__b_{i}")
-        for i, c in enumerate(value_cols)]).collect()[0]
-    tagged = df
+    if not _is_persisted(df):
+        df = operator_persist(_fanout_if_narrow(df, *value_cols))
+    # finer than the old boundary count: empty buckets are free and
+    # the count table stays bounded by groups × (non-empty ids)
+    nb = int(buckets) * 8
+    mm_aggs = []
+    for i, c in enumerate(value_cols):
+        mm_aggs.extend(_slog_minmax(F.col(c).cast("double"), i))
+    tagged = df.crossJoin(broadcast(df.agg(*mm_aggs)))
     for i, c in enumerate(value_cols):
         v = F.col(c)
-        bounds = sorted(set(brow[f"__b_{i}"] or []))
-        bucket = F.lit(0)
-        for bnd in bounds:
-            bucket = bucket + (v.cast("double") > F.lit(float(bnd))) \
-                .cast("int")
-        # NULL comparisons are NULL, so without this a NULL value
-        # yields a NULL bucket id — the dedicated -1 bucket sorts
-        # before every real bucket in the prefix sum (NULLS FIRST
-        # parity with the window form)
+        bucket = _slog_bucket(v.cast("double"), F.col(f"__mn_{i}"),
+                              F.col(f"__mx_{i}"), nb)
+        # NULL values get the dedicated -1 bucket that prefix-sums
+        # FIRST (NULLS FIRST parity with the window form)
         bucket = F.when(v.isNull(), F.lit(-1)).otherwise(bucket)
         tagged = tagged.withColumn(f"__bkt_{i}", bucket)
+    tagged = tagged.drop(*[f"__mn_{i}" for i in range(len(value_cols))],
+                         *[f"__mx_{i}" for i in range(len(value_cols))])
+    # ONE union pass builds every column's (group, bucket) counts (the
+    # old collect's union job, kept as a subtree), one window prefix-
+    # sums them into offsets, and the SAME broadcast subtree serves
+    # every column's join (identical plan → exchange reuse builds it
+    # once; the per-column __which equality rides the join condition)
     counts = None
     for i in range(len(value_cols)):
         part = tagged.groupBy(
-            *[F.col(c).alias(f"__g_{c}") for c in by],
+            *[F.col(g).alias(f"__g_{g}") for g in by],
             F.col(f"__bkt_{i}").alias("__b2")).agg(
             F.count(F.lit(1)).cast("bigint").alias("__cnt")) \
             .withColumn("__which", F.lit(i))
         counts = part if counts is None else counts.unionByName(part)
-    rows = counts.collect()
-    from collections import defaultdict
-
-    spark = df.sparkSession
-    off_schema = (", ".join(
-        f"`__g_{c}` {dict(df.dtypes)[c]}" for c in by)
-        + (", " if by else "")
-        + "__b2 int, __off bigint")
+    woff = (Window.partitionBy("__which",
+                               *[f"__g_{g}" for g in by])
+            .orderBy(F.col("__b2").asc())
+            .rowsBetween(Window.unboundedPreceding, -1))
+    off_all = counts.select(
+        "__which", *[F.col(f"__g_{g}") for g in by], "__b2",
+        F.coalesce(F.sum("__cnt").over(woff), F.lit(0))
+         .cast("bigint").alias("__off"))
     joined = tagged
     for i, (c, oc) in enumerate(zip(value_cols, out_cols)):
-        per_group: dict = defaultdict(list)
-        for r in rows:
-            if r["__which"] != i:
-                continue
-            key = tuple(r[f"__g_{g}"] for g in by)
-            per_group[key].append((r["__b2"], r["__cnt"]))
-        offsets = []
-        for key, lst in per_group.items():
-            acc = 0
-            for bkt, cnt in sorted(lst):
-                offsets.append((*key, bkt, acc))
-                acc += cnt
-        off = spark.createDataFrame(offsets, off_schema)
-        cond = F.col(f"__bkt_{i}") == F.col("__b2")
+        cond = (F.col(f"__bkt_{i}") == F.col("__b2")) \
+            & (F.col("__which") == F.lit(i))
         for g in by:
             cond = cond & F.col(g).eqNullSafe(F.col(f"__g_{g}"))
-        joined = joined.join(broadcast(off), cond) \
-            .drop("__b2", *[f"__g_{g}" for g in by])
+        joined = joined.join(broadcast(off_all), cond) \
+            .drop("__b2", "__which", *[f"__g_{g}" for g in by])
         v = F.col(c)
         wo = Window.partitionBy(*by, f"__bkt_{i}").orderBy(v) \
             .rangeBetween(Window.unboundedPreceding, 0)
@@ -1515,9 +1570,10 @@ def mann_whitney_u_distributed(df: DataFrame, value_col: str,
     ``groups × buckets``-way parallel instead of the original's one
     ordered window task per group — the variant for a FEW huge
     groups, where even the (group, value) grain is large (continuous
-    scores, q167's AUC device). Costs the midrank pass's two bounded
-    driver collects (boundaries + bucket offsets) plus one extra
-    grain aggregation for the tie term.
+    scores, q167's AUC device). The midrank pass is fully lazy (no
+    internal actions); the tie term is one extra grain aggregation
+    over the SAME persisted base (persisted here, in the caller, so
+    the grain scan shares the cache — ADVICE r14).
 
     Scale shape: rows (not the grain) carry through
     :func:`distributed_midrank`; the rank-sum aggregation is
@@ -1528,6 +1584,7 @@ def mann_whitney_u_distributed(df: DataFrame, value_col: str,
     """
     from pyspark.sql.functions import broadcast
 
+    from .cache import operator_persist
     from .fold import fold_scalars
 
     by = list(by or [])
@@ -1537,6 +1594,11 @@ def mann_whitney_u_distributed(df: DataFrame, value_col: str,
         *[F.col(c) for c in by],
         F.col(value_col).alias("__v"),
         (s == a).cast("bigint").alias("__a"))
+    # persist HERE, not inside the midrank (which skips persisted
+    # inputs): the tie-grain aggregation below then reads the same
+    # cache entry instead of re-executing the upstream lineage on an
+    # un-fanned plan (ADVICE r14, the kruskal grain_src finding)
+    base = operator_persist(_fanout_if_narrow(base, "__v"))
     ranked = distributed_midrank(base, "__v", by=by,
                                  buckets=buckets, out_col="__r2")
     main = [
@@ -1590,10 +1652,10 @@ def bh_fdr_distributed(df: DataFrame, p_col: str,
     family (per-feature×segment batteries), where :func:`bh_fdr`'s
     bounded-grain assumption breaks.
 
-    How (all declarative — no driver state beyond the boundary
-    scan): (1) approx-percentile boundaries bucket ``p`` (NULL p →
-    dedicated lowest bucket, matching the window form's NULLS-FIRST
-    rank / NULLS-LAST running min exactly); (2) the per-(family,
+    How (all declarative — zero internal actions): (1) the
+    deterministic :func:`_slog_bucket` expression buckets ``p``
+    (NULL p → dedicated lowest bucket, matching the window form's
+    NULLS-FIRST rank / NULLS-LAST running min exactly); (2) the per-(family,
     bucket) count table — TINY — gets prefix-summed by a window over
     itself and broadcast back: ordinal ``p_rank`` = offset + local
     row_number; (3) the BH candidate ``m·p/rank`` suffix-min splits
@@ -1631,15 +1693,18 @@ def bh_fdr_distributed(df: DataFrame, p_col: str,
     else:
         base = fold_scalars(
             df, df.agg(F.count("*").cast("bigint").alias("__m")))
-    qs = [i / buckets for i in range(1, buckets)]
-    row = base.agg(F.percentile_approx(p, qs, 10_000)
-                   .alias("b")).collect()[0]
-    bounds = sorted(set(row["b"] or []))
-    bucket = F.lit(0)
-    for bnd in bounds:
-        bucket = bucket + (p > F.lit(float(bnd))).cast("int")
+    # lazy bucket ids since r15 (the distributed_midrank_multi
+    # rework): the deterministic slog-width expression over a
+    # broadcast one-row min/max replaces the approx_percentile
+    # boundary-scan JOB — this operator now runs zero internal
+    # actions; ranks/suffix-mins are bucket-placement-invariant
+    # (ties of p never span buckets) so the output is unchanged.
+    nb = int(buckets) * 8
+    mm = df.agg(*_slog_minmax(F.col(p_col).cast("double"), 0))
+    bucket = _slog_bucket(p, F.col("__mn_0"), F.col("__mx_0"), nb)
     bucket = F.when(p.isNull(), F.lit(-1)).otherwise(bucket)
-    tagged = base.withColumn("__bkt", bucket)
+    tagged = base.crossJoin(broadcast(mm)) \
+        .withColumn("__bkt", bucket).drop("__mn_0", "__mx_0")
     gsel = [F.col(c).alias(f"__g_{c}") for c in fam]
     counts = tagged.groupBy(*gsel,
                             F.col("__bkt").alias("__b2")).agg(
@@ -1915,14 +1980,12 @@ def poisson_bootstrap_ci(df: DataFrame, value_col: str, id_col: str,
     x = F.col(value_col).cast("bigint")
     key = F.concat_ws(":", F.lit(seed), F.col(id_col).cast("string"))
 
-    def uniform(b: int):
+    def hexwin(b: int):
         # window b%4 of chunk b//4's digest; codegen subexpression
         # elimination dedups the ceil(B/4) md5 calls shared by their
         # four windows
         h = F.md5(F.concat_ws(":", key, F.lit(str(b // 4))))
-        return (F.conv(F.substring(h, 8 * (b % 4) + 1, 8),
-                       16, 10).cast("long").cast("double")
-                / F.lit(4294967296.0))
+        return F.substring(h, 8 * (b % 4) + 1, 8)
 
     # the explode multiplies per-partition work by B: a narrow input
     # (few files at test scale; a coalesced upstream at any scale)
@@ -1933,21 +1996,35 @@ def poisson_bootstrap_ci(df: DataFrame, value_col: str, id_col: str,
     sc = df.sparkSession.sparkContext
     if df.rdd.getNumPartitions() < sc.defaultParallelism:
         df = df.repartition(sc.defaultParallelism)
-    # uniforms computed ONCE into an exploded (b, u) stream: the
-    # inverse CDF then runs on the SCALAR u column, so every codegen
+    # hex windows computed ONCE into an exploded (b, hex) stream: the
+    # inverse CDF then runs on the SCALAR hex column, so every codegen
     # stage stays small. (Building all B weight expressions inline —
-    # nested CASEs or flat sums alike — embeds the conv/md5 subtree
+    # nested CASEs or flat sums alike — embeds the md5 subtree
     # 9x per weight, exceeds janino's method limit, and drops the
     # stage to interpreted mode: measured 30-150 s vs ~9 s here at
     # sf0.1.)
+    #
+    # r15: the threshold comparison runs directly on the fixed-width
+    # LOWERCASE HEX window instead of conv(hex,16,10)/2^32 — for a
+    # 32-bit integer T and CDF literal c,
+    #   T/2^32 >= c  ⟺  T >= ceil(c·2^32)  ⟺  hex8(T) >= hex8(ceil)
+    # (the division by 2^32 and the product c·2^32 are exact binary
+    # scalings, T < 2^53, and 8-char lowercase hex orders
+    # lexicographically like the integer), so the weights — and the
+    # oracle match — are unchanged while the 24M-element conv()
+    # parse-and-convert chain disappears from the hot path (guide
+    # §1.2 per-task work; A/B numbers in OPTIMIZATION_r15.md).
     exploded = df.select(
         *[F.col(c) for c in by], x.alias("__x"),
-        F.posexplode(F.array(*[uniform(b) for b in range(B)]))
+        F.posexplode(F.array(*[hexwin(b) for b in range(B)]))
          .alias("__b", "__u"))
+    import math as _math
+
     u = F.col("__u")
     w = F.lit(0).cast("int")
     for c in _POISSON1_CDF:
-        w = w + (u >= F.lit(c)).cast("int")
+        thr = format(_math.ceil(c * 4294967296.0), "08x")
+        w = w + (u >= F.lit(thr)).cast("int")
     exploded = exploded.select(
         *[F.col(c) for c in by], "__x", "__b",
         w.cast("bigint").alias("__w"))
@@ -1993,19 +2070,22 @@ def ks_test_distributed(df: DataFrame, group_col: str, value_col: str,
     q180/q182/q183 convention; this closes the rank-window family:
     every ordered-ECDF operator now has a distributed twin).
 
-    How (the :func:`bh_fdr_distributed` split): (1) the input
-    collapses to the (group, value) grain first (map-side-combined
-    ``(t_a, t_b)`` counts — the :func:`mann_whitney_u` device, so the
-    heavy pass shuffles distinct values, not rows); (2) one
-    ``approx_percentile`` scan buckets the value axis — equal values
-    always share a bucket, so the cumulative count at any value is
-    bucket-split-invariant; (3) the per-(group, bucket)
-    ``(Σt_a, Σt_b)`` table — TINY — prefix-sums on the driver into
-    broadcast offsets, and a window WITHIN (group, bucket) adds the
-    local cumulative; (4) ``D`` evaluates row-local from exact
-    bigint cumulatives and one grouped max finishes. Per-group
-    totals ride the same bounded table. Rows with NULL values or
-    labels outside {a, b} are excluded, as in the window form.
+    How (the :func:`bh_fdr_distributed` split, fully lazy): (1) the
+    input collapses to the (group, value) grain first
+    (map-side-combined ``(t_a, t_b)`` counts — the
+    :func:`mann_whitney_u` device, so the heavy pass shuffles
+    distinct values, not rows); (2) the deterministic
+    :func:`_slog_bucket` expression buckets the value axis — equal
+    values always share a bucket, so the cumulative count at any
+    value is bucket-split-invariant; (3) the per-(group, bucket)
+    ``(Σt_a, Σt_b)`` table — TINY — prefix-sums by a window over
+    itself into broadcast offsets, and a window WITHIN (group,
+    bucket) adds the local cumulative; (4) ``D`` evaluates row-local
+    from exact bigint cumulatives and one grouped max finishes.
+    Per-group totals ride the same bounded offset row. No internal
+    action anywhere — the caller's one action runs the whole test.
+    Rows with NULL values or labels outside {a, b} are excluded, as
+    in the window form.
     """
     from pyspark.sql.functions import broadcast
     from pyspark.sql.window import Window
@@ -2026,40 +2106,38 @@ def ks_test_distributed(df: DataFrame, group_col: str, value_col: str,
             F.sum("__a").cast("bigint").alias("__ta"),
             F.sum(F.lit(1) - F.col("__a")).cast("bigint")
              .alias("__tb")))
-    qs = [i / buckets for i in range(1, buckets)]
-    row = grain.agg(F.percentile_approx(
-        F.col("__v"), qs, 10_000).alias("b")).collect()[0]
-    bounds = sorted(set(row["b"] or []))
-    bucket = F.lit(0)
-    for bnd in bounds:
-        bucket = bucket + (F.col("__v") > F.lit(float(bnd))) \
-            .cast("int")
-    tagged = grain.withColumn("__bkt", bucket)
+    # fully lazy since r15 (the distributed_midrank_multi rework):
+    # deterministic slog-width bucket ids (no boundary-scan job) and a
+    # prefix-sum window over the tiny count table (no offsets collect)
+    # — the caller's single action executes the whole test. The same
+    # offset row also carries the per-group totals (one more window
+    # frame over the same tiny table), so the separate totals table
+    # and its second broadcast join disappear. Cumulative counts are
+    # bucket-placement-invariant (equal values share a bucket), so
+    # the output is unchanged.
+    nb = int(buckets) * 8
+    mm = grain.agg(*_slog_minmax(F.col("__v"), 0))
+    tagged = grain.crossJoin(broadcast(mm)).withColumn(
+        "__bkt", _slog_bucket(F.col("__v"), F.col("__mn_0"),
+                              F.col("__mx_0"), nb)) \
+        .drop("__mn_0", "__mx_0")
     counts = tagged.groupBy(
         F.col("__g").alias("__g2"), F.col("__bkt").alias("__b2")).agg(
         F.sum("__ta").cast("bigint").alias("__ca"),
         F.sum("__tb").cast("bigint").alias("__cb"))
-    rows = counts.collect()
-    from collections import defaultdict
-
-    per_group: dict = defaultdict(list)
-    for r in rows:
-        per_group[r["__g2"]].append((r["__b2"], r["__ca"], r["__cb"]))
-    offsets, totals = [], []
-    for g, lst in per_group.items():
-        acc_a = acc_b = 0
-        for bkt, ca, cb in sorted(lst):
-            offsets.append((g, bkt, acc_a, acc_b))
-            acc_a += ca
-            acc_b += cb
-        totals.append((g, acc_a, acc_b))
-    spark = df.sparkSession
-    gtype = dict(tagged.dtypes)["__g"]
-    off = spark.createDataFrame(
-        offsets, f"`__g2` {gtype}, __b2 int, __offa bigint, "
-                 f"__offb bigint")
-    tot = spark.createDataFrame(
-        totals, f"`__g2` {gtype}, n_a bigint, n_b bigint")
+    woff = (Window.partitionBy("__g2").orderBy(F.col("__b2").asc())
+            .rowsBetween(Window.unboundedPreceding, -1))
+    wtot = (Window.partitionBy("__g2")
+            .rowsBetween(Window.unboundedPreceding,
+                         Window.unboundedFollowing))
+    off = counts.select(
+        "__g2", "__b2",
+        F.coalesce(F.sum("__ca").over(woff), F.lit(0))
+         .cast("bigint").alias("__offa"),
+        F.coalesce(F.sum("__cb").over(woff), F.lit(0))
+         .cast("bigint").alias("__offb"),
+        F.sum("__ca").over(wtot).cast("bigint").alias("n_a"),
+        F.sum("__cb").over(wtot).cast("bigint").alias("n_b"))
     joined = tagged.join(
         broadcast(off),
         (F.col("__bkt") == F.col("__b2"))
@@ -2068,9 +2146,7 @@ def ks_test_distributed(df: DataFrame, group_col: str, value_col: str,
           .rangeBetween(Window.unboundedPreceding, 0))
     cum_a = F.col("__offa") + F.sum("__ta").over(wr)
     cum_b = F.col("__offb") + F.sum("__tb").over(wr)
-    stepped = joined.join(broadcast(tot),
-                          F.col("__g").eqNullSafe(F.col("__g2"))) \
-        .select(
+    stepped = joined.select(
             "__g", "n_a", "n_b",
             F.abs(F.try_divide(cum_a.cast("double"),
                                F.col("n_a").cast("double"))
@@ -2326,46 +2402,37 @@ def wasserstein_1d_distributed(df: DataFrame, group_col: str,
             F.sum("__a").cast("bigint").alias("__ta"),
             F.sum(F.lit(1) - F.col("__a")).cast("bigint")
              .alias("__tb")))
-    qs = [i / buckets for i in range(1, buckets)]
-    row = grain.agg(F.percentile_approx(
-        F.col("__v").cast("double"), qs, 10_000).alias("b")) \
-        .collect()[0]
-    bounds = sorted(set(row["b"] or []))
-    bucket = F.lit(0)
-    for bnd in bounds:
-        bucket = bucket + (F.col("__v").cast("double")
-                           > F.lit(float(bnd))).cast("int")
-    tagged = grain.withColumn("__bkt", bucket)
+    # fully lazy since r15 (the distributed_midrank_multi rework): no
+    # boundary-scan job, no offsets collect — bucket ids are the
+    # deterministic slog-width expression and the per-(group, bucket)
+    # table prefix-sums by a window over itself, carrying the count
+    # offsets, the per-group totals AND the next bucket's min(v)
+    # (a lead over the same tiny table) in one broadcast row.
+    nb = int(buckets) * 8
+    mm = grain.agg(*_slog_minmax(F.col("__v").cast("double"), 0))
+    tagged = grain.crossJoin(broadcast(mm)).withColumn(
+        "__bkt", _slog_bucket(F.col("__v").cast("double"),
+                              F.col("__mn_0"), F.col("__mx_0"), nb)) \
+        .drop("__mn_0", "__mx_0")
     counts = tagged.groupBy(
         F.col("__g").alias("__g2"), F.col("__bkt").alias("__b2")).agg(
         F.sum("__ta").cast("bigint").alias("__ca"),
         F.sum("__tb").cast("bigint").alias("__cb"),
         F.min("__v").alias("__vmin"))
-    rows = counts.collect()
-    from collections import defaultdict
-
-    per_group: dict = defaultdict(list)
-    for r in rows:
-        per_group[r["__g2"]].append(
-            (r["__b2"], r["__ca"], r["__cb"], r["__vmin"]))
-    offsets, totals = [], []
-    for g, lst in per_group.items():
-        lst.sort()
-        acc_a = acc_b = 0
-        for i, (bkt, ca, cb, _vmin) in enumerate(lst):
-            nxt = lst[i + 1][3] if i + 1 < len(lst) else None
-            offsets.append((g, bkt, acc_a, acc_b, nxt))
-            acc_a += ca
-            acc_b += cb
-        totals.append((g, acc_a, acc_b))
-    spark = df.sparkSession
-    gtype = dict(tagged.dtypes)["__g"]
-    vtype = dict(tagged.dtypes)["__v"]
-    off = spark.createDataFrame(
-        offsets, f"`__g2` {gtype}, __b2 int, __offa bigint, "
-                 f"__offb bigint, `__nextv` {vtype}")
-    tot = spark.createDataFrame(
-        totals, f"`__g2` {gtype}, n_a bigint, n_b bigint")
+    wb = Window.partitionBy("__g2").orderBy(F.col("__b2").asc())
+    woff = wb.rowsBetween(Window.unboundedPreceding, -1)
+    wtot = (Window.partitionBy("__g2")
+            .rowsBetween(Window.unboundedPreceding,
+                         Window.unboundedFollowing))
+    off = counts.select(
+        "__g2", "__b2",
+        F.coalesce(F.sum("__ca").over(woff), F.lit(0))
+         .cast("bigint").alias("__offa"),
+        F.coalesce(F.sum("__cb").over(woff), F.lit(0))
+         .cast("bigint").alias("__offb"),
+        F.lead("__vmin").over(wb).alias("__nextv"),
+        F.sum("__ca").over(wtot).cast("bigint").alias("n_a"),
+        F.sum("__cb").over(wtot).cast("bigint").alias("n_b"))
     joined = tagged.join(
         broadcast(off),
         (F.col("__bkt") == F.col("__b2"))
@@ -2378,13 +2445,11 @@ def wasserstein_1d_distributed(df: DataFrame, group_col: str,
     gap = F.coalesce(F.lead("__v").over(wo), F.col("__nextv")) \
         - F.col("__v")
     dec = "decimal(38,0)"
-    stepped = joined.join(broadcast(tot),
-                          F.col("__g").eqNullSafe(F.col("__g2")))
     term = F.abs(cum_a.cast(dec) * F.col("n_b").cast(dec)
                  - cum_b.cast(dec) * F.col("n_a").cast(dec))
     contrib = (term * gap.cast(dec) if integral else
                term.cast("double") * gap.cast("double"))
-    stepped = stepped.select(
+    stepped = joined.select(
         "__g", "n_a", "n_b",
         F.when(gap.isNotNull(), contrib).alias("__c"))
     out = (stepped.groupBy(F.col("__g").alias(group_col))
@@ -2541,16 +2606,20 @@ def kruskal_wallis_distributed(df: DataFrame, value_col: str,
     scale path: IDENTICAL output (doubled midranks are exact either
     way), but ranking runs ``groups × buckets``-way parallel instead
     of one ordered window task per ``by`` group — the variant for a
-    FEW huge groups. Costs the midrank pass's two bounded driver
-    collects (boundaries + groups×buckets offsets); everything after
-    the rank is the same exact-integer aggregation tail
-    (:func:`_kw_finish`)."""
+    FEW huge groups. The midrank pass is fully lazy (zero internal
+    actions); everything after the rank is the same exact-integer
+    aggregation tail (:func:`_kw_finish`), whose tie grain reads the
+    base persisted HERE (same cache entry as the rank pass —
+    ADVICE r14)."""
+    from .cache import operator_persist
+
     by = list(by or [])
     base = df.where(F.col(value_col).isNotNull()
                     & F.col(group_col).isNotNull()).select(
         *[F.col(c) for c in by],
         F.col(value_col).alias("__v"),
         F.col(group_col).alias("__grp"))
+    base = operator_persist(_fanout_if_narrow(base, "__v"))
     ranked = distributed_midrank(base, "__v", by=by,
                                  buckets=buckets, out_col="__r2")
     return _kw_finish(ranked, by, grain_src=base)

@@ -23,6 +23,8 @@ def main() -> int:
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
     ap.add_argument("--reps", type=int, default=2)
     ap.add_argument("--no-noop", action="store_true")
+    ap.add_argument("--round", default="r15",
+                    help="plans/<round>/ output subdir")
     args = ap.parse_args()
 
     import __spark_entry__ as entry
@@ -31,7 +33,7 @@ def main() -> int:
 
     spark = get_session(app_name=f"explain_{args.tag}")
     here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    outdir = os.path.join(here, "plans", "r14")
+    outdir = os.path.join(here, "plans", args.round)
     os.makedirs(outdir, exist_ok=True)
 
     qs = entry.queries()

@@ -1381,7 +1381,8 @@ def _fanout_if_narrow(df: DataFrame, *key_cols: str) -> DataFrame:
 def distributed_midrank(df: DataFrame, value_col: str,
                         by: list[str] | None = None,
                         buckets: int = 64,
-                        out_col: str = "r2") -> DataFrame:
+                        out_col: str = "r2",
+                        tie_col: str | None = None) -> DataFrame:
     """EXACT doubled midranks with parallelism ``groups × buckets``
     — the range-partitioned two-pass rank that replaces the
     one-task-per-group window sort when a FEW huge groups dominate
@@ -1410,16 +1411,24 @@ def distributed_midrank(df: DataFrame, value_col: str,
     under Spark's default ascending NULLS FIRST ordering. Rows are
     never dropped and the driver prefix sum never mixes None with
     int bucket ids.
+
+    ``tie_col``: also emit the per-(group, value) tie count ``t``
+    under that name — it falls out of the rank window's own tie
+    frame for free (equal values share a bucket, so the within-
+    bucket count IS the group-wide count), saving callers that need
+    ties (Dunn) a second full-data window exchange (r15).
     """
     return distributed_midrank_multi(df, [value_col], by=by,
                                      buckets=buckets,
-                                     out_cols=[out_col])
+                                     out_cols=[out_col],
+                                     tie_cols=[tie_col])
 
 
 def distributed_midrank_multi(df: DataFrame, value_cols: list[str],
                               by: list[str] | None = None,
                               buckets: int = 64,
-                              out_cols: list[str] | None = None
+                              out_cols: list[str] | None = None,
+                              tie_cols: list[str | None] | None = None
                               ) -> DataFrame:
     """:func:`distributed_midrank` for SEVERAL value columns in one
     pass — and, since r15, a FULLY LAZY one: no internal action at
@@ -1455,6 +1464,9 @@ def distributed_midrank_multi(df: DataFrame, value_cols: list[str],
     out_cols = list(out_cols or [f"r2_{c}" for c in value_cols])
     if len(out_cols) != len(value_cols):
         raise ValueError("out_cols must match value_cols")
+    tie_cols = list(tie_cols or [None] * len(value_cols))
+    if len(tie_cols) != len(value_cols):
+        raise ValueError("tie_cols must match value_cols")
     if not _is_persisted(df):
         df = operator_persist(_fanout_if_narrow(df, *value_cols))
     # finer than the old boundary count: empty buckets are free and
@@ -1511,8 +1523,13 @@ def distributed_midrank_multi(df: DataFrame, value_cols: list[str],
         t = F.count(F.lit(1)).over(wt)
         r2 = (F.lit(2) * (F.col("__off") + cum_le - t) + t
               + F.lit(1)).cast("bigint")
-        joined = joined.withColumn(oc, r2) \
-            .drop(f"__bkt_{i}", "__off")
+        joined = joined.withColumn(oc, r2)
+        if tie_cols[i]:
+            # the within-bucket tie frame IS the group-wide tie count
+            # (equal values share a bucket) — free for callers that
+            # need it (see distributed_midrank docstring)
+            joined = joined.withColumn(tie_cols[i], t.cast("bigint"))
+        joined = joined.drop(f"__bkt_{i}", "__off")
     return joined
 
 
@@ -3070,11 +3087,17 @@ def dunn_test(df: DataFrame, value_col: str, group_col: str,
     if _resolve_rank_path(df, by, distributed, "dunn_test"):
         # few-huge-groups shape: midranks from the groups x buckets
         # two-pass rank instead of one ordered window per group -
-        # IDENTICAL doubled midranks (the q192 contract)
+        # IDENTICAL doubled midranks (the q192 contract). The tie
+        # count rides the midrank's own window frame (tie_col —
+        # equal values share a bucket, so the within-bucket count is
+        # the group-wide count), saving the separate full-data
+        # (by, value) window exchange the old form paid (r15).
+        td = F.col("__t")
         ranked = distributed_midrank(base, "__v", by=by,
-                                     out_col="__r2").select(
+                                     out_col="__r2",
+                                     tie_col="__t").select(
             *[F.col(c) for c in by], "__grp", "__r2",
-            (t * t - 1).cast("bigint").alias("__tie1"))
+            (td * td - 1).cast("bigint").alias("__tie1"))
     else:
         wo = (Window.partitionBy(*by).orderBy("__v")
               .rangeBetween(Window.unboundedPreceding, 0)

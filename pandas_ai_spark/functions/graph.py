@@ -239,9 +239,12 @@ def _tri_local(und: DataFrame) -> DataFrame:
         closed = ekeys[pos_c] == keys
         for arr in (apex[closed], bs[closed], cs[closed]):
             tri += np.bincount(arr, minlength=n)
-    alive = tri > 0
+    # tri is padded to max(n, 1) for the empty-edge case — index the
+    # alive mask over the REAL node count (an empty q88-at-sf0.001
+    # edge set must yield an empty frame, not a shape error)
+    alive = tri[:len(uniques)] > 0
     out = pd.DataFrame({"node": pd.Series(uniques[alive]),
-                        "triangles": tri[alive]})
+                        "triangles": tri[:len(uniques)][alive]})
     from pyspark.sql import types as T
     schema = T.StructType([
         T.StructField("node", und.schema[0].dataType),

@@ -276,3 +276,11 @@ class TestGraphR15:
         got_dist = _rows(triangle_counts(cdf, assume_canonical=True,
                                          local_edges_below=0))
         assert got_dist == local
+
+    def test_triangle_local_empty_edges(self, spark):
+        # q88 at sf0.001 yields ZERO edges above min_support — the
+        # local path must return an empty frame, not a shape error
+        from pandas_ai_spark.functions.graph import triangle_counts
+        df = spark.createDataFrame([], "src string, dst string")
+        assert triangle_counts(df).count() == 0
+        assert triangle_counts(df, assume_canonical=True).count() == 0

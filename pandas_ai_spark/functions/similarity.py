@@ -341,6 +341,21 @@ def embedding_near_dup_pairs(
             .agg(F.array_sort(F.collect_list(id_col)).alias("__ids"))
             .where(F.size("__ids") >= 2)
         )
+        # AQE coalesces the bucket table by BYTES — a few thousand
+        # (tbl, bkt, ids) rows collapse to one partition — but the
+        # pair expansion below does O(|ids|²) interpreted work per
+        # row, so byte-based coalescing strands the whole expansion
+        # on one core (measured ~0.6-3 s off at sf0.1 with the
+        # explicit spread; guide §2.5 — partition by expansion work,
+        # not bytes). Keyed on xxhash64(tbl, bkt) rather than
+        # (tbl, bkt): a same-key repartition is elided as redundant
+        # against the aggregation exchange it sits on (verified in
+        # the q26 plan), which would hand AQE the coalesce back.
+        # Deterministic hash, retry-safe; candidate sets are
+        # partition-placement-invariant.
+        buckets = buckets.repartition(
+            banded.sparkSession.sparkContext.defaultParallelism,
+            F.xxhash64("tbl", "bkt"))
         cand = (
             buckets.select(F.explode(F.flatten(F.transform(
                 F.col("__ids"),
@@ -367,6 +382,11 @@ def embedding_near_dup_pairs(
             cand.join(va, "id_a").join(vb, "id_b")
             .withColumn(
                 "cosine",
+                # kept as the HOF fold: an unrolled 64-term
+                # GetArrayItem chain MEASURED 3x slower here (9.5 s
+                # vs 3.5 s end-to-end at sf0.1) — the deep Add tree
+                # defeats codegen where the HOF's tight interpreted
+                # loop at least stays cache-resident. Ledger r15.
                 F.when(F.col("__na") * F.col("__nb") > 0,
                        dot(F.col("__va"), F.col("__vb"))
                        / (F.col("__na") * F.col("__nb")))

@@ -20,7 +20,6 @@ from __future__ import annotations
 
 import math
 
-import pytest
 from pyspark.sql import functions as F
 
 def _rows(df, cols=None):
